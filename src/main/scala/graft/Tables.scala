@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table catalog (TESTDATA.md / FIXTURES.md §2).
+  *
+  * All engine queries read the driver-generated parquet tables through this
+  * single entry point so that scans stay declarative (parquet source →
+  * vectorized reader, predicate pushdown, column pruning all come for free
+  * from Catalyst).
+  *
+  * Scale notes: at 100 TB these would be partitioned/bucketed external
+  * tables; the loader keeps the access path identical (`spark.read.parquet`)
+  * so swapping the path for a partitioned root is a config change, not a
+  * code change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one fixture table. `dir` is e.g. /root/testdata/sf0.01 */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every fixture table as a temp view (SQL entry point). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * - shuffle.partitions sized to the local core count (not the 200 default,
+  *   which at local[32] creates tiny-task overhead; on a real cluster this
+  *   is raised to ~2-3× total cores, and AQE coalesces down).
+  * - AQE on: runtime re-planning (skew-join split, partition coalescing,
+  *   broadcast demotion/promotion) is the main lever that keeps the same
+  *   plans viable from sf0.001 to 100 TB.
+  * - UTC session timezone so timestamp semantics match the DuckDB oracle.
+  */
+object Engine {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def session(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

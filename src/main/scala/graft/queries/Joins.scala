@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.B J1–J9 — join surface.
+  *
+  * Scale design notes (100 TB):
+  *  - J1/J2: dimension sides are broadcast explicitly (`broadcast()`), so
+  *    the fact scan never shuffles — the same physical shape as the
+  *    reference's client-collected `$in` semi-join
+  *    (kafka-database-import.go:149-170), minus the single-threaded driver.
+  *  - J3: chained star joins stay broadcast for dims (region/nation/
+  *    customer), shuffle only on the orders↔lineitem edge; AQE reorders
+  *    and demotes/promotes at runtime.
+  *  - J6 is the deliberate large↔large sort-merge case (broadcast
+  *    disabled via MERGE hint) — the shape that survives when both sides
+  *    are TBs.
+  *  - J7 keeps the equi key (user_id) in the join condition so the range
+  *    predicate is a post-filter on a hash/sort-merge join, never a
+  *    BroadcastNestedLoopJoin.
+  *  - J9 (as-of) is composed from a window `lag` — no custom operator
+  *    needed; one shuffle on (user_id), sorted within partitions.
+  */
+object Joins {
+
+  val decls: Seq[Decl] = Seq(
+
+    // The reference's core operator (R4): facts ⋉ broadcast dimension.
+    Decl(
+      "j1_semi_broadcast",
+      """SELECT l_orderkey, l_linenumber, l_suppkey
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Qh.t(s, dir, "lineitem")
+      val dim = Qh.t(s, dir, "supplier").filter($"s_acctbal" > 5000)
+      li.join(broadcast(dim), li("l_suppkey") === dim("s_suppkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Decl(
+      "j2_inner",
+      """SELECT o_orderkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Qh.t(s, dir, "orders")
+      val c = Qh.t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+
+    // TPC-H Q5 shape: revenue per nation through the full star.
+    Decl(
+      "j3_multiway",
+      s"""SELECT n_name,
+         |  ${Qh.oSum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE r_name <> 'REGION#0'
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val r = Qh.t(s, dir, "region").filter($"r_name" =!= "REGION#0")
+      val n = Qh.t(s, dir, "nation")
+      val c = Qh.t(s, dir, "customer")
+      val o = Qh.t(s, dir, "orders")
+      val li = Qh.t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"n_name")
+        .agg(
+          Qh.sumd6($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // Left outer with genuinely unmatched left rows (not every customer
+    // has an urgent finished order).
+    Decl(
+      "j4_left_outer",
+      """SELECT c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F') o
+        |  ON o.o_custkey = c_custkey
+        |ORDER BY c_custkey, o.o_orderkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Qh.t(s, dir, "customer")
+      val o = Qh.t(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_outer")
+        .select($"c_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"c_custkey".asc, $"o_orderkey".asc_nulls_first)
+    },
+
+    // Full outer with unmatched rows on BOTH sides.
+    Decl(
+      "j4_full_outer",
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_nationkey < 10) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F'
+        |                 AND o_orderpriority = '1-URGENT') o
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey NULLS FIRST, o.o_orderkey NULLS FIRST""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Qh.t(s, dir, "customer").filter($"c_nationkey" < 10)
+      val o = Qh.t(s, dir, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_orderpriority" === "1-URGENT")
+      c.join(o, o("o_custkey") === c("c_custkey"), "full_outer")
+        .select($"c_custkey", $"o_orderkey")
+        .orderBy($"c_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+    },
+
+    Decl(
+      "j5_anti",
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Qh.t(s, dir, "customer")
+      val o = Qh.t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+      c.join(o, o("o_custkey") === c("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Large-large: broadcast disabled via MERGE hint → sort-merge join,
+    // the only join shape that survives two 50-TB sides.
+    Decl(
+      "j6_sortmerge",
+      s"""SELECT o_orderpriority,
+         |  ${Qh.oSum6("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = Qh.t(s, dir, "lineitem")
+      val o = Qh.t(s, dir, "orders").hint("merge")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(
+          Qh.sumd6($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Equi + range residual: events within 1h after each event, same user.
+    // The user_id equi key keeps this a hash join (not a nested loop).
+    Decl(
+      "j7_range",
+      """SELECT e1.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events) e1
+        |JOIN (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts FROM events) e2
+        |  ON e1.user_id = e2.user_id
+        | AND e2.event_id <> e1.event_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+        |GROUP BY e1.user_id
+        |ORDER BY e1.user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"user_id", $"event_id", Qh.tsUs($"ts").as("ts"))
+      val e1 = ev.as("e1")
+      val e2 = ev.as("e2")
+      e1.join(e2,
+          $"e1.user_id" === $"e2.user_id" &&
+          $"e2.event_id" =!= $"e1.event_id" &&
+          $"e2.ts" >= $"e1.ts" &&
+          $"e2.ts" <= $"e1.ts" + expr("INTERVAL 1 HOUR"))
+        .groupBy($"e1.user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"e1.user_id")
+    },
+
+    Decl(
+      "j8_cross",
+      """SELECT r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Qh.t(s, dir, "region")
+        .crossJoin(Qh.t(s, dir, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    },
+
+    // As-of join composed from a window lag (SURVEY J9): latest prior
+    // event of the same user. One shuffle on user_id, no custom operator.
+    Decl(
+      "j9_asof",
+      """SELECT event_id,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_event_type
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy(Qh.tsUs($"ts"), $"event_id")
+      Qh.t(s, dir, "events")
+        .select(
+          $"event_id",
+          lag($"event_id", 1).over(w).as("prev_event_id"),
+          lag($"event_type", 1).over(w).as("prev_event_type"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B P1–P11 — projection / filter / scalar expression surface.
+  *
+  * Everything here is a narrow (shuffle-free) map over one parquet scan:
+  * at 100 TB these queries are bounded purely by scan bandwidth, so the
+  * only thing that matters is that the filter and the column list reach
+  * the parquet reader (PushedFilters / ReadSchema — asserted in
+  * PlanSpec). All expressions are built-in `functions._` (whole-stage
+  * codegen; no UDFs).
+  *
+  * Reference anchors: column pruning = R3 (kafka-database-import.go:160-163),
+  * IN-list filter = scalar form of R4 (:170), envelope = R7 (:199),
+  * to_json = R8 (:200).
+  */
+object Projections {
+
+  val decls: Seq[Decl] = Seq(
+
+    Decl(
+      "p1_prune",
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Qh.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Decl(
+      "p2_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount BETWEEN 0.02 AND 0.06
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "lineitem")
+        .filter($"l_quantity" > 30 && $"l_discount".between(0.02, 0.06))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Decl(
+      "p3_inlist",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "customer")
+        .filter($"c_mktsegment".isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    },
+
+    Decl(
+      "p4_strings",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up_name,
+        |  substr(p_type, 1, 4) AS type4,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_name, ' ', '_') AS snake_name,
+        |  trim(' ' || p_name || ' ') AS trimmed,
+        |  string_split(p_name, ' ')[2] AS second_word
+        |FROM part
+        |WHERE p_name LIKE '%widget%'
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "part")
+        .filter($"p_name".like("%widget%"))
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("up_name"),
+          substring($"p_type", 1, 4).as("type4"),
+          concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+          length($"p_name").cast("bigint").as("name_len"),
+          lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+          regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+          regexp_replace($"p_name", " ", "_").as("snake_name"),
+          trim(concat(lit(" "), $"p_name", lit(" "))).as("trimmed"),
+          split($"p_name", " ").getItem(1).as("second_word"))
+        .orderBy("p_partkey")
+    },
+
+    Decl(
+      "p5_datetime",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS o_year,
+        |  month(o_orderdate) AS o_month,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1997-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(o_orderdate AS DATE) + 90 AS due_date
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ts = Qh.tsUs($"o_orderdate")
+      Qh.t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          year(ts).cast("bigint").as("o_year"),
+          month(ts).cast("bigint").as("o_month"),
+          date_trunc("month", ts).cast(DateType).as("month_start"),
+          datediff(ts.cast(DateType), lit("1997-01-01").cast(DateType))
+            .as("days_since"),
+          ts.cast(DateType).as("o_date"),
+          unix_timestamp(ts).as("epoch_s"),
+          date_add(ts.cast(DateType), 90).as("due_date"))
+        .orderBy("o_orderkey")
+    },
+
+    Decl(
+      "p6_math",
+      """SELECT l_orderkey, l_linenumber,
+        |  floor((l_extendedprice) * 100 + 0.5) / 100.0 AS price_r2,
+        |  abs(l_discount - 0.03) AS disc_abs,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  l_quantity * l_quantity AS qty_sq,
+        |  sqrt(l_extendedprice) AS price_sqrt,
+        |  l_orderkey % 7 AS key_mod,
+        |  floor((ln(l_extendedprice)) * 1000000 + 0.5) / 1000000.0 AS price_ln
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "lineitem")
+        .select(
+          $"l_orderkey", $"l_linenumber",
+          Qh.r2($"l_extendedprice").as("price_r2"),
+          abs($"l_discount" - 0.03).as("disc_abs"),
+          ceil($"l_extendedprice").as("price_ceil"),
+          floor($"l_extendedprice").as("price_floor"),
+          ($"l_quantity" * $"l_quantity").as("qty_sq"),
+          sqrt($"l_extendedprice").as("price_sqrt"),
+          ($"l_orderkey" % 7).as("key_mod"),
+          Qh.r6(log($"l_extendedprice")).as("price_ln"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Decl(
+      "p7_conditional",
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS bal_band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(masked)') AS seg_masked,
+        |  CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS nk_parity
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "customer")
+        .select(
+          $"c_custkey",
+          when($"c_acctbal" < 0, "neg")
+            .when($"c_acctbal" < 5000, "mid")
+            .otherwise("high").as("bal_band"),
+          coalesce(nullif($"c_mktsegment", lit("BUILDING")), lit("(masked)"))
+            .as("seg_masked"),
+          when($"c_nationkey" % 2 === 0, "even").otherwise("odd")
+            .as("nk_parity"))
+        .orderBy("c_custkey")
+    },
+
+    Decl(
+      "p8_json",
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS BIGINT)))::VARCHAR AS rebuilt
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "events")
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast("bigint").as("k_int"),
+          to_json(struct(
+            get_json_object($"props", "$.k").cast("bigint").as("k")))
+            .as("rebuilt"))
+        .orderBy("event_id")
+    },
+
+    Decl(
+      "p9_arrays",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  embedding[1] AS first_el,
+        |  floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000.0 AS el_sum,
+        |  list_sort(embedding)[1] AS el_min,
+        |  list_sort(embedding)[64] AS el_max,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "embeddings")
+        .select(
+          $"vec_id",
+          size($"embedding").as("dim"),
+          $"embedding".getItem(0).as("first_el"),
+          Qh.r4(aggregate($"embedding", lit(0.0),
+            (acc, x) => acc + x.cast("double"))).as("el_sum"),
+          array_min($"embedding").as("el_min"),
+          array_max($"embedding").as("el_max"),
+          size(filter($"embedding", x => x > 0)).as("n_pos"))
+        .orderBy("vec_id")
+    },
+
+    Decl(
+      "p9_explode",
+      """SELECT vec_id, unnest(embedding) AS el
+        |FROM embeddings
+        |WHERE vec_id < 5
+        |ORDER BY vec_id, el""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "embeddings")
+        .filter($"vec_id" < 5)
+        .select($"vec_id", explode($"embedding").as("el"))
+        .orderBy("vec_id", "el")
+    },
+
+    Decl(
+      "p10_maps",
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val m = from_json($"props", MapType(StringType, LongType))
+      Qh.t(s, dir, "events")
+        .select(
+          $"event_id",
+          array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
+          size(map_keys(m)).as("n_keys"),
+          element_at(m, "k").as("k_val"))
+        .orderBy("event_id")
+    },
+
+    // R7+R8 exactly: the reference's envelope {"data": <doc>, "source": "database"}
+    // (kafka-database-import.go:199-200), restricted to integer/string
+    // fields so the JSON text is byte-identical across engines.
+    Decl(
+      "p11_envelope",
+      """SELECT event_id,
+        |  to_json(struct_pack(
+        |    data := struct_pack(event_id := event_id, event_type := event_type, user_id := user_id),
+        |    source := 'database'))::VARCHAR AS value
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "events")
+        .select(
+          $"event_id",
+          to_json(struct(
+            struct($"event_id", $"event_type", $"user_id").as("data"),
+            lit("database").as("source"))).as("value"))
+        .orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query helpers shared by every declared-query module.
+  *
+  * == Cross-engine float determinism ==
+  *
+  * The driver hash-compares engine output against DuckDB, so every float
+  * that leaves a query must be bit-identical across engines. Two hazards:
+  *
+  * 1. '''Shuffle-order-dependent sums.''' `sum(double)` accumulates in
+  *    partition order, which differs between Spark (parallel partial aggs)
+  *    and DuckDB (and between Spark runs). Fix: cast to DECIMAL before
+  *    aggregating — decimal addition is associative and exact — then cast
+  *    the result back to DOUBLE (exact below 2^53).
+  *
+  * 2. '''Decimal-string rounding.''' Spark's `round()` rounds the SHORTEST
+  *    DECIMAL REPRESENTATION of a double (BigDecimal.valueOf semantics),
+  *    DuckDB rounds the BINARY value; on grid-aligned data (money with 2
+  *    decimals) they disagree on exact .xx5 boundaries. Fix: round with
+  *    pure IEEE arithmetic — `floor(x*scale + 0.5)/scale` — and write the
+  *    SAME formula in the oracle SQL, so both engines evaluate identical
+  *    instructions on identical inputs.
+  */
+object Qh {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables(spark, dir, name)
+
+  // ---- pure-IEEE rounding (same formula emitted in oracle SQL) ----
+  def r(c: Column, scale: Long): Column = floor(c * scale + lit(0.5)) / lit(scale.toDouble)
+  def r2(c: Column): Column = r(c, 100L)
+  def r4(c: Column): Column = r(c, 10000L)
+  def r6(c: Column): Column = r(c, 1000000L)
+  def oR(x: String, scale: Long): String = s"floor(($x) * $scale + 0.5) / $scale.0"
+  def oR2(x: String): String = oR(x, 100L)
+  def oR4(x: String): String = oR(x, 10000L)
+  def oR6(x: String): String = oR(x, 1000000L)
+
+  // ---- order-independent exact sums over money-grid doubles ----
+  def sumd2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  def sumd6(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+  def oSum2(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  def oSum6(x: String): String = s"CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Exact average as exact-sum / count (both engines do the same double
+    * division on identical inputs). */
+  def avgd2(c: Column): Column = sumd2(c) / count(lit(1))
+  def oAvg2(x: String): String = s"(${oSum2(x)} / count(*))"
+
+  /** events.ts is ns-precision in parquet; Spark truncates to µs on read.
+    * Cast defensively so any arithmetic happens at µs on both sides (the
+    * oracle SQL casts TIMESTAMP_NS → TIMESTAMP for the same reason). */
+  def tsUs(c: Column): Column = c.cast(TimestampType)
+}

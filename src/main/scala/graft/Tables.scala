@@ -19,9 +19,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one fixture table. `dir` is e.g. /root/testdata/sf0.01 */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load one fixture table. `dir` is e.g. /root/testdata/sf0.01
+    *
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for (PARQUET_TYPE_ILLEGAL without the nanosAsLong escape
+    * hatch, set in [[Engine.builder]]). Normalize it here, once, to a
+    * µs TimestampType: integer `div` — NOT double division, ns epoch
+    * values (~1.7e18) are above 2^53 and would lose precision — which
+    * floor-truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast,
+    * so both engines see identical µs instants. */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
   /** Register every fixture table as a temp view (SQL entry point). */
   def registerAll(spark: SparkSession, dir: String): Unit =
@@ -49,6 +61,9 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture events.ts is parquet TIMESTAMP(NANOS); read as Long
+      // (nanos since epoch) and normalize in Tables.apply
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

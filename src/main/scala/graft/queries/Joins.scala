@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2.B J1–J9 — join surface.
   *
   * Scale design notes (100 TB):
-  *  - J1/J2: dimension sides are broadcast explicitly (`broadcast()`), so
-  *    the fact scan never shuffles — the same physical shape as the
-  *    reference's client-collected `$in` semi-join
-  *    (kafka-database-import.go:149-170), minus the single-threaded driver.
-  *  - J3: chained star joins stay broadcast for dims (region/nation/
-  *    customer), shuffle only on the orders↔lineitem edge; AQE reorders
-  *    and demotes/promotes at runtime.
+  *  - J1: the FILTERED supplier dim is broadcast explicitly, so the fact
+  *    scan never shuffles — the same physical shape as the reference's
+  *    client-collected `$in` semi-join (kafka-database-import.go:149-170),
+  *    minus the single-threaded driver. Explicit hints are reserved for
+  *    sides that are bounded by construction (a filtered allowlist,
+  *    region/nation); anything that scales with sf (customer, orders)
+  *    gets NO hint and AQE promotes/demotes at runtime.
+  *  - J3: chained star joins broadcast only region/nation; customer joins
+  *    by AQE choice; shuffle only on the orders↔lineitem edge.
   *  - J6 is the deliberate large↔large sort-merge case (broadcast
   *    disabled via MERGE hint) — the shape that survives when both sides
   *    are TBs.
@@ -45,9 +47,12 @@ object Joins {
       """SELECT o_orderkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // No broadcast hint: customer scales with sf (unlike region/nation),
+      // so a hard hint would OOM at 100 TB. AQE promotes to broadcast at
+      // runtime when the build side is actually small.
       val o = Qh.t(s, dir, "orders")
       val c = Qh.t(s, dir, "customer")
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .select("o_orderkey", "c_name", "c_mktsegment")
         .orderBy("o_orderkey")
     },
@@ -72,8 +77,10 @@ object Joins {
       val c = Qh.t(s, dir, "customer")
       val o = Qh.t(s, dir, "orders")
       val li = Qh.t(s, dir, "lineitem")
+      // broadcast() only on the genuinely bounded dims (region 5 rows,
+      // nation 25 rows); customer grows with sf → AQE decides.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy($"n_name")

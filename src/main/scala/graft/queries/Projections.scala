@@ -182,8 +182,12 @@ object Projections {
           $"event_id",
           get_json_object($"props", "$.k").as("k_str"),
           get_json_object($"props", "$.k").cast("bigint").as("k_int"),
+          // ignoreNullFields=false: DuckDB's to_json always emits null
+          // fields, Spark omits them by default — a row whose props lacks
+          // '$.k' must serialize as {"k":null} on both sides.
           to_json(struct(
-            get_json_object($"props", "$.k").cast("bigint").as("k")))
+            get_json_object($"props", "$.k").cast("bigint").as("k")),
+            Map("ignoreNullFields" -> "false"))
             .as("rebuilt"))
         .orderBy("event_id")
     },
@@ -194,8 +198,8 @@ object Projections {
         |  CAST(len(embedding) AS INT) AS dim,
         |  embedding[1] AS first_el,
         |  floor((list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))) * 10000 + 0.5) / 10000.0 AS el_sum,
-        |  list_sort(embedding)[1] AS el_min,
-        |  list_sort(embedding)[64] AS el_max,
+        |  list_aggregate(embedding, 'min') AS el_min,
+        |  list_aggregate(embedding, 'max') AS el_max,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
@@ -235,13 +239,16 @@ object Projections {
         |FROM events
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val m = from_json($"props", MapType(StringType, LongType))
+      // Parse values as STRING so key extraction can't be poisoned by a
+      // non-long value anywhere in the map (from_json with LongType values
+      // nulls the WHOLE map on first mismatch); only k_val casts.
+      val m = from_json($"props", MapType(StringType, StringType))
       Qh.t(s, dir, "events")
         .select(
           $"event_id",
           array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
           size(map_keys(m)).as("n_keys"),
-          element_at(m, "k").as("k_val"))
+          element_at(m, "k").cast("bigint").as("k_val"))
         .orderBy("event_id")
     },
 
@@ -262,7 +269,8 @@ object Projections {
           $"event_id",
           to_json(struct(
             struct($"event_id", $"event_type", $"user_id").as("data"),
-            lit("database").as("source"))).as("value"))
+            lit("database").as("source")),
+            Map("ignoreNullFields" -> "false")).as("value"))
         .orderBy("event_id")
     }
   )

@@ -16,7 +16,10 @@ object SparkEntry {
   def all: Seq[Decl] =
     Flagship.decls ++
       Projections.decls ++
-      Joins.decls
+      Joins.decls ++
+      Aggregations.decls ++
+      Windows.decls ++
+      SetOps.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference pipeline end-to-end: events ⋉ allowlist → limit →

@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B A1–A7 — aggregation surface.
+  *
+  * All shapes are partial+final hash aggregations (HashAggregateExec with
+  * map-side combine): at 100 TB each query shuffles only the grouped
+  * partials (|groups| × |agg bufs|), never raw rows. Group-by keys here
+  * are low-cardinality; skewed high-cardinality keys would lean on AQE
+  * skew handling (enabled in Engine.builder).
+  *
+  * Float discipline (see [[Qh]]): every double aggregate goes through
+  * decimal-exact sums so results are shuffle-order-independent, and the
+  * identical formula is emitted in the oracle SQL.
+  *
+  * Reference anchor: the reference's only aggregation is R10's progress
+  * counting (kafka-database-import.go:215-218); A1–A7 generalize it to
+  * the declared engine surface.
+  */
+object Aggregations {
+
+  /** stddev/variance via decimal-exact moments: both engines compute
+    * sqrt((s2 - s1²/n)/(n-1)) in identical double arithmetic on exact
+    * decimal sums, so results match bit-for-bit regardless of partition
+    * or shuffle order (naive stddev(double) is order-dependent). */
+  private def oMoments(x: String): (String, String, String) = (
+    s"CAST(sum(CAST($x AS DECIMAL(18,2)) * CAST($x AS DECIMAL(18,2))) AS DOUBLE)",
+    s"CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE)",
+    "CAST(count(*) AS DOUBLE)")
+
+  val decls: Seq[Decl] = Seq(
+
+    // TPC-H Q1 shape: the canonical partial+final hash agg.
+    Decl(
+      "a1_hashagg",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${Qh.oSum2("l_quantity")} AS sum_qty,
+         |  ${Qh.oSum2("l_extendedprice")} AS sum_base_price,
+         |  ${Qh.oSum6("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  ${Qh.oAvg2("l_quantity")} AS avg_qty,
+         |  ${Qh.oAvg2("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          Qh.sumd2($"l_quantity").as("sum_qty"),
+          Qh.sumd2($"l_extendedprice").as("sum_base_price"),
+          Qh.sumd6($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+          Qh.avgd2($"l_quantity").as("avg_qty"),
+          Qh.avgd2($"l_extendedprice").as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Decl(
+      "a2_distinct",
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          countDistinct($"o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // HLL++ sketch checked by tolerance against the exact count: the
+    // oracle asserts `true`, the engine asserts |approx-exact| within
+    // 5% + 2. Cross-engine sketch equality is impossible (different HLL
+    // impls); the tolerance invariant IS the checkable contract.
+    Decl(
+      "a3_approx_distinct",
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("exact_users"),
+          approx_count_distinct($"user_id").as("approx_users"))
+        .select(
+          $"event_type",
+          $"exact_users",
+          (abs($"approx_users" - $"exact_users") <= lit(2) + $"exact_users" * 0.05)
+            .as("approx_ok"))
+        .orderBy("event_type")
+    },
+
+    Decl(
+      "a4_rollup",
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |  coalesce(o_orderpriority, '(all)') AS priority,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          $"n", $"total")
+        .orderBy("status", "priority")
+    },
+
+    Decl(
+      "a4_cube",
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+        |  coalesce(l_linestatus, '(all)') AS lstatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce($"l_returnflag", lit("(all)")).as("rflag"),
+          coalesce($"l_linestatus", lit("(all)")).as("lstatus"),
+          $"n")
+        .orderBy("rflag", "lstatus")
+    },
+
+    Decl(
+      "a5_filtered_agg",
+      s"""SELECT user_id,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_total,
+         |  count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+         |  count(*) AS n_events
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(
+          Qh.sumd2(when($"event_type" === "purchase", $"value")).as("purchase_total"),
+          count(when($"event_type" === "click", lit(1))).as("n_clicks"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // min/max/stddev/variance/median — order-independent forms only.
+    Decl(
+      "a6_stats", {
+        val (s2, s1, n) = oMoments("l_extendedprice")
+        s"""SELECT l_returnflag,
+           |  min(l_extendedprice) AS min_price,
+           |  max(l_extendedprice) AS max_price,
+           |  ${Qh.oR6(s"sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1))")} AS std_price,
+           |  ${Qh.oR6(s"($s2 - $s1 * $s1 / $n) / ($n - 1)")} AS var_price,
+           |  ${Qh.oR6("quantile_cont(l_extendedprice, 0.5)")} AS med_price
+           |FROM lineitem
+           |GROUP BY l_returnflag
+           |ORDER BY l_returnflag""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val xd = $"l_extendedprice".cast(DecimalType(18, 2))
+      val s2 = sum(xd * xd).cast(DoubleType)
+      val s1 = sum(xd).cast(DoubleType)
+      val n = count(lit(1)).cast(DoubleType)
+      Qh.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          s2.as("_s2"), s1.as("_s1"), n.as("_n"),
+          expr("percentile(l_extendedprice, 0.5)").as("_med"))
+        .select(
+          $"l_returnflag",
+          $"min_price", $"max_price",
+          Qh.r6(sqrt(($"_s2" - $"_s1" * $"_s1" / $"_n") / ($"_n" - 1))).as("std_price"),
+          Qh.r6(($"_s2" - $"_s1" * $"_s1" / $"_n") / ($"_n" - 1)).as("var_price"),
+          Qh.r6($"_med").as("med_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // collect_list/collect_set made deterministic: sorted, then joined to
+    // csv of integer keys (double→string formatting differs per engine).
+    Decl(
+      "a7_collect",
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses_csv
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(
+          array_join(sort_array(collect_list($"o_orderkey")), ",").as("orderkeys_csv"),
+          array_join(sort_array(collect_set($"o_orderstatus")), ",").as("statuses_csv"))
+        .orderBy("o_custkey")
+    }
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B W1–W4 — window-function surface.
+  *
+  * Physical shape: one shuffle on the partition key, sort within
+  * partitions, then a single WindowExec pass — no join, no second
+  * shuffle. At 100 TB the partition key (customer/user) has bounded
+  * per-key row counts, so no single window partition can blow past an
+  * executor; a global-ORDER-BY window (empty partitionBy) is the
+  * anti-pattern deliberately absent here.
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreaker
+  * (orderkey/event_id) — row_number over a tied sort is otherwise free
+  * to differ between engines. Window sums go through DECIMAL so frame
+  * evaluation order (Spark running-accumulate vs DuckDB segment tree)
+  * can't change the float result.
+  */
+object Windows {
+
+  val decls: Seq[Decl] = Seq(
+
+    Decl(
+      "w1_ranking",
+      """SELECT o_orderkey, o_custkey,
+        |  row_number() OVER w AS rn,
+        |  rank()       OVER w AS rk,
+        |  dense_rank() OVER w AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".cast(DateType), $"o_orderkey")
+      Qh.t(s, dir, "orders")
+        .select(
+          $"o_orderkey", $"o_custkey",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("o_orderkey")
+    },
+
+    // lag/lead/first/last with EXPLICIT rows frames (the ANSI default
+    // frame for last_value is RANGE ... CURRENT ROW, which makes
+    // last_value ≡ current row — explicit frames say what we mean).
+    Decl(
+      "w2_analytic",
+      """SELECT event_id,
+        |  lag(value)  OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+        |  last_value(event_type)  OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS final_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(Qh.tsUs($"ts"), $"event_id")
+      val wFromStart = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wToEnd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Qh.t(s, dir, "events")
+        .select(
+          $"event_id",
+          lag($"value", 1).over(w).as("prev_value"),
+          lead($"value", 1).over(w).as("next_value"),
+          first($"event_type").over(wFromStart).as("first_type"),
+          last($"event_type").over(wToEnd).as("final_type"))
+        .orderBy("event_id")
+    },
+
+    // Frame specs: running sum (unbounded→current), sliding 3-row mean,
+    // and a RANGE frame over a numeric order key.
+    Decl(
+      "w3_frames",
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding_total,
+        |  CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS n_near
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      val dec = $"o_totalprice".cast(DecimalType(18, 2))
+      Qh.t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          sum(dec).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running_total"),
+          sum(dec).over(w.rowsBetween(-2, Window.currentRow))
+            .cast(DoubleType).as("sliding_total"),
+          count(lit(1)).over(w.rangeBetween(-5, 5)).as("n_near"))
+        .orderBy("o_orderkey")
+    },
+
+    // Top-K per group: the window+filter idiom (vs a self-join, which
+    // would shuffle twice and break under skew).
+    Decl(
+      "w4_topk_per_group",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Qh.t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "o_orderkey")
+    }
+  )
+}

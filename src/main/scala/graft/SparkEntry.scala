@@ -19,7 +19,11 @@ object SparkEntry {
       Joins.decls ++
       Aggregations.decls ++
       Windows.decls ++
-      SetOps.decls
+      SetOps.decls ++
+      Dedup.decls ++
+      Similarity.decls ++
+      TextAnalysis.decls ++
+      Multimodal.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference pipeline end-to-end: events ⋉ allowlist → limit →

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B L6 + north-star multimodal columns.
+  *
+  * Model (SURVEY §1.1 opaque-payload rule): media is an opaque `binary`
+  * column + a typed metadata struct carried through the relational
+  * pipeline untouched; only dedicated decode/feature stages look inside.
+  * The fixture set has no real media, so the payload is the document
+  * text's bytes and "decode" is a deterministic fake (a byte-histogram
+  * feature extractor). The Spark-side plumbing — binary column, typed
+  * metadata, per-partition batched decode with a bounded batch size,
+  * feature schema — is real and tested (MultimodalSpec); only the codec
+  * call itself is the stand-in (no image/audio libs in this container).
+  *
+  * Scale: decode is a narrow mapPartitions — no shuffle; batch size
+  * bounds peak memory per task regardless of partition size (the same
+  * shape a vectorized/Arrow-batched UDF would have on a cluster with
+  * the real codec libraries installed).
+  */
+object Multimodal {
+
+  /** An opaque media row: payload + typed metadata. */
+  final case class MediaRow(
+      doc_id: Long,
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      channels: Int,
+      fmt: String)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      mean_byte: Double,
+      n_vowel_bytes: Int,
+      feature: Array[Float])
+
+  /** Attach the fake binary payload + deterministic metadata. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Qh.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        $"text".cast(BinaryType).as("payload"),
+        (($"doc_id" % 5) * 160 + 320).cast(IntegerType).as("width"),
+        (($"doc_id" % 3) * 120 + 240).cast(IntegerType).as("height"),
+        lit(3).as("channels"),
+        lit("png").as("fmt"))
+  }
+
+  /** The decode stub: per-partition, batched iteration (batch bound =
+    * 64 rows) producing a fixed-width feature vector. Deterministic fake
+    * of the real codec call. */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir).as[MediaRow]
+    media.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { m =>
+          val bytes = m.payload
+          val mean =
+            if (bytes.isEmpty) 0.0
+            else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+          val vowels = bytes.count(b => "aeiou".contains((b & 0xff).toChar))
+          // fake feature: 8-bin byte histogram, normalized
+          val hist = new Array[Float](8)
+          bytes.foreach(b => hist((b & 0xff) / 32) += 1f)
+          val n = math.max(1, bytes.length).toFloat
+          MediaFeatures(m.doc_id, bytes.length, mean, vowels, hist.map(_ / n))
+        }
+      }
+    }.toDF()
+  }
+
+  val decls: Seq[Decl] = Seq(
+
+    // Binary + metadata plumbing: SQL-checkable part of the surface.
+    Decl(
+      "l6_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST((doc_id % 5) * 160 + 320 AS INT) AS width,
+        |  CAST((doc_id % 3) * 120 + 240 AS INT) AS height,
+        |  3 AS channels,
+        |  'png' AS fmt,
+        |  CAST((doc_id % 5) * 160 + 320 AS INT) * CAST((doc_id % 3) * 120 + 240 AS INT) * 3 AS n_pixels
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      mediaTable(s, dir)
+        .select(
+          $"doc_id",
+          length($"payload").as("n_bytes"),
+          $"width", $"height", $"channels", $"fmt",
+          ($"width" * $"height" * $"channels").as("n_pixels"))
+        .orderBy("doc_id")
+    },
+
+    // Decode + feature extraction (mapPartitions path): checksum columns
+    // of the fake decode are SQL-expressible, so even the stubbed codec
+    // path gets a DuckDB oracle (mean byte + vowel-byte count).
+    Decl(
+      "l6_decode_features",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  floor((CAST(list_sum(list_transform(range(length(text)), i -> unicode(text[i+1]))) AS DOUBLE) / length(text)) * 1000000 + 0.5) / 1000000.0 AS mean_byte,
+        |  CAST(len(list_filter(list_transform(range(length(text)), i -> text[i+1]), c -> list_contains(['a','e','i','o','u'], c))) AS INT) AS n_vowel_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      decodeFeatures(s, dir)
+        .select($"doc_id", $"n_bytes", Qh.r6($"mean_byte").as("mean_byte"),
+          $"n_vowel_bytes")
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -51,6 +51,25 @@ object Qh {
   def avgd2(c: Column): Column = sumd2(c) / count(lit(1))
   def oAvg2(x: String): String = s"(${oSum2(x)} / count(*))"
 
+  // ---- portable 32-bit hash (identical text → identical value in
+  // Spark and DuckDB: first 8 hex chars of md5, parsed base-16) ----
+  def phash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 8), 16, 10).cast(LongType)
+  def oPhash(x: String, seed: Int): String =
+    s"CAST(concat('0x', substr(md5(concat($x, '#$seed')),1,8)) AS BIGINT)"
+
+  /** Oracle-side dot product as a SEQUENTIAL left fold — bit-identical
+    * to Spark's `aggregate(zip_with(...))`. DuckDB's list_dot_product
+    * uses a different accumulation order (last-ulp drift that survives
+    * rounding at the boundary), so the oracle must fold explicitly. */
+  def oDot(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len($x)), i -> CAST($x[i+1] AS DOUBLE) * CAST($y[i+1] AS DOUBLE))), (a, b) -> a + b)"
+
+  // ---- portable tokenization over documents.text ----
+  /** Lowercased alpha tokens (Java regex and RE2 agree on this class). */
+  val toksExpr = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+  val oToksExpr = "regexp_extract_all(lower(text), '[a-z]+')"
+
   /** events.ts is ns-precision in parquet; Spark truncates to µs on read.
     * Cast defensively so any arithmetic happens at µs on both sides (the
     * oracle SQL casts TIMESTAMP_NS → TIMESTAMP for the same reason). */

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B L4–L5 + north-star text-analysis family over `documents`:
+  * term frequency, per-doc token stats, language-ID heuristic, quality
+  * scoring, rolling-hash fingerprinting, corpus histograms.
+  *
+  * Every query is either a narrow map over the scan (per-doc stats —
+  * scan-bandwidth-bound at 100 TB) or a single hash agg on a
+  * well-distributed key (token, lang×source). No joins, no windows over
+  * unbounded partitions. All arithmetic is portable (md5-prefix hashes,
+  * explicit IEEE rounding) so the DuckDB oracle hash-matches.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val oStopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val decls: Seq[Decl] = Seq(
+
+    // L4a: global term frequency (tokenize → explode → hash agg).
+    Decl(
+      "l4_term_freq",
+      s"""SELECT tok,
+         |  count(*) AS tf,
+         |  count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |GROUP BY tok
+         |ORDER BY tf DESC, tok
+         |LIMIT 30""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .select($"doc_id", explode(expr(Qh.toksExpr)).as("tok"))
+        .groupBy($"tok")
+        .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+        .orderBy($"tf".desc, $"tok")
+        .limit(30)
+    },
+
+    // L4b: per-doc token counting — whitespace tokens, regex (BPE-ish
+    // pretokenizer class) tokens, distinct count, mean token length.
+    Decl(
+      "l4_token_stats",
+      s"""SELECT doc_id,
+         |  CAST(len(${Qh.oToksExpr}) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_ish,
+         |  CAST(len(list_distinct(${Qh.oToksExpr})) AS BIGINT) AS n_distinct,
+         |  ${Qh.oR6(s"CAST(list_sum(list_transform(${Qh.oToksExpr}, t -> length(t))) AS DOUBLE) / len(${Qh.oToksExpr})")} AS mean_tok_len
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .withColumn("toks", expr(Qh.toksExpr))
+        .select(
+          $"doc_id",
+          size($"toks").cast(LongType).as("n_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .cast(LongType).as("n_bpe_ish"),
+          size(array_distinct($"toks")).cast(LongType).as("n_distinct"),
+          Qh.r6(aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+            .cast(DoubleType) / size($"toks")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // L4c: language-ID heuristic — stopword-hit ratio over tokens
+    // (n-gram-frequency heuristic; thresholds are part of the contract).
+    Decl(
+      "l4_lang_id",
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  ${Qh.oR6(s"CAST(len(list_filter(${Qh.oToksExpr}, t -> list_contains($oStopList, t))) AS DOUBLE) / len(${Qh.oToksExpr})")} AS stop_ratio,
+         |  CASE WHEN CAST(len(list_filter(${Qh.oToksExpr}, t -> list_contains($oStopList, t))) AS DOUBLE) / len(${Qh.oToksExpr}) >= 0.15 THEN 'en'
+         |       WHEN CAST(len(list_filter(${Qh.oToksExpr}, t -> list_contains($oStopList, t))) AS DOUBLE) / len(${Qh.oToksExpr}) >= 0.05 THEN 'und'
+         |       ELSE 'other' END AS pred_lang
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stops = typedLit(stopwords)
+      val toks = expr(Qh.toksExpr)
+      val ratio = size(filter(toks, t => array_contains(stops, t)))
+        .cast(DoubleType) / size(toks)
+      Qh.t(s, dir, "documents")
+        .select(
+          $"doc_id", $"lang".as("labeled_lang"),
+          Qh.r6(ratio).as("stop_ratio"),
+          when(ratio >= 0.15, "en")
+            .when(ratio >= 0.05, "und")
+            .otherwise("other").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // L4d: quality score — fixed formula over length / stopword ratio /
+    // punctuation ratio / mean token length (the usual pretraining
+    // heuristics, each a portable expression).
+    Decl(
+      "l4_quality_score",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 AS len_score,
+         |    CAST(len(list_filter(${Qh.oToksExpr}, t -> list_contains($oStopList, t))) AS DOUBLE) / len(${Qh.oToksExpr}) AS stop_ratio,
+         |    CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |    CAST(list_sum(list_transform(${Qh.oToksExpr}, t -> length(t))) AS DOUBLE) / len(${Qh.oToksExpr}) AS mtl
+         |  FROM documents)
+         |SELECT doc_id,
+         |  ${Qh.oR6("0.3 * len_score + 0.4 * least(stop_ratio * 5.0, 1.0) + 0.2 * (1.0 - punct_ratio) + 0.1 * least(mtl / 8.0, 1.0)")} AS quality
+         |FROM f
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stops = typedLit(stopwords)
+      val toks = expr(Qh.toksExpr)
+      val lenScore = least(length($"text").cast(DoubleType), lit(500.0)) / 500.0
+      val stopRatio = size(filter(toks, t => array_contains(stops, t)))
+        .cast(DoubleType) / size(toks)
+      val punctRatio = (length($"text") -
+        length(regexp_replace($"text", "[^a-z ]", ""))).cast(DoubleType) / length($"text")
+      val mtl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks)
+      Qh.t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          Qh.r6(lit(0.3) * lenScore + lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+            lit(0.2) * (lit(1.0) - punctRatio) + lit(0.1) * least(mtl / 8.0, lit(1.0)))
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // L4e: document fingerprint — polynomial rolling hash over token
+    // hashes (mod a sub-2^53 prime; fold order identical both engines).
+    Decl(
+      "l4_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(${Qh.oToksExpr}, t -> ${Qh.oPhash("t", 0)})),
+         |    (a, b) -> (a * 31 + b) % 9007199254740881) AS fingerprint
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          expr("""aggregate(regexp_extract_all(lower(text), '[a-z]+', 0),
+                 |  cast(0 as bigint),
+                 |  (a, t) -> (a * 31 + cast(conv(substring(md5(concat(t, '#0')), 1, 8), 16, 10) as bigint)) % 9007199254740881)""".stripMargin)
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    },
+
+    // L5: corpus histograms — lang × source counts + n_chars stats.
+    Decl(
+      "l5_histogram",
+      """SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .groupBy($"lang", $"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+        .orderBy("lang", "source")
+    }
+  )
+}

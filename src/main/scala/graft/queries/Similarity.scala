@@ -16,28 +16,33 @@ import org.apache.spark.sql.types._
   *    bounded (it is broadcast). A corpus×corpus cross join is the
   *    scale-killer this module deliberately avoids.
   *
-  *  - '''LSH-bucketed ANN (scale path)''': 8 random-hyperplane sign bits
-  *    → 256 buckets; queries probe only their own bucket, so per-query
-  *    work drops from O(N) to O(N/256). The hyperplanes are a fixed
-  *    deterministic ±1 matrix generated from md5 (model parameters, not
-  *    data), embedded as literals in BOTH the Spark plan and the oracle
-  *    SQL so results hash-match. Recall vs the brute-force baseline is
-  *    asserted in SimilaritySpec.
+  *  - '''Multi-table LSH ANN (scale path)''': L=16 hash tables × B=6
+  *    random-hyperplane sign bits. Signatures come from a 96-row
+  *    broadcast `planes` dimension (hyperplanes are model parameters,
+  *    not data); candidates are the union over tables of bucket
+  *    equi-joins; exact cosine runs only on candidates. Measured on the
+  *    fixtures: recall@3 ≈ 0.6 while probing ~24% of the corpus —
+  *    i.i.d.-random vectors are LSH's worst case (no cluster structure,
+  *    see SimilaritySpec); real embedding corpora cluster and do better.
+  *    At scale, per-bucket size is ~N/2^B per table and the join is a
+  *    plain shuffle-hash equi-join — no cross join anywhere.
   *
-  * Cosine determinism: dot products fold left-to-right in both engines'
-  * list primitives; results are rounded (r6) BEFORE ranking/thresholding
+  * Cosine determinism: dot products fold left-to-right on both engines
+  * ([[Qh.oDot]]); results are rounded (r6) BEFORE ranking/thresholding
   * so last-ulp drift can't flip an ordering.
   */
 object Similarity {
 
   val Dim = 64
-  val NPlanes = 8
+  val NTables = 16
+  val NBits = 6
 
-  /** Deterministic ±1 hyperplanes: sign of bit 0 of md5("plane_j_i").
-    * Generated in Scala, embedded as literals on both engines. */
+  /** Deterministic ±1 hyperplanes: parity of md5("plane_j_i")'s first
+    * byte. Generated once in Scala, embedded as literals on both the
+    * Spark side (broadcast dim) and the oracle side (VALUES CTE). */
   lazy val planes: Seq[Seq[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until NPlanes).map { j =>
+    (0 until NTables * NBits).map { j =>
       (0 until Dim).map { i =>
         val h = md.digest(s"plane_${j}_$i".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1 else -1
@@ -57,20 +62,30 @@ object Similarity {
        |      / (sqrt(${Qh.oDot("q.embedding", "q.embedding")})
        |         * sqrt(${Qh.oDot("c.embedding", "c.embedding")})) * 1000000 + 0.5) / 1000000.0""".stripMargin
 
-  /** Signature CTE fragment for the oracle: bucket id from plane signs. */
-  private def oSig(alias: String): String = {
-    val bits = planes.zipWithIndex.map { case (p, j) =>
-      val lit = "[" + p.mkString(", ") + "]"
-      s"(CASE WHEN ${Qh.oDot(s"$alias.embedding", lit)} > 0 THEN ${1 << j} ELSE 0 END)"
+  /** (table, bit, plane-vector) rows — the broadcast LSH dimension. */
+  private def planeRows: Seq[(Int, Int, Seq[Int])] =
+    for (l <- 0 until NTables; b <- 0 until NBits)
+      yield (l, b, planes(l * NBits + b))
+
+  private def oPlanesCte: String = {
+    val rows = planeRows.map { case (l, b, v) =>
+      s"($l, $b, ${v.mkString("[", ",", "]")})"
     }
-    bits.mkString(" + ")
+    s"planes(tbl, bit, pvec) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}))"
   }
 
-  /** Spark-side bucket id. */
-  private def sigCol(emb: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
-      when(dot(emb, typedLit(p)) > 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Per-(vector, table) bucket ids, engine side. */
+  private def sigs(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val pl = planeRows.toDF("tbl", "bit", "pvec")
+    e.select($"vec_id", $"embedding")
+      .crossJoin(broadcast(pl))
+      .groupBy($"vec_id", $"tbl")
+      .agg(sum(
+        when(dot($"embedding", $"pvec") > 0,
+          expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
+        .as("bucket"))
+  }
 
   val decls: Seq[Decl] = Seq(
 
@@ -101,20 +116,28 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
-    // LSH-bucketed ANN: queries vec_id < 50 probe only their own
-    // hyperplane-sign bucket. Equi-join on bucket — per-query work is
-    // O(corpus / 2^8), the shape that survives a 1000× corpus.
+    // Multi-table LSH ANN: queries vec_id < 50 probe the union of their
+    // 16 bucket matches; exact cosine + top-3 only on candidates.
     Decl(
       "l3_ann_lsh",
-      s"""WITH sigs AS (
-         |  SELECT x.vec_id, x.embedding, ${oSig("x")} AS bucket
-         |  FROM embeddings x),
+      s"""WITH ${oPlanesCte},
+         |sigs AS (
+         |  SELECT e.vec_id, p.tbl,
+         |    CAST(sum(CASE WHEN ${Qh.oDot("e.embedding", "p.pvec")} > 0
+         |                  THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings e, planes p
+         |  GROUP BY e.vec_id, p.tbl),
+         |cand AS (
+         |  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS neighbor_id
+         |  FROM sigs sq JOIN sigs sc
+         |    ON sq.tbl = sc.tbl AND sq.bucket = sc.bucket
+         |   AND sq.vec_id <> sc.vec_id
+         |  WHERE sq.vec_id < 50),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    $oCos AS cos
-         |  FROM sigs q JOIN sigs c
-         |    ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         |  WHERE q.vec_id < 50)
+         |  SELECT query_id, neighbor_id, $oCos AS cos
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = query_id
+         |  JOIN embeddings c ON c.vec_id = neighbor_id)
          |SELECT query_id, neighbor_id, cos, rnk FROM (
          |  SELECT query_id, neighbor_id, cos,
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
@@ -123,13 +146,19 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       import s.implicits._
       val e = Qh.t(s, dir, "embeddings")
-        .withColumn("bucket", sigCol($"embedding"))
-      val q = e.filter($"vec_id" < 50)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+      val sg = sigs(s, e)
+      val sq = sg.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"tbl", $"bucket")
+      val sc = sg.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket")
+      val cand = sq.join(sc, Seq("tbl", "bucket"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+      val qe = e.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val ce = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      e.join(broadcast(q), e("bucket") === q("bucket") && $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id".as("neighbor_id"),
-          cosine($"q_emb", $"embedding").as("cos"))
+      cand.join(qe, "query_id").join(ce, "neighbor_id")
+        .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .orderBy("query_id", "rnk")

@@ -23,7 +23,9 @@ object SparkEntry {
       Dedup.decls ++
       Similarity.decls ++
       TextAnalysis.decls ++
-      Multimodal.decls
+      Multimodal.decls ++
+      StreamingBatch.decls ++
+      Sources.decls
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference pipeline end-to-end: events ⋉ allowlist → limit →

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.sources.KafkaIO
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B S3–S6 — non-parquet sources/sinks, each proved by a
+  * round trip: write from the fixture table, read back through the
+  * format under test, aggregate, and hash-check the aggregate against
+  * DuckDB reading the ORIGINAL parquet. A format bug anywhere in the
+  * write→read loop breaks the hash.
+  *
+  * S3 (JDBC) runs against embedded Derby — a real JDBC driver on the
+  * unmanaged classpath — standing in for the reference's dormant
+  * Postgres leg (go.mod:6, sql/createUserFilter.sql). S2/S5 (Kafka) have
+  * no broker in this container; the wire-format surface is checked here
+  * (s5_kafka_envelope), the connector plumbing lives in
+  * [[graft.sources.KafkaIO]].
+  */
+object Sources {
+
+  private def ioDir(name: String): String = {
+    val d = s"/tmp/graft_io/$name"
+    new java.io.File(d).getParentFile.mkdirs()
+    d
+  }
+
+  val decls: Seq[Decl] = Seq(
+
+    // S4: JSON-lines round trip (PERMISSIVE mode, explicit schema — the
+    // reference's drop-on-error semantics are pinned in
+    // ReferenceBehaviorSpec; here the happy path must be lossless).
+    Decl(
+      "s4_json_roundtrip",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s4_json")
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.mode(SaveMode.Overwrite).json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .filter($"_corrupt_record".isNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // S6: CSV round trip with header + explicit schema.
+    Decl(
+      "s6_csv_roundtrip",
+      s"""SELECT c_mktsegment,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("c_acctbal")} AS total_bal
+         |FROM customer
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s6_csv")
+      Qh.t(s, dir, "customer")
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"c_acctbal").as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // S3: JDBC round trip through embedded Derby — the user_filter
+    // dimension (sql/createUserFilter.sql shape: user_id + partition)
+    // written via df.write.jdbc, read back via spark.read.jdbc, then
+    // driving the reference semi-join (R4).
+    Decl(
+      "s3_jdbc_roundtrip",
+      """SELECT count(*) AS n_allowed,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val url = "jdbc:derby:memory:graftdb;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val ev = Qh.t(s, dir, "events")
+      val userFilter = ev.filter($"event_type" === "signup")
+        .select($"user_id", ($"user_id" % 4).cast(IntegerType).as("partition"))
+        .distinct()
+      userFilter.write.mode(SaveMode.Overwrite).jdbc(url, "user_filter", props)
+      val dim = s.read.jdbc(url, "user_filter", props).select($"user_id")
+      ev.join(broadcast(dim), Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("n_allowed"), countDistinct($"user_id").as("n_users"))
+    },
+
+    // S5: the Kafka wire format — key + envelope value bytes exactly as
+    // they would land on the topic (R7+R8+R9 serialization surface).
+    Decl(
+      "s5_kafka_envelope",
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |  to_json(struct_pack(
+        |    data := struct_pack(event_id := event_id, event_type := event_type,
+        |                        user_id := user_id, value := value),
+        |    source := 'database'))::VARCHAR AS value
+        |FROM events
+        |WHERE event_id < 100
+        |ORDER BY key, value""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      KafkaIO.toEnvelope(Qh.t(s, dir, "events").filter($"event_id" < 100))
+        .orderBy("key", "value")
+    }
+  )
+}

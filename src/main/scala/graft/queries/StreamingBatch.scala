@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B T1–T7 batch-equivalent decls: the SAME transform
+  * functions from [[graft.streaming.Streams]] run over the static
+  * `events` table and hash-checked against DuckDB (whose SQL emulates
+  * windows via time_bucket and gaps-and-islands). Streaming-only
+  * semantics (late data, state eviction, exactly-once) are covered by
+  * StreamingSpec with MemoryStream.
+  */
+object StreamingBatch {
+
+  val decls: Seq[Decl] = Seq(
+
+    // T1: tumbling windows ≡ epoch-aligned time_bucket.
+    Decl(
+      "t1_tumbling",
+      """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+        |  event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, dir) =>
+      Streams.tumblingCounts(Qh.t(s, dir, "events"))
+        .orderBy("window_start_ms", "event_type")
+    },
+
+    // T2: sliding 10m/5m ≡ union of the two 5-minute phases.
+    Decl(
+      "t2_sliding",
+      """WITH phases AS (
+        |  SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+        |    event_type FROM events
+        |  UNION ALL
+        |  SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP), INTERVAL '5 minutes')) AS window_start_ms,
+        |    event_type FROM events)
+        |SELECT window_start_ms, event_type, count(*) AS n
+        |FROM phases
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, dir) =>
+      Streams.slidingCounts(Qh.t(s, dir, "events"))
+        .orderBy("window_start_ms", "event_type")
+    },
+
+    // T3: session windows ≡ gaps-and-islands with a 30-minute gap;
+    // session end = last event + gap (Spark session_window semantics).
+    Decl(
+      "t3_session",
+      """WITH marked AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts) + INTERVAL '30 minutes') AS session_end_ms,
+        |  count(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+      Streams.sessionCounts(Qh.t(s, dir, "events"))
+        .orderBy("user_id", "session_start_ms")
+    },
+
+    // T4 batch equivalent of the watermark contract: only windows fully
+    // closed w.r.t. (max event time − 1 hour) are emitted — exactly the
+    // append-mode output of the streaming form after all data arrives.
+    Decl(
+      "t4_watermark_closed",
+      """WITH agg AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS w_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |horizon AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' AS h FROM events)
+        |SELECT epoch_ms(w_start) AS window_start_ms, event_type, n
+        |FROM agg, horizon
+        |WHERE w_start + INTERVAL '10 minutes' <= h
+        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+      val horizon = ev.agg(max(Qh.tsUs($"ts"))).head.getTimestamp(0).getTime - 3600 * 1000L
+      Streams.tumblingCounts(ev)
+        .filter($"window_start_ms" + (10 * 60 * 1000L) <= horizon)
+        .orderBy("window_start_ms", "event_type")
+    },
+
+    // T5: dedup of a duplicated input recovers exactly the original keys.
+    Decl(
+      "t5_dedup",
+      """SELECT count(*) AS n_after_dedup,
+        |  (SELECT count(*) FROM events) AS n_original
+        |FROM (SELECT DISTINCT event_id FROM
+        |       (SELECT event_id FROM events UNION ALL SELECT event_id FROM events))""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+      val doubled = ev.unionAll(ev)
+      Streams.dedupBatch(doubled)
+        .agg(count(lit(1)).as("n_after_dedup"))
+        .crossJoin(ev.agg(count(lit(1)).as("n_original")))
+    },
+
+    // T6: arbitrary stateful processing (flatMapGroupsWithState) in its
+    // batch execution — per-user running totals, exact cents arithmetic.
+    Decl(
+      "t6_stateful_running",
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", Qh.tsUs($"ts").as("ts"), $"user_id", $"value")
+        .as[Streams.Ev]
+      Streams.runningTotals(ev)
+        .toDF()
+        .orderBy("user_id", "event_id")
+    },
+
+    // T7: stream–static semi-join (reference pipeline R4, streaming shape)
+    // + tumbling count — batch execution over the static table.
+    Decl(
+      "t7_stream_static",
+      """SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))) AS window_start_ms,
+        |  event_type, count(*) AS n
+        |FROM events
+        |WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'signup')
+        |GROUP BY 1, 2
+        |ORDER BY window_start_ms, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+      val allow = ev.filter($"event_type" === "signup").select($"user_id").distinct()
+      Streams.tumblingCounts(Streams.streamStaticSemiJoin(ev, allow))
+        .orderBy("window_start_ms", "event_type")
+    }
+  )
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY §2.B T1–T8 — Structured Streaming core.
+  *
+  * Every transform here takes a DataFrame and returns a DataFrame, so
+  * the SAME code runs over `readStream` sources (StreamingSpec drives it
+  * with MemoryStream) and over static tables (the batch-equivalent
+  * `queries/Streaming.scala` decls the DuckDB oracle checks). That
+  * batch/stream unification is the Spark-native answer to the
+  * reference's batch-job-deployed-as-a-service duality
+  * (kafka-database-import.go:230-234: compute batch, then sleep forever;
+  * here: one incremental query, `awaitTermination` = R12).
+  *
+  * Scale: all windowed aggs are keyed by (window, low-cardinality key) —
+  * partial aggregation before shuffle; state stores are bounded by the
+  * watermark horizon (T4) so at 100 TB/day state is O(active keys ×
+  * horizon), not O(history).
+  */
+object Streams {
+
+  /** T1: tumbling 10-minute counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+
+  /** T2: sliding 10-minute windows every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"))
+
+  /** T3: session windows per user, 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"))
+
+  /** T4: watermarked tumbling counts — in streaming mode, windows close
+    * (and late rows drop) 1 hour behind max event time. */
+  def watermarkedTumbling(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "1 hour"))
+
+  /** T5: stateful dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** T5 batch form: plain dropDuplicates (same key contract). */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  // ---- T6: arbitrary stateful processing ----
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  final case class RunningTotal(user_id: Long, event_id: Long, running_total: Double)
+  final case class UserState(totalCents: Long)
+
+  /** Per-user running total via flatMapGroupsWithState — the arbitrary-
+    * state API. Cents-integer state (not double accumulation) so results
+    * are exact and match the oracle's DECIMAL window sum. Works in BOTH
+    * batch (single invocation per group) and streaming (incremental)
+    * execution, which is how StreamingSpec and the t6 decl share it. */
+  def runningTotals(events: Dataset[Ev]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, RunningTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[UserState]) =>
+          var acc = state.getOption.map(_.totalCents).getOrElse(0L)
+          // deterministic in-group order regardless of shuffle arrival
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            acc += math.round(e.value * 100)
+            RunningTotal(user, e.event_id, acc / 100.0)
+          }
+          state.update(UserState(acc))
+          out.iterator
+      }
+  }
+
+  /** T7: stream–static join — the reference pipeline's streaming form
+    * (events ⋉ allowlist, R4). `allow` is the static side. */
+  def streamStaticSemiJoin(events: DataFrame, allow: DataFrame): DataFrame =
+    events.join(broadcast(allow), Seq("user_id"), "left_semi")
+
+  /** T8: foreachBatch JDBC sink — the north star's "Kafka source + JDBC
+    * sink" tail. Append per micro-batch; idempotence at the table level
+    * comes from the batch-id column. */
+  def jdbcForeachBatchWriter(
+      url: String, table: String, props: java.util.Properties)(
+      batch: DataFrame, batchId: Long): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("append").jdbc(url, table, props)
+}

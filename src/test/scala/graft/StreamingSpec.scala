@@ -1,0 +1,143 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** SURVEY §2.B T1–T8 streaming-only semantics, driven by MemoryStream:
+  * incremental windowed aggregation, watermark late-data drop, stateful
+  * dedup, arbitrary state across micro-batches, foreachBatch→JDBC. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  case class E(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  test("T1: tumbling window counts accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("t1_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(E(1, ts(1), 1, "click", 1.0), E(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(E(3, ts(11), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t1_out")
+        .select($"window_start_ms", $"n").as[(Long, Long)].collect().toMap
+      assert(out.size == 2)
+      assert(out.values.toSeq.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("T4: watermark drops data later than the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.watermarkedTumbling(mem.toDF())
+      .writeStream.format("memory").queryName("t4_out")
+      .outputMode("append").start()
+    try {
+      // advance event time far ahead → watermark = 200min - 60min = 140min
+      mem.addData(E(1, ts(5), 1, "click", 1.0), E(2, ts(200), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this event is way behind the watermark → must be dropped
+      mem.addData(E(3, ts(6), 1, "click", 1.0))
+      q.processAllAvailable()
+      // close all windows by advancing further
+      mem.addData(E(4, ts(400), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t4_out")
+        .select($"window_start_ms", $"n").as[(Long, Long)].collect().toMap
+      // the 00:00 window emitted with count 1 (late event 3 dropped)
+      val w0 = ts(0).getTime
+      assert(out(w0) == 1L, s"late row leaked into closed window: $out")
+    } finally q.stop()
+  }
+
+  test("T5: dropDuplicatesWithinWatermark suppresses re-delivered events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[E]
+    val q = Streams.dedupWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("t5_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(E(1, ts(1), 1, "click", 1.0), E(2, ts(2), 1, "click", 1.0))
+      q.processAllAvailable()
+      // re-deliver event 1 (at-least-once upstream) within the horizon
+      mem.addData(E(1, ts(1), 1, "click", 1.0), E(3, ts(3), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("t5_out").count() == 3, "duplicate leaked")
+    } finally q.stop()
+  }
+
+  test("T6: flatMapGroupsWithState carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("t6_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.Ev(1, ts(1), 7, 10.50))
+      q.processAllAvailable()
+      mem.addData(Streams.Ev(2, ts(2), 7, 0.25))
+      q.processAllAvailable()
+      val out = spark.table("t6_out")
+        .select($"event_id", $"running_total").as[(Long, Double)].collect().toMap
+      assert(out(1L) == 10.50)
+      assert(out(2L) == 10.75, s"state not carried across batches: $out")
+    } finally q.stop()
+  }
+
+  test("T8: foreachBatch lands micro-batches in a JDBC (Derby) table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graft_t8;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // fresh table per run
+    val mem = MemoryStream[E]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.jdbcForeachBatchWriter(url, "t8_sink", props)(
+          df.select($"event_id", $"user_id", $"value"), id)
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(E(1, ts(1), 1, "click", 1.0), E(2, ts(2), 2, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(E(3, ts(3), 3, "click", 3.0))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "t8_sink", props)
+      assert(back.count() == 3)
+      assert(back.select(countDistinct($"batch_id")).head.getLong(0) >= 2,
+        "expected at least two distinct micro-batch ids")
+    } finally q.stop()
+  }
+
+  test("T7: stream-static semi-join filters a stream by a static allowlist") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val allow = Seq(1L, 3L).toDF("user_id")
+    val mem = MemoryStream[E]
+    val q = Streams.streamStaticSemiJoin(mem.toDF(), allow)
+      .writeStream.format("memory").queryName("t7_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        E(1, ts(1), 1, "click", 1.0),
+        E(2, ts(2), 2, "click", 1.0),
+        E(3, ts(3), 3, "click", 1.0))
+      q.processAllAvailable()
+      val users = spark.table("t7_out").select($"user_id").as[Long].collect().toSet
+      assert(users == Set(1L, 3L), s"allowlist not applied: $users")
+    } finally q.stop()
+  }
+}

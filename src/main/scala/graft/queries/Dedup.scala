@@ -31,8 +31,13 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Spark-side tokens/shingles/signature columns (names shared with the
-    * oracle CTEs below). */
+  /** Spark-side tokens/shingles/digest columns (names shared with the
+    * oracle CTEs below). Each shingle is md5-digested TWICE (seeds 0,1);
+    * each digest then yields four independent 32-bit minhashes by hex
+    * slicing — 8 signatures for 2 md5 calls per shingle. The digest
+    * arrays are separate projections so the 8 sig expressions reuse them
+    * instead of re-hashing (CollapseProject keeps expensive multiply-
+    * referenced expressions un-inlined). */
   private def withShingles(df: org.apache.spark.sql.DataFrame) = {
     df.withColumn("toks", expr(Qh.toksExpr))
       .filter(size(col("toks")) >= 3)
@@ -40,13 +45,15 @@ object Dedup {
         "shingles",
         expr("""array_distinct(transform(sequence(0, size(toks) - 3),
                |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))))""".stripMargin))
+      .withColumn("d0", expr("transform(shingles, t -> md5(concat(t, '#0')))"))
+      .withColumn("d1", expr("transform(shingles, t -> md5(concat(t, '#1')))"))
   }
 
   private def sigCol(i: Int): String =
-    s"array_min(transform(shingles, t -> cast(conv(substring(md5(concat(t, '#$i')), 1, 8), 16, 10) as bigint)))"
+    s"array_min(transform(d${i / 4}, h -> cast(conv(substring(h, ${1 + 8 * (i % 4)}, 8), 16, 10) as bigint)))"
 
   private def oSigCol(i: Int): String =
-    s"list_min(list_transform(shingles, t -> ${Qh.oPhash("t", i)}))"
+    s"list_min(list_transform(d${i / 4}, h -> CAST(concat('0x', substr(h, ${1 + 8 * (i % 4)}, 8)) AS BIGINT)))"
 
   /** Oracle CTE producing doc_id, shingles, sig0..sig7 — mirrors
     * [[withShingles]] + [[sigCol]] exactly. */
@@ -55,11 +62,15 @@ object Dedup {
        |  SELECT doc_id, shingles,
        |    ${(0 until 8).map(i => s"${oSigCol(i)} AS sig$i").mkString(",\n    ")}
        |  FROM (
-       |    SELECT doc_id,
-       |      list_distinct(list_transform(range(len(toks) - 2),
-       |        i -> concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))) AS shingles
-       |    FROM (SELECT doc_id, ${Qh.oToksExpr} AS toks FROM documents)
-       |    WHERE len(toks) >= 3))""".stripMargin
+       |    SELECT doc_id, shingles,
+       |      list_transform(shingles, t -> md5(concat(t, '#0'))) AS d0,
+       |      list_transform(shingles, t -> md5(concat(t, '#1'))) AS d1
+       |    FROM (
+       |      SELECT doc_id,
+       |        list_distinct(list_transform(range(len(toks) - 2),
+       |          i -> concat(toks[i+1], ' ', toks[i+2], ' ', toks[i+3]))) AS shingles
+       |      FROM (SELECT doc_id, ${Qh.oToksExpr} AS toks FROM documents)
+       |      WHERE len(toks) >= 3)))""".stripMargin
 
   // referenced inside interpolated exprs below (must precede `decls`:
   // object vals initialize in declaration order)
@@ -118,12 +129,12 @@ object Dedup {
          |   AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
          |FROM cand
          |JOIN sigs sa ON sa.doc_id = doc_a
          |JOIN sigs sb ON sb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.2
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sigs = withShingles(Qh.t(s, dir, "documents"))
@@ -144,102 +155,147 @@ object Dedup {
         .distinct()
       val sa = sigs.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
       val sb = sigs.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
-      val jac = size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType) /
-        size(array_distinct(concat($"sh_a", $"sh_b")))
+      val ni = size(array_intersect($"sh_a", $"sh_b"))
+      val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
       cand.join(sa, "doc_a").join(sb, "doc_b")
         .select($"doc_a", $"doc_b", jac.as("jaccard"))
         .filter($"jaccard" >= 0.2)
         .orderBy("doc_a", "doc_b")
     },
 
-    // L2c: 32-bit SimHash over distinct tokens — a single narrow map.
+    // L2c: 32-bit SimHash — explode distinct tokens (ONE hash per token),
+    // then a single hash-agg over doc_id with 32 per-bit ±1 sums. At
+    // scale this is a partial+final agg keyed on doc_id: the classic
+    // shape, no per-row re-evaluation of the token list per bit.
     Decl(
-      "l2_simhash",
-      """WITH hs AS (
-        |  SELECT doc_id,
-        |    list_transform(list_distinct(regexp_extract_all(lower(text), '[a-z]+')),
-        |      t -> CAST(concat('0x', substr(md5(concat(t, '#0')),1,8)) AS BIGINT)) AS hashes
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(list_sum(list_transform(range(32), b ->
-        |    CASE WHEN CAST(list_sum(list_transform(hashes, t ->
-        |           CASE WHEN ((t >> CAST(b AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
-        |         THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS BIGINT) AS simhash
-        |FROM hs
-        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      "l2_simhash", {
+        val bitSums = (0 until 32)
+          .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+          .mkString(",\n    ")
+        val combine = (0 until 32)
+          .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH tok AS (
+           |  SELECT doc_id, ${Qh.oPhash("t", 0)} AS h
+           |  FROM (SELECT doc_id, unnest(list_distinct(${Qh.oToksExpr})) AS t FROM documents)),
+           |bits AS (
+           |  SELECT doc_id,
+           |    $bitSums
+           |  FROM tok GROUP BY doc_id)
+           |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+           |FROM bits
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
       import s.implicits._
-      Qh.t(s, dir, "documents")
-        .withColumn("hashes",
-          expr(s"transform(array_distinct($Qh_toks), t -> cast(conv(substring(md5(concat(t, '#0')), 1, 8), 16, 10) as bigint))"))
-        .select(
-          $"doc_id",
-          expr("""aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) -> acc +
-                 |  CASE WHEN aggregate(hashes, 0, (a, t) ->
-                 |         a + CASE WHEN shiftright(t, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
-                 |       THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)""".stripMargin)
-            .as("simhash"))
+      val tok = Qh.t(s, dir, "documents")
+        .select($"doc_id", explode(array_distinct(expr(Qh_toks))).as("t"))
+        .select($"doc_id", Qh.phash($"t", 0).as("h"))
+      val bitSums = (0 until 32).map(b =>
+        sum(when(expr(s"shiftright(h, $b) % 2 = 1"), 1).otherwise(-1)).as(s"s$b"))
+      val combine = (0 until 32)
+        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _)
+      tok.groupBy($"doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id", combine.cast(LongType).as("simhash"))
         .orderBy("doc_id")
     },
 
-    // L2d: exact char-4-gram Jaccard, BLOCKED on (lang, source) so the
-    // quadratic part is bounded per block (classic blocked dedup).
+    // L2d: winnowed char-4-gram Jaccard via an INVERTED-INDEX join,
+    // BLOCKED on (lang, source). Grams are packed into injective 32-bit
+    // int codes (4 ascii bytes — no hashing, no collisions), winnowed
+    // (keep code % 4 == 0 — MOSS-style deterministic sampling), then
+    // EXPLODED: the pair intersection count |A∩B| comes from a per-gram
+    // equi-join + count, never a per-pair set operation. At 100 TB this
+    // is a shuffle on (block, gram) with bounded posting lists — the
+    // shape that scales; per-pair array intersects do not. The char-code
+    // array is materialized once per doc (multiply-referenced expensive
+    // projection stays un-inlined).
     Decl(
       "l2_ngram_jaccard",
       """WITH g AS (
         |  SELECT doc_id, lang, source,
-        |    list_distinct(list_transform(range(length(text) - 3),
-        |      i -> substr(text, CAST(i + 1 AS INT), 4))) AS grams
-        |  FROM documents WHERE length(text) >= 4)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard4
-        |FROM g a JOIN g b
-        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+        |    list_filter(
+        |      list_distinct(list_transform(range(length(text) - 3),
+        |        i -> ascii(text[i+1]) * 16777216 + ascii(text[i+2]) * 65536
+        |             + ascii(text[i+3]) * 256 + ascii(text[i+4]))),
+        |      c -> c % 4 = 0) AS grams
+        |  FROM documents WHERE length(text) >= 4),
+        |sized AS (SELECT doc_id, lang, source, grams, len(grams) AS n FROM g WHERE len(grams) > 0),
+        |inv AS (SELECT doc_id, lang, source, n, unnest(grams) AS gram FROM sized),
+        |ni AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    max(a.n) AS na, max(b.n) AS nb, count(*) AS n_shared
+        |  FROM inv a JOIN inv b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.gram = b.gram
+        |   AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_shared AS DOUBLE) / (na + nb - n_shared) AS jaccard4
+        |FROM ni
+        |WHERE CAST(n_shared AS DOUBLE) / (na + nb - n_shared) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val g = Qh.t(s, dir, "documents")
+      // positions exploded BEFORE the gram code is computed: each
+      // (doc, i) row builds its 4-byte code in whole-stage codegen —
+      // no interpreted lambda in the hot path (HOF transform over ~440
+      // chars per doc was ~10x slower than this shape).
+      val gramRows = Qh.t(s, dir, "documents")
         .filter(length($"text") >= 4)
+        .select($"doc_id", $"lang", $"source", $"text",
+          explode(sequence(lit(0), length($"text") - 4)).as("i"))
         .select($"doc_id", $"lang", $"source",
-          expr("array_distinct(transform(sequence(0, length(text) - 4), i -> substring(text, cast(i + 1 as int), 4)))")
-            .as("grams"))
-      val jac = size(array_intersect($"a.grams", $"b.grams")).cast(DoubleType) /
-        size(array_distinct(concat($"a.grams", $"b.grams")))
-      g.as("a").join(g.as("b"),
+          (ascii(substring($"text", $"i" + 1, lit(1))) * 16777216 +
+            ascii(substring($"text", $"i" + 2, lit(1))) * 65536 +
+            ascii(substring($"text", $"i" + 3, lit(1))) * 256 +
+            ascii(substring($"text", $"i" + 4, lit(1)))).as("gram"))
+        .filter($"gram" % 4 === 0)
+        .distinct()
+      val wDoc = Window.partitionBy($"doc_id")
+      val inv = gramRows.withColumn("n", count(lit(1)).over(wDoc))
+      val ni = inv.as("a").join(inv.as("b"),
           $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), jac.as("jaccard4"))
+            $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(max($"a.n").as("na"), max($"b.n").as("nb"),
+          count(lit(1)).as("n_shared"))
+      val jac = $"n_shared".cast(DoubleType) / ($"na" + $"nb" - $"n_shared")
+      ni.select($"doc_a", $"doc_b", jac.as("jaccard4"))
         .filter($"jaccard4" >= 0.5)
         .orderBy("doc_a", "doc_b")
     },
 
     // L2e: embedding-cosine near-dup, blocked on label (stand-in for a
-    // coarse cluster id at scale). Per-label max + near-dup pair count.
+    // coarse cluster id at scale). Norms are precomputed ONCE per vector
+    // (one dot per pair instead of three -- 3x less per-pair work; at
+    // scale the normalized table is materialized once and reused).
     Decl(
       "l2_cosine_neardup",
-      s"""WITH p AS (
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${Qh.oDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (
          |  SELECT a.label,
          |    floor(${Qh.oDot("a.embedding", "b.embedding")}
-         |      / (sqrt(${Qh.oDot("a.embedding", "a.embedding")})
-         |         * sqrt(${Qh.oDot("b.embedding", "b.embedding")})) * 1000000 + 0.5) / 1000000.0 AS cos
-         |  FROM embeddings a JOIN embeddings b
+         |      / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM e a JOIN e b
          |    ON a.label = b.label AND a.vec_id < b.vec_id)
-        |SELECT label,
-        |  count(*) AS n_pairs,
-        |  count(*) FILTER (WHERE cos >= 0.8) AS n_neardup,
-        |  max(cos) AS max_cos
-        |FROM p
-        |GROUP BY label
-        |ORDER BY label""".stripMargin) { (s, dir) =>
+         |SELECT label,
+         |  count(*) AS n_pairs,
+         |  count(*) FILTER (WHERE cos >= 0.8) AS n_neardup,
+         |  max(cos) AS max_cos
+         |FROM p
+         |GROUP BY label
+         |ORDER BY label""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = Qh.t(s, dir, "embeddings")
       val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(x, y, (a, b) => a * b.cast(DoubleType)),
+        aggregate(zip_with(x, y, (a, b) => a.cast(DoubleType) * b.cast(DoubleType)),
           lit(0.0), (acc, v) => acc + v)
-      val cos = Qh.r6(
-        dot($"a.embedding", $"b.embedding") /
-          (sqrt(dot($"a.embedding", $"a.embedding")) * sqrt(dot($"b.embedding", $"b.embedding"))))
+      val e = Qh.t(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      val cos = Qh.r6(dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
       e.as("a").join(e.as("b"),
           $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
         .select($"a.label".as("label"), cos.as("cos"))

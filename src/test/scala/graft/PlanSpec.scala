@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the scale properties the Scaladocs claim
+  * (pushdown, pruning, broadcast shapes, no cartesian products) are
+  * checked here so a regression in plan shape fails CI, not a 100 TB
+  * run. Explains are pre-AQE initial plans — structural hints and
+  * join strategies are visible there. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("p1: projection prunes the parquet read schema to 3 columns") {
+    val p = plan("p1_prune")
+    assert(p.contains("ReadSchema"))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_extendedprice"))
+    assert(!read.contains("l_quantity") && !read.contains("l_shipdate"),
+      s"scan reads pruned columns: $read")
+  }
+
+  test("p2: filter is pushed down to the parquet scan") {
+    val p = plan("p2_filter")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_discount"),
+      s"filters not pushed: $pushed")
+  }
+
+  test("j1: semi-join broadcasts the filtered dimension") {
+    val p = plan("j1_semi_broadcast")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "expected broadcast left-semi join")
+  }
+
+  test("j6: MERGE hint forces a sort-merge join") {
+    assert(plan("j6_sortmerge").contains("SortMergeJoin"))
+  }
+
+  test("no hard broadcast hint on customer (scales with sf; AQE decides)") {
+    // the LOGICAL plan must not carry a ResolvedHint on customer for
+    // j2/j3 — physical BHJ chosen by size/AQE is fine
+    for (q <- Seq("j2_inner", "j3_multiway")) {
+      val lp = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(!lp.contains("ResolvedHint"), s"$q: unexpected broadcast hint\n$lp")
+    }
+  }
+
+  test("pair-generating LLM ops contain no cartesian product or BNLJ") {
+    for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
+      "j7_range")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")
+    }
+    // l3_ann_lsh: ONE BNLJ is by design — the 96-row broadcast planes
+    // dimension (bounded by construction). The candidate join must
+    // still be a hash equi-join, and nothing may be a cartesian.
+    val p = plan("l3_ann_lsh")
+    assert(!p.contains("CartesianProduct"), "l3_ann_lsh: cartesian product!")
+    assert(p.linesIterator.count(_.trim.startsWith("BroadcastNestedLoopJoin")) <= 2,
+      "l3_ann_lsh: BNLJ beyond the planes broadcast")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "l3_ann_lsh: candidate join is not equi")
+  }
+
+  test("j8 is the only declared cross join") {
+    val p = plan("j8_cross")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+  }
+
+  test("a1: aggregation is partial+final (map-side combine)") {
+    val p = plan("a1_hashagg")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected partial + final HashAggregate")
+  }
+
+  test("o1: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
+  test("flagship pipeline is shuffle-free (broadcast semi + narrow maps)") {
+    val p = planOf(SparkEntry.entry(spark))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"flagship has a shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+}

@@ -70,6 +70,8 @@ object Engine {
   def session(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native codegen'd functions (cosine_sim, dot_product) — idempotent
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -289,9 +289,10 @@ object Dedup {
          |GROUP BY label
          |ORDER BY label""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // native dot_product (graft.functions.DotProduct): fused codegen
+      // loop, same left-to-right accumulation as the oracle's fold
       val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(x, y, (a, b) => a.cast(DoubleType) * b.cast(DoubleType)),
-          lit(0.0), (acc, v) => acc + v)
+        call_function("dot_product", x, y)
       val e = Qh.t(s, dir, "embeddings")
         .select($"vec_id", $"label", $"embedding",
           sqrt(dot($"embedding", $"embedding")).as("nrm"))

@@ -50,12 +50,14 @@ object Similarity {
     }
   }
 
+  // native codegen'd expressions (graft.functions.CosineSim): one fused
+  // loop instead of three interpreted higher-order folds per pair; the
+  // accumulation order is identical, so oracle hashes are unchanged
   private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast(DoubleType) * b.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("dot_product", x, y)
 
   private def cosine(a: Column, b: Column): Column =
-    Qh.r6(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))))
+    Qh.r6(call_function("cosine_sim", a, b))
 
   private val oCos =
     s"""floor(${Qh.oDot("q.embedding", "c.embedding")}
@@ -77,7 +79,10 @@ object Similarity {
   /** Per-(vector, table) bucket ids, engine side. */
   private def sigs(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
+    // pvec cast to array<float>: dot_product reads float elements, and
+    // ±1 is exact in every float width
     val pl = planeRows.toDF("tbl", "bit", "pvec")
+      .withColumn("pvec", $"pvec".cast(ArrayType(FloatType)))
     e.select($"vec_id", $"embedding")
       .crossJoin(broadcast(pl))
       .groupBy($"vec_id", $"tbl")

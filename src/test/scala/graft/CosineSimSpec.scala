@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native codegen expressions must be bit-identical to the
+  * higher-order-function folds they replaced (same left-to-right double
+  * accumulation) in BOTH execution paths (codegen and interpreted). */
+class CosineSimSpec extends SparkSpec {
+
+  private def hofDot = {
+    import spark.implicits._
+    (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+  }
+
+  test("cosine_sim == HOF fold cosine, bit for bit") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings").limit(100)
+    val q = Tables(spark, sf0001, "embeddings").limit(100)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"))
+    val d = hofDot
+    val joined = e.join(q, $"vec_id" =!= $"qid")
+    val bad = joined.select(
+        call_function("cosine_sim", $"embedding", $"q_emb").as("native"),
+        (d($"embedding", $"q_emb") /
+          (sqrt(d($"embedding", $"embedding")) * sqrt(d($"q_emb", $"q_emb"))))
+          .as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(bad.count() == 0, "native cosine diverges from HOF fold")
+  }
+
+  test("dot_product == HOF fold, codegen and interpreted paths agree") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings").limit(50)
+    val d = hofDot
+    def mismatches(): Long = e.select(
+        call_function("dot_product", $"embedding", $"embedding").as("native"),
+        d($"embedding", $"embedding").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches() == 0)
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      assert(mismatches() == 0, "interpreted path diverges")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("cosine_sim rejects non-float-array inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(call_function("cosine_sim", $"a", $"b")).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("array<float>") ||
+      ex.getMessage.toLowerCase.contains("cosine_sim"))
+  }
+}

@@ -19,6 +19,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -28,7 +28,7 @@ object Flagship {
     val ev = Qh.t(s, dir, "events")
     val allow = ev.filter($"event_type" === "signup")
       .select($"user_id").distinct()
-    ev.join(broadcast(allow), Seq("user_id"), "left_semi")
+    val out = ev.join(broadcast(allow), Seq("user_id"), "left_semi")
       .limit(250000) // reference MaxRecs (:111); clean semantics, off-by-one documented not reproduced
       .select(
         to_json(
@@ -36,6 +36,8 @@ object Flagship {
             struct($"event_id", $"event_type", $"user_id", $"value").as("data"),
             lit("database").as("source")),
           Map("ignoreNullFields" -> "false")).as("value"))
+    // R10: declarative progress counter (rides the plan, no extra pass)
+    graft.Metrics.observed(out)
   }
 
   /** Deterministic decl form of the same composition (order/limit made

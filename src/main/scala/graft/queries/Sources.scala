@@ -103,7 +103,11 @@ object Sources {
       val userFilter = ev.filter($"event_type" === "signup")
         .select($"user_id", ($"user_id" % 4).cast(IntegerType).as("partition"))
         .distinct()
-      userFilter.write.mode(SaveMode.Overwrite).jdbc(url, "user_filter", props)
+      // R11 (sql/createUserFilter.sql): explicit column DDL on create —
+      // the reference's user_filter(user_id TEXT, partition INT) shape
+      userFilter.write.mode(SaveMode.Overwrite)
+        .option("createTableColumnTypes", "user_id BIGINT, partition INT")
+        .jdbc(url, "user_filter", props)
       val dim = s.read.jdbc(url, "user_filter", props).select($"user_id")
       ev.join(broadcast(dim), Seq("user_id"), "left_semi")
         .agg(count(lit(1)).as("n_allowed"), countDistinct($"user_id").as("n_users"))

@@ -64,6 +64,8 @@ object Engine {
       // fixture events.ts is parquet TIMESTAMP(NANOS); read as Long
       // (nanos since epoch) and normalize in Tables.apply
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed-table warehouse outside the repo (bucketed tables etc.)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -165,7 +165,13 @@ object Joins {
     },
 
     // Equi + range residual: events within 1h after each event, same user.
-    // The user_id equi key keeps this a hash join (not a nested loop).
+    // The join key is (user_id, HOUR BUCKET): because the range span is
+    // exactly one bucket width, every match for an e1 in bucket b lies in
+    // buckets {b, b+1}, so e1 probes two bucket keys. This bounds a
+    // task's work by per-user-per-HOUR activity — a hot user no longer
+    // produces one quadratic task at 100 TB (plain (user_id) keying
+    // would). The range predicate stays a residual on a hash join; the
+    // oracle states the same relation without the execution strategy.
     Decl(
       "j7_range",
       """SELECT e1.user_id, count(*) AS n_pairs
@@ -177,12 +183,17 @@ object Joins {
         |GROUP BY e1.user_id
         |ORDER BY e1.user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      val hour = 3600L * 1000000L // µs
       val ev = Qh.t(s, dir, "events")
         .select($"user_id", $"event_id", Qh.tsUs($"ts").as("ts"))
-      val e1 = ev.as("e1")
+        .withColumn("bucket", (unix_micros($"ts") / hour).cast("long"))
+      val e1 = ev
+        .withColumn("probe", explode(array($"bucket", $"bucket" + 1)))
+        .as("e1")
       val e2 = ev.as("e2")
       e1.join(e2,
           $"e1.user_id" === $"e2.user_id" &&
+          $"e1.probe" === $"e2.bucket" &&
           $"e2.event_id" =!= $"e1.event_id" &&
           $"e2.ts" >= $"e1.ts" &&
           $"e2.ts" <= $"e1.ts" + expr("INTERVAL 1 HOUR"))

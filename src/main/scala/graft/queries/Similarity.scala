@@ -167,6 +167,73 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .orderBy("query_id", "rnk")
+    },
+
+    // IVF ANN: a coarse quantizer (16 deterministic centroids — in
+    // production the k-means output; quantizer params are model inputs
+    // like the LSH planes) partitions the corpus into inverted lists;
+    // queries probe their nprobe=2 nearest lists. Per-query work is
+    // ~2·N/16 and the candidate step is an equi-join on the list id —
+    // the partition-pruned shape IVF gives at 100 TB (each list is a
+    // partition; probes touch 2 of 16).
+    Decl(
+      "l3_ann_ivf",
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT e.vec_id, c.cid,
+         |    floor(${Qh.oDot("e.embedding", "c.cemb")}
+         |      / (sqrt(${Qh.oDot("e.embedding", "e.embedding")})
+         |         * sqrt(${Qh.oDot("c.cemb", "c.cemb")})) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM embeddings e, cent c),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM dist WHERE vec_id < 50) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+         |  FROM probe p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $oCos AS cos
+         |  FROM cand
+         |  JOIN embeddings q ON q.vec_id = query_id
+         |  JOIN embeddings c ON c.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cos, rnk FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Qh.t(s, dir, "embeddings")
+      val cent = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+      val dist = e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos"))
+      val wv = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
+      val asg = dist.withColumn("rn", row_number().over(wv))
+        .filter($"rn" === 1).select($"vec_id", $"cid")
+      val probe = dist.filter($"vec_id" < 50)
+        .withColumn("rn", row_number().over(wv))
+        .filter($"rn" <= 2).select($"vec_id", $"cid")
+      val cand = probe.as("p").join(asg.as("a"),
+          $"a.cid" === $"p.cid" && $"a.vec_id" =!= $"p.vec_id")
+        .select($"p.vec_id".as("query_id"), $"a.vec_id".as("neighbor_id"))
+        .distinct()
+      val qe = e.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val ce = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+      cand.join(qe, "query_id").join(ce, "neighbor_id")
+        .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .orderBy("query_id", "rnk")
     }
   )
 

@@ -217,6 +217,29 @@ object Projections {
         .orderBy("vec_id")
     },
 
+    // Higher-order / positional array functions not exercised by
+    // p9_arrays: transform, sort_array, slice, array_contains.
+    Decl(
+      "p9_array_fns",
+      """SELECT vec_id,
+        |  list_transform(list_sort(embedding), x -> CAST(x AS DOUBLE) * 2.0)[1] AS min_x2,
+        |  len(embedding[1:4]) AS slice_len,
+        |  list_contains(list_transform(embedding, x -> x > 0), TRUE) AS has_pos
+        |FROM embeddings
+        |WHERE vec_id < 50
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "embeddings")
+        .filter($"vec_id" < 50)
+        .select(
+          $"vec_id",
+          transform(sort_array($"embedding"), x => x.cast(DoubleType) * 2.0)
+            .getItem(0).as("min_x2"),
+          size(slice($"embedding", 1, 4)).as("slice_len"),
+          array_contains(transform($"embedding", x => x > 0), true).as("has_pos"))
+        .orderBy("vec_id")
+    },
+
     Decl(
       "p9_explode",
       """SELECT vec_id, unnest(embedding) AS el
@@ -235,7 +258,9 @@ object Projections {
       """SELECT event_id,
         |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
         |  CAST(len(json_keys(props)) AS INT) AS n_keys,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  array_to_string(list_sort(list_transform(json_keys(props),
+        |    k -> json_extract_string(props, concat('$.', k)))), ',') AS vals_csv
         |FROM events
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -248,7 +273,8 @@ object Projections {
           $"event_id",
           array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
           size(map_keys(m)).as("n_keys"),
-          element_at(m, "k").cast("bigint").as("k_val"))
+          element_at(m, "k").cast("bigint").as("k_val"),
+          array_join(sort_array(map_values(m)), ",").as("vals_csv"))
         .orderBy("event_id")
     },
 

@@ -103,6 +103,31 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // Mergeable sketches: per-group HLL sketches union into a global
+    // estimate WITHOUT re-scanning — the 100 TB pattern for distinct
+    // counts over partitioned/incremental data (sketches are the only
+    // thing that moves). Tolerance contract like a3: the oracle asserts
+    // the exact value and `TRUE`; the engine must land within 5% + 2.
+    Decl(
+      "a3_hll_merge",
+      """SELECT count(DISTINCT user_id) AS exact_total,
+        |  TRUE AS merged_ok
+        |FROM events""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val perType = Qh.t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(hll_sketch_agg($"user_id").as("sketch"))
+      val merged = perType
+        .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("approx_total"))
+      val exact = Qh.t(s, dir, "events")
+        .agg(countDistinct($"user_id").as("exact_total"))
+      merged.crossJoin(exact)
+        .select(
+          $"exact_total",
+          (abs($"approx_total" - $"exact_total") <= lit(2) + $"exact_total" * 0.05)
+            .as("merged_ok"))
+    },
+
     Decl(
       "a4_rollup",
       s"""SELECT coalesce(o_orderstatus, '(all)') AS status,

@@ -147,6 +147,52 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // The composed training-data curation pipeline: quality-filter →
+    // exact-dedup (keep lowest doc_id per digest) → per-language yield.
+    // One narrow filter + one digest window + one hash agg: at 100 TB
+    // the only shuffles are the digest partition and the tiny final agg.
+    Decl(
+      "l7_curation_pipeline",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    0.3 * (least(CAST(length(text) AS DOUBLE), 500.0) / 500.0)
+         |      + 0.4 * least(CAST(len(list_filter(${Qh.oToksExpr}, t -> list_contains($oStopList, t))) AS DOUBLE) / len(${Qh.oToksExpr}) * 5.0, 1.0)
+         |      + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text))
+         |      + 0.1 * least(CAST(list_sum(list_transform(${Qh.oToksExpr}, t -> length(t))) AS DOUBLE) / len(${Qh.oToksExpr}) / 8.0, 1.0) AS quality
+         |  FROM documents),
+         |kept AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT doc_id, lang,
+         |      row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+         |    FROM scored WHERE quality >= 0.5)
+         |  WHERE rn = 1)
+         |SELECT lang, count(*) AS n_kept
+         |FROM kept
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stops = typedLit(stopwords)
+      val toks = expr(Qh.toksExpr)
+      val lenScore = least(length($"text").cast(DoubleType), lit(500.0)) / 500.0
+      val stopRatio = size(filter(toks, t => array_contains(stops, t)))
+        .cast(DoubleType) / size(toks)
+      val punctRatio = (length($"text") -
+        length(regexp_replace($"text", "[^a-z ]", ""))).cast(DoubleType) / length($"text")
+      val mtl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks)
+      val quality = lit(0.3) * lenScore + lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
+        lit(0.2) * (lit(1.0) - punctRatio) + lit(0.1) * least(mtl / 8.0, lit(1.0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2($"text", 256)).orderBy($"doc_id")
+      Qh.t(s, dir, "documents")
+        .filter(quality >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     // L5: corpus histograms — lang × source counts + n_chars stats.
     Decl(
       "l5_histogram",

@@ -28,6 +28,14 @@ import org.apache.spark.sql.types._
   *
   * All hash arithmetic is the portable md5-prefix hash ([[Qh.phash]])
   * so every signature is bit-identical in the DuckDB oracle.
+  *
+  * Algorithms (published work): MinHash — Broder, "On the resemblance
+  * and containment of documents" (1997); banded LSH — Leskovec/
+  * Rajaraman/Ullman, "Mining of Massive Datasets" ch.3; SimHash —
+  * Charikar, "Similarity estimation techniques from rounding
+  * algorithms" (STOC 2002); winnowed n-gram sampling — Schleimer/
+  * Wilkerson/Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting" (SIGMOD 2003).
   */
 object Dedup {
 

@@ -30,6 +30,12 @@ import org.apache.spark.sql.types._
   * Cosine determinism: dot products fold left-to-right on both engines
   * ([[Qh.oDot]]); results are rounded (r6) BEFORE ranking/thresholding
   * so last-ulp drift can't flip an ordering.
+  *
+  * Algorithms (published work): random-hyperplane LSH — Charikar (STOC
+  * 2002), building on Indyk/Motwani (STOC 1998); multi-table
+  * amplification — Leskovec/Rajaraman/Ullman, "Mining of Massive
+  * Datasets" ch.3; IVF coarse quantization — Jégou/Douze/Schmid,
+  * "Product Quantization for Nearest Neighbor Search" (TPAMI 2011).
   */
 object Similarity {
 

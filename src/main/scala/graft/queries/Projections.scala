@@ -266,15 +266,18 @@ object Projections {
       import s.implicits._
       // Parse values as STRING so key extraction can't be poisoned by a
       // non-long value anywhere in the map (from_json with LongType values
-      // nulls the WHOLE map on first mismatch); only k_val casts.
-      val m = from_json($"props", MapType(StringType, StringType))
+      // nulls the WHOLE map on first mismatch); only k_val casts. The map
+      // is hoisted to its own projection so the JSON parses ONCE per row
+      // instead of once per referencing column (from_json is expensive;
+      // CollapseProject keeps multiply-referenced expensive exprs hoisted).
       Qh.t(s, dir, "events")
+        .withColumn("m", from_json($"props", MapType(StringType, StringType)))
         .select(
           $"event_id",
-          array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
-          size(map_keys(m)).as("n_keys"),
-          element_at(m, "k").cast("bigint").as("k_val"),
-          array_join(sort_array(map_values(m)), ",").as("vals_csv"))
+          array_join(sort_array(map_keys($"m")), ",").as("keys_csv"),
+          size(map_keys($"m")).as("n_keys"),
+          element_at($"m", "k").cast("bigint").as("k_val"),
+          array_join(sort_array(map_values($"m")), ",").as("vals_csv"))
         .orderBy("event_id")
     },
 

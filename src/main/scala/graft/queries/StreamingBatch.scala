@@ -87,9 +87,14 @@ object StreamingBatch {
         |ORDER BY window_start_ms, event_type""".stripMargin) { (s, dir) =>
       import s.implicits._
       val ev = Qh.t(s, dir, "events")
-      val horizon = ev.agg(max(Qh.tsUs($"ts"))).head.getTimestamp(0).getTime - 3600 * 1000L
+      // horizon stays IN the plan (scalar agg + broadcast cross join) —
+      // no driver-side collect; at scale this is a tiny second branch
+      val horizon = ev.agg(
+        (unix_millis(max(Qh.tsUs($"ts"))) - 3600 * 1000L).as("h"))
       Streams.tumblingCounts(ev)
-        .filter($"window_start_ms" + (10 * 60 * 1000L) <= horizon)
+        .crossJoin(broadcast(horizon))
+        .filter($"window_start_ms" + (10 * 60 * 1000L) <= $"h")
+        .drop("h")
         .orderBy("window_start_ms", "event_type")
     },
 

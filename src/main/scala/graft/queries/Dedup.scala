@@ -145,9 +145,14 @@ object Dedup {
          |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // signatures are MATERIALIZED once (localCheckpoint) and reused by
+      // the band self-join + both jaccard sides — at 100 TB the signature
+      // table is persisted/checkpointed exactly like this, instead of
+      // recomputing the md5 pipeline per consumer
       val sigs = withShingles(Qh.t(s, dir, "documents"))
         .select($"doc_id" +: $"shingles" +:
           (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*)
+        .localCheckpoint()
       val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
         struct(lit(id).as("band_id"),
           concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))

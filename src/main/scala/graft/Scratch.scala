@@ -1,7 +1,5 @@
 package graft
 
-import graft.queries.Dedup
-
 /** Dev scratchpad for plan inspection (not part of the engine surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -15,9 +13,29 @@ object Scratch {
       r
     }
 
-    val name = args.headOption.getOrElse("l2_ngram_jaccard")
-    val df = SparkEntry.queries(name)(spark, dir)
-    time(name)(df.write.format("noop").mode("overwrite").save())
+    val names = if (args.nonEmpty) args.toSeq else Seq("l2_ngram_jaccard")
+    if (names == Seq("ngram_stages")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val base = Tables(spark, dir, "documents")
+        .filter(length($"text") >= 4)
+        .select($"doc_id", $"lang", $"source", $"text",
+          explode(sequence(lit(0), length($"text") - 4)).as("i"))
+      time("explode only")(base.write.format("noop").mode("overwrite").save())
+      val grams = base.select($"doc_id", $"lang", $"source",
+        (ascii(substring($"text", $"i" + 1, lit(1))) * 16777216 +
+          ascii(substring($"text", $"i" + 2, lit(1))) * 65536 +
+          ascii(substring($"text", $"i" + 3, lit(1))) * 256 +
+          ascii(substring($"text", $"i" + 4, lit(1)))).as("gram"))
+        .filter($"gram" % 4 === 0)
+      time("gram codes")(grams.write.format("noop").mode("overwrite").save())
+      val dist = grams.distinct()
+      time("distinct")(dist.write.format("noop").mode("overwrite").save())
+      time("checkpoint")(dist.localCheckpoint())
+    } else names.foreach { name =>
+      val df = time(s"$name build")(SparkEntry.queries(name)(spark, dir))
+      time(s"$name write")(df.write.format("noop").mode("overwrite").save())
+    }
     spark.stop()
   }
 }

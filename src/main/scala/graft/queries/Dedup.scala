@@ -253,19 +253,26 @@ object Dedup {
       // (doc, i) row builds its 4-byte code in whole-stage codegen —
       // no interpreted lambda in the hot path (HOF transform over ~440
       // chars per doc was ~10x slower than this shape).
+      // gram code = 4 bytes big-endian. Positional substring on a STRING
+      // is O(position) (UTF8 codepoint walk -> O(L^2) per doc); on BINARY
+      // it is an O(1) byte slice, so the code is read via
+      // hex(substring(binary)). Identical values on ASCII text, which is
+      // the packing the oracle states with ascii(text[i]) arithmetic.
       val gramRows = Qh.t(s, dir, "documents")
         .filter(length($"text") >= 4)
-        .select($"doc_id", $"lang", $"source", $"text",
+        .select($"doc_id", $"lang", $"source",
+          $"text".cast(BinaryType).as("bin"),
           explode(sequence(lit(0), length($"text") - 4)).as("i"))
         .select($"doc_id", $"lang", $"source",
-          (ascii(substring($"text", $"i" + 1, lit(1))) * 16777216 +
-            ascii(substring($"text", $"i" + 2, lit(1))) * 65536 +
-            ascii(substring($"text", $"i" + 3, lit(1))) * 256 +
-            ascii(substring($"text", $"i" + 4, lit(1)))).as("gram"))
+          expr("cast(conv(hex(substring(bin, i + 1, 4)), 16, 10) as bigint)").as("gram"))
         .filter($"gram" % 4 === 0)
         .distinct()
-      val wDoc = Window.partitionBy($"doc_id")
-      val inv = gramRows.withColumn("n", count(lit(1)).over(wDoc))
+      // per-doc sizes via a tiny agg + broadcast join back — cheaper
+      // than a window (no global sort of the 2M-row gram table); the
+      // result is materialized once for both self-join sides
+      val sizes = gramRows.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inv = gramRows.join(broadcast(sizes), "doc_id")
+        .localCheckpoint()
       val ni = inv.as("a").join(inv.as("b"),
           $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")

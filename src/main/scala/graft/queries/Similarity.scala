@@ -157,7 +157,8 @@ object Similarity {
          |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       import s.implicits._
       val e = Qh.t(s, dir, "embeddings")
-      val sg = sigs(s, e)
+      // signature table materialized once for both probe sides
+      val sg = sigs(s, e).localCheckpoint()
       val sq = sg.filter($"vec_id" < 50)
         .select($"vec_id".as("query_id"), $"tbl", $"bucket")
       val sc = sg.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket")
@@ -220,8 +221,10 @@ object Similarity {
       val e = Qh.t(s, dir, "embeddings")
       val cent = e.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+      // centroid distances materialized once (assignment + probe reuse)
       val dist = e.crossJoin(broadcast(cent))
         .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos"))
+        .localCheckpoint()
       val wv = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
       val asg = dist.withColumn("rn", row_number().over(wv))
         .filter($"rn" === 1).select($"vec_id", $"cid")

@@ -77,10 +77,12 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val stops = typedLit(stopwords)
-      val toks = expr(Qh.toksExpr)
-      val ratio = size(filter(toks, t => array_contains(stops, t)))
-        .cast(DoubleType) / size(toks)
+      // toks hoisted to a column: the tokenizer regex runs once per row
+      // (an inline expr would re-tokenize per referencing expression)
+      val ratio = size(filter($"toks", t => array_contains(stops, t)))
+        .cast(DoubleType) / size($"toks")
       Qh.t(s, dir, "documents")
+        .withColumn("toks", expr(Qh.toksExpr))
         .select(
           $"doc_id", $"lang".as("labeled_lang"),
           Qh.r6(ratio).as("stop_ratio"),
@@ -108,15 +110,15 @@ object TextAnalysis {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val stops = typedLit(stopwords)
-      val toks = expr(Qh.toksExpr)
       val lenScore = least(length($"text").cast(DoubleType), lit(500.0)) / 500.0
-      val stopRatio = size(filter(toks, t => array_contains(stops, t)))
-        .cast(DoubleType) / size(toks)
+      val stopRatio = size(filter($"toks", t => array_contains(stops, t)))
+        .cast(DoubleType) / size($"toks")
       val punctRatio = (length($"text") -
         length(regexp_replace($"text", "[^a-z ]", ""))).cast(DoubleType) / length($"text")
-      val mtl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(toks)
+      val mtl = aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size($"toks")
       Qh.t(s, dir, "documents")
+        .withColumn("toks", expr(Qh.toksExpr))
         .select(
           $"doc_id",
           Qh.r6(lit(0.3) * lenScore + lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
@@ -172,19 +174,19 @@ object TextAnalysis {
          |ORDER BY lang""".stripMargin) { (s, dir) =>
       import s.implicits._
       val stops = typedLit(stopwords)
-      val toks = expr(Qh.toksExpr)
       val lenScore = least(length($"text").cast(DoubleType), lit(500.0)) / 500.0
-      val stopRatio = size(filter(toks, t => array_contains(stops, t)))
-        .cast(DoubleType) / size(toks)
+      val stopRatio = size(filter($"toks", t => array_contains(stops, t)))
+        .cast(DoubleType) / size($"toks")
       val punctRatio = (length($"text") -
         length(regexp_replace($"text", "[^a-z ]", ""))).cast(DoubleType) / length($"text")
-      val mtl = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-        .cast(DoubleType) / size(toks)
+      val mtl = aggregate($"toks", lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size($"toks")
       val quality = lit(0.3) * lenScore + lit(0.4) * least(stopRatio * 5.0, lit(1.0)) +
         lit(0.2) * (lit(1.0) - punctRatio) + lit(0.1) * least(mtl / 8.0, lit(1.0))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(sha2($"text", 256)).orderBy($"doc_id")
       Qh.t(s, dir, "documents")
+        .withColumn("toks", expr(Qh.toksExpr))
         .filter(quality >= 0.5)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)

@@ -186,6 +186,30 @@ object Aggregations {
         .orderBy("user_id")
     },
 
+    // Pivot: event_type values spread to columns (groupBy().pivot() with
+    // an EXPLICIT value list — at scale an implicit pivot means an extra
+    // distinct-collect job over the full table; the explicit list keeps
+    // it a single pass).
+    Decl(
+      "a8_pivot",
+      s"""SELECT user_id,
+         |  count(*) FILTER (WHERE event_type = 'click') AS click,
+         |  count(*) FILTER (WHERE event_type = 'error') AS error,
+         |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |  count(*) FILTER (WHERE event_type = 'view') AS view
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "events")
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
     // min/max/stddev/variance/median — order-independent forms only.
     Decl(
       "a6_stats", {

@@ -100,6 +100,35 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // Resize + frame-sample stubs: stride-slicing the opaque payload
+    // stands in for pixel resampling / video frame extraction (no codec
+    // libs in this container) — the Spark-side shape (byte arithmetic in
+    // the plan, deterministic stride params from metadata) is real.
+    Decl(
+      "l6_resize_framesample",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |  CAST((doc_id % 5) * 160 + 320 AS INT) / 2 AS resized_w,
+        |  CAST((doc_id % 3) * 120 + 240 AS INT) / 2 AS resized_h,
+        |  CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 4.0) AS INT) AS n_resized_bytes,
+        |  CAST(floor((octet_length(CAST(text AS BLOB)) + 31) / 32) AS INT) AS n_frames
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      mediaTable(s, dir)
+        .select(
+          $"doc_id",
+          length($"payload").as("n_bytes"),
+          ($"width" / 2).as("resized_w"),
+          ($"height" / 2).as("resized_h"),
+          // 2x downsample in both axes = every 4th byte survives
+          ceil(length($"payload").cast(DoubleType) / 4.0).cast(IntegerType)
+            .as("n_resized_bytes"),
+          // frame-sample: one "frame" per 32-byte chunk
+          floor((length($"payload") + 31) / 32).cast(IntegerType).as("n_frames"))
+        .orderBy("doc_id")
+    },
+
     // Decode + feature extraction (mapPartitions path): checksum columns
     // of the fake decode are SQL-expressible, so even the stubbed codec
     // path gets a DuckDB oracle (mean byte + vowel-byte count).

@@ -195,6 +195,47 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
+    // Reproducible train/val/test split via the portable content hash —
+    // the deterministic alternative to rand()-based sampling (stable
+    // across runs, engines, and cluster sizes; the property a training
+    // pipeline actually needs). Split = hash(doc_id) mod 10: 0-7 train,
+    // 8 val, 9 test; stratification verified per language.
+    Decl(
+      "l8_deterministic_split",
+      s"""SELECT lang,
+         |  count(*) FILTER (WHERE ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 7)} % 10 <= 7) AS n_train,
+         |  count(*) FILTER (WHERE ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 7)} % 10 = 8) AS n_val,
+         |  count(*) FILTER (WHERE ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 7)} % 10 = 9) AS n_test
+         |FROM documents
+         |GROUP BY lang
+         |ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bucket = Qh.phash($"doc_id".cast(StringType), 7) % 10
+      Qh.t(s, dir, "documents")
+        .withColumn("b", bucket)
+        .groupBy($"lang")
+        .agg(
+          count(when($"b" <= 7, lit(1))).as("n_train"),
+          count(when($"b" === 8, lit(1))).as("n_val"),
+          count(when($"b" === 9, lit(1))).as("n_test"))
+        .orderBy("lang")
+    },
+
+    // Deterministic ~10% sample by the same hash — reproducible
+    // subsetting without rand() (rows, not just counts, are stable).
+    Decl(
+      "l8_deterministic_sample",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 11)} % 100 < 10
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .filter(Qh.phash($"doc_id".cast(StringType), 11) % 100 < 10)
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    },
+
     // L5: corpus histograms — lang × source counts + n_chars stats.
     Decl(
       "l5_histogram",

@@ -95,6 +95,47 @@ object Streams {
       }
   }
 
+  /** T6 on the Spark 4 `transformWithState` API: same running-total
+    * semantics as [[runningTotals]], expressed as a StatefulProcessor
+    * with a typed ValueState over the RocksDB-backed state store — the
+    * successor API for arbitrary streaming state. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, RunningTotal]
+      with Serializable {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Long](
+        "totalCents", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningTotal] = {
+      var acc = if (total.exists()) total.get() else 0L
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        acc += math.round(e.value * 100)
+        RunningTotal(user, e.event_id, acc / 100.0)
+      }
+      total.update(acc)
+      out.iterator
+    }
+  }
+
+  /** T6 via transformWithState (see [[RunningTotalProcessor]]). */
+  def runningTotalsTws(events: Dataset[Ev]): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** T7: stream–static join — the reference pipeline's streaming form
     * (events ⋉ allowlist, R4). `allow` is the static side. */
   def streamStaticSemiJoin(events: DataFrame, allow: DataFrame): DataFrame =

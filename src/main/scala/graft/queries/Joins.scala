@@ -213,6 +213,33 @@ object Joins {
         .orderBy("r_name", "n_name")
     },
 
+    // True two-table as-of join (graft.operators.AsOfJoin): every
+    // purchase matched to the user's latest signup at or before it.
+    // Union+window composition — ONE shuffle on user_id, no range join;
+    // the oracle is DuckDB's native ASOF JOIN, so the engine's
+    // composition is checked against a first-class implementation.
+    Decl(
+      "j9_asof_join",
+      """SELECT p.event_id, p.user_id, s.event_id AS asof_signup_event
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", Qh.tsUs($"ts").as("ts"), $"event_type")
+      val purchases = ev.filter($"event_type" === "purchase").drop("event_type")
+      val signups = ev.filter($"event_type" === "signup").drop("event_type")
+        .withColumnRenamed("event_id", "signup_event")
+      graft.operators.AsOfJoin(
+          purchases, signups,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          payload = Seq("signup_event"))
+        .select($"event_id", $"user_id",
+          $"asof_signup_event".cast("bigint"))
+        .orderBy("event_id")
+    },
+
     // As-of join composed from a window lag (SURVEY J9): latest prior
     // event of the same user. One shuffle on user_id, no custom operator.
     Decl(

@@ -183,23 +183,16 @@ object Joins {
         |GROUP BY e1.user_id
         |ORDER BY e1.user_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val hour = 3600L * 1000000L // µs
       val ev = Qh.t(s, dir, "events")
         .select($"user_id", $"event_id", Qh.tsUs($"ts").as("ts"))
-        .withColumn("bucket", (unix_micros($"ts") / hour).cast("long"))
-      val e1 = ev
-        .withColumn("probe", explode(array($"bucket", $"bucket" + 1)))
-        .as("e1")
-      val e2 = ev.as("e2")
-      e1.join(e2,
-          $"e1.user_id" === $"e2.user_id" &&
-          $"e1.probe" === $"e2.bucket" &&
-          $"e2.event_id" =!= $"e1.event_id" &&
-          $"e2.ts" >= $"e1.ts" &&
-          $"e2.ts" <= $"e1.ts" + expr("INTERVAL 1 HOUR"))
-        .groupBy($"e1.user_id")
+      graft.operators.RangeJoin.bucketed(
+          ev, ev,
+          keys = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          windowMicros = 3600L * 1000000L,
+          extraCondition = col("r.event_id") =!= col("l.event_id"))
+        .groupBy($"l.user_id")
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy($"e1.user_id")
+        .orderBy($"l.user_id")
     },
 
     Decl(

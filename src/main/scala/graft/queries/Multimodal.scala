@@ -129,6 +129,44 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // int8 symmetric quantization of embeddings (the storage path for
+    // large vector corpora: 4× smaller than float32). scale = max|x|/127;
+    // q = round(x/scale) — same half-up rounding formula both engines so
+    // the quantized checksums hash-match. Dequant error bound asserted
+    // in MultimodalSpec.
+    Decl(
+      "l6_quantize_int8",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    embedding
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  floor(scale * 1000000 + 0.5) / 1000000.0 AS scale_r6,
+        |  CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+        |  CAST(list_min(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_min,
+        |  CAST(list_max(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_max
+        |FROM q
+        |WHERE scale > 0
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "embeddings")
+        .withColumn("scale",
+          aggregate($"embedding", lit(0.0),
+            (acc, x) => greatest(acc, abs(x.cast(DoubleType)))) / 127.0)
+        .filter($"scale" > 0)
+        .withColumn("q",
+          transform($"embedding",
+            x => floor(x.cast(DoubleType) / $"scale" + 0.5).cast(LongType)))
+        .select(
+          $"vec_id",
+          Qh.r6($"scale").as("scale_r6"),
+          aggregate($"q", lit(0L), (a, v) => a + v).as("q_sum"),
+          array_min($"q").as("q_min"),
+          array_max($"q").as("q_max"))
+        .orderBy("vec_id")
+    },
+
     // Decode + feature extraction (mapPartitions path): checksum columns
     // of the fake decode are SQL-expressible, so even the stubbed codec
     // path gets a DuckDB oracle (mean byte + vowel-byte count).

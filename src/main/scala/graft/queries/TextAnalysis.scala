@@ -64,6 +64,47 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L4b2: TF-IDF — term frequency × ln(N/df), top-3 terms per doc.
+    // Three hash aggs (tf on (doc,term), df on term, N scalar) + one
+    // window; the df and N branches are broadcast — the full corpus
+    // shuffles only once on (doc, term).
+    Decl(
+      "l4_tfidf",
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM (SELECT doc_id, unnest(${Qh.oToksExpr}) AS tok FROM documents) GROUP BY tok),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    ${Qh.oR6("CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df)")} AS tfidf
+         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n)
+         |SELECT doc_id, tok, tfidf FROM (
+         |  SELECT doc_id, tok, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3 AND doc_id < 100
+         |ORDER BY doc_id, tok""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = Qh.t(s, dir, "documents")
+        .select($"doc_id", explode(expr(Qh.toksExpr)).as("tok"))
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy($"tok").agg(countDistinct($"doc_id").as("df"))
+      val n = Qh.t(s, dir, "documents")
+        .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"tok")
+      tf.join(broadcast(df), "tok")
+        .crossJoin(broadcast(n))
+        .select($"doc_id", $"tok",
+          Qh.r6($"tf".cast(DoubleType) * log($"n_docs" / $"df")).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3 && $"doc_id" < 100)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id", "tok")
+    },
+
     // L4c: language-ID heuristic — stopword-hit ratio over tokens
     // (n-gram-frequency heuristic; thresholds are part of the contract).
     Decl(

@@ -25,6 +25,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization round-trips within scale/2 per element") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings").limit(100)
+      .withColumn("scale",
+        aggregate($"embedding", lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0)
+      .filter($"scale" > 0)
+    val maxErr = e.select(
+        aggregate(
+          transform($"embedding", x =>
+            abs(floor(x.cast("double") / $"scale" + 0.5) * $"scale" - x.cast("double")) / $"scale"),
+          lit(0.0), (a, v) => greatest(a, v)).as("relErr"))
+      .agg(max($"relErr")).head.getDouble(0)
+    assert(maxErr <= 0.5 + 1e-9, s"dequantization error $maxErr above scale/2")
+  }
+
   test("binary payload survives the relational pipeline opaquely") {
     import spark.implicits._
     // filter + project + repartition must not disturb payload bytes

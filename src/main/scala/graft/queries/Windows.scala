@@ -96,8 +96,14 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
-    // Top-K per group: the window+filter idiom (vs a self-join, which
-    // would shuffle twice and break under skew).
+    // Top-K per group on the CUSTOM two-phase operator
+    // (graft.plans.TopKPerGroup: partial bounded heaps before the
+    // shuffle, final merge after — shuffles ≤ k·groups·partitions rows
+    // instead of all rows like the window idiom). The oracle states the
+    // standard row_number() form, so the custom physical operator is
+    // hash-checked against DuckDB through the driver's gate; exact
+    // equality with Spark's own window idiom is pinned separately in
+    // TopKPerGroupSpec.
     Decl(
       "w4_topk_per_group",
       """SELECT o_custkey, o_orderkey, o_totalprice
@@ -108,12 +114,12 @@ object Windows {
         |WHERE rn <= 3
         |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey")
-        .orderBy($"o_totalprice".desc, $"o_orderkey")
-      Qh.t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.TopKPerGroup(
+          Qh.t(s, dir, "orders")
+            .select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+          groupCols = Seq("o_custkey"),
+          orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 3)
         .orderBy("o_custkey", "o_orderkey")
     }
   )

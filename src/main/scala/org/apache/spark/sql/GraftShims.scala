@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+/** Minimal package-private escape hatch: `classic.Dataset.ofRows` is
+  * private[sql], and it is the only supported way to wrap a custom
+  * LogicalPlan ([[graft.plans.TopKPerGroupNode]]) back into a public
+  * DataFrame. Standard practice for Spark extensions; nothing else from
+  * the internal API is exposed here.
+  */
+object GraftShims {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(castToImpl(spark), plan)
+}

@@ -145,14 +145,15 @@ object Dedup {
          |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // signatures are MATERIALIZED once (localCheckpoint) and reused by
-      // the band self-join + both jaccard sides — at 100 TB the signature
-      // table is persisted/checkpointed exactly like this, instead of
+      // signatures are MATERIALIZED once (Qh.materialize — durability
+      // mode is a config: localCheckpoint for local bench, DISK_ONLY
+      // persist / reliable checkpoint for long cluster runs) and reused
+      // by the band self-join + both jaccard sides, instead of
       // recomputing the md5 pipeline per consumer
-      val sigs = withShingles(Qh.t(s, dir, "documents"))
-        .select($"doc_id" +: $"shingles" +:
-          (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*)
-        .localCheckpoint()
+      val sigs = Qh.materialize(
+        withShingles(Qh.t(s, dir, "documents"))
+          .select($"doc_id" +: $"shingles" +:
+            (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
       val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
         struct(lit(id).as("band_id"),
           concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
@@ -271,8 +272,7 @@ object Dedup {
       // than a window (no global sort of the 2M-row gram table); the
       // result is materialized once for both self-join sides
       val sizes = gramRows.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inv = gramRows.join(broadcast(sizes), "doc_id")
-        .localCheckpoint()
+      val inv = Qh.materialize(gramRows.join(broadcast(sizes), "doc_id"))
       val ni = inv.as("a").join(inv.as("b"),
           $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")

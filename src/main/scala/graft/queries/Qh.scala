@@ -74,4 +74,36 @@ object Qh {
     * Cast defensively so any arithmetic happens at µs on both sides (the
     * oracle SQL casts TIMESTAMP_NS → TIMESTAMP for the same reason). */
   def tsUs(c: Column): Column = c.cast(TimestampType)
+
+  /** Materialize a multiply-consumed subtree ONCE (Catalyst does not
+    * reuse exchanges across self-join branches, so without this the
+    * shared pipeline — e.g. MinHash signatures — recomputes per
+    * consumer; measured 4–6× on the LSH/ngram decls).
+    *
+    * Durability is a deployment choice, selected by
+    * `spark.graft.materialize`:
+    *
+    *  - `local` (default): `localCheckpoint` — fastest, but blocks live
+    *    only on executors; right for local[*] and short batch runs.
+    *  - `disk`: eager `persist(DISK_ONLY)` — lineage is kept, so a lost
+    *    executor recomputes instead of failing the job; the right mode
+    *    for long multi-hour cluster runs.
+    *  - `checkpoint`: reliable HDFS/object-store checkpoint (eager,
+    *    lineage truncated) under `spark.graft.checkpointDir`; survives
+    *    executor AND driver-retry loss — the 100 TB production mode.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get("spark.graft.materialize", "local") match {
+      case "disk" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        p.count() // eager: consumers read the store, never race to rebuild
+        p
+      case "checkpoint" =>
+        val dir = spark.conf.get("spark.graft.checkpointDir", "/tmp/graft_checkpoints")
+        spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
 }

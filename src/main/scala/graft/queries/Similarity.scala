@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   *    scale-killer this module deliberately avoids.
   *
   *  - '''Multi-table LSH ANN (scale path)''': L=16 hash tables × B=6
-  *    random-hyperplane sign bits. Signatures come from a 96-row
-  *    broadcast `planes` dimension (hyperplanes are model parameters,
-  *    not data); candidates are the union over tables of bucket
-  *    equi-joins; exact cosine runs only on candidates. Measured on the
+  *    random-hyperplane sign bits. Signatures are computed MAP-SIDE in
+  *    one projection over literal hyperplanes (model parameters, not
+  *    data — see [[sigs]]); candidates are the union over tables of
+  *    bucket equi-joins; exact cosine runs only on candidates. The only
+  *    shuffle in the whole pipeline is the candidate equi-join itself.
+  *    Measured on the
   *    fixtures: recall@3 ≈ 0.6 while probing ~24% of the corpus —
   *    i.i.d.-random vectors are LSH's worst case (no cluster structure,
   *    see SimilaritySpec); real embedding corpora cluster and do better.
@@ -82,20 +84,30 @@ object Similarity {
     s"planes(tbl, bit, pvec) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}))"
   }
 
-  /** Per-(vector, table) bucket ids, engine side. */
-  private def sigs(s: SparkSession, e: DataFrame): DataFrame = {
+  /** Per-(vector, table) bucket ids, engine side — computed ENTIRELY
+    * map-side. The hyperplanes are model parameters (literals), so each
+    * of the 16 bucket ids is a plain projection over the embedding: 6
+    * sign bits per table, each `when(dot(emb, lit_plane) > 0, 1<<bit)`,
+    * summed, then one `explode` to (vec_id, tbl, bucket) rows. Zero
+    * shuffles before the candidate join — the earlier form
+    * (crossJoin(broadcast(planes)) + groupBy) shuffled corpus×96 rows
+    * just to pack sign bits, which at 100 TB is the dominant cost.
+    * Bucket values are bit-identical to the grouped form (integer sums
+    * of the same per-bit terms), so oracle hashes are unchanged. */
+  private[graft] def sigs(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
-    // pvec cast to array<float>: dot_product reads float elements, and
-    // ±1 is exact in every float width
-    val pl = planeRows.toDF("tbl", "bit", "pvec")
-      .withColumn("pvec", $"pvec".cast(ArrayType(FloatType)))
-    e.select($"vec_id", $"embedding")
-      .crossJoin(broadcast(pl))
-      .groupBy($"vec_id", $"tbl")
-      .agg(sum(
-        when(dot($"embedding", $"pvec") > 0,
-          expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0L))
-        .as("bucket"))
+    // plane literal as array<float>: dot_product reads float elements,
+    // and ±1 is exact in every float width
+    def litPlane(tbl: Int, bit: Int): Column =
+      array(planes(tbl * NBits + bit).map(v => lit(v.toFloat)): _*)
+    val tableBuckets = (0 until NTables).map { l =>
+      val bucket = (0 until NBits).map { b =>
+        when(dot($"embedding", litPlane(l, b)) > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(l).as("tbl"), bucket.as("bucket"))
+    }
+    e.select($"vec_id", explode(array(tableBuckets: _*)).as("tb"))
+      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
   }
 
   val decls: Seq[Decl] = Seq(
@@ -158,7 +170,8 @@ object Similarity {
       import s.implicits._
       val e = Qh.t(s, dir, "embeddings")
       // signature table materialized once for both probe sides
-      val sg = sigs(s, e).localCheckpoint()
+      // (Qh.materialize: durability mode is a config)
+      val sg = Qh.materialize(sigs(s, e))
       val sq = sg.filter($"vec_id" < 50)
         .select($"vec_id".as("query_id"), $"tbl", $"bucket")
       val sc = sg.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket")
@@ -222,9 +235,8 @@ object Similarity {
       val cent = e.filter($"vec_id" < 16)
         .select($"vec_id".as("cid"), $"embedding".as("cemb"))
       // centroid distances materialized once (assignment + probe reuse)
-      val dist = e.crossJoin(broadcast(cent))
-        .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos"))
-        .localCheckpoint()
+      val dist = Qh.materialize(e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos")))
       val wv = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
       val asg = dist.withColumn("rn", row_number().over(wv))
         .filter($"rn" === 1).select($"vec_id", $"cid")

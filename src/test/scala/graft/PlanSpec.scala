@@ -60,15 +60,20 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")
     }
-    // l3_ann_lsh: ONE BNLJ is by design — the 96-row broadcast planes
-    // dimension (bounded by construction). The candidate join must
-    // still be a hash equi-join, and nothing may be a cartesian.
+    // l3_ann_lsh: signatures are map-side projections over literal
+    // hyperplanes — no join of any kind before the candidate equi-join.
     val p = plan("l3_ann_lsh")
     assert(!p.contains("CartesianProduct"), "l3_ann_lsh: cartesian product!")
-    assert(p.linesIterator.count(_.trim.startsWith("BroadcastNestedLoopJoin")) <= 2,
-      "l3_ann_lsh: BNLJ beyond the planes broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "l3_ann_lsh: BNLJ!")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "l3_ann_lsh: candidate join is not equi")
+  }
+
+  test("l3 LSH signature generation is narrow (no Exchange before the candidate join)") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val p = planOf(graft.queries.Similarity.sigs(spark, e))
+    assert(!p.contains("Exchange"),
+      s"LSH signature step shuffles — must be a pure map-side projection:\n$p")
   }
 
   test("j8 is the only declared cross join") {

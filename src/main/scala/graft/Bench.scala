@@ -45,13 +45,17 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":${"%.3f".format(v)}""" }
+    // Locale.ROOT: a comma-decimal default locale would emit 1,234 and
+    // make the JSON unparseable by the driver
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timings.map { case (k, v) => s""""${esc(k)}":${f3(v)}""" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

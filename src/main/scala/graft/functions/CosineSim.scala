@@ -99,6 +99,23 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
 
+  // same contract as CosineSim: getFloat on an array<double> would read
+  // 4 bytes of each 8-byte slot — silently wrong numbers, so reject at
+  // analysis time instead
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects (array<float>, array<float>), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Generic as-of join (SURVEY J9 generalized to two tables): for every
   * left row, the latest right row with `rightTime <= leftTime` within
@@ -12,8 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Composition, not a custom physical operator (SURVEY §4 decision):
   * tag both sides, UNION, then one window pass per key ordered by
-  * (time, side) carrying the last-seen right payload —
-  * `last(col, ignoreNulls = true)` over an unbounded-preceding frame.
+  * (time, side) carrying the last-seen right payload. ALL payload
+  * columns ride in ONE struct (`last(struct, ignoreNulls = true)`): the
+  * struct is non-null exactly for right rows, so (a) every attached
+  * value comes from the SAME matched right row, and (b) a right row
+  * whose payload column is legitimately NULL attaches that NULL rather
+  * than a value scavenged from an older right row — per-column carry
+  * gets both of these wrong.
   * Cost: ONE shuffle on the key, one sort — same as a single window
   * query; no range join, no per-key loop. At equal timestamps the right
   * row sorts FIRST, so `rightTime == leftTime` matches (inclusive
@@ -41,18 +47,20 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
     val keyCols = keys.map(col)
+    val payloadType = StructType(payload.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
 
-    // common shape: keys ++ time ++ side ++ left payload ++ right payload
-    val l = left
+    // common shape: keys ++ time ++ side ++ left payload ++ one struct
+    // of the right payload (null struct on left rows)
+    val lAligned = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-    val lAligned = payload.foldLeft(l)((df, c) =>
-      df.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("_r", lit(null).cast(payloadType))
 
     var r = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-    for (c <- payload) r = r.withColumn(s"_r_$c", col(c))
+      .withColumn("_r", struct(payload.map(col): _*))
     for (c <- leftCols if !keys.contains(c)) r = r.withColumn(c, lit(null))
     val rAligned = r.select(lAligned.columns.map(col): _*)
 
@@ -60,12 +68,10 @@ object AsOfJoin {
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val attached = payload.foldLeft(lAligned.unionByName(rAligned)) {
-      (df, c) => df.withColumn(s"_asof_$c", last(col(s"_r_$c"), ignoreNulls = true).over(w))
-    }
-
-    attached
+    lAligned.unionByName(rAligned)
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 }

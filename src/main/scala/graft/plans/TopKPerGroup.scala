@@ -118,6 +118,7 @@ object TopKPerGroup {
       groupCols: Seq[String],
       orderSpec: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     val spark = df.sparkSession
     register(spark)
     val logical = df.queryExecution.analyzed

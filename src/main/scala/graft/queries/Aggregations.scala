@@ -211,6 +211,14 @@ object Aggregations {
     },
 
     // min/max/stddev/variance/median — order-independent forms only.
+    // NOTE on the exact `percentile`: it buffers every (value, count)
+    // per group in executor memory, which is correct at oracle scale
+    // but an OOM at 100 TB. The scale path is `a6_approx_percentile`
+    // below (bounded-memory mergeable sketch); this decl exists to pin
+    // exact cross-engine medians at the small-sf oracle contract.
+    // Variance is rounded at 2 decimals (not 6): var ~ 1e9 at r6 needs
+    // 16 significant digits — past double precision, so the last ulp of
+    // the decimal→double cast could flip the rounding between engines.
     Decl(
       "a6_stats", {
         val (s2, s1, n) = oMoments("l_extendedprice")
@@ -218,7 +226,7 @@ object Aggregations {
            |  min(l_extendedprice) AS min_price,
            |  max(l_extendedprice) AS max_price,
            |  ${Qh.oR6(s"sqrt(($s2 - $s1 * $s1 / $n) / ($n - 1))")} AS std_price,
-           |  ${Qh.oR6(s"($s2 - $s1 * $s1 / $n) / ($n - 1)")} AS var_price,
+           |  ${Qh.oR2(s"($s2 - $s1 * $s1 / $n) / ($n - 1)")} AS var_price,
            |  ${Qh.oR6("quantile_cont(l_extendedprice, 0.5)")} AS med_price
            |FROM lineitem
            |GROUP BY l_returnflag
@@ -240,8 +248,42 @@ object Aggregations {
           $"l_returnflag",
           $"min_price", $"max_price",
           Qh.r6(sqrt(($"_s2" - $"_s1" * $"_s1" / $"_n") / ($"_n" - 1))).as("std_price"),
-          Qh.r6(($"_s2" - $"_s1" * $"_s1" / $"_n") / ($"_n" - 1)).as("var_price"),
+          Qh.r2(($"_s2" - $"_s1" * $"_s1" / $"_n") / ($"_n" - 1)).as("var_price"),
           Qh.r6($"_med").as("med_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // A6 scale path: approx_percentile — a mergeable bounded-memory
+    // quantile sketch (Greenwald–Khanna variant), the ONLY percentile
+    // form that survives 100 TB (exact `percentile` buffers each group).
+    // Tolerance contract like a3_approx_distinct: the oracle pins the
+    // exact quantiles + TRUE; the engine must land its sketch estimates
+    // within 1% + 1 of its own exact values. Rank-error bound is
+    // n/accuracy; accuracy=10000 keeps value error far inside 1% on
+    // price-shaped data.
+    Decl(
+      "a6_approx_percentile",
+      s"""SELECT l_returnflag,
+         |  ${Qh.oR6("quantile_cont(l_extendedprice, 0.5)")} AS exact_p50,
+         |  ${Qh.oR6("quantile_cont(l_extendedprice, 0.95)")} AS exact_p95,
+         |  TRUE AS approx_ok
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("_e50"),
+          expr("percentile(l_extendedprice, 0.95)").as("_e95"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_a50"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("_a95"))
+        .select(
+          $"l_returnflag",
+          Qh.r6($"_e50").as("exact_p50"),
+          Qh.r6($"_e95").as("exact_p95"),
+          ((abs($"_a50" - $"_e50") <= $"_e50" * 0.01 + 1) &&
+            (abs($"_a95" - $"_e95") <= $"_e95" * 0.01 + 1)).as("approx_ok"))
         .orderBy("l_returnflag")
     },
 

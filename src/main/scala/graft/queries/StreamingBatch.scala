@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.streaming.Streams
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** SURVEY §2.B T1–T7 batch-equivalent decls: the SAME transform
@@ -147,6 +148,65 @@ object StreamingBatch {
       val allow = ev.filter($"event_type" === "signup").select($"user_id").distinct()
       Streams.tumblingCounts(Streams.streamStaticSemiJoin(ev, allow))
         .orderBy("window_start_ms", "event_type")
+    },
+
+    // T8: the full streaming sink loop, oracle-checked end to end — a
+    // REAL streaming query (file source → foreachBatch → JDBC/Derby),
+    // then the landed table is read back through spark.read.jdbc and
+    // aggregated; the oracle computes the same aggregate from the
+    // ORIGINAL parquet. Any loss/duplication/type corruption anywhere in
+    // stream-read → micro-batch → JDBC write → JDBC read breaks the
+    // hash (the s3_jdbc_roundtrip pattern applied to the streaming
+    // sink). The `event_id % 7` filter bounds single-threaded Derby
+    // insert volume at bench scale; multi-batch delivery and batch-id
+    // idempotence are pinned in StreamingSpec.
+    Decl(
+      "t8_foreachbatch_jdbc",
+      s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_id % 7 = 0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val run = StreamingBatch.t8Runs.incrementAndGet()
+      val url = s"jdbc:derby:memory:graft_t8_decl_$run;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      props.setProperty("batchsize", "10000")
+      val runId = java.util.UUID.randomUUID()
+      val ckpt = s"/tmp/graft_io/t8_ckpt_$runId"
+      // the file streaming source requires a DIRECTORY; the fixture is a
+      // single file, so stage a symlink to it in a fresh temp dir (the
+      // production shape is a watched directory of arriving files)
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_io/t8_src_$runId")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      // file streaming source needs an explicit schema; take it from the
+      // batch reader (ts arrives as ns-Long under nanosAsLong and is
+      // dropped before the sink — the loop under test is id/type/value)
+      val schema = s.read.parquet(path).schema
+      val q = s.readStream.schema(schema).parquet(srcDir.toString)
+        .filter($"event_id" % 7 === 0)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          Streams.jdbcForeachBatchWriter(url, "t8_sink", props)(df, id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.jdbc(url, "t8_sink", props)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
     }
   )
+
+  /** Fresh in-memory Derby db + checkpoint per t8 invocation (the decl
+    * may run several times in one JVM: tests, Verify, Bench). */
+  private val t8Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 }

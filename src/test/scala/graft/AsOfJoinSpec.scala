@@ -33,6 +33,26 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> None))
   }
 
+  test("NULL payload on the matched right row is preserved; multi-column payloads come from the same right row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, ts(9))).toDF("id", "k", "t")
+    // older right row has (100, "a"); the MATCHED row (ts 5) carries a
+    // legitimately NULL rid and tag "b" — the attach must be (null, "b"),
+    // never the older row's rid nor a column mix of the two rows
+    val right = Seq(
+      (Option(100L), Option("a"), 10L, ts(3)),
+      (Option.empty[Long], Option("b"), 10L, ts(5))
+    ).toDF("rid", "tag", "k", "rt")
+
+    val out = AsOfJoin(left, right, keys = Seq("k"),
+        leftTime = "t", rightTime = "rt", payload = Seq("rid", "tag"))
+      .select($"asof_rid", $"asof_tag").as[(Option[Long], Option[String])]
+      .collect().toSeq
+
+    assert(out == Seq((None, Some("b"))),
+      s"payload must come intact from the matched row: $out")
+  }
+
   test("left row count is preserved (left-join semantics)") {
     import spark.implicits._
     val ev = Tables(spark, sf0001, "events")

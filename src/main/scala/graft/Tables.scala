@@ -74,6 +74,8 @@ object Engine {
     s.sparkContext.setLogLevel("WARN")
     // native codegen'd functions (cosine_sim, dot_product) — idempotent
     graft.functions.GraftFunctions.register(s)
+    // custom top-k operator: strategy + the window-idiom rewrite rule
+    graft.plans.TopKPerGroup.register(s)
     s
   }
 }

@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -54,6 +55,12 @@ final case class TopKPerGroupExec(
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(groupExprs))
 
+  // the final phase's exchange clusters rows on the group keys; report
+  // that downstream so a consumer with the same requirement (e.g. the
+  // Window the rewrite rule leaves on top) reuses it instead of
+  // inserting a second exchange
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable values; build the projection/ordering
     // per partition (UnsafeProjection is not serializable, and the
@@ -99,6 +106,55 @@ final case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
+/** Optimizer rule: recognize the universal window-top-k idiom
+  *
+  * {{{ Filter(row_number() OVER (PARTITION BY g ORDER BY o) <= k, ...) }}}
+  *
+  * and insert [[TopKPerGroupNode]] BELOW the Window, so each input
+  * partition is pruned to ≤k rows per group with bounded heaps BEFORE
+  * the shuffle — user-written window queries get the custom operator's
+  * plan without calling the DSL. The Filter and Window stay on top
+  * (the Window now ranks ≤ k·|groups| rows instead of all rows), which
+  * keeps the rewrite semantics-preserving by construction for every
+  * bound shape (`<=`, `<`, `=`, and their flipped forms).
+  *
+  * Guards: single RowNumber window expression (rank/dense_rank can keep
+  * > k rows on ties; other functions change under pruning), non-empty
+  * partition spec (global top-k is TakeOrderedAndProject's job),
+  * ordered window, k ≥ 1. A WindowGroupLimit the built-in
+  * InferWindowGroupLimit rule may already have inserted is replaced —
+  * TopKPerGroupNode subsumes it.
+  */
+object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def boundOf(conjuncts: Seq[Expression], rn: Attribute): Option[Int] =
+    conjuncts.collectFirst {
+      case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
+      case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k - 1
+      case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
+      case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k - 1
+      case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => k
+      case EqualTo(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => k
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond,
+        w @ Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          part, order, child, _))
+        if part.nonEmpty && order.nonEmpty &&
+          !child.isInstanceOf[TopKPerGroupNode] =>
+      boundOf(splitConjunctivePredicates(cond), alias.toAttribute) match {
+        case Some(k) if k >= 1 =>
+          val base = child match {
+            case wgl: WindowGroupLimit => wgl.child
+            case other => other
+          }
+          f.copy(child = w.copy(child = TopKPerGroupNode(part, order, k, base)))
+        case _ => f
+      }
+  }
+}
+
 /** Plans the logical node as final-over-partial. */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -138,6 +194,10 @@ object TopKPerGroup {
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopKWindowRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKWindowRewrite
     }
   }
 }

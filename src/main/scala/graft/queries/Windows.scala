@@ -121,6 +121,31 @@ object Windows {
           orderSpec = Seq(("o_totalprice", false), ("o_orderkey", true)),
           k = 3)
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Same top-k, written in the PLAIN window idiom a user would write.
+    // The graft.plans.TopKWindowRewrite optimizer rule recognizes
+    // Filter(row_number() <= k) and inserts the bounded-heap
+    // TopKPerGroupNode below the Window, so this query runs on the
+    // custom operator WITHOUT calling the DSL — PlanSpec asserts
+    // TopKPerGroupExec is in the physical plan.
+    Decl(
+      "w4_topk_window_idiom",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Qh.t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .orderBy("o_custkey", "rn")
     }
   )
 }

@@ -92,6 +92,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
   }
 
+  test("plain window top-k idiom is rewritten onto the custom bounded-heap operator") {
+    // user-written row_number()+filter — no DSL call — must plan to
+    // partial+final TopKPerGroupExec via the TopKWindowRewrite rule
+    val p = plan("w4_topk_window_idiom")
+    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 2,
+      s"window idiom not rewritten to TopKPerGroupExec:\n$p")
+  }
+
+  test("the rewrite fires inside the ANN top-k tails too") {
+    val p = plan("l3_cosine_topk")
+    assert(p.contains("TopKPerGroup"),
+      "rnk<=3 filter in l3_cosine_topk should run on the bounded-heap operator")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

@@ -20,6 +20,7 @@ object SparkSpec {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(s)
+    graft.plans.TopKPerGroup.register(s)
     s
   }
 }

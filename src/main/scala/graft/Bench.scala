@@ -33,13 +33,21 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // R10's progress surface: row counts ride the plan via observe
+        // (CollectMetrics on the executors) — no second pass, no collect
+        val obs = new org.apache.spark.sql.Observation(s"bench_$name")
+        fn(spark, sfDir)
+          .observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows_out"))
+          .write.format("noop").mode("overwrite").save()
         timings(name) = (System.nanoTime() - t0) / 1e9
+        rowCounts(name) = obs.get("rows_out").asInstanceOf[Long]
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -51,11 +59,15 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s""""${esc(k)}":${f3(v)}""" }
       .mkString("{", ",", "}")
+    val rps = rowCounts.map { case (k, n) =>
+      val sec = timings.getOrElse(k, 0.0)
+      s""""${esc(k)}":${f3(if (sec > 0) n / sec else 0.0)}"""
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"errors":$errJson,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,6 +192,54 @@ object Projections {
         .orderBy("event_id")
     },
 
+    // P8b: the §1.2 dynamic-document model beyond flat string maps —
+    // a NESTED payload (struct-in-array + DecimalType field) carried as
+    // an opaque JSON string and lazily typed back with from_json. The
+    // engine side round-trips orders through to_json → from_json with an
+    // explicit nested schema (any loss/corruption of the Decimal or the
+    // array-of-structs breaks the hash); the oracle states the same
+    // relation directly over the parquet — the reference's
+    // BSON-document shape (kafka-database-import.go:192, full type
+    // system incl. Decimal128) expressed Spark-natively.
+    Decl(
+      "p8_json_nested",
+      """WITH parts AS (
+        |  SELECT o_orderstatus AS status, 'total' AS tag,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'key', CAST(o_orderkey AS DECIMAL(18,2)) FROM orders)
+        |SELECT status, tag,
+        |  CAST(sum(amt) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM parts
+        |GROUP BY status, tag
+        |ORDER BY status, tag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloadSchema = new StructType()
+        .add("id", LongType)
+        .add("meta", new StructType().add("st", StringType).add("pr", StringType))
+        .add("parts", ArrayType(new StructType()
+          .add("tag", StringType)
+          .add("amt", DecimalType(18, 2))))
+      Qh.t(s, dir, "orders")
+        .select(to_json(struct(
+          $"o_orderkey".as("id"),
+          struct($"o_orderstatus".as("st"), $"o_orderpriority".as("pr")).as("meta"),
+          array(
+            struct(lit("total").as("tag"),
+              $"o_totalprice".cast(DecimalType(18, 2)).as("amt")),
+            struct(lit("key").as("tag"),
+              $"o_orderkey".cast(DecimalType(18, 2)).as("amt"))).as("parts")))
+          .as("payload"))
+        .select(from_json($"payload", payloadSchema).as("d"))
+        .select($"d.meta.st".as("status"), explode($"d.parts").as("p"))
+        .groupBy($"status", $"p.tag".as("tag"))
+        .agg(
+          sum($"p.amt").cast(DoubleType).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy("status", "tag")
+    },
+
     Decl(
       "p9_arrays",
       """SELECT vec_id,

@@ -174,13 +174,31 @@ object GraftFunctions {
     (args: Seq[Expression]) => DotProduct(args(0), args(1)))
 
   /** Idempotent registration for sessions not built with the extension
-    * (Engine.session calls this so every entry point has the functions). */
+    * (Engine.session calls this so every entry point has the functions).
+    *
+    * Also surfaces Spark's internal Bloom-filter expressions
+    * (BloomFilterAggregate / BloomFilterMightContain — the machinery
+    * behind runtime row-level filtering) as user-callable functions:
+    * `bloom_filter_agg(xxhash64(k), items, bits)` builds a mergeable
+    * sketch, `bloom_might_contain(bloom, xxhash64(k))` probes it. This
+    * is the explicit form of semi-join pushdown at 100 TB: broadcast a
+    * few hundred KB of bloom instead of shuffling the big side. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "cosine_sim", args => CosineSim(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "dot_product", args => DotProduct(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      args => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2)),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      args => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1)),
+      "scala_udf")
   }
 
 }

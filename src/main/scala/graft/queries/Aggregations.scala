@@ -287,6 +287,35 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // A6 custom-surface path: the same tolerance contract as
+    // a6_approx_percentile, but the sketch is OUR OWN mergeable t-digest
+    // (graft.functions.TDigestAgg — Dunning & Ertl 2019) running as a
+    // typed Aggregator: partials compress on the executors, (means,
+    // weights) arrays ship as the shuffle payload. Demonstrates that the
+    // engine's custom-aggregation surface carries production sketches,
+    // not just built-ins.
+    Decl(
+      "a6_tdigest",
+      s"""SELECT l_returnflag,
+         |  ${Qh.oR6("quantile_cont(l_extendedprice, 0.5)")} AS exact_p50,
+         |  TRUE AS tdigest_ok
+         |FROM lineitem
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val td50 = udaf(graft.functions.TDigestAgg.TDigestQuantile(0.5))
+      Qh.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("_e50"),
+          td50($"l_extendedprice").as("_t50"))
+        .select(
+          $"l_returnflag",
+          Qh.r6($"_e50").as("exact_p50"),
+          (abs($"_t50" - $"_e50") <= $"_e50" * 0.01 + 1).as("tdigest_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // collect_list/collect_set made deterministic: sorted, then joined to
     // csv of integer keys (double→string formatting differs per engine).
     Decl(

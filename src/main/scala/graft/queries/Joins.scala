@@ -195,6 +195,45 @@ object Joins {
         .orderBy($"l.user_id")
     },
 
+    // J10: Bloom-filter semi-join pushdown — the 100 TB technique made
+    // explicit. A mergeable Bloom sketch of the (filtered) dimension
+    // keys is built once in a scalar subquery, broadcast to every scan
+    // task, and drops non-matching fact rows BEFORE the join shuffle;
+    // the exact semi-join after it scrubs the false positives, so the
+    // result is EXACT and the oracle is a plain semi-join (bloom
+    // parameters cannot affect the hash, only the speed). This is the
+    // user-facing form of Spark's own runtime row-level filtering
+    // (InjectRuntimeFilter), which at fixture sizes never fires due to
+    // size thresholds. Bloom (1970, CACM); sizing ~10 bits/key → ~1% FP.
+    Decl(
+      "j10_bloom_semi",
+      s"""SELECT l_returnflag,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("l_extendedprice")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Qh.t(s, dir, "orders").createOrReplaceTempView("j10_orders")
+      Qh.t(s, dir, "lineitem").createOrReplaceTempView("j10_lineitem")
+      s.sql(
+        """WITH dim AS (
+          |  SELECT o_orderkey FROM j10_orders WHERE o_orderpriority = '1-URGENT')
+          |SELECT l_returnflag,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM j10_lineitem
+          |WHERE bloom_might_contain(
+          |        (SELECT bloom_filter_agg(xxhash64(o_orderkey),
+          |                                 CAST(200000 AS BIGINT),
+          |                                 CAST(2000000 AS BIGINT)) FROM dim),
+          |        xxhash64(l_orderkey))
+          |  AND l_orderkey IN (SELECT o_orderkey FROM dim)
+          |GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    },
+
     Decl(
       "j8_cross",
       """SELECT r_name, n_name

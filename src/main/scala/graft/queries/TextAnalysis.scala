@@ -277,6 +277,141 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L4g: PII redaction — the scrubbing pass every training-data
+    // pipeline runs before anything else. The fixture text is synthetic
+    // word soup, so both engines first plant deterministic PII (an email
+    // and a short phone derived from doc_id), then redact emails and
+    // phone-shaped digit runs with the SAME regexes; output pins the
+    // redacted text's fingerprint and the per-doc replacement counts, so
+    // a pattern mismatch on either engine breaks the hash. Narrow map —
+    // scan-bandwidth-bound at 100 TB. (DuckDB regexp_replace needs the
+    // 'g' flag; Spark's is global by default.)
+    Decl(
+      "l4_pii_redact", {
+        val planted = "concat(text, ' contact user', CAST(doc_id AS VARCHAR), " +
+          "'@example.com or 555-', substr(CAST(1000 + doc_id % 9000 AS VARCHAR), 1, 4))"
+        // [.] instead of \. : backslash escapes are parsed differently by
+        // Spark SQL string literals vs DuckDB's — a character class is
+        // identical in both
+        s"""SELECT doc_id,
+           |  ${Qh.oPhash(
+                 s"regexp_replace(regexp_replace($planted, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}', '<EMAIL>', 'g'), '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')",
+                 3)} AS redacted_fp,
+           |  CAST(len(regexp_extract_all($planted, '[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all($planted, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val planted = concat($"text", lit(" contact user"), $"doc_id".cast(StringType),
+        lit("@example.com or 555-"),
+        substring((lit(1000) + $"doc_id" % 9000).cast(StringType), 1, 4))
+      Qh.t(s, dir, "documents")
+        .withColumn("planted", planted)
+        .select(
+          $"doc_id",
+          Qh.phash(
+            regexp_replace(regexp_replace($"planted", emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>"), 3).as("redacted_fp"),
+          size(expr(s"regexp_extract_all(planted, '$emailRe', 0)"))
+            .cast(LongType).as("n_emails"),
+          size(expr(s"regexp_extract_all(planted, '$phoneRe', 0)"))
+            .cast(LongType).as("n_phones"))
+        .orderBy("doc_id")
+    },
+
+    // L4h: repetition-based quality filters — the Gopher/C4 rules
+    // (Rae et al. 2021 "Scaling Language Models" App. A; Raffel et al.
+    // 2020): duplicate-token fraction and most-frequent-bigram fraction,
+    // with the standard keep/drop verdict. Bigram counting is explode →
+    // (doc, bigram) partial+final hash agg → per-doc max — two
+    // well-distributed aggs, no windows over unbounded partitions;
+    // at 100 TB the (doc, bigram) key is near-unique so partial combine
+    // does the heavy lifting map-side.
+    Decl(
+      "l4_repetition_quality",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Qh.oToksExpr} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_tok_frac
+         |  FROM toks WHERE len(toks) >= 2),
+         |bg AS (
+         |  SELECT doc_id, tok || '_' || next_tok AS bigram
+         |  FROM (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS tok,
+         |               unnest(toks[2:len(toks)]) AS next_tok
+         |        FROM toks WHERE len(toks) >= 2)),
+         |bgc AS (
+         |  SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS DOUBLE) AS n_bigrams
+         |  FROM bgc GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  ${Qh.oR6("b.dup_tok_frac")} AS dup_tok_frac,
+         |  ${Qh.oR6("t.top_c / t.n_bigrams")} AS top_bigram_frac,
+         |  (b.dup_tok_frac <= 0.85 AND t.top_c / t.n_bigrams <= 0.18) AS keep
+         |FROM base b JOIN top t ON b.doc_id = t.doc_id
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Qh.t(s, dir, "documents")
+        .select($"doc_id", expr(Qh.toksExpr).as("toks"))
+        .filter(size($"toks") >= 2)
+      val base = toks.select(
+        $"doc_id",
+        (lit(1.0) - size(array_distinct($"toks")).cast(DoubleType) / size($"toks"))
+          .as("dup_tok_frac"))
+      val bigrams = toks.select($"doc_id",
+          explode(zip_with(
+            slice($"toks", lit(1), size($"toks") - 1),
+            slice($"toks", lit(2), size($"toks") - 1),
+            (a, b) => concat(a, lit("_"), b))).as("bigram"))
+      val top = bigrams.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(max($"c").as("top_c"), sum($"c").cast(DoubleType).as("n_bigrams"))
+      base.join(top, "doc_id")
+        .select(
+          $"doc_id",
+          Qh.r6($"dup_tok_frac").as("dup_tok_frac"),
+          Qh.r6($"top_c" / $"n_bigrams").as("top_bigram_frac"),
+          ($"dup_tok_frac" <= 0.85 && $"top_c" / $"n_bigrams" <= 0.18).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // L9: sequence packing — concat-and-chunk documents into fixed
+    // token-budget training sequences (the GPT-style pretraining batch
+    // layout). Each doc gets (seq_id, offset) from the running token
+    // count; docs may straddle a boundary, exactly like the real
+    // packer. Partitioned BY SOURCE (the shard key): the cumulative sum
+    // is a window per source, never one global single-partition sort —
+    // the shape that survives 100 TB. Budget = 512 whitespace tokens.
+    Decl(
+      "l9_sequence_packing",
+      s"""SELECT doc_id, source, n_toks,
+         |  CAST(floor((cum - n_toks) / 512) AS BIGINT) AS seq_id,
+         |  CAST((cum - n_toks) % 512 AS BIGINT) AS offset_in_seq
+         |FROM (
+         |  SELECT doc_id, source, len(${Qh.oToksExpr}) AS n_toks,
+         |    sum(len(${Qh.oToksExpr})) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Qh.t(s, dir, "documents")
+        .select($"doc_id", $"source", size(expr(Qh.toksExpr)).as("n_toks"))
+        .withColumn("cum", sum($"n_toks").over(w))
+        .select(
+          $"doc_id", $"source", $"n_toks".cast(LongType).as("n_toks"),
+          floor(($"cum" - $"n_toks") / 512).cast(LongType).as("seq_id"),
+          (($"cum" - $"n_toks") % 512).cast(LongType).as("offset_in_seq"))
+        .orderBy("doc_id")
+    },
+
     // L5: corpus histograms — lang × source counts + n_chars stats.
     Decl(
       "l5_histogram",

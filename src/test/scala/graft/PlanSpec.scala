@@ -76,6 +76,13 @@ class PlanSpec extends SparkSpec {
       s"LSH signature step shuffles — must be a pure map-side projection:\n$p")
   }
 
+  test("j10: bloom pre-filter sits on the fact side before the semi-join") {
+    val p = plan("j10_bloom_semi")
+    assert(p.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$p")
+    assert(p.contains("LeftSemi"), "exact semi-join must remain for FP scrub")
+  }
+
   test("j8 is the only declared cross join") {
     val p = plan("j8_cross")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))

@@ -287,6 +287,45 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // A9: explicit two-stage SALTED aggregation — the manual skew
+    // breaker for when one group key dwarfs the rest (event_type here is
+    // low-cardinality by design: every group is a potential hot key).
+    // Stage 1 aggregates on (key, salt=phash(user_id)%16) spreading each
+    // hot group over 16 reducers; stage 2 combines the 16 partials per
+    // key. Decimal sums make the two-stage result bit-equal to the
+    // oracle's one-stage form regardless of how rows were split. AQE's
+    // skew handling only rescues JOINS; for aggregations this is the
+    // pattern. The salt must be a DETERMINISTIC function of the row
+    // (never rand()): retried tasks must re-salt identically or
+    // at-least-once execution double-counts.
+    Decl(
+      "a9_salted_agg",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val salted = Qh.t(s, dir, "events")
+        .withColumn("_salt", Qh.phash($"user_id".cast(StringType), 13) % 16)
+        .groupBy($"event_type", $"_salt")
+        .agg(
+          count(lit(1)).as("_n"),
+          sum($"value".cast(DecimalType(18, 2))).as("_sum"),
+          // distinct-by-salt is exact: a user_id lands in exactly one
+          // salt bucket (salt is a function of user_id), so per-bucket
+          // distincts add up
+          countDistinct($"user_id").as("_nd"))
+      salted.groupBy($"event_type")
+        .agg(
+          sum($"_n").as("n"),
+          sum($"_sum").cast(DoubleType).as("total_value"),
+          sum($"_nd").as("n_users"))
+        .orderBy("event_type")
+    },
+
     // A6 custom-surface path: the same tolerance contract as
     // a6_approx_percentile, but the sketch is OUR OWN mergeable t-digest
     // (graft.functions.TDigestAgg — Dunning & Ertl 2019) running as a

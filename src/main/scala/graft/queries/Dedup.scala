@@ -84,6 +84,45 @@ object Dedup {
   // object vals initialize in declaration order)
   private val Qh_toks = Qh.toksExpr
 
+  /** (doc_id, simhash): 32-bit Charikar signature — one hash per
+    * distinct token, then a single partial+final agg with 32 per-bit ±1
+    * sums. Shared by l2_simhash (signatures) and l2_simhash_hamming
+    * (band-blocked near-dup pairs). */
+  private def simhash32(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tok = Qh.t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(expr(Qh_toks))).as("t"))
+      .select($"doc_id", Qh.phash($"t", 0).as("h"))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(expr(s"shiftright(h, $b) % 2 = 1"), 1).otherwise(-1)).as(s"s$b"))
+    val combine = (0 until 32)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", combine.cast(LongType).as("simhash"))
+  }
+
+  /** Oracle CTE `sh(doc_id, simhash)` mirroring [[simhash32]]. */
+  private val oSimhashCte: String = {
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n      ")
+    val combine = (0 until 32)
+      .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""sh AS (
+       |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |      $bitSums
+       |    FROM (
+       |      SELECT doc_id, ${Qh.oPhash("t", 0)} AS h
+       |      FROM (SELECT doc_id, unnest(list_distinct(${Qh.oToksExpr})) AS t FROM documents))
+       |    GROUP BY doc_id))""".stripMargin
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // L1: exact dedup by content digest; keeper = min doc_id per digest.
@@ -182,37 +221,59 @@ object Dedup {
     // scale this is a partial+final agg keyed on doc_id: the classic
     // shape, no per-row re-evaluation of the token list per bit.
     Decl(
-      "l2_simhash", {
-        val bitSums = (0 until 32)
-          .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
-          .mkString(",\n    ")
-        val combine = (0 until 32)
-          .map(b => s"CASE WHEN s$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END")
-          .mkString(" + ")
-        s"""WITH tok AS (
-           |  SELECT doc_id, ${Qh.oPhash("t", 0)} AS h
-           |  FROM (SELECT doc_id, unnest(list_distinct(${Qh.oToksExpr})) AS t FROM documents)),
-           |bits AS (
-           |  SELECT doc_id,
-           |    $bitSums
-           |  FROM tok GROUP BY doc_id)
-           |SELECT doc_id, CAST($combine AS BIGINT) AS simhash
-           |FROM bits
-           |ORDER BY doc_id""".stripMargin
-      }) { (s, dir) =>
+      "l2_simhash",
+      s"""WITH $oSimhashCte
+         |SELECT doc_id, simhash FROM sh
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      simhash32(s, dir).orderBy("doc_id")
+    },
+
+    // L2c2: SimHash near-dup PAIRS via Hamming-band blocking (Manku/
+    // Jain/Sarma, "Detecting Near-Duplicates for Web Crawling", WWW
+    // 2007): any two 32-bit signatures within Hamming distance 3 agree
+    // on at least one of 4 disjoint 8-bit bands (pigeonhole), so
+    // candidates come from a bucket equi-join on (band_id, band_value)
+    // and the exact popcount runs only on candidates — the same
+    // bucketed-never-all-pairs discipline as l2_lsh_pairs, for the
+    // signature family that is a pure narrow map at 100 TB.
+    Decl(
+      "l2_simhash_hamming",
+      s"""WITH $oSimhashCte,
+         |bands AS (
+         |  SELECT doc_id, simhash, band_id,
+         |    (simhash >> (band_id * 8)) & 255 AS band_val
+         |  FROM sh, (SELECT unnest(range(4)) AS band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val tok = Qh.t(s, dir, "documents")
-        .select($"doc_id", explode(array_distinct(expr(Qh_toks))).as("t"))
-        .select($"doc_id", Qh.phash($"t", 0).as("h"))
-      val bitSums = (0 until 32).map(b =>
-        sum(when(expr(s"shiftright(h, $b) % 2 = 1"), 1).otherwise(-1)).as(s"s$b"))
-      val combine = (0 until 32)
-        .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_ + _)
-      tok.groupBy($"doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select($"doc_id", combine.cast(LongType).as("simhash"))
-        .orderBy("doc_id")
+      val sh = Qh.materialize(simhash32(s, dir))
+      val bandCols = (0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright($"simhash", 8 * b).bitwiseAND(255).as("band_val")))
+      val bands = sh.select($"doc_id", $"simhash",
+          explode(array(bandCols: _*)).as("bk"))
+        .select($"doc_id", $"simhash", $"bk.band_id", $"bk.band_val")
+      val a = bands.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"),
+        $"band_id", $"band_val")
+      val b = bands.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"),
+        $"band_id", $"band_val")
+      a.join(b, Seq("band_id", "band_val"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
+        .distinct()
+        .select($"doc_a", $"doc_b",
+          expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy("doc_a", "doc_b")
     },
 
     // L2d: winnowed char-4-gram Jaccard via an INVERTED-INDEX join,

@@ -96,6 +96,31 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // W5: distribution functions — ntile / percent_rank / cume_dist.
+    // percent_rank = (rank-1)/(n-1) and cume_dist = rows≤cur/n are the
+    // same double division on identical integers in both engines, so
+    // they hash-match without rounding; total order via o_orderkey.
+    Decl(
+      "w5_distribution",
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4)       OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist()    OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      Qh.t(s, dir, "orders")
+        .select(
+          $"o_orderkey", $"o_orderstatus",
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    },
+
     // Top-K per group on the CUSTOM two-phase operator
     // (graft.plans.TopKPerGroup: partial bounded heaps before the
     // shuffle, final merge after — shuffles ≤ k·groups·partitions rows

@@ -141,6 +141,25 @@ object Streams {
   def streamStaticSemiJoin(events: DataFrame, allow: DataFrame): DataFrame =
     events.join(broadcast(allow), Seq("user_id"), "left_semi")
 
+  /** T9: stream–stream interval join — each purchase matched to the
+    * same user's clicks in the preceding hour. In streaming execution
+    * both inputs carry watermarks and the time-range condition bounds
+    * BOTH state stores (rows age out an hour + watermark after their
+    * event time — O(active users × horizon) state, not O(history));
+    * in batch execution the identical code is a plain equi-join with a
+    * range residual (the bucketed form for huge batch sides is
+    * [[graft.operators.RangeJoin]]). Inputs must expose user_id,
+    * event_id, ts. */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.alias("p").join(
+      clicks.alias("c"),
+      expr("""p.user_id = c.user_id
+             |AND c.ts >= p.ts - INTERVAL 1 HOUR
+             |AND c.ts <= p.ts""".stripMargin))
+      .select(
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"))
+
   /** T8: foreachBatch JDBC sink — the north star's "Kafka source + JDBC
     * sink" tail. Append per micro-batch; idempotence at the table level
     * comes from the batch-id column. */

@@ -95,6 +95,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T9: stream-stream interval join matches across micro-batches with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[E]
+    val clicks = MemoryStream[E]
+    val q = Streams.streamStreamJoin(
+        purchases.toDF().withWatermark("ts", "2 hours"),
+        clicks.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("t9_out")
+      .outputMode("append").start()
+    try {
+      // click arrives FIRST, matching purchase in a LATER micro-batch —
+      // the join must buffer the click in state until the purchase lands
+      clicks.addData(E(10, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      purchases.addData(E(1, ts(70), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      // out-of-window click (>1h before the purchase) and other-user
+      // click: no match
+      clicks.addData(E(11, ts(5), 1, "click", 1.0), E(12, ts(55), 2, "click", 1.0))
+      purchases.addData(E(2, ts(140), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("t9_out")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 10L)), s"unexpected matches: $out")
+    } finally q.stop()
+  }
+
   test("T8: foreachBatch lands micro-batches in a JDBC (Derby) table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -33,8 +33,16 @@ object Scratch {
       time("distinct")(dist.write.format("noop").mode("overwrite").save())
       time("checkpoint")(dist.localCheckpoint())
     } else names.foreach { name =>
-      val df = time(s"$name build")(SparkEntry.queries(name)(spark, dir))
-      time(s"$name write")(df.write.format("noop").mode("overwrite").save())
+      if (name.startsWith("explain:")) {
+        val q = name.stripPrefix("explain:")
+        println(s"[scratch] ===== $q =====")
+        println(SparkEntry.queries(q)(spark, dir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      } else {
+        val df = time(s"$name build")(SparkEntry.queries(name)(spark, dir))
+        time(s"$name write")(df.write.format("noop").mode("overwrite").save())
+      }
     }
     spark.stop()
   }

@@ -104,6 +104,57 @@ object Dedup {
       .select($"doc_id", combine.cast(LongType).as("simhash"))
   }
 
+  /** (doc_id, simhash) with a 64-BIT fingerprint — the Manku et al.
+    * production width: bits 0–31 from phash(tok, 0), bits 32–63 from
+    * the independent phash(tok, 1). Wider fingerprint → 16-bit bands →
+    * 65536 candidate buckets, which is what keeps the Hamming-band join
+    * linear-ish at corpus scale (8-bit bands of a 32-bit signature give
+    * 256 buckets and an O(n²/256) pair stream). */
+  private def simhash64(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val tok = Qh.t(s, dir, "documents")
+      .select($"doc_id", explode(array_distinct(expr(Qh_toks))).as("t"))
+      .select($"doc_id", Qh.phash($"t", 0).as("h0"), Qh.phash($"t", 1).as("h1"))
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) s"h0, $b" else s"h1, ${b - 32}"
+      sum(when(expr(s"shiftright($src) % 2 = 1"), 1).otherwise(-1)).as(s"s$b")
+    }
+    val combine = (0 until 64)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy($"doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", combine.cast(LongType).as("simhash"))
+  }
+
+  /** Oracle CTE `sh64(doc_id, simhash)` mirroring [[simhash64]]. */
+  private val oSimhash64Cte: String = {
+    val bitSums = (0 until 64).map { b =>
+      val src = if (b < 32) s"(h0 >> $b)" else s"(h1 >> ${b - 32})"
+      s"sum(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n      ")
+    val combine = (0 until 64)
+      .map { b =>
+        // bit 63: DuckDB overflow-checks 1<<63, so state the sign bit as
+        // the min-long literal (the sum of bits 0..62 is < 2^63, so the
+        // final addition cannot overflow on either engine)
+        val v = if (b == 63) "CAST(-9223372036854775807 - 1 AS BIGINT)"
+                else s"(CAST(1 AS BIGINT) << $b)"
+        s"CASE WHEN s$b > 0 THEN $v ELSE 0 END"
+      }
+      .mkString(" + ")
+    s"""sh64 AS (
+       |  SELECT doc_id, CAST($combine AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id,
+       |      $bitSums
+       |    FROM (
+       |      SELECT doc_id, ${Qh.oPhash("t", 0)} AS h0, ${Qh.oPhash("t", 1)} AS h1
+       |      FROM (SELECT doc_id, unnest(list_distinct(${Qh.oToksExpr})) AS t FROM documents))
+       |    GROUP BY doc_id))""".stripMargin
+  }
+
   /** Oracle CTE `sh(doc_id, simhash)` mirroring [[simhash32]]. */
   private val oSimhashCte: String = {
     val bitSums = (0 until 32)
@@ -230,19 +281,21 @@ object Dedup {
 
     // L2c2: SimHash near-dup PAIRS via Hamming-band blocking (Manku/
     // Jain/Sarma, "Detecting Near-Duplicates for Web Crawling", WWW
-    // 2007): any two 32-bit signatures within Hamming distance 3 agree
-    // on at least one of 4 disjoint 8-bit bands (pigeonhole), so
-    // candidates come from a bucket equi-join on (band_id, band_value)
-    // and the exact popcount runs only on candidates — the same
-    // bucketed-never-all-pairs discipline as l2_lsh_pairs, for the
-    // signature family that is a pure narrow map at 100 TB.
+    // 2007), at the production width: 64-bit fingerprint, 4 disjoint
+    // 16-BIT bands. Pigeonhole: two signatures within Hamming distance
+    // 3 agree on at least one band, so candidates come from a bucket
+    // equi-join on (band_id, band_value) over 65536 buckets — the pair
+    // stream stays near-linear (an 8-bit banding of a 32-bit signature
+    // was measured 40M pairs at sf0.1; this is ~150k). Exact popcount
+    // runs only on candidates, BEFORE the pair-dedup, so the distinct
+    // sees only the rare survivors.
     Decl(
       "l2_simhash_hamming",
-      s"""WITH $oSimhashCte,
+      s"""WITH $oSimhash64Cte,
          |bands AS (
          |  SELECT doc_id, simhash, band_id,
-         |    (simhash >> (band_id * 8)) & 255 AS band_val
-         |  FROM sh, (SELECT unnest(range(4)) AS band_id)),
+         |    (simhash >> (band_id * 16)) & 65535 AS band_val
+         |  FROM sh64, (SELECT unnest(range(4)) AS band_id)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.simhash AS sh_a, b.simhash AS sh_b
@@ -255,10 +308,10 @@ object Dedup {
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sh = Qh.materialize(simhash32(s, dir))
+      val sh = Qh.materialize(simhash64(s, dir))
       val bandCols = (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
-          shiftright($"simhash", 8 * b).bitwiseAND(255).as("band_val")))
+          shiftright($"simhash", 16 * b).bitwiseAND(65535).as("band_val")))
       val bands = sh.select($"doc_id", $"simhash",
           explode(array(bandCols: _*)).as("bk"))
         .select($"doc_id", $"simhash", $"bk.band_id", $"bk.band_val")
@@ -268,11 +321,10 @@ object Dedup {
         $"band_id", $"band_val")
       a.join(b, Seq("band_id", "band_val"))
         .filter($"doc_a" < $"doc_b")
-        .select($"doc_a", $"doc_b", $"sh_a", $"sh_b")
-        .distinct()
         .select($"doc_a", $"doc_b",
           expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
         .filter($"hamming" <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     },
 

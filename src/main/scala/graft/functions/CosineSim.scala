@@ -199,6 +199,18 @@ object GraftFunctions {
       args => org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(args(0), args(1)),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "md5_prefix32",
+      args => Md5Prefix32(args(0), litSeed(args(1), "md5_prefix32")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "md5_words32",
+      args => Md5Words32(args(0), litSeed(args(1), "md5_words32")),
+      "scala_udf")
   }
+
+  private def litSeed(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval().asInstanceOf[Number].intValue()
+    else throw new IllegalArgumentException(s"$fn: seed must be a literal integer")
 
 }

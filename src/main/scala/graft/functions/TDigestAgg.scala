@@ -29,21 +29,27 @@ object TDigestAgg {
   /** Points buffered before an executor-side compress (amortizes sort). */
   private val BufCap = 512
 
+  /** `pending` is a fixed-capacity scratch buffer filled to `nPending`
+    * — appending a point is an O(1) in-place write + a small case-class
+    * copy, NOT a full array copy per row (the buffer object lives
+    * deserialized inside the hash map between rows; it only crosses the
+    * wire at partial/final boundaries). */
   final case class TD(
       means: Array[Double],
       weights: Array[Double],
-      pending: Array[Double])
+      pending: Array[Double],
+      nPending: Int)
 
   private def compress(td: TD): TD = {
-    val n = td.means.length + td.pending.length
-    if (n == 0) return TD(Array.empty, Array.empty, Array.empty)
+    val n = td.means.length + td.nPending
+    if (n == 0) return TD(Array.empty, Array.empty, Array.empty, 0)
     // gather (mean, weight) pairs: existing centroids + pending points
     val ms = new Array[Double](n)
     val ws = new Array[Double](n)
     System.arraycopy(td.means, 0, ms, 0, td.means.length)
     System.arraycopy(td.weights, 0, ws, 0, td.means.length)
     var i = 0
-    while (i < td.pending.length) {
+    while (i < td.nPending) {
       ms(td.means.length + i) = td.pending(i)
       ws(td.means.length + i) = 1.0
       i += 1
@@ -70,7 +76,7 @@ object TDigestAgg {
       i += 1
     }
     outM += curM; outW += curW
-    TD(outM.toArray, outW.toArray, Array.empty)
+    TD(outM.toArray, outW.toArray, Array.empty, 0)
   }
 
   /** Quantile by linear interpolation between centroid midpoints. */
@@ -100,21 +106,22 @@ object TDigestAgg {
 
   /** Aggregator producing the q-quantile estimate of a Double column. */
   final case class TDigestQuantile(q: Double) extends Aggregator[Double, TD, Double] {
-    override def zero: TD = TD(Array.empty, Array.empty, Array.empty)
+    override def zero: TD = TD(Array.empty, Array.empty, new Array[Double](BufCap), 0)
 
     override def reduce(b: TD, x: Double): TD = {
-      val p = new Array[Double](b.pending.length + 1)
-      System.arraycopy(b.pending, 0, p, 0, b.pending.length)
-      p(b.pending.length) = x
-      val nb = TD(b.means, b.weights, p)
-      if (p.length >= BufCap) compress(nb) else nb
+      val p = if (b.pending.length == 0) new Array[Double](BufCap) else b.pending
+      p(b.nPending) = x
+      if (b.nPending + 1 >= p.length)
+        compress(TD(b.means, b.weights, p, b.nPending + 1))
+      else TD(b.means, b.weights, p, b.nPending + 1)
     }
 
     override def merge(a: TD, b: TD): TD =
       compress(TD(
         a.means ++ b.means,
         a.weights ++ b.weights,
-        a.pending ++ b.pending))
+        a.pending.take(a.nPending) ++ b.pending.take(b.nPending),
+        a.nPending + b.nPending))
 
     override def finish(r: TD): Double = quantile(r, q)
 

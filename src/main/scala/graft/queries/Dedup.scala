@@ -53,12 +53,16 @@ object Dedup {
         "shingles",
         expr("""array_distinct(transform(sequence(0, size(toks) - 3),
                |  i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))))""".stripMargin))
-      .withColumn("d0", expr("transform(shingles, t -> md5(concat(t, '#0')))"))
-      .withColumn("d1", expr("transform(shingles, t -> md5(concat(t, '#1')))"))
+      // native md5_words32: the 4 hash words per digest straight from
+      // the bytes (same values as the oracle's hex slicing — see
+      // PortableHashSpec), skipping hex-encode + substring + conv in
+      // the innermost per-shingle loop
+      .withColumn("d0", expr("transform(shingles, t -> md5_words32(t, 0))"))
+      .withColumn("d1", expr("transform(shingles, t -> md5_words32(t, 1))"))
   }
 
   private def sigCol(i: Int): String =
-    s"array_min(transform(d${i / 4}, h -> cast(conv(substring(h, ${1 + 8 * (i % 4)}, 8), 16, 10) as bigint)))"
+    s"array_min(transform(d${i / 4}, w -> element_at(w, ${i % 4 + 1})))"
 
   private def oSigCol(i: Int): String =
     s"list_min(list_transform(d${i / 4}, h -> CAST(concat('0x', substr(h, ${1 + 8 * (i % 4)}, 8)) AS BIGINT)))"

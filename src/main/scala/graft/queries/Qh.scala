@@ -52,9 +52,13 @@ object Qh {
   def oAvg2(x: String): String = s"(${oSum2(x)} / count(*))"
 
   // ---- portable 32-bit hash (identical text → identical value in
-  // Spark and DuckDB: first 8 hex chars of md5, parsed base-16) ----
+  // Spark and DuckDB: first 8 hex chars of md5, parsed base-16).
+  // Engine side runs the native graft.functions.Md5Prefix32 — same
+  // value straight from digest bytes, no hex-encode/parse round trip
+  // (equality property-tested in PortableHashSpec); the oracle states
+  // the hex formula. ----
   def phash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(c, lit(s"#$seed"))), 1, 8), 16, 10).cast(LongType)
+    call_function("md5_prefix32", c, lit(seed))
   def oPhash(x: String, seed: Int): String =
     s"CAST(concat('0x', substr(md5(concat($x, '#$seed')),1,8)) AS BIGINT)"
 

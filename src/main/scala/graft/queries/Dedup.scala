@@ -88,6 +88,69 @@ object Dedup {
   // object vals initialize in declaration order)
   private val Qh_toks = Qh.toksExpr
 
+  /** Oracle CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * banded-LSH near-dup pairs with exact Jaccard ≥ 0.2 (mirrors
+    * [[lshPairs]]). Shared by l2_lsh_pairs and l2_dedup_clusters. */
+  private lazy val oPairsCte: String =
+    s"""$oSigs,
+       |bands AS (
+       |  SELECT doc_id, band_id,
+       |    CASE band_id WHEN 0 THEN concat(sig0, '_', sig1)
+       |                 WHEN 1 THEN concat(sig2, '_', sig3)
+       |                 WHEN 2 THEN concat(sig4, '_', sig5)
+       |                 ELSE concat(sig6, '_', sig7) END AS band_key
+       |  FROM sigs, (SELECT unnest(range(4)) AS band_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2)""".stripMargin
+
+  /** Banded-LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.2),
+    * ordered — mirrors [[oPairsCte]]. Signatures are MATERIALIZED once
+    * (Qh.materialize — durability mode is a config: localCheckpoint for
+    * local bench, DISK_ONLY persist / reliable checkpoint for long
+    * cluster runs) and reused by the band self-join + both jaccard
+    * sides, instead of recomputing the md5 pipeline per consumer. */
+  private def lshPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sigs = Qh.materialize(
+      withShingles(Qh.t(s, dir, "documents"))
+        .select($"doc_id" +: $"shingles" +:
+          (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
+    val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
+      struct(lit(id).as("band_id"),
+        concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
+    }
+    val bands = sigs
+      .select($"doc_id", explode(array(bandKey: _*)).as("b"))
+      .select($"doc_id", $"b.band_id", $"b.band_key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sa = sigs.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
+    val sb = sigs.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
+    val ni = size(array_intersect($"sh_a", $"sh_b"))
+    val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select($"doc_a", $"doc_b", jac.as("jaccard"))
+      .filter($"jaccard" >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** (doc_id, simhash): 32-bit Charikar signature — one hash per
     * distinct token, then a single partial+final agg with 32 per-bit ±1
     * sums. Shared by l2_simhash (signatures) and l2_simhash_hamming
@@ -216,59 +279,60 @@ object Dedup {
     // Bucket equi-join on (band_id, band_key) — no cross join anywhere.
     Decl(
       "l2_lsh_pairs",
-      s"""WITH $oSigs,
-         |bands AS (
-         |  SELECT doc_id, band_id,
-         |    CASE band_id WHEN 0 THEN concat(sig0, '_', sig1)
-         |                 WHEN 1 THEN concat(sig2, '_', sig3)
-         |                 WHEN 2 THEN concat(sig4, '_', sig5)
-         |                 ELSE concat(sig6, '_', sig7) END AS band_key
-         |  FROM sigs, (SELECT unnest(range(4)) AS band_id)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-         |FROM cand
-         |JOIN sigs sa ON sa.doc_id = doc_a
-         |JOIN sigs sb ON sb.doc_id = doc_b
-         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+      s"""WITH $oPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      lshPairs(s, dir)
+    },
+
+    // L2b2: connected-components dedup CLUSTERING — the step after pair
+    // mining in every production dedup pipeline: near-dup pairs form a
+    // graph; each doc keeps the MIN doc_id of its component as the
+    // canonical id (transitive closure, so a~b~c collapses to one
+    // cluster even when a~c was never a candidate pair). Engine side is
+    // iterative min-label propagation over the edge list — each round
+    // one equi-join + one min-agg, O(diameter) rounds (near-dup
+    // clusters are shallow; production uses the same loop or its
+    // large-star/small-star variant, Kiveris et al. 2014). The round
+    // boundary materializes via Qh.materialize so lineage stays flat.
+    // The oracle states the same closure as a recursive CTE.
+    Decl(
+      "l2_dedup_clusters",
+      s"""WITH RECURSIVE $oPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+         |SELECT v AS doc_id, min(l) AS component, min(l) = v AS is_canonical
+         |FROM reach
+         |GROUP BY v
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // signatures are MATERIALIZED once (Qh.materialize — durability
-      // mode is a config: localCheckpoint for local bench, DISK_ONLY
-      // persist / reliable checkpoint for long cluster runs) and reused
-      // by the band self-join + both jaccard sides, instead of
-      // recomputing the md5 pipeline per consumer
-      val sigs = Qh.materialize(
-        withShingles(Qh.t(s, dir, "documents"))
-          .select($"doc_id" +: $"shingles" +:
-            (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
-      val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
-        struct(lit(id).as("band_id"),
-          concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
+      val pairs = lshPairs(s, dir)
+      val edges = Qh.materialize(
+        pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+          .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+      var labels = Qh.materialize(
+        Qh.t(s, dir, "documents").select($"doc_id".as("v"), $"doc_id".as("l")))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val prop = edges.join(labels, $"src" === $"v")
+          .select($"dst".as("v"), $"l")
+        val next = Qh.materialize(
+          labels.union(prop).groupBy($"v").agg(min($"l").as("l")))
+        converged = next.as("n").join(labels.as("o"), $"n.v" === $"o.v")
+          .filter($"n.l" < $"o.l").isEmpty
+        labels = next
+        rounds += 1
       }
-      val bands = sigs
-        .select($"doc_id", explode(array(bandKey: _*)).as("b"))
-        .select($"doc_id", $"b.band_id", $"b.band_key")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
-      val sa = sigs.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
-      val sb = sigs.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
-      val ni = size(array_intersect($"sh_a", $"sh_b"))
-      val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select($"doc_a", $"doc_b", jac.as("jaccard"))
-        .filter($"jaccard" >= 0.2)
-        .orderBy("doc_a", "doc_b")
+      labels.select($"v".as("doc_id"), $"l".as("component"),
+          ($"l" === $"v").as("is_canonical"))
+        .orderBy("doc_id")
     },
 
     // L2c: 32-bit SimHash — explode distinct tokens (ONE hash per token),

@@ -85,6 +85,29 @@ object Sources {
         .orderBy("c_mktsegment")
     },
 
+    // S7: ORC round trip — the second columnar format (built-in Spark
+    // source, predicate pushdown + vectorized read like parquet). The
+    // oracle reads the ORIGINAL parquet, so any value corruption in the
+    // ORC write→read loop breaks the hash.
+    Decl(
+      "s7_orc_roundtrip",
+      s"""SELECT o_orderstatus,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total_price
+         |FROM orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s7_orc")
+      Qh.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .write.mode(SaveMode.Overwrite).orc(path)
+      s.read.orc(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // S3: JDBC round trip through embedded Derby — the user_filter
     // dimension (sql/createUserFilter.sql shape: user_id + partition)
     // written via df.write.jdbc, read back via spark.read.jdbc, then

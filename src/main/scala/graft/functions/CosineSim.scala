@@ -207,6 +207,10 @@ object GraftFunctions {
       "md5_words32",
       args => Md5Words32(args(0), litSeed(args(1), "md5_words32")),
       "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bin_word32",
+      args => BinWord32(args(0), args(1)),
+      "scala_udf")
   }
 
   private def litSeed(e: Expression, fn: String): Int =

@@ -83,6 +83,57 @@ case class Md5Prefix32(child: Expression, seed: Int) extends UnaryExpression {
   override def prettyName: String = "md5_prefix32"
 }
 
+/** `bin_word32(bin, pos)` ≡ `conv(hex(substring(bin, pos+1, 4)), 16,
+  * 10)` — the big-endian word of up to 4 bytes at 0-based `pos` of a
+  * BINARY column, without the hex encode + base-16 parse. Sits in the
+  * innermost loop of the n-gram family (one evaluation per character
+  * position of every document). */
+case class BinWord32(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bin_word32 expects (binary, int), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(b: Any, p: Any): Any =
+    BinWord32.word(b.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, p) => s"graft.functions.BinWord32.word($b, (int)($p))")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BinWord32 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "bin_word32"
+}
+
+object BinWord32 {
+  /** Big-endian fold of up to 4 bytes from `pos` — exactly what
+    * hex-encoding that slice and parsing base-16 yields (short slices
+    * near the end of the buffer fold fewer bytes, like substring). */
+  def word(bytes: Array[Byte], pos: Int): Long = {
+    var v = 0L
+    var i = math.max(pos, 0)
+    val end = math.min(bytes.length, pos + 4)
+    while (i < end) {
+      v = (v << 8) | (bytes(i) & 0xffL)
+      i += 1
+    }
+    v
+  }
+}
+
 /** `md5_words32(str, seed)` — all four MD5 words as array<long>; one
   * digest yields four independent 32-bit hash families (the minhash
   * trick: 8 signatures from 2 digests). */

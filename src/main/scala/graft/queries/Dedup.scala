@@ -446,7 +446,9 @@ object Dedup {
           $"text".cast(BinaryType).as("bin"),
           explode(sequence(lit(0), length($"text") - 4)).as("i"))
         .select($"doc_id", $"lang", $"source",
-          expr("cast(conv(hex(substring(bin, i + 1, 4)), 16, 10) as bigint)").as("gram"))
+          // native bin_word32 ≡ conv(hex(substring(bin, i+1, 4)), 16, 10)
+          // without the hex round trip (PortableHashSpec pins equality)
+          expr("bin_word32(bin, i)").as("gram"))
         .filter($"gram" % 4 === 0)
         .distinct()
       // per-doc sizes via a tiny agg + broadcast join back — cheaper

@@ -40,6 +40,20 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("bin_word32(bin, i) == conv(hex(substring(bin, i+1, 4)), 16, 10), incl. short tails") {
+    import spark.implicits._
+    val rows = samples.filter(_.nonEmpty).toDF("s")
+      .select($"s".cast("binary").as("bin"),
+        explode(sequence(lit(0), length($"s") - 1)).as("i"))
+      .select(
+        call_function("bin_word32", $"bin", $"i").as("native"),
+        conv(hex(expr("substring(bin, i + 1, 4)")), 16, 10)
+          .cast("bigint").as("formula"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} formula=${r.getLong(1)}"))
+  }
+
   test("codegen and interpreted paths agree") {
     import spark.implicits._
     val df = samples.toDF("s")

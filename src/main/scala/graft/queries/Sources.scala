@@ -136,6 +136,36 @@ object Sources {
         .agg(count(lit(1)).as("n_allowed"), countDistinct($"user_id").as("n_users"))
     },
 
+    // S8: the custom DataSourceV2 source (graft.sources.EnvelopeSource)
+    // reading the reference's Kafka WIRE FORMAT back as a table — the
+    // "import" direction, full TableProvider → PartitionReader stack
+    // with column pruning + in-reader filter evaluation. The loop:
+    // events → KafkaIO.toEnvelope (R7+R8 bytes) → JSONL landing files →
+    // custom source with a pushed event_type filter → agg, hash-checked
+    // against DuckDB on the ORIGINAL parquet. A parse bug, a pushdown
+    // bug, or an envelope-shape drift all break the hash.
+    Decl(
+      "s8_envelope_source",
+      s"""SELECT user_id,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_type = 'purchase'
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s8_envelope")
+      KafkaIO.toEnvelope(Qh.t(s, dir, "events"))
+        .select($"value")
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read.format("graft.sources.EnvelopeSource")
+        .option("path", path).load()
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("user_id")
+    },
+
     // S5: the Kafka wire format — key + envelope value bytes exactly as
     // they would land on the topic (R7+R8+R9 serialization surface).
     Decl(

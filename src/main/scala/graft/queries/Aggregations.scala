@@ -274,16 +274,17 @@ object Aggregations {
       Qh.t(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("_e50"),
-          expr("percentile(l_extendedprice, 0.95)").as("_e95"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_a50"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("_a95"))
+          // array form: ONE value buffer / ONE sketch serves both
+          // quantiles (two scalar calls would buffer the column twice)
+          expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("_e"),
+          expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 10000)").as("_a"))
         .select(
           $"l_returnflag",
-          Qh.r6($"_e50").as("exact_p50"),
-          Qh.r6($"_e95").as("exact_p95"),
-          ((abs($"_a50" - $"_e50") <= $"_e50" * 0.01 + 1) &&
-            (abs($"_a95" - $"_e95") <= $"_e95" * 0.01 + 1)).as("approx_ok"))
+          Qh.r6(element_at($"_e", 1)).as("exact_p50"),
+          Qh.r6(element_at($"_e", 2)).as("exact_p95"),
+          ((abs(element_at($"_a", 1) - element_at($"_e", 1)) <= element_at($"_e", 1) * 0.01 + 1) &&
+            (abs(element_at($"_a", 2) - element_at($"_e", 2)) <= element_at($"_e", 2) * 0.01 + 1))
+            .as("approx_ok"))
         .orderBy("l_returnflag")
     },
 

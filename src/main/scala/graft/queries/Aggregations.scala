@@ -148,6 +148,30 @@ object Aggregations {
         .orderBy("status", "priority")
     },
 
+    // A4c: explicit GROUPING SETS — the general form rollup/cube sugar
+    // over; executed as one Expand + hash agg (each input row fans out
+    // once per set, partial combine still applies).
+    Decl(
+      "a4_grouping_sets",
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |  coalesce(o_orderpriority, '(all)') AS priority,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "orders").createOrReplaceTempView("a4_orders")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, '(all)') AS status,
+          |  coalesce(o_orderpriority, '(all)') AS priority,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM a4_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    },
+
     Decl(
       "a4_cube",
       """SELECT coalesce(l_returnflag, '(all)') AS rflag,

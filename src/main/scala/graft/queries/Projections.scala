@@ -192,6 +192,26 @@ object Projections {
         .orderBy("event_id")
     },
 
+    // P9d: posexplode — ordinality-preserving flatten (the position is
+    // data, e.g. embedding dimension index). DuckDB zips two unnests
+    // positionally for the same relation.
+    Decl(
+      "p9_posexplode",
+      """SELECT vec_id,
+        |  unnest(range(len(embedding))) AS pos,
+        |  CAST(unnest(embedding) AS DOUBLE) AS val
+        |FROM embeddings
+        |WHERE vec_id < 20
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "embeddings")
+        .filter($"vec_id" < 20)
+        .select($"vec_id", posexplode($"embedding"))
+        .select($"vec_id", $"pos".cast(LongType).as("pos"),
+          $"col".cast(DoubleType).as("val"))
+        .orderBy("vec_id", "pos")
+    },
+
     // P8b: the §1.2 dynamic-document model beyond flat string maps —
     // a NESTED payload (struct-in-array + DecimalType field) carried as
     // an opaque JSON string and lazily typed back with from_json. The

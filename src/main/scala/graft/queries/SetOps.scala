@@ -94,6 +94,35 @@ object SetOps {
       Qh.t(s, dir, "customer").select($"c_custkey")
         .except(Qh.t(s, dir, "orders").select($"o_custkey".as("c_custkey")))
         .orderBy("c_custkey")
+    },
+
+    // O4b: the multiset (ALL) variants — bag semantics preserve
+    // duplicate counts, which matters when the inputs are fact streams
+    // rather than key sets (e.g. per-order line multiplicities).
+    Decl(
+      "o4_intersect_all",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = Qh.t(s, dir, "orders")
+      o.filter($"o_orderstatus" === "O").select($"o_custkey")
+        .intersectAll(o.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    Decl(
+      "o4_except_all",
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val o = Qh.t(s, dir, "orders")
+      o.select($"o_custkey")
+        .exceptAll(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+        .orderBy("o_custkey")
     }
   )
 }

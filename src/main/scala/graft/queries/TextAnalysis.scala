@@ -412,6 +412,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L10: corpus profiling — the ANALYZE-style health check a pipeline
+    // runs before training: row/null/distinct counts and value ranges
+    // per column, one scan, one partial+final agg (distincts partial-
+    // aggregate per group like any countDistinct).
+    Decl(
+      "l10_profile",
+      s"""SELECT count(*) AS n_rows,
+         |  count(text) AS text_nonnull,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT source) AS n_sources,
+         |  min(n_chars) AS min_chars,
+         |  max(n_chars) AS max_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  count(*) FILTER (WHERE length(text) = n_chars) AS len_consistent
+         |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"text").as("text_nonnull"),
+          countDistinct($"lang").as("n_langs"),
+          countDistinct($"source").as("n_sources"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+          sum($"n_chars").as("total_chars"),
+          count(when(length($"text") === $"n_chars", lit(1))).as("len_consistent"))
+    },
+
     // L5: corpus histograms — lang × source counts + n_chars stats.
     Decl(
       "l5_histogram",

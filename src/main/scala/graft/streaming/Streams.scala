@@ -168,4 +168,39 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("append").jdbc(url, table, props)
+
+  /** T8b: IDEMPOTENT JDBC sink — delete-then-insert keyed by batch id,
+    * in one transaction per micro-batch. Structured Streaming is
+    * at-least-once into foreachBatch (a batch can be re-delivered after
+    * failure with the SAME batchId); replaying `DELETE WHERE batch_id =
+    * ? ; INSERT …` makes the table state exactly-once. This is the
+    * standard upsert recipe for JDBC sinks without MERGE support. The
+    * batch collects through toLocalIterator-free collect() — callers
+    * bound micro-batch size via maxFilesPerTrigger/maxOffsetsPerTrigger;
+    * a production variant streams per-partition connections. */
+  def jdbcIdempotentWriter(
+      url: String, table: String, props: java.util.Properties)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch.select(
+      col("event_id").cast("long"),
+      col("user_id").cast("long"),
+      col("value").cast("double")).collect()
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      val del = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
+      del.setLong(1, batchId); del.executeUpdate(); del.close()
+      val ins = conn.prepareStatement(
+        s"INSERT INTO $table (event_id, user_id, value, batch_id) VALUES (?, ?, ?, ?)")
+      rows.foreach { r =>
+        ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
+        ins.setDouble(3, r.getDouble(2)); ins.setLong(4, batchId)
+        ins.addBatch()
+      }
+      ins.executeBatch(); ins.close()
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
 }

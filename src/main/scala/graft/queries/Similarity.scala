@@ -110,6 +110,48 @@ object Similarity {
       .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
   }
 
+  // ---- Product quantization (Jégou/Douze/Schmid, TPAMI 2011) ----
+  // M=8 subvectors × 8 dims, K=16 codes per subvector. Codebooks are
+  // model parameters (literals — production fits them with k-means on a
+  // sample; deterministic ±1 stand-ins here keep the DuckDB oracle
+  // exact, same framing as the LSH planes / IVF centroids).
+  val PqM = 8
+  val PqK = 16
+  val PqSub = Dim / PqM
+
+  /** Deterministic ±1 codebook vector for (subvector m, code k). */
+  lazy val pqCodebook: IndexedSeq[IndexedSeq[Seq[Float]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until PqM).map { m =>
+      (0 until PqK).map { k =>
+        (0 until PqSub).map { i =>
+          val h = md.digest(s"pq_${m}_${k}_$i".getBytes("UTF-8"))
+          if ((h(0) & 1) == 1) 1.0f else -1.0f
+        }
+      }
+    }
+  }
+
+  private def oPqCbCte: String = {
+    val rows = for (m <- 0 until PqM; k <- 0 until PqK)
+      yield s"($m, $k, ${pqCodebook(m)(k).map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]")})"
+    s"pqcb(m, k, cvec) AS (SELECT * FROM (VALUES ${rows.mkString(", ")}))"
+  }
+
+  /** Oracle-side squared L2 as the same left fold [[l2]] runs. */
+  private def oL2(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len($x)), i -> (CAST($x[i+1] AS DOUBLE) - CAST($y[i+1] AS DOUBLE)) * (CAST($x[i+1] AS DOUBLE) - CAST($y[i+1] AS DOUBLE)))), (a, b) -> a + b)"
+
+  private def l2(x: Column, y: Column): Column =
+    call_function("l2_sq", x, y)
+
+  private def cbLit(m: Int, k: Int): Column =
+    array(pqCodebook(m)(k).map(lit): _*)
+
+  private def subvec(e: Column, m: Int): Column =
+    slice(e, m * PqSub + 1, PqSub)
+
+
   val decls: Seq[Decl] = Seq(
 
     // Brute-force cosine top-3 for query vectors vec_id < 5.
@@ -252,6 +294,72 @@ object Similarity {
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
       cand.join(qe, "query_id").join(ce, "neighbor_id")
         .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // PQ ANN: encode each corpus vector as 8 four-bit codes (argmin
+    // squared-L2 to the subvector codebook — a NARROW map over literal
+    // codebooks), then score query↔corpus with asymmetric distance
+    // computation: each query precomputes its 8×16 lookup table once
+    // and a pair costs 8 table lookups instead of a 64-dim pass. The
+    // memory story at 100 TB: 8 bytes/vector instead of 256 — the
+    // corpus codes fit where raw vectors cannot. Per-code distances are
+    // r6-rounded (ties → min k) and the 8-term ADC sum folds in fixed
+    // m-order on both engines, so ranks hash-match.
+    Decl(
+      "l3_ann_pq", {
+        val qSub = (m: String) => s"q.embedding[$m*${PqSub}+1 : $m*${PqSub}+${PqSub}]"
+        s"""WITH ${oPqCbCte},
+           |codes AS (
+           |  SELECT vec_id, m, k FROM (
+           |    SELECT e.vec_id, c.m, c.k,
+           |      row_number() OVER (PARTITION BY e.vec_id, c.m
+           |        ORDER BY ${Qh.oR6(oL2(s"e.embedding[c.m*${PqSub}+1 : c.m*${PqSub}+${PqSub}]", "c.cvec"))}, c.k) AS rn
+           |    FROM embeddings e, pqcb c) WHERE rn = 1),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, c.m, c.k,
+           |    ${Qh.oR6(oL2(s"q.embedding[c.m*${PqSub}+1 : c.m*${PqSub}+${PqSub}]", "c.cvec"))} AS d
+           |  FROM embeddings q, pqcb c WHERE q.vec_id < 20),
+           |pair AS (
+           |  SELECT qd.query_id, co.vec_id AS neighbor_id,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.d ORDER BY qd.m)), (a, b) -> a + b) AS adist
+           |  FROM codes co JOIN qd ON qd.m = co.m AND qd.k = co.k
+           |  WHERE co.vec_id <> qd.query_id
+           |  GROUP BY qd.query_id, co.vec_id)
+           |SELECT query_id, neighbor_id, adist, rnk FROM (
+           |  SELECT query_id, neighbor_id, adist,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+           |  FROM pair) WHERE rnk <= 3
+           |ORDER BY query_id, rnk""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val e = Qh.t(s, dir, "embeddings")
+      // corpus side: 8 codes per vector, computed map-side. argmin =
+      // array_min over (rounded distance, k) structs — lexicographic
+      // struct ordering gives min-distance-then-min-k, matching the
+      // oracle's row_number tiebreak.
+      def codeCol(emb: Column, m: Int): Column =
+        array_min(array((0 until PqK).map(k =>
+          struct(Qh.r6(l2(subvec(emb, m), cbLit(m, k))).as("d"),
+            lit(k).as("k"))): _*)).getField("k")
+      val corpus = e.select(
+        $"vec_id".as("neighbor_id") +:
+          (0 until PqM).map(m => codeCol($"embedding", m).as(s"c$m")): _*)
+      // query side (broadcast): the 8×16 ADC lookup tables
+      val queries = e.filter($"vec_id" < 20).select(
+        $"vec_id".as("query_id") +:
+          (0 until PqM).map(m =>
+            array((0 until PqK).map(k =>
+              Qh.r6(l2(subvec($"embedding", m), cbLit(m, k)))): _*).as(s"qt$m")): _*)
+      val adist = (0 until PqM)
+        .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
+        .reduce(_ + _)
+      val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id")
+      corpus.crossJoin(broadcast(queries))
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id", adist.as("adist"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .orderBy("query_id", "rnk")

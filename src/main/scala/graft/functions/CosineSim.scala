@@ -212,6 +212,73 @@ case class L2Sq(left: Expression, right: Expression)
   override def prettyName: String = "l2_sq"
 }
 
+/** `l2_sq_at(x, y, offset)` ≡ `l2_sq(slice(x, offset+1, len(y)), y)`
+  * without materializing the slice — the inner loop reads
+  * `x[offset+i]` directly. The PQ encode evaluates 128 subvector
+  * distances per row; slicing would allocate 128 arrays per row. */
+case class L2SqAt(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def arr(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val intish = third.dataType == IntegerType || third.dataType == LongType
+    if (arr(first.dataType) && arr(second.dataType) && intish)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_sq_at expects (array<float>, array<float>, int), got " +
+          s"(${first.dataType.catalogString}, ${second.dataType.catalogString}, ${third.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val off = c.asInstanceOf[Number].intValue()
+    val n = math.min(y.numElements(), math.max(0, x.numElements() - off))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(off + i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, off) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val o = ctx.freshName("off")
+      s"""
+         |int $o = (int)($off);
+         |int $n = java.lang.Math.min($y.numElements(),
+         |  java.lang.Math.max(0, $x.numElements() - $o));
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $x.getFloat($o + $i) - (double) $y.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): L2SqAt =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "l2_sq_at"
+}
+
 /** SparkSessionExtensions entry point (spark.sql.extensions-compatible). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -274,6 +341,8 @@ object GraftFunctions {
       "scala_udf")
     reg.createOrReplaceTempFunction(
       "l2_sq", args => L2Sq(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "l2_sq_at", args => L2SqAt(args(0), args(1), args(2)), "scala_udf")
   }
 
   private def litSeed(e: Expression, fn: String): Int =

@@ -142,14 +142,13 @@ object Similarity {
   private def oL2(x: String, y: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len($x)), i -> (CAST($x[i+1] AS DOUBLE) - CAST($y[i+1] AS DOUBLE)) * (CAST($x[i+1] AS DOUBLE) - CAST($y[i+1] AS DOUBLE)))), (a, b) -> a + b)"
 
-  private def l2(x: Column, y: Column): Column =
-    call_function("l2_sq", x, y)
+  /** Rounded subvector distance — `l2_sq_at` reads the subvector in
+    * place (no slice allocation; 128 of these run per corpus row). */
+  private def pqDist(e: Column, m: Int, k: Int): Column =
+    Qh.r6(call_function("l2_sq_at", e, cbLit(m, k), lit(m * PqSub)))
 
   private def cbLit(m: Int, k: Int): Column =
     array(pqCodebook(m)(k).map(lit): _*)
-
-  private def subvec(e: Column, m: Int): Column =
-    slice(e, m * PqSub + 1, PqSub)
 
 
   val decls: Seq[Decl] = Seq(
@@ -336,14 +335,18 @@ object Similarity {
       }) { (s, dir) =>
       import s.implicits._
       val e = Qh.t(s, dir, "embeddings")
-      // corpus side: 8 codes per vector, computed map-side. argmin =
-      // array_min over (rounded distance, k) structs — lexicographic
-      // struct ordering gives min-distance-then-min-k, matching the
-      // oracle's row_number tiebreak.
-      def codeCol(emb: Column, m: Int): Column =
-        array_min(array((0 until PqK).map(k =>
-          struct(Qh.r6(l2(subvec(emb, m), cbLit(m, k))).as("d"),
-            lit(k).as("k"))): _*)).getField("k")
+      // corpus side: 8 codes per vector, computed map-side with NO
+      // allocations: 16 primitive distance columns + least() + a
+      // when-chain argmin (first-match = min-k tiebreak, matching the
+      // oracle's row_number tiebreak; the min IS one of the candidates
+      // bit-exactly, so equality comparison is safe).
+      def codeCol(emb: Column, m: Int): Column = {
+        val ds = (0 until PqK).map(k => pqDist(emb, m, k))
+        val mn = least(ds: _*)
+        (1 until PqK).foldLeft(when(ds(0) === mn, 0)) {
+          (acc, k) => acc.when(ds(k) === mn, k)
+        }.otherwise(-1)
+      }
       val corpus = e.select(
         $"vec_id".as("neighbor_id") +:
           (0 until PqM).map(m => codeCol($"embedding", m).as(s"c$m")): _*)
@@ -351,8 +354,8 @@ object Similarity {
       val queries = e.filter($"vec_id" < 20).select(
         $"vec_id".as("query_id") +:
           (0 until PqM).map(m =>
-            array((0 until PqK).map(k =>
-              Qh.r6(l2(subvec($"embedding", m), cbLit(m, k)))): _*).as(s"qt$m")): _*)
+            array((0 until PqK).map(k => pqDist($"embedding", m, k)): _*)
+              .as(s"qt$m")): _*)
       val adist = (0 until PqM)
         .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
         .reduce(_ + _)

@@ -121,6 +121,73 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // W3b: event-time RANGE frame — trailing 10-minute count per user.
+    // RANGE peers are defined by the interval, so ties in ts behave
+    // identically on both engines (no ROWS-frame order sensitivity).
+    Decl(
+      "w3_time_range",
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |    RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW) AS n_trailing_10m
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      Qh.t(s, dir, "events").createOrReplaceTempView("w3b_events")
+      s.sql(
+        """SELECT event_id,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+          |    RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND CURRENT ROW) AS n_trailing_10m
+          |FROM w3b_events
+          |ORDER BY event_id""".stripMargin)
+    },
+
+    // W6: calendar densification + forward fill — the time-series
+    // gap-fill every reporting/feature pipeline needs: a common daily
+    // grid (global min..max, kept IN the plan — scalar agg + broadcast,
+    // no driver collect), per-user daily aggregates left-joined on, and
+    // the last observed total carried forward with last(ignoreNulls).
+    // Scale: the grid is |users| × |days| (tiny next to the events), the
+    // join and the fill window both key on user_id — one shuffle.
+    Decl(
+      "w6_gap_fill",
+      s"""WITH bounds AS (
+         |  SELECT CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS a,
+         |         CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS b FROM events),
+         |days AS (
+         |  SELECT CAST(unnest(generate_series(CAST(a AS TIMESTAMP), CAST(b AS TIMESTAMP), INTERVAL '1 day')) AS DATE) AS day
+         |  FROM bounds),
+         |users AS (SELECT DISTINCT user_id FROM events),
+         |daily AS (
+         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    count(*) AS n, ${Qh.oSum2("value")} AS total
+         |  FROM events GROUP BY 1, 2)
+         |SELECT u.user_id, d.day,
+         |  coalesce(daily.n, 0) AS n_events,
+         |  last_value(daily.total IGNORE NULLS) OVER (
+         |    PARTITION BY u.user_id ORDER BY d.day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_total
+         |FROM users u
+         |CROSS JOIN days d
+         |LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+         |ORDER BY u.user_id, d.day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"user_id", Qh.tsUs($"ts").cast(DateType).as("day"), $"value")
+      val daily = ev.groupBy($"user_id", $"day")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total"))
+      val days = ev.agg(min($"day").as("a"), max($"day").as("b"))
+        .select(explode(sequence($"a", $"b", expr("interval 1 day"))).as("day"))
+      val users = ev.select($"user_id").distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(
+          $"user_id", $"day",
+          coalesce($"n", lit(0)).as("n_events"),
+          last($"total", ignoreNulls = true).over(w).as("carried_total"))
+        .orderBy("user_id", "day")
+    },
+
     // Top-K per group on the CUSTOM two-phase operator
     // (graft.plans.TopKPerGroup: partial bounded heaps before the
     // shuffle, final merge after — shuffles ≤ k·groups·partitions rows

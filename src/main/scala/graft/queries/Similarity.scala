@@ -336,26 +336,39 @@ object Similarity {
       import s.implicits._
       val e = Qh.t(s, dir, "embeddings")
       // corpus side: 8 codes per vector, computed map-side with NO
-      // allocations: 16 primitive distance columns + least() + a
-      // when-chain argmin (first-match = min-k tiebreak, matching the
-      // oracle's row_number tiebreak; the min IS one of the candidates
-      // bit-exactly, so equality comparison is safe).
-      def codeCol(emb: Column, m: Int): Column = {
-        val ds = (0 until PqK).map(k => pqDist(emb, m, k))
-        val mn = least(ds: _*)
-        (1 until PqK).foldLeft(when(ds(0) === mn, 0)) {
-          (acc, k) => acc.when(ds(k) === mn, k)
+      // allocations. Distances are staged as NAMED intermediate columns
+      // so each of the 128 l2_sq_at folds appears ONCE in the tree
+      // (inlining least() into 16 when-branches copies the 16-term fold
+      // subtree 16× per subvector — measured seconds of pure
+      // analysis/codegen time; CollapseProject keeps non-cheap
+      // multi-referenced projections staged). Argmin = least() + a
+      // first-match when-chain over the refs (first match = min-k
+      // tiebreak, matching the oracle's row_number; the min IS one of
+      // the candidates bit-exactly, so equality comparison is safe).
+      val mk = for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k)
+      def withDists(df: DataFrame, idCol: String): DataFrame =
+        df.select(col(idCol) +:
+          mk.map { case (m, k) => pqDist($"embedding", m, k).as(s"_d_${m}_$k") }: _*)
+      def dref(m: Int, k: Int): Column = col(s"_d_${m}_$k")
+      def codeCol(m: Int): Column = {
+        val mn = col(s"_mn_$m")
+        (1 until PqK).foldLeft(when(dref(m, 0) === mn, 0)) {
+          (acc, k) => acc.when(dref(m, k) === mn, k)
         }.otherwise(-1)
       }
-      val corpus = e.select(
-        $"vec_id".as("neighbor_id") +:
-          (0 until PqM).map(m => codeCol($"embedding", m).as(s"c$m")): _*)
+      val withD = withDists(e.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
+      val withMn = withD.select(withD.columns.map(col) ++
+        (0 until PqM).map(m =>
+          least((0 until PqK).map(k => dref(m, k)): _*).as(s"_mn_$m")): _*)
+      val corpus = withMn.select($"neighbor_id" +:
+        (0 until PqM).map(m => codeCol(m).as(s"c$m")): _*)
       // query side (broadcast): the 8×16 ADC lookup tables
-      val queries = e.filter($"vec_id" < 20).select(
-        $"vec_id".as("query_id") +:
+      val queries = withDists(
+          e.filter($"vec_id" < 20).select($"vec_id".as("query_id"), $"embedding"),
+          "query_id")
+        .select($"query_id" +:
           (0 until PqM).map(m =>
-            array((0 until PqK).map(k => pqDist($"embedding", m, k)): _*)
-              .as(s"qt$m")): _*)
+            array((0 until PqK).map(k => dref(m, k)): _*).as(s"qt$m")): _*)
       val adist = (0 until PqM)
         .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
         .reduce(_ + _)

@@ -30,6 +30,33 @@ class CosineSimSpec extends SparkSpec {
     assert(bad.count() == 0, "native cosine diverges from HOF fold")
   }
 
+  test("l2_sq == HOF fold of squared diffs; l2_sq_at == slice form, bit for bit") {
+    import spark.implicits._
+    val e = Tables(spark, sf0001, "embeddings").limit(100)
+    val q = Tables(spark, sf0001, "embeddings").limit(100)
+      .select($"vec_id".as("qid"), $"embedding".as("q_emb"))
+    val joined = e.join(q, $"vec_id" =!= $"qid")
+    val hofL2 = aggregate(
+      zip_with($"embedding", $"q_emb",
+        (a, b) => (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val badL2 = joined.select(
+        call_function("l2_sq", $"embedding", $"q_emb").as("native"),
+        hofL2.as("hof"))
+      .filter($"native" =!= $"hof")
+    assert(badL2.count() == 0, "l2_sq diverges from HOF fold")
+    // l2_sq_at(x, y8, off) must equal l2_sq(slice(x, off+1, 8), y8) at
+    // every subvector offset
+    for (m <- 0 until 8) {
+      val sub = slice($"q_emb", m * 8 + 1, 8)
+      val bad = joined.select(
+          call_function("l2_sq_at", $"embedding", sub, lit(m * 8)).as("at"),
+          call_function("l2_sq", slice($"embedding", m * 8 + 1, 8), sub).as("sliced"))
+        .filter($"at" =!= $"sliced")
+      assert(bad.count() == 0, s"l2_sq_at diverges at offset ${m * 8}")
+    }
+  }
+
   test("dot_product == HOF fold, codegen and interpreted paths agree") {
     import spark.implicits._
     val e = Tables(spark, sf0001, "embeddings").limit(50)

@@ -412,6 +412,35 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L4i: heavy hitters via a Misra–Gries mergeable summary
+    // (FreqItemsAgg) under the a3-style tolerance contract: the oracle
+    // pins the EXACT top-5 terms (+TRUE); the engine also computes the
+    // exact top-5 and asserts each is inside the sketch's top-5 (MG
+    // guarantees it whenever tf > n/capacity — amply true for top
+    // terms here). O(capacity) partials instead of a full (term, count)
+    // shuffle — the third sketch of the toolkit after HLL and t-digest.
+    Decl(
+      "l4_heavy_hitters",
+      s"""SELECT tok, tf, TRUE AS in_sketch_top5 FROM (
+         |  SELECT tok, count(*) AS tf
+         |  FROM (SELECT unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |  GROUP BY tok
+         |  ORDER BY tf DESC, tok
+         |  LIMIT 5)
+         |ORDER BY tf DESC, tok""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Qh.t(s, dir, "documents")
+        .select(explode(expr(Qh.toksExpr)).as("tok"))
+      val exactTop = toks.groupBy($"tok").agg(count(lit(1)).as("tf"))
+        .orderBy($"tf".desc, $"tok").limit(5)
+      val mg = udaf(graft.functions.FreqItemsAgg.MgTopK(capacity = 64, k = 5))
+      val sketchTop = toks.agg(mg($"tok").as("sketch_top5"))
+      exactTop.crossJoin(broadcast(sketchTop))
+        .select($"tok", $"tf",
+          array_contains($"sketch_top5", $"tok").as("in_sketch_top5"))
+        .orderBy($"tf".desc, $"tok")
+    },
+
     // L10: corpus profiling — the ANALYZE-style health check a pipeline
     // runs before training: row/null/distinct counts and value ranges
     // per column, one scan, one partial+final agg (distincts partial-

@@ -279,70 +279,59 @@ case class L2SqAt(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "l2_sq_at"
 }
 
-/** SparkSessionExtensions entry point (spark.sql.extensions-compatible). */
+/** SparkSessionExtensions entry point (spark.sql.extensions-compatible):
+  * the full engine surface — every native function, the custom top-k
+  * strategy, and the window-top-k rewrite rule — so a session built
+  * with `spark.sql.extensions=graft.functions.GraftExtensions` is
+  * equivalent to one from `Engine.session`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.cosineSimDescriptor)
-    ext.injectFunction(GraftFunctions.dotProductDescriptor)
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }
 
 object GraftFunctions {
-  type Descriptor =
-    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  val cosineSimDescriptor: Descriptor = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-    (args: Seq[Expression]) => CosineSim(args(0), args(1)))
-
-  val dotProductDescriptor: Descriptor = (
-    FunctionIdentifier("dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-    (args: Seq[Expression]) => DotProduct(args(0), args(1)))
+  /** Every engine-native function: name → expression builder. Single
+    * source of truth for both [[register]] (imperative sessions) and
+    * [[GraftExtensions]] (spark.sql.extensions). Includes Spark's
+    * internal Bloom-filter expressions (the machinery behind runtime
+    * row-level filtering) surfaced as user-callable functions:
+    * `bloom_filter_agg(xxhash64(k), items, bits)` builds a mergeable
+    * sketch, `bloom_might_contain(bloom, xxhash64(k))` probes it —
+    * the explicit form of semi-join pushdown at 100 TB (broadcast a
+    * few hundred KB of bloom instead of shuffling the big side). */
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    "dot_product" -> ((args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    "l2_sq" -> ((args: Seq[Expression]) => L2Sq(args(0), args(1))),
+    "l2_sq_at" -> ((args: Seq[Expression]) => L2SqAt(args(0), args(1), args(2))),
+    "bin_word32" -> ((args: Seq[Expression]) => BinWord32(args(0), args(1))),
+    "md5_prefix32" -> ((args: Seq[Expression]) =>
+      Md5Prefix32(args(0), litSeed(args(1), "md5_prefix32"))),
+    "md5_words32" -> ((args: Seq[Expression]) =>
+      Md5Words32(args(0), litSeed(args(1), "md5_words32"))),
+    "bloom_filter_agg" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))),
+    "bloom_might_contain" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(args(0), args(1))))
 
   /** Idempotent registration for sessions not built with the extension
-    * (Engine.session calls this so every entry point has the functions).
-    *
-    * Also surfaces Spark's internal Bloom-filter expressions
-    * (BloomFilterAggregate / BloomFilterMightContain — the machinery
-    * behind runtime row-level filtering) as user-callable functions:
-    * `bloom_filter_agg(xxhash64(k), items, bits)` builds a mergeable
-    * sketch, `bloom_might_contain(bloom, xxhash64(k))` probes it. This
-    * is the explicit form of semi-join pushdown at 100 TB: broadcast a
-    * few hundred KB of bloom instead of shuffling the big side. */
+    * (Engine.session calls this so every entry point has the functions). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "cosine_sim", args => CosineSim(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "dot_product", args => DotProduct(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "bloom_filter_agg",
-      args => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(args(0), args(1), args(2)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "bloom_might_contain",
-      args => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(args(0), args(1)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "md5_prefix32",
-      args => Md5Prefix32(args(0), litSeed(args(1), "md5_prefix32")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "md5_words32",
-      args => Md5Words32(args(0), litSeed(args(1), "md5_words32")),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "bin_word32",
-      args => BinWord32(args(0), args(1)),
-      "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "l2_sq", args => L2Sq(args(0), args(1)), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "l2_sq_at", args => L2SqAt(args(0), args(1), args(2)), "scala_udf")
+    all.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   private def litSeed(e: Expression, fn: String): Int =

@@ -14,6 +14,18 @@ class CosineSimSpec extends SparkSpec {
         lit(0.0), (acc, v) => acc + v)
   }
 
+  test("the extensions path exposes the full native-function surface") {
+    val names = graft.functions.GraftFunctions.all.map(_._1).toSet
+    assert(names == Set(
+      "cosine_sim", "dot_product", "l2_sq", "l2_sq_at", "bin_word32",
+      "md5_prefix32", "md5_words32", "bloom_filter_agg", "bloom_might_contain"))
+    // builders resolve (spot-check arity wiring)
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(1)
+    val byName = graft.functions.GraftFunctions.all.toMap
+    assert(byName("bin_word32")(Seq(lit, lit)).isInstanceOf[graft.functions.BinWord32])
+    assert(byName("md5_prefix32")(Seq(lit, lit)).isInstanceOf[graft.functions.Md5Prefix32])
+  }
+
   test("cosine_sim == HOF fold cosine, bit for bit") {
     import spark.implicits._
     val e = Tables(spark, sf0001, "embeddings").limit(100)

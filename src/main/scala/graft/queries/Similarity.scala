@@ -150,6 +150,65 @@ object Similarity {
   private def cbLit(m: Int, k: Int): Column =
     array(pqCodebook(m)(k).map(lit): _*)
 
+  /** PQ corpus encode: (idAlias, c0..c7) — distances staged as named
+    * columns so each of the 128 l2_sq_at folds appears ONCE in the tree
+    * (inlining least() into 16 when-branches copies the 16-term fold
+    * subtree 16× per subvector — measured seconds of pure analysis/
+    * codegen time; CollapseProject keeps non-cheap multi-referenced
+    * projections staged). Argmin = least() + a first-match when-chain
+    * over the refs (first match = min-k tiebreak, matching the oracle's
+    * row_number; the min IS one of the candidates bit-exactly, so
+    * equality comparison is safe). */
+  private def pqCorpusCodes(e: DataFrame, idCol: String, idAlias: String): DataFrame = {
+    import e.sparkSession.implicits._
+    val mk = for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k)
+    def dref(m: Int, k: Int): Column = col(s"_d_${m}_$k")
+    def codeCol(m: Int): Column = {
+      val mn = col(s"_mn_$m")
+      (1 until PqK).foldLeft(when(dref(m, 0) === mn, 0)) {
+        (acc, k) => acc.when(dref(m, k) === mn, k)
+      }.otherwise(-1)
+    }
+    val withD = e.select(col(idCol).as(idAlias) +:
+      mk.map { case (m, k) => pqDist($"embedding", m, k).as(s"_d_${m}_$k") }: _*)
+    val withMn = withD.select(withD.columns.map(col) ++
+      (0 until PqM).map(m =>
+        least((0 until PqK).map(k => dref(m, k)): _*).as(s"_mn_$m")): _*)
+    withMn.select(col(idAlias) +:
+      (0 until PqM).map(m => codeCol(m).as(s"c$m")): _*)
+  }
+
+  /** PQ query side: (idAlias, qt0..qt7) — the 8×16 ADC lookup tables. */
+  private def pqQueryTabs(q: DataFrame, idCol: String, idAlias: String): DataFrame = {
+    import q.sparkSession.implicits._
+    q.select(col(idCol).as(idAlias) +:
+      (0 until PqM).map(m =>
+        array((0 until PqK).map(k => pqDist($"embedding", m, k)): _*)
+          .as(s"qt$m")): _*)
+  }
+
+  /** ADC approximate distance: 8 lookups, summed in fixed m order. */
+  private def adcSum: Column = (0 until PqM)
+    .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
+    .reduce(_ + _)
+
+  /** Oracle CTE bodies shared by l3_ann_pq and l3_ann_ivfpq (codes +
+    * per-query code distances; both restricted by the caller). */
+  private def oPqCodesCte: String =
+    s"""codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT e.vec_id, c.m, c.k,
+       |      row_number() OVER (PARTITION BY e.vec_id, c.m
+       |        ORDER BY ${Qh.oR6(oL2(s"e.embedding[c.m*${PqSub}+1 : c.m*${PqSub}+${PqSub}]", "c.cvec"))}, c.k) AS rn
+       |    FROM embeddings e, pqcb c) WHERE rn = 1),
+       |qd AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.k,
+       |    ${Qh.oR6(oL2(s"q.embedding[c.m*${PqSub}+1 : c.m*${PqSub}+${PqSub}]", "c.cvec"))} AS d
+       |  FROM embeddings q, pqcb c WHERE q.vec_id < 20)""".stripMargin
+
+  private val oAdcFold =
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.d ORDER BY qd.m)), (a, b) -> a + b)"
+
 
   val decls: Seq[Decl] = Seq(
 
@@ -308,74 +367,98 @@ object Similarity {
     // r6-rounded (ties → min k) and the 8-term ADC sum folds in fixed
     // m-order on both engines, so ranks hash-match.
     Decl(
-      "l3_ann_pq", {
-        val qSub = (m: String) => s"q.embedding[$m*${PqSub}+1 : $m*${PqSub}+${PqSub}]"
-        s"""WITH ${oPqCbCte},
-           |codes AS (
-           |  SELECT vec_id, m, k FROM (
-           |    SELECT e.vec_id, c.m, c.k,
-           |      row_number() OVER (PARTITION BY e.vec_id, c.m
-           |        ORDER BY ${Qh.oR6(oL2(s"e.embedding[c.m*${PqSub}+1 : c.m*${PqSub}+${PqSub}]", "c.cvec"))}, c.k) AS rn
-           |    FROM embeddings e, pqcb c) WHERE rn = 1),
-           |qd AS (
-           |  SELECT q.vec_id AS query_id, c.m, c.k,
-           |    ${Qh.oR6(oL2(s"q.embedding[c.m*${PqSub}+1 : c.m*${PqSub}+${PqSub}]", "c.cvec"))} AS d
-           |  FROM embeddings q, pqcb c WHERE q.vec_id < 20),
-           |pair AS (
-           |  SELECT qd.query_id, co.vec_id AS neighbor_id,
-           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.d ORDER BY qd.m)), (a, b) -> a + b) AS adist
-           |  FROM codes co JOIN qd ON qd.m = co.m AND qd.k = co.k
-           |  WHERE co.vec_id <> qd.query_id
-           |  GROUP BY qd.query_id, co.vec_id)
-           |SELECT query_id, neighbor_id, adist, rnk FROM (
-           |  SELECT query_id, neighbor_id, adist,
-           |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
-           |  FROM pair) WHERE rnk <= 3
-           |ORDER BY query_id, rnk""".stripMargin
-      }) { (s, dir) =>
+      "l3_ann_pq",
+      s"""WITH ${oPqCbCte},
+         |$oPqCodesCte,
+         |pair AS (
+         |  SELECT qd.query_id, co.vec_id AS neighbor_id,
+         |    $oAdcFold AS adist
+         |  FROM codes co JOIN qd ON qd.m = co.m AND qd.k = co.k
+         |  WHERE co.vec_id <> qd.query_id
+         |  GROUP BY qd.query_id, co.vec_id)
+         |SELECT query_id, neighbor_id, adist, rnk FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |  FROM pair) WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
       import s.implicits._
       val e = Qh.t(s, dir, "embeddings")
-      // corpus side: 8 codes per vector, computed map-side with NO
-      // allocations. Distances are staged as NAMED intermediate columns
-      // so each of the 128 l2_sq_at folds appears ONCE in the tree
-      // (inlining least() into 16 when-branches copies the 16-term fold
-      // subtree 16× per subvector — measured seconds of pure
-      // analysis/codegen time; CollapseProject keeps non-cheap
-      // multi-referenced projections staged). Argmin = least() + a
-      // first-match when-chain over the refs (first match = min-k
-      // tiebreak, matching the oracle's row_number; the min IS one of
-      // the candidates bit-exactly, so equality comparison is safe).
-      val mk = for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k)
-      def withDists(df: DataFrame, idCol: String): DataFrame =
-        df.select(col(idCol) +:
-          mk.map { case (m, k) => pqDist($"embedding", m, k).as(s"_d_${m}_$k") }: _*)
-      def dref(m: Int, k: Int): Column = col(s"_d_${m}_$k")
-      def codeCol(m: Int): Column = {
-        val mn = col(s"_mn_$m")
-        (1 until PqK).foldLeft(when(dref(m, 0) === mn, 0)) {
-          (acc, k) => acc.when(dref(m, k) === mn, k)
-        }.otherwise(-1)
-      }
-      val withD = withDists(e.select($"vec_id".as("neighbor_id"), $"embedding"), "neighbor_id")
-      val withMn = withD.select(withD.columns.map(col) ++
-        (0 until PqM).map(m =>
-          least((0 until PqK).map(k => dref(m, k)): _*).as(s"_mn_$m")): _*)
-      val corpus = withMn.select($"neighbor_id" +:
-        (0 until PqM).map(m => codeCol(m).as(s"c$m")): _*)
-      // query side (broadcast): the 8×16 ADC lookup tables
-      val queries = withDists(
-          e.filter($"vec_id" < 20).select($"vec_id".as("query_id"), $"embedding"),
-          "query_id")
-        .select($"query_id" +:
-          (0 until PqM).map(m =>
-            array((0 until PqK).map(k => dref(m, k)): _*).as(s"qt$m")): _*)
-      val adist = (0 until PqM)
-        .map(m => element_at(col(s"qt$m"), col(s"c$m") + 1))
-        .reduce(_ + _)
+      val corpus = pqCorpusCodes(e, "vec_id", "neighbor_id")
+      val queries = pqQueryTabs(e.filter($"vec_id" < 20), "vec_id", "query_id")
       val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id")
       corpus.crossJoin(broadcast(queries))
         .filter($"neighbor_id" =!= $"query_id")
-        .select($"query_id", $"neighbor_id", adist.as("adist"))
+        .select($"query_id", $"neighbor_id", adcSum.as("adist"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .orderBy("query_id", "rnk")
+    },
+
+    // IVF+PQ composed — THE production large-scale ANN shape (FAISS
+    // IVFPQ, minus residual encoding — stated, not hidden): the coarse
+    // quantizer prunes the corpus to nprobe=2 inverted lists per query
+    // (at scale: partition pruning — each list is a partition), and
+    // within the probed lists pairs are scored by 8 ADC lookups over
+    // 8-byte codes instead of a 64-dim pass over 256-byte vectors.
+    // Candidate generation is an equi-join on the list id; per-query
+    // work is ~2·N/16 lookups. Both stages reuse the oracle-exact
+    // machinery proven by l3_ann_ivf and l3_ann_pq.
+    Decl(
+      "l3_ann_ivfpq",
+      s"""WITH ${oPqCbCte},
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT e.vec_id, c.cid,
+         |    floor(${Qh.oDot("e.embedding", "c.cemb")}
+         |      / (sqrt(${Qh.oDot("e.embedding", "e.embedding")})
+         |         * sqrt(${Qh.oDot("c.cemb", "c.cemb")})) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM embeddings e, cent c),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM dist WHERE vec_id < 20) WHERE rn <= 2),
+         |$oPqCodesCte,
+         |pair AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    $oAdcFold AS adist
+         |  FROM probe p
+         |  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+         |  JOIN codes co ON co.vec_id = a.vec_id
+         |  JOIN qd ON qd.query_id = p.vec_id AND qd.m = co.m AND qd.k = co.k
+         |  GROUP BY p.vec_id, a.vec_id)
+         |SELECT query_id, neighbor_id, adist, rnk FROM (
+         |  SELECT query_id, neighbor_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rnk
+         |  FROM pair) WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Qh.t(s, dir, "embeddings")
+      val cent = e.filter($"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+      val dist = Qh.materialize(e.crossJoin(broadcast(cent))
+        .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos")))
+      val wv = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
+      val asg = dist.withColumn("rn", row_number().over(wv))
+        .filter($"rn" === 1)
+        .select($"vec_id".as("neighbor_id"), $"cid")
+      val probe = dist.filter($"vec_id" < 20)
+        .withColumn("rn", row_number().over(wv))
+        .filter($"rn" <= 2)
+        .select($"vec_id".as("query_id"), $"cid")
+      val corpus = pqCorpusCodes(e, "vec_id", "neighbor_id").join(asg, "neighbor_id")
+      val queries = pqQueryTabs(e.filter($"vec_id" < 20), "vec_id", "query_id")
+      val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"neighbor_id")
+      corpus.join(probe, "cid")
+        .filter($"neighbor_id" =!= $"query_id")
+        .join(broadcast(queries), "query_id")
+        .select($"query_id", $"neighbor_id", adcSum.as("adist"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .orderBy("query_id", "rnk")

@@ -351,7 +351,7 @@ object TextAnalysis {
          |SELECT b.doc_id,
          |  ${Qh.oR6("b.dup_tok_frac")} AS dup_tok_frac,
          |  ${Qh.oR6("t.top_c / t.n_bigrams")} AS top_bigram_frac,
-         |  (b.dup_tok_frac <= 0.85 AND t.top_c / t.n_bigrams <= 0.18) AS keep
+         |  (b.dup_tok_frac <= 0.65 AND t.top_c / t.n_bigrams <= 0.08) AS keep
          |FROM base b JOIN top t ON b.doc_id = t.doc_id
          |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -375,7 +375,10 @@ object TextAnalysis {
           $"doc_id",
           Qh.r6($"dup_tok_frac").as("dup_tok_frac"),
           Qh.r6($"top_c" / $"n_bigrams").as("top_bigram_frac"),
-          ($"dup_tok_frac" <= 0.85 && $"top_c" / $"n_bigrams" <= 0.18).as("keep"))
+          // thresholds sit inside this corpus's metric range so the
+          // verdict actually discriminates (both sides compute the
+          // identical doubles, so the comparison is engine-stable)
+          ($"dup_tok_frac" <= 0.65 && $"top_c" / $"n_bigrams" <= 0.08).as("keep"))
         .orderBy("doc_id")
     },
 

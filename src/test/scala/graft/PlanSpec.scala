@@ -76,6 +76,15 @@ class PlanSpec extends SparkSpec {
       s"LSH signature step shuffles — must be a pure map-side projection:\n$p")
   }
 
+  test("ivfpq: candidates come from the list-id equi-join, never a cartesian") {
+    val p = plan("l3_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), "l3_ann_ivfpq: cartesian product!")
+    // the 16-row centroid dim is the only BNLJ (bounded by construction);
+    // the probe/list joins must be hash/merge equi-joins
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "l3_ann_ivfpq: list join is not equi")
+  }
+
   test("j10: bloom pre-filter sits on the fact side before the semi-join") {
     val p = plan("j10_bloom_semi")
     assert(p.contains("might_contain"),

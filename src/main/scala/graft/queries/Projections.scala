@@ -349,6 +349,39 @@ object Projections {
         .orderBy("event_id")
     },
 
+    // P10b: map higher-order functions over the dynamic payload —
+    // map_filter / transform_values / map_zip_with (the map-shaped
+    // counterparts of the P9 array HOFs). Outputs are sorted CSVs so
+    // map iteration order can't leak into the hash; the oracle states
+    // the same relations via json_keys + list_transform.
+    Decl(
+      "p10_map_hof",
+      """SELECT event_id,
+        |  CAST(len(list_filter(json_keys(props), k -> k <> 'k')) AS INT) AS n_nonk_keys,
+        |  array_to_string(list_sort(list_transform(json_keys(props),
+        |    k -> concat(k, '=', CAST(length(json_extract_string(props, concat('$.', k))) AS VARCHAR)))), ',') AS kv_len_csv,
+        |  array_to_string(list_sort(list_transform(json_keys(props),
+        |    k -> concat(json_extract_string(props, concat('$.', k)), '|',
+        |                upper(json_extract_string(props, concat('$.', k)))))), ',') AS zipped_csv
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "events")
+        .withColumn("m", from_json($"props", MapType(StringType, StringType)))
+        .select(
+          $"event_id",
+          // count, not CSV: the filtered map can be empty, and DuckDB's
+          // array_to_string([]) is NULL while Spark's array_join is ''
+          size(map_filter($"m", (k, _) => k =!= "k")).as("n_nonk_keys"),
+          array_join(sort_array(map_values(
+            transform_values($"m", (k, v) =>
+              concat(k, lit("="), length(v).cast(StringType))))), ",").as("kv_len_csv"),
+          array_join(sort_array(map_values(
+            map_zip_with($"m", transform_values($"m", (_, v) => upper(v)),
+              (_, v1, v2) => concat(v1, lit("|"), v2)))), ",").as("zipped_csv"))
+        .orderBy("event_id")
+    },
+
     // R7+R8 exactly: the reference's envelope {"data": <doc>, "source": "database"}
     // (kafka-database-import.go:199-200), restricted to integer/string
     // fields so the JSON text is byte-identical across engines.

@@ -22,6 +22,7 @@ object SparkEntry {
       SetOps.decls ++
       Dedup.decls ++
       Similarity.decls ++
+      Clustering.decls ++
       TextAnalysis.decls ++
       Multimodal.decls ++
       StreamingBatch.decls ++

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed Lloyd's k-means over an embedding column — the trainer
+  * that produces the IVF coarse-quantizer centroids (`l3_ann_ivf` /
+  * `l3_ann_ivfpq` consume exactly this kind of model; their in-repo
+  * decls use deterministic stand-in centroids so their oracles stay
+  * closed-form, and THIS operator is the production path that fits the
+  * real ones).
+  *
+  * Execution shape per iteration (the classic scalable k-means layout —
+  * Lloyd 1957/1982; same data-parallel decomposition as MLlib's
+  * implementation, rebuilt here Spark-SQL-native):
+  *
+  *  - '''Assignment''' is a NARROW map: the k centroids are model
+  *    parameters (driver-side literals, like the LSH planes), so each
+  *    row computes k fused-fold L2 distances and an argmin in one
+  *    projection — no join, no shuffle, no UDF.
+  *  - '''Update''' is one partial-aggregated shuffle: `posexplode` the
+  *    64-dim vectors (narrow, 64× rows), `groupBy(cid, pos)` with
+  *    map-side combine — the shuffle carries only k·64·numPartitions
+  *    partial sums regardless of corpus size, then k·64 tiny rows are
+  *    collected as the next iteration's literals. At 100 TB the corpus
+  *    scan dominates; the shuffle is constant-size.
+  *
+  * == Cross-engine determinism (the oracle contract) ==
+  *
+  * Centroid means are computed in FIXED-POINT: each element is rounded
+  * half-up at 1e-6 to an exact BIGINT, summed (integer addition is
+  * associative — no shuffle-order drift), and divided back in a fixed
+  * operation order (`sum / n / 1e6`). Distances are pure per-row left
+  * folds over doubles. Every arithmetic step is bit-identical in Spark
+  * and DuckDB, so a hash-compare of assignments after ANY number of
+  * iterations is exact — no tolerance band needed.
+  */
+object KMeansLloyd {
+
+  /** Squared L2 as the same sequential left fold the oracle states:
+    * `((0 + t1) + t2) + …` with `ti = (x_i - y_i)^2` — see
+    * [[graft.queries.Qh.oDot]] for why the fold must be explicit. */
+  def l2sq(emb: Column, cent: Seq[Double]): Column = {
+    val c = array(cent.map(lit): _*)
+    aggregate(
+      zip_with(emb.cast(ArrayType(DoubleType)), c,
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, t) => acc + t)
+  }
+
+  /** Oracle-side fold over two DOUBLE-list columns (same shape). */
+  def oL2sq(x: String, y: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(len($x)), i -> ($x[i+1] - $y[i+1]) * ($x[i+1] - $y[i+1]))), (a, b) -> a + b)"
+
+  /** (vec_id, embedding, cid, dist): nearest centroid per row, ties →
+    * smallest cid (matches the oracle's `row_number ORDER BY d, cid`).
+    * Distances are staged as named columns so each fold appears once in
+    * the tree (the l3_ann_pq lesson: inlining k-way least() into the
+    * when-chain copies the fold subtree k² times — pure codegen bloat).
+    * `least() === d_i` equality is safe: the min IS one of the staged
+    * values bit-exactly. */
+  def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val cids = cents.map(_._1).sorted
+    val byId = cents.toMap
+    val withD = e.select(col("vec_id") +: col("embedding") +:
+      cids.map(cid => l2sq(col("embedding"), byId(cid)).as(s"_d_$cid")): _*)
+    val mn = least(cids.map(cid => col(s"_d_$cid")): _*)
+    val cidCol = cids.tail
+      .foldLeft(when(col(s"_d_${cids.head}") === col("_mn"), cids.head)) {
+        (acc, cid) => acc.when(col(s"_d_$cid") === col("_mn"), cid)
+      }.otherwise(-1)
+    withD.withColumn("_mn", mn)
+      .select(col("vec_id"), col("embedding"),
+        cidCol.as("cid"), col("_mn").as("dist"))
+  }
+
+  /** One Lloyd step: fixed-point elementwise means of each cluster.
+    * Returns the new centroids (clusters that lost every member drop
+    * out, identically on both engines). */
+  def step(e: DataFrame, cents: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val a = assign(e, cents)
+    val rows = a
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(((sum(floor(col("v").cast(DoubleType) * lit(1000000.0) + lit(0.5)))
+        .cast(DoubleType) / count(lit(1)).cast(DoubleType)) / lit(1000000.0))
+        .as("mv"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq
+      .map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      .sortBy(_._1)
+  }
+
+  /** `iters` full Lloyd iterations from `init`. */
+  def fit(e: DataFrame, init: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] =
+    (0 until iters).foldLeft(init)((c, _) => step(e, c))
+
+  /** Deterministic init: the k lowest-vec_id embeddings (a documented
+    * stand-in for k-means++ sampling — init choice is orthogonal to the
+    * distributed iteration machinery being exercised). */
+  def initByIds(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+      .toSeq
+
+  /** Total SSE of an assignment — the convergence diagnostic (exact
+    * decimal-free double sum is fine here: diagnostic, not oracle). */
+  def sse(e: DataFrame, cents: Seq[(Int, Seq[Double])]): Double =
+    assign(e, cents).agg(sum(col("dist"))).collect()(0).getDouble(0)
+}

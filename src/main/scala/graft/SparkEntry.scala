@@ -23,6 +23,8 @@ object SparkEntry {
       Dedup.decls ++
       Similarity.decls ++
       Clustering.decls ++
+      Decontam.decls ++
+      Changelog.decls ++
       TextAnalysis.decls ++
       Multimodal.decls ++
       StreamingBatch.decls ++

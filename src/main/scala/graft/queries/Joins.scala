@@ -290,6 +290,39 @@ object Joins {
           lag($"event_id", 1).over(w).as("prev_event_id"),
           lag($"event_type", 1).over(w).as("prev_event_type"))
         .orderBy("event_id")
+    },
+
+    // J11: two-stage SALTED equi-join — the hot-key treatment when the
+    // SKEWED SIDE IS TOO BIG TO BROADCAST and AQE's skew split can't
+    // help (it only splits sort-merge partitions, not a hash join's
+    // build side; and it never fires when one hot key IS the
+    // partition). Fact rows fan out over S=8 deterministic salts
+    // (event_id % 8 — any row-uniform value works), the dim side
+    // replicates ×8 via a generator (no shuffle on the dim — it's a
+    // narrow explode), and the join key becomes (key, salt): a hot
+    // user's rows now land on 8 reducers instead of 1. Salting is
+    // invisible to the result — the oracle is the PLAIN join.
+    Decl(
+      "j11_salted_skew_join",
+      s"""SELECT c_mktsegment,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val S = 8
+      val fact = Qh.t(s, dir, "events")
+        .select($"user_id", $"value",
+          pmod($"event_id", lit(S.toLong)).as("salt"))
+      val dim = Qh.t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment",
+          explode(sequence(lit(0L), lit(S.toLong - 1))).as("salt"))
+      fact.join(dim,
+          fact("user_id") === dim("c_custkey") && fact("salt") === dim("salt"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("c_mktsegment")
     }
   )
 }

@@ -166,6 +166,36 @@ object Sources {
         .orderBy("user_id")
     },
 
+    // S9: hive-style partitioned layout — the 100-TB table organization.
+    // Write events partitioned by event_type, read back with a filter on
+    // the partition column: the filter must resolve from DIRECTORY NAMES
+    // (partition pruning — PlanSpec asserts the scan's partitionFilters
+    // and that only 1 of the partitions is selected), so the engine never
+    // opens a single non-matching file. The oracle reads the ORIGINAL
+    // parquet, so value corruption in the partitioned write→read loop
+    // (e.g. the partition column's string round trip) breaks the hash.
+    Decl(
+      "s9_partitioned_prune",
+      s"""SELECT user_id,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_type = 'click'
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s9_part")
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type").parquet(path)
+      s.read.parquet(path)
+        .filter($"event_type" === "click")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("user_id")
+    },
+
     // S5: the Kafka wire format — key + envelope value bytes exactly as
     // they would land on the topic (R7+R8+R9 serialization surface).
     Decl(

@@ -171,6 +171,27 @@ object StreamingBatch {
         .orderBy("purchase_id", "click_id")
     },
 
+    // T9b: the LEFT OUTER form — purchases with no preceding-hour click
+    // emit null-padded (in streaming: after the click watermark passes
+    // the horizon; see Streams.streamStreamLeftOuter + StreamingSpec).
+    Decl(
+      "t9_stream_stream_outer",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", Qh.tsUs($"ts").as("ts"), $"event_type")
+      Streams.streamStreamLeftOuter(
+          ev.filter($"event_type" === "purchase"),
+          ev.filter($"event_type" === "click"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // T8: the full streaming sink loop, oracle-checked end to end — a
     // REAL streaming query (file source → foreachBatch → JDBC/Derby),
     // then the landed table is read back through spark.read.jdbc and

@@ -277,6 +277,28 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L8c: STRATIFIED sampling with per-stratum rates — the data-mixture
+    // knob (downsample the over-represented language, keep the rest):
+    // each stratum gets its own deterministic hash-threshold rate, so
+    // the output mixture hits the target ratios reproducibly at any
+    // parallelism — rows, not just counts, are stable across engines,
+    // runs, and cluster sizes. Narrow filter; no shuffle, no rand().
+    Decl(
+      "l8_stratified_sample",
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 13)} % 100 <
+         |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 ELSE 40 END
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rate = when($"lang" === "en", 10)
+        .when($"lang" === "de", 25).otherwise(40)
+      Qh.t(s, dir, "documents")
+        .filter(Qh.phash($"doc_id".cast(StringType), 13) % 100 < rate)
+        .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    },
+
     // L4g: PII redaction — the scrubbing pass every training-data
     // pipeline runs before anything else. The fixture text is synthetic
     // word soup, so both engines first plant deterministic PII (an email

@@ -160,6 +160,24 @@ object Streams {
         col("p.event_id").as("purchase_id"),
         col("c.event_id").as("click_id"))
 
+  /** T9b: stream–stream LEFT OUTER interval join — purchases with NO
+    * qualifying click still emit, null-padded. In streaming execution
+    * the null row can only be emitted once the CLICK watermark has
+    * passed the purchase's join horizon (before that a match could
+    * still arrive), so outer results trail the inner ones by the
+    * watermark delay — the outer-join-specific semantics pinned in
+    * StreamingSpec; state bounds are identical to the inner form. */
+  def streamStreamLeftOuter(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.alias("p").join(
+      clicks.alias("c"),
+      expr("""p.user_id = c.user_id
+             |AND c.ts >= p.ts - INTERVAL 1 HOUR
+             |AND c.ts <= p.ts""".stripMargin),
+      "left_outer")
+      .select(
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"))
+
   /** T8: foreachBatch JDBC sink — the north star's "Kafka source + JDBC
     * sink" tail. Append per micro-batch; idempotence at the table level
     * comes from the batch-id column. */

@@ -97,6 +97,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
   }
 
+  test("s9: partition-column filter prunes via directory names, not row filters") {
+    val p = plan("s9_partitioned_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type") && pf.contains("click"),
+      s"partition filter not applied from directory layout: $pf")
+    // the partition column never appears as a pushed DATA filter — the
+    // scan must not open non-matching files at all
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(!pushed.contains("event_type"), s"partition filter degraded to data filter: $pushed")
+  }
+
+  test("j11: salted join replicates the dim via a narrow generator (no extra shuffle)") {
+    val p = plan("j11_salted_skew_join")
+    assert(p.contains("Generate"), "dim-side salt replication must be an explode, not a join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "salting must keep the join an equi-join")
+  }
+
+  test("l11: decontamination broadcasts the eval gram set; train side never shuffles") {
+    val p = plan("l11_decontam")
+    assert(p.contains("BroadcastHashJoin"), "eval side must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "train corpus must not sort-shuffle for the contamination probe")
+  }
+
+  test("kmeans: assignment is a narrow map over literal centroids (no join, no shuffle)") {
+    val e = graft.queries.Qh.t(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val cents = graft.operators.KMeansLloyd.initByIds(e, 8)
+    val p = planOf(graft.operators.KMeansLloyd.assign(e, cents))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"assignment must be shuffle-free:\n$p")
+  }
+
+  test("c1: upsert-latest compacts with partial+final max_by, not a window sort") {
+    val p = plan("c1_upsert_latest")
+    assert(p.contains("partial_max_by") || p.contains("partial max_by")
+      || (p.contains("max_by") && p.contains("HashAggregate")),
+      s"expected hash-agg max_by compaction:\n${p.take(800)}")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      "compaction must not pay a per-key window sort")
+  }
+
   test("a1: aggregation is partial+final (map-side combine)") {
     val p = plan("a1_hashagg")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,

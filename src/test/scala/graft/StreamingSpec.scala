@@ -123,6 +123,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T9b: left-outer stream-stream join emits null-padded rows only after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[E]
+    val clicks = MemoryStream[E]
+    val q = Streams.streamStreamLeftOuter(
+        purchases.toDF().withWatermark("ts", "0 seconds"),
+        clicks.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("t9b_out")
+      .outputMode("append").start()
+    try {
+      // a purchase with NO click: its null-padded row cannot appear yet
+      // (a match could still arrive within the hour horizon)
+      purchases.addData(E(1, ts(70), 1, "purchase", 5.0))
+      clicks.addData(E(10, ts(30), 2, "click", 1.0)) // other user
+      q.processAllAvailable()
+      val early = spark.table("t9b_out")
+        .filter($"purchase_id" === 1).count()
+      assert(early == 0L, "outer row emitted before the watermark closed the horizon")
+      // advance BOTH watermarks far past the purchase's horizon: the
+      // unmatched purchase must now emit exactly once, null-padded
+      purchases.addData(E(2, ts(500), 3, "purchase", 5.0))
+      clicks.addData(E(11, ts(500), 2, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t9b_out")
+        .select($"purchase_id", $"click_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(out.contains((1L, None)),
+        s"missing null-padded outer row for purchase 1: $out")
+    } finally q.stop()
+  }
+
   test("T8: foreachBatch lands micro-batches in a JDBC (Derby) table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -402,6 +402,32 @@ object Projections {
             lit("database").as("source")),
             Map("ignoreNullFields" -> "false")).as("value"))
         .orderBy("event_id")
+    },
+
+    // P12: UNPIVOT (wide → long) — the inverse of a8_pivot, the melt
+    // every feature store needs. Spark's native unpivot is a narrow
+    // 3×-row generator (no shuffle, no UDF); the oracle states the
+    // equivalent UNION ALL.
+    Decl(
+      "p12_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "lineitem")
+        .filter($"l_orderkey" < 100)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
     }
   )
 }

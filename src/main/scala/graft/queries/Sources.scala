@@ -196,6 +196,37 @@ object Sources {
         .orderBy("user_id")
     },
 
+    // S11: SCHEMA EVOLUTION across ingestion batches — a 100-TB table is
+    // never written by one schema version. Batch 1 lands without
+    // `event_type` (the old producer), batch 2 adds it; a mergeSchema
+    // read must union the schemas and null-fill the old batch. The
+    // oracle recreates the same visibility rule from the original
+    // parquet, so a mis-merged schema, dropped batch, or mis-aligned
+    // null-fill breaks the hash.
+    Decl(
+      "s11_schema_evolution",
+      s"""SELECT
+         |  CASE WHEN event_id % 2 = 0 THEN '_absent' ELSE event_type END AS etype,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |GROUP BY 1
+         |ORDER BY etype""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s11_evolve")
+      val ev = Qh.t(s, dir, "events")
+      ev.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"user_id", $"value")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=1")
+      ev.filter($"event_id" % 2 =!= 0)
+        .select($"event_id", $"user_id", $"value", $"event_type")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce($"event_type", lit("_absent")).as("etype"))
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("etype")
+    },
+
     // S5: the Kafka wire format — key + envelope value bytes exactly as
     // they would land on the topic (R7+R8+R9 serialization surface).
     Decl(

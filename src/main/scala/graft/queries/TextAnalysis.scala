@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -296,6 +297,39 @@ object TextAnalysis {
       Qh.t(s, dir, "documents")
         .filter(Qh.phash($"doc_id".cast(StringType), 13) % 100 < rate)
         .select($"doc_id", $"lang")
+        .orderBy("doc_id")
+    },
+
+    // L12: GLOBAL CONTIGUOUS IDS in a total key order — without the
+    // single-reducer global sort that row_number() OVER (ORDER BY …)
+    // costs at 100 TB. Two-phase block-offset numbering: per-block
+    // counts (one tiny agg, collected — block keys are low-cardinality
+    // model-style metadata), cumulative offsets broadcast back, then
+    // each block ranks LOCALLY and adds its offset. The only shuffle of
+    // the big table is the per-block window partition — no stage ever
+    // funnels all rows through one task. Same ids as the naive global
+    // sort, bit for bit (the oracle IS the naive form).
+    Decl(
+      "l12_global_ids",
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY lang, source, doc_id) - 1 AS gid
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Qh.t(s, dir, "documents").select($"doc_id", $"lang", $"source")
+      // phase 1: block counts → lexicographic cumulative offsets
+      val counts = docs.groupBy($"lang", $"source").count().collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .sortBy(_._1)
+      val offsets = counts.map(_._1)
+        .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+        .map { case ((l, src), off) => (l, src, off) }
+      val offDf = s.createDataFrame(offsets.toSeq).toDF("lang", "source", "off")
+      // phase 2: local rank within block + broadcast offset
+      val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      docs.withColumn("local_rn", row_number().over(w))
+        .join(broadcast(offDf), Seq("lang", "source"))
+        .select($"doc_id", ($"off" + $"local_rn" - 1).as("gid"))
         .orderBy("doc_id")
     },
 

@@ -462,8 +462,95 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
         .orderBy("query_id", "rnk")
-    }
+    },
+
+    s10Decl
   )
+
+  /** S10: the IVF index AS A PARTITIONED TABLE — the production ANN
+    * serving layout. Build: assign every vector to its coarse list and
+    * write parquet `partitionBy(list_id)` (one directory per inverted
+    * list). Serve: compute the query batch's probe lists driver-side
+    * from the broadcast centroids (tiny — nprobe·|queries| ids), then
+    * read the index with a LITERAL partition filter: the scan opens
+    * nprobe directories and never touches the rest of the corpus —
+    * partition pruning IS the inverted-list lookup (PlanSpec asserts
+    * the PartitionFilters). At 100 TB: probing 2 of 1024 lists reads
+    * ~0.2% of the files; the oracle is plain IVF ANN, so any
+    * corruption in the partitioned write→read loop breaks the hash. */
+  private def s10Decl: Decl = Decl(
+    "s10_vector_index",
+    s"""WITH cent AS (
+       |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+       |dist AS (
+       |  SELECT e.vec_id, c.cid,
+       |    floor(${Qh.oDot("e.embedding", "c.cemb")}
+       |      / (sqrt(${Qh.oDot("e.embedding", "e.embedding")})
+       |         * sqrt(${Qh.oDot("c.cemb", "c.cemb")})) * 1000000 + 0.5) / 1000000.0 AS cos
+       |  FROM embeddings e, cent c),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+       |    FROM dist WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $oCos AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos, rnk FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val path = "/tmp/graft_io/s10_index"
+    val e = Qh.t(s, dir, "embeddings")
+    val cent = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val dist = Qh.materialize(e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos")))
+    val wv = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
+    val asg = dist.withColumn("rn", row_number().over(wv))
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("list_id"))
+    // BUILD: one directory per inverted list
+    e.join(asg, "vec_id")
+      .select($"vec_id", $"embedding", $"list_id")
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // SERVE: probe lists resolved driver-side → literal partition filter
+    val probe = dist.filter($"vec_id" < 10)
+      .withColumn("rn", row_number().over(wv))
+      .filter($"rn" <= 2)
+      .select($"vec_id".as("query_id"), $"cid".as("list_id"))
+    val probePairs = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probedLists = probePairs.map(_._2).distinct.sorted
+    val index = s.read.parquet(path)
+      .filter($"list_id".isin(probedLists: _*))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"list_id")
+    val probeDf = broadcast(s.createDataFrame(probePairs.toSeq)
+      .toDF("query_id", "list_id"))
+    val qe = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    index.join(probeDf, "list_id")
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"c_emb").distinct()
+      .join(broadcast(qe), "query_id")
+      .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .orderBy("query_id", "rnk")
+  }
 
   /** Brute-force ids for recall measurement (used by SimilaritySpec). */
   def bruteTopK(s: SparkSession, dir: String, nQueries: Int, k: Int): DataFrame = {

@@ -139,6 +139,13 @@ class PlanSpec extends SparkSpec {
       "compaction must not pay a per-key window sort")
   }
 
+  test("s10: probing the vector index is partition pruning on list_id") {
+    val p = plan("s10_vector_index")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("list_id"),
+      s"index probe must prune inverted-list directories: $pf")
+  }
+
   test("a1: aggregation is partial+final (map-side combine)") {
     val p = plan("a1_hashagg")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,

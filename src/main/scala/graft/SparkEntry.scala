@@ -24,6 +24,7 @@ object SparkEntry {
       Similarity.decls ++
       Clustering.decls ++
       Decontam.decls ++
+      Graph.decls ++
       Changelog.decls ++
       TextAnalysis.decls ++
       Multimodal.decls ++

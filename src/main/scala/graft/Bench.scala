@@ -87,9 +87,10 @@ object Bench {
       "j2_inner", "j6_sortmerge", "j7_range", "j9_asof_join", "w1_ranking",
       "w4_topk_per_group", "o1_topk", "l1_exact_dedup", "l2_lsh_pairs",
       "l2_minhash_sigs", "l2_ngram_jaccard", "l2_dedup_clusters",
-      "l3_ann_lsh", "l3_ann_ivfpq", "l3_cosine_topk", "l4_tfidf",
-      "l4_quality_score", "l6_decode_features", "l9_sequence_packing",
-      "t1_tumbling", "t6_stateful_running", "p8_json"
+      "l3_ann_lsh", "l3_ann_ivfpq", "l3_kmeans", "l3_cosine_topk",
+      "l4_tfidf", "l4_quality_score", "l6_decode_features",
+      "l9_sequence_packing", "l11_decontam", "l13_pagerank",
+      "s10_vector_index", "t1_tumbling", "t6_stateful_running", "p8_json"
     ).filter(timings.contains)
     val headJson = headline.map(k => s""""${esc(k)}":${f3(timings(k))}""")
       .mkString("{", ",", "}")

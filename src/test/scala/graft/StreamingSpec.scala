@@ -189,7 +189,7 @@ class StreamingSpec extends SparkSpec {
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val conn = java.sql.DriverManager.getConnection(url, props)
     conn.createStatement().execute(
-      "CREATE TABLE t8b_sink (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT)")
+      "CREATE TABLE t8b_sink (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT, part_id INT)")
     conn.close()
     val batch = Seq((1L, 7L, 1.5), (2L, 8L, 2.5)).toDF("event_id", "user_id", "value")
     // deliver batch 0, then REPLAY it (at-least-once re-delivery after a
@@ -201,6 +201,33 @@ class StreamingSpec extends SparkSpec {
     val back = spark.read.jdbc(url, "t8b_sink", props)
     assert(back.count() == 3, "replayed batch must not duplicate rows")
     assert(back.select(sum($"value")).head.getDouble(0) == 7.5)
+  }
+
+  test("T8b: multi-partition re-delivery with CHANGED partitioning is exactly-once, no driver collect") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_t8b_mp;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      "CREATE TABLE t8b_mp (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT, part_id INT)")
+    conn.close()
+    val rows = (1L to 100L).map(i => (i, i % 7, i * 0.5))
+    // first attempt lands batch 0 across 8 partitions…
+    Streams.jdbcIdempotentWriter(url, "t8b_mp", props)(
+      rows.toDF("event_id", "user_id", "value").repartition(8), 0L)
+    // …then the SAME batchId is re-delivered with DIFFERENT partitioning
+    // (3 partitions — the stale rows from partitions 3..7 must vanish)
+    Streams.jdbcIdempotentWriter(url, "t8b_mp", props)(
+      rows.toDF("event_id", "user_id", "value").repartition(3), 0L)
+    val back = spark.read.jdbc(url, "t8b_mp", props)
+    assert(back.count() == 100, "re-delivered batch must leave exactly one copy of each row")
+    assert(back.select(countDistinct($"event_id")).head.getLong(0) == 100)
+    assert(back.select(max($"part_id")).head.getInt(0) <= 2,
+      "replay used 3 partitions; stale part_ids from the 8-partition attempt must be gone")
+    // the writer really did fan out: the first attempt used >1 partition
+    // (asserted indirectly: second attempt wrote 3 distinct part_ids)
+    assert(back.select(countDistinct($"part_id")).head.getLong(0) == 3)
   }
 
   test("T7: stream-static semi-join filters a stream by a static allowlist") {

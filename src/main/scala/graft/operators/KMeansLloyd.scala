@@ -101,13 +101,18 @@ object KMeansLloyd {
   /** Deterministic init: the k lowest-vec_id embeddings (a documented
     * stand-in for k-means++ sampling — init choice is orthogonal to the
     * distributed iteration machinery being exercised). */
-  def initByIds(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] =
-    e.filter(col("vec_id") < k)
+  def initByIds(e: DataFrame, k: Int): Seq[(Int, Seq[Double])] = {
+    val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)))
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toSeq))
       .sortBy(_._1)
       .toSeq
+    require(cents.size == k,
+      s"initByIds needs vec_ids 0..${k - 1} all present; found ${cents.size} of $k " +
+        s"(ids ${cents.map(_._1).mkString(",")}) — bad fixture?")
+    cents
+  }
 
   /** Total SSE of an assignment — the convergence diagnostic (exact
     * decimal-free double sum is fine here: diagnostic, not oracle). */

@@ -61,6 +61,47 @@ object Clustering {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The trained-ANN oracle: the SAME unrolled two-iteration k-means
+    * CTE as `l3_kmeans` (c2 = trained centroids), feeding the IVF CTE
+    * from `l3_ann_ivf` — assignment = inverted lists, per-query top-2
+    * probes, candidates from probed lists only, exact L2 rerank. */
+  private val oSqlTrained = {
+    val d = KMeansLloyd.oL2sq("e.emb", "c.cemb")
+    val dp = KMeansLloyd.oL2sq("q.emb", "c.emb")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e WHERE vec_id < $K),
+       |${oRound(1, "c0", "a1", "c1")},
+       |${oRound(2, "c1", "a2", "c2")},
+       |d3 AS (
+       |  SELECT e.vec_id, c.cid, $d AS d FROM e, c2 c),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM d3) WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM d3 WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $dp AS d
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = query_id
+       |  JOIN e c ON c.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, ${Qh.oR6("d")} AS dist, rnk FROM (
+       |  SELECT query_id, neighbor_id, d,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rnk
+       |  FROM scored) WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   val decls: Seq[Decl] = Seq(
     Decl("l3_kmeans", oSql) { (s, dir) =>
       import s.implicits._
@@ -69,6 +110,70 @@ object Clustering {
       KMeansLloyd.assign(e, cents)
         .select($"vec_id", $"cid", Qh.r6($"dist").as("dist"))
         .orderBy("vec_id")
+    },
+
+    // The ANN story composed end-to-end with NO stand-ins: train the
+    // coarse quantizer (distributed Lloyd), write the corpus as a
+    // hive-partitioned inverted-list index keyed by the TRAINED
+    // assignment, then serve a query batch through partition-pruned
+    // probes + exact L2 rerank. Train→index→serve is exactly the
+    // production IVF lifecycle (FAISS train/add/search); every stage
+    // here is the real operator — KMeansLloyd.fit, the s10 partitioned
+    // layout, the pruned serve path.
+    Decl("l3_ann_trained", oSqlTrained) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      import s.implicits._
+      val e = Qh.t(s, dir, "embeddings").select("vec_id", "embedding")
+      // TRAIN: the real distributed Lloyd loop (same params as l3_kmeans)
+      val cents = KMeansLloyd.fit(e, KMeansLloyd.initByIds(e, K), Iters)
+      // BUILD: trained assignment → one parquet directory per list
+      val path = Qh.ioDir("l3_trained_index")
+      KMeansLloyd.assign(e, cents)
+        .select($"vec_id", $"embedding", $"cid".as("list_id"))
+        .write.mode("overwrite").partitionBy("list_id").parquet(path)
+      // SERVE: per-query top-2 trained centroids — a NARROW map over
+      // literal centroids (model params), no join
+      val probeW = Window.partitionBy($"query_id").orderBy($"d", $"list_id")
+      val centPairs = array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("cid"), KMeansLloyd.l2sq($"embedding", c).as("d"))
+      }: _*)
+      val probe = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), explode(centPairs).as("p"))
+        .select($"query_id", $"p.cid".as("list_id"), $"p.d".as("d"))
+        .withColumn("rn", row_number().over(probeW))
+        .filter($"rn" <= 2)
+        .select($"query_id", $"list_id")
+      // probe ids are nprobe·|queries| — bounded metadata, same serving
+      // pattern as s10: collected so the index read gets a LITERAL
+      // partition filter (pruning IS the list lookup)
+      val probePairs = probe.collect().map(r => (r.getLong(0), r.getInt(1)))
+      val probedLists = probePairs.map(_._2).distinct.sorted
+      val index = s.read.parquet(path)
+        .filter($"list_id".isin(probedLists: _*))
+        .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"list_id")
+      val probeDf = broadcast(s.createDataFrame(probePairs.toSeq)
+        .toDF("query_id", "list_id"))
+      val qe = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      // exact L2 rerank within probed lists — same sequential fold as
+      // the oracle (see KMeansLloyd.oL2sq)
+      val l2pair = aggregate(
+        zip_with(
+          $"q_emb".cast(ArrayType(DoubleType)),
+          $"c_emb".cast(ArrayType(DoubleType)),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+      val w = Window.partitionBy($"query_id").orderBy($"d", $"neighbor_id")
+      index.join(probeDf, "list_id")
+        .filter($"neighbor_id" =!= $"query_id")
+        .select($"query_id", $"neighbor_id", $"c_emb").distinct()
+        .join(broadcast(qe), "query_id")
+        .select($"query_id", $"neighbor_id", l2pair.as("d"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"query_id", $"neighbor_id", Qh.r6($"d").as("dist"), $"rnk")
+        .orderBy("query_id", "rnk")
     }
   )
 }

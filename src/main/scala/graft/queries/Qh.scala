@@ -30,6 +30,17 @@ object Qh {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** Scratch directory for decls that exercise a write→read loop
+    * (s4/s6/s7/s8/s9/s10/s11, l3_ann_trained). One shared convention so
+    * every IO decl gets the same uniqueness/cleanup behavior: the path
+    * is namespaced per JVM (tests and a concurrent Verify run never race
+    * on the same directory during overwrite). */
+  def ioDir(name: String): String = {
+    val d = s"/tmp/graft_io/${java.lang.ProcessHandle.current().pid()}/$name"
+    new java.io.File(d).getParentFile.mkdirs()
+    d
+  }
+
   // ---- pure-IEEE rounding (same formula emitted in oracle SQL) ----
   def r(c: Column, scale: Long): Column = floor(c * scale + lit(0.5)) / lit(scale.toDouble)
   def r2(c: Column): Column = r(c, 100L)

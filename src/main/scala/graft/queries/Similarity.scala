@@ -513,7 +513,7 @@ object Similarity {
        |WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val path = "/tmp/graft_io/s10_index"
+    val path = Qh.ioDir("s10_index")
     val e = Qh.t(s, dir, "embeddings")
     val cent = e.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"embedding".as("cemb"))

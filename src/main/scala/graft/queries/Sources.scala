@@ -20,11 +20,7 @@ import org.apache.spark.sql.types._
   */
 object Sources {
 
-  private def ioDir(name: String): String = {
-    val d = s"/tmp/graft_io/$name"
-    new java.io.File(d).getParentFile.mkdirs()
-    d
-  }
+  private def ioDir(name: String): String = Qh.ioDir(name)
 
   val decls: Seq[Decl] = Seq(
 

@@ -29,6 +29,19 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
+      // warm the shared text kernels (regex tokenizer, portable md5,
+      // array HOFs) on a tiny slice: their first-use JIT costs multiple
+      // seconds and would otherwise land on whichever text query the
+      // alphabet puts first (measured: l11_decontam cold 8.9 s → 3.1 s
+      // once another query had JIT'd the same kernels). Steady-state
+      // throughput is what the 100 TB target cares about.
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(${graft.queries.Qh.toksExpr},
+             |  t -> md5_prefix32(t, 0))""".stripMargin)).as("h"))
+        .groupBy("h").count()
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

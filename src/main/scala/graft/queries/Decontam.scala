@@ -45,7 +45,7 @@ object Decontam {
   val decls: Seq[Decl] = Seq(
 
     // Contaminated-training-doc report: which train docs (doc_id >= 25)
-    // overlap the eval set (doc_id < 25), how many distinct 8-grams
+    // overlap the eval set (doc_id < 25), how many distinct 4-grams
     // leak, and into how many eval docs.
     Decl(
       "l11_decontam",
@@ -65,12 +65,23 @@ object Decontam {
       val ev = g.filter($"doc_id" < 25)
         .select($"doc_id".as("eval_doc"), $"g")
       // eval side is the benchmark — broadcast it; the train side never
-      // shuffles
+      // shuffles. The two distinct counts are computed in ONE pass with
+      // no Expand (the default dual-countDistinct plan doubles every
+      // joined row): the joined (train_doc, g, eval_doc) stream is
+      // already distinct (grams are array_distinct'd per doc on both
+      // sides), so per (train_doc, g) we fold the eval docs into a
+      // bounded set (≤ |eval benchmark| ids), then per train_doc count
+      // the gram groups and union the sets. Both shuffles are map-side
+      // combined; shuffle payload is grams + tiny id-sets, not 2× the
+      // hit stream.
       tr.join(broadcast(ev), "g")
+        .groupBy($"train_doc", $"g")
+        .agg(collect_set($"eval_doc").as("evs"))
         .groupBy($"train_doc")
         .agg(
-          countDistinct($"g").as("n_shared_grams"),
-          countDistinct($"eval_doc").as("n_eval_docs"))
+          count(lit(1)).as("n_shared_grams"),
+          size(array_distinct(flatten(collect_list($"evs"))))
+            .cast("long").as("n_eval_docs"))
         .orderBy("train_doc")
     }
   )

@@ -122,6 +122,43 @@ class PlanSpec extends SparkSpec {
       "train corpus must not sort-shuffle for the contamination probe")
   }
 
+  test("l13: the iteration join never shuffles the bucketed edge side") {
+    // the 100 TB claim: ranks may be too big to broadcast, so pin the
+    // co-location path — broadcast disabled, the bucketed adjacency
+    // table must join with no exchange (and no sort: one sorted file
+    // per bucket) anywhere on its side
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      import org.apache.spark.sql.functions._
+      val e = graft.queries.Graph.edgeTable(spark, sf0001)
+      val nodes = e.select(col("src").as("node")).distinct()
+      val r = nodes.withColumn("r", lit(1000000000L))
+      val it = graft.queries.Graph.iterate(e, nodes, r, 7L)
+      def hasBucketedLeaf(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectLeaves().exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+      val joins = it.queryExecution.sparkPlan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }.filter(hasBucketedLeaf)
+      assert(joins.nonEmpty, "expected shuffled joins over the bucketed edge table")
+      joins.foreach { j =>
+        val edgeSides = j.children.filter(hasBucketedLeaf)
+        assert(edgeSides.nonEmpty)
+        edgeSides.foreach { side =>
+          assert(side.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+            s"bucketed edge side re-shuffles:\n$j")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("kmeans: assignment is a narrow map over literal centroids (no join, no shuffle)") {
     val e = graft.queries.Qh.t(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val cents = graft.operators.KMeansLloyd.initByIds(e, 8)

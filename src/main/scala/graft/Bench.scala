@@ -12,6 +12,32 @@ package graft
   * broken round can never masquerade as a fast one.
   */
 object Bench {
+
+  /** Per-query wall-clock budgets at the driver's sf0.1 (5–8× the
+    * round-5 measured times — generous enough for run noise, tight
+    * enough that a plan-shape regression slowing a query ~5× fails the
+    * bench loudly instead of shipping as a silent slowdown; the driver
+    * only gates on the errors map). Other scale factors have no pinned
+    * reference times, so no budget applies there. */
+  private val heavyQueries = Set(
+    "l13_pagerank", "l2_ngram_jaccard", "l3_ann_trained", "p8_json_nested",
+    "l2_simhash_hamming", "l2_dedup_clusters", "a1_hashagg",
+    "a6_approx_percentile", "a6_stats", "a6_tdigest", "l3_ann_lsh",
+    "p10_map_hof", "l3_ann_ivfpq", "l3_ann_pq", "t8_foreachbatch_jdbc",
+    "l11_decontam", "l2_lsh_pairs", "l2_minhash_sigs", "l3_kmeans",
+    "l2_cosine_neardup", "s10_vector_index")
+
+  def budgetSeconds(name: String, sfDir: String): Option[Double] =
+    if (new java.io.File(sfDir).getName != "sf0.1") None
+    else Some(if (heavyQueries(name)) 20.0 else 10.0)
+
+  /** Some(error message) when `sec` breaches the budget for `name`. */
+  def checkBudget(name: String, sec: Double, sfDir: String): Option[String] =
+    budgetSeconds(name, sfDir).collect {
+      case b if sec > b =>
+        f"time budget exceeded: $sec%.1f s > $b%.1f s ceiling (regression?)"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
@@ -61,6 +87,8 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         timings(name) = (System.nanoTime() - t0) / 1e9
         rowCounts(name) = obs.get("rows_out").asInstanceOf[Long]
+        checkBudget(name, timings(name), sfDir)
+          .foreach(msg => errors(name) = msg)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

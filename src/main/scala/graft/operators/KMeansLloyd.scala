@@ -98,6 +98,46 @@ object KMeansLloyd {
   def fit(e: DataFrame, init: Seq[(Int, Seq[Double])], iters: Int): Seq[(Int, Seq[Double])] =
     (0 until iters).foldLeft(init)((c, _) => step(e, c))
 
+  /** Fixed-point centroid displacement between two models: max over
+    * clusters and dims of the 1e-6-unit integer difference — an EXACT
+    * Long, so the convergence test is bit-deterministic across runs
+    * (no float-noise flakes). A cluster present in only one model
+    * (emptied out) reports Long.MaxValue: never converged. */
+  def deltaFp(a: Seq[(Int, Seq[Double])], b: Seq[(Int, Seq[Double])]): Long = {
+    val bm = b.toMap
+    val ds = a.map { case (cid, va) =>
+      bm.get(cid) match {
+        case Some(vb) if vb.size == va.size =>
+          va.lazyZip(vb).map((x, y) =>
+            math.abs(math.round(x * 1e6) - math.round(y * 1e6))).max
+        case _ => Long.MaxValue
+      }
+    }
+    if (a.size != b.size || ds.isEmpty) Long.MaxValue else ds.max
+  }
+
+  /** Convergence-mode training — the production driver loop the
+    * fixed-iteration oracle decls deliberately don't use (their
+    * contract needs a closed-form unrolled CTE): iterate until the
+    * centroid displacement falls to `tolFp` (in 1e-6 element units) or
+    * `maxIters` is hit. Returns (model, iterationsRun). Per-iteration
+    * cost is identical to [[step]]; the delta is computed driver-side
+    * over the k·dim model — no extra cluster work. */
+  def fitUntil(
+      e: DataFrame, init: Seq[(Int, Seq[Double])],
+      maxIters: Int, tolFp: Long): (Seq[(Int, Seq[Double])], Int) = {
+    var cur = init
+    var i = 0
+    while (i < maxIters) {
+      val next = step(e, cur)
+      i += 1
+      val d = deltaFp(next, cur)
+      cur = next
+      if (d <= tolFp) return (cur, i)
+    }
+    (cur, i)
+  }
+
   /** Deterministic init: the k lowest-vec_id embeddings (a documented
     * stand-in for k-means++ sampling — init choice is orthogonal to the
     * distributed iteration machinery being exercised). */

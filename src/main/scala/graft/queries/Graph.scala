@@ -116,6 +116,36 @@ object Graph {
         (lit(base) + expr("(85 * coalesce(m, CAST(0 AS BIGINT))) DIV 100")).as("r"))
   }
 
+  /** Convergence-mode PageRank — the production loop the fixed-
+    * iteration oracle decl deliberately doesn't use: iterate until the
+    * max per-node rank change (exact fixed-point BIGINT — deterministic
+    * across runs, no float tolerance) falls to `tolFp`, or `maxIters`.
+    * Each iteration materializes its rank frontier (bounded lineage —
+    * an unbounded loop would otherwise stack plans) and pays one extra
+    * nodes-sized join+max for the delta; the bucketed edge side is
+    * untouched. Returns (ranks, iterationsRun). */
+  def pageRankUntil(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxIters: Int, tolFp: Long): (org.apache.spark.sql.DataFrame, Int) = {
+    import s.implicits._
+    val e = edgeTable(s, dir)
+    val nodes = Qh.materialize(e.select($"src".as("node")).distinct())
+    val n = nodes.count()
+    val base = (S * 15) / (100 * n)
+    var r = Qh.materialize(nodes.select($"node", lit(S / n).as("r")))
+    var i = 0
+    while (i < maxIters) {
+      val next = Qh.materialize(iterate(e, nodes, r, base))
+      i += 1
+      val d = next.as("a").join(r.as("b"), $"a.node" === $"b.node")
+        .agg(max(abs($"a.r" - $"b.r")))
+        .head.getLong(0)
+      r = next
+      if (d <= tolFp) return (r, i)
+    }
+    (r, i)
+  }
+
   val decls: Seq[Decl] = Seq(
     Decl("l13_pagerank", oSql) { (s, dir) =>
       import s.implicits._

@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank properties the hash oracle can't see: convergence-mode
+  * stopping, mass conservation under floor division, and determinism. */
+class GraphSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val S = 1000000000000L
+
+  test("convergence mode stops before the iteration cap and is actually converged") {
+    // 1e-3 in rank units (fixed-point 1e-12 scale): the max-delta
+    // starts hub-sized (~7.7e10 on this fixture) and decays by the
+    // damping factor per iteration, so this lands at ~27 iterations —
+    // comfortably inside the cap, far from instant
+    val tol = 1000000000L
+    val (r, iters) = Graph.pageRankUntil(spark, dir, maxIters = 40, tolFp = tol)
+    assert(iters < 40, s"did not converge within the cap ($iters iterations)")
+    assert(iters > 1, "suspiciously instant convergence")
+    // converged means one MORE iteration moves no rank beyond tol
+    val e = spark.table(s"pr_edges_${java.lang.ProcessHandle.current().pid()}")
+    val nodes = e.select(col("src").as("node")).distinct()
+    val n = nodes.count()
+    val base = (S * 15) / (100 * n)
+    val next = Graph.iterate(e, nodes, r, base)
+    val d = next.as("a").join(r.as("b"), col("a.node") === col("b.node"))
+      .agg(max(abs(col("a.r") - col("b.r")))).head.getLong(0)
+    assert(d <= tol, s"reported converged but next step still moves $d")
+    // floor division only ever loses mass: 0 < total ≤ S, and close to S
+    val total = r.agg(sum(col("r"))).head.getLong(0)
+    assert(total <= S && total > (S * 95) / 100,
+      s"rank mass off: $total vs scale $S")
+  }
+
+  test("convergence-mode ranks are deterministic across runs") {
+    val (ra, ia) = Graph.pageRankUntil(spark, dir, maxIters = 15, tolFp = 100000000L)
+    val (rb, ib) = Graph.pageRankUntil(spark, dir, maxIters = 15, tolFp = 100000000L)
+    assert(ia == ib)
+    assert(ra.orderBy("node").collect().toSeq == rb.orderBy("node").collect().toSeq)
+  }
+}

@@ -19,10 +19,25 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     val s0 = KMeansLloyd.sse(e, c0)
     val s1 = KMeansLloyd.sse(e, c1)
     val s2 = KMeansLloyd.sse(e, c2)
-    assert(s1 <= s0, s"step 1 must not increase SSE: $s1 > $s0")
-    assert(s2 <= s1, s"step 2 must not increase SSE: $s2 > $s1")
+    // tiny relative tolerance: centroids are fixed-point-rounded means
+    // (not exact minimizers) and sse() is an unordered double sum, so
+    // exact Lloyd monotonicity can miss by ulp-scale noise
+    assert(s1 <= s0 * (1 + 1e-9), s"step 1 must not increase SSE: $s1 > $s0")
+    assert(s2 <= s1 * (1 + 1e-9), s"step 2 must not increase SSE: $s2 > $s1")
     // means strictly improve on a by-id init over random-ish data
     assert(s1 < s0 * 0.999, s"step 1 barely moved: $s1 vs $s0")
+  }
+
+  test("convergence mode stops at a fixed point within the cap") {
+    val e = Qh.t(spark, dir, "embeddings").select("vec_id", "embedding")
+    val (model, iters) = KMeansLloyd.fitUntil(
+      e, KMeansLloyd.initByIds(e, 8), maxIters = 50, tolFp = 100L)
+    assert(iters < 50, s"did not converge within the cap ($iters iterations)")
+    assert(iters > 1, "suspiciously instant convergence")
+    // converged means one more step moves no centroid element > tol
+    val d = KMeansLloyd.deltaFp(KMeansLloyd.step(e, model), model)
+    assert(d <= 100L, s"reported converged but next step moves $d")
+    assert(model.size == 8)
   }
 
   test("all 8 clusters survive and every vector is assigned") {

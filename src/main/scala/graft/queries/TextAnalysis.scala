@@ -317,14 +317,22 @@ object TextAnalysis {
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       val docs = Qh.t(s, dir, "documents").select($"doc_id", $"lang", $"source")
-      // phase 1: block counts → lexicographic cumulative offsets
-      val counts = docs.groupBy($"lang", $"source").count().collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-        .sortBy(_._1)
-      val offsets = counts.map(_._1)
-        .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
-        .map { case ((l, src), off) => (l, src, off) }
-      val offDf = s.createDataFrame(offsets.toSeq).toDF("lang", "source", "off")
+      // phase 1: block counts → cumulative offsets, derived IN-ENGINE
+      // via a running sum over the tiny aggregate (single-partition
+      // window is fine: block keys are low-cardinality metadata). This
+      // keeps the block order Spark's own binary-UTF-8 string sort —
+      // identical to the oracle's — where a driver-side Scala sortBy
+      // would compare UTF-16 code units and diverge beyond ASCII. Null
+      // block keys are rejected up front: Spark orders nulls first,
+      // DuckDB last, so they have no portable position.
+      val counts = docs.groupBy($"lang", $"source").agg(count(lit(1)).as("cnt"))
+      val nNullKeys = counts.filter($"lang".isNull || $"source".isNull).count()
+      require(nNullKeys == 0,
+        s"l12_global_ids: $nNullKeys block(s) with NULL lang/source — no portable total order")
+      val wOff = Window.orderBy($"lang", $"source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offDf = counts.select($"lang", $"source",
+        coalesce(sum($"cnt").over(wOff), lit(0L)).as("off"))
       // phase 2: local rank within block + broadcast offset
       val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
       docs.withColumn("local_rn", row_number().over(w))

@@ -230,6 +230,35 @@ class StreamingSpec extends SparkSpec {
     assert(back.select(countDistinct($"part_id")).head.getLong(0) == 3)
   }
 
+  test("T8b: idempotent writer driven by a REAL streaming query lands exact state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:graft_t8b_q;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      "CREATE TABLE t8bq_sink (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT, part_id INT)")
+    conn.close()
+    val mem = MemoryStream[E]
+    val q = mem.toDF()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.jdbcIdempotentWriter(url, "t8bq_sink", props)(df, id)
+      }
+      .outputMode("append").start()
+    try {
+      mem.addData(E(1, ts(1), 1, "click", 1.5), E(2, ts(2), 2, "click", 2.5))
+      q.processAllAvailable()
+      mem.addData(E(3, ts(3), 3, "click", 3.5))
+      q.processAllAvailable()
+      val back = spark.read.jdbc(url, "t8bq_sink", props)
+      assert(back.count() == 3)
+      assert(back.select(countDistinct($"batch_id")).head.getLong(0) >= 2)
+      assert(back.select(sum($"value")).head.getDouble(0) == 7.5)
+    } finally q.stop()
+  }
+
   test("T7: stream-static semi-join filters a stream by a static allowlist") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

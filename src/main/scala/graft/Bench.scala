@@ -53,7 +53,11 @@ object Bench {
     // alphabetically-first query doesn't absorb startup cost
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_returnflag").count()
+        .limit(10000)
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
         .write.format("noop").mode("overwrite").save()
       // warm the shared text kernels (regex tokenizer, portable md5,
       // array HOFs) on a tiny slice: their first-use JIT costs multiple

@@ -300,15 +300,48 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L8d: DOMAIN-MIXTURE WEIGHTS — temperature-scaled sampling weights
+    // per (lang, source) block, the standard fix for over-represented
+    // domains when composing a training mixture (the p^α reweighting of
+    // multilingual BERT / XLM-R; α = 0.5 here because IEEE-754 sqrt is
+    // EXACTLY rounded — bit-identical in Spark and DuckDB — where
+    // libm pow is not). Weights are wq/Σwq with wq the 1e-6 fixed-point
+    // sqrt(count): integer sum is order-proof, and both engines divide
+    // identical doubles. One tiny agg + a single-partition window over
+    // the low-cardinality block set — the big table is scanned once.
+    Decl(
+      "l8_mixture_weights",
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS n
+        |  FROM documents GROUP BY lang, source),
+        |w AS (
+        |  SELECT lang, source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wq
+        |  FROM c)
+        |SELECT lang, source, n,
+        |  floor(CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000.0 AS weight
+        |FROM w ORDER BY lang, source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val c = Qh.t(s, dir, "documents")
+        .groupBy($"lang", $"source").agg(count(lit(1)).as("n"))
+      c.withColumn("wq",
+          floor(sqrt($"n".cast("double")) * 1000000 + 0.5).cast("long"))
+        .withColumn("tot", sum($"wq").over(Window.partitionBy()))
+        .select($"lang", $"source", $"n",
+          Qh.r6($"wq".cast("double") / $"tot".cast("double")).as("weight"))
+        .orderBy("lang", "source")
+    },
+
     // L12: GLOBAL CONTIGUOUS IDS in a total key order — without the
     // single-reducer global sort that row_number() OVER (ORDER BY …)
     // costs at 100 TB. Two-phase block-offset numbering: per-block
-    // counts (one tiny agg, collected — block keys are low-cardinality
-    // model-style metadata), cumulative offsets broadcast back, then
-    // each block ranks LOCALLY and adds its offset. The only shuffle of
-    // the big table is the per-block window partition — no stage ever
-    // funnels all rows through one task. Same ids as the naive global
-    // sort, bit for bit (the oracle IS the naive form).
+    // counts (one tiny agg — block keys are low-cardinality model-style
+    // metadata), cumulative offsets derived in-engine and broadcast
+    // back, then each block ranks LOCALLY and adds its offset. The only
+    // shuffle of the big table is the per-block window partition — no
+    // stage ever funnels all rows through one task. Same ids as the
+    // naive global sort, bit for bit (the oracle IS the naive form).
     Decl(
       "l12_global_ids",
       """SELECT doc_id,

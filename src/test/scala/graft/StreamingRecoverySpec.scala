@@ -65,4 +65,72 @@ class StreamingRecoverySpec extends SparkSpec {
     assert(sunk.select(countDistinct($"event_id")).head.getLong(0) == 100,
       "duplicate event_ids after recovery")
   }
+
+  test("north-star pipeline: landing files -> allowlist semi-join -> idempotent JDBC, across restart") {
+    // the reference's whole job (scan -> user-filter semi-join ->
+    // envelope -> single sink), upgraded to Structured Streaming with
+    // the DISTRIBUTED exactly-once JDBC sink: stopped and restarted on
+    // the same checkpoint, the target table holds exactly the allowed
+    // rows, once each, with no rows ever passing through the driver.
+    import graft.streaming.Streams
+    import spark.implicits._
+    val base = "/tmp/graft_stream_ns"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val inDir = s"$base/in"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    def writeFile(name: String, ids: Range): Unit = {
+      val lines = ids.map(i =>
+        s"""{"event_id": $i, "user_id": ${i % 10}, "value": ${i}.5}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$inDir/$name.json"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    val url = "jdbc:derby:memory:graft_ns;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      "CREATE TABLE ns_sink (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT, part_id INT)")
+    conn.close()
+
+    // the user_filter dimension: only users 2, 5, 7 pass
+    val allow = Seq(2L, 5L, 7L).toDF("user_id")
+    def startQuery() =
+      spark.readStream.schema(schema).json(inDir)
+        .transform(df => Streams.streamStaticSemiJoin(df, allow))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          Streams.jdbcIdempotentWriter(url, "ns_sink", props)(df, id)
+        }
+        .start()
+
+    writeFile("f1", 0 until 60)
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // more data lands while the query is down
+    writeFile("f2", 60 until 100)
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val sunk = spark.read.jdbc(url, "ns_sink", props)
+    // users 2,5,7 occur for i % 10 in {2,5,7}: 30 of 100 rows
+    assert(sunk.count() == 30, s"expected 30 allowed rows, got ${sunk.count()}")
+    assert(sunk.select(countDistinct($"event_id")).head.getLong(0) == 30,
+      "duplicates across restart")
+    assert(sunk.select($"user_id").distinct().as[Long].collect().toSet == Set(2L, 5L, 7L),
+      "allowlist not enforced")
+  }
 }

@@ -65,6 +65,34 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L4i: BPE PAIR STATS (r5) — adjacent character-pair frequencies
+    // over the tokenized corpus, i.e. ONE merge-selection step of
+    // byte-pair-encoding vocabulary training (Sennrich et al. 2016):
+    // the distributed inner loop a tokenizer trainer runs per merge.
+    // Narrow double-explode → one hash agg (map-side combined) →
+    // TakeOrderedAndProject top-20 (count desc, pair asc — fully
+    // deterministic). At 100 TB: shuffle carries only (pair, partial
+    // count) — bounded by the pair alphabet, not the corpus.
+    Decl(
+      "l4_bpe_pair_stats",
+      s"""SELECT pair, count(*) AS n FROM (
+         |  SELECT unnest(list_transform(range(1, len(tok)), i -> substr(tok, i, 2))) AS pair
+         |  FROM (SELECT unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |  WHERE len(tok) >= 2)
+         |GROUP BY pair
+         |ORDER BY n DESC, pair
+         |LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "documents")
+        .select(explode(expr(Qh.toksExpr)).as("tok"))
+        .filter(length($"tok") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(20)
+    },
+
     // L4b2: TF-IDF — term frequency × ln(N/df), top-3 terms per doc.
     // Three hash aggs (tf on (doc,term), df on term, N scalar) + one
     // window; the df and N branches are broadcast — the full corpus

@@ -69,9 +69,17 @@ object Graph {
     * one file per bucket (repartitioned by src before the write), so
     * every downstream join or aggregation keyed on src is shuffle-free
     * on this side. Table name is per-JVM (concurrent runs don't race). */
-  def edgeTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** Built tables, keyed by fixture dir: the adjacency layout is
+    * immutable per input, so one JVM builds each at most once (tests,
+    * Scratch double-runs, and convergence loops reuse it). */
+  private val built = scala.collection.concurrent.TrieMap[String, String]()
+
+  def edgeTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    s.table(built.getOrElseUpdate(dir, buildEdgeTable(s, dir)))
+
+  private def buildEdgeTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     import s.implicits._
-    val tbl = s"pr_edges_${java.lang.ProcessHandle.current().pid()}"
+    val tbl = s"pr_edges_${java.lang.ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
     val li = Qh.t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
     val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
     val pairs = Qh.materialize(
@@ -96,7 +104,7 @@ object Graph {
       .repartition(32, $"src")
       .write.bucketBy(32, "src").sortBy("src")
       .mode("overwrite").saveAsTable(tbl)
-    s.table(tbl)
+    tbl
   }
 
   /** One power iteration over the bucketed adjacency table: rank mass

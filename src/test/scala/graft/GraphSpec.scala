@@ -21,7 +21,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(iters < 40, s"did not converge within the cap ($iters iterations)")
     assert(iters > 1, "suspiciously instant convergence")
     // converged means one MORE iteration moves no rank beyond tol
-    val e = spark.table(s"pr_edges_${java.lang.ProcessHandle.current().pid()}")
+    val e = Graph.edgeTable(spark, dir)
     val nodes = e.select(col("src").as("node")).distinct()
     val n = nodes.count()
     val base = (S * 15) / (100 * n)

@@ -91,15 +91,18 @@ object Graph {
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     // the in-memory catalog is fresh each JVM but the warehouse dir
-    // persists — clear any stale location from a dead run with this pid
-    val wh = new java.io.File(s"/tmp/graft_warehouse/$tbl")
-    if (wh.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(wh)
+    // persists — clear this table's stale location plus any pr_edges
+    // table left by a DEAD JVM (repeated rounds must not grow /tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
     }
+    Option(new java.io.File("/tmp/graft_warehouse").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName == tbl || (f.getName.startsWith("pr_edges_") &&
+        f.getName.stripPrefix("pr_edges_").takeWhile(_.isDigit).toLongOption
+          .exists(pid => java.lang.ProcessHandle.of(pid).isEmpty)))
+      .foreach(rm)
     edges.join(deg, "src")
       .repartition(32, $"src")
       .write.bucketBy(32, "src").sortBy("src")

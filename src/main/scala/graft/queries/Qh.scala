@@ -36,6 +36,21 @@ object Qh {
     * is namespaced per JVM (tests and a concurrent Verify run never race
     * on the same directory during overwrite). */
   def ioDir(name: String): String = {
+    val base = new java.io.File("/tmp/graft_io")
+    // sweep scratch left by DEAD JVMs (pid-named dirs whose process is
+    // gone) so repeated rounds don't grow /tmp without bound; live
+    // runs' dirs are never touched
+    Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val alive = f.getName.toLongOption
+        .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
+      if (f.isDirectory && f.getName.forall(_.isDigit) && !alive) {
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete()
+        }
+        rm(f)
+      }
+    }
     val d = s"/tmp/graft_io/${java.lang.ProcessHandle.current().pid()}/$name"
     new java.io.File(d).getParentFile.mkdirs()
     d

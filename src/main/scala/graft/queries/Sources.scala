@@ -223,6 +223,37 @@ object Sources {
         .orderBy("etype")
     },
 
+    // S12: SMALL-FILE COMPACTION (r5) — the OPTIMIZE-style table
+    // maintenance every long-lived 100-TB dataset needs: streaming and
+    // per-batch ingestion leave thousands of small files (here: a
+    // 64-way write of a small table), and scan throughput collapses
+    // under per-file open/footer costs. Compaction rewrites the landing
+    // data into few right-sized files (coalesce — a NARROW rewrite, no
+    // shuffle). The decl reads back the COMPACTED copy and aggregates;
+    // the oracle aggregates the ORIGINAL table, so any row lost,
+    // duplicated, or mangled by the rewrite breaks the hash.
+    // CompactionSpec pins the file-count contract itself.
+    Decl(
+      "s12_compaction",
+      s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s12_compact")
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .repartition(64) // the small-file problem, simulated
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/landing")
+      s.read.parquet(s"$path/landing")
+        .coalesce(4) // narrow rewrite: no shuffle, 64 -> 4 files
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/compacted")
+      s.read.parquet(s"$path/compacted")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+
     // S5: the Kafka wire format — key + envelope value bytes exactly as
     // they would land on the topic (R7+R8+R9 serialization surface).
     Decl(

@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
   * `l3_ann_ivfpq` consume exactly this kind of model; their in-repo
   * decls use deterministic stand-in centroids so their oracles stay
   * closed-form, and THIS operator is the production path that fits the
-  * real ones).
+  * real ones — `l3_ann_trained` composes the full train → partitioned
+  * index → pruned-serve lifecycle with NO stand-ins, oracle-checked).
   *
   * Execution shape per iteration (the classic scalable k-means layout —
   * Lloyd 1957/1982; same data-parallel decomposition as MLlib's

@@ -464,8 +464,65 @@ object Similarity {
         .orderBy("query_id", "rnk")
     },
 
-    s10Decl
+    s10Decl,
+    s10bDecl
   )
+
+  /** S10b: INCREMENTAL index maintenance (r5) — a live 100-TB vector
+    * index is never rebuilt per ingest batch: new vectors are assigned
+    * to their lists and APPENDED into the matching partitions
+    * (`partitionBy(list_id)` append adds files inside existing list
+    * directories; serving reads are unaffected because pruning is by
+    * directory, not file). Build from the first 300 vectors, append the
+    * rest as the "new batch", serve probes — the oracle is the SAME
+    * full-corpus IVF query as s10, so a dropped, duplicated, or
+    * misrouted appended vector breaks the hash. */
+  private def s10bDecl: Decl = Decl(
+    "s10b_index_append",
+    s10Decl.oracle.get) { (s, dir) =>
+    import s.implicits._
+    val path = Qh.ioDir("s10b_index")
+    val e = Qh.t(s, dir, "embeddings")
+    val cent = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"))
+    val dist = Qh.materialize(e.crossJoin(broadcast(cent))
+      .select($"vec_id", $"cid", cosine($"embedding", $"cemb").as("cos")))
+    val wv = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cid")
+    val asg = dist.withColumn("rn", row_number().over(wv))
+      .filter($"rn" === 1).select($"vec_id", $"cid".as("list_id"))
+    val indexed = e.join(asg, "vec_id")
+      .select($"vec_id", $"embedding", $"list_id")
+    // BUILD: initial corpus
+    indexed.filter($"vec_id" < 300)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // INGEST: the new batch appends into the same list directories
+    indexed.filter($"vec_id" >= 300)
+      .write.mode("append").partitionBy("list_id").parquet(path)
+    // SERVE: identical to s10
+    val probe = dist.filter($"vec_id" < 10)
+      .withColumn("rn", row_number().over(wv))
+      .filter($"rn" <= 2)
+      .select($"vec_id".as("query_id"), $"cid".as("list_id"))
+    val probePairs = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val probedLists = probePairs.map(_._2).distinct.sorted
+    val index = s.read.parquet(path)
+      .filter($"list_id".isin(probedLists: _*))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"), $"list_id")
+    val probeDf = broadcast(s.createDataFrame(probePairs.toSeq)
+      .toDF("query_id", "list_id"))
+    val qe = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    index.join(probeDf, "list_id")
+      .filter($"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id", $"c_emb").distinct()
+      .join(broadcast(qe), "query_id")
+      .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .orderBy("query_id", "rnk")
+  }
 
   /** S10: the IVF index AS A PARTITIONED TABLE — the production ANN
     * serving layout. Build: assign every vector to its coarse list and

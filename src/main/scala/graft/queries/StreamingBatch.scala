@@ -192,6 +192,28 @@ object StreamingBatch {
         .orderBy("purchase_id", "click_id")
     },
 
+    // T9c: the FULL OUTER form (r5) — unmatched rows on BOTH sides
+    // null-pad, completing the stream-stream join matrix
+    // (inner / left outer / full outer; Spark supports exactly these
+    // plus right-outer-by-symmetry for interval joins).
+    Decl(
+      "t9_stream_stream_full",
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+        | AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+        |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", Qh.tsUs($"ts").as("ts"), $"event_type")
+      Streams.streamStreamFullOuter(
+          ev.filter($"event_type" === "purchase"),
+          ev.filter($"event_type" === "click"))
+        .orderBy("purchase_id", "click_id")
+    },
+
     // T8: the full streaming sink loop, oracle-checked end to end — a
     // REAL streaming query (file source → foreachBatch → JDBC/Derby),
     // then the landed table is read back through spark.read.jdbc and

@@ -178,6 +178,22 @@ object Streams {
         col("p.event_id").as("purchase_id"),
         col("c.event_id").as("click_id"))
 
+  /** T9c: stream–stream FULL OUTER interval join — unmatched rows on
+    * BOTH sides emit null-padded once the opposing side's watermark
+    * closes their join horizon (purchases with no click in the
+    * preceding hour, and clicks followed by no purchase within an
+    * hour). State bounds are identical to the inner form. */
+  def streamStreamFullOuter(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.alias("p").join(
+      clicks.alias("c"),
+      expr("""p.user_id = c.user_id
+             |AND c.ts >= p.ts - INTERVAL 1 HOUR
+             |AND c.ts <= p.ts""".stripMargin),
+      "full_outer")
+      .select(
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"))
+
   /** T8: foreachBatch JDBC sink — the north star's "Kafka source + JDBC
     * sink" tail. Append per micro-batch; idempotence at the table level
     * comes from the batch-id column. */

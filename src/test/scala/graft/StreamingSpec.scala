@@ -155,6 +155,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T9c: full-outer stream-stream join null-pads BOTH unmatched sides after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[E]
+    val clicks = MemoryStream[E]
+    val q = Streams.streamStreamFullOuter(
+        purchases.toDF().withWatermark("ts", "0 seconds"),
+        clicks.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("t9c_out")
+      .outputMode("append").start()
+    try {
+      // an unmatched purchase AND an unmatched click (different users)
+      purchases.addData(E(1, ts(70), 1, "purchase", 5.0))
+      clicks.addData(E(10, ts(30), 2, "click", 1.0))
+      q.processAllAvailable()
+      // advance both watermarks far past both horizons
+      purchases.addData(E(2, ts(600), 3, "purchase", 5.0))
+      clicks.addData(E(11, ts(600), 4, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("t9c_out")
+        .select($"purchase_id", $"click_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(out.contains((Some(1L), None)),
+        s"missing null-padded row for the unmatched purchase: $out")
+      assert(out.contains((None, Some(10L))),
+        s"missing null-padded row for the unmatched click: $out")
+    } finally q.stop()
+  }
+
   test("T8: foreachBatch lands micro-batches in a JDBC (Derby) table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

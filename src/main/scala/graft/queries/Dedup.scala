@@ -88,10 +88,9 @@ object Dedup {
   // object vals initialize in declaration order)
   private val Qh_toks = Qh.toksExpr
 
-  /** Oracle CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
-    * banded-LSH near-dup pairs with exact Jaccard ≥ 0.2 (mirrors
-    * [[lshPairs]]). Shared by l2_lsh_pairs and l2_dedup_clusters. */
-  private lazy val oPairsCte: String =
+  /** Oracle CTE chain ending in `cand(doc_a, doc_b)` — the banded-LSH
+    * candidate pairs (shared by the pairs/cluster/estimate decls). */
+  private lazy val oCandCte: String =
     s"""$oSigs,
        |bands AS (
        |  SELECT doc_id, band_id,
@@ -104,7 +103,13 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |   AND a.doc_id < b.doc_id),
+       |   AND a.doc_id < b.doc_id)"""
+
+  /** Oracle CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * banded-LSH near-dup pairs with exact Jaccard ≥ 0.2 (mirrors
+    * [[lshPairs]]). Shared by l2_lsh_pairs and l2_dedup_clusters. */
+  private lazy val oPairsCte: String =
+    s"""$oCandCte,
        |pairs AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -283,6 +288,66 @@ object Dedup {
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       lshPairs(s, dir)
+    },
+
+    // L2b1: SKETCH ACCURACY (r5) — the MinHash Jaccard ESTIMATE
+    // (fraction of equal signature slots, Broder's estimator) next to
+    // the exact shingle Jaccard for every LSH candidate pair, plus the
+    // absolute error. This is the sketch-quality report a production
+    // dedup pipeline ships with its threshold choice: it shows, from
+    // data, how far k=8 minhashes deviate from the true similarity
+    // (E[est] = J, sd = sqrt(J(1-J)/8)). All arithmetic is exact
+    // (integer counts, one double division with identical operands on
+    // both engines; r6-rounded output).
+    Decl(
+      "l2_minhash_estimate",
+      s"""WITH ${oCandCte.stripMargin},
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |    (${(0 until 8).map(i => s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)").mkString(" + ")}) / 8.0 AS est_jaccard,
+         |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, est_jaccard,
+         |  ${Qh.oR6("jaccard")} AS jaccard,
+         |  ${Qh.oR6("abs(est_jaccard - jaccard)")} AS abs_err
+         |FROM est
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sigs = Qh.materialize(
+        withShingles(Qh.t(s, dir, "documents"))
+          .select($"doc_id" +: $"shingles" +:
+            (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
+      val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
+        struct(lit(id).as("band_id"),
+          concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
+      }
+      val bands = sigs
+        .select($"doc_id", explode(array(bandKey: _*)).as("b"))
+        .select($"doc_id", $"b.band_id", $"b.band_key")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val sa = sigs.select($"doc_id".as("doc_a") +: $"shingles".as("sh_a") +:
+        (0 until 8).map(i => col(s"sig$i").as(s"a_sig$i")): _*)
+      val sb = sigs.select($"doc_id".as("doc_b") +: $"shingles".as("sh_b") +:
+        (0 until 8).map(i => col(s"sig$i").as(s"b_sig$i")): _*)
+      val estCol = (0 until 8)
+        .map(i => when(col(s"a_sig$i") === col(s"b_sig$i"), 1).otherwise(0))
+        .reduce(_ + _).cast(DoubleType) / 8.0
+      val ni = size(array_intersect($"sh_a", $"sh_b"))
+      val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select($"doc_a", $"doc_b", estCol.as("est_jaccard"), jac.as("jaccard"))
+        .select($"doc_a", $"doc_b", $"est_jaccard",
+          Qh.r6($"jaccard").as("jaccard"),
+          Qh.r6(abs($"est_jaccard" - $"jaccard")).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // L2b2: connected-components dedup CLUSTERING — the step after pair

@@ -183,6 +183,13 @@ class PlanSpec extends SparkSpec {
       s"index probe must prune inverted-list directories: $pf")
   }
 
+  test("l3_ann_trained: serving the TRAINED index is partition pruning on list_id") {
+    val p = plan("l3_ann_trained")
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("list_id"),
+      s"trained-index probe must prune inverted-list directories: $pf")
+  }
+
   test("a1: aggregation is partial+final (map-side combine)") {
     val p = plan("a1_hashagg")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,

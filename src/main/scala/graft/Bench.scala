@@ -25,7 +25,8 @@ object Bench {
     "a6_approx_percentile", "a6_stats", "a6_tdigest", "l3_ann_lsh",
     "p10_map_hof", "l3_ann_ivfpq", "l3_ann_pq", "t8_foreachbatch_jdbc",
     "l11_decontam", "l2_lsh_pairs", "l2_minhash_sigs", "l3_kmeans",
-    "l2_cosine_neardup", "s10_vector_index")
+    "l2_cosine_neardup", "s10_vector_index", "s10b_index_append",
+    "l2_minhash_estimate", "t9_stream_stream_full", "s12_compaction")
 
   def budgetSeconds(name: String, sfDir: String): Option[Double] =
     if (new java.io.File(sfDir).getName != "sf0.1") None

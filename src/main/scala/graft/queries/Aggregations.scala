@@ -94,7 +94,12 @@ object Aggregations {
         .groupBy($"event_type")
         .agg(
           countDistinct($"user_id").as("exact_users"),
-          approx_count_distinct($"user_id").as("approx_users"))
+          // rsd = 1%: the declared 5%+2 acceptance band is then a ~5σ
+          // margin — holds at EVERY scale factor, where the default 5%
+          // rsd deterministically breached the band at sf0.1 (an HLL
+          // estimate is a fixed function of the data; one bad group
+          // stays bad). Sketch cost is still KB-sized.
+          approx_count_distinct($"user_id", 0.01).as("approx_users"))
         .select(
           $"event_type",
           $"exact_users",

@@ -17,6 +17,18 @@ class PlanSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("hot scan paths stay inside whole-stage codegen") {
+    // the 100 TB throughput story assumes fused codegen pipelines; an
+    // interpreted expression slipping into a hot path (non-codegen UDF,
+    // CodegenFallback expr) would silently cost 2-10x scan throughput
+    for (q <- Seq("p1_prune", "p2_filter", "a1_hashagg", "j2_inner",
+        "l4_quality_score", "l1_exact_dedup")) {
+      val p = plan(q)
+      assert(p.contains("WholeStageCodegen"),
+        s"$q lost whole-stage codegen:\n${p.take(600)}")
+    }
+  }
+
   test("p1: projection prunes the parquet read schema to 3 columns") {
     val p = plan("p1_prune")
     assert(p.contains("ReadSchema"))

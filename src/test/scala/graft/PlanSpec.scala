@@ -23,8 +23,13 @@ class PlanSpec extends SparkSpec {
     // CodegenFallback expr) would silently cost 2-10x scan throughput
     for (q <- Seq("p1_prune", "p2_filter", "a1_hashagg", "j2_inner",
         "l4_quality_score", "l1_exact_dedup")) {
-      val p = plan(q)
-      assert(p.contains("WholeStageCodegen"),
+      // AQE only materializes codegen stages in the FINAL plan — run
+      // the query (tiny sf), then look for the "*(n)" stage markers
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect() // an action on THIS QueryExecution (write would clone it)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q: AQE did not finalize")
+      assert(p.contains("*("),
         s"$q lost whole-stage codegen:\n${p.take(600)}")
     }
   }

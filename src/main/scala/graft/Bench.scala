@@ -13,24 +13,85 @@ package graft
   */
 object Bench {
 
-  /** Per-query wall-clock budgets at the driver's sf0.1 (5–8× the
-    * round-5 measured times — generous enough for run noise, tight
-    * enough that a plan-shape regression slowing a query ~5× fails the
-    * bench loudly instead of shipping as a silent slowdown; the driver
-    * only gates on the errors map). Other scale factors have no pinned
-    * reference times, so no budget applies there. */
-  private val heavyQueries = Set(
-    "l13_pagerank", "l2_ngram_jaccard", "l3_ann_trained", "p8_json_nested",
-    "l2_simhash_hamming", "l2_dedup_clusters", "a1_hashagg",
-    "a6_approx_percentile", "a6_stats", "a6_tdigest", "l3_ann_lsh",
-    "p10_map_hof", "l3_ann_ivfpq", "l3_ann_pq", "t8_foreachbatch_jdbc",
-    "l11_decontam", "l2_lsh_pairs", "l2_minhash_sigs", "l3_kmeans",
-    "l2_cosine_neardup", "s10_vector_index", "s10b_index_append",
-    "l2_minhash_estimate", "t9_stream_stream_full", "s12_compaction")
+  /** Per-query pinned reference times at sf0.1, measured on an idle
+    * machine (round-5 controlled re-run; total 117.8 s / 126 queries /
+    * 0 err). These replace the round-5 two-tier budgets, whose 20 s
+    * ceiling over 1.2–1.6 s queries let a 10× plan regression ship
+    * silently. Regenerate per round from bench_detail.json when a
+    * query's plan intentionally changes. Queries absent from the map
+    * (newly added this round) get no budget until pinned. */
+  private[graft] val pinnedSeconds: Map[String, Double] = Map(
+    "a1_hashagg" -> 1.962, "a2_distinct" -> 0.996,
+    "a3_approx_distinct" -> 3.427, "a3_hll_merge" -> 0.700,
+    "a4_cube" -> 0.719, "a4_grouping_sets" -> 0.780, "a4_rollup" -> 0.616,
+    "a5_filtered_agg" -> 0.517, "a6_approx_percentile" -> 2.262,
+    "a6_stats" -> 2.091, "a6_tdigest" -> 1.733, "a7_collect" -> 0.747,
+    "a8_pivot" -> 0.560, "a9_salted_agg" -> 0.717,
+    "c1_upsert_latest" -> 0.526, "c2_scd2_intervals" -> 0.865,
+    "flagship_pipeline" -> 0.558, "j10_bloom_semi" -> 1.055,
+    "j11_salted_skew_join" -> 0.716, "j1_semi_broadcast" -> 0.979,
+    "j2_inner" -> 0.587, "j3_multiway" -> 1.711, "j4_full_outer" -> 0.542,
+    "j4_left_outer" -> 0.470, "j5_anti" -> 0.393, "j6_sortmerge" -> 1.024,
+    "j7_range" -> 0.875, "j8_cross" -> 0.274, "j9_asof" -> 0.673,
+    "j9_asof_join" -> 0.654, "l10_profile" -> 0.350,
+    "l11_decontam" -> 1.411, "l12_global_ids" -> 0.757,
+    "l13_pagerank" -> 6.432, "l1_exact_dedup" -> 0.369,
+    "l2_cosine_neardup" -> 0.630, "l2_dedup_clusters" -> 2.329,
+    "l2_lsh_pairs" -> 1.176, "l2_minhash_estimate" -> 1.202,
+    "l2_minhash_sigs" -> 1.515, "l2_ngram_jaccard" -> 3.647,
+    "l2_simhash" -> 1.073, "l2_simhash_hamming" -> 3.240,
+    "l3_ann_ivf" -> 1.116, "l3_ann_ivfpq" -> 2.436, "l3_ann_lsh" -> 2.313,
+    "l3_ann_pq" -> 1.835, "l3_ann_trained" -> 3.340,
+    "l3_cosine_topk" -> 0.415, "l3_kmeans" -> 1.554,
+    "l4_bpe_pair_stats" -> 0.951, "l4_fingerprint" -> 1.132,
+    "l4_heavy_hitters" -> 0.631, "l4_lang_id" -> 0.740,
+    "l4_pii_redact" -> 0.899, "l4_quality_score" -> 0.651,
+    "l4_repetition_quality" -> 1.225, "l4_term_freq" -> 0.604,
+    "l4_tfidf" -> 0.890, "l4_token_stats" -> 0.779,
+    "l5_histogram" -> 0.287, "l6_decode_features" -> 0.460,
+    "l6_multimodal_meta" -> 0.186, "l6_quantize_int8" -> 0.314,
+    "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.643,
+    "l8_deterministic_sample" -> 0.138, "l8_deterministic_split" -> 0.252,
+    "l8_mixture_weights" -> 0.215, "l8_stratified_sample" -> 0.158,
+    "l9_sequence_packing" -> 0.334, "o1_topk" -> 0.145, "o2_limit" -> 0.136,
+    "o3_union" -> 0.345, "o3_union_distinct" -> 0.396, "o4_except" -> 0.331,
+    "o4_except_all" -> 0.560, "o4_intersect" -> 0.335,
+    "o4_intersect_all" -> 0.396, "p10_map_hof" -> 1.781,
+    "p10_maps" -> 1.069, "p11_envelope" -> 0.386, "p12_unpivot" -> 0.282,
+    "p1_prune" -> 0.590, "p2_filter" -> 0.404, "p3_inlist" -> 0.166,
+    "p4_strings" -> 0.237, "p5_datetime" -> 0.441, "p6_math" -> 0.827,
+    "p7_conditional" -> 0.215, "p8_json" -> 0.932,
+    "p8_json_nested" -> 2.982, "p9_array_fns" -> 0.196,
+    "p9_arrays" -> 0.266, "p9_explode" -> 0.268, "p9_posexplode" -> 0.202,
+    "s10_vector_index" -> 1.587, "s10b_index_append" -> 1.770,
+    "s11_schema_evolution" -> 0.965, "s12_compaction" -> 1.264,
+    "s3_jdbc_roundtrip" -> 1.512, "s4_json_roundtrip" -> 0.933,
+    "s5_kafka_envelope" -> 0.259, "s6_csv_roundtrip" -> 0.525,
+    "s7_orc_roundtrip" -> 0.988, "s8_envelope_source" -> 0.860,
+    "s9_partitioned_prune" -> 0.841, "t1_tumbling" -> 0.537,
+    "t2_sliding" -> 0.660, "t3_session" -> 1.063,
+    "t4_watermark_closed" -> 0.545, "t5_dedup" -> 0.323,
+    "t6_stateful_running" -> 0.700, "t7_stream_static" -> 0.658,
+    "t8_foreachbatch_jdbc" -> 1.580, "t9_stream_stream" -> 0.421,
+    "t9_stream_stream_full" -> 0.553, "t9_stream_stream_outer" -> 0.427,
+    "w1_ranking" -> 0.829, "w2_analytic" -> 1.153, "w3_frames" -> 0.983,
+    "w3_time_range" -> 0.667, "w4_topk_per_group" -> 0.376,
+    "w4_topk_window_idiom" -> 0.488, "w5_distribution" -> 1.027,
+    "w6_gap_fill" -> 0.855)
 
+  private def atReferenceSf(sfDir: String): Boolean =
+    new java.io.File(sfDir).getName == "sf0.1"
+
+  /** Budget = pinned × 5, floored at 1.5 s. The floor only lifts
+    * sub-0.3 s queries, where a single GC pause or scheduler stall is
+    * the same order as 5× the pinned time and would make the gate pure
+    * noise; everything 0.3 s and up gets exactly 5×, so a ~5× plan
+    * regression trips loudly. Noise immunity for genuine regressions vs
+    * a busy machine comes from the confirmation re-run below, not from
+    * padding the ceiling. */
   def budgetSeconds(name: String, sfDir: String): Option[Double] =
-    if (new java.io.File(sfDir).getName != "sf0.1") None
-    else Some(if (heavyQueries(name)) 20.0 else 10.0)
+    if (!atReferenceSf(sfDir)) None
+    else pinnedSeconds.get(name).map(t => math.max(t * 5.0, 1.5))
 
   /** Some(error message) when `sec` breaches the budget for `name`. */
   def checkBudget(name: String, sec: Double, sfDir: String): Option[String] =
@@ -38,6 +99,24 @@ object Bench {
       case b if sec > b =>
         f"time budget exceeded: $sec%.1f s > $b%.1f s ceiling (regression?)"
     }
+
+  /** A first reading this far above the pin is as likely machine load as
+    * a plan regression (round 5: the driver artifact recorded 18.1 s for
+    * a 1.5 s query — a 12× phantom). Such readings get ONE confirmation
+    * re-run and the min of the two is recorded: a real regression stays
+    * slow on the warm re-run and still trips the budget; a busy-machine
+    * artifact doesn't. One-shot wall-clock cannot tell these apart. */
+  def noiseSuspect(name: String, sec: Double, sfDir: String): Boolean =
+    atReferenceSf(sfDir) &&
+      pinnedSeconds.get(name).exists(p => sec > math.max(2.0 * p, 1.0))
+
+  /** Record min-of-runs: run once; re-run only on a noise-suspect first
+    * reading. Factored out of main so BenchBudgetSpec can drive it with
+    * stub timers (noisy-then-fast must NOT breach; slow-both must). */
+  def timeWithRetry(name: String, sfDir: String)(run: () => Double): Double = {
+    val first = run()
+    if (noiseSuspect(name, first, sfDir)) math.min(first, run()) else first
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,19 +160,27 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
       try {
-        // R10's progress surface: row counts ride the plan via observe
-        // (CollectMetrics on the executors) — no second pass, no collect
-        val obs = new org.apache.spark.sql.Observation(s"bench_$name")
-        fn(spark, sfDir)
-          .observe(obs, org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("rows_out"))
-          .write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-        rowCounts(name) = obs.get("rows_out").asInstanceOf[Long]
-        checkBudget(name, timings(name), sfDir)
-          .foreach(msg => errors(name) = msg)
+        var lastRows = 0L
+        var attempt = 0
+        val sec = timeWithRetry(name, sfDir) { () =>
+          attempt += 1
+          // R10's progress surface: row counts ride the plan via observe
+          // (CollectMetrics on the executors) — no second pass, no collect.
+          // Observation names must be unique per execution, hence attempt.
+          val obs = new org.apache.spark.sql.Observation(s"bench_${name}_$attempt")
+          val t0 = System.nanoTime()
+          fn(spark, sfDir)
+            .observe(obs, org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows_out"))
+            .write.format("noop").mode("overwrite").save()
+          val s = (System.nanoTime() - t0) / 1e9
+          lastRows = obs.get("rows_out").asInstanceOf[Long]
+          s
+        }
+        timings(name) = sec
+        rowCounts(name) = lastRows
+        checkBudget(name, sec, sfDir).foreach(msg => errors(name) = msg)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

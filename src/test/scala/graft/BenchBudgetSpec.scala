@@ -26,4 +26,59 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.checkBudget("l13_pagerank", 500.0, "/root/testdata/sf1.0").isEmpty)
     assert(Bench.checkBudget("l13_pagerank", 500.0, "/root/testdata/sf0.001").isEmpty)
   }
+
+  test("every ceiling is 5x its pinned time (1.5 s floor for sub-0.3 s queries)") {
+    Bench.pinnedSeconds.foreach { case (name, pinned) =>
+      val ceiling = Bench.budgetSeconds(name, "/root/testdata/sf0.1").get
+      if (pinned >= 0.3)
+        assert(ceiling == pinned * 5.0, s"$name ceiling must be exactly 5x pinned")
+      else
+        assert(ceiling == 1.5, s"$name (pinned < 0.3 s) must use the 1.5 s floor")
+    }
+  }
+
+  test("a noisy first reading is re-run and the min is recorded — no false breach") {
+    // round-5 driver artifact: l2_minhash_sigs read 18.1 s on a loaded
+    // machine vs 1.5 s pinned. Best-of-2 must record the warm re-run.
+    val sf = "/root/testdata/sf0.1"
+    val readings = Iterator(18.1, 1.4)
+    var runs = 0
+    val recorded = Bench.timeWithRetry("l2_minhash_sigs", sf) { () =>
+      runs += 1; readings.next()
+    }
+    assert(runs == 2, "a noise-suspect first reading must trigger one re-run")
+    assert(recorded == 1.4)
+    assert(Bench.checkBudget("l2_minhash_sigs", recorded, sf).isEmpty,
+      "machine-load noise must not produce a budget breach")
+  }
+
+  test("a genuine regression stays slow on the re-run and still trips") {
+    val sf = "/root/testdata/sf0.1"
+    var runs = 0
+    val recorded = Bench.timeWithRetry("l2_minhash_sigs", sf) { () =>
+      runs += 1; 16.0
+    }
+    assert(runs == 2)
+    assert(recorded == 16.0)
+    assert(Bench.checkBudget("l2_minhash_sigs", recorded, sf).isDefined,
+      "a real plan regression must breach even after the confirmation run")
+  }
+
+  test("a normal first reading is not re-run — bench time stays single-pass") {
+    var runs = 0
+    val recorded = Bench.timeWithRetry("l2_minhash_sigs", "/root/testdata/sf0.1") { () =>
+      runs += 1; 1.6
+    }
+    assert(runs == 1)
+    assert(recorded == 1.6)
+  }
+
+  test("unpinned queries never retry or breach (no pin means no gate yet)") {
+    var runs = 0
+    Bench.timeWithRetry("brand_new_query", "/root/testdata/sf0.1") { () =>
+      runs += 1; 50.0
+    }
+    assert(runs == 1)
+    assert(Bench.checkBudget("brand_new_query", 50.0, "/root/testdata/sf0.1").isEmpty)
+  }
 }

@@ -120,19 +120,31 @@ object Dedup {
        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2)""".stripMargin
 
-  /** Banded-LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.2),
-    * ordered — mirrors [[oPairsCte]]. Signatures are MATERIALIZED once
-    * (Qh.materialize — durability mode is a config: localCheckpoint for
-    * local bench, DISK_ONLY persist / reliable checkpoint for long
-    * cluster runs) and reused by the band self-join + both jaccard
-    * sides, instead of recomputing the md5 pipeline per consumer. */
-  private def lshPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+  /** Materialized (doc_id, shingles, sig0..sig7) signature table —
+    * built ONCE per run (Qh.materialize — durability mode is a config:
+    * localCheckpoint for local bench, DISK_ONLY persist / reliable
+    * checkpoint for long cluster runs) and reused by the band self-join
+    * + both jaccard sides, instead of recomputing the md5 pipeline per
+    * consumer. */
+  private def materializedSigs(
+      s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val sigs = Qh.materialize(
+    Qh.materialize(
       withShingles(Qh.t(s, dir, "documents"))
         .select($"doc_id" +: $"shingles" +:
           (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
+  }
+
+  /** Banded-LSH candidate pairs (doc_a < doc_b) over a signature table:
+    * 4 bands of 2 sigs each → bucket equi-join on (band_id, band_key) →
+    * distinct. THE single construction site, mirroring [[oCandCte]] —
+    * shared by l2_lsh_pairs / l2_dedup_clusters (via [[lshPairs]]) and
+    * l2_minhash_estimate, so a band-config change can never desync the
+    * decls that share the one oracle CTE. */
+  private def bandCandidates(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import sigs.sparkSession.implicits._
     val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
       struct(lit(id).as("band_id"),
         concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
@@ -140,12 +152,21 @@ object Dedup {
     val bands = sigs
       .select($"doc_id", explode(array(bandKey: _*)).as("b"))
       .select($"doc_id", $"b.band_id", $"b.band_key")
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+  }
+
+  /** Banded-LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.2),
+    * ordered — mirrors [[oPairsCte]]. */
+  private def lshPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val sigs = materializedSigs(s, dir)
+    val cand = bandCandidates(sigs)
     val sa = sigs.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
     val sb = sigs.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
     val ni = size(array_intersect($"sh_a", $"sh_b"))
@@ -316,23 +337,8 @@ object Dedup {
          |FROM est
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val sigs = Qh.materialize(
-        withShingles(Qh.t(s, dir, "documents"))
-          .select($"doc_id" +: $"shingles" +:
-            (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
-      val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
-        struct(lit(id).as("band_id"),
-          concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
-      }
-      val bands = sigs
-        .select($"doc_id", explode(array(bandKey: _*)).as("b"))
-        .select($"doc_id", $"b.band_id", $"b.band_key")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .distinct()
+      val sigs = materializedSigs(s, dir)
+      val cand = bandCandidates(sigs)
       val sa = sigs.select($"doc_id".as("doc_a") +: $"shingles".as("sh_a") +:
         (0 until 8).map(i => col(s"sig$i").as(s"a_sig$i")): _*)
       val sb = sigs.select($"doc_id".as("doc_b") +: $"shingles".as("sh_b") +:

@@ -9,12 +9,24 @@ import org.apache.spark.sql.types._
   * Model (SURVEY §1.1 opaque-payload rule): media is an opaque `binary`
   * column + a typed metadata struct carried through the relational
   * pipeline untouched; only dedicated decode/feature stages look inside.
-  * The fixture set has no real media, so the payload is the document
-  * text's bytes and "decode" is a deterministic fake (a byte-histogram
-  * feature extractor). The Spark-side plumbing — binary column, typed
-  * metadata, per-partition batched decode with a bounded batch size,
-  * feature schema — is real and tested (MultimodalSpec); only the codec
-  * call itself is the stand-in (no image/audio libs in this container).
+  *
+  * Two decode paths:
+  *
+  *  - '''Real codec (l6_decode_real)''': the fixture set ships no media
+  *    files, so the media itself is synthesized — REAL PNG payloads
+  *    encoded with the JDK's `javax.imageio` from a deterministic
+  *    doc-derived pixel grid — then decoded back with the real
+  *    `ImageIO.read` inside the batched mapPartitions stage. Decoded
+  *    width/height/per-channel sums come from the DECODED pixels (PNG is
+  *    lossless, so they equal the grid), and the oracle recomputes the
+  *    same grid statistics relationally in DuckDB. A codec bug, a byte
+  *    mangled in flight, or metadata read instead of pixels all break
+  *    the hash.
+  *  - '''Generic binary (l6_decode_features)''': document text bytes as
+  *    an arbitrary opaque payload with a byte-histogram extractor — the
+  *    path for formats with no JDK codec (audio/video), where only the
+  *    plumbing shape (binary column, typed metadata, bounded batches)
+  *    is under test.
   *
   * Scale: decode is a narrow mapPartitions — no shuffle; batch size
   * bounds peak memory per task regardless of partition size (the same
@@ -52,9 +64,95 @@ object Multimodal {
         lit("png").as("fmt"))
   }
 
-  /** The decode stub: per-partition, batched iteration (batch bound =
-    * 64 rows) producing a fixed-width feature vector. Deterministic fake
-    * of the real codec call. */
+  final case class PngRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+
+  final case class PngStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Int,
+      sum_r: Long,
+      sum_g: Long,
+      sum_b: Long)
+
+  /** Deterministic doc-derived pixel grid — the single definition shared
+    * by the PNG encoder, the decode spec, and (as SQL arithmetic) the
+    * DuckDB oracle. Channel value at (x, y) for `docId`. */
+  private[graft] def gridRgb(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((docId * 31 + x * 7 + y * 13) % 256).toInt,
+    ((docId * 17 + x * 11 + y * 5) % 256).toInt,
+    ((docId * 29 + x * 3 + y * 19) % 256).toInt)
+
+  private[graft] def gridWidth(docId: Long): Int = (8 + (docId % 5) * 4).toInt
+  private[graft] def gridHeight(docId: Long): Int = (6 + (docId % 3) * 6).toInt
+
+  /** REAL PNG payloads: one image per document, encoded per-partition
+    * with the JDK codec (`javax.imageio`). Narrow map — no shuffle; the
+    * encoder is the same per-row bounded-memory shape a real ingest
+    * stage (fetch + transcode) has on a cluster. */
+  def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Qh.t(s, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no /tmp spill per image
+        it.map { docId =>
+          val w = gridWidth(docId); val h = gridHeight(docId)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = gridRgb(docId, x, y)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          PngRow(docId, out.toByteArray, w, h)
+        }
+      }.toDF()
+  }
+
+  /** REAL codec decode: batched per-partition `ImageIO.read` over the
+    * PNG payloads. Width/height/channel sums are taken from the DECODED
+    * image — never from row metadata — so the decl only goes green if
+    * the full encode→bytes→decode loop is lossless. Batch bound (64)
+    * caps peak decoded-pixel memory per task regardless of partition
+    * size. */
+  def decodePng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir).as[PngRow].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { row =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.payload))
+          require(img != null, s"doc ${row.doc_id}: payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          PngStats(row.doc_id, w, h, w * h, sr, sg, sb)
+        }
+      }
+    }.toDF()
+  }
+
+  /** The generic-binary decode stub: per-partition, batched iteration
+    * (batch bound = 64 rows) producing a fixed-width feature vector.
+    * Deterministic byte-histogram stand-in for codecs the JDK lacks. */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = mediaTable(s, dir).as[MediaRow]
@@ -165,6 +263,39 @@ object Multimodal {
           array_min($"q").as("q_min"),
           array_max($"q").as("q_max"))
         .orderBy("vec_id")
+    },
+
+    // REAL codec decode: synthesize genuine PNG bytes (javax.imageio)
+    // from the deterministic doc-derived grid, decode them back with the
+    // real ImageIO.read, and report decoded dimensions + per-channel
+    // means. The oracle recomputes the same grid statistics relationally
+    // (unnest × unnest cross grid), so the decl is only green when the
+    // encode→bytes→decode loop reproduces every pixel.
+    Decl(
+      "l6_decode_real",
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 5) * 4 AS INT) AS width,
+        |    CAST(6 + (doc_id % 3) * 6 AS INT) AS height
+        |  FROM documents),
+        |gx AS (SELECT doc_id, width, height, unnest(range(width)) AS x FROM px),
+        |gxy AS (SELECT doc_id, width, height, x, unnest(range(height)) AS y FROM gx)
+        |SELECT doc_id, width, height,
+        |  CAST(width * height AS INT) AS n_pixels,
+        |  floor(CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS DOUBLE) / (width * height) * 1000000 + 0.5) / 1000000.0 AS mean_r,
+        |  floor(CAST(sum((doc_id * 17 + x * 11 + y * 5) % 256) AS DOUBLE) / (width * height) * 1000000 + 0.5) / 1000000.0 AS mean_g,
+        |  floor(CAST(sum((doc_id * 29 + x * 3 + y * 19) % 256) AS DOUBLE) / (width * height) * 1000000 + 0.5) / 1000000.0 AS mean_b
+        |FROM gxy
+        |GROUP BY doc_id, width, height
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      decodePng(s, dir)
+        .select(
+          $"doc_id", $"width", $"height", $"n_pixels",
+          Qh.r6($"sum_r".cast(DoubleType) / $"n_pixels").as("mean_r"),
+          Qh.r6($"sum_g".cast(DoubleType) / $"n_pixels").as("mean_g"),
+          Qh.r6($"sum_b".cast(DoubleType) / $"n_pixels").as("mean_b"))
+        .orderBy("doc_id")
     },
 
     // Decode + feature extraction (mapPartitions path): checksum columns

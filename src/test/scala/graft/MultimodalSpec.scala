@@ -42,6 +42,41 @@ class MultimodalSpec extends SparkSpec {
     assert(maxErr <= 0.5 + 1e-9, s"dequantization error $maxErr above scale/2")
   }
 
+  test("pngTable payloads are genuine PNG bytes (magic + real decode)") {
+    import spark.implicits._
+    val rows = Multimodal.pngTable(spark, sf0001)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect()
+    assert(rows.nonEmpty)
+    val pngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    rows.foreach { case (id, bytes) =>
+      assert(bytes.take(8).sameElements(pngMagic), s"doc $id: not a PNG header")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"doc $id: ImageIO cannot decode the payload")
+      assert(img.getWidth == Multimodal.gridWidth(id), s"doc $id: width")
+      assert(img.getHeight == Multimodal.gridHeight(id), s"doc $id: height")
+    }
+  }
+
+  test("decodePng recovers the exact synthesized pixel grid") {
+    import spark.implicits._
+    val stats = Multimodal.decodePng(spark, sf0001)
+      .select($"doc_id", $"width", $"height", $"sum_r", $"sum_g", $"sum_b")
+      .as[(Long, Int, Int, Long, Long, Long)]
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (id, w, h, sr, sg, sb) =>
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.gridRgb(id, x, y)
+        er += r; eg += g; eb += b
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)),
+        s"doc $id: decoded channel sums ($sr,$sg,$sb) != grid ($er,$eg,$eb)")
+    }
+  }
+
   test("binary payload survives the relational pipeline opaquely") {
     import spark.implicits._
     // filter + project + repartition must not disturb payload bytes

@@ -192,6 +192,52 @@ object Sources {
         .orderBy("user_id")
     },
 
+    // S13: DYNAMIC partition pruning — the 100-TB scan-killer S9 doesn't
+    // prove. S9's filter is a LITERAL on the partition column, resolved
+    // at plan time; the production shape is a date-partitioned fact
+    // joined to a filtered dimension, where the surviving dates are only
+    // known at RUNTIME. Spark's DPP turns the broadcast dim into a
+    // partition filter on the fact scan (dynamicpruningexpression in
+    // PartitionFilters — PlanSpec pins it), so the fact side opens 4 of
+    // the 30 date directories instead of all of them. At 100 TB with
+    // daily partitions this is the difference between scanning ~13% and
+    // 100% of the table. No date literal appears anywhere in the query:
+    // the filter is on the dim's derived attribute and arrives at the
+    // fact only through the join. The oracle recomputes from the
+    // original events, so a dropped or double-scanned partition breaks
+    // the hash.
+    Decl(
+      "s13_dpp_join",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE day(CAST(ts AS TIMESTAMP)) % 7 = 0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s13_dpp")
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value", $"event_type",
+          to_date(Qh.tsUs($"ts")).as("event_date"))
+      ev.write.mode(SaveMode.Overwrite)
+        .partitionBy("event_date").parquet(s"$path/fact")
+      // calendar dim: one row per date + a derived attribute; the decl
+      // filters on the ATTRIBUTE, never on a date value (an equality
+      // predicate — the "likely selective" shape DPP's planner rule
+      // requires before it will graft a runtime filter onto the fact)
+      ev.select($"event_date").distinct()
+        .withColumn("day_kind",
+          when(dayofmonth($"event_date") % 7 === 0, "audit").otherwise("regular"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/dim")
+      val fact = s.read.parquet(s"$path/fact")
+      val dim = s.read.parquet(s"$path/dim").filter($"day_kind" === "audit")
+      fact.join(dim.select($"event_date"), Seq("event_date"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+
     // S11: SCHEMA EVOLUTION across ingestion batches — a 100-TB table is
     // never written by one schema version. Batch 1 lands without
     // `event_type` (the old producer), batch 2 adds it; a mergeSchema

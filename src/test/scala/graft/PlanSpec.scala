@@ -193,6 +193,17 @@ class PlanSpec extends SparkSpec {
       "compaction must not pay a per-key window sort")
   }
 
+  test("s13: join-driven filter prunes fact partitions dynamically (DPP)") {
+    val p = plan("s13_dpp_join")
+    // the filter on the dim's derived attribute must reach the FACT scan
+    // as a runtime partition filter — join-driven, not a literal
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(pf.contains("dynamicpruningexpression"),
+      s"fact scan not dynamically pruned — at 100 TB this scans every date dir: $pf")
+    assert(pf.contains("event_date"),
+      s"dynamic pruning not keyed on the partition column: $pf")
+  }
+
   test("s10: probing the vector index is partition pruning on list_id") {
     val p = plan("s10_vector_index")
     val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")

@@ -17,9 +17,11 @@ object Bench {
     * machine (round-5 controlled re-run; total 117.8 s / 126 queries /
     * 0 err). These replace the round-5 two-tier budgets, whose 20 s
     * ceiling over 1.2–1.6 s queries let a 10× plan regression ship
-    * silently. Regenerate per round from bench_detail.json when a
-    * query's plan intentionally changes. Queries absent from the map
-    * (newly added this round) get no budget until pinned. */
+    * silently. Regenerate with scripts/repin.py from an idle-run
+    * bench_detail.json when a query's plan intentionally changes;
+    * BenchBudgetSpec fails the build when any pin drifts >2× from the
+    * committed idle snapshot (scripts/bench_pins.json). Queries absent
+    * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
     "a1_hashagg" -> 1.962, "a2_distinct" -> 0.996,
     "a3_approx_distinct" -> 3.427, "a3_hll_merge" -> 0.700,
@@ -49,6 +51,7 @@ object Bench {
     "l4_repetition_quality" -> 1.225, "l4_term_freq" -> 0.604,
     "l4_tfidf" -> 0.890, "l4_token_stats" -> 0.779,
     "l5_histogram" -> 0.287, "l6_decode_features" -> 0.460,
+    "l6_decode_real" -> 1.432, "s13_dpp_join" -> 1.336,
     "l6_multimodal_meta" -> 0.186, "l6_quantize_int8" -> 0.314,
     "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.643,
     "l8_deterministic_sample" -> 0.138, "l8_deterministic_split" -> 0.252,
@@ -105,10 +108,18 @@ object Bench {
     * a 1.5 s query — a 12× phantom). Such readings get ONE confirmation
     * re-run and the min of the two is recorded: a real regression stays
     * slow on the warm re-run and still trips the budget; a busy-machine
-    * artifact doesn't. One-shot wall-clock cannot tell these apart. */
+    * artifact doesn't. One-shot wall-clock cannot tell these apart.
+    *
+    * Threshold: 1.5× pin for queries pinned ≥ 1 s (round 6 shipped a
+    * 1.88×-pin single reading the 2× rule never challenged — the dead
+    * band between 1.5× and 2×); sub-second pins keep the 2×-and-above-1s
+    * rule, where scheduler jitter alone reaches 1.5× and a lower
+    * threshold would re-run half the suite for nothing. */
   def noiseSuspect(name: String, sec: Double, sfDir: String): Boolean =
     atReferenceSf(sfDir) &&
-      pinnedSeconds.get(name).exists(p => sec > math.max(2.0 * p, 1.0))
+      pinnedSeconds.get(name).exists { p =>
+        sec > (if (p >= 1.0) 1.5 * p else math.max(2.0 * p, 1.0))
+      }
 
   /** Record min-of-runs: run once; re-run only on a noise-suspect first
     * reading. Factored out of main so BenchBudgetSpec can drive it with

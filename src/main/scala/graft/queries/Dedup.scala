@@ -398,6 +398,7 @@ object Dedup {
           labels.union(prop).groupBy($"v").agg(min($"l").as("l")))
         converged = next.as("n").join(labels.as("o"), $"n.v" === $"o.v")
           .filter($"n.l" < $"o.l").isEmpty
+        Qh.release(labels) // convergence check was its last reader
         labels = next
         rounds += 1
       }

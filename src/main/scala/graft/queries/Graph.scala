@@ -97,9 +97,14 @@ object Graph {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete()
     }
+    // pid-dead AND >1h old (pid liveness alone misfires if an unrelated
+    // process recycled the pid — the age floor turns that into a delayed
+    // cleanup instead of a permanent leak)
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(new java.io.File("/tmp/graft_warehouse").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName == tbl || (f.getName.startsWith("pr_edges_") &&
+        f.lastModified() < cutoff &&
         f.getName.stripPrefix("pr_edges_").takeWhile(_.isDigit).toLongOption
           .exists(pid => java.lang.ProcessHandle.of(pid).isEmpty)))
       .foreach(rm)
@@ -151,6 +156,10 @@ object Graph {
       val d = next.as("a").join(r.as("b"), $"a.node" === $"b.node")
         .agg(max(abs($"a.r" - $"b.r")))
         .head.getLong(0)
+      // the delta was the old frontier's last reader — free its blocks
+      // now, or a long convergence run accumulates one persisted
+      // frontier per iteration
+      Qh.release(r)
       r = next
       if (d <= tolFp) return (r, i)
     }

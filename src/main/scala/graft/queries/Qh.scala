@@ -35,15 +35,19 @@ object Qh {
     * every IO decl gets the same uniqueness/cleanup behavior: the path
     * is namespaced per JVM (tests and a concurrent Verify run never race
     * on the same directory during overwrite). */
-  def ioDir(name: String): String = {
+  /** One sweep per JVM (not per ioDir call), deleting only dirs that are
+    * BOTH pid-dead AND older than an hour: pid liveness alone misfires
+    * when an unrelated process recycles a dead JVM's pid (the dir would
+    * then survive forever), and the age floor means a recycled pid can
+    * at worst delay cleanup to a later round, never block it. */
+  private lazy val sweepDeadScratch: Unit = {
     val base = new java.io.File("/tmp/graft_io")
-    // sweep scratch left by DEAD JVMs (pid-named dirs whose process is
-    // gone) so repeated rounds don't grow /tmp without bound; live
-    // runs' dirs are never touched
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(base.listFiles()).getOrElse(Array.empty).foreach { f =>
       val alive = f.getName.toLongOption
         .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
-      if (f.isDirectory && f.getName.forall(_.isDigit) && !alive) {
+      if (f.isDirectory && f.getName.forall(_.isDigit) && !alive &&
+          f.lastModified() < cutoff) {
         def rm(x: java.io.File): Unit = {
           if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
           x.delete()
@@ -51,6 +55,10 @@ object Qh {
         rm(f)
       }
     }
+  }
+
+  def ioDir(name: String): String = {
+    sweepDeadScratch
     val d = s"/tmp/graft_io/${java.lang.ProcessHandle.current().pid()}/$name"
     new java.io.File(d).getParentFile.mkdirs()
     d
@@ -135,5 +143,19 @@ object Qh {
         df.checkpoint()
       case _ => df.localCheckpoint()
     }
+  }
+
+  /** Free a frontier produced by [[materialize]] once its successor
+    * exists and nothing will read it again. Iterative loops (PageRank,
+    * label propagation) otherwise accumulate one persisted frontier per
+    * round — unbounded storage growth over a long convergence run.
+    * `disk` mode unpersists the cached query; `local`/`checkpoint`
+    * frontiers are LogicalRDD plans the cache manager doesn't track, so
+    * their block storage is dropped directly. A released frontier must
+    * NEVER be used again: checkpoint lineage is truncated, so there is
+    * nothing left to recompute it from. */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+    case _ => df.unpersist(false)
   }
 }

@@ -208,17 +208,39 @@ object Streams {
     * guards (standard recipe for JDBC sinks without MERGE):
     *
     *  1. Driver (metadata-only): one transaction
-    *     `DELETE FROM t WHERE batch_id = ?`. foreachBatch is
-    *     at-least-once — after a failure the SAME batchId is
-    *     re-delivered, possibly with DIFFERENT partitioning, so any
-    *     partial rows a prior attempt committed (including partitions
-    *     that no longer exist in the replay) are cleared up front.
+    *     `DELETE FROM t WHERE batch_id = ?` plus the batch's row in
+    *     `{table}_commits`. foreachBatch is at-least-once — after a
+    *     failure the SAME batchId is re-delivered, possibly with
+    *     DIFFERENT partitioning, so any partial rows a prior attempt
+    *     committed (including partitions that no longer exist in the
+    *     replay) are cleared up front, and the batch's visibility
+    *     marker is revoked in the same transaction.
     *  2. Each executor task: one transaction
     *     `DELETE WHERE batch_id = ? AND part_id = ?` + batched INSERT
     *     of its own partition through its own connection. That makes a
     *     task RETRY (stage retry, speculative duplicate) replay only
     *     its partition idempotently: the retry's delete removes
     *     whatever a half-committed or duplicate attempt wrote.
+    *
+    * Two guards close the races delete-then-insert alone leaves open:
+    *
+    *  - '''Zombie commits''': task kill is cooperative, so a zombie or
+    *    speculative duplicate for the same (batch_id, part_id) can
+    *    interleave its DELETE/INSERT with the replacement's under
+    *    READ_COMMITTED and both commit — duplicate rows. The writer
+    *    ensures a UNIQUE index on (batch_id, event_id): the straggler's
+    *    INSERT of an event the winner already committed violates the
+    *    constraint and rolls back, so at most one copy of each event
+    *    per batch can ever commit. Run with `spark.speculation=false`
+    *    anyway (speculation buys nothing on a transactional sink —
+    *    the losing attempt's work is thrown away at the constraint).
+    *  - '''Partial-batch reads''': per-partition commits land
+    *    independently, so a concurrent reader of the bare table sees a
+    *    half-written batch. The writer inserts `batchId` into
+    *    `{table}_commits` in one driver transaction only after every
+    *    partition has committed; readers that want whole-batch
+    *    atomicity join it:
+    *    `SELECT t.* FROM t JOIN {table}_commits c ON t.batch_id = c.batch_id`.
     *
     * Throughput scales with executors (one connection per partition,
     * `addBatch` batching inside); the driver does O(1) work. The
@@ -228,7 +250,13 @@ object Streams {
       batch: DataFrame, batchId: Long): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      ensureSinkGuards(conn, table)
       conn.setAutoCommit(false)
+      // one transaction: revoke the batch's visibility marker AND clear
+      // its rows, so a re-delivery can never be half-visible
+      val mdel = conn.prepareStatement(
+        s"DELETE FROM ${table}_commits WHERE batch_id = ?")
+      mdel.setLong(1, batchId); mdel.executeUpdate(); mdel.close()
       val del = conn.prepareStatement(s"DELETE FROM $table WHERE batch_id = ?")
       del.setLong(1, batchId); del.executeUpdate(); del.close()
       conn.commit()
@@ -267,5 +295,34 @@ object Streams {
           case e: Throwable => c.rollback(); throw e
         } finally c.close()
       }
+
+    // all partitions committed → publish the batch atomically
+    val mc = java.sql.DriverManager.getConnection(url, props)
+    try {
+      mc.setAutoCommit(false)
+      val ins = mc.prepareStatement(
+        s"INSERT INTO ${table}_commits (batch_id) VALUES (?)")
+      ins.setLong(1, batchId); ins.executeUpdate(); ins.close()
+      mc.commit()
+    } catch {
+      case e: Throwable => mc.rollback(); throw e
+    } finally mc.close()
+  }
+
+  /** Idempotent DDL for the sink's two guards: the (batch_id, event_id)
+    * unique index that makes straggler duplicate commits fail, and the
+    * commit-marker table that gives readers whole-batch visibility.
+    * "Already exists" (Derby SQLState X0Y32) is the steady state. */
+  private def ensureSinkGuards(conn: java.sql.Connection, table: String): Unit = {
+    def tolerantDdl(sql: String): Unit = {
+      val st = conn.createStatement()
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+      } finally st.close()
+    }
+    tolerantDdl(s"CREATE TABLE ${table}_commits (batch_id BIGINT PRIMARY KEY)")
+    tolerantDdl(s"CREATE UNIQUE INDEX ${table}_batch_event_uq " +
+      s"ON $table (batch_id, event_id)")
   }
 }

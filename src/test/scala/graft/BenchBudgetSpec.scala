@@ -64,6 +64,33 @@ class BenchBudgetSpec extends AnyFunSuite {
       "a real plan regression must breach even after the confirmation run")
   }
 
+  test("a 1.6x-pin first reading on a >=1s query triggers the confirmation run") {
+    // round 6 dead band: l2_dedup_clusters shipped a 1.88x-pin single
+    // reading the old 2x threshold never challenged. Queries pinned >=1s
+    // now re-run anything above 1.5x pin.
+    val sf = "/root/testdata/sf0.1"
+    val pin = Bench.pinnedSeconds("l2_dedup_clusters")
+    assert(pin >= 1.0, "test premise: l2_dedup_clusters is pinned >= 1 s")
+    val readings = Iterator(pin * 1.6, pin * 0.95)
+    var runs = 0
+    val recorded = Bench.timeWithRetry("l2_dedup_clusters", sf) { () =>
+      runs += 1; readings.next()
+    }
+    assert(runs == 2, "1.6x pin on a >=1s query must trigger the confirmation run")
+    assert(recorded == pin * 0.95)
+  }
+
+  test("sub-second pins keep the 2x-and-above-1s suspect rule") {
+    // a 1.6x reading on a 0.56 s pin is scheduler jitter, not a signal —
+    // re-running these would double-run half the suite
+    val sf = "/root/testdata/sf0.1"
+    val pin = Bench.pinnedSeconds("a8_pivot")
+    assert(pin < 1.0, "test premise: a8_pivot is pinned < 1 s")
+    var runs = 0
+    Bench.timeWithRetry("a8_pivot", sf) { () => runs += 1; pin * 1.6 }
+    assert(runs == 1, "sub-second 1.6x reading must not re-run")
+  }
+
   test("a normal first reading is not re-run — bench time stays single-pass") {
     var runs = 0
     val recorded = Bench.timeWithRetry("l2_minhash_sigs", "/root/testdata/sf0.1") { () =>
@@ -71,6 +98,31 @@ class BenchBudgetSpec extends AnyFunSuite {
     }
     assert(runs == 1)
     assert(recorded == 1.6)
+  }
+
+  test("pins stay within 2x of the committed idle-run snapshot") {
+    // scripts/bench_pins.json is the bench_detail.json of the latest
+    // IDLE sf0.1 run, committed alongside pin updates (scripts/repin.py
+    // regenerates both). This check makes pins and snapshot move
+    // together: as plans legitimately speed up, a stale generous pin
+    // would silently re-widen the 5x gate — here it fails the build.
+    val f = new java.io.File("scripts/bench_pins.json")
+    assert(f.exists, "scripts/bench_pins.json missing — run scripts/repin.py workflow")
+    val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert("\"sf\":\"[^\"]*sf0\\.1\"".r.findFirstIn(txt).isDefined,
+      "snapshot must come from an sf0.1 run")
+    val fresh = "\"([a-z0-9_]+)\":([0-9.]+)".r
+      .findAllMatchIn("\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).get.group(1))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(fresh.size > 100, s"snapshot parsed only ${fresh.size} queries")
+    val missing = fresh.keySet -- Bench.pinnedSeconds.keySet
+    assert(missing.isEmpty, s"queries in the idle snapshot but unpinned: $missing")
+    val stale = fresh.collect {
+      case (n, sec) if Bench.pinnedSeconds(n) > 2 * sec ||
+          Bench.pinnedSeconds(n) < sec / 2 =>
+        f"$n (pinned ${Bench.pinnedSeconds(n)}%.3f vs idle $sec%.3f)"
+    }
+    assert(stale.isEmpty, s"pins >2x stale vs the idle snapshot: ${stale.mkString(", ")}")
   }
 
   test("unpinned queries never retry or breach (no pin means no gate yet)") {

@@ -41,4 +41,19 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(ia == ib)
     assert(ra.orderBy("node").collect().toSeq == rb.orderBy("node").collect().toSeq)
   }
+
+  test("convergence loop releases superseded frontiers — bounded storage") {
+    // a long 100 TB convergence run must not accumulate one persisted
+    // frontier per iteration; superseded frontiers are released as soon
+    // as the delta check has consumed them
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (r, iters) = Graph.pageRankUntil(spark, dir, maxIters = 8, tolFp = 0L)
+    assert(iters == 8, "tolFp=0 must run to the cap")
+    assert(r.count() > 0)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // live at the end: nodes + the final frontier (+ the shared edge
+    // pairs from edgeTable's one-time build) — NOT 8 frontiers
+    assert(after - before <= 3,
+      s"frontier RDD blocks leaked across iterations: $before -> $after")
+  }
 }

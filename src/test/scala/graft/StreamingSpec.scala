@@ -259,6 +259,65 @@ class StreamingSpec extends SparkSpec {
     assert(back.select(countDistinct($"part_id")).head.getLong(0) == 3)
   }
 
+  test("T8b: a zombie duplicate commit dies on the (batch_id, event_id) unique index") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_t8b_z;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      "CREATE TABLE t8b_z (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT, part_id INT)")
+    conn.close()
+    Streams.jdbcIdempotentWriter(url, "t8b_z", props)(
+      Seq((1L, 7L, 1.5), (2L, 8L, 2.5)).toDF("event_id", "user_id", "value"), 0L)
+    // a straggler task that missed its cooperative kill tries to commit
+    // event 1 again for batch 0 under a different part_id — the exact
+    // interleave delete-then-insert can't stop under READ_COMMITTED
+    val zombie = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val e = intercept[java.sql.SQLException] {
+        zombie.createStatement().executeUpdate(
+          "INSERT INTO t8b_z (event_id, user_id, value, batch_id, part_id) " +
+            "VALUES (1, 7, 1.5, 0, 9)")
+      }
+      assert(e.getSQLState == "23505", s"expected unique violation, got ${e.getSQLState}")
+    } finally zombie.close()
+    val back = spark.read.jdbc(url, "t8b_z", props)
+    assert(back.count() == 2, "zombie duplicate must not land")
+  }
+
+  test("T8b: commit markers give readers whole-batch visibility") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_t8b_c;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    conn.createStatement().execute(
+      "CREATE TABLE t8b_c (event_id BIGINT, user_id BIGINT, value DOUBLE, batch_id BIGINT, part_id INT)")
+    conn.close()
+    Streams.jdbcIdempotentWriter(url, "t8b_c", props)(
+      Seq((1L, 7L, 1.5)).toDF("event_id", "user_id", "value"), 0L)
+    Streams.jdbcIdempotentWriter(url, "t8b_c", props)(
+      Seq((2L, 8L, 2.5)).toDF("event_id", "user_id", "value"), 1L)
+    // the documented reader pattern: join the marker table
+    def visible(): Long = {
+      val c = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT count(*) FROM t8b_c t JOIN t8b_c_commits m ON t.batch_id = m.batch_id")
+        rs.next(); rs.getLong(1)
+      } finally c.close()
+    }
+    assert(visible() == 2, "both committed batches visible through the marker join")
+    // simulate a batch mid-rewrite: the driver's first transaction has
+    // revoked batch 1's marker but its rows are not yet rewritten —
+    // readers must fall back to batch 0 only, never see a partial batch
+    val c2 = java.sql.DriverManager.getConnection(url, props)
+    c2.createStatement().executeUpdate("DELETE FROM t8b_c_commits WHERE batch_id = 1")
+    c2.close()
+    assert(visible() == 1, "a batch without its marker is invisible to marker-join readers")
+  }
+
   test("T8b: idempotent writer driven by a REAL streaming query lands exact state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -136,28 +136,84 @@ object Dedup {
           (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
   }
 
-  /** Banded-LSH candidate pairs (doc_a < doc_b) over a signature table:
-    * 4 bands of 2 sigs each → bucket equi-join on (band_id, band_key) →
-    * distinct. THE single construction site, mirroring [[oCandCte]] —
-    * shared by l2_lsh_pairs / l2_dedup_clusters (via [[lshPairs]]) and
-    * l2_minhash_estimate, so a band-config change can never desync the
-    * decls that share the one oracle CTE. */
-  private def bandCandidates(sigs: org.apache.spark.sql.DataFrame)
+  /** One row per (doc, band): `band` packs band_id + the two member
+    * sigs into a single string key ("<id>:<sigA>_<sigB>"), so a bucket
+    * spec on the one column covers the entire candidate-join key. THE
+    * single band-construction site, mirroring [[oCandCte]]'s bands CTE
+    * — a band-config change can never desync the three decls that share
+    * the one oracle CTE. */
+  private def bandsOf(sigs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import sigs.sparkSession.implicits._
     val bandKey = Seq(0, 2, 4, 6).zipWithIndex.map { case (b, id) =>
-      struct(lit(id).as("band_id"),
-        concat(col(s"sig$b"), lit("_"), col(s"sig${b + 1}")).as("band_key"))
+      concat(lit(s"$id:"), col(s"sig$b"), lit("_"), col(s"sig${b + 1}"))
     }
-    val bands = sigs
-      .select($"doc_id", explode(array(bandKey: _*)).as("b"))
-      .select($"doc_id", $"b.band_id", $"b.band_key")
+    sigs.select($"doc_id", explode(array(bandKey: _*)).as("band"))
+  }
+
+  /** Candidate pairs (doc_a < doc_b) from a (doc_id, band) table: bucket
+    * equi-join on the band key → distinct. */
+  private def selfJoinCandidates(bands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import bands.sparkSession.implicits._
     bands.as("a")
       .join(bands.as("b"),
-        $"a.band_id" === $"b.band_id" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
+        $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+  }
+
+  /** Built bucketed band tables, keyed by fixture dir (the PageRank
+    * adjacency pattern, [[Graph.edgeTable]]): the banded-signature
+    * layout is immutable per input, so each JVM persists it at most
+    * once and every dedup run after the first joins it exchange-free.
+    * computeIfAbsent serializes concurrent builders — Verify runs the
+    * three LSH decls 4-at-a-time and a double `saveAsTable` would
+    * race. */
+  private val bandTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Banded-LSH candidate pairs read from the PERSISTED band table —
+    * bucketed + sorted on `band`, one file per bucket, so the
+    * candidate self-join co-locates on the bucketing and neither side
+    * shuffles (PlanSpec pins no Exchange under the join). At 100 TB
+    * this is the production layout: signatures are banded once at
+    * ingest; every subsequent dedup run (new-batch-vs-corpus, changed
+    * thresholds, re-clustering) pays zero signature recompute and zero
+    * candidate-join shuffle. */
+  private[graft] def bandCandidates(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    selfJoinCandidates(s.table(
+      bandTables.computeIfAbsent(dir, d => buildBandTable(s, d))))
+
+  private def buildBandTable(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    import s.implicits._
+    val tbl = s"lsh_bands_${java.lang.ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // clear this table's stale warehouse location plus any lsh_bands
+    // dir left by a JVM that is BOTH pid-dead and >1h old (same sweep
+    // contract as Graph.buildEdgeTable / Qh.ioDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(new java.io.File("/tmp/graft_warehouse").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName == tbl || (f.getName.startsWith("lsh_bands_") &&
+        f.lastModified() < cutoff &&
+        f.getName.stripPrefix("lsh_bands_").takeWhile(_.isDigit).toLongOption
+          .exists(pid => java.lang.ProcessHandle.of(pid).isEmpty)))
+      .foreach(rm)
+    bandsOf(withShingles(Qh.t(s, dir, "documents"))
+        .select($"doc_id" +:
+          (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
+      .repartition(32, $"band")
+      .write.bucketBy(32, "band").sortBy("band")
+      .mode("overwrite").saveAsTable(tbl)
+    tbl
   }
 
   /** Banded-LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.2),
@@ -166,7 +222,7 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val sigs = materializedSigs(s, dir)
-    val cand = bandCandidates(sigs)
+    val cand = bandCandidates(s, dir)
     val sa = sigs.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
     val sb = sigs.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
     val ni = size(array_intersect($"sh_a", $"sh_b"))
@@ -338,7 +394,7 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
       import s.implicits._
       val sigs = materializedSigs(s, dir)
-      val cand = bandCandidates(sigs)
+      val cand = bandCandidates(s, dir)
       val sa = sigs.select($"doc_id".as("doc_a") +: $"shingles".as("sh_a") +:
         (0 until 8).map(i => col(s"sig$i").as(s"a_sig$i")): _*)
       val sb = sigs.select($"doc_id".as("doc_b") +: $"shingles".as("sh_b") +:

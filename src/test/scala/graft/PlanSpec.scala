@@ -176,6 +176,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("l2 LSH candidate self-join co-locates on the bucketed band table — no shuffle") {
+    // the 100 TB dedup layout: banded signatures persisted bucketed +
+    // sorted on the band key, so repeated dedup runs join candidates
+    // with no exchange on either side
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val cand = graft.queries.Dedup.bandCandidates(spark, sf0001)
+      def bucketedLeaf(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectLeaves().exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+      val joins = cand.queryExecution.sparkPlan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "candidate generation lost its equi-join")
+      joins.foreach { j =>
+        assert(j.children.forall(bucketedLeaf),
+          s"candidate join side does not read the bucketed band table:\n$j")
+        j.children.foreach { side =>
+          assert(side.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+            s"bucketed band side re-shuffles:\n$j")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("kmeans: assignment is a narrow map over literal centroids (no join, no shuffle)") {
     val e = graft.queries.Qh.t(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val cents = graft.operators.KMeansLloyd.initByIds(e, 8)

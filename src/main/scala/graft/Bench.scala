@@ -39,6 +39,7 @@ object Bench {
     "l11_decontam" -> 1.411, "l12_global_ids" -> 0.757,
     "l13_pagerank" -> 6.432, "l1_exact_dedup" -> 0.369,
     "l2_cosine_neardup" -> 0.630, "l2_dedup_clusters" -> 2.329,
+    "l2_incremental_dedup" -> 1.016,
     "l2_lsh_pairs" -> 1.176, "l2_minhash_estimate" -> 1.202,
     "l2_minhash_sigs" -> 1.515, "l2_ngram_jaccard" -> 3.647,
     "l2_simhash" -> 1.073, "l2_simhash_hamming" -> 3.240,

@@ -184,8 +184,13 @@ object Dedup {
   private[graft] def bandCandidates(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    selfJoinCandidates(s.table(
-      bandTables.computeIfAbsent(dir, d => buildBandTable(s, d))))
+    selfJoinCandidates(bandTableDf(s, dir))
+
+  /** The persisted bucketed band table itself — (doc_id, band). */
+  private[graft] def bandTableDf(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    s.table(bandTables.computeIfAbsent(dir, d => buildBandTable(s, d)))
 
   private def buildBandTable(
       s: org.apache.spark.sql.SparkSession, dir: String): String = {
@@ -410,6 +415,68 @@ object Dedup {
           Qh.r6($"jaccard").as("jaccard"),
           Qh.r6(abs($"est_jaccard" - $"jaccard")).as("abs_err"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // L2b3: INCREMENTAL dedup (r7) — the other half of the production
+    // workflow the persisted band table exists for: a NEW ingest batch
+    // (here: doc_id % 10 = 0 stands in for the arriving shard) is
+    // near-dup-checked AGAINST THE EXISTING CORPUS without recomputing
+    // or reshuffling anything corpus-sized. New-batch signatures are a
+    // narrow map over the batch; candidates come from newBands ⋈ the
+    // bucketed corpus band table (per-batch work ∝ batch size + matched
+    // buckets, never corpus²); exact Jaccard verifies only the matched
+    // candidates — the "fetch matched docs from the store" step, played
+    // here by reading the corpus docs' shingles for candidate ids only.
+    // At 100 TB this decl is the daily-ingest path: band once at
+    // ingest, append to the band table (the S10b pattern), dedup each
+    // arriving batch in time proportional to the batch.
+    Decl(
+      "l2_incremental_dedup",
+      s"""WITH $oSigs,
+         |bands AS (
+         |  SELECT doc_id, band_id,
+         |    CASE band_id WHEN 0 THEN concat(sig0, '_', sig1)
+         |                 WHEN 1 THEN concat(sig2, '_', sig3)
+         |                 WHEN 2 THEN concat(sig4, '_', sig5)
+         |                 ELSE concat(sig6, '_', sig7) END AS band_key
+         |  FROM sigs, (SELECT unnest(range(4)) AS band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS corpus_doc
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT new_doc, corpus_doc,
+         |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+         |FROM cand
+         |JOIN sigs sa ON sa.doc_id = new_doc
+         |JOIN sigs sb ON sb.doc_id = corpus_doc
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         |    / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2
+         |ORDER BY new_doc, corpus_doc""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // the arriving batch: fresh narrow signatures (the ingest path)
+      val newSigs = Qh.materialize(
+        withShingles(Qh.t(s, dir, "documents").filter($"doc_id" % 10 === 0))
+          .select($"doc_id" +: $"shingles" +:
+            (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
+      // the corpus: the PERSISTED band table, filtered — zero recompute
+      val corpusBands = bandTableDf(s, dir).filter($"doc_id" % 10 =!= 0)
+      val cand = bandsOf(newSigs).as("a")
+        .join(corpusBands.as("b"), $"a.band" === $"b.band")
+        .select($"a.doc_id".as("new_doc"), $"b.doc_id".as("corpus_doc"))
+        .distinct()
+      val sa = newSigs.select($"doc_id".as("new_doc"), $"shingles".as("sh_a"))
+      // candidate verification fetches corpus shingles by id (stand-in
+      // for the doc-store lookup; only matched candidates are read)
+      val sb = withShingles(Qh.t(s, dir, "documents").filter($"doc_id" % 10 =!= 0))
+        .select($"doc_id".as("corpus_doc"), $"shingles".as("sh_b"))
+      val ni = size(array_intersect($"sh_a", $"sh_b"))
+      val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
+      cand.join(sa, "new_doc").join(sb, "corpus_doc")
+        .select($"new_doc", $"corpus_doc", jac.as("jaccard"))
+        .filter($"jaccard" >= 0.2)
+        .orderBy("new_doc", "corpus_doc")
     },
 
     // L2b2: connected-components dedup CLUSTERING — the step after pair

@@ -52,6 +52,7 @@ object Bench {
     "l4_repetition_quality" -> 1.225, "l4_term_freq" -> 0.604,
     "l4_tfidf" -> 0.890, "l4_token_stats" -> 0.779,
     "l5_histogram" -> 0.287, "l6_decode_features" -> 0.460,
+    "l6_decode_audio" -> 1.320,
     "l6_decode_real" -> 1.432, "s13_dpp_join" -> 1.336,
     "l6_multimodal_meta" -> 0.186, "l6_quantize_int8" -> 0.314,
     "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.643,

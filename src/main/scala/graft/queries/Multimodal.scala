@@ -150,6 +150,83 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class WavRow(doc_id: Long, payload: Array[Byte])
+
+  final case class WavStats(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Int,
+      sum_amp: Long,
+      min_amp: Int,
+      max_amp: Int)
+
+  /** Deterministic doc-derived PCM waveform — shared by the WAV encoder,
+    * the decode spec, and (as SQL arithmetic) the DuckDB oracle. */
+  private[graft] def waveSamples(docId: Long): Int = (400 + (docId % 50) * 8).toInt
+  private[graft] def waveAmp(docId: Long, i: Int): Int =
+    ((docId * 37 + i * 11) % 2003 - 1001).toInt
+
+  /** REAL WAV payloads: one 16-bit mono PCM clip per document, encoded
+    * per-partition with the JDK audio codec (`javax.sound.sampled`).
+    * Narrow map — no shuffle. */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Qh.t(s, dir, "documents")
+      .select($"doc_id").as[Long]
+      .mapPartitions { it =>
+        it.map { docId =>
+          val n = waveSamples(docId)
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = waveAmp(docId, i)
+            pcm(2 * i) = (v & 0xff).toByte // little-endian 16-bit signed
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          WavRow(docId, out.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** REAL audio decode: batched per-partition
+    * `AudioSystem.getAudioInputStream` over the WAV payloads. Format
+    * metadata (rate/channels/bits) and the per-sample statistics come
+    * from the DECODED stream — PCM WAV is lossless, so the decl only
+    * goes green if the encode→bytes→decode loop reproduces every
+    * sample. */
+  def decodeWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    wavTable(s, dir).as[WavRow].mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { row =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          val f = ais.getFormat
+          val n = ais.getFrameLength.toInt
+          val bytes = ais.readAllBytes()
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          WavStats(row.doc_id, f.getSampleRate.toInt, f.getChannels,
+            f.getSampleSizeInBits, n, sum, mn, mx)
+        }
+      }
+    }.toDF()
+  }
+
   /** The generic-binary decode stub: per-partition, batched iteration
     * (batch bound = 64 rows) producing a fixed-width feature vector.
     * Deterministic byte-histogram stand-in for codecs the JDK lacks. */
@@ -295,6 +372,38 @@ object Multimodal {
           Qh.r6($"sum_r".cast(DoubleType) / $"n_pixels").as("mean_r"),
           Qh.r6($"sum_g".cast(DoubleType) / $"n_pixels").as("mean_g"),
           Qh.r6($"sum_b".cast(DoubleType) / $"n_pixels").as("mean_b"))
+        .orderBy("doc_id")
+    },
+
+    // REAL audio decode: synthesize genuine 16-bit PCM WAV clips
+    // (javax.sound.sampled) from a deterministic doc-derived waveform,
+    // decode them back with the real AudioSystem codec, and report
+    // decoded format + per-sample statistics. PCM WAV is lossless, so
+    // the relational recomputation of the waveform in DuckDB matches
+    // exactly — a codec bug, a mangled byte, or metadata read instead
+    // of samples all break the hash.
+    Decl(
+      "l6_decode_audio",
+      """WITH w AS (
+        |  SELECT doc_id, CAST(400 + (doc_id % 50) * 8 AS INT) AS n FROM documents),
+        |gx AS (SELECT doc_id, n, unnest(range(n)) AS i FROM w),
+        |amp AS (
+        |  SELECT doc_id, n,
+        |    CAST((doc_id * 37 + i * 11) % 2003 - 1001 AS INT) AS v
+        |  FROM gx)
+        |SELECT doc_id,
+        |  8000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |  CAST(max(n) AS INT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(min(v) AS INT) AS min_amp,
+        |  CAST(max(v) AS INT) AS max_amp
+        |FROM amp
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      decodeWav(s, dir)
+        .select($"doc_id", $"sample_rate", $"channels", $"bits",
+          $"n_samples", $"sum_amp", $"min_amp", $"max_amp")
         .orderBy("doc_id")
     },
 

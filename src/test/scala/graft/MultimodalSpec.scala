@@ -77,6 +77,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavTable payloads are genuine WAV bytes (RIFF magic + real decode)") {
+    import spark.implicits._
+    val rows = Multimodal.wavTable(spark, sf0001)
+      .select($"doc_id", $"payload").as[(Long, Array[Byte])]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, bytes) =>
+      assert(bytes.take(4).sameElements("RIFF".getBytes), s"doc $id: not a RIFF header")
+      assert(bytes.slice(8, 12).sameElements("WAVE".getBytes), s"doc $id: not WAVE")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(ais.getFrameLength == Multimodal.waveSamples(id), s"doc $id: frame count")
+    }
+  }
+
+  test("decodeWav recovers the exact synthesized waveform") {
+    import spark.implicits._
+    val stats = Multimodal.decodeWav(spark, sf0001)
+      .select($"doc_id", $"n_samples", $"sum_amp", $"min_amp", $"max_amp")
+      .as[(Long, Int, Long, Int, Int)]
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (id, n, sum, mn, mx) =>
+      val amps = (0 until Multimodal.waveSamples(id)).map(Multimodal.waveAmp(id, _))
+      assert(n == amps.size, s"doc $id: sample count")
+      assert(sum == amps.map(_.toLong).sum, s"doc $id: decoded sample sum")
+      assert(mn == amps.min && mx == amps.max, s"doc $id: decoded min/max")
+    }
+  }
+
   test("binary payload survives the relational pipeline opaquely") {
     import spark.implicits._
     // filter + project + repartition must not disturb payload bytes

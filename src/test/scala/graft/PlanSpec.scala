@@ -208,6 +208,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("l2 incremental dedup: the corpus band side joins without reshuffling") {
+    // the daily-ingest contract: per-batch dedup work is batch-sized —
+    // the corpus side must come off the bucketed band table with no
+    // exchange; only the (small) new-batch side may shuffle to align
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val df = SparkEntry.queries("l2_incremental_dedup")(spark, sf0001)
+      def bucketedLeaf(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collectLeaves().exists {
+          case f: FileSourceScanExec => f.relation.bucketSpec.isDefined
+          case _ => false
+        }
+      val joins = df.queryExecution.sparkPlan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }.filter(j => j.children.exists(bucketedLeaf))
+      assert(joins.nonEmpty, "candidate join no longer reads the bucketed band table")
+      joins.foreach { j =>
+        j.children.filter(bucketedLeaf).foreach { side =>
+          assert(side.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+            s"corpus band side re-shuffles — batch dedup went corpus-sized:\n$j")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("kmeans: assignment is a narrow map over literal centroids (no join, no shuffle)") {
     val e = graft.queries.Qh.t(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val cents = graft.operators.KMeansLloyd.initByIds(e, 8)

@@ -77,7 +77,8 @@ object Bench {
     "t2_sliding" -> 0.660, "t3_session" -> 1.063,
     "t4_watermark_closed" -> 0.545, "t5_dedup" -> 0.323,
     "t6_stateful_running" -> 0.700, "t7_stream_static" -> 0.658,
-    "t8_foreachbatch_jdbc" -> 1.580, "t9_stream_stream" -> 0.421,
+    "t8_foreachbatch_jdbc" -> 1.580, "t8c_exactly_once_jdbc" -> 1.924,
+    "t9_stream_stream" -> 0.421,
     "t9_stream_stream_full" -> 0.553, "t9_stream_stream_outer" -> 0.427,
     "w1_ranking" -> 0.829, "w2_analytic" -> 1.153, "w3_frames" -> 0.983,
     "w3_time_range" -> 0.667, "w4_topk_per_group" -> 0.376,

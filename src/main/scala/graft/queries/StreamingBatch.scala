@@ -267,6 +267,70 @@ object StreamingBatch {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
         .orderBy("event_type")
+    },
+
+    // T8c: the EXACTLY-ONCE sink path oracle-checked end to end. The
+    // same file-source streaming scaffold as T8, but landed through
+    // jdbcIdempotentWriter — distributed per-partition transactions,
+    // the (batch_id, event_id) unique guard, and the {table}_commits
+    // visibility marker — and then DELIVERED A SECOND TIME with a
+    // fresh checkpoint, so every row is redelivered as the same batch
+    // ids and the delete-then-insert + marker revoke/republish cycle
+    // runs for real. The read-back uses the documented marker-join
+    // pattern (only batches whose marker committed are visible). The
+    // oracle aggregates the ORIGINAL parquet once — any duplicate the
+    // redelivery leaks, any row lost, or a half-visible batch breaks
+    // the hash.
+    Decl(
+      "t8c_exactly_once_jdbc",
+      s"""SELECT user_id % 10 AS bucket, count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_id % 5 = 0
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val run = StreamingBatch.t8Runs.incrementAndGet()
+      val url = s"jdbc:derby:memory:graft_t8c_decl_$run;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      conn.createStatement().execute(
+        "CREATE TABLE t8c_sink (event_id BIGINT, user_id BIGINT, " +
+          "value DOUBLE, batch_id BIGINT, part_id INT)")
+      conn.close()
+      val runId = java.util.UUID.randomUUID()
+      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_io/t8c_src_$runId")
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val schema = s.read.parquet(path).schema
+      def deliver(ckpt: String): Unit = {
+        val q = s.readStream.schema(schema).parquet(srcDir.toString)
+          .filter($"event_id" % 5 === 0)
+          .select($"event_id", $"user_id", $"value")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            Streams.jdbcIdempotentWriter(url, "t8c_sink", props)(df, id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .start()
+        q.awaitTermination()
+      }
+      deliver(s"/tmp/graft_io/t8c_ckpt_${runId}_a")
+      // full redelivery: fresh checkpoint → the same rows arrive again
+      // under the same batch ids; exactly-once must hold
+      deliver(s"/tmp/graft_io/t8c_ckpt_${runId}_b")
+      s.read.jdbc(url,
+          "(SELECT t.event_id, t.user_id, t.value FROM t8c_sink t " +
+            "JOIN t8c_sink_commits m ON t.batch_id = m.batch_id) v",
+          props)
+        .groupBy(($"user_id" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("bucket")
     }
   )
 

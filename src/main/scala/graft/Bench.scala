@@ -36,7 +36,8 @@ object Bench {
     "j4_left_outer" -> 0.470, "j5_anti" -> 0.393, "j6_sortmerge" -> 1.024,
     "j7_range" -> 0.875, "j8_cross" -> 0.274, "j9_asof" -> 0.673,
     "j9_asof_join" -> 0.654, "l10_profile" -> 0.350,
-    "l11_decontam" -> 1.411, "l12_global_ids" -> 0.757,
+    "l11_decontam" -> 1.411, "l11_semantic_decontam" -> 0.534,
+    "l12_global_ids" -> 0.757,
     "l13_pagerank" -> 6.432, "l1_exact_dedup" -> 0.369,
     "l2_cosine_neardup" -> 0.630, "l2_dedup_clusters" -> 2.329,
     "l2_incremental_dedup" -> 1.016,
@@ -58,7 +59,8 @@ object Bench {
     "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.643,
     "l8_deterministic_sample" -> 0.138, "l8_deterministic_split" -> 0.252,
     "l8_mixture_weights" -> 0.215, "l8_stratified_sample" -> 0.158,
-    "l9_sequence_packing" -> 0.334, "o1_topk" -> 0.145, "o2_limit" -> 0.136,
+    "l9_sequence_packing" -> 0.334, "l9_shard_export" -> 1.401,
+    "o1_topk" -> 0.145, "o2_limit" -> 0.136,
     "o3_union" -> 0.345, "o3_union_distinct" -> 0.396, "o4_except" -> 0.331,
     "o4_except_all" -> 0.560, "o4_intersect" -> 0.335,
     "o4_intersect_all" -> 0.396, "p10_map_hof" -> 1.781,

@@ -83,6 +83,65 @@ object Decontam {
           size(array_distinct(flatten(collect_list($"evs"))))
             .cast("long").as("n_eval_docs"))
         .orderBy("train_doc")
+    },
+
+    // L11b: SEMANTIC decontamination (r7) — the embedding-space
+    // complement of the n-gram scrub: paraphrased or lightly-rewritten
+    // benchmark items share no n-grams but sit next to the eval point
+    // in embedding space. For every eval vector (vec_id % 10 = 0
+    // stands in for the benchmark) find its TOP-1 training neighbor
+    // within the same label block (the coarse-quantizer blocking of
+    // l2_cosine_neardup — never all-pairs) and report the match plus
+    // the scrub verdict at the production 0.9 threshold. Deterministic
+    // top-1: row_number over (cos DESC, train_vec) — no max_by tie
+    // ambiguity. At 100 TB: a label-blocked equi-join (eval side tiny
+    // → broadcast) + a per-eval-key window over bounded candidates.
+    Decl(
+      "l11_semantic_decontam",
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding,
+         |    sqrt(${Qh.oDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS eval_vec, b.vec_id AS train_vec,
+         |    ${Qh.oDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b
+         |    ON a.label = b.label
+         |   AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0),
+         |r AS (
+         |  SELECT eval_vec, train_vec, cos,
+         |    row_number() OVER (
+         |      PARTITION BY eval_vec ORDER BY cos DESC, train_vec) AS rn
+         |  FROM p)
+         |SELECT eval_vec, train_vec AS nearest_train,
+         |  ${Qh.oR6("cos")} AS best_cos,
+         |  cos >= 0.9 AS contaminated
+         |FROM r WHERE rn = 1
+         |ORDER BY eval_vec""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        call_function("dot_product", x, y)
+      val e = Qh.t(s, dir, "embeddings")
+        .select($"vec_id", $"label", $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      val ev = e.filter($"vec_id" % 10 === 0)
+        .select($"vec_id".as("eval_vec"), $"label",
+          $"embedding".as("e_emb"), $"nrm".as("e_nrm"))
+      val tr = e.filter($"vec_id" % 10 =!= 0)
+        .select($"vec_id".as("train_vec"), $"label",
+          $"embedding".as("t_emb"), $"nrm".as("t_nrm"))
+      val w = Window.partitionBy($"eval_vec")
+        .orderBy($"cos".desc, $"train_vec")
+      broadcast(ev).join(tr, "label")
+        .select($"eval_vec", $"train_vec",
+          (dot($"e_emb", $"t_emb") / ($"e_nrm" * $"t_nrm")).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"eval_vec", $"train_vec".as("nearest_train"),
+          Qh.r6($"cos").as("best_cos"),
+          ($"cos" >= 0.9).as("contaminated"))
+        .orderBy("eval_vec")
     }
   )
 }

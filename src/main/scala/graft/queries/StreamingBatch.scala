@@ -239,11 +239,13 @@ object StreamingBatch {
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       props.setProperty("batchsize", "10000")
       val runId = java.util.UUID.randomUUID()
-      val ckpt = s"/tmp/graft_io/t8_ckpt_$runId"
+      // under the pid-namespaced scratch root so the dead-JVM sweep
+      // reclaims these dirs (a bare /tmp/graft_io/<uuid> path never ages out)
+      val ckpt = Qh.ioDir(s"t8_ckpt_$runId")
       // the file streaming source requires a DIRECTORY; the fixture is a
       // single file, so stage a symlink to it in a fresh temp dir (the
       // production shape is a watched directory of arriving files)
-      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_io/t8_src_$runId")
+      val srcDir = java.nio.file.Paths.get(Qh.ioDir(s"t8_src_$runId"))
       java.nio.file.Files.createDirectories(srcDir)
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
@@ -301,7 +303,7 @@ object StreamingBatch {
           "value DOUBLE, batch_id BIGINT, part_id INT)")
       conn.close()
       val runId = java.util.UUID.randomUUID()
-      val srcDir = java.nio.file.Paths.get(s"/tmp/graft_io/t8c_src_$runId")
+      val srcDir = java.nio.file.Paths.get(Qh.ioDir(s"t8c_src_$runId"))
       java.nio.file.Files.createDirectories(srcDir)
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
@@ -320,10 +322,10 @@ object StreamingBatch {
           .start()
         q.awaitTermination()
       }
-      deliver(s"/tmp/graft_io/t8c_ckpt_${runId}_a")
+      deliver(Qh.ioDir(s"t8c_ckpt_${runId}_a"))
       // full redelivery: fresh checkpoint → the same rows arrive again
       // under the same batch ids; exactly-once must hold
-      deliver(s"/tmp/graft_io/t8c_ckpt_${runId}_b")
+      deliver(Qh.ioDir(s"t8c_ckpt_${runId}_b"))
       s.read.jdbc(url,
           "(SELECT t.event_id, t.user_id, t.value FROM t8c_sink t " +
             "JOIN t8c_sink_commits m ON t.batch_id = m.batch_id) v",

@@ -540,6 +540,46 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L9b: SHARD EXPORT — the training-data delivery format: documents
+    // written as JSONL shards with a BOUNDED record count per file
+    // (`maxRecordsPerFile` — the knob that keeps loader workers
+    // balanced and shard-resumable at 100 TB), partitioned by the
+    // source shard key. The decl re-reads the exported shards and
+    // aggregates; the oracle aggregates the ORIGINAL table, so any doc
+    // lost, duplicated, or text-mangled by the JSON round trip breaks
+    // the hash. The per-file bound itself is checked in-engine
+    // (input_file_name groupBy — bounded metadata, shard count ≈ 8)
+    // and shipped as a boolean the oracle pins TRUE.
+    Decl(
+      "l9_shard_export",
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  TRUE AS shards_bounded
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = Qh.ioDir("l9_shards")
+      Qh.t(s, dir, "documents")
+        .select($"doc_id", $"text", $"lang", $"source")
+        .repartition($"source")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("maxRecordsPerFile", 100)
+        .json(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType)))
+      val back = s.read.schema(schema).json(path)
+      val maxPerShard = back.groupBy(input_file_name()).count()
+        .agg(max($"count")).head.getLong(0)
+      back.agg(
+          count(lit(1)).as("n_docs"),
+          sum(length($"text")).cast(LongType).as("total_chars"),
+          countDistinct($"lang").as("n_langs"))
+        .withColumn("shards_bounded", lit(maxPerShard <= 100))
+    },
+
     // L4i: heavy hitters via a Misra–Gries mergeable summary
     // (FreqItemsAgg) under the a3-style tolerance contract: the oracle
     // pins the EXACT top-5 terms (+TRUE); the engine also computes the

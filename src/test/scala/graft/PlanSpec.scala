@@ -132,6 +132,14 @@ class PlanSpec extends SparkSpec {
       "salting must keep the join an equi-join")
   }
 
+  test("l11b: semantic decontam broadcasts the eval side; no cartesian") {
+    val p = plan("l11_semantic_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval side must broadcast — the train corpus is the big side:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semantic decontam must stay a label-blocked equi-join, never all-pairs")
+  }
+
   test("l11: decontamination broadcasts the eval gram set; train side never shuffles") {
     val p = plan("l11_decontam")
     assert(p.contains("BroadcastHashJoin"), "eval side must broadcast")

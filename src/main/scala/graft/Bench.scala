@@ -14,7 +14,7 @@ package graft
 object Bench {
 
   /** Per-query pinned reference times at sf0.1, measured on an idle
-    * machine (round-5 controlled re-run; total 117.8 s / 126 queries /
+    * machine (round-7 idle run; total 111.6 s / 133 queries /
     * 0 err). These replace the round-5 two-tier budgets, whose 20 s
     * ceiling over 1.2–1.6 s queries let a 10× plan regression ship
     * silently. Regenerate with scripts/repin.py from an idle-run
@@ -23,69 +23,64 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a1_hashagg" -> 1.962, "a2_distinct" -> 0.996,
-    "a3_approx_distinct" -> 3.427, "a3_hll_merge" -> 0.700,
-    "a4_cube" -> 0.719, "a4_grouping_sets" -> 0.780, "a4_rollup" -> 0.616,
-    "a5_filtered_agg" -> 0.517, "a6_approx_percentile" -> 2.262,
-    "a6_stats" -> 2.091, "a6_tdigest" -> 1.733, "a7_collect" -> 0.747,
-    "a8_pivot" -> 0.560, "a9_salted_agg" -> 0.717,
-    "c1_upsert_latest" -> 0.526, "c2_scd2_intervals" -> 0.865,
-    "flagship_pipeline" -> 0.558, "j10_bloom_semi" -> 1.055,
-    "j11_salted_skew_join" -> 0.716, "j1_semi_broadcast" -> 0.979,
-    "j2_inner" -> 0.587, "j3_multiway" -> 1.711, "j4_full_outer" -> 0.542,
-    "j4_left_outer" -> 0.470, "j5_anti" -> 0.393, "j6_sortmerge" -> 1.024,
-    "j7_range" -> 0.875, "j8_cross" -> 0.274, "j9_asof" -> 0.673,
-    "j9_asof_join" -> 0.654, "l10_profile" -> 0.350,
-    "l11_decontam" -> 1.411, "l11_semantic_decontam" -> 0.534,
-    "l12_global_ids" -> 0.757,
-    "l13_pagerank" -> 6.432, "l1_exact_dedup" -> 0.369,
-    "l2_cosine_neardup" -> 0.630, "l2_dedup_clusters" -> 2.329,
-    "l2_incremental_dedup" -> 1.016,
-    "l2_lsh_pairs" -> 1.176, "l2_minhash_estimate" -> 1.202,
-    "l2_minhash_sigs" -> 1.515, "l2_ngram_jaccard" -> 3.647,
-    "l2_simhash" -> 1.073, "l2_simhash_hamming" -> 3.240,
-    "l3_ann_ivf" -> 1.116, "l3_ann_ivfpq" -> 2.436, "l3_ann_lsh" -> 2.313,
-    "l3_ann_pq" -> 1.835, "l3_ann_trained" -> 3.340,
-    "l3_cosine_topk" -> 0.415, "l3_kmeans" -> 1.554,
-    "l4_bpe_pair_stats" -> 0.951, "l4_fingerprint" -> 1.132,
-    "l4_heavy_hitters" -> 0.631, "l4_lang_id" -> 0.740,
-    "l4_pii_redact" -> 0.899, "l4_quality_score" -> 0.651,
-    "l4_repetition_quality" -> 1.225, "l4_term_freq" -> 0.604,
-    "l4_tfidf" -> 0.890, "l4_token_stats" -> 0.779,
-    "l5_histogram" -> 0.287, "l6_decode_features" -> 0.460,
-    "l6_decode_audio" -> 1.320,
-    "l6_decode_real" -> 1.432, "s13_dpp_join" -> 1.336,
-    "l6_multimodal_meta" -> 0.186, "l6_quantize_int8" -> 0.314,
-    "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.643,
-    "l8_deterministic_sample" -> 0.138, "l8_deterministic_split" -> 0.252,
-    "l8_mixture_weights" -> 0.215, "l8_stratified_sample" -> 0.158,
-    "l9_sequence_packing" -> 0.334, "l9_shard_export" -> 1.401,
-    "o1_topk" -> 0.145, "o2_limit" -> 0.136,
-    "o3_union" -> 0.345, "o3_union_distinct" -> 0.396, "o4_except" -> 0.331,
-    "o4_except_all" -> 0.560, "o4_intersect" -> 0.335,
-    "o4_intersect_all" -> 0.396, "p10_map_hof" -> 1.781,
-    "p10_maps" -> 1.069, "p11_envelope" -> 0.386, "p12_unpivot" -> 0.282,
-    "p1_prune" -> 0.590, "p2_filter" -> 0.404, "p3_inlist" -> 0.166,
-    "p4_strings" -> 0.237, "p5_datetime" -> 0.441, "p6_math" -> 0.827,
-    "p7_conditional" -> 0.215, "p8_json" -> 0.932,
-    "p8_json_nested" -> 2.982, "p9_array_fns" -> 0.196,
-    "p9_arrays" -> 0.266, "p9_explode" -> 0.268, "p9_posexplode" -> 0.202,
-    "s10_vector_index" -> 1.587, "s10b_index_append" -> 1.770,
-    "s11_schema_evolution" -> 0.965, "s12_compaction" -> 1.264,
-    "s3_jdbc_roundtrip" -> 1.512, "s4_json_roundtrip" -> 0.933,
-    "s5_kafka_envelope" -> 0.259, "s6_csv_roundtrip" -> 0.525,
-    "s7_orc_roundtrip" -> 0.988, "s8_envelope_source" -> 0.860,
-    "s9_partitioned_prune" -> 0.841, "t1_tumbling" -> 0.537,
-    "t2_sliding" -> 0.660, "t3_session" -> 1.063,
-    "t4_watermark_closed" -> 0.545, "t5_dedup" -> 0.323,
-    "t6_stateful_running" -> 0.700, "t7_stream_static" -> 0.658,
-    "t8_foreachbatch_jdbc" -> 1.580, "t8c_exactly_once_jdbc" -> 1.924,
-    "t9_stream_stream" -> 0.421,
-    "t9_stream_stream_full" -> 0.553, "t9_stream_stream_outer" -> 0.427,
-    "w1_ranking" -> 0.829, "w2_analytic" -> 1.153, "w3_frames" -> 0.983,
-    "w3_time_range" -> 0.667, "w4_topk_per_group" -> 0.376,
-    "w4_topk_window_idiom" -> 0.488, "w5_distribution" -> 1.027,
-    "w6_gap_fill" -> 0.855)
+    "a1_hashagg" -> 1.933, "a2_distinct" -> 0.932,
+    "a3_approx_distinct" -> 2.073, "a3_hll_merge" -> 0.689,
+    "a4_cube" -> 0.814, "a4_grouping_sets" -> 0.749, "a4_rollup" -> 0.648,
+    "a5_filtered_agg" -> 0.514, "a6_approx_percentile" -> 2.010,
+    "a6_stats" -> 1.787, "a6_tdigest" -> 1.640, "a7_collect" -> 0.782,
+    "a8_pivot" -> 0.561, "a9_salted_agg" -> 0.689,
+    "c1_upsert_latest" -> 0.532, "c2_scd2_intervals" -> 0.922,
+    "flagship_pipeline" -> 0.508, "j10_bloom_semi" -> 0.928,
+    "j11_salted_skew_join" -> 0.811, "j1_semi_broadcast" -> 1.085,
+    "j2_inner" -> 0.571, "j3_multiway" -> 1.598, "j4_full_outer" -> 0.484,
+    "j4_left_outer" -> 0.387, "j5_anti" -> 0.302, "j6_sortmerge" -> 0.829,
+    "j7_range" -> 0.715, "j8_cross" -> 0.264, "j9_asof" -> 0.669,
+    "j9_asof_join" -> 0.675, "l10_profile" -> 0.376, "l11_decontam" -> 1.391,
+    "l11_semantic_decontam" -> 0.651, "l12_global_ids" -> 0.744,
+    "l13_pagerank" -> 6.015, "l1_exact_dedup" -> 0.378,
+    "l2_cosine_neardup" -> 0.550, "l2_dedup_clusters" -> 1.863,
+    "l2_incremental_dedup" -> 0.967, "l2_lsh_pairs" -> 1.166,
+    "l2_minhash_estimate" -> 1.094, "l2_minhash_sigs" -> 1.164,
+    "l2_ngram_jaccard" -> 2.855, "l2_simhash" -> 0.718,
+    "l2_simhash_hamming" -> 2.693, "l3_ann_ivf" -> 0.722,
+    "l3_ann_ivfpq" -> 1.637, "l3_ann_lsh" -> 1.856, "l3_ann_pq" -> 1.354,
+    "l3_ann_trained" -> 2.356, "l3_cosine_topk" -> 0.306,
+    "l3_kmeans" -> 1.187, "l4_bpe_pair_stats" -> 0.735,
+    "l4_fingerprint" -> 0.886, "l4_heavy_hitters" -> 0.578,
+    "l4_lang_id" -> 0.463, "l4_pii_redact" -> 0.806,
+    "l4_quality_score" -> 0.575, "l4_repetition_quality" -> 1.134,
+    "l4_term_freq" -> 0.525, "l4_tfidf" -> 0.855, "l4_token_stats" -> 0.566,
+    "l5_histogram" -> 0.252, "l6_decode_audio" -> 1.076,
+    "l6_decode_features" -> 0.382, "l6_decode_real" -> 1.332,
+    "l6_multimodal_meta" -> 0.164, "l6_quantize_int8" -> 0.338,
+    "l6_resize_framesample" -> 0.201, "l7_curation_pipeline" -> 0.682,
+    "l8_deterministic_sample" -> 0.151, "l8_deterministic_split" -> 0.233,
+    "l8_mixture_weights" -> 0.245, "l8_stratified_sample" -> 0.154,
+    "l9_sequence_packing" -> 0.326, "l9_shard_export" -> 1.197,
+    "o1_topk" -> 0.136, "o2_limit" -> 0.138, "o3_union" -> 0.324,
+    "o3_union_distinct" -> 0.365, "o4_except" -> 0.291,
+    "o4_except_all" -> 0.535, "o4_intersect" -> 0.311,
+    "o4_intersect_all" -> 0.370, "p10_map_hof" -> 1.458, "p10_maps" -> 0.936,
+    "p11_envelope" -> 0.388, "p12_unpivot" -> 0.258, "p1_prune" -> 0.550,
+    "p2_filter" -> 0.352, "p3_inlist" -> 0.148, "p4_strings" -> 0.217,
+    "p5_datetime" -> 0.391, "p6_math" -> 0.722, "p7_conditional" -> 0.181,
+    "p8_json" -> 0.714, "p8_json_nested" -> 2.969, "p9_array_fns" -> 0.177,
+    "p9_arrays" -> 0.234, "p9_explode" -> 0.187, "p9_posexplode" -> 0.161,
+    "s10_vector_index" -> 1.229, "s10b_index_append" -> 1.472,
+    "s11_schema_evolution" -> 0.799, "s12_compaction" -> 1.030,
+    "s13_dpp_join" -> 1.299, "s3_jdbc_roundtrip" -> 1.211,
+    "s4_json_roundtrip" -> 0.597, "s5_kafka_envelope" -> 0.249,
+    "s6_csv_roundtrip" -> 0.479, "s7_orc_roundtrip" -> 0.874,
+    "s8_envelope_source" -> 0.817, "s9_partitioned_prune" -> 0.749,
+    "t1_tumbling" -> 0.426, "t2_sliding" -> 0.475, "t3_session" -> 0.863,
+    "t4_watermark_closed" -> 0.520, "t5_dedup" -> 0.345,
+    "t6_stateful_running" -> 0.590, "t7_stream_static" -> 0.653,
+    "t8_foreachbatch_jdbc" -> 1.640, "t8c_exactly_once_jdbc" -> 2.201,
+    "t9_stream_stream" -> 0.446, "t9_stream_stream_full" -> 0.557,
+    "t9_stream_stream_outer" -> 0.434, "w1_ranking" -> 0.768,
+    "w2_analytic" -> 0.951, "w3_frames" -> 0.916, "w3_time_range" -> 0.779,
+    "w4_topk_per_group" -> 0.416, "w4_topk_window_idiom" -> 0.452,
+    "w5_distribution" -> 1.138, "w6_gap_fill" -> 0.754)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.ZOrder
 import graft.sources.KafkaIO
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
@@ -235,6 +236,128 @@ object Sources {
       fact.join(dim.select($"event_date"), Seq("event_date"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // S14: Z-ORDER DATA LAYOUT — multi-dimensional clustering for file
+    // skipping (Morton 1966; the technique behind Delta's OPTIMIZE
+    // ZORDER BY and Iceberg's z-order sort). S9/S13 prune on ONE
+    // partition column; production scans also carry range predicates on
+    // non-partition columns, where the only pruning is parquet min/max
+    // statistics — and a linear sort makes those statistics useless for
+    // every column but the leading one. Writing the fact range-
+    // partitioned + sorted by the Morton key of (user_id, time) packs
+    // each file into a compact 2-D sub-rectangle, so the read-back's
+    // conjunctive box predicate skips most files/row-groups on stats
+    // alone. The key is pure builtin bit-arithmetic (codegen'd, see
+    // graft.functions.ZOrder); ZOrderSpec property-tests bit-equality
+    // vs a Scala model, pins that BOTH range predicates reach the scan
+    // as PushedFilters, and pins the skipping itself: under a
+    // user-only predicate the z-layout's candidate file set (by
+    // per-file min/max) is a fraction of the time-sorted layout's,
+    // which must open every file. The oracle recomputes the box
+    // aggregate from the original events, so a row lost, duplicated,
+    // or mis-keyed by the layout rewrite breaks the hash.
+    Decl(
+      "s14_zorder_layout",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE user_id BETWEEN 3 AND 7
+         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s14_zorder")
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          Qh.tsUs($"ts").as("ts"))
+        .withColumn("t", unix_timestamp($"ts"))
+      // layout build: one cheap bounds pass (the analogue of the range
+      // sampling every sorted write already does), broadcast to a
+      // narrow map that grid-quantizes both dims and interleaves
+      val bounds = ev.agg(
+        min($"user_id").as("u_min"), max($"user_id").as("u_max"),
+        min($"t").as("t_min"), max($"t").as("t_max"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("zkey", ZOrder.interleave(
+          ZOrder.gridCell($"user_id", $"u_min", $"u_max", 16),
+          ZOrder.gridCell($"t", $"t_min", $"t_max", 16)))
+        .select($"event_id", $"user_id", $"event_type", $"value", $"ts", $"zkey")
+        .repartitionByRange(16, $"zkey")
+        .sortWithinPartitions($"zkey")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      s.read.parquet(path)
+        .filter($"user_id".between(3, 7) &&
+          $"ts" >= lit("2024-01-08 00:00:00").cast(TimestampType) &&
+          $"ts" < lit("2024-01-16 00:00:00").cast(TimestampType))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+
+    // S15: STATS-INDEX PRUNED SCAN — the metadata-driven file planning
+    // that Delta's transaction-log stats and Iceberg's manifest file
+    // ranges do at 100 TB: per-file (min,max) column statistics live in
+    // a tiny index TABLE, the planner intersects the predicate box with
+    // the index, and only the surviving files are ever opened — footer
+    // reads included. Composes with S14: the z-order layout is what
+    // makes the per-file ranges tight enough to exclude most files.
+    // Here the index is built by one 2-column scan of the layout
+    // (production systems persist the same stats at WRITE time; the
+    // build is the amortized-once analogue). The candidate file list is
+    // a driver-side collect of bounded METADATA (like the ANN probe
+    // ids — ~N_files rows, never data). The oracle recomputes the box
+    // aggregate from the original events, so a file wrongly excluded by
+    // the index (or a stale/duplicated stats row) breaks the hash.
+    Decl(
+      "s15_stats_pruned_scan",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value,
+         |  min(event_id) AS first_event,
+         |  max(event_id) AS last_event
+         |FROM events
+         |WHERE user_id BETWEEN 8 AND 11
+         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s15_zlayout")
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          Qh.tsUs($"ts").as("ts"))
+        .withColumn("t", unix_timestamp($"ts"))
+      val bounds = ev.agg(
+        min($"user_id").as("u_min"), max($"user_id").as("u_max"),
+        min($"t").as("t_min"), max($"t").as("t_max"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("zkey", ZOrder.interleave(
+          ZOrder.gridCell($"user_id", $"u_min", $"u_max", 16),
+          ZOrder.gridCell($"t", $"t_min", $"t_max", 16)))
+        .select($"event_id", $"user_id", $"event_type", $"value", $"ts", $"zkey")
+        .repartitionByRange(16, $"zkey")
+        .sortWithinPartitions($"zkey")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+      // the stats index: one tiny table, N_files rows
+      val statsIndex = s.read.parquet(path)
+        .groupBy(input_file_name().as("file"))
+        .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
+          min($"ts").as("ts_lo"), max($"ts").as("ts_hi"))
+      val lo = lit("2024-01-10 00:00:00").cast(TimestampType)
+      val hi = lit("2024-01-20 00:00:00").cast(TimestampType)
+      // plan from the index: keep files whose range intersects the box
+      val candidates = statsIndex
+        .filter($"u_hi" >= 8 && $"u_lo" <= 11 && $"ts_hi" >= lo && $"ts_lo" < hi)
+        .select($"file").as[String].collect().toSeq
+      s.read.parquet(candidates: _*)
+        .filter($"user_id".between(8, 11) && $"ts" >= lo && $"ts" < hi)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"),
+          min($"event_id").as("first_event"), max($"event_id").as("last_event"))
         .orderBy("event_type")
     },
 

@@ -1,0 +1,146 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.queries.Qh
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The Z-order layout contract, in three parts:
+  *
+  *  1. the Morton key expression is BIT-EQUAL to a bit-twiddling Scala
+  *     model over adversarial and random inputs (the licence for the
+  *     layout to trust pure builtin arithmetic);
+  *  2. the s14 read-back pushes BOTH range predicates into the parquet
+  *     scan (PushedFilters) — stats-based skipping is only reachable
+  *     for filters that arrive at the reader;
+  *  3. the layout actually skips: under a user-only predicate the
+  *     z-ordered files' per-file (min,max) user ranges exclude most
+  *     files, while the time-sorted layout — every file spanning all
+  *     users — must open ALL of them. Asserted on per-file stats,
+  *     which is exactly the information a parquet reader's row-group
+  *     pruning consumes.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  /** Reference model: textbook bit-by-bit interleave. */
+  private def modelInterleave(a: Long, b: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 32) {
+      out |= ((a >> i) & 1L) << (2 * i)
+      out |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    out
+  }
+
+  test("interleave(a, b) is bit-equal to the Scala model") {
+    import spark.implicits._
+    val edge = Seq(0L, 1L, 2L, 3L, 0xFFFFL, 0x10000L, 0x7FFFFFFFL, 0xFFFFFFFFL)
+    val rnd = new scala.util.Random(42)
+    val pairs = (for (a <- edge; b <- edge) yield (a, b)) ++
+      Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val rows = pairs.toDF("a", "b")
+      .select($"a", $"b", ZOrder.interleave($"a", $"b").as("z"))
+      .collect()
+    rows.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == modelInterleave(a, b),
+        s"a=$a b=$b expr=$z model=${modelInterleave(a, b)}")
+    }
+  }
+
+  test("gridCell maps [min,max] onto [0, 2^bits) monotonically, endpoints included") {
+    import spark.implicits._
+    val rows = (0L to 1000L).toDF("x")
+      .select($"x", ZOrder.gridCell($"x", lit(0L), lit(1000L), 4).as("cell"))
+      .orderBy("x")
+      .collect()
+    val cells = rows.map(_.getLong(1))
+    assert(cells.head == 0L && cells.last == 15L)
+    assert(cells.forall(c => c >= 0L && c <= 15L))
+    assert(cells.sliding(2).forall(w => w(0) <= w(1)), "non-monotone grid")
+    assert(cells.distinct.length == 16, "grid should use every cell on a uniform domain")
+  }
+
+  test("s14 read-back pushes both range predicates to the parquet scan") {
+    val df = SparkEntry.queries("s14_zorder_layout")(spark, sf0001)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(user_id"), pushed)
+    assert(pushed.contains("LessThanOrEqual(user_id"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(pushed.contains("LessThan(ts"), pushed)
+  }
+
+  test("s15: the stats index plans a strict subset of files, and the pruned read loses nothing") {
+    import spark.implicits._
+    val pruned = SparkEntry.queries("s15_stats_pruned_scan")(spark, sf001).collect()
+    // the layout the decl just wrote (same JVM -> same scratch dir)
+    val layout = spark.read.parquet(Qh.ioDir("s15_zlayout"))
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-20 00:00:00").cast("timestamp")
+    val cand = layout
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"),
+        min($"ts").as("ts_lo"), max($"ts").as("ts_hi"))
+      .filter($"u_hi" >= 8 && $"u_lo" <= 11 && $"ts_hi" >= lo && $"ts_lo" < hi)
+      .count()
+    assert(cand < 16, s"stats index failed to exclude any of the 16 files (cand=$cand)")
+    // full-scan ground truth over the SAME layout: a wrong exclusion
+    // would diverge here even if the oracle aggregate happened to agree
+    val full = layout
+      .filter($"user_id".between(8, 11) && $"ts" >= lo && $"ts" < hi)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"),
+        min($"event_id").as("first_event"), max($"event_id").as("last_event"))
+      .orderBy("event_type")
+      .collect()
+    assert(pruned.map(_.toString).toSeq == full.map(_.toString).toSeq)
+  }
+
+  test("z-layout skips most files on a user-only box; time-sorted layout opens all") {
+    import spark.implicits._
+    val base = Qh.t(spark, sf001, "events")
+      .select($"event_id", $"user_id", Qh.tsUs($"ts").as("ts"), $"value")
+      .withColumn("t", unix_timestamp($"ts"))
+    val bounds = base.agg(
+      min($"user_id").as("u_min"), max($"user_id").as("u_max"),
+      min($"t").as("t_min"), max($"t").as("t_max"))
+    val keyed = base.crossJoin(broadcast(bounds))
+      .withColumn("zkey", ZOrder.interleave(
+        ZOrder.gridCell($"user_id", $"u_min", $"u_max", 16),
+        ZOrder.gridCell($"t", $"t_min", $"t_max", 16)))
+      .select($"event_id", $"user_id", $"t", $"value", $"zkey")
+
+    val zDir = Qh.ioDir("zspec_z")
+    val linDir = Qh.ioDir("zspec_linear")
+    keyed.repartitionByRange(16, $"zkey").sortWithinPartitions($"zkey")
+      .write.mode(SaveMode.Overwrite).parquet(zDir)
+    // the natural ingest layout: time-ordered, same file count
+    keyed.repartitionByRange(16, $"t").sortWithinPartitions($"t")
+      .write.mode(SaveMode.Overwrite).parquet(linDir)
+
+    // per-file min/max of user_id — the stats a reader prunes on.
+    // Candidate file = its [min,max] intersects the predicate box.
+    def candidateFiles(dir: String, lo: Long, hi: Long): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"user_id").as("u_lo"), max($"user_id").as("u_hi"))
+        .agg(
+          count(lit(1)).as("total"),
+          count(when($"u_lo" <= hi && $"u_hi" >= lo, 1)).as("cand"))
+        .collect()(0)
+      (stats.getLong(1), stats.getLong(0))
+    }
+    // sf0.01 has users 0..149; box = 10 users (~7% of the domain)
+    val (zCand, zTotal) = candidateFiles(zDir, 40, 49)
+    val (linCand, linTotal) = candidateFiles(linDir, 40, 49)
+    assert(zTotal == 16 && linTotal == 16, s"expected 16 files, got z=$zTotal lin=$linTotal")
+    assert(linCand == 16,
+      s"time-sorted layout should be unable to skip on user_id, candidates=$linCand")
+    assert(zCand * 2 <= linCand,
+      s"z-layout should halve the candidate set at worst: z=$zCand linear=$linCand")
+  }
+}

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** SURVEY §2.B C1–C2 — CHANGELOG/CDC compaction over the events table
   * (each event = one version of its user's state, ordered by
@@ -69,6 +71,63 @@ object Changelog {
           unix_millis(lead(Qh.tsUs($"ts"), 1).over(w)).as("valid_to_ms"),
           when(lead($"event_id", 1).over(w).isNull, 1).otherwise(0).as("is_current"))
         .orderBy("user_id", "valid_from_ms", "event_id")
+    },
+
+    // C3: INCREMENTAL AGGREGATE MAINTENANCE — the materialized-view
+    // merge loop every 100-TB warehouse runs instead of re-aggregating
+    // the corpus per batch. The standing MV keeps ONE mergeable partial
+    // row per key (count / DECIMAL sum / max — the same
+    // partial-aggregate states Spark's own map-side combine ships);
+    // a new batch contributes batch-sized partials, and the refresh is
+    // a full-outer coalesce-merge of MV ⋈ batch partials: cost
+    // ∝ |MV| + |batch|, the corpus is NEVER rescanned (at 100 TB the
+    // MV is keys-sized, orders of magnitude under the fact table; a
+    // key-bucketed MV makes the merge exchange-free on the MV side,
+    // the S10b/Graph bucketing machinery). The sum is carried as
+    // DECIMAL so incremental merge is EXACT — a float accumulator
+    // would drift from the oracle's recompute after enough batches.
+    // event_id % 10 = 0 stands in for the arriving batch (the
+    // l2_incremental_dedup convention); the oracle re-aggregates ALL
+    // events from scratch, so a key dropped, double-merged, or
+    // wrongly coalesced in the MV refresh breaks the hash.
+    Decl(
+      "c3_incremental_agg",
+      s"""SELECT user_id,
+         |  count(*) AS n_events,
+         |  ${Qh.oSum2("value")} AS total_value,
+         |  epoch_ms(max(CAST(ts AS TIMESTAMP))) AS last_ts_ms
+         |FROM events
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = Qh.ioDir("c3_mv")
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value", Qh.tsUs($"ts").as("ts"))
+      def partials(df: DataFrame): DataFrame = df
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum($"value".cast(DecimalType(18, 2))).as("total_dec"),
+          max(unix_millis($"ts")).as("last_ts_ms"))
+      // the standing MV: built once from the already-ingested corpus
+      partials(ev.filter($"event_id" % 10 =!= 0))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/v0")
+      // refresh: MV ⋈ batch partials, one mergeable row per key
+      s.read.parquet(s"$root/v0").as("m")
+        .join(partials(ev.filter($"event_id" % 10 === 0)).as("b"),
+          Seq("user_id"), "full_outer")
+        .select($"user_id",
+          (coalesce($"m.n_events", lit(0L)) + coalesce($"b.n_events", lit(0L)))
+            .as("n_events"),
+          (coalesce($"m.total_dec", lit(0).cast(DecimalType(18, 2))) +
+            coalesce($"b.total_dec", lit(0).cast(DecimalType(18, 2))))
+            .as("total_dec"),
+          greatest($"m.last_ts_ms", $"b.last_ts_ms").as("last_ts_ms"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/v1")
+      s.read.parquet(s"$root/v1")
+        .select($"user_id", $"n_events",
+          $"total_dec".cast(DoubleType).as("total_value"), $"last_ts_ms")
+        .orderBy("user_id")
     }
   )
 }

@@ -263,6 +263,15 @@ class PlanSpec extends SparkSpec {
       "compaction must not pay a per-key window sort")
   }
 
+  test("c3: the refreshed view is served from the MV alone — no fixture rescan") {
+    // the incremental-maintenance contract: after the merge, reading the
+    // aggregate NEVER touches the fact table again (cost ∝ |MV|)
+    val p = plan("c3_incremental_agg")
+    assert(p.contains("c3_mv"), s"expected the MV scan:\n${p.take(600)}")
+    assert(!p.contains("events.parquet"),
+      "serving the refreshed aggregate must not rescan the fact fixture")
+  }
+
   test("s13: join-driven filter prunes fact partitions dynamically (DPP)") {
     val p = plan("s13_dpp_join")
     // the filter on the dim's derived attribute must reach the FACT scan

@@ -125,7 +125,15 @@ object Multimodal {
     * size. */
   def decodePng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pngTable(s, dir).as[PngRow].mapPartitions { it =>
+    decodePngRows(pngTable(s, dir).as[PngRow])
+  }
+
+  /** The decode stage alone, over any PngRow source — shared by the
+    * in-table payload path (l6_decode_real) and the binaryFile ingest
+    * path (s16), which differ only in where the bytes come from. */
+  def decodePngRows(rows: org.apache.spark.sql.Dataset[PngRow]): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { row =>

@@ -361,6 +361,64 @@ object Sources {
         .orderBy("event_type")
     },
 
+    // S16: BINARYFILE MULTIMODAL INGEST — the other half of the L6
+    // story. l6_decode_real proves the codec over payloads already in a
+    // table column; in production the media lands as FILES in an object
+    // store, and ingestion is: enumerate files → read bytes → parse the
+    // record key from the path → decode. That path is Spark's native
+    // `binaryFile` source (distributed file enumeration + per-file
+    // content rows, with pathGlobFilter pushdown). Here each document's
+    // REAL PNG payload is written as an individual file, re-ingested
+    // through binaryFile, the doc_id recovered from the filename, and
+    // the bytes decoded with the real JDK codec in the same batched
+    // mapPartitions stage the column path uses (shared
+    // Multimodal.decodePngRows). The oracle recomputes the global pixel
+    // statistics relationally, so a file dropped/duplicated by the
+    // enumeration, a mis-parsed path, or a byte mangled in the
+    // write→read loop breaks the hash.
+    Decl(
+      "s16_binaryfile_ingest",
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 5) * 4 AS INT) AS width,
+        |    CAST(6 + (doc_id % 3) * 6 AS INT) AS height
+        |  FROM documents),
+        |gx AS (SELECT doc_id, width, height, unnest(range(width)) AS x FROM px),
+        |gxy AS (SELECT doc_id, width, height, x, unnest(range(height)) AS y FROM gx)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS total_pixels,
+        |  CAST(sum((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 17 + x * 11 + y * 5) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 29 + x * 3 + y * 19) % 256) AS BIGINT) AS sum_b
+        |FROM gxy""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val mediaDir = ioDir("s16_media")
+      // land each payload as its own file (executor-side writes — the
+      // local stand-in for an object-store landing zone)
+      Multimodal.pngTable(s, dir).as[Multimodal.PngRow]
+        .foreachPartition { (it: Iterator[Multimodal.PngRow]) =>
+          val d = java.nio.file.Paths.get(mediaDir)
+          java.nio.file.Files.createDirectories(d)
+          it.foreach { r =>
+            java.nio.file.Files.write(d.resolve(s"img_${r.doc_id}.png"), r.payload)
+          }
+        }
+      val rows = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png").load(mediaDir)
+        .select(
+          regexp_extract($"path", "img_(\\d+)\\.png$", 1).cast(LongType).as("doc_id"),
+          $"content".as("payload"),
+          lit(0).as("width"), lit(0).as("height"))
+        .as[Multimodal.PngRow]
+      Multimodal.decodePngRows(rows)
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum($"n_pixels".cast(LongType)).as("total_pixels"),
+          sum($"sum_r").as("sum_r"),
+          sum($"sum_g").as("sum_g"),
+          sum($"sum_b").as("sum_b"))
+    },
+
     // S11: SCHEMA EVOLUTION across ingestion batches — a 100-TB table is
     // never written by one schema version. Batch 1 lands without
     // `event_type` (the old producer), batch 2 adds it; a mergeSchema

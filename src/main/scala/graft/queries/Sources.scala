@@ -481,6 +481,35 @@ object Sources {
         .orderBy("event_type")
     },
 
+    // S17: XML round trip — Spark 4's built-in XML source (the
+    // spark-xml package folded into core), rowTag framing + explicit
+    // schema on read (inference is a second scan AND a portability
+    // hazard, same rule as S4/S6). Lossless happy path hash-checked
+    // against the original parquet like every format decl.
+    Decl(
+      "s17_xml_roundtrip",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s17_xml")
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .write.mode(SaveMode.Overwrite).option("rowTag", "event").xml(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.schema(schema).option("rowTag", "event").xml(path)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .orderBy("event_type")
+    },
+
     // S5: the Kafka wire format — key + envelope value bytes exactly as
     // they would land on the topic (R7+R8+R9 serialization surface).
     Decl(

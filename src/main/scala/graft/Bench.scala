@@ -14,7 +14,7 @@ package graft
 object Bench {
 
   /** Per-query pinned reference times at sf0.1, measured on an idle
-    * machine (round-7 idle run; total 111.6 s / 133 queries /
+    * machine (round-7 idle run; total 123.2 s / 138 queries /
     * 0 err). These replace the round-5 two-tier budgets, whose 20 s
     * ceiling over 1.2–1.6 s queries let a 10× plan regression ship
     * silently. Regenerate with scripts/repin.py from an idle-run
@@ -23,64 +23,67 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a1_hashagg" -> 1.933, "a2_distinct" -> 0.932,
-    "a3_approx_distinct" -> 2.073, "a3_hll_merge" -> 0.689,
-    "a4_cube" -> 0.814, "a4_grouping_sets" -> 0.749, "a4_rollup" -> 0.648,
-    "a5_filtered_agg" -> 0.514, "a6_approx_percentile" -> 2.010,
-    "a6_stats" -> 1.787, "a6_tdigest" -> 1.640, "a7_collect" -> 0.782,
-    "a8_pivot" -> 0.561, "a9_salted_agg" -> 0.689,
-    "c1_upsert_latest" -> 0.532, "c2_scd2_intervals" -> 0.922,
-    "flagship_pipeline" -> 0.508, "j10_bloom_semi" -> 0.928,
-    "j11_salted_skew_join" -> 0.811, "j1_semi_broadcast" -> 1.085,
-    "j2_inner" -> 0.571, "j3_multiway" -> 1.598, "j4_full_outer" -> 0.484,
-    "j4_left_outer" -> 0.387, "j5_anti" -> 0.302, "j6_sortmerge" -> 0.829,
-    "j7_range" -> 0.715, "j8_cross" -> 0.264, "j9_asof" -> 0.669,
-    "j9_asof_join" -> 0.675, "l10_profile" -> 0.376, "l11_decontam" -> 1.391,
-    "l11_semantic_decontam" -> 0.651, "l12_global_ids" -> 0.744,
-    "l13_pagerank" -> 6.015, "l1_exact_dedup" -> 0.378,
-    "l2_cosine_neardup" -> 0.550, "l2_dedup_clusters" -> 1.863,
-    "l2_incremental_dedup" -> 0.967, "l2_lsh_pairs" -> 1.166,
-    "l2_minhash_estimate" -> 1.094, "l2_minhash_sigs" -> 1.164,
-    "l2_ngram_jaccard" -> 2.855, "l2_simhash" -> 0.718,
-    "l2_simhash_hamming" -> 2.693, "l3_ann_ivf" -> 0.722,
-    "l3_ann_ivfpq" -> 1.637, "l3_ann_lsh" -> 1.856, "l3_ann_pq" -> 1.354,
-    "l3_ann_trained" -> 2.356, "l3_cosine_topk" -> 0.306,
-    "l3_kmeans" -> 1.187, "l4_bpe_pair_stats" -> 0.735,
-    "l4_fingerprint" -> 0.886, "l4_heavy_hitters" -> 0.578,
-    "l4_lang_id" -> 0.463, "l4_pii_redact" -> 0.806,
-    "l4_quality_score" -> 0.575, "l4_repetition_quality" -> 1.134,
-    "l4_term_freq" -> 0.525, "l4_tfidf" -> 0.855, "l4_token_stats" -> 0.566,
-    "l5_histogram" -> 0.252, "l6_decode_audio" -> 1.076,
-    "l6_decode_features" -> 0.382, "l6_decode_real" -> 1.332,
-    "l6_multimodal_meta" -> 0.164, "l6_quantize_int8" -> 0.338,
-    "l6_resize_framesample" -> 0.201, "l7_curation_pipeline" -> 0.682,
-    "l8_deterministic_sample" -> 0.151, "l8_deterministic_split" -> 0.233,
-    "l8_mixture_weights" -> 0.245, "l8_stratified_sample" -> 0.154,
-    "l9_sequence_packing" -> 0.326, "l9_shard_export" -> 1.197,
-    "o1_topk" -> 0.136, "o2_limit" -> 0.138, "o3_union" -> 0.324,
-    "o3_union_distinct" -> 0.365, "o4_except" -> 0.291,
-    "o4_except_all" -> 0.535, "o4_intersect" -> 0.311,
-    "o4_intersect_all" -> 0.370, "p10_map_hof" -> 1.458, "p10_maps" -> 0.936,
-    "p11_envelope" -> 0.388, "p12_unpivot" -> 0.258, "p1_prune" -> 0.550,
-    "p2_filter" -> 0.352, "p3_inlist" -> 0.148, "p4_strings" -> 0.217,
-    "p5_datetime" -> 0.391, "p6_math" -> 0.722, "p7_conditional" -> 0.181,
-    "p8_json" -> 0.714, "p8_json_nested" -> 2.969, "p9_array_fns" -> 0.177,
-    "p9_arrays" -> 0.234, "p9_explode" -> 0.187, "p9_posexplode" -> 0.161,
-    "s10_vector_index" -> 1.229, "s10b_index_append" -> 1.472,
-    "s11_schema_evolution" -> 0.799, "s12_compaction" -> 1.030,
-    "s13_dpp_join" -> 1.299, "s3_jdbc_roundtrip" -> 1.211,
-    "s4_json_roundtrip" -> 0.597, "s5_kafka_envelope" -> 0.249,
-    "s6_csv_roundtrip" -> 0.479, "s7_orc_roundtrip" -> 0.874,
-    "s8_envelope_source" -> 0.817, "s9_partitioned_prune" -> 0.749,
-    "t1_tumbling" -> 0.426, "t2_sliding" -> 0.475, "t3_session" -> 0.863,
-    "t4_watermark_closed" -> 0.520, "t5_dedup" -> 0.345,
-    "t6_stateful_running" -> 0.590, "t7_stream_static" -> 0.653,
-    "t8_foreachbatch_jdbc" -> 1.640, "t8c_exactly_once_jdbc" -> 2.201,
-    "t9_stream_stream" -> 0.446, "t9_stream_stream_full" -> 0.557,
-    "t9_stream_stream_outer" -> 0.434, "w1_ranking" -> 0.768,
-    "w2_analytic" -> 0.951, "w3_frames" -> 0.916, "w3_time_range" -> 0.779,
-    "w4_topk_per_group" -> 0.416, "w4_topk_window_idiom" -> 0.452,
-    "w5_distribution" -> 1.138, "w6_gap_fill" -> 0.754)
+    "a1_hashagg" -> 1.862, "a2_distinct" -> 0.922,
+    "a3_approx_distinct" -> 2.117, "a3_hll_merge" -> 0.677,
+    "a4_cube" -> 0.706, "a4_grouping_sets" -> 0.729, "a4_rollup" -> 0.607,
+    "a5_filtered_agg" -> 0.546, "a6_approx_percentile" -> 2.212,
+    "a6_stats" -> 2.029, "a6_tdigest" -> 2.003, "a7_collect" -> 0.832,
+    "a8_pivot" -> 0.556, "a9_salted_agg" -> 0.742,
+    "c1_upsert_latest" -> 0.560, "c2_scd2_intervals" -> 0.887,
+    "c3_incremental_agg" -> 1.405, "flagship_pipeline" -> 0.509,
+    "j10_bloom_semi" -> 1.056, "j11_salted_skew_join" -> 0.777,
+    "j1_semi_broadcast" -> 1.153, "j2_inner" -> 0.586,
+    "j3_multiway" -> 1.759, "j4_full_outer" -> 0.479,
+    "j4_left_outer" -> 0.408, "j5_anti" -> 0.384, "j6_sortmerge" -> 0.967,
+    "j7_range" -> 0.810, "j8_cross" -> 0.295, "j9_asof" -> 0.705,
+    "j9_asof_join" -> 0.667, "l10_profile" -> 0.405, "l11_decontam" -> 1.717,
+    "l11_semantic_decontam" -> 0.508, "l12_global_ids" -> 0.749,
+    "l13_pagerank" -> 6.718, "l1_exact_dedup" -> 0.379,
+    "l2_cosine_neardup" -> 0.557, "l2_dedup_clusters" -> 1.957,
+    "l2_incremental_dedup" -> 1.055, "l2_lsh_pairs" -> 1.224,
+    "l2_minhash_estimate" -> 1.463, "l2_minhash_sigs" -> 1.174,
+    "l2_ngram_jaccard" -> 2.959, "l2_simhash" -> 0.972,
+    "l2_simhash_hamming" -> 3.291, "l3_ann_ivf" -> 1.012,
+    "l3_ann_ivfpq" -> 1.917, "l3_ann_lsh" -> 2.101, "l3_ann_pq" -> 1.810,
+    "l3_ann_trained" -> 2.941, "l3_cosine_topk" -> 0.305,
+    "l3_kmeans" -> 1.399, "l4_bpe_pair_stats" -> 0.867,
+    "l4_fingerprint" -> 0.912, "l4_heavy_hitters" -> 0.587,
+    "l4_lang_id" -> 0.550, "l4_pii_redact" -> 0.733,
+    "l4_quality_score" -> 0.598, "l4_repetition_quality" -> 1.360,
+    "l4_term_freq" -> 0.567, "l4_tfidf" -> 0.868, "l4_token_stats" -> 0.554,
+    "l5_histogram" -> 0.262, "l6_decode_audio" -> 1.305,
+    "l6_decode_features" -> 0.395, "l6_decode_real" -> 1.360,
+    "l6_multimodal_meta" -> 0.169, "l6_quantize_int8" -> 0.313,
+    "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.797,
+    "l8_deterministic_sample" -> 0.154, "l8_deterministic_split" -> 0.229,
+    "l8_mixture_weights" -> 0.253, "l8_stratified_sample" -> 0.167,
+    "l9_sequence_packing" -> 0.328, "l9_shard_export" -> 1.126,
+    "o1_topk" -> 0.138, "o2_limit" -> 0.119, "o3_union" -> 0.293,
+    "o3_union_distinct" -> 0.346, "o4_except" -> 0.293,
+    "o4_except_all" -> 0.488, "o4_intersect" -> 0.314,
+    "o4_intersect_all" -> 0.356, "p10_map_hof" -> 1.575, "p10_maps" -> 1.028,
+    "p11_envelope" -> 0.357, "p12_unpivot" -> 0.262, "p1_prune" -> 0.551,
+    "p2_filter" -> 0.360, "p3_inlist" -> 0.157, "p4_strings" -> 0.227,
+    "p5_datetime" -> 0.380, "p6_math" -> 0.732, "p7_conditional" -> 0.183,
+    "p8_json" -> 0.699, "p8_json_nested" -> 2.540, "p9_array_fns" -> 0.159,
+    "p9_arrays" -> 0.252, "p9_explode" -> 0.155, "p9_posexplode" -> 0.148,
+    "s10_vector_index" -> 1.138, "s10b_index_append" -> 1.590,
+    "s11_schema_evolution" -> 0.840, "s12_compaction" -> 1.247,
+    "s13_dpp_join" -> 1.497, "s14_zorder_layout" -> 1.153,
+    "s15_stats_pruned_scan" -> 1.221, "s16_binaryfile_ingest" -> 1.091,
+    "s17_xml_roundtrip" -> 1.214, "s3_jdbc_roundtrip" -> 1.296,
+    "s4_json_roundtrip" -> 0.595, "s5_kafka_envelope" -> 0.227,
+    "s6_csv_roundtrip" -> 0.471, "s7_orc_roundtrip" -> 0.877,
+    "s8_envelope_source" -> 0.751, "s9_partitioned_prune" -> 0.627,
+    "t1_tumbling" -> 0.395, "t2_sliding" -> 0.462, "t3_session" -> 0.831,
+    "t4_watermark_closed" -> 0.503, "t5_dedup" -> 0.306,
+    "t6_stateful_running" -> 0.530, "t7_stream_static" -> 0.541,
+    "t8_foreachbatch_jdbc" -> 1.356, "t8c_exactly_once_jdbc" -> 1.725,
+    "t9_stream_stream" -> 0.412, "t9_stream_stream_full" -> 0.554,
+    "t9_stream_stream_outer" -> 0.451, "w1_ranking" -> 0.817,
+    "w2_analytic" -> 0.973, "w3_frames" -> 0.816, "w3_time_range" -> 0.610,
+    "w4_topk_per_group" -> 0.414, "w4_topk_window_idiom" -> 0.447,
+    "w5_distribution" -> 1.068, "w6_gap_fill" -> 0.819)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -166,6 +166,35 @@ object Graph {
     (r, i)
   }
 
+  /** Oracle for [[declTriangles]]: the direct triple self-join over the
+    * canonical u<v undirected edge set. Exact (no orientation trick
+    * needed at oracle scale), so it independently validates the
+    * engine's oriented-wedge count. */
+  private val oTriSql: String =
+    """WITH inc AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.sk < b.sk),
+      |deg AS (
+      |  SELECT n, count(*) AS d
+      |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+      |  GROUP BY n),
+      |tri AS (
+      |  SELECT count(*) AS t
+      |  FROM e ab JOIN e bc ON bc.u = ab.v
+      |            JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+      |agg AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg)
+      |SELECT n_nodes,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      |  n_wedges,
+      |  CAST(t AS BIGINT) AS n_triangles,
+      |  floor((CAST(3 * t AS DOUBLE) / CAST(n_wedges AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 AS gcc
+      |FROM agg, tri""".stripMargin
+
   val decls: Seq[Decl] = Seq(
     Decl("l13_pagerank", oSql) { (s, dir) =>
       import s.implicits._
@@ -180,6 +209,82 @@ object Graph {
       var r = nodes.select($"node", lit(S / n).as("r"))
       for (_ <- 1 to 2) r = iterate(e, nodes, r, base)
       r.orderBy("node")
+    },
+
+    // L13b: TRIANGLE COUNTING + global clustering coefficient over the
+    // supplier co-occurrence graph (suppliers linked when they serve
+    // the same order). The degree-orientation shape of Suri &
+    // Vassilvitskii (WWW'11) / Cohen's MR graph suite: every undirected
+    // edge is oriented from its lower (degree, id) endpoint to the
+    // higher, wedges are generated only at each edge's LOW-rank center,
+    // and a wedge closes iff its (a, b) pair appears as an oriented
+    // edge. Total wedge work is O(m^1.5) regardless of skew — a
+    // celebrity node of degree d generates no wedges itself (its rank
+    // is high), so the 100-TB hot-key failure mode of the naive
+    // neighbor self-join never materializes. Per-order pair generation
+    // is bounded by order width; everything downstream is equi-joins
+    // (PlanSpec: no cartesian/BNLJ anywhere in the plan).
+    Decl("l13_triangles", oTriSql) { (s, dir) =>
+      import s.implicits._
+      val inc = Qh
+        .t(s, dir, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+        .distinct()
+      // canonical u<v undirected edges, shared by degrees + orientation
+      val e = Qh.materialize(
+        inc
+          .as("a")
+          .join(inc.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+          .select($"a.sk".as("u"), $"b.sk".as("v"))
+          .distinct())
+      val deg = e
+        .select($"u".as("n"))
+        .unionAll(e.select($"v".as("n")))
+        .groupBy($"n")
+        .agg(count(lit(1)).as("d"))
+      // orient low (degree, id) → high; keep the dst endpoint's degree
+      // so the wedge join can compare dst ranks without another join
+      val er = Qh.materialize(
+        e.join(deg.select($"n".as("u"), $"d".as("du")), "u")
+          .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+          .select(
+            when(
+              $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+              struct($"u".as("src"), $"v".as("dst"), $"dv".as("dd")))
+              .otherwise(struct($"v".as("src"), $"u".as("dst"), $"du".as("dd")))
+              .as("o"))
+          .select($"o.src".as("src"), $"o.dst".as("dst"), $"o.dd".as("dd")))
+      // wedges at the low-rank center, ordered by dst rank so each
+      // candidate pair is generated exactly once; close on the oriented
+      // edge set (edges are distinct, so the inner join counts each
+      // closing wedge exactly once)
+      val tri = er
+        .as("x")
+        .join(
+          er.as("y"),
+          $"x.src" === $"y.src" &&
+            ($"x.dd" < $"y.dd" || ($"x.dd" === $"y.dd" && $"x.dst" < $"y.dst")))
+        .select($"x.dst".as("a"), $"y.dst".as("b"))
+        .join(er.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"))
+        .agg(count(lit(1)).as("t"))
+      val stats = deg
+        .agg(
+          count(lit(1)).cast("bigint").as("n_nodes"),
+          sum(expr("(d * (d - 1)) DIV 2")).cast("bigint").as("n_wedges"))
+      val edgeCnt = e.agg(count(lit(1)).cast("bigint").as("n_edges"))
+      // three one-row aggregates composed on a literal key (broadcast
+      // hash equi-join — not a cartesian)
+      stats
+        .withColumn("k", lit(1))
+        .join(edgeCnt.withColumn("k", lit(1)), "k")
+        .join(tri.withColumn("k", lit(1)), "k")
+        .select(
+          $"n_nodes",
+          $"n_edges",
+          $"n_wedges",
+          $"t".cast("bigint").as("n_triangles"),
+          Qh.r6(lit(3) * $"t".cast("double") / $"n_wedges".cast("double"))
+            .as("gcc"))
     }
   )
 }

@@ -704,6 +704,74 @@ object Dedup {
           count(when($"cos" >= 0.8, lit(1))).as("n_neardup"),
           max($"cos").as("max_cos"))
         .orderBy("label")
+    },
+
+    // L2g: EXACT DUPLICATED-SPAN detection — the fixed-width-window
+    // approximation of suffix-array substring dedup (Lee et al. 2021,
+    // "Deduplicating Training Data Makes Language Models Better"): a
+    // span is duplicated iff its 8-token window text recurs VERBATIM in
+    // another document. Every window is hashed (portable md5 prefix) in
+    // a narrow explode; the duplicated-hash set is one hash-keyed
+    // aggregation (map-side combined, count-distinct over doc_id); the
+    // per-doc duplicated-span coverage comes from a semi-join of window
+    // instances against that set. No all-pairs anywhere — total work is
+    // O(total tokens) + two hash shuffles, the shape that holds at
+    // 100 TB where the suffix array itself would not distribute.
+    Decl(
+      "l2_substring_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${Qh.oToksExpr} AS toks FROM documents),
+         |wins AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(toks) - 7),
+         |      i -> ${Qh.oPhash("array_to_string(toks[i+1:i+8], ' ')", 21)})) AS h
+         |  FROM toks WHERE len(toks) >= 8),
+         |dup AS (
+         |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_dup
+         |  FROM wins WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  CAST(len(t.toks) - 7 AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  floor(CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+         |    / CAST(len(t.toks) - 7 AS DOUBLE) * 10000 + 0.5) / 10000.0 AS dup_frac
+         |FROM toks t LEFT JOIN per p USING (doc_id)
+         |WHERE len(t.toks) >= 8
+         |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Qh
+        .t(s, dir, "documents")
+        .withColumn("toks", expr(Qh.toksExpr))
+        .filter(size($"toks") >= 8)
+      // window instances (positions matter: a span duplicated at three
+      // positions contributes three to the doc's duplicated coverage)
+      val wins = Qh.materialize(
+        toks.select(
+          $"doc_id",
+          explode(expr(
+            """transform(sequence(0, size(toks) - 8),
+              |  i -> md5_prefix32(array_join(slice(toks, i + 1, 8), ' '), 21))""".stripMargin))
+            .as("h")))
+      val dup = wins
+        .groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"h")
+      val per = wins
+        .join(dup, Seq("h"), "left_semi")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_dup"))
+      toks
+        .select($"doc_id", (size($"toks") - 7).cast("bigint").as("n_spans"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(
+          $"doc_id",
+          $"n_spans",
+          coalesce($"n_dup", lit(0L)).cast("bigint").as("n_dup_spans"),
+          Qh.r4(coalesce($"n_dup", lit(0L)).cast(DoubleType) /
+            $"n_spans".cast(DoubleType)).as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }

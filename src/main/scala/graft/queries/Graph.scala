@@ -272,19 +272,24 @@ object Graph {
           count(lit(1)).cast("bigint").as("n_nodes"),
           sum(expr("(d * (d - 1)) DIV 2")).cast("bigint").as("n_wedges"))
       val edgeCnt = e.agg(count(lit(1)).cast("bigint").as("n_edges"))
-      // three one-row aggregates composed on a literal key (broadcast
-      // hash equi-join — not a cartesian)
+      // stitch the three one-row aggregates by union + max — a literal
+      // join key would constant-fold into a nested-loop join; this stays
+      // pure aggregation
       stats
-        .withColumn("k", lit(1))
-        .join(edgeCnt.withColumn("k", lit(1)), "k")
-        .join(tri.withColumn("k", lit(1)), "k")
+        .unionByName(edgeCnt, allowMissingColumns = true)
+        .unionByName(tri, allowMissingColumns = true)
+        .agg(
+          max($"n_nodes").as("n_nodes"),
+          max($"n_edges").as("n_edges"),
+          max($"n_wedges").as("n_wedges"),
+          max($"t").cast("bigint").as("n_triangles"))
         .select(
           $"n_nodes",
           $"n_edges",
           $"n_wedges",
-          $"t".cast("bigint").as("n_triangles"),
-          Qh.r6(lit(3) * $"t".cast("double") / $"n_wedges".cast("double"))
-            .as("gcc"))
+          $"n_triangles",
+          Qh.r6(lit(3) * $"n_triangles".cast("double") /
+            $"n_wedges".cast("double")).as("gcc"))
     }
   )
 }

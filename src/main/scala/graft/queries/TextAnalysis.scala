@@ -328,6 +328,40 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
+    // L8e: BOTTOM-K SAMPLE per stratum — k docs with the smallest
+    // portable hash per language (Cohen & Kaplan bottom-k sketches): a
+    // fixed-SIZE uniform sample without replacement, where the
+    // hash-threshold decls above give a fixed RATE. Mergeable by
+    // construction (the bottom-k of a union is the bottom-k of the
+    // parts' bottom-k's), so it runs as per-partition top-k + merge —
+    // the TopKWindowRewrite rule lowers this window idiom onto the
+    // custom two-phase TopKPerGroup physical operator: no full sort, no
+    // full shuffle of the losers, exactly the 100-TB sampling shape.
+    Decl(
+      "l8_bottomk_sample",
+      s"""SELECT lang, doc_id, smp_key FROM (
+         |  SELECT lang, doc_id,
+         |    ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 17)} AS smp_key,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${Qh.oPhash("CAST(doc_id AS VARCHAR)", 17)}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5
+         |ORDER BY lang, smp_key, doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window
+        .partitionBy($"lang")
+        .orderBy($"smp_key".asc, $"doc_id".asc)
+      Qh.t(s, dir, "documents")
+        .select(
+          $"lang",
+          $"doc_id",
+          Qh.phash($"doc_id".cast(StringType), 17).as("smp_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"lang", $"doc_id", $"smp_key")
+        .orderBy("lang", "smp_key", "doc_id")
+    },
+
     // L8d: DOMAIN-MIXTURE WEIGHTS — temperature-scaled sampling weights
     // per (lang, source) block, the standard fix for over-represented
     // domains when composing a training mixture (the p^α reweighting of

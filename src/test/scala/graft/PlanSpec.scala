@@ -72,7 +72,7 @@ class PlanSpec extends SparkSpec {
 
   test("pair-generating LLM ops contain no cartesian product or BNLJ") {
     for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
-      "j7_range")) {
+      "j7_range", "l2_substring_dedup", "l13_triangles")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")
@@ -320,6 +320,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("l3_cosine_topk")
     assert(p.contains("TopKPerGroup"),
       "rnk<=3 filter in l3_cosine_topk should run on the bounded-heap operator")
+  }
+
+  test("bottom-k sampling runs on the bounded-heap operator, not a window sort") {
+    // the mergeability claim in the l8_bottomk_sample scaladoc: the
+    // window idiom must lower onto partial+final TopKPerGroupExec so
+    // losers never cross the exchange
+    val p = plan("l8_bottomk_sample")
+    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 2,
+      s"bottom-k sample not on the bounded-heap operator:\n$p")
   }
 
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {

@@ -428,6 +428,72 @@ object Projections {
           Array($"l_quantity", $"l_extendedprice", $"l_discount"),
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
+    },
+
+    // P13: CORRELATED SUBQUERIES — the SQL surface users actually write
+    // (EXISTS + a correlated scalar subquery). The engine point is what
+    // Catalyst DOES with them: RewritePredicateSubquery turns the EXISTS
+    // into a semi-join and RewriteCorrelatedScalarSubquery turns the
+    // scalar into an aggregate + outer join, so per-row re-execution —
+    // the 100-TB killer of naive subquery evaluation — never exists in
+    // the physical plan (PlanSpec: LeftSemi join present, no BNLJ). The
+    // oracle runs the very same SQL text in DuckDB, which decorrelates
+    // the same way.
+    Decl(
+      "p13_subqueries",
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Qh.t(s, dir, "customer").createOrReplaceTempView("p13_customer")
+      Qh.t(s, dir, "orders").createOrReplaceTempView("p13_orders")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT max(o_totalprice) FROM p13_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_price
+          |FROM p13_customer c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM p13_orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // P14: VARIANT — Spark 4's semi-structured type (the open-format
+    // answer to schema-on-read JSON columns): parse once to the binary
+    // variant encoding, then typed path extraction WITHOUT re-parsing
+    // the text per field — at 100 TB the parse-per-access of raw JSON
+    // strings is the dominant cost this type exists to remove. Paths
+    // cover a top-level atom, a string field, and an array index. The
+    // oracle recomputes the same VALUES relationally (the variant round
+    // trip is semantically the identity on them).
+    Decl(
+      "p14_variant",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  event_type AS vtype,
+        |  CAST(user_id * 2 AS BIGINT) AS id2
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payload = to_json(
+        struct(
+          $"event_type",
+          array($"user_id", $"user_id" * 2).as("ids")))
+      Qh.t(s, dir, "events")
+        .select(
+          $"event_id",
+          parse_json($"props").as("vp"),
+          parse_json(payload).as("v"))
+        .select(
+          $"event_id",
+          variant_get($"vp", "$.k", "bigint").as("k_int"),
+          variant_get($"v", "$.event_type", "string").as("vtype"),
+          variant_get($"v", "$.ids[1]", "bigint").as("id2"))
+        .orderBy("event_id")
     }
   )
 }

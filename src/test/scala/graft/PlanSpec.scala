@@ -322,6 +322,13 @@ class PlanSpec extends SparkSpec {
       "rnk<=3 filter in l3_cosine_topk should run on the bounded-heap operator")
   }
 
+  test("p13: correlated subqueries decorrelate to joins (no per-row re-execution)") {
+    val p = plan("p13_subqueries")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery planned a nested loop:\n$p")
+  }
+
   test("bottom-k sampling runs on the bounded-heap operator, not a window sort") {
     // the mergeability claim in the l8_bottomk_sample scaladoc: the
     // window idiom must lower onto partial+final TopKPerGroupExec so

@@ -136,6 +136,57 @@ object Streams {
         OutputMode.Append())
   }
 
+  final case class LastN(user_id: Long, n_seen: Long, last_ids: String)
+
+  /** T10: BOUNDED PER-KEY BUFFER on the v2 state API's ListState — the
+    * "last N events per user" serving pattern (feature stores, fraud
+    * features, session context windows). ListState appends are O(1)
+    * RocksDB writes (no read-modify-write of one blob, unlike a
+    * ValueState holding a list — the reason the v2 API has typed state
+    * variables at all); the trim keeps state bounded per key, so total
+    * state is O(keys · N) no matter how long the stream runs. */
+  class LastNProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, LastN]
+      with Serializable {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[Long](
+        "lastIds", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "nSeen", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[LastN] = {
+      val fresh = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      fresh.foreach(e => buf.appendValue(e.event_id))
+      val kept = buf.get().toSeq.takeRight(n)
+      buf.put(kept.toArray) // trim: state stays O(n) per key
+      val total = (if (seen.exists()) seen.get() else 0L) + fresh.size
+      seen.update(total)
+      Iterator.single(LastN(user, total, kept.mkString(",")))
+    }
+  }
+
+  /** T10 via transformWithState (see [[LastNProcessor]]). */
+  def lastNTws(events: Dataset[Ev], n: Int): Dataset[LastN] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new LastNProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** T7: stream–static join — the reference pipeline's streaming form
     * (events ⋉ allowlist, R4). `allow` is the static side. */
   def streamStaticSemiJoin(events: DataFrame, allow: DataFrame): DataFrame =

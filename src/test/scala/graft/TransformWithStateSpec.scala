@@ -46,6 +46,50 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("ListState bounded buffer keeps the last N ids per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_lastn_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.lastNTws(mem.toDS(), 3)
+      .writeStream.format("memory").queryName("tws_lastn_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Streams.Ev(1, ts(1), 7, 1.0), Streams.Ev(2, ts(2), 7, 1.0))
+      q.processAllAvailable()
+      mem.addData(
+        Streams.Ev(3, ts(3), 7, 1.0), Streams.Ev(4, ts(4), 7, 1.0),
+        Streams.Ev(9, ts(4), 8, 1.0))
+      q.processAllAvailable()
+      // latest update per key: user 7 buffered [2,3,4] (trimmed from 4
+      // appends), n_seen carried across batches; user 8 fresh
+      val latest = spark.table("tws_lastn_out")
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct($"n_seen", $"last_ids"),
+          $"n_seen").as("s"))
+        .select($"user_id", $"s.n_seen", $"s.last_ids")
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(latest(7L) == (4L, "2,3,4"), s"buffer not trimmed/carried: $latest")
+      assert(latest(8L) == (1L, "9"), s"fresh key wrong: $latest")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState agrees with flatMapGroupsWithState in batch") {
     import spark.implicits._
     val ev = Tables(spark, sf0001, "events")

@@ -23,67 +23,69 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a1_hashagg" -> 1.862, "a2_distinct" -> 0.922,
-    "a3_approx_distinct" -> 2.117, "a3_hll_merge" -> 0.677,
-    "a4_cube" -> 0.706, "a4_grouping_sets" -> 0.729, "a4_rollup" -> 0.607,
-    "a5_filtered_agg" -> 0.546, "a6_approx_percentile" -> 2.212,
-    "a6_stats" -> 2.029, "a6_tdigest" -> 2.003, "a7_collect" -> 0.832,
-    "a8_pivot" -> 0.556, "a9_salted_agg" -> 0.742,
-    "c1_upsert_latest" -> 0.560, "c2_scd2_intervals" -> 0.887,
-    "c3_incremental_agg" -> 1.405, "flagship_pipeline" -> 0.509,
-    "j10_bloom_semi" -> 1.056, "j11_salted_skew_join" -> 0.777,
-    "j1_semi_broadcast" -> 1.153, "j2_inner" -> 0.586,
-    "j3_multiway" -> 1.759, "j4_full_outer" -> 0.479,
-    "j4_left_outer" -> 0.408, "j5_anti" -> 0.384, "j6_sortmerge" -> 0.967,
-    "j7_range" -> 0.810, "j8_cross" -> 0.295, "j9_asof" -> 0.705,
-    "j9_asof_join" -> 0.667, "l10_profile" -> 0.405, "l11_decontam" -> 1.717,
-    "l11_semantic_decontam" -> 0.508, "l12_global_ids" -> 0.749,
-    "l13_pagerank" -> 6.718, "l1_exact_dedup" -> 0.379,
-    "l2_cosine_neardup" -> 0.557, "l2_dedup_clusters" -> 1.957,
-    "l2_incremental_dedup" -> 1.055, "l2_lsh_pairs" -> 1.224,
-    "l2_minhash_estimate" -> 1.463, "l2_minhash_sigs" -> 1.174,
-    "l2_ngram_jaccard" -> 2.959, "l2_simhash" -> 0.972,
-    "l2_simhash_hamming" -> 3.291, "l3_ann_ivf" -> 1.012,
-    "l3_ann_ivfpq" -> 1.917, "l3_ann_lsh" -> 2.101, "l3_ann_pq" -> 1.810,
-    "l3_ann_trained" -> 2.941, "l3_cosine_topk" -> 0.305,
-    "l3_kmeans" -> 1.399, "l4_bpe_pair_stats" -> 0.867,
-    "l4_fingerprint" -> 0.912, "l4_heavy_hitters" -> 0.587,
-    "l4_lang_id" -> 0.550, "l4_pii_redact" -> 0.733,
-    "l4_quality_score" -> 0.598, "l4_repetition_quality" -> 1.360,
-    "l4_term_freq" -> 0.567, "l4_tfidf" -> 0.868, "l4_token_stats" -> 0.554,
-    "l5_histogram" -> 0.262, "l6_decode_audio" -> 1.305,
-    "l6_decode_features" -> 0.395, "l6_decode_real" -> 1.360,
-    "l6_multimodal_meta" -> 0.169, "l6_quantize_int8" -> 0.313,
-    "l6_resize_framesample" -> 0.190, "l7_curation_pipeline" -> 0.797,
-    "l8_deterministic_sample" -> 0.154, "l8_deterministic_split" -> 0.229,
-    "l8_mixture_weights" -> 0.253, "l8_stratified_sample" -> 0.167,
-    "l9_sequence_packing" -> 0.328, "l9_shard_export" -> 1.126,
-    "o1_topk" -> 0.138, "o2_limit" -> 0.119, "o3_union" -> 0.293,
-    "o3_union_distinct" -> 0.346, "o4_except" -> 0.293,
-    "o4_except_all" -> 0.488, "o4_intersect" -> 0.314,
-    "o4_intersect_all" -> 0.356, "p10_map_hof" -> 1.575, "p10_maps" -> 1.028,
-    "p11_envelope" -> 0.357, "p12_unpivot" -> 0.262, "p1_prune" -> 0.551,
-    "p2_filter" -> 0.360, "p3_inlist" -> 0.157, "p4_strings" -> 0.227,
-    "p5_datetime" -> 0.380, "p6_math" -> 0.732, "p7_conditional" -> 0.183,
-    "p8_json" -> 0.699, "p8_json_nested" -> 2.540, "p9_array_fns" -> 0.159,
-    "p9_arrays" -> 0.252, "p9_explode" -> 0.155, "p9_posexplode" -> 0.148,
-    "s10_vector_index" -> 1.138, "s10b_index_append" -> 1.590,
-    "s11_schema_evolution" -> 0.840, "s12_compaction" -> 1.247,
-    "s13_dpp_join" -> 1.497, "s14_zorder_layout" -> 1.153,
-    "s15_stats_pruned_scan" -> 1.221, "s16_binaryfile_ingest" -> 1.091,
-    "s17_xml_roundtrip" -> 1.214, "s3_jdbc_roundtrip" -> 1.296,
-    "s4_json_roundtrip" -> 0.595, "s5_kafka_envelope" -> 0.227,
-    "s6_csv_roundtrip" -> 0.471, "s7_orc_roundtrip" -> 0.877,
-    "s8_envelope_source" -> 0.751, "s9_partitioned_prune" -> 0.627,
-    "t1_tumbling" -> 0.395, "t2_sliding" -> 0.462, "t3_session" -> 0.831,
-    "t4_watermark_closed" -> 0.503, "t5_dedup" -> 0.306,
-    "t6_stateful_running" -> 0.530, "t7_stream_static" -> 0.541,
-    "t8_foreachbatch_jdbc" -> 1.356, "t8c_exactly_once_jdbc" -> 1.725,
-    "t9_stream_stream" -> 0.412, "t9_stream_stream_full" -> 0.554,
-    "t9_stream_stream_outer" -> 0.451, "w1_ranking" -> 0.817,
-    "w2_analytic" -> 0.973, "w3_frames" -> 0.816, "w3_time_range" -> 0.610,
-    "w4_topk_per_group" -> 0.414, "w4_topk_window_idiom" -> 0.447,
-    "w5_distribution" -> 1.068, "w6_gap_fill" -> 0.819)
+    "a1_hashagg" -> 1.711, "a2_distinct" -> 0.909,
+    "a3_approx_distinct" -> 1.854, "a3_hll_merge" -> 0.604,
+    "a4_cube" -> 0.693, "a4_grouping_sets" -> 0.666, "a4_rollup" -> 0.552,
+    "a5_filtered_agg" -> 0.435, "a6_approx_percentile" -> 1.847,
+    "a6_stats" -> 1.644, "a6_tdigest" -> 1.785, "a7_collect" -> 0.691,
+    "a8_pivot" -> 0.454, "a9_salted_agg" -> 0.619,
+    "c1_upsert_latest" -> 0.479, "c2_scd2_intervals" -> 0.854,
+    "c3_incremental_agg" -> 1.304, "flagship_pipeline" -> 0.458,
+    "j10_bloom_semi" -> 0.877, "j11_salted_skew_join" -> 0.623,
+    "j1_semi_broadcast" -> 0.792, "j2_inner" -> 0.465,
+    "j3_multiway" -> 1.394, "j4_full_outer" -> 0.392,
+    "j4_left_outer" -> 0.323, "j5_anti" -> 0.284, "j6_sortmerge" -> 0.863,
+    "j7_range" -> 0.782, "j8_cross" -> 0.287, "j9_asof" -> 0.629,
+    "j9_asof_join" -> 0.595, "l10_profile" -> 0.308, "l11_decontam" -> 1.327,
+    "l11_semantic_decontam" -> 0.502, "l12_global_ids" -> 0.686,
+    "l13_pagerank" -> 5.946, "l13_triangles" -> 1.327,
+    "l1_exact_dedup" -> 0.483, "l2_cosine_neardup" -> 0.872,
+    "l2_dedup_clusters" -> 1.569, "l2_incremental_dedup" -> 0.843,
+    "l2_lsh_pairs" -> 1.033, "l2_minhash_estimate" -> 1.062,
+    "l2_minhash_sigs" -> 1.298, "l2_ngram_jaccard" -> 3.146,
+    "l2_simhash" -> 0.796, "l2_simhash_hamming" -> 2.680,
+    "l2_substring_dedup" -> 2.097, "l3_ann_ivf" -> 0.883,
+    "l3_ann_ivfpq" -> 1.649, "l3_ann_lsh" -> 1.802, "l3_ann_pq" -> 1.254,
+    "l3_ann_trained" -> 2.248, "l3_cosine_topk" -> 0.271,
+    "l3_kmeans" -> 1.159, "l4_bpe_pair_stats" -> 0.877,
+    "l4_fingerprint" -> 1.102, "l4_heavy_hitters" -> 0.807,
+    "l4_lang_id" -> 0.548, "l4_pii_redact" -> 0.783,
+    "l4_quality_score" -> 0.584, "l4_repetition_quality" -> 1.303,
+    "l4_term_freq" -> 0.529, "l4_tfidf" -> 0.916, "l4_token_stats" -> 0.637,
+    "l5_histogram" -> 0.289, "l6_decode_audio" -> 1.423,
+    "l6_decode_features" -> 0.406, "l6_decode_real" -> 1.433,
+    "l6_multimodal_meta" -> 0.196, "l6_quantize_int8" -> 0.376,
+    "l6_resize_framesample" -> 0.205, "l7_curation_pipeline" -> 0.708,
+    "l8_bottomk_sample" -> 0.199, "l8_deterministic_sample" -> 0.127,
+    "l8_deterministic_split" -> 0.189, "l8_mixture_weights" -> 0.239,
+    "l8_stratified_sample" -> 0.136, "l9_sequence_packing" -> 0.298,
+    "l9_shard_export" -> 1.278, "o1_topk" -> 0.146, "o2_limit" -> 0.116,
+    "o3_union" -> 0.349, "o3_union_distinct" -> 0.363, "o4_except" -> 0.347,
+    "o4_except_all" -> 0.550, "o4_intersect" -> 0.332,
+    "o4_intersect_all" -> 0.385, "p10_map_hof" -> 1.506, "p10_maps" -> 1.205,
+    "p11_envelope" -> 0.461, "p12_unpivot" -> 0.280,
+    "p13_subqueries" -> 0.437, "p14_variant" -> 1.563, "p1_prune" -> 0.578,
+    "p2_filter" -> 0.331, "p3_inlist" -> 0.148, "p4_strings" -> 0.190,
+    "p5_datetime" -> 0.391, "p6_math" -> 0.712, "p7_conditional" -> 0.178,
+    "p8_json" -> 0.737, "p8_json_nested" -> 3.145, "p9_array_fns" -> 0.166,
+    "p9_arrays" -> 0.228, "p9_explode" -> 0.169, "p9_posexplode" -> 0.202,
+    "s10_vector_index" -> 1.209, "s10b_index_append" -> 1.573,
+    "s11_schema_evolution" -> 0.694, "s12_compaction" -> 1.157,
+    "s13_dpp_join" -> 1.435, "s14_zorder_layout" -> 1.310,
+    "s15_stats_pruned_scan" -> 1.357, "s16_binaryfile_ingest" -> 0.914,
+    "s17_xml_roundtrip" -> 1.444, "s3_jdbc_roundtrip" -> 1.513,
+    "s4_json_roundtrip" -> 0.634, "s5_kafka_envelope" -> 0.226,
+    "s6_csv_roundtrip" -> 0.436, "s7_orc_roundtrip" -> 0.906,
+    "s8_envelope_source" -> 0.840, "s9_partitioned_prune" -> 0.598,
+    "t1_tumbling" -> 0.423, "t2_sliding" -> 0.479, "t3_session" -> 0.938,
+    "t4_watermark_closed" -> 0.529, "t5_dedup" -> 0.357,
+    "t6_stateful_running" -> 0.627, "t7_stream_static" -> 0.669,
+    "t8_foreachbatch_jdbc" -> 1.554, "t8c_exactly_once_jdbc" -> 1.719,
+    "t9_stream_stream" -> 0.367, "t9_stream_stream_full" -> 0.443,
+    "t9_stream_stream_outer" -> 0.368, "w1_ranking" -> 0.725,
+    "w2_analytic" -> 0.914, "w3_frames" -> 1.344, "w3_time_range" -> 0.570,
+    "w4_topk_per_group" -> 0.345, "w4_topk_window_idiom" -> 0.414,
+    "w5_distribution" -> 1.002, "w6_gap_fill" -> 0.778)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -172,7 +172,8 @@ object Graph {
     * engine's oriented-wedge count. */
   private val oTriSql: String =
     """WITH inc AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem WHERE l_quantity >= 45),
       |e AS (
       |  SELECT DISTINCT a.sk AS u, b.sk AS v
       |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.sk < b.sk),
@@ -226,8 +227,13 @@ object Graph {
     // (PlanSpec: no cartesian/BNLJ anywhere in the plan).
     Decl("l13_triangles", oTriSql) { (s, dir) =>
       import s.implicits._
+      // threshold to significant line items: an UNFILTERED bipartite
+      // projection densifies toward a clique as scale grows (every
+      // popular supplier pair eventually co-occurs) — thresholding is
+      // how production co-occurrence graphs stay sparse at any sf
       val inc = Qh
         .t(s, dir, "lineitem")
+        .filter($"l_quantity" >= 45)
         .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
         .distinct()
       // canonical u<v undirected edges, shared by degrees + orientation

@@ -739,39 +739,54 @@ object Dedup {
          |FROM toks t LEFT JOIN per p USING (doc_id)
          |WHERE len(t.toks) >= 8
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val toks = Qh
-        .t(s, dir, "documents")
-        .withColumn("toks", expr(Qh.toksExpr))
-        .filter(size($"toks") >= 8)
-      // window instances (positions matter: a span duplicated at three
-      // positions contributes three to the doc's duplicated coverage)
-      val wins = Qh.materialize(
-        toks.select(
-          $"doc_id",
-          explode(expr(
-            """transform(sequence(0, size(toks) - 8),
-              |  i -> md5_prefix32(array_join(slice(toks, i + 1, 8), ' '), 21))""".stripMargin))
-            .as("h")))
-      val dup = wins
-        .groupBy($"h")
-        .agg(countDistinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2)
-        .select($"h")
-      val per = wins
-        .join(dup, Seq("h"), "left_semi")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_dup"))
-      toks
-        .select($"doc_id", (size($"toks") - 7).cast("bigint").as("n_spans"))
-        .join(per, Seq("doc_id"), "left_outer")
-        .select(
-          $"doc_id",
-          $"n_spans",
-          coalesce($"n_dup", lit(0L)).cast("bigint").as("n_dup_spans"),
-          Qh.r4(coalesce($"n_dup", lit(0L)).cast(DoubleType) /
-            $"n_spans".cast(DoubleType)).as("dup_frac"))
-        .orderBy("doc_id")
+      duplicatedSpanStats(
+        Qh.t(s, dir, "documents").select(col("doc_id"), col("text")), 8)
     }
   )
+
+  /** Per-document duplicated-span coverage: for each `w`-token window
+    * of `docs.text`, the span is duplicated iff its window text recurs
+    * verbatim in ANOTHER document. Returns one row per doc with ≥ w
+    * tokens: (doc_id, n_spans, n_dup_spans, dup_frac).
+    *
+    * Narrow window explode → one hash-keyed count-distinct agg for the
+    * duplicated-hash set → semi-join coverage. O(total tokens) plus two
+    * hash shuffles; no all-pairs. PropertySpec checks it against a
+    * brute-force model on random token streams. */
+  def duplicatedSpanStats(docs: org.apache.spark.sql.DataFrame, w: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .withColumn("toks", expr(Qh.toksExpr))
+      .filter(size($"toks") >= w)
+    // window instances (positions matter: a span duplicated at three
+    // positions contributes three to the doc's duplicated coverage)
+    val wins = Qh.materialize(
+      toks.select(
+        $"doc_id",
+        explode(expr(
+          s"""transform(sequence(0, size(toks) - $w),
+             |  i -> md5_prefix32(array_join(slice(toks, i + 1, $w), ' '), 21))""".stripMargin))
+          .as("h")))
+    val dup = wins
+      .groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h")
+    val per = wins
+      .join(dup, Seq("h"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    toks
+      .select($"doc_id", (size($"toks") - (w - 1)).cast("bigint").as("n_spans"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(
+        $"doc_id",
+        $"n_spans",
+        coalesce($"n_dup", lit(0L)).cast("bigint").as("n_dup_spans"),
+        Qh.r4(coalesce($"n_dup", lit(0L)).cast(DoubleType) /
+          $"n_spans".cast(DoubleType)).as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -214,17 +214,10 @@ object Graph {
 
     // L13b: TRIANGLE COUNTING + global clustering coefficient over the
     // supplier co-occurrence graph (suppliers linked when they serve
-    // the same order). The degree-orientation shape of Suri &
-    // Vassilvitskii (WWW'11) / Cohen's MR graph suite: every undirected
-    // edge is oriented from its lower (degree, id) endpoint to the
-    // higher, wedges are generated only at each edge's LOW-rank center,
-    // and a wedge closes iff its (a, b) pair appears as an oriented
-    // edge. Total wedge work is O(m^1.5) regardless of skew — a
-    // celebrity node of degree d generates no wedges itself (its rank
-    // is high), so the 100-TB hot-key failure mode of the naive
-    // neighbor self-join never materializes. Per-order pair generation
-    // is bounded by order width; everything downstream is equi-joins
-    // (PlanSpec: no cartesian/BNLJ anywhere in the plan).
+    // the same order). See [[triangleStats]] for the degree-orientation
+    // algorithm; GraphSpec property-checks it against a brute-force
+    // model on random graphs, and the DuckDB oracle is an independent
+    // exact triple self-join.
     Decl("l13_triangles", oTriSql) { (s, dir) =>
       import s.implicits._
       // threshold to significant line items: an UNFILTERED bipartite
@@ -243,59 +236,79 @@ object Graph {
           .join(inc.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
           .select($"a.sk".as("u"), $"b.sk".as("v"))
           .distinct())
-      val deg = e
-        .select($"u".as("n"))
-        .unionAll(e.select($"v".as("n")))
-        .groupBy($"n")
-        .agg(count(lit(1)).as("d"))
-      // orient low (degree, id) → high; keep the dst endpoint's degree
-      // so the wedge join can compare dst ranks without another join
-      val er = Qh.materialize(
-        e.join(deg.select($"n".as("u"), $"d".as("du")), "u")
-          .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
-          .select(
-            when(
-              $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
-              struct($"u".as("src"), $"v".as("dst"), $"dv".as("dd")))
-              .otherwise(struct($"v".as("src"), $"u".as("dst"), $"du".as("dd")))
-              .as("o"))
-          .select($"o.src".as("src"), $"o.dst".as("dst"), $"o.dd".as("dd")))
-      // wedges at the low-rank center, ordered by dst rank so each
-      // candidate pair is generated exactly once; close on the oriented
-      // edge set (edges are distinct, so the inner join counts each
-      // closing wedge exactly once)
-      val tri = er
-        .as("x")
-        .join(
-          er.as("y"),
-          $"x.src" === $"y.src" &&
-            ($"x.dd" < $"y.dd" || ($"x.dd" === $"y.dd" && $"x.dst" < $"y.dst")))
-        .select($"x.dst".as("a"), $"y.dst".as("b"))
-        .join(er.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"))
-        .agg(count(lit(1)).as("t"))
-      val stats = deg
-        .agg(
-          count(lit(1)).cast("bigint").as("n_nodes"),
-          sum(expr("(d * (d - 1)) DIV 2")).cast("bigint").as("n_wedges"))
-      val edgeCnt = e.agg(count(lit(1)).cast("bigint").as("n_edges"))
-      // stitch the three one-row aggregates by union + max — a literal
-      // join key would constant-fold into a nested-loop join; this stays
-      // pure aggregation
-      stats
-        .unionByName(edgeCnt, allowMissingColumns = true)
-        .unionByName(tri, allowMissingColumns = true)
-        .agg(
-          max($"n_nodes").as("n_nodes"),
-          max($"n_edges").as("n_edges"),
-          max($"n_wedges").as("n_wedges"),
-          max($"t").cast("bigint").as("n_triangles"))
-        .select(
-          $"n_nodes",
-          $"n_edges",
-          $"n_wedges",
-          $"n_triangles",
-          Qh.r6(lit(3) * $"n_triangles".cast("double") /
-            $"n_wedges".cast("double")).as("gcc"))
+      triangleStats(e)
     }
   )
+
+  /** Triangle count, wedge count, and global clustering coefficient
+    * over a canonical undirected edge set (`u < v`, distinct rows).
+    *
+    * The degree-orientation shape of Suri & Vassilvitskii (WWW'11) /
+    * Cohen's MR graph suite: every undirected edge is oriented from
+    * its lower (degree, id) endpoint to the higher, wedges are
+    * generated only at each edge's LOW-rank center, and a wedge closes
+    * iff its (a, b) pair appears as an oriented edge. Total wedge work
+    * is O(m^1.5) regardless of skew — a celebrity node of degree d
+    * generates no wedges itself (its rank is high), so the 100-TB
+    * hot-key failure mode of the naive neighbor self-join never
+    * materializes. Everything is equi-joins (PlanSpec: no
+    * cartesian/BNLJ anywhere in the plan). */
+  def triangleStats(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val deg = e
+      .select($"u".as("n"))
+      .unionAll(e.select($"v".as("n")))
+      .groupBy($"n")
+      .agg(count(lit(1)).as("d"))
+    // orient low (degree, id) → high; keep the dst endpoint's degree
+    // so the wedge join can compare dst ranks without another join
+    val er = Qh.materialize(
+      e.join(deg.select($"n".as("u"), $"d".as("du")), "u")
+        .join(deg.select($"n".as("v"), $"d".as("dv")), "v")
+        .select(
+          when(
+            $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"),
+            struct($"u".as("src"), $"v".as("dst"), $"dv".as("dd")))
+            .otherwise(struct($"v".as("src"), $"u".as("dst"), $"du".as("dd")))
+            .as("o"))
+        .select($"o.src".as("src"), $"o.dst".as("dst"), $"o.dd".as("dd")))
+    // wedges at the low-rank center, ordered by dst rank so each
+    // candidate pair is generated exactly once; close on the oriented
+    // edge set (edges are distinct, so the inner join counts each
+    // closing wedge exactly once)
+    val tri = er
+      .as("x")
+      .join(
+        er.as("y"),
+        $"x.src" === $"y.src" &&
+          ($"x.dd" < $"y.dd" || ($"x.dd" === $"y.dd" && $"x.dst" < $"y.dst")))
+      .select($"x.dst".as("a"), $"y.dst".as("b"))
+      .join(er.select($"src".as("a"), $"dst".as("b")), Seq("a", "b"))
+      .agg(count(lit(1)).as("t"))
+    val stats = deg
+      .agg(
+        count(lit(1)).cast("bigint").as("n_nodes"),
+        sum(expr("(d * (d - 1)) DIV 2")).cast("bigint").as("n_wedges"))
+    val edgeCnt = e.agg(count(lit(1)).cast("bigint").as("n_edges"))
+    // stitch the three one-row aggregates by union + max — a literal
+    // join key would constant-fold into a nested-loop join; this stays
+    // pure aggregation
+    stats
+      .unionByName(edgeCnt, allowMissingColumns = true)
+      .unionByName(tri, allowMissingColumns = true)
+      .agg(
+        max($"n_nodes").as("n_nodes"),
+        max($"n_edges").as("n_edges"),
+        max($"n_wedges").as("n_wedges"),
+        max($"t").cast("bigint").as("n_triangles"))
+      .select(
+        $"n_nodes",
+        $"n_edges",
+        $"n_wedges",
+        $"n_triangles",
+        Qh.r6(lit(3) * $"n_triangles".cast("double") /
+          $"n_wedges".cast("double")).as("gcc"))
+  }
 }

@@ -11,6 +11,38 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private val S = 1000000000000L
 
+  test("oriented-wedge triangle count equals brute force on random graphs") {
+    // the degree-orientation algorithm vs an O(n^3) model, across
+    // random sparse AND dense graphs (the decl's oracle only ever sees
+    // one fixture graph; this pins the algorithm itself)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 4 + rnd.nextInt(9) // 4..12 nodes
+      val p = 0.15 + rnd.nextDouble() * 0.7
+      val edges = (for {
+        u <- 0 until n; v <- (u + 1) until n if rnd.nextDouble() < p
+      } yield (u.toLong, v.toLong)).toSeq
+      whenever(edges.nonEmpty) {
+        val adj = edges.toSet
+        val expectTri = (for {
+          a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+          if adj((a, b)) && adj((b, c)) && adj((a, c))
+        } yield 1).size.toLong
+        val degs = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong)
+        val expectWedges = degs.values.map(d => d * (d - 1) / 2).sum
+        val row = Graph.triangleStats(edges.toDF("u", "v")).collect().head
+        assert(row.getAs[Long]("n_triangles") == expectTri,
+          s"trial $trial (n=$n p=$p): triangles ${row.getAs[Long]("n_triangles")} != $expectTri")
+        assert(row.getAs[Long]("n_wedges") == expectWedges, s"trial $trial: wedges")
+        assert(row.getAs[Long]("n_edges") == edges.size.toLong, s"trial $trial: edges")
+      }
+    }
+  }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
   test("convergence mode stops before the iteration cap and is actually converged") {
     // 1e-3 in rank units (fixed-point 1e-12 scale): the max-delta
     // starts hub-sized (~7.7e10 on this fixture) and decays by the

@@ -103,4 +103,37 @@ class PropertySpec extends SparkSpec {
     val exc = c.except(o).count()
     assert(inter + exc == c.distinct().count())
   }
+
+  test("duplicated-span stats equal brute force on random token streams") {
+    // hashed-window dup detection vs a naive model over a 4-token
+    // alphabet (tiny alphabet → plenty of cross-doc window collisions)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ab", "cd", "ef", "gh")
+    for (trial <- 1 to 5) {
+      val w = 2 + rnd.nextInt(2) // window width 2..3
+      val docs = (0 until 6).map { id =>
+        val n = rnd.nextInt(10) // 0..9 tokens (some below w: filtered)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val model: Map[Long, (Long, Long)] = {
+        val wins = docs.flatMap { case (id, text) =>
+          val tk = text.split(" ").filter(_.nonEmpty)
+          if (tk.length < w) Seq.empty
+          else tk.sliding(w).map(s => (id, s.mkString(" "))).toSeq
+        }
+        val dupSet = wins.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 2).keySet
+        wins.groupBy(_._1).map { case (id, ws) =>
+          id -> (ws.size.toLong, ws.count(x => dupSet(x._2)).toLong)
+        }
+      }
+      val got = Dedup
+        .duplicatedSpanStats(docs.toDF("doc_id", "text"), w)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans")))
+        .toMap
+      assert(got == model, s"trial $trial (w=$w): $got != $model")
+    }
+  }
 }

@@ -90,6 +90,51 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("v2 state survives a query RESTART from the checkpoint") {
+    // the fault-tolerance story TransformWithStateSpec's in-query tests
+    // don't pin: kill the query, start a NEW one on the same
+    // checkpoint — the RocksDB snapshot+changelog must restore the
+    // ValueState, not just carry it between micro-batches
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_restart_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    // memory sink refuses checkpoint recovery — use the file sink,
+    // which is the recovery-capable path anyway
+    val outDir = java.nio.file.Files.createTempDirectory("tws_restart_out").toString
+    def start() = Streams.runningTotalsTws(mem.toDS())
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val q1 = start()
+      mem.addData(Streams.Ev(1, ts(1), 7, 10.50))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      try {
+        mem.addData(Streams.Ev(2, ts(2), 7, 0.25))
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir)
+          .as[Streams.RunningTotal].collect()
+          .map(r => r.event_id -> r.running_total).toMap
+        assert(out.get(2L).contains(10.75),
+          s"state lost across restart (expected 10.50 carried): $out")
+      } finally q2.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState agrees with flatMapGroupsWithState in batch") {
     import spark.implicits._
     val ev = Tables(spark, sf0001, "events")

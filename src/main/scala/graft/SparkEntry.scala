@@ -19,6 +19,7 @@ object SparkEntry {
       Joins.decls ++
       Aggregations.decls ++
       Windows.decls ++
+      Analytics.decls ++
       SetOps.decls ++
       Dedup.decls ++
       Similarity.decls ++

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.B W7/W8 — product-analytics operators over the event
+  * stream: funnel conversion and cohort retention. Both are the
+  * canonical "big events table" queries (reference §1.2 event payloads,
+  * recast as the analyses a user of the imported data runs).
+  *
+  * Scale shape: everything is per-user aggregation + user-keyed
+  * equi-joins — partial aggs combine map-side, joins co-locate on the
+  * user hash, and no step is ever quadratic in events. Time lives in
+  * epoch-millis BIGINT (µs-truncated once), so every comparison and
+  * bucket is integer arithmetic — bit-identical across engines.
+  */
+object Analytics {
+
+  val decls: Seq[Decl] = Seq(
+
+    // W7: FUNNEL — ordered-step conversion signup → click → purchase.
+    // Each stage is "earliest qualifying event STRICTLY AFTER the
+    // previous stage's time AND within a 24 h step window", the
+    // standard windowed-funnel semantics (a purchase before the first
+    // qualifying click, or one arriving days later, does not convert). Three
+    // per-user min-aggs chained by user-keyed joins; final counts are
+    // one-row aggs stitched by union+max (a literal join key would
+    // constant-fold to a nested-loop join).
+    Decl(
+      "w7_funnel",
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_type
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, min(tms) AS st
+         |  FROM e WHERE event_type = 'signup' GROUP BY user_id),
+         |c AS (
+         |  SELECT e.user_id, min(e.tms) AS ct
+         |  FROM e JOIN s ON e.user_id = s.user_id
+         |  WHERE e.event_type = 'click' AND e.tms > s.st AND e.tms <= s.st + 86400000
+         |  GROUP BY e.user_id),
+         |p AS (
+         |  SELECT e.user_id, min(e.tms) AS pt
+         |  FROM e JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.tms > c.ct AND e.tms <= c.ct + 86400000
+         |  GROUP BY e.user_id)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_signup,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+         |  ${Qh.oR6("CAST((SELECT count(*) FROM c) AS DOUBLE) / CAST((SELECT count(*) FROM s) AS DOUBLE)")} AS click_rate,
+         |  ${Qh.oR6("CAST((SELECT count(*) FROM p) AS DOUBLE) / CAST((SELECT count(*) FROM s) AS DOUBLE)")} AS purchase_rate""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val e = Qh
+        .t(s, dir, "events")
+        .select($"user_id", unix_millis(Qh.tsUs($"ts")).as("tms"), $"event_type")
+      val sg = e
+        .filter($"event_type" === "signup")
+        .groupBy($"user_id")
+        .agg(min($"tms").as("st"))
+      val ck = e
+        .join(sg, "user_id")
+        .filter($"event_type" === "click" && $"tms" > $"st" &&
+          $"tms" <= $"st" + 86400000L)
+        .groupBy($"user_id")
+        .agg(min($"tms").as("ct"))
+      val pu = e
+        .join(ck, "user_id")
+        .filter($"event_type" === "purchase" && $"tms" > $"ct" &&
+          $"tms" <= $"ct" + 86400000L)
+        .groupBy($"user_id")
+        .agg(min($"tms").as("pt"))
+      sg.agg(count(lit(1)).cast("bigint").as("n_signup"))
+        .unionByName(
+          ck.agg(count(lit(1)).cast("bigint").as("n_click")),
+          allowMissingColumns = true)
+        .unionByName(
+          pu.agg(count(lit(1)).cast("bigint").as("n_purchase")),
+          allowMissingColumns = true)
+        .agg(
+          max($"n_signup").as("n_signup"),
+          max($"n_click").as("n_click"),
+          max($"n_purchase").as("n_purchase"))
+        .select(
+          $"n_signup",
+          $"n_click",
+          $"n_purchase",
+          Qh.r6($"n_click".cast("double") / $"n_signup".cast("double"))
+            .as("click_rate"),
+          Qh.r6($"n_purchase".cast("double") / $"n_signup".cast("double"))
+            .as("purchase_rate"))
+    },
+
+    // W8: COHORT RETENTION — users bucketed by their first-activity
+    // epoch week; for each cohort, distinct active users at each week
+    // offset (the retention triangle every growth dashboard draws).
+    // Distinct (user, week) pairs first (one shuffle, collapses the
+    // event volume), per-user min for the cohort (reuses the same
+    // user-keyed partitioning), then a small (cohort, offset) count
+    // agg. Absolute epoch-week integers everywhere.
+    Decl(
+      "w8_retention",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id)
+        |SELECT c.cw AS cohort_week, uw.wk - c.cw AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        |FROM uw JOIN cohort c ON uw.user_id = c.user_id
+        |WHERE uw.wk - c.cw <= 8
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val uw = Qh
+        .t(s, dir, "events")
+        .select(
+          $"user_id",
+          expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 604800000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cw"))
+      uw.join(cohort, "user_id")
+        .filter($"wk" - $"cw" <= 8)
+        .groupBy($"cw".as("cohort_week"), ($"wk" - $"cw").as("week_offset"))
+        .agg(count(lit(1)).cast("bigint").as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }
+  )
+}

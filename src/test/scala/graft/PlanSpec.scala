@@ -72,7 +72,8 @@ class PlanSpec extends SparkSpec {
 
   test("pair-generating LLM ops contain no cartesian product or BNLJ") {
     for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
-      "j7_range", "l2_substring_dedup", "l13_triangles")) {
+      "j7_range", "l2_substring_dedup", "l13_triangles",
+      "w7_funnel", "w8_retention")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")

@@ -525,6 +525,54 @@ object Sources {
       import s.implicits._
       KafkaIO.toEnvelope(Qh.t(s, dir, "events").filter($"event_id" < 100))
         .orderBy("key", "value")
+    },
+
+    // S18: DROP-ON-ERROR ingestion with ACTUALLY CORRUPT input — the
+    // reference's load-bearing §1.4 semantics (a record that fails
+    // decode is skipped with a log line and the job continues,
+    // kafka-database-import.go:188-197). Every doc_id % 7 == 0 line is
+    // written as garbage; the PERMISSIVE read must route exactly those
+    // to the corrupt-record column with all data fields null, leaving
+    // the good rows' values intact — counts AND a content checksum per
+    // bucket are oracle-checked against the relational recomputation.
+    // (s4 exercises the same reader config on clean input; this decl
+    // proves the drop path itself.)
+    Decl(
+      "s18_corrupt_drop",
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN '_dropped' ELSE lang END AS lang_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s18_corrupt")
+      Qh.t(s, dir, "documents")
+        .select(
+          when($"doc_id" % 7 === 0,
+            concat(lit("{malformed json "), $"doc_id".cast(StringType)))
+            .otherwise(to_json(struct($"doc_id", $"lang", $"n_chars")))
+            .as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .select(
+          when($"_corrupt_record".isNotNull, lit("_dropped"))
+            .otherwise($"lang").as("lang_bucket"),
+          when($"_corrupt_record".isNotNull, lit(0L))
+            .otherwise($"n_chars").as("nc"))
+        .groupBy($"lang_bucket")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum($"nc").cast("bigint").as("sum_chars"))
+        .orderBy("lang_bucket")
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.B J1–J9 — join surface.
@@ -323,6 +324,93 @@ object Joins {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
         .orderBy("c_mktsegment")
+    },
+
+    // J12: INTERVAL-OVERLAP join — interval × interval (J7 is point-in-
+    // range), the shape of sessions × maintenance-windows, ad-flights ×
+    // user-sessions, outage × SLA windows. Scale path: both interval
+    // sets are bucketed on a 6 h time grid — sessions explode into the
+    // buckets they span (bounded fan-out: interval length / grid), the
+    // 1 h grid-aligned windows live in exactly one bucket — so the
+    // overlap predicate runs as a bucket EQUI-join with the strict
+    // inequalities as residual, never as a nested loop over all pairs.
+    // Each overlapping (session, window) pair meets in exactly one
+    // bucket (the window's), so no pair-dedup pass is needed. All time
+    // arithmetic in epoch-ms BIGINT; sessions are the same 30-min-gap
+    // construction as t3, ordered by (tms, event_id) so tie-breaks are
+    // engine-independent.
+    Decl(
+      "j12_interval_overlap",
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, tms,
+        |    CASE WHEN lag(tms) OVER w IS NULL
+        |           OR tms - lag(tms) OVER w >= 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |sess AS (
+        |  SELECT user_id, sid, min(tms) AS st, max(tms) AS en
+        |  FROM (
+        |    SELECT user_id, tms,
+        |      sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    FROM m)
+        |  GROUP BY user_id, sid),
+        |b AS (SELECT min(tms) AS mn, max(tms) AS mx FROM e),
+        |wins AS (
+        |  SELECT unnest(range((mn // 21600000) * 21600000, mx + 1, 21600000)) AS w_start
+        |  FROM b)
+        |SELECT w.w_start AS window_start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(least(s.en, w.w_start + 3600000) - greatest(s.st, w.w_start)) AS BIGINT) AS overlap_ms
+        |FROM wins w JOIN sess s
+        |  ON s.st < w.w_start + 3600000 AND w.w_start < s.en
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val grid = 21600000L // 6 h buckets
+      val wlen = 3600000L // 1 h maintenance windows on the grid
+      val e = Qh
+        .t(s, dir, "events")
+        .select($"user_id", unix_millis(Qh.tsUs($"ts")).as("tms"), $"event_id")
+      val w = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+      val brk = when(
+        lag($"tms", 1).over(w).isNull ||
+          $"tms" - lag($"tms", 1).over(w) >= 1800000L, 1).otherwise(0)
+      val cum = Window
+        .partitionBy($"user_id")
+        .orderBy($"tms", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = e
+        .withColumn("brk", brk)
+        .withColumn("sid", sum($"brk").over(cum))
+        .groupBy($"user_id", $"sid")
+        .agg(min($"tms").as("st"), max($"tms").as("en"))
+      // sessions fan out into every grid bucket they span (bounded)
+      val sessB = sess.withColumn(
+        "b",
+        explode(sequence(expr(s"st DIV $grid"), expr(s"en DIV $grid"))))
+      // grid built in-plan from a 1-row bound agg (w6 gap-fill pattern)
+      val bounds = e.agg(min($"tms").as("mn"), max($"tms").as("mx"))
+      val wins = bounds
+        .select(explode(
+          sequence(expr(s"(mn DIV $grid) * $grid"), $"mx", lit(grid)))
+          .as("w_start"))
+        .withColumn("b", expr(s"w_start DIV $grid"))
+      wins
+        .join(
+          sessB,
+          wins("b") === sessB("b") &&
+            sessB("st") < wins("w_start") + wlen &&
+            wins("w_start") < sessB("en"))
+        .groupBy($"w_start".as("window_start_ms"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_sessions"),
+          sum(least($"en", $"w_start" + wlen) -
+            greatest($"st", $"w_start")).cast("bigint").as("overlap_ms"))
+        .orderBy("window_start_ms")
     }
   )
 }

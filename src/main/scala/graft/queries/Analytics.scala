@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.B W7/W8 — product-analytics operators over the event
@@ -21,10 +22,14 @@ object Analytics {
     // Each stage is "earliest qualifying event STRICTLY AFTER the
     // previous stage's time AND within a 24 h step window", the
     // standard windowed-funnel semantics (a purchase before the first
-    // qualifying click, or one arriving days later, does not convert). Three
-    // per-user min-aggs chained by user-keyed joins; final counts are
-    // one-row aggs stitched by union+max (a literal join key would
-    // constant-fold to a nested-loop join).
+    // qualifying click, or one arriving days later, does not convert).
+    // SINGLE-SCAN shape: all three stage times are conditional mins
+    // over the same unordered user partition — three chained Window
+    // projections share ONE user-keyed exchange (no sort: the frame is
+    // the whole partition), then one per-user collapse. The naive form
+    // (a join per stage) scans the fact three times; at 100 TB that is
+    // 3× the IO for the same answer. Final counts are a single tiny
+    // agg. The oracle keeps the equivalent chained-join SQL.
     Decl(
       "w7_funnel",
       s"""WITH e AS (
@@ -50,36 +55,27 @@ object Analytics {
          |  ${Qh.oR6("CAST((SELECT count(*) FROM c) AS DOUBLE) / CAST((SELECT count(*) FROM s) AS DOUBLE)")} AS click_rate,
          |  ${Qh.oR6("CAST((SELECT count(*) FROM p) AS DOUBLE) / CAST((SELECT count(*) FROM s) AS DOUBLE)")} AS purchase_rate""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val e = Qh
-        .t(s, dir, "events")
+      val day = 86400000L
+      // whole-partition frame, no ordering — no sort, one exchange
+      val byUser = Window.partitionBy($"user_id")
+      Qh.t(s, dir, "events")
         .select($"user_id", unix_millis(Qh.tsUs($"ts")).as("tms"), $"event_type")
-      val sg = e
-        .filter($"event_type" === "signup")
+        .withColumn("st",
+          min(when($"event_type" === "signup", $"tms")).over(byUser))
+        .withColumn("ct",
+          min(when($"event_type" === "click" &&
+            $"tms" > $"st" && $"tms" <= $"st" + day, $"tms")).over(byUser))
+        .withColumn("pt",
+          min(when($"event_type" === "purchase" &&
+            $"tms" > $"ct" && $"tms" <= $"ct" + day, $"tms")).over(byUser))
+        // st/ct/pt are constant per user — collapse reuses the window's
+        // user partitioning, so this agg shuffles nothing new
         .groupBy($"user_id")
-        .agg(min($"tms").as("st"))
-      val ck = e
-        .join(sg, "user_id")
-        .filter($"event_type" === "click" && $"tms" > $"st" &&
-          $"tms" <= $"st" + 86400000L)
-        .groupBy($"user_id")
-        .agg(min($"tms").as("ct"))
-      val pu = e
-        .join(ck, "user_id")
-        .filter($"event_type" === "purchase" && $"tms" > $"ct" &&
-          $"tms" <= $"ct" + 86400000L)
-        .groupBy($"user_id")
-        .agg(min($"tms").as("pt"))
-      sg.agg(count(lit(1)).cast("bigint").as("n_signup"))
-        .unionByName(
-          ck.agg(count(lit(1)).cast("bigint").as("n_click")),
-          allowMissingColumns = true)
-        .unionByName(
-          pu.agg(count(lit(1)).cast("bigint").as("n_purchase")),
-          allowMissingColumns = true)
+        .agg(max($"st").as("st"), max($"ct").as("ct"), max($"pt").as("pt"))
         .agg(
-          max($"n_signup").as("n_signup"),
-          max($"n_click").as("n_click"),
-          max($"n_purchase").as("n_purchase"))
+          count($"st").cast("bigint").as("n_signup"),
+          count($"ct").cast("bigint").as("n_click"),
+          count($"pt").cast("bigint").as("n_purchase"))
         .select(
           $"n_signup",
           $"n_click",
@@ -94,9 +90,10 @@ object Analytics {
     // epoch week; for each cohort, distinct active users at each week
     // offset (the retention triangle every growth dashboard draws).
     // Distinct (user, week) pairs first (one shuffle, collapses the
-    // event volume), per-user min for the cohort (reuses the same
-    // user-keyed partitioning), then a small (cohort, offset) count
-    // agg. Absolute epoch-week integers everywhere.
+    // event volume), cohort via a window min over the SAME user-keyed
+    // partitioning (no self-join, no second scan), then a small
+    // (cohort, offset) count agg. Absolute epoch-week integers
+    // everywhere.
     Decl(
       "w8_retention",
       """WITH uw AS (
@@ -111,14 +108,12 @@ object Analytics {
         |GROUP BY 1, 2
         |ORDER BY cohort_week, week_offset""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val uw = Qh
-        .t(s, dir, "events")
+      Qh.t(s, dir, "events")
         .select(
           $"user_id",
           expr("unix_millis(CAST(ts AS TIMESTAMP)) DIV 604800000").as("wk"))
         .distinct()
-      val cohort = uw.groupBy($"user_id").agg(min($"wk").as("cw"))
-      uw.join(cohort, "user_id")
+        .withColumn("cw", min($"wk").over(Window.partitionBy($"user_id")))
         .filter($"wk" - $"cw" <= 8)
         .groupBy($"cw".as("cohort_week"), ($"wk" - $"cw").as("week_offset"))
         .agg(count(lit(1)).cast("bigint").as("n_active"))

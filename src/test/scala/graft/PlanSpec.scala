@@ -323,6 +323,18 @@ class PlanSpec extends SparkSpec {
       "rnk<=3 filter in l3_cosine_topk should run on the bounded-heap operator")
   }
 
+  test("w7/w8: funnel and retention scan the fact exactly once") {
+    // the three funnel stages are chained windows over ONE user-keyed
+    // exchange — the naive per-stage-join form scans the fact 3×
+    for (q <- Seq("w7_funnel", "w8_retention")) {
+      val p = plan(q)
+      // count the formatted plan's per-node detail headers — the tree
+      // section repeats the same node, so raw substring counts double
+      val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+      assert(scans == 1, s"$q reads the fact $scans times:\n$p")
+    }
+  }
+
   test("p13: correlated subqueries decorrelate to joins (no per-row re-execution)") {
     val p = plan("p13_subqueries")
     assert(p.contains("LeftSemi"), s"EXISTS did not become a semi-join:\n$p")

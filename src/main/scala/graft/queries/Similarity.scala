@@ -210,6 +210,60 @@ object Similarity {
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.d ORDER BY qd.m)), (a, b) -> a + b)"
 
 
+  /** Oracle CTE chain ending in `ranked(query_id, neighbor_id, cos,
+    * rnk)` — the multi-table LSH candidate pipeline + exact-cosine
+    * ranking, shared by l3_ann_lsh and l3_ann_recall (one construction
+    * site, the oCandCte discipline from Dedup). */
+  private lazy val oLshAnnCte: String =
+    s"""${oPlanesCte},
+       |sigs AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(sum(CASE WHEN ${Qh.oDot("e.embedding", "p.pvec")} > 0
+       |                  THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings e, planes p
+       |  GROUP BY e.vec_id, p.tbl),
+       |cand AS (
+       |  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS neighbor_id
+       |  FROM sigs sq JOIN sigs sc
+       |    ON sq.tbl = sc.tbl AND sq.bucket = sc.bucket
+       |   AND sq.vec_id <> sc.vec_id
+       |  WHERE sq.vec_id < 50),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $oCos AS cos
+       |  FROM cand
+       |  JOIN embeddings q ON q.vec_id = query_id
+       |  JOIN embeddings c ON c.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)""".stripMargin
+
+  /** Engine-side LSH ANN top-3 (query_id, neighbor_id, cos, rnk) —
+    * the single construction site behind l3_ann_lsh and l3_ann_recall:
+    * materialized map-side signatures, bucket equi-join candidates,
+    * exact cosine + bounded-heap top-3 on candidates only. */
+  private def lshRankedTop3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Qh.t(s, dir, "embeddings")
+    // signature table materialized once for both probe sides
+    // (Qh.materialize: durability mode is a config)
+    val sg = Qh.materialize(sigs(s, e))
+    val sq = sg.filter($"vec_id" < 50)
+      .select($"vec_id".as("query_id"), $"tbl", $"bucket")
+    val sc = sg.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket")
+    val cand = sq.join(sc, Seq("tbl", "bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val qe = e.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val ce = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
+    cand.join(qe, "query_id").join(ce, "neighbor_id")
+      .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // Brute-force cosine top-3 for query vectors vec_id < 5.
@@ -243,50 +297,74 @@ object Similarity {
     // 16 bucket matches; exact cosine + top-3 only on candidates.
     Decl(
       "l3_ann_lsh",
-      s"""WITH ${oPlanesCte},
-         |sigs AS (
-         |  SELECT e.vec_id, p.tbl,
-         |    CAST(sum(CASE WHEN ${Qh.oDot("e.embedding", "p.pvec")} > 0
-         |                  THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM embeddings e, planes p
-         |  GROUP BY e.vec_id, p.tbl),
-         |cand AS (
-         |  SELECT DISTINCT sq.vec_id AS query_id, sc.vec_id AS neighbor_id
-         |  FROM sigs sq JOIN sigs sc
-         |    ON sq.tbl = sc.tbl AND sq.bucket = sc.bucket
-         |   AND sq.vec_id <> sc.vec_id
-         |  WHERE sq.vec_id < 50),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, $oCos AS cos
-         |  FROM cand
-         |  JOIN embeddings q ON q.vec_id = query_id
-         |  JOIN embeddings c ON c.vec_id = neighbor_id)
-         |SELECT query_id, neighbor_id, cos, rnk FROM (
-         |  SELECT query_id, neighbor_id, cos,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-         |  FROM scored)
+      s"""WITH $oLshAnnCte
+         |SELECT query_id, neighbor_id, cos, rnk FROM ranked
          |WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      lshRankedTop3(s, dir).orderBy("query_id", "rnk")
+    },
+
+    // L3f: ANN RECALL measurement — the quality metric next to the
+    // speed path (the l2_minhash_estimate pattern, applied to vector
+    // search): per query, |LSH-ANN top-3 ∩ exact top-3| / 3. At scale
+    // the exact side runs over a fixed evaluation query sample (here
+    // the same 50 probe queries, brute-forced against the corpus with
+    // the broadcast-query shape of l3_cosine_topk), so measuring recall
+    // costs one bounded scan — this is how production ANN deployments
+    // tune nprobe/tables without guessing.
+    Decl(
+      "l3_ann_recall",
+      s"""WITH $oLshAnnCte,
+         |ann AS (
+         |  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= 3),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $oCos AS cos
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         |    FROM bscored)
+         |  WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS n_hit
+         |  FROM ann a JOIN exact x
+         |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+         |  GROUP BY a.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM exact)
+         |SELECT q.query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  floor(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 * 1000000 + 0.5) / 1000000.0 AS recall3
+         |FROM qs q LEFT JOIN hits h ON q.query_id = h.query_id
+         |ORDER BY q.query_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      val ann = lshRankedTop3(s, dir).select($"query_id", $"neighbor_id")
       val e = Qh.t(s, dir, "embeddings")
-      // signature table materialized once for both probe sides
-      // (Qh.materialize: durability mode is a config)
-      val sg = Qh.materialize(sigs(s, e))
-      val sq = sg.filter($"vec_id" < 50)
-        .select($"vec_id".as("query_id"), $"tbl", $"bucket")
-      val sc = sg.select($"vec_id".as("neighbor_id"), $"tbl", $"bucket")
-      val cand = sq.join(sc, Seq("tbl", "bucket"))
-        .filter($"query_id" =!= $"neighbor_id")
-        .select("query_id", "neighbor_id")
-        .distinct()
-      val qe = e.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
-      val ce = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
       val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"neighbor_id")
-      cand.join(qe, "query_id").join(ce, "neighbor_id")
-        .select($"query_id", $"neighbor_id", cosine($"q_emb", $"c_emb").as("cos"))
+      val exact = e
+        .join(broadcast(q), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          cosine($"q_emb", $"embedding").as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 3)
-        .orderBy("query_id", "rnk")
+        .select($"query_id", $"neighbor_id")
+      val hits = ann
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_hit"))
+      exact
+        .select($"query_id")
+        .distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(
+          $"query_id",
+          coalesce($"n_hit", lit(0L)).cast("bigint").as("n_hit"),
+          Qh.r6(coalesce($"n_hit", lit(0L)).cast("double") / lit(3))
+            .as("recall3"))
+        .orderBy("query_id")
     },
 
     // IVF ANN: a coarse quantizer (16 deterministic centroids — in

@@ -128,6 +128,57 @@ object Changelog {
         .select($"user_id", $"n_events",
           $"total_dec".cast(DoubleType).as("total_value"), $"last_ts_ms")
         .orderBy("user_id")
+    },
+
+    // C4: CDC APPLY with deletes — MERGE INTO semantics (WHEN MATCHED
+    // AND op='D' DELETE / WHEN MATCHED UPDATE / ELSE KEEP), the verb C1
+    // (changelog-only compaction) and C2 (history intervals) don't
+    // cover: reconciling a base snapshot against a keyed change stream.
+    // Latest change per key via partial+final max_by on a unique
+    // sequence (no window sort — the C1 discipline), then ONE
+    // user-keyed outer join against the base decides keep/update/delete
+    // per row. At 100 TB: changes aggregate to key-cardinality before
+    // the join, and the base never shuffles more than once.
+    Decl(
+      "c4_cdc_apply",
+      """WITH ch AS (
+        |  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM orders WHERE o_custkey % 5 <> 0),
+        |latest AS (
+        |  SELECT c_custkey, arg_max(op, seq) AS op, arg_max(new_bal, seq) AS new_bal
+        |  FROM ch GROUP BY c_custkey)
+        |SELECT b.c_custkey, b.c_name,
+        |  CASE WHEN l.op = 'U' THEN l.new_bal ELSE b.c_acctbal END AS acctbal,
+        |  coalesce(l.op, 'K') AS last_op
+        |FROM customer b LEFT JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY b.c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ch = Qh
+        .t(s, dir, "orders")
+        .select(
+          $"o_custkey".as("c_custkey"),
+          $"o_orderkey".as("seq"),
+          when($"o_orderkey" % 10 < 2, lit("D")).otherwise(lit("U")).as("op"),
+          $"o_totalprice".as("new_bal"))
+        .filter($"c_custkey" % 5 =!= 0) // 20% of keys: no change → KEEP path
+      val latest = ch
+        .groupBy($"c_custkey")
+        .agg(
+          max_by($"op", $"seq").as("op"),
+          max_by($"new_bal", $"seq").as("new_bal"))
+      Qh.t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+        .join(latest, Seq("c_custkey"), "left_outer")
+        .filter($"op".isNull || $"op" =!= "D")
+        .select(
+          $"c_custkey",
+          $"c_name",
+          when($"op" === "U", $"new_bal").otherwise($"c_acctbal").as("acctbal"),
+          coalesce($"op", lit("K")).as("last_op"))
+        .orderBy("c_custkey")
     }
   )
 }

@@ -23,71 +23,73 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a1_hashagg" -> 2.241, "a2_distinct" -> 1.090,
-    "a3_approx_distinct" -> 2.465, "a3_hll_merge" -> 0.691,
-    "a4_cube" -> 0.853, "a4_grouping_sets" -> 0.744, "a4_rollup" -> 0.630,
-    "a5_filtered_agg" -> 0.483, "a6_approx_percentile" -> 2.271,
-    "a6_stats" -> 1.692, "a6_tdigest" -> 2.085, "a7_collect" -> 0.763,
-    "a8_pivot" -> 0.565, "a9_salted_agg" -> 0.694,
-    "c1_upsert_latest" -> 0.510, "c2_scd2_intervals" -> 0.892,
-    "c3_incremental_agg" -> 1.509, "flagship_pipeline" -> 0.504,
-    "j10_bloom_semi" -> 0.981, "j11_salted_skew_join" -> 0.690,
-    "j12_interval_overlap" -> 0.959, "j1_semi_broadcast" -> 0.838,
-    "j2_inner" -> 0.461, "j3_multiway" -> 1.530, "j4_full_outer" -> 0.433,
-    "j4_left_outer" -> 0.386, "j5_anti" -> 0.355, "j6_sortmerge" -> 0.988,
-    "j7_range" -> 0.686, "j8_cross" -> 0.280, "j9_asof" -> 0.733,
-    "j9_asof_join" -> 0.668, "l10_profile" -> 0.400, "l11_decontam" -> 1.406,
-    "l11_semantic_decontam" -> 0.611, "l12_global_ids" -> 0.706,
-    "l13_pagerank" -> 6.734, "l13_triangles" -> 1.815,
-    "l1_exact_dedup" -> 0.529, "l2_cosine_neardup" -> 0.807,
-    "l2_dedup_clusters" -> 1.883, "l2_incremental_dedup" -> 1.105,
-    "l2_lsh_pairs" -> 1.386, "l2_minhash_estimate" -> 1.564,
-    "l2_minhash_sigs" -> 1.267, "l2_ngram_jaccard" -> 3.096,
-    "l2_simhash" -> 1.093, "l2_simhash_hamming" -> 3.611,
-    "l2_substring_dedup" -> 2.268, "l3_ann_ivf" -> 0.852,
-    "l3_ann_ivfpq" -> 1.851, "l3_ann_lsh" -> 2.099, "l3_ann_pq" -> 1.664,
-    "l3_ann_trained" -> 2.801, "l3_cosine_topk" -> 0.333,
-    "l3_kmeans" -> 1.554, "l4_bpe_pair_stats" -> 0.737,
-    "l4_fingerprint" -> 1.011, "l4_heavy_hitters" -> 0.765,
-    "l4_lang_id" -> 0.771, "l4_pii_redact" -> 1.047,
-    "l4_quality_score" -> 0.800, "l4_repetition_quality" -> 1.641,
-    "l4_term_freq" -> 0.715, "l4_tfidf" -> 0.972, "l4_token_stats" -> 0.781,
-    "l5_histogram" -> 0.315, "l6_decode_audio" -> 1.319,
-    "l6_decode_features" -> 0.397, "l6_decode_real" -> 1.307,
-    "l6_multimodal_meta" -> 0.215, "l6_quantize_int8" -> 0.319,
-    "l6_resize_framesample" -> 0.186, "l7_curation_pipeline" -> 0.622,
-    "l8_bottomk_sample" -> 0.229, "l8_deterministic_sample" -> 0.139,
-    "l8_deterministic_split" -> 0.223, "l8_mixture_weights" -> 0.224,
-    "l8_stratified_sample" -> 0.152, "l9_sequence_packing" -> 0.315,
-    "l9_shard_export" -> 1.333, "o1_topk" -> 0.164, "o2_limit" -> 0.126,
-    "o3_union" -> 0.330, "o3_union_distinct" -> 0.378, "o4_except" -> 0.366,
-    "o4_except_all" -> 0.536, "o4_intersect" -> 0.309,
-    "o4_intersect_all" -> 0.381, "p10_map_hof" -> 1.771, "p10_maps" -> 1.009,
-    "p11_envelope" -> 0.392, "p12_unpivot" -> 0.324,
-    "p13_subqueries" -> 0.460, "p14_variant" -> 1.990, "p1_prune" -> 0.578,
-    "p2_filter" -> 0.404, "p3_inlist" -> 0.150, "p4_strings" -> 0.223,
-    "p5_datetime" -> 0.575, "p6_math" -> 0.791, "p7_conditional" -> 0.212,
-    "p8_json" -> 1.045, "p8_json_nested" -> 2.991, "p9_array_fns" -> 0.185,
-    "p9_arrays" -> 0.286, "p9_explode" -> 0.181, "p9_posexplode" -> 0.190,
-    "s10_vector_index" -> 1.398, "s10b_index_append" -> 1.853,
-    "s11_schema_evolution" -> 0.763, "s12_compaction" -> 1.302,
-    "s13_dpp_join" -> 1.542, "s14_zorder_layout" -> 1.232,
-    "s15_stats_pruned_scan" -> 1.174, "s16_binaryfile_ingest" -> 1.209,
-    "s17_xml_roundtrip" -> 1.318, "s18_corrupt_drop" -> 0.418,
-    "s3_jdbc_roundtrip" -> 1.176, "s4_json_roundtrip" -> 0.633,
-    "s5_kafka_envelope" -> 0.260, "s6_csv_roundtrip" -> 0.450,
-    "s7_orc_roundtrip" -> 0.876, "s8_envelope_source" -> 0.736,
-    "s9_partitioned_prune" -> 0.668, "t1_tumbling" -> 0.410,
-    "t2_sliding" -> 0.492, "t3_session" -> 0.842,
-    "t4_watermark_closed" -> 0.493, "t5_dedup" -> 0.394,
-    "t6_stateful_running" -> 0.505, "t7_stream_static" -> 0.583,
-    "t8_foreachbatch_jdbc" -> 1.362, "t8c_exactly_once_jdbc" -> 1.738,
-    "t9_stream_stream" -> 0.449, "t9_stream_stream_full" -> 0.555,
-    "t9_stream_stream_outer" -> 0.420, "w1_ranking" -> 0.743,
-    "w2_analytic" -> 1.205, "w3_frames" -> 0.915, "w3_time_range" -> 0.679,
-    "w4_topk_per_group" -> 0.420, "w4_topk_window_idiom" -> 0.496,
-    "w5_distribution" -> 1.214, "w6_gap_fill" -> 0.883, "w7_funnel" -> 0.590,
-    "w8_retention" -> 0.511)
+    "a1_hashagg" -> 1.626, "a2_distinct" -> 0.782,
+    "a3_approx_distinct" -> 1.867, "a3_hll_merge" -> 0.597,
+    "a4_cube" -> 0.706, "a4_grouping_sets" -> 0.668, "a4_rollup" -> 0.580,
+    "a5_filtered_agg" -> 0.437, "a6_approx_percentile" -> 1.937,
+    "a6_stats" -> 1.719, "a6_tdigest" -> 1.649, "a7_collect" -> 0.721,
+    "a8_pivot" -> 0.510, "a9_salted_agg" -> 0.584,
+    "c1_upsert_latest" -> 0.521, "c2_scd2_intervals" -> 0.820,
+    "c3_incremental_agg" -> 1.793, "c4_cdc_apply" -> 0.627,
+    "flagship_pipeline" -> 0.419, "j10_bloom_semi" -> 0.886,
+    "j11_salted_skew_join" -> 0.664, "j12_interval_overlap" -> 0.960,
+    "j1_semi_broadcast" -> 0.755, "j2_inner" -> 0.471,
+    "j3_multiway" -> 1.433, "j4_full_outer" -> 0.413,
+    "j4_left_outer" -> 0.333, "j5_anti" -> 0.329, "j6_sortmerge" -> 0.912,
+    "j7_range" -> 0.784, "j8_cross" -> 0.287, "j9_asof" -> 0.659,
+    "j9_asof_join" -> 0.571, "l10_profile" -> 0.372, "l11_decontam" -> 1.245,
+    "l11_semantic_decontam" -> 0.464, "l12_global_ids" -> 0.691,
+    "l13_pagerank" -> 6.090, "l13_triangles" -> 1.218,
+    "l1_exact_dedup" -> 0.395, "l2_cosine_neardup" -> 0.568,
+    "l2_dedup_clusters" -> 2.158, "l2_incremental_dedup" -> 0.958,
+    "l2_lsh_pairs" -> 1.390, "l2_minhash_estimate" -> 1.780,
+    "l2_minhash_sigs" -> 1.431, "l2_ngram_jaccard" -> 3.909,
+    "l2_simhash" -> 0.944, "l2_simhash_hamming" -> 2.838,
+    "l2_substring_dedup" -> 2.201, "l3_ann_ivf" -> 0.927,
+    "l3_ann_ivfpq" -> 1.827, "l3_ann_lsh" -> 2.046, "l3_ann_pq" -> 1.541,
+    "l3_ann_recall" -> 2.039, "l3_ann_trained" -> 2.884,
+    "l3_cosine_topk" -> 0.288, "l3_kmeans" -> 1.199,
+    "l4_bpe_pair_stats" -> 0.758, "l4_fingerprint" -> 0.916,
+    "l4_heavy_hitters" -> 0.565, "l4_lang_id" -> 0.494,
+    "l4_pii_redact" -> 0.735, "l4_quality_score" -> 0.658,
+    "l4_repetition_quality" -> 1.240, "l4_term_freq" -> 0.540,
+    "l4_tfidf" -> 0.935, "l4_token_stats" -> 0.730, "l5_histogram" -> 0.294,
+    "l6_decode_audio" -> 1.235, "l6_decode_features" -> 0.457,
+    "l6_decode_real" -> 1.626, "l6_multimodal_meta" -> 0.228,
+    "l6_quantize_int8" -> 0.355, "l6_resize_framesample" -> 0.195,
+    "l7_curation_pipeline" -> 0.807, "l8_bottomk_sample" -> 0.257,
+    "l8_deterministic_sample" -> 0.203, "l8_deterministic_split" -> 0.225,
+    "l8_mixture_weights" -> 0.247, "l8_stratified_sample" -> 0.181,
+    "l9_sequence_packing" -> 0.435, "l9_shard_export" -> 1.472,
+    "o1_topk" -> 0.166, "o2_limit" -> 0.144, "o3_union" -> 0.343,
+    "o3_union_distinct" -> 0.443, "o4_except" -> 0.409,
+    "o4_except_all" -> 0.647, "o4_intersect" -> 0.426,
+    "o4_intersect_all" -> 0.494, "p10_map_hof" -> 1.640, "p10_maps" -> 1.388,
+    "p11_envelope" -> 0.591, "p12_unpivot" -> 0.500,
+    "p13_subqueries" -> 0.583, "p14_variant" -> 2.018, "p1_prune" -> 0.710,
+    "p2_filter" -> 0.498, "p3_inlist" -> 0.237, "p4_strings" -> 0.327,
+    "p5_datetime" -> 0.470, "p6_math" -> 0.846, "p7_conditional" -> 0.223,
+    "p8_json" -> 0.925, "p8_json_nested" -> 3.239, "p9_array_fns" -> 0.166,
+    "p9_arrays" -> 0.215, "p9_explode" -> 0.158, "p9_posexplode" -> 0.174,
+    "s10_vector_index" -> 1.374, "s10b_index_append" -> 1.910,
+    "s11_schema_evolution" -> 0.911, "s12_compaction" -> 1.295,
+    "s13_dpp_join" -> 1.529, "s14_zorder_layout" -> 1.272,
+    "s15_stats_pruned_scan" -> 1.240, "s16_binaryfile_ingest" -> 1.139,
+    "s17_xml_roundtrip" -> 1.433, "s18_corrupt_drop" -> 0.437,
+    "s3_jdbc_roundtrip" -> 1.306, "s4_json_roundtrip" -> 0.615,
+    "s5_kafka_envelope" -> 0.281, "s6_csv_roundtrip" -> 0.472,
+    "s7_orc_roundtrip" -> 0.930, "s8_envelope_source" -> 0.986,
+    "s9_partitioned_prune" -> 0.699, "t1_tumbling" -> 0.537,
+    "t2_sliding" -> 0.464, "t3_session" -> 0.831,
+    "t4_watermark_closed" -> 0.432, "t5_dedup" -> 0.381,
+    "t6_stateful_running" -> 0.507, "t7_stream_static" -> 0.551,
+    "t8_foreachbatch_jdbc" -> 1.320, "t8c_exactly_once_jdbc" -> 1.790,
+    "t9_stream_stream" -> 0.443, "t9_stream_stream_full" -> 0.556,
+    "t9_stream_stream_outer" -> 0.437, "w1_ranking" -> 0.860,
+    "w2_analytic" -> 1.083, "w3_frames" -> 0.931, "w3_time_range" -> 0.594,
+    "w4_topk_per_group" -> 0.382, "w4_topk_window_idiom" -> 0.500,
+    "w5_distribution" -> 1.015, "w6_gap_fill" -> 0.863, "w7_funnel" -> 0.513,
+    "w8_retention" -> 0.427)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

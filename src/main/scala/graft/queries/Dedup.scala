@@ -742,7 +742,52 @@ object Dedup {
       duplicatedSpanStats(
         Qh.t(s, dir, "documents").select(col("doc_id"), col("text")), 8)
     }
-  )
+  ) :+ fuzzyJoinDecl
+
+  /** L14: FUZZY ENTITY MATCHING (record linkage) — the entity-level
+    * complement of the document near-dup family: candidate pairs from
+    * a cheap blocking key (leading name token + size — the classic
+    * blocking discipline: compare only within blocks, never all-pairs),
+    * scored with exact Levenshtein edit distance (both engines run the
+    * same textbook DP, so distances are integer-identical). At 100 TB
+    * the blocking join IS the scale story: pair volume is Σ block² not
+    * corpus², and the block key is tunable like an LSH band. */
+  // lazy: declared below `decls`, which references it (object vals
+  // initialize in declaration order — same note as the oSigs vals)
+  private lazy val fuzzyJoinDecl: Decl = Decl(
+    "l14_fuzzy_join",
+    """WITH p AS (
+      |  SELECT p_partkey, p_name, p_size,
+      |    split_part(p_name, ' ', 1) AS tok
+      |  FROM part)
+      |SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b
+      |  ON a.tok = b.tok AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY part_a, part_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val p = Qh
+      .t(s, dir, "part")
+      .select(
+        $"p_partkey", $"p_name", $"p_size",
+        substring_index($"p_name", " ", 1).as("tok"))
+    p.as("a")
+      .join(
+        p.as("b"),
+        $"a.tok" === $"b.tok" && $"a.p_size" === $"b.p_size" &&
+          $"a.p_partkey" < $"b.p_partkey")
+      .filter(levenshtein($"a.p_name", $"b.p_name") <= 2)
+      .select(
+        $"a.p_partkey".as("part_a"),
+        $"b.p_partkey".as("part_b"),
+        $"a.p_name".as("name_a"),
+        $"b.p_name".as("name_b"),
+        levenshtein($"a.p_name", $"b.p_name").cast("bigint").as("dist"))
+      .orderBy("part_a", "part_b")
+  }
 
   /** Per-document duplicated-span coverage: for each `w`-token window
     * of `docs.text`, the span is duplicated iff its window text recurs

@@ -9,6 +9,48 @@ import org.apache.spark.sql.types._
   * at-most-once drop-on-error delivery (kafka-database-import.go:211-214). */
 class StreamingRecoverySpec extends SparkSpec {
 
+  test("Trigger.AvailableNow drains the backlog, stops, and resumes incrementally") {
+    // the incremental-batch pattern that replaces nightly full reloads:
+    // each invocation processes exactly the files that arrived since
+    // the last checkpoint, then terminates on its own — same code path
+    // as the always-on stream, scheduled like a batch job
+    import org.apache.spark.sql.streaming.Trigger
+    val base = "/tmp/graft_stream_an"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val (inDir, ckpt, outDir) = (s"$base/in", s"$base/ckpt", s"$base/out")
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("v", LongType)))
+    def writeFile(name: String, ids: Range): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$inDir/$name.json"),
+        ids.map(i => s"""{"event_id": $i, "v": ${i * 10}}""")
+          .mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(inDir)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000) // AvailableNow self-terminates
+      assert(!q.isActive, "AvailableNow query did not stop on its own")
+    }
+    writeFile("b1", 0 until 40)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 40)
+    writeFile("b2", 40 until 70)
+    runOnce()
+    // second run processed ONLY the new file: 70 total, no duplicates
+    val ids = spark.read.parquet(outDir)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 70 && ids.distinct.length == 70,
+      s"expected 70 distinct ids, got ${ids.length}")
+  }
+
   test("restarted query resumes from the checkpoint, no loss, no dupes") {
     import spark.implicits._
     val base = "/tmp/graft_stream"

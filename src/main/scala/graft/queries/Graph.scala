@@ -219,26 +219,101 @@ object Graph {
     // model on random graphs, and the DuckDB oracle is an independent
     // exact triple self-join.
     Decl("l13_triangles", oTriSql) { (s, dir) =>
+      triangleStats(coSupplyEdges(s, dir))
+    },
+
+    // L13c: K-CORE decomposition (two unrolled synchronous peel rounds,
+    // k=24) over the same thresholded co-supply graph — the standard
+    // "dense sub-community" extractor (Seidman 1983; Batagelj–Zaveršnik
+    // peeling): each round simultaneously removes every node whose
+    // CURRENT degree is < k, edges incident to removed nodes disappear,
+    // degrees recompute. Rounds are unrolled (the l13_pagerank /
+    // l3_kmeans fixed-iteration discipline) so the oracle states the
+    // identical CTE rounds — the fixed-round state is well-defined
+    // whether or not the peel has converged. Per round: one semi-join
+    // to keep both-alive edges + one degree agg — at 100 TB the
+    // bucketed-adjacency layout (Graph.buildEdgeTable) makes the edge
+    // side of every round exchange-free.
+    Decl("l13_kcore", oKCoreSql) { (s, dir) =>
       import s.implicits._
-      // threshold to significant line items: an UNFILTERED bipartite
-      // projection densifies toward a clique as scale grows (every
-      // popular supplier pair eventually co-occurs) — thresholding is
-      // how production co-occurrence graphs stay sparse at any sf
-      val inc = Qh
-        .t(s, dir, "lineitem")
-        .filter($"l_quantity" >= 45)
-        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
-        .distinct()
-      // canonical u<v undirected edges, shared by degrees + orientation
-      val e = Qh.materialize(
-        inc
-          .as("a")
-          .join(inc.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
-          .select($"a.sk".as("u"), $"b.sk".as("v"))
-          .distinct())
-      triangleStats(e)
+      val e0 = coSupplyEdges(s, dir)
+      def degrees(e: org.apache.spark.sql.DataFrame) = e
+        .select($"u".as("node"))
+        .unionAll(e.select($"v".as("node")))
+        .groupBy($"node")
+        .agg(count(lit(1)).as("deg"))
+      var e = e0
+      var alive = degrees(e).filter($"deg" >= 24).select($"node")
+      for (_ <- 1 to 2) {
+        val al = Qh.materialize(alive)
+        e = e
+          .join(al.select($"node".as("u")), Seq("u"), "left_semi")
+          .join(al.select($"node".as("v")), Seq("v"), "left_semi")
+        alive = degrees(e).filter($"deg" >= 24).select($"node")
+      }
+      degrees(e)
+        .join(alive, Seq("node"), "left_semi")
+        .select($"node", $"deg".cast("bigint").as("core_deg"))
+        .orderBy("node")
     }
   )
+
+  /** Canonical u<v undirected co-supply edges: suppliers linked when
+    * they serve the same order, THRESHOLDED to significant line items —
+    * an unfiltered bipartite projection densifies toward a clique as
+    * scale grows (every popular supplier pair eventually co-occurs);
+    * thresholding is how production co-occurrence graphs stay sparse at
+    * any sf. Materialized once per call site (shared by the triangle
+    * and k-core decls). */
+  private def coSupplyEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val inc = Qh
+      .t(s, dir, "lineitem")
+      .filter($"l_quantity" >= 45)
+      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      .distinct()
+    Qh.materialize(
+      inc
+        .as("a")
+        .join(inc.as("b"), $"a.ok" === $"b.ok" && $"a.sk" < $"b.sk")
+        .select($"a.sk".as("u"), $"b.sk".as("v"))
+        .distinct())
+  }
+
+  /** Shared oracle CTE: the thresholded co-supply edge set.
+    * (lazy: declared below `decls`, whose init forces [[oKCoreSql]]) */
+  private lazy val oCoEdges: String =
+    """inc AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+      |  FROM lineitem WHERE l_quantity >= 45),
+      |e0 AS (
+      |  SELECT DISTINCT a.sk AS u, b.sk AS v
+      |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.sk < b.sk)""".stripMargin
+
+  /** Oracle for [[decls]]' l13_kcore: the same two unrolled synchronous
+    * peel rounds (three degree evaluations) + final core filter. */
+  private lazy val oKCoreSql: String = {
+    def deg(e: String, d: String) =
+      s"""$d AS (
+         |  SELECT node, count(*) AS deg
+         |  FROM (SELECT u AS node FROM $e UNION ALL SELECT v AS node FROM $e)
+         |  GROUP BY node)"""
+    def peel(ePrev: String, dPrev: String, eNext: String) =
+      s"""$eNext AS (
+         |  SELECT u, v FROM $ePrev
+         |  WHERE u IN (SELECT node FROM $dPrev WHERE deg >= 24)
+         |    AND v IN (SELECT node FROM $dPrev WHERE deg >= 24))"""
+    s"""WITH $oCoEdges,
+       |${deg("e0", "d0")},
+       |${peel("e0", "d0", "e1")},
+       |${deg("e1", "d1")},
+       |${peel("e1", "d1", "e2")},
+       |${deg("e2", "d2")}
+       |SELECT node, CAST(deg AS BIGINT) AS core_deg
+       |FROM d2 WHERE deg >= 24
+       |ORDER BY node""".stripMargin
+  }
 
   /** Triangle count, wedge count, and global clustering coefficient
     * over a canonical undirected edge set (`u < v`, distinct rows).

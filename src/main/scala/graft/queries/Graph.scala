@@ -223,33 +223,38 @@ object Graph {
     },
 
     // L13c: K-CORE decomposition (two unrolled synchronous peel rounds,
-    // k=24) over the same thresholded co-supply graph — the standard
-    // "dense sub-community" extractor (Seidman 1983; Batagelj–Zaveršnik
-    // peeling): each round simultaneously removes every node whose
-    // CURRENT degree is < k, edges incident to removed nodes disappear,
-    // degrees recompute. Rounds are unrolled (the l13_pagerank /
-    // l3_kmeans fixed-iteration discipline) so the oracle states the
-    // identical CTE rounds — the fixed-round state is well-defined
-    // whether or not the peel has converged. Per round: one semi-join
-    // to keep both-alive edges + one degree agg — at 100 TB the
-    // bucketed-adjacency layout (Graph.buildEdgeTable) makes the edge
-    // side of every round exchange-free.
+    // k=6) over a SPARSER co-supply graph (l_quantity >= 47) — the
+    // standard "dense sub-community" extractor (Seidman 1983;
+    // Batagelj–Zaveršnik peeling): each round simultaneously removes
+    // every node whose CURRENT degree is < k, edges incident to removed
+    // nodes disappear, degrees recompute. Rounds are unrolled (the
+    // l13_pagerank / l3_kmeans fixed-iteration discipline) so the
+    // oracle states the identical CTE rounds — the fixed-round state is
+    // well-defined whether or not the peel has converged. The (47, 6)
+    // parameters are the selective pair that still peels at EVERY
+    // fixture scale (sf0.001's graph is a 10-supplier near-clique:
+    // 2/1/10 nodes peel at sf0.001/0.01/0.1; the first cut's (45, 24)
+    // emptied the sf0.001 core entirely and failed the rows>0 smoke).
+    // Per round: one semi-join to keep both-alive edges + one degree
+    // agg — at 100 TB the bucketed-adjacency layout
+    // (Graph.buildEdgeTable) makes the edge side of every round
+    // exchange-free.
     Decl("l13_kcore", oKCoreSql) { (s, dir) =>
       import s.implicits._
-      val e0 = coSupplyEdges(s, dir)
+      val e0 = coSupplyEdges(s, dir, minQty = 47)
       def degrees(e: org.apache.spark.sql.DataFrame) = e
         .select($"u".as("node"))
         .unionAll(e.select($"v".as("node")))
         .groupBy($"node")
         .agg(count(lit(1)).as("deg"))
       var e = e0
-      var alive = degrees(e).filter($"deg" >= 24).select($"node")
+      var alive = degrees(e).filter($"deg" >= 6).select($"node")
       for (_ <- 1 to 2) {
         val al = Qh.materialize(alive)
         e = e
           .join(al.select($"node".as("u")), Seq("u"), "left_semi")
           .join(al.select($"node".as("v")), Seq("v"), "left_semi")
-        alive = degrees(e).filter($"deg" >= 24).select($"node")
+        alive = degrees(e).filter($"deg" >= 6).select($"node")
       }
       degrees(e)
         .join(alive, Seq("node"), "left_semi")
@@ -265,12 +270,13 @@ object Graph {
     * thresholding is how production co-occurrence graphs stay sparse at
     * any sf. Materialized once per call site (shared by the triangle
     * and k-core decls). */
-  private def coSupplyEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+  private def coSupplyEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String, minQty: Int = 45)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val inc = Qh
       .t(s, dir, "lineitem")
-      .filter($"l_quantity" >= 45)
+      .filter($"l_quantity" >= minQty)
       .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
       .distinct()
     Qh.materialize(
@@ -281,15 +287,14 @@ object Graph {
         .distinct())
   }
 
-  /** Shared oracle CTE: the thresholded co-supply edge set.
-    * (lazy: declared below `decls`, whose init forces [[oKCoreSql]]) */
-  private lazy val oCoEdges: String =
-    """inc AS (
-      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-      |  FROM lineitem WHERE l_quantity >= 45),
-      |e0 AS (
-      |  SELECT DISTINCT a.sk AS u, b.sk AS v
-      |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.sk < b.sk)""".stripMargin
+  /** Shared oracle CTE: the thresholded co-supply edge set. */
+  private def oCoEdges(minQty: Int): String =
+    s"""inc AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+       |  FROM lineitem WHERE l_quantity >= $minQty),
+       |e0 AS (
+       |  SELECT DISTINCT a.sk AS u, b.sk AS v
+       |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.sk < b.sk)""".stripMargin
 
   /** Oracle for [[decls]]' l13_kcore: the same two unrolled synchronous
     * peel rounds (three degree evaluations) + final core filter. */
@@ -302,16 +307,16 @@ object Graph {
     def peel(ePrev: String, dPrev: String, eNext: String) =
       s"""$eNext AS (
          |  SELECT u, v FROM $ePrev
-         |  WHERE u IN (SELECT node FROM $dPrev WHERE deg >= 24)
-         |    AND v IN (SELECT node FROM $dPrev WHERE deg >= 24))"""
-    s"""WITH $oCoEdges,
+         |  WHERE u IN (SELECT node FROM $dPrev WHERE deg >= 6)
+         |    AND v IN (SELECT node FROM $dPrev WHERE deg >= 6))"""
+    s"""WITH ${oCoEdges(minQty = 47)},
        |${deg("e0", "d0")},
        |${peel("e0", "d0", "e1")},
        |${deg("e1", "d1")},
        |${peel("e1", "d1", "e2")},
        |${deg("e2", "d2")}
        |SELECT node, CAST(deg AS BIGINT) AS core_deg
-       |FROM d2 WHERE deg >= 24
+       |FROM d2 WHERE deg >= 6
        |ORDER BY node""".stripMargin
   }
 

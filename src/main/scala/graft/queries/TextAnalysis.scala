@@ -691,6 +691,74 @@ object TextAnalysis {
           min($"n_chars").as("min_chars"),
           max($"n_chars").as("max_chars"))
         .orderBy("lang", "source")
+    },
+
+    // L4j: BIGRAM-LM QUALITY SCORE — the perplexity-style filter of the
+    // CCNet pipeline (Wenzek et al. 2020): train an add-k-smoothed
+    // bigram language model on the corpus, score every document by its
+    // mean log P(w_i | w_{i-1}), low scores = boilerplate/gibberish.
+    // Shape at 100 TB: tokenize is a narrow map; the bigram/unigram
+    // count tables are single hash aggs on well-distributed token keys;
+    // scoring joins the doc-bigram stream to the count tables on those
+    // SAME keys, so the count agg's output partitioning is reused (no
+    // second exchange on the build side); the vocab size is a one-row
+    // broadcast. The multiply-consumed bigram and unigram subtrees are
+    // materialized once (Catalyst does not reuse exchanges across
+    // consumers — the LSH-signature lesson). Determinism: each log-prob
+    // is IEEE-rounded at 6 decimals, the per-doc mean is an exact
+    // DECIMAL sum over those rounded terms (order-independent) divided
+    // by the count — both engines run identical instructions.
+    Decl(
+      "l4_lm_score",
+      s"""WITH d AS (SELECT doc_id, ${Qh.oToksExpr} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+         |  FROM d WHERE len(t) >= 2),
+         |uni AS (
+         |  SELECT tok, count(*) AS n1
+         |  FROM (SELECT unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |  GROUP BY tok),
+         |big AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+         |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+         |scored AS (
+         |  SELECT bg.doc_id,
+         |    ${Qh.oR6("ln((big.n2 + 0.5) / (uni.n1 + 0.5 * v.v))")} AS lp
+         |  FROM bg
+         |  JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+         |  JOIN uni ON bg.w1 = uni.tok
+         |  CROSS JOIN v)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  ${Qh.oR6(s"(${Qh.oSum6("lp")} / count(*))")} AS avg_logprob
+         |FROM scored
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Qh.t(s, dir, "documents")
+      val bg = Qh.materialize(
+        docs.select($"doc_id", expr(Qh.toksExpr).as("t"))
+          .filter(size($"t") >= 2)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(t) - 2), " +
+              "i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2")))
+      val uni = Qh.materialize(
+        docs.select(explode(expr(Qh.toksExpr)).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("n1")))
+      val big = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n2"))
+      val v = uni.agg(count(lit(1)).cast(DoubleType).as("v"))
+      bg.join(big, Seq("w1", "w2"))
+        .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select($"doc_id",
+          Qh.r6(log(($"n2" + lit(0.5)) / ($"n1" + lit(0.5) * $"v"))).as("lp"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).cast(LongType).as("n_bigrams"),
+          Qh.r6(Qh.sumd6($"lp") / count(lit(1))).as("avg_logprob"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -411,6 +411,68 @@ object Joins {
           sum(least($"en", $"w_start" + wlen) -
             greatest($"st", $"w_start")).cast("bigint").as("overlap_ms"))
         .orderBy("window_start_ms")
+    },
+
+    // J13: SPATIAL PROXIMITY JOIN — all (customer site, supplier site)
+    // pairs within planar distance r, the geospatial workhorse join
+    // (geohash/S2-cell blocking in production systems). Coordinates
+    // are synthesized deterministically from the keys via the portable
+    // hash (integer mod + one exact IEEE division — bit-identical in
+    // both engines; the fixtures carry no geo columns). Blocking: the
+    // plane is cut into r×r grid cells; ONE side explodes to its 3×3
+    // neighbor cells (a narrow Generate, the j11 salt idiom), the
+    // other keeps its single home cell, so the join is a plain cell
+    // equi-join + squared-distance residual — each qualifying pair
+    // meets in EXACTLY one (probe-cell, home-cell) combination, so no
+    // dedup pass. At 100 TB: shuffle is keyed on cells (bounded fanout
+    // ×9 on one side only), never all-pairs; per-cell work is local
+    // density, the same reason S2/geohash indexes scale. Distance math
+    // is pure IEEE (squared Euclidean — no trig drift), so the oracle
+    // can independently verify COMPLETENESS with a brute-force
+    // all-pairs filter (the l13_triangles oracle discipline).
+    Decl(
+      "j13_spatial_grid",
+      s"""WITH c AS (
+         |  SELECT c_custkey AS ck,
+         |    (${Qh.oPhash("CAST(c_custkey AS VARCHAR)", 101)} % 100000) / 1000.0 AS x,
+         |    (${Qh.oPhash("CAST(c_custkey AS VARCHAR)", 102)} % 100000) / 1000.0 AS y
+         |  FROM customer),
+         |s AS (
+         |  SELECT s_suppkey AS sk,
+         |    (${Qh.oPhash("CAST(s_suppkey AS VARCHAR)", 101)} % 100000) / 1000.0 AS x,
+         |    (${Qh.oPhash("CAST(s_suppkey AS VARCHAR)", 102)} % 100000) / 1000.0 AS y
+         |  FROM supplier)
+         |SELECT c.ck AS c_custkey, s.sk AS s_suppkey,
+         |  ${Qh.oR6("sqrt((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))")} AS dist
+         |FROM c JOIN s
+         |  ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 4.0
+         |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val r = 2.0 // proximity radius == grid pitch
+      def sites(df: org.apache.spark.sql.DataFrame, key: String, out: String) =
+        df.select(
+            col(key).as(out),
+            (Qh.phash(col(key).cast("string"), 101) % 100000 / lit(1000.0)).as("x"),
+            (Qh.phash(col(key).cast("string"), 102) % 100000 / lit(1000.0)).as("y"))
+          .withColumn("cx", floor($"x" / r).cast("long"))
+          .withColumn("cy", floor($"y" / r).cast("long"))
+      val cust = sites(Qh.t(s, dir, "customer"), "c_custkey", "ck")
+        // probe side fans out to the 3×3 neighborhood — narrow Generate
+        .withColumn("d", explode(expr(
+          "transform(sequence(0, 8), i -> named_struct(" +
+            "'gx', cx + i DIV 3 - 1, 'gy', cy + i % 3 - 1))")))
+        .select($"ck", $"x".as("xc"), $"y".as("yc"),
+          $"d.gx".as("gx"), $"d.gy".as("gy"))
+      val supp = sites(Qh.t(s, dir, "supplier"), "s_suppkey", "sk")
+        .select($"sk", $"x".as("xs"), $"y".as("ys"),
+          $"cx".as("gx"), $"cy".as("gy"))
+      cust.join(supp, Seq("gx", "gy"))
+        .filter(($"xc" - $"xs") * ($"xc" - $"xs") +
+          ($"yc" - $"ys") * ($"yc" - $"ys") <= r * r)
+        .select($"ck".as("c_custkey"), $"sk".as("s_suppkey"),
+          Qh.r6(sqrt(($"xc" - $"xs") * ($"xc" - $"xs") +
+            ($"yc" - $"ys") * ($"yc" - $"ys"))).as("dist"))
+        .orderBy("c_custkey", "s_suppkey")
     }
   )
 }

@@ -494,6 +494,39 @@ object Projections {
           variant_get($"v", "$.event_type", "string").as("vtype"),
           variant_get($"v", "$.ids[1]", "bigint").as("id2"))
         .orderBy("event_id")
+    },
+
+    // P15: LATERAL correlated subquery — the "top-N per outer row" SQL
+    // surface (here: each nation's two richest customers). The engine
+    // point is what Catalyst DOES with it: the correlated LIMIT
+    // subquery decorrelates into one window-ranked semi-structured
+    // join — executed ONCE over all nations, never re-run per outer
+    // row (PlanSpec pins no nested-loop re-execution shape). At 100 TB
+    // the per-row re-execution a naive engine does here is the
+    // difference between one pass and |outer| passes over the fact.
+    // Ties broken by c_custkey, so the selected rows are total-order
+    // deterministic. The oracle runs the identical LATERAL text.
+    Decl(
+      "p15_lateral",
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |  LATERAL (
+        |    SELECT c_custkey, c_acctbal FROM customer c
+        |    WHERE c.c_nationkey = n.n_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey
+        |    LIMIT 2) t
+        |ORDER BY n_name, c_custkey""".stripMargin) { (s, dir) =>
+      Qh.t(s, dir, "nation").createOrReplaceTempView("p15_nation")
+      Qh.t(s, dir, "customer").createOrReplaceTempView("p15_customer")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM p15_nation n,
+          |  LATERAL (
+          |    SELECT c_custkey, c_acctbal FROM p15_customer c
+          |    WHERE c.c_nationkey = n.n_nationkey
+          |    ORDER BY c_acctbal DESC, c_custkey
+          |    LIMIT 2) t
+          |ORDER BY n_name, c_custkey""".stripMargin)
     }
   )
 }

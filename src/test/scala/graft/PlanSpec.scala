@@ -73,7 +73,7 @@ class PlanSpec extends SparkSpec {
   test("pair-generating LLM ops contain no cartesian product or BNLJ") {
     for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
       "j7_range", "l2_substring_dedup", "l13_triangles",
-      "w7_funnel", "w8_retention")) {
+      "w7_funnel", "w8_retention", "j13_spatial_grid")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")
@@ -113,6 +113,35 @@ class PlanSpec extends SparkSpec {
   test("j8 is the only declared cross join") {
     val p = plan("j8_cross")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+  }
+
+  test("j13: spatial join is a cell equi-join with a narrow neighbor Generate") {
+    val p = plan("j13_spatial_grid")
+    assert(p.contains("Generate"),
+      "probe-side 3x3 fanout must be an explode, not a join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "spatial blocking must keep the join an equi-join, never all-pairs")
+  }
+
+  test("p15: correlated LATERAL decorrelates to one windowed equi-join") {
+    // the engine must run the correlated LIMIT subquery as ONE pass
+    // (window rank + join), never re-executed per outer row; the W4
+    // bounded-heap rewrite should fire under the decorrelated rank
+    val p = plan("p15_lateral")
+    assert(p.contains("TopKPerGroup"),
+      s"expected the W4 bounded-heap rewrite under the decorrelated rank:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "lateral must not plan as per-outer-row re-execution")
+  }
+
+  test("l4_lm_score: count-table joins stay equi-joins; only the vocab scalar nested-loops") {
+    val p = plan("l4_lm_score")
+    assert(!p.contains("CartesianProduct"), "lm score: cartesian product!")
+    // the one-row vocab broadcast is the single permitted BNLJ; the
+    // bigram/unigram count joins must stay hash/merge equi-joins
+    // (formatted explain lists each node twice: tree + detail header)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size
+    assert(bnlj <= 2, s"lm score: more than one nested-loop join in\n${p.take(800)}")
   }
 
   test("s9: partition-column filter prunes via directory names, not row filters") {

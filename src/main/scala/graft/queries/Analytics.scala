@@ -118,6 +118,55 @@ object Analytics {
         .groupBy($"cw".as("cohort_week"), ($"wk" - $"cw").as("week_offset"))
         .agg(count(lit(1)).cast("bigint").as("n_active"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // W9: ROLLING Z-SCORE ANOMALY DETECTION — flag events whose value
+    // deviates > 3σ from that user's own trailing window (previous 20
+    // events, ≥ 10 required), the standard streaming-metrics outlier
+    // rule. One user-keyed exchange + one in-partition sort serves the
+    // whole computation — the w3 frames shape, so it scales as far as
+    // any per-entity window does. Exactness: values live on the cent
+    // grid, so they scale to EXACT BIGINT (vi = value·100); the
+    // trailing count/sum/sum-of-squares are integer window aggs
+    // (order-proof — no float accumulation across an arbitrary frame
+    // order), and z = (n·x − Σv) / √(n·Σv² − (Σv)²) evaluates in
+    // doubles from identical exact integers on both engines. Variance
+    // products stay ≪ 2^63 (n ≤ 20, vi ≤ 49 002).
+    Decl(
+      "w9_anomaly",
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi, value
+         |  FROM events),
+         |st AS (
+         |  SELECT *,
+         |    CAST(count(vi) OVER w AS BIGINT) AS n,
+         |    CAST(sum(vi) OVER w AS BIGINT) AS sv,
+         |    CAST(sum(vi * vi) OVER w AS BIGINT) AS sv2
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id
+         |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+         |SELECT event_id, user_id, value,
+         |  ${Qh.oR6("CAST(n * vi - sv AS DOUBLE) / sqrt(CAST(n * sv2 - sv * sv AS DOUBLE))")} AS z
+         |FROM st
+         |WHERE n >= 10 AND n * sv2 - sv * sv > 0
+         |  AND abs(CAST(n * vi - sv AS DOUBLE) / sqrt(CAST(n * sv2 - sv * sv AS DOUBLE))) > 3.0
+         |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tms", $"event_id")
+        .rowsBetween(-20, -1)
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", unix_millis(Qh.tsUs($"ts")).as("tms"),
+          floor($"value" * 100 + lit(0.5)).cast("long").as("vi"), $"value")
+        .withColumn("n", count($"vi").over(w).cast("long"))
+        .withColumn("sv", sum($"vi").over(w).cast("long"))
+        .withColumn("sv2", sum($"vi" * $"vi").over(w).cast("long"))
+        .filter($"n" >= 10 && $"n" * $"sv2" - $"sv" * $"sv" > 0)
+        .withColumn("z", ($"n" * $"vi" - $"sv").cast("double") /
+          sqrt(($"n" * $"sv2" - $"sv" * $"sv").cast("double")))
+        .filter(abs($"z") > 3.0)
+        .select($"event_id", $"user_id", $"value", Qh.r6($"z").as("z"))
+        .orderBy("event_id")
     }
   )
 }

@@ -362,6 +362,42 @@ object TextAnalysis {
         .orderBy("lang", "smp_key", "doc_id")
     },
 
+    // L8f: WEIGHTED sample without replacement per stratum — the
+    // Efraimidis–Spirakis (2006) A-ES scheme made deterministic: each
+    // doc draws u ∈ (0,1) from the portable hash and gets the
+    // exponential key -ln(u)/w with w = n_chars (longer docs
+    // proportionally likelier); the k SMALLEST keys per lang are the
+    // sample. This is the scheme's distributed strength: keys are
+    // independent per row (one narrow map), selection is bottom-k —
+    // which the W4 rewrite lowers onto the bounded-heap TopKPerGroup,
+    // so losers never cross the exchange. ln (not pow: libm pow is not
+    // cross-engine bit-stable, the l8_mixture_weights lesson) over
+    // identical doubles; the reported key is fixed-point-rounded at
+    // 1e-12, selection uses the raw key with doc_id tiebreak.
+    Decl(
+      "l8_weighted_sample",
+      s"""SELECT lang, doc_id, n_chars,
+         |  ${Qh.oR("-ln((%s %% 1048576 + 0.5) / 1048576.0) / CAST(n_chars AS DOUBLE)".format(Qh.oPhash("CAST(doc_id AS VARCHAR)", 23)), 1000000000000L)} AS es_key
+         |FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY -ln((${Qh.oPhash("CAST(doc_id AS VARCHAR)", 23)} % 1048576 + 0.5) / 1048576.0) / CAST(n_chars AS DOUBLE), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 5
+         |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"es_key".asc, $"doc_id".asc)
+      Qh.t(s, dir, "documents")
+        .select($"lang", $"doc_id", $"n_chars",
+          (-log((Qh.phash($"doc_id".cast(StringType), 23) % 1048576 + lit(0.5))
+            / 1048576.0) / $"n_chars".cast(DoubleType)).as("es_key"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"lang", $"doc_id", $"n_chars",
+          Qh.r($"es_key", 1000000000000L).as("es_key"))
+        .orderBy("lang", "doc_id")
+    },
+
     // L8d: DOMAIN-MIXTURE WEIGHTS — temperature-scaled sampling weights
     // per (lang, source) block, the standard fix for over-represented
     // domains when composing a training mixture (the p^α reweighting of

@@ -375,9 +375,11 @@ class PlanSpec extends SparkSpec {
     // the mergeability claim in the l8_bottomk_sample scaladoc: the
     // window idiom must lower onto partial+final TopKPerGroupExec so
     // losers never cross the exchange
-    val p = plan("l8_bottomk_sample")
-    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 2,
-      s"bottom-k sample not on the bounded-heap operator:\n$p")
+    for (q <- Seq("l8_bottomk_sample", "l8_weighted_sample")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 2,
+        s"$q not on the bounded-heap operator:\n$p")
+    }
   }
 
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {

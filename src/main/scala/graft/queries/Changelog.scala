@@ -179,6 +179,68 @@ object Changelog {
           when($"op" === "U", $"new_bal").otherwise($"c_acctbal").as("acctbal"),
           coalesce($"op", lit("K")).as("last_op"))
         .orderBy("c_custkey")
+    },
+
+    // C5: RETRACTABLE AGGREGATE MAINTENANCE — C3's MV refresh under a
+    // change stream that also RETRACTS previously-aggregated rows (the
+    // Flink/Materialize retraction model: every change is (row, ±1)).
+    // The batch unions inserts (+1) and retractions (−1) and reduces
+    // to ONE signed partial row per key before the merge; the
+    // full-outer coalesce-merge adds signed counts and DECIMAL sums,
+    // and keys whose merged count hits ZERO are dropped from the view
+    // (the path plain upsert-MVs never exercise — 76/860/8499 daily
+    // keys zero out at sf0.001/0.01/0.1). Count and sum are the
+    // retractable aggregates; max is deliberately absent — it is not
+    // invertible under deletes (a retracted max needs a re-scan or an
+    // order-statistic sketch), which is exactly why production
+    // retraction pipelines carry count/sum and recompute extrema.
+    // Cost ∝ |MV| + |batch|; the corpus is never rescanned. The oracle
+    // re-aggregates the post-change row set from scratch, so a zero
+    // key kept, a key dropped early, or a double-applied retraction
+    // breaks the hash.
+    Decl(
+      "c5_retractable_agg",
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, value,
+         |    epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+         |  FROM events)
+         |SELECT user_id, event_type, day,
+         |  count(*) AS n_events,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM e
+         |WHERE event_id % 10 = 0 OR event_id % 7 <> 0
+         |GROUP BY user_id, event_type, day
+         |ORDER BY user_id, event_type, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = Qh.ioDir("c5_mv")
+      val e = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          (unix_millis(Qh.tsUs($"ts")) / 86400000L).cast("long").as("day"))
+      val keys = Seq($"user_id", $"event_type", $"day")
+      // standing MV from the already-ingested corpus (event_id%10 != 0)
+      e.filter($"event_id" % 10 =!= 0)
+        .groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 2))).as("s"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/v0")
+      // change batch: new arrivals (+1) ∪ replayed base rows (−1),
+      // reduced to one SIGNED partial per key before the merge
+      val batch = e.filter($"event_id" % 10 === 0).withColumn("sgn", lit(1L))
+        .unionAll(e.filter($"event_id" % 10 =!= 0 && $"event_id" % 7 === 0)
+          .withColumn("sgn", lit(-1L)))
+        .groupBy(keys: _*)
+        .agg(sum($"sgn").as("n"),
+          sum(($"value" * $"sgn").cast(DecimalType(18, 2))).as("s"))
+      s.read.parquet(s"$root/v0").as("m")
+        .join(batch.as("b"), Seq("user_id", "event_type", "day"), "full_outer")
+        .select($"user_id", $"event_type", $"day",
+          (coalesce($"m.n", lit(0L)) + coalesce($"b.n", lit(0L))).as("n"),
+          (coalesce($"m.s", lit(0).cast(DecimalType(18, 2))) +
+            coalesce($"b.s", lit(0).cast(DecimalType(18, 2)))).as("s"))
+        .filter($"n" > 0) // fully-retracted keys leave the view
+        .select($"user_id", $"event_type", $"day", $"n".as("n_events"),
+          $"s".cast(DoubleType).as("total_value"))
+        .orderBy("user_id", "event_type", "day")
     }
   )
 }

@@ -214,6 +214,30 @@ object StreamingBatch {
         .orderBy("purchase_id", "click_id")
     },
 
+    // T9d: the LEFT SEMI form — "did a qualifying click precede this
+    // purchase": one row per converted purchase regardless of how many
+    // clicks matched (inner + distinct would shuffle the fanout twice;
+    // semi stores no extra state — see Streams.streamStreamLeftSemi).
+    Decl(
+      "t9_stream_stream_semi",
+      """SELECT p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.event_type = 'click'
+        |    AND c.user_id = p.user_id
+        |    AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '1 hour'
+        |    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", Qh.tsUs($"ts").as("ts"), $"event_type")
+      Streams.streamStreamLeftSemi(
+          ev.filter($"event_type" === "purchase"),
+          ev.filter($"event_type" === "click"))
+        .orderBy("purchase_id")
+    },
+
     // T8: the full streaming sink loop, oracle-checked end to end — a
     // REAL streaming query (file source → foreachBatch → JDBC/Derby),
     // then the landed table is read back through spark.read.jdbc and

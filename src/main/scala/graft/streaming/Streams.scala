@@ -176,6 +176,77 @@ object Streams {
     }
   }
 
+  final case class SessionOut(
+      user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+  final case class SessAgg(startMs: Long, lastMs: Long, n: Long, timerMs: Long)
+
+  /** T11: TIMER-DRIVEN SESSION TIMEOUT on the v2 state API — the state
+    * type the ValueState/ListState processors don't exercise: EVENT-TIME
+    * TIMERS. Each key holds one open session (start, last, count) and
+    * ONE registered timer at last+gap; a new event within the gap
+    * deletes the old timer and re-registers (the session extends), and
+    * when the WATERMARK passes the timer the framework calls
+    * handleExpiredTimer — the session closes and its state clears even
+    * if the key never receives another row (the case batch
+    * sessionization and input-driven state can't handle: emission is
+    * driven by time, not by data arrival). State is O(open sessions);
+    * timers live in the same RocksDB store and survive restarts with
+    * the checkpoint. */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut]
+      with Serializable {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[SessAgg] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessAgg](
+        "sess", org.apache.spark.sql.Encoders.product[SessAgg],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        user: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val times = rows.map(_.ts.getTime).toSeq
+      val prev = if (st.exists()) Some(st.get()) else None
+      prev.foreach(p => getHandle.deleteTimer(p.timerMs))
+      val start = math.min(prev.map(_.startMs).getOrElse(Long.MaxValue), times.min)
+      val last = math.max(prev.map(_.lastMs).getOrElse(Long.MinValue), times.max)
+      val expiry = last + gapMs
+      getHandle.registerTimer(expiry)
+      st.update(SessAgg(start, last, prev.map(_.n).getOrElse(0L) + times.size, expiry))
+      Iterator.empty // sessions emit on timeout, never on arrival
+    }
+
+    override def handleExpiredTimer(
+        user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        st.clear() // closed: state AND timer are gone for this key
+        Iterator.single(SessionOut(user, s.startMs, s.lastMs, s.n))
+      }
+    }
+  }
+
+  /** T11 via transformWithState (see [[SessionTimeoutProcessor]]);
+    * event-time timers require a watermark on the input. */
+  def sessionTimeoutTws(events: Dataset[Ev], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTimeoutProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** T10 via transformWithState (see [[LastNProcessor]]). */
   def lastNTws(events: Dataset[Ev], n: Int): Dataset[LastN] = {
     import events.sparkSession.implicits._
@@ -244,6 +315,23 @@ object Streams {
       .select(
         col("p.event_id").as("purchase_id"),
         col("c.event_id").as("click_id"))
+
+  /** T9d: stream–stream LEFT SEMI interval join — purchases that HAD a
+    * qualifying click, each emitted EXACTLY ONCE no matter how many
+    * clicks matched (the dedup-free "conversion happened" probe; an
+    * inner join would fan out per click and need a distinct). Spark
+    * emits the semi row as soon as the first match arrives and stores
+    * NO click rows beyond the interval state the inner form already
+    * keeps — at scale this is strictly cheaper than inner + distinct,
+    * which would shuffle the fanned-out matches a second time. */
+  def streamStreamLeftSemi(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.alias("p").join(
+      clicks.alias("c"),
+      expr("""p.user_id = c.user_id
+             |AND c.ts >= p.ts - INTERVAL 1 HOUR
+             |AND c.ts <= p.ts""".stripMargin),
+      "left_semi")
+      .select(col("p.event_id").as("purchase_id"))
 
   /** T8: foreachBatch JDBC sink — the north star's "Kafka source + JDBC
     * sink" tail. Append per micro-batch; idempotence at the table level

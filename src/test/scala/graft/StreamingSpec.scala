@@ -123,6 +123,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("T9d: left-semi stream-stream join emits each converted purchase exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[E]
+    val clicks = MemoryStream[E]
+    val q = Streams.streamStreamLeftSemi(
+        purchases.toDF().withWatermark("ts", "2 hours"),
+        clicks.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("t9d_out")
+      .outputMode("append").start()
+    try {
+      // TWO qualifying clicks for purchase 1 — an inner join would fan
+      // out to two rows; semi must emit the purchase exactly once
+      clicks.addData(E(10, ts(30), 1, "click", 1.0), E(11, ts(40), 1, "click", 1.0))
+      q.processAllAvailable()
+      purchases.addData(E(1, ts(70), 1, "purchase", 5.0))
+      // purchase 2 has no qualifying click: never emits
+      purchases.addData(E(2, ts(70), 2, "purchase", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("t9d_out")
+        .select($"purchase_id").as[Long].collect().toSeq
+      assert(out == Seq(1L), s"semi join emitted: $out (want exactly one row for purchase 1)")
+    } finally q.stop()
+  }
+
   test("T9b: left-outer stream-stream join emits null-padded rows only after the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -135,6 +135,56 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions on watermark, extend on in-gap arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_timer_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def ms(m: Int) = ts(m).getTime
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionTimeoutTws(mem.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("tws_timer_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // open a session for user 7, then EXTEND it within the gap in a
+      // later micro-batch (the old timer must be deleted, not fire)
+      mem.addData(Streams.Ev(1, ts(1), 7, 1.0))
+      q.processAllAvailable()
+      mem.addData(Streams.Ev(2, ts(4), 7, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("tws_timer_out").isEmpty,
+        "session emitted before its gap elapsed")
+      // an unrelated user's event advances the watermark past 00:09 —
+      // user 7's timer fires in the ensuing no-data batch even though
+      // user 7 never sends another row
+      mem.addData(Streams.Ev(10, ts(30), 9, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("tws_timer_out")
+        .as[Streams.SessionOut].collect().toSet
+      assert(out == Set(Streams.SessionOut(7, ms(1), ms(4), 2)),
+        s"want ONE extended session for user 7: $out")
+      // user 9's session is still open (watermark hasn't passed 00:35)
+      mem.addData(Streams.Ev(11, Timestamp.valueOf("2024-01-01 01:00:00"), 5, 1.0))
+      q.processAllAvailable()
+      val out2 = spark.table("tws_timer_out")
+        .as[Streams.SessionOut].collect().toSet
+      assert(out2.contains(Streams.SessionOut(9, ms(30), ms(30), 1)),
+        s"user 9's timeout never fired: $out2")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState agrees with flatMapGroupsWithState in batch") {
     import spark.implicits._
     val ev = Tables(spark, sf0001, "events")

@@ -449,30 +449,53 @@ object Joins {
          |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, dir) =>
       import s.implicits._
       val r = 2.0 // proximity radius == grid pitch
-      def sites(df: org.apache.spark.sql.DataFrame, key: String, out: String) =
+      def sites(df: org.apache.spark.sql.DataFrame, key: String) =
         df.select(
-            col(key).as(out),
-            (Qh.phash(col(key).cast("string"), 101) % 100000 / lit(1000.0)).as("x"),
-            (Qh.phash(col(key).cast("string"), 102) % 100000 / lit(1000.0)).as("y"))
-          .withColumn("cx", floor($"x" / r).cast("long"))
-          .withColumn("cy", floor($"y" / r).cast("long"))
-      val cust = sites(Qh.t(s, dir, "customer"), "c_custkey", "ck")
-        // probe side fans out to the 3×3 neighborhood — narrow Generate
-        .withColumn("d", explode(expr(
-          "transform(sequence(0, 8), i -> named_struct(" +
-            "'gx', cx + i DIV 3 - 1, 'gy', cy + i % 3 - 1))")))
-        .select($"ck", $"x".as("xc"), $"y".as("yc"),
-          $"d.gx".as("gx"), $"d.gy".as("gy"))
-      val supp = sites(Qh.t(s, dir, "supplier"), "s_suppkey", "sk")
-        .select($"sk", $"x".as("xs"), $"y".as("ys"),
-          $"cx".as("gx"), $"cy".as("gy"))
-      cust.join(supp, Seq("gx", "gy"))
-        .filter(($"xc" - $"xs") * ($"xc" - $"xs") +
-          ($"yc" - $"ys") * ($"yc" - $"ys") <= r * r)
-        .select($"ck".as("c_custkey"), $"sk".as("s_suppkey"),
-          Qh.r6(sqrt(($"xc" - $"xs") * ($"xc" - $"xs") +
-            ($"yc" - $"ys") * ($"yc" - $"ys"))).as("dist"))
+          col(key).as("id"),
+          (Qh.phash(col(key).cast("string"), 101) % 100000 / lit(1000.0)).as("x"),
+          (Qh.phash(col(key).cast("string"), 102) % 100000 / lit(1000.0)).as("y"))
+      gridProximityPairs(
+          sites(Qh.t(s, dir, "customer"), "c_custkey"),
+          sites(Qh.t(s, dir, "supplier"), "s_suppkey"), r)
+        .select($"left_id".as("c_custkey"), $"right_id".as("s_suppkey"), $"dist")
         .orderBy("c_custkey", "s_suppkey")
     }
   )
+
+  /** All (left, right) point pairs within planar distance `r`, as a
+    * grid-blocked equi-join: the plane is cut into r×r cells, the LEFT
+    * side explodes to its 3×3 neighbor cells (narrow Generate — the
+    * J11 salt idiom), the right keeps its single home cell, and the
+    * squared-distance residual runs on the cell equi-join's output.
+    * Every qualifying pair meets in EXACTLY one (probe-cell,
+    * home-cell) combination, so no dedup pass. Inputs: (id, x, y);
+    * output: (left_id, right_id, dist) with dist IEEE-rounded at 1e-6.
+    * Property-tested against the brute-force all-pairs filter on
+    * random point sets (PropertySpec), same discipline as
+    * [[Graph.triangleStats]]. */
+  def gridProximityPairs(
+      left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame,
+      r: Double): org.apache.spark.sql.DataFrame = {
+    val s = left.sparkSession
+    import s.implicits._
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cx", floor($"x" / r).cast("long"))
+      .withColumn("cy", floor($"y" / r).cast("long"))
+    val probe = cells(left)
+      .withColumn("d", explode(expr(
+        "transform(sequence(0, 8), i -> named_struct(" +
+          "'gx', cx + i DIV 3 - 1, 'gy', cy + i % 3 - 1))")))
+      .select($"id".as("left_id"), $"x".as("xl"), $"y".as("yl"),
+        $"d.gx".as("gx"), $"d.gy".as("gy"))
+    val home = cells(right)
+      .select($"id".as("right_id"), $"x".as("xr"), $"y".as("yr"),
+        $"cx".as("gx"), $"cy".as("gy"))
+    probe.join(home, Seq("gx", "gy"))
+      .filter(($"xl" - $"xr") * ($"xl" - $"xr") +
+        ($"yl" - $"yr") * ($"yl" - $"yr") <= r * r)
+      .select($"left_id", $"right_id",
+        Qh.r6(sqrt(($"xl" - $"xr") * ($"xl" - $"xr") +
+          ($"yl" - $"yr") * ($"yl" - $"yr"))).as("dist"))
+  }
 }

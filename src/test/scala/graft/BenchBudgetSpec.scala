@@ -8,9 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchBudgetSpec extends AnyFunSuite {
 
   test("a deliberately slowed query trips its budget at sf0.1") {
-    // current measured time ~3.7 s; simulate a 10× plan regression
-    val slowed = Bench.checkBudget("l13_pagerank", 37.0, "/root/testdata/sf0.1")
-    assert(slowed.isDefined, "10x-slowed heavy query must breach the 20 s ceiling")
+    // simulate a 10× plan regression on the heaviest pinned query —
+    // derived from the pin itself so repins can't silently defang this
+    val tenX = Bench.pinnedSeconds("l13_pagerank") * 10.0
+    val slowed = Bench.checkBudget("l13_pagerank", tenX, "/root/testdata/sf0.1")
+    assert(slowed.isDefined, "10x-slowed heavy query must breach its 5x ceiling")
     assert(slowed.get.contains("budget exceeded"))
     val slowedLight = Bench.checkBudget("o1_topk", 12.0, "/root/testdata/sf0.1")
     assert(slowedLight.isDefined, "slowed light query must breach the 10 s ceiling")

@@ -136,4 +136,37 @@ class PropertySpec extends SparkSpec {
       assert(got == model, s"trial $trial (w=$w): $got != $model")
     }
   }
+
+  test("grid proximity join finds exactly the brute-force pairs on random points") {
+    import spark.implicits._
+    // random point clouds incl. negative coords (floor-division cells
+    // must block correctly left of the origin) and radius-straddling
+    // cluster spacing, vs the O(n^2) model
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val r = Seq(0.5, 1.0, 2.0, 3.7)(trial - 1)
+      def cloud(n: Int, offset: Int) = (0 until n).map { i =>
+        (offset + i.toLong,
+          (rnd.nextDouble() - 0.5) * 20.0,
+          (rnd.nextDouble() - 0.5) * 20.0)
+      }
+      val ls = cloud(60, 0)
+      val rs = cloud(60, 1000)
+      val model = (for {
+        (li, lx, ly) <- ls
+        (ri, rx, ry) <- rs
+        if (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= r * r
+      } yield (li, ri)).toSet
+      val got = Joins
+        .gridProximityPairs(
+          ls.toDF("id", "x", "y"), rs.toDF("id", "x", "y"), r)
+        .select($"left_id", $"right_id").as[(Long, Long)]
+        .collect()
+      assert(got.length == got.toSet.size,
+        s"trial $trial (r=$r): duplicate pairs emitted")
+      assert(got.toSet == model,
+        s"trial $trial (r=$r): missing=${(model -- got.toSet).take(3)} " +
+          s"extra=${(got.toSet -- model).take(3)}")
+    }
+  }
 }

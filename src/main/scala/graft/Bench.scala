@@ -36,6 +36,7 @@ object Bench {
     "c5_retractable_agg" -> 1.971, "flagship_pipeline" -> 0.521,
     "j10_bloom_semi" -> 1.126, "j11_salted_skew_join" -> 0.776,
     "j12_interval_overlap" -> 1.105, "j13_spatial_grid" -> 0.948,
+    "j14_cobucketed_join" -> 2.994,
     "j1_semi_broadcast" -> 0.798, "j2_inner" -> 0.530,
     "j3_multiway" -> 1.553, "j4_full_outer" -> 0.438,
     "j4_left_outer" -> 0.386, "j5_anti" -> 0.376, "j6_sortmerge" -> 0.942,

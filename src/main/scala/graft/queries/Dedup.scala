@@ -163,16 +163,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Built bucketed band tables, keyed by fixture dir (the PageRank
-    * adjacency pattern, [[Graph.edgeTable]]): the banded-signature
-    * layout is immutable per input, so each JVM persists it at most
-    * once and every dedup run after the first joins it exchange-free.
-    * computeIfAbsent serializes concurrent builders — Verify runs the
-    * three LSH decls 4-at-a-time and a double `saveAsTable` would
-    * race. */
-  private val bandTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Banded-LSH candidate pairs read from the PERSISTED band table —
     * bucketed + sorted on `band`, one file per bucket, so the
     * candidate self-join co-locates on the bucketing and neither side
@@ -186,39 +176,17 @@ object Dedup {
       : org.apache.spark.sql.DataFrame =
     selfJoinCandidates(bandTableDf(s, dir))
 
-  /** The persisted bucketed band table itself — (doc_id, band). */
+  /** The persisted bucketed band table itself — (doc_id, band); built
+    * once per (JVM, input) via the shared [[Qh.bucketedTable]]
+    * machinery (the PageRank adjacency pattern). */
   private[graft] def bandTableDf(
       s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame =
-    s.table(bandTables.computeIfAbsent(dir, d => buildBandTable(s, d)))
-
-  private def buildBandTable(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val tbl = s"lsh_bands_${java.lang.ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    // clear this table's stale warehouse location plus any lsh_bands
-    // dir left by a JVM that is BOTH pid-dead and >1h old (same sweep
-    // contract as Graph.buildEdgeTable / Qh.ioDir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
-    }
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    Option(new java.io.File("/tmp/graft_warehouse").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName == tbl || (f.getName.startsWith("lsh_bands_") &&
-        f.lastModified() < cutoff &&
-        f.getName.stripPrefix("lsh_bands_").takeWhile(_.isDigit).toLongOption
-          .exists(pid => java.lang.ProcessHandle.of(pid).isEmpty)))
-      .foreach(rm)
-    bandsOf(withShingles(Qh.t(s, dir, "documents"))
+    Qh.bucketedTable(s, "lsh_bands", dir, 32, Seq("band"))(
+      bandsOf(withShingles(Qh.t(s, dir, "documents"))
         .select($"doc_id" +:
-          (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
-      .repartition(32, $"band")
-      .write.bucketBy(32, "band").sortBy("band")
-      .mode("overwrite").saveAsTable(tbl)
-    tbl
+          (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*)))
   }
 
   /** Banded-LSH near-dup pairs (doc_a < doc_b, exact Jaccard ≥ 0.2),

@@ -69,50 +69,23 @@ object Graph {
     * one file per bucket (repartitioned by src before the write), so
     * every downstream join or aggregation keyed on src is shuffle-free
     * on this side. Table name is per-JVM (concurrent runs don't race). */
-  /** Built tables, keyed by fixture dir: the adjacency layout is
-    * immutable per input, so one JVM builds each at most once (tests,
+  /** The adjacency layout is immutable per input, so one JVM builds it
+    * at most once via the shared [[Qh.bucketedTable]] machinery (tests,
     * Scratch double-runs, and convergence loops reuse it). */
-  private val built = scala.collection.concurrent.TrieMap[String, String]()
-
-  def edgeTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    s.table(built.getOrElseUpdate(dir, buildEdgeTable(s, dir)))
-
-  private def buildEdgeTable(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+  def edgeTable(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val tbl = s"pr_edges_${java.lang.ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
-    val li = Qh.t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
-    val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
-    val pairs = Qh.materialize(
-      li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .select(($"l_suppkey" * 2 + 1).as("s"), ($"o_custkey" * 2).as("c"))
-        .distinct())
-    val edges = pairs.select($"s".as("src"), $"c".as("dst"))
-      .unionAll(pairs.select($"c".as("src"), $"s".as("dst")))
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    // the in-memory catalog is fresh each JVM but the warehouse dir
-    // persists — clear this table's stale location plus any pr_edges
-    // table left by a DEAD JVM (repeated rounds must not grow /tmp)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete()
+    Qh.bucketedTable(s, "pr_edges", dir, 32, Seq("src")) {
+      val li = Qh.t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      val pairs = Qh.materialize(
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .select(($"l_suppkey" * 2 + 1).as("s"), ($"o_custkey" * 2).as("c"))
+          .distinct())
+      val edges = pairs.select($"s".as("src"), $"c".as("dst"))
+        .unionAll(pairs.select($"c".as("src"), $"s".as("dst")))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      edges.join(deg, "src")
     }
-    // pid-dead AND >1h old (pid liveness alone misfires if an unrelated
-    // process recycled the pid — the age floor turns that into a delayed
-    // cleanup instead of a permanent leak)
-    val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
-    Option(new java.io.File("/tmp/graft_warehouse").listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.getName == tbl || (f.getName.startsWith("pr_edges_") &&
-        f.lastModified() < cutoff &&
-        f.getName.stripPrefix("pr_edges_").takeWhile(_.isDigit).toLongOption
-          .exists(pid => java.lang.ProcessHandle.of(pid).isEmpty)))
-      .foreach(rm)
-    edges.join(deg, "src")
-      .repartition(32, $"src")
-      .write.bucketBy(32, "src").sortBy("src")
-      .mode("overwrite").saveAsTable(tbl)
-    tbl
   }
 
   /** One power iteration over the bucketed adjacency table: rank mass

@@ -145,6 +145,50 @@ object Qh {
     }
   }
 
+  // ---- one-time bucketed table persistence ----
+  private val bucketTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persist a DataFrame ONCE per (JVM, prefix, input dir) as a
+    * BUCKETED + SORTED table and return it; later calls reuse the
+    * table. `repartition(nBuckets, keys)` before the write guarantees
+    * one file per bucket, so downstream joins/aggs keyed on `keys`
+    * read it exchange-free AND sort-free — the co-located layout
+    * production warehouses maintain for their hottest join keys.
+    * Shared by the PageRank adjacency, the LSH band table, and the
+    * co-bucketed fact join (one construction site — a divergent copy
+    * per module is how band-config bugs ship). computeIfAbsent
+    * serializes concurrent builders (Verify runs decls 4-at-a-time; a
+    * double saveAsTable would race). The stale-location sweep clears
+    * this table's own leftover dir plus any same-prefix dir whose JVM
+    * is BOTH pid-dead and >1h old (the Qh.ioDir sweep contract). */
+  def bucketedTable(
+      spark: SparkSession, prefix: String, dir: String,
+      nBuckets: Int, keys: Seq[String])(df: => DataFrame): DataFrame =
+    spark.table(bucketTables.computeIfAbsent(s"$prefix|$dir", _ => {
+      val tbl =
+        s"${prefix}_${java.lang.ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      Option(new java.io.File("/tmp/graft_warehouse").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.getName == tbl ||
+          (f.getName.startsWith(s"${prefix}_") &&
+            f.lastModified() < cutoff &&
+            f.getName.stripPrefix(s"${prefix}_").takeWhile(_.isDigit).toLongOption
+              .exists(pid => java.lang.ProcessHandle.of(pid).isEmpty)))
+        .foreach(rm)
+      df.repartition(nBuckets, keys.map(col): _*)
+        .write.bucketBy(nBuckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .mode("overwrite").saveAsTable(tbl)
+      tbl
+    }))
+
   /** Free a frontier produced by [[materialize]] once its successor
     * exists and nothing will read it again. Iterative loops (PageRank,
     * label propagation) otherwise accumulate one persisted frontier per

@@ -17,6 +17,52 @@ import org.apache.spark.sql.types._
 object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  /** Oracle for l4_bpe_train: the identical three unrolled merge
+    * rounds as CTEs — pair counts, argmax, greedy-L2R fold — over the
+    * same word-frequency table (see the decl's scaladoc; the fold text
+    * is the DuckDB spelling of the engine's `aggregate` lambda). */
+  private lazy val oBpeTrainSql: String = {
+    def round(vin: String, k: Int): String =
+      s"""pc$k AS (
+         |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS a,
+         |      unnest(list_transform(range(1, len(syms)), i -> syms[i+1])) AS b
+         |    FROM $vin WHERE len(syms) >= 2)
+         |  GROUP BY a, b),
+         |b$k AS (SELECT a AS ma, b AS mb, cnt AS mcnt FROM pc$k
+         |        ORDER BY cnt DESC, a, b LIMIT 1),
+         |v$k AS (
+         |  SELECT w, freq, string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+         |    CASE WHEN acc = '' THEN x
+         |         WHEN x = mb AND (acc = ma OR ends_with(acc, ' ' || ma))
+         |           THEN substr(acc, 1, length(acc) - length(ma)) || ma || mb
+         |         ELSE acc || ' ' || x END), ' ') AS syms
+         |  FROM $vin CROSS JOIN b$k)""".stripMargin
+    s"""WITH v0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       |  FROM (SELECT unnest(${Qh.oToksExpr}) AS w FROM documents)
+       |  GROUP BY w),
+       |${round("v0", 1)},
+       |${round("v1", 2)},
+       |${round("v2", 3)},
+       |tops AS (
+       |  SELECT CAST(4 AS BIGINT) AS step, sym AS item,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(syms) AS sym FROM v3)
+       |  GROUP BY sym ORDER BY cnt DESC, sym LIMIT 10)
+       |SELECT step, item, cnt FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, ma || ' ' || mb AS item, mcnt AS cnt FROM b1
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), ma || ' ' || mb, mcnt FROM b2
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), ma || ' ' || mb, mcnt FROM b3
+       |  UNION ALL
+       |  SELECT step, item, cnt FROM tops)
+       |ORDER BY step, item""".stripMargin
+  }
   private val oStopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val decls: Seq[Decl] = Seq(
@@ -727,6 +773,69 @@ object TextAnalysis {
           min($"n_chars").as("min_chars"),
           max($"n_chars").as("max_chars"))
         .orderBy("lang", "source")
+    },
+
+    // L4k: BPE VOCABULARY TRAINING LOOP — three unrolled merge rounds
+    // of Sennrich et al. (2016), the full inner loop where
+    // l4_bpe_pair_stats is one round's selection half. BPE trains on
+    // the WORD-FREQUENCY table, not the raw corpus (the standard
+    // compression: pair statistics are identical, input shrinks from
+    // corpus-sized to vocab-sized after ONE corpus scan). Per round:
+    // adjacent-symbol pair counts weighted by word freq (narrow
+    // explode + one hash agg), the argmax pair (count desc, pair asc —
+    // total-order deterministic; TakeOrdered 1), then the merge
+    // applied to every word as a canonical greedy left-to-right FOLD
+    // over its symbol array (`aggregate` HOF with the best pair
+    // cross-joined as a one-row broadcast — the tfidf scalar pattern).
+    // Both engines run the textually-identical fold ('a b a b' with
+    // merge (a,b) → 'ab ab'; 'a a a' with (a,a) → 'aa a'), so the
+    // oracle replays the same three rounds as unrolled CTEs. Output:
+    // the three chosen merges (steps 1-3) + the top-10 surviving
+    // symbols by weighted count (step 4). At 100 TB: one corpus scan,
+    // then all rounds run on the vocab table — the reason production
+    // tokenizer training is feasible at all.
+    Decl("l4_bpe_train", oBpeTrainSql) { (s, dir) =>
+      import s.implicits._
+      val vocab0 = Qh.materialize(
+        Qh.t(s, dir, "documents")
+          .select(explode(expr(Qh.toksExpr)).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+          .select($"w", $"freq", expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms")))
+      def bestPair(v: org.apache.spark.sql.DataFrame) = v
+        .filter(size($"syms") >= 2)
+        .select($"freq", explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> named_struct('a', syms[i], 'b', syms[i + 1]))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a", $"b").limit(1)
+        .select($"a".as("ma"), $"b".as("mb"), $"cnt".as("mcnt"))
+      // canonical greedy L2R merge application as a string fold
+      val foldExpr =
+        """split(aggregate(syms, CAST('' AS STRING), (acc, x) ->
+          |  CASE WHEN acc = '' THEN x
+          |       WHEN x = mb AND (acc = ma OR endswith(acc, concat(' ', ma)))
+          |         THEN concat(substring(acc, 1, length(acc) - length(ma)), ma, mb)
+          |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin
+      var v = vocab0
+      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (k <- 1 to 3) {
+        val best = Qh.materialize(bestPair(v))
+        merges :+= best.select(lit(k.toLong).as("step"),
+          concat($"ma", lit(" "), $"mb").as("item"), $"mcnt".as("cnt"))
+        v = Qh.materialize(
+          v.crossJoin(broadcast(best))
+            .select($"w", $"freq", expr(foldExpr).as("syms")))
+      }
+      val symCounts = v
+        .select($"freq", explode($"syms").as("sym"))
+        .groupBy($"sym").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"sym").limit(10)
+        .select(lit(4L).as("step"), $"sym".as("item"), $"cnt")
+      merges.reduce(_ unionAll _).unionAll(symCounts)
+        .orderBy("step", "item")
     },
 
     // L4j: BIGRAM-LM QUALITY SCORE — the perplexity-style filter of the

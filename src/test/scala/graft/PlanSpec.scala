@@ -214,6 +214,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("j14: co-bucketed fact join runs with no exchange and no sort on either side") {
+    // both facts persisted bucketed+sorted on the join key, one file
+    // per bucket: the join must consume the layout directly — shuffle
+    // paid once at ingest, never again (broadcast disabled so the
+    // small fixture can't cheat the claim)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.SortExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      import org.apache.spark.sql.functions._
+      val li = graft.queries.Joins.bucketedLineitem(spark, sf0001)
+      val o = graft.queries.Joins.bucketedOrders(spark, sf0001)
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val joins = joined.queryExecution.sparkPlan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a shuffled join over the bucketed facts")
+      joins.foreach { j =>
+        j.children.foreach { side =>
+          assert(side.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+            s"co-bucketed side re-shuffles:\n$j")
+          assert(side.collect { case x: SortExec => x }.isEmpty,
+            s"co-bucketed side re-sorts (bucket sort order not trusted):\n$j")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("l2 LSH candidate self-join co-locates on the bucketed band table — no shuffle") {
     // the 100 TB dedup layout: banded signatures persisted bucketed +
     // sorted on the band key, so repeated dedup runs join candidates

@@ -82,10 +82,12 @@ object Bench {
     "s13_dpp_join" -> 1.512, "s14_zorder_layout" -> 1.252,
     "s15_stats_pruned_scan" -> 1.199, "s16_binaryfile_ingest" -> 1.108,
     "s17_xml_roundtrip" -> 1.235, "s18_corrupt_drop" -> 0.416,
+    "s19_envelope_sink" -> 1.065,
     "s3_jdbc_roundtrip" -> 0.489, "s4_json_roundtrip" -> 0.639,
     "s5_kafka_envelope" -> 0.235, "s6_csv_roundtrip" -> 0.497,
     "s7_orc_roundtrip" -> 1.011, "s8_envelope_source" -> 0.943,
-    "s9_partitioned_prune" -> 0.720, "t1_tumbling" -> 0.521,
+    "s9_partitioned_prune" -> 0.720, "t12_stream_envelope_sink" -> 1.277,
+    "t1_tumbling" -> 0.521,
     "t2_sliding" -> 0.595, "t3_session" -> 0.924,
     "t4_watermark_closed" -> 0.528, "t5_dedup" -> 0.394,
     "t6_stateful_running" -> 0.662, "t7_stream_static" -> 0.659,

@@ -163,6 +163,49 @@ object Sources {
         .orderBy("user_id")
     },
 
+    // S19: the custom DSv2 SINK — the write half S8's source was
+    // missing, so the envelope format is now a full source+sink pair.
+    // Events flow OUT through EnvelopeBatchWrite's filesystem
+    // task-commit protocol (per-task hidden temp file → commit message
+    // → driver rename; zombie/speculative attempts never become
+    // visible — see EnvelopeSource.scala) and back IN through the S8
+    // reader with its pushdown, then aggregate. The oracle aggregates
+    // the ORIGINAL parquet: a row lost by a failed rename, duplicated
+    // by a double-committed attempt, or corrupted in the JSON
+    // round trip breaks the hash. The dir is wiped first (the sink is
+    // append-only by design; the decl must be idempotent under the
+    // bench's double-run).
+    Decl(
+      "s19_envelope_sink",
+      s"""SELECT event_type,
+         |  count(*) AS n,
+         |  ${Qh.oSum2("value")} AS total_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s19_sink")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(path))
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id", $"value",
+          lit("database").as("source"))
+        .write.format("graft.sources.EnvelopeSource")
+        .mode(SaveMode.Append).option("path", path).save()
+      s.read.format("graft.sources.EnvelopeSource")
+        .option("path", path).load()
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          Qh.sumd2($"value").as("total_value"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy("event_type")
+    },
+
     // S9: hive-style partitioned layout — the 100-TB table organization.
     // Write events partitioned by event_type, read back with a filter on
     // the partition column: the filter must resolve from DIRECTORY NAMES

@@ -249,6 +249,52 @@ object StreamingBatch {
     // insert volume at bench scale; multi-batch delivery and batch-id
     // idempotence are pinned in StreamingSpec.
     Decl(
+      "t12_stream_envelope_sink",
+      s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events
+         |WHERE event_id % 5 = 0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // T12: a REAL streaming query through the custom DSv2 envelope
+      // SINK (the streaming half of S19): file stream → filter →
+      // EnvelopeStreamingWrite (per-epoch hidden-temp → rename commit,
+      // replayed epochs publish once — EnvelopeSourceSpec pins the
+      // replay) → read back through the S8 reader → aggregate. The
+      // oracle aggregates the original parquet, so any row lost,
+      // doubled, or corrupted across stream-read → epoch-commit →
+      // JSONL → re-read breaks the hash.
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val runId = java.util.UUID.randomUUID()
+      val ckpt = Qh.ioDir(s"t12_ckpt_$runId")
+      val out = Qh.ioDir(s"t12_out_$runId")
+      val srcDir = java.nio.file.Paths.get(Qh.ioDir(s"t12_src_$runId"))
+      java.nio.file.Files.createDirectories(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
+      val schema = s.read.parquet(path).schema
+      val q = s.readStream.schema(schema).parquet(srcDir.toString)
+        .filter($"event_id" % 5 === 0)
+        .select($"event_id", $"event_type", $"user_id", $"value",
+          lit("database").as("source"))
+        .writeStream.format("graft.sources.EnvelopeSource")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.format("graft.sources.EnvelopeSource").option("path", out).load()
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          Qh.sumd2($"value").as("total_value"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy("event_type")
+    },
+
+    Decl(
       "t8_foreachbatch_jdbc",
       s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value
          |FROM events

@@ -5,9 +5,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,14 +66,189 @@ object EnvelopeSource {
     StructField("source", StringType)))
 }
 
-class EnvelopeTable(path: String) extends Table with SupportsRead {
+class EnvelopeTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"envelope($path)"
   override def schema(): StructType = EnvelopeSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(
       Option(path).getOrElse(options.get("path")))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val expect = EnvelopeSource.fullSchema.fieldNames.toSeq
+    val got = info.schema().fieldNames.toSeq
+    require(got == expect, s"envelope sink expects columns $expect, got $got")
+    val target = Option(path).getOrElse(info.options().get("path"))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new EnvelopeBatchWrite(target)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new EnvelopeStreamingWrite(target)
+      }
+    }
+  }
+}
+
+/** The custom-SINK half of the envelope format (the reference's export
+  * direction): a full `BatchWrite` → `DataWriterFactory` →
+  * `DataWriter` stack with the FILESYSTEM TASK-COMMIT PROTOCOL —
+  * each task streams its rows to a HIDDEN temp file (leading "_", so
+  * concurrent readers never observe it: the scan skips underscore
+  * names), its commit message names that file, and only the DRIVER
+  * commit renames the committed attempts' files to visible part
+  * files. A zombie or speculative duplicate attempt's temp file is
+  * named by its (partition, task) identity but never renamed — its
+  * leftovers are deleted by driver commit/abort — so exactly one
+  * attempt per partition becomes visible no matter how tasks race
+  * (the same protocol FileOutputCommitter v2 and every object-store
+  * committer implement). Append-only: each write lands new part files
+  * keyed by a driver-chosen write UUID, never touching existing data. */
+class EnvelopeBatchWrite(path: String) extends BatchWrite {
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    EnvelopeWriterFactory(path, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf)
+    EnvelopeCommitProtocol.publish(fs, root, messages)
+    EnvelopeCommitProtocol.sweepTemps(fs, root, s"_env-$writeId")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    EnvelopeCommitProtocol.sweepTemps(
+      FileSystem.get(root.toUri, conf), root, s"_env-$writeId")
+  }
+}
+
+/** Driver-side half of the task-commit protocol, shared by the batch
+  * and streaming writes. */
+object EnvelopeCommitProtocol {
+  /** Rename each committed attempt's temp file to its visible name.
+    * An already-existing visible name means this unit of work was
+    * published before (a REPLAYED streaming epoch): first commit wins,
+    * the replay's temp is dropped — idempotent re-delivery. */
+  def publish(fs: FileSystem, root: Path,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case EnvelopeCommitMessage(tmpName, visibleName, _) =>
+      val tmp = new Path(root, tmpName)
+      val visible = new Path(root, visibleName)
+      if (fs.exists(tmp)) {
+        // rename is atomic on a real FS; object stores substitute
+        // their multipart-complete here
+        if (fs.exists(visible)) fs.delete(tmp, false)
+        else fs.rename(tmp, visible)
+      }
+    }
+
+  /** Delete every temp file with this write/epoch prefix (losing
+    * attempts' leftovers; a concurrent writer's temps are untouched). */
+  def sweepTemps(fs: FileSystem, root: Path, prefix: String): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(prefix) &&
+          st.getPath.getName.endsWith(".tmp"))
+        .foreach(st => fs.delete(st.getPath, false))
+}
+
+/** Streaming flavor of the sink: one visible file per (epoch,
+  * partition) — the visible name deliberately EXCLUDES the task id, so
+  * a replayed epoch (restart from checkpoint re-delivers the last
+  * uncommitted batch) maps to the SAME visible names and publish()
+  * drops the duplicates: exactly-once file output per epoch on top of
+  * Structured Streaming's at-least-once delivery. */
+class EnvelopeStreamingWrite(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    EnvelopeStreamingWriterFactory(path)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf)
+    EnvelopeCommitProtocol.publish(fs, root, messages)
+    EnvelopeCommitProtocol.sweepTemps(fs, root, s"_env-epoch$epochId")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    EnvelopeCommitProtocol.sweepTemps(
+      FileSystem.get(root.toUri, conf), root, s"_env-epoch$epochId")
+  }
+}
+
+case class EnvelopeStreamingWriterFactory(path: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new EnvelopeDataWriter(path,
+      s"_env-epoch$epochId-p$partitionId-t$taskId.jsonl.tmp",
+      s"env-epoch$epochId-p$partitionId.jsonl")
+}
+
+case class EnvelopeCommitMessage(tmpName: String, visibleName: String, rows: Long)
+    extends WriterCommitMessage
+
+case class EnvelopeWriterFactory(path: String, writeId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    // taskId in the visible name too: batch publishes exactly the
+    // attempts in the commit-message set, one per partition
+    val tmp = s"_env-$writeId-p$partitionId-t$taskId.jsonl.tmp"
+    new EnvelopeDataWriter(path, tmp, tmp.stripPrefix("_").stripSuffix(".tmp"))
+  }
+}
+
+/** Task-side writer: streams rows to a HIDDEN temp file (leading "_" —
+  * the scan skips underscore names), names it in the commit message. */
+class EnvelopeDataWriter(path: String, tmpName: String, visibleName: String)
+    extends DataWriter[InternalRow] {
+  private val tmpPath = new Path(new Path(path), tmpName)
+  private val fs = FileSystem.get(
+    tmpPath.toUri, new org.apache.hadoop.conf.Configuration())
+  private lazy val out = {
+    fs.mkdirs(new Path(path))
+    new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(tmpPath, true), "UTF-8"))
+  }
+  private val mapper = new ObjectMapper()
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    val data = node.putObject("data")
+    if (!row.isNullAt(0)) data.put("event_id", row.getLong(0))
+    if (!row.isNullAt(1)) data.put("event_type", row.getUTF8String(1).toString)
+    if (!row.isNullAt(2)) data.put("user_id", row.getLong(2))
+    if (!row.isNullAt(3)) data.put("value", row.getDouble(3))
+    if (!row.isNullAt(4)) node.put("source", row.getUTF8String(4).toString)
+    out.write(mapper.writeValueAsString(node))
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    EnvelopeCommitMessage(tmpName, visibleName, rows)
+  }
+
+  override def abort(): Unit = {
+    try out.close() catch { case _: Exception => () }
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class EnvelopeScanBuilder(path: String)

@@ -66,4 +66,93 @@ class EnvelopeSourceSpec extends SparkSpec {
       .select($"event_id").as[Long].collect().sorted.toSeq
     assert(rows == Seq(1L, 2L))
   }
+
+  test("sink task-commit: rows invisible until driver commit; abort leaves nothing") {
+    import graft.sources.{EnvelopeBatchWrite, EnvelopeWriterFactory}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(id: Long): InternalRow = InternalRow(
+      id, UTF8String.fromString("click"), 7L, 1.5, UTF8String.fromString("database"))
+    def visible(p: String): Seq[String] = {
+      val fs = Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      fs.map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
+    }
+    // committed write: temp invisible pre-commit, renamed on commit
+    val p1 = java.nio.file.Files.createTempDirectory("env_sink").toString
+    val bw = new EnvelopeBatchWrite(p1)
+    val factory = bw.createBatchWriterFactory(null)
+      .asInstanceOf[EnvelopeWriterFactory]
+    val w = factory.createWriter(0, 42L)
+    w.write(row(1)); w.write(row(2))
+    val msg = w.commit()
+    assert(visible(p1).isEmpty, "task output visible before driver commit")
+    // a racing zombie attempt for the same partition: writes, never
+    // reaches the commit message set
+    val zombie = factory.createWriter(0, 43L)
+    zombie.write(row(99)); zombie.commit()
+    bw.commit(Array(msg))
+    assert(visible(p1).size == 1, s"want the one committed file: ${visible(p1)}")
+    val back = spark.read.format("graft.sources.EnvelopeSource")
+      .option("path", p1).load()
+    import spark.implicits._
+    assert(back.select($"event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L),
+      "zombie attempt's rows leaked into the visible output")
+    assert(!new java.io.File(p1).listFiles().exists(_.getName.endsWith(".tmp")),
+      "losing attempt's temp file not swept")
+    // aborted write: nothing visible, temps gone
+    val p2 = java.nio.file.Files.createTempDirectory("env_sink_abort").toString
+    val bw2 = new EnvelopeBatchWrite(p2)
+    val w2 = bw2.createBatchWriterFactory(null)
+      .asInstanceOf[EnvelopeWriterFactory].createWriter(0, 1L)
+    w2.write(row(5)); w2.commit()
+    bw2.abort(Array.empty)
+    assert(Option(new java.io.File(p2).listFiles()).getOrElse(Array.empty).isEmpty,
+      "abort left files behind")
+  }
+
+  test("streaming envelope sink: micro-batches land; a replayed epoch publishes once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val p = java.nio.file.Files.createTempDirectory("env_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("env_stream_ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Double)]
+    val q = mem.toDF()
+      .toDF("event_id", "event_type", "user_id", "value")
+      .withColumn("source", org.apache.spark.sql.functions.lit("database"))
+      .writeStream.format("graft.sources.EnvelopeSource")
+      .option("path", p).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "click", 7L, 1.5), (2L, "view", 8L, 2.5))
+      q.processAllAvailable()
+      mem.addData((3L, "purchase", 7L, 9.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("graft.sources.EnvelopeSource")
+      .option("path", p).load()
+    assert(back.select($"event_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L), "streamed rows lost or duplicated")
+    assert(!new java.io.File(p).listFiles().exists(_.getName.endsWith(".tmp")),
+      "streaming commit left temp files")
+
+    // epoch REPLAY (restart re-delivers the last batch): the second
+    // attempt's file must be dropped, not double-published
+    import graft.sources.EnvelopeStreamingWrite
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(id: Long): InternalRow = InternalRow(
+      id, UTF8String.fromString("click"), 7L, 1.5, UTF8String.fromString("database"))
+    val sw = new EnvelopeStreamingWrite(p)
+    val w1 = sw.createStreamingWriterFactory(null).createWriter(0, 100L, 7L)
+    w1.write(row(50))
+    sw.commit(7L, Array(w1.commit()))
+    val w2 = sw.createStreamingWriterFactory(null).createWriter(0, 101L, 7L)
+    w2.write(row(51)); w2.write(row(52))
+    sw.commit(7L, Array(w2.commit())) // replayed epoch
+    val epochRows = spark.read.format("graft.sources.EnvelopeSource")
+      .option("path", p).load()
+      .filter($"event_id" >= 50L).select($"event_id").as[Long].collect().sorted.toSeq
+    assert(epochRows == Seq(50L), s"replayed epoch double-published: $epochRows")
+  }
 }

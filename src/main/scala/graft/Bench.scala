@@ -53,7 +53,7 @@ object Bench {
     "l3_ann_ivf" -> 0.841, "l3_ann_ivfpq" -> 1.636, "l3_ann_lsh" -> 1.385,
     "l3_ann_pq" -> 1.344, "l3_ann_recall" -> 1.611,
     "l3_ann_trained" -> 2.719, "l3_cosine_topk" -> 0.339,
-    "l3_kmeans" -> 1.142, "l4_bpe_pair_stats" -> 0.741,
+    "l3_kmeans" -> 1.142, "l4_bpe_encode" -> 1.543, "l4_bpe_pair_stats" -> 0.741,
     "l4_fingerprint" -> 1.032, "l4_heavy_hitters" -> 0.752,
     "l4_lang_id" -> 0.453, "l4_lm_score" -> 1.365, "l4_pii_redact" -> 0.764,
     "l4_quality_score" -> 0.543, "l4_repetition_quality" -> 1.255,
@@ -72,7 +72,7 @@ object Bench {
     "o4_intersect_all" -> 0.434, "p10_map_hof" -> 1.813, "p10_maps" -> 1.213,
     "p11_envelope" -> 0.390, "p12_unpivot" -> 0.305,
     "p13_subqueries" -> 0.708, "p14_variant" -> 2.080,
-    "p15_lateral" -> 0.422, "p1_prune" -> 0.613, "p2_filter" -> 0.442,
+    "p15_lateral" -> 0.422, "p16_try_functions" -> 2.706, "p1_prune" -> 0.613, "p2_filter" -> 0.442,
     "p3_inlist" -> 0.187, "p4_strings" -> 0.283, "p5_datetime" -> 0.486,
     "p6_math" -> 0.747, "p7_conditional" -> 0.296, "p8_json" -> 1.113,
     "p8_json_nested" -> 2.795, "p9_array_fns" -> 0.227, "p9_arrays" -> 0.320,

@@ -496,6 +496,42 @@ object Projections {
         .orderBy("event_id")
     },
 
+    // P16: ANSI-safe TRY_* arithmetic — the error-handling surface a
+    // 100 TB batch job depends on: under ANSI SQL semantics (Spark 4's
+    // default) a single bad row — divide by zero, overflow, malformed
+    // cast — kills the whole multi-hour job; the try_* family turns
+    // those rows into NULLs the pipeline can quarantine instead. One
+    // row per order exercises all three: try_divide (zero denominator
+    // on every 7th key), try_add (LONG overflow provoked near
+    // Long.MaxValue), try_cast (non-numeric string). The oracle states
+    // the identical semantics with explicit CASE guards, so the
+    // null-instead-of-error contract is hash-checked row by row.
+    Decl(
+      "p16_try_functions",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE CAST(o_totalprice / (o_orderkey % 7) AS DOUBLE) END AS safe_div,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE o_orderkey + 1 END AS safe_add,
+        |  TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+        |  TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS good_cast
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Qh.t(s, dir, "orders")
+        .select(
+          $"o_orderkey",
+          expr("try_divide(o_totalprice, o_orderkey % 7)").as("safe_div"),
+          // overflow path: shift keys to the LONG ceiling for every 3rd
+          // key, then undo — try_add nulls exactly those rows
+          expr("""try_add(CASE WHEN o_orderkey % 3 = 0
+                 |  THEN 9223372036854775807 ELSE o_orderkey END, 1)""".stripMargin)
+            .as("safe_add"),
+          expr("try_cast(o_orderpriority AS BIGINT)").as("bad_cast"),
+          expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").as("good_cast"))
+        .orderBy("o_orderkey")
+    },
+
     // P15: LATERAL correlated subquery — the "top-N per outer row" SQL
     // surface (here: each nation's two richest customers). The engine
     // point is what Catalyst DOES with it: the correlated LIMIT

@@ -18,11 +18,55 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
-  /** Oracle for l4_bpe_train: the identical three unrolled merge
-    * rounds as CTEs — pair counts, argmax, greedy-L2R fold — over the
-    * same word-frequency table (see the decl's scaladoc; the fold text
-    * is the DuckDB spelling of the engine's `aggregate` lambda). */
-  private lazy val oBpeTrainSql: String = {
+  /** The shared BPE training pipeline (l4_bpe_train selects from it,
+    * l4_bpe_encode joins the corpus against it — one construction
+    * site): word-frequency table → three (pair-count → argmax →
+    * greedy-L2R fold) rounds. Returns the final vocab (w, freq, syms)
+    * and the three one-row merge DataFrames (step, item, cnt). */
+  private def bpeRounds(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    import s.implicits._
+    val vocab0 = Qh.materialize(
+      Qh.t(s, dir, "documents")
+        .select(explode(expr(Qh.toksExpr)).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("freq"))
+        .select($"w", $"freq", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms")))
+    def bestPair(v: org.apache.spark.sql.DataFrame) = v
+      .filter(size($"syms") >= 2)
+      .select($"freq", explode(expr(
+        "transform(sequence(0, size(syms) - 2), " +
+          "i -> named_struct('a', syms[i], 'b', syms[i + 1]))")).as("p"))
+      .groupBy($"p.a".as("a"), $"p.b".as("b"))
+      .agg(sum($"freq").as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b").limit(1)
+      .select($"a".as("ma"), $"b".as("mb"), $"cnt".as("mcnt"))
+    // canonical greedy L2R merge application as a string fold
+    val foldExpr =
+      """split(aggregate(syms, CAST('' AS STRING), (acc, x) ->
+        |  CASE WHEN acc = '' THEN x
+        |       WHEN x = mb AND (acc = ma OR endswith(acc, concat(' ', ma)))
+        |         THEN concat(substring(acc, 1, length(acc) - length(ma)), ma, mb)
+        |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin
+    var v = vocab0
+    var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+    for (k <- 1 to 3) {
+      val best = Qh.materialize(bestPair(v))
+      merges :+= best.select(lit(k.toLong).as("step"),
+        concat($"ma", lit(" "), $"mb").as("item"), $"mcnt".as("cnt"))
+      v = Qh.materialize(
+        v.crossJoin(broadcast(best))
+          .select($"w", $"freq", expr(foldExpr).as("syms")))
+    }
+    (v, merges)
+  }
+
+  /** Oracle CTE chain shared by the two BPE decls: word-frequency
+    * table v0 → rounds (pcK, bK, vK) for K = 1..3 (the DuckDB spelling
+    * of [[bpeRounds]]' `aggregate` lambda). */
+  private def oBpeRoundsCte: String = {
     def round(vin: String, k: Int): String =
       s"""pc$k AS (
          |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
@@ -40,14 +84,19 @@ object TextAnalysis {
          |           THEN substr(acc, 1, length(acc) - length(ma)) || ma || mb
          |         ELSE acc || ' ' || x END), ' ') AS syms
          |  FROM $vin CROSS JOIN b$k)""".stripMargin
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
        |    list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
        |  FROM (SELECT unnest(${Qh.oToksExpr}) AS w FROM documents)
        |  GROUP BY w),
        |${round("v0", 1)},
        |${round("v1", 2)},
-       |${round("v2", 3)},
+       |${round("v2", 3)}""".stripMargin
+  }
+
+  /** Oracle for l4_bpe_train (see [[oBpeRoundsCte]]). */
+  private lazy val oBpeTrainSql: String =
+    s"""WITH $oBpeRoundsCte,
        |tops AS (
        |  SELECT CAST(4 AS BIGINT) AS step, sym AS item,
        |    CAST(sum(freq) AS BIGINT) AS cnt
@@ -62,7 +111,21 @@ object TextAnalysis {
        |  UNION ALL
        |  SELECT step, item, cnt FROM tops)
        |ORDER BY step, item""".stripMargin
-  }
+
+  /** Oracle for l4_bpe_encode: join the corpus words to the trained
+    * vocab's symbol splits, aggregate per doc (see [[oBpeRoundsCte]]). */
+  private lazy val oBpeEncodeSql: String =
+    s"""WITH $oBpeRoundsCte,
+       |dw AS (SELECT doc_id, unnest(${Qh.oToksExpr}) AS w FROM documents)
+       |SELECT dw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(dw.w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(v3.syms)) AS BIGINT) AS n_symbols,
+       |  ${Qh.oR6("CAST(sum(len(v3.syms)) AS DOUBLE) / CAST(sum(length(dw.w)) AS DOUBLE)")} AS ratio
+       |FROM dw JOIN v3 ON dw.w = v3.w
+       |GROUP BY dw.doc_id
+       |ORDER BY dw.doc_id""".stripMargin
+
   private val oStopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val decls: Seq[Decl] = Seq(
@@ -796,39 +859,7 @@ object TextAnalysis {
     // tokenizer training is feasible at all.
     Decl("l4_bpe_train", oBpeTrainSql) { (s, dir) =>
       import s.implicits._
-      val vocab0 = Qh.materialize(
-        Qh.t(s, dir, "documents")
-          .select(explode(expr(Qh.toksExpr)).as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("freq"))
-          .select($"w", $"freq", expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-            .as("syms")))
-      def bestPair(v: org.apache.spark.sql.DataFrame) = v
-        .filter(size($"syms") >= 2)
-        .select($"freq", explode(expr(
-          "transform(sequence(0, size(syms) - 2), " +
-            "i -> named_struct('a', syms[i], 'b', syms[i + 1]))")).as("p"))
-        .groupBy($"p.a".as("a"), $"p.b".as("b"))
-        .agg(sum($"freq").as("cnt"))
-        .orderBy($"cnt".desc, $"a", $"b").limit(1)
-        .select($"a".as("ma"), $"b".as("mb"), $"cnt".as("mcnt"))
-      // canonical greedy L2R merge application as a string fold
-      val foldExpr =
-        """split(aggregate(syms, CAST('' AS STRING), (acc, x) ->
-          |  CASE WHEN acc = '' THEN x
-          |       WHEN x = mb AND (acc = ma OR endswith(acc, concat(' ', ma)))
-          |         THEN concat(substring(acc, 1, length(acc) - length(ma)), ma, mb)
-          |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin
-      var v = vocab0
-      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
-      for (k <- 1 to 3) {
-        val best = Qh.materialize(bestPair(v))
-        merges :+= best.select(lit(k.toLong).as("step"),
-          concat($"ma", lit(" "), $"mb").as("item"), $"mcnt".as("cnt"))
-        v = Qh.materialize(
-          v.crossJoin(broadcast(best))
-            .select($"w", $"freq", expr(foldExpr).as("syms")))
-      }
+      val (v, merges) = bpeRounds(s, dir)
       val symCounts = v
         .select($"freq", explode($"syms").as("sym"))
         .groupBy($"sym").agg(sum($"freq").as("cnt"))
@@ -836,6 +867,33 @@ object TextAnalysis {
         .select(lit(4L).as("step"), $"sym".as("item"), $"cnt")
       merges.reduce(_ unionAll _).unionAll(symCounts)
         .orderBy("step", "item")
+    },
+
+    // L4k2: BPE ENCODING (the serving half of l4_bpe_train): apply the
+    // trained merge table to the whole corpus. The encoder is a JOIN,
+    // not a re-computation — every document word equi-joins the final
+    // vocab's (word → symbol split), the split was computed ONCE at
+    // training; per-doc stats (chars vs encoded symbols) fall out of
+    // one doc-keyed agg. At 100 TB this is exactly how corpus
+    // tokenization deploys: the vocab table broadcasts (it is
+    // vocabulary-sized), the corpus streams through map-side. Output:
+    // per-doc word/char/symbol counts + the 1e-6-rounded compression
+    // ratio (symbols per char; < 1 once merges bite).
+    Decl("l4_bpe_encode", oBpeEncodeSql) { (s, dir) =>
+      import s.implicits._
+      val (v, _) = bpeRounds(s, dir)
+      Qh.t(s, dir, "documents")
+        .select($"doc_id", explode(expr(Qh.toksExpr)).as("w"))
+        .join(v.select($"w", $"syms"), Seq("w"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length($"w")).cast(LongType).as("n_chars"),
+          sum(size($"syms")).cast(LongType).as("n_symbols"))
+        .select($"doc_id", $"n_words", $"n_chars", $"n_symbols",
+          Qh.r6($"n_symbols".cast(DoubleType) / $"n_chars".cast(DoubleType))
+            .as("ratio"))
+        .orderBy("doc_id")
     },
 
     // L4j: BIGRAM-LM QUALITY SCORE — the perplexity-style filter of the

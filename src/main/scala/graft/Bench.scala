@@ -87,7 +87,7 @@ object Bench {
     "s5_kafka_envelope" -> 0.235, "s6_csv_roundtrip" -> 0.497,
     "s7_orc_roundtrip" -> 1.011, "s8_envelope_source" -> 0.943,
     "s9_partitioned_prune" -> 0.720, "t12_stream_envelope_sink" -> 1.277,
-    "t1_tumbling" -> 0.521,
+    "t13_stream_envelope_source" -> 1.84, "t1_tumbling" -> 0.521,
     "t2_sliding" -> 0.595, "t3_session" -> 0.924,
     "t4_watermark_closed" -> 0.528, "t5_dedup" -> 0.394,
     "t6_stateful_running" -> 0.662, "t7_stream_static" -> 0.659,

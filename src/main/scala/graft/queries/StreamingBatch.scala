@@ -1,6 +1,8 @@
 package graft.queries
 
+import graft.sources.KafkaIO
 import graft.streaming.Streams
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -248,6 +250,45 @@ object StreamingBatch {
     // sink). The `event_id % 7` filter bounds single-threaded Derby
     // insert volume at bench scale; multi-batch delivery and batch-id
     // idempotence are pinned in StreamingSpec.
+    Decl(
+      "t13_stream_envelope_source",
+      s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_type <> 'signup'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      // T13: the custom DSv2 connector's streaming READ end to end —
+      // the reference's forever-import loop as a Structured Streaming
+      // source: events landed as envelope JSONL files, stream-read
+      // through EnvelopeMicroBatchStream (name-watermark offsets;
+      // EnvelopeSourceSpec pins incremental batches + below-watermark
+      // isolation), filtered, then a streaming AGGREGATION in complete
+      // mode. The oracle aggregates the original parquet, so loss or
+      // duplication anywhere in land → offset-planned batches → parse
+      // → stateful agg breaks the hash.
+      import s.implicits._
+      val run = StreamingBatch.t8Runs.incrementAndGet()
+      val runId = java.util.UUID.randomUUID()
+      val land = Qh.ioDir(s"t13_land_$runId")
+      val ckpt = Qh.ioDir(s"t13_ckpt_$runId")
+      KafkaIO.toEnvelope(Qh.t(s, dir, "events"))
+        .select($"value")
+        .write.mode(SaveMode.Overwrite).text(land)
+      val sink = s"t13_out_$run"
+      val q = s.readStream.format("graft.sources.EnvelopeSource")
+        .option("path", land).load()
+        .filter($"event_type" =!= "signup")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("event_type")
+    },
+
     Decl(
       "t12_stream_envelope_sink",
       s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value,

@@ -72,7 +72,7 @@ class EnvelopeTable(path: String)
   override def schema(): StructType = EnvelopeSource.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(
       Option(path).getOrElse(options.get("path")))
@@ -294,6 +294,71 @@ case class EnvelopeScan(path: String, required: StructType, filters: Array[Filte
 
   override def createReaderFactory(): PartitionReaderFactory =
     EnvelopeReaderFactory(required, filters)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EnvelopeMicroBatchStream(path, required, filters)
+}
+
+/** Streaming READ of a landing directory of envelope files — the
+  * micro-batch half of the custom connector (the import loop the
+  * reference runs forever, as a Structured Streaming source). The
+  * offset is a NAME WATERMARK: files are consumed in name order and
+  * the offset records the highest name consumed, so each micro-batch
+  * is exactly the files that sorted after the previous watermark —
+  * restart-safe because the offset is a plain JSON value in the
+  * checkpoint and re-planning `(start, end]` yields the same files.
+  * Requires the landing convention every log-structured producer
+  * follows: arriving files sort AFTER already-consumed ones
+  * (sequence-numbered part files); a file injected below the
+  * watermark is ignored, exactly like a Kafka record below the
+  * committed offset. Pushdown and pruning ride along — the pruned
+  * schema and in-reader filters apply to streaming batches too. */
+class EnvelopeMicroBatchStream(
+    path: String, required: StructType, filters: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNames(): Array[(String, String)] = { // (name, full path)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, conf)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(st => st.getPath.getName -> st.getPath.toString)
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = EnvelopeOffset("")
+  override def latestOffset(): Offset =
+    EnvelopeOffset(listNames().lastOption.map(_._1).getOrElse(""))
+  override def deserializeOffset(json: String): Offset =
+    EnvelopeOffset(new ObjectMapper().readTree(json).get("last").asText())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[EnvelopeOffset].last
+    val hi = end.asInstanceOf[EnvelopeOffset].last
+    listNames()
+      .filter { case (n, _) => n > lo && n <= hi }
+      .map { case (_, p) => EnvelopeInputPartition(p): InputPartition }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EnvelopeReaderFactory(required, filters)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class EnvelopeOffset(last: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("last", last)
+    m.writeValueAsString(node)
+  }
 }
 
 case class EnvelopeInputPartition(file: String) extends InputPartition

@@ -110,6 +110,39 @@ class EnvelopeSourceSpec extends SparkSpec {
       "abort left files behind")
   }
 
+  test("streaming envelope source: batches follow the name watermark; below-watermark files ignore") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("env_stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("env_src_ckpt").toString
+    def land(name: String, ids: Seq[Long]): Unit = {
+      val lines = ids.map(i =>
+        s"""{"data":{"event_id":$i,"event_type":"click","user_id":7,"value":1.5},"source":"database"}""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    land("part-0001.jsonl", Seq(1L, 2L))
+    val q = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("path", p).load()
+      .writeStream.format("memory").queryName("env_src_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def ids() = spark.table("env_src_out")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      assert(ids() == Seq(1L, 2L), s"first batch wrong: ${ids()}")
+      // a new file above the watermark arrives → exactly its rows land
+      land("part-0002.jsonl", Seq(3L))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L), s"incremental batch wrong: ${ids()}")
+      // a file injected BELOW the watermark is never read (the Kafka
+      // below-committed-offset analogy the scaladoc states)
+      land("part-0000.jsonl", Seq(99L))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L), s"below-watermark file leaked: ${ids()}")
+    } finally q.stop()
+  }
+
   test("streaming envelope sink: micro-batches land; a replayed epoch publishes once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -98,7 +98,7 @@ object Bench {
     "w3_time_range" -> 0.613, "w4_topk_per_group" -> 0.372,
     "w4_topk_window_idiom" -> 0.485, "w5_distribution" -> 1.080,
     "w6_gap_fill" -> 0.801, "w7_funnel" -> 0.531, "w8_retention" -> 0.525,
-    "w9_anomaly" -> 0.737)
+    "w9_anomaly" -> 0.737, "w10_seasonal_decomp" -> 0.594)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -120,6 +120,81 @@ object Analytics {
         .orderBy("cohort_week", "week_offset")
     },
 
+    // W10: SEASONAL DECOMPOSITION — the classical additive
+    // trend/seasonal/residual split (the moving-average core of STL)
+    // over the daily revenue series: trend = centered 7-day moving
+    // average (full windows only), seasonal = per-day-of-week mean of
+    // the detrended series, residual = what's left. Shape at 100 TB:
+    // the heavy step is ONE hash agg collapsing the fact to daily
+    // totals; everything after runs on the DAYS-sized series (a few
+    // thousand rows for a decade), where the single-partition ordered
+    // window is the honest plan — the same justification as the w6
+    // gap-fill grid. Exactness: daily totals are exact BIGINT cents;
+    // the 7-day sum is integer; trend = s7/7 is one double division of
+    // identical integers; detrended terms are r6-rounded then
+    // DECIMAL-summed for the order-proof seasonal means. The calendar
+    // is densified first (missing days = 0) so the ROWS frame spans
+    // true calendar neighbors; day-of-week is pure integer arithmetic
+    // (epoch-day mod 7), no timezone anywhere.
+    Decl(
+      "w10_seasonal_decomp",
+      s"""WITH e AS (
+         |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS d,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS vi
+         |  FROM events),
+         |daily AS (SELECT d, CAST(sum(vi) AS BIGINT) AS y FROM e GROUP BY d),
+         |b AS (SELECT min(d) AS mn, max(d) AS mx FROM daily),
+         |grid AS (SELECT unnest(range(mn, mx + 1)) AS d FROM b),
+         |dense AS (
+         |  SELECT g.d, coalesce(daily.y, CAST(0 AS BIGINT)) AS y
+         |  FROM grid g LEFT JOIN daily ON g.d = daily.d),
+         |tr AS (
+         |  SELECT d, y,
+         |    count(y) OVER w AS n7,
+         |    CAST(sum(y) OVER w AS BIGINT) AS s7
+         |  FROM dense
+         |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |t2 AS (
+         |  SELECT d, y, CAST(s7 AS DOUBLE) / 7.0 AS trend, d % 7 AS dow,
+         |    ${Qh.oR6("CAST(y AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0")} AS detr6
+         |  FROM tr WHERE n7 = 7),
+         |seas AS (
+         |  SELECT dow, ${Qh.oR6(s"(${Qh.oSum6("detr6")} / count(*))")} AS seasonal
+         |  FROM t2 GROUP BY dow)
+         |SELECT t2.d AS day, t2.y AS y_cents,
+         |  ${Qh.oR6("t2.trend")} AS trend,
+         |  seas.seasonal,
+         |  ${Qh.oR6("CAST(t2.y AS DOUBLE) - t2.trend - seas.seasonal")} AS residual
+         |FROM t2 JOIN seas ON t2.dow = seas.dow
+         |ORDER BY day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val daily = Qh.t(s, dir, "events")
+        .select(
+          (unix_millis(Qh.tsUs($"ts")) / 86400000L).cast("long").as("d"),
+          floor($"value" * 100 + lit(0.5)).cast("long").as("vi"))
+        .groupBy($"d").agg(sum($"vi").as("y"))
+      val grid = daily.agg(min($"d").as("mn"), max($"d").as("mx"))
+        .select(explode(sequence($"mn", $"mx")).as("d"))
+      val dense = grid.join(daily, Seq("d"), "left")
+        .select($"d", coalesce($"y", lit(0L)).as("y"))
+      // days-sized series: single-partition ordered window is the plan
+      val w = Window.orderBy($"d").rowsBetween(-3, 3)
+      val t2 = dense
+        .withColumn("n7", count($"y").over(w))
+        .withColumn("s7", sum($"y").over(w))
+        .filter($"n7" === 7)
+        .withColumn("trend", $"s7".cast("double") / 7.0)
+        .withColumn("dow", ($"d" % 7).cast("long"))
+        .withColumn("detr6", Qh.r6($"y".cast("double") - $"trend"))
+      val seas = t2.groupBy($"dow")
+        .agg(Qh.r6(Qh.sumd6($"detr6") / count(lit(1))).as("seasonal"))
+      t2.join(broadcast(seas), "dow")
+        .select($"d".as("day"), $"y".as("y_cents"),
+          Qh.r6($"trend").as("trend"), $"seasonal",
+          Qh.r6($"y".cast("double") - $"trend" - $"seasonal").as("residual"))
+        .orderBy("day")
+    },
+
     // W9: ROLLING Z-SCORE ANOMALY DETECTION — flag events whose value
     // deviates > 3σ from that user's own trailing window (previous 20
     // events, ≥ 10 required), the standard streaming-metrics outlier

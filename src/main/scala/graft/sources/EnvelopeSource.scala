@@ -254,10 +254,12 @@ class EnvelopeDataWriter(path: String, tmpName: String, visibleName: String)
 class EnvelopeScanBuilder(path: String)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = EnvelopeSource.fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countPushed = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(EnvelopeFilters.supported)
@@ -268,16 +270,43 @@ class EnvelopeScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = EnvelopeScan(path, required, pushed)
+  /** COUNT(*) pushdown (partial): each file partition returns ONE
+    * pre-counted row instead of materializing every envelope as an
+    * InternalRow — Spark sums the per-partition partials. Catalyst
+    * only offers the aggregate when no residual filter sits above the
+    * scan (this source keeps every filter residual, so only the
+    * unfiltered global count qualifies — exactly the cheap case).
+    * The reader still parses each line: COUNT(*) counts the rows the
+    * source would EMIT, and malformed lines drop (R6 semantics), so
+    * line-counting without the parse would overcount. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    val ok = pushed.isEmpty &&
+      agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    if (ok) {
+      countPushed = true
+      required = StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    }
+    ok
+  }
+
+  override def build(): Scan = EnvelopeScan(path, required, pushed, countPushed)
 }
 
-case class EnvelopeScan(path: String, required: StructType, filters: Array[Filter])
+case class EnvelopeScan(
+    path: String, required: StructType, filters: Array[Filter],
+    countOnly: Boolean = false)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"EnvelopeScan path=$path, PushedEnvelopeFilters=[${filters.mkString(", ")}], " +
+      s"PushedAggregation=[${if (countOnly) "COUNT(*)" else ""}], " +
       s"ReadSchema=${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -293,7 +322,8 @@ case class EnvelopeScan(path: String, required: StructType, filters: Array[Filte
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    EnvelopeReaderFactory(required, filters)
+    if (countOnly) EnvelopeCountReaderFactory()
+    else EnvelopeReaderFactory(required, filters)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -368,6 +398,42 @@ case class EnvelopeReaderFactory(required: StructType, filters: Array[Filter])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EnvelopePartitionReader(
       partition.asInstanceOf[EnvelopeInputPartition].file, required, filters)
+}
+
+/** COUNT(*)-pushdown reader: one pre-counted row per file. Lines are
+  * still parse-validated (malformed lines drop and must not count)
+  * but never become InternalRows — no field extraction, no filter
+  * eval, no projection. */
+case class EnvelopeCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val file = partition.asInstanceOf[EnvelopeInputPartition].file
+      private var emitted = false
+      private var count = 0L
+
+      override def next(): Boolean = {
+        if (emitted) return false
+        val p = new Path(file)
+        val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+        try {
+          var line = reader.readLine()
+          while (line != null) {
+            if (line.nonEmpty &&
+                (try { mapper.readTree(line); true }
+                 catch { case _: Exception => false })) count += 1
+            line = reader.readLine()
+          }
+        } finally reader.close()
+        emitted = true
+        true
+      }
+
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+      override def close(): Unit = ()
+    }
 }
 
 object EnvelopeFilters {

@@ -110,6 +110,31 @@ class EnvelopeSourceSpec extends SparkSpec {
       "abort left files behind")
   }
 
+  test("COUNT(*) pushes into the source; filtered counts fall back and stay exact") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("env_cnt").toString
+    val lines = (1L to 100L).map(i =>
+      s"""{"data":{"event_id":$i,"event_type":"click","user_id":7,"value":1.5},"source":"database"}""") :+
+      "not json at all" // malformed: drops, must NOT count
+    java.nio.file.Files.write(java.nio.file.Paths.get(p, "part-0001.jsonl"),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val df = spark.read.format("graft.sources.EnvelopeSource").option("path", p).load()
+    // unfiltered global count: the aggregate reaches the scan
+    val agg = df.groupBy().count()
+    val desc = agg.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedAggregation=[COUNT(*)]"),
+      s"count(*) not pushed into the scan:\n${desc.take(800)}")
+    assert(agg.as[Long].head() == 100L, "pushed count wrong (malformed line counted?)")
+    assert(df.count() == 100L)
+    // a filter above the scan disables the pushdown (this source keeps
+    // all filters residual) — the count must still be exact
+    val filtered = df.filter($"event_id" <= 40L).groupBy().count()
+    val fdesc = filtered.queryExecution.executedPlan.toString
+    assert(!fdesc.contains("PushedAggregation=[COUNT(*)]"),
+      "aggregate pushed below a residual filter — correctness bug")
+    assert(filtered.as[Long].head() == 40L)
+  }
+
   test("streaming envelope source: batches follow the name watermark; below-watermark files ignore") {
     import spark.implicits._
     val p = java.nio.file.Files.createTempDirectory("env_stream_src").toString

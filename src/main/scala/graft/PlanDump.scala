@@ -37,7 +37,13 @@ object PlanDump {
       "l13_triangles" -> "Degree-oriented triangle counting (r7): wedges generated only at each edge's low-rank center, closed by an equi-join on the oriented edge set — no cartesian, no BNLJ, O(m^1.5) wedge bound.",
       "w7_funnel" -> "Windowed funnel (r7): ONE fact scan — three chained conditional-min windows share a single user-keyed exchange (the per-stage-join form would scan the fact 3x).",
       "j12_interval_overlap" -> "Interval-overlap join (r7): sessions explode into spanned 6h grid buckets, windows live in one bucket — overlap runs as a bucket equi-join with the strict inequalities as residual.",
-      "l2_substring_dedup" -> "Duplicated-span detection (r7): narrow window-hash explode, one hash-keyed count-distinct agg for the dup set, semi-join coverage — O(tokens) + two shuffles, never all-pairs.")
+      "l2_substring_dedup" -> "Duplicated-span detection (r7): narrow window-hash explode, one hash-keyed count-distinct agg for the dup set, semi-join coverage — O(tokens) + two shuffles, never all-pairs.",
+      "j13_spatial_grid" -> "Spatial proximity join (r7): probe side explodes to its 3x3 neighbor cells (narrow Generate), single cell equi-join + squared-distance residual — never all-pairs.",
+      "j14_cobucketed_join" -> "Co-bucketed fact join (r7): both facts read from bucketed+sorted layouts — the SMJ has no exchange AND no sort on either side; shuffle paid once at ingest.",
+      "p15_lateral" -> "Correlated LATERAL with LIMIT (r7): decorrelated into ONE window-ranked equi-join; the W4 bounded-heap rewrite fires under the decorrelated rank — never per-outer-row re-execution.",
+      "l4_bpe_train" -> "BPE training loop (r7): three materialized merge rounds over the vocab-sized word-frequency table; per round one pair-count agg + TakeOrdered-1 argmax + a one-row broadcast driving the fold.",
+      "l4_lm_score" -> "Bigram-LM scoring (r7): token-keyed count aggs whose output partitioning the scoring joins reuse; one-row vocab broadcast; per-doc decimal-exact mean.",
+      "w10_seasonal_decomp" -> "Seasonal decomposition (r7): ONE fact-collapsing hash agg; trend/seasonal/residual run on the days-sized series (single-partition window is the honest plan at that size).")
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for headline queries (sf0.001)\n\n")

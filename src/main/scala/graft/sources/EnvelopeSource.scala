@@ -105,9 +105,14 @@ class EnvelopeTable(path: String)
   * attempt per partition becomes visible no matter how tasks race
   * (the same protocol FileOutputCommitter v2 and every object-store
   * committer implement). Append-only: each write lands new part files
-  * keyed by a driver-chosen write UUID, never touching existing data. */
+  * keyed by a driver-chosen monotonic write id, never touching existing
+  * data. The write id is time-ordered (epoch millis + per-JVM sequence)
+  * so a batch append's visible names sort AFTER every previously
+  * published file — the ordering convention EnvelopeMicroBatchStream's
+  * name watermark relies on when stream-reading a directory this sink
+  * also appends to. */
 class EnvelopeBatchWrite(path: String) extends BatchWrite {
-  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+  private val writeId = EnvelopeBatchWrite.nextWriteId()
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -118,15 +123,25 @@ class EnvelopeBatchWrite(path: String) extends BatchWrite {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, conf)
     EnvelopeCommitProtocol.publish(fs, root, messages)
-    EnvelopeCommitProtocol.sweepTemps(fs, root, s"_env-$writeId")
+    // trailing "-" so write id 1's sweep can never match write id 10's
+    // in-flight temps
+    EnvelopeCommitProtocol.sweepTemps(fs, root, s"_env-$writeId-")
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(path)
     EnvelopeCommitProtocol.sweepTemps(
-      FileSystem.get(root.toUri, conf), root, s"_env-$writeId")
+      FileSystem.get(root.toUri, conf), root, s"_env-$writeId-")
   }
+}
+
+object EnvelopeBatchWrite {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Time-ordered, collision-free within this JVM: fixed-width millis
+    * then a fixed-width sequence — lexicographic order == issue order. */
+  def nextWriteId(): String =
+    f"${System.currentTimeMillis()}%013d${seq.getAndIncrement() % 100000}%05d"
 }
 
 /** Driver-side half of the task-commit protocol, shared by the batch
@@ -177,24 +192,42 @@ class EnvelopeStreamingWrite(path: String)
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, conf)
     EnvelopeCommitProtocol.publish(fs, root, messages)
-    EnvelopeCommitProtocol.sweepTemps(fs, root, s"_env-epoch$epochId")
+    // trailing "-" so epoch 1's sweep can never match epoch 10's
+    // in-flight temps (a straggler task of a later epoch running
+    // concurrently with this commit keeps its temp)
+    EnvelopeCommitProtocol.sweepTemps(
+      fs, root, s"_env-epoch${EnvelopeStreamingWrite.pad(epochId)}-")
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(path)
     EnvelopeCommitProtocol.sweepTemps(
-      FileSystem.get(root.toUri, conf), root, s"_env-epoch$epochId")
+      FileSystem.get(root.toUri, conf), root,
+      s"_env-epoch${EnvelopeStreamingWrite.pad(epochId)}-")
   }
+}
+
+object EnvelopeStreamingWrite {
+  /** Zero-padded epoch id: epoch 10's visible names must sort AFTER
+    * epoch 2's (the source's name-watermark convention); unpadded,
+    * "env-epoch10-…" < "env-epoch2-…" lexicographically and a stream
+    * reading this sink's output would silently drop epochs >= 10. */
+  def pad(epochId: Long): String = f"$epochId%020d"
 }
 
 case class EnvelopeStreamingWriterFactory(path: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
-      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val e = EnvelopeStreamingWrite.pad(epochId)
+    // partition id padded too: all of an epoch's files must sort as one
+    // contiguous name range so a reader consuming p10 mid-publish can't
+    // strand a not-yet-renamed p2 below its watermark
     new EnvelopeDataWriter(path,
-      s"_env-epoch$epochId-p$partitionId-t$taskId.jsonl.tmp",
-      s"env-epoch$epochId-p$partitionId.jsonl")
+      f"_env-epoch$e-p$partitionId%05d-t$taskId.jsonl.tmp",
+      f"env-epoch$e-p$partitionId%05d.jsonl")
+  }
 }
 
 case class EnvelopeCommitMessage(tmpName: String, visibleName: String, rows: Long)
@@ -205,7 +238,7 @@ case class EnvelopeWriterFactory(path: String, writeId: String)
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // taskId in the visible name too: batch publishes exactly the
     // attempts in the commit-message set, one per partition
-    val tmp = s"_env-$writeId-p$partitionId-t$taskId.jsonl.tmp"
+    val tmp = f"_env-$writeId-p$partitionId%05d-t$taskId.jsonl.tmp"
     new EnvelopeDataWriter(path, tmp, tmp.stripPrefix("_").stripSuffix(".tmp"))
   }
 }

@@ -208,15 +208,37 @@ object Streams {
         user: Long, rows: Iterator[Ev],
         timerValues: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[SessionOut] = {
-      val times = rows.map(_.ts.getTime).toSeq
+      // One micro-batch can carry SEVERAL gap-separated bursts for a
+      // key. Sort, split into gap-runs, close every run but the last
+      // immediately (no event can extend them: any later event in this
+      // or a future batch is > gap away by construction), and keep only
+      // the last run open with its timer — exact gap-sessionization
+      // regardless of how events batch up.
+      val times = rows.map(_.ts.getTime).toSeq.sorted
       val prev = if (st.exists()) Some(st.get()) else None
       prev.foreach(p => getHandle.deleteTimer(p.timerMs))
-      val start = math.min(prev.map(_.startMs).getOrElse(Long.MaxValue), times.min)
-      val last = math.max(prev.map(_.lastMs).getOrElse(Long.MinValue), times.max)
-      val expiry = last + gapMs
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var open: Option[SessAgg] = prev
+      times.foreach { t =>
+        open match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            // extends the open run (a late-but-in-watermark event may
+            // even precede the run's start — widen both ends)
+            open = Some(s.copy(
+              startMs = math.min(s.startMs, t),
+              lastMs = math.max(s.lastMs, t), n = s.n + 1))
+          case Some(s) =>
+            closed += SessionOut(user, s.startMs, s.lastMs, s.n)
+            open = Some(SessAgg(t, t, 1L, 0L))
+          case None =>
+            open = Some(SessAgg(t, t, 1L, 0L))
+        }
+      }
+      val s = open.get // times nonempty => always defined
+      val expiry = s.lastMs + gapMs
       getHandle.registerTimer(expiry)
-      st.update(SessAgg(start, last, prev.map(_.n).getOrElse(0L) + times.size, expiry))
-      Iterator.empty // sessions emit on timeout, never on arrival
+      st.update(s.copy(timerMs = expiry))
+      closed.iterator // only the still-open tail waits for its timer
     }
 
     override def handleExpiredTimer(

@@ -213,4 +213,63 @@ class EnvelopeSourceSpec extends SparkSpec {
       .filter($"event_id" >= 50L).select($"event_id").as[Long].collect().sorted.toSeq
     assert(epochRows == Seq(50L), s"replayed epoch double-published: $epochRows")
   }
+
+  test("sink→source round trip: 12 sink epochs + 2 batch appends all clear the name watermark") {
+    // The advertised composition: a stream READS the directory this
+    // connector's own sink WRITES. Visible names must sort in publish
+    // order or the source's name watermark drops them — unpadded epoch
+    // ids ("env-epoch10" < "env-epoch2") lost every epoch >= 10, and
+    // random batch write ids lost half the appends.
+    import spark.implicits._
+    import graft.sources.{EnvelopeBatchWrite, EnvelopeStreamingWrite, EnvelopeWriterFactory}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def row(id: Long): InternalRow = InternalRow(
+      id, UTF8String.fromString("click"), 7L, 1.5, UTF8String.fromString("database"))
+    val p = java.nio.file.Files.createTempDirectory("env_roundtrip").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("env_rt_ckpt").toString
+    val q = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("path", p).load()
+      .writeStream.format("memory").queryName("env_rt_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      def ids() = spark.table("env_rt_out")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      val sw = new EnvelopeStreamingWrite(p)
+      (0L to 11L).foreach { epoch =>
+        val w = sw.createStreamingWriterFactory(null).createWriter(0, epoch, epoch)
+        w.write(row(epoch))
+        sw.commit(epoch, Array(w.commit()))
+        q.processAllAvailable()
+      }
+      assert(ids() == (0L to 11L),
+        s"epochs dropped below the watermark (padding broken): ${ids()}")
+    } finally q.stop()
+
+    // successive BATCH appends to a (separate) stream-read directory:
+    // the time-ordered write id makes each append sort after the last —
+    // a random UUID id made later appends land below the watermark
+    // about half the time
+    val pb = java.nio.file.Files.createTempDirectory("env_roundtrip_b").toString
+    val ckptB = java.nio.file.Files.createTempDirectory("env_rtb_ckpt").toString
+    val qb = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("path", pb).load()
+      .writeStream.format("memory").queryName("env_rtb_out")
+      .option("checkpointLocation", ckptB).outputMode("append").start()
+    try {
+      def idsB() = spark.table("env_rtb_out")
+        .select($"event_id").as[Long].collect().sorted.toSeq
+      (100L to 105L).foreach { id =>
+        val bw = new EnvelopeBatchWrite(pb)
+        val w = bw.createBatchWriterFactory(null)
+          .asInstanceOf[EnvelopeWriterFactory].createWriter(0, id)
+        w.write(row(id))
+        bw.commit(Array(w.commit()))
+        Thread.sleep(2) // distinct millis => strictly increasing write ids
+        qb.processAllAvailable()
+      }
+      assert(idsB() == (100L to 105L),
+        s"batch appends dropped below the watermark: ${idsB()}")
+    } finally qb.stop()
+  }
 }

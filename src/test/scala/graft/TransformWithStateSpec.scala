@@ -185,6 +185,52 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("two gap-separated bursts in ONE micro-batch yield TWO sessions") {
+    // gap-sessionization must not depend on how events batch up: a
+    // single batch carrying bursts at 00:01-00:02 and 00:20 (gap 5 min)
+    // is two sessions — the first closes immediately (nothing can ever
+    // extend it), the second stays open for its timer
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_burst_ckpt").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def ms(m: Int) = ts(m).getTime
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionTimeoutTws(mem.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("tws_burst_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Streams.Ev(1, ts(1), 7, 1.0), Streams.Ev(2, ts(2), 7, 1.0),
+        Streams.Ev(3, ts(20), 7, 1.0))
+      q.processAllAvailable()
+      val immediate = spark.table("tws_burst_out")
+        .as[Streams.SessionOut].collect().toSet
+      assert(immediate == Set(Streams.SessionOut(7, ms(1), ms(2), 2)),
+        s"first burst should close on arrival, got: $immediate")
+      // advance the watermark past 00:25 — the open second burst times out
+      mem.addData(Streams.Ev(10, ts(50), 9, 1.0))
+      q.processAllAvailable()
+      val after = spark.table("tws_burst_out")
+        .as[Streams.SessionOut].collect().toSet
+      assert(after.contains(Streams.SessionOut(7, ms(20), ms(20), 1)),
+        s"second burst never closed: $after")
+      assert(after.count(_.user_id == 7L) == 2, s"want exactly 2 sessions: $after")
+    } finally {
+      q.stop()
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("transformWithState agrees with flatMapGroupsWithState in batch") {
     import spark.implicits._
     val ev = Tables(spark, sf0001, "events")

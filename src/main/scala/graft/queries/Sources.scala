@@ -616,6 +616,122 @@ object Sources {
           count(lit(1)).cast("bigint").as("n_docs"),
           sum($"nc").cast("bigint").as("sum_chars"))
         .orderBy("lang_bucket")
+    },
+
+    // S20: BSON DUMP ingest — the file form of the reference's ACTUAL
+    // fact source: its Mongo cursor decodes BSON documents (`bson.M`,
+    // kafka-database-import.go:192) that a mongodump exports verbatim
+    // as length-prefixed concatenated documents. The fixture is written
+    // distributed (one .bson shard per partition, executor-side), then
+    // a corrupt shard exercises §1.4: a framed-but-undecodable document
+    // DROPS and the reader RESYNCS to the valid doc after it (the
+    // event_id = -1 sentinel must surface), and a truncated tail drops
+    // the remainder of that file only. Full row compare incl. ObjectId
+    // hex and BSON UTC-datetime millis against the relational oracle.
+    Decl(
+      "s20_bson_dump",
+      """SELECT printf('%024x', event_id) AS _id, event_id, event_type,
+        |  user_id, value, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+        |FROM events
+        |UNION ALL
+        |SELECT '00000000000000000000dead', -1, 'resync', 42, 1.5, 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s20_bson")
+      val rows = Qh.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id", $"value",
+          unix_millis(Qh.tsUs($"ts")).as("ts_ms"))
+      MongoFixtures.writeBsonDump(rows, path)
+      MongoFixtures.writeCorruptShard(path)
+      s.read.format("graft.sources.MongoDumpSource")
+        .option("path", path).load()
+        .orderBy("event_id")
+    },
+
+    // S21: Mongo EXTENDED JSON ingest — the text form of the same
+    // documents (mongoexport): $oid / $numberLong / $numberDouble /
+    // $date type wrappers normalized in the reader. Every
+    // event_id % 7 == 0 line is written as garbage and must drop
+    // (§1.4), pinned by the oracle's WHERE.
+    Decl(
+      "s21_mongo_extjson",
+      """SELECT printf('%024x', event_id) AS _id, event_id, event_type,
+        |  user_id, value, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms
+        |FROM events
+        |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = ioDir("s21_extjson")
+      Qh.t(s, dir, "events")
+        .select(
+          when($"event_id" % 7 === 0,
+            concat(lit("{corrupt extended json "), $"event_id".cast(StringType)))
+            .otherwise(format_string(
+              """{"_id":{"$oid":"%024x"},"event_id":{"$numberLong":"%d"},""" +
+                """"event_type":"%s","user_id":{"$numberLong":"%d"},""" +
+                """"value":{"$numberDouble":"%s"},"ts":{"$date":{"$numberLong":"%d"}}}""",
+              $"event_id", $"event_id", $"event_type", $"user_id",
+              $"value".cast(StringType), unix_millis(Qh.tsUs($"ts"))))
+            .as("value"))
+        .write.mode(SaveMode.Overwrite).text(path)
+      s.read.format("graft.sources.MongoDumpSource")
+        .option("path", path).option("format", "extjson").load()
+        .orderBy("event_id")
     }
   )
+}
+
+/** Fixture writers for the S20 BSON-dump decl: the dump a `mongodump`
+  * of the reference's fact collection would produce, written with the
+  * engine's own [[graft.sources.Bson]] encoder — distributed, one
+  * shard per partition, executor-side (no driver collect). */
+object MongoFixtures {
+  import graft.sources.Bson
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  /** rows: (event_id L, event_type S, user_id L, value D, ts_ms L). */
+  def writeBsonDump(rows: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val dir = new java.io.File(path)
+    if (dir.exists()) {
+      dir.listFiles().foreach(_.delete())
+    }
+    dir.mkdirs()
+    rows.repartition(4).foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.get().partitionId()
+        val p = new HPath(f"$path/part-$pid%05d.bson")
+        val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+        val out = new java.io.BufferedOutputStream(fs.create(p, true))
+        try it.foreach { r =>
+          out.write(Bson.encode(Seq(
+            "_id" -> Bson.BsonObjectId(f"${r.getLong(0)}%024x"),
+            "event_id" -> r.getLong(0),
+            "event_type" -> r.getString(1),
+            "user_id" -> r.getLong(2),
+            "value" -> r.getDouble(3),
+            "ts" -> Bson.BsonDateTime(r.getLong(4)))))
+        } finally out.close()
+    }
+  }
+
+  /** One shard of deliberate damage: framed garbage (drops, framing
+    * resyncs), then a VALID sentinel doc (must surface), then a
+    * truncated tail (drops the remainder of this file only). */
+  def writeCorruptShard(path: String): Unit = {
+    val out = new java.io.ByteArrayOutputStream()
+    // exactly 16 bytes as declared (honest framing), but element type
+    // 0x63 is unknown → decode fails, reader resyncs after it
+    out.write(Array[Byte](16, 0, 0, 0, 0x63, 120, 121, 122, 0, 1, 2, 3, 4, 5, 6, 0))
+    out.write(Bson.encode(Seq(
+      "_id" -> Bson.BsonObjectId("00000000000000000000dead"),
+      "event_id" -> -1L,
+      "event_type" -> "resync",
+      "user_id" -> 42L,
+      "value" -> 1.5,
+      "ts" -> Bson.BsonDateTime(0L))))
+    // declared length 100, only 3 bytes present: ragged tail drops
+    out.write(Array[Byte](100, 0, 0, 0, 1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "zz-corrupt.bson"), out.toByteArray)
+  }
 }

@@ -168,11 +168,14 @@ object Analytics {
          |FROM t2 JOIN seas ON t2.dow = seas.dow
          |ORDER BY day""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = Qh.t(s, dir, "events")
+      // the ONE fact-sized step: collapse to daily totals, materialize —
+      // every consumer below (grid bounds, densify join, windows) reads
+      // the days-sized series, never the fact again (PlanSpec-gated)
+      val daily = Qh.materialize(Qh.t(s, dir, "events")
         .select(
           (unix_millis(Qh.tsUs($"ts")) / 86400000L).cast("long").as("d"),
           floor($"value" * 100 + lit(0.5)).cast("long").as("vi"))
-        .groupBy($"d").agg(sum($"vi").as("y"))
+        .groupBy($"d").agg(sum($"vi").as("y")))
       val grid = daily.agg(min($"d").as("mn"), max($"d").as("mx"))
         .select(explode(sequence($"mn", $"mx")).as("d"))
       val dense = grid.join(daily, Seq("d"), "left")
@@ -233,9 +236,13 @@ object Analytics {
       Qh.t(s, dir, "events")
         .select($"event_id", $"user_id", unix_millis(Qh.tsUs($"ts")).as("tms"),
           floor($"value" * 100 + lit(0.5)).cast("long").as("vi"), $"value")
+        // vi² precomputed so all three trailing aggs share plain column
+        // inputs — Catalyst then collapses them into ONE Window node
+        // (one pass over each frame buffer), PlanSpec-gated
+        .withColumn("vi2", $"vi" * $"vi")
         .withColumn("n", count($"vi").over(w).cast("long"))
         .withColumn("sv", sum($"vi").over(w).cast("long"))
-        .withColumn("sv2", sum($"vi" * $"vi").over(w).cast("long"))
+        .withColumn("sv2", sum($"vi2").over(w).cast("long"))
         .filter($"n" >= 10 && $"n" * $"sv2" - $"sv" * $"sv" > 0)
         .withColumn("z", ($"n" * $"vi" - $"sv").cast("double") /
           sqrt(($"n" * $"sv2" - $"sv" * $"sv").cast("double")))

@@ -884,7 +884,7 @@ object TextAnalysis {
       val (v, _) = bpeRounds(s, dir)
       Qh.t(s, dir, "documents")
         .select($"doc_id", explode(expr(Qh.toksExpr)).as("w"))
-        .join(v.select($"w", $"syms"), Seq("w"))
+        .join(broadcast(v.select($"w", $"syms")), Seq("w"))
         .groupBy($"doc_id")
         .agg(
           count(lit(1)).as("n_words"),

@@ -375,8 +375,12 @@ case class EnvelopeScan(
   * follows: arriving files sort AFTER already-consumed ones
   * (sequence-numbered part files); a file injected below the
   * watermark is ignored, exactly like a Kafka record below the
-  * committed offset. Pushdown and pruning ride along — the pruned
-  * schema and in-reader filters apply to streaming batches too. */
+  * committed offset. NOTE: Spark plans streaming v2 scans WITHOUT
+  * operator pushdown (V2ScanRelationPushDown is batch-only), so the
+  * micro-batch path always reads the full envelope schema and
+  * filters/pruning apply ABOVE the scan — correct, just not
+  * reader-resident like the batch path (PlanSpec `t13` pins this
+  * shape so a Spark upgrade that adds streaming pushdown surfaces). */
 class EnvelopeMicroBatchStream(
     path: String, required: StructType, filters: Array[Filter])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {

@@ -413,6 +413,99 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("w9: rolling z-score runs on ONE user-keyed exchange and ONE window") {
+    // the docstring's shape claim: one exchange + one in-partition sort
+    // serves all three trailing aggs (count/sum/sum²) — Catalyst must
+    // collapse them into a single Window over a single hashpartitioning
+    val p = SparkEntry.queries("w9_anomaly")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"w9: expected exactly one user-keyed exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"w9: trailing aggs did not collapse into one Window:\n$p")
+    // only other exchange: the final presentation orderBy
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2,
+      s"w9: unexpected extra shuffle:\n$p")
+  }
+
+  test("w10: after the one daily hash agg, the decomposition never rescans the fact") {
+    // the heavy step is ONE fact-sized agg (materialized); grid bounds,
+    // densify, windows, and the seasonal join all run on the days-sized
+    // series — and the seasonal means join back via broadcast
+    val p = plan("w10_seasonal_decomp")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"w10 rescans the fact $scans times after the daily agg:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"w10: seasonal means must broadcast back onto the series:\n$p")
+  }
+
+  test("l4_bpe_train: serving the vocab never rescans the corpus; argmax is TakeOrdered") {
+    // ONE corpus scan happened at word-frequency materialization; the
+    // decl's output (merges + top symbols) runs on vocab-sized tables
+    val p = plan("l4_bpe_train")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"l4_bpe_train rescans the corpus $scans times:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-symbol selection should be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("l4_bpe_encode: corpus streams map-side through a broadcast vocab join") {
+    // the serving claim: vocab (vocabulary-sized) broadcasts, the
+    // corpus is scanned once and never shuffles before the join
+    val p = plan("l4_bpe_encode")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"l4_bpe_encode scans the corpus $scans times:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast (corpus stays map-side):\n$p")
+  }
+
+  test("l4_lm_score: scoring scans the corpus exactly once (count tables materialized)") {
+    // the docstring's materialize-once claim: bigram/unigram count
+    // tables are consumed multiple times but built once — the served
+    // plan reads the corpus for the doc-bigram stream only
+    val p = plan("l4_lm_score")
+    // the doc-bigram stream is materialized alongside the count tables,
+    // so SERVING the scores touches no parquet at all — the corpus was
+    // scanned exactly once, at materialization
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"l4_lm_score rescans the corpus $scans times at serve:\n$p")
+  }
+
+  test("t13: streaming envelope read plans a full-schema scan with the filter above it") {
+    // Spark plans streaming v2 scans WITHOUT operator pushdown, so the
+    // micro-batch EnvelopeScan must carry the FULL envelope schema and
+    // the query's filter must sit above it — pinned so a Spark upgrade
+    // that adds streaming pushdown (or a regression that silently drops
+    // the filter) surfaces here
+    import spark.implicits._
+    val land = java.nio.file.Files.createTempDirectory("t13_plan_land").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("t13_plan_ckpt").toString
+    graft.sources.KafkaIO.toEnvelope(Tables(spark, sf0001, "events").limit(50))
+      .select($"value").write.mode("overwrite").text(land)
+    val q = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("path", land).load()
+      .filter($"event_type" =!= "signup")
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"value").as("tv"))
+      .writeStream.format("memory").queryName("t13_plan_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("complete").start()
+    try q.awaitTermination() finally q.stop()
+    val exec = q.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+    val scanLine = exec.linesIterator.find(_.contains("EnvelopeScan"))
+      .getOrElse(fail(s"no EnvelopeScan in streaming plan:\n$exec"))
+    assert(scanLine.contains("event_type") && scanLine.contains("value")
+        && scanLine.contains("event_id"),
+      s"streaming scan must read the full envelope schema: $scanLine")
+    assert(exec.contains("Filter") && exec.contains("signup"),
+      s"the stream's filter must sit above the scan:\n$exec")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

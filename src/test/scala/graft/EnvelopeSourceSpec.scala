@@ -214,6 +214,88 @@ class EnvelopeSourceSpec extends SparkSpec {
     assert(epochRows == Seq(50L), s"replayed epoch double-published: $epochRows")
   }
 
+  test("chaos: crash mid-batch + files landing above AND below the watermark + replayed epoch = no loss, no dup") {
+    // The composed failure the per-direction tests don't cover: a
+    // source→sink pipeline crashes AFTER batch 1's offsets are written
+    // and its sink epoch is published, but BEFORE the commit marker
+    // lands (simulated by deleting commits/1 — the exact on-disk state
+    // a mid-batch crash leaves). During the outage, new files land
+    // both above and below the source's name watermark. The restart
+    // must (a) RE-EXECUTE batch 1 → the sink sees a REPLAYED epoch 1
+    // and publish() must drop the duplicates, (b) pick up the
+    // above-watermark file in the next batch, (c) never read the
+    // below-watermark file, and (d) lose nothing.
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("chaos_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("chaos_dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chaos_ckpt").toString
+    def land(name: String, ids: Seq[Long]): Unit = {
+      val lines = ids.map(i =>
+        s"""{"data":{"event_id":$i,"event_type":"click","user_id":7,"value":1.5},"source":"database"}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(src, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    def start() = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("path", src).load()
+      .writeStream.format("graft.sources.EnvelopeSource")
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    def stopped(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.stop()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!spark.streams.active.exists(_.id == q.id), "query never deregistered")
+    }
+
+    land("part-0001.jsonl", Seq(1L, 2L))
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch 0: {1,2}
+      land("part-0002.jsonl", Seq(3L, 4L))
+      q1.processAllAvailable() // batch 1: {3,4} — epoch 1 published
+    } finally stopped(q1)
+
+    // crash simulation: batch 1's sink COMMIT MARKER never landed, so
+    // the restart re-delivers batch 1 to the sink as a replayed epoch
+    val marker = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(java.nio.file.Files.deleteIfExists(marker), s"no commit marker at $marker")
+    // the local FS keeps a Hadoop checksum shadow; a real crash leaves
+    // neither, so remove it too or the re-commit's rename fails
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    // outage: one file above the watermark, one injected below it
+    land("part-0003.jsonl", Seq(5L))
+    land("part-0000.jsonl", Seq(99L))
+
+    val q2 = start()
+    try q2.processAllAvailable() // replays batch 1, then batch 2: {5}
+    finally stopped(q2)
+
+    val back = spark.read.format("graft.sources.EnvelopeSource")
+      .option("path", dst).load()
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(back == Seq(1L, 2L, 3L, 4L, 5L),
+      s"chaos run lost or duplicated rows (99 must never appear): $back")
+
+    // belt and braces: a SECOND duplicated delivery of epoch 1 straight
+    // at the sink in the same run — first-commit-wins must hold again
+    import graft.sources.EnvelopeStreamingWrite
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val sw = new EnvelopeStreamingWrite(dst)
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 999L, 1L)
+    w.write(InternalRow(777L, UTF8String.fromString("click"), 7L, 1.5,
+      UTF8String.fromString("database")))
+    sw.commit(1L, Array(w.commit()))
+    val after = spark.read.format("graft.sources.EnvelopeSource")
+      .option("path", dst).load()
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(1L, 2L, 3L, 4L, 5L),
+      s"manually replayed epoch double-published: $after")
+  }
+
   test("sink→source round trip: 12 sink epochs + 2 batch appends all clear the name watermark") {
     // The advertised composition: a stream READS the directory this
     // connector's own sink WRITES. Visible names must sort in publish

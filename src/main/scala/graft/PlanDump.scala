@@ -39,18 +39,38 @@ object PlanDump {
       "j12_interval_overlap" -> "Interval-overlap join (r7): sessions explode into spanned 6h grid buckets, windows live in one bucket — overlap runs as a bucket equi-join with the strict inequalities as residual.",
       "l2_substring_dedup" -> "Duplicated-span detection (r7): narrow window-hash explode, one hash-keyed count-distinct agg for the dup set, semi-join coverage — O(tokens) + two shuffles, never all-pairs.",
       "j13_spatial_grid" -> "Spatial proximity join (r7): probe side explodes to its 3x3 neighbor cells (narrow Generate), single cell equi-join + squared-distance residual — never all-pairs.",
-      "j14_cobucketed_join" -> "Co-bucketed fact join (r7): both facts read from bucketed+sorted layouts — the SMJ has no exchange AND no sort on either side; shuffle paid once at ingest.",
+      "j14_cobucketed_join" -> "Co-bucketed fact join (r7): both facts read from bucketed+sorted layouts — the SMJ has no exchange AND no sort on either side; shuffle paid once at ingest. Dumped with broadcast joins DISABLED (the PlanSpec gate's config) so the reviewed plan shows the co-located SMJ shape, not the AQE small-sf broadcast.",
       "p15_lateral" -> "Correlated LATERAL with LIMIT (r7): decorrelated into ONE window-ranked equi-join; the W4 bounded-heap rewrite fires under the decorrelated rank — never per-outer-row re-execution.",
       "l4_bpe_train" -> "BPE training loop (r7): three materialized merge rounds over the vocab-sized word-frequency table; per round one pair-count agg + TakeOrdered-1 argmax + a one-row broadcast driving the fold.",
       "l4_lm_score" -> "Bigram-LM scoring (r7): token-keyed count aggs whose output partitioning the scoring joins reuse; one-row vocab broadcast; per-doc decimal-exact mean.",
-      "w10_seasonal_decomp" -> "Seasonal decomposition (r7): ONE fact-collapsing hash agg; trend/seasonal/residual run on the days-sized series (single-partition window is the honest plan at that size).")
+      "w10_seasonal_decomp" -> "Seasonal decomposition (r7, tightened r8): the daily series is MATERIALIZED — grid bounds, densify, windows and the broadcast seasonal join all run on the days-sized series; zero fact rescans at serve (PlanSpec-gated).",
+      "w9_anomaly" -> "Rolling z-score anomaly detection (r8 gate): ONE user-keyed exchange, count/sum/sum² collapsed into ONE Window node (vi² precomputed), the only other exchange is the presentation sort.",
+      "l4_bpe_encode" -> "BPE corpus encoding (r8 gate): single corpus scan streaming map-side through the broadcast vocab split table; per-doc stats in one doc-keyed agg.",
+      "s20_bson_dump" -> "BSON dump ingest (r8): custom DSv2 scan, one InputPartition per dump shard, pruning + residual filters in the reader; drop-on-error with length-prefix resync.")
+
+    // per-query session overrides: dump the plan under the SAME config
+    // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only
+    // holds with broadcast disabled — at sf0.001 AQE otherwise folds
+    // the small side into a broadcast and hides the co-located shape)
+    val confOverrides: Map[String, Seq[(String, String)]] = Map(
+      "j14_cobucketed_join" -> Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1"))
 
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans for headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`; structural properties are asserted in `PlanSpec`.\n")
     annotated.foreach { case (name, note) =>
-      val p = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val overrides = confOverrides.getOrElse(name, Nil)
+      val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val p =
+        try SparkEntry.queries(name)(spark, dir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
       sb.append(s"\n## $name\n\n$note\n\n```\n$p```\n")
     }
     Files.write(Paths.get("/root/repo/PLANS.md"), sb.toString.getBytes("UTF-8"))

@@ -66,6 +66,15 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed-table warehouse outside the repo (bucketed tables etc.)
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // trust the per-bucket sort order of bucketed tables when each
+      // bucket holds EXACTLY ONE file (Spark still checks the file
+      // count per bucket before claiming the ordering). Qh.bucketedTable
+      // repartitions to one file per bucket by construction, so joins
+      // and aggs over those layouts run sort-free as well as
+      // exchange-free — the j14/l13/l2 co-located read contract
+      // (SPARK-28595 moved this behind a flag; the one-file guarantee
+      // is precisely the case it is safe for)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

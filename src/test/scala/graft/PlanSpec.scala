@@ -219,8 +219,13 @@ class PlanSpec extends SparkSpec {
     // per bucket: the join must consume the layout directly — shuffle
     // paid once at ingest, never again (broadcast disabled so the
     // small fixture can't cheat the claim)
-    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // assert on the EXECUTED plan (EnsureRequirements has run — the
+    // bare sparkPlan never carries the inserted exchanges/sorts, so a
+    // check there is vacuous); AQE off so the tree is direct
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       import org.apache.spark.sql.execution.SortExec
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -229,7 +234,7 @@ class PlanSpec extends SparkSpec {
       val li = graft.queries.Joins.bucketedLineitem(spark, sf0001)
       val o = graft.queries.Joins.bucketedOrders(spark, sf0001)
       val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      val joins = joined.queryExecution.sparkPlan.collect {
+      val joins = joined.queryExecution.executedPlan.collect {
         case j: SortMergeJoinExec => j
         case j: ShuffledHashJoinExec => j
       }
@@ -242,7 +247,7 @@ class PlanSpec extends SparkSpec {
             s"co-bucketed side re-sorts (bucket sort order not trusted):\n$j")
         }
       }
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("l2 LSH candidate self-join co-locates on the bucketed band table — no shuffle") {
@@ -504,6 +509,56 @@ class PlanSpec extends SparkSpec {
       s"streaming scan must read the full envelope schema: $scanLine")
     assert(exec.contains("Filter") && exec.contains("signup"),
       s"the stream's filter must sit above the scan:\n$exec")
+  }
+
+  test("CBO: with ANALYZE stats, the join reorders to the selective dimension first") {
+    // j3_multiway's order is AUTHORED (fact-first, dims broadcast); this
+    // pins the optimizer's own cost-based reorder: catalog tables with
+    // column stats + CBO on → the (filtered) customer⋈orders join runs
+    // FIRST even though the query text joins lineitem⋈orders first.
+    // Without CBO the authored order survives — the contrast proves the
+    // reorder is stats-driven, not heuristic.
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val db = "cbo_demo"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = cboKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      for (t <- Seq("customer", "orders", "lineitem")) {
+        spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+        spark.sql(
+          s"CREATE TABLE $db.$t USING parquet LOCATION '$sf0001/$t.parquet'")
+        spark.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+      def query() = spark.sql(
+        s"""SELECT c_name, sum(l_extendedprice) AS rev
+           |FROM $db.lineitem
+           |JOIN $db.orders ON l_orderkey = o_orderkey
+           |JOIN $db.customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY c_name""".stripMargin)
+      // the innermost join (no Join children) is where the plan starts
+      def innermost(p: LogicalPlan): LogicalPlan = {
+        val joins = p.collect { case j: Join => j }
+        joins.filter(j => j.children.forall(c => c.collect { case x: Join => x }.isEmpty))
+          .headOption.getOrElse(fail(s"no innermost join in:\n$p"))
+      }
+      cboKeys.foreach(spark.conf.set(_, "true"))
+      val withCbo = innermost(query().queryExecution.optimizedPlan).toString
+      assert(withCbo.contains("customer") && withCbo.contains("orders")
+          && !withCbo.contains("lineitem"),
+        s"CBO did not start from the selective customer⋈orders join:\n$withCbo")
+      cboKeys.foreach(spark.conf.set(_, "false"))
+      val noCbo = innermost(query().queryExecution.optimizedPlan).toString
+      assert(noCbo.contains("lineitem") && noCbo.contains("orders"),
+        s"without CBO the authored lineitem-first order should survive:\n$noCbo")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    }
   }
 
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {

@@ -559,16 +559,22 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
-    // L2d: winnowed char-4-gram Jaccard via an INVERTED-INDEX join,
-    // BLOCKED on (lang, source). Grams are packed into injective 32-bit
-    // int codes (4 ascii bytes — no hashing, no collisions), winnowed
-    // (keep code % 4 == 0 — MOSS-style deterministic sampling), then
-    // EXPLODED: the pair intersection count |A∩B| comes from a per-gram
-    // equi-join + count, never a per-pair set operation. At 100 TB this
-    // is a shuffle on (block, gram) with bounded posting lists — the
-    // shape that scales; per-pair array intersects do not. The char-code
-    // array is materialized once per doc (multiply-referenced expensive
-    // projection stays un-inlined).
+    // L2d: winnowed char-4-gram Jaccard with EXACT PREFIX FILTERING
+    // (AllPairs, Bayardo/Ma/Srikant WWW'07; prefix length per PPJoin,
+    // Xiao et al.), BLOCKED on (lang, source). Grams are packed into
+    // injective 32-bit int codes (4 ascii bytes — no hashing, no
+    // collisions) and winnowed (code % 4 == 0 — MOSS-style
+    // deterministic sampling). Candidate generation joins the inverted
+    // index over each doc's PREFIX only: grams globally ordered by
+    // (document frequency asc, gram asc), first n-⌈t·n⌉+1 kept. Any
+    // pair with J ≥ t shares a gram in both prefixes (pigeonhole), so
+    // recall is exact — but the posting lists that drive the join are
+    // the RARE grams; the round-8 sf1 sweep measured the unfiltered
+    // index join superlinear (exponent 1.24: common-gram posting lists
+    // grow 10×, their pair volume 100×) and this shape restores ~linear.
+    // Exact |A∩B| then runs per CANDIDATE (array_intersect of the two
+    // per-doc sorted gram arrays) — bounded by candidate volume, which
+    // prefix filtering keeps near-linear, times O(|doc grams|) each.
     Decl(
       "l2_ngram_jaccard",
       """WITH g AS (
@@ -614,19 +620,35 @@ object Dedup {
           expr("bin_word32(bin, i)").as("gram"))
         .filter($"gram" % 4 === 0)
         .distinct()
-      // per-doc sizes via a tiny agg + broadcast join back — cheaper
-      // than a window (no global sort of the 2M-row gram table); the
-      // result is materialized once for both self-join sides
-      val sizes = gramRows.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inv = Qh.materialize(gramRows.join(broadcast(sizes), "doc_id"))
-      val ni = inv.as("a").join(inv.as("b"),
+      // global document frequency per gram — the prefix ORDER. The join
+      // back shuffles on gram (vocabulary-sized side, never broadcast-
+      // assumed); the per-doc agg then re-keys on doc_id with map-side
+      // combine. array_sort over struct(df, gram) makes the collect
+      // order deterministic (total order — gram codes are injective).
+      val df_ = gramRows.groupBy($"gram").agg(count(lit(1)).as("df"))
+      val docG = Qh.materialize(
+        gramRows.join(df_, "gram")
+          .groupBy($"doc_id", $"lang", $"source")
+          .agg(array_sort(collect_list(struct($"df", $"gram"))).as("gsort"))
+          .select($"doc_id", $"lang", $"source",
+            expr("transform(gsort, x -> x.gram)").as("grams"),
+            size($"gsort").as("n")))
+      // prefix = first n - ceil(t*n) + 1 grams, t = 0.5; a J≥t pair
+      // shares a gram in BOTH prefixes, so the candidate join is exact
+      val pre = docG.select($"doc_id", $"lang", $"source",
+        explode(expr(
+          "slice(grams, 1, n - cast(ceil(n * 0.5) as int) + 1)")).as("gram"))
+      val cand = pre.as("a").join(pre.as("b"),
           $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
             $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(max($"a.n").as("na"), max($"b.n").as("nb"),
-          count(lit(1)).as("n_shared"))
-      val jac = $"n_shared".cast(DoubleType) / ($"na" + $"nb" - $"n_shared")
-      ni.select($"doc_a", $"doc_b", jac.as("jaccard4"))
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+      val ga = docG.select($"doc_id".as("doc_a"), $"grams".as("g_a"), $"n".as("na"))
+      val gb = docG.select($"doc_id".as("doc_b"), $"grams".as("g_b"), $"n".as("nb"))
+      val ni = size(array_intersect($"g_a", $"g_b"))
+      val jac = ni.cast(DoubleType) / ($"na" + $"nb" - ni)
+      cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select($"doc_a", $"doc_b", jac.as("jaccard4"))
         .filter($"jaccard4" >= 0.5)
         .orderBy("doc_a", "doc_b")
     },

@@ -559,6 +559,70 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     },
 
+    // L2c3: the SAME pair set as l2_simhash_hamming through the
+    // BLOCK-COMBINATION candidate schedule — the scale dial the sf1
+    // sweep (SWEEP_sf1.md lesson 2) names for corpora where the 4×16
+    // banding's residual n²/65536-per-band collision term turns over.
+    // The 64-bit fingerprint splits into 6 blocks (11,11,11,11,10,10
+    // bits); candidates come from an equi-join keyed on each of the
+    // C(6,3)=20 block TRIPLES (~32-bit buckets). Pigeonhole: Hamming
+    // distance ≤ 3 dirties at most 3 blocks, so at least 3 blocks are
+    // clean and some clean triple collides — recall stays EXACT. The
+    // trade vs 4×16: 5× more index rows (20n vs 4n, linear) for 2¹⁶×
+    // fewer random bucket collisions (quadratic) — the 100 TB direction.
+    // The oracle is deliberately the INDEPENDENT 4×16-band schedule
+    // (shared SQL with l2_simhash_hamming): a hash match is a machine
+    // check that the two schedules generate identical exact pair sets.
+    Decl(
+      "l2_simhash_blocked",
+      s"""WITH $oSimhash64Cte,
+         |bands AS (
+         |  SELECT doc_id, simhash, band_id,
+         |    (simhash >> (band_id * 16)) & 65535 AS band_val
+         |  FROM sh64, (SELECT unnest(range(4)) AS band_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val sh = Qh.materialize(simhash64(s, dir))
+      // block b occupies bits [off(b), off(b)+width(b))
+      val layout = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+      def blockVal(b: Int): org.apache.spark.sql.Column =
+        shiftright($"simhash", layout(b)._1)
+          .bitwiseAND((1L << layout(b)._2) - 1)
+      val triples = for {
+        i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+      } yield (i, j, k)
+      val keyCols = triples.zipWithIndex.map { case ((i, j, k), t) =>
+        // 21-bit slots: values < 2^11, so the packed key fits in 63 bits
+        struct(lit(t).as("t_id"),
+          (blockVal(i) * lit(1L << 42) + blockVal(j) * lit(1L << 21)
+            + blockVal(k)).as("bucket"))
+      }
+      val idx = sh.select($"doc_id", $"simhash",
+          explode(array(keyCols: _*)).as("bk"))
+        .select($"doc_id", $"simhash", $"bk.t_id", $"bk.bucket")
+      val a = idx.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"),
+        $"t_id", $"bucket")
+      val b = idx.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"),
+        $"t_id", $"bucket")
+      a.join(b, Seq("t_id", "bucket"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          expr("cast(bit_count(sh_a ^ sh_b) as bigint)").as("hamming"))
+        .filter($"hamming" <= 3)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
     // L2d: winnowed char-4-gram Jaccard with EXACT PREFIX FILTERING
     // (AllPairs, Bayardo/Ma/Srikant WWW'07; prefix length per PPJoin,
     // Xiao et al.), BLOCKED on (lang, source). Grams are packed into
@@ -694,6 +758,62 @@ object Dedup {
           count(when($"cos" >= 0.8, lit(1))).as("n_neardup"),
           max($"cos").as("max_cos"))
         .orderBy("label")
+    },
+
+    // L2e2: the SAME exact pair-counting plan as l2_cosine_neardup with
+    // a TUNABLE-CARDINALITY blocking key — the scale dial the sf1 sweep
+    // (SWEEP_sf1.md lesson 3) names for the label-blocked decl's
+    // output-quadratic growth. Blocks come from a fixed 8-plane sign
+    // quantizer (sign of dims 1..8 → 256 cells) instead of the bounded
+    // `label` dim: at a fixed corpus the cells are coarse clusters; as
+    // the corpus grows the plane count k is the dial (cells = 2^k, block
+    // size ~n/2^k held constant → the same plan stays linear in rows).
+    // Within a cell the work is EXACT (precomputed norms, one fused
+    // dot per pair) — this is the verification tier; the ANN family
+    // (l3_ann_*) remains the recall-traded scale path for similarity.
+    Decl(
+      "l2_cosine_neardup_bucketed",
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    ${(0 until 8).map(i =>
+                s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+                .mkString(" + ")} AS cell,
+         |    embedding,
+         |    sqrt(${Qh.oDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.cell,
+         |    floor(${Qh.oDot("a.embedding", "b.embedding")}
+         |      / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM e a JOIN e b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT cell,
+         |  count(*) AS n_pairs,
+         |  count(*) FILTER (WHERE cos >= 0.8) AS n_neardup,
+         |  max(cos) AS max_cos
+         |FROM p
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        call_function("dot_product", x, y)
+      val cell = (0 until 8)
+        .map(i => when(element_at($"embedding", i + 1) > 0f, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = Qh.t(s, dir, "embeddings")
+        .select($"vec_id", cell.as("cell"), $"embedding",
+          sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      val cos = Qh.r6(dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
+      e.as("a").join(e.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.cell".as("cell"), cos.as("cos"))
+        .groupBy($"cell")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          count(when($"cos" >= 0.8, lit(1))).as("n_neardup"),
+          max($"cos").as("max_cos"))
+        .orderBy("cell")
     },
 
     // L2g: EXACT DUPLICATED-SPAN detection — the fixed-width-window

@@ -72,6 +72,7 @@ class PlanSpec extends SparkSpec {
 
   test("pair-generating LLM ops contain no cartesian product or BNLJ") {
     for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
+      "l2_cosine_neardup_bucketed", "l2_simhash_blocked",
       "j7_range", "l2_substring_dedup", "l13_triangles",
       "w7_funnel", "w8_retention", "j13_spatial_grid")) {
       val p = plan(q)
@@ -85,6 +86,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "l3_ann_lsh: BNLJ!")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "l3_ann_lsh: candidate join is not equi")
+  }
+
+  test("l2 scale-dial variants: candidates from hash/merge equi-joins on the dial key") {
+    // l2_simhash_blocked: the C(6,3) triple index is a narrow Generate
+    // over map-side bit slicing; candidates come from an equi-join on
+    // (t_id, bucket) — never a BNLJ on popcount.
+    val pb = plan("l2_simhash_blocked")
+    assert(pb.contains("Generate"), "triple index must be an explode")
+    assert(pb.contains("SortMergeJoin") || pb.contains("ShuffledHashJoin") ||
+      pb.contains("BroadcastHashJoin"), "blocked candidate join is not equi")
+    // l2_cosine_neardup_bucketed: the quantizer cell is a map-side
+    // projection; the pair join is an equi-join on it.
+    val pc = plan("l2_cosine_neardup_bucketed")
+    assert(pc.contains("SortMergeJoin") || pc.contains("ShuffledHashJoin") ||
+      pc.contains("BroadcastHashJoin"), "bucketed cosine join is not equi")
+    assert(pc.contains("dot_product"), "fused dot_product missing from plan")
   }
 
   test("l3 LSH signature generation is narrow (no Exchange before the candidate join)") {

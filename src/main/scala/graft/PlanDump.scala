@@ -20,7 +20,7 @@ object PlanDump {
       "o1_topk" -> "TakeOrderedAndProject: per-partition heaps, k-row merge, no global sort.",
       "w4_topk_per_group" -> "CUSTOM two-phase operator (plans/TopKPerGroup): partial bounded heaps below the exchange, final merge above — no WindowExec, no sort.",
       "l2_lsh_pairs" -> "Banded MinHash-LSH: bucket equi-join candidates, no cross join.",
-      "l2_ngram_jaccard" -> "Inverted-index jaccard: explode grams, per-gram equi-join, count-based intersection.",
+      "l2_ngram_jaccard" -> "Prefix-filtered jaccard (r8): candidates from the rare-gram PREFIX index only (df-ordered, exact for J>=0.5 by pigeonhole) — common-gram posting lists never drive the pair join; exact array_intersect per candidate.",
       "l3_ann_lsh" -> "Multi-table hyperplane LSH: MAP-SIDE literal-plane signatures (no Exchange, no BNLJ before the candidate equi-join).",
       "l3_ann_ivf" -> "IVF: broadcast centroids, inverted-list equi-join, nprobe=2.",
       "w4_topk_window_idiom" -> "Plain user-written window top-k, auto-rewritten by TopKWindowRewrite onto the bounded-heap operator (TopKPerGroupExec partial+final; Window ranks only the survivors).",
@@ -46,7 +46,9 @@ object PlanDump {
       "w10_seasonal_decomp" -> "Seasonal decomposition (r7, tightened r8): the daily series is MATERIALIZED — grid bounds, densify, windows and the broadcast seasonal join all run on the days-sized series; zero fact rescans at serve (PlanSpec-gated).",
       "w9_anomaly" -> "Rolling z-score anomaly detection (r8 gate): ONE user-keyed exchange, count/sum/sum² collapsed into ONE Window node (vi² precomputed), the only other exchange is the presentation sort.",
       "l4_bpe_encode" -> "BPE corpus encoding (r8 gate): single corpus scan streaming map-side through the broadcast vocab split table; per-doc stats in one doc-keyed agg.",
-      "s20_bson_dump" -> "BSON dump ingest (r8): custom DSv2 scan, one InputPartition per dump shard, pruning + residual filters in the reader; drop-on-error with length-prefix resync.")
+      "s20_bson_dump" -> "BSON dump ingest (r8): custom DSv2 scan, one InputPartition per dump shard, pruning + residual filters in the reader; drop-on-error with length-prefix resync.",
+      "l2_simhash_blocked" -> "SimHash block-combination schedule (r8): C(6,3)=20 block-triple keys (~32-bit buckets) from map-side bit slicing — same exact pair set as the 4x16 banding (oracle cross-checks the schedules), 5x index rows for 2^16x fewer random collisions; the 100 TB dial.",
+      "l2_cosine_neardup_bucketed" -> "Bucketed exact cosine near-dup (r8): blocking key = 8-plane sign quantizer (tunable cardinality, vs the bounded label dim) — same precomputed-norm one-dot-per-pair plan, block sizes held constant by the plane-count dial.")
 
     // per-query session overrides: dump the plan under the SAME config
     // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only

@@ -14,9 +14,9 @@ package graft
 object Bench {
 
   /** Per-query pinned reference times at sf0.1: per-query MINIMA of
-    * two consecutive full round-7 runs (150.4 s summed / 158 queries /
-    * 0 err; singles 160.6 s and 162.2 s under mild sustained load —
-    * min-of-runs is the same noise discipline timeWithRetry applies).
+    * two consecutive full round-8 runs on an IDLE machine (load 1.5/32
+    * at start; singles 186.3 s and 186.0 s over 170 queries, 0 err) —
+    * min-of-runs is the same noise discipline timeWithRetry applies.
     * These replace the round-5 two-tier budgets, whose 20 s
     * ceiling over 1.2–1.6 s queries let a 10× plan regression ship
     * silently. Regenerate with scripts/repin.py from an idle-run
@@ -25,80 +25,82 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a1_hashagg" -> 2.184, "a2_distinct" -> 1.081,
-    "a3_approx_distinct" -> 2.209, "a3_hll_merge" -> 0.778,
-    "a4_cube" -> 0.825, "a4_grouping_sets" -> 0.731, "a4_rollup" -> 0.666,
-    "a5_filtered_agg" -> 0.571, "a6_approx_percentile" -> 2.322,
-    "a6_stats" -> 2.171, "a6_tdigest" -> 1.948, "a7_collect" -> 0.820,
-    "a8_pivot" -> 0.663, "a9_salted_agg" -> 0.777,
-    "c1_upsert_latest" -> 0.602, "c2_scd2_intervals" -> 1.004,
-    "c3_incremental_agg" -> 1.566, "c4_cdc_apply" -> 0.755,
-    "c5_retractable_agg" -> 1.971, "flagship_pipeline" -> 0.521,
-    "j10_bloom_semi" -> 1.126, "j11_salted_skew_join" -> 0.776,
-    "j12_interval_overlap" -> 1.105, "j13_spatial_grid" -> 0.948,
-    "j14_cobucketed_join" -> 2.994,
-    "j1_semi_broadcast" -> 0.798, "j2_inner" -> 0.530,
-    "j3_multiway" -> 1.553, "j4_full_outer" -> 0.438,
-    "j4_left_outer" -> 0.386, "j5_anti" -> 0.376, "j6_sortmerge" -> 0.942,
-    "j7_range" -> 0.752, "j8_cross" -> 0.282, "j9_asof" -> 0.703,
-    "j9_asof_join" -> 0.668, "l10_profile" -> 0.376, "l11_decontam" -> 1.382,
-    "l11_semantic_decontam" -> 0.620, "l12_global_ids" -> 0.859,
-    "l13_kcore" -> 1.951, "l13_pagerank" -> 7.871, "l13_triangles" -> 0.939,
-    "l14_fuzzy_join" -> 2.166, "l1_exact_dedup" -> 0.500,
-    "l2_cosine_neardup" -> 0.645, "l2_dedup_clusters" -> 2.236,
-    "l2_incremental_dedup" -> 1.051, "l2_lsh_pairs" -> 1.483,
-    "l2_minhash_estimate" -> 1.398, "l2_minhash_sigs" -> 1.564,
-    "l2_ngram_jaccard" -> 3.550, "l2_simhash" -> 0.837,
-    "l2_simhash_hamming" -> 2.948, "l2_substring_dedup" -> 1.866,
-    "l3_ann_ivf" -> 0.841, "l3_ann_ivfpq" -> 1.636, "l3_ann_lsh" -> 1.385,
-    "l3_ann_pq" -> 1.344, "l3_ann_recall" -> 1.611,
-    "l3_ann_trained" -> 2.719, "l3_cosine_topk" -> 0.339,
-    "l3_kmeans" -> 1.142, "l4_bpe_encode" -> 1.543, "l4_bpe_pair_stats" -> 0.741,
-    "l4_fingerprint" -> 1.032, "l4_heavy_hitters" -> 0.752,
-    "l4_lang_id" -> 0.453, "l4_lm_score" -> 1.365, "l4_pii_redact" -> 0.764,
-    "l4_quality_score" -> 0.543, "l4_repetition_quality" -> 1.255,
-    "l4_term_freq" -> 0.484, "l4_tfidf" -> 0.958, "l4_token_stats" -> 0.541,
-    "l5_histogram" -> 0.339, "l6_decode_audio" -> 1.166,
-    "l6_decode_features" -> 0.410, "l6_decode_real" -> 1.916,
-    "l6_multimodal_meta" -> 0.270, "l6_quantize_int8" -> 0.383,
-    "l6_resize_framesample" -> 0.205, "l7_curation_pipeline" -> 0.871,
-    "l8_bottomk_sample" -> 0.358, "l8_deterministic_sample" -> 0.192,
-    "l8_deterministic_split" -> 0.352, "l8_mixture_weights" -> 0.340,
-    "l8_stratified_sample" -> 0.200, "l8_weighted_sample" -> 0.259,
-    "l9_sequence_packing" -> 0.399, "l9_shard_export" -> 1.309,
-    "o1_topk" -> 0.206, "o2_limit" -> 0.157, "o3_union" -> 0.444,
-    "o3_union_distinct" -> 0.477, "o4_except" -> 0.349,
-    "o4_except_all" -> 0.605, "o4_intersect" -> 0.372,
-    "o4_intersect_all" -> 0.434, "p10_map_hof" -> 1.813, "p10_maps" -> 1.213,
-    "p11_envelope" -> 0.390, "p12_unpivot" -> 0.305,
-    "p13_subqueries" -> 0.708, "p14_variant" -> 2.080,
-    "p15_lateral" -> 0.422, "p16_try_functions" -> 2.706, "p1_prune" -> 0.613, "p2_filter" -> 0.442,
-    "p3_inlist" -> 0.187, "p4_strings" -> 0.283, "p5_datetime" -> 0.486,
-    "p6_math" -> 0.747, "p7_conditional" -> 0.296, "p8_json" -> 1.113,
-    "p8_json_nested" -> 2.795, "p9_array_fns" -> 0.227, "p9_arrays" -> 0.320,
-    "p9_explode" -> 0.208, "p9_posexplode" -> 0.190,
-    "s10_vector_index" -> 1.505, "s10b_index_append" -> 1.751,
-    "s11_schema_evolution" -> 0.908, "s12_compaction" -> 1.373,
-    "s13_dpp_join" -> 1.512, "s14_zorder_layout" -> 1.252,
-    "s15_stats_pruned_scan" -> 1.199, "s16_binaryfile_ingest" -> 1.108,
-    "s17_xml_roundtrip" -> 1.235, "s18_corrupt_drop" -> 0.416,
-    "s19_envelope_sink" -> 1.065,
-    "s3_jdbc_roundtrip" -> 0.489, "s4_json_roundtrip" -> 0.639,
-    "s5_kafka_envelope" -> 0.235, "s6_csv_roundtrip" -> 0.497,
-    "s7_orc_roundtrip" -> 1.011, "s8_envelope_source" -> 0.943,
-    "s9_partitioned_prune" -> 0.720, "t12_stream_envelope_sink" -> 1.277,
-    "t13_stream_envelope_source" -> 1.84, "t1_tumbling" -> 0.521,
-    "t2_sliding" -> 0.595, "t3_session" -> 0.924,
-    "t4_watermark_closed" -> 0.528, "t5_dedup" -> 0.394,
-    "t6_stateful_running" -> 0.662, "t7_stream_static" -> 0.659,
-    "t8_foreachbatch_jdbc" -> 1.567, "t8c_exactly_once_jdbc" -> 1.844,
-    "t9_stream_stream" -> 0.375, "t9_stream_stream_full" -> 0.487,
-    "t9_stream_stream_outer" -> 0.439, "t9_stream_stream_semi" -> 0.386,
-    "w1_ranking" -> 0.744, "w2_analytic" -> 0.940, "w3_frames" -> 0.871,
-    "w3_time_range" -> 0.613, "w4_topk_per_group" -> 0.372,
-    "w4_topk_window_idiom" -> 0.485, "w5_distribution" -> 1.080,
-    "w6_gap_fill" -> 0.801, "w7_funnel" -> 0.531, "w8_retention" -> 0.525,
-    "w9_anomaly" -> 0.737, "w10_seasonal_decomp" -> 0.594)
+    "a1_hashagg" -> 2.033, "a2_distinct" -> 1.128,
+    "a3_approx_distinct" -> 2.334, "a3_hll_merge" -> 0.884,
+    "a4_cube" -> 0.849, "a4_grouping_sets" -> 0.838, "a4_rollup" -> 0.798,
+    "a5_filtered_agg" -> 0.585, "a6_approx_percentile" -> 2.565,
+    "a6_stats" -> 2.385, "a6_tdigest" -> 2.015, "a7_collect" -> 0.867,
+    "a8_pivot" -> 0.482, "a9_salted_agg" -> 0.792,
+    "c1_upsert_latest" -> 0.769, "c2_scd2_intervals" -> 1.105,
+    "c3_incremental_agg" -> 1.187, "c4_cdc_apply" -> 0.903,
+    "c5_retractable_agg" -> 2.340, "flagship_pipeline" -> 0.659,
+    "j10_bloom_semi" -> 1.170, "j11_salted_skew_join" -> 0.757,
+    "j12_interval_overlap" -> 1.252, "j13_spatial_grid" -> 1.080,
+    "j14_cobucketed_join" -> 3.357, "j1_semi_broadcast" -> 0.719,
+    "j2_inner" -> 0.622, "j3_multiway" -> 1.716, "j4_full_outer" -> 0.452,
+    "j4_left_outer" -> 0.419, "j5_anti" -> 0.374, "j6_sortmerge" -> 1.089,
+    "j7_range" -> 0.906, "j8_cross" -> 0.309, "j9_asof" -> 0.732,
+    "j9_asof_join" -> 0.704, "l10_profile" -> 0.436, "l11_decontam" -> 1.495,
+    "l11_semantic_decontam" -> 0.659, "l12_global_ids" -> 0.840,
+    "l13_kcore" -> 1.942, "l13_pagerank" -> 6.596, "l13_triangles" -> 1.305,
+    "l14_fuzzy_join" -> 2.182, "l1_exact_dedup" -> 0.429,
+    "l2_cosine_neardup" -> 0.627, "l2_cosine_neardup_bucketed" -> 0.553,
+    "l2_dedup_clusters" -> 1.883, "l2_incremental_dedup" -> 1.047,
+    "l2_lsh_pairs" -> 1.147, "l2_minhash_estimate" -> 1.283,
+    "l2_minhash_sigs" -> 1.258, "l2_ngram_jaccard" -> 4.701,
+    "l2_simhash" -> 0.766, "l2_simhash_blocked" -> 3.525,
+    "l2_simhash_hamming" -> 2.180, "l2_substring_dedup" -> 1.980,
+    "l3_ann_ivf" -> 0.989, "l3_ann_ivfpq" -> 2.196, "l3_ann_lsh" -> 1.614,
+    "l3_ann_pq" -> 1.635, "l3_ann_recall" -> 2.139,
+    "l3_ann_trained" -> 3.102, "l3_cosine_topk" -> 0.428,
+    "l3_kmeans" -> 1.407, "l4_bpe_encode" -> 1.659,
+    "l4_bpe_pair_stats" -> 0.742, "l4_bpe_train" -> 0.980,
+    "l4_fingerprint" -> 0.884, "l4_heavy_hitters" -> 0.599,
+    "l4_lang_id" -> 0.529, "l4_lm_score" -> 1.460, "l4_pii_redact" -> 0.795,
+    "l4_quality_score" -> 0.594, "l4_repetition_quality" -> 1.271,
+    "l4_term_freq" -> 0.621, "l4_tfidf" -> 1.060, "l4_token_stats" -> 0.638,
+    "l5_histogram" -> 0.353, "l6_decode_audio" -> 1.379,
+    "l6_decode_features" -> 0.423, "l6_decode_real" -> 1.460,
+    "l6_multimodal_meta" -> 0.222, "l6_quantize_int8" -> 0.392,
+    "l6_resize_framesample" -> 0.206, "l7_curation_pipeline" -> 0.735,
+    "l8_bottomk_sample" -> 0.273, "l8_deterministic_sample" -> 0.159,
+    "l8_deterministic_split" -> 0.288, "l8_mixture_weights" -> 0.304,
+    "l8_stratified_sample" -> 0.181, "l8_weighted_sample" -> 0.293,
+    "l9_sequence_packing" -> 0.398, "l9_shard_export" -> 1.058,
+    "o1_topk" -> 0.146, "o2_limit" -> 0.148, "o3_union" -> 0.393,
+    "o3_union_distinct" -> 0.448, "o4_except" -> 0.405,
+    "o4_except_all" -> 0.671, "o4_intersect" -> 0.375,
+    "o4_intersect_all" -> 0.433, "p10_map_hof" -> 1.603, "p10_maps" -> 1.003,
+    "p11_envelope" -> 0.375, "p12_unpivot" -> 0.339,
+    "p13_subqueries" -> 0.510, "p14_variant" -> 1.590,
+    "p15_lateral" -> 0.501, "p16_try_functions" -> 2.844,
+    "p1_prune" -> 0.591, "p2_filter" -> 0.418, "p3_inlist" -> 0.181,
+    "p4_strings" -> 0.273, "p5_datetime" -> 0.451, "p6_math" -> 0.730,
+    "p7_conditional" -> 0.253, "p8_json" -> 0.941, "p8_json_nested" -> 3.038,
+    "p9_array_fns" -> 0.238, "p9_arrays" -> 0.329, "p9_explode" -> 0.240,
+    "p9_posexplode" -> 0.215, "s10_vector_index" -> 1.822,
+    "s10b_index_append" -> 2.152, "s11_schema_evolution" -> 0.962,
+    "s12_compaction" -> 1.503, "s13_dpp_join" -> 1.830,
+    "s14_zorder_layout" -> 1.347, "s15_stats_pruned_scan" -> 1.381,
+    "s16_binaryfile_ingest" -> 1.312, "s17_xml_roundtrip" -> 1.526,
+    "s18_corrupt_drop" -> 0.606, "s19_envelope_sink" -> 1.150,
+    "s20_bson_dump" -> 1.601, "s21_mongo_extjson" -> 1.663,
+    "s3_jdbc_roundtrip" -> 0.441, "s4_json_roundtrip" -> 0.662,
+    "s5_kafka_envelope" -> 0.234, "s6_csv_roundtrip" -> 0.496,
+    "s7_orc_roundtrip" -> 0.971, "s8_envelope_source" -> 0.716,
+    "s9_partitioned_prune" -> 0.651, "t12_stream_envelope_sink" -> 1.286,
+    "t13_stream_envelope_source" -> 1.890, "t1_tumbling" -> 0.509,
+    "t2_sliding" -> 0.538, "t3_session" -> 0.890,
+    "t4_watermark_closed" -> 0.495, "t5_dedup" -> 0.321,
+    "t6_stateful_running" -> 0.678, "t7_stream_static" -> 0.591,
+    "t8_foreachbatch_jdbc" -> 1.020, "t8c_exactly_once_jdbc" -> 1.939,
+    "t9_stream_stream" -> 0.494, "t9_stream_stream_full" -> 0.506,
+    "t9_stream_stream_outer" -> 0.400, "t9_stream_stream_semi" -> 0.392,
+    "w10_seasonal_decomp" -> 0.655, "w1_ranking" -> 0.813,
+    "w2_analytic" -> 0.973, "w3_frames" -> 0.934, "w3_time_range" -> 0.622,
+    "w4_topk_per_group" -> 0.437, "w4_topk_window_idiom" -> 0.507,
+    "w5_distribution" -> 1.172, "w6_gap_fill" -> 0.956, "w7_funnel" -> 0.546,
+    "w8_retention" -> 0.501, "w9_anomaly" -> 0.704)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{Bson, BsonDumpPartitionReader}
+import graft.sources.{Bson, BsonDumpPartitionReader, MongoExtJsonPartitionReader}
 import graft.sources.Bson.{BsonDateTime, BsonObjectId}
 import org.apache.spark.sql.types.StructType
 import org.scalacheck.{Gen, Prop, Properties}
@@ -129,5 +129,72 @@ object MongoDumpProps extends Properties("graft.mongodump") {
       val expect = docs.map(_.toMap).zip(ends)
         .takeWhile(_._2 <= t).map(_._1).toVector
       withDump(bytes.take(t))(f => new ProbeReader(f).drain()) == expect
+    }
+
+  // ------------------------------------------- extended JSON (S21)
+
+  /** Test-side mongoexport serializer: the canonical wrapper for every
+    * type whose plain-JSON form is lossy (Int, Double, ObjectId,
+    * DateTime); plain JSON where it round-trips (Long, Boolean,
+    * String, null). Generated field names are alphanumeric, so they
+    * can never collide with the `$`-prefixed wrapper keys. */
+  private val jackson = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def toExtJson(v: Any): com.fasterxml.jackson.databind.JsonNode = {
+    import com.fasterxml.jackson.databind.node.JsonNodeFactory.{instance => jf}
+    v match {
+      case null => jf.nullNode()
+      case s: String => jf.textNode(s)
+      case b: Boolean => jf.booleanNode(b)
+      case l: Long => jf.numberNode(l)
+      case i: Int => jf.objectNode().put("$numberInt", i.toString)
+      case d: Double => jf.objectNode().put("$numberDouble", d.toString)
+      case BsonObjectId(hex) => jf.objectNode().put("$oid", hex)
+      case BsonDateTime(ms) =>
+        jf.objectNode().set[com.fasterxml.jackson.databind.JsonNode]("$date",
+          jf.objectNode().put("$numberLong", ms.toString))
+      case xs: Seq[_] =>
+        val a = jf.arrayNode(); xs.foreach(x => a.add(toExtJson(x))); a
+      case m: Map[_, _] =>
+        val o = jf.objectNode()
+        m.foreach { case (k, x) =>
+          o.set[com.fasterxml.jackson.databind.JsonNode](k.toString, toExtJson(x)) }
+        o
+    }
+  }
+  private def toLine(doc: Seq[(String, Any)]): String =
+    jackson.writeValueAsString(toExtJson(doc.toMap))
+
+  private class ExtProbeReader(file: String) extends MongoExtJsonPartitionReader(
+      file, new StructType(), Array.empty[org.apache.spark.sql.sources.Filter]) {
+    def drain(): Vector[Map[String, Any]] = {
+      val b = Vector.newBuilder[Map[String, Any]]
+      var d = nextDoc()
+      while (d != null) { b += d; d = nextDoc() }
+      close()
+      b.result()
+    }
+  }
+
+  property("extjson lines round-trip the wrapper normalization exactly") =
+    Prop.forAll(dumpGen) { docs =>
+      val bytes = docs.map(toLine).mkString("", "\n", "\n").getBytes("UTF-8")
+      withDump(bytes)(f => new ExtProbeReader(f).drain()) ==
+        docs.map(_.toMap).toVector
+    }
+
+  property("a truncated extjson line drops alone; every other line survives") =
+    Prop.forAll(dumpGen, Gen.choose(0, Int.MaxValue), Gen.choose(0, Int.MaxValue)) {
+      (docs, whichSeed, cutSeed) =>
+        val lines = docs.map(toLine)
+        val i = whichSeed % lines.length
+        // a strict prefix of a top-level JSON object is never valid
+        // JSON (the matching close brace is the final char), so any
+        // cut point makes the line malformed — §1.4 drops it alone
+        val cut = 1 + cutSeed % (lines(i).length - 1)
+        val fuzzed = lines.updated(i, lines(i).take(cut))
+        val bytes = fuzzed.mkString("", "\n", "\n").getBytes("UTF-8")
+        val expect = docs.map(_.toMap).zipWithIndex
+          .collect { case (d, j) if j != i => d }.toVector
+        withDump(bytes)(f => new ExtProbeReader(f).drain()) == expect
     }
 }

@@ -133,7 +133,25 @@ copy(
     "embeddings",
 )
 
-# documents: seeded per-(doc_id, replica) word shuffle in python
+# documents: seeded per-(doc_id, replica) word shuffle (decorrelates
+# every ORDER-SENSITIVE signature) + a deterministic per-(word, replica)
+# VOCABULARY BIJECTION (decorrelates the token SET across replicas):
+# ~15% of the vocabulary, chosen by hash of (word, k) — NOT per
+# occurrence — maps w -> w + 'q' + letter(k). Per-word determinism
+# means two near-duplicate docs inside one replica undergo the SAME
+# substitution, so intra-replica near-dup density is preserved (a
+# per-occurrence coin would perturb each member of a pair
+# independently and thin the dedup family's workload ~7x); the
+# replica tag must be a LETTER because the engine tokenizes [a-z]+ —
+# a digit tag is stripped and every replica collapses to the same
+# variant token.
+import hashlib
+
+
+def subbed(w, k):
+    return int(hashlib.md5(f"{w}|{k}".encode()).hexdigest()[:8], 16) % 100 < 15
+
+
 docs = pq.read_table(f"{SRC}/documents.parquet")
 D = max(docs.column("doc_id").to_pylist()) + 1
 ids, texts, langs, sources, nchars = [], [], [], [], []
@@ -146,7 +164,7 @@ for k in range(K):
             words = r["text"].split(" ")
             rng = random.Random(r["doc_id"] * 37 + k)
             rng.shuffle(words)
-            words = [w if rng.random() >= 0.15 else f"{w}q{k}" for w in words]
+            words = [f"{w}q{chr(96 + k)}" if subbed(w, k) else w for w in words]
             t = " ".join(words)
         ids.append(r["doc_id"] + k * D)
         texts.append(t)

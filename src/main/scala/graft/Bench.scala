@@ -149,6 +149,39 @@ object Bench {
     if (noiseSuspect(name, first, sfDir)) math.min(first, run()) else first
   }
 
+  /** Untimed warmup: JVM + codegen + parquet-footer caches, so the
+    * alphabetically-first query doesn't absorb startup cost. Also warms
+    * the shared text kernels (regex tokenizer, portable md5, array
+    * HOFs) on a tiny slice: their first-use JIT costs multiple seconds
+    * and would otherwise land on whichever text query the alphabet
+    * puts first (measured: l11_decontam cold 8.9 s → 3.1 s once
+    * another query had JIT'd the same kernels). Steady-state
+    * throughput is what the 100 TB target cares about. Shared with
+    * [[Sweep]] so the two timing mains can't drift. */
+  private[graft] def warmup(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .limit(10000)
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+        .write.format("noop").mode("overwrite").save()
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(${graft.queries.Qh.toksExpr},
+             |  t -> md5_prefix32(t, 0))""".stripMargin)).as("h"))
+        .groupBy("h").count()
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+  /** Locale.ROOT: a comma-decimal default locale would emit 1,234 and
+    * make the JSON unparseable by the driver. */
+  private[graft] def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Engine.session("graft-bench")
@@ -160,30 +193,7 @@ object Bench {
       case c => c.toString
     }
 
-    // untimed warmup: JVM + codegen + parquet-footer caches, so the
-    // alphabetically-first query doesn't absorb startup cost
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .limit(10000)
-        .groupBy("l_returnflag")
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("l_quantity")
-            .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
-        .write.format("noop").mode("overwrite").save()
-      // warm the shared text kernels (regex tokenizer, portable md5,
-      // array HOFs) on a tiny slice: their first-use JIT costs multiple
-      // seconds and would otherwise land on whichever text query the
-      // alphabet puts first (measured: l11_decontam cold 8.9 s → 3.1 s
-      // once another query had JIT'd the same kernels). Steady-state
-      // throughput is what the 100 TB target cares about.
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(${graft.queries.Qh.toksExpr},
-             |  t -> md5_prefix32(t, 0))""".stripMargin)).as("h"))
-        .groupBy("h").count()
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    warmup(spark, sfDir)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -217,10 +227,6 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
-    // Locale.ROOT: a comma-decimal default locale would emit 1,234 and
-    // make the JSON unparseable by the driver
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = timings.map { case (k, v) => s""""${esc(k)}":${f3(v)}""" }
       .mkString("{", ",", "}")
     val rps = rowCounts.map { case (k, n) =>

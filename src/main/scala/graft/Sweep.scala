@@ -38,30 +38,25 @@ object Sweep {
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = Engine.session("graft-sweep")
 
-    // untimed warmup (JVM + codegen + parquet footers) — same reasons
-    // as Bench's
-    try {
-      import org.apache.spark.sql.functions._
-      spark.read.parquet(s"$dir/lineitem.parquet").limit(10000)
-        .groupBy("l_returnflag").count()
-        .write.format("noop").mode("overwrite").save()
-      spark.read.parquet(s"$dir/documents.parquet").limit(100)
-        .select(col("doc_id"), explode(expr(
-          s"transform(${graft.queries.Qh.toksExpr}, t -> md5_prefix32(t, 0))")).as("h"))
-        .groupBy("h").count()
-        .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+    Bench.warmup(spark, dir) // shared with Bench — the mains can't drift
 
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // per-query isolation, like Bench: one failing (or mistyped) query
+    // reports an err entry instead of discarding the whole run's timings
     val out = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      val secs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val fn = SparkEntry.queries(name)
+        val secs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        s""""$name":${Bench.f3(secs.min)}"""
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .take(120).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+          s""""$name":"ERR $msg""""
       }
-      s""""$name":${f3(secs.min)}"""
     }
     println(s"""SWEEP ${out.mkString("{", ",", "}")}""")
     spark.stop()

@@ -102,6 +102,45 @@ object Clustering {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** SemDeDup oracle: the SAME unrolled two-iteration k-means CTE as
+    * `l3_kmeans` (so trained assignment is verified once, reused here),
+    * then within-cluster pairwise cosine with the l2_cosine_neardup
+    * determinism discipline (sequential-fold dot, per-pair rounding
+    * before max). */
+  private val oSqlSemDedup = {
+    val d = KMeansLloyd.oL2sq("e.emb", "c.cemb")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, emb AS cemb FROM e WHERE vec_id < $K),
+       |${oRound(1, "c0", "a1", "c1")},
+       |${oRound(2, "c1", "a2", "c2")},
+       |d3 AS (
+       |  SELECT e.vec_id, c.cid, $d AS d FROM e, c2 c),
+       |a3 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM d3) WHERE rn = 1),
+       |en AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(${Qh.oDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |mx AS (
+       |  SELECT b.vec_id,
+       |    max(floor(${Qh.oDot("ea.embedding", "eb.embedding")}
+       |      / (ea.nrm * eb.nrm) * 1000000 + 0.5) / 1000000.0) AS max_cos
+       |  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN en ea ON ea.vec_id = a.vec_id
+       |  JOIN en eb ON eb.vec_id = b.vec_id
+       |  GROUP BY b.vec_id)
+       |SELECT a.vec_id, a.cid, mx.max_cos,
+       |  coalesce(mx.max_cos >= 0.8, false) AS is_dup
+       |FROM a3 a LEFT JOIN mx ON mx.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val decls: Seq[Decl] = Seq(
     Decl("l3_kmeans", oSql) { (s, dir) =>
       import s.implicits._
@@ -174,6 +213,47 @@ object Clustering {
         .filter($"rnk" <= 3)
         .select($"query_id", $"neighbor_id", Qh.r6($"d").as("dist"), $"rnk")
         .orderBy("query_id", "rnk")
+    },
+
+    // L3s: SEMANTIC dedup — SemDeDup (Abbas et al. 2023,
+    // arXiv:2303.09540): cluster the embedding space with the trained
+    // coarse quantizer, then compare pairs ONLY within a cluster and
+    // drop every vector that has a semantically-near smaller-id
+    // neighbor (deterministic keep-min-id exemplar rule). This is the
+    // missing rung between the exact near-dup tier (l2_cosine_neardup:
+    // bounded blocking keys) and ANN (l3_ann_*: recall-traded): dup
+    // candidates here come from LEARNED clusters, which track the data
+    // distribution instead of a fixed quantizer grid. Scale story: k
+    // grows with the corpus so cluster sizes stay bounded (the SemDeDup
+    // paper runs k=50k over 5B embeddings) — pair volume is Σ cluster²,
+    // never corpus²; training is the constant-shuffle KMeansLloyd loop,
+    // assignment is a narrow map against literal centroids, and the
+    // within-cluster self-join is an equi-join on cid (PlanSpec gates
+    // no cartesian). Exactness discipline: same fold-identical dot +
+    // per-pair r6 rounding as l2_cosine_neardup, max over rounded
+    // values, so the hash compare is exact, no tolerance band.
+    Decl("l3_semantic_dedup", oSqlSemDedup) { (s, dir) =>
+      import s.implicits._
+      val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        call_function("dot_product", x, y)
+      val e = Qh.t(s, dir, "embeddings").select("vec_id", "embedding")
+      // TRAIN + ASSIGN: the same distributed Lloyd loop as l3_kmeans
+      val cents = KMeansLloyd.fit(e, KMeansLloyd.initByIds(e, K), Iters)
+      val asg = Qh.materialize(
+        KMeansLloyd.assign(e, cents).select($"vec_id", $"cid")
+          .join(e.select($"vec_id", $"embedding",
+            sqrt(dot($"embedding", $"embedding")).as("nrm")), "vec_id"))
+      // within-cluster pairs only; per-vector max cosine to a SMALLER id
+      val cos = Qh.r6(dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
+      val mx = asg.as("a").join(asg.as("b"),
+          $"a.cid" === $"b.cid" && $"a.vec_id" < $"b.vec_id")
+        .select($"b.vec_id".as("vec_id"), cos.as("cos"))
+        .groupBy($"vec_id").agg(max($"cos").as("max_cos"))
+      asg.select($"vec_id", $"cid")
+        .join(mx, Seq("vec_id"), "left")
+        .select($"vec_id", $"cid", $"max_cos",
+          coalesce($"max_cos" >= 0.8, lit(false)).as("is_dup"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -120,6 +120,61 @@ object Dedup {
        |  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
        |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) >= 0.2)""".stripMargin
 
+  /** LARGE-STAR step (Kiveris et al. 2014) over a canonically-oriented
+    * (u > v) edge set: around every node x (both orientations), link
+    * each strictly-larger neighbor to the minimum of x's closed
+    * neighborhood. Output keeps the canonical orientation. One groupBy
+    * + one equi-join — per-round shuffles are bounded and plan-gated
+    * (PlanSpec), never a cartesian. */
+  private[graft] def largeStar(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select($"u".as("x"), $"v".as("y"))
+      .union(edges.select($"v".as("x"), $"u".as("y")))
+    val mins = sym.groupBy($"x").agg(min($"y").as("mn"))
+      .select($"x", least($"x", $"mn").as("m"))
+    sym.join(mins, "x").filter($"y" > $"x")
+      .select($"y".as("u"), $"m".as("v"))
+      .distinct()
+  }
+
+  /** SMALL-STAR step: around every node u (edges already u > v), link
+    * u and each smaller neighbor to u's minimum neighbor. */
+  private[graft] def smallStar(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import edges.sparkSession.implicits._
+    val smins = edges.groupBy($"u").agg(min($"v").as("m"))
+    edges.join(smins, "u")
+      .select(explode(array(
+        struct($"u".as("a"), $"m".as("b")),
+        struct($"v".as("a"), $"m".as("b")))).as("e"))
+      .select($"e.a".as("u"), $"e.b".as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+  }
+
+  /** The component-closure oracle shared by l2_dedup_clusters and
+    * l2_cc_star: near-dup pairs (the [[oPairsCte]] chain) symmetrized
+    * into an edge list, transitive closure stated as a recursive CTE,
+    * each doc labeled with its component's min doc_id. TWO independent
+    * engine schedules hash against this one statement — min-label
+    * propagation and the large-star/small-star contraction — so a green
+    * run is a machine check that both compute the same components. */
+  private lazy val oClustersSql: String =
+    s"""WITH RECURSIVE $oPairsCte,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs),
+       |reach(v, l) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
+       |SELECT v AS doc_id, min(l) AS component, min(l) = v AS is_canonical
+       |FROM reach
+       |GROUP BY v
+       |ORDER BY doc_id""".stripMargin
+
   /** Materialized (doc_id, shingles, sig0..sig7) signature table —
     * built ONCE per run (Qh.materialize — durability mode is a config:
     * localCheckpoint for local bench, DISK_ONLY persist / reliable
@@ -457,22 +512,12 @@ object Dedup {
     // clusters are shallow; production uses the same loop or its
     // large-star/small-star variant, Kiveris et al. 2014). The round
     // boundary materializes via Qh.materialize so lineage stays flat.
-    // The oracle states the same closure as a recursive CTE.
+    // The oracle states the same closure as a recursive CTE — SHARED
+    // with l2_cc_star, so a hash match on both machine-checks the two
+    // schedules against one statement of the transitive closure.
     Decl(
       "l2_dedup_clusters",
-      s"""WITH RECURSIVE $oPairsCte,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(v, l) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v)
-         |SELECT v AS doc_id, min(l) AS component, min(l) = v AS is_canonical
-         |FROM reach
-         |GROUP BY v
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      oClustersSql) { (s, dir) =>
       import s.implicits._
       val pairs = lshPairs(s, dir)
       val edges = Qh.materialize(
@@ -495,6 +540,52 @@ object Dedup {
       }
       labels.select($"v".as("doc_id"), $"l".as("component"),
           ($"l" === $"v").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
+    // L2b4: the SAME component labels through the LARGE-STAR /
+    // SMALL-STAR schedule (Kiveris et al., "Connected Components in
+    // MapReduce and Beyond", SoCC 2014) — the round-count dial for the
+    // clustering step. Min-label propagation needs O(diameter) rounds:
+    // fine for shallow near-dup clusters, unbounded for chain-shaped
+    // components (substring-overlap chains at web scale run hundreds of
+    // hops deep). The star schedule contracts whole paths per round —
+    // large-star hangs every larger neighbor off the neighborhood min,
+    // small-star re-hangs the smaller ones — converging in O(log² n)
+    // rounds REGARDLESS of component shape, with per-round work one
+    // groupBy + one join over the current edge set (which only shrinks
+    // toward the final star). Termination is detected, not assumed:
+    // the loop exits when the edge set reaches its fixpoint. The
+    // oracle is deliberately the IDENTICAL recursive-CTE closure
+    // shared with l2_dedup_clusters — a hash match machine-checks that
+    // the two schedules compute the same components.
+    Decl("l2_cc_star", oClustersSql) { (s, dir) =>
+      import s.implicits._
+      val pairs = lshPairs(s, dir)
+      // canonical orientation (u > v) — both star steps preserve it
+      var edges = Qh.materialize(
+        pairs.select(greatest($"doc_a", $"doc_b").as("u"),
+            least($"doc_a", $"doc_b").as("v"))
+          .distinct())
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 30) {
+        val ls = Qh.materialize(largeStar(edges))
+        val ss = Qh.materialize(smallStar(ls))
+        Qh.release(ls)
+        converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+        Qh.release(edges) // fixpoint check was its last reader
+        edges = ss
+        rounds += 1
+      }
+      // at the fixpoint every non-root points directly at its
+      // component's min; docs outside any pair label themselves
+      Qh.t(s, dir, "documents").select($"doc_id")
+        .join(edges.select($"u".as("doc_id"), $"v".as("root")),
+          Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"root", $"doc_id").as("component"),
+          (coalesce($"root", $"doc_id") === $"doc_id").as("is_canonical"))
         .orderBy("doc_id")
     },
 

@@ -18,6 +18,12 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
 
+  /** Count-min sketch geometry (l4_count_min): depth = independent
+    * hash rows, width = buckets per row. 4×512 bounds the whole sketch
+    * at 2048 cells regardless of corpus size. */
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
   /** The shared BPE training pipeline (l4_bpe_train selects from it,
     * l4_bpe_encode joins the corpus against it — one construction
     * site): word-frequency table → three (pair-count → argmax →
@@ -786,6 +792,73 @@ object TextAnalysis {
         .select($"tok", $"tf",
           array_contains($"sketch_top5", $"tok").as("in_sketch_top5"))
         .orderBy($"tf".desc, $"tok")
+    },
+
+    // L4j: COUNT-MIN sketch (Cormode–Muthukrishnan 2005) — the
+    // point-query frequency sketch next to Misra–Gries's top-k: fixed
+    // O(depth × width) memory, mergeable by cell-wise addition, answers
+    // est(t) = min_d cells[d][h_d(t)] with est ≥ exact always and
+    // est ≤ exact + εN w.h.p. Everything here is RELATIONAL, which is
+    // what makes it exactly checkable: with the portable hash the
+    // sketch is a pure function of the term-frequency table, so DuckDB
+    // rebuilds the identical 4×512 cell grid and the identical
+    // estimates — overcount included — and the driver hash-compares
+    // all of it, no tolerance band. Scale shape: ONE map-side-combined
+    // (token → tf) agg is the only corpus-sized shuffle (shared shape
+    // with l4_term_freq); the 4-row-per-token bucket explode runs over
+    // the AGGREGATED table, the cell grid is ≤ 2048 rows, and serving
+    // joins the broadcast grid — at 100 TB the sketch is what ships to
+    // the driver/monitoring, never the term table.
+    Decl(
+      "l4_count_min",
+      {
+        val perD = (0 until CmsDepth).map(d =>
+          s"SELECT tok, tf, $d AS d, ${Qh.oPhash("tok", 900 + d)} % $CmsWidth AS bucket FROM tf")
+          .mkString("\n         UNION ALL\n         ")
+        s"""WITH tf AS (
+           |  SELECT tok, count(*) AS tf
+           |  FROM (SELECT unnest(${Qh.oToksExpr}) AS tok FROM documents)
+           |  GROUP BY tok),
+           |buckets AS (
+           |  $perD),
+           |cells AS (
+           |  SELECT d, bucket, CAST(sum(tf) AS BIGINT) AS cnt
+           |  FROM buckets GROUP BY d, bucket),
+           |top AS (
+           |  SELECT tok, tf FROM tf ORDER BY tf DESC, tok LIMIT 30)
+           |SELECT t.tok, t.tf AS exact, min(c.cnt) AS est,
+           |  min(c.cnt) - t.tf AS overcount
+           |FROM top t
+           |JOIN buckets b ON b.tok = t.tok
+           |JOIN cells c ON c.d = b.d AND c.bucket = b.bucket
+           |GROUP BY t.tok, t.tf
+           |ORDER BY exact DESC, t.tok""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      // the one corpus-sized agg: (token → tf), map-side combined
+      val tf = Qh.materialize(
+        Qh.t(s, dir, "documents")
+          .select(explode(expr(Qh.toksExpr)).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("tf")))
+      // sketch build FROM the term table: 4 bucket rows per term, then
+      // the bounded cell grid (≤ depth × width rows)
+      val bucketCols = (0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), (Qh.phash($"tok", 900 + d) % CmsWidth).as("bucket")))
+      val buckets = tf.select($"tok", $"tf",
+          explode(array(bucketCols: _*)).as("b"))
+        .select($"tok", $"tf", $"b.d", $"b.bucket")
+      val cells = buckets.groupBy($"d", $"bucket")
+        .agg(sum($"tf").cast(LongType).as("cnt"))
+      // point queries: the exact top-30 terms, served off the broadcast
+      // cell grid — est = min over the 4 probed cells
+      val top = tf.orderBy($"tf".desc, $"tok").limit(30)
+      top.join(buckets.drop("tf"), "tok")
+        .join(broadcast(cells), Seq("d", "bucket"))
+        .groupBy($"tok", $"tf")
+        .agg(min($"cnt").as("est"))
+        .select($"tok", $"tf".as("exact"), $"est",
+          ($"est" - $"tf").as("overcount"))
+        .orderBy($"exact".desc, $"tok")
     },
 
     // L10: corpus profiling — the ANALYZE-style health check a pipeline

@@ -386,6 +386,45 @@ class PlanSpec extends SparkSpec {
       "expected partial + final HashAggregate")
   }
 
+  test("l2_cc_star: one star round is bounded equi-join+agg work — no cartesian") {
+    // the round-count dial's per-round cost claim: large-star then
+    // small-star is groupBy + equi-join (+ distinct) each — a cartesian
+    // or nested-loop sneaking in would make every round corpus²
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val edges = Seq((5L, 1L), (7L, 3L), (9L, 5L), (9L, 2L)).toDF("u", "v")
+    val round = graft.queries.Dedup.smallStar(graft.queries.Dedup.largeStar(edges))
+    val p = planOf(round)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"star round must stay equi-join shaped:\n$p")
+    val shuffles = round.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 8,
+      s"star round shuffle count grew past its bounded shape: ${shuffles.size}")
+  }
+
+  test("l3_semantic_dedup: within-cluster pairs come from an equi-join on cid") {
+    // SemDeDup's scale contract: pair volume is Σ cluster², driven by a
+    // cid equi-join — never an all-pairs cartesian; assignment stays a
+    // narrow map (gated separately by the kmeans assignment test)
+    val p = plan("l3_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"semantic dedup lost its cid blocking:\n$p")
+    assert(p.contains("Join"), "expected the within-cluster pair join")
+  }
+
+  test("l4_count_min: one corpus agg; estimates serve off the broadcast cell grid") {
+    val p = plan("l4_count_min")
+    // the (token → tf) agg is partial+final (map-side combined)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "tf aggregation lost its partial+final shape")
+    // the ≤2048-cell sketch joins broadcast — the corpus-sized side
+    // must never shuffle to meet it
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-grid join is not broadcast:\n$p")
+  }
+
   test("o1: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("o1_topk")
     assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")

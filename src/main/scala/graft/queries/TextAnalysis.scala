@@ -861,6 +861,97 @@ object TextAnalysis {
         .orderBy($"exact".desc, $"tok")
     },
 
+    // L4k: BM25 ranked retrieval (Robertson–Spärck Jones, k1=1.2,
+    // b=0.75) — the serving half of the inverted index TF-IDF only
+    // summarizes: score every document against a query set and return
+    // the top-10 per query. Queries are DATA-DERIVED so the decl is
+    // meaningful at every fixture scale: per language, the 3 highest-
+    // frequency non-stopword terms (deterministic tie-break) form that
+    // language's query. Scale shape: the (doc, term) postings agg is
+    // the one corpus-sized shuffle (materialized once, reused by dl /
+    // df / scoring); the query set is bounded (3 × |langs|) and meets
+    // the postings in a broadcast equi-join on term; corpus stats
+    // (N, avgdl) ride along as a one-row broadcast; per-query top-10
+    // is the bounded-heap window idiom. Determinism: ln + the
+    // dl/avgdl division are IEEE-identical on identical integers, each
+    // per-term score is r6-rounded then DECIMAL-summed (the l4_lm_score
+    // discipline), so the hash compare is exact.
+    Decl(
+      "l4_bm25",
+      s"""WITH dt AS (
+         |  SELECT doc_id, tok, count(*) AS f
+         |  FROM (SELECT doc_id, unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |dl AS (
+         |  SELECT doc_id, CAST(sum(f) AS BIGINT) AS dl FROM dt GROUP BY doc_id),
+         |nn AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |df AS (
+         |  SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+         |lt AS (
+         |  SELECT d.lang, t.tok, CAST(sum(t.f) AS BIGINT) AS cnt
+         |  FROM dt t JOIN documents d USING (doc_id)
+         |  WHERE NOT list_contains($oStopList, t.tok)
+         |  GROUP BY d.lang, t.tok),
+         |qt AS (
+         |  SELECT lang, tok FROM (
+         |    SELECT lang, tok,
+         |      row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rn
+         |    FROM lt) WHERE rn <= 3),
+         |sc AS (
+         |  SELECT q.lang AS qlang, t.doc_id,
+         |    ${Qh.oR6("ln((nn.n - df.df + 0.5) / (df.df + 0.5) + 1.0)" +
+                " * (t.f * 2.2) / (t.f + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / nn.avgdl)))")} AS s
+         |  FROM qt q
+         |  JOIN dt t ON t.tok = q.tok
+         |  JOIN dl ON dl.doc_id = t.doc_id
+         |  JOIN df ON df.tok = q.tok
+         |  CROSS JOIN nn),
+         |agg AS (
+         |  SELECT qlang, doc_id,
+         |    CAST(sum(CAST(s AS DECIMAL(18, 6))) AS DOUBLE) AS score
+         |  FROM sc GROUP BY qlang, doc_id)
+         |SELECT qlang, doc_id, score, rnk FROM (
+         |  SELECT qlang, doc_id, score,
+         |    row_number() OVER (PARTITION BY qlang ORDER BY score DESC, doc_id) AS rnk
+         |  FROM agg) WHERE rnk <= 10
+         |ORDER BY qlang, rnk""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // postings: the one corpus-sized agg, reused by dl/df/lt/scoring
+      val dt = Qh.materialize(
+        Qh.t(s, dir, "documents")
+          .select($"doc_id", explode(expr(Qh.toksExpr)).as("tok"))
+          .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("f")))
+      val dl = dt.groupBy($"doc_id").agg(sum($"f").cast(LongType).as("dl"))
+      val nn = dl.agg(count(lit(1)).as("n"),
+        (sum($"dl").cast(DoubleType) / count(lit(1))).as("avgdl"))
+      val dfT = dt.groupBy($"tok").agg(count(lit(1)).as("df"))
+      // data-derived query set: top-3 non-stopword terms per language
+      val lt = dt.filter(!$"tok".isin(stopwords: _*))
+        .join(Qh.t(s, dir, "documents").select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang", $"tok").agg(sum($"f").cast(LongType).as("cnt"))
+      val qw = Window.partitionBy($"lang").orderBy($"cnt".desc, $"tok")
+      val qt = lt.withColumn("rn", row_number().over(qw)).filter($"rn" <= 3)
+        .select($"lang", $"tok")
+      // score: idf * saturated-tf, identical parenthesization as the SQL
+      val sCol = Qh.r6(
+        log((($"n" - $"df" + 0.5) / ($"df" + 0.5)) + 1.0) *
+          ($"f" * 2.2) /
+          ($"f" + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * ($"dl" / $"avgdl"))))
+      // query terms carry their df — the broadcast side stays 3×|langs|
+      val sc = broadcast(qt.select($"lang".as("qlang"), $"tok").join(dfT, "tok"))
+        .join(dt, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nn))
+        .select($"qlang", $"doc_id", sCol.as("s"))
+      val agg = sc.groupBy($"qlang", $"doc_id")
+        .agg(sum($"s".cast(DecimalType(18, 6))).cast(DoubleType).as("score"))
+      val rw = Window.partitionBy($"qlang").orderBy($"score".desc, $"doc_id")
+      agg.withColumn("rnk", row_number().over(rw)).filter($"rnk" <= 10)
+        .select($"qlang", $"doc_id", $"score", $"rnk")
+        .orderBy("qlang", "rnk")
+    },
+
     // L10: corpus profiling — the ANALYZE-style health check a pipeline
     // runs before training: row/null/distinct counts and value ranges
     // per column, one scan, one partial+final agg (distincts partial-

@@ -425,6 +425,21 @@ class PlanSpec extends SparkSpec {
       s"cell-grid join is not broadcast:\n$p")
   }
 
+  test("l4_bm25: queries meet the postings broadcast; top-10 rides the bounded heap") {
+    val p = plan("l4_bm25")
+    // the bounded (3 × |langs|) query set must broadcast to the
+    // corpus-sized postings — a shuffled join here would re-shuffle
+    // the whole postings table per query-set refresh
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term join is not broadcast:\n$p")
+    // the one-row (N, avgdl) stats join may plan as a broadcast nested
+    // loop — that's the broadcast scalar, fine; a cartesian is not
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // per-query top-10: the window idiom lowers onto TopKPerGroupExec
+    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 2,
+      s"per-query top-10 not on the bounded-heap operator:\n$p")
+  }
+
   test("o1: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("o1_topk")
     assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")

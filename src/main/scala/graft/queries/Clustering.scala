@@ -141,6 +141,40 @@ object Clustering {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** PCA oracle: rebuild the exact integer Gram matrix relationally,
+    * then replay the two power-iteration rounds as the same sequential
+    * folds (list_reduce in index order = the engine's j-loop). v0 =
+    * 0.125 = 1/√64, exact in binary on both engines. */
+  private val oSqlPca: String = {
+    val fold = (body: String) =>
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $body), (a, b) -> a + b)"
+    s"""WITH g AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    CAST(sum(CAST(floor(CAST(embedding[i.i+1] AS DOUBLE) * CAST(embedding[j.j+1] AS DOUBLE) * 1000000000000 + 0.5) AS BIGINT)) AS BIGINT) AS gij
+       |  FROM embeddings, range(64) i(i), range(64) j(j)
+       |  GROUP BY i.i, j.j),
+       |gl AS (
+       |  SELECT i, list(CAST(gij AS DOUBLE) ORDER BY j) AS grow FROM g GROUP BY i),
+       |u1 AS (
+       |  SELECT i, ${fold("list_transform(grow, x -> x * 0.125)")} AS u FROM gl),
+       |n1 AS (
+       |  SELECT sqrt(${fold("list_transform(ul, x -> x * x)")}) AS n
+       |  FROM (SELECT list(u ORDER BY i) AS ul FROM u1)),
+       |v1l AS (
+       |  SELECT list(u / n1.n ORDER BY i) AS vl FROM u1, n1 GROUP BY n1.n),
+       |u2 AS (
+       |  SELECT i, ${fold("list_transform(range(64), j -> grow[j+1] * vl[j+1])")} AS u
+       |  FROM gl, v1l),
+       |n2 AS (
+       |  SELECT sqrt(${fold("list_transform(ul, x -> x * x)")}) AS n
+       |  FROM (SELECT list(u ORDER BY i) AS ul FROM u2))
+       |SELECT u2.i AS dim,
+       |  floor(u2.u / n2.n * 1000000 + 0.5) / 1000000.0 AS loading,
+       |  floor(n2.n * 1000000 + 0.5) / 1000000.0 AS eigenvalue
+       |FROM u2, n2
+       |ORDER BY dim""".stripMargin
+  }
+
   val decls: Seq[Decl] = Seq(
     Decl("l3_kmeans", oSql) { (s, dir) =>
       import s.implicits._
@@ -254,6 +288,53 @@ object Clustering {
         .select($"vec_id", $"cid", $"max_cos",
           coalesce($"max_cos" >= 0.8, lit(false)).as("is_dup"))
         .orderBy("vec_id")
+    },
+
+    // L3p: distributed PCA — top principal component of the embedding
+    // Gram matrix by power iteration. The DISTRIBUTED part is the
+    // one-pass exact Gram accumulation ([[graft.functions.GramAgg]]):
+    // per-row outer products quantized to fixed-point BIGINTs (the
+    // kmeans/w9 integer discipline applied to a matrix), merged
+    // elementwise — a CONSTANT d²-long shuffle payload regardless of
+    // corpus size, the covariance shape every distributed PCA uses.
+    // The d×d result (4096 longs, bounded model state — the centroid-
+    // collect pattern) is eigen-solved driver-side: two power-iteration
+    // rounds from v0 = 1/√64 (exact in binary), every fold sequential
+    // in index order so the oracle replays bit-identical arithmetic
+    // (same discipline as KMeansLloyd's unrolled rounds). Output: the
+    // 64 loadings of v₂ plus the |G·v₁| eigenvalue estimate, r6.
+    // Whitening/variance diagnostics are the standard preprocessing
+    // step before semantic dedup and ANN at corpus scale.
+    Decl("l3_pca_power", oSqlPca) { (s, dir) =>
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      import s.implicits._
+      val d = graft.functions.GramAgg.Dim
+      val gramAgg = udaf(graft.functions.GramAgg.agg,
+        ExpressionEncoder[Array[Float]]())
+      // bounded model-state collect: d² = 4096 longs
+      val g = Qh.t(s, dir, "embeddings")
+        .agg(gramAgg($"embedding").as("g"))
+        .collect()(0).getSeq[Long](0).toArray
+      def gRow(i: Int)(j: Int): Double = g(i * d + j).toDouble
+      // power iteration — sequential folds mirrored in the oracle text
+      val u1 = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += gRow(i)(j) * 0.125; j += 1 }; acc
+      }
+      val n1 = math.sqrt { var a = 0.0; var i = 0
+        while (i < d) { a += u1(i) * u1(i); i += 1 }; a }
+      val v1 = u1.map(_ / n1)
+      val u2 = Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += gRow(i)(j) * v1(j); j += 1 }; acc
+      }
+      val n2 = math.sqrt { var a = 0.0; var i = 0
+        while (i < d) { a += u2(i) * u2(i); i += 1 }; a }
+      def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000.0
+      s.createDataFrame(
+          (0 until d).map(i => (i.toLong, r6(u2(i) / n2), r6(n2))))
+        .toDF("dim", "loading", "eigenvalue")
+        .orderBy("dim")
     }
   )
 }

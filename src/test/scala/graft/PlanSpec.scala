@@ -440,6 +440,19 @@ class PlanSpec extends SparkSpec {
       s"per-query top-10 not on the bounded-heap operator:\n$p")
   }
 
+  test("l3_pca_power: the Gram aggregation is partial+final with a constant buffer") {
+    // the covariance shape: per-partition d²-long partials merged
+    // map-side — the shuffle payload must be the agg buffer, never rows
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.functions.{col, udaf}
+    val gramAgg = udaf(graft.functions.GramAgg.agg,
+      ExpressionEncoder[Array[Float]]())
+    val p = planOf(graft.queries.Qh.t(spark, sf0001, "embeddings")
+      .agg(gramAgg(col("embedding")).as("g")))
+    assert(p.linesIterator.count(_.contains("Aggregate")) >= 2,
+      s"Gram agg lost its partial+final shape:\n$p")
+  }
+
   test("o1: top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("o1_topk")
     assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")

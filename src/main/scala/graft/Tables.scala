@@ -21,17 +21,29 @@ object Tables {
 
   /** Load one fixture table. `dir` is e.g. /root/testdata/sf0.01
     *
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for (PARQUET_TYPE_ILLEGAL without the nanosAsLong escape
-    * hatch, set in [[Engine.builder]]). Normalize it here, once, to a
-    * µs TimestampType: integer `div` — NOT double division, ns epoch
-    * values (~1.7e18) are above 2^53 and would lose precision — which
-    * floor-truncates exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP cast,
-    * so both engines see identical µs instants. */
+    * events.ts normalization — fixture generations have shipped it as
+    * either parquet TIMESTAMP(NANOS) or TIMESTAMP(MICROS), so dispatch
+    * on the type actually read and normalize, once, to a µs
+    * TimestampType:
+    *  - ns arrives as Long (Spark has no native ns type; the
+    *    nanosAsLong escape hatch in [[Engine.builder]] avoids
+    *    PARQUET_TYPE_ILLEGAL). Integer `div` — NOT double division, ns
+    *    epoch values (~1.7e18) are above 2^53 and would lose
+    *    precision — floor-truncates exactly like DuckDB's
+    *    TIMESTAMP_NS → TIMESTAMP cast.
+    *  - µs arrives as TIMESTAMP_NTZ (naive, as DuckDB also reads it);
+    *    cast to the session-zone type under the UTC session so both
+    *    engines see identical µs instants. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
     else df
   }
 

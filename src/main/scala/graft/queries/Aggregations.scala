@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -410,6 +411,156 @@ object Aggregations {
           array_join(sort_array(collect_list($"o_orderkey")), ",").as("orderkeys_csv"),
           array_join(sort_array(collect_set($"o_orderstatus")), ",").as("statuses_csv"))
         .orderBy("o_custkey")
+    },
+
+    // A10: KMV distinct sketch WITH SET ALGEBRA (Beyer/Haas/Reinwald/
+    // Sismanis/Gemulla, SIGMOD 2007; the k-minimum-values / Θ-sketch
+    // family) — the sketch tier's missing piece next to HLL (A3: union
+    // only) and CMS (l4: point frequency): bottom-k hash sketches
+    // support UNION and, unlike HLL, INTERSECTION — est_jaccard ρ =
+    // |bottom-k(A∪B) ∩ A's sketch ∩ B's sketch| / |bottom-k(A∪B)|,
+    // D̂_∩ = ρ·D̂_∪, D̂ = (k−1)/u(k) with u(k) the k-th smallest
+    // normalized hash. Everything is a pure function of the portable
+    // hash, so DuckDB rebuilds the identical sketches and identical
+    // estimates — exactly checkable, no tolerance band; the exact
+    // per-language distinct counts and exact Jaccard ride along as the
+    // verification companion (they'd be dropped at 100 TB). Scale
+    // shape: distinct (lang, shingle-hash) is the one corpus-sized
+    // shuffle; bottom-k per language is the window idiom the
+    // TopKWindowRewrite lowers onto the bounded-heap operator (losers
+    // never cross the exchange — KMV's mergeability is exactly why:
+    // bottom-k of a union is the bottom-k of the parts' bottom-k's);
+    // all pair algebra runs over ≤ k × |langs| rows.
+    Decl(
+      "a10_kmv_sketch", {
+        val estExpr = (kth: String, n: String) =>
+          s"CASE WHEN $n < 64 THEN CAST($n AS DOUBLE) " +
+            s"ELSE 63.0 / (CAST($kth AS DOUBLE) / 4294967296.0) END"
+        s"""WITH t AS (
+           |  SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
+           |  FROM documents),
+           |dh AS (
+           |  SELECT DISTINCT lang, ${Qh.oPhash("sh", 41)} AS h
+           |  FROM (SELECT lang, unnest(list_transform(range(len(toks) - 2),
+           |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+           |        FROM t WHERE len(toks) >= 3)),
+           |sk AS (
+           |  SELECT lang, h FROM (
+           |    SELECT lang, h,
+           |      row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+           |    FROM dh)
+           |  WHERE rn <= 64),
+           |est AS (
+           |  SELECT lang, max(h) AS kth, count(*) AS sk_n FROM sk GROUP BY lang),
+           |ex AS (SELECT lang, count(*) AS exact_n FROM dh GROUP BY lang),
+           |pairs AS (
+           |  SELECT a.lang AS lang_a, b.lang AS lang_b
+           |  FROM est a JOIN est b ON a.lang < b.lang),
+           |pu AS (
+           |  SELECT p.lang_a, p.lang_b, s.h,
+           |    max(CASE WHEN s.lang = p.lang_a THEN 1 ELSE 0 END) AS ina,
+           |    max(CASE WHEN s.lang = p.lang_b THEN 1 ELSE 0 END) AS inb
+           |  FROM pairs p JOIN sk s ON s.lang IN (p.lang_a, p.lang_b)
+           |  GROUP BY p.lang_a, p.lang_b, s.h),
+           |pur AS (
+           |  SELECT lang_a, lang_b, h, ina, inb,
+           |    row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rn
+           |  FROM pu),
+           |uk AS (
+           |  SELECT lang_a, lang_b, max(h) AS ukth, count(*) AS uk_n,
+           |    CAST(sum(ina * inb) AS BIGINT) AS rho_n
+           |  FROM pur WHERE rn <= 64 GROUP BY lang_a, lang_b),
+           |exj AS (
+           |  SELECT a.lang AS ja, b.lang AS jb, count(*) AS inter_n
+           |  FROM dh a JOIN dh b ON a.h = b.h AND a.lang < b.lang
+           |  GROUP BY a.lang, b.lang),
+           |res AS (
+           |  SELECT u.lang_a, u.lang_b,
+           |    ${Qh.oR2(estExpr("ea.kth", "ea.sk_n"))} AS est_a,
+           |    ${Qh.oR2(estExpr("eb.kth", "eb.sk_n"))} AS est_b,
+           |    ea2.exact_n AS exact_a, eb2.exact_n AS exact_b,
+           |    ${Qh.oR2(estExpr("u.ukth", "u.uk_n"))} AS est_union,
+           |    ${Qh.oR6("CAST(u.rho_n AS DOUBLE) / CAST(u.uk_n AS DOUBLE)")} AS est_jaccard,
+           |    ${Qh.oR6("CAST(coalesce(j.inter_n, 0) AS DOUBLE) / CAST(ea2.exact_n + eb2.exact_n - coalesce(j.inter_n, 0) AS DOUBLE)")} AS exact_jaccard
+           |  FROM uk u
+           |  JOIN est ea ON ea.lang = u.lang_a
+           |  JOIN est eb ON eb.lang = u.lang_b
+           |  JOIN ex ea2 ON ea2.lang = u.lang_a
+           |  JOIN ex eb2 ON eb2.lang = u.lang_b
+           |  LEFT JOIN exj j ON j.ja = u.lang_a AND j.jb = u.lang_b)
+           |SELECT lang_a, lang_b, est_a, est_b, exact_a, exact_b, est_union,
+           |  ${Qh.oR2("est_jaccard * est_union")} AS est_inter,
+           |  est_jaccard, exact_jaccard
+           |FROM res ORDER BY lang_a, lang_b""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val K = 64
+      def estCol(kth: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = Qh.r2(
+        when(n < K, n.cast(DoubleType))
+          .otherwise(lit(63.0) / (kth.cast(DoubleType) / lit(4294967296.0))))
+      // the one corpus-sized shuffle: distinct (lang, 3-shingle hash)
+      val dh = Qh.materialize(
+        Qh.t(s, dir, "documents")
+          .select($"lang", expr(Qh.toksExpr).as("toks"))
+          .filter(size($"toks") >= 3)
+          .select($"lang", explode(expr(
+            "transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))")).as("sh"))
+          .select($"lang", Qh.phash($"sh", 41).as("h"))
+          .distinct())
+      // bottom-K per language (TopKWindowRewrite → bounded heap)
+      val wl = Window.partitionBy($"lang").orderBy($"h".asc)
+      val sk = dh.withColumn("rn", row_number().over(wl))
+        .filter($"rn" <= K).drop("rn")
+      // ---- everything below runs over ≤ K × |langs| sketch rows ----
+      val est = sk.groupBy($"lang")
+        .agg(max($"h").as("kth"), count(lit(1)).as("sk_n"))
+      val ex = dh.groupBy($"lang").agg(count(lit(1)).as("exact_n"))
+      val pairs = est.select($"lang".as("lang_a"))
+        .join(broadcast(est.select($"lang".as("lang_b"))), $"lang_a" < $"lang_b")
+      val pu = pairs
+        .join(broadcast(sk), $"lang" === $"lang_a" || $"lang" === $"lang_b")
+        .groupBy($"lang_a", $"lang_b", $"h")
+        .agg(
+          max(when($"lang" === $"lang_a", 1).otherwise(0)).as("ina"),
+          max(when($"lang" === $"lang_b", 1).otherwise(0)).as("inb"))
+      val wp = Window.partitionBy($"lang_a", $"lang_b").orderBy($"h".asc)
+      val uk = pu.withColumn("rn", row_number().over(wp))
+        .filter($"rn" <= K)
+        .groupBy($"lang_a", $"lang_b")
+        .agg(max($"h").as("ukth"), count(lit(1)).as("uk_n"),
+          sum($"ina" * $"inb").cast(LongType).as("rho_n"))
+      // exact companion: per-lang distinct + pairwise exact Jaccard
+      val exj = dh.as("a")
+        .join(dh.as("b"), $"a.h" === $"b.h" && $"a.lang" < $"b.lang")
+        .groupBy($"a.lang".as("ja"), $"b.lang".as("jb"))
+        .agg(count(lit(1)).as("inter_n"))
+      uk
+        .join(broadcast(est.select($"lang".as("lang_a"),
+          $"kth".as("kth_a"), $"sk_n".as("sk_n_a"))), Seq("lang_a"))
+        .join(broadcast(est.select($"lang".as("lang_b"),
+          $"kth".as("kth_b"), $"sk_n".as("sk_n_b"))), Seq("lang_b"))
+        .join(broadcast(ex.select($"lang".as("lang_a"),
+          $"exact_n".as("exact_a"))), Seq("lang_a"))
+        .join(broadcast(ex.select($"lang".as("lang_b"),
+          $"exact_n".as("exact_b"))), Seq("lang_b"))
+        .join(broadcast(exj), $"ja" === $"lang_a" && $"jb" === $"lang_b", "left_outer")
+        .select($"lang_a", $"lang_b",
+          estCol($"kth_a", $"sk_n_a").as("est_a"),
+          estCol($"kth_b", $"sk_n_b").as("est_b"),
+          $"exact_a", $"exact_b",
+          estCol($"ukth", $"uk_n").as("est_union"),
+          Qh.r6($"rho_n".cast(DoubleType) / $"uk_n".cast(DoubleType))
+            .as("est_jaccard"),
+          Qh.r6(coalesce($"inter_n", lit(0L)).cast(DoubleType) /
+            ($"exact_a" + $"exact_b" - coalesce($"inter_n", lit(0L)))
+              .cast(DoubleType)).as("exact_jaccard"))
+        .withColumn("est_inter", Qh.r2($"est_jaccard" * $"est_union"))
+        .select($"lang_a", $"lang_b", $"est_a", $"est_b", $"exact_a",
+          $"exact_b", $"est_union", $"est_inter", $"est_jaccard",
+          $"exact_jaccard")
+        .orderBy("lang_a", "lang_b")
     }
   )
 }

@@ -942,6 +942,84 @@ object Dedup {
          |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
       duplicatedSpanStats(
         Qh.t(s, dir, "documents").select(col("doc_id"), col("text")), 8)
+    },
+
+    // L2j: CONTENT-DEFINED CHUNKING dedup (Muthitacharoen/Chen/
+    // Mazières, SOSP 2001 LBFS — the storage-dedup classic, reused for
+    // passage-level training-data dedup): chunk boundaries are cut
+    // where a token's hash hits 0 mod 8 (expected chunk ≈ 8 tokens),
+    // so boundaries are a function of CONTENT, not position — an
+    // insertion reshapes only the chunk it lands in, where
+    // l2_substring_dedup's fixed windows all shift downstream of the
+    // edit. Chunking is DOC-LOCAL and fold-free in both engines:
+    // boundary positions via one transform+filter, chunks sliced
+    // between consecutive boundaries — O(tokens), a narrow map over
+    // the scan. Downstream is the shared dupUnitStats shape
+    // (duplicated-hash agg + semi-join): O(total chunks) + two hash
+    // shuffles, never all-pairs. 100 TB: identical plan; the expected
+    // chunk size (the mod base) is the granularity dial.
+    Decl(
+      "l2_chunk_dedup",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${Qh.oToksExpr} AS toks FROM documents),
+         |seg AS (
+         |  SELECT doc_id, toks,
+         |    list_filter(list_transform(range(1, len(toks) + 1),
+         |      i -> CASE WHEN ${Qh.oPhash("toks[i]", 31)} % 8 = 0
+         |                THEN i ELSE 0 END), p -> p > 0) AS bp
+         |  FROM t WHERE len(toks) >= 1),
+         |ch AS (
+         |  SELECT doc_id,
+         |    list_filter(
+         |      list_transform(range(len(bp) + 1),
+         |        k -> array_to_string(
+         |          toks[CASE WHEN k = 0 THEN 1 ELSE bp[k] + 1 END :
+         |               CASE WHEN k = len(bp) THEN len(toks)
+         |                    ELSE bp[k+1] END], ' ')),
+         |      x -> x <> '') AS chunks
+         |  FROM seg),
+         |c AS (SELECT doc_id, unnest(chunks) AS chunk FROM ch),
+         |h AS (SELECT doc_id, ${Qh.oPhash("chunk", 37)} AS h FROM c),
+         |dup AS (
+         |  SELECT h FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_dup
+         |  FROM h WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+         |nc AS (SELECT doc_id, CAST(len(chunks) AS BIGINT) AS n_chunks FROM ch)
+         |SELECT n.doc_id, n.n_chunks,
+         |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+         |  ${Qh.oR4("CAST(coalesce(p.n_dup, 0) AS DOUBLE) / CAST(n.n_chunks AS DOUBLE)")} AS dup_frac
+         |FROM nc n LEFT JOIN per p USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // 1-based boundary positions (token i closes its chunk), then
+      // chunks sliced between zipped (start, end) position pairs — the
+      // zip_with form keeps each bp reference OUTSIDE the lambda (an
+      // element_at(bp, k)-per-element form re-evaluates the inlined bp
+      // subtree per element: measured 6× slower). The empty tail
+      // segment (a boundary on the last token) filters out.
+      val bpExpr =
+        """filter(transform(sequence(1, size(toks)),
+          |  i -> IF(md5_prefix32(element_at(toks, i), 31) % 8 = 0, i, 0)),
+          |  p -> p > 0)""".stripMargin
+      val chunksExpr =
+        """filter(zip_with(
+          |  concat(array(0), bp),
+          |  concat(bp, array(size(toks))),
+          |  (s, e) -> array_join(slice(toks, s + 1, e - s), ' ')),
+          |  x -> x != '')""".stripMargin
+      // materialized once: both consumers (instances + per-doc counts)
+      // read the chunk table instead of re-running the chunking map
+      val ch = Qh.materialize(Qh.t(s, dir, "documents")
+        .select($"doc_id", expr(Qh.toksExpr).as("toks"))
+        .filter(size($"toks") >= 1)
+        .withColumn("bp", expr(bpExpr))
+        .select($"doc_id", expr(chunksExpr).as("chunks")))
+      dupUnitStats(
+        ch.select($"doc_id", explode($"chunks").as("chunk"))
+          .select($"doc_id", Qh.phash($"chunk", 37).as("h")),
+        ch.select($"doc_id", size($"chunks").cast("bigint").as("n_chunks")),
+        "n_chunks", "n_dup_chunks")
     }
   ) :+ fuzzyJoinDecl
 
@@ -1008,31 +1086,50 @@ object Dedup {
       .filter(size($"toks") >= w)
     // window instances (positions matter: a span duplicated at three
     // positions contributes three to the doc's duplicated coverage)
-    val wins = Qh.materialize(
+    val wins =
       toks.select(
         $"doc_id",
         explode(expr(
           s"""transform(sequence(0, size(toks) - $w),
              |  i -> md5_prefix32(array_join(slice(toks, i + 1, $w), ' '), 21))""".stripMargin))
-          .as("h")))
-    val dup = wins
+          .as("h"))
+    dupUnitStats(
+      wins,
+      toks.select($"doc_id", (size($"toks") - (w - 1)).cast("bigint").as("n_spans")),
+      "n_spans", "n_dup_spans")
+  }
+
+  /** Per-doc duplicated-unit coverage, the downstream shared by the
+    * span (fixed windows, above) and chunk (content-defined,
+    * l2_chunk_dedup) dedup decls: `units` is (doc_id, h) instances,
+    * `counts` is (doc_id, <nCol>) per-doc totals. The duplicated-hash
+    * set is one hash-keyed aggregation (map-side combined,
+    * count-distinct over doc_id); per-doc coverage is a semi-join of
+    * instances against that set. O(total units) + two hash shuffles. */
+  private def dupUnitStats(
+      units: org.apache.spark.sql.DataFrame,
+      counts: org.apache.spark.sql.DataFrame,
+      nCol: String, dupCol: String): org.apache.spark.sql.DataFrame = {
+    val s = units.sparkSession
+    import s.implicits._
+    val u = Qh.materialize(units)
+    val dup = u
       .groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
       .select($"h")
-    val per = wins
+    val per = u
       .join(dup, Seq("h"), "left_semi")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_dup"))
-    toks
-      .select($"doc_id", (size($"toks") - (w - 1)).cast("bigint").as("n_spans"))
+    counts
       .join(per, Seq("doc_id"), "left_outer")
       .select(
         $"doc_id",
-        $"n_spans",
-        coalesce($"n_dup", lit(0L)).cast("bigint").as("n_dup_spans"),
+        col(nCol),
+        coalesce($"n_dup", lit(0L)).cast("bigint").as(dupCol),
         Qh.r4(coalesce($"n_dup", lit(0L)).cast(DoubleType) /
-          $"n_spans".cast(DoubleType)).as("dup_frac"))
+          col(nCol).cast(DoubleType)).as("dup_frac"))
       .orderBy("doc_id")
   }
 }

@@ -42,6 +42,10 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   val Dim = 64
+  // JL target dimension — declared ABOVE `decls` (plain vals initialize
+  // in declaration order; the lazy jlProjectionDecl is forced during
+  // `decls` init and must not read a still-zero field)
+  val JlM = 16
   val NTables = 16
   val NBits = 6
 
@@ -543,8 +547,93 @@ object Similarity {
     },
 
     s10Decl,
-    s10bDecl
+    s10bDecl,
+    jlProjectionDecl
   )
+
+  /** L3h: JOHNSON–LINDENSTRAUSS sign projection (Achlioptas, JCSS
+    * 2003: ±1 entries suffice; the data-OBLIVIOUS complement of
+    * l3_pca_power's data-dependent basis) — project 64-d embeddings to
+    * 16-d with a fixed ±1/√m matrix and measure what ANN actually
+    * cares about: how far pairwise cosine moves. The projection is a
+    * pure narrow map (16 fused dot products per row against literal
+    * rows — model parameters, the LSH-planes framing), so at 100 TB
+    * this is the scan-bandwidth-bound "shrink the vectors 4× before
+    * the expensive stage" preprocessing step; the demo pairs are a
+    * deterministic 20% sample of consecutive ids (one equi-join).
+    * Determinism: every dot folds left-to-right in double on both
+    * engines ([[Qh.oDot]]); √m = 4 is exact binary; cosines are
+    * r6-rounded before the (also rounded) distortion column. */
+  private lazy val jlPlanes: Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlM).map { j =>
+      (0 until Dim).map { i =>
+        val h = md.digest(s"jl_${j}_$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1 else -1
+      }
+    }
+  }
+
+  private lazy val jlProjectionDecl: Decl = Decl(
+    "l3_jl_projection", {
+      val rows = jlPlanes.zipWithIndex.map { case (v, j) =>
+        s"($j, ${v.mkString("[", ",", "]")})"
+      }
+      val oCosList = (x: String, y: String) =>
+        s"""floor(${Qh.oDot(x, y)}
+           |  / (sqrt(${Qh.oDot(x, x)}) * sqrt(${Qh.oDot(y, y)}))
+           |  * 1000000 + 0.5) / 1000000.0""".stripMargin
+      s"""WITH jl(j, pvec) AS (SELECT * FROM (VALUES ${rows.mkString(", ")})),
+         |pr AS (
+         |  SELECT e.vec_id, p.j, ${Qh.oDot("e.embedding", "p.pvec")} / 4.0 AS v
+         |  FROM embeddings e, jl p),
+         |pv AS (
+         |  SELECT vec_id, list(v ORDER BY j) AS pv FROM pr GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 5 = 0),
+         |scored AS (
+         |  SELECT p.vec_a, p.vec_b,
+         |    ${oCosList("qa.embedding", "qb.embedding")} AS cos_orig,
+         |    ${oCosList("pa.pv", "pb.pv")} AS cos_proj
+         |  FROM pairs p
+         |  JOIN embeddings qa ON qa.vec_id = p.vec_a
+         |  JOIN embeddings qb ON qb.vec_id = p.vec_b
+         |  JOIN pv pa ON pa.vec_id = p.vec_a
+         |  JOIN pv pb ON pb.vec_id = p.vec_b)
+         |SELECT vec_a, vec_b, cos_orig, cos_proj,
+         |  ${Qh.oR6("abs(cos_proj - cos_orig)")} AS abs_err
+         |FROM scored ORDER BY vec_a""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    def jlLit(j: Int): Column =
+      array(jlPlanes(j).map(v => lit(v.toFloat)): _*)
+    // 16 projection components per side, staged as named columns (the
+    // pqCorpusCodes staging discipline: each fused fold appears once)
+    def projCols(emb: Column, pfx: String): Seq[Column] =
+      (0 until JlM).map(j => (dot(emb, jlLit(j)) / lit(4.0)).as(s"$pfx$j"))
+    val e = Qh.t(s, dir, "embeddings")
+    val a = e.filter($"vec_id" % 5 === 0)
+      .select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = e.select(($"vec_id" - 1).as("vec_a"),
+      $"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val staged = a.join(b, Seq("vec_a"))
+      .select(Seq($"vec_a", $"vec_b",
+        cosine($"ea", $"eb").as("cos_orig")) ++
+        projCols($"ea", "pa") ++ projCols($"eb", "pb"): _*)
+    // dot/norm sums reduce left-to-right in j order — the same
+    // accumulation order as the oracle's list folds
+    def ssum(f: Int => Column): Column = (0 until JlM).map(f).reduce(_ + _)
+    val dotp = ssum(j => col(s"pa$j") * col(s"pb$j"))
+    val na = ssum(j => col(s"pa$j") * col(s"pa$j"))
+    val nb = ssum(j => col(s"pb$j") * col(s"pb$j"))
+    staged
+      .select($"vec_a", $"vec_b", $"cos_orig",
+        Qh.r6(dotp / (sqrt(na) * sqrt(nb))).as("cos_proj"))
+      .withColumn("abs_err", Qh.r6(abs($"cos_proj" - $"cos_orig")))
+      .orderBy("vec_a")
+  }
 
   /** S10b: INCREMENTAL index maintenance (r5) — a live 100-TB vector
     * index is never rebuilt per ingest batch: new vectors are assigned

@@ -1126,6 +1126,101 @@ object TextAnalysis {
           count(lit(1)).cast(LongType).as("n_bigrams"),
           Qh.r6(Qh.sumd6($"lp") / count(lit(1))).as("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // L4m: REPETITION filters (Rae et al. 2021, "Scaling Language
+    // Models: … Gopher" §A1.1) — the n-gram repetition members of the
+    // Gopher quality rule set, next to the length/stopword members
+    // l4_quality already applies: (a) the fraction of tokens covered by
+    // the single most frequent 2-gram (their "top n-gram character
+    // fraction"), (b) the fraction of 3-gram instances that are
+    // repeats of an earlier 3-gram in the same doc ("duplicate n-gram
+    // fraction"). Both are DOC-LOCAL: the per-doc gram multiset is
+    // sorted and the max multiplicity read off as the longest run
+    // (max gap between consecutive run-start positions) — identical
+    // O(n log n) integer array ops in both engines, so
+    // no (doc, gram) shuffle exists at all. The whole query is a
+    // narrow map over the scan + the output sort: scan-bandwidth-bound
+    // at 100 TB, the ideal quality-filter shape (corpus-sized groupBys
+    // for per-DOC stats are the anti-pattern this decl avoids).
+    // Thresholds are fixture-calibrated (Gopher's published 0.20 /
+    // 0.18-sliding-by-n keep everything here); integer counts + one
+    // r6-rounded division keep the hash compare exact.
+    Decl(
+      "l4_repetition",
+      s"""WITH t AS (
+         |  SELECT doc_id, ${Qh.oToksExpr} AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |    list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
+         |    list_transform(range(len(toks) - 2),
+         |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g3
+         |  FROM t WHERE len(toks) >= 3),
+         |srt AS (
+         |  SELECT doc_id, n_toks, g3, list_sort(g2) AS sg FROM g),
+         |st AS (
+         |  SELECT doc_id, n_toks, g3, sg,
+         |    list_filter(list_transform(range(1, len(sg) + 1),
+         |      i -> CASE WHEN i = 1 THEN i
+         |                WHEN sg[i] <> sg[i-1] THEN i ELSE 0 END),
+         |      p -> p > 0) AS starts
+         |  FROM srt),
+         |r AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(list_aggregate(
+         |      list_transform(range(len(starts)),
+         |        k -> (CASE WHEN k = len(starts) - 1 THEN len(sg) + 1
+         |                   ELSE starts[k+2] END) - starts[k+1]),
+         |      'max') AS BIGINT) AS top2_cnt,
+         |    CAST(len(g3) AS BIGINT) AS n3,
+         |    CAST(len(list_distinct(g3)) AS BIGINT) AS d3
+         |  FROM st)
+         |SELECT doc_id, n_toks, top2_cnt,
+         |  ${Qh.oR6("2.0 * top2_cnt / n_toks")} AS top2_frac,
+         |  ${Qh.oR6("CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE)")} AS dup3_frac,
+         |  (${Qh.oR6("2.0 * top2_cnt / n_toks")} <= 0.1
+         |   AND ${Qh.oR6("CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE)")} <= 0.02) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // max 2-gram multiplicity = longest run in the SORTED per-doc
+      // gram list (equal grams are adjacent after the sort), read off
+      // as the max difference between consecutive run-start positions
+      // — integer-only array ops, identical in both engines (struct
+      // folds are avoided deliberately: DuckDB 1.0 mis-evaluates
+      // sibling struct fields that share a subexpression in
+      // list_reduce lambdas)
+      val startsExpr =
+        """filter(transform(sequence(1, size(sg)),
+          |  i -> IF(i = 1, i,
+          |         IF(element_at(sg, i) != element_at(sg, i - 1), i, 0))),
+          |  p -> p > 0)""".stripMargin
+      val maxRunExpr =
+        """CAST(array_max(transform(sequence(0, size(starts) - 1),
+          |  k -> IF(k = size(starts) - 1, size(sg) + 1,
+          |          element_at(starts, k + 2)) - element_at(starts, k + 1)))
+          |  AS BIGINT)""".stripMargin
+      Qh.t(s, dir, "documents")
+        .select($"doc_id", expr(Qh.toksExpr).as("toks"))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id",
+          size($"toks").cast(LongType).as("n_toks"),
+          expr("transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i + 1]))").as("g2"),
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))").as("g3"))
+        .withColumn("sg", array_sort($"g2"))
+        .withColumn("starts", expr(startsExpr))
+        .select($"doc_id", $"n_toks",
+          expr(maxRunExpr).as("top2_cnt"),
+          size($"g3").cast(LongType).as("n3"),
+          size(array_distinct($"g3")).cast(LongType).as("d3"))
+        .select($"doc_id", $"n_toks", $"top2_cnt",
+          Qh.r6(lit(2.0) * $"top2_cnt" / $"n_toks").as("top2_frac"),
+          Qh.r6(($"n3" - $"d3").cast(DoubleType) / $"n3".cast(DoubleType))
+            .as("dup3_frac"))
+        .withColumn("keep", $"top2_frac" <= 0.1 && $"dup3_frac" <= 0.02)
+        .orderBy("doc_id")
     }
   )
 }

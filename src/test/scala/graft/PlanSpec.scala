@@ -645,6 +645,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("l4_repetition: doc-local repetition stats never shuffle a (doc, gram) pair") {
+    // the scaladoc's claim: per-doc gram stats are computed inside the
+    // row (sort + run-length over an array), so the plan has no
+    // aggregate, no join, and no hash exchange — only the output
+    // ORDER BY's range partitioning
+    val p = plan("l4_repetition")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      s"repetition stats left the narrow map:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"unexpected hash exchange:\n$p")
+  }
+
+  test("l2_chunk_dedup: chunking is map-side; downstream is hash-keyed, never all-pairs") {
+    val p = plan("l2_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk dedup planned an all-pairs join:\n$p")
+    // instances vs duplicated-hash set must be the semi-join shape
+    assert(p.contains("LeftSemi"), s"dup-set join is not a semi-join:\n$p")
+  }
+
+  test("a10: KMV bottom-k runs on the bounded-heap operator; no cartesian in the algebra") {
+    val p = plan("a10_kmv_sketch")
+    // per-lang bottom-64 is the window idiom TopKWindowRewrite lowers
+    // onto partial+final TopKPerGroupExec (KMV's mergeability claim)
+    assert(p.linesIterator.count(_.contains("TopKPerGroup")) >= 2,
+      s"per-lang bottom-k not on the bounded-heap operator:\n$p")
+    // lang-pair generation is a deliberate broadcast nested loop over
+    // the |langs|-sized sketch summary — a cartesian over DATA is not
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the sketch algebra:\n$p")
+  }
+
+  test("l3_jl_projection: projection is a narrow map; pairing is one equi-join") {
+    val p = plan("l3_jl_projection")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"JL pairing planned an all-pairs join:\n$p")
+    // 16 components per side are plain projections over the scan — the
+    // crossJoin(broadcast(planes)) + groupBy anti-shape would Generate
+    assert(!p.contains("Generate"), s"projection should not explode:\n$p")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

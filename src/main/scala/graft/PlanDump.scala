@@ -48,7 +48,13 @@ object PlanDump {
       "l4_bpe_encode" -> "BPE corpus encoding (r8 gate): single corpus scan streaming map-side through the broadcast vocab split table; per-doc stats in one doc-keyed agg.",
       "s20_bson_dump" -> "BSON dump ingest (r8): custom DSv2 scan, one InputPartition per dump shard, pruning + residual filters in the reader; drop-on-error with length-prefix resync.",
       "l2_simhash_blocked" -> "SimHash block-combination schedule (r8): C(6,3)=20 block-triple keys (~32-bit buckets) from map-side bit slicing — same exact pair set as the 4x16 banding (oracle cross-checks the schedules), 5x index rows for 2^16x fewer random collisions; the 100 TB dial.",
-      "l2_cosine_neardup_bucketed" -> "Bucketed exact cosine near-dup (r8): blocking key = 8-plane sign quantizer (tunable cardinality, vs the bounded label dim) — same precomputed-norm one-dot-per-pair plan, block sizes held constant by the plane-count dial.")
+      "l2_cosine_neardup_bucketed" -> "Bucketed exact cosine near-dup (r8): blocking key = 8-plane sign quantizer (tunable cardinality, vs the bounded label dim) — same precomputed-norm one-dot-per-pair plan, block sizes held constant by the plane-count dial.",
+      "l4_repetition" -> "Gopher repetition filters (r8): doc-local sorted-run n-gram stats — no aggregate, no join, no hash exchange anywhere; the only exchange is the presentation sort. The ideal quality-filter shape: scan-bandwidth-bound.",
+      "l2_chunk_dedup" -> "Content-defined chunking dedup (r8): map-side hash-cut chunking (zip_with (start,end) slicer — the per-element element_at form re-evaluates the inlined boundary array, measured 6x slower), then the shared duplicated-unit downstream: hash-keyed count-distinct agg + semi-join coverage.",
+      "a10_kmv_sketch" -> "KMV sketch algebra (r8): per-lang bottom-64 lowered onto the bounded-heap operator (losers never cross the exchange); union/intersection/Jaccard estimates over broadcast k-row sketches; one corpus-sized distinct agg total.",
+      "l3_jl_projection" -> "JL sign projection (r8): 16 fused literal-row dot products as plain projections (no Generate, no crossJoin+groupBy anti-shape), one consecutive-id equi-join pairs the distortion probe.",
+      "l13_hits" -> "HITS hubs/authorities (r8): auth half-step joins ranks on src over the SRC-bucketed adjacency, hub half-step on dst over the DST-bucketed orientation — both edge sides exchange-free; L1 normalizers ride as one-row broadcasts; integer fixed-point rounds the oracle replays exactly.",
+      "s22_time_travel" -> "Snapshot/time-travel reads (r8): three versioned manifests each plan their own immutable file set — v1/v2 stay readable after the v3 copy-on-write delete because COW rewrites into NEW files and swaps the manifest list.")
 
     // per-query session overrides: dump the plan under the SAME config
     // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only

@@ -32,6 +32,9 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   private val S = 1000000000000L // fixed-point scale (1.0 == 1e12)
+  // HITS fixed-point scale — declared ABOVE `decls` (the Decl seq forces
+  // oHitsSql at object init; a val declared below it would read as 0)
+  private val HitsS = 1000000L
 
   /** One unrolled oracle iteration: ranks `rin` → `rout`. */
   private def oIter(rin: String, rout: String): String =
@@ -233,8 +236,90 @@ object Graph {
         .join(alive, Seq("node"), "left_semi")
         .select($"node", $"deg".cast("bigint").as("core_deg"))
         .orderBy("node")
+    },
+
+    // L13d: HITS hubs & authorities (Kleinberg, JACM 1999) — the
+    // second eigenvector pair next to PageRank's one: auth mass flows
+    // ALONG edges (a ← Σ h over in-edges), hub mass flows AGAINST them
+    // (h ← Σ a over out-edges), L1-normalized each half-step. Two
+    // unrolled rounds in the l13_pagerank fixed-point discipline:
+    // scores are BIGINT at scale 1e6 (the scale is a dial — it bounds
+    // n·S² against 2^63), normalization is `raw * S DIV Σraw` (integer
+    // floor, associative, shuffle-order-proof), so the oracle replays
+    // every round bit-identically — no tolerance band. Plan shape: the
+    // auth half-step joins ranks on src over the SRC-bucketed
+    // adjacency (exchange-free edge side, same table PageRank uses);
+    // the hub half-step keys on dst, so a SECOND bucketed layout on
+    // dst serves it exchange-free — at 100 TB a graph warehouse
+    // maintains both orientations of its adjacency for exactly this
+    // (out-edge AND in-edge traversals), shuffle paid once at ingest.
+    // The Σraw normalizers ride as one-row broadcasts.
+    Decl("l13_hits", oHitsSql) { (s, dir) =>
+      import s.implicits._
+      val eSrc = edgeTable(s, dir)
+      val eDst = edgeTableByDst(s, dir)
+      val nodes = eSrc.select($"src".as("node")).distinct()
+      var h = nodes.select($"node", lit(HitsS).as("h"))
+      var a = h // placeholder; assigned in round 1
+      for (_ <- 1 to 2) {
+        // auth half-step: hub mass along edges, keyed by dst
+        val ar = eSrc.join(h, eSrc("src") === h("node"))
+          .groupBy($"dst").agg(sum($"h").as("raw"))
+        val at = ar.agg(sum($"raw").as("t"))
+        a = ar.crossJoin(broadcast(at))
+          .select($"dst".as("node"), expr(s"(raw * $HitsS) DIV t").as("a"))
+        // hub half-step: auth mass against edges, keyed by src over
+        // the dst-bucketed layout (join key = dst, co-located)
+        val hr = eDst.join(a, eDst("dst") === a("node"))
+          .groupBy($"src").agg(sum($"a").as("raw"))
+        val ht = hr.agg(sum($"raw").as("t"))
+        h = hr.crossJoin(broadcast(ht))
+          .select($"src".as("node"), expr(s"(raw * $HitsS) DIV t").as("h"))
+      }
+      h.join(a, Seq("node"))
+        .select($"node", $"h".as("hub"), $"a".as("auth"))
+        .orderBy("node")
     }
   )
+
+  /** The dst-bucketed orientation of [[edgeTable]] (same edge set,
+    * bucketed+sorted on dst) — serves in-edge-keyed joins
+    * exchange-free, as the src layout serves out-edge-keyed ones. */
+  def edgeTableByDst(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Qh.bucketedTable(s, "pr_edges_dst", dir, 32, Seq("dst")) {
+      edgeTable(s, dir).select($"src", $"dst")
+    }
+  }
+
+  /** Oracle for l13_hits: the identical two unrolled integer rounds. */
+  private lazy val oHitsSql: String = {
+    def round(hin: String, k: Int): String =
+      s"""a${k}r AS (
+         |  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
+         |  FROM edges e JOIN $hin h ON h.node = e.src GROUP BY e.dst),
+         |a${k}t AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a${k}r),
+         |a$k AS (SELECT node, (raw * $HitsS) // t AS a FROM a${k}r, a${k}t),
+         |h${k}r AS (
+         |  SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
+         |  FROM edges e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+         |h${k}t AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM h${k}r),
+         |h$k AS (SELECT node, (raw * $HitsS) // t AS h FROM h${k}r, h${k}t)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS s, o_custkey * 2 AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT s AS src, c AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT c AS src, s AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |h0 AS (SELECT node, CAST($HitsS AS BIGINT) AS h FROM nodes),
+       |${round("h0", 1)},
+       |${round("h1", 2)}
+       |SELECT h2.node, h2.h AS hub, a2.a AS auth
+       |FROM h2 JOIN a2 ON a2.node = h2.node
+       |ORDER BY h2.node""".stripMargin
+  }
 
   /** Canonical u<v undirected co-supply edges: suppliers linked when
     * they serve the same order, THRESHOLDED to significant line items —

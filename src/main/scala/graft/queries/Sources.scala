@@ -677,6 +677,68 @@ object Sources {
       s.read.format("graft.sources.MongoDumpSource")
         .option("path", path).option("format", "extjson").load()
         .orderBy("event_id")
+    },
+
+    // S22: SNAPSHOT ISOLATION + TIME TRAVEL over a commit-log table
+    // layout — the lakehouse mechanism (Delta/Iceberg) behind the
+    // C-family's CDC/SCD queries: every commit writes IMMUTABLE data
+    // files plus a versioned manifest (_log/v<N>.json) listing exactly
+    // the files visible at that version; a reader plans its scan from
+    // one manifest and is isolated from every later commit by
+    // construction. Three commits here: v1 = initial load, v2 =
+    // append (new files only — v1's are untouched), v3 = copy-on-write
+    // DELETE (affected files rewritten into new ones, manifest swaps
+    // the list — the old files stay on disk, which is what makes v1/v2
+    // still readable). The decl reads ALL THREE versions after the
+    // last commit — a manifest leaking later files, a COW delete
+    // mutating v2's data, or a dropped append row each breaks a
+    // different version's aggregate against the oracle's relational
+    // reconstruction. At 100 TB the manifest lists per-partition files
+    // and composes with S9/S15 pruning; planning cost is
+    // manifest-sized, never a directory listing.
+    Decl(
+      "s22_time_travel", {
+        def oAgg(v: Int, pred: String) =
+          s"""SELECT CAST($v AS BIGINT) AS version,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  ${Qh.oSum2("o_totalprice")} AS total
+             |FROM orders WHERE $pred""".stripMargin
+        s"""${oAgg(1, "o_orderkey % 3 = 0")}
+           |UNION ALL
+           |${oAgg(2, "o_orderkey % 3 <= 1")}
+           |UNION ALL
+           |${oAgg(3, "o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'")}
+           |ORDER BY version""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s22_tbl")
+      new java.io.File(s"$root/_log").mkdirs()
+      def commit(v: Int, batches: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/_log/v$v.json"),
+          batches.mkString("[\"", "\",\"", "\"]").getBytes("UTF-8"))
+      def snapshot(v: Int): org.apache.spark.sql.DataFrame = {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/_log/v$v.json")), "UTF-8")
+        val files = txt.stripPrefix("[\"").stripSuffix("\"]").split("\",\"")
+        s.read.parquet(files.toSeq.map(b => s"$root/$b"): _*)
+      }
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 3 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      commit(1, Seq("b1"))
+      ord.filter($"o_orderkey" % 3 === 1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
+      commit(2, Seq("b1", "b2"))
+      // copy-on-write delete: survivors of the affected files are
+      // rewritten into b3; v1/v2's files are not touched
+      snapshot(2).filter($"o_orderstatus" =!= "F")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
+      commit(3, Seq("b3"))
+      def asOf(v: Int) = snapshot(v)
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(lit(v.toLong).as("version"), $"n", $"total")
+      asOf(1).unionAll(asOf(2)).unionAll(asOf(3)).orderBy("version")
     }
   )
 }

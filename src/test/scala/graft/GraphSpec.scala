@@ -88,4 +88,17 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(after - before <= 3,
       s"frontier RDD blocks leaked across iterations: $before -> $after")
   }
+
+  test("HITS scores are L1-normalized: each side's mass lands just under the scale") {
+    // `raw * S DIV Σraw` floors per node, so each normalization loses
+    // < 1 unit per node: S - n ≤ Σ ≤ S must hold for BOTH score sides
+    val s2 = 1000000L // Graph.HitsS
+    val rows = SparkEntry.queries("l13_hits")(spark, dir).collect()
+    val n = rows.length
+    val hubs = rows.map(_.getAs[Long]("hub")).sum
+    val auths = rows.map(_.getAs[Long]("auth")).sum
+    assert(auths <= s2 && auths >= s2 - n, s"auth mass off: $auths vs $s2 (n=$n)")
+    assert(hubs <= s2 && hubs >= s2 - n, s"hub mass off: $hubs vs $s2 (n=$n)")
+    assert(rows.forall(r => r.getAs[Long]("hub") >= 0 && r.getAs[Long]("auth") >= 0))
+  }
 }

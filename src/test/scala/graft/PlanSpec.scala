@@ -686,6 +686,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"projection should not explode:\n$p")
   }
 
+  test("l13_hits: each half-step reads its own adjacency orientation; no cartesian") {
+    // the auth step joins on src over the src-bucketed table, the hub
+    // step on dst over the dst-bucketed one — both orientations must
+    // appear in the plan (a single-layout plan would reshuffle the
+    // fact-sized edge side every iteration). The one-row Σraw
+    // normalizers ride as broadcast nested loops; a cartesian over
+    // data would not be one.
+    val p = plan("l13_hits")
+    // src table is pr_edges_<pid>_<hash>, dst is pr_edges_dst_<pid>_<hash>
+    assert(p.matches("(?s).*pr_edges_\\d.*") && p.contains("pr_edges_dst_"),
+      s"expected both bucketed adjacency orientations in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in HITS:\n$p")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

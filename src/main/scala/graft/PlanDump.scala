@@ -54,7 +54,10 @@ object PlanDump {
       "a10_kmv_sketch" -> "KMV sketch algebra (r8): per-lang bottom-64 lowered onto the bounded-heap operator (losers never cross the exchange); union/intersection/Jaccard estimates over broadcast k-row sketches; one corpus-sized distinct agg total.",
       "l3_jl_projection" -> "JL sign projection (r8): 16 fused literal-row dot products as plain projections (no Generate, no crossJoin+groupBy anti-shape), one consecutive-id equi-join pairs the distortion probe.",
       "l13_hits" -> "HITS hubs/authorities (r8): auth half-step joins ranks on src over the SRC-bucketed adjacency, hub half-step on dst over the DST-bucketed orientation — both edge sides exchange-free; L1 normalizers ride as one-row broadcasts; integer fixed-point rounds the oracle replays exactly.",
-      "s22_time_travel" -> "Snapshot/time-travel reads (r8): three versioned manifests each plan their own immutable file set — v1/v2 stay readable after the v3 copy-on-write delete because COW rewrites into NEW files and swaps the manifest list.")
+      "s22_time_travel" -> "Snapshot/time-travel reads (r8): three versioned manifests each plan their own immutable file set — v1/v2 stay readable after the v3 copy-on-write delete because COW rewrites into NEW files and swaps the manifest list.",
+      "s23_merge_on_read" -> "Merge-on-read deletes (r8): positional deletion vectors from the parquet reader's own _metadata (file_path, row_index); the read-time reconcile is a BROADCAST left-anti join (DV side is deletes-sized); v3 compaction applies vectors once and returns reads to scan speed.",
+      "l13_bfs" -> "Multi-source BFS (r8): each relaxation round joins the frontier to the SRC-bucketed adjacency (edge side exchange-free) + one min-agg keyed by dst; k-hop composes by iteration with released frontiers.",
+      "l10_drift" -> "Corpus drift / JS divergence (r8): ONE (lang, token) agg carries both source cohorts as conditional sums, per-lang totals broadcast back, per-token fixed-point terms, DECIMAL-exact per-lang sum — a single corpus scan end to end.")
 
     // per-query session overrides: dump the plan under the SAME config
     // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only

@@ -279,8 +279,60 @@ object Graph {
       h.join(a, Seq("node"))
         .select($"node", $"h".as("hub"), $"a".as("auth"))
         .orderBy("node")
+    },
+
+    // L13e: MULTI-SOURCE BFS / k-hop reachability (the Pregel hello-
+    // world, and the lineage/blast-radius primitive every graph
+    // warehouse serves): distances from a seed set (every node ≡ 0
+    // mod 10) after two synchronous relaxation rounds — the unrolled
+    // fixed-iteration discipline, so the oracle states the identical
+    // rounds and the 2-hop state is well-defined whether or not the
+    // frontier has quiesced. Each round is one join of the current
+    // distance table to the adjacency on src (co-located on the
+    // bucketed layout — the fact-sized edge side never shuffles) plus
+    // one min-agg keyed by dst; distances are small exact integers.
+    // At 100 TB the per-round cost is frontier-sized, the edge scan
+    // is exchange-free, and k composes by iterating — the same loop
+    // shape as pageRankUntil with Qh.release bounding storage.
+    Decl("l13_bfs", oBfsSql) { (s, dir) =>
+      import s.implicits._
+      val e = edgeTable(s, dir)
+      val nodes = e.select($"src".as("node")).distinct()
+      var d = nodes.filter($"node" % 10 === 0)
+        .select($"node", lit(0L).as("dist"))
+      for (_ <- 1 to 2) {
+        val relaxed = e.join(d, e("src") === d("node"))
+          .select($"dst".as("node"), ($"dist" + 1L).as("dist"))
+        d = d.unionAll(relaxed).groupBy($"node")
+          .agg(min($"dist").as("dist"))
+      }
+      d.orderBy("node")
     }
   )
+
+  /** Oracle for l13_bfs: the identical two unrolled relaxation rounds. */
+  private lazy val oBfsSql: String = {
+    def round(din: String, dout: String): String =
+      s"""$dout AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM $din
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + 1 AS dist
+         |    FROM edges e JOIN $din d ON d.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey * 2 + 1 AS s, o_custkey * 2 AS c
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT s AS src, c AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT c AS src, s AS dst FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 10 = 0),
+       |${round("d0", "d1")},
+       |${round("d1", "d2")}
+       |SELECT node, dist FROM d2 ORDER BY node""".stripMargin
+  }
 
   /** The dst-bucketed orientation of [[edgeTable]] (same edge set,
     * bucketed+sorted on dst) — serves in-edge-keyed joins

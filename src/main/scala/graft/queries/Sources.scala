@@ -739,6 +739,81 @@ object Sources {
         .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
         .select(lit(v.toLong).as("version"), $"n", $"total")
       asOf(1).unionAll(asOf(2)).unionAll(asOf(3)).orderBy("version")
+    },
+
+    // S23: MERGE-ON-READ deletes via positional DELETION VECTORS — the
+    // other half of the lakehouse delete design space next to S22's
+    // copy-on-write: a delete commit writes only the (file, row_index)
+    // positions of deleted rows (Iceberg position deletes / Delta
+    // deletion vectors); data files are NOT rewritten, and readers
+    // reconcile at scan time with an anti-join against the DV set.
+    // Positions come from the parquet reader's own _metadata
+    // (file_path, row_index), so the vector is file-scoped and
+    // position-based — the real mechanism, not a key-list stand-in.
+    // v3 then COMPACTS: applies the DVs once, rewrites survivors, and
+    // the manifest drops the vector — v2 and v3 must agree logically
+    // (that equality IS part of the oracle check) while v1 still
+    // serves the pre-delete data. Write amplification trade: COW pays
+    // at delete time (S22), MOR pays a per-read anti-join until
+    // compaction — at 100 TB the DV side of that join is deletes-sized
+    // and broadcasts, and compaction is the background job that
+    // returns reads to scan speed.
+    Decl(
+      "s23_merge_on_read", {
+        def oAgg(v: Int, pred: String) =
+          s"""SELECT CAST($v AS BIGINT) AS version,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  ${Qh.oSum2("o_totalprice")} AS total
+             |FROM orders WHERE $pred""".stripMargin
+        s"""${oAgg(1, "o_orderkey % 4 = 0")}
+           |UNION ALL
+           |${oAgg(2, "o_orderkey % 4 = 0 AND o_orderstatus <> 'O'")}
+           |UNION ALL
+           |${oAgg(3, "o_orderkey % 4 = 0 AND o_orderstatus <> 'O'")}
+           |ORDER BY version""".stripMargin
+      }) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s23_tbl")
+      new java.io.File(s"$root/_log").mkdirs()
+      def commit(v: Int, data: Seq[String], dv: Seq[String]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$root/_log/v$v.list"),
+          (data.mkString(",") + "\n" + dv.mkString(",")).getBytes("UTF-8"))
+      def snapshot(v: Int): org.apache.spark.sql.DataFrame = {
+        val lines = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$root/_log/v$v.list")), "UTF-8")
+          .split("\n", -1)
+        val data = lines(0).split(",").filter(_.nonEmpty).toSeq
+        val dvs = lines(1).split(",").filter(_.nonEmpty).toSeq
+        val base = s.read.parquet(data.map(b => s"$root/$b"): _*)
+          .withColumn("_file", col("_metadata.file_path"))
+          .withColumn("_pos", col("_metadata.row_index"))
+        val visible =
+          if (dvs.isEmpty) base
+          else base.join(
+            broadcast(s.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+            Seq("_file", "_pos"), "left_anti")
+        visible.drop("_file", "_pos")
+      }
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 4 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      commit(1, Seq("b1"), Nil)
+      // merge-on-read DELETE: only positions are written; b1 untouched
+      s.read.parquet(s"$root/b1")
+        .select(col("_metadata.file_path").as("_file"),
+          col("_metadata.row_index").as("_pos"), $"o_orderstatus")
+        .filter($"o_orderstatus" === "O")
+        .select($"_file", $"_pos")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/dv1")
+      commit(2, Seq("b1"), Seq("dv1"))
+      // compaction: reconcile once, rewrite survivors, drop the vector
+      snapshot(2).write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
+      commit(3, Seq("b2"), Nil)
+      def asOf(v: Int) = snapshot(v)
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(lit(v.toLong).as("version"), $"n", $"total")
+      asOf(1).unionAll(asOf(2)).unionAll(asOf(3)).orderBy("version")
     }
   )
 }

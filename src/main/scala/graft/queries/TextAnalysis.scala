@@ -1221,6 +1221,79 @@ object TextAnalysis {
             .as("dup3_frac"))
         .withColumn("keep", $"top2_frac" <= 0.1 && $"dup3_frac" <= 0.02)
         .orderBy("doc_id")
+    },
+
+    // L10b: CORPUS DRIFT — Jensen–Shannon divergence between the token
+    // distributions of two source cohorts, per language (Lin 1991; the
+    // standard "did this ingest batch change the data?" monitor in a
+    // training-data pipeline, next to l10_profile's point-in-time
+    // snapshot). Cohorts split by source hash so the decl is
+    // data-derived at every scale. Shape: ONE (lang, token) agg with
+    // both cohort counts as conditional sums (map-side combined — the
+    // cohort split costs nothing extra), per-lang totals broadcast
+    // back, then per-token JS terms and a per-lang sum. Determinism:
+    // p and q are double divisions of identical integers, each JS term
+    // is fixed-point-rounded at 1e-12 (the terms are ~1e-4 — the
+    // l4_lm r6-per-term discipline, rescaled) and summed as exact
+    // DECIMAL(28,12), so the hash compare is exact. At 100 TB this is
+    // the l4_term_freq scan + a vocab-sized tail.
+    Decl(
+      "l10_drift",
+      s"""WITH tf AS (
+         |  SELECT lang, tok,
+         |    CAST(sum(CASE WHEN ${Qh.oPhash("source", 61)} % 2 = 0
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS tfa,
+         |    CAST(sum(CASE WHEN ${Qh.oPhash("source", 61)} % 2 = 0
+         |                  THEN 0 ELSE 1 END) AS BIGINT) AS tfb
+         |  FROM (SELECT lang, source, unnest(${Qh.oToksExpr}) AS tok
+         |        FROM documents)
+         |  GROUP BY lang, tok),
+         |tot AS (
+         |  SELECT lang, CAST(sum(tfa) AS BIGINT) AS ta,
+         |    CAST(sum(tfb) AS BIGINT) AS tb
+         |  FROM tf GROUP BY lang),
+         |pq AS (
+         |  SELECT f.lang, CAST(f.tfa AS DOUBLE) / CAST(t.ta AS DOUBLE) AS p,
+         |         CAST(f.tfb AS DOUBLE) / CAST(t.tb AS DOUBLE) AS q
+         |  FROM tf f JOIN tot t USING (lang)),
+         |terms AS (
+         |  SELECT lang,
+         |    ${Qh.oR("CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0 END * 0.5 + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0 END * 0.5", 1000000000000L)} AS t
+         |  FROM pq)
+         |SELECT m.lang, t2.ta, t2.tb,
+         |  ${Qh.oR6("CAST(sum(CAST(m.t AS DECIMAL(28,12))) AS DOUBLE)")} AS js_div,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         |FROM terms m JOIN tot t2 USING (lang)
+         |GROUP BY m.lang, t2.ta, t2.tb
+         |ORDER BY m.lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tf = Qh.materialize(
+        Qh.t(s, dir, "documents")
+          .select($"lang",
+            (Qh.phash($"source", 61) % 2 === 0).as("isa"),
+            explode(expr(Qh.toksExpr)).as("tok"))
+          .groupBy($"lang", $"tok")
+          .agg(
+            sum(when($"isa", 1L).otherwise(0L)).as("tfa"),
+            sum(when($"isa", 0L).otherwise(1L)).as("tfb")))
+      val tot = tf.groupBy($"lang")
+        .agg(sum($"tfa").as("ta"), sum($"tfb").as("tb"))
+      val half = ($"p" + $"q") / lit(2.0)
+      val term =
+        when($"p" > 0, $"p" * log($"p" / half)).otherwise(lit(0.0)) * 0.5 +
+          when($"q" > 0, $"q" * log($"q" / half)).otherwise(lit(0.0)) * 0.5
+      tf.join(broadcast(tot), "lang")
+        .select($"lang",
+          ($"tfa".cast(DoubleType) / $"ta".cast(DoubleType)).as("p"),
+          ($"tfb".cast(DoubleType) / $"tb".cast(DoubleType)).as("q"))
+        .select($"lang", Qh.r(term, 1000000000000L).as("t"))
+        .groupBy($"lang")
+        .agg(
+          Qh.r6(sum($"t".cast(DecimalType(28, 12))).cast(DoubleType)).as("js_div"),
+          count(lit(1)).as("n_tokens"))
+        .join(broadcast(tot), "lang")
+        .select($"lang", $"ta", $"tb", $"js_div", $"n_tokens")
+        .orderBy("lang")
     }
   )
 }

@@ -700,6 +700,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in HITS:\n$p")
   }
 
+  test("l13_bfs: relaxation joins read the bucketed adjacency; no cartesian") {
+    val p = plan("l13_bfs")
+    assert(p.matches("(?s).*pr_edges_\\d.*"),
+      s"BFS must relax over the bucketed adjacency:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in BFS:\n$p")
+  }
+
+  test("s23: the deletion-vector reconcile is a broadcast anti-join on (file, pos)") {
+    // merge-on-read's scale contract: the DV side is deletes-sized and
+    // must broadcast; a shuffled anti-join would re-shuffle the data
+    // files on every read
+    val p = plan("s23_merge_on_read")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV reconcile should be a broadcast left-anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in MOR read:\n$p")
+  }
+
+  test("l10_drift: one corpus-sized agg carries both cohorts; totals broadcast back") {
+    // the cohort split must ride the SAME (lang, token) aggregation as
+    // conditional sums — a per-cohort scan or join would read the
+    // corpus twice. The tf table is Qh.materialize'd (computed once by
+    // construction), so the serve plan must contain NO parquet scan at
+    // all: both consumers read the checkpoint, never the corpus.
+    val p = plan("l10_drift")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 0, s"drift re-reads the corpus $scans times past the materialize:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-lang totals not broadcast:\n$p")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

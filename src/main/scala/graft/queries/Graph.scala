@@ -312,23 +312,24 @@ object Graph {
 
   /** Oracle for l13_bfs: the identical two unrolled relaxation rounds. */
   private lazy val oBfsSql: String = {
+    // AS MATERIALIZED — same chained-round inlining hazard as oHitsSql
     def round(din: String, dout: String): String =
-      s"""$dout AS (
+      s"""$dout AS MATERIALIZED (
          |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
          |    SELECT node, dist FROM $din
          |    UNION ALL
          |    SELECT e.dst AS node, d.dist + 1 AS dist
          |    FROM edges e JOIN $din d ON d.node = e.src)
          |  GROUP BY node)""".stripMargin
-    s"""WITH pairs AS (
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT l_suppkey * 2 + 1 AS s, o_custkey * 2 AS c
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT s AS src, c AS dst FROM pairs
        |  UNION ALL
        |  SELECT c AS src, s AS dst FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 10 = 0),
+       |d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes WHERE node % 10 = 0),
        |${round("d0", "d1")},
        |${round("d1", "d2")}
        |SELECT node, dist FROM d2 ORDER BY node""".stripMargin
@@ -346,26 +347,32 @@ object Graph {
 
   /** Oracle for l13_hits: the identical two unrolled integer rounds. */
   private lazy val oHitsSql: String = {
+    // AS MATERIALIZED: every round CTE is referenced by the next round,
+    // and DuckDB's default inlining re-expands the whole upstream chain
+    // per reference — at sf1 that plan exhausted 79 GB of spill before
+    // failing. Materialization makes the oracle linear in rounds, like
+    // the engine. (Hint-only: the driver's DuckDB accepts it; Spark
+    // never parses oracle SQL.)
     def round(hin: String, k: Int): String =
-      s"""a${k}r AS (
+      s"""a${k}r AS MATERIALIZED (
          |  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS raw
          |  FROM edges e JOIN $hin h ON h.node = e.src GROUP BY e.dst),
          |a${k}t AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM a${k}r),
-         |a$k AS (SELECT node, (raw * $HitsS) // t AS a FROM a${k}r, a${k}t),
-         |h${k}r AS (
+         |a$k AS MATERIALIZED (SELECT node, (raw * $HitsS) // t AS a FROM a${k}r, a${k}t),
+         |h${k}r AS MATERIALIZED (
          |  SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS raw
          |  FROM edges e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
          |h${k}t AS (SELECT CAST(sum(raw) AS BIGINT) AS t FROM h${k}r),
-         |h$k AS (SELECT node, (raw * $HitsS) // t AS h FROM h${k}r, h${k}t)""".stripMargin
-    s"""WITH pairs AS (
+         |h$k AS MATERIALIZED (SELECT node, (raw * $HitsS) // t AS h FROM h${k}r, h${k}t)""".stripMargin
+    s"""WITH pairs AS MATERIALIZED (
        |  SELECT DISTINCT l_suppkey * 2 + 1 AS s, o_custkey * 2 AS c
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT s AS src, c AS dst FROM pairs
        |  UNION ALL
        |  SELECT c AS src, s AS dst FROM pairs),
        |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |h0 AS (SELECT node, CAST($HitsS AS BIGINT) AS h FROM nodes),
+       |h0 AS MATERIALIZED (SELECT node, CAST($HitsS AS BIGINT) AS h FROM nodes),
        |${round("h0", 1)},
        |${round("h1", 2)}
        |SELECT h2.node, h2.h AS hub, a2.a AS auth

@@ -23,8 +23,11 @@ workload:
   both families; n_chars recomputed from the new text.
 - embeddings: per-replica circular rotation of the vector - cosine
   structure across replicas is decorrelated deterministically.
-- events keeps its TIMESTAMP(NANOS) physical type (the engine's
-  nanosAsLong read path depends on it).
+- events is written as TIMESTAMP(NANOS) regardless of the source
+  generation's physical type (driver fixtures moved to MICROS in
+  round 8): Tables.apply dispatches on the type read, so the sf1
+  fixture deliberately keeps the legacy nanosAsLong read path
+  exercised while the driver fixtures cover the µs/NTZ path.
 
 Bounded dims (region, nation) do NOT scale, same as TPC-H.
 """
@@ -101,10 +104,11 @@ copy(
         FROM {src('lineitem')}, {REP}""",
     "lineitem",
 )
-# events: TIMESTAMP_NS must survive as parquet TIMESTAMP(NANOS) — the
-# engine's nanosAsLong read path depends on the physical type, and
-# DuckDB's parquet writer downcasts ns to us. Pull epoch-ns as int64
-# from DuckDB, reinterpret as timestamp[ns] in pyarrow, write there.
+# events: written as parquet TIMESTAMP(NANOS) whatever the source type
+# (µs sources upcast losslessly) — keeps the engine's nanosAsLong read
+# path exercised now that driver fixtures ship µs; DuckDB's parquet
+# writer would downcast ns to us, so pull epoch-ns as int64 and
+# reinterpret as timestamp[ns] in pyarrow.
 ev = con.execute(
     f"""SELECT event_id + k*{E} AS event_id,
                epoch_ns(CAST(ts AS TIMESTAMP_NS)) AS ts_ns,

@@ -57,7 +57,8 @@ object PlanDump {
       "s22_time_travel" -> "Snapshot/time-travel reads (r8): three versioned manifests each plan their own immutable file set — v1/v2 stay readable after the v3 copy-on-write delete because COW rewrites into NEW files and swaps the manifest list.",
       "s23_merge_on_read" -> "Merge-on-read deletes (r8): positional deletion vectors from the parquet reader's own _metadata (file_path, row_index); the read-time reconcile is a BROADCAST left-anti join (DV side is deletes-sized); v3 compaction applies vectors once and returns reads to scan speed.",
       "l13_bfs" -> "Multi-source BFS (r8): each relaxation round joins the frontier to the SRC-bucketed adjacency (edge side exchange-free) + one min-agg keyed by dst; k-hop composes by iteration with released frontiers.",
-      "l10_drift" -> "Corpus drift / JS divergence (r8): ONE (lang, token) agg carries both source cohorts as conditional sums, per-lang totals broadcast back, per-token fixed-point terms, DECIMAL-exact per-lang sum — a single corpus scan end to end.")
+      "l10_drift" -> "Corpus drift / JS divergence (r8): ONE (lang, token) agg carries both source cohorts as conditional sums, per-lang totals broadcast back, per-token fixed-point terms, DECIMAL-exact per-lang sum — a single corpus scan end to end.",
+      "w11_ewma" -> "Per-user EWMA (r8): the recursive smoother frame windows can't express, as ONE user-keyed collect agg + an ordered in-row fold (alpha=1/2 — every step one add + one exact binary halving, so the fold is cross-engine bit-identical with no per-step rounding).")
 
     // per-query session overrides: dump the plan under the SAME config
     // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only

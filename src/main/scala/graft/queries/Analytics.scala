@@ -249,6 +249,49 @@ object Analytics {
         .filter(abs($"z") > 3.0)
         .select($"event_id", $"user_id", $"value", Qh.r6($"z").as("z"))
         .orderBy("event_id")
+    },
+
+    // W11: EXPONENTIALLY-WEIGHTED moving average per user — the
+    // recursive smoother (s_i = α·v_i + (1−α)·s_{i−1}) that frame
+    // windows cannot express: every output depends on the ENTIRE
+    // prefix, so it runs as an ordered per-key fold. α = 1/2 is chosen
+    // deliberately: each step is (s + v) / 2 — one add and one exact
+    // binary halving — so the fold is bit-identical across engines
+    // with NO per-step rounding (the general-α form would need the
+    // fixed-point discipline). Order is made total by (ts, event_id).
+    // Shape: ONE user-keyed agg (collect partials concat map-side),
+    // per-user fold over a bounded event list — the per-entity
+    // sessionized-data contract; truly unbounded keys would move to
+    // the T6 stateful streaming form, which maintains exactly this
+    // fold incrementally. Only the final smoothed value is rounded.
+    Decl(
+      "w11_ewma",
+      """WITH s AS (
+        |  SELECT user_id, count(*) AS n,
+        |    list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  floor(list_reduce(vals, (a, v) -> (a + v) / 2.0) * 1000000 + 0.5)
+        |    / 1000000.0 AS ewma
+        |FROM s ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // DuckDB's seedless list_reduce starts at vals[1]; Spark's
+      // aggregate mirrors that with vals[0] as the seed over the tail
+      val foldExpr =
+        """aggregate(
+          |  slice(vals, 2, size(vals) - 1),
+          |  element_at(vals, 1),
+          |  (a, v) -> (a + v) / CAST(2.0 AS DOUBLE))""".stripMargin
+      Qh.t(s, dir, "events")
+        .select($"user_id", Qh.tsUs($"ts").as("ts"), $"event_id", $"value")
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("transform(array_sort(collect_list(struct(ts, event_id, value))), x -> x.value)")
+            .as("vals"))
+        .select($"user_id", $"n_events",
+          Qh.r6(expr(foldExpr)).as("ewma"))
+        .orderBy("user_id")
     }
   )
 }

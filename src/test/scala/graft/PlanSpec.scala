@@ -730,6 +730,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"per-lang totals not broadcast:\n$p")
   }
 
+  test("w11: EWMA is one user-keyed agg + fold — no join, no window, no extra exchange") {
+    // the recursive smoother runs as a per-key ordered fold AFTER one
+    // collect agg; a join- or window-shaped plan would mean the fold
+    // escaped into a per-step self-join (the O(n²) anti-form)
+    val p = plan("w11_ewma")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"EWMA fold left the single-agg shape:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"EWMA shuffles more than agg+sort:\n$p")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

@@ -439,12 +439,12 @@ object Aggregations {
         s"""WITH t AS (
            |  SELECT lang, regexp_extract_all(lower(text), '[a-z]+') AS toks
            |  FROM documents),
-           |dh AS (
+           |dh AS MATERIALIZED (
            |  SELECT DISTINCT lang, ${Qh.oPhash("sh", 41)} AS h
            |  FROM (SELECT lang, unnest(list_transform(range(len(toks) - 2),
            |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
            |        FROM t WHERE len(toks) >= 3)),
-           |sk AS (
+           |sk AS MATERIALIZED (
            |  SELECT lang, h FROM (
            |    SELECT lang, h,
            |      row_number() OVER (PARTITION BY lang ORDER BY h) AS rn

@@ -258,7 +258,10 @@ object Analytics {
     // deliberately: each step is (s + v) / 2 — one add and one exact
     // binary halving — so the fold is bit-identical across engines
     // with NO per-step rounding (the general-α form would need the
-    // fixed-point discipline). Order is made total by (ts, event_id).
+    // fixed-point discipline). Order is made total by (µs-cast ts,
+    // event_id) — the oracle casts TIMESTAMP_NS → TIMESTAMP so the
+    // order-sensitive fold breaks ties identically on ns-precision
+    // fixtures (the Qh.tsUs discipline; the engine folds µs order).
     // Shape: ONE user-keyed agg (collect partials concat map-side),
     // per-user fold over a bounded event list — the per-entity
     // sessionized-data contract; truly unbounded keys would move to
@@ -268,7 +271,7 @@ object Analytics {
       "w11_ewma",
       """WITH s AS (
         |  SELECT user_id, count(*) AS n,
-        |    list(value ORDER BY ts, event_id) AS vals
+        |    list(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS vals
         |  FROM events GROUP BY user_id)
         |SELECT user_id, CAST(n AS BIGINT) AS n_events,
         |  floor(list_reduce(vals, (a, v) -> (a + v) / 2.0) * 1000000 + 0.5)

@@ -34,7 +34,7 @@ object Graph {
   private val S = 1000000000000L // fixed-point scale (1.0 == 1e12)
   // HITS fixed-point scale — declared ABOVE `decls` (the Decl seq forces
   // oHitsSql at object init; a val declared below it would read as 0)
-  private val HitsS = 1000000L
+  private[graft] val HitsS = 1000000L
 
   /** One unrolled oracle iteration: ranks `rin` → `rout`. */
   private def oIter(rin: String, rout: String): String =

@@ -697,19 +697,11 @@ object Sources {
     // and composes with S9/S15 pruning; planning cost is
     // manifest-sized, never a directory listing.
     Decl(
-      "s22_time_travel", {
-        def oAgg(v: Int, pred: String) =
-          s"""SELECT CAST($v AS BIGINT) AS version,
-             |  CAST(count(*) AS BIGINT) AS n,
-             |  ${Qh.oSum2("o_totalprice")} AS total
-             |FROM orders WHERE $pred""".stripMargin
-        s"""${oAgg(1, "o_orderkey % 3 = 0")}
-           |UNION ALL
-           |${oAgg(2, "o_orderkey % 3 <= 1")}
-           |UNION ALL
-           |${oAgg(3, "o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'")}
-           |ORDER BY version""".stripMargin
-      }) { (s, dir) =>
+      "s22_time_travel",
+      oVersionAggs(Seq(
+        1 -> "o_orderkey % 3 = 0",
+        2 -> "o_orderkey % 3 <= 1",
+        3 -> "o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'"))) { (s, dir) =>
       import s.implicits._
       val root = ioDir("s22_tbl")
       new java.io.File(s"$root/_log").mkdirs()
@@ -735,10 +727,7 @@ object Sources {
       snapshot(2).filter($"o_orderstatus" =!= "F")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
       commit(3, Seq("b3"))
-      def asOf(v: Int) = snapshot(v)
-        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
-        .select(lit(v.toLong).as("version"), $"n", $"total")
-      asOf(1).unionAll(asOf(2)).unionAll(asOf(3)).orderBy("version")
+      versionAggs(snapshot)
     },
 
     // S23: MERGE-ON-READ deletes via positional DELETION VECTORS — the
@@ -759,19 +748,11 @@ object Sources {
     // and broadcasts, and compaction is the background job that
     // returns reads to scan speed.
     Decl(
-      "s23_merge_on_read", {
-        def oAgg(v: Int, pred: String) =
-          s"""SELECT CAST($v AS BIGINT) AS version,
-             |  CAST(count(*) AS BIGINT) AS n,
-             |  ${Qh.oSum2("o_totalprice")} AS total
-             |FROM orders WHERE $pred""".stripMargin
-        s"""${oAgg(1, "o_orderkey % 4 = 0")}
-           |UNION ALL
-           |${oAgg(2, "o_orderkey % 4 = 0 AND o_orderstatus <> 'O'")}
-           |UNION ALL
-           |${oAgg(3, "o_orderkey % 4 = 0 AND o_orderstatus <> 'O'")}
-           |ORDER BY version""".stripMargin
-      }) { (s, dir) =>
+      "s23_merge_on_read",
+      oVersionAggs(Seq(
+        1 -> "o_orderkey % 4 = 0",
+        2 -> "o_orderkey % 4 = 0 AND o_orderstatus <> 'O'",
+        3 -> "o_orderkey % 4 = 0 AND o_orderstatus <> 'O'"))) { (s, dir) =>
       import s.implicits._
       val root = ioDir("s23_tbl")
       new java.io.File(s"$root/_log").mkdirs()
@@ -810,12 +791,31 @@ object Sources {
       // compaction: reconcile once, rewrite survivors, drop the vector
       snapshot(2).write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
       commit(3, Seq("b2"), Nil)
-      def asOf(v: Int) = snapshot(v)
-        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
-        .select(lit(v.toLong).as("version"), $"n", $"total")
-      asOf(1).unionAll(asOf(2)).unionAll(asOf(3)).orderBy("version")
+      versionAggs(snapshot)
     }
   )
+
+  /** Shared by the two commit-log decls (S22 copy-on-write, S23
+    * merge-on-read): the (version, n, total) per-version aggregate in
+    * its engine and oracle forms — ONE construction site for the
+    * versioned-read contract. The manifest FORMATS stay deliberately
+    * distinct (a json file list vs a data+dv two-line list): the two
+    * delete mechanisms are the point of having two decls. */
+  private def versionAggs(
+      snapshot: Int => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def asOf(v: Int) = snapshot(v)
+      .agg(count(lit(1)).as("n"), Qh.sumd2(col("o_totalprice")).as("total"))
+      .select(lit(v.toLong).as("version"), col("n"), col("total"))
+    asOf(1).unionAll(asOf(2)).unionAll(asOf(3)).orderBy("version")
+  }
+
+  private def oVersionAggs(preds: Seq[(Int, String)]): String =
+    preds.map { case (v, pred) =>
+      s"""SELECT CAST($v AS BIGINT) AS version,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders WHERE $pred""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\nORDER BY version").trim
 }
 
 /** Fixture writers for the S20 BSON-dump decl: the dump a `mongodump`

@@ -1177,7 +1177,7 @@ object TextAnalysis {
          |    CAST(len(list_distinct(g3)) AS BIGINT) AS d3
          |  FROM st)
          |SELECT doc_id, n_toks, top2_cnt,
-         |  ${Qh.oR6("2.0 * top2_cnt / n_toks")} AS top2_frac,
+         |  ${Qh.oR6("2.0 * top2_cnt / n_toks")} AS top2_score,
          |  ${Qh.oR6("CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE)")} AS dup3_frac,
          |  (${Qh.oR6("2.0 * top2_cnt / n_toks")} <= 0.1
          |   AND ${Qh.oR6("CAST(n3 - d3 AS DOUBLE) / CAST(n3 AS DOUBLE)")} <= 0.02) AS keep
@@ -1216,10 +1216,10 @@ object TextAnalysis {
           size($"g3").cast(LongType).as("n3"),
           size(array_distinct($"g3")).cast(LongType).as("d3"))
         .select($"doc_id", $"n_toks", $"top2_cnt",
-          Qh.r6(lit(2.0) * $"top2_cnt" / $"n_toks").as("top2_frac"),
+          Qh.r6(lit(2.0) * $"top2_cnt" / $"n_toks").as("top2_score"),
           Qh.r6(($"n3" - $"d3").cast(DoubleType) / $"n3".cast(DoubleType))
             .as("dup3_frac"))
-        .withColumn("keep", $"top2_frac" <= 0.1 && $"dup3_frac" <= 0.02)
+        .withColumn("keep", $"top2_score" <= 0.1 && $"dup3_frac" <= 0.02)
         .orderBy("doc_id")
     },
 

@@ -92,7 +92,7 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
   test("HITS scores are L1-normalized: each side's mass lands just under the scale") {
     // `raw * S DIV Σraw` floors per node, so each normalization loses
     // < 1 unit per node: S - n ≤ Σ ≤ S must hold for BOTH score sides
-    val s2 = 1000000L // Graph.HitsS
+    val s2 = graft.queries.Graph.HitsS // turning the scale dial moves the bounds too
     val rows = SparkEntry.queries("l13_hits")(spark, dir).collect()
     val n = rows.length
     val hubs = rows.map(_.getAs[Long]("hub")).sum

@@ -25,99 +25,99 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 3.557, "a1_hashagg" -> 1.137,
+    "a10_kmv_sketch" -> 2.841, "a1_hashagg" -> 1.137,
     "a2_distinct" -> 0.652, "a3_approx_distinct" -> 1.818,
-    "a3_hll_merge" -> 0.551, "a4_cube" -> 0.703,
+    "a3_hll_merge" -> 0.551, "a4_cube" -> 0.585,
     "a4_grouping_sets" -> 0.728, "a4_rollup" -> 0.611,
     "a5_filtered_agg" -> 0.484, "a6_approx_percentile" -> 2.427,
     "a6_stats" -> 2.212, "a6_tdigest" -> 2.078,
     "a7_collect" -> 0.789, "a8_pivot" -> 0.588,
     "a9_salted_agg" -> 0.712, "c1_upsert_latest" -> 0.595,
-    "c2_scd2_intervals" -> 0.756, "c3_incremental_agg" -> 1.459,
+    "c2_scd2_intervals" -> 0.756, "c3_incremental_agg" -> 1.132,
     "c4_cdc_apply" -> 0.711, "c5_retractable_agg" -> 1.794,
     "flagship_pipeline" -> 0.483, "j10_bloom_semi" -> 0.978,
     "j11_salted_skew_join" -> 0.715, "j12_interval_overlap" -> 0.998,
-    "j13_spatial_grid" -> 0.831, "j14_cobucketed_join" -> 0.943,
+    "j13_spatial_grid" -> 0.831, "j14_cobucketed_join" -> 0.821,
     "j1_semi_broadcast" -> 0.674, "j2_inner" -> 0.539,
     "j3_multiway" -> 1.486, "j4_full_outer" -> 0.456,
     "j4_left_outer" -> 0.374, "j5_anti" -> 0.326,
     "j6_sortmerge" -> 0.875, "j7_range" -> 0.752,
     "j8_cross" -> 0.258, "j9_asof" -> 0.701,
     "j9_asof_join" -> 0.628, "l10_drift" -> 0.863,
-    "l10_profile" -> 0.36, "l11_decontam" -> 1.235,
-    "l11_semantic_decontam" -> 0.572, "l12_global_ids" -> 0.715,
-    "l13_bfs" -> 4.807, "l13_hits" -> 5.155,
-    "l13_kcore" -> 1.53, "l13_pagerank" -> 2.837,
-    "l13_triangles" -> 1.025, "l14_fuzzy_join" -> 2.07,
-    "l1_exact_dedup" -> 0.351, "l2_cc_star" -> 4.199,
-    "l2_chunk_dedup" -> 1.269, "l2_cosine_neardup" -> 0.522,
-    "l2_cosine_neardup_bucketed" -> 0.47, "l2_dedup_clusters" -> 2.331,
-    "l2_incremental_dedup" -> 0.986, "l2_lsh_pairs" -> 1.282,
-    "l2_minhash_estimate" -> 1.379, "l2_minhash_sigs" -> 1.643,
-    "l2_ngram_jaccard" -> 6.515, "l2_simhash" -> 0.757,
-    "l2_simhash_blocked" -> 3.435, "l2_simhash_hamming" -> 2.23,
-    "l2_substring_dedup" -> 2.088, "l3_ann_ivf" -> 0.865,
-    "l3_ann_ivfpq" -> 1.788, "l3_ann_lsh" -> 1.849,
-    "l3_ann_pq" -> 1.519, "l3_ann_recall" -> 1.969,
-    "l3_ann_trained" -> 2.696, "l3_cosine_topk" -> 0.346,
-    "l3_jl_projection" -> 0.512, "l3_kmeans" -> 1.173,
-    "l3_pca_power" -> 0.449, "l3_semantic_dedup" -> 1.48,
-    "l4_bm25" -> 1.647, "l4_bpe_encode" -> 1.405,
-    "l4_bpe_pair_stats" -> 0.771, "l4_bpe_train" -> 0.765,
-    "l4_count_min" -> 0.562, "l4_fingerprint" -> 0.921,
-    "l4_heavy_hitters" -> 0.537, "l4_lang_id" -> 0.513,
-    "l4_lm_score" -> 1.492, "l4_pii_redact" -> 0.762,
-    "l4_quality_score" -> 0.642, "l4_repetition" -> 1.799,
-    "l4_repetition_quality" -> 1.329, "l4_term_freq" -> 0.575,
-    "l4_tfidf" -> 0.834, "l4_token_stats" -> 0.57,
-    "l5_histogram" -> 0.243, "l6_decode_audio" -> 1.291,
-    "l6_decode_features" -> 0.405, "l6_decode_real" -> 1.316,
-    "l6_multimodal_meta" -> 0.2, "l6_quantize_int8" -> 0.35,
-    "l6_resize_framesample" -> 0.216, "l7_curation_pipeline" -> 0.736,
-    "l8_bottomk_sample" -> 0.247, "l8_deterministic_sample" -> 0.164,
-    "l8_deterministic_split" -> 0.218, "l8_mixture_weights" -> 0.266,
-    "l8_stratified_sample" -> 0.151, "l8_weighted_sample" -> 0.246,
-    "l9_sequence_packing" -> 0.355, "l9_shard_export" -> 1.007,
-    "o1_topk" -> 0.14, "o2_limit" -> 0.133,
-    "o3_union" -> 0.326, "o3_union_distinct" -> 0.389,
-    "o4_except" -> 0.368, "o4_except_all" -> 0.533,
-    "o4_intersect" -> 0.32, "o4_intersect_all" -> 0.396,
-    "p10_map_hof" -> 1.667, "p10_maps" -> 1.039,
-    "p11_envelope" -> 0.401, "p12_unpivot" -> 0.284,
-    "p13_subqueries" -> 0.501, "p14_variant" -> 1.685,
-    "p15_lateral" -> 0.351, "p16_try_functions" -> 3.122,
-    "p1_prune" -> 0.62, "p2_filter" -> 0.364,
-    "p3_inlist" -> 0.162, "p4_strings" -> 0.269,
-    "p5_datetime" -> 0.476, "p6_math" -> 0.788,
-    "p7_conditional" -> 0.208, "p8_json" -> 0.693,
-    "p8_json_nested" -> 2.776, "p9_array_fns" -> 0.159,
-    "p9_arrays" -> 0.246, "p9_explode" -> 0.174,
-    "p9_posexplode" -> 0.162, "s10_vector_index" -> 1.26,
-    "s10b_index_append" -> 1.723, "s11_schema_evolution" -> 0.76,
-    "s12_compaction" -> 1.164, "s13_dpp_join" -> 1.288,
-    "s14_zorder_layout" -> 1.128, "s15_stats_pruned_scan" -> 1.151,
-    "s16_binaryfile_ingest" -> 1.051, "s17_xml_roundtrip" -> 1.362,
-    "s18_corrupt_drop" -> 0.437, "s19_envelope_sink" -> 1.088,
-    "s20_bson_dump" -> 1.452, "s21_mongo_extjson" -> 1.552,
-    "s22_time_travel" -> 1.147, "s23_merge_on_read" -> 1.246,
-    "s3_jdbc_roundtrip" -> 0.365, "s4_json_roundtrip" -> 0.61,
-    "s5_kafka_envelope" -> 0.207, "s6_csv_roundtrip" -> 0.493,
-    "s7_orc_roundtrip" -> 0.94, "s8_envelope_source" -> 0.66,
-    "s9_partitioned_prune" -> 0.628, "t12_stream_envelope_sink" -> 1.19,
-    "t13_stream_envelope_source" -> 1.627, "t1_tumbling" -> 0.438,
-    "t2_sliding" -> 0.5, "t3_session" -> 0.785,
-    "t4_watermark_closed" -> 0.468, "t5_dedup" -> 0.329,
-    "t6_stateful_running" -> 0.549, "t7_stream_static" -> 0.569,
-    "t8_foreachbatch_jdbc" -> 0.87, "t8c_exactly_once_jdbc" -> 1.749,
-    "t9_stream_stream" -> 0.406, "t9_stream_stream_full" -> 0.502,
-    "t9_stream_stream_outer" -> 0.368, "t9_stream_stream_semi" -> 0.352,
-    "w10_seasonal_decomp" -> 0.515, "w11_ewma" -> 0.68,
-    "w1_ranking" -> 0.857, "w2_analytic" -> 0.982,
-    "w3_frames" -> 0.872, "w3_time_range" -> 0.623,
-    "w4_topk_per_group" -> 0.408, "w4_topk_window_idiom" -> 0.451,
-    "w5_distribution" -> 1.118, "w6_gap_fill" -> 0.841,
-    "w7_funnel" -> 0.531, "w8_retention" -> 0.45,
-    "w9_anomaly" -> 0.77)
+    "l10_profile" -> 0.36, "l10_zipf" -> 0.949,
+    "l11_decontam" -> 1.235, "l11_semantic_decontam" -> 0.572,
+    "l12_global_ids" -> 0.715, "l13_bfs" -> 1.943,
+    "l13_hits" -> 5.155, "l13_kcore" -> 1.375,
+    "l13_pagerank" -> 2.837, "l13_triangles" -> 1.025,
+    "l14_fuzzy_join" -> 2.07, "l1_exact_dedup" -> 0.351,
+    "l2_cc_star" -> 3.714, "l2_chunk_dedup" -> 1.269,
+    "l2_cosine_neardup" -> 0.522, "l2_cosine_neardup_bucketed" -> 0.47,
+    "l2_dedup_clusters" -> 2.331, "l2_incremental_dedup" -> 0.986,
+    "l2_lsh_pairs" -> 1.282, "l2_minhash_estimate" -> 1.379,
+    "l2_minhash_sigs" -> 1.643, "l2_ngram_jaccard" -> 6.515,
+    "l2_simhash" -> 0.757, "l2_simhash_blocked" -> 3.435,
+    "l2_simhash_hamming" -> 2.23, "l2_substring_dedup" -> 2.088,
+    "l3_ann_ivf" -> 0.865, "l3_ann_ivfpq" -> 1.788,
+    "l3_ann_lsh" -> 1.849, "l3_ann_pq" -> 1.519,
+    "l3_ann_recall" -> 1.969, "l3_ann_trained" -> 2.696,
+    "l3_cosine_topk" -> 0.346, "l3_jl_projection" -> 0.512,
+    "l3_kmeans" -> 1.173, "l3_pca_power" -> 0.449,
+    "l3_semantic_dedup" -> 1.48, "l4_bm25" -> 1.455,
+    "l4_bpe_encode" -> 1.381, "l4_bpe_pair_stats" -> 0.771,
+    "l4_bpe_train" -> 0.765, "l4_count_min" -> 0.562,
+    "l4_fingerprint" -> 0.921, "l4_heavy_hitters" -> 0.537,
+    "l4_lang_id" -> 0.513, "l4_lm_score" -> 1.492,
+    "l4_pii_redact" -> 0.762, "l4_quality_score" -> 0.642,
+    "l4_repetition" -> 1.799, "l4_repetition_quality" -> 1.329,
+    "l4_term_freq" -> 0.575, "l4_tfidf" -> 0.834,
+    "l4_token_stats" -> 0.57, "l5_histogram" -> 0.243,
+    "l6_decode_audio" -> 1.291, "l6_decode_features" -> 0.405,
+    "l6_decode_real" -> 1.316, "l6_multimodal_meta" -> 0.2,
+    "l6_quantize_int8" -> 0.35, "l6_resize_framesample" -> 0.216,
+    "l7_curation_pipeline" -> 0.736, "l8_bottomk_sample" -> 0.247,
+    "l8_deterministic_sample" -> 0.164, "l8_deterministic_split" -> 0.218,
+    "l8_mixture_weights" -> 0.266, "l8_stratified_sample" -> 0.151,
+    "l8_weighted_sample" -> 0.246, "l9_sequence_packing" -> 0.355,
+    "l9_shard_export" -> 1.007, "o1_topk" -> 0.14,
+    "o2_limit" -> 0.133, "o3_union" -> 0.326,
+    "o3_union_distinct" -> 0.389, "o4_except" -> 0.368,
+    "o4_except_all" -> 0.533, "o4_intersect" -> 0.32,
+    "o4_intersect_all" -> 0.396, "p10_map_hof" -> 1.667,
+    "p10_maps" -> 1.039, "p11_envelope" -> 0.401,
+    "p12_unpivot" -> 0.284, "p13_subqueries" -> 0.501,
+    "p14_variant" -> 1.685, "p15_lateral" -> 0.351,
+    "p16_try_functions" -> 3.122, "p1_prune" -> 0.62,
+    "p2_filter" -> 0.364, "p3_inlist" -> 0.162,
+    "p4_strings" -> 0.269, "p5_datetime" -> 0.476,
+    "p6_math" -> 0.788, "p7_conditional" -> 0.208,
+    "p8_json" -> 0.693, "p8_json_nested" -> 2.776,
+    "p9_array_fns" -> 0.159, "p9_arrays" -> 0.246,
+    "p9_explode" -> 0.174, "p9_posexplode" -> 0.162,
+    "s10_vector_index" -> 1.26, "s10b_index_append" -> 1.723,
+    "s11_schema_evolution" -> 0.76, "s12_compaction" -> 1.164,
+    "s13_dpp_join" -> 1.288, "s14_zorder_layout" -> 1.128,
+    "s15_stats_pruned_scan" -> 1.151, "s16_binaryfile_ingest" -> 1.051,
+    "s17_xml_roundtrip" -> 1.362, "s18_corrupt_drop" -> 0.437,
+    "s19_envelope_sink" -> 1.088, "s20_bson_dump" -> 1.452,
+    "s21_mongo_extjson" -> 1.552, "s22_time_travel" -> 1.147,
+    "s23_merge_on_read" -> 1.246, "s3_jdbc_roundtrip" -> 0.365,
+    "s4_json_roundtrip" -> 0.61, "s5_kafka_envelope" -> 0.207,
+    "s6_csv_roundtrip" -> 0.493, "s7_orc_roundtrip" -> 0.877,
+    "s8_envelope_source" -> 0.66, "s9_partitioned_prune" -> 0.628,
+    "t12_stream_envelope_sink" -> 1.19, "t13_stream_envelope_source" -> 1.627,
+    "t1_tumbling" -> 0.438, "t2_sliding" -> 0.5,
+    "t3_session" -> 0.785, "t4_watermark_closed" -> 0.468,
+    "t5_dedup" -> 0.329, "t6_stateful_running" -> 0.549,
+    "t7_stream_static" -> 0.569, "t8_foreachbatch_jdbc" -> 0.87,
+    "t8c_exactly_once_jdbc" -> 1.749, "t9_stream_stream" -> 0.406,
+    "t9_stream_stream_full" -> 0.502, "t9_stream_stream_outer" -> 0.368,
+    "t9_stream_stream_semi" -> 0.352, "w10_seasonal_decomp" -> 0.515,
+    "w11_ewma" -> 0.68, "w1_ranking" -> 0.857,
+    "w2_analytic" -> 0.982, "w3_frames" -> 0.872,
+    "w3_time_range" -> 0.623, "w4_topk_per_group" -> 0.408,
+    "w4_topk_window_idiom" -> 0.451, "w5_distribution" -> 1.118,
+    "w6_gap_fill" -> 0.841, "w7_funnel" -> 0.531,
+    "w8_retention" -> 0.45, "w9_anomaly" -> 0.77)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -1294,6 +1294,71 @@ object TextAnalysis {
         .join(broadcast(tot), "lang")
         .select($"lang", $"ta", $"tb", $"js_div", $"n_tokens")
         .orderBy("lang")
+    },
+
+    // L10c: ZIPF rank–frequency fit per language — the power-law
+    // diagnostic (Zipf 1949) next to l10_profile's health check and
+    // l10_drift's divergence monitor: fit ln f = slope·ln r + b by
+    // closed-form least squares over the ranked term table; a corpus
+    // whose slope drifts from its baseline has changed its token
+    // distribution's SHAPE (dedup artifacts, boilerplate floods, or
+    // template spam all flatten/steepen the curve). Shape: the (lang,
+    // token) frequency agg is the one corpus-sized shuffle (the
+    // l4_term_freq scan); ranking and the moment sums run on the
+    // VOCAB-sized table. Determinism: ln over identical doubles, every
+    // x/y/xy/xx term fixed-point-rounded at 1e-12 then DECIMAL-summed
+    // (the l10_drift discipline), and both engines evaluate the same
+    // closed-form slope/intercept division on identical doubles.
+    Decl(
+      "l10_zipf",
+      s"""WITH tf AS (
+         |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT lang, unnest(${Qh.oToksExpr}) AS tok FROM documents)
+         |  GROUP BY lang, tok),
+         |rk AS (
+         |  SELECT lang, tok, f,
+         |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS r
+         |  FROM tf),
+         |xy AS (
+         |  SELECT lang,
+         |    ${Qh.oR("ln(CAST(r AS DOUBLE))", 1000000000000L)} AS x,
+         |    ${Qh.oR("ln(CAST(f AS DOUBLE))", 1000000000000L)} AS y
+         |  FROM rk),
+         |mo AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(${Qh.oR("x * y", 1000000000000L)} AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(${Qh.oR("x * x", 1000000000000L)} AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+         |  FROM xy GROUP BY lang)
+         |SELECT lang, CAST(n AS BIGINT) AS n_terms,
+         |  ${Qh.oR6("(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         |  ${Qh.oR6("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n")} AS intercept
+         |FROM mo ORDER BY lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val tf = Qh.t(s, dir, "documents")
+        .select($"lang", explode(expr(Qh.toksExpr)).as("tok"))
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("f"))
+      val wr = Window.partitionBy($"lang").orderBy($"f".desc, $"tok")
+      val fp = 1000000000000L
+      val xy = tf.withColumn("r", row_number().over(wr))
+        .select($"lang",
+          Qh.r(log($"r".cast(DoubleType)), fp).as("x"),
+          Qh.r(log($"f".cast(DoubleType)), fp).as("y"))
+      val mo = xy.groupBy($"lang").agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum($"x".cast(DecimalType(28, 12))).cast(DoubleType).as("sx"),
+        sum($"y".cast(DecimalType(28, 12))).cast(DoubleType).as("sy"),
+        sum(Qh.r($"x" * $"y", fp).cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("sxy"),
+        sum(Qh.r($"x" * $"x", fp).cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("sxx"))
+      val slope = ($"n" * $"sxy" - $"sx" * $"sy") /
+        ($"n" * $"sxx" - $"sx" * $"sx")
+      mo.select($"lang", $"n".cast(LongType).as("n_terms"),
+          Qh.r6(slope).as("slope"),
+          Qh.r6(($"sy" - slope * $"sx") / $"n").as("intercept"))
+        .orderBy("lang")
     }
   )
 }

@@ -741,6 +741,13 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"EWMA shuffles more than agg+sort:\n$p")
   }
 
+  test("l10_zipf: one corpus scan; ranking and moments run on the vocab-sized table") {
+    val p = plan("l10_zipf")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"zipf reads the corpus $scans times:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the fit:\n$p")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

@@ -50,6 +50,18 @@ def main(detail_path):
     ok = len(fresh) - len(stale) - len(unpinned)
     print(f"== {ok} fresh, {len(stale)} stale, {len(unpinned)} unpinned ==\n")
 
+    # load-sentinel probe pin: the calibration probe's idle seconds ride
+    # the same detail artifact (sentinel.probes) — pin the MIN reading
+    # (same min-of-runs discipline as the query pins)
+    sent = detail.get("sentinel", {})
+    probe_secs = [sec for _, sec in sent.get("probes", [])]
+    if probe_secs:
+        cur = re.search(r"probePinSeconds: Double = ([0-9.]+)", src)
+        print(f"PROBE pin: fresh idle min {min(probe_secs):.3f}s over "
+              f"{len(probe_secs)} readings (committed: "
+              f"{cur.group(1) if cur else '?'}s) — update "
+              f"Bench.probePinSeconds if it moved")
+
     items = [f'"{n}" -> {fresh[n]:.3f}' for n in sorted(fresh)]
     body, line = [], "    "
     for i, it in enumerate(items):

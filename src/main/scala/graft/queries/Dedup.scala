@@ -153,6 +153,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Large-star/small-star contraction TO FIXPOINT — the convergence
+    * driver behind the l2_cc_star decl, reusable on any canonically
+    * (u > v)-oriented edge set. Each round materializes the shrinking
+    * edge frontier and releases the previous one (bounded lineage and
+    * storage, the pageRankUntil discipline); termination is detected as
+    * edge-set equality, never assumed. O(log² n) rounds regardless of
+    * component shape — CcStarSpec pins a 64-deep chain converging in
+    * far fewer rounds than its diameter, with the result equal to the
+    * union-find model. Returns (starEdges, rounds): at the fixpoint
+    * every non-root u points directly at its component minimum v. */
+  def ccUntil(edges0: org.apache.spark.sql.DataFrame, maxRounds: Int = 30)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    var edges = Qh.materialize(edges0)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val ls = Qh.materialize(largeStar(edges))
+      val ss = Qh.materialize(smallStar(ls))
+      Qh.release(ls)
+      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      Qh.release(edges) // fixpoint check was its last reader
+      edges = ss
+      rounds += 1
+    }
+    (edges, rounds)
+  }
+
   /** The component-closure oracle shared by l2_dedup_clusters and
     * l2_cc_star: near-dup pairs (the [[oPairsCte]] chain) symmetrized
     * into an edge list, transitive closure stated as a recursive CTE,
@@ -563,21 +590,10 @@ object Dedup {
       import s.implicits._
       val pairs = lshPairs(s, dir)
       // canonical orientation (u > v) — both star steps preserve it
-      var edges = Qh.materialize(
+      val (edges, _) = ccUntil(
         pairs.select(greatest($"doc_a", $"doc_b").as("u"),
             least($"doc_a", $"doc_b").as("v"))
           .distinct())
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 30) {
-        val ls = Qh.materialize(largeStar(edges))
-        val ss = Qh.materialize(smallStar(ls))
-        Qh.release(ls)
-        converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
-        Qh.release(edges) // fixpoint check was its last reader
-        edges = ss
-        rounds += 1
-      }
       // at the fixpoint every non-root points directly at its
       // component's min; docs outside any pair label themselves
       Qh.t(s, dir, "documents").select($"doc_id")

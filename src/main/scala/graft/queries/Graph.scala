@@ -262,19 +262,8 @@ object Graph {
       var h = nodes.select($"node", lit(HitsS).as("h"))
       var a = h // placeholder; assigned in round 1
       for (_ <- 1 to 2) {
-        // auth half-step: hub mass along edges, keyed by dst
-        val ar = eSrc.join(h, eSrc("src") === h("node"))
-          .groupBy($"dst").agg(sum($"h").as("raw"))
-        val at = ar.agg(sum($"raw").as("t"))
-        a = ar.crossJoin(broadcast(at))
-          .select($"dst".as("node"), expr(s"(raw * $HitsS) DIV t").as("a"))
-        // hub half-step: auth mass against edges, keyed by src over
-        // the dst-bucketed layout (join key = dst, co-located)
-        val hr = eDst.join(a, eDst("dst") === a("node"))
-          .groupBy($"src").agg(sum($"a").as("raw"))
-        val ht = hr.agg(sum($"raw").as("t"))
-        h = hr.crossJoin(broadcast(ht))
-          .select($"src".as("node"), expr(s"(raw * $HitsS) DIV t").as("h"))
+        val (h2, a2) = hitsRound(eSrc, eDst, h)
+        h = h2; a = a2
       }
       h.join(a, Seq("node"))
         .select($"node", $"h".as("hub"), $"a".as("auth"))
@@ -300,15 +289,118 @@ object Graph {
       val nodes = e.select($"src".as("node")).distinct()
       var d = nodes.filter($"node" % 10 === 0)
         .select($"node", lit(0L).as("dist"))
-      for (_ <- 1 to 2) {
-        val relaxed = e.join(d, e("src") === d("node"))
-          .select($"dst".as("node"), ($"dist" + 1L).as("dist"))
-        d = d.unionAll(relaxed).groupBy($"node")
-          .agg(min($"dist").as("dist"))
-      }
+      for (_ <- 1 to 2) d = bfsRound(e, d)
       d.orderBy("node")
     }
   )
+
+  /** One HITS round over the two adjacency orientations: the auth
+    * half-step joins hub scores on src (co-located on the src-bucketed
+    * layout), the hub half-step joins auth scores on dst (co-located on
+    * the dst-bucketed layout); both L1-normalize via a one-row
+    * broadcast. Integer fixed-point at scale [[HitsS]] — shared by the
+    * l13_hits decl (two unrolled rounds, oracle-checked) and
+    * [[hitsUntil]] (the production convergence loop). */
+  private[graft] def hitsRound(
+      eSrc: org.apache.spark.sql.DataFrame,
+      eDst: org.apache.spark.sql.DataFrame,
+      h: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import h.sparkSession.implicits._
+    val ar = eSrc.join(h, eSrc("src") === h("node"))
+      .groupBy($"dst").agg(sum($"h").as("raw"))
+    val at = ar.agg(sum($"raw").as("t"))
+    val a = ar.crossJoin(broadcast(at))
+      .select($"dst".as("node"), expr(s"(raw * $HitsS) DIV t").as("a"))
+    val hr = eDst.join(a, eDst("dst") === a("node"))
+      .groupBy($"src").agg(sum($"a").as("raw"))
+    val ht = hr.agg(sum($"raw").as("t"))
+    val h2 = hr.crossJoin(broadcast(ht))
+      .select($"src".as("node"), expr(s"(raw * $HitsS) DIV t").as("h"))
+    (h2, a)
+  }
+
+  /** One BFS relaxation round: frontier mass flows src→dst, distances
+    * min-combine. Shared by the l13_bfs decl and [[bfsUntil]]. */
+  private[graft] def bfsRound(
+      e: org.apache.spark.sql.DataFrame,
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import d.sparkSession.implicits._
+    val relaxed = e.join(d, e("src") === d("node"))
+      .select($"dst".as("node"), ($"dist" + 1L).as("dist"))
+    d.unionAll(relaxed).groupBy($"node").agg(min($"dist").as("dist"))
+  }
+
+  /** Convergence-mode HITS — the production loop next to the decl's
+    * fixed two oracle rounds (the [[pageRankUntil]] discipline): iterate
+    * until the max per-node change of BOTH score vectors (exact integer
+    * fixed-point — no float tolerance band) falls to `tolFp`, or
+    * `maxIters`. Each round materializes its frontier (bounded lineage)
+    * and releases the previous one; the two bucketed adjacency
+    * orientations are untouched across rounds. `edges` must carry
+    * (src, dst); pass the same DataFrame twice when no dst-bucketed
+    * layout exists (correct, one extra exchange per round).
+    * Returns (hub ⋈ auth scores, iterationsRun). */
+  def hitsUntil(
+      eSrc: org.apache.spark.sql.DataFrame,
+      eDst: org.apache.spark.sql.DataFrame,
+      maxIters: Int, tolFp: Long): (org.apache.spark.sql.DataFrame, Int) = {
+    val s = eSrc.sparkSession
+    import s.implicits._
+    val nodes = Qh.materialize(eSrc.select($"src".as("node")).distinct())
+    var h = Qh.materialize(nodes.select($"node", lit(HitsS).as("h")))
+    var a = Qh.materialize(nodes.select($"node", lit(HitsS).as("a")))
+    var i = 0
+    while (i < maxIters) {
+      val (h2r, a2r) = hitsRound(eSrc, eDst, h)
+      val h2 = Qh.materialize(h2r)
+      val a2 = Qh.materialize(a2r)
+      i += 1
+      val dh = h2.as("n").join(h.as("o"), $"n.node" === $"o.node")
+        .agg(max(abs($"n.h" - $"o.h"))).head.getLong(0)
+      val da = a2.as("n").join(a.as("o"), $"n.node" === $"o.node")
+        .agg(max(abs($"n.a" - $"o.a"))).head.getLong(0)
+      Qh.release(h); Qh.release(a)
+      h = h2; a = a2
+      if (math.max(dh, da) <= tolFp) {
+        Qh.release(nodes)
+        return (h.join(a, Seq("node"))
+          .select($"node", $"h".as("hub"), $"a".as("auth")), i)
+      }
+    }
+    Qh.release(nodes)
+    (h.join(a, Seq("node"))
+      .select($"node", $"h".as("hub"), $"a".as("auth")), i)
+  }
+
+  /** Convergence-mode multi-source BFS: relax until the distance table
+    * reaches its fixpoint (frontier quiesced), or `maxIters`. The
+    * fixpoint test rides two scalars — per-node distances only ever
+    * DECREASE and the reached set only ever GROWS, so (count, sum)
+    * unchanged ⟺ nothing changed; no row-level diff join needed.
+    * `seeds` is a (node) DataFrame at distance 0. Returns
+    * (distances, iterationsRun) — iterationsRun includes the final
+    * quiesced round that proved the fixpoint. */
+  def bfsUntil(
+      e: org.apache.spark.sql.DataFrame,
+      seeds: org.apache.spark.sql.DataFrame,
+      maxIters: Int = 200): (org.apache.spark.sql.DataFrame, Int) = {
+    val s = e.sparkSession
+    import s.implicits._
+    var d = Qh.materialize(seeds.select($"node", lit(0L).as("dist")))
+    var sig = d.agg(count(lit(1)), sum($"dist")).head
+    var i = 0
+    while (i < maxIters) {
+      val next = Qh.materialize(bfsRound(e, d))
+      i += 1
+      val nsig = next.agg(count(lit(1)), sum($"dist")).head
+      Qh.release(d)
+      d = next
+      if (nsig == sig) return (d, i)
+      sig = nsig
+    }
+    (d, i)
+  }
 
   /** Oracle for l13_bfs: the identical two unrolled relaxation rounds. */
   private lazy val oBfsSql: String = {

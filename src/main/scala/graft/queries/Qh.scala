@@ -47,14 +47,15 @@ object Qh {
       val alive = f.getName.toLongOption
         .exists(pid => java.lang.ProcessHandle.of(pid).isPresent)
       if (f.isDirectory && f.getName.forall(_.isDigit) && !alive &&
-          f.lastModified() < cutoff) {
-        def rm(x: java.io.File): Unit = {
-          if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-          x.delete()
-        }
-        rm(f)
-      }
+          f.lastModified() < cutoff) deleteRecursively(f)
     }
+  }
+
+  /** Recursive local delete (scratch-dir hygiene; no-op if absent). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   def ioDir(name: String): String = {

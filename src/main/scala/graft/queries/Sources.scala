@@ -693,9 +693,14 @@ object Sources {
     // last commit — a manifest leaking later files, a COW delete
     // mutating v2's data, or a dropped append row each breaks a
     // different version's aggregate against the oracle's relational
-    // reconstruction. At 100 TB the manifest lists per-partition files
-    // and composes with S9/S15 pruning; planning cost is
-    // manifest-sized, never a directory listing.
+    // reconstruction. Commits go through [[graft.sources.CommitLog]] —
+    // the optimistic-concurrency protocol (atomic create-if-absent
+    // manifests, rebase-or-abort on conflict) ConcurrentCommitSpec
+    // races two writers over; here the three commits are sequential so
+    // each must land first-attempt at versions 1/2/3. At 100 TB the
+    // manifest lists per-partition files and composes with S9/S15
+    // pruning; planning cost is manifest-sized, never a directory
+    // listing.
     Decl(
       "s22_time_travel",
       oVersionAggs(Seq(
@@ -703,30 +708,26 @@ object Sources {
         2 -> "o_orderkey % 3 <= 1",
         3 -> "o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'"))) { (s, dir) =>
       import s.implicits._
+      import graft.sources.CommitLog
       val root = ioDir("s22_tbl")
-      new java.io.File(s"$root/_log").mkdirs()
-      def commit(v: Int, batches: Seq[String]): Unit =
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$root/_log/v$v.json"),
-          batches.mkString("[\"", "\",\"", "\"]").getBytes("UTF-8"))
-      def snapshot(v: Int): org.apache.spark.sql.DataFrame = {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$root/_log/v$v.json")), "UTF-8")
-        val files = txt.stripPrefix("[\"").stripSuffix("\"]").split("\",\"")
-        s.read.parquet(files.toSeq.map(b => s"$root/$b"): _*)
-      }
+      // manifests are create-if-absent immutable: a re-run in the same
+      // JVM starts the log from scratch so versions 1/2/3 stay stable
+      Qh.deleteRecursively(new java.io.File(root))
+      def snapshot(v: Int): org.apache.spark.sql.DataFrame =
+        s.read.parquet(CommitLog.files(root, v).map(b => s"$root/$b"): _*)
       val ord = Qh.t(s, dir, "orders")
       ord.filter($"o_orderkey" % 3 === 0)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
-      commit(1, Seq("b1"))
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"))
       ord.filter($"o_orderkey" % 3 === 1)
         .write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
-      commit(2, Seq("b1", "b2"))
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
       // copy-on-write delete: survivors of the affected files are
       // rewritten into b3; v1/v2's files are not touched
-      snapshot(2).filter($"o_orderstatus" =!= "F")
+      snapshot(c2.version).filter($"o_orderstatus" =!= "F")
         .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
-      commit(3, Seq("b3"))
+      CommitLog.commit(root, c2.version,
+        added = Seq("b3"), removed = Seq("b1", "b2"))
       versionAggs(snapshot)
     },
 

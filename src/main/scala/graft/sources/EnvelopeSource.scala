@@ -75,7 +75,8 @@ class EnvelopeTable(path: String)
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EnvelopeScanBuilder(
-      Option(path).getOrElse(options.get("path")))
+      Option(path).getOrElse(options.get("path")),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val expect = EnvelopeSource.fullSchema.fieldNames.toSeq
     val got = info.schema().fieldNames.toSeq
@@ -284,7 +285,7 @@ class EnvelopeDataWriter(path: String, tmpName: String, visibleName: String)
   override def close(): Unit = ()
 }
 
-class EnvelopeScanBuilder(path: String)
+class EnvelopeScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -327,12 +328,13 @@ class EnvelopeScanBuilder(path: String)
     ok
   }
 
-  override def build(): Scan = EnvelopeScan(path, required, pushed, countPushed)
+  override def build(): Scan =
+    EnvelopeScan(path, required, pushed, countPushed, maxFilesPerTrigger)
 }
 
 case class EnvelopeScan(
     path: String, required: StructType, filters: Array[Filter],
-    countOnly: Boolean = false)
+    countOnly: Boolean = false, maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -360,7 +362,7 @@ case class EnvelopeScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EnvelopeMicroBatchStream(path, required, filters)
+    new EnvelopeMicroBatchStream(path, required, filters, maxFilesPerTrigger)
 }
 
 /** Streaming READ of a landing directory of envelope files — the
@@ -382,9 +384,11 @@ case class EnvelopeScan(
   * reader-resident like the batch path (PlanSpec `t13` pins this
   * shape so a Spark upgrade that adds streaming pushdown surfaces). */
 class EnvelopeMicroBatchStream(
-    path: String, required: StructType, filters: Array[Filter])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    path: String, required: StructType, filters: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private def listNames(): Array[(String, String)] = { // (name, full path)
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -398,7 +402,48 @@ class EnvelopeMicroBatchStream(
       .sortBy(_._1)
   }
 
+  // ---- admission control (backpressure) ----
+  //
+  // Without a cap, a restart against a deep landing-directory backlog
+  // plans the WHOLE backlog as one giant micro-batch — one all-or-
+  // nothing commit whose shuffle/state footprint scales with the outage
+  // length, not the steady-state rate. `maxFilesPerTrigger` bounds each
+  // batch to N files (the same dial Spark's built-in file source and
+  // Kafka's maxOffsetsPerTrigger expose): the engine passes the limit
+  // back into [[latestOffset]], which advances the name watermark at
+  // most N names past `start`. Under Trigger.AvailableNow the backlog
+  // then drains as ceil(backlog/N) bounded batches and STOPS at the
+  // snapshot taken in [[prepareForTriggerAvailableNow]] — files landing
+  // mid-drain wait for the next invocation (exactly-once either way:
+  // the offset is still just a name watermark in the checkpoint).
+
+  /** Files that sort after the AvailableNow snapshot are out of scope
+    * for this run (None = unbounded continuous mode). */
+  @volatile private var availableNowCap: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listNames().lastOption.map(_._1).getOrElse(""))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[EnvelopeOffset].last
+    val pending0 = listNames().map(_._1).filter(_ > lo)
+    val pending = availableNowCap match {
+      case Some(cap) => pending0.filter(_ <= cap)
+      case None => pending0
+    }
+    val admitted = limit match {
+      case mf: ReadMaxFiles => pending.take(mf.maxFiles())
+      case _ => pending
+    }
+    EnvelopeOffset(if (admitted.isEmpty) lo else admitted.last)
+  }
+
   override def initialOffset(): Offset = EnvelopeOffset("")
+  // non-admission-control path (not taken once SupportsAdmissionControl
+  // is implemented; kept as the unbounded fallback)
   override def latestOffset(): Offset =
     EnvelopeOffset(listNames().lastOption.map(_._1).getOrElse(""))
   override def deserializeOffset(json: String): Offset =

@@ -80,4 +80,27 @@ class CcStarSpec extends AnyFunSuite with SparkSpec {
     val labels = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert((2L to 64L).forall(labels.get(_).contains(1L)))
   }
+
+  test("ccUntil (the public convergence driver) matches union-find on the 64-chain") {
+    // same property as the inlined loop above, through the REUSABLE
+    // driver the l2_cc_star decl now delegates to — with the
+    // materialize/release storage discipline the inlined test skips
+    import spark.implicits._
+    val pairs = (1L until 64L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (star, rounds) = graft.queries.Dedup.ccUntil(
+      pairs.map { case (a, b) => (math.max(a, b), math.min(a, b)) }
+        .toDF("u", "v"))
+    assert(rounds <= 10, s"64-chain took $rounds rounds — not O(log² n)")
+    assert(rounds > 1, "suspiciously instant convergence")
+    val labels = star.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = unionFind((1L to 64L).toSeq, pairs)
+    assert((1L to 64L).forall(n => labels.getOrElse(n, n) == expect(n)),
+      s"ccUntil fixpoint diverges from union-find: $labels")
+    // superseded frontiers are released: only the fixpoint edge set may
+    // remain persisted
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"ccUntil leaked persisted frontiers: $before -> $after")
+  }
 }

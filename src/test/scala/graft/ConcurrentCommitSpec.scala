@@ -1,0 +1,126 @@
+package graft
+
+import graft.sources.CommitLog
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Optimistic concurrency on the S22 commit log: concurrent appends
+  * both land exactly once on a linear version history; overlapping
+  * copy-on-write deletes abort cleanly (Delta/Iceberg conflict
+  * semantics). Pure JVM-level — no Spark needed: the protocol under
+  * test is manifest arbitration, not scan planning (the s22 decl and
+  * its DuckDB oracle cover the read side). */
+class ConcurrentCommitSpec extends AnyFunSuite {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"commitlog_$tag").toString
+
+  test("sequential appends land at consecutive versions, first attempt") {
+    val root = freshRoot("seq")
+    val c1 = CommitLog.commit(root, 0, added = Seq("b1"))
+    val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
+    assert((c1.version, c1.attempts) == (1, 1))
+    assert((c2.version, c2.attempts) == (2, 1))
+    assert(CommitLog.files(root, 1) == Seq("b1"))
+    assert(CommitLog.files(root, 2) == Seq("b1", "b2"))
+    assert(CommitLog.latestVersion(root) == 2)
+  }
+
+  test("a forced lost race rebases: the stale appender lands on top of the winner") {
+    // deterministic interleaving: A snapshots v1, B commits v2, then A
+    // commits from its STALE readVersion — must rebase onto B's files
+    val root = freshRoot("rebase")
+    CommitLog.commit(root, 0, added = Seq("base"))
+    val aReadVersion = CommitLog.latestVersion(root) // A snapshots here
+    CommitLog.commit(root, aReadVersion, added = Seq("by_b")) // B wins v2
+    val a = CommitLog.commit(root, aReadVersion, added = Seq("by_a"))
+    assert(a.version == 3, "loser must land at the NEXT version, not overwrite")
+    assert(a.attempts == 2, "exactly one rebase retry")
+    assert(CommitLog.files(root, 3) == Seq("base", "by_b", "by_a"),
+      "rebase must keep the winner's files")
+    assert(CommitLog.files(root, 2) == Seq("base", "by_b"),
+      "the winner's manifest must be untouched")
+  }
+
+  test("two writers racing the SAME version: both appends land exactly once") {
+    val root = freshRoot("race2")
+    CommitLog.commit(root, 0, added = Seq("base"))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, CommitLog.Commit]()
+    val threads = Seq("x", "y").map { tag =>
+      new Thread(() => {
+        barrier.await()
+        results.put(tag, CommitLog.commit(root, 1, added = Seq(s"by_$tag")))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val (vx, vy) = (results.get("x").version, results.get("y").version)
+    assert(Set(vx, vy) == Set(2, 3), s"versions must be linear, got $vx/$vy")
+    val finalFiles = CommitLog.files(root, 3)
+    assert(finalFiles.count(_ == "by_x") == 1 && finalFiles.count(_ == "by_y") == 1,
+      s"both appends exactly once: $finalFiles")
+    assert(finalFiles.head == "base")
+  }
+
+  test("8-way append race: every commit lands once, history stays linear") {
+    val root = freshRoot("race8")
+    CommitLog.commit(root, 0, added = Seq("base"))
+    val n = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to n).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          CommitLog.commit(root, 1, added = Seq(s"f$i"))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(failures.isEmpty, s"no append may abort: ${failures.peek()}")
+    assert(CommitLog.latestVersion(root) == 1 + n,
+      "one version per committer — dense, no gaps, no overwrites")
+    val last = CommitLog.files(root, 1 + n)
+    assert(last.sorted == ("base" +: (1 to n).map(i => s"f$i")).sorted,
+      s"all $n appends visible exactly once: $last")
+    // every intermediate manifest is a strict superset chain: version v
+    // holds exactly v files here (base + one per commit)
+    (1 to n + 1).foreach(v => assert(CommitLog.files(root, v).size == v))
+  }
+
+  test("overlapping copy-on-write deletes: the loser ABORTS, history stays consistent") {
+    val root = freshRoot("cow")
+    CommitLog.commit(root, 0, added = Seq("b1", "b2"))
+    // writer A rewrites b1 -> b1a (copy-on-write delete) and wins v2
+    CommitLog.commit(root, 1, added = Seq("b1a"), removed = Seq("b1"))
+    // writer B, still holding the v1 snapshot, also rewrites b1 -> b1b:
+    // its removed file is gone from the current manifest — rebasing
+    // would resurrect deleted rows, so the protocol must abort
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commit(root, 1, added = Seq("b1b"), removed = Seq("b1"))
+    }
+    assert(ex.getMessage.contains("b1"))
+    assert(CommitLog.latestVersion(root) == 2, "the aborted commit left no manifest")
+    assert(CommitLog.files(root, 2).sorted == Seq("b1a", "b2"),
+      "winner's state intact after the abort")
+  }
+
+  test("append racing a copy-on-write delete: the append rebases and survives") {
+    // disjoint by definition — the append removes nothing, so whichever
+    // side loses the version race can rebase
+    val root = freshRoot("cowapp")
+    CommitLog.commit(root, 0, added = Seq("b1"))
+    CommitLog.commit(root, 1, added = Seq("b1a"), removed = Seq("b1")) // delete wins v2
+    val app = CommitLog.commit(root, 1, added = Seq("b2")) // stale append
+    assert(app.version == 3)
+    assert(CommitLog.files(root, 3).sorted == Seq("b1a", "b2"),
+      "append must land on the post-delete file set")
+    // and the mirrored order: append wins v2 first, delete rebases on top
+    val root2 = freshRoot("cowapp2")
+    CommitLog.commit(root2, 0, added = Seq("b1"))
+    CommitLog.commit(root2, 1, added = Seq("b2")) // append wins v2
+    val del = CommitLog.commit(root2, 1, added = Seq("b1a"), removed = Seq("b1"))
+    assert(del.version == 3)
+    assert(CommitLog.files(root2, 3).sorted == Seq("b1a", "b2"),
+      "delete must rebase over the disjoint append")
+  }
+}

@@ -168,6 +168,65 @@ class EnvelopeSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch; AvailableNow drains a backlog in capped batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val p = java.nio.file.Files.createTempDirectory("env_bp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("env_bp_ckpt").toString
+    // a 9-file backlog, one row per file (numInputRows per progress
+    // entry == files consumed by that micro-batch)
+    (1 to 9).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, f"part-$i%04d.jsonl"),
+        s"""{"data":{"event_id":$i,"event_type":"click","user_id":7,"value":1.5},"source":"database"}"""
+          .getBytes("UTF-8"))
+    }
+    val q = spark.readStream.format("graft.sources.EnvelopeSource")
+      .option("path", p).option("maxFilesPerTrigger", "2").load()
+      .writeStream.format("memory").queryName("env_bp_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append").start()
+    try {
+      q.awaitTermination(60000)
+      assert(!q.isActive, "AvailableNow did not self-terminate under the cap")
+      val ids = spark.table("env_bp_out").select($"event_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids == (1L to 9L), s"backlog drained wrong: $ids")
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 5,
+        s"9 files / cap 2 must drain as 5 micro-batches, got ${batches.length}: " +
+          batches.map(_.numInputRows).mkString(","))
+      assert(batches.forall(_.numInputRows <= 2),
+        s"a micro-batch exceeded the cap: ${batches.map(_.numInputRows).mkString(",")}")
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("AvailableNow snapshot: files landing after prepare wait for the next invocation") {
+    import graft.sources.{EnvelopeMicroBatchStream, EnvelopeOffset, EnvelopeSource}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.sparkContext // ensure an active session for the stream's FS access
+    val p = java.nio.file.Files.createTempDirectory("env_an_cap").toString
+    def land(name: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(p, name),
+        """{"data":{"event_id":1,"event_type":"c","user_id":7,"value":1.5},"source":"database"}"""
+          .getBytes("UTF-8"))
+    land("part-0001.jsonl"); land("part-0002.jsonl")
+    val stream = new EnvelopeMicroBatchStream(
+      p, EnvelopeSource.fullSchema, Array.empty, None)
+    stream.prepareForTriggerAvailableNow() // snapshot: 0002 is the end
+    land("part-0003.jsonl") // lands mid-drain
+    val end = stream.latestOffset(EnvelopeOffset(""), ReadLimit.allAvailable())
+      .asInstanceOf[EnvelopeOffset]
+    assert(end.last == "part-0002.jsonl",
+      s"mid-drain arrival leaked into the AvailableNow run: $end")
+    // capped admission from the same snapshot: one file per batch
+    val first = stream.latestOffset(EnvelopeOffset(""), ReadLimit.maxFiles(1))
+      .asInstanceOf[EnvelopeOffset]
+    assert(first.last == "part-0001.jsonl", s"cap ignored: $first")
+  }
+
   test("streaming envelope sink: micro-batches land; a replayed epoch publishes once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -89,6 +89,74 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
       s"frontier RDD blocks leaked across iterations: $before -> $after")
   }
 
+  test("hitsUntil converges inside the cap and one more round moves nothing beyond tol") {
+    val eSrc = Graph.edgeTable(spark, dir)
+    val eDst = Graph.edgeTableByDst(spark, dir)
+    val tol = 100L // 1e-4 at the 1e6 fixed-point scale
+    val (scores, iters) = Graph.hitsUntil(eSrc, eDst, maxIters = 40, tolFp = tol)
+    assert(iters < 40, s"did not converge within the cap ($iters iterations)")
+    assert(iters > 1, "suspiciously instant convergence")
+    // converged means one MORE round moves neither score side beyond tol
+    val h = scores.select(col("node"), col("hub").as("h"))
+    val (h2, a2) = Graph.hitsRound(eSrc, eDst, h)
+    val dh = h2.join(scores, "node")
+      .agg(max(abs(col("h") - col("hub")))).head.getLong(0)
+    val da = a2.join(scores, "node")
+      .agg(max(abs(col("a") - col("auth")))).head.getLong(0)
+    assert(math.max(dh, da) <= tol,
+      s"reported converged but the next round still moves hub $dh / auth $da")
+  }
+
+  test("hitsUntil replays bit-exactly against a driver-side integer model") {
+    import spark.implicits._
+    // a small digraph where every node has in- AND out-edges (the same
+    // closure the fixture's bidirectional graph guarantees): a 6-cycle
+    // with two chords
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (0L, 3L), (3L, 0L))
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    val (scores, iters) = Graph.hitsUntil(e, e, maxIters = 30, tolFp = 10L)
+    val got = scores.collect()
+      .map(r => r.getAs[Long]("node") -> (r.getAs[Long]("hub"), r.getAs[Long]("auth")))
+      .toMap
+    // replay the SAME integer half-steps (sum, then floor-normalize) on
+    // the driver for the same number of rounds
+    val s2 = Graph.HitsS
+    val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct
+    var h = nodes.map(_ -> s2).toMap
+    var a = Map.empty[Long, Long]
+    (1 to iters).foreach { _ =>
+      val rawA = edges.groupBy(_._2).view
+        .mapValues(_.map { case (srcN, _) => h(srcN) }.sum).toMap
+      val ta = rawA.values.sum
+      a = rawA.view.mapValues(raw => raw * s2 / ta).toMap
+      val rawH = edges.groupBy(_._1).view
+        .mapValues(_.map { case (_, dstN) => a(dstN) }.sum).toMap
+      val th = rawH.values.sum
+      h = rawH.view.mapValues(raw => raw * s2 / th).toMap
+    }
+    val expect = nodes.map(n => n -> (h(n), a(n))).toMap
+    assert(got == expect, s"integer HITS diverged from the model: $got vs $expect")
+  }
+
+  test("bfsUntil on a 64-chain: exact closure distances, fixpoint detected") {
+    import spark.implicits._
+    val chain = (0L until 63L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val e = chain.toDF("src", "dst").localCheckpoint()
+    val (d, iters) = Graph.bfsUntil(e, Seq(0L).toDF("node"), maxIters = 100)
+    val got = d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 64L).map(i => i -> i).toMap,
+      s"chain distances wrong: $got")
+    // 63 relaxation rounds reach the far end; round 64 proves quiescence
+    assert(iters == 64, s"expected 63 relax + 1 quiesced round, got $iters")
+    // multi-source: seeds at both ends halve the radius
+    val (d2, iters2) = Graph.bfsUntil(e, Seq(0L, 63L).toDF("node"), maxIters = 100)
+    val got2 = d2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == (0L until 64L).map(i => i -> math.min(i, 63 - i)).toMap)
+    assert(iters2 == 32, s"two-seed chain (radius 31) must quiesce in 31+1 rounds, got $iters2")
+  }
+
   test("HITS scores are L1-normalized: each side's mass lands just under the scale") {
     // `raw * S DIV Σraw` floors per node, so each normalization loses
     // < 1 unit per node: S - n ≤ Σ ≤ S must hold for BOTH score sides

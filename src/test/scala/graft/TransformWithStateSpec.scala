@@ -135,6 +135,99 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("ListState buffer survives a kill-and-restart from the RocksDB checkpoint") {
+    // the restart test for TYPED LIST state: the ValueState restart
+    // test can pass off a single restored blob — here the buffer + the
+    // seen-counter must BOTH come back from the RocksDB
+    // snapshot+changelog, and the trim must keep operating on the
+    // restored list, not a fresh one
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_lastn_restart_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("tws_lastn_restart_out").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    def start() = Streams.lastNTws(mem.toDS(), 3)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val q1 = start()
+      mem.addData(Streams.Ev(1, ts(1), 7, 1.0), Streams.Ev(2, ts(2), 7, 1.0))
+      q1.processAllAvailable()
+      q1.stop() // kill between micro-batches
+      val q2 = start()
+      try {
+        mem.addData(Streams.Ev(3, ts(3), 7, 1.0), Streams.Ev(4, ts(4), 7, 1.0))
+        q2.processAllAvailable()
+        val latest = spark.read.parquet(outDir).as[Streams.LastN]
+          .collect().maxBy(_.n_seen)
+        // restored [1,2] ++ fresh [3,4], trimmed to the last 3; a lost
+        // list would read "3,4", a lost counter n_seen=2
+        assert(latest == Streams.LastN(7L, 4L, "2,3,4"),
+          s"ListState not restored across restart: $latest")
+      } finally q2.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("a registered event-time timer survives a kill-and-restart and still fires") {
+    // open a session (state + ONE registered timer), kill the query
+    // BEFORE any watermark passes the timer, restart on the checkpoint,
+    // then advance the watermark: the restored timer must fire and
+    // close the PRE-RESTART session even though its key never sends
+    // another row after the restart
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_timer_restart_ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("tws_timer_restart_out").toString
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def ms(m: Int) = ts(m).getTime
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val oldProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Streams.Ev]
+    def start() = Streams.sessionTimeoutTws(mem.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      val q1 = start()
+      mem.addData(Streams.Ev(1, ts(1), 7, 1.0), Streams.Ev(2, ts(3), 7, 1.0))
+      q1.processAllAvailable()
+      q1.stop() // killed with the session open and its timer registered
+      val q2 = start()
+      try {
+        // watermark jumps past 00:08 via an unrelated key — user 7's
+        // RESTORED timer must fire in the ensuing batch
+        mem.addData(Streams.Ev(10, ts(30), 9, 1.0))
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir).as[Streams.SessionOut]
+          .collect().toSet
+        assert(out.contains(Streams.SessionOut(7, ms(1), ms(3), 2)),
+          s"pre-restart session never closed — timer lost in restart: $out")
+        assert(out.count(_.user_id == 7L) == 1,
+          s"session emitted more than once across restart: $out")
+      } finally q2.stop()
+    } finally {
+      oldProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("event-time timers close sessions on watermark, extend on in-gap arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

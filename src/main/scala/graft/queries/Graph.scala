@@ -373,6 +373,50 @@ object Graph {
       .select($"node", $"h".as("hub"), $"a".as("auth")), i)
   }
 
+  /** Convergence-mode K-CORE: synchronous peel rounds until the alive
+    * set reaches its fixpoint (the decl's two unrolled rounds are the
+    * oracle form; this is the production loop, Batagelj–Zaveršnik
+    * semantics). The alive set only ever SHRINKS, so count equality
+    * across a round ⟺ set equality — the fixpoint test is one scalar.
+    * `edges0` is a canonical undirected (u, v) edge set. Returns
+    * (core member degrees, roundsRun) — roundsRun includes the final
+    * quiesced round that proved the fixpoint. */
+  def kcoreUntil(
+      edges0: org.apache.spark.sql.DataFrame, k: Int, maxRounds: Int = 200)
+      : (org.apache.spark.sql.DataFrame, Int) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    def degrees(e: org.apache.spark.sql.DataFrame) = e
+      .select($"u".as("node"))
+      .unionAll(e.select($"v".as("node")))
+      .groupBy($"node")
+      .agg(count(lit(1)).as("deg"))
+    var e = Qh.materialize(edges0)
+    var alive = Qh.materialize(degrees(e).filter($"deg" >= k).select($"node"))
+    var n = alive.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val e2 = Qh.materialize(
+        e.join(alive.select($"node".as("u")), Seq("u"), "left_semi")
+          .join(alive.select($"node".as("v")), Seq("v"), "left_semi"))
+      val alive2 = Qh.materialize(
+        degrees(e2).filter($"deg" >= k).select($"node"))
+      rounds += 1
+      val n2 = alive2.count()
+      Qh.release(e); Qh.release(alive)
+      e = e2; alive = alive2
+      if (n2 == n) {
+        val core = degrees(e)
+          .join(alive, Seq("node"), "left_semi")
+          .select($"node", $"deg".cast("bigint").as("core_deg"))
+        return (core, rounds)
+      }
+      n = n2
+    }
+    (degrees(e).join(alive, Seq("node"), "left_semi")
+      .select($"node", $"deg".cast("bigint").as("core_deg")), rounds)
+  }
+
   /** Convergence-mode multi-source BFS: relax until the distance table
     * reaches its fixpoint (frontier quiesced), or `maxIters`. The
     * fixpoint test rides two scalars — per-node distances only ever

@@ -202,6 +202,30 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(result.errors("l13_pagerank").contains("boom"))
   }
 
+  test("probe pin is consistent with the committed snapshot's sentinel trace") {
+    // same move-together discipline as the query pins: the committed
+    // idle snapshot carries the sentinel trace of its own run, and the
+    // committed probePinSeconds must (a) read that whole idle trace as
+    // CALM — otherwise every idle bench would flag phantom suspects —
+    // and (b) sit within 2x of the trace's minimum, so a machine change
+    // forces a deliberate repin instead of silently desensitizing the
+    // load detector
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("scripts/bench_pins.json")), "UTF-8")
+    val sentinel = "\"sentinel\":\\{[^}]*\"probes\":\\[(.*?)\\]\\]".r
+      .findFirstMatchIn(txt).getOrElse(fail("no sentinel trace in snapshot"))
+    val probes = "\\[\\d+,([0-9.]+)\\]".r
+      .findAllMatchIn(sentinel.group(1) + "]").map(_.group(1).toDouble).toSeq
+    assert(probes.size >= 5, s"suspiciously short sentinel trace: $probes")
+    probes.foreach(p => assert(!Bench.probeSuspect(p),
+      f"idle snapshot probe $p%.3f s reads suspect under the committed pin — " +
+        "idle runs would flag phantom load"))
+    val mn = probes.min
+    assert(Bench.probePinSeconds >= mn / 2 && Bench.probePinSeconds <= mn * 2,
+      f"probePinSeconds ${Bench.probePinSeconds}%.3f drifted >2x from the " +
+        f"snapshot's min probe $mn%.3f — repin from a fresh idle run")
+  }
+
   test("unpinned queries never retry or breach (no pin means no gate yet)") {
     var runs = 0
     Bench.timeWithRetry("brand_new_query", "/root/testdata/sf0.1") { () =>

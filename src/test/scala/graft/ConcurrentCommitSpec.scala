@@ -87,6 +87,44 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     (1 to n + 1).foreach(v => assert(CommitLog.files(root, v).size == v))
   }
 
+  test("cross-PROCESS race: four separate JVMs all land exactly once on one log") {
+    // thread races exercise the protocol; this exercises the CLAIM the
+    // protocol rests on — manifest creation is atomic at the
+    // filesystem level (link(2) EEXIST), so even committers in
+    // different processes (two Spark drivers on a shared table) can
+    // never both own a version
+    val root = freshRoot("xproc")
+    CommitLog.commit(root, 0, added = Seq("base"))
+    val barrier = java.nio.file.Paths.get(root, "go")
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val n = 4
+    val procs = (1 to n).map { i =>
+      new ProcessBuilder(
+        javaBin, "-cp", sys.props("java.class.path"),
+        "graft.CommitRaceMain", root, s"p$i", barrier.toString, "1")
+        .redirectErrorStream(true).start()
+    }
+    Thread.sleep(1500) // let every JVM reach the barrier poll
+    java.nio.file.Files.createFile(barrier)
+    val outs = procs.map { p =>
+      val ok = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      if (!ok) p.destroyForcibly()
+      new String(p.getInputStream.readAllBytes(), "UTF-8")
+    }
+    procs.zip(outs).foreach { case (p, o) =>
+      assert(p.exitValue() == 0, s"committer process failed:\n$o")
+    }
+    val landed = outs.flatMap(
+      "RACE (p\\d+) (\\d+) (\\d+)".r.findFirstMatchIn(_))
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+    assert(landed.size == n, s"every process must report a commit: $outs")
+    assert(landed.values.toSet == (2 to n + 1).toSet,
+      s"versions must be dense and linear across processes: $landed")
+    val last = CommitLog.files(root, n + 1)
+    assert(last.sorted == ("base" +: (1 to n).map(i => s"by_p$i")).sorted,
+      s"all $n cross-process appends visible exactly once: $last")
+  }
+
   test("overlapping copy-on-write deletes: the loser ABORTS, history stays consistent") {
     val root = freshRoot("cow")
     CommitLog.commit(root, 0, added = Seq("b1", "b2"))

@@ -157,6 +157,36 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(iters2 == 32, s"two-seed chain (radius 31) must quiesce in 31+1 rounds, got $iters2")
   }
 
+  test("kcoreUntil peels to the exact fixpoint: chain empties round-by-round, cycle and clique survive") {
+    import spark.implicits._
+    // a 64-chain under k=2: each synchronous round removes exactly the
+    // two current endpoints, so the peel runs ~32 rounds to empty —
+    // the shape that proves the loop actually iterates to quiescence
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("u", "v").localCheckpoint()
+    val (coreC, roundsC) = Graph.kcoreUntil(chain, k = 2)
+    assert(coreC.isEmpty, "an open chain has no 2-core")
+    assert(roundsC >= 30 && roundsC <= 35,
+      s"synchronous endpoint peel should take ~32 rounds, got $roundsC")
+    // a 64-cycle under k=2 is its own 2-core: nothing peels, fixpoint
+    // proves in the minimum number of rounds
+    val cycle = ((0L until 63L).map(i => (i, i + 1)) :+ (0L, 63L))
+      .toDF("u", "v").localCheckpoint()
+    val (coreY, roundsY) = Graph.kcoreUntil(cycle, k = 2)
+    val gotY = coreY.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotY == (0L until 64L).map(_ -> 2L).toMap, s"cycle 2-core wrong: $gotY")
+    assert(roundsY == 1, s"an already-stable core must quiesce in one round, got $roundsY")
+    // K5 with a pendant chain under k=4: the chain (and its attachment
+    // influence) peels, the clique survives with core degree 4 — the
+    // union-shape matching the driver-side peel model
+    val k5 = for { a <- 0 until 5; b <- (a + 1) until 5 } yield (a.toLong, b.toLong)
+    val pendant = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val mixed = (k5 ++ pendant).toDF("u", "v").localCheckpoint()
+    val (coreM, _) = Graph.kcoreUntil(mixed, k = 4)
+    val gotM = coreM.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotM == (0L until 5L).map(_ -> 4L).toMap,
+      s"K5 4-core must survive exactly: $gotM")
+  }
+
   test("HITS scores are L1-normalized: each side's mass lands just under the scale") {
     // `raw * S DIV Σraw` floors per node, so each normalization loses
     // < 1 unit per node: S - n ≤ Σ ≤ S must hold for BOTH score sides

@@ -27,90 +27,91 @@ object Bench {
     * (scripts/bench_pins.json). Queries absent from the map (newly
     * added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.066, "a1_hashagg" -> 1.212, "a2_distinct" -> 0.802,
-    "a3_approx_distinct" -> 2.639, "a3_hll_merge" -> 0.803,
-    "a4_cube" -> 0.823, "a4_grouping_sets" -> 1.053, "a4_rollup" -> 0.803,
-    "a5_filtered_agg" -> 0.694, "a6_approx_percentile" -> 3.335,
-    "a6_stats" -> 4.031, "a6_tdigest" -> 3.143, "a7_collect" -> 1.152,
-    "a8_pivot" -> 0.777, "a9_salted_agg" -> 0.867,
-    "c1_upsert_latest" -> 0.677, "c2_scd2_intervals" -> 0.913,
-    "c3_incremental_agg" -> 1.155, "c4_cdc_apply" -> 1.092,
-    "c5_retractable_agg" -> 1.580, "flagship_pipeline" -> 0.537,
-    "j10_bloom_semi" -> 1.197, "j11_salted_skew_join" -> 0.757,
-    "j12_interval_overlap" -> 1.013, "j13_spatial_grid" -> 0.961,
-    "j14_cobucketed_join" -> 0.590, "j1_semi_broadcast" -> 0.756,
-    "j2_inner" -> 0.596, "j3_multiway" -> 1.658, "j4_full_outer" -> 0.465,
-    "j4_left_outer" -> 0.393, "j5_anti" -> 0.340, "j6_sortmerge" -> 1.031,
-    "j7_range" -> 0.698, "j8_cross" -> 0.273, "j9_asof" -> 0.785,
-    "j9_asof_join" -> 0.687, "l10_drift" -> 0.916, "l10_profile" -> 0.352,
-    "l10_zipf" -> 0.672, "l11_decontam" -> 1.608,
-    "l11_semantic_decontam" -> 0.599, "l12_global_ids" -> 0.837,
-    "l13_bfs" -> 1.610, "l13_hits" -> 5.092, "l13_kcore" -> 1.449,
-    "l13_pagerank" -> 3.410, "l13_triangles" -> 1.242,
-    "l14_fuzzy_join" -> 2.326, "l1_exact_dedup" -> 0.391,
-    "l2_cc_star" -> 4.320, "l2_chunk_dedup" -> 1.323,
-    "l2_cosine_neardup" -> 0.555, "l2_cosine_neardup_bucketed" -> 0.593,
-    "l2_dedup_clusters" -> 2.424, "l2_incremental_dedup" -> 1.213,
-    "l2_lsh_pairs" -> 1.445, "l2_minhash_estimate" -> 1.331,
-    "l2_minhash_sigs" -> 1.720, "l2_ngram_jaccard" -> 6.068,
-    "l2_simhash" -> 0.779, "l2_simhash_blocked" -> 3.495,
-    "l2_simhash_hamming" -> 2.042, "l2_substring_dedup" -> 1.852,
-    "l3_ann_ivf" -> 0.742, "l3_ann_ivfpq" -> 1.823, "l3_ann_lsh" -> 1.820,
-    "l3_ann_pq" -> 1.394, "l3_ann_recall" -> 1.961,
-    "l3_ann_trained" -> 2.998, "l3_cosine_topk" -> 0.378,
-    "l3_jl_projection" -> 0.513, "l3_kmeans" -> 1.090,
-    "l3_pca_power" -> 0.457, "l3_semantic_dedup" -> 1.491,
-    "l4_bm25" -> 1.743, "l4_bpe_encode" -> 1.470,
-    "l4_bpe_pair_stats" -> 0.757, "l4_bpe_train" -> 0.978,
-    "l4_count_min" -> 0.706, "l4_fingerprint" -> 1.058,
-    "l4_heavy_hitters" -> 0.599, "l4_lang_id" -> 0.626,
-    "l4_lm_score" -> 1.550, "l4_pii_redact" -> 0.868,
-    "l4_quality_score" -> 0.693, "l4_repetition" -> 1.712,
-    "l4_repetition_quality" -> 1.245, "l4_term_freq" -> 0.602,
-    "l4_tfidf" -> 0.937, "l4_token_stats" -> 0.624, "l5_histogram" -> 0.323,
-    "l6_decode_audio" -> 1.337, "l6_decode_features" -> 0.423,
-    "l6_decode_real" -> 1.382, "l6_multimodal_meta" -> 0.198,
-    "l6_quantize_int8" -> 0.346, "l6_resize_framesample" -> 0.184,
-    "l7_curation_pipeline" -> 0.700, "l8_bottomk_sample" -> 0.260,
-    "l8_deterministic_sample" -> 0.176, "l8_deterministic_split" -> 0.246,
-    "l8_mixture_weights" -> 0.273, "l8_stratified_sample" -> 0.166,
-    "l8_weighted_sample" -> 0.287, "l9_sequence_packing" -> 0.354,
-    "l9_shard_export" -> 1.034, "o1_topk" -> 0.155, "o2_limit" -> 0.145,
-    "o3_union" -> 0.499, "o3_union_distinct" -> 0.442, "o4_except" -> 0.363,
-    "o4_except_all" -> 0.709, "o4_intersect" -> 0.394,
-    "o4_intersect_all" -> 0.527, "p10_map_hof" -> 1.952, "p10_maps" -> 1.342,
-    "p11_envelope" -> 0.427, "p12_unpivot" -> 0.322,
-    "p13_subqueries" -> 0.675, "p14_variant" -> 2.029,
-    "p15_lateral" -> 0.435, "p16_try_functions" -> 3.829,
-    "p1_prune" -> 0.795, "p2_filter" -> 0.515, "p3_inlist" -> 0.222,
-    "p4_strings" -> 0.272, "p5_datetime" -> 0.589, "p6_math" -> 0.884,
-    "p7_conditional" -> 0.298, "p8_json" -> 0.909, "p8_json_nested" -> 3.362,
-    "p9_array_fns" -> 0.203, "p9_arrays" -> 0.334, "p9_explode" -> 0.241,
-    "p9_posexplode" -> 0.202, "s10_vector_index" -> 1.457,
-    "s10b_index_append" -> 2.041, "s11_schema_evolution" -> 0.972,
-    "s12_compaction" -> 1.489, "s13_dpp_join" -> 1.673,
-    "s14_zorder_layout" -> 1.278, "s15_stats_pruned_scan" -> 1.481,
-    "s16_binaryfile_ingest" -> 1.409, "s17_xml_roundtrip" -> 1.528,
-    "s18_corrupt_drop" -> 0.477, "s19_envelope_sink" -> 0.907,
-    "s20_bson_dump" -> 1.875, "s21_mongo_extjson" -> 2.027,
-    "s22_time_travel" -> 1.395, "s23_merge_on_read" -> 1.535,
-    "s3_jdbc_roundtrip" -> 0.425, "s4_json_roundtrip" -> 0.845,
-    "s5_kafka_envelope" -> 0.246, "s6_csv_roundtrip" -> 0.576,
-    "s7_orc_roundtrip" -> 1.274, "s8_envelope_source" -> 0.897,
-    "s9_partitioned_prune" -> 0.936, "t12_stream_envelope_sink" -> 1.380,
-    "t13_stream_envelope_source" -> 2.159, "t1_tumbling" -> 0.475,
-    "t2_sliding" -> 0.558, "t3_session" -> 0.902,
-    "t4_watermark_closed" -> 0.590, "t5_dedup" -> 0.381,
-    "t6_stateful_running" -> 0.647, "t7_stream_static" -> 0.651,
-    "t8_foreachbatch_jdbc" -> 0.970, "t8c_exactly_once_jdbc" -> 2.043,
-    "t9_stream_stream" -> 0.495, "t9_stream_stream_full" -> 0.625,
-    "t9_stream_stream_outer" -> 0.480, "t9_stream_stream_semi" -> 0.455,
-    "w10_seasonal_decomp" -> 0.635, "w11_ewma" -> 0.624,
-    "w1_ranking" -> 0.910, "w2_analytic" -> 1.054, "w3_frames" -> 0.938,
-    "w3_time_range" -> 0.714, "w4_topk_per_group" -> 0.463,
-    "w4_topk_window_idiom" -> 0.501, "w5_distribution" -> 1.286,
-    "w6_gap_fill" -> 0.924, "w7_funnel" -> 0.650, "w8_retention" -> 0.553,
-    "w9_anomaly" -> 0.884)
+    "a10_kmv_sketch" -> 2.813, "a1_hashagg" -> 1.276, "a2_distinct" -> 0.817,
+    "a3_approx_distinct" -> 2.348, "a3_hll_merge" -> 0.671,
+    "a4_cube" -> 0.984, "a4_grouping_sets" -> 1.186, "a4_rollup" -> 0.905,
+    "a5_filtered_agg" -> 1.228, "a6_approx_percentile" -> 3.174,
+    "a6_stats" -> 2.688, "a6_tdigest" -> 2.508, "a7_collect" -> 1.101,
+    "a8_pivot" -> 0.751, "a9_salted_agg" -> 1.108,
+    "c1_upsert_latest" -> 0.884, "c2_scd2_intervals" -> 1.095,
+    "c3_incremental_agg" -> 1.728, "c4_cdc_apply" -> 0.864,
+    "c5_retractable_agg" -> 2.230, "flagship_pipeline" -> 0.511,
+    "j10_bloom_semi" -> 1.145, "j11_salted_skew_join" -> 0.778,
+    "j12_interval_overlap" -> 1.068, "j13_spatial_grid" -> 0.995,
+    "j14_cobucketed_join" -> 0.568, "j1_semi_broadcast" -> 0.922,
+    "j2_inner" -> 0.670, "j3_multiway" -> 2.317, "j4_full_outer" -> 0.585,
+    "j4_left_outer" -> 0.521, "j5_anti" -> 0.471, "j6_sortmerge" -> 1.263,
+    "j7_range" -> 1.011, "j8_cross" -> 0.353, "j9_asof" -> 0.970,
+    "j9_asof_join" -> 0.760, "l10_drift" -> 1.109, "l10_profile" -> 0.470,
+    "l10_zipf" -> 0.856, "l11_decontam" -> 1.788,
+    "l11_semantic_decontam" -> 0.704, "l12_global_ids" -> 0.983,
+    "l13_bfs" -> 1.484, "l13_hits" -> 5.543, "l13_kcore" -> 1.982,
+    "l13_pagerank" -> 3.255, "l13_triangles" -> 1.281,
+    "l14_fuzzy_join" -> 2.351, "l1_exact_dedup" -> 0.422,
+    "l2_cc_star" -> 4.258, "l2_chunk_dedup" -> 1.259,
+    "l2_cosine_neardup" -> 0.567, "l2_cosine_neardup_bucketed" -> 0.522,
+    "l2_dedup_clusters" -> 2.410, "l2_incremental_dedup" -> 1.006,
+    "l2_lsh_pairs" -> 1.289, "l2_minhash_estimate" -> 1.294,
+    "l2_minhash_sigs" -> 1.598, "l2_ngram_jaccard" -> 6.757,
+    "l2_simhash" -> 0.938, "l2_simhash_blocked" -> 3.947,
+    "l2_simhash_hamming" -> 2.545, "l2_substring_dedup" -> 2.680,
+    "l3_ann_ivf" -> 1.092, "l3_ann_ivfpq" -> 2.205, "l3_ann_lsh" -> 2.094,
+    "l3_ann_pq" -> 1.814, "l3_ann_recall" -> 2.221,
+    "l3_ann_trained" -> 3.056, "l3_cosine_topk" -> 0.393,
+    "l3_jl_projection" -> 0.638, "l3_kmeans" -> 1.360,
+    "l3_pca_power" -> 0.588, "l3_semantic_dedup" -> 1.819,
+    "l4_bm25" -> 1.963, "l4_bpe_encode" -> 1.944,
+    "l4_bpe_pair_stats" -> 0.907, "l4_bpe_train" -> 1.011,
+    "l4_count_min" -> 0.911, "l4_fingerprint" -> 1.361,
+    "l4_heavy_hitters" -> 0.792, "l4_lang_id" -> 0.792,
+    "l4_lm_score" -> 1.757, "l4_pii_redact" -> 0.798,
+    "l4_quality_score" -> 0.678, "l4_repetition" -> 1.755,
+    "l4_repetition_quality" -> 1.336, "l4_term_freq" -> 0.562,
+    "l4_tfidf" -> 0.903, "l4_token_stats" -> 0.627, "l5_histogram" -> 0.261,
+    "l6_decode_audio" -> 1.418, "l6_decode_features" -> 0.445,
+    "l6_decode_real" -> 1.425, "l6_multimodal_meta" -> 0.212,
+    "l6_quantize_int8" -> 0.379, "l6_resize_framesample" -> 0.175,
+    "l7_curation_pipeline" -> 0.681, "l8_bottomk_sample" -> 0.249,
+    "l8_deterministic_sample" -> 0.165, "l8_deterministic_split" -> 0.228,
+    "l8_mixture_weights" -> 0.277, "l8_stratified_sample" -> 0.160,
+    "l8_weighted_sample" -> 0.272, "l9_sequence_packing" -> 0.350,
+    "l9_shard_export" -> 1.415, "o1_topk" -> 0.141, "o2_limit" -> 0.123,
+    "o3_union" -> 0.355, "o3_union_distinct" -> 0.434, "o4_except" -> 0.330,
+    "o4_except_all" -> 0.647, "o4_intersect" -> 0.337,
+    "o4_intersect_all" -> 0.485, "p10_map_hof" -> 1.739, "p10_maps" -> 1.272,
+    "p11_envelope" -> 0.398, "p12_unpivot" -> 0.279,
+    "p13_subqueries" -> 0.543, "p14_variant" -> 1.962,
+    "p15_lateral" -> 0.404, "p16_try_functions" -> 4.121,
+    "p1_prune" -> 0.763, "p2_filter" -> 0.438, "p3_inlist" -> 0.194,
+    "p4_strings" -> 0.316, "p5_datetime" -> 0.506, "p6_math" -> 1.024,
+    "p7_conditional" -> 0.260, "p8_json" -> 1.192, "p8_json_nested" -> 3.742,
+    "p9_array_fns" -> 0.221, "p9_arrays" -> 0.272, "p9_explode" -> 0.248,
+    "p9_posexplode" -> 0.236, "s10_vector_index" -> 1.723,
+    "s10b_index_append" -> 1.969, "s11_schema_evolution" -> 0.928,
+    "s12_compaction" -> 1.416, "s13_dpp_join" -> 1.788,
+    "s14_zorder_layout" -> 1.518, "s15_stats_pruned_scan" -> 1.524,
+    "s16_binaryfile_ingest" -> 1.463, "s17_xml_roundtrip" -> 1.542,
+    "s18_corrupt_drop" -> 0.447, "s19_envelope_sink" -> 1.186,
+    "s20_bson_dump" -> 1.793, "s21_mongo_extjson" -> 1.751,
+    "s22_time_travel" -> 1.493, "s22b_log_vacuum" -> 1.086,
+    "s23_merge_on_read" -> 1.707, "s3_jdbc_roundtrip" -> 0.400,
+    "s4_json_roundtrip" -> 1.032, "s5_kafka_envelope" -> 0.239,
+    "s6_csv_roundtrip" -> 0.481, "s7_orc_roundtrip" -> 1.010,
+    "s8_envelope_source" -> 0.950, "s9_partitioned_prune" -> 0.770,
+    "t12_stream_envelope_sink" -> 1.551,
+    "t13_stream_envelope_source" -> 2.329, "t1_tumbling" -> 0.572,
+    "t2_sliding" -> 0.611, "t3_session" -> 1.000,
+    "t4_watermark_closed" -> 0.619, "t5_dedup" -> 0.442,
+    "t6_stateful_running" -> 0.621, "t7_stream_static" -> 0.734,
+    "t8_foreachbatch_jdbc" -> 1.045, "t8c_exactly_once_jdbc" -> 2.076,
+    "t9_stream_stream" -> 0.443, "t9_stream_stream_full" -> 0.610,
+    "t9_stream_stream_outer" -> 0.363, "t9_stream_stream_semi" -> 0.393,
+    "w10_seasonal_decomp" -> 0.554, "w11_ewma" -> 0.601,
+    "w1_ranking" -> 0.845, "w2_analytic" -> 1.209, "w3_frames" -> 1.077,
+    "w3_time_range" -> 0.718, "w4_topk_per_group" -> 0.488,
+    "w4_topk_window_idiom" -> 0.549, "w5_distribution" -> 1.324,
+    "w6_gap_fill" -> 0.932, "w7_funnel" -> 0.696, "w8_retention" -> 0.521,
+    "w9_anomaly" -> 0.889)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -731,6 +731,52 @@ object Sources {
       versionAggs(snapshot)
     },
 
+    // S22b: LOG RETENTION (VACUUM) — the maintenance half of the S22
+    // commit log (Delta VACUUM / Iceberg expire-snapshots): after the
+    // same three commits as s22 (append, append, copy-on-write
+    // delete), retention drops to the latest version only — the two
+    // expired manifests delete, and the sweep removes exactly the two
+    // batches (b1, b2) no surviving manifest references, while the
+    // retained version's files are untouched. The decl then reads the
+    // retained version THROUGH the swept log: a sweep that deleted a
+    // live file breaks the aggregate; a sweep that missed a dead one
+    // or an expiry that miscounted breaks the accounting columns. At
+    // 100 TB vacuum is the background job that bounds metadata AND
+    // dead-data growth; the minAge guard for in-flight writers is
+    // pinned in ConcurrentCommitSpec.
+    Decl(
+      "s22b_log_vacuum",
+      s"""SELECT CAST(2 AS BIGINT) AS expired_manifests,
+         |  CAST(2 AS BIGINT) AS swept_batches,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s22b_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 3 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"))
+      ord.filter($"o_orderkey" % 3 === 1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
+      s.read.parquet(s"$root/b1", s"$root/b2")
+        .filter($"o_orderstatus" =!= "F")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
+      val c3 = CommitLog.commit(root, c2.version,
+        added = Seq("b3"), removed = Seq("b1", "b2"))
+      val stats = CommitLog.vacuum(root, keepLast = 1)
+      s.read.parquet(CommitLog.files(root, c3.version).map(b => s"$root/$b"): _*)
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(stats.expiredManifests.toLong).as("expired_manifests"),
+          lit(stats.sweptBatches.size.toLong).as("swept_batches"),
+          $"n", $"total")
+    },
+
     // S23: MERGE-ON-READ deletes via positional DELETION VECTORS — the
     // other half of the lakehouse delete design space next to S22's
     // copy-on-write: a delete commit writes only the (file, row_index)

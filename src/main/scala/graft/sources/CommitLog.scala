@@ -97,6 +97,62 @@ object CommitLog {
     } finally Files.deleteIfExists(tmp)
   }
 
+  final case class VacuumStats(
+      expiredManifests: Int, sweptBatches: Seq[String], retainedFrom: Int)
+
+  /** RETENTION — the maintenance half of the log (Delta VACUUM /
+    * Iceberg expire-snapshots): drop every manifest older than the
+    * last `keepLast` versions, then sweep data batches referenced by
+    * NO surviving manifest. Order matters for crash safety: manifests
+    * are deleted FIRST, so a crash at any point leaves either extra
+    * expired manifests (re-vacuum) or orphaned data batches — and
+    * orphans are exactly what the sweep detects (any root entry not
+    * referenced by a surviving manifest), so a later vacuum finishes
+    * the job. Retained versions are never touched: time travel within
+    * the retention window keeps working; reads of expired versions
+    * fail cleanly on the missing manifest.
+    *
+    * `minAgeMs` guards the one unsafe race: a concurrent committer's
+    * STAGED batch exists on disk before its manifest publishes, and
+    * would look orphaned. Production setting = comfortably above the
+    * longest stage-to-commit latency (the same contract as Delta's
+    * retention-hours check); 0 only when no writer can be in flight. */
+  def vacuum(root: String, keepLast: Int, minAgeMs: Long = 0L): VacuumStats = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(root)
+    if (latest == 0) return VacuumStats(0, Nil, 0)
+    val cutoff = math.max(1, latest - keepLast + 1)
+    var expired = 0
+    (1 until cutoff).foreach { v =>
+      if (Files.deleteIfExists(manifest(root, v))) expired += 1
+    }
+    val live = (cutoff to latest).flatMap(files(root, _)).toSet
+    val now = System.currentTimeMillis()
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    listDir(Paths.get(root)).foreach { p =>
+      val name = p.getFileName.toString
+      val isData = !name.startsWith("_") && !name.startsWith(".")
+      if (isData && !live.contains(name) &&
+          now - Files.getLastModifiedTime(p).toMillis >= minAgeMs) {
+        deleteTree(p)
+        swept += name
+      }
+    }
+    VacuumStats(expired, swept.toSeq.sorted, cutoff)
+  }
+
+  /** Materialized directory listing (safe to delete entries after). */
+  private def listDir(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val it = Files.list(dir)
+    try it.iterator().asScala.toList finally it.close()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteTree)
+    Files.deleteIfExists(p)
+  }
+
   /** Optimistic commit: stage happened already (data files written);
     * publish `added`, retire `removed`, starting from the snapshot the
     * writer read at `readVersion`. Returns the committed version.

@@ -142,6 +142,59 @@ class ConcurrentCommitSpec extends AnyFunSuite {
       "winner's state intact after the abort")
   }
 
+  private def stage(root: String, batch: String): Unit = {
+    val d = java.nio.file.Paths.get(root, batch)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.write(d.resolve("part-0.bin"), Array[Byte](1, 2, 3))
+  }
+
+  test("vacuum expires old manifests and sweeps only batches no retained version references") {
+    val root = freshRoot("vac")
+    stage(root, "b1"); stage(root, "b2"); stage(root, "b3")
+    CommitLog.commit(root, 0, added = Seq("b1", "b2"))       // v1
+    CommitLog.commit(root, 1, added = Seq("b3"))             // v2 = b1,b2,b3
+    CommitLog.commit(root, 2, added = Nil, removed = Seq("b2")) // v3 = b1,b3
+    val stats = CommitLog.vacuum(root, keepLast = 1)
+    assert(stats.expiredManifests == 2 && stats.retainedFrom == 3)
+    // b2 is referenced only by expired versions -> swept; b1 is still
+    // live in v3 despite being a v1 file -> kept
+    assert(stats.sweptBatches == Seq("b2"), s"swept: ${stats.sweptBatches}")
+    assert(CommitLog.latestVersion(root) == 3)
+    assert(CommitLog.files(root, 3).sorted == Seq("b1", "b3"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "b1")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "b2")))
+    // an expired version now fails cleanly on its missing manifest
+    intercept[java.nio.file.NoSuchFileException](CommitLog.files(root, 1))
+    // time travel WITHIN retention is untouched: commit v4, keep 2,
+    // and v3 must stay readable
+    CommitLog.commit(root, 3, added = Seq({ stage(root, "b4"); "b4" }))
+    CommitLog.vacuum(root, keepLast = 2)
+    assert(CommitLog.files(root, 3).sorted == Seq("b1", "b3"))
+  }
+
+  test("vacuum sweeps orphans from a crashed commit but never a FRESH staged batch") {
+    val root = freshRoot("vac_orphan")
+    stage(root, "b1")
+    CommitLog.commit(root, 0, added = Seq("b1"))
+    // an old orphan: staged long ago, its commit never published
+    stage(root, "orphan_old")
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(root, "orphan_old"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000))
+    // a racing writer's batch: staged just now, manifest not yet up
+    stage(root, "staged_fresh")
+    val stats = CommitLog.vacuum(root, keepLast = 1, minAgeMs = 60 * 1000)
+    assert(stats.sweptBatches == Seq("orphan_old"),
+      s"age guard violated: ${stats.sweptBatches}")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "staged_fresh")),
+      "vacuum deleted a concurrent writer's staged batch")
+    // the racing writer can still publish after the vacuum
+    val c = CommitLog.commit(root, 1, added = Seq("staged_fresh"))
+    assert(CommitLog.files(root, c.version).contains("staged_fresh"))
+  }
+
   test("append racing a copy-on-write delete: the append rebases and survives") {
     // disjoint by definition — the append removes nothing, so whichever
     // side loses the version race can rebase

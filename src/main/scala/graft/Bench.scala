@@ -27,91 +27,91 @@ object Bench {
     * (scripts/bench_pins.json). Queries absent from the map (newly
     * added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.813, "a1_hashagg" -> 1.276, "a2_distinct" -> 0.817,
-    "a3_approx_distinct" -> 2.348, "a3_hll_merge" -> 0.671,
-    "a4_cube" -> 0.984, "a4_grouping_sets" -> 1.186, "a4_rollup" -> 0.905,
-    "a5_filtered_agg" -> 1.228, "a6_approx_percentile" -> 3.174,
-    "a6_stats" -> 2.688, "a6_tdigest" -> 2.508, "a7_collect" -> 1.101,
-    "a8_pivot" -> 0.751, "a9_salted_agg" -> 1.108,
-    "c1_upsert_latest" -> 0.884, "c2_scd2_intervals" -> 1.095,
-    "c3_incremental_agg" -> 1.728, "c4_cdc_apply" -> 0.864,
-    "c5_retractable_agg" -> 2.230, "flagship_pipeline" -> 0.511,
-    "j10_bloom_semi" -> 1.145, "j11_salted_skew_join" -> 0.778,
-    "j12_interval_overlap" -> 1.068, "j13_spatial_grid" -> 0.995,
-    "j14_cobucketed_join" -> 0.568, "j1_semi_broadcast" -> 0.922,
-    "j2_inner" -> 0.670, "j3_multiway" -> 2.317, "j4_full_outer" -> 0.585,
-    "j4_left_outer" -> 0.521, "j5_anti" -> 0.471, "j6_sortmerge" -> 1.263,
-    "j7_range" -> 1.011, "j8_cross" -> 0.353, "j9_asof" -> 0.970,
-    "j9_asof_join" -> 0.760, "l10_drift" -> 1.109, "l10_profile" -> 0.470,
-    "l10_zipf" -> 0.856, "l11_decontam" -> 1.788,
-    "l11_semantic_decontam" -> 0.704, "l12_global_ids" -> 0.983,
-    "l13_bfs" -> 1.484, "l13_hits" -> 5.543, "l13_kcore" -> 1.982,
-    "l13_pagerank" -> 3.255, "l13_triangles" -> 1.281,
-    "l14_fuzzy_join" -> 2.351, "l1_exact_dedup" -> 0.422,
-    "l2_cc_star" -> 4.258, "l2_chunk_dedup" -> 1.259,
-    "l2_cosine_neardup" -> 0.567, "l2_cosine_neardup_bucketed" -> 0.522,
-    "l2_dedup_clusters" -> 2.410, "l2_incremental_dedup" -> 1.006,
-    "l2_lsh_pairs" -> 1.289, "l2_minhash_estimate" -> 1.294,
-    "l2_minhash_sigs" -> 1.598, "l2_ngram_jaccard" -> 6.757,
-    "l2_simhash" -> 0.938, "l2_simhash_blocked" -> 3.947,
-    "l2_simhash_hamming" -> 2.545, "l2_substring_dedup" -> 2.680,
-    "l3_ann_ivf" -> 1.092, "l3_ann_ivfpq" -> 2.205, "l3_ann_lsh" -> 2.094,
-    "l3_ann_pq" -> 1.814, "l3_ann_recall" -> 2.221,
-    "l3_ann_trained" -> 3.056, "l3_cosine_topk" -> 0.393,
-    "l3_jl_projection" -> 0.638, "l3_kmeans" -> 1.360,
-    "l3_pca_power" -> 0.588, "l3_semantic_dedup" -> 1.819,
-    "l4_bm25" -> 1.963, "l4_bpe_encode" -> 1.944,
-    "l4_bpe_pair_stats" -> 0.907, "l4_bpe_train" -> 1.011,
-    "l4_count_min" -> 0.911, "l4_fingerprint" -> 1.361,
-    "l4_heavy_hitters" -> 0.792, "l4_lang_id" -> 0.792,
-    "l4_lm_score" -> 1.757, "l4_pii_redact" -> 0.798,
-    "l4_quality_score" -> 0.678, "l4_repetition" -> 1.755,
-    "l4_repetition_quality" -> 1.336, "l4_term_freq" -> 0.562,
-    "l4_tfidf" -> 0.903, "l4_token_stats" -> 0.627, "l5_histogram" -> 0.261,
-    "l6_decode_audio" -> 1.418, "l6_decode_features" -> 0.445,
-    "l6_decode_real" -> 1.425, "l6_multimodal_meta" -> 0.212,
-    "l6_quantize_int8" -> 0.379, "l6_resize_framesample" -> 0.175,
-    "l7_curation_pipeline" -> 0.681, "l8_bottomk_sample" -> 0.249,
-    "l8_deterministic_sample" -> 0.165, "l8_deterministic_split" -> 0.228,
-    "l8_mixture_weights" -> 0.277, "l8_stratified_sample" -> 0.160,
-    "l8_weighted_sample" -> 0.272, "l9_sequence_packing" -> 0.350,
-    "l9_shard_export" -> 1.415, "o1_topk" -> 0.141, "o2_limit" -> 0.123,
-    "o3_union" -> 0.355, "o3_union_distinct" -> 0.434, "o4_except" -> 0.330,
-    "o4_except_all" -> 0.647, "o4_intersect" -> 0.337,
-    "o4_intersect_all" -> 0.485, "p10_map_hof" -> 1.739, "p10_maps" -> 1.272,
-    "p11_envelope" -> 0.398, "p12_unpivot" -> 0.279,
-    "p13_subqueries" -> 0.543, "p14_variant" -> 1.962,
-    "p15_lateral" -> 0.404, "p16_try_functions" -> 4.121,
-    "p1_prune" -> 0.763, "p2_filter" -> 0.438, "p3_inlist" -> 0.194,
-    "p4_strings" -> 0.316, "p5_datetime" -> 0.506, "p6_math" -> 1.024,
-    "p7_conditional" -> 0.260, "p8_json" -> 1.192, "p8_json_nested" -> 3.742,
-    "p9_array_fns" -> 0.221, "p9_arrays" -> 0.272, "p9_explode" -> 0.248,
-    "p9_posexplode" -> 0.236, "s10_vector_index" -> 1.723,
-    "s10b_index_append" -> 1.969, "s11_schema_evolution" -> 0.928,
-    "s12_compaction" -> 1.416, "s13_dpp_join" -> 1.788,
-    "s14_zorder_layout" -> 1.518, "s15_stats_pruned_scan" -> 1.524,
-    "s16_binaryfile_ingest" -> 1.463, "s17_xml_roundtrip" -> 1.542,
-    "s18_corrupt_drop" -> 0.447, "s19_envelope_sink" -> 1.186,
-    "s20_bson_dump" -> 1.793, "s21_mongo_extjson" -> 1.751,
-    "s22_time_travel" -> 1.493, "s22b_log_vacuum" -> 1.086,
-    "s23_merge_on_read" -> 1.707, "s3_jdbc_roundtrip" -> 0.400,
-    "s4_json_roundtrip" -> 1.032, "s5_kafka_envelope" -> 0.239,
-    "s6_csv_roundtrip" -> 0.481, "s7_orc_roundtrip" -> 1.010,
-    "s8_envelope_source" -> 0.950, "s9_partitioned_prune" -> 0.770,
-    "t12_stream_envelope_sink" -> 1.551,
-    "t13_stream_envelope_source" -> 2.329, "t1_tumbling" -> 0.572,
-    "t2_sliding" -> 0.611, "t3_session" -> 1.000,
-    "t4_watermark_closed" -> 0.619, "t5_dedup" -> 0.442,
-    "t6_stateful_running" -> 0.621, "t7_stream_static" -> 0.734,
-    "t8_foreachbatch_jdbc" -> 1.045, "t8c_exactly_once_jdbc" -> 2.076,
-    "t9_stream_stream" -> 0.443, "t9_stream_stream_full" -> 0.610,
-    "t9_stream_stream_outer" -> 0.363, "t9_stream_stream_semi" -> 0.393,
-    "w10_seasonal_decomp" -> 0.554, "w11_ewma" -> 0.601,
-    "w1_ranking" -> 0.845, "w2_analytic" -> 1.209, "w3_frames" -> 1.077,
-    "w3_time_range" -> 0.718, "w4_topk_per_group" -> 0.488,
-    "w4_topk_window_idiom" -> 0.549, "w5_distribution" -> 1.324,
-    "w6_gap_fill" -> 0.932, "w7_funnel" -> 0.696, "w8_retention" -> 0.521,
-    "w9_anomaly" -> 0.889)
+    "a10_kmv_sketch" -> 1.880, "a1_hashagg" -> 1.071, "a2_distinct" -> 0.608,
+    "a3_approx_distinct" -> 1.820, "a3_hll_merge" -> 0.537,
+    "a4_cube" -> 0.666, "a4_grouping_sets" -> 0.723, "a4_rollup" -> 0.591,
+    "a5_filtered_agg" -> 0.483, "a6_approx_percentile" -> 2.461,
+    "a6_stats" -> 2.024, "a6_tdigest" -> 2.222, "a7_collect" -> 0.889,
+    "a8_pivot" -> 0.622, "a9_salted_agg" -> 0.745,
+    "c1_upsert_latest" -> 0.618, "c2_scd2_intervals" -> 0.786,
+    "c3_incremental_agg" -> 1.593, "c4_cdc_apply" -> 0.700,
+    "c5_retractable_agg" -> 1.956, "flagship_pipeline" -> 0.455,
+    "j10_bloom_semi" -> 0.978, "j11_salted_skew_join" -> 0.670,
+    "j12_interval_overlap" -> 0.943, "j13_spatial_grid" -> 0.926,
+    "j14_cobucketed_join" -> 0.576, "j1_semi_broadcast" -> 0.738,
+    "j2_inner" -> 0.590, "j3_multiway" -> 1.650, "j4_full_outer" -> 0.488,
+    "j4_left_outer" -> 0.440, "j5_anti" -> 0.412, "j6_sortmerge" -> 1.172,
+    "j7_range" -> 0.870, "j8_cross" -> 0.317, "j9_asof" -> 0.809,
+    "j9_asof_join" -> 0.605, "l10_drift" -> 0.742, "l10_profile" -> 0.331,
+    "l10_zipf" -> 0.515, "l11_decontam" -> 1.204,
+    "l11_semantic_decontam" -> 0.469, "l12_global_ids" -> 0.652,
+    "l13_bfs" -> 1.208, "l13_hits" -> 4.833, "l13_kcore" -> 1.688,
+    "l13_pagerank" -> 3.161, "l13_triangles" -> 1.056,
+    "l14_fuzzy_join" -> 2.129, "l1_exact_dedup" -> 0.373,
+    "l2_cc_star" -> 4.200, "l2_chunk_dedup" -> 1.309,
+    "l2_cosine_neardup" -> 0.589, "l2_cosine_neardup_bucketed" -> 0.472,
+    "l2_dedup_clusters" -> 2.316, "l2_incremental_dedup" -> 1.030,
+    "l2_lsh_pairs" -> 1.464, "l2_minhash_estimate" -> 1.339,
+    "l2_minhash_sigs" -> 1.582, "l2_ngram_jaccard" -> 6.088,
+    "l2_simhash" -> 0.828, "l2_simhash_blocked" -> 3.536,
+    "l2_simhash_hamming" -> 2.260, "l2_substring_dedup" -> 2.216,
+    "l2_survivor_selection" -> 3.133, "l3_ann_ivf" -> 0.933,
+    "l3_ann_ivfpq" -> 1.908, "l3_ann_lsh" -> 1.839, "l3_ann_pq" -> 1.511,
+    "l3_ann_recall" -> 2.078, "l3_ann_trained" -> 2.831,
+    "l3_cosine_topk" -> 0.362, "l3_jl_projection" -> 0.557,
+    "l3_kmeans" -> 1.144, "l3_pca_power" -> 0.460,
+    "l3_semantic_dedup" -> 1.615, "l4_bm25" -> 1.632,
+    "l4_bpe_encode" -> 1.559, "l4_bpe_pair_stats" -> 0.884,
+    "l4_bpe_train" -> 0.906, "l4_count_min" -> 0.631,
+    "l4_fingerprint" -> 1.018, "l4_heavy_hitters" -> 0.629,
+    "l4_lang_id" -> 0.528, "l4_lm_score" -> 1.551, "l4_pii_redact" -> 0.820,
+    "l4_quality_score" -> 0.687, "l4_repetition" -> 1.957,
+    "l4_repetition_quality" -> 1.378, "l4_term_freq" -> 0.656,
+    "l4_tfidf" -> 1.012, "l4_token_stats" -> 0.658, "l5_histogram" -> 0.314,
+    "l6_decode_audio" -> 1.338, "l6_decode_features" -> 0.409,
+    "l6_decode_real" -> 1.398, "l6_multimodal_meta" -> 0.186,
+    "l6_quantize_int8" -> 0.345, "l6_resize_framesample" -> 0.199,
+    "l7_curation_pipeline" -> 0.703, "l8_bottomk_sample" -> 0.240,
+    "l8_deterministic_sample" -> 0.151, "l8_deterministic_split" -> 0.247,
+    "l8_mixture_weights" -> 0.242, "l8_stratified_sample" -> 0.171,
+    "l8_weighted_sample" -> 0.254, "l9_sequence_packing" -> 0.351,
+    "l9_shard_export" -> 1.405, "o1_topk" -> 0.170, "o2_limit" -> 0.134,
+    "o3_union" -> 0.343, "o3_union_distinct" -> 0.448, "o4_except" -> 0.354,
+    "o4_except_all" -> 0.618, "o4_intersect" -> 0.449,
+    "o4_intersect_all" -> 0.431, "p10_map_hof" -> 1.546, "p10_maps" -> 0.899,
+    "p11_envelope" -> 0.411, "p12_unpivot" -> 0.259,
+    "p13_subqueries" -> 0.488, "p14_variant" -> 1.530,
+    "p15_lateral" -> 0.443, "p16_try_functions" -> 3.238,
+    "p1_prune" -> 0.630, "p2_filter" -> 0.435, "p3_inlist" -> 0.166,
+    "p4_strings" -> 0.259, "p5_datetime" -> 0.492, "p6_math" -> 0.874,
+    "p7_conditional" -> 0.220, "p8_json" -> 0.727, "p8_json_nested" -> 2.637,
+    "p9_array_fns" -> 0.177, "p9_arrays" -> 0.240, "p9_explode" -> 0.193,
+    "p9_posexplode" -> 0.195, "s10_vector_index" -> 1.531,
+    "s10b_index_append" -> 1.959, "s11_schema_evolution" -> 0.798,
+    "s12_compaction" -> 1.208, "s13_dpp_join" -> 1.596,
+    "s14_zorder_layout" -> 1.182, "s15_stats_pruned_scan" -> 1.200,
+    "s16_binaryfile_ingest" -> 1.313, "s17_xml_roundtrip" -> 1.417,
+    "s18_corrupt_drop" -> 0.350, "s19_envelope_sink" -> 1.166,
+    "s20_bson_dump" -> 1.586, "s21_mongo_extjson" -> 1.694,
+    "s22_time_travel" -> 1.498, "s22b_log_vacuum" -> 1.118,
+    "s22c_change_feed" -> 1.736, "s23_merge_on_read" -> 1.736,
+    "s3_jdbc_roundtrip" -> 0.502, "s4_json_roundtrip" -> 0.956,
+    "s5_kafka_envelope" -> 0.349, "s6_csv_roundtrip" -> 0.747,
+    "s7_orc_roundtrip" -> 1.251, "s8_envelope_source" -> 0.941,
+    "s9_partitioned_prune" -> 1.015, "t12_stream_envelope_sink" -> 1.638,
+    "t13_stream_envelope_source" -> 2.335, "t1_tumbling" -> 0.689,
+    "t2_sliding" -> 0.662, "t3_session" -> 1.057,
+    "t4_watermark_closed" -> 0.790, "t5_dedup" -> 0.475,
+    "t6_stateful_running" -> 0.807, "t7_stream_static" -> 0.864,
+    "t8_foreachbatch_jdbc" -> 1.274, "t8c_exactly_once_jdbc" -> 2.460,
+    "t9_stream_stream" -> 0.688, "t9_stream_stream_full" -> 0.718,
+    "t9_stream_stream_outer" -> 0.464, "t9_stream_stream_semi" -> 0.506,
+    "w10_seasonal_decomp" -> 0.639, "w11_ewma" -> 0.574,
+    "w1_ranking" -> 0.914, "w2_analytic" -> 1.191, "w3_frames" -> 0.985,
+    "w3_time_range" -> 0.715, "w4_topk_per_group" -> 0.454,
+    "w4_topk_window_idiom" -> 0.572, "w5_distribution" -> 1.230,
+    "w6_gap_fill" -> 1.039, "w7_funnel" -> 0.687, "w8_retention" -> 0.598,
+    "w9_anomaly" -> 0.897)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -605,6 +605,82 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // L2b5: QUALITY-AWARE SURVIVOR SELECTION — the step between
+    // clustering and training-set assembly in a real curation
+    // pipeline: min-doc_id canonicals (l2_dedup_clusters) keep an
+    // ARBITRARY member of each near-dup cluster, but the copy worth
+    // training on is the best one — so each cluster elects the member
+    // with the highest quality score (length + punctuation members of
+    // the l4 score family; rounded to 6 decimals BEFORE ranking so the
+    // election key is cross-engine exact), doc_id ascending as the
+    // deterministic tiebreak. Engine side: the ccUntil component
+    // labels joined to a narrow per-doc score, then ONE hash agg per
+    // component — the (quality, doc_id) election key is PACKED into a
+    // single BIGINT (quality-major, doc_id mirrored so smaller ids
+    // rank higher), so the whole election is a plain codegen'd
+    // max+count HashAggregate with map-side partial combine: no struct
+    // ordering key (which demotes max_by to SortAggregate), no window
+    // sort, one exchange. Packing contract: q6 ∈ [0, 1e6] (the score
+    // is a convex combination of [0,1] terms) and doc_id < 1e12 — a
+    // trillion docs, an order above any 100 TB corpus. The oracle
+    // restates the election as a window rank over the shared
+    // recursive-CTE closure — two different schedules, one statement
+    // of the policy; a hash match machine-checks the election.
+    Decl(
+      "l2_survivor_selection",
+      s"""WITH RECURSIVE $oPairsCte,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(v, l) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         |comp AS (SELECT v AS doc_id, min(l) AS component FROM reach GROUP BY v),
+         |f AS (
+         |  SELECT doc_id,
+         |    ${Qh.oR6("0.6 * least(CAST(length(text) AS DOUBLE), 500.0) / 500.0 " +
+              "+ 0.4 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE) / length(text))")} AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT c.component, c.doc_id, f.quality,
+         |    row_number() OVER (PARTITION BY c.component
+         |                       ORDER BY f.quality DESC, c.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY c.component) AS cluster_size
+         |  FROM comp c JOIN f ON f.doc_id = c.doc_id)
+         |SELECT component, doc_id AS survivor, quality, cluster_size
+         |FROM r WHERE rn = 1
+         |ORDER BY component""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val pairs = lshPairs(s, dir)
+      val (edges, _) = ccUntil(
+        pairs.select(greatest($"doc_a", $"doc_b").as("u"),
+            least($"doc_a", $"doc_b").as("v"))
+          .distinct())
+      val lenScore = least(length($"text").cast(DoubleType), lit(500.0)) / 500.0
+      val punctRatio = (length($"text") -
+        length(regexp_replace($"text", "[^a-z ]", ""))).cast(DoubleType) / length($"text")
+      // integer election key: q6 * 1e12 + (1e12-1 - doc_id)
+      val q6 = floor((lit(0.6) * lenScore + lit(0.4) * (lit(1.0) - punctRatio))
+        * 1000000.0 + lit(0.5)).cast(LongType)
+      val M = 1000000000000L // doc_id mirror modulus (packing contract)
+      val scored = Qh.t(s, dir, "documents")
+        .select($"doc_id",
+          (q6 * M + (lit(M - 1) - $"doc_id")).as("key"))
+      scored
+        .join(edges.select($"u".as("doc_id"), $"v".as("root")),
+          Seq("doc_id"), "left")
+        .select(coalesce($"root", $"doc_id").as("component"), $"key")
+        .groupBy($"component")
+        .agg(max($"key").as("k"), count(lit(1)).as("cluster_size"))
+        .select($"component",
+          (lit(M - 1) - ($"k" % M)).as("survivor"),
+          (expr(s"k div $M").cast(DoubleType) / 1000000.0).as("quality"),
+          $"cluster_size")
+        .orderBy("component")
+    },
+
     // L2c: 32-bit SimHash — explode distinct tokens (ONE hash per token),
     // then a single hash-agg over doc_id with 32 per-bit ±1 sums. At
     // scale this is a partial+final agg keyed on doc_id: the classic

@@ -682,10 +682,11 @@ object Sources {
     // S22: SNAPSHOT ISOLATION + TIME TRAVEL over a commit-log table
     // layout — the lakehouse mechanism (Delta/Iceberg) behind the
     // C-family's CDC/SCD queries: every commit writes IMMUTABLE data
-    // files plus a versioned manifest (_log/v<N>.json) listing exactly
-    // the files visible at that version; a reader plans its scan from
-    // one manifest and is isolated from every later commit by
-    // construction. Three commits here: v1 = initial load, v2 =
+    // files plus a versioned DELTA manifest (_log/v<N>.json — the
+    // commit's add/remove sets; snapshots replay from the nearest
+    // checkpoint, so commit metadata is O(delta) not O(table)); a
+    // reader plans its scan from one version's replayed file set and
+    // is isolated from every later commit by construction. Three commits here: v1 = initial load, v2 =
     // append (new files only — v1's are untouched), v3 = copy-on-write
     // DELETE (affected files rewritten into new ones, manifest swaps
     // the list — the old files stay on disk, which is what makes v1/v2
@@ -774,6 +775,71 @@ object Sources {
         .select(
           lit(stats.expiredManifests.toLong).as("expired_manifests"),
           lit(stats.sweptBatches.size.toLong).as("swept_batches"),
+          $"n", $"total")
+    },
+
+    // S22c: CHANGE FEED → incremental consumption — the read-side
+    // payoff of delta manifests (Delta CDF / Iceberg incremental scan
+    // at file granularity): a downstream consumer processes each
+    // version's OWN add/remove record instead of re-reading the table,
+    // so keeping an aggregate current costs O(changes), not O(table) —
+    // at 100 TB that is the difference between a nightly full recompute
+    // and a minutes-behind materialized view. Four commits (append,
+    // append, copy-on-write delete, append); the consumer folds the
+    // whole feed as ONE signed union (added batches +1, removed -1 —
+    // the C5 retraction discipline at file granularity) and its
+    // net aggregate must equal the latest snapshot's relational
+    // reconstruction: a feed that misses a remove double-counts b1/b2,
+    // one that misses an add drops b4, and the accounting columns pin
+    // the feed's shape itself. The version loop is bounded metadata
+    // (one manifest read per version); every data-touching step is one
+    // distributed union-scan-agg.
+    Decl(
+      "s22c_change_feed",
+      s"""SELECT CAST(4 AS BIGINT) AS n_versions,
+         |  CAST(4 AS BIGINT) AS n_adds,
+         |  CAST(2 AS BIGINT) AS n_removes,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders
+         |WHERE (o_orderkey % 3 <= 1 AND o_orderstatus <> 'F')
+         |   OR o_orderkey % 3 = 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s22c_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 3 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"))
+      ord.filter($"o_orderkey" % 3 === 1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
+      s.read.parquet(s"$root/b1", s"$root/b2")
+        .filter($"o_orderstatus" =!= "F")
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
+      val c3 = CommitLog.commit(root, c2.version,
+        added = Seq("b3"), removed = Seq("b1", "b2"))
+      ord.filter($"o_orderkey" % 3 === 2)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b4")
+      val c4 = CommitLog.commit(root, c3.version, added = Seq("b4"))
+      // consume the feed from v0: signed per-batch frames, one union
+      val feed = CommitLog.changes(root, 0, c4.version)
+      val signed = feed.flatMap(ch =>
+        ch.added.map(_ -> 1) ++ ch.removed.map(_ -> -1))
+      val frames = signed.map { case (b, sign) =>
+        s.read.parquet(s"$root/$b")
+          .select($"o_totalprice".cast(DecimalType(18, 2)).as("p"))
+          .withColumn("sign", lit(sign))
+      }
+      frames.reduce(_ unionByName _)
+        .agg(
+          sum($"sign").cast("long").as("n"),
+          sum($"sign" * $"p").cast("double").as("total"))
+        .select(
+          lit(feed.size.toLong).as("n_versions"),
+          lit(signed.count(_._2 == 1).toLong).as("n_adds"),
+          lit(signed.count(_._2 == -1).toLong).as("n_removes"),
           $"n", $"total")
     },
 

@@ -3,8 +3,10 @@ package graft.sources
 /** Versioned commit log with OPTIMISTIC CONCURRENCY for the S22
   * lakehouse table layout (`queries/Sources.scala` s22_time_travel):
   * every commit publishes an immutable manifest `_log/v<N>.json`
-  * listing exactly the data batches visible at version N, and the
-  * Delta/Iceberg conflict protocol arbitrates concurrent writers:
+  * recording the batches its commit added and removed (the snapshot at
+  * N is reconstructed by delta replay — see the metadata-scaling note
+  * below), and the Delta/Iceberg conflict protocol arbitrates
+  * concurrent writers:
   *
   *  1. A writer snapshots version R, stages its data files (writes are
   *     always NEW files — data files are immutable), and attempts to
@@ -28,7 +30,21 @@ package graft.sources
   * invisible, and staged data files without a manifest entry are dead
   * bytes a compactor may sweep.
   *
-  * At 100 TB the mechanism is unchanged — manifests are metadata-sized
+  * METADATA SCALES AS O(delta), NOT O(table): each manifest records
+  * only its commit's `{"add":[...],"remove":[...]}` — at 100 TB a
+  * table holds millions of data files, and a format that rewrites the
+  * full file list per commit (what s22 shipped first) turns every
+  * append into a table-sized metadata write. Snapshot reconstruction
+  * replays deltas forward from the nearest CHECKPOINT
+  * (`_log/ckpt-v<N>.json`, the full list at N, written every
+  * [[checkpointInterval]] commits and at vacuum cutoffs), so a read
+  * touches at most one checkpoint + [[checkpointInterval]] deltas —
+  * the Delta-log/Iceberg-snapshot layout. Checkpoints are derived
+  * state: publishing them uses the same atomic create-if-absent (any
+  * racer computes identical content), and a crash that skips one only
+  * lengthens replay until the next multiple.
+  *
+  * At 100 TB the mechanism is unchanged — manifests are delta-sized
   * and the atomic create maps onto whatever the store offers
   * (HDFS rename-if-absent, S3 conditional PUT, a DynamoDB/JDBC lock
   * row); this implementation targets a POSIX filesystem, which is what
@@ -39,8 +55,16 @@ object CommitLog {
 
   final case class Commit(version: Int, attempts: Int)
 
+  /** Full-snapshot cadence: replay cost is bounded by one checkpoint
+    * read + at most this many delta manifests. Delta Lake's default
+    * cadence is 10; 8 keeps the spec's 8-way race crossing a boundary. */
+  private[graft] val checkpointInterval = 8
+
   private def manifest(root: String, v: Int): Path =
     Paths.get(root, "_log", s"v$v.json")
+
+  private def ckptPath(root: String, v: Int): Path =
+    Paths.get(root, "_log", s"ckpt-v$v.json")
 
   /** Highest committed version; 0 = empty table (no manifests). */
   def latestVersion(root: String): Int = {
@@ -63,11 +87,60 @@ object CommitLog {
     }
   }
 
-  /** The batch names visible at version `v` (v0 = empty table). */
+  /** The batch names visible at version `v` (v0 = empty table):
+    * nearest checkpoint at or below `v`, plus forward delta replay.
+    * Reads of expired versions fail cleanly — their delta chain back
+    * to a surviving checkpoint is broken, and the replay surfaces the
+    * missing manifest as NoSuchFileException. */
   def files(root: String, v: Int): Seq[String] = {
     if (v == 0) return Nil
+    val (start, base) = latestCheckpointAtOrBelow(root, v).getOrElse((0, Seq.empty[String]))
+    var state = base
+    ((start + 1) to v).foreach { i =>
+      val (add, remove) = readDelta(root, i)
+      val rm = remove.toSet
+      state = state.filterNot(rm) ++ add
+    }
+    state
+  }
+
+  private object CkptName {
+    private val Re = "ckpt-v(\\d+)\\.json".r
+    def unapply(name: String): Option[Int] = name match {
+      case Re(d) => Some(d.toInt)
+      case _ => None
+    }
+  }
+
+  private def latestCheckpointAtOrBelow(
+      root: String, v: Int): Option[(Int, Seq[String])] = {
+    val log = Paths.get(root, "_log")
+    if (!Files.isDirectory(log)) return None
+    val candidates = listDir(log)
+      .map(_.getFileName.toString)
+      .collect { case CkptName(cv) if cv <= v => cv }
+    if (candidates.isEmpty) None
+    else {
+      val cv = candidates.max
+      val txt = new String(Files.readAllBytes(ckptPath(root, cv)), "UTF-8")
+      Some((cv, parseList(txt)))
+    }
+  }
+
+  private def readDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
     val txt = new String(Files.readAllBytes(manifest(root, v)), "UTF-8")
-    parseList(txt)
+    (parseList(extractField(txt, "add")), parseList(extractField(txt, "remove")))
+  }
+
+  /** Pull the `[...]` value of `"name":` out of a flat one-level JSON
+    * object (the only shape this log writes). */
+  private def extractField(txt: String, name: String): String = {
+    val key = "\"" + name + "\":"
+    val i = txt.indexOf(key)
+    require(i >= 0, s"manifest missing field $name: $txt")
+    val from = txt.indexOf('[', i + key.length)
+    val to = txt.indexOf(']', from)
+    txt.substring(from, to + 1)
   }
 
   private def parseList(txt: String): Seq[String] = {
@@ -79,22 +152,53 @@ object CommitLog {
   private def renderList(files: Seq[String]): String =
     files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
 
-  /** Atomically publish manifest `v` listing `fs` — true iff this call
-    * won the version. Content is fully durable before the name appears
-    * (write temp, fsync via write, then hard-link), so a concurrent
-    * reader can never observe a partial manifest. */
-  def tryCommit(root: String, v: Int, fs: Seq[String]): Boolean = {
-    val target = manifest(root, v)
+  /** Atomic create-if-absent publish: content is fully durable before
+    * the name appears (write temp, then hard-link — `link(2)` fails
+    * with EEXIST if a rival won), so a concurrent reader can never
+    * observe a partial file. True iff this call created the name. */
+  private def atomicCreate(target: Path, content: String): Boolean = {
     Files.createDirectories(target.getParent)
     val tmp = target.resolveSibling(
-      s"_tmp-v$v-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, renderList(fs).getBytes("UTF-8"))
+      s"_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, content.getBytes("UTF-8"))
     try {
-      Files.createLink(target, tmp) // atomic create-if-absent with content
+      Files.createLink(target, tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Atomically publish the DELTA manifest for `v` — true iff this
+    * call won the version. */
+  def tryCommit(
+      root: String, v: Int,
+      added: Seq[String], removed: Seq[String]): Boolean =
+    atomicCreate(manifest(root, v),
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}}""")
+
+  /** One committed version's change set. */
+  final case class Change(version: Int, added: Seq[String], removed: Seq[String])
+
+  /** CHANGE FEED: the per-version add/remove sets for
+    * `fromVersion < v <= toVersion` — what an incremental consumer
+    * (MV maintenance, downstream sync, streaming tail) processes
+    * instead of re-reading the table. Delta manifests make this a
+    * direct read of each version's own commit record: cost is
+    * O(changes), independent of table size. Fails like any expired
+    * read (NoSuchFileException) when the range has been vacuumed. */
+  def changes(root: String, fromVersion: Int, toVersion: Int): Seq[Change] =
+    ((fromVersion + 1) to toVersion).map { v =>
+      val (add, remove) = readDelta(root, v)
+      Change(v, add, remove)
+    }
+
+  /** Publish the full-snapshot checkpoint at `v` (idempotent: derived
+    * content + create-if-absent, so racers and re-runs are no-ops). */
+  private[graft] def writeCheckpoint(root: String, v: Int): Unit = {
+    if (v == 0) return
+    if (!Files.exists(ckptPath(root, v)))
+      atomicCreate(ckptPath(root, v), renderList(files(root, v)))
   }
 
   final case class VacuumStats(
@@ -122,9 +226,15 @@ object CommitLog {
     val latest = latestVersion(root)
     if (latest == 0) return VacuumStats(0, Nil, 0)
     val cutoff = math.max(1, latest - keepLast + 1)
+    // The retained range must stay reconstructible once the delta chain
+    // below it is gone: publish the cutoff checkpoint FIRST (idempotent,
+    // so a crash anywhere after this line re-vacuums safely), then
+    // expire manifests and pre-cutoff checkpoints.
+    writeCheckpoint(root, cutoff)
     var expired = 0
     (1 until cutoff).foreach { v =>
       if (Files.deleteIfExists(manifest(root, v))) expired += 1
+      Files.deleteIfExists(ckptPath(root, v))
     }
     val live = (cutoff to latest).flatMap(files(root, _)).toSet
     val now = System.currentTimeMillis()
@@ -167,13 +277,21 @@ object CommitLog {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
-      val cur = files(root, base)
-      if (base != readVersion && !removedSet.subsetOf(cur.toSet))
-        throw new java.util.ConcurrentModificationException(
-          s"conflict at v$base: rival commit removed " +
-            s"${removedSet -- cur.toSet} first (overlapping copy-on-write)")
-      val next = cur.filterNot(removedSet) ++ added
-      if (tryCommit(root, base + 1, next)) return Commit(base + 1, attempts)
+      // Conflict check only matters on a rebase, and only for writers
+      // that remove files — pure appends never read the snapshot here,
+      // so an append commit is O(1) metadata I/O regardless of table size.
+      if (base != readVersion && removedSet.nonEmpty) {
+        val cur = files(root, base).toSet
+        if (!removedSet.subsetOf(cur))
+          throw new java.util.ConcurrentModificationException(
+            s"conflict at v$base: rival commit removed " +
+              s"${removedSet -- cur} first (overlapping copy-on-write)")
+      }
+      if (tryCommit(root, base + 1, added, removed)) {
+        if ((base + 1) % checkpointInterval == 0)
+          writeCheckpoint(root, base + 1)
+        return Commit(base + 1, attempts)
+      }
       base = latestVersion(root) // lost the race: rebase onto the winner
     }
     throw new IllegalStateException(

@@ -148,6 +148,61 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     java.nio.file.Files.write(d.resolve("part-0.bin"), Array[Byte](1, 2, 3))
   }
 
+  test("manifests are O(delta) metadata: a late append's manifest never mentions earlier batches") {
+    // the 100 TB property under test: commit metadata must not grow
+    // with table size. 30 appends, then check the LAST manifest's bytes
+    // name only its own batch — a full-file-list format fails this at
+    // the second commit.
+    val root = freshRoot("odelta")
+    var v = 0
+    (1 to 30).foreach { i => v = CommitLog.commit(root, v, added = Seq(f"b$i%03d")).version }
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", "v30.json")), "UTF-8")
+    assert(txt.contains("b030") && !txt.contains("b001") && !txt.contains("b029"),
+      s"manifest not delta-sized: $txt")
+    // and the replayed snapshot is still the full table
+    assert(CommitLog.files(root, 30) == (1 to 30).map(i => f"b$i%03d"))
+  }
+
+  test("checkpoints land at the interval cadence and bound replay; a skipped one only lengthens replay") {
+    val root = freshRoot("ckpt")
+    val k = CommitLog.checkpointInterval
+    var v = 0
+    (1 to 2 * k + 3).foreach { i => v = CommitLog.commit(root, v, added = Seq(s"b$i")).version }
+    val log = java.nio.file.Paths.get(root, "_log")
+    assert(java.nio.file.Files.exists(log.resolve(s"ckpt-v$k.json")))
+    assert(java.nio.file.Files.exists(log.resolve(s"ckpt-v${2 * k}.json")))
+    val expect = (1 to 2 * k + 3).map(i => s"b$i")
+    assert(CommitLog.files(root, 2 * k + 3) == expect)
+    // a checkpoint is DERIVED state: losing one (crash between manifest
+    // publish and checkpoint write) must not lose data, only lengthen
+    // the replay back to the previous checkpoint
+    java.nio.file.Files.delete(log.resolve(s"ckpt-v${2 * k}.json"))
+    assert(CommitLog.files(root, 2 * k + 3) == expect,
+      "replay must survive a missing checkpoint")
+    // removes replay too, across a checkpoint boundary
+    CommitLog.commit(root, v, added = Seq("rw"), removed = Seq("b1", s"b$k"))
+    assert(CommitLog.files(root, v + 1) ==
+      expect.filterNot(Set("b1", s"b$k")) :+ "rw")
+  }
+
+  test("vacuum checkpoints the cutoff so retained versions survive the expired delta chain") {
+    // cutoff NOT on the interval cadence: without the vacuum-written
+    // checkpoint, the retained versions' replay would start at an
+    // expired manifest and throw
+    val root = freshRoot("vacckpt")
+    var v = 0
+    (1 to 5).foreach { i => v = CommitLog.commit(root, v, added = Seq(s"b$i")).version }
+    assert(CommitLog.checkpointInterval > 5, "test premise: no cadence checkpoint yet")
+    val stats = CommitLog.vacuum(root, keepLast = 2) // cutoff = 4
+    assert(stats.retainedFrom == 4 && stats.expiredManifests == 3)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_log", "ckpt-v4.json")))
+    assert(CommitLog.files(root, 4) == (1 to 4).map(i => s"b$i"))
+    assert(CommitLog.files(root, 5) == (1 to 5).map(i => s"b$i"))
+    intercept[java.nio.file.NoSuchFileException](CommitLog.files(root, 3))
+  }
+
   test("vacuum expires old manifests and sweeps only batches no retained version references") {
     val root = freshRoot("vac")
     stage(root, "b1"); stage(root, "b2"); stage(root, "b3")

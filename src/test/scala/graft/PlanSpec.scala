@@ -404,6 +404,33 @@ class PlanSpec extends SparkSpec {
       s"star round shuffle count grew past its bounded shape: ${shuffles.size}")
   }
 
+  test("l2_survivor_selection: the election is one codegen'd hash agg — no window, no struct-key sort") {
+    // the decl's plan claim: the packed-BIGINT election key keeps the
+    // survivor vote a plain max+count HashAggregate (a struct ordering
+    // key would demote it to SortAggregate; a Window election would
+    // add a per-partition sort), and any cartesian would break the
+    // whole family's blocking contract
+    val p = plan("l2_survivor_selection")
+    assert(!p.contains("Window"),
+      s"election must be aggregate-shaped, not a window sort:\n${p.take(800)}")
+    assert(!p.contains("SortAggregate"),
+      "packed election key lost hash-aggregability")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected partial + final HashAggregate for the election")
+  }
+
+  test("s22c: the change-feed fold is scan → union → one signed agg — no join") {
+    // incremental consumption must not re-read or join against the
+    // table: each version's delta scans once, the signed union feeds a
+    // single map-side-combined aggregate
+    val p = plan("s22c_change_feed")
+    assert(!p.contains("Join"), s"change-feed fold must not join:\n${p.take(800)}")
+    assert(p.contains("Union"), "expected the signed union of delta batches")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "expected partial + final HashAggregate")
+  }
+
   test("l3_semantic_dedup: within-cluster pairs come from an equi-join on cid") {
     // SemDeDup's scale contract: pair volume is Σ cluster², driven by a
     // cid equi-join — never an all-pairs cartesian; assignment stays a

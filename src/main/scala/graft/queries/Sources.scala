@@ -843,6 +843,118 @@ object Sources {
           $"n", $"total")
     },
 
+    // S22d: CHANGE-FEED TAIL → downstream sync — the streaming-style
+    // consumer over the S22c feed (Delta streaming source semantics):
+    // a durable VERSION CURSOR in the consumer's checkpoint advances
+    // only after a version's batch lands, each drained version reads
+    // exactly its own added files (never a table rescan), a pure-delete
+    // commit is skipped under ignoreDeletes (a tail emits appends only
+    // and cannot retract — rows already emitted stay emitted, which is
+    // why the oracle INCLUDES b1's rows after their upstream delete),
+    // and a copy-on-write rewrite always fails the drain
+    // (CommitLogTailSpec pins the failure, crash-replay and
+    // AvailableNow bounds). The sink here is version-keyed overwrite —
+    // the t8 idempotence discipline that upgrades the cursor's
+    // at-least-once to exactly-once — and the decl re-reads the
+    // downstream copy so a dropped, duplicated, or misordered batch
+    // breaks the aggregate; the accounting columns pin the drain
+    // shape (3 emitting versions of 4, cursor at 4).
+    Decl(
+      "s22d_log_tail",
+      s"""SELECT CAST(3 AS BIGINT) AS n_batches,
+         |  CAST(4 AS BIGINT) AS last_version,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders
+         |WHERE o_orderkey % 4 <= 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogTail}
+      val root = ioDir("s22d_tbl")
+      val ckpt = ioDir("s22d_ckpt")
+      val out = ioDir("s22d_out")
+      Seq(root, ckpt, out).foreach(p => Qh.deleteRecursively(new java.io.File(p)))
+      val ord = Qh.t(s, dir, "orders")
+      def stage(batch: String, m: Int): Unit =
+        ord.filter($"o_orderkey" % 4 === m)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/$batch")
+      stage("b1", 0)
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"))
+      stage("b2", 1)
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
+      val c3 = CommitLog.commit(root, c2.version, added = Nil, removed = Seq("b1"))
+      stage("b4", 2)
+      CommitLog.commit(root, c3.version, added = Seq("b4"))
+      val emitted = CommitLogTail.drain(s, root, ckpt, ignoreDeletes = true) {
+        (batch, v) =>
+          batch.write.mode(SaveMode.Overwrite).parquet(s"$out/v=$v")
+      }
+      s.read.parquet(out).drop("v")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(emitted.toLong).as("n_batches"),
+          lit(CommitLogTail.lastProcessed(ckpt).toLong).as("last_version"),
+          $"n", $"total")
+    },
+
+    // S22e: LOG-GOVERNED SCHEMA ENFORCEMENT + EVOLUTION — the schema
+    // half of the lakehouse contract (Delta schema enforcement /
+    // mergeSchema), layered on the same commit log: the first commit
+    // DECLARES the table DDL, an additive append EVOLVES it (recorded
+    // by the evolving commit only — O(delta) schema metadata), and a
+    // retyping commit is REJECTED before any manifest publishes, so
+    // bad writers cannot corrupt the table (S11's mergeSchema decl
+    // shows file-level evolution mechanics; this one makes the LOG the
+    // authority and adds the enforcement side S11 cannot express).
+    // The read plans with the log's schema-in-force, so pre-evolution
+    // files null-fill the new column in the scan itself — no
+    // mergeSchema double-pass over footers at read time, which at
+    // 100 TB is the difference between planning from one manifest and
+    // touching a million file footers. Accounting pins the protocol
+    // (2 versions landed, 1 rejected); n_status counts only the
+    // evolved batch's rows, so a null-fill or evolution failure breaks
+    // the value columns too.
+    Decl(
+      "s22e_schema_enforced",
+      s"""SELECT CAST(2 AS BIGINT) AS n_versions,
+         |  CAST(1 AS BIGINT) AS rejected,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total,
+         |  CAST(count(CASE WHEN o_orderkey % 5 = 1 THEN o_orderstatus END) AS BIGINT) AS n_status
+         |FROM orders
+         |WHERE o_orderkey % 5 <= 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s22e_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      val a = ord.filter($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", $"o_totalprice")
+      a.write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"),
+        schema = Some(a.schema.toDDL))
+      val b = ord.filter($"o_orderkey" % 5 === 1)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      b.write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"),
+        schema = Some(b.schema.toDDL))
+      // a writer retyping o_orderkey must be refused pre-publish
+      val rejected =
+        try {
+          CommitLog.commit(root, c2.version, added = Seq("bX"),
+            schema = Some("o_orderkey INT, o_totalprice DOUBLE, o_orderstatus STRING"))
+          0L
+        } catch { case _: CommitLog.SchemaChangeException => 1L }
+      val ddl = CommitLog.schemaOf(root, c2.version).get
+      s.read.schema(StructType.fromDDL(ddl))
+        .parquet(CommitLog.files(root, c2.version).map(f => s"$root/$f"): _*)
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"),
+          count($"o_orderstatus").as("n_status"))
+        .select(
+          lit(c2.version.toLong).as("n_versions"),
+          lit(rejected).as("rejected"),
+          $"n", $"total", $"n_status")
+    },
+
     // S23: MERGE-ON-READ deletes via positional DELETION VECTORS — the
     // other half of the lakehouse delete design space next to S22's
     // copy-on-write: a delete commit writes only the (file, row_index)

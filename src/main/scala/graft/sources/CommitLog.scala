@@ -123,13 +123,69 @@ object CommitLog {
     else {
       val cv = candidates.max
       val txt = new String(Files.readAllBytes(ckptPath(root, cv)), "UTF-8")
-      Some((cv, parseList(txt)))
+      Some((cv, parseList(extractField(txt, "files"))))
     }
   }
 
   private def readDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
     val txt = new String(Files.readAllBytes(manifest(root, v)), "UTF-8")
     (parseList(extractField(txt, "add")), parseList(extractField(txt, "remove")))
+  }
+
+  /** The table schema in force at version `v` (None = never declared).
+    * Schema is versioned state exactly like the file set: a manifest
+    * that changed it carries the new DDL, checkpoints snapshot the
+    * DDL in force, and reconstruction is the same
+    * nearest-checkpoint-plus-replay walk — so time travel reads OLD
+    * versions under their OLD schema, and vacuum preserves the schema
+    * through the cutoff checkpoint. */
+  def schemaOf(root: String, v: Int): Option[String] = {
+    if (v == 0) return None
+    val (start, base) =
+      latestCheckpointAtOrBelow(root, v).map { case (cv, _) =>
+        (cv, readSchemaField(ckptPath(root, cv)))
+      }.getOrElse((0, None))
+    ((start + 1) to v).foldLeft(base) { (cur, i) =>
+      readSchemaField(manifest(root, i)).orElse(cur)
+    }
+  }
+
+  private def readSchemaField(p: Path): Option[String] = {
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    val key = "\"schema\":\""
+    val i = txt.indexOf(key)
+    if (i < 0) None
+    else {
+      val from = i + key.length
+      Some(txt.substring(from, txt.indexOf('"', from)))
+    }
+  }
+
+  /** Thrown when a commit declares a schema the current one cannot
+    * evolve to (dropped column or changed type — additive nullable
+    * columns are the only permitted evolution, the Delta mergeSchema
+    * contract). */
+  final class SchemaChangeException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** Additive evolution check: every current field must survive in
+    * `next` with the same type; new fields may only be appended. */
+  private def checkEvolution(cur: String, next: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val curF = StructType.fromDDL(cur).fields.map(f => f.name -> f.dataType).toMap
+    val nextF = StructType.fromDDL(next).fields.map(f => f.name -> f.dataType).toMap
+    val dropped = curF.keySet -- nextF.keySet
+    if (dropped.nonEmpty)
+      throw new SchemaChangeException(
+        s"schema change drops columns ${dropped.mkString(",")} — " +
+          "rewrite the table instead of evolving it")
+    val retyped = curF.collect {
+      case (n, t) if nextF(n) != t => s"$n: $t -> ${nextF(n)}"
+    }
+    if (retyped.nonEmpty)
+      throw new SchemaChangeException(
+        s"schema change retypes ${retyped.mkString("; ")} — " +
+          "only additive nullable columns may evolve")
   }
 
   /** Pull the `[...]` value of `"name":` out of a flat one-level JSON
@@ -170,12 +226,18 @@ object CommitLog {
   }
 
   /** Atomically publish the DELTA manifest for `v` — true iff this
-    * call won the version. */
+    * call won the version. `schema` is recorded only by the commit
+    * that changes it (O(delta) applies to schema metadata too). */
   def tryCommit(
       root: String, v: Int,
-      added: Seq[String], removed: Seq[String]): Boolean =
+      added: Seq[String], removed: Seq[String],
+      schema: Option[String] = None): Boolean = {
+    schema.foreach(s => require(!s.contains('"'),
+      "schema DDL must not contain double quotes"))
+    val schemaField = schema.map(s => s""","schema":"$s"""").getOrElse("")
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField}""")
+  }
 
   /** One committed version's change set. */
   final case class Change(version: Int, added: Seq[String], removed: Seq[String])
@@ -194,11 +256,17 @@ object CommitLog {
     }
 
   /** Publish the full-snapshot checkpoint at `v` (idempotent: derived
-    * content + create-if-absent, so racers and re-runs are no-ops). */
+    * content + create-if-absent, so racers and re-runs are no-ops).
+    * Carries the schema in force so schema replay never needs an
+    * expired delta chain. */
   private[graft] def writeCheckpoint(root: String, v: Int): Unit = {
     if (v == 0) return
-    if (!Files.exists(ckptPath(root, v)))
-      atomicCreate(ckptPath(root, v), renderList(files(root, v)))
+    if (!Files.exists(ckptPath(root, v))) {
+      val schemaField =
+        schemaOf(root, v).map(s => s""","schema":"$s"""").getOrElse("")
+      atomicCreate(ckptPath(root, v),
+        s"""{"files":${renderList(files(root, v))}$schemaField}""")
+    }
   }
 
   final case class VacuumStats(
@@ -267,10 +335,19 @@ object CommitLog {
     * publish `added`, retire `removed`, starting from the snapshot the
     * writer read at `readVersion`. Returns the committed version.
     * Throws `ConcurrentModificationException` when a rival removed any
-    * of THIS writer's `removed` set first (overlapping copy-on-write). */
+    * of THIS writer's `removed` set first (overlapping copy-on-write).
+    *
+    * `schema` declares the writer's DDL: the first declaration is
+    * recorded as the table schema; a matching declaration inherits (no
+    * manifest bytes); an ADDITIVE change (new columns, existing ones
+    * intact — the Delta mergeSchema contract) is recorded as the new
+    * schema in force; a dropped or retyped column throws
+    * [[SchemaChangeException]] BEFORE any manifest is published — the
+    * enforcement half of S11's evolution story, now log-governed. */
   def commit(
       root: String, readVersion: Int,
       added: Seq[String], removed: Seq[String] = Nil,
+      schema: Option[String] = None,
       maxAttempts: Int = 50): Commit = {
     val removedSet = removed.toSet
     var base = readVersion
@@ -287,7 +364,17 @@ object CommitLog {
             s"conflict at v$base: rival commit removed " +
               s"${removedSet -- cur} first (overlapping copy-on-write)")
       }
-      if (tryCommit(root, base + 1, added, removed)) {
+      // Schema arbitration against the base ACTUALLY COMMITTED under
+      // (re-checked per rebase: a rival may have evolved it first).
+      // Record only a changed schema — inheritance costs zero bytes.
+      val toRecord = schema.flatMap { next =>
+        schemaOf(root, base) match {
+          case None => Some(next)
+          case Some(cur) if cur == next => None
+          case Some(cur) => checkEvolution(cur, next); Some(next)
+        }
+      }
+      if (tryCommit(root, base + 1, added, removed, toRecord)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -203,6 +203,57 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     intercept[java.nio.file.NoSuchFileException](CommitLog.files(root, 3))
   }
 
+  test("schema: first declaration records, inheritance costs zero manifest bytes, history replays") {
+    val root = freshRoot("schema")
+    val ddl = "id BIGINT, name STRING"
+    CommitLog.commit(root, 0, added = Seq("b1"), schema = Some(ddl))
+    CommitLog.commit(root, 1, added = Seq("b2"), schema = Some(ddl))
+    assert(CommitLog.schemaOf(root, 1).contains(ddl))
+    assert(CommitLog.schemaOf(root, 2).contains(ddl))
+    // the inheriting commit must NOT re-record the DDL (O(delta)
+    // applies to schema metadata too)
+    val v2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_log", "v2.json")), "UTF-8")
+    assert(!v2.contains("schema"), s"inheriting manifest re-recorded schema: $v2")
+  }
+
+  test("schema: additive evolution is recorded in force; time travel keeps the old DDL") {
+    val root = freshRoot("schema_evo")
+    val v1ddl = "id BIGINT"
+    val v2ddl = "id BIGINT, score DOUBLE"
+    CommitLog.commit(root, 0, added = Seq("b1"), schema = Some(v1ddl))
+    CommitLog.commit(root, 1, added = Seq("b2"), schema = Some(v2ddl))
+    assert(CommitLog.schemaOf(root, 1).contains(v1ddl), "old version, old schema")
+    assert(CommitLog.schemaOf(root, 2).contains(v2ddl))
+  }
+
+  test("schema: dropped or retyped columns are rejected before any manifest publishes") {
+    val root = freshRoot("schema_rej")
+    CommitLog.commit(root, 0, added = Seq("b1"),
+      schema = Some("id BIGINT, name STRING"))
+    intercept[CommitLog.SchemaChangeException] {
+      CommitLog.commit(root, 1, added = Seq("b2"), schema = Some("id BIGINT"))
+    }
+    intercept[CommitLog.SchemaChangeException] {
+      CommitLog.commit(root, 1, added = Seq("b2"),
+        schema = Some("id INT, name STRING"))
+    }
+    assert(CommitLog.latestVersion(root) == 1,
+      "a rejected schema change must leave no manifest behind")
+  }
+
+  test("schema: survives vacuum through the cutoff checkpoint") {
+    val root = freshRoot("schema_vac")
+    stage(root, "b1"); stage(root, "b2"); stage(root, "b3")
+    val ddl = "id BIGINT, payload STRING"
+    CommitLog.commit(root, 0, added = Seq("b1"), schema = Some(ddl))
+    CommitLog.commit(root, 1, added = Seq("b2"))
+    CommitLog.commit(root, 2, added = Seq("b3"))
+    CommitLog.vacuum(root, keepLast = 1) // expires the declaring manifest
+    assert(CommitLog.schemaOf(root, 3).contains(ddl),
+      "schema must ride the cutoff checkpoint past the expired declaration")
+  }
+
   test("vacuum expires old manifests and sweeps only batches no retained version references") {
     val root = freshRoot("vac")
     stage(root, "b1"); stage(root, "b2"); stage(root, "b3")

@@ -259,6 +259,64 @@ object Multimodal {
     }.toDF()
   }
 
+  /** One encoded image per `doc_id % 15 == 0` document (the 8×6 size
+    * class, so every image shares one hash geometry) as `img_id =
+    * 2·doc_id`, plus a PERTURBED VARIANT (`img_id = 2·doc_id + 1`, red
+    * channel of pixel (0,0) shifted +16 mod 256) for every
+    * `doc_id % 90 == 0` — planted image near-dups whose decoded
+    * luminance differs in at most one grid cell. Real JDK PNG codec on
+    * both legs; narrow map, no shuffle. */
+  private final case class PhashImg(img_id: Long, payload: Array[Byte])
+
+  private[graft] def phashImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Qh.t(s, dir, "documents")
+      .filter($"doc_id" % 15 === 0)
+      .select($"doc_id").as[Long]
+      .flatMap(d => Seq((d, 0), (d, 1)).filter(_._2 == 0 || d % 90 == 0))
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (docId, variant) =>
+          val img = new java.awt.image.BufferedImage(
+            8, 6, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 6) {
+            var x = 0
+            while (x < 8) {
+              val (r0, g, b) = gridRgb(docId, x, y)
+              val r =
+                if (variant == 1 && x == 0 && y == 0) (r0 + 16) % 256 else r0
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          PhashImg(docId * 2 + variant, out.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** Decoded luminance grid (r+g+b per pixel, index `i = y*8 + x`) from
+    * the REAL `ImageIO.read` — the hash downstream sees only decoded
+    * pixels, so a codec bug breaks the pair set. */
+  private[graft] def phashLums(imgs: DataFrame): DataFrame = {
+    import imgs.sparkSession.implicits._
+    imgs.as[PhashImg].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(64).flatMap(_.iterator.map { row =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        val lums = Array.tabulate(48) { i =>
+          val rgb = img.getRGB(i % 8, i / 8)
+          ((rgb >> 16) & 255) + ((rgb >> 8) & 255) + (rgb & 255)
+        }
+        (row.img_id, lums)
+      })
+    }.toDF("img_id", "lums")
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // Binary + metadata plumbing: SQL-checkable part of the surface.
@@ -431,6 +489,70 @@ object Multimodal {
         .select($"doc_id", $"n_bytes", Qh.r6($"mean_byte").as("mean_byte"),
           $"n_vowel_bytes")
         .orderBy("doc_id")
+    },
+
+    // L6g: PERCEPTUAL-HASH IMAGE DEDUP — the multimodal member of the
+    // L2 dedup family: encode (real PNG codec) → decode (real
+    // ImageIO.read) → 48-bit average-hash over the DECODED luminance
+    // grid (bit_i set iff 48·lum_i > Σlum — integer cross-multiply, no
+    // float mean) → banded Hamming pair mining, the l2_simhash_hamming
+    // discipline: 4 bands of 12 bits, and 4 bands > hamming cap 2
+    // makes the banding EXACT by pigeonhole, so the engine must
+    // produce precisely the oracle's full-quadratic pair set. Pairs
+    // come from planted perturbed variants (one pixel shifted — at
+    // most one luminance cell moves) and from grid collisions
+    // (doc_id ≡ doc_id' mod 256 yields identical images — true dups).
+    // Everything from the hash down is codegen HOFs + one band
+    // equi-join; the only non-relational stage is the codec itself,
+    // and a codec bug breaks the pair set. At 100 TB band cardinality
+    // (2^12 per band) is the block-size dial, same as SimHash.
+    Decl(
+      "l6_phash_dedup",
+      """WITH base AS (
+        |  SELECT doc_id, 2 * doc_id AS img_id, 0 AS variant
+        |  FROM documents WHERE doc_id % 15 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2 * doc_id + 1, 1
+        |  FROM documents WHERE doc_id % 90 = 0),
+        |g AS (SELECT img_id, doc_id, variant, unnest(range(8)) AS x FROM base),
+        |gxy AS (SELECT img_id, doc_id, variant, x, unnest(range(6)) AS y FROM g),
+        |lum AS (
+        |  SELECT img_id, CAST(y * 8 + x AS BIGINT) AS i,
+        |    (CASE WHEN variant = 1 AND x = 0 AND y = 0
+        |          THEN ((doc_id * 31 + x * 7 + y * 13) % 256 + 16) % 256
+        |          ELSE (doc_id * 31 + x * 7 + y * 13) % 256 END)
+        |    + (doc_id * 17 + x * 11 + y * 5) % 256
+        |    + (doc_id * 29 + x * 3 + y * 19) % 256 AS l
+        |  FROM gxy),
+        |t AS (SELECT img_id, sum(l) AS total FROM lum GROUP BY img_id),
+        |h AS (
+        |  SELECT lum.img_id,
+        |    sum(CASE WHEN 48 * l > total THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS hash
+        |  FROM lum JOIN t ON t.img_id = lum.img_id
+        |  GROUP BY lum.img_id)
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.hash, b.hash)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 2
+        |ORDER BY img_a, img_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hashes = phashLums(phashImages(s, dir))
+        .withColumn("total", expr("aggregate(lums, 0L, (a, x) -> a + x)"))
+        .withColumn("hash", expr(
+          """aggregate(sequence(0, 47), 0L,
+            |  (a, i) -> a + IF(48 * lums[i] > total, shiftleft(1L, i), 0L))""".stripMargin))
+        .select($"img_id", $"hash")
+      val banded = hashes.select($"img_id", $"hash",
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("band", expr("shiftrightunsigned(hash, b * 12) & 4095"))
+      banded.as("x").join(banded.as("y"),
+          $"x.b" === $"y.b" && $"x.band" === $"y.band" &&
+            $"x.img_id" < $"y.img_id")
+        .select($"x.img_id".as("img_a"), $"y.img_id".as("img_b"),
+          bit_count($"x.hash".bitwiseXOR($"y.hash")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 2)
+        .orderBy("img_a", "img_b")
     }
   )
 }

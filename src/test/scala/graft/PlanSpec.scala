@@ -74,7 +74,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
       "l2_cosine_neardup_bucketed", "l2_simhash_blocked",
       "j7_range", "l2_substring_dedup", "l13_triangles",
-      "w7_funnel", "w8_retention", "j13_spatial_grid")) {
+      "w7_funnel", "w8_retention", "j13_spatial_grid",
+      "l6_phash_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")

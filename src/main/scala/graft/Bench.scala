@@ -27,93 +27,93 @@ object Bench {
     * (scripts/bench_pins.json). Queries absent from the map (newly
     * added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.434, "a1_hashagg" -> 1.208, "a2_distinct" -> 0.727,
-    "a3_approx_distinct" -> 2.185, "a3_hll_merge" -> 0.668,
-    "a4_cube" -> 0.786, "a4_grouping_sets" -> 0.847, "a4_rollup" -> 0.906,
-    "a5_filtered_agg" -> 0.573, "a6_approx_percentile" -> 3.034,
-    "a6_stats" -> 2.526, "a6_tdigest" -> 2.573, "a7_collect" -> 0.897,
-    "a8_pivot" -> 0.720, "a9_salted_agg" -> 0.870,
-    "c1_upsert_latest" -> 0.630, "c2_scd2_intervals" -> 0.809,
-    "c3_incremental_agg" -> 1.783, "c4_cdc_apply" -> 0.876,
-    "c5_retractable_agg" -> 2.077, "flagship_pipeline" -> 0.450,
-    "j10_bloom_semi" -> 1.096, "j11_salted_skew_join" -> 0.875,
-    "j12_interval_overlap" -> 1.167, "j13_spatial_grid" -> 0.919,
-    "j14_cobucketed_join" -> 0.545, "j1_semi_broadcast" -> 0.808,
-    "j2_inner" -> 0.700, "j3_multiway" -> 1.936, "j4_full_outer" -> 0.509,
-    "j4_left_outer" -> 0.415, "j5_anti" -> 0.376, "j6_sortmerge" -> 1.079,
-    "j7_range" -> 0.928, "j8_cross" -> 0.291, "j9_asof" -> 0.758,
-    "j9_asof_join" -> 0.763, "l10_drift" -> 0.862, "l10_profile" -> 0.365,
-    "l10_zipf" -> 0.640, "l11_decontam" -> 1.404,
-    "l11_semantic_decontam" -> 0.552, "l12_global_ids" -> 0.711,
-    "l13_bfs" -> 1.391, "l13_hits" -> 5.987, "l13_kcore" -> 1.627,
-    "l13_pagerank" -> 3.072, "l13_triangles" -> 1.277,
-    "l14_fuzzy_join" -> 2.439, "l1_exact_dedup" -> 0.501,
-    "l2_cc_star" -> 5.001, "l2_chunk_dedup" -> 1.724,
-    "l2_cosine_neardup" -> 0.680, "l2_cosine_neardup_bucketed" -> 0.656,
-    "l2_dedup_clusters" -> 3.172, "l2_incremental_dedup" -> 1.504,
-    "l2_lsh_pairs" -> 1.732, "l2_minhash_estimate" -> 2.044,
-    "l2_minhash_sigs" -> 2.108, "l2_ngram_jaccard" -> 7.155,
-    "l2_simhash" -> 0.803, "l2_simhash_blocked" -> 3.774,
-    "l2_simhash_hamming" -> 2.293, "l2_substring_dedup" -> 2.211,
-    "l2_survivor_selection" -> 3.493, "l3_ann_ivf" -> 0.985,
-    "l3_ann_ivfpq" -> 2.235, "l3_ann_lsh" -> 2.053, "l3_ann_pq" -> 1.720,
-    "l3_ann_recall" -> 2.198, "l3_ann_trained" -> 3.422,
-    "l3_cosine_topk" -> 0.436, "l3_jl_projection" -> 0.702,
-    "l3_kmeans" -> 1.701, "l3_pca_power" -> 0.733,
-    "l3_semantic_dedup" -> 1.793, "l4_bm25" -> 2.182,
-    "l4_bpe_encode" -> 1.602, "l4_bpe_pair_stats" -> 1.023,
-    "l4_bpe_train" -> 1.000, "l4_count_min" -> 0.760,
-    "l4_fingerprint" -> 1.216, "l4_heavy_hitters" -> 0.614,
-    "l4_lang_id" -> 0.554, "l4_lm_score" -> 2.047, "l4_pii_redact" -> 0.908,
-    "l4_quality_score" -> 0.784, "l4_repetition" -> 2.490,
-    "l4_repetition_quality" -> 1.704, "l4_term_freq" -> 0.716,
-    "l4_tfidf" -> 1.071, "l4_token_stats" -> 0.824, "l5_histogram" -> 0.358,
-    "l6_decode_audio" -> 1.564, "l6_decode_features" -> 0.428,
-    "l6_decode_real" -> 1.635, "l6_multimodal_meta" -> 0.271,
-    "l6_phash_dedup" -> 1.061, "l6_quantize_int8" -> 0.396,
-    "l6_resize_framesample" -> 0.220, "l7_curation_pipeline" -> 0.882,
-    "l8_bottomk_sample" -> 0.313, "l8_deterministic_sample" -> 0.198,
-    "l8_deterministic_split" -> 0.360, "l8_mixture_weights" -> 0.381,
-    "l8_stratified_sample" -> 0.211, "l8_weighted_sample" -> 0.315,
-    "l9_sequence_packing" -> 0.512, "l9_shard_export" -> 1.719,
-    "o1_topk" -> 0.225, "o2_limit" -> 0.219, "o3_union" -> 0.492,
-    "o3_union_distinct" -> 0.553, "o4_except" -> 0.514,
-    "o4_except_all" -> 0.738, "o4_intersect" -> 0.474,
-    "o4_intersect_all" -> 0.527, "p10_map_hof" -> 1.480, "p10_maps" -> 1.333,
-    "p11_envelope" -> 0.429, "p12_unpivot" -> 0.305,
-    "p13_subqueries" -> 0.583, "p14_variant" -> 2.360,
-    "p15_lateral" -> 0.475, "p16_try_functions" -> 3.823,
-    "p1_prune" -> 0.692, "p2_filter" -> 0.452, "p3_inlist" -> 0.201,
-    "p4_strings" -> 0.299, "p5_datetime" -> 0.476, "p6_math" -> 0.863,
-    "p7_conditional" -> 0.250, "p8_json" -> 1.104, "p8_json_nested" -> 3.189,
-    "p9_array_fns" -> 0.192, "p9_arrays" -> 0.289, "p9_explode" -> 0.174,
-    "p9_posexplode" -> 0.242, "s10_vector_index" -> 1.423,
-    "s10b_index_append" -> 1.800, "s11_schema_evolution" -> 0.717,
-    "s12_compaction" -> 1.224, "s13_dpp_join" -> 1.680,
-    "s14_zorder_layout" -> 1.381, "s15_stats_pruned_scan" -> 1.293,
-    "s16_binaryfile_ingest" -> 1.164, "s17_xml_roundtrip" -> 1.584,
-    "s18_corrupt_drop" -> 0.488, "s19_envelope_sink" -> 1.183,
-    "s20_bson_dump" -> 1.751, "s21_mongo_extjson" -> 1.796,
-    "s22_time_travel" -> 1.506, "s22b_log_vacuum" -> 1.044,
-    "s22c_change_feed" -> 1.832, "s22d_log_tail" -> 1.762,
-    "s22e_schema_enforced" -> 0.701, "s23_merge_on_read" -> 1.654,
-    "s3_jdbc_roundtrip" -> 0.481, "s4_json_roundtrip" -> 0.932,
-    "s5_kafka_envelope" -> 0.316, "s6_csv_roundtrip" -> 0.719,
-    "s7_orc_roundtrip" -> 1.255, "s8_envelope_source" -> 0.965,
-    "s9_partitioned_prune" -> 0.800, "t12_stream_envelope_sink" -> 1.630,
-    "t13_stream_envelope_source" -> 2.463, "t1_tumbling" -> 0.603,
-    "t2_sliding" -> 0.646, "t3_session" -> 1.221,
-    "t4_watermark_closed" -> 0.757, "t5_dedup" -> 0.436,
-    "t6_stateful_running" -> 0.728, "t7_stream_static" -> 0.680,
-    "t8_foreachbatch_jdbc" -> 1.272, "t8c_exactly_once_jdbc" -> 2.416,
-    "t9_stream_stream" -> 0.594, "t9_stream_stream_full" -> 0.728,
-    "t9_stream_stream_outer" -> 0.487, "t9_stream_stream_semi" -> 0.487,
-    "w10_seasonal_decomp" -> 0.683, "w11_ewma" -> 0.689,
-    "w1_ranking" -> 1.049, "w2_analytic" -> 0.999, "w3_frames" -> 1.111,
-    "w3_time_range" -> 0.744, "w4_topk_per_group" -> 0.456,
-    "w4_topk_window_idiom" -> 0.575, "w5_distribution" -> 1.260,
-    "w6_gap_fill" -> 0.929, "w7_funnel" -> 0.644, "w8_retention" -> 0.525,
-    "w9_anomaly" -> 0.861)
+    "a10_kmv_sketch" -> 2.134, "a1_hashagg" -> 1.186, "a2_distinct" -> 0.693,
+    "a3_approx_distinct" -> 2.032, "a3_hll_merge" -> 0.540,
+    "a4_cube" -> 0.701, "a4_grouping_sets" -> 0.763, "a4_rollup" -> 0.631,
+    "a5_filtered_agg" -> 0.469, "a6_approx_percentile" -> 2.419,
+    "a6_stats" -> 2.329, "a6_tdigest" -> 2.263, "a7_collect" -> 0.898,
+    "a8_pivot" -> 0.632, "a9_salted_agg" -> 0.751,
+    "c1_upsert_latest" -> 0.635, "c2_scd2_intervals" -> 0.775,
+    "c3_incremental_agg" -> 2.252, "c4_cdc_apply" -> 0.749,
+    "c5_retractable_agg" -> 2.129, "flagship_pipeline" -> 0.481,
+    "j10_bloom_semi" -> 1.101, "j11_salted_skew_join" -> 0.844,
+    "j12_interval_overlap" -> 1.091, "j13_spatial_grid" -> 0.976,
+    "j14_cobucketed_join" -> 0.584, "j1_semi_broadcast" -> 0.780,
+    "j2_inner" -> 0.633, "j3_multiway" -> 2.283, "j4_full_outer" -> 0.586,
+    "j4_left_outer" -> 0.469, "j5_anti" -> 0.352, "j6_sortmerge" -> 0.976,
+    "j7_range" -> 0.779, "j8_cross" -> 0.278, "j9_asof" -> 0.791,
+    "j9_asof_join" -> 0.615, "l10_drift" -> 0.870, "l10_profile" -> 0.386,
+    "l10_zipf" -> 0.621, "l11_decontam" -> 1.448,
+    "l11_semantic_decontam" -> 0.542, "l12_global_ids" -> 0.772,
+    "l13_bfs" -> 1.395, "l13_hits" -> 5.115, "l13_kcore" -> 1.568,
+    "l13_pagerank" -> 2.922, "l13_triangles" -> 1.191,
+    "l14_fuzzy_join" -> 2.259, "l1_exact_dedup" -> 0.387,
+    "l2_cc_star" -> 4.521, "l2_chunk_dedup" -> 1.577,
+    "l2_cosine_neardup" -> 0.617, "l2_cosine_neardup_bucketed" -> 0.544,
+    "l2_dedup_clusters" -> 2.836, "l2_incremental_dedup" -> 1.235,
+    "l2_lsh_pairs" -> 1.385, "l2_minhash_estimate" -> 1.495,
+    "l2_minhash_sigs" -> 1.924, "l2_ngram_jaccard" -> 6.547,
+    "l2_simhash" -> 0.887, "l2_simhash_blocked" -> 3.874,
+    "l2_simhash_hamming" -> 2.310, "l2_substring_dedup" -> 2.458,
+    "l2_survivor_selection" -> 3.203, "l3_ann_ivf" -> 0.834,
+    "l3_ann_ivfpq" -> 1.806, "l3_ann_lsh" -> 1.881, "l3_ann_pq" -> 1.567,
+    "l3_ann_recall" -> 2.134, "l3_ann_trained" -> 2.808,
+    "l3_cosine_topk" -> 0.416, "l3_jl_projection" -> 0.557,
+    "l3_kmeans" -> 1.247, "l3_pca_power" -> 0.463,
+    "l3_semantic_dedup" -> 1.529, "l4_bm25" -> 1.750,
+    "l4_bpe_encode" -> 1.502, "l4_bpe_pair_stats" -> 0.777,
+    "l4_bpe_train" -> 0.939, "l4_count_min" -> 0.652,
+    "l4_fingerprint" -> 0.858, "l4_heavy_hitters" -> 0.608,
+    "l4_lang_id" -> 0.529, "l4_lm_score" -> 1.419, "l4_pii_redact" -> 0.750,
+    "l4_pmi_phrases" -> 0.921, "l4_quality_score" -> 0.637,
+    "l4_repetition" -> 1.827, "l4_repetition_quality" -> 1.191,
+    "l4_term_freq" -> 0.610, "l4_tfidf" -> 0.891, "l4_token_stats" -> 0.564,
+    "l5_histogram" -> 0.289, "l6_decode_audio" -> 1.216,
+    "l6_decode_features" -> 0.427, "l6_decode_real" -> 1.433,
+    "l6_multimodal_meta" -> 0.201, "l6_phash_dedup" -> 0.793,
+    "l6_quantize_int8" -> 0.311, "l6_resize_framesample" -> 0.197,
+    "l7_curation_pipeline" -> 0.681, "l8_bottomk_sample" -> 0.252,
+    "l8_deterministic_sample" -> 0.153, "l8_deterministic_split" -> 0.230,
+    "l8_mixture_weights" -> 0.254, "l8_stratified_sample" -> 0.177,
+    "l8_weighted_sample" -> 0.267, "l9_sequence_packing" -> 0.409,
+    "l9_shard_export" -> 1.481, "o1_topk" -> 0.161, "o2_limit" -> 0.128,
+    "o3_union" -> 0.385, "o3_union_distinct" -> 0.424, "o4_except" -> 0.342,
+    "o4_except_all" -> 0.572, "o4_intersect" -> 0.366,
+    "o4_intersect_all" -> 0.442, "p10_map_hof" -> 1.603, "p10_maps" -> 0.973,
+    "p11_envelope" -> 0.426, "p12_unpivot" -> 0.282,
+    "p13_subqueries" -> 0.517, "p14_variant" -> 1.718,
+    "p15_lateral" -> 0.416, "p16_try_functions" -> 3.247,
+    "p1_prune" -> 0.626, "p2_filter" -> 0.385, "p3_inlist" -> 0.167,
+    "p4_strings" -> 0.264, "p5_datetime" -> 0.468, "p6_math" -> 0.869,
+    "p7_conditional" -> 0.226, "p8_json" -> 0.777, "p8_json_nested" -> 2.953,
+    "p9_array_fns" -> 0.201, "p9_arrays" -> 0.275, "p9_explode" -> 0.199,
+    "p9_posexplode" -> 0.189, "s10_vector_index" -> 1.542,
+    "s10b_index_append" -> 1.869, "s11_schema_evolution" -> 0.780,
+    "s12_compaction" -> 1.165, "s13_dpp_join" -> 1.493,
+    "s14_zorder_layout" -> 1.116, "s15_stats_pruned_scan" -> 1.169,
+    "s16_binaryfile_ingest" -> 1.218, "s17_xml_roundtrip" -> 1.473,
+    "s18_corrupt_drop" -> 0.474, "s19_envelope_sink" -> 1.076,
+    "s20_bson_dump" -> 1.633, "s21_mongo_extjson" -> 1.671,
+    "s22_time_travel" -> 1.225, "s22b_log_vacuum" -> 0.862,
+    "s22c_change_feed" -> 1.564, "s22d_log_tail" -> 1.584,
+    "s22e_schema_enforced" -> 0.584, "s23_merge_on_read" -> 1.496,
+    "s3_jdbc_roundtrip" -> 0.440, "s4_json_roundtrip" -> 0.871,
+    "s5_kafka_envelope" -> 0.251, "s6_csv_roundtrip" -> 0.603,
+    "s7_orc_roundtrip" -> 1.133, "s8_envelope_source" -> 0.808,
+    "s9_partitioned_prune" -> 0.747, "t12_stream_envelope_sink" -> 1.419,
+    "t13_stream_envelope_source" -> 1.969, "t1_tumbling" -> 0.568,
+    "t2_sliding" -> 0.573, "t3_session" -> 0.961,
+    "t4_watermark_closed" -> 0.569, "t5_dedup" -> 0.407,
+    "t6_stateful_running" -> 0.649, "t7_stream_static" -> 0.741,
+    "t8_foreachbatch_jdbc" -> 1.042, "t8c_exactly_once_jdbc" -> 2.080,
+    "t9_stream_stream" -> 0.519, "t9_stream_stream_full" -> 0.593,
+    "t9_stream_stream_outer" -> 0.463, "t9_stream_stream_semi" -> 0.452,
+    "w10_seasonal_decomp" -> 0.641, "w11_ewma" -> 0.557,
+    "w1_ranking" -> 0.923, "w2_analytic" -> 1.014, "w3_frames" -> 1.014,
+    "w3_time_range" -> 0.734, "w4_topk_per_group" -> 0.440,
+    "w4_topk_window_idiom" -> 0.534, "w5_distribution" -> 1.141,
+    "w6_gap_fill" -> 0.862, "w7_funnel" -> 0.579, "w8_retention" -> 0.528,
+    "w9_anomaly" -> 0.924)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -1359,6 +1359,70 @@ object TextAnalysis {
           Qh.r6(slope).as("slope"),
           Qh.r6(($"sy" - slope * $"sx") / $"n").as("intercept"))
         .orderBy("lang")
+    },
+
+    // L4n: PMI PHRASE MINING — pointwise mutual information over
+    // adjacent token pairs, the classic collocation detector (word2vec
+    // phrase pass, Mikolov et al. 2013): PMI = ln(p(ab)/(p(a)p(b))),
+    // high when a bigram co-occurs far above chance — the phrases a
+    // tokenizer or n-gram vocabulary should treat as units. Corpus
+    // side is two hash aggs (vocab-sized unigrams, (w1,w2)-keyed
+    // bigrams with partial combine), unigram counts joined back twice
+    // (vocab-sized → broadcast), totals a one-row broadcast, top-50 a
+    // TakeOrdered — no sort of the full bigram table, no cartesian
+    // beyond the one-row totals. The c_ab >= 5 floor is the standard
+    // noise gate (PMI is maximized by hapax pairs without it). ln
+    // rides the r6 discipline BM25 proved cross-engine-stable; the
+    // division shapes are kept identical on both sides so the doubles
+    // match bit-for-bit.
+    Decl(
+      "l4_pmi_phrases",
+      s"""WITH d AS (SELECT doc_id, ${Qh.oToksExpr} AS t FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+         |  FROM d WHERE len(t) >= 2),
+         |uni AS (SELECT unnest(t) AS tok FROM d),
+         |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+         |tot AS (
+         |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS m_toks,
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM bg) AS n_bg),
+         |cab AS (
+         |  SELECT w1, w2, count(*) AS c_ab FROM bg
+         |  GROUP BY w1, w2 HAVING count(*) >= 5)
+         |SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+         |  ${Qh.oR6("ln((CAST(c_ab AS DOUBLE) / n_bg) / " +
+            "((CAST(a.c AS DOUBLE) / m_toks) * (CAST(b.c AS DOUBLE) / m_toks)))")} AS pmi
+         |FROM cab
+         |JOIN uc a ON a.tok = w1
+         |JOIN uc b ON b.tok = w2
+         |CROSS JOIN tot
+         |ORDER BY pmi DESC, w1, w2
+         |LIMIT 50""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = Qh.t(s, dir, "documents")
+        .select(expr(Qh.toksExpr).as("toks"))
+      val bigrams = toks.filter(size($"toks") >= 2)
+        .select(explode(zip_with(
+          slice($"toks", lit(1), size($"toks") - 1),
+          slice($"toks", lit(2), size($"toks") - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select($"bg.w1".as("w1"), $"bg.w2".as("w2"))
+      val uni = toks.select(explode($"toks").as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val totals = uni.agg(sum($"c").cast(DoubleType).as("m_toks"))
+        .crossJoin(bigrams.agg(count(lit(1)).cast(DoubleType).as("n_bg")))
+      bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+        .filter($"c_ab" >= 5)
+        .join(broadcast(uni.select($"tok".as("w1"), $"c".as("c_a"))), "w1")
+        .join(broadcast(uni.select($"tok".as("w2"), $"c".as("c_b"))), "w2")
+        .crossJoin(broadcast(totals))
+        .select($"w1", $"w2", $"c_ab",
+          Qh.r6(log(($"c_ab".cast(DoubleType) / $"n_bg") /
+            (($"c_a".cast(DoubleType) / $"m_toks") *
+              ($"c_b".cast(DoubleType) / $"m_toks")))).as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2")
+        .limit(50)
     }
   )
 }

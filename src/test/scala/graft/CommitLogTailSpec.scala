@@ -101,6 +101,89 @@ class CommitLogTailSpec extends SparkSpec {
     assert(CommitLogTail.lastProcessed(ckpt) == 3)
   }
 
+  test("chaos: 4 racing committers + a live tail + concurrent vacuums on ONE log = dense history, exactly-once drain, nothing swept") {
+    // the composed storm a shared 100 TB table actually sees: writers
+    // contending on versions while a downstream tail drains and a
+    // maintenance job vacuums. Invariants under fire: the history
+    // stays dense and linear, the tail sees every version exactly
+    // once with its exact row payload, and vacuum (with the minAge
+    // guard that is its concurrency contract) never touches a racing
+    // writer's staged-but-unpublished batch.
+    val root = freshRoot("chaos")
+    val ckpt = freshRoot("chaos_ckpt")
+    val writers = 4
+    val commitsEach = 5
+    // stage ALL parquet up front (Spark writes inside racing threads
+    // would serialize on the session); commits then race purely on the
+    // log, which is the contention under test
+    for (w <- 0 until writers; i <- 0 until commitsEach)
+      writeBatch(root, s"w${w}_b$i", Seq(w * 100 + i))
+    val swept = new java.util.concurrent.atomic.AtomicInteger(0)
+    val vacuumRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val drained = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def spawn(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try { start.await(); body } catch { case e: Throwable => failures.add(e) })
+      t.start(); t
+    }
+    val committerThreads = (0 until writers).map { w =>
+      spawn {
+        (0 until commitsEach).foreach { i =>
+          CommitLog.commit(root, CommitLog.latestVersion(root),
+            added = Seq(s"w${w}_b$i"))
+        }
+      }
+    }
+    val tailThread = spawn {
+      while (!done.get()) {
+        CommitLogTail.drain(spark, root, ckpt, ignoreDeletes = true) {
+          (df, v) =>
+            val prev = drained.putIfAbsent(v, java.lang.Long.valueOf(df.count()))
+            assert(prev == null, s"tail emitted v$v twice")
+        }
+      }
+    }
+    val vacuumThread = spawn {
+      while (!done.get()) {
+        // keepLast beyond the storm (no expiry — the tail must keep
+        // every version readable); minAge is the staged-batch guard
+        val st = CommitLog.vacuum(root, keepLast = 1000, minAgeMs = 60000)
+        swept.addAndGet(st.sweptBatches.size)
+        vacuumRuns.incrementAndGet()
+      }
+    }
+    start.countDown()
+    committerThreads.foreach(_.join(120000))
+    done.set(true)
+    tailThread.join(120000); vacuumThread.join(120000)
+    assert(failures.isEmpty, s"thread died: ${failures.peek()}")
+    // final catch-up drain for whatever the live tail missed at shutdown
+    CommitLogTail.drain(spark, root, ckpt, ignoreDeletes = true) { (df, v) =>
+      assert(drained.putIfAbsent(v, java.lang.Long.valueOf(df.count())) == null,
+        s"v$v twice")
+    }
+    val total = writers * commitsEach
+    assert(CommitLog.latestVersion(root) == total,
+      "every racing commit must land exactly once, versions dense")
+    assert(CommitLog.files(root, total).sorted ==
+      (for (w <- 0 until writers; i <- 0 until commitsEach)
+        yield s"w${w}_b$i").sorted)
+    assert(drained.size == total && CommitLogTail.lastProcessed(ckpt) == total,
+      s"tail must see all $total versions exactly once, saw ${drained.size}")
+    import scala.jdk.CollectionConverters._
+    assert(drained.values.asScala.map(_.longValue).sum == total.toLong,
+      "each single-row batch drains with its exact payload")
+    assert(swept.get() == 0,
+      "vacuum must never sweep a racing writer's staged batch")
+    assert(vacuumRuns.get() > 0, "vacuum must actually have raced the storm")
+    // the checkpoint cadence fired under contention too
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "_log", s"ckpt-v${CommitLog.checkpointInterval}.json")))
+  }
+
   test("AvailableNow bound: a commit landing mid-drain waits for the next invocation") {
     val root = freshRoot("nowbound")
     val ckpt = freshRoot("nowbound_ckpt")

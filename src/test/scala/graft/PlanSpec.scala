@@ -432,6 +432,17 @@ class PlanSpec extends SparkSpec {
       "expected partial + final HashAggregate")
   }
 
+  test("l4_pmi_phrases: broadcast unigram joins, one-row totals, bounded top-50") {
+    // the corpus-sized bigram table must join vocab-sized unigram
+    // counts as broadcasts and cut to 50 on a bounded TakeOrdered —
+    // a full sort or a shuffled unigram join would not survive 100 TB
+    val p = plan("l4_pmi_phrases")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded TakeOrdered, not a global sort:\n${p.take(600)}")
+    assert(p.contains("BroadcastHashJoin"), "unigram joins must broadcast")
+    assert(!p.contains("CartesianProduct"), "only the one-row totals may nested-loop")
+  }
+
   test("l3_semantic_dedup: within-cluster pairs come from an equi-join on cid") {
     // SemDeDup's scale contract: pair volume is Σ cluster², driven by a
     // cid equi-join — never an all-pairs cartesian; assignment stays a

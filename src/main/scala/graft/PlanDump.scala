@@ -58,7 +58,11 @@ object PlanDump {
       "s23_merge_on_read" -> "Merge-on-read deletes (r8): positional deletion vectors from the parquet reader's own _metadata (file_path, row_index); the read-time reconcile is a BROADCAST left-anti join (DV side is deletes-sized); v3 compaction applies vectors once and returns reads to scan speed.",
       "l13_bfs" -> "Multi-source BFS (r8): each relaxation round joins the frontier to the SRC-bucketed adjacency (edge side exchange-free) + one min-agg keyed by dst; k-hop composes by iteration with released frontiers.",
       "l10_drift" -> "Corpus drift / JS divergence (r8): ONE (lang, token) agg carries both source cohorts as conditional sums, per-lang totals broadcast back, per-token fixed-point terms, DECIMAL-exact per-lang sum — a single corpus scan end to end.",
-      "w11_ewma" -> "Per-user EWMA (r8): the recursive smoother frame windows can't express, as ONE user-keyed collect agg + an ordered in-row fold (alpha=1/2 — every step one add + one exact binary halving, so the fold is cross-engine bit-identical with no per-step rounding).")
+      "w11_ewma" -> "Per-user EWMA (r8): the recursive smoother frame windows can't express, as ONE user-keyed collect agg + an ordered in-row fold (alpha=1/2 — every step one add + one exact binary halving, so the fold is cross-engine bit-identical with no per-step rounding).",
+      "l2_survivor_selection" -> "Quality-aware survivor election (r9): the (quality, doc_id) election key PACKED into one BIGINT keeps the per-cluster vote a plain codegen'd max+count HashAggregate (struct keys demote max_by to SortAggregate; a window would sort) — one exchange on component, map-side partial combine.",
+      "s22c_change_feed" -> "Commit-log change feed (r9): each version's OWN delta manifest drives the incremental fold — signed union of added(+1)/removed(-1) batch scans into one partial+final agg; no join, no table rescan, O(changes) regardless of table size.",
+      "l6_phash_dedup" -> "Perceptual-hash image dedup (r9): real PNG decode in a narrow mapPartitions, 48-bit average-hash via codegen HOFs (integer cross-multiply bits), 4x12-bit band equi-join exact at Hamming<=2 by pigeonhole — the SimHash banding discipline on decoded pixels.",
+      "l4_pmi_phrases" -> "PMI collocation mining (r9): vocab unigram agg + (w1,w2) bigram agg with partial combine, unigram counts BROADCAST back twice, one-row totals broadcast, bounded TakeOrdered top-50 — the corpus-sized bigram table never sorts or shuffles to a dimension join.")
 
     // per-query session overrides: dump the plan under the SAME config
     // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only

@@ -276,23 +276,34 @@ object Bench {
       case (n, msg) if msg.startsWith("time budget exceeded") => n
     }.toSeq
     breaches.foreach { name =>
+      // a re-run that CRASHES is a harder failure than the breach it
+      // was adjudicating — surface the crash, never mask it behind the
+      // stale timing message (the artifact must adjudicate itself)
       val rerunSec =
-        try runQuery(name)
-        catch { case _: Throwable => Double.MaxValue }
-      if (rerunSec != Double.MaxValue) reruns(name) = rerunSec
-      val best = math.min(timings(name), rerunSec)
-      timings(name) = best
-      checkBudget(name, best, sfDir) match {
-        case None => errors.remove(name)
-        case Some(msg) =>
-          // bracket the re-run with one more probe so sustained load
-          // across the ENTIRE suite (including this re-run) still tags
-          val rerunLoaded = takeProbe(names.size + reruns.size)
-          val tag =
-            if (windowSuspect.getOrElse(name, false) && rerunLoaded)
-              " [load-suspect: all readings under a hot sentinel]"
-            else ""
-          errors(name) = msg + tag
+        try Right(runQuery(name))
+        catch {
+          case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      rerunSec match {
+        case Left(crash) =>
+          errors(name) = s"${errors(name)}; breach re-run crashed: $crash"
+        case Right(sec) =>
+          reruns(name) = sec
+          val best = math.min(timings(name), sec)
+          timings(name) = best
+          checkBudget(name, best, sfDir) match {
+            case None => errors.remove(name)
+            case Some(msg) =>
+              // bracket the re-run with one more probe so sustained load
+              // across the ENTIRE suite (including this re-run) still tags
+              val rerunLoaded = takeProbe(names.size + reruns.size)
+              val tag =
+                if (windowSuspect.getOrElse(name, false) && rerunLoaded)
+                  " [load-suspect: all readings under a hot sentinel]"
+                else ""
+              errors(name) = msg + tag
+          }
       }
     }
     SuiteResult(timings, errors, probes, reruns)

@@ -347,14 +347,34 @@ object Graph {
       maxIters: Int, tolFp: Long): (org.apache.spark.sql.DataFrame, Int) = {
     val s = eSrc.sparkSession
     import s.implicits._
-    val nodes = Qh.materialize(eSrc.select($"src".as("node")).distinct())
+    // node universe = src ∪ dst, and every round's scores are
+    // re-expanded onto it (missing = 0: a pure source has auth 0, a
+    // pure sink hub 0 — the HITS semantics). Keeping both score
+    // tables on one fixed domain makes the delta joins total: on a
+    // src-only domain a graph with pure sinks either NPE'd the delta
+    // agg or declared convergence against a half-empty join.
+    val nodes = Qh.materialize(
+      eSrc.select($"src".as("node"))
+        .unionAll(eSrc.select($"dst".as("node"))).distinct())
+    def expand(x: org.apache.spark.sql.DataFrame, c: String) =
+      nodes.join(x, Seq("node"), "left")
+        .select($"node", coalesce(col(c), lit(0L)).as(c))
     var h = Qh.materialize(nodes.select($"node", lit(HitsS).as("h")))
     var a = Qh.materialize(nodes.select($"node", lit(HitsS).as("a")))
     var i = 0
+    def finish(): org.apache.spark.sql.DataFrame = {
+      // materialize the result and release every intermediate — the
+      // caller owns exactly one frame (the ccUntil/pageRankUntil
+      // contract); anything less leaks pinned RDDs per call in a loop
+      val res = Qh.materialize(h.join(a, Seq("node"))
+        .select($"node", $"h".as("hub"), $"a".as("auth")))
+      Qh.release(h); Qh.release(a); Qh.release(nodes)
+      res
+    }
     while (i < maxIters) {
       val (h2r, a2r) = hitsRound(eSrc, eDst, h)
-      val h2 = Qh.materialize(h2r)
-      val a2 = Qh.materialize(a2r)
+      val h2 = Qh.materialize(expand(h2r, "h"))
+      val a2 = Qh.materialize(expand(a2r, "a"))
       i += 1
       val dh = h2.as("n").join(h.as("o"), $"n.node" === $"o.node")
         .agg(max(abs($"n.h" - $"o.h"))).head.getLong(0)
@@ -362,15 +382,9 @@ object Graph {
         .agg(max(abs($"n.a" - $"o.a"))).head.getLong(0)
       Qh.release(h); Qh.release(a)
       h = h2; a = a2
-      if (math.max(dh, da) <= tolFp) {
-        Qh.release(nodes)
-        return (h.join(a, Seq("node"))
-          .select($"node", $"h".as("hub"), $"a".as("auth")), i)
-      }
+      if (math.max(dh, da) <= tolFp) return (finish(), i)
     }
-    Qh.release(nodes)
-    (h.join(a, Seq("node"))
-      .select($"node", $"h".as("hub"), $"a".as("auth")), i)
+    (finish(), i)
   }
 
   /** Convergence-mode K-CORE: synchronous peel rounds until the alive
@@ -405,16 +419,26 @@ object Graph {
       val n2 = alive2.count()
       Qh.release(e); Qh.release(alive)
       e = e2; alive = alive2
-      if (n2 == n) {
-        val core = degrees(e)
-          .join(alive, Seq("node"), "left_semi")
-          .select($"node", $"deg".cast("bigint").as("core_deg"))
-        return (core, rounds)
-      }
+      if (n2 == n) return (finishKcore(e, alive), rounds)
       n = n2
     }
-    (degrees(e).join(alive, Seq("node"), "left_semi")
-      .select($"node", $"deg".cast("bigint").as("core_deg")), rounds)
+    (finishKcore(e, alive), rounds)
+  }
+
+  /** Materialize the k-core result and release the loop's final edge
+    * and alive frames — the caller owns exactly one frame (the
+    * ccUntil contract), so looped calls cannot accumulate pinned RDDs. */
+  private def finishKcore(
+      e: org.apache.spark.sql.DataFrame,
+      alive: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import e.sparkSession.implicits._
+    val core = Qh.materialize(
+      e.select($"u".as("node")).unionAll(e.select($"v".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("deg"))
+        .join(alive, Seq("node"), "left_semi")
+        .select($"node", $"deg".cast("bigint").as("core_deg")))
+    Qh.release(e); Qh.release(alive)
+    core
   }
 
   /** Convergence-mode multi-source BFS: relax until the distance table

@@ -228,10 +228,25 @@ object CommitLog {
   /** Atomically publish the DELTA manifest for `v` — true iff this
     * call won the version. `schema` is recorded only by the commit
     * that changes it (O(delta) applies to schema metadata too). */
+  /** Batch names must survive the flat manifest encoding (naive
+    * quote-wrap + comma-split) and the vacuum sweep's top-level-entry
+    * scan: a name with a ',' or '"' would replay as the WRONG file
+    * set — and vacuum would then sweep the real on-disk directory as
+    * an orphan (silent data loss). Rejecting at publish time keeps
+    * the failure loud and local to the bad writer. */
+  private def requireValidNames(names: Seq[String]): Unit =
+    names.foreach { n =>
+      require(n.nonEmpty && !n.exists(",\"[]\\".contains(_)) &&
+          !n.startsWith("_") && !n.startsWith(".") && !n.contains('/'),
+        s"invalid batch name '$n': must be non-empty, contain none of " +
+          ", \" [ ] \\ /, and not start with _ or .")
+    }
+
   def tryCommit(
       root: String, v: Int,
       added: Seq[String], removed: Seq[String],
       schema: Option[String] = None): Boolean = {
+    requireValidNames(added); requireValidNames(removed)
     schema.foreach(s => require(!s.contains('"'),
       "schema DDL must not contain double quotes"))
     val schemaField = schema.map(s => s""","schema":"$s"""").getOrElse("")

@@ -158,6 +158,29 @@ class BenchBudgetSpec extends AnyFunSuite {
       "the hot window must be visible in the sentinel trace")
   }
 
+  test("sentinel: a breach whose re-run CRASHES surfaces the crash instead of masking it") {
+    // a query that breaches in-suite then throws at the end-of-suite
+    // re-run has started failing, not just slowing — the artifact must
+    // carry BOTH facts, not report a stale perf regression while the
+    // crash disappears
+    val pin = Bench.pinnedSeconds("l13_pagerank")
+    var queryRuns = 0
+    val result = Bench.runSuite(
+      Seq("l13_pagerank"), sf,
+      runQuery = { _ =>
+        queryRuns += 1
+        if (queryRuns <= 2) pin * 10
+        else throw new RuntimeException("executor lost mid-rerun") },
+      runProbe = () => Bench.probePinSeconds)
+    val err = result.errors.getOrElse("l13_pagerank", "")
+    assert(err.contains("budget exceeded"), s"breach must remain visible: $err")
+    assert(err.contains("breach re-run crashed") &&
+        err.contains("executor lost mid-rerun"),
+      s"the re-run crash must be surfaced, not swallowed: $err")
+    assert(!result.reruns.contains("l13_pagerank"),
+      "a crashed re-run records no timing")
+  }
+
   test("sentinel: a genuine regression stays slow on every run and still trips, untagged") {
     val pin = Bench.pinnedSeconds("l13_pagerank")
     var queryRuns = 0

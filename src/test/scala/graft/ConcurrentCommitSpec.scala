@@ -203,6 +203,21 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     intercept[java.nio.file.NoSuchFileException](CommitLog.files(root, 3))
   }
 
+  test("batch names that would corrupt the manifest encoding are rejected at publish") {
+    // a name with ',' would comma-split into the WRONG file set on
+    // replay — and vacuum would then sweep the real directory as an
+    // orphan; '_'/'.'-prefixed names collide with the log/tmp namespace
+    val root = freshRoot("names")
+    for (bad <- Seq("a,b", "a\"b", "_log", ".hidden", "a/b", "")) {
+      intercept[IllegalArgumentException] {
+        CommitLog.commit(root, 0, added = Seq(bad))
+      }
+    }
+    assert(CommitLog.latestVersion(root) == 0, "no manifest may publish")
+    CommitLog.commit(root, 0, added = Seq("fine-name.parquet"))
+    assert(CommitLog.files(root, 1) == Seq("fine-name.parquet"))
+  }
+
   test("schema: first declaration records, inheritance costs zero manifest bytes, history replays") {
     val root = freshRoot("schema")
     val ddl = "id BIGINT, name STRING"

@@ -140,6 +140,30 @@ class GraphSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect, s"integer HITS diverged from the model: $got vs $expect")
   }
 
+  test("hitsUntil handles pure sources and sinks: full node universe, zero for the missing side") {
+    import spark.implicits._
+    // node 3 only emits (pure source -> auth 0), node 4 only receives
+    // (pure sink -> hub 0); the old src-only domain either NPE'd the
+    // delta agg or silently dropped such nodes from the result
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L), (1L, 4L))
+      .toDF("src", "dst").localCheckpoint()
+    val (scores, _) = Graph.hitsUntil(e, e, maxIters = 30, tolFp = 10L)
+    val got = scores.collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"universe incomplete: ${got.keySet}")
+    assert(got(3L)._2 == 0L, "a pure source must carry auth 0")
+    assert(got(4L)._1 == 0L, "a pure sink must carry hub 0")
+    assert(got(1L)._1 > 0 && got(1L)._2 > 0)
+    // the degenerate single-edge graph must simply converge, not NPE
+    val single = Seq((1L, 2L)).toDF("src", "dst").localCheckpoint()
+    val (s2, _) = Graph.hitsUntil(single, single, maxIters = 10, tolFp = 0L)
+    val got2 = s2.collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+    assert(got2 == Map(1L -> (Graph.HitsS, 0L), 2L -> (0L, Graph.HitsS)))
+  }
+
   test("bfsUntil on a 64-chain: exact closure distances, fixpoint detected") {
     import spark.implicits._
     val chain = (0L until 63L).flatMap(i => Seq((i, i + 1), (i + 1, i)))

@@ -195,8 +195,56 @@ object StreamBench {
       k == "exactly_once" && v == "true" },
       s"pipeline sink row count $sinkRows != expected $expectedOut")
 
+    // --- tail leg: the commit-log change feed drained LIVE ---
+    // A feeder commits `waves` pre-staged parquet batches at the drip
+    // cadence; the consumer loops CommitLogTail.drain until the cursor
+    // reaches the last version, counting every handed batch's rows (a
+    // real scan per version). Throughput = total rows / wall-clock from
+    // first commit to last drain — the downstream-sync figure for a
+    // table receiving commits at this cadence. Exactly-once is the
+    // cursor contract: versions seen once each, row total exact.
+    val tailRoot = queries.Qh.ioDir("sb_tail_tbl")
+    val tailCkpt = queries.Qh.ioDir("sb_tail_ckpt")
+    Seq(tailRoot, tailCkpt).foreach(p =>
+      queries.Qh.deleteRecursively(new java.io.File(p)))
+    (0 until waves).foreach { w =>
+      ev.filter(pmod(col("event_id"), lit(waves)) === w)
+        .write.parquet(s"$tailRoot/b$w")
+    }
+    val tailT0 = System.nanoTime()
+    @volatile var tailFeedEnd = 0L
+    val tailFeeder = new Thread(() => {
+      (0 until waves).foreach { w =>
+        sources.CommitLog.commit(tailRoot,
+          sources.CommitLog.latestVersion(tailRoot), added = Seq(s"b$w"))
+        Thread.sleep(cadenceMs)
+      }
+      tailFeedEnd = System.nanoTime()
+    }, "sb-tail-feeder")
+    tailFeeder.setDaemon(true)
+    tailFeeder.start()
+    var tailRows = 0L
+    var tailBatches = 0L
+    val tailDeadline = tailT0 + 600L * 1000 * 1000 * 1000
+    while (sources.CommitLogTail.lastProcessed(tailCkpt) < waves &&
+        System.nanoTime() < tailDeadline) {
+      sources.CommitLogTail.drain(spark, tailRoot, tailCkpt) { (df, _) =>
+        tailRows += df.count(); tailBatches += 1
+      }
+      Thread.sleep(10)
+    }
+    val tailT1 = System.nanoTime()
+    tailFeeder.join(10000)
+    require(tailRows == total && tailBatches == waves,
+      s"tail leg not exactly-once: $tailRows/$total rows, " +
+        s"$tailBatches/$waves versions")
+    val tail = Leg(tailRows, (tailT1 - tailT0) / 1e9,
+      (math.max(tailFeedEnd, tailT0) - tailT0) / 1e9, tailBatches,
+      extra = Seq("exactly_once" -> "true"))
+
     val legs = Seq(
-      "decode" -> decode, "pipeline" -> pipeline, "stateful" -> stateful)
+      "decode" -> decode, "pipeline" -> pipeline, "stateful" -> stateful,
+      "tail" -> tail)
     val legsJson = legs.map { case (k, l) => s""""$k":${l.json}""" }
       .mkString("{", ",", "}")
     println(

@@ -27,93 +27,94 @@ object Bench {
     * (scripts/bench_pins.json). Queries absent from the map (newly
     * added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.134, "a1_hashagg" -> 1.186, "a2_distinct" -> 0.693,
-    "a3_approx_distinct" -> 2.032, "a3_hll_merge" -> 0.540,
-    "a4_cube" -> 0.701, "a4_grouping_sets" -> 0.763, "a4_rollup" -> 0.631,
-    "a5_filtered_agg" -> 0.469, "a6_approx_percentile" -> 2.419,
-    "a6_stats" -> 2.329, "a6_tdigest" -> 2.263, "a7_collect" -> 0.898,
-    "a8_pivot" -> 0.632, "a9_salted_agg" -> 0.751,
-    "c1_upsert_latest" -> 0.635, "c2_scd2_intervals" -> 0.775,
-    "c3_incremental_agg" -> 2.252, "c4_cdc_apply" -> 0.749,
-    "c5_retractable_agg" -> 2.129, "flagship_pipeline" -> 0.481,
-    "j10_bloom_semi" -> 1.101, "j11_salted_skew_join" -> 0.844,
-    "j12_interval_overlap" -> 1.091, "j13_spatial_grid" -> 0.976,
-    "j14_cobucketed_join" -> 0.584, "j1_semi_broadcast" -> 0.780,
-    "j2_inner" -> 0.633, "j3_multiway" -> 2.283, "j4_full_outer" -> 0.586,
-    "j4_left_outer" -> 0.469, "j5_anti" -> 0.352, "j6_sortmerge" -> 0.976,
-    "j7_range" -> 0.779, "j8_cross" -> 0.278, "j9_asof" -> 0.791,
-    "j9_asof_join" -> 0.615, "l10_drift" -> 0.870, "l10_profile" -> 0.386,
-    "l10_zipf" -> 0.621, "l11_decontam" -> 1.448,
-    "l11_semantic_decontam" -> 0.542, "l12_global_ids" -> 0.772,
-    "l13_bfs" -> 1.395, "l13_hits" -> 5.115, "l13_kcore" -> 1.568,
-    "l13_pagerank" -> 2.922, "l13_triangles" -> 1.191,
-    "l14_fuzzy_join" -> 2.259, "l1_exact_dedup" -> 0.387,
-    "l2_cc_star" -> 4.521, "l2_chunk_dedup" -> 1.577,
-    "l2_cosine_neardup" -> 0.617, "l2_cosine_neardup_bucketed" -> 0.544,
-    "l2_dedup_clusters" -> 2.836, "l2_incremental_dedup" -> 1.235,
-    "l2_lsh_pairs" -> 1.385, "l2_minhash_estimate" -> 1.495,
-    "l2_minhash_sigs" -> 1.924, "l2_ngram_jaccard" -> 6.547,
-    "l2_simhash" -> 0.887, "l2_simhash_blocked" -> 3.874,
-    "l2_simhash_hamming" -> 2.310, "l2_substring_dedup" -> 2.458,
-    "l2_survivor_selection" -> 3.203, "l3_ann_ivf" -> 0.834,
-    "l3_ann_ivfpq" -> 1.806, "l3_ann_lsh" -> 1.881, "l3_ann_pq" -> 1.567,
-    "l3_ann_recall" -> 2.134, "l3_ann_trained" -> 2.808,
-    "l3_cosine_topk" -> 0.416, "l3_jl_projection" -> 0.557,
-    "l3_kmeans" -> 1.247, "l3_pca_power" -> 0.463,
-    "l3_semantic_dedup" -> 1.529, "l4_bm25" -> 1.750,
-    "l4_bpe_encode" -> 1.502, "l4_bpe_pair_stats" -> 0.777,
-    "l4_bpe_train" -> 0.939, "l4_count_min" -> 0.652,
-    "l4_fingerprint" -> 0.858, "l4_heavy_hitters" -> 0.608,
-    "l4_lang_id" -> 0.529, "l4_lm_score" -> 1.419, "l4_pii_redact" -> 0.750,
-    "l4_pmi_phrases" -> 0.921, "l4_quality_score" -> 0.637,
-    "l4_repetition" -> 1.827, "l4_repetition_quality" -> 1.191,
-    "l4_term_freq" -> 0.610, "l4_tfidf" -> 0.891, "l4_token_stats" -> 0.564,
-    "l5_histogram" -> 0.289, "l6_decode_audio" -> 1.216,
-    "l6_decode_features" -> 0.427, "l6_decode_real" -> 1.433,
-    "l6_multimodal_meta" -> 0.201, "l6_phash_dedup" -> 0.793,
-    "l6_quantize_int8" -> 0.311, "l6_resize_framesample" -> 0.197,
-    "l7_curation_pipeline" -> 0.681, "l8_bottomk_sample" -> 0.252,
-    "l8_deterministic_sample" -> 0.153, "l8_deterministic_split" -> 0.230,
-    "l8_mixture_weights" -> 0.254, "l8_stratified_sample" -> 0.177,
-    "l8_weighted_sample" -> 0.267, "l9_sequence_packing" -> 0.409,
-    "l9_shard_export" -> 1.481, "o1_topk" -> 0.161, "o2_limit" -> 0.128,
-    "o3_union" -> 0.385, "o3_union_distinct" -> 0.424, "o4_except" -> 0.342,
-    "o4_except_all" -> 0.572, "o4_intersect" -> 0.366,
-    "o4_intersect_all" -> 0.442, "p10_map_hof" -> 1.603, "p10_maps" -> 0.973,
-    "p11_envelope" -> 0.426, "p12_unpivot" -> 0.282,
-    "p13_subqueries" -> 0.517, "p14_variant" -> 1.718,
-    "p15_lateral" -> 0.416, "p16_try_functions" -> 3.247,
-    "p1_prune" -> 0.626, "p2_filter" -> 0.385, "p3_inlist" -> 0.167,
-    "p4_strings" -> 0.264, "p5_datetime" -> 0.468, "p6_math" -> 0.869,
-    "p7_conditional" -> 0.226, "p8_json" -> 0.777, "p8_json_nested" -> 2.953,
-    "p9_array_fns" -> 0.201, "p9_arrays" -> 0.275, "p9_explode" -> 0.199,
-    "p9_posexplode" -> 0.189, "s10_vector_index" -> 1.542,
-    "s10b_index_append" -> 1.869, "s11_schema_evolution" -> 0.780,
-    "s12_compaction" -> 1.165, "s13_dpp_join" -> 1.493,
-    "s14_zorder_layout" -> 1.116, "s15_stats_pruned_scan" -> 1.169,
-    "s16_binaryfile_ingest" -> 1.218, "s17_xml_roundtrip" -> 1.473,
-    "s18_corrupt_drop" -> 0.474, "s19_envelope_sink" -> 1.076,
-    "s20_bson_dump" -> 1.633, "s21_mongo_extjson" -> 1.671,
-    "s22_time_travel" -> 1.225, "s22b_log_vacuum" -> 0.862,
-    "s22c_change_feed" -> 1.564, "s22d_log_tail" -> 1.584,
-    "s22e_schema_enforced" -> 0.584, "s23_merge_on_read" -> 1.496,
-    "s3_jdbc_roundtrip" -> 0.440, "s4_json_roundtrip" -> 0.871,
-    "s5_kafka_envelope" -> 0.251, "s6_csv_roundtrip" -> 0.603,
-    "s7_orc_roundtrip" -> 1.133, "s8_envelope_source" -> 0.808,
-    "s9_partitioned_prune" -> 0.747, "t12_stream_envelope_sink" -> 1.419,
-    "t13_stream_envelope_source" -> 1.969, "t1_tumbling" -> 0.568,
-    "t2_sliding" -> 0.573, "t3_session" -> 0.961,
-    "t4_watermark_closed" -> 0.569, "t5_dedup" -> 0.407,
-    "t6_stateful_running" -> 0.649, "t7_stream_static" -> 0.741,
-    "t8_foreachbatch_jdbc" -> 1.042, "t8c_exactly_once_jdbc" -> 2.080,
-    "t9_stream_stream" -> 0.519, "t9_stream_stream_full" -> 0.593,
-    "t9_stream_stream_outer" -> 0.463, "t9_stream_stream_semi" -> 0.452,
-    "w10_seasonal_decomp" -> 0.641, "w11_ewma" -> 0.557,
-    "w1_ranking" -> 0.923, "w2_analytic" -> 1.014, "w3_frames" -> 1.014,
-    "w3_time_range" -> 0.734, "w4_topk_per_group" -> 0.440,
-    "w4_topk_window_idiom" -> 0.534, "w5_distribution" -> 1.141,
-    "w6_gap_fill" -> 0.862, "w7_funnel" -> 0.579, "w8_retention" -> 0.528,
-    "w9_anomaly" -> 0.924)
+    "a10_kmv_sketch" -> 2.106, "a1_hashagg" -> 1.392, "a2_distinct" -> 0.868,
+    "a3_approx_distinct" -> 2.344, "a3_hll_merge" -> 0.992,
+    "a4_cube" -> 0.774, "a4_grouping_sets" -> 0.801, "a4_rollup" -> 0.622,
+    "a5_filtered_agg" -> 0.450, "a6_approx_percentile" -> 2.682,
+    "a6_stats" -> 2.166, "a6_tdigest" -> 2.150, "a7_collect" -> 0.890,
+    "a8_pivot" -> 0.638, "a9_salted_agg" -> 0.871,
+    "c1_upsert_latest" -> 0.704, "c2_scd2_intervals" -> 0.978,
+    "c3_incremental_agg" -> 3.102, "c4_cdc_apply" -> 0.815,
+    "c5_retractable_agg" -> 2.491, "flagship_pipeline" -> 0.583,
+    "j10_bloom_semi" -> 1.261, "j11_salted_skew_join" -> 0.948,
+    "j12_interval_overlap" -> 1.311, "j13_spatial_grid" -> 0.874,
+    "j14_cobucketed_join" -> 0.546, "j1_semi_broadcast" -> 0.835,
+    "j2_inner" -> 0.583, "j3_multiway" -> 1.669, "j4_full_outer" -> 0.448,
+    "j4_left_outer" -> 0.392, "j5_anti" -> 0.357, "j6_sortmerge" -> 1.058,
+    "j7_range" -> 0.825, "j8_cross" -> 0.319, "j9_asof" -> 1.070,
+    "j9_asof_join" -> 0.672, "l10_drift" -> 1.168, "l10_profile" -> 0.364,
+    "l10_zipf" -> 0.741, "l11_decontam" -> 1.489,
+    "l11_semantic_decontam" -> 0.552, "l12_global_ids" -> 0.878,
+    "l13_bfs" -> 1.408, "l13_hits" -> 5.722, "l13_kcore" -> 1.944,
+    "l13_pagerank" -> 4.215, "l13_triangles" -> 1.346,
+    "l14_fuzzy_join" -> 2.323, "l1_exact_dedup" -> 0.446,
+    "l2_cc_star" -> 4.517, "l2_chunk_dedup" -> 1.283,
+    "l2_cosine_neardup" -> 0.595, "l2_cosine_neardup_bucketed" -> 0.506,
+    "l2_dedup_clusters" -> 2.343, "l2_incremental_dedup" -> 0.962,
+    "l2_lsh_pairs" -> 1.324, "l2_minhash_estimate" -> 1.235,
+    "l2_minhash_sigs" -> 1.435, "l2_ngram_jaccard" -> 7.138,
+    "l2_simhash" -> 1.051, "l2_simhash_blocked" -> 4.223,
+    "l2_simhash_hamming" -> 2.417, "l2_substring_dedup" -> 2.294,
+    "l2_survivor_selection" -> 3.457, "l3_ann_ivf" -> 1.015,
+    "l3_ann_ivfpq" -> 2.491, "l3_ann_lsh" -> 2.259, "l3_ann_pq" -> 2.042,
+    "l3_ann_recall" -> 2.292, "l3_ann_trained" -> 3.425,
+    "l3_cosine_topk" -> 0.445, "l3_jl_projection" -> 0.660,
+    "l3_kmeans" -> 1.395, "l3_pca_power" -> 0.558,
+    "l3_semantic_dedup" -> 1.890, "l4_bm25" -> 2.003,
+    "l4_bpe_encode" -> 1.734, "l4_bpe_pair_stats" -> 1.136,
+    "l4_bpe_train" -> 1.199, "l4_count_min" -> 0.909,
+    "l4_fingerprint" -> 1.185, "l4_heavy_hitters" -> 0.767,
+    "l4_lang_id" -> 0.718, "l4_lm_score" -> 2.071, "l4_pii_redact" -> 0.918,
+    "l4_pmi_phrases" -> 1.278, "l4_quality_score" -> 0.711,
+    "l4_repetition" -> 2.112, "l4_repetition_quality" -> 1.796,
+    "l4_term_freq" -> 0.770, "l4_tfidf" -> 1.257, "l4_token_stats" -> 0.753,
+    "l5_histogram" -> 0.375, "l6_audio_fp_dedup" -> 0.931,
+    "l6_decode_audio" -> 1.643, "l6_decode_features" -> 0.504,
+    "l6_decode_real" -> 1.662, "l6_multimodal_meta" -> 0.223,
+    "l6_phash_dedup" -> 0.921, "l6_quantize_int8" -> 0.379,
+    "l6_resize_framesample" -> 0.208, "l7_curation_pipeline" -> 0.785,
+    "l8_bottomk_sample" -> 0.280, "l8_deterministic_sample" -> 0.191,
+    "l8_deterministic_split" -> 0.282, "l8_mixture_weights" -> 0.325,
+    "l8_stratified_sample" -> 0.183, "l8_weighted_sample" -> 0.294,
+    "l9_sequence_packing" -> 0.416, "l9_shard_export" -> 1.643,
+    "o1_topk" -> 0.175, "o2_limit" -> 0.151, "o3_union" -> 0.461,
+    "o3_union_distinct" -> 0.552, "o4_except" -> 0.453,
+    "o4_except_all" -> 0.855, "o4_intersect" -> 0.444,
+    "o4_intersect_all" -> 0.554, "p10_map_hof" -> 2.579, "p10_maps" -> 1.139,
+    "p11_envelope" -> 0.449, "p12_unpivot" -> 0.344,
+    "p13_subqueries" -> 0.661, "p14_variant" -> 2.423,
+    "p15_lateral" -> 0.521, "p16_try_functions" -> 3.746,
+    "p1_prune" -> 0.874, "p2_filter" -> 0.500, "p3_inlist" -> 0.238,
+    "p4_strings" -> 0.462, "p5_datetime" -> 0.666, "p6_math" -> 1.104,
+    "p7_conditional" -> 0.284, "p8_json" -> 1.282, "p8_json_nested" -> 3.825,
+    "p9_array_fns" -> 0.233, "p9_arrays" -> 0.375, "p9_explode" -> 0.223,
+    "p9_posexplode" -> 0.310, "s10_vector_index" -> 1.992,
+    "s10b_index_append" -> 2.369, "s11_schema_evolution" -> 0.983,
+    "s12_compaction" -> 1.448, "s13_dpp_join" -> 1.868,
+    "s14_zorder_layout" -> 1.539, "s15_stats_pruned_scan" -> 1.441,
+    "s16_binaryfile_ingest" -> 1.249, "s17_xml_roundtrip" -> 1.592,
+    "s18_corrupt_drop" -> 0.424, "s19_envelope_sink" -> 1.336,
+    "s20_bson_dump" -> 1.659, "s21_mongo_extjson" -> 1.699,
+    "s22_time_travel" -> 1.578, "s22b_log_vacuum" -> 1.219,
+    "s22c_change_feed" -> 2.074, "s22d_log_tail" -> 2.050,
+    "s22e_schema_enforced" -> 0.721, "s23_merge_on_read" -> 1.971,
+    "s3_jdbc_roundtrip" -> 0.458, "s4_json_roundtrip" -> 1.000,
+    "s5_kafka_envelope" -> 0.300, "s6_csv_roundtrip" -> 0.694,
+    "s7_orc_roundtrip" -> 1.249, "s8_envelope_source" -> 0.948,
+    "s9_partitioned_prune" -> 1.034, "t12_stream_envelope_sink" -> 1.967,
+    "t13_stream_envelope_source" -> 3.709, "t1_tumbling" -> 0.689,
+    "t2_sliding" -> 0.674, "t3_session" -> 1.535,
+    "t4_watermark_closed" -> 0.890, "t5_dedup" -> 0.844,
+    "t6_stateful_running" -> 0.993, "t7_stream_static" -> 1.038,
+    "t8_foreachbatch_jdbc" -> 1.001, "t8c_exactly_once_jdbc" -> 2.284,
+    "t9_stream_stream" -> 0.595, "t9_stream_stream_full" -> 0.824,
+    "t9_stream_stream_outer" -> 0.613, "t9_stream_stream_semi" -> 0.521,
+    "w10_seasonal_decomp" -> 0.877, "w11_ewma" -> 0.875,
+    "w1_ranking" -> 1.067, "w2_analytic" -> 1.132, "w3_frames" -> 1.124,
+    "w3_time_range" -> 1.094, "w4_topk_per_group" -> 0.654,
+    "w4_topk_window_idiom" -> 0.773, "w5_distribution" -> 1.591,
+    "w6_gap_fill" -> 1.051, "w7_funnel" -> 0.761, "w8_retention" -> 0.651,
+    "w9_anomaly" -> 1.061)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -317,6 +317,71 @@ object Multimodal {
     }.toDF("img_id", "lums")
   }
 
+  /** One encoded WAV clip per `doc_id % 50 == 0` document (the
+    * 400-sample size class) as `clip_id = 2·doc_id`, plus a PERTURBED
+    * VARIANT (`clip_id = 2·doc_id + 1`, sample 0 shifted +64) for
+    * every `doc_id % 250 == 0` — planted audio near-dups. Real JDK
+    * audio codec on both legs. */
+  private final case class AfpClip(clip_id: Long, payload: Array[Byte])
+
+  private[graft] def afpClips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Qh.t(s, dir, "documents")
+      .filter($"doc_id" % 50 === 0)
+      .select($"doc_id").as[Long]
+      .flatMap(d => Seq((d, 0), (d, 1)).filter(_._2 == 0 || d % 250 == 0))
+      .mapPartitions { it =>
+        it.map { case (docId, variant) =>
+          val n = 400
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v0 = waveAmp(docId, i)
+            val v = if (variant == 1 && i == 0) v0 + 64 else v0
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          AfpClip(docId * 2 + variant, out.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** Decoded frame energies (32 frames × 12 samples, Σ|amp| per frame)
+    * from the REAL `AudioSystem` decode — the fingerprint downstream
+    * sees only decoded samples, so a codec bug breaks the pair set. */
+  private[graft] def afpEnergies(clips: DataFrame): DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.as[AfpClip].mapPartitions { it =>
+      it.grouped(64).flatMap(_.iterator.map { row =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        val bytes = ais.readAllBytes()
+        val energies = Array.fill(32)(0L)
+        var f = 0
+        while (f < 32) {
+          var j = 0
+          var e = 0L
+          while (j < 12) {
+            val i = f * 12 + j
+            val v = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+            e += math.abs(v.toLong)
+            j += 1
+          }
+          energies(f) = e
+          f += 1
+        }
+        (row.clip_id, energies)
+      })
+    }.toDF("clip_id", "energies")
+  }
+
   val decls: Seq[Decl] = Seq(
 
     // Binary + metadata plumbing: SQL-checkable part of the surface.
@@ -553,6 +618,64 @@ object Multimodal {
         .distinct()
         .filter($"hamming" <= 2)
         .orderBy("img_a", "img_b")
+    },
+
+    // L6h: AUDIO-FINGERPRINT DEDUP — the audio twin of l6_phash_dedup,
+    // proving the perceptual-dedup pattern generalizes across
+    // modalities with the REAL codec in the loop: encode (JDK WAV) →
+    // decode (AudioSystem) → 32-frame energy envelope over the DECODED
+    // samples (Σ|amp| per 12-sample frame — the shape a spectral
+    // fingerprint reduces to for this synthetic signal class) → 32-bit
+    // signature (bit_f set iff 32·e_f > Σe, integer cross-multiply) →
+    // banded Hamming pairs (4 bands × 8 bits, exact at cap 2 by
+    // pigeonhole). Pairs: planted one-sample variants (one frame
+    // energy moves by ≤64) and doc_id ≡ doc_id' mod 2003 waveform
+    // collisions (true dups). Only the codec is non-relational.
+    Decl(
+      "l6_audio_fp_dedup",
+      """WITH base AS (
+        |  SELECT doc_id, 2 * doc_id AS clip_id, 0 AS variant
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2 * doc_id + 1, 1
+        |  FROM documents WHERE doc_id % 250 = 0),
+        |fr AS (SELECT clip_id, doc_id, variant, unnest(range(32)) AS f FROM base),
+        |fi AS (SELECT clip_id, doc_id, variant, f, unnest(range(12)) AS j FROM fr),
+        |samp AS (
+        |  SELECT clip_id, f,
+        |    abs((doc_id * 37 + (f * 12 + j) * 11) % 2003 - 1001
+        |      + CASE WHEN variant = 1 AND f = 0 AND j = 0 THEN 64 ELSE 0 END) AS a
+        |  FROM fi),
+        |en AS (SELECT clip_id, f, sum(a) AS e FROM samp GROUP BY clip_id, f),
+        |t AS (SELECT clip_id, sum(e) AS total FROM en GROUP BY clip_id),
+        |h AS (
+        |  SELECT en.clip_id,
+        |    sum(CASE WHEN 32 * e > total THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS hash
+        |  FROM en JOIN t ON t.clip_id = en.clip_id
+        |  GROUP BY en.clip_id)
+        |SELECT a.clip_id AS clip_a, b.clip_id AS clip_b,
+        |  CAST(bit_count(xor(a.hash, b.hash)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.clip_id < b.clip_id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 2
+        |ORDER BY clip_a, clip_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val hashes = afpEnergies(afpClips(s, dir))
+        .withColumn("total", expr("aggregate(energies, 0L, (a, x) -> a + x)"))
+        .withColumn("hash", expr(
+          """aggregate(sequence(0, 31), 0L,
+            |  (a, f) -> a + IF(32 * energies[f] > total, shiftleft(1L, f), 0L))""".stripMargin))
+        .select($"clip_id", $"hash")
+      val banded = hashes.select($"clip_id", $"hash",
+          explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("band", expr("shiftrightunsigned(hash, b * 8) & 255"))
+      banded.as("x").join(banded.as("y"),
+          $"x.b" === $"y.b" && $"x.band" === $"y.band" &&
+            $"x.clip_id" < $"y.clip_id")
+        .select($"x.clip_id".as("clip_a"), $"y.clip_id".as("clip_b"),
+          bit_count($"x.hash".bitwiseXOR($"y.hash")).as("hamming"))
+        .distinct()
+        .filter($"hamming" <= 2)
+        .orderBy("clip_a", "clip_b")
     }
   )
 }

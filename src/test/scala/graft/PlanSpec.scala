@@ -75,7 +75,7 @@ class PlanSpec extends SparkSpec {
       "l2_cosine_neardup_bucketed", "l2_simhash_blocked",
       "j7_range", "l2_substring_dedup", "l13_triangles",
       "w7_funnel", "w8_retention", "j13_spatial_grid",
-      "l6_phash_dedup")) {
+      "l6_phash_dedup", "l6_audio_fp_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: cartesian product!")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: BNLJ!")

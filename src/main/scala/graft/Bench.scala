@@ -27,94 +27,94 @@ object Bench {
     * (scripts/bench_pins.json). Queries absent from the map (newly
     * added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.106, "a1_hashagg" -> 1.392, "a2_distinct" -> 0.868,
-    "a3_approx_distinct" -> 2.344, "a3_hll_merge" -> 0.992,
-    "a4_cube" -> 0.774, "a4_grouping_sets" -> 0.801, "a4_rollup" -> 0.622,
-    "a5_filtered_agg" -> 0.450, "a6_approx_percentile" -> 2.682,
-    "a6_stats" -> 2.166, "a6_tdigest" -> 2.150, "a7_collect" -> 0.890,
-    "a8_pivot" -> 0.638, "a9_salted_agg" -> 0.871,
-    "c1_upsert_latest" -> 0.704, "c2_scd2_intervals" -> 0.978,
-    "c3_incremental_agg" -> 3.102, "c4_cdc_apply" -> 0.815,
-    "c5_retractable_agg" -> 2.491, "flagship_pipeline" -> 0.583,
-    "j10_bloom_semi" -> 1.261, "j11_salted_skew_join" -> 0.948,
-    "j12_interval_overlap" -> 1.311, "j13_spatial_grid" -> 0.874,
-    "j14_cobucketed_join" -> 0.546, "j1_semi_broadcast" -> 0.835,
-    "j2_inner" -> 0.583, "j3_multiway" -> 1.669, "j4_full_outer" -> 0.448,
-    "j4_left_outer" -> 0.392, "j5_anti" -> 0.357, "j6_sortmerge" -> 1.058,
-    "j7_range" -> 0.825, "j8_cross" -> 0.319, "j9_asof" -> 1.070,
-    "j9_asof_join" -> 0.672, "l10_drift" -> 1.168, "l10_profile" -> 0.364,
-    "l10_zipf" -> 0.741, "l11_decontam" -> 1.489,
-    "l11_semantic_decontam" -> 0.552, "l12_global_ids" -> 0.878,
-    "l13_bfs" -> 1.408, "l13_hits" -> 5.722, "l13_kcore" -> 1.944,
-    "l13_pagerank" -> 4.215, "l13_triangles" -> 1.346,
-    "l14_fuzzy_join" -> 2.323, "l1_exact_dedup" -> 0.446,
-    "l2_cc_star" -> 4.517, "l2_chunk_dedup" -> 1.283,
-    "l2_cosine_neardup" -> 0.595, "l2_cosine_neardup_bucketed" -> 0.506,
-    "l2_dedup_clusters" -> 2.343, "l2_incremental_dedup" -> 0.962,
-    "l2_lsh_pairs" -> 1.324, "l2_minhash_estimate" -> 1.235,
-    "l2_minhash_sigs" -> 1.435, "l2_ngram_jaccard" -> 7.138,
-    "l2_simhash" -> 1.051, "l2_simhash_blocked" -> 4.223,
-    "l2_simhash_hamming" -> 2.417, "l2_substring_dedup" -> 2.294,
-    "l2_survivor_selection" -> 3.457, "l3_ann_ivf" -> 1.015,
-    "l3_ann_ivfpq" -> 2.491, "l3_ann_lsh" -> 2.259, "l3_ann_pq" -> 2.042,
-    "l3_ann_recall" -> 2.292, "l3_ann_trained" -> 3.425,
-    "l3_cosine_topk" -> 0.445, "l3_jl_projection" -> 0.660,
-    "l3_kmeans" -> 1.395, "l3_pca_power" -> 0.558,
-    "l3_semantic_dedup" -> 1.890, "l4_bm25" -> 2.003,
-    "l4_bpe_encode" -> 1.734, "l4_bpe_pair_stats" -> 1.136,
-    "l4_bpe_train" -> 1.199, "l4_count_min" -> 0.909,
-    "l4_fingerprint" -> 1.185, "l4_heavy_hitters" -> 0.767,
-    "l4_lang_id" -> 0.718, "l4_lm_score" -> 2.071, "l4_pii_redact" -> 0.918,
-    "l4_pmi_phrases" -> 1.278, "l4_quality_score" -> 0.711,
-    "l4_repetition" -> 2.112, "l4_repetition_quality" -> 1.796,
-    "l4_term_freq" -> 0.770, "l4_tfidf" -> 1.257, "l4_token_stats" -> 0.753,
-    "l5_histogram" -> 0.375, "l6_audio_fp_dedup" -> 0.931,
-    "l6_decode_audio" -> 1.643, "l6_decode_features" -> 0.504,
-    "l6_decode_real" -> 1.662, "l6_multimodal_meta" -> 0.223,
-    "l6_phash_dedup" -> 0.921, "l6_quantize_int8" -> 0.379,
-    "l6_resize_framesample" -> 0.208, "l7_curation_pipeline" -> 0.785,
-    "l8_bottomk_sample" -> 0.280, "l8_deterministic_sample" -> 0.191,
-    "l8_deterministic_split" -> 0.282, "l8_mixture_weights" -> 0.325,
-    "l8_stratified_sample" -> 0.183, "l8_weighted_sample" -> 0.294,
-    "l9_sequence_packing" -> 0.416, "l9_shard_export" -> 1.643,
-    "o1_topk" -> 0.175, "o2_limit" -> 0.151, "o3_union" -> 0.461,
-    "o3_union_distinct" -> 0.552, "o4_except" -> 0.453,
-    "o4_except_all" -> 0.855, "o4_intersect" -> 0.444,
-    "o4_intersect_all" -> 0.554, "p10_map_hof" -> 2.579, "p10_maps" -> 1.139,
-    "p11_envelope" -> 0.449, "p12_unpivot" -> 0.344,
-    "p13_subqueries" -> 0.661, "p14_variant" -> 2.423,
-    "p15_lateral" -> 0.521, "p16_try_functions" -> 3.746,
-    "p1_prune" -> 0.874, "p2_filter" -> 0.500, "p3_inlist" -> 0.238,
-    "p4_strings" -> 0.462, "p5_datetime" -> 0.666, "p6_math" -> 1.104,
-    "p7_conditional" -> 0.284, "p8_json" -> 1.282, "p8_json_nested" -> 3.825,
-    "p9_array_fns" -> 0.233, "p9_arrays" -> 0.375, "p9_explode" -> 0.223,
-    "p9_posexplode" -> 0.310, "s10_vector_index" -> 1.992,
-    "s10b_index_append" -> 2.369, "s11_schema_evolution" -> 0.983,
-    "s12_compaction" -> 1.448, "s13_dpp_join" -> 1.868,
-    "s14_zorder_layout" -> 1.539, "s15_stats_pruned_scan" -> 1.441,
-    "s16_binaryfile_ingest" -> 1.249, "s17_xml_roundtrip" -> 1.592,
-    "s18_corrupt_drop" -> 0.424, "s19_envelope_sink" -> 1.336,
-    "s20_bson_dump" -> 1.659, "s21_mongo_extjson" -> 1.699,
-    "s22_time_travel" -> 1.578, "s22b_log_vacuum" -> 1.219,
-    "s22c_change_feed" -> 2.074, "s22d_log_tail" -> 2.050,
-    "s22e_schema_enforced" -> 0.721, "s23_merge_on_read" -> 1.971,
-    "s3_jdbc_roundtrip" -> 0.458, "s4_json_roundtrip" -> 1.000,
-    "s5_kafka_envelope" -> 0.300, "s6_csv_roundtrip" -> 0.694,
-    "s7_orc_roundtrip" -> 1.249, "s8_envelope_source" -> 0.948,
-    "s9_partitioned_prune" -> 1.034, "t12_stream_envelope_sink" -> 1.967,
-    "t13_stream_envelope_source" -> 3.709, "t1_tumbling" -> 0.689,
-    "t2_sliding" -> 0.674, "t3_session" -> 1.535,
-    "t4_watermark_closed" -> 0.890, "t5_dedup" -> 0.844,
-    "t6_stateful_running" -> 0.993, "t7_stream_static" -> 1.038,
-    "t8_foreachbatch_jdbc" -> 1.001, "t8c_exactly_once_jdbc" -> 2.284,
-    "t9_stream_stream" -> 0.595, "t9_stream_stream_full" -> 0.824,
-    "t9_stream_stream_outer" -> 0.613, "t9_stream_stream_semi" -> 0.521,
-    "w10_seasonal_decomp" -> 0.877, "w11_ewma" -> 0.875,
-    "w1_ranking" -> 1.067, "w2_analytic" -> 1.132, "w3_frames" -> 1.124,
-    "w3_time_range" -> 1.094, "w4_topk_per_group" -> 0.654,
-    "w4_topk_window_idiom" -> 0.773, "w5_distribution" -> 1.591,
-    "w6_gap_fill" -> 1.051, "w7_funnel" -> 0.761, "w8_retention" -> 0.651,
-    "w9_anomaly" -> 1.061)
+    "a10_kmv_sketch" -> 2.564, "a1_hashagg" -> 1.595, "a2_distinct" -> 1.016,
+    "a3_approx_distinct" -> 2.785, "a3_hll_merge" -> 0.837,
+    "a4_cube" -> 0.966, "a4_grouping_sets" -> 1.001, "a4_rollup" -> 0.887,
+    "a5_filtered_agg" -> 0.834, "a6_approx_percentile" -> 3.331,
+    "a6_stats" -> 3.142, "a6_tdigest" -> 2.973, "a7_collect" -> 1.135,
+    "a8_pivot" -> 0.520, "a9_salted_agg" -> 0.997,
+    "c1_upsert_latest" -> 0.763, "c2_scd2_intervals" -> 0.944,
+    "c3_incremental_agg" -> 1.212, "c4_cdc_apply" -> 1.107,
+    "c5_retractable_agg" -> 2.662, "flagship_pipeline" -> 0.881,
+    "j10_bloom_semi" -> 1.818, "j11_salted_skew_join" -> 1.164,
+    "j12_interval_overlap" -> 1.802, "j13_spatial_grid" -> 1.427,
+    "j14_cobucketed_join" -> 0.742, "j1_semi_broadcast" -> 1.153,
+    "j2_inner" -> 0.752, "j3_multiway" -> 2.218, "j4_full_outer" -> 0.575,
+    "j4_left_outer" -> 0.495, "j5_anti" -> 0.434, "j6_sortmerge" -> 1.185,
+    "j7_range" -> 0.835, "j8_cross" -> 0.321, "j9_asof" -> 0.823,
+    "j9_asof_join" -> 0.687, "l10_drift" -> 1.174, "l10_profile" -> 0.520,
+    "l10_zipf" -> 0.828, "l11_decontam" -> 2.076,
+    "l11_semantic_decontam" -> 0.869, "l12_global_ids" -> 1.118,
+    "l13_bfs" -> 1.534, "l13_hits" -> 5.683, "l13_kcore" -> 1.725,
+    "l13_pagerank" -> 3.099, "l13_triangles" -> 1.585,
+    "l14_fuzzy_join" -> 2.502, "l1_exact_dedup" -> 0.450,
+    "l2_cc_star" -> 5.689, "l2_chunk_dedup" -> 1.872,
+    "l2_cosine_neardup" -> 0.715, "l2_cosine_neardup_bucketed" -> 0.641,
+    "l2_dedup_clusters" -> 3.220, "l2_incremental_dedup" -> 1.714,
+    "l2_lsh_pairs" -> 1.855, "l2_minhash_estimate" -> 1.515,
+    "l2_minhash_sigs" -> 2.150, "l2_ngram_jaccard" -> 7.167,
+    "l2_simhash" -> 0.885, "l2_simhash_blocked" -> 3.358,
+    "l2_simhash_hamming" -> 2.106, "l2_substring_dedup" -> 2.028,
+    "l2_survivor_selection" -> 2.807, "l3_ann_ivf" -> 0.766,
+    "l3_ann_ivfpq" -> 1.702, "l3_ann_lsh" -> 1.828, "l3_ann_pq" -> 1.464,
+    "l3_ann_recall" -> 2.033, "l3_ann_trained" -> 2.804,
+    "l3_cosine_topk" -> 0.370, "l3_jl_projection" -> 0.509,
+    "l3_kmeans" -> 1.250, "l3_pca_power" -> 0.497,
+    "l3_semantic_dedup" -> 1.759, "l4_bm25" -> 1.934,
+    "l4_bpe_encode" -> 1.411, "l4_bpe_pair_stats" -> 0.765,
+    "l4_bpe_train" -> 0.802, "l4_count_min" -> 0.662,
+    "l4_fingerprint" -> 1.020, "l4_heavy_hitters" -> 0.500,
+    "l4_lang_id" -> 0.637, "l4_lm_score" -> 1.408, "l4_pii_redact" -> 0.782,
+    "l4_pmi_phrases" -> 0.915, "l4_quality_score" -> 0.632,
+    "l4_repetition" -> 1.760, "l4_repetition_quality" -> 1.123,
+    "l4_term_freq" -> 0.635, "l4_tfidf" -> 0.930, "l4_token_stats" -> 0.613,
+    "l5_histogram" -> 0.242, "l6_audio_fp_dedup" -> 0.683,
+    "l6_decode_audio" -> 1.147, "l6_decode_features" -> 0.375,
+    "l6_decode_real" -> 1.286, "l6_multimodal_meta" -> 0.165,
+    "l6_phash_dedup" -> 0.697, "l6_quantize_int8" -> 0.327,
+    "l6_resize_framesample" -> 0.194, "l7_curation_pipeline" -> 0.658,
+    "l8_bottomk_sample" -> 0.224, "l8_deterministic_sample" -> 0.177,
+    "l8_deterministic_split" -> 0.219, "l8_mixture_weights" -> 0.275,
+    "l8_stratified_sample" -> 0.152, "l8_weighted_sample" -> 0.247,
+    "l9_mixture_interleave" -> 0.267, "l9_sequence_packing" -> 0.333,
+    "l9_shard_export" -> 1.413, "o1_topk" -> 0.151, "o2_limit" -> 0.118,
+    "o3_union" -> 0.374, "o3_union_distinct" -> 0.419, "o4_except" -> 0.375,
+    "o4_except_all" -> 0.660, "o4_intersect" -> 0.413,
+    "o4_intersect_all" -> 0.521, "p10_map_hof" -> 2.407, "p10_maps" -> 1.289,
+    "p11_envelope" -> 0.443, "p12_unpivot" -> 0.289,
+    "p13_subqueries" -> 0.561, "p14_variant" -> 2.072,
+    "p15_lateral" -> 0.474, "p16_try_functions" -> 3.526,
+    "p1_prune" -> 0.636, "p2_filter" -> 0.414, "p3_inlist" -> 0.171,
+    "p4_strings" -> 0.208, "p5_datetime" -> 0.446, "p6_math" -> 0.764,
+    "p7_conditional" -> 0.196, "p8_json" -> 1.009, "p8_json_nested" -> 3.012,
+    "p9_array_fns" -> 0.163, "p9_arrays" -> 0.213, "p9_explode" -> 0.151,
+    "p9_posexplode" -> 0.166, "s10_vector_index" -> 1.397,
+    "s10b_index_append" -> 1.786, "s11_schema_evolution" -> 0.774,
+    "s12_compaction" -> 1.229, "s13_dpp_join" -> 1.476,
+    "s14_zorder_layout" -> 1.327, "s15_stats_pruned_scan" -> 1.362,
+    "s16_binaryfile_ingest" -> 1.300, "s17_xml_roundtrip" -> 1.316,
+    "s18_corrupt_drop" -> 0.406, "s19_envelope_sink" -> 1.052,
+    "s20_bson_dump" -> 1.644, "s21_mongo_extjson" -> 2.366,
+    "s22_time_travel" -> 1.233, "s22b_log_vacuum" -> 0.823,
+    "s22c_change_feed" -> 1.602, "s22d_log_tail" -> 1.533,
+    "s22e_schema_enforced" -> 0.706, "s23_merge_on_read" -> 1.598,
+    "s3_jdbc_roundtrip" -> 0.437, "s4_json_roundtrip" -> 0.815,
+    "s5_kafka_envelope" -> 0.280, "s6_csv_roundtrip" -> 0.693,
+    "s7_orc_roundtrip" -> 0.990, "s8_envelope_source" -> 0.688,
+    "s9_partitioned_prune" -> 0.725, "t12_stream_envelope_sink" -> 1.312,
+    "t13_stream_envelope_source" -> 1.862, "t1_tumbling" -> 0.551,
+    "t2_sliding" -> 0.524, "t3_session" -> 0.935,
+    "t4_watermark_closed" -> 0.508, "t5_dedup" -> 0.372,
+    "t6_stateful_running" -> 0.678, "t7_stream_static" -> 0.739,
+    "t8_foreachbatch_jdbc" -> 1.011, "t8c_exactly_once_jdbc" -> 2.137,
+    "t9_stream_stream" -> 0.472, "t9_stream_stream_full" -> 0.563,
+    "t9_stream_stream_outer" -> 0.407, "t9_stream_stream_semi" -> 0.437,
+    "w10_seasonal_decomp" -> 0.673, "w11_ewma" -> 0.606,
+    "w1_ranking" -> 0.882, "w2_analytic" -> 1.080, "w3_frames" -> 0.995,
+    "w3_time_range" -> 0.647, "w4_topk_per_group" -> 0.434,
+    "w4_topk_window_idiom" -> 0.529, "w5_distribution" -> 1.207,
+    "w6_gap_fill" -> 0.944, "w7_funnel" -> 0.582, "w8_retention" -> 0.525,
+    "w9_anomaly" -> 0.814)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

@@ -1361,6 +1361,66 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
+    // L9c: WEIGHTED MIXTURE INTERLEAVE — the deterministic epoch ORDER
+    // a training dataloader consumes: stride scheduling (the classic
+    // weighted-fair-queueing discipline) over per-language streams
+    // with target weights en:4 de:2 others:1 — doc at within-stream
+    // rank r is served at virtual time r/w, so the merged order holds
+    // each stream to its weight at every prefix, not just in
+    // expectation (what samplers give). vt = r/w with w ∈ {4,2,1} is
+    // an exact binary division — bit-identical cross-engine with no
+    // rounding discipline needed. The first 200 positions of the epoch
+    // are declared; only docs at within-stream rank ≤ 200·max_w/min_w
+    // = 800 can reach them (vt cutoff ≤ 200), so the engine cuts each
+    // stream on the BOUNDED-HEAP TopKPerGroup operator FIRST — no
+    // full-corpus window sort, no skewed lang-partitioned sort; the
+    // stride merge then runs on ≤ 800·n_langs survivors. At 100 TB
+    // serving a full epoch order this way is a range-partitioned sort
+    // on vt; the prefix form here is the bounded probe of the same
+    // discipline (PlanSpec pins TopKPerGroupExec + no full Window
+    // before it).
+    Decl(
+      "l9_mixture_interleave",
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, lang,
+        |    CAST(r AS DOUBLE) / (CASE WHEN lang = 'en' THEN 4.0
+        |                              WHEN lang = 'de' THEN 2.0
+        |                              ELSE 1.0 END) AS vt
+        |  FROM r),
+        |s AS (
+        |  SELECT doc_id, lang, vt,
+        |    row_number() OVER (ORDER BY vt, lang, doc_id) AS global_pos
+        |  FROM v)
+        |SELECT CAST(global_pos AS BIGINT) AS global_pos, lang, doc_id, vt
+        |FROM s WHERE global_pos <= 200
+        |ORDER BY global_pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val survivors = graft.plans.TopKPerGroup(
+        Qh.t(s, dir, "documents").select($"doc_id", $"lang"),
+        groupCols = Seq("lang"),
+        orderSpec = Seq(("doc_id", true)),
+        k = 800)
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+      val merged = survivors
+        .withColumn("r", row_number().over(byLang))
+        .withColumn("vt", $"r".cast(DoubleType) /
+          when($"lang" === "en", 4.0)
+            .when($"lang" === "de", 2.0).otherwise(1.0))
+        .orderBy($"vt", $"lang", $"doc_id")
+        .limit(200)
+      merged
+        .withColumn("global_pos",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy($"vt", $"lang", $"doc_id")).cast(LongType))
+        .select($"global_pos", $"lang", $"doc_id", $"vt")
+        .orderBy("global_pos")
+    },
+
     // L4n: PMI PHRASE MINING — pointwise mutual information over
     // adjacent token pairs, the classic collocation detector (word2vec
     // phrase pass, Mikolov et al. 2013): PMI = ln(p(ab)/(p(a)p(b))),

@@ -432,6 +432,16 @@ class PlanSpec extends SparkSpec {
       "expected partial + final HashAggregate")
   }
 
+  test("l9_mixture_interleave: streams cut on the bounded heap, never a full-corpus window sort") {
+    // the stride-merge prefix only needs within-stream ranks <= 800, so
+    // the corpus must hit the TopKPerGroup operator first; the windows
+    // that follow run on the bounded survivor set
+    val p = plan("l9_mixture_interleave")
+    assert(p.contains("TopKPerGroup"),
+      s"per-stream cut must ride the bounded-heap operator:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("l4_pmi_phrases: broadcast unigram joins, one-row totals, bounded top-50") {
     // the corpus-sized bigram table must join vocab-sized unigram
     // counts as broadcasts and cut to 50 on a bounded TakeOrdered —

@@ -27,94 +27,94 @@ object Bench {
     * (scripts/bench_pins.json). Queries absent from the map (newly
     * added this round) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.564, "a1_hashagg" -> 1.595, "a2_distinct" -> 1.016,
-    "a3_approx_distinct" -> 2.785, "a3_hll_merge" -> 0.837,
-    "a4_cube" -> 0.966, "a4_grouping_sets" -> 1.001, "a4_rollup" -> 0.887,
-    "a5_filtered_agg" -> 0.834, "a6_approx_percentile" -> 3.331,
-    "a6_stats" -> 3.142, "a6_tdigest" -> 2.973, "a7_collect" -> 1.135,
-    "a8_pivot" -> 0.520, "a9_salted_agg" -> 0.997,
-    "c1_upsert_latest" -> 0.763, "c2_scd2_intervals" -> 0.944,
-    "c3_incremental_agg" -> 1.212, "c4_cdc_apply" -> 1.107,
-    "c5_retractable_agg" -> 2.662, "flagship_pipeline" -> 0.881,
-    "j10_bloom_semi" -> 1.818, "j11_salted_skew_join" -> 1.164,
-    "j12_interval_overlap" -> 1.802, "j13_spatial_grid" -> 1.427,
-    "j14_cobucketed_join" -> 0.742, "j1_semi_broadcast" -> 1.153,
-    "j2_inner" -> 0.752, "j3_multiway" -> 2.218, "j4_full_outer" -> 0.575,
-    "j4_left_outer" -> 0.495, "j5_anti" -> 0.434, "j6_sortmerge" -> 1.185,
-    "j7_range" -> 0.835, "j8_cross" -> 0.321, "j9_asof" -> 0.823,
-    "j9_asof_join" -> 0.687, "l10_drift" -> 1.174, "l10_profile" -> 0.520,
-    "l10_zipf" -> 0.828, "l11_decontam" -> 2.076,
-    "l11_semantic_decontam" -> 0.869, "l12_global_ids" -> 1.118,
-    "l13_bfs" -> 1.534, "l13_hits" -> 5.683, "l13_kcore" -> 1.725,
-    "l13_pagerank" -> 3.099, "l13_triangles" -> 1.585,
-    "l14_fuzzy_join" -> 2.502, "l1_exact_dedup" -> 0.450,
-    "l2_cc_star" -> 5.689, "l2_chunk_dedup" -> 1.872,
-    "l2_cosine_neardup" -> 0.715, "l2_cosine_neardup_bucketed" -> 0.641,
-    "l2_dedup_clusters" -> 3.220, "l2_incremental_dedup" -> 1.714,
-    "l2_lsh_pairs" -> 1.855, "l2_minhash_estimate" -> 1.515,
-    "l2_minhash_sigs" -> 2.150, "l2_ngram_jaccard" -> 7.167,
-    "l2_simhash" -> 0.885, "l2_simhash_blocked" -> 3.358,
-    "l2_simhash_hamming" -> 2.106, "l2_substring_dedup" -> 2.028,
-    "l2_survivor_selection" -> 2.807, "l3_ann_ivf" -> 0.766,
-    "l3_ann_ivfpq" -> 1.702, "l3_ann_lsh" -> 1.828, "l3_ann_pq" -> 1.464,
-    "l3_ann_recall" -> 2.033, "l3_ann_trained" -> 2.804,
-    "l3_cosine_topk" -> 0.370, "l3_jl_projection" -> 0.509,
-    "l3_kmeans" -> 1.250, "l3_pca_power" -> 0.497,
-    "l3_semantic_dedup" -> 1.759, "l4_bm25" -> 1.934,
-    "l4_bpe_encode" -> 1.411, "l4_bpe_pair_stats" -> 0.765,
-    "l4_bpe_train" -> 0.802, "l4_count_min" -> 0.662,
-    "l4_fingerprint" -> 1.020, "l4_heavy_hitters" -> 0.500,
-    "l4_lang_id" -> 0.637, "l4_lm_score" -> 1.408, "l4_pii_redact" -> 0.782,
-    "l4_pmi_phrases" -> 0.915, "l4_quality_score" -> 0.632,
-    "l4_repetition" -> 1.760, "l4_repetition_quality" -> 1.123,
-    "l4_term_freq" -> 0.635, "l4_tfidf" -> 0.930, "l4_token_stats" -> 0.613,
-    "l5_histogram" -> 0.242, "l6_audio_fp_dedup" -> 0.683,
-    "l6_decode_audio" -> 1.147, "l6_decode_features" -> 0.375,
-    "l6_decode_real" -> 1.286, "l6_multimodal_meta" -> 0.165,
-    "l6_phash_dedup" -> 0.697, "l6_quantize_int8" -> 0.327,
-    "l6_resize_framesample" -> 0.194, "l7_curation_pipeline" -> 0.658,
-    "l8_bottomk_sample" -> 0.224, "l8_deterministic_sample" -> 0.177,
-    "l8_deterministic_split" -> 0.219, "l8_mixture_weights" -> 0.275,
-    "l8_stratified_sample" -> 0.152, "l8_weighted_sample" -> 0.247,
-    "l9_mixture_interleave" -> 0.267, "l9_sequence_packing" -> 0.333,
-    "l9_shard_export" -> 1.413, "o1_topk" -> 0.151, "o2_limit" -> 0.118,
-    "o3_union" -> 0.374, "o3_union_distinct" -> 0.419, "o4_except" -> 0.375,
-    "o4_except_all" -> 0.660, "o4_intersect" -> 0.413,
-    "o4_intersect_all" -> 0.521, "p10_map_hof" -> 2.407, "p10_maps" -> 1.289,
-    "p11_envelope" -> 0.443, "p12_unpivot" -> 0.289,
-    "p13_subqueries" -> 0.561, "p14_variant" -> 2.072,
-    "p15_lateral" -> 0.474, "p16_try_functions" -> 3.526,
-    "p1_prune" -> 0.636, "p2_filter" -> 0.414, "p3_inlist" -> 0.171,
-    "p4_strings" -> 0.208, "p5_datetime" -> 0.446, "p6_math" -> 0.764,
-    "p7_conditional" -> 0.196, "p8_json" -> 1.009, "p8_json_nested" -> 3.012,
-    "p9_array_fns" -> 0.163, "p9_arrays" -> 0.213, "p9_explode" -> 0.151,
-    "p9_posexplode" -> 0.166, "s10_vector_index" -> 1.397,
-    "s10b_index_append" -> 1.786, "s11_schema_evolution" -> 0.774,
-    "s12_compaction" -> 1.229, "s13_dpp_join" -> 1.476,
-    "s14_zorder_layout" -> 1.327, "s15_stats_pruned_scan" -> 1.362,
-    "s16_binaryfile_ingest" -> 1.300, "s17_xml_roundtrip" -> 1.316,
-    "s18_corrupt_drop" -> 0.406, "s19_envelope_sink" -> 1.052,
-    "s20_bson_dump" -> 1.644, "s21_mongo_extjson" -> 2.366,
-    "s22_time_travel" -> 1.233, "s22b_log_vacuum" -> 0.823,
-    "s22c_change_feed" -> 1.602, "s22d_log_tail" -> 1.533,
-    "s22e_schema_enforced" -> 0.706, "s23_merge_on_read" -> 1.598,
-    "s3_jdbc_roundtrip" -> 0.437, "s4_json_roundtrip" -> 0.815,
-    "s5_kafka_envelope" -> 0.280, "s6_csv_roundtrip" -> 0.693,
-    "s7_orc_roundtrip" -> 0.990, "s8_envelope_source" -> 0.688,
-    "s9_partitioned_prune" -> 0.725, "t12_stream_envelope_sink" -> 1.312,
-    "t13_stream_envelope_source" -> 1.862, "t1_tumbling" -> 0.551,
-    "t2_sliding" -> 0.524, "t3_session" -> 0.935,
-    "t4_watermark_closed" -> 0.508, "t5_dedup" -> 0.372,
-    "t6_stateful_running" -> 0.678, "t7_stream_static" -> 0.739,
-    "t8_foreachbatch_jdbc" -> 1.011, "t8c_exactly_once_jdbc" -> 2.137,
-    "t9_stream_stream" -> 0.472, "t9_stream_stream_full" -> 0.563,
-    "t9_stream_stream_outer" -> 0.407, "t9_stream_stream_semi" -> 0.437,
-    "w10_seasonal_decomp" -> 0.673, "w11_ewma" -> 0.606,
-    "w1_ranking" -> 0.882, "w2_analytic" -> 1.080, "w3_frames" -> 0.995,
-    "w3_time_range" -> 0.647, "w4_topk_per_group" -> 0.434,
-    "w4_topk_window_idiom" -> 0.529, "w5_distribution" -> 1.207,
-    "w6_gap_fill" -> 0.944, "w7_funnel" -> 0.582, "w8_retention" -> 0.525,
-    "w9_anomaly" -> 0.814)
+    "a10_kmv_sketch" -> 2.602, "a1_hashagg" -> 1.455, "a2_distinct" -> 0.814,
+    "a3_approx_distinct" -> 2.384, "a3_hll_merge" -> 0.722,
+    "a4_cube" -> 0.826, "a4_grouping_sets" -> 0.908, "a4_rollup" -> 0.791,
+    "a5_filtered_agg" -> 0.625, "a6_approx_percentile" -> 3.068,
+    "a6_stats" -> 2.688, "a6_tdigest" -> 2.725, "a7_collect" -> 1.242,
+    "a8_pivot" -> 0.845, "a9_salted_agg" -> 1.029,
+    "c1_upsert_latest" -> 0.949, "c2_scd2_intervals" -> 1.230,
+    "c3_incremental_agg" -> 1.110, "c4_cdc_apply" -> 0.902,
+    "c5_retractable_agg" -> 2.677, "flagship_pipeline" -> 0.672,
+    "j10_bloom_semi" -> 1.500, "j11_salted_skew_join" -> 0.934,
+    "j12_interval_overlap" -> 1.428, "j13_spatial_grid" -> 1.217,
+    "j14_cobucketed_join" -> 0.571, "j1_semi_broadcast" -> 0.883,
+    "j2_inner" -> 0.680, "j3_multiway" -> 2.017, "j4_full_outer" -> 0.541,
+    "j4_left_outer" -> 0.475, "j5_anti" -> 0.381, "j6_sortmerge" -> 0.960,
+    "j7_range" -> 0.860, "j8_cross" -> 0.357, "j9_asof" -> 0.785,
+    "j9_asof_join" -> 0.686, "l10_drift" -> 1.053, "l10_ks_drift" -> 0.911,
+    "l10_profile" -> 0.417, "l10_zipf" -> 0.716, "l11_decontam" -> 1.575,
+    "l11_semantic_decontam" -> 0.651, "l12_global_ids" -> 0.899,
+    "l13_bfs" -> 1.472, "l13_hits" -> 5.063, "l13_kcore" -> 1.894,
+    "l13_pagerank" -> 3.499, "l13_triangles" -> 1.312,
+    "l14_fuzzy_join" -> 2.438, "l1_exact_dedup" -> 0.416,
+    "l2_cc_star" -> 4.728, "l2_chunk_dedup" -> 1.424,
+    "l2_cosine_neardup" -> 0.644, "l2_cosine_neardup_bucketed" -> 0.600,
+    "l2_dedup_clusters" -> 2.643, "l2_incremental_dedup" -> 1.148,
+    "l2_lsh_pairs" -> 1.519, "l2_minhash_estimate" -> 1.433,
+    "l2_minhash_sigs" -> 1.608, "l2_ngram_jaccard" -> 6.894,
+    "l2_simhash" -> 1.020, "l2_simhash_blocked" -> 3.747,
+    "l2_simhash_hamming" -> 2.400, "l2_substring_dedup" -> 2.294,
+    "l2_survivor_selection" -> 3.223, "l3_ann_ivf" -> 0.935,
+    "l3_ann_ivfpq" -> 1.900, "l3_ann_lsh" -> 1.961, "l3_ann_pq" -> 1.662,
+    "l3_ann_recall" -> 2.120, "l3_ann_trained" -> 3.091,
+    "l3_cosine_topk" -> 0.499, "l3_jl_projection" -> 0.705,
+    "l3_kmeans" -> 1.552, "l3_pca_power" -> 0.551,
+    "l3_semantic_dedup" -> 1.713, "l4_bm25" -> 1.904,
+    "l4_bpe_encode" -> 1.552, "l4_bpe_pair_stats" -> 0.814,
+    "l4_bpe_train" -> 0.972, "l4_count_min" -> 0.711,
+    "l4_fingerprint" -> 1.079, "l4_heavy_hitters" -> 0.633,
+    "l4_lang_id" -> 0.587, "l4_lm_score" -> 1.699, "l4_pii_redact" -> 0.886,
+    "l4_pmi_phrases" -> 1.013, "l4_quality_score" -> 0.800,
+    "l4_repetition" -> 2.002, "l4_repetition_quality" -> 1.283,
+    "l4_term_freq" -> 0.637, "l4_tfidf" -> 1.039, "l4_token_stats" -> 0.600,
+    "l5_histogram" -> 0.321, "l6_audio_fp_dedup" -> 0.757,
+    "l6_decode_audio" -> 1.208, "l6_decode_features" -> 0.355,
+    "l6_decode_real" -> 1.378, "l6_multimodal_meta" -> 0.184,
+    "l6_phash_dedup" -> 0.748, "l6_quantize_int8" -> 0.359,
+    "l6_resize_framesample" -> 0.195, "l7_curation_pipeline" -> 0.777,
+    "l8_bottomk_sample" -> 0.243, "l8_deterministic_sample" -> 0.168,
+    "l8_deterministic_split" -> 0.261, "l8_mixture_weights" -> 0.307,
+    "l8_stratified_sample" -> 0.156, "l8_weighted_sample" -> 0.263,
+    "l9_mixture_interleave" -> 0.255, "l9_sequence_packing" -> 0.338,
+    "l9_shard_export" -> 1.401, "o1_topk" -> 0.146, "o2_limit" -> 0.135,
+    "o3_union" -> 0.361, "o3_union_distinct" -> 0.427, "o4_except" -> 0.329,
+    "o4_except_all" -> 0.590, "o4_intersect" -> 0.364,
+    "o4_intersect_all" -> 0.449, "p10_map_hof" -> 1.558, "p10_maps" -> 0.877,
+    "p11_envelope" -> 0.420, "p12_unpivot" -> 0.287,
+    "p13_subqueries" -> 0.542, "p14_variant" -> 1.547,
+    "p15_lateral" -> 0.440, "p16_try_functions" -> 3.178,
+    "p1_prune" -> 0.639, "p2_filter" -> 0.402, "p3_inlist" -> 0.177,
+    "p4_strings" -> 0.228, "p5_datetime" -> 0.482, "p6_math" -> 0.779,
+    "p7_conditional" -> 0.204, "p8_json" -> 0.701, "p8_json_nested" -> 3.025,
+    "p9_array_fns" -> 0.211, "p9_arrays" -> 0.277, "p9_explode" -> 0.215,
+    "p9_posexplode" -> 0.222, "s10_vector_index" -> 1.436,
+    "s10b_index_append" -> 1.688, "s11_schema_evolution" -> 0.809,
+    "s12_compaction" -> 1.197, "s13_dpp_join" -> 1.463,
+    "s14_zorder_layout" -> 1.078, "s15_stats_pruned_scan" -> 1.105,
+    "s16_binaryfile_ingest" -> 1.031, "s17_xml_roundtrip" -> 1.311,
+    "s18_corrupt_drop" -> 0.432, "s19_envelope_sink" -> 1.019,
+    "s20_bson_dump" -> 1.423, "s21_mongo_extjson" -> 1.617,
+    "s22_time_travel" -> 1.297, "s22b_log_vacuum" -> 0.870,
+    "s22c_change_feed" -> 1.512, "s22d_log_tail" -> 1.453,
+    "s22e_schema_enforced" -> 0.538, "s23_merge_on_read" -> 1.323,
+    "s3_jdbc_roundtrip" -> 0.399, "s4_json_roundtrip" -> 0.758,
+    "s5_kafka_envelope" -> 0.238, "s6_csv_roundtrip" -> 0.492,
+    "s7_orc_roundtrip" -> 1.059, "s8_envelope_source" -> 0.762,
+    "s9_partitioned_prune" -> 0.782, "t12_stream_envelope_sink" -> 1.268,
+    "t13_stream_envelope_source" -> 1.730, "t1_tumbling" -> 0.574,
+    "t2_sliding" -> 0.546, "t3_session" -> 0.923,
+    "t4_watermark_closed" -> 0.651, "t5_dedup" -> 0.384,
+    "t6_stateful_running" -> 0.714, "t7_stream_static" -> 0.622,
+    "t8_foreachbatch_jdbc" -> 0.955, "t8c_exactly_once_jdbc" -> 1.940,
+    "t9_stream_stream" -> 0.444, "t9_stream_stream_full" -> 0.504,
+    "t9_stream_stream_outer" -> 0.439, "t9_stream_stream_semi" -> 0.401,
+    "w10_seasonal_decomp" -> 0.549, "w11_ewma" -> 0.519,
+    "w1_ranking" -> 0.854, "w2_analytic" -> 0.959, "w3_frames" -> 0.900,
+    "w3_time_range" -> 0.725, "w4_topk_per_group" -> 0.414,
+    "w4_topk_window_idiom" -> 0.498, "w5_distribution" -> 1.139,
+    "w6_gap_fill" -> 0.930, "w7_funnel" -> 0.561, "w8_retention" -> 0.478,
+    "w9_anomaly" -> 0.736)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

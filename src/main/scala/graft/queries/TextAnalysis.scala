@@ -1296,6 +1296,69 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
+    // L10d: KOLMOGOROV–SMIRNOV two-sample drift test — the proper
+    // statistical companion to l10_drift's JS divergence: D = sup over
+    // x of |ECDF_A(x) − ECDF_B(x)| for the per-doc TOKEN-COUNT
+    // distribution, cohorts split by the same source hash as
+    // l10_drift. JS asks "did the token MIX move"; KS asks "did the
+    // document LENGTH distribution move" — the two failure modes of an
+    // ingest pipeline (content drift vs truncation/concatenation
+    // bugs). Everything is integer until one final division: the sup
+    // is max |cumA·nB − cumB·nA| over the VALUE-DOMAIN-sized distinct
+    // count table (the cumsum window runs on lang × distinct-length —
+    // hundreds of rows, never the corpus), and D divides once at the
+    // end — exact cross-engine with no per-step rounding.
+    Decl(
+      "l10_ks_drift",
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    CASE WHEN ${Qh.oPhash("source", 61)} % 2 = 0 THEN 0 ELSE 1 END AS cohort,
+         |    len(${Qh.oToksExpr}) AS v
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, v,
+         |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM d GROUP BY lang, v),
+         |t AS (
+         |  SELECT lang, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM c GROUP BY lang),
+         |cum AS (
+         |  SELECT lang, v,
+         |    sum(ca) OVER (PARTITION BY lang ORDER BY v) AS cuma,
+         |    sum(cb) OVER (PARTITION BY lang ORDER BY v) AS cumb
+         |  FROM c)
+         |SELECT cum.lang, t.na, t.nb,
+         |  ${Qh.oR6("CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))")} AS ks
+         |FROM cum JOIN t ON t.lang = cum.lang
+         |GROUP BY cum.lang, t.na, t.nb
+         |ORDER BY cum.lang""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val counts = Qh.t(s, dir, "documents")
+        .select($"lang",
+          (Qh.phash($"source", 61) % 2 === 0).as("isa"),
+          size(expr(Qh.toksExpr)).cast(LongType).as("v"))
+        .groupBy($"lang", $"v")
+        .agg(
+          sum(when($"isa", 1L).otherwise(0L)).as("ca"),
+          sum(when($"isa", 0L).otherwise(1L)).as("cb"))
+      val tot = counts.groupBy($"lang")
+        .agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+      val byV = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"v")
+      counts
+        .withColumn("cuma", sum($"ca").over(byV))
+        .withColumn("cumb", sum($"cb").over(byV))
+        .join(broadcast(tot), "lang")
+        .groupBy($"lang", $"na", $"nb")
+        .agg(Qh.r6(
+          max(abs($"cuma" * $"nb" - $"cumb" * $"na")).cast(DoubleType) /
+            ($"na".cast(DoubleType) * $"nb".cast(DoubleType))).as("ks"))
+        .select($"lang", $"na", $"nb", $"ks")
+        .orderBy("lang")
+    },
+
     // L10c: ZIPF rank–frequency fit per language — the power-law
     // diagnostic (Zipf 1949) next to l10_profile's health check and
     // l10_drift's divergence monitor: fit ln f = slope·ln r + b by

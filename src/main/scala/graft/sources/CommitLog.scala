@@ -304,11 +304,30 @@ object CommitLog {
     * would look orphaned. Production setting = comfortably above the
     * longest stage-to-commit latency (the same contract as Delta's
     * retention-hours check); 0 only when no writer can be in flight. */
+  /** Lowest version whose replay chain is still intact: v1 when the
+    * log was never vacuumed, else the oldest surviving checkpoint
+    * (every successful vacuum leaves one at its cutoff). */
+  private def lowestReadable(root: String): Int = {
+    if (Files.exists(manifest(root, 1))) 1
+    else {
+      val log = Paths.get(root, "_log")
+      if (!Files.isDirectory(log)) return 1
+      val ckpts = listDir(log).map(_.getFileName.toString)
+        .collect { case CkptName(v) => v }
+      if (ckpts.isEmpty) 1 else ckpts.min
+    }
+  }
+
   def vacuum(root: String, keepLast: Int, minAgeMs: Long = 0L): VacuumStats = {
     require(keepLast >= 1, "must retain at least the latest version")
     val latest = latestVersion(root)
     if (latest == 0) return VacuumStats(0, Nil, 0)
-    val cutoff = math.max(1, latest - keepLast + 1)
+    // The retention boundary can only move FORWARD: a keepLast larger
+    // than a previous vacuum's would put the cutoff below the already-
+    // expired floor, where no replay chain survives to checkpoint
+    // (found by CommitLogProps — the naive cutoff crashed there).
+    val cutoff = math.max(
+      math.max(1, latest - keepLast + 1), lowestReadable(root))
     // The retained range must stay reconstructible once the delta chain
     // below it is gone: publish the cutoff checkpoint FIRST (idempotent,
     // so a crash anywhere after this line re-vacuums safely), then

@@ -203,6 +203,23 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     intercept[java.nio.file.NoSuchFileException](CommitLog.files(root, 3))
   }
 
+  test("a wider retention AFTER a narrower one clamps forward, never crashes on the expired floor") {
+    // CommitLogProps' first shrunk counterexample: vacuum(keep=1) then
+    // vacuum(keep=3) — the naive second cutoff (v1) sits below the
+    // already-expired floor, where no replay chain survives to
+    // checkpoint; the boundary must clamp to the floor instead
+    val root = freshRoot("vac_widen")
+    stage(root, "b1"); stage(root, "b2"); stage(root, "b3")
+    CommitLog.commit(root, 0, added = Seq("b1", "b2", "b3"))
+    CommitLog.commit(root, 1, added = Nil, removed = Seq("b2", "b3"))
+    CommitLog.vacuum(root, keepLast = 1) // floor moves to v2
+    val st = CommitLog.vacuum(root, keepLast = 3) // wider: must clamp, not crash
+    assert(st.retainedFrom == 2, s"cutoff must clamp to the floor: $st")
+    assert(st.expiredManifests == 0 && st.sweptBatches.isEmpty)
+    assert(CommitLog.files(root, 2) == Seq("b1"))
+    intercept[java.nio.file.NoSuchFileException](CommitLog.files(root, 1))
+  }
+
   test("batch names that would corrupt the manifest encoding are rejected at publish") {
     // a name with ',' would comma-split into the WRONG file set on
     // replay — and vacuum would then sweep the real directory as an

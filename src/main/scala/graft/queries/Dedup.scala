@@ -39,6 +39,34 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** doc_id mirror modulus for the survivor-election packing. */
+  private[graft] val ElectionM = 1000000000000L
+
+  /** The survivor-election packing key `q6 * 1e12 + (1e12-1 - doc_id)`
+    * (l2_survivor_selection), with its CONTRACT ENFORCED in the plan:
+    * q6 must sit in [0, 1e6] (the quality score is a convex combination
+    * of [0,1] terms scaled by 1e6) and doc_id in [0, 1e12). Packing an
+    * out-of-contract row would not overflow or error — it would
+    * silently elect the WRONG survivor (a doc_id >= 1e12 bleeds into
+    * the quality digits; a q6 > 1e6 outranks every legitimate score) —
+    * so the guard is a plan-resident `assert_true`: in-contract rows
+    * pay one codegen'd range check and pack to the identical key
+    * (decl hash unchanged), out-of-contract rows fail the job loudly. */
+  private[graft] def electionKey(
+      q6: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val M = ElectionM
+    val guard = assert_true(
+      docId.between(0L, M - 1) && q6.between(0L, 1000000L),
+      format_string(
+        "survivor-election packing contract violated: need doc_id in " +
+          "[0, 1e12) and q6 in [0, 1e6], got doc_id=%d, q6=%d",
+        docId, q6))
+    // assert_true is NULL whenever it returns at all, so the coalesce
+    // always yields the packed key — but keeps the guard in the plan
+    coalesce(guard.cast(LongType), q6 * M + (lit(M - 1) - docId))
+  }
+
   /** Spark-side tokens/shingles/digest columns (names shared with the
     * oracle CTEs below). Each shingle is md5-digested TWICE (seeds 0,1);
     * each digest then yields four independent 32-bit minhashes by hex
@@ -664,10 +692,8 @@ object Dedup {
       // integer election key: q6 * 1e12 + (1e12-1 - doc_id)
       val q6 = floor((lit(0.6) * lenScore + lit(0.4) * (lit(1.0) - punctRatio))
         * 1000000.0 + lit(0.5)).cast(LongType)
-      val M = 1000000000000L // doc_id mirror modulus (packing contract)
       val scored = Qh.t(s, dir, "documents")
-        .select($"doc_id",
-          (q6 * M + (lit(M - 1) - $"doc_id")).as("key"))
+        .select($"doc_id", electionKey(q6, $"doc_id").as("key"))
       scored
         .join(edges.select($"u".as("doc_id"), $"v".as("root")),
           Seq("doc_id"), "left")
@@ -675,8 +701,8 @@ object Dedup {
         .groupBy($"component")
         .agg(max($"key").as("k"), count(lit(1)).as("cluster_size"))
         .select($"component",
-          (lit(M - 1) - ($"k" % M)).as("survivor"),
-          (expr(s"k div $M").cast(DoubleType) / 1000000.0).as("quality"),
+          (lit(ElectionM - 1) - ($"k" % ElectionM)).as("survivor"),
+          (expr(s"k div $ElectionM").cast(DoubleType) / 1000000.0).as("quality"),
           $"cluster_size")
         .orderBy("component")
     },

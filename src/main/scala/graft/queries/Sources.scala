@@ -769,7 +769,8 @@ object Sources {
         .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
       val c3 = CommitLog.commit(root, c2.version,
         added = Seq("b3"), removed = Seq("b1", "b2"))
-      val stats = CommitLog.vacuum(root, keepLast = 1)
+      val stats = CommitLog.vacuum(root, keepLast = 1,
+        minAgeMs = 0L) // explicit 0: single sequential writer, nothing in flight
       s.read.parquet(CommitLog.files(root, c3.version).map(b => s"$root/$b"): _*)
         .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
         .select(

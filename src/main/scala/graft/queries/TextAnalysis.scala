@@ -1491,9 +1491,9 @@ object TextAnalysis {
     // tokenizer or n-gram vocabulary should treat as units. Corpus
     // side is two hash aggs (vocab-sized unigrams, (w1,w2)-keyed
     // bigrams with partial combine), unigram counts joined back twice
-    // (vocab-sized → broadcast), totals a one-row broadcast, top-50 a
-    // TakeOrdered — no sort of the full bigram table, no cartesian
-    // beyond the one-row totals. The c_ab >= 5 floor is the standard
+    // (unhinted — AQE broadcasts iff the vocab is actually small),
+    // totals a one-row broadcast, top-50 a TakeOrdered — no sort of
+    // the full bigram table, no cartesian beyond the one-row totals. The c_ab >= 5 floor is the standard
     // noise gate (PMI is maximized by hapax pairs without it). ln
     // rides the r6 discipline BM25 proved cross-engine-stable; the
     // division shapes are kept identical on both sides so the doubles
@@ -1535,10 +1535,19 @@ object TextAnalysis {
         .groupBy($"tok").agg(count(lit(1)).as("c"))
       val totals = uni.agg(sum($"c").cast(DoubleType).as("m_toks"))
         .crossJoin(bigrams.agg(count(lit(1)).cast(DoubleType).as("n_bg")))
+      // The unigram joins carry NO broadcast hint: the unigram table is
+      // vocab-sized, and a 100 TB multilingual corpus holds 10⁷–10⁸
+      // distinct tokens — force-broadcasting that OOMs the driver. Both
+      // joins key on the surviving-bigram side's own columns, so the
+      // static plan is a pair of shuffled hash joins whose build side is
+      // the threshold-gated cab table, and AQE converts to broadcast at
+      // runtime exactly when the unigram table is genuinely small (it is
+      // at fixture scale). Only the one-row totals keep an explicit
+      // broadcast — always safe by construction.
       bigrams.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
         .filter($"c_ab" >= 5)
-        .join(broadcast(uni.select($"tok".as("w1"), $"c".as("c_a"))), "w1")
-        .join(broadcast(uni.select($"tok".as("w2"), $"c".as("c_b"))), "w2")
+        .join(uni.select($"tok".as("w1"), $"c".as("c_a")), "w1")
+        .join(uni.select($"tok".as("w2"), $"c".as("c_b")), "w2")
         .crossJoin(broadcast(totals))
         .select($"w1", $"w2", $"c_ab",
           Qh.r6(log(($"c_ab".cast(DoubleType) / $"n_bg") /

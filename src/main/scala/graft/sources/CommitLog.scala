@@ -99,7 +99,13 @@ object CommitLog {
     ((start + 1) to v).foreach { i =>
       val (add, remove) = readDelta(root, i)
       val rm = remove.toSet
-      state = state.filterNot(rm) ++ add
+      val kept = state.filterNot(rm)
+      // dedupe on replay: a manifest re-adding a name already in the
+      // snapshot (possible only in logs written before commit() rejected
+      // duplicates) must not double-list the batch — a duplicate entry
+      // double-counts every row in it on read
+      val keptSet = kept.toSet
+      state = kept ++ add.filterNot(keptSet)
     }
     state
   }
@@ -301,9 +307,11 @@ object CommitLog {
     *
     * `minAgeMs` guards the one unsafe race: a concurrent committer's
     * STAGED batch exists on disk before its manifest publishes, and
-    * would look orphaned. Production setting = comfortably above the
-    * longest stage-to-commit latency (the same contract as Delta's
-    * retention-hours check); 0 only when no writer can be in flight. */
+    * would look orphaned. It is deliberately a REQUIRED parameter (no
+    * default — a default of 0 made the unsafe setting the silent one):
+    * production setting = comfortably above the longest stage-to-commit
+    * latency (the same contract as Delta's retention-hours check);
+    * pass 0 explicitly only when no writer can be in flight. */
   /** Lowest version whose replay chain is still intact: v1 when the
     * log was never vacuumed, else the oldest surviving checkpoint
     * (every successful vacuum leaves one at its cutoff). */
@@ -318,8 +326,9 @@ object CommitLog {
     }
   }
 
-  def vacuum(root: String, keepLast: Int, minAgeMs: Long = 0L): VacuumStats = {
+  def vacuum(root: String, keepLast: Int, minAgeMs: Long): VacuumStats = {
     require(keepLast >= 1, "must retain at least the latest version")
+    require(minAgeMs >= 0L, "minAgeMs must be non-negative")
     val latest = latestVersion(root)
     if (latest == 0) return VacuumStats(0, Nil, 0)
     // The retention boundary can only move FORWARD: a keepLast larger
@@ -384,19 +393,33 @@ object CommitLog {
       schema: Option[String] = None,
       maxAttempts: Int = 50): Commit = {
     val removedSet = removed.toSet
+    require(added.distinct == added,
+      s"duplicate batch names within one commit: $added")
+    require(added.toSet.intersect(removedSet).isEmpty,
+      s"a commit cannot both add and remove ${added.toSet.intersect(removedSet)}")
     var base = readVersion
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
-      // Conflict check only matters on a rebase, and only for writers
-      // that remove files — pure appends never read the snapshot here,
-      // so an append commit is O(1) metadata I/O regardless of table size.
-      if (base != readVersion && removedSet.nonEmpty) {
+      // Conflict + duplicate check against the snapshot at the base this
+      // attempt commits on (re-checked per rebase). The snapshot read is
+      // bounded metadata — one checkpoint + at most [[checkpointInterval]]
+      // deltas — never table-sized. Rejecting an already-listed batch
+      // name here is what makes a RETRIED ambiguous commit safe: a
+      // writer that crashed after publish and replays its commit gets a
+      // loud IllegalArgumentException instead of double-listing the
+      // file (every row in it would double-count on read).
+      if (removedSet.nonEmpty || added.nonEmpty) {
         val cur = files(root, base).toSet
-        if (!removedSet.subsetOf(cur))
+        if (base != readVersion && !removedSet.subsetOf(cur))
           throw new java.util.ConcurrentModificationException(
             s"conflict at v$base: rival commit removed " +
               s"${removedSet -- cur} first (overlapping copy-on-write)")
+        val dup = added.toSet.intersect(cur)
+        require(dup.isEmpty,
+          s"batch name(s) $dup already listed in snapshot v$base: batch " +
+            "names are immutable identities — a re-add would double-list " +
+            "the file (retried commit? pick a fresh name per attempt)")
       }
       // Schema arbitration against the base ACTUALLY COMMITTED under
       // (re-checked per rebase: a rival may have evolved it first).

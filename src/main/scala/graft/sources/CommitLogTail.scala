@@ -48,15 +48,53 @@ object CommitLogTail {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** SINGLE-CONSUMER CONTRACT, now enforced: the cursor protocol is
+    * single-consumer by construction (two drains sharing a checkpoint
+    * would interleave read-cursor/advance and double-emit versions), so
+    * `drain` takes an exclusive lock on `<checkpointDir>/_drain.lock`
+    * for its whole duration — `FileChannel.tryLock` across processes,
+    * plus a JVM-local registry (the JVM-internal case file locks cannot
+    * see). A second concurrent drain on the same checkpoint fails
+    * loudly instead of silently corrupting the cursor. Distinct
+    * checkpoints (independent consumers of the same table) are
+    * unaffected. */
+  private val jvmHeld =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def withDrainLock[A](checkpointDir: String)(body: => A): A = {
+    val dir = Paths.get(checkpointDir)
+    Files.createDirectories(dir)
+    val canonical = dir.toRealPath().toString
+    if (!jvmHeld.add(canonical))
+      throw new IllegalStateException(
+        s"another consumer in this JVM is draining checkpoint $checkpointDir " +
+          "— drain is single-consumer per checkpoint")
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve("_drain.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.tryLock()
+        if (lock == null)
+          throw new IllegalStateException(
+            s"another process is draining checkpoint $checkpointDir " +
+              "— drain is single-consumer per checkpoint")
+        try body finally lock.release()
+      } finally ch.close()
+    } finally jvmHeld.remove(canonical)
+  }
+
   /** Drain every committed version past the cursor up to the latest at
     * entry. `sink(batch, version)` receives one DataFrame per version
     * with added files; returns the number of batches emitted this
     * call. Versions whose change set emits nothing (skipped deletes)
-    * still advance the cursor. */
+    * still advance the cursor. Exactly one drain may run per
+    * checkpoint at a time (see [[withDrainLock]]). */
   def drain(
       spark: SparkSession, root: String, checkpointDir: String,
       ignoreDeletes: Boolean = false)(
-      sink: (DataFrame, Int) => Unit): Int = {
+      sink: (DataFrame, Int) => Unit): Int = withDrainLock(checkpointDir) {
     val target = CommitLog.latestVersion(root)
     var emitted = 0
     CommitLog.changes(root, lastProcessed(checkpointDir), target).foreach {

@@ -111,7 +111,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
           }
         case Vacuum(keep) =>
           if (model.latest >= 1) {
-            CommitLog.vacuum(root, keepLast = keep)
+            CommitLog.vacuum(root, keepLast = keep, minAgeMs = 0L)
             model = model.copy(expiredBelow =
               math.max(model.expiredBelow, math.max(1, model.latest - keep + 1)))
           }

@@ -204,4 +204,39 @@ class CommitLogTailSpec extends SparkSpec {
     CommitLogTail.drain(spark, root, ckpt) { (_, ver) => seen += ver }
     assert(seen.toSeq == Seq(1, 2, 3), "the late commit arrives next call")
   }
+
+  test("drain is single-consumer per checkpoint: a concurrent drain fails loudly") {
+    val root = freshRoot("lock")
+    val ckpt = freshRoot("lock_ckpt")
+    writeBatch(root, "b1", Seq(1))
+    CommitLog.commit(root, 0, added = Seq("b1"))
+    // first drain parks inside the sink while holding the lock
+    val inside = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      CommitLogTail.drain(spark, root, ckpt) { (_, _) =>
+        inside.countDown()
+        release.await()
+      })
+    holder.start()
+    assert(inside.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      val e = intercept[IllegalStateException] {
+        CommitLogTail.drain(spark, root, ckpt) { (_, _) =>
+          fail("second consumer must never reach the sink")
+        }
+      }
+      assert(e.getMessage.contains("single-consumer"), e.getMessage)
+      // a DIFFERENT checkpoint (independent consumer) is unaffected
+      val ckpt2 = freshRoot("lock_ckpt2")
+      assert(CommitLogTail.drain(spark, root, ckpt2) { (_, _) => () } == 1)
+    } finally {
+      release.countDown()
+      holder.join(30000)
+    }
+    // the lock releases with the drain: a follow-up drain proceeds
+    assert(CommitLogTail.drain(spark, root, ckpt) { (_, _) =>
+      fail("nothing new to emit")
+    } == 0)
+  }
 }

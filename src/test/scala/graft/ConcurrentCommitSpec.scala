@@ -194,7 +194,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     var v = 0
     (1 to 5).foreach { i => v = CommitLog.commit(root, v, added = Seq(s"b$i")).version }
     assert(CommitLog.checkpointInterval > 5, "test premise: no cadence checkpoint yet")
-    val stats = CommitLog.vacuum(root, keepLast = 2) // cutoff = 4
+    val stats = CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L) // cutoff = 4
     assert(stats.retainedFrom == 4 && stats.expiredManifests == 3)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "_log", "ckpt-v4.json")))
@@ -212,8 +212,8 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     stage(root, "b1"); stage(root, "b2"); stage(root, "b3")
     CommitLog.commit(root, 0, added = Seq("b1", "b2", "b3"))
     CommitLog.commit(root, 1, added = Nil, removed = Seq("b2", "b3"))
-    CommitLog.vacuum(root, keepLast = 1) // floor moves to v2
-    val st = CommitLog.vacuum(root, keepLast = 3) // wider: must clamp, not crash
+    CommitLog.vacuum(root, keepLast = 1, minAgeMs = 0L) // floor moves to v2
+    val st = CommitLog.vacuum(root, keepLast = 3, minAgeMs = 0L) // wider: must clamp, not crash
     assert(st.retainedFrom == 2, s"cutoff must clamp to the floor: $st")
     assert(st.expiredManifests == 0 && st.sweptBatches.isEmpty)
     assert(CommitLog.files(root, 2) == Seq("b1"))
@@ -281,7 +281,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     CommitLog.commit(root, 0, added = Seq("b1"), schema = Some(ddl))
     CommitLog.commit(root, 1, added = Seq("b2"))
     CommitLog.commit(root, 2, added = Seq("b3"))
-    CommitLog.vacuum(root, keepLast = 1) // expires the declaring manifest
+    CommitLog.vacuum(root, keepLast = 1, minAgeMs = 0L) // expires the declaring manifest
     assert(CommitLog.schemaOf(root, 3).contains(ddl),
       "schema must ride the cutoff checkpoint past the expired declaration")
   }
@@ -292,7 +292,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     CommitLog.commit(root, 0, added = Seq("b1", "b2"))       // v1
     CommitLog.commit(root, 1, added = Seq("b3"))             // v2 = b1,b2,b3
     CommitLog.commit(root, 2, added = Nil, removed = Seq("b2")) // v3 = b1,b3
-    val stats = CommitLog.vacuum(root, keepLast = 1)
+    val stats = CommitLog.vacuum(root, keepLast = 1, minAgeMs = 0L)
     assert(stats.expiredManifests == 2 && stats.retainedFrom == 3)
     // b2 is referenced only by expired versions -> swept; b1 is still
     // live in v3 despite being a v1 file -> kept
@@ -306,7 +306,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     // time travel WITHIN retention is untouched: commit v4, keep 2,
     // and v3 must stay readable
     CommitLog.commit(root, 3, added = Seq({ stage(root, "b4"); "b4" }))
-    CommitLog.vacuum(root, keepLast = 2)
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
     assert(CommitLog.files(root, 3).sorted == Seq("b1", "b3"))
   }
 
@@ -351,5 +351,43 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     assert(del.version == 3)
     assert(CommitLog.files(root2, 3).sorted == Seq("b1a", "b2"),
       "delete must rebase over the disjoint append")
+  }
+
+  test("re-adding a batch name already in the snapshot is rejected loudly") {
+    // the retried-ambiguous-commit failure mode: a writer crashes after
+    // publish, replays its commit verbatim — without the check the file
+    // would be double-listed and every row in it double-counted on read
+    val root = freshRoot("dup")
+    CommitLog.commit(root, 0, added = Seq("b1"))
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.commit(root, 1, added = Seq("b1"))
+    }
+    assert(e.getMessage.contains("already listed"), e.getMessage)
+    assert(CommitLog.latestVersion(root) == 1, "no manifest may publish")
+    // the check re-runs on rebase: a STALE writer whose name landed via
+    // a rival must also be refused
+    CommitLog.commit(root, 1, added = Seq("b2")) // rival wins v2
+    val stale = intercept[IllegalArgumentException] {
+      CommitLog.commit(root, 1, added = Seq("b2"))
+    }
+    assert(stale.getMessage.contains("already listed"), stale.getMessage)
+    // duplicates WITHIN one commit and add∩remove are refused up front
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(root, 2, added = Seq("b3", "b3"))
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(root, 2, added = Seq("b1"), removed = Seq("b1"))
+    }
+  }
+
+  test("replay dedupes a double-listed name from a pre-check log") {
+    // logs written before commit() rejected duplicates may carry a
+    // re-add; replay must not double-list (tryCommit is the raw
+    // manifest publish — no snapshot check, like the old commit path)
+    val root = freshRoot("dedupe")
+    assert(CommitLog.tryCommit(root, 1, added = Seq("b1"), removed = Nil))
+    assert(CommitLog.tryCommit(root, 2, added = Seq("b1", "b2"), removed = Nil))
+    assert(CommitLog.files(root, 2) == Seq("b1", "b2"),
+      s"duplicate add must replay once: ${CommitLog.files(root, 2)}")
   }
 }

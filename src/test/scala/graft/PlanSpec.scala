@@ -442,15 +442,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("l4_pmi_phrases: broadcast unigram joins, one-row totals, bounded top-50") {
-    // the corpus-sized bigram table must join vocab-sized unigram
-    // counts as broadcasts and cut to 50 on a bounded TakeOrdered —
-    // a full sort or a shuffled unigram join would not survive 100 TB
+  test("l4_pmi_phrases: unhinted unigram joins, one-row totals, bounded top-50") {
+    // the unigram table is vocab-sized (10⁷–10⁸ tokens at 100 TB), so
+    // it must NOT carry a hard broadcast hint — AQE broadcasts at
+    // runtime iff the vocab is actually small; the top-50 stays a
+    // bounded TakeOrdered, never a full sort of the bigram table
     val p = plan("l4_pmi_phrases")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-50 must be a bounded TakeOrdered, not a global sort:\n${p.take(600)}")
-    assert(p.contains("BroadcastHashJoin"), "unigram joins must broadcast")
     assert(!p.contains("CartesianProduct"), "only the one-row totals may nested-loop")
+    val lp = SparkEntry.queries("l4_pmi_phrases")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // exactly the totals' one-row hint may survive (its two inputs each
+    // carry one side of the hinted cross join); a hint on either
+    // vocab-sized unigram join would OOM the driver at corpus scale
+    val hinted = lp.linesIterator.count(_.contains("strategy=broadcast"))
+    assert(hinted <= 1,
+      s"expected at most the one-row totals hint, found $hinted:\n$lp")
   }
 
   test("l3_semantic_dedup: within-cluster pairs come from an equi-join on cid") {

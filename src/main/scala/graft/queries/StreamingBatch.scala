@@ -289,6 +289,69 @@ object StreamingBatch {
       s.table(sink).orderBy("event_type")
     },
 
+    // T14: the COMMIT-LOG TABLE as a first-class Structured Streaming
+    // SOURCE — the round-9 lakehouse semantics behind the API a Spark
+    // user actually reaches for: `readStream.format("commitlog")`. The
+    // version cursor lives in SPARK'S OWN checkpoint as the stream
+    // offset (no hand-rolled cursor file — replay, trigger cadence and
+    // admission control come from the engine), each micro-batch plans
+    // exactly the files its admitted versions ADDED (O(changes), never
+    // a table rescan), maxVersionsPerTrigger=1 forces the 3 appends
+    // through 3 separate bounded micro-batches (the accounting column
+    // pins that drain shape), the v3 pure-delete commit is skipped
+    // under ignoreDeletes (appends already emitted stay emitted — the
+    // oracle therefore INCLUDES b1's rows), and AvailableNow stops at
+    // the entry snapshot. Loss, duplication, or misordering anywhere in
+    // manifest → offset range → file plan → parquet read → stateful agg
+    // breaks the hash. CommitLogStreamSpec pins restart/replay, the
+    // COW hard-fail, startingVersion and schema-evolution null-fill.
+    Decl(
+      "t14_stream_commitlog",
+      s"""SELECT CAST(3 AS BIGINT) AS n_batches, event_type,
+         |  count(*) AS n, ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val run = StreamingBatch.t8Runs.incrementAndGet()
+      val runId = java.util.UUID.randomUUID()
+      val root = Qh.ioDir(s"t14_tbl_$runId")
+      val ckpt = Qh.ioDir(s"t14_ckpt_$runId")
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id", $"value")
+      def stage(batch: String, m: Int): Unit =
+        ev.filter($"event_id" % 3 === m)
+          .write.mode(SaveMode.Overwrite).parquet(s"$root/$batch")
+      stage("b1", 0)
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"),
+        schema = Some(ev.schema.toDDL))
+      stage("b2", 1)
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
+      val c3 = CommitLog.commit(root, c2.version, added = Nil, removed = Seq("b1"))
+      stage("b4", 2)
+      CommitLog.commit(root, c3.version, added = Seq("b4"))
+      val sink = s"t14_out_$run"
+      val q = s.readStream.format("commitlog")
+        .option("path", root)
+        .option("ignoreDeletes", true)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("complete")
+        .start()
+      q.awaitTermination()
+      val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+      s.table(sink)
+        .select(lit(nonEmpty.toLong).as("n_batches"),
+          $"event_type", $"n", $"total_value")
+        .orderBy("event_type")
+    },
+
     Decl(
       "t12_stream_envelope_sink",
       s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value,

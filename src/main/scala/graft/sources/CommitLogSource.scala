@@ -1,0 +1,349 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The [[CommitLog]] table as a FIRST-CLASS DataSourceV2 source — the
+  * API a Spark user actually reaches for instead of the driver-side
+  * [[CommitLogTail.drain]] loop:
+  *
+  *  - '''Batch''': `spark.read.format("commitlog").option("path", root)
+  *    .load()` reads the LATEST snapshot; `option("versionAsOf", v)`
+  *    time-travels (the S22 read, as a connector).
+  *  - '''Streaming''': `spark.readStream.format("commitlog")…` tails
+  *    the log with Delta-streaming-source semantics. The offset is the
+  *    VERSION CURSOR — a plain `{"version":N}` value in SPARK'S OWN
+  *    checkpoint, so restart/replay, trigger cadence and admission
+  *    control all come from Structured Streaming instead of a
+  *    hand-rolled cursor file. Each micro-batch plans exactly the
+  *    files ADDED by the versions it admits (never a table rescan —
+  *    keeping a downstream current costs O(changes));
+  *    `maxVersionsPerTrigger` bounds a restart-against-backlog to N
+  *    versions per batch, and `Trigger.AvailableNow` drains to the
+  *    entry snapshot and stops. Delete semantics mirror Delta's source
+  *    contract (and [[CommitLogTail]]): a remove-only commit fails the
+  *    stream unless `ignoreDeletes` is set; a copy-on-write commit
+  *    always fails (its adds re-state rows the stream already
+  *    emitted). Exactly-once: manifests and data files are immutable,
+  *    so re-planning a checkpointed `(start, end]` yields byte-identical
+  *    batches.
+  *
+  * Schema authority is the LOG, not the files: the declared DDL in
+  * force (S22e) plans the scan, and pre-evolution files NULL-FILL
+  * missing columns in the reader (fields are matched by name per
+  * file), so no footer double-pass at plan time. An undeclared-schema
+  * table falls back to one footer read of the newest snapshot batch.
+  *
+  * The per-file reader is parquet-hadoop's record-materialization API
+  * (`GroupReadSupport`) over the stable public parquet library — the
+  * tail reads version-delta-sized batches, where correctness of the
+  * offset protocol dominates; swapping in a vectorized reader is a
+  * reader-factory-local change. Spark plans streaming v2 scans without
+  * operator pushdown (the t13 note), so filters/pruning run above the
+  * scan either way.
+  *
+  * Options: `path` (required), `versionAsOf` (batch), `startingVersion`
+  * (stream, default 0 = from table start), `maxVersionsPerTrigger`,
+  * `ignoreDeletes`.
+  */
+class CommitLogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "commitlog"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = options.get("path")
+    require(root != null, "commitlog source requires option(\"path\", <table root>)")
+    CommitLogSource.tableSchema(root)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new CommitLogTable(properties.get("path"), schema)
+
+  // a user-supplied .schema(...) overrides the log's (e.g. to read a
+  // projection of the declared DDL)
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object CommitLogSource {
+  /** The table schema: declared DDL in force at the latest version,
+    * else ONE footer read of the newest snapshot batch. */
+  def tableSchema(root: String): StructType = {
+    val v = CommitLog.latestVersion(root)
+    CommitLog.schemaOf(root, v) match {
+      case Some(ddl) => StructType.fromDDL(ddl)
+      case None =>
+        val files = CommitLog.files(root, v)
+        require(files.nonEmpty,
+          s"cannot infer the schema of empty commit-log table $root — " +
+            "declare a schema on commit (S22e) or pass .schema(...)")
+        val parts = listParquet(root, files.last)
+        require(parts.nonEmpty, s"batch ${files.last} holds no parquet files")
+        footerSchema(parts.head)
+    }
+  }
+
+  /** The visible parquet part files of one committed batch, sorted by
+    * name. Batches are immutable once committed, so this listing is
+    * replay-stable. */
+  def listParquet(root: String, batch: String): Seq[String] = {
+    val dir = new Path(s"$root/$batch")
+    val fs = FileSystem.get(dir.toUri, hadoopConf())
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir)
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+      })
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  private def hadoopConf(): Configuration = {
+    val active = SparkSession.getActiveSession
+    active.map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
+  }
+
+  /** Restricted parquet→Spark type mapping for the footer fallback —
+    * the flat primitive shapes the engine's own writes produce.
+    * Declared-DDL tables (the recommended contract) never hit this. */
+  private[sources] def footerSchema(file: String): StructType = {
+    val in = HadoopInputFile.fromPath(new Path(file), hadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+    StructType(msg.getFields.toArray.map { f =>
+      val p = f.asInstanceOf[org.apache.parquet.schema.Type]
+      require(p.isPrimitive,
+        s"commitlog footer inference supports flat primitive schemas; " +
+          s"field ${p.getName} is nested — declare a DDL on commit instead")
+      StructField(p.getName, sparkType(p.asPrimitiveType()))
+    })
+  }
+
+  private def sparkType(p: PrimitiveType): DataType = {
+    import PrimitiveType.PrimitiveTypeName._
+    val logical = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case INT64 => LongType
+      case INT32 => IntegerType
+      case DOUBLE => DoubleType
+      case FLOAT => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY
+          if logical != null &&
+            logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        StringType
+      case other =>
+        throw new IllegalArgumentException(
+          s"commitlog footer inference does not map parquet $other " +
+            s"(field ${p.getName}) — declare a DDL on commit instead")
+    }
+  }
+}
+
+class CommitLogTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  private val schema0 = tableSchema
+  override def name(): String = s"commitlog($root)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = CommitLogScan(
+        root, schema0,
+        versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
+        startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+        maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+        ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
+    }
+}
+
+case class CommitLogScan(
+    root: String, schema: StructType,
+    versionAsOf: Option[Int], startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int], ignoreDeletes: Boolean)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CommitLogScan root=$root versionAsOf=${versionAsOf.getOrElse(-1)}"
+
+  /** Batch leg: the snapshot at `versionAsOf` (default latest) — the
+    * S22 time-travel read as a connector. One partition per part file. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
+    CommitLog.files(root, v)
+      .flatMap(CommitLogSource.listParquet(root, _))
+      .map(f => CommitLogInputPartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CommitLogReaderFactory(schema)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CommitLogMicroBatchStream(
+      root, schema, startingVersion, maxVersionsPerTrigger, ignoreDeletes)
+}
+
+/** Version-cursor offsets in Spark's checkpoint: each micro-batch is
+  * the half-open version range `(start, end]`, planned as exactly the
+  * files those versions ADDED. Admission control bounds `end - start`
+  * to `maxVersionsPerTrigger`; AvailableNow snapshots the target at
+  * entry (commits landing mid-drain wait for the next run). */
+class CommitLogMicroBatchStream(
+    root: String, schema: StructType, startingVersion: Int,
+    maxVersionsPerTrigger: Option[Int], ignoreDeletes: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(CommitLog.latestVersion(root))
+
+  // ReadMaxFiles is the carrier Spark offers for a discrete per-trigger
+  // cap; here one "file" = one committed VERSION (each version may add
+  // several part files — the bound that matters for backlog drain is
+  // versions, the unit of commit)
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = CommitLogStreamOffset(startingVersion)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[CommitLogStreamOffset].version
+    val target = availableNowCap.getOrElse(CommitLog.latestVersion(root))
+    val admitted = limit match {
+      case mf: ReadMaxFiles => math.min(target, lo + mf.maxFiles())
+      case _ => target
+    }
+    CommitLogStreamOffset(math.max(lo, admitted))
+  }
+
+  // non-admission-control fallback (not taken once
+  // SupportsAdmissionControl is implemented)
+  override def latestOffset(): Offset =
+    CommitLogStreamOffset(CommitLog.latestVersion(root))
+
+  override def deserializeOffset(json: String): Offset =
+    CommitLogStreamOffset(new ObjectMapper().readTree(json).get("version").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[CommitLogStreamOffset].version
+    val hi = end.asInstanceOf[CommitLogStreamOffset].version
+    CommitLog.changes(root, lo, hi).flatMap { ch =>
+      if (ch.removed.nonEmpty && ch.added.nonEmpty)
+        throw new IllegalStateException(
+          s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +
+            s"${ch.removed.size}): its added files re-state rows this " +
+            "stream already emitted — a tail cannot process a " +
+            "copy-on-write commit without double-counting")
+      if (ch.removed.nonEmpty && !ignoreDeletes)
+        throw new IllegalStateException(
+          s"v${ch.version} removes ${ch.removed.mkString(",")}: a tail " +
+            "emits appends only and cannot retract — set ignoreDeletes " +
+            "to skip delete commits")
+      ch.added.flatMap(CommitLogSource.listParquet(root, _))
+    }.map(f => CommitLogInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CommitLogReaderFactory(schema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class CommitLogStreamOffset(version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("version", version)
+    m.writeValueAsString(node)
+  }
+}
+
+case class CommitLogInputPartition(file: String) extends InputPartition
+
+case class CommitLogReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CommitLogPartitionReader(
+      partition.asInstanceOf[CommitLogInputPartition].file, schema)
+}
+
+/** Per-file reader: parquet-hadoop Group records converted to
+  * InternalRows against the LOG's schema. Fields resolve by NAME per
+  * file, so pre-evolution files (S22e additive evolution) null-fill
+  * missing columns here in the reader — no mergeSchema footer pass. */
+class CommitLogPartitionReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(new Configuration())
+      .build()
+
+  // per-file name→index map, built from the first record's group type
+  private var fieldIdx: Array[Int] = _
+  private var fileType: GroupType = _
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    current = reader.read()
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    if (fieldIdx == null) {
+      fileType = current.getType
+      fieldIdx = schema.fields.map { f =>
+        if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name) else -1
+      }
+    }
+    val out = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val fi = fieldIdx(i)
+      out(i) =
+        if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
+        else schema(i).dataType match {
+          case LongType => Long.box(current.getLong(fi, 0))
+          case IntegerType => Int.box(current.getInteger(fi, 0))
+          case DoubleType => Double.box(current.getDouble(fi, 0))
+          case FloatType => Float.box(current.getFloat(fi, 0))
+          case BooleanType => Boolean.box(current.getBoolean(fi, 0))
+          case StringType => UTF8String.fromString(current.getString(fi, 0))
+          case other =>
+            throw new IllegalArgumentException(
+              s"commitlog reader does not support $other (column " +
+                s"${schema(i).name}) — project it out or extend the reader")
+        }
+      i += 1
+    }
+    out
+  }
+
+  override def close(): Unit = reader.close()
+}

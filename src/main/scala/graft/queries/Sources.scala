@@ -956,6 +956,82 @@ object Sources {
           $"n", $"total", $"n_status")
     },
 
+    // S22f: ROW-GRANULARITY CHANGE FEED (CDF) — the Delta-CDF contract
+    // S22c/S22d could not give at file granularity (which is why the
+    // tail hard-fails COW commits): graft.sources.CommitLogCdf diffs
+    // each copy-on-write commit's removed-rows against its added-rows
+    // ON THE TABLE KEY, so the feed carries _change_type rows — insert
+    // / delete / update_preimage / update_postimage — and a signed fold
+    // (+1 post/insert, −1 pre/delete) reconstructs the latest snapshot
+    // THROUGH the COW commit. Four commits: append, append, COW
+    // (deletes 'F' rows AND bumps %7 keys' totalprice — exercising the
+    // delete, update, and silent-copy paths in one rewrite), append.
+    // The oracle restates the final snapshot relationally and the
+    // accounting columns pin the feed's exact composition: a rewrite
+    // row wrongly emitted as churn breaks n_update, a missed delete
+    // breaks n and total, a double-stated copy breaks both. Scale: the
+    // version loop is bounded metadata; the COW diff is ONE join of
+    // commit-sized sides on the key — never a table rescan.
+    Decl(
+      "s22f_cdf_rows",
+      s"""WITH ins AS (SELECT count(*) AS c FROM orders),
+         |del AS (
+         |  SELECT count(*) AS c FROM orders
+         |  WHERE o_orderkey % 3 <= 1 AND o_orderstatus = 'F'),
+         |upd AS (
+         |  SELECT count(*) AS c FROM orders
+         |  WHERE o_orderkey % 3 <= 1 AND o_orderstatus <> 'F'
+         |    AND o_orderkey % 7 = 0),
+         |fin AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2(
+             "o_totalprice + CASE WHEN o_orderkey % 3 <= 1 AND o_orderkey % 7 = 0 THEN 1 ELSE 0 END")} AS total
+         |  FROM orders
+         |  WHERE (o_orderkey % 3 <= 1 AND o_orderstatus <> 'F')
+         |     OR o_orderkey % 3 = 2)
+         |SELECT CAST(ins.c AS BIGINT) AS n_insert,
+         |  CAST(del.c AS BIGINT) AS n_delete,
+         |  CAST(upd.c AS BIGINT) AS n_update_pairs,
+         |  CAST(fin.n AS BIGINT) AS n, fin.total AS total
+         |FROM ins, del, upd, fin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogCdf}
+      val root = ioDir("s22f_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 3 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      val c1 = CommitLog.commit(root, 0, added = Seq("b1"))
+      ord.filter($"o_orderkey" % 3 === 1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
+      val c2 = CommitLog.commit(root, c1.version, added = Seq("b2"))
+      // copy-on-write rewrite: drop 'F' rows, bump %7 keys' totalprice,
+      // copy the rest untouched (the silent-copy path the row diff must
+      // NOT report as churn)
+      s.read.parquet(s"$root/b1", s"$root/b2")
+        .filter($"o_orderstatus" =!= "F")
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" + 1)
+            .otherwise($"o_totalprice"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b3")
+      val c3 = CommitLog.commit(root, c2.version,
+        added = Seq("b3"), removed = Seq("b1", "b2"))
+      ord.filter($"o_orderkey" % 3 === 2)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b4")
+      val c4 = CommitLog.commit(root, c3.version, added = Seq("b4"))
+      val feed = CommitLogCdf.changeFeed(
+        s, root, 0, c4.version, keyCols = Seq("o_orderkey"))
+      val ct = col(CommitLogCdf.ChangeTypeCol)
+      feed.agg(
+          count(when(ct === "insert", 1)).as("n_insert"),
+          count(when(ct === "delete", 1)).as("n_delete"),
+          count(when(ct === "update_postimage", 1)).as("n_update_pairs"),
+          sum(CommitLogCdf.changeSign(ct)).as("n"),
+          sum(CommitLogCdf.changeSign(ct) *
+            $"o_totalprice".cast(DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .select($"n_insert", $"n_delete", $"n_update_pairs", $"n", $"total")
+    },
+
     // S23: MERGE-ON-READ deletes via positional DELETION VECTORS — the
     // other half of the lakehouse delete design space next to S22's
     // copy-on-write: a delete commit writes only the (file, row_index)

@@ -1032,6 +1032,101 @@ object Sources {
         .select($"n_insert", $"n_delete", $"n_update_pairs", $"n", $"total")
     },
 
+    // S24: MERGE INTO over the commit log — C4's relational MERGE
+    // semantics (graft.sources.CommitLogMerge) composed with the
+    // optimistic commit protocol, with the physical leg chosen by a
+    // WRITE-AMPLIFICATION threshold: merge 1 changes ~2% of the
+    // touched rows → DV APPEND (S23's merge-on-read: only positions +
+    // new rows land, nothing rewrites); merge 2 deletes ~half → COW
+    // REWRITE (S22: touched batches rewrite, and the now-fully-covered
+    // DV batch drops from the manifest — the merge doubles as
+    // compaction). All three MERGE paths run: merge 1 inserts (%4=1
+    // keys, unmatched U), updates (%97 keys, +1) and deletes (%89
+    // keys); merge 2 updates the merge-1 inserts (+2 over the original)
+    // and deletes the 'O'-status rows. The decl reads all three
+    // versions through CommitLogMerge.snapshot (v2 = base − DV + new
+    // rows, v3 = the rewrite), so the oracle's relational restatement
+    // catches a row lost/duplicated/resurrected at either granularity;
+    // the leg columns pin the threshold decision itself, and
+    // CommitLogMergeSpec pins two racing merges arbitrating. Scale: the
+    // match phase joins a key+position PROJECTION of the base (pruned
+    // scan) with the change set once; the rewrite re-reads only touched
+    // batches — the Delta MERGE two-pass shape, never a full-width
+    // table pass.
+    Decl(
+      "s24_merge_upsert",
+      s"""WITH v1 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |  FROM orders WHERE o_orderkey % 4 = 0),
+         |v2 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("p")} AS total FROM (
+         |    SELECT o_totalprice
+         |      + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS p
+         |    FROM orders
+         |    WHERE o_orderkey % 4 = 0
+         |      AND NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+         |    UNION ALL
+         |    SELECT o_totalprice FROM orders
+         |    WHERE o_orderkey % 4 = 1 AND o_orderkey % 13 = 0)),
+         |v3 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("p")} AS total FROM (
+         |    SELECT o_totalprice
+         |      + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS p
+         |    FROM orders
+         |    WHERE o_orderkey % 4 = 0 AND o_orderstatus <> 'O'
+         |      AND NOT (o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0)
+         |    UNION ALL
+         |    SELECT o_totalprice + 2 FROM orders
+         |    WHERE o_orderkey % 4 = 1 AND o_orderkey % 13 = 0))
+         |SELECT CAST(1 AS BIGINT) AS version, 'base' AS leg, v1.n, v1.total FROM v1
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'dv', v2.n, v2.total FROM v2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'cow', v3.n, v3.total FROM v3
+         |ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogMerge}
+      val root = ioDir("s24_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 4 === 0)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/b1")
+      CommitLog.commit(root, 0, added = Seq("b1"))
+      // merge 1: sparse change set → DV leg. Updates %97 (+1), deletes
+      // %89 (U wins the %89∩%97 overlap), inserts %4=1 ∧ %13=0.
+      val src1 = ord.filter(
+          ($"o_orderkey" % 4 === 0 &&
+            ($"o_orderkey" % 97 === 0 || $"o_orderkey" % 89 === 0)) ||
+          ($"o_orderkey" % 4 === 1 && $"o_orderkey" % 13 === 0))
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 4 === 0 && $"o_orderkey" % 97 === 0,
+            $"o_totalprice" + 1).otherwise($"o_totalprice"))
+        .withColumn("_op",
+          when($"o_orderkey" % 4 === 0 && $"o_orderkey" % 89 === 0 &&
+            $"o_orderkey" % 97 =!= 0, lit("D")).otherwise(lit("U")))
+      val m1 = CommitLogMerge.merge(s, root, src1, keyCols = Seq("o_orderkey"))
+      // merge 2: dense change set → COW leg. Deletes the 'O'-status
+      // base rows, updates the merge-1 inserts to original+2.
+      val src2 = ord.filter(
+          ($"o_orderkey" % 4 === 0 && $"o_orderstatus" === "O") ||
+          ($"o_orderkey" % 4 === 1 && $"o_orderkey" % 13 === 0))
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 4 === 1, $"o_totalprice" + 2)
+            .otherwise($"o_totalprice"))
+        .withColumn("_op",
+          when($"o_orderkey" % 4 === 0, lit("D")).otherwise(lit("U")))
+      val m2 = CommitLogMerge.merge(s, root, src2, keyCols = Seq("o_orderkey"))
+      def asOf(v: Int, leg: String) =
+        CommitLogMerge.snapshot(s, root, v)
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+          .select(lit(v.toLong).as("version"), lit(leg).as("leg"),
+            $"n", $"total")
+      asOf(1, "base")
+        .unionAll(asOf(m1.version, m1.leg))
+        .unionAll(asOf(m2.version, m2.leg))
+        .orderBy("version")
+    },
+
     // S23: MERGE-ON-READ deletes via positional DELETION VECTORS — the
     // other half of the lakehouse delete design space next to S22's
     // copy-on-write: a delete commit writes only the (file, row_index)

@@ -47,6 +47,8 @@ object CommitLogCdf {
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "row-level CDF needs the table key")
     val frames = CommitLog.changes(root, fromVersion, toVersion).flatMap { ch =>
+      CommitLogSource.requireNoDv(ch.added ++ ch.removed,
+        s"row-level CDF v${ch.version} of $root")
       def read(batches: Seq[String]): DataFrame =
         spark.read.parquet(batches.map(b => s"$root/$b"): _*)
       val frame = (ch.added.nonEmpty, ch.removed.nonEmpty) match {

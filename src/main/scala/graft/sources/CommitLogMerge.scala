@@ -1,0 +1,232 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE INTO over the [[CommitLog]] — the one-verb composition a
+  * lakehouse user runs hourly: reconcile the table against a keyed
+  * change set (`_op` column: 'U' upsert / 'D' delete) with
+  *
+  *  - WHEN MATCHED AND op='D'  → DELETE the row
+  *  - WHEN MATCHED AND op='U'  → UPDATE (replace non-key columns)
+  *  - WHEN NOT MATCHED AND op='U' → INSERT
+  *  - WHEN NOT MATCHED AND op='D' → no-op
+  *
+  * (C4's relational semantics, `queries/Changelog.scala`, composed with
+  * the optimistic commit protocol.)
+  *
+  * == The write-amplification dial ==
+  *
+  * The merge picks its physical leg per commit, the S22-vs-S23 design
+  * space as one decision:
+  *
+  *  - '''COW rewrite''' (S22): rewrite every TOUCHED batch (any batch
+  *    holding a matched key) into one new batch with updates applied,
+  *    deletes dropped, inserts appended; `removed` = the touched
+  *    batches (plus any deletion-vector batch whose references they
+  *    fully cover — a COW merge doubles as compaction). Reads stay
+  *    scan-speed; the delete pays the rewrite.
+  *  - '''DV append''' (S23): append only the (file, row_index)
+  *    positions of deleted/updated rows as a `dv-` batch plus a batch
+  *    of new rows (inserts + update postimages); nothing is removed.
+  *    The delete is cheap; reads pay a broadcast anti-join until a COW
+  *    merge or compaction reconciles (see [[snapshot]]).
+  *
+  * Leg choice: changed-row fraction of the touched batches under
+  * `dvFraction` → DV (rewriting a million-row file to delete fifty
+  * rows is the amplification MOR exists to avoid); at or above → COW.
+  *
+  * == Concurrency ==
+  *
+  * A merge is SERIALIZABLE-conservative: it publishes with
+  * [[CommitLog.tryCommit]] at exactly `readVersion + 1` and throws
+  * `ConcurrentModificationException` if ANY rival committed first —
+  * never the append-style rebase, because the rival may have changed
+  * rows this merge's match phase already read (Delta arbitrates
+  * finer-grained on predicates; coarse-and-sound is the honest start).
+  * Two merges on overlapping keys therefore arbitrate: exactly one
+  * wins, the loser re-reads and re-runs.
+  *
+  * == Scale shape ==
+  *
+  * Match phase: the base side projects ONLY key + row-position columns
+  * (column-pruned scan), the change set joins it once on the key, and
+  * everything downstream of that join is change-set- or
+  * touched-batch-sized. The rewrite pass re-reads just the touched
+  * batches. No full-width table scan, no second pass over untouched
+  * data — the Delta MERGE two-pass shape.
+  *
+  * Contracts: `source` carries the table's full column set plus `_op`,
+  * one row per key (required — checked); batches are single-level
+  * directories under the table root (what every engine write here
+  * produces).
+  */
+object CommitLogMerge {
+
+  final case class MergeStats(
+      version: Int, leg: String,
+      inserted: Long, updated: Long, deleted: Long,
+      touchedBatches: Seq[String], removedBatches: Seq[String])
+
+  private[graft] val DvPrefix = "dv-"
+
+  /** The reconciled snapshot at `version` (default latest): data
+    * batches minus outstanding deletion-vector positions. The DV side
+    * is deletes-sized and broadcasts — the S23 read shape. */
+  def snapshot(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val v = if (version < 0) CommitLog.latestVersion(root) else version
+    val (dvs, datas) = CommitLog.files(root, v).partition(_.startsWith(DvPrefix))
+    require(datas.nonEmpty, s"empty table $root at v$v")
+    val base = spark.read.parquet(datas.map(b => s"$root/$b"): _*)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+    val visible =
+      if (dvs.isEmpty) base
+      else base.join(
+        broadcast(spark.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+        Seq("_file", "_pos"), "left_anti")
+    visible.drop("_file", "_pos")
+  }
+
+  def merge(
+      spark: SparkSession, root: String, source: DataFrame,
+      keyCols: Seq[String], opCol: String = "_op",
+      dvFraction: Double = 0.3,
+      readVersion: Int = -1): MergeStats = {
+    require(keyCols.nonEmpty, "merge needs the table key")
+    val readV = if (readVersion < 0) CommitLog.latestVersion(root) else readVersion
+    val (dvs, datas) = CommitLog.files(root, readV).partition(_.startsWith(DvPrefix))
+    require(datas.nonEmpty, s"cannot merge into empty table $root")
+
+    val dataCols = spark.read.parquet(s"$root/${datas.head}").columns.toSeq
+    require(source.columns.toSet == (dataCols :+ opCol).toSet,
+      s"source must carry ${dataCols :+ opCol}, got ${source.columns.toSeq}")
+
+    // one row per key — two MATCHED actions for one key is ambiguous
+    val srcKeyed = source.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val srcN = srcKeyed.count()
+      require(srcKeyed.select(keyCols.map(col): _*).distinct().count() == srcN,
+        "merge source must hold at most one row per key — pre-reduce it " +
+          "(max_by on a sequence column, the C4 discipline)")
+
+      // ---- match phase: narrow base projection ⋈ change set ----
+      val narrowBase = spark.read.parquet(datas.map(b => s"$root/$b"): _*)
+        .select(keyCols.map(col) :+
+          col("_metadata.file_path").as("_file") :+
+          col("_metadata.row_index").as("_pos"): _*)
+      val reconciled =
+        if (dvs.isEmpty) narrowBase
+        else narrowBase.join(
+          broadcast(spark.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+          Seq("_file", "_pos"), "left_anti")
+      val matched = reconciled
+        .join(srcKeyed.select(keyCols.map(col) :+ col(opCol).as("_op"): _*),
+          keyCols)
+        .withColumn("_batch", element_at(split(col("_file"), "/"), -2))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        val Array(matchedU, matchedD) = {
+          val r = matched.agg(
+            count(when(col("_op") === "U", 1)).as("u"),
+            count(when(col("_op") === "D", 1)).as("d")).head()
+          Array(r.getLong(0), r.getLong(1))
+        }
+        val srcU = srcKeyed.filter(col(opCol) === "U").count()
+        val inserted = srcU - matchedU
+        val touched = matched.select(col("_batch")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        val touchedRows =
+          if (touched.isEmpty) 0L
+          else spark.read.parquet(touched.map(b => s"$root/$b"): _*).count()
+        val changedFraction =
+          if (touchedRows == 0) 1.0
+          else (matchedU + matchedD).toDouble / touchedRows
+
+        val next = readV + 1
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val inserts = srcKeyed.filter(col(opCol) === "U")
+          .join(matched.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .select(dataCols.map(col): _*)
+
+        // nothing matched, nothing to insert (e.g. all-unmatched
+        // deletes): a no-op, no version published
+        if (matchedU + matchedD == 0 && inserted == 0)
+          return MergeStats(readV, "noop", 0, 0, 0, Nil, Nil)
+
+        val (added, removed, leg) =
+          if (touched.isEmpty) {
+            // pure insert: a plain append batch, nothing rewrites
+            val b = s"m$next-$tag"
+            inserts.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$b")
+            (Seq(b), Nil, "append")
+          } else if (changedFraction < dvFraction) {
+            // ---- DV leg: append positions + new rows ----
+            val dvBatch = s"$DvPrefix$next-$tag"
+            matched.filter(col("_op").isin("U", "D"))
+              .select(col("_file"), col("_pos"))
+              .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvBatch")
+            val dataBatch = s"m$next-$tag"
+            val postimages = srcKeyed.filter(col(opCol) === "U")
+              .join(matched.select(keyCols.map(col): _*), keyCols, "left_semi")
+              .select(dataCols.map(col): _*)
+            inserts.unionByName(postimages)
+              .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataBatch")
+            (Seq(dataBatch, dvBatch), Nil, "dv")
+          } else {
+            // ---- COW leg: rewrite touched batches + compact covered DVs ----
+            val rw = s"m$next-$tag"
+            val touchedFull = snapshotOf(spark, root, datas.filter(touched.contains), dvs)
+            val newVals = srcKeyed.filter(col(opCol) === "U")
+              .select(keyCols.map(col) :+
+                struct(dataCols.map(col): _*).as("_new"): _*)
+            val delKeys = srcKeyed.filter(col(opCol) === "D")
+              .select(keyCols.map(col): _*)
+            val survivors = touchedFull
+              .join(delKeys, keyCols, "left_anti")
+              .join(newVals, keyCols, "left")
+              .select(dataCols.map(c =>
+                when(col("_new").isNotNull, col(s"_new.$c"))
+                  .otherwise(col(c)).as(c)): _*)
+            survivors.unionByName(inserts)
+              .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rw")
+            // a DV batch whose every referenced file lives in a removed
+            // batch is dead after the rewrite — drop it (compaction)
+            val coveredDvs = dvs.filter { dv =>
+              spark.read.parquet(s"$root/$dv")
+                .select(element_at(split(col("_file"), "/"), -2).as("b"))
+                .distinct().collect().map(_.getString(0))
+                .forall(touched.contains)
+            }
+            (Seq(rw), touched ++ coveredDvs, "cow")
+          }
+
+        if (!CommitLog.tryCommit(root, next, added, removed)) {
+          // stage is dead bytes a later vacuum sweeps; state unchanged
+          throw new java.util.ConcurrentModificationException(
+            s"merge lost the race at v$next of $root: a rival committed " +
+              "first — re-read and re-run the merge (merges never rebase: " +
+              "the rival may have changed rows this match phase read)")
+        }
+        if (next % CommitLog.checkpointInterval == 0)
+          CommitLog.writeCheckpoint(root, next)
+        MergeStats(next, leg, inserted, matchedU, matchedD, touched, removed)
+      } finally matched.unpersist()
+    } finally srcKeyed.unpersist()
+  }
+
+  /** Reconciled rows of a batch subset (COW rewrite input). */
+  private def snapshotOf(
+      spark: SparkSession, root: String,
+      datas: Seq[String], dvs: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(datas.map(b => s"$root/$b"): _*)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+    val visible =
+      if (dvs.isEmpty) base
+      else base.join(
+        broadcast(spark.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+        Seq("_file", "_pos"), "left_anti")
+    visible.drop("_file", "_pos")
+  }
+}

@@ -120,6 +120,18 @@ object CommitLogSource {
     active.map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
   }
 
+  /** Deletion-vector batches hold (file, row_index) POSITIONS, not
+    * rows — any consumer that would read them as data must fail. */
+  private[sources] def requireNoDv(batches: Seq[String], what: String): Unit = {
+    val dvs = batches.filter(_.startsWith(CommitLogMerge.DvPrefix))
+    if (dvs.nonEmpty)
+      throw new IllegalStateException(
+        s"$what: merge-on-read table has outstanding deletion-vector " +
+          s"batches ${dvs.mkString(",")} — read through " +
+          "CommitLogMerge.snapshot (broadcast anti-join reconcile), or " +
+          "compact with a COW merge first")
+  }
+
   /** Restricted parquet→Spark type mapping for the footer fallback —
     * the flat primitive shapes the engine's own writes produce.
     * Declared-DDL tables (the recommended contract) never hit this. */
@@ -187,10 +199,17 @@ case class CommitLogScan(
     s"CommitLogScan root=$root versionAsOf=${versionAsOf.getOrElse(-1)}"
 
   /** Batch leg: the snapshot at `versionAsOf` (default latest) — the
-    * S22 time-travel read as a connector. One partition per part file. */
+    * S22 time-travel read as a connector. One partition per part file.
+    * A merge-on-read table (outstanding `dv-` deletion-vector batches
+    * from CommitLogMerge) fails loudly: this reader carries no row
+    * positions to reconcile against, and silently including deleted
+    * rows would be wrong — read via CommitLogMerge.snapshot, or run a
+    * COW merge/compaction first. */
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
-    CommitLog.files(root, v)
+    val files = CommitLog.files(root, v)
+    CommitLogSource.requireNoDv(files, s"batch read of $root at v$v")
+    files
       .flatMap(CommitLogSource.listParquet(root, _))
       .map(f => CommitLogInputPartition(f): InputPartition)
       .toArray
@@ -253,6 +272,8 @@ class CommitLogMicroBatchStream(
     val lo = start.asInstanceOf[CommitLogStreamOffset].version
     val hi = end.asInstanceOf[CommitLogStreamOffset].version
     CommitLog.changes(root, lo, hi).flatMap { ch =>
+      CommitLogSource.requireNoDv(ch.added ++ ch.removed,
+        s"streaming v${ch.version} of $root")
       if (ch.removed.nonEmpty && ch.added.nonEmpty)
         throw new IllegalStateException(
           s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +

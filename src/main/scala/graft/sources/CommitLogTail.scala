@@ -99,6 +99,8 @@ object CommitLogTail {
     var emitted = 0
     CommitLog.changes(root, lastProcessed(checkpointDir), target).foreach {
       ch =>
+        CommitLogSource.requireNoDv(ch.added ++ ch.removed,
+          s"tail drain v${ch.version} of $root")
         if (ch.removed.nonEmpty && ch.added.nonEmpty)
           throw new IllegalStateException(
             s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +

@@ -1032,6 +1032,60 @@ object Sources {
         .select($"n_insert", $"n_delete", $"n_update_pairs", $"n", $"total")
     },
 
+    // S22g: STATS-IN-MANIFEST PLANNING — the Delta/Iceberg design
+    // S15's side table only approximates: each commit records a
+    // numeric (min,max) box per column FOR THE BATCHES IT ADDS, boxes
+    // replay with the snapshot (checkpoints carry survivors forward),
+    // and CommitLog.prunedFiles intersects the predicate box against
+    // metadata ALREADY IN HAND from snapshot replay — zero extra reads
+    // at plan time (S15 pays a side-table read; footer-based pruning
+    // pays a million opens at 100 TB). Three range-partitioned batches;
+    // the half-range predicate must prune exactly the top batch — the
+    // accounting columns pin fewer files opened (n_read=2) than the
+    // manifest lists (n_total=3), and the aggregate over the pruned
+    // read must still match the oracle's full relational answer
+    // (pruning is a fast path: the exact predicate re-applies as the
+    // residual, the S8 contract at file granularity). A batch with no
+    // box is always read — unknown never prunes to wrong answers.
+    Decl(
+      "s22g_manifest_stats",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+         |SELECT CAST(3 AS BIGINT) AS n_total, CAST(2 AS BIGINT) AS n_read,
+         |  CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders, m
+         |WHERE o_orderkey <= mx // 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s22g_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      val mx = ord.agg(max($"o_orderkey")).head().getLong(0)
+      val (cut1, cut2, half) = (mx / 3, 2 * mx / 3, mx / 2)
+      var v = 0
+      Seq(
+        ("b1", $"o_orderkey" <= cut1),
+        ("b2", $"o_orderkey" > cut1 && $"o_orderkey" <= cut2),
+        ("b3", $"o_orderkey" > cut2)).foreach { case (b, pred) =>
+        val part = ord.filter(pred)
+        part.write.mode(SaveMode.Overwrite).parquet(s"$root/$b")
+        // the writer just computed this data — its box is one agg away
+        val r = part.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+        v = CommitLog.commit(root, v, added = Seq(b),
+          stats = Map(b -> Map(
+            "o_orderkey" -> (r.getLong(0).toDouble, r.getLong(1).toDouble)))).version
+      }
+      val all = CommitLog.files(root, v)
+      val pruned = CommitLog.prunedFiles(
+        root, v, "o_orderkey", Double.NegativeInfinity, half.toDouble)
+      s.read.parquet(pruned.map(b => s"$root/$b"): _*)
+        .filter($"o_orderkey" <= half) // exact residual predicate
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(all.size.toLong).as("n_total"),
+          lit(pruned.size.toLong).as("n_read"),
+          $"n", $"total")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

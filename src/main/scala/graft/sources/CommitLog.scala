@@ -251,13 +251,106 @@ object CommitLog {
   def tryCommit(
       root: String, v: Int,
       added: Seq[String], removed: Seq[String],
-      schema: Option[String] = None): Boolean = {
+      schema: Option[String] = None,
+      stats: Stats = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
+    requireValidStats(stats, added)
     schema.foreach(s => require(!s.contains('"'),
       "schema DDL must not contain double quotes"))
     val schemaField = schema.map(s => s""","schema":"$s"""").getOrElse("")
+    val statsField =
+      if (stats.isEmpty) ""
+      else s""","stats":${renderList(renderStats(stats))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField}""")
+  }
+
+  // ---- STATS-IN-MANIFEST: per-batch numeric (min, max) boxes ----
+  //
+  // The Delta/Iceberg design S15's side table approximates: pruning
+  // stats ride the COMMIT METADATA, so predicate planning intersects
+  // boxes already in hand from snapshot replay — ZERO extra reads (S15
+  // pays one side-table read; a footer-based planner pays one open per
+  // file, a million opens at 100 TB). Stats are delta-sized like
+  // everything else in a manifest: each commit records boxes only for
+  // the batches IT adds; checkpoints snapshot the accumulated boxes of
+  // surviving batches so replay stays bounded. Encoding is flat
+  // ("batch|col|min|max" strings in the manifest's list grammar —
+  // numeric min/max only, which is what range pruning uses); a batch
+  // committed without stats simply never prunes (unknown = keep).
+
+  /** batch -> column -> (min, max), numeric box per column. */
+  type Stats = Map[String, Map[String, (Double, Double)]]
+
+  private def requireValidStats(stats: Stats, added: Seq[String]): Unit = {
+    val addedSet = added.toSet
+    stats.foreach { case (b, cols) =>
+      require(addedSet(b),
+        s"stats declared for '$b', which this commit does not add")
+      cols.foreach { case (c, (lo, hi)) =>
+        require(!b.contains('|') && !c.exists(",\"[]\\|".contains(_)),
+          s"stats names must not contain | , \" [ ] \\ : '$b'.'$c'")
+        require(!lo.isNaN && !hi.isNaN && lo <= hi,
+          s"invalid stats box for '$b'.'$c': [$lo, $hi]")
+      }
+    }
+  }
+
+  private def renderStats(stats: Stats): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$b|$c|$lo|$hi" }
+    }
+
+  private def parseStats(entries: Seq[String]): Stats =
+    entries.map(_.split('|')).collect {
+      case Array(b, c, lo, hi) => (b, c, lo.toDouble, hi.toDouble)
+    }.groupBy(_._1).map { case (b, rows) =>
+      b -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+    }
+
+  private def readStatsField(p: Path): Seq[String] = {
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    if (txt.contains("\"stats\":")) parseList(extractField(txt, "stats"))
+    else Nil
+  }
+
+  /** The accumulated stats boxes of the batches visible at `v` — the
+    * same checkpoint-plus-delta replay as [[files]], so planning cost
+    * is manifest-sized metadata, never a data read. */
+  def statsOf(root: String, v: Int): Stats = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) => (cv, parseStats(readStatsField(ckptPath(root, cv))))
+      case None => (0, Map.empty: Stats)
+    }
+    var state = base
+    ((start + 1) to v).foreach { i =>
+      val (add, remove) = readDelta(root, i)
+      state = state -- remove
+      val delta = parseStats(readStatsField(manifest(root, i)))
+      // stats only attach to batches this commit adds (enforced at
+      // publish); a re-listed name cannot smuggle a new box
+      state = state ++ delta.filter { case (b, _) => add.contains(b) }
+    }
+    val live = files(root, v).toSet
+    state.filter { case (b, _) => live(b) }
+  }
+
+  /** MANIFEST-STATS PRUNING: the batches of snapshot `v` whose box for
+    * `column` intersects [lo, hi] — plus every batch with no box for it
+    * (unknown must be read). The caller still applies the exact
+    * predicate; pruning is a fast path, never a correctness risk (the
+    * S8 residual-filter contract, at file granularity). */
+  def prunedFiles(
+      root: String, v: Int, column: String,
+      lo: Double, hi: Double): Seq[String] = {
+    val stats = statsOf(root, v)
+    files(root, v).filter { b =>
+      stats.get(b).flatMap(_.get(column)) match {
+        case Some((bMin, bMax)) => bMax >= lo && bMin <= hi
+        case None => true
+      }
+    }
   }
 
   /** One committed version's change set. */
@@ -285,8 +378,12 @@ object CommitLog {
     if (!Files.exists(ckptPath(root, v))) {
       val schemaField =
         schemaOf(root, v).map(s => s""","schema":"$s"""").getOrElse("")
+      val stats = statsOf(root, v)
+      val statsField =
+        if (stats.isEmpty) ""
+        else s""","stats":${renderList(renderStats(stats))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField}""")
     }
   }
 
@@ -391,7 +488,8 @@ object CommitLog {
       root: String, readVersion: Int,
       added: Seq[String], removed: Seq[String] = Nil,
       schema: Option[String] = None,
-      maxAttempts: Int = 50): Commit = {
+      maxAttempts: Int = 50,
+      stats: Stats = Map.empty): Commit = {
     val removedSet = removed.toSet
     require(added.distinct == added,
       s"duplicate batch names within one commit: $added")
@@ -431,7 +529,7 @@ object CommitLog {
           case Some(cur) => checkEvolution(cur, next); Some(next)
         }
       }
-      if (tryCommit(root, base + 1, added, removed, toRecord)) {
+      if (tryCommit(root, base + 1, added, removed, toRecord, stats)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

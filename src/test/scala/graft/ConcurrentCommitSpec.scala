@@ -380,6 +380,41 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest stats replay with the snapshot, survive checkpoints and vacuum, drop with their batch") {
+    // stats are pure manifest metadata: no data files needed to pin the
+    // replay/pruning protocol
+    val root = freshRoot("stats")
+    def box(b: String, lo: Double, hi: Double) = Map(b -> Map("k" -> (lo, hi)))
+    CommitLog.commit(root, 0, added = Seq("b1"), stats = box("b1", 0, 99))
+    CommitLog.commit(root, 1, added = Seq("b2"), stats = box("b2", 100, 199))
+    CommitLog.commit(root, 2, added = Seq("b3"))  // no stats: never prunes
+    assert(CommitLog.prunedFiles(root, 3, "k", 0, 50) == Seq("b1", "b3"),
+      "b2's box misses [0,50]; statless b3 must be kept")
+    assert(CommitLog.prunedFiles(root, 3, "k", 150, 160) == Seq("b2", "b3"))
+    assert(CommitLog.prunedFiles(root, 3, "other_col", 0, 1)
+      == Seq("b1", "b2", "b3"), "an un-boxed column never prunes")
+    // a removed batch's box leaves the snapshot with it
+    CommitLog.commit(root, 3, added = Seq("b1a"),
+      removed = Seq("b1"), stats = box("b1a", 0, 49))
+    assert(CommitLog.prunedFiles(root, 4, "k", 60, 99) == Seq("b3"),
+      "b1's [0,99] box must not survive its removal; b1a's [0,49] prunes")
+    // force the cadence checkpoint (interval 8) and replay THROUGH it
+    (5 to 8).foreach(i => CommitLog.commit(root, i - 1, added = Seq(s"x$i")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_log", "ckpt-v8.json")))
+    assert(CommitLog.statsOf(root, 8)("b1a")("k") == ((0.0, 49.0)),
+      "boxes must ride the checkpoint")
+    // time travel keeps the OLD boxes: v3 still sees b1's
+    assert(CommitLog.statsOf(root, 3)("b1")("k") == ((0.0, 99.0)))
+    // vacuum to the floor: surviving boxes re-read from the cutoff ckpt
+    CommitLog.vacuum(root, keepLast = 1, minAgeMs = 0L)
+    assert(CommitLog.statsOf(root, 8)("b2")("k") == ((100.0, 199.0)))
+    // stats for a batch the commit does not add are refused
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(root, 8, added = Seq("y"), stats = box("z", 0, 1))
+    }
+  }
+
   test("replay dedupes a double-listed name from a pre-check log") {
     // logs written before commit() rejected duplicates may carry a
     // re-add; replay must not double-list (tryCommit is the raw

@@ -19,6 +19,7 @@ object Sweep {
   val tail: Seq[String] = Seq(
     "l13_kcore", "l13_pagerank", "l13_triangles",
     "l2_cosine_neardup", "l2_cosine_neardup_bucketed",
+    "l2_cosine_neardup_adaptive",
     "l2_dedup_clusters", "l2_incremental_dedup",
     "l2_lsh_pairs", "l2_minhash_estimate", "l2_minhash_sigs",
     "l2_ngram_jaccard", "l2_simhash", "l2_simhash_hamming",

@@ -1025,6 +1025,84 @@ object Dedup {
         .orderBy("cell")
     },
 
+    // L2e3: ADAPTIVE-SPLIT cosine near-dup — the missing notch on the
+    // L2e2 dial. A fixed k-plane quantizer holds block size ~n/2^k
+    // only while the data cooperates; a skewed or grown cell turns
+    // quadratic quietly (the sf1 sweep measured exponent 1.19 on the
+    // label-blocked decl — quadratic in its declared output). Here the
+    // blocking is SIZE-DRIVEN: cells come from the same 8-plane sign
+    // quantizer, and any cell over the block cap RE-BLOCKS on 4 more
+    // planes (16× finer) — so block size is bounded by construction,
+    // pair volume stays ~linear in rows, and the same two-level rule
+    // recurses to more planes as the corpus grows (the cap, not the
+    // plane count, is the invariant). The cap is 5 at fixture scale so
+    // BOTH paths — split and unsplit cells — are exercised and
+    // hash-checked at every SF (production would cap in the thousands;
+    // the mechanism is scale-free). The split decision is one ≤256-row
+    // broadcast join back onto the vectors; within a final cell the
+    // work stays EXACT (precomputed norms, one fused dot per pair).
+    // Pairs that straddle a split boundary are intentionally out of
+    // the declared output — same contract as every blocked decl; the
+    // ANN family remains the recall-traded path.
+    Decl(
+      "l2_cosine_neardup_adaptive",
+      s"""WITH e AS (
+         |  SELECT vec_id,
+         |    ${(0 until 8).map(i =>
+                s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+                .mkString(" + ")} AS c8,
+         |    ${(8 until 12).map(i =>
+                s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)")
+                .mkString(" + ")} AS hi4,
+         |    embedding,
+         |    sqrt(${Qh.oDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |sz AS (SELECT c8, count(*) AS csz FROM e GROUP BY c8),
+         |f AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm,
+         |    CASE WHEN sz.csz > 5 THEN e.c8 + e.hi4 ELSE e.c8 END AS cell
+         |  FROM e JOIN sz USING (c8)),
+         |p AS (
+         |  SELECT a.cell,
+         |    floor(${Qh.oDot("a.embedding", "b.embedding")}
+         |      / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000.0 AS cos
+         |  FROM f a JOIN f b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT cell,
+         |  count(*) AS n_pairs,
+         |  count(*) FILTER (WHERE cos >= 0.8) AS n_neardup,
+         |  max(cos) AS max_cos
+         |FROM p
+         |GROUP BY cell
+         |ORDER BY cell""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+        call_function("dot_product", x, y)
+      def planes(lo: Int, hi: Int) = (lo until hi)
+        .map(i => when(element_at($"embedding", i + 1) > 0f, lit(1 << i))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+      val e = Qh.t(s, dir, "embeddings")
+        .select($"vec_id", planes(0, 8).as("c8"), planes(8, 12).as("hi4"),
+          $"embedding", sqrt(dot($"embedding", $"embedding")).as("nrm"))
+      // split decision: ≤256 cell counts, broadcast back — the re-key
+      // costs one map-side join, never a second shuffle of the vectors
+      val sz = e.groupBy($"c8").agg(count(lit(1)).as("csz"))
+      val f = e.join(broadcast(sz), "c8")
+        .select($"vec_id", $"embedding", $"nrm",
+          when($"csz" > 5, $"c8" + $"hi4").otherwise($"c8").as("cell"))
+      val cos = Qh.r6(dot($"a.embedding", $"b.embedding") / ($"a.nrm" * $"b.nrm"))
+      f.as("a").join(f.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.cell".as("cell"), cos.as("cos"))
+        .groupBy($"cell")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          count(when($"cos" >= 0.8, lit(1))).as("n_neardup"),
+          max($"cos").as("max_cos"))
+        .orderBy("cell")
+    },
+
     // L2g: EXACT DUPLICATED-SPAN detection — the fixed-width-window
     // approximation of suffix-array substring dedup (Lee et al. 2021,
     // "Deduplicating Training Data Makes Language Models Better"): a

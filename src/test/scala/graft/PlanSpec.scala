@@ -72,7 +72,8 @@ class PlanSpec extends SparkSpec {
 
   test("pair-generating LLM ops contain no cartesian product or BNLJ") {
     for (q <- Seq("l2_lsh_pairs", "l2_ngram_jaccard", "l2_cosine_neardup",
-      "l2_cosine_neardup_bucketed", "l2_simhash_blocked",
+      "l2_cosine_neardup_bucketed", "l2_cosine_neardup_adaptive",
+      "l2_simhash_blocked",
       "j7_range", "l2_substring_dedup", "l13_triangles",
       "w7_funnel", "w8_retention", "j13_spatial_grid",
       "l6_phash_dedup", "l6_audio_fp_dedup")) {
@@ -459,6 +460,17 @@ class PlanSpec extends SparkSpec {
     val hinted = lp.linesIterator.count(_.contains("strategy=broadcast"))
     assert(hinted <= 1,
       s"expected at most the one-row totals hint, found $hinted:\n$lp")
+  }
+
+  test("l2_cosine_neardup_adaptive: the split decision rides a broadcast, pairs stay an equi-join") {
+    // the over-cap re-block is a ≤256-row cell-count table joined back
+    // onto the vectors — it must broadcast (a shuffle there would cost
+    // a second corpus exchange just to pick block ids); the pair join
+    // itself stays a cell equi-join (no cartesian — gated in the
+    // pair-generating sweep above)
+    val p = plan("l2_cosine_neardup_adaptive")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-size join must broadcast:\n${p.take(800)}")
   }
 
   test("l3_semantic_dedup: within-cluster pairs come from an equi-join on cid") {

@@ -352,6 +352,63 @@ object StreamingBatch {
         .orderBy("event_type")
     },
 
+    // T15: the COMMIT-LOG TABLE as a Structured Streaming SINK — the
+    // write half of t14, closing the lakehouse loop: `writeStream
+    // .format("commitlog")` lands ONE committed batch per micro-batch
+    // epoch with a (queryId, epochId) txn watermark in the SAME
+    // manifest (the Delta idempotent-sink protocol: data + watermark
+    // publish atomically, a replayed epoch is a no-op — pinned in
+    // CommitLogWriteSpec). Three source files under maxFilesPerTrigger=1
+    // force three epochs → three committed versions (the n_versions
+    // column pins that shape), each born with manifest stats boxes.
+    // The landed table is read back through the batch leg of the SAME
+    // connector and aggregated; the oracle computes the tripled
+    // aggregate from the original parquet, so loss, duplication, or
+    // corruption anywhere in stream-read → epoch-commit → parquet →
+    // manifest → snapshot read breaks the hash.
+    Decl(
+      "t15_stream_commitlog_sink",
+      s"""SELECT CAST(3 AS INT) AS n_versions, event_type,
+         |  CAST(3 * count(*) AS BIGINT) AS n,
+         |  CAST(3 * sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events
+         |WHERE event_id % 4 = 0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val path = s"$dir/events.parquet"
+      val runId = java.util.UUID.randomUUID()
+      val root = Qh.ioDir(s"t15_tbl_$runId")
+      val ckpt = Qh.ioDir(s"t15_ckpt_$runId")
+      val srcDir = java.nio.file.Paths.get(Qh.ioDir(s"t15_src_$runId"))
+      java.nio.file.Files.createDirectories(srcDir)
+      // three links to the fixture = three files = three epochs under
+      // maxFilesPerTrigger=1 (the t8 staging pattern, tripled)
+      (1 to 3).foreach { i =>
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
+      }
+      val schema = s.read.parquet(path).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .filter($"event_id" % 4 === 0)
+        .select($"event_id", $"event_type", $"user_id", $"value")
+        .writeStream.format("commitlog")
+        .option("path", root)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.format("commitlog").option("path", root).load()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .select(lit(CommitLog.latestVersion(root)).as("n_versions"),
+          $"event_type", $"n", $"total_value")
+        .orderBy("event_type")
+    },
+
     Decl(
       "t12_stream_envelope_sink",
       s"""SELECT event_type, count(*) AS n, ${Qh.oSum2("value")} AS total_value,

@@ -252,17 +252,22 @@ object CommitLog {
       root: String, v: Int,
       added: Seq[String], removed: Seq[String],
       schema: Option[String] = None,
-      stats: Stats = Map.empty): Boolean = {
+      stats: Stats = Map.empty,
+      txn: Option[(String, Long)] = None): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
+    requireValidTxn(txn)
     schema.foreach(s => require(!s.contains('"'),
       "schema DDL must not contain double quotes"))
     val schemaField = schema.map(s => s""","schema":"$s"""").getOrElse("")
     val statsField =
       if (stats.isEmpty) ""
       else s""","stats":${renderList(renderStats(stats))}"""
+    val txnField = txn.map { case (app, epoch) =>
+      s""","txn":${renderList(Seq(s"$app|$epoch"))}"""
+    }.getOrElse("")
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField}""")
   }
 
   // ---- STATS-IN-MANIFEST: per-batch numeric (min, max) boxes ----
@@ -353,6 +358,72 @@ object CommitLog {
     }
   }
 
+  // ---- TXN-IN-MANIFEST: idempotent-writer watermarks ----
+  //
+  // The Delta `txn` action: a commit may record ("application id",
+  // epoch) — for Structured Streaming, (queryId, epochId) — and replay
+  // accumulates the HIGHEST epoch per application. A sink that replays
+  // an epoch after a crash (Structured Streaming is at-least-once at
+  // the sink boundary) asks the log "did I already commit this epoch?"
+  // and skips if so — exactly-once WRITES without any side cursor
+  // file. Watermarks are version state like schema: delta manifests
+  // carry only their own commit's txn, checkpoints snapshot the
+  // accumulated map, and vacuum's cutoff checkpoint preserves it —
+  // a retention sweep must never resurrect an already-written epoch.
+
+  /** application id -> highest committed epoch. */
+  type Txns = Map[String, Long]
+
+  /** Thrown (pre-publish, nothing staged is visible) when a commit
+    * declares a txn epoch at or below the application's recorded
+    * watermark: the caller already committed this unit of work and
+    * must treat the replay as a no-op. */
+  final class TxnAlreadyCommittedException(
+      val appId: String, val epoch: Long, val watermark: Long)
+    extends IllegalStateException(
+      s"txn $appId epoch $epoch already committed (watermark $watermark): " +
+        "replayed unit of work — drop staged files and continue")
+
+  private def requireValidTxn(txn: Option[(String, Long)]): Unit =
+    txn.foreach { case (app, epoch) =>
+      require(app.nonEmpty && !app.exists(",\"[]\\|".contains(_)),
+        s"txn app id '$app' must be non-empty and contain none of , \" [ ] \\ |")
+      require(epoch >= 0L, s"txn epoch must be non-negative: $epoch")
+    }
+
+  private def renderTxns(txns: Txns): Seq[String] =
+    txns.toSeq.sortBy(_._1).map { case (app, epoch) => s"$app|$epoch" }
+
+  private def parseTxns(entries: Seq[String]): Txns =
+    entries.map(_.split('|')).collect {
+      case Array(app, epoch) => app -> epoch.toLong
+    }.toMap
+
+  private def readTxnsField(p: Path): Seq[String] = {
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    if (txt.contains("\"txn\":")) parseList(extractField(txt, "txn"))
+    else Nil
+  }
+
+  /** The idempotence watermarks in force at `v` — nearest checkpoint
+    * plus delta replay, folding each commit's txn in with max(). Unlike
+    * [[statsOf]] this is NOT filtered by live batches: a watermark
+    * outlives the data its epoch wrote (a later delete of those rows
+    * must not re-open the epoch). */
+  def txnsOf(root: String, v: Int): Txns = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) => (cv, parseTxns(readTxnsField(ckptPath(root, cv))))
+      case None => (0, Map.empty: Txns)
+    }
+    ((start + 1) to v).foldLeft(base) { (state, i) =>
+      parseTxns(readTxnsField(manifest(root, i))).foldLeft(state) {
+        case (st, (app, epoch)) =>
+          st.updated(app, math.max(epoch, st.getOrElse(app, Long.MinValue)))
+      }
+    }
+  }
+
   /** One committed version's change set. */
   final case class Change(version: Int, added: Seq[String], removed: Seq[String])
 
@@ -382,8 +453,12 @@ object CommitLog {
       val statsField =
         if (stats.isEmpty) ""
         else s""","stats":${renderList(renderStats(stats))}"""
+      val txns = txnsOf(root, v)
+      val txnField =
+        if (txns.isEmpty) ""
+        else s""","txn":${renderList(renderTxns(txns))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField}""")
     }
   }
 
@@ -484,12 +559,21 @@ object CommitLog {
     * schema in force; a dropped or retyped column throws
     * [[SchemaChangeException]] BEFORE any manifest is published — the
     * enforcement half of S11's evolution story, now log-governed. */
+  /** `txn` declares an idempotence watermark: the commit records
+    * (appId, epoch) and FAILS with [[TxnAlreadyCommittedException]] —
+    * before any manifest publishes — when the log already holds this
+    * epoch or a later one for the app (re-checked per rebase, so a
+    * rival replay that wins the race is detected, not double-applied).
+    * The caller treats that failure as "already done": drop staged
+    * files, advance. */
   def commit(
       root: String, readVersion: Int,
       added: Seq[String], removed: Seq[String] = Nil,
       schema: Option[String] = None,
       maxAttempts: Int = 50,
-      stats: Stats = Map.empty): Commit = {
+      stats: Stats = Map.empty,
+      txn: Option[(String, Long)] = None): Commit = {
+    requireValidTxn(txn)
     val removedSet = removed.toSet
     require(added.distinct == added,
       s"duplicate batch names within one commit: $added")
@@ -519,6 +603,14 @@ object CommitLog {
             "names are immutable identities — a re-add would double-list " +
             "the file (retried commit? pick a fresh name per attempt)")
       }
+      // Idempotence check against the base this attempt commits on
+      // (re-checked per rebase: the epoch may have been committed by a
+      // rival replay of the same writer after a crash-restart race).
+      txn.foreach { case (app, epoch) =>
+        txnsOf(root, base).get(app).filter(_ >= epoch).foreach { w =>
+          throw new TxnAlreadyCommittedException(app, epoch, w)
+        }
+      }
       // Schema arbitration against the base ACTUALLY COMMITTED under
       // (re-checked per rebase: a rival may have evolved it first).
       // Record only a changed schema — inheritance costs zero bytes.
@@ -529,7 +621,7 @@ object CommitLog {
           case Some(cur) => checkEvolution(cur, next); Some(next)
         }
       }
-      if (tryCommit(root, base + 1, added, removed, toRecord, stats)) {
+      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

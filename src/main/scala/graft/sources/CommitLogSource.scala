@@ -84,11 +84,17 @@ class CommitLogSource extends TableProvider with DataSourceRegister {
 
 object CommitLogSource {
   /** The table schema: declared DDL in force at the latest version,
-    * else ONE footer read of the newest snapshot batch. */
+    * else ONE footer read of the newest snapshot batch. An EMPTY table
+    * (no committed version) reports an empty schema — the shape a SINK
+    * writing the table's first batch needs (the write builder plans
+    * with the query's own schema from LogicalWriteInfo; the first
+    * commit then declares the DDL). Batch READS of an empty root fail
+    * loudly at scan build instead (see [[CommitLogScan]]). */
   def tableSchema(root: String): StructType = {
     val v = CommitLog.latestVersion(root)
     CommitLog.schemaOf(root, v) match {
       case Some(ddl) => StructType.fromDDL(ddl)
+      case None if v == 0 => new StructType()
       case None =>
         val files = CommitLog.files(root, v)
         require(files.nonEmpty,
@@ -170,20 +176,36 @@ object CommitLogSource {
 }
 
 class CommitLogTable(root: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val schema0 = tableSchema
   override def name(): String = s"commitlog($root)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+
+  /** Append-only writes (see [[CommitLogWrite]]): batch appends commit
+    * one fresh-named batch; streaming appends commit one batch per
+    * epoch with a (queryId, epochId) txn watermark for exactly-once.
+    * Rewrites (MERGE, delete, compaction) go through [[CommitLogMerge]]
+    * — a sink that silently truncated a versioned table would defeat
+    * the log's whole point. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new CommitLogWriteBuilder(root, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = CommitLogScan(
-        root, schema0,
-        versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
-        startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
-        maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-        ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
+      override def build(): Scan = {
+        CommitLogScan(
+          root, schema0,
+          versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
+          startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+          maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+          ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
+      }
     }
 }
 
@@ -206,6 +228,13 @@ case class CommitLogScan(
     * rows would be wrong — read via CommitLogMerge.snapshot, or run a
     * COW merge/compaction first. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // an empty table (no committed version) plans zero partitions: the
+    // streaming-write path physically plans a scan of the SINK relation
+    // pre-first-commit, so this cannot be an error. A typo'd read path
+    // surfaces as a zero-column schema — any column reference fails
+    // analysis loudly before reaching here.
+    if (schema.isEmpty && CommitLog.latestVersion(root) == 0)
+      return Array.empty
     val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
     val files = CommitLog.files(root, v)
     CommitLogSource.requireNoDv(files, s"batch read of $root at v$v")

@@ -1,0 +1,344 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+/** The WRITE half of the [[CommitLogSource]] connector: `df.write
+  * .format("commitlog")` appends a committed batch, `writeStream
+  * .format("commitlog")` appends one batch per micro-batch epoch with
+  * EXACTLY-ONCE delivery — closing the loop with the streaming source
+  * (t14): a commit-log table can now sit on BOTH ends of a pipeline.
+  *
+  * '''Exactly-once protocol''' (the Delta idempotent-sink design):
+  * Structured Streaming re-delivers the last uncommitted epoch after a
+  * crash, so the sink records a `txn` watermark `(queryId, epochId)` in
+  * the SAME manifest that publishes the epoch's batch — data and
+  * watermark commit atomically (one `link(2)`), and a replayed epoch is
+  * detected by [[CommitLog.TxnAlreadyCommittedException]] inside the
+  * optimistic-commit loop (re-checked per rebase, so a rival replay
+  * that wins the race is skipped, not double-applied).
+  *
+  * '''Task-commit protocol''' (two-level, both levels first-wins):
+  * tasks stream rows to HIDDEN `.tmp` parquet files inside a staging
+  * directory (`stage-<token>/`); the driver renames exactly the
+  * committed attempts' temps to visible part names (zombie/speculative
+  * attempts' files are swept, a replayed task's rename finds the
+  * visible name taken and drops its temp), then renames the staging
+  * directory to the final batch name and publishes the manifest.
+  * Crash windows map onto the log's existing contracts: a stage dir
+  * without a manifest is orphan data that vacuum sweeps (under its
+  * `minAgeMs` in-flight guard); a final-named dir without a manifest
+  * entry is deleted and replaced by the replaying epoch before its
+  * rename. Batch names are deterministic per unit of work — streaming
+  * `txn-<queryId>-e<epoch>`, batch one-shot `w<writeId>` — so replays
+  * collide loudly instead of double-listing.
+  *
+  * '''Stats ride along''': each task tracks numeric (min, max) per
+  * column while writing; the driver merges the boxes and commits them
+  * as manifest stats, so every batch this sink lands is born prunable
+  * by [[CommitLog.prunedFiles]] — zero extra reads, no side index.
+  *
+  * At 100 TB the shape holds: a micro-batch's files are written by N
+  * parallel tasks, the driver does O(N) renames + one delta-sized
+  * manifest publish, and the idempotence check is bounded metadata
+  * (one checkpoint + ≤8 delta reads). Append-only by design — MERGE,
+  * deletes and compaction go through [[CommitLogMerge]]/[[CommitLog]]
+  * directly, which arbitrate against this sink's commits via the same
+  * optimistic protocol.
+  */
+object CommitLogWrite {
+
+  /** Spark→parquet schema for the flat primitive shapes the commitlog
+    * reader supports — the write-side mirror of
+    * [[CommitLogSource.footerSchema]]'s mapping. */
+  def parquetType(schema: StructType): MessageType = {
+    val fields: Seq[Type] = schema.fields.toSeq.map { f =>
+      val b = f.dataType match {
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case StringType => Types.optional(BINARY).as(stringType())
+        case other =>
+          throw new IllegalArgumentException(
+            s"commitlog writer does not support $other (column ${f.name}) " +
+              "— flat primitive columns only; pre-serialize nested data")
+      }
+      b.named(f.name)
+    }
+    new MessageType("spark_schema", fields: _*)
+  }
+
+  def pad(epochId: Long): String = f"$epochId%020d"
+
+  /** queryId arrives as a UUID; strip the dashes so the batch name
+    * stays within the manifest name grammar with margin. */
+  def appOf(queryId: String): String = queryId.replace("-", "")
+
+  private def fs(path: Path): FileSystem = {
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    FileSystem.get(path.toUri, conf)
+  }
+
+  /** Driver-side publish: rename committed temps to visible parts,
+    * sweep losing attempts, promote the stage dir to `batchName`, and
+    * commit — one manifest carrying the batch, its stats boxes, the
+    * writer's schema DDL and (streaming) the txn watermark. Returns
+    * false when the unit of work was already committed (replayed
+    * epoch): staged files are dropped, nothing publishes. */
+  def publish(
+      root: String, stageName: String, batchName: String,
+      messages: Array[WriterCommitMessage], schema: StructType,
+      txn: Option[(String, Long)]): Boolean = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    val stage = new Path(rootP, stageName)
+    val dest = new Path(rootP, batchName)
+
+    def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
+
+    // fast idempotence path: the epoch's watermark is already in the
+    // log (crash AFTER publish, replay re-runs the tasks) — the
+    // authoritative re-check rides inside commit()'s rebase loop
+    txn.foreach { case (app, epoch) =>
+      val v = CommitLog.latestVersion(root)
+      if (CommitLog.txnsOf(root, v).get(app).exists(_ >= epoch)) {
+        dropStage()
+        return false
+      }
+    }
+
+    // level 1: task publish — exactly the committed attempts become
+    // visible parts; everything else in the stage dir is a losing or
+    // zombie attempt's leftover and is swept with the dir's .tmp files
+    val msgs = messages.collect { case m: CommitLogCommitMessage => m }
+    msgs.foreach { m =>
+      val tmp = new Path(stage, m.tmpName)
+      val visible = new Path(stage, m.visibleName)
+      if (f.exists(tmp)) {
+        if (f.exists(visible)) f.delete(tmp, false)
+        else f.rename(tmp, visible)
+      }
+    }
+    if (f.exists(stage))
+      f.listStatus(stage)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+        .foreach(st => f.delete(st.getPath, false))
+
+    // level 2: batch publish — a final-named dir with no manifest entry
+    // is a crashed earlier attempt of THIS unit of work; replace it so
+    // the published batch is exactly this attempt's file set
+    val latest = CommitLog.latestVersion(root)
+    if (f.exists(dest)) {
+      if (CommitLog.files(root, latest).contains(batchName)) {
+        // published by a rival replay between the fast path and here
+        dropStage()
+        return false
+      }
+      f.delete(dest, true)
+    }
+    require(f.rename(stage, dest),
+      s"failed to promote $stage to $dest")
+
+    val stats: CommitLog.Stats = {
+      val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
+        case (col, boxes) =>
+          col -> (boxes.map(_._2).min, boxes.map(_._3).max)
+      }
+      if (merged.isEmpty) Map.empty else Map(batchName -> merged)
+    }
+    try {
+      CommitLog.commit(root, latest, added = Seq(batchName),
+        schema = Some(schema.toDDL), stats = stats, txn = txn)
+      true
+    } catch {
+      case _: CommitLog.TxnAlreadyCommittedException =>
+        // a rival replay published while we were renaming; our dir is
+        // the final name only if the rival hasn't listed it — leave a
+        // listed batch alone, drop an unlisted one
+        val now = CommitLog.latestVersion(root)
+        if (!CommitLog.files(root, now).contains(batchName) && f.exists(dest))
+          f.delete(dest, true)
+        false
+    }
+  }
+}
+
+/** (min, max) per numeric column + the two-level names of one task's
+  * output file. */
+case class CommitLogCommitMessage(
+    tmpName: String, visibleName: String, rows: Long,
+    stats: Seq[(String, Double, Double)]) extends WriterCommitMessage
+
+class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new CommitLogBatchWrite(root, info.schema())
+    override def toStreaming: StreamingWrite =
+      new CommitLogStreamingWrite(
+        root, info.schema(), CommitLogWrite.appOf(info.queryId()))
+  }
+}
+
+/** One-shot append: `df.write.format("commitlog").mode("append")`.
+  * The batch name is a fresh time-ordered write id, so concurrent
+  * one-shot appends never collide and the optimistic commit loop
+  * linearizes them. */
+class CommitLogBatchWrite(root: String, schema: StructType)
+    extends BatchWrite {
+  private val writeId = EnvelopeBatchWrite.nextWriteId()
+  private val stageName = s"stage-$writeId"
+  private val batchName = s"w$writeId"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    CommitLogBatchWriterFactory(s"$root/$stageName", schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(s"$root/$stageName")
+    val f = FileSystem.get(p.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, true)
+  }
+}
+
+/** Per-epoch append with the txn watermark: one committed batch per
+  * micro-batch, replayed epochs are no-ops. Visible part names exclude
+  * the task id (a replayed task's output maps onto the same name —
+  * first publish wins), the batch name is deterministic per (query,
+  * epoch) — replays converge on the same unit of work instead of
+  * inventing a second one. */
+class CommitLogStreamingWrite(root: String, schema: StructType, app: String)
+    extends StreamingWrite {
+
+  private def stageName(epochId: Long) =
+    s"stage-txn-$app-e${CommitLogWrite.pad(epochId)}"
+  private def batchName(epochId: Long) =
+    s"txn-$app-e${CommitLogWrite.pad(epochId)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    CommitLogStreamingWriterFactory(root, schema, app)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    CommitLogWrite.publish(root, stageName(epochId), batchName(epochId),
+      messages, schema, txn = Some((app, epochId)))
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(s"$root/${stageName(epochId)}")
+    val f = FileSystem.get(p.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, true)
+  }
+}
+
+/** Serializable task-side factory for the one-shot batch write: the
+  * task id stays in the visible name (the batch commit publishes
+  * exactly the committed attempts, one per partition). */
+case class CommitLogBatchWriterFactory(stageDir: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CommitLogDataWriter(stageDir, schema,
+      f"_p$partitionId%05d-t$taskId.parquet.tmp",
+      f"part-p$partitionId%05d-t$taskId.parquet")
+}
+
+/** Streaming twin: the visible name EXCLUDES the task id so a replayed
+  * epoch's attempts map onto the same names and first-publish wins. */
+case class CommitLogStreamingWriterFactory(
+    root: String, schema: StructType, app: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new CommitLogDataWriter(
+      s"$root/stage-txn-$app-e${CommitLogWrite.pad(epochId)}", schema,
+      f"_p$partitionId%05d-t$taskId.parquet.tmp",
+      f"part-p$partitionId%05d.parquet")
+}
+
+/** Task-side parquet writer over the public parquet-hadoop record API
+  * (the write twin of [[CommitLogPartitionReader]]'s GroupReadSupport);
+  * tracks numeric (min, max) per column as rows stream through so the
+  * batch commits born-prunable. Rows land in a hidden `.tmp` inside the
+  * stage dir — invisible to every reader until two renames and a
+  * manifest publish later. */
+class CommitLogDataWriter(
+    stageDir: String, schema: StructType, tmpName: String, visibleName: String)
+    extends DataWriter[InternalRow] {
+
+  private val msgType = CommitLogWrite.parquetType(schema)
+  private val factory = new SimpleGroupFactory(msgType)
+  private val tmpPath = new Path(stageDir, tmpName)
+  private lazy val writer = ExampleParquetWriter.builder(tmpPath)
+    .withType(msgType)
+    .withConf(new org.apache.hadoop.conf.Configuration())
+    .build()
+
+  private var rows = 0L
+  private val lo = Array.fill(schema.length)(Double.PositiveInfinity)
+  private val hi = Array.fill(schema.length)(Double.NegativeInfinity)
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        schema(i).dataType match {
+          case LongType => val v = row.getLong(i); g.add(name, v); box(i, v.toDouble)
+          case IntegerType => val v = row.getInt(i); g.add(name, v); box(i, v.toDouble)
+          case DoubleType => val v = row.getDouble(i); g.add(name, v); box(i, v)
+          case FloatType => val v = row.getFloat(i); g.add(name, v); box(i, v.toDouble)
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case StringType =>
+            g.add(name, Binary.fromString(row.getUTF8String(i).toString))
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  private def box(i: Int, v: Double): Unit = {
+    // NaN never enters a box: the manifest grammar rejects it, and a
+    // NaN bound would veto pruning for the whole batch
+    if (!v.isNaN) {
+      if (v < lo(i)) lo(i) = v
+      if (v > hi(i)) hi(i) = v
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    val stats = schema.fields.toSeq.zipWithIndex.collect {
+      case (f, i) if lo(i) <= hi(i) && !f.name.exists(",\"[]\\|".contains(_)) =>
+        (f.name, lo(i), hi(i))
+    }
+    CommitLogCommitMessage(tmpName, visibleName, rows, stats)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    val f = FileSystem.get(tmpPath.toUri, new org.apache.hadoop.conf.Configuration())
+    if (f.exists(tmpPath)) f.delete(tmpPath, false)
+  }
+
+  override def close(): Unit = ()
+}

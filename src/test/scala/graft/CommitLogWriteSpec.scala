@@ -1,0 +1,199 @@
+package graft
+
+import graft.sources.{CommitLog, CommitLogCommitMessage, CommitLogStreamingWrite, CommitLogWrite}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.functions._
+
+/** The commit-log table as a DSv2 SINK (`df.write.format("commitlog")`
+  * / `writeStream.format("commitlog")`): append commits, per-epoch txn
+  * watermarks for exactly-once under replay, crash-orphan recovery,
+  * born-prunable stats, and interop with rival committers through the
+  * optimistic protocol. */
+class CommitLogWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"clw_$tag").toString
+
+  private def readIds(root: String): Seq[Long] =
+    spark.read.format("commitlog").option("path", root).load()
+      .select("id").as[Long].collect().sorted.toSeq
+
+  test("batch append: each write commits one version; schema is declared; data round-trips") {
+    val root = freshRoot("batch")
+    Seq(1L, 2L).toDF("id").withColumn("v", $"id" * 10)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq(3L).toDF("id").withColumn("v", $"id" * 10)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    assert(CommitLog.latestVersion(root) == 2)
+    assert(readIds(root) == Seq(1L, 2L, 3L))
+    // first write declared the schema: reads plan off the log's DDL
+    assert(CommitLog.schemaOf(root, 2).isDefined)
+    // time travel sees only the first append
+    val v1 = spark.read.format("commitlog")
+      .option("path", root).option("versionAsOf", 1).load()
+    assert(v1.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("batch append commits born-prunable stats boxes") {
+    val root = freshRoot("stats")
+    Seq((1L, 5.0), (2L, 9.0)).toDF("id", "x")
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq((3L, 100.0)).toDF("id", "x")
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val v = CommitLog.latestVersion(root)
+    val stats = CommitLog.statsOf(root, v)
+    assert(stats.size == 2, s"both batches should carry boxes: $stats")
+    val boxes = stats.values.flatMap(_.get("x")).toSeq.sortBy(_._1)
+    assert(boxes == Seq((5.0, 9.0), (100.0, 100.0)))
+    // pruning on x in [0, 50] keeps only the first batch
+    val pruned = CommitLog.prunedFiles(root, v, "x", 0.0, 50.0)
+    assert(pruned.size == 1, s"expected one surviving batch: $pruned")
+  }
+
+  test("streaming sink: epochs land as txn batches; replayed epoch commit is a no-op") {
+    val root = freshRoot("replay")
+    val w = new CommitLogStreamingWrite(
+      root, Seq(1L).toDF("id").schema, app = "apprep")
+    // drive the driver-side protocol directly: stage a task file the
+    // way a writer task would, then commit the epoch twice (Structured
+    // Streaming redelivers the last epoch after a crash-restart)
+    def stageAndCommit(epoch: Long): Unit = {
+      val stage = s"$root/stage-txn-apprep-e${CommitLogWrite.pad(epoch)}"
+      val tmp = "_p00000-t0.parquet.tmp"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      // content written through the real task writer
+      val dw = new graft.sources.CommitLogDataWriter(
+        stage, Seq(1L).toDF("id").schema, tmp, "part-p00000.parquet")
+      dw.write(org.apache.spark.sql.catalyst.InternalRow(epoch * 10))
+      val msg = dw.commit()
+      w.commit(epoch, Array(msg))
+    }
+    stageAndCommit(0L)
+    stageAndCommit(1L)
+    val vAfter = CommitLog.latestVersion(root)
+    assert(vAfter == 2)
+    assert(readIds(root) == Seq(0L, 10L))
+    // replay epoch 1: watermark detects it, nothing new publishes
+    stageAndCommit(1L)
+    assert(CommitLog.latestVersion(root) == vAfter, "replay must not commit")
+    assert(readIds(root) == Seq(0L, 10L), "replay must not double rows")
+    assert(CommitLog.txnsOf(root, vAfter) == Map("apprep" -> 1L))
+  }
+
+  test("crash-orphan recovery: a final-named dir with no manifest entry is replaced, not doubled") {
+    val root = freshRoot("orphan")
+    val schema = Seq(1L).toDF("id").schema
+    val w = new CommitLogStreamingWrite(root, schema, app = "apporph")
+    val batch = s"txn-apporph-e${CommitLogWrite.pad(0L)}"
+    // simulate a crash AFTER the stage→final rename but BEFORE the
+    // manifest publish: final-named dir exists, log knows nothing
+    val orphan = java.nio.file.Paths.get(s"$root/$batch")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-stale.parquet"), Array[Byte](1))
+    // the replayed epoch stages fresh data and publishes
+    val stage = s"$root/stage-txn-apporph-e${CommitLogWrite.pad(0L)}"
+    val dw = new graft.sources.CommitLogDataWriter(
+      stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(7L))
+    w.commit(0L, Array(dw.commit()))
+    assert(CommitLog.latestVersion(root) == 1)
+    assert(readIds(root) == Seq(7L))
+    // the stale orphan file is gone — the batch is exactly the replay's set
+    assert(!java.nio.file.Files.exists(orphan.resolve("part-stale.parquet")))
+  }
+
+  test("txn watermarks survive checkpoints and vacuum") {
+    val root = freshRoot("vac")
+    val schema = Seq(1L).toDF("id").schema
+    val w = new CommitLogStreamingWrite(root, schema, app = "appvac")
+    (0L until 10L).foreach { e =>
+      val stage = s"$root/stage-txn-appvac-e${CommitLogWrite.pad(e)}"
+      val dw = new graft.sources.CommitLogDataWriter(
+        stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+      dw.write(org.apache.spark.sql.catalyst.InternalRow(e))
+      w.commit(e, Array(dw.commit()))
+    }
+    // 10 commits crossed the checkpoint cadence (8); expire history
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    val v = CommitLog.latestVersion(root)
+    assert(CommitLog.txnsOf(root, v)("appvac") == 9L,
+      "the cutoff checkpoint must carry the watermark through retention")
+    // a pre-watermark replay after vacuum is still a no-op
+    val stage = s"$root/stage-txn-appvac-e${CommitLogWrite.pad(3L)}"
+    val dw = new graft.sources.CommitLogDataWriter(
+      stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(999L))
+    w.commit(3L, Array(dw.commit()))
+    assert(CommitLog.latestVersion(root) == v)
+    assert(!readIds(root).contains(999L))
+  }
+
+  test("streaming sink end-to-end: readStream → commitlog sink → batch read, exactly once") {
+    val root = freshRoot("e2e")
+    val tbl = freshRoot("e2e_src")
+    val ckpt = freshRoot("e2e_ckpt")
+    spark.range(0, 100).select($"id", ($"id" % 7).cast("double").as("x"))
+      .write.mode("overwrite").parquet(tbl)
+    val schema = spark.read.parquet(tbl).schema
+    val q = spark.readStream.schema(schema).parquet(tbl)
+      .writeStream.format("commitlog")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    val got = spark.read.format("commitlog").option("path", root).load()
+    assert(got.count() == 100L)
+    assert(got.agg(sum($"id")).as[Long].head() == 4950L)
+    // the epoch landed with its watermark under the query's id
+    val v = CommitLog.latestVersion(root)
+    val txns = CommitLog.txnsOf(root, v)
+    assert(txns.size == 1 && txns.values.head >= 0L, s"txns: $txns")
+    // restart on the same checkpoint: nothing new, nothing doubled
+    val q2 = spark.readStream.schema(schema).parquet(tbl)
+      .writeStream.format("commitlog")
+      .option("path", root)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.format("commitlog").option("path", root).load().count() == 100L)
+  }
+
+  test("sink commits arbitrate against rival committers via the optimistic protocol") {
+    val root = freshRoot("rival")
+    val schema = Seq(1L).toDF("id").schema
+    // rival appends land between the sink's read of latestVersion and
+    // its commit — publish() passes a stale readVersion and the
+    // rebase loop must linearize both
+    Seq(100L).toDF("id").write.parquet(s"$root/rival1")
+    CommitLog.commit(root, 0, added = Seq("rival1"), schema = Some(schema.toDDL))
+    val w = new CommitLogStreamingWrite(root, schema, app = "appriv")
+    val stage = s"$root/stage-txn-appriv-e${CommitLogWrite.pad(0L)}"
+    val dw = new graft.sources.CommitLogDataWriter(
+      stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    val msg = dw.commit()
+    // interleave: another rival lands right now
+    Seq(200L).toDF("id").write.parquet(s"$root/rival2")
+    CommitLog.commit(root, 1, added = Seq("rival2"))
+    w.commit(0L, Array(msg))
+    assert(CommitLog.latestVersion(root) == 3)
+    assert(readIds(root) == Seq(1L, 100L, 200L))
+  }
+
+  test("writer rejects non-primitive columns loudly") {
+    val root = freshRoot("reject")
+    val err = intercept[Exception] {
+      Seq((1L, Seq(1, 2))).toDF("id", "arr")
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(err).contains("flat primitive columns only"))
+  }
+}

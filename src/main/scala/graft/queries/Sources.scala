@@ -1086,6 +1086,55 @@ object Sources {
           $"n", $"total")
     },
 
+    // S22h: MANIFEST-STATS PRUNING BEHIND THE CONNECTOR — s22g's
+    // zero-read file skipping as the API a user actually hits: the
+    // three range-partitioned batches are written through the DSv2
+    // SINK (`df.write.format("commitlog")` — each batch commits its
+    // (min,max) boxes automatically, no hand-built stats), and the
+    // half-range predicate is pushed down by Spark into
+    // CommitLogScanBuilder, which intersects it against the manifest
+    // boxes at plan time. The accounting columns pin the pruned plan
+    // (n_read=2 INPUT PARTITIONS planned, counted from the executed
+    // plan's BatchScanExec, vs n_total=3 batches committed) while the
+    // aggregate still matches the full relational answer — the filter
+    // stays residual above the scan, so pruning can only drop files
+    // the predicate provably excludes. CommitLogWriteSpec pins the
+    // two-sided box intersection and the no-over-prune boundary case.
+    Decl(
+      "s22h_connector_pruned_scan",
+      s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+         |SELECT CAST(3 AS BIGINT) AS n_total, CAST(2 AS BIGINT) AS n_read,
+         |  CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders, m
+         |WHERE o_orderkey <= mx // 2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s22h_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      val mx = ord.agg(max($"o_orderkey")).head().getLong(0)
+      val (cut1, cut2, half) = (mx / 3, 2 * mx / 3, mx / 2)
+      Seq(
+        $"o_orderkey" <= cut1,
+        $"o_orderkey" > cut1 && $"o_orderkey" <= cut2,
+        $"o_orderkey" > cut2).foreach { pred =>
+        ord.filter(pred).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      val read = s.read.format("commitlog").option("path", root).load()
+        .filter($"o_orderkey" <= half)
+      val planned = read.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      read
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(graft.sources.CommitLog.files(root,
+            graft.sources.CommitLog.latestVersion(root)).size.toLong).as("n_total"),
+          lit(planned.toLong).as("n_read"),
+          $"n", $"total")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -197,28 +197,85 @@ class CommitLogTable(root: String, tableSchema: StructType)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CommitLogWriteBuilder(root, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = {
-        CommitLogScan(
-          root, schema0,
-          versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
-          startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
-          maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-          ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
-      }
+    new CommitLogScanBuilder(root, schema0, options)
+}
+
+/** Plan-time MANIFEST-STATS pruning + column pruning for the batch
+  * leg: numeric range filters Spark pushes down are intersected into
+  * one [lo, hi] box per column, and [[CommitLogScan.planInputPartitions]]
+  * drops every batch whose manifest box misses — file skipping decided
+  * entirely from metadata already in hand from snapshot replay (zero
+  * data reads, the s22g path behind the connector API). ALL filters
+  * are returned as residual — Spark re-evaluates them above the scan,
+  * so a batch without a box (always kept) or a boundary approximation
+  * can never change results, only the set of files opened. Streaming
+  * micro-batch scans get no pushdown from Spark (the t13 note) and
+  * plan unpruned. */
+class CommitLogScanBuilder(
+    root: String, schema0: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var required: StructType = schema0
+  private var pushed: Array[Filter] = Array.empty
+  private var boxes: Map[String, (Double, Double)] = Map.empty
+
+  /** The [lo, hi] a filter bounds one column to, widened to be SAFE
+    * for pruning (strict bounds kept inclusive: opening an extra
+    * batch is free of risk, skipping one is not). */
+  private def rangeOf(f: Filter): Option[(String, Double, Double)] = f match {
+    case EqualTo(c, v: Number) => Some((c, v.doubleValue, v.doubleValue))
+    case GreaterThan(c, v: Number) => Some((c, v.doubleValue, Double.PositiveInfinity))
+    case GreaterThanOrEqual(c, v: Number) => Some((c, v.doubleValue, Double.PositiveInfinity))
+    case LessThan(c, v: Number) => Some((c, Double.NegativeInfinity, v.doubleValue))
+    case LessThanOrEqual(c, v: Number) => Some((c, Double.NegativeInfinity, v.doubleValue))
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      val ds = vs.map(_.asInstanceOf[Number].doubleValue)
+      Some((c, ds.min, ds.max))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(rangeOf(_).isDefined)
+    boxes = pushed.flatMap(rangeOf).groupBy(_._1).map { case (c, rs) =>
+      // several filters on one column AND together: intersect the boxes
+      c -> (rs.map(_._2).max, rs.map(_._3).min)
     }
+    filters // everything stays residual: pruning is a fast path only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // the reader resolves fields by name and null-fills, so narrowing
+    // the output schema is all pruning needs (no footer projection)
+    required = requiredSchema
+
+  override def build(): Scan =
+    CommitLogScan(
+      root, required, boxes,
+      versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
+      startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
 }
 
 case class CommitLogScan(
     root: String, schema: StructType,
+    boxes: Map[String, (Double, Double)],
     versionAsOf: Option[Int], startingVersion: Int,
     maxVersionsPerTrigger: Option[Int], ignoreDeletes: Boolean)
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"CommitLogScan root=$root versionAsOf=${versionAsOf.getOrElse(-1)}"
+  override def description(): String = {
+    val b = boxes.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }.mkString(", ")
+    s"CommitLogScan root=$root versionAsOf=${versionAsOf.getOrElse(-1)}" +
+      (if (b.isEmpty) "" else s" PrunedByManifestStats: [$b]")
+  }
 
   /** Batch leg: the snapshot at `versionAsOf` (default latest) — the
     * S22 time-travel read as a connector. One partition per part file.
@@ -238,7 +295,21 @@ case class CommitLogScan(
     val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
     val files = CommitLog.files(root, v)
     CommitLogSource.requireNoDv(files, s"batch read of $root at v$v")
-    files
+    // manifest-stats pruning: intersect each pushed range box against
+    // the batches' committed (min, max) boxes — a batch with no box
+    // for the column is always read (unknown = keep), and Spark still
+    // evaluates the exact predicate above the scan
+    val stats = if (boxes.isEmpty) Map.empty: CommitLog.Stats
+                else CommitLog.statsOf(root, v)
+    val pruned = boxes.foldLeft(files) { case (fs, (col, (lo, hi))) =>
+      fs.filter { b =>
+        stats.get(b).flatMap(_.get(col)) match {
+          case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
+          case None => true
+        }
+      }
+    }
+    pruned
       .flatMap(CommitLogSource.listParquet(root, _))
       .map(f => CommitLogInputPartition(f): InputPartition)
       .toArray

@@ -284,10 +284,19 @@ class CommitLogDataWriter(
   private val msgType = CommitLogWrite.parquetType(schema)
   private val factory = new SimpleGroupFactory(msgType)
   private val tmpPath = new Path(stageDir, tmpName)
-  private lazy val writer = ExampleParquetWriter.builder(tmpPath)
-    .withType(msgType)
-    .withConf(new org.apache.hadoop.conf.Configuration())
-    .build()
+  // opened on first row only: an empty partition must leave NO file —
+  // its commit message names a temp that never existed and publish()
+  // skips it, so empty tasks cost zero bytes in the batch
+  private var writerOpt: Option[org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group]] = None
+  private def writer = {
+    if (writerOpt.isEmpty)
+      writerOpt = Some(ExampleParquetWriter.builder(tmpPath)
+        .withType(msgType)
+        .withConf(new org.apache.hadoop.conf.Configuration())
+        .build())
+    writerOpt.get
+  }
 
   private var rows = 0L
   private val lo = Array.fill(schema.length)(Double.PositiveInfinity)
@@ -326,7 +335,7 @@ class CommitLogDataWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    writer.close()
+    writerOpt.foreach(_.close())
     val stats = schema.fields.toSeq.zipWithIndex.collect {
       case (f, i) if lo(i) <= hi(i) && !f.name.exists(",\"[]\\|".contains(_)) =>
         (f.name, lo(i), hi(i))
@@ -335,7 +344,7 @@ class CommitLogDataWriter(
   }
 
   override def abort(): Unit = {
-    try writer.close() catch { case _: Exception => () }
+    try writerOpt.foreach(_.close()) catch { case _: Exception => () }
     val f = FileSystem.get(tmpPath.toUri, new org.apache.hadoop.conf.Configuration())
     if (f.exists(tmpPath)) f.delete(tmpPath, false)
   }

@@ -185,6 +185,56 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(readIds(root) == Seq(1L, 100L, 200L))
   }
 
+  private def plannedParts(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.sum
+
+  test("connector pushdown prunes batches by manifest stats; residual filter keeps results exact") {
+    val root = freshRoot("prune")
+    // three sink appends with disjoint x ranges — stats ride along
+    // automatically, one part file each (repartition(1))
+    Seq((1L, 5.0), (2L, 9.0)).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq((3L, 50.0)).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq((4L, 500.0), (5L, 900.0)).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val all = spark.read.format("commitlog").option("path", root).load()
+    assert(plannedParts(all) == 3, "unfiltered read plans every batch")
+    // range filter: only the matching batch's file is planned…
+    val hi = all.filter($"x" >= 100.0)
+    assert(plannedParts(hi) == 1,
+      s"manifest boxes must prune to one batch:\n${hi.queryExecution.executedPlan}")
+    // …and the answer is the exact one (residual filter still applied)
+    assert(hi.select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+    // two-sided box intersects: x in [40, 60] plans one batch
+    val mid = all.filter($"x" >= 40.0 && $"x" <= 60.0)
+    assert(plannedParts(mid) == 1)
+    assert(mid.select("id").as[Long].collect().toSeq == Seq(3L))
+    // a boundary predicate never over-prunes: x >= 9 intersects every
+    // box ([5,9] at its upper edge) — all batches planned, exact rows
+    val edge = all.filter($"x" >= 9.0)
+    assert(plannedParts(edge) == 3)
+    assert(edge.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("connector column pruning narrows the scan's output schema") {
+    val root = freshRoot("colprune")
+    Seq((1L, 5.0, "a")).toDF("id", "x", "s").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val df = spark.read.format("commitlog").option("path", root).load()
+      .select("id")
+    val scanSchemas = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scanSchemas == Seq(Seq("id")),
+      s"scan must read only the projected column: $scanSchemas")
+    assert(df.as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("writer rejects non-primitive columns loudly") {
     val root = freshRoot("reject")
     val err = intercept[Exception] {

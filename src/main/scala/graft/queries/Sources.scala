@@ -1135,6 +1135,54 @@ object Sources {
           $"n", $"total")
     },
 
+    // S26: OPTIMIZE over the commit log — small-batch compaction as a
+    // COMMITTED, LAYOUT-ONLY rewrite (dataChange=false, the Delta
+    // OPTIMIZE verb): four sink appends land four small batches, one
+    // optimize packs them into a single batch with a shuffle-free
+    // coalesce (each byte moves once) and a manifest flagged
+    // dataChange=false, with the pack's stats box UNIONED from the
+    // sources' boxes (no second data pass). The proof is the flag's
+    // CONSUMER contract: the decl then STREAMS the table from version
+    // 0 — the stream emits exactly the four appends' rows and SKIPS
+    // the optimize version (pre-flag, a rewrite commit hard-failed
+    // every tail; a wrong skip loses rows, a missed skip doubles
+    // them — either breaks the hash). Accounting pins 4 batches
+    // before, 1 after, 5 versions streamed as 4 non-empty batches.
+    // CommitLogOptimizeSpec pins tail/CDF/time-travel composition and
+    // rival-rewrite arbitration.
+    Decl(
+      "s26_log_optimize",
+      s"""SELECT CAST(4 AS BIGINT) AS n_before, CAST(1 AS BIGINT) AS n_after,
+         |  CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogOptimize}
+      val root = ioDir("s26_tbl")
+      val ckpt = ioDir("s26_ckpt")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.deleteRecursively(new java.io.File(ckpt))
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      (0 until 4).foreach { m =>
+        ord.filter($"o_orderkey" % 4 === m).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      val nBefore = CommitLog.files(root, CommitLog.latestVersion(root)).size
+      CommitLogOptimize.optimize(s, root, smallBytes = 1L << 30)
+      val nAfter = CommitLog.files(root, CommitLog.latestVersion(root)).size
+      val sink = s"s26_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("commitlog").option("path", root).load()
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("complete")
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(lit(nBefore.toLong).as("n_before"),
+          lit(nAfter.toLong).as("n_after"), $"n", $"total")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -138,6 +138,16 @@ object CommitLog {
     (parseList(extractField(txt, "add")), parseList(extractField(txt, "remove")))
   }
 
+  /** Whether the commit at `v` changed table CONTENT (the Delta
+    * `dataChange` flag): true for appends/deletes/merges, false for a
+    * layout-only rewrite (compaction, clustering) whose add/remove
+    * sets restate exactly the same rows. Incremental consumers skip
+    * dataChange=false commits — that is the whole point of the flag. */
+  def isDataChange(root: String, v: Int): Boolean = {
+    val txt = new String(Files.readAllBytes(manifest(root, v)), "UTF-8")
+    !txt.contains("\"dataChange\":false")
+  }
+
   /** The table schema in force at version `v` (None = never declared).
     * Schema is versioned state exactly like the file set: a manifest
     * that changed it carries the new DDL, checkpoints snapshot the
@@ -253,10 +263,12 @@ object CommitLog {
       added: Seq[String], removed: Seq[String],
       schema: Option[String] = None,
       stats: Stats = Map.empty,
-      txn: Option[(String, Long)] = None): Boolean = {
+      txn: Option[(String, Long)] = None,
+      dataChange: Boolean = true): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidTxn(txn)
+    requireValidDataChange(dataChange, added, removed, schema)
     schema.foreach(s => require(!s.contains('"'),
       "schema DDL must not contain double quotes"))
     val schemaField = schema.map(s => s""","schema":"$s"""").getOrElse("")
@@ -266,9 +278,25 @@ object CommitLog {
     val txnField = txn.map { case (app, epoch) =>
       s""","txn":${renderList(Seq(s"$app|$epoch"))}"""
     }.getOrElse("")
+    val dcField = if (dataChange) "" else ""","dataChange":false"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField}""")
   }
+
+  /** A dataChange=false commit promises its add/remove sets restate
+    * the same rows — only a REWRITE (both sides non-empty, no schema
+    * edit) can keep that promise; an append or delete flagged
+    * layout-only would silently drop rows from every tail. */
+  private def requireValidDataChange(
+      dataChange: Boolean, added: Seq[String], removed: Seq[String],
+      schema: Option[String]): Unit =
+    if (!dataChange) {
+      require(added.nonEmpty && removed.nonEmpty,
+        "dataChange=false requires a rewrite commit (non-empty add AND " +
+          "remove): appends and deletes always change content")
+      require(schema.isEmpty,
+        "dataChange=false cannot carry a schema change")
+    }
 
   // ---- STATS-IN-MANIFEST: per-batch numeric (min, max) boxes ----
   //
@@ -424,8 +452,12 @@ object CommitLog {
     }
   }
 
-  /** One committed version's change set. */
-  final case class Change(version: Int, added: Seq[String], removed: Seq[String])
+  /** One committed version's change set. `dataChange` false marks a
+    * layout-only rewrite (compaction/clustering): same rows, new
+    * files — incremental consumers skip it. */
+  final case class Change(
+      version: Int, added: Seq[String], removed: Seq[String],
+      dataChange: Boolean = true)
 
   /** CHANGE FEED: the per-version add/remove sets for
     * `fromVersion < v <= toVersion` — what an incremental consumer
@@ -437,7 +469,7 @@ object CommitLog {
   def changes(root: String, fromVersion: Int, toVersion: Int): Seq[Change] =
     ((fromVersion + 1) to toVersion).map { v =>
       val (add, remove) = readDelta(root, v)
-      Change(v, add, remove)
+      Change(v, add, remove, isDataChange(root, v))
     }
 
   /** Publish the full-snapshot checkpoint at `v` (idempotent: derived
@@ -572,8 +604,10 @@ object CommitLog {
       schema: Option[String] = None,
       maxAttempts: Int = 50,
       stats: Stats = Map.empty,
-      txn: Option[(String, Long)] = None): Commit = {
+      txn: Option[(String, Long)] = None,
+      dataChange: Boolean = true): Commit = {
     requireValidTxn(txn)
+    requireValidDataChange(dataChange, added, removed, schema)
     val removedSet = removed.toSet
     require(added.distinct == added,
       s"duplicate batch names within one commit: $added")
@@ -621,7 +655,7 @@ object CommitLog {
           case Some(cur) => checkEvolution(cur, next); Some(next)
         }
       }
-      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn)) {
+      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn, dataChange)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -46,7 +46,11 @@ object CommitLogCdf {
       fromVersion: Int, toVersion: Int,
       keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "row-level CDF needs the table key")
-    val frames = CommitLog.changes(root, fromVersion, toVersion).flatMap { ch =>
+    // dataChange=false versions (OPTIMIZE) restate the same rows in
+    // new files — by contract they contribute NO feed rows, so they
+    // are skipped without even the COW diff join
+    val frames = CommitLog.changes(root, fromVersion, toVersion)
+      .filter(_.dataChange).flatMap { ch =>
       CommitLogSource.requireNoDv(ch.added ++ ch.removed,
         s"row-level CDF v${ch.version} of $root")
       def read(batches: Seq[String]): DataFrame =

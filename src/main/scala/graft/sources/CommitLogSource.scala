@@ -371,7 +371,10 @@ class CommitLogMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[CommitLogStreamOffset].version
     val hi = end.asInstanceOf[CommitLogStreamOffset].version
-    CommitLog.changes(root, lo, hi).flatMap { ch =>
+    // dataChange=false versions (OPTIMIZE) restate rows this stream
+    // already emitted in new files: skipped wholesale — this is what
+    // lets compaction run UNDER a live tail without faulting it
+    CommitLog.changes(root, lo, hi).filter(_.dataChange).flatMap { ch =>
       CommitLogSource.requireNoDv(ch.added ++ ch.removed,
         s"streaming v${ch.version} of $root")
       if (ch.removed.nonEmpty && ch.added.nonEmpty)

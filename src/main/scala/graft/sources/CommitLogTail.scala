@@ -99,23 +99,28 @@ object CommitLogTail {
     var emitted = 0
     CommitLog.changes(root, lastProcessed(checkpointDir), target).foreach {
       ch =>
-        CommitLogSource.requireNoDv(ch.added ++ ch.removed,
-          s"tail drain v${ch.version} of $root")
-        if (ch.removed.nonEmpty && ch.added.nonEmpty)
-          throw new IllegalStateException(
-            s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +
-              s"${ch.removed.size}): its added files re-state rows this " +
-              "consumer already emitted — a tail cannot process a " +
-              "copy-on-write commit without double-counting")
-        if (ch.removed.nonEmpty && !ignoreDeletes)
-          throw new IllegalStateException(
-            s"v${ch.version} removes ${ch.removed.mkString(",")}: a tail " +
-              "emits appends only and cannot retract — set ignoreDeletes " +
-              "to skip delete commits")
-        if (ch.added.nonEmpty) {
-          sink(spark.read.parquet(ch.added.map(b => s"$root/$b"): _*),
-            ch.version)
-          emitted += 1
+        // OPTIMIZE commits (dataChange=false) restate already-emitted
+        // rows in new files: advance past them without emitting —
+        // compaction composes with a live tail instead of faulting it
+        if (ch.dataChange) {
+          CommitLogSource.requireNoDv(ch.added ++ ch.removed,
+            s"tail drain v${ch.version} of $root")
+          if (ch.removed.nonEmpty && ch.added.nonEmpty)
+            throw new IllegalStateException(
+              s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +
+                s"${ch.removed.size}): its added files re-state rows this " +
+                "consumer already emitted — a tail cannot process a " +
+                "copy-on-write commit without double-counting")
+          if (ch.removed.nonEmpty && !ignoreDeletes)
+            throw new IllegalStateException(
+              s"v${ch.version} removes ${ch.removed.mkString(",")}: a tail " +
+                "emits appends only and cannot retract — set ignoreDeletes " +
+                "to skip delete commits")
+          if (ch.added.nonEmpty) {
+            sink(spark.read.parquet(ch.added.map(b => s"$root/$b"): _*),
+              ch.version)
+            emitted += 1
+          }
         }
         advance(checkpointDir, ch.version)
     }

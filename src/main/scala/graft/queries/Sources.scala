@@ -1183,6 +1183,55 @@ object Sources {
           lit(nAfter.toLong).as("n_after"), $"n", $"total")
     },
 
+    // S27: DESCRIBE HISTORY — the audit surface of the commit log:
+    // every committing verb labels its manifest (sink appends WRITE /
+    // STREAMING UPDATE, compaction OPTIMIZE, CommitLogMerge MERGE), and
+    // CommitLog.history replays one manifest per still-readable version
+    // into (version, operation, add/remove counts, dataChange) — cost
+    // is bounded metadata, history reaches exactly as far back as time
+    // travel. The decl pins the trail of a 4-verb session: two modulo
+    // appends, an OPTIMIZE (1 added, 2 removed, dataChange FALSE), a
+    // third append — with each version's added-row count tied back to
+    // the fixture, so a mislabeled, miscounted, or misordered audit row
+    // breaks the hash.
+    Decl(
+      "s27_log_history",
+      s"""WITH c0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+         |c1 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 1),
+         |c3 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 = 0)
+         |SELECT * FROM (
+         |  SELECT 1 AS version, 'WRITE' AS operation, 1 AS n_added,
+         |    0 AS n_removed, true AS data_change, (SELECT n FROM c0) AS n_rows
+         |  UNION ALL SELECT 2, 'WRITE', 1, 0, true, (SELECT n FROM c1)
+         |  UNION ALL SELECT 3, 'OPTIMIZE', 1, 2, false,
+         |    (SELECT n FROM c0) + (SELECT n FROM c1)
+         |  UNION ALL SELECT 4, 'WRITE', 1, 0, true, (SELECT n FROM c3))
+         |ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogOptimize}
+      val root = ioDir("s27_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      def append(pred: org.apache.spark.sql.Column): Unit =
+        ord.filter(pred).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      append($"o_orderkey" % 2 === 0)
+      append($"o_orderkey" % 2 === 1)
+      CommitLogOptimize.optimize(s, root, smallBytes = 1L << 30)
+      append($"o_orderkey" % 3 === 0)
+      val latest = CommitLog.latestVersion(root)
+      val addedRows = CommitLog.changes(root, 0, latest).map { ch =>
+        ch.version -> (if (ch.added.isEmpty) 0L
+          else s.read.parquet(ch.added.map(b => s"$root/$b"): _*).count())
+      }.toMap
+      CommitLog.history(root).map { h =>
+        (h.version, h.operation.orNull, h.nAdded, h.nRemoved,
+          h.dataChange, addedRows(h.version))
+      }.toDF("version", "operation", "n_added", "n_removed",
+        "data_change", "n_rows")
+        .orderBy("version")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

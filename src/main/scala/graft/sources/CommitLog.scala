@@ -166,16 +166,8 @@ object CommitLog {
     }
   }
 
-  private def readSchemaField(p: Path): Option[String] = {
-    val txt = new String(Files.readAllBytes(p), "UTF-8")
-    val key = "\"schema\":\""
-    val i = txt.indexOf(key)
-    if (i < 0) None
-    else {
-      val from = i + key.length
-      Some(txt.substring(from, txt.indexOf('"', from)))
-    }
-  }
+  private def readSchemaField(p: Path): Option[String] =
+    readStringField(p, "schema")
 
   /** Thrown when a commit declares a schema the current one cannot
     * evolve to (dropped column or changed type — additive nullable
@@ -264,11 +256,14 @@ object CommitLog {
       schema: Option[String] = None,
       stats: Stats = Map.empty,
       txn: Option[(String, Long)] = None,
-      dataChange: Boolean = true): Boolean = {
+      dataChange: Boolean = true,
+      op: Option[String] = None): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
+    op.foreach(o => require(o.nonEmpty && !o.exists("\",[]\\".contains(_)),
+      s"operation label '$o' must be non-empty and quote/bracket-free"))
     schema.foreach(s => require(!s.contains('"'),
       "schema DDL must not contain double quotes"))
     val schemaField = schema.map(s => s""","schema":"$s"""").getOrElse("")
@@ -279,8 +274,9 @@ object CommitLog {
       s""","txn":${renderList(Seq(s"$app|$epoch"))}"""
     }.getOrElse("")
     val dcField = if (dataChange) "" else ""","dataChange":false"""
+    val opField = op.map(o => s""","operation":"$o"""").getOrElse("")
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -472,6 +468,54 @@ object CommitLog {
       Change(v, add, remove, isDataChange(root, v))
     }
 
+  /** One audit row of [[history]]. `operation` is the label the
+    * committing verb recorded (null for unlabeled direct commits);
+    * `timestampMs` is the manifest file's mtime — audit metadata, not
+    * versioned state (retention rewrites never touch it). */
+  final case class HistoryEntry(
+      version: Int, operation: Option[String],
+      nAdded: Int, nRemoved: Int, dataChange: Boolean,
+      txnApp: Option[String], txnEpoch: Option[Long],
+      timestampMs: Long)
+
+  private def readStringField(p: Path, name: String): Option[String] = {
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    val key = "\"" + name + "\":\""
+    val i = txt.indexOf(key)
+    if (i < 0) None
+    else {
+      val from = i + key.length
+      Some(txt.substring(from, txt.indexOf('"', from)))
+    }
+  }
+
+  /** DESCRIBE HISTORY: the audit trail of every still-readable version
+    * (vacuum expires manifests, so history reaches back exactly as far
+    * as time travel does). Cost is one manifest read per version —
+    * bounded metadata, never data. */
+  def history(root: String): Seq[HistoryEntry] = {
+    val latest = latestVersion(root)
+    val from = lowestReadable(root)
+    (from to latest).flatMap { v =>
+      val m = manifest(root, v)
+      if (!Files.exists(m)) None // `from` may be a checkpoint-only cutoff
+      else {
+        val (add, remove) = readDelta(root, v)
+        val txn = readTxnsField(m) match {
+          case Seq(one) => one.split('|') match {
+            case Array(app, epoch) => Some((app, epoch.toLong))
+            case _ => None
+          }
+          case _ => None
+        }
+        Some(HistoryEntry(v, readStringField(m, "operation"),
+          add.size, remove.size, isDataChange(root, v),
+          txn.map(_._1), txn.map(_._2),
+          Files.getLastModifiedTime(m).toMillis))
+      }
+    }
+  }
+
   /** Publish the full-snapshot checkpoint at `v` (idempotent: derived
     * content + create-if-absent, so racers and re-runs are no-ops).
     * Carries the schema in force so schema replay never needs an
@@ -605,7 +649,8 @@ object CommitLog {
       maxAttempts: Int = 50,
       stats: Stats = Map.empty,
       txn: Option[(String, Long)] = None,
-      dataChange: Boolean = true): Commit = {
+      dataChange: Boolean = true,
+      op: Option[String] = None): Commit = {
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
     val removedSet = removed.toSet
@@ -655,7 +700,7 @@ object CommitLog {
           case Some(cur) => checkEvolution(cur, next); Some(next)
         }
       }
-      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn, dataChange)) {
+      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn, dataChange, op)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -201,7 +201,8 @@ object CommitLogMerge {
             (Seq(rw), touched ++ coveredDvs, "cow")
           }
 
-        if (!CommitLog.tryCommit(root, next, added, removed)) {
+        if (!CommitLog.tryCommit(root, next, added, removed,
+            op = Some("MERGE"))) {
           // stage is dead bytes a later vacuum sweeps; state unchanged
           throw new java.util.ConcurrentModificationException(
             s"merge lost the race at v$next of $root: a rival committed " +

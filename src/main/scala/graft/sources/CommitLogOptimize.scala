@@ -86,7 +86,7 @@ object CommitLogOptimize {
     try {
       val c = CommitLog.commit(root, readVersion,
         added = Seq(packed), removed = smalls,
-        stats = packStats, dataChange = false)
+        stats = packStats, dataChange = false, op = Some("OPTIMIZE"))
       OptimizeResult(c.version, Some(packed), smalls)
     } catch {
       case e: java.util.ConcurrentModificationException =>

@@ -158,6 +158,18 @@ object CommitLogSource {
     import PrimitiveType.PrimitiveTypeName._
     val logical = p.getLogicalTypeAnnotation
     p.getPrimitiveTypeName match {
+      case INT64
+          if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+            logical.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+              .getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+        TimestampType
+      case INT64
+          if logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        val d = logical.asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+        DecimalType(d.getPrecision, d.getScale)
+      case INT32
+          if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        DateType
       case INT64 => LongType
       case INT32 => IntegerType
       case DOUBLE => DoubleType
@@ -222,18 +234,35 @@ class CommitLogScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var boxes: Map[String, (Double, Double)] = Map.empty
 
+  /** Filter values the manifest boxes can compare: numerics directly;
+    * timestamps as micros-since-epoch and dates as epoch days — the
+    * same units the sink boxes them in. */
+  private def num(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case _ => None
+  }
+
   /** The [lo, hi] a filter bounds one column to, widened to be SAFE
     * for pruning (strict bounds kept inclusive: opening an extra
     * batch is free of risk, skipping one is not). */
   private def rangeOf(f: Filter): Option[(String, Double, Double)] = f match {
-    case EqualTo(c, v: Number) => Some((c, v.doubleValue, v.doubleValue))
-    case GreaterThan(c, v: Number) => Some((c, v.doubleValue, Double.PositiveInfinity))
-    case GreaterThanOrEqual(c, v: Number) => Some((c, v.doubleValue, Double.PositiveInfinity))
-    case LessThan(c, v: Number) => Some((c, Double.NegativeInfinity, v.doubleValue))
-    case LessThanOrEqual(c, v: Number) => Some((c, Double.NegativeInfinity, v.doubleValue))
-    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
-      val ds = vs.map(_.asInstanceOf[Number].doubleValue)
-      Some((c, ds.min, ds.max))
+    case EqualTo(c, v) => num(v).map(d => (c, d, d))
+    case GreaterThan(c, v) => num(v).map(d => (c, d, Double.PositiveInfinity))
+    case GreaterThanOrEqual(c, v) => num(v).map(d => (c, d, Double.PositiveInfinity))
+    case LessThan(c, v) => num(v).map(d => (c, Double.NegativeInfinity, d))
+    case LessThanOrEqual(c, v) => num(v).map(d => (c, Double.NegativeInfinity, d))
+    case In(c, vs) if vs.nonEmpty =>
+      val ds = vs.map(num)
+      if (ds.forall(_.isDefined)) {
+        val flat = ds.flatten
+        Some((c, flat.min, flat.max))
+      } else None
     case _ => None
   }
 
@@ -459,6 +488,14 @@ class CommitLogPartitionReader(file: String, schema: StructType)
           case FloatType => Float.box(current.getFloat(fi, 0))
           case BooleanType => Boolean.box(current.getBoolean(fi, 0))
           case StringType => UTF8String.fromString(current.getString(fi, 0))
+          // the sink's encodings (and Spark's own): INT64 micros,
+          // INT32 epoch days, INT64 unscaled decimal — all of which
+          // are exactly InternalRow's internal representations
+          case TimestampType => Long.box(current.getLong(fi, 0))
+          case DateType => Int.box(current.getInteger(fi, 0))
+          case d: DecimalType if d.precision <= 18 =>
+            org.apache.spark.sql.types.Decimal(
+              current.getLong(fi, 0), d.precision, d.scale)
           case other =>
             throw new IllegalArgumentException(
               s"commitlog reader does not support $other (column " +

@@ -60,8 +60,12 @@ object CommitLogWrite {
 
   /** Spark→parquet schema for the flat primitive shapes the commitlog
     * reader supports — the write-side mirror of
-    * [[CommitLogSource.footerSchema]]'s mapping. */
+    * [[CommitLogSource.footerSchema]]'s mapping. Timestamps land as
+    * INT64 micros (UTC-adjusted), dates as INT32 days, decimals of
+    * precision ≤ 18 as INT64 unscaled — the same physical encodings
+    * Spark's own parquet writer picks for these types. */
   def parquetType(schema: StructType): MessageType = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val fields: Seq[Type] = schema.fields.toSeq.map { f =>
       val b = f.dataType match {
         case LongType => Types.optional(INT64)
@@ -70,6 +74,14 @@ object CommitLogWrite {
         case FloatType => Types.optional(FLOAT)
         case BooleanType => Types.optional(BOOLEAN)
         case StringType => Types.optional(BINARY).as(stringType())
+        case TimestampType => Types.optional(INT64).as(
+          LogicalTypeAnnotation.timestampType(
+            true, LogicalTypeAnnotation.TimeUnit.MICROS))
+        case DateType => Types.optional(INT32).as(
+          LogicalTypeAnnotation.dateType())
+        case d: DecimalType if d.precision <= 18 =>
+          Types.optional(INT64).as(
+            LogicalTypeAnnotation.decimalType(d.scale, d.precision))
         case other =>
           throw new IllegalArgumentException(
             s"commitlog writer does not support $other (column ${f.name}) " +
@@ -162,7 +174,8 @@ object CommitLogWrite {
     }
     try {
       CommitLog.commit(root, latest, added = Seq(batchName),
-        schema = Some(schema.toDDL), stats = stats, txn = txn)
+        schema = Some(schema.toDDL), stats = stats, txn = txn,
+        op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"))
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -316,6 +329,15 @@ class CommitLogDataWriter(
           case BooleanType => g.add(name, row.getBoolean(i))
           case StringType =>
             g.add(name, Binary.fromString(row.getUTF8String(i).toString))
+          case TimestampType =>
+            // InternalRow carries micros-since-epoch, the file's
+            // declared unit — box as micros so time filters prune
+            val v = row.getLong(i); g.add(name, v); box(i, v.toDouble)
+          case DateType =>
+            val v = row.getInt(i); g.add(name, v); box(i, v.toDouble)
+          case d: DecimalType =>
+            val v = row.getDecimal(i, d.precision, d.scale)
+            g.add(name, v.toUnscaledLong); box(i, v.toDouble)
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
       }

@@ -235,6 +235,68 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("timestamp, date and decimal columns round-trip and prune by time range") {
+    val root = freshRoot("typed")
+    def day(d: String) = java.sql.Date.valueOf(d)
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), day("2024-01-01"), BigDecimal("12.34")),
+      (2L, ts("2024-01-02 12:30:45"), day("2024-01-02"), BigDecimal("56.78")))
+      .toDF("id", "t", "d", "m")
+      .withColumn("m", $"m".cast("decimal(18,2)")).repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq((3L, ts("2025-06-15 08:00:00"), day("2025-06-15"), BigDecimal("99.99")))
+      .toDF("id", "t", "d", "m")
+      .withColumn("m", $"m".cast("decimal(18,2)")).repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val df = spark.read.format("commitlog").option("path", root).load()
+    // values round-trip exactly through the sink's encodings
+    val rows = df.orderBy("id")
+      .select($"id", $"t".cast("string"), $"d".cast("string"), $"m".cast("string"))
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01", "12.34"),
+      (2L, "2024-01-02 12:30:45", "2024-01-02", "56.78"),
+      (3L, "2025-06-15 08:00:00", "2025-06-15", "99.99")))
+    // a time-range filter prunes to the matching batch via its
+    // micros box (same for dates via epoch-day boxes)
+    val recent = df.filter($"t" >= ts("2025-01-01 00:00:00"))
+    assert(plannedParts(recent) == 1, "timestamp box must prune")
+    assert(recent.select("id").as[Long].collect().toSeq == Seq(3L))
+    val oldDays = df.filter($"d" < day("2024-06-01"))
+    assert(plannedParts(oldDays) == 1, "date box must prune")
+    assert(oldDays.count() == 2L)
+    val cheap = df.filter($"m" < BigDecimal("50.00"))
+    assert(plannedParts(cheap) == 1, "decimal box must prune")
+    assert(cheap.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("history records verb labels and txn watermarks; vacuum truncates it with time travel") {
+    val root = freshRoot("hist")
+    Seq(1L).toDF("id").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val w = new CommitLogStreamingWrite(root, Seq(1L).toDF("id").schema, "apphist")
+    val stage = s"$root/stage-txn-apphist-e${CommitLogWrite.pad(0L)}"
+    val dw = new graft.sources.CommitLogDataWriter(
+      stage, Seq(1L).toDF("id").schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(2L))
+    w.commit(0L, Array(dw.commit()))
+    val h = CommitLog.history(root)
+    assert(h.map(e => (e.version, e.operation)) ==
+      Seq((1, Some("WRITE")), (2, Some("STREAMING UPDATE"))))
+    assert(h.last.txnApp.contains("apphist") && h.last.txnEpoch.contains(0L))
+    assert(h.forall(_.dataChange))
+    // six more appends cross the checkpoint cadence, then vacuum
+    (0 until 6).foreach { _ =>
+      Seq(9L).toDF("id").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    val after = CommitLog.history(root)
+    assert(after.map(_.version) == Seq(7, 8),
+      s"history must reach exactly as far as time travel: ${after.map(_.version)}")
+  }
+
   test("writer rejects non-primitive columns loudly") {
     val root = freshRoot("reject")
     val err = intercept[Exception] {

@@ -1232,6 +1232,60 @@ object Sources {
         .orderBy("version")
     },
 
+    // S28: OPTIMIZE ZORDER BY over the commit log — S14's Morton
+    // layout as a COMMITTED clustered rewrite: three scattered sink
+    // appends (each spanning the full user/time range, so no manifest
+    // box can prune anything), then optimizeClustered re-lays the
+    // table along the (user_id, ts) z-curve into 8 range-contiguous
+    // batches, each committed with RECOMPUTED tight boxes — timestamps
+    // boxed in MICROS, the exact unit the scan's pushdown probes. The
+    // s14 predicate (user band × week) is then answered through the
+    // connector with most buckets pruned straight from the manifest
+    // (`pruned_fewer` pins planned < committed AND > 0 at every SF);
+    // the aggregate must still match the full relational oracle, and
+    // the rewrite is dataChange=false — a live tail skips it
+    // (CommitLogOptimizeSpec pins quadrant pruning exactly and the
+    // tail skip). One bounds pass + one shuffle on the bucket id: the
+    // minimum a clustered rewrite can cost.
+    Decl(
+      "s28_zorder_optimize",
+      s"""SELECT true AS pruned_fewer, event_type,
+         |  count(*) AS n, ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE user_id BETWEEN 3 AND 7
+         |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogOptimize}
+      val root = ioDir("s28_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value",
+          Qh.tsUs($"ts").as("ts"))
+      (0 until 3).foreach { m =>
+        ev.filter($"event_id" % 3 === m).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      val r = CommitLogOptimize.optimizeClustered(
+        s, root, zorderBy = Seq("user_id", "ts"), buckets = 8)
+      val filtered = s.read.format("commitlog").option("path", root).load()
+        .filter($"user_id".between(3, 7) &&
+          $"ts" >= lit("2024-01-08 00:00:00").cast(TimestampType) &&
+          $"ts" < lit("2024-01-16 00:00:00").cast(TimestampType))
+      val planned = filtered.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      filtered
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .select(lit(planned > 0 && planned < r.packed.size).as("pruned_fewer"),
+          $"event_type", $"n", $"total_value")
+        .orderBy("event_type")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -97,4 +97,129 @@ object CommitLogOptimize {
         throw e
     }
   }
+
+  final case class ClusterResult(
+      version: Int, packed: Seq[String], sources: Seq[String])
+
+  /** OPTIMIZE ZORDER BY — the clustered full-table rewrite (Delta's
+    * `OPTIMIZE … ZORDER BY (c1, c2)`): every live batch is re-laid out
+    * along the Morton curve of one or two columns into `buckets`
+    * range-contiguous batches, each committed with RECOMPUTED tight
+    * (min,max) boxes — so after clustering, a range predicate on
+    * either dimension prunes most batches straight from the manifest
+    * ([[CommitLogScanBuilder]]'s pushdown). Still dataChange=false:
+    * same rows, new layout — live tails and the CDF skip it.
+    *
+    * Mechanics: one bounds pass (broadcast), grid-quantize + interleave
+    * (S14's codegen'd ZOrder), split the z-RANGE uniformly into
+    * `buckets` (deterministic — no sampled quantiles, so replays and
+    * oracles agree; skewed data may fill buckets unevenly, which costs
+    * balance, never correctness), hash-repartition on the bucket id
+    * (one shuffle of the rewritten bytes — a clustered rewrite cannot
+    * be shuffle-free, that is its price), write one directory-
+    * partitioned pass, promote each bucket to a batch, commit. Boxes
+    * for every numeric/time column come from ONE grouped agg over the
+    * same frame. At 100 TB this is run per partition/maintenance
+    * window, not per table — the unit of work is the batch set chosen
+    * here (all live batches; compose with [[optimize]]'s size filter
+    * upstream if needed). */
+  def optimizeClustered(
+      spark: SparkSession, root: String,
+      zorderBy: Seq[String], buckets: Int,
+      gridBits: Int = 16): ClusterResult = {
+    import org.apache.spark.sql.functions._
+    require(zorderBy.nonEmpty && zorderBy.size <= 2,
+      "zorderBy takes one or two columns (Morton interleave is 2-D)")
+    require(buckets >= 2, "clustering below two buckets is optimize()")
+    val readVersion = CommitLog.latestVersion(root)
+    val live = CommitLog.files(root, readVersion)
+    CommitLogSource.requireNoDv(live, s"optimizeClustered of $root")
+    if (live.isEmpty) return ClusterResult(readVersion, Nil, Nil)
+
+    val df = spark.read.parquet(live.map(b => s"$root/$b"): _*)
+    // the double each column's manifest box is expressed in — the SAME
+    // units the sink writes and the scan's pushdown probes (micros for
+    // timestamps, epoch days for dates), or pruning silently misfires
+    def boxExpr(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          unix_micros(col(c)).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          unix_date(col(c)).cast("double")
+        case _ => col(c).cast("double")
+      }
+    val boxCols = df.schema.fields.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }).map(_.name).toSeq
+    require(zorderBy.forall(boxCols.contains),
+      s"zorderBy must be numeric/time columns: $zorderBy vs $boxCols")
+
+    // one cheap bounds pass, broadcast back (the S14 layout-build shape)
+    val boundAggs = zorderBy.flatMap(c =>
+      Seq(min(boxExpr(c)).as(s"__min_$c"), max(boxExpr(c)).as(s"__max_$c")))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val cells = zorderBy.map(c => graft.functions.ZOrder.gridCell(
+      boxExpr(c), col(s"__min_$c"), col(s"__max_$c"), gridBits))
+    val zkey =
+      if (cells.size == 2) graft.functions.ZOrder.interleave(cells(0), cells(1))
+      else cells.head
+    val zSpan = 1L << (gridBits * cells.size)
+    val dataCols = df.columns.toSeq
+    val keyed = df.crossJoin(broadcast(bounds))
+      .withColumn("__zb",
+        least(lit(buckets - 1), floor(zkey * buckets / zSpan).cast("int")))
+      .select((dataCols :+ "__zb").map(col): _*)
+
+    // per-bucket tight boxes for EVERY numeric/time column: one
+    // grouped agg, metadata-sized result
+    val statAggs = boxCols.flatMap(c => Seq(
+      min(boxExpr(c)).as(s"lo_$c"), max(boxExpr(c)).as(s"hi_$c")))
+    val statRows = keyed.groupBy(col("__zb"))
+      .agg(statAggs.head, statAggs.tail: _*).collect()
+
+    val writeId = EnvelopeBatchWrite.nextWriteId()
+    def batchName(b: Int) = f"zb$writeId-$b%03d"
+    val stage = s"$root/stage-zb-$writeId"
+    // one shuffle on the bucket id → one task per bucket → one file per
+    // bucket; directory-partitioned write, then promote dirs to batches
+    keyed.repartition(buckets, col("__zb"))
+      .write.partitionBy("__zb").parquet(stage)
+
+    val rootP = new Path(root)
+    val fs = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
+    val present = fs.listStatus(new Path(stage))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__zb="))
+      .map(st => st.getPath.getName.stripPrefix("__zb=").toInt).sorted.toSeq
+    present.foreach { b =>
+      require(fs.rename(new Path(stage, s"__zb=$b"), new Path(rootP, batchName(b))),
+        s"failed to promote bucket $b")
+    }
+    fs.delete(new Path(stage), true)
+
+    val stats: CommitLog.Stats = statRows.map { r =>
+      val b = r.getAs[Int]("__zb")
+      batchName(b) -> boxCols.flatMap { c =>
+        val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+      }.toMap
+    }.toMap
+    val added = present.map(batchName)
+    try {
+      val c = CommitLog.commit(root, readVersion,
+        added = added, removed = live,
+        stats = stats, dataChange = false, op = Some("OPTIMIZE ZORDER"))
+      ClusterResult(c.version, added, live)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        added.foreach { b =>
+          val p = new Path(rootP, b)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        throw e
+    }
+  }
 }

@@ -490,8 +490,13 @@ class CommitLogPartitionReader(file: String, schema: StructType)
           case StringType => UTF8String.fromString(current.getString(fi, 0))
           // the sink's encodings (and Spark's own): INT64 micros,
           // INT32 epoch days, INT64 unscaled decimal — all of which
-          // are exactly InternalRow's internal representations
-          case TimestampType => Long.box(current.getLong(fi, 0))
+          // are exactly InternalRow's internal representations.
+          // Timestamps additionally accept Spark's two other parquet
+          // encodings: INT64 millis and legacy INT96 (julian day +
+          // nanos — Spark's outputTimestampType default), so batches
+          // written by Spark's own writer (COW rewrites, optimize)
+          // read back identically to sink-written ones
+          case TimestampType => Long.box(readTimestampMicros(fi))
           case DateType => Int.box(current.getInteger(fi, 0))
           case d: DecimalType if d.precision <= 18 =>
             org.apache.spark.sql.types.Decimal(
@@ -504,6 +509,31 @@ class CommitLogPartitionReader(file: String, schema: StructType)
       i += 1
     }
     out
+  }
+
+  private def readTimestampMicros(fi: Int): Long = {
+    val pt = fileType.getType(fi).asPrimitiveType()
+    pt.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT96 =>
+        // 12 bytes little-endian: nanos-of-day (8) + julian day (4)
+        val bytes = current.getInt96(fi, 0).getBytes
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = buf.getLong
+        val julianDay = buf.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      case _ =>
+        val unit = pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
+          case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+        }
+        val v = current.getLong(fi, 0)
+        unit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
+          case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L
+          case _ => v
+        }
+    }
   }
 
   override def close(): Unit = reader.close()

@@ -134,6 +134,49 @@ class CommitLogOptimizeSpec extends SparkSpec {
     assert(r.packed.isEmpty)
   }
 
+  private def plannedParts(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.sum
+
+  test("optimizeClustered: z-curve re-layout makes 2-D range predicates prune from the manifest") {
+    val root = freshRoot("zorder")
+    // two scattered appends: each spans the FULL (a, b) range, so
+    // before clustering no box can prune anything
+    def scatter(parity: Int): Unit =
+      spark.range(0, 256).filter($"id" % 2 === parity)
+        .select($"id", ($"id" % 16).as("a"), floor($"id" / 16).as("b"))
+        .repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    scatter(0); scatter(1)
+    val pre = spark.read.format("commitlog").option("path", root).load()
+      .filter($"a" <= 3 && $"b" <= 3)
+    assert(plannedParts(pre) == 2, "scattered layout reads every batch")
+
+    val r = graft.sources.CommitLogOptimize.optimizeClustered(
+      spark, root, zorderBy = Seq("a", "b"), buckets = 4)
+    assert(r.packed.size == 4 && r.sources.size == 2)
+    val v = CommitLog.latestVersion(root)
+    assert(!CommitLog.isDataChange(root, v))
+
+    val all = spark.read.format("commitlog").option("path", root).load()
+    assert(all.count() == 256L, "re-layout must preserve every row")
+    assert(all.agg(sum($"id")).as[Long].head() == 255L * 256 / 2)
+    // the z-quadrant predicate now plans ONE of four buckets
+    val post = all.filter($"a" <= 3 && $"b" <= 3)
+    assert(plannedParts(post) == 1,
+      s"clustered boxes must prune to one bucket:\n${post.queryExecution.executedPlan}")
+    assert(post.count() == 16L) // (a,b) pairs are unique over 0..255
+    // one-dimensional ranges prune too (half the buckets)
+    assert(plannedParts(all.filter($"a" >= 8)) == 2)
+    // a live tail skips the clustering commit like any optimize
+    val ckpt = freshRoot("zorder_ckpt")
+    var emitted = Seq.empty[Int]
+    CommitLogTail.drain(spark, root, ckpt) { (_, ver) => emitted = emitted :+ ver }
+    assert(emitted == Seq(1, 2), s"the rewrite version must be skipped: $emitted")
+  }
+
   test("dataChange=false is rejected on appends, deletes and schema changes") {
     val root = freshRoot("guard")
     append(root, Seq(1L))

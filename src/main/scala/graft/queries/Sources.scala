@@ -1286,6 +1286,51 @@ object Sources {
         .orderBy("event_type")
     },
 
+    // S29: BLOOM-IN-MANIFEST POINT LOOKUP — the membership modality
+    // (min,max) boxes cannot provide: boxes answer range questions on
+    // ordered values, but `WHERE event_type = 'purchase'` on a string
+    // column needs membership. The sink builds a per-batch bloom for
+    // `option("bloomColumns", ...)` as rows stream through each task
+    // (union across tasks = bitwise OR at driver publish), the filter
+    // rides the manifest like stats, and the scan's pushed equality
+    // probe drops every batch whose bloom says DEFINITELY ABSENT —
+    // zero data reads. One batch per event type, so the probe must
+    // plan exactly one (`pruned_to_one` pins it); a false positive
+    // only costs an extra read (the residual filter re-applies), an
+    // absent bloom never prunes — pruning is a fast path, never a
+    // correctness risk. At 100 TB this is the difference between a
+    // needle-in-haystack key lookup scanning every batch and scanning
+    // ~the one that holds it. CommitLogWriteSpec pins IN-list probes,
+    // bloomless batches, and replay through vacuum's cutoff checkpoint.
+    Decl(
+      "s29_bloom_point_lookup",
+      s"""SELECT true AS pruned_to_one,
+         |  CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s29_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id", $"value")
+      val types = ev.select($"event_type").distinct()
+        .as[String].collect().sorted
+      types.foreach { t =>
+        ev.filter($"event_type" === t).repartition(1)
+          .write.format("commitlog").option("path", root)
+          .option("bloomColumns", "event_type").mode("append").save()
+      }
+      val probe = s.read.format("commitlog").option("path", root).load()
+        .filter($"event_type" === "purchase")
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      probe
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .select(lit(planned == 1).as("pruned_to_one"), $"n", $"total_value")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -257,9 +257,11 @@ object CommitLog {
       stats: Stats = Map.empty,
       txn: Option[(String, Long)] = None,
       dataChange: Boolean = true,
-      op: Option[String] = None): Boolean = {
+      op: Option[String] = None,
+      blooms: Blooms = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
+    requireValidBlooms(blooms, added)
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
     op.foreach(o => require(o.nonEmpty && !o.exists("\",[]\\".contains(_)),
@@ -275,8 +277,11 @@ object CommitLog {
     }.getOrElse("")
     val dcField = if (dataChange) "" else ""","dataChange":false"""
     val opField = op.map(o => s""","operation":"$o"""").getOrElse("")
+    val bloomField =
+      if (blooms.isEmpty) ""
+      else s""","bloom":${renderList(renderBlooms(blooms))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -380,6 +385,69 @@ object CommitLog {
         case None => true
       }
     }
+  }
+
+  // ---- BLOOMS-IN-MANIFEST: per-batch membership filters ----
+  //
+  // The point-lookup twin of the stats boxes (see [[CommitLogBloom]]):
+  // each commit may record a hex-encoded bloom per (added batch,
+  // string column); replay, checkpointing, vacuum survival and the
+  // added-batches-only rule are identical to stats. A batch without a
+  // bloom for a probed column is always read (unknown = keep).
+
+  /** batch -> column -> hex-encoded bloom bitset. */
+  type Blooms = Map[String, Map[String, String]]
+
+  private def requireValidBlooms(blooms: Blooms, added: Seq[String]): Unit = {
+    val addedSet = added.toSet
+    blooms.foreach { case (b, cols) =>
+      require(addedSet(b),
+        s"bloom declared for '$b', which this commit does not add")
+      cols.foreach { case (c, hex) =>
+        require(!b.contains('|') && !c.exists(",\"[]\\|".contains(_)),
+          s"bloom names must not contain | , \" [ ] \\ : '$b'.'$c'")
+        require(hex.nonEmpty && hex.length % 16 == 0 &&
+            hex.forall(ch => ch.isDigit || (ch >= 'a' && ch <= 'f')),
+          s"bloom for '$b'.'$c' must be non-empty lowercase hex, 16-aligned")
+      }
+    }
+  }
+
+  private def renderBlooms(blooms: Blooms): Seq[String] =
+    blooms.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, hex) => s"$b|$c|$hex" }
+    }
+
+  private def parseBlooms(entries: Seq[String]): Blooms =
+    entries.map(_.split('|')).collect {
+      case Array(b, c, hex) => (b, c, hex)
+    }.groupBy(_._1).map { case (b, rows) =>
+      b -> rows.map(r => r._2 -> r._3).toMap
+    }
+
+  private def readBloomsField(p: Path): Seq[String] = {
+    val txt = new String(Files.readAllBytes(p), "UTF-8")
+    if (txt.contains("\"bloom\":")) parseList(extractField(txt, "bloom"))
+    else Nil
+  }
+
+  /** The accumulated blooms of the batches visible at `v` — same
+    * checkpoint-plus-delta replay as [[statsOf]]. */
+  def bloomsOf(root: String, v: Int): Blooms = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) => (cv, parseBlooms(readBloomsField(ckptPath(root, cv))))
+      case None => (0, Map.empty: Blooms)
+    }
+    var state = base
+    ((start + 1) to v).foreach { i =>
+      val (add, remove) = readDelta(root, i)
+      state = state -- remove
+      val delta = parseBlooms(readBloomsField(manifest(root, i)))
+      state = state ++ delta.filter { case (b, _) => add.contains(b) }
+    }
+    val live = files(root, v).toSet
+    state.filter { case (b, _) => live(b) }
   }
 
   // ---- TXN-IN-MANIFEST: idempotent-writer watermarks ----
@@ -533,8 +601,12 @@ object CommitLog {
       val txnField =
         if (txns.isEmpty) ""
         else s""","txn":${renderList(renderTxns(txns))}"""
+      val blooms = bloomsOf(root, v)
+      val bloomField =
+        if (blooms.isEmpty) ""
+        else s""","bloom":${renderList(renderBlooms(blooms))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField}""")
     }
   }
 
@@ -650,7 +722,8 @@ object CommitLog {
       stats: Stats = Map.empty,
       txn: Option[(String, Long)] = None,
       dataChange: Boolean = true,
-      op: Option[String] = None): Commit = {
+      op: Option[String] = None,
+      blooms: Blooms = Map.empty): Commit = {
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
     val removedSet = removed.toSet
@@ -700,7 +773,8 @@ object CommitLog {
           case Some(cur) => checkEvolution(cur, next); Some(next)
         }
       }
-      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn, dataChange, op)) {
+      if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
+          dataChange, op, blooms)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -233,6 +233,7 @@ class CommitLogScanBuilder(
   private var required: StructType = schema0
   private var pushed: Array[Filter] = Array.empty
   private var boxes: Map[String, (Double, Double)] = Map.empty
+  private var probes: Seq[(String, Seq[String])] = Nil
 
   /** Filter values the manifest boxes can compare: numerics directly;
     * timestamps as micros-since-epoch and dates as epoch days — the
@@ -266,12 +267,23 @@ class CommitLogScanBuilder(
     case _ => None
   }
 
+  /** String membership constraint a filter imposes — the bloom-probe
+    * twin of [[rangeOf]]: a batch must possibly contain at least ONE
+    * of the listed values, per filter. */
+  private def probeOf(f: Filter): Option[(String, Seq[String])] = f match {
+    case EqualTo(c, v: String) => Some((c, Seq(v)))
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some((c, vs.toSeq.map(_.asInstanceOf[String])))
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(rangeOf(_).isDefined)
-    boxes = pushed.flatMap(rangeOf).groupBy(_._1).map { case (c, rs) =>
+    pushed = filters.filter(f => rangeOf(f).isDefined || probeOf(f).isDefined)
+    boxes = filters.flatMap(rangeOf).groupBy(_._1).map { case (c, rs) =>
       // several filters on one column AND together: intersect the boxes
       c -> (rs.map(_._2).max, rs.map(_._3).min)
     }
+    probes = filters.flatMap(probeOf).toSeq
     filters // everything stays residual: pruning is a fast path only
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -283,7 +295,7 @@ class CommitLogScanBuilder(
 
   override def build(): Scan =
     CommitLogScan(
-      root, required, boxes,
+      root, required, boxes, probes,
       versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
       startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
@@ -293,6 +305,7 @@ class CommitLogScanBuilder(
 case class CommitLogScan(
     root: String, schema: StructType,
     boxes: Map[String, (Double, Double)],
+    probes: Seq[(String, Seq[String])],
     versionAsOf: Option[Int], startingVersion: Int,
     maxVersionsPerTrigger: Option[Int], ignoreDeletes: Boolean)
     extends Scan with Batch {
@@ -302,8 +315,11 @@ case class CommitLogScan(
   override def description(): String = {
     val b = boxes.toSeq.sortBy(_._1)
       .map { case (c, (lo, hi)) => s"$c in [$lo,$hi]" }.mkString(", ")
+    val p = probes.map { case (c, vs) => s"$c in {${vs.mkString("|")}}" }
+      .mkString(", ")
     s"CommitLogScan root=$root versionAsOf=${versionAsOf.getOrElse(-1)}" +
-      (if (b.isEmpty) "" else s" PrunedByManifestStats: [$b]")
+      (if (b.isEmpty) "" else s" PrunedByManifestStats: [$b]") +
+      (if (p.isEmpty) "" else s" PrunedByManifestBlooms: [$p]")
   }
 
   /** Batch leg: the snapshot at `versionAsOf` (default latest) — the
@@ -330,10 +346,24 @@ case class CommitLogScan(
     // evaluates the exact predicate above the scan
     val stats = if (boxes.isEmpty) Map.empty: CommitLog.Stats
                 else CommitLog.statsOf(root, v)
-    val pruned = boxes.foldLeft(files) { case (fs, (col, (lo, hi))) =>
+    val boxPruned = boxes.foldLeft(files) { case (fs, (col, (lo, hi))) =>
       fs.filter { b =>
         stats.get(b).flatMap(_.get(col)) match {
           case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
+          case None => true
+        }
+      }
+    }
+    // bloom probes: a batch survives only if, for EVERY pushed
+    // equality/IN filter, its bloom admits at least one probed value
+    // (no bloom for the column → keep; false positive → the residual
+    // filter excludes the rows, never the other way around)
+    val blooms = if (probes.isEmpty) Map.empty: CommitLog.Blooms
+                 else CommitLog.bloomsOf(root, v)
+    val pruned = probes.foldLeft(boxPruned) { case (fs, (col, values)) =>
+      fs.filter { b =>
+        blooms.get(b).flatMap(_.get(col)) match {
+          case Some(hex) => values.exists(CommitLogBloom.mightContain(hex, _))
           case None => true
         }
       }

@@ -172,10 +172,20 @@ object CommitLogWrite {
       }
       if (merged.isEmpty) Map.empty else Map(batchName -> merged)
     }
+    val blooms: CommitLog.Blooms = {
+      // bloom union across tasks is bitwise OR — a value written by
+      // ANY task is visible in the batch's merged filter
+      val merged = msgs.flatMap(_.blooms).groupBy(_._1).map {
+        case (col, sets) =>
+          col -> CommitLogBloom.toHex(sets.map(_._2).reduce(CommitLogBloom.merge))
+      }
+      if (merged.isEmpty) Map.empty else Map(batchName -> merged)
+    }
     try {
       CommitLog.commit(root, latest, added = Seq(batchName),
         schema = Some(schema.toDDL), stats = stats, txn = txn,
-        op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"))
+        op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
+        blooms = blooms)
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -190,20 +200,41 @@ object CommitLogWrite {
   }
 }
 
-/** (min, max) per numeric column + the two-level names of one task's
-  * output file. */
+/** (min, max) per numeric column, bloom bitsets per designated string
+  * column, + the two-level names of one task's output file. */
 case class CommitLogCommitMessage(
     tmpName: String, visibleName: String, rows: Long,
-    stats: Seq[(String, Double, Double)]) extends WriterCommitMessage
+    stats: Seq[(String, Double, Double)],
+    blooms: Seq[(String, Array[Long])] = Nil) extends WriterCommitMessage
 
 class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new CommitLogBatchWrite(root, info.schema())
-    override def toStreaming: StreamingWrite =
-      new CommitLogStreamingWrite(
-        root, info.schema(), CommitLogWrite.appOf(info.queryId()))
+  /** `option("bloomColumns", "c1,c2")` + `option("bloomBits", n)`:
+    * build a per-batch membership filter for the named STRING columns
+    * as rows stream through ([[CommitLogBloom]]) — point lookups then
+    * prune from the manifest like range predicates do from boxes. */
+  private def bloomCols: Seq[String] =
+    Option(info.options.get("bloomColumns")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+  private def bloomBits: Int =
+    Option(info.options.get("bloomBits")).map(_.toInt)
+      .getOrElse(CommitLogBloom.DefaultBits)
+
+  override def build(): Write = {
+    val schema = info.schema()
+    bloomCols.foreach { c =>
+      require(schema.fieldNames.contains(c) &&
+          schema(c).dataType == StringType,
+        s"bloomColumns entry '$c' must name a STRING column of the write")
+    }
+    new Write {
+      override def toBatch: BatchWrite =
+        new CommitLogBatchWrite(root, schema, bloomCols, bloomBits)
+      override def toStreaming: StreamingWrite =
+        new CommitLogStreamingWrite(
+          root, schema, CommitLogWrite.appOf(info.queryId()),
+          bloomCols, bloomBits)
+    }
   }
 }
 
@@ -211,14 +242,16 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
   * The batch name is a fresh time-ordered write id, so concurrent
   * one-shot appends never collide and the optimistic commit loop
   * linearizes them. */
-class CommitLogBatchWrite(root: String, schema: StructType)
+class CommitLogBatchWrite(
+    root: String, schema: StructType,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
     extends BatchWrite {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
   private val batchName = s"w$writeId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    CommitLogBatchWriterFactory(s"$root/$stageName", schema)
+    CommitLogBatchWriterFactory(s"$root/$stageName", schema, bloomCols, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
@@ -237,7 +270,9 @@ class CommitLogBatchWrite(root: String, schema: StructType)
   * first publish wins), the batch name is deterministic per (query,
   * epoch) — replays converge on the same unit of work instead of
   * inventing a second one. */
-class CommitLogStreamingWrite(root: String, schema: StructType, app: String)
+class CommitLogStreamingWrite(
+    root: String, schema: StructType, app: String,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
     extends StreamingWrite {
 
   private def stageName(epochId: Long) =
@@ -246,7 +281,7 @@ class CommitLogStreamingWrite(root: String, schema: StructType, app: String)
     s"txn-$app-e${CommitLogWrite.pad(epochId)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    CommitLogStreamingWriterFactory(root, schema, app)
+    CommitLogStreamingWriterFactory(root, schema, app, bloomCols, bloomBits)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CommitLogWrite.publish(root, stageName(epochId), batchName(epochId),
@@ -263,25 +298,28 @@ class CommitLogStreamingWrite(root: String, schema: StructType, app: String)
 /** Serializable task-side factory for the one-shot batch write: the
   * task id stays in the visible name (the batch commit publishes
   * exactly the committed attempts, one per partition). */
-case class CommitLogBatchWriterFactory(stageDir: String, schema: StructType)
+case class CommitLogBatchWriterFactory(
+    stageDir: String, schema: StructType,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new CommitLogDataWriter(stageDir, schema,
       f"_p$partitionId%05d-t$taskId.parquet.tmp",
-      f"part-p$partitionId%05d-t$taskId.parquet")
+      f"part-p$partitionId%05d-t$taskId.parquet", bloomCols, bloomBits)
 }
 
 /** Streaming twin: the visible name EXCLUDES the task id so a replayed
   * epoch's attempts map onto the same names and first-publish wins. */
 case class CommitLogStreamingWriterFactory(
-    root: String, schema: StructType, app: String)
+    root: String, schema: StructType, app: String,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new CommitLogDataWriter(
       s"$root/stage-txn-$app-e${CommitLogWrite.pad(epochId)}", schema,
       f"_p$partitionId%05d-t$taskId.parquet.tmp",
-      f"part-p$partitionId%05d.parquet")
+      f"part-p$partitionId%05d.parquet", bloomCols, bloomBits)
 }
 
 /** Task-side parquet writer over the public parquet-hadoop record API
@@ -291,8 +329,15 @@ case class CommitLogStreamingWriterFactory(
   * stage dir — invisible to every reader until two renames and a
   * manifest publish later. */
 class CommitLogDataWriter(
-    stageDir: String, schema: StructType, tmpName: String, visibleName: String)
+    stageDir: String, schema: StructType, tmpName: String, visibleName: String,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = CommitLogBloom.DefaultBits)
     extends DataWriter[InternalRow] {
+
+  // (column index, bitset) per designated bloom column
+  private val bloomSets: Array[(Int, Array[Long])] = bloomCols.toArray.map { c =>
+    schema.fieldIndex(c) -> CommitLogBloom.emptyBits(bloomBits)
+  }
 
   private val msgType = CommitLogWrite.parquetType(schema)
   private val factory = new SimpleGroupFactory(msgType)
@@ -343,6 +388,13 @@ class CommitLogDataWriter(
       }
       i += 1
     }
+    var bi = 0
+    while (bi < bloomSets.length) {
+      val (ci, bits) = bloomSets(bi)
+      if (!row.isNullAt(ci))
+        CommitLogBloom.add(bits, row.getUTF8String(ci).toString)
+      bi += 1
+    }
     writer.write(g)
     rows += 1
   }
@@ -362,7 +414,10 @@ class CommitLogDataWriter(
       case (f, i) if lo(i) <= hi(i) && !f.name.exists(",\"[]\\|".contains(_)) =>
         (f.name, lo(i), hi(i))
     }
-    CommitLogCommitMessage(tmpName, visibleName, rows, stats)
+    val blooms = bloomSets.toSeq.map { case (ci, bits) =>
+      schema(ci).name -> bits
+    }
+    CommitLogCommitMessage(tmpName, visibleName, rows, stats, blooms)
   }
 
   override def abort(): Unit = {

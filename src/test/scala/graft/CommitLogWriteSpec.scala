@@ -297,6 +297,54 @@ class CommitLogWriteSpec extends SparkSpec {
       s"history must reach exactly as far as time travel: ${after.map(_.version)}")
   }
 
+  test("bloomColumns: string point lookups prune batches from manifest blooms") {
+    val root = freshRoot("bloom")
+    def append(kind: String, ids: Seq[Long]): Unit =
+      ids.map(i => (i, kind)).toDF("id", "kind").repartition(1)
+        .write.format("commitlog").option("path", root)
+        .option("bloomColumns", "kind").mode("append").save()
+    append("alpha", Seq(1L, 2L))
+    append("beta", Seq(3L))
+    append("gamma", Seq(4L, 5L))
+    val all = spark.read.format("commitlog").option("path", root).load()
+    assert(plannedParts(all) == 3)
+    // equality probe plans only the batch whose bloom admits the value
+    val beta = all.filter($"kind" === "beta")
+    assert(plannedParts(beta) == 1,
+      s"bloom must prune to one batch:\n${beta.queryExecution.executedPlan}")
+    assert(beta.select("id").as[Long].collect().toSeq == Seq(3L))
+    // IN probe: union of admitted batches
+    val two = all.filter($"kind".isin("alpha", "gamma"))
+    assert(plannedParts(two) == 2)
+    assert(two.count() == 4L)
+    // a value in no batch prunes everything — and still answers right
+    val none = all.filter($"kind" === "delta")
+    assert(plannedParts(none) == 0)
+    assert(none.count() == 0L)
+    // blooms replay through checkpoints + vacuum like stats: expire
+    // the manifest that declared beta's bloom (v2) — the cutoff
+    // checkpoint must carry it forward
+    (0 until 8).foreach(_ => append("filler", Seq(9L)))
+    CommitLog.vacuum(root, keepLast = 3, minAgeMs = 0L)
+    val afterVac = spark.read.format("commitlog").option("path", root).load()
+      .filter($"kind" === "beta")
+    assert(plannedParts(afterVac) == 1, "blooms must survive the cutoff checkpoint")
+  }
+
+  test("a batch written without blooms never prunes on string probes") {
+    val root = freshRoot("nobloom")
+    Seq((1L, "x")).toDF("id", "kind").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq((2L, "y")).toDF("id", "kind").repartition(1)
+      .write.format("commitlog").option("path", root)
+      .option("bloomColumns", "kind").mode("append").save()
+    val q = spark.read.format("commitlog").option("path", root).load()
+      .filter($"kind" === "x")
+    // batch 1 has no bloom (always read); batch 2's bloom excludes "x"
+    assert(plannedParts(q) == 1)
+    assert(q.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("writer rejects non-primitive columns loudly") {
     val root = freshRoot("reject")
     val err = intercept[Exception] {

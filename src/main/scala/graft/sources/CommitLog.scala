@@ -584,6 +584,22 @@ object CommitLog {
     }
   }
 
+  /** TIMESTAMP-based time travel: the highest still-readable version
+    * whose commit time (manifest mtime — see [[HistoryEntry]]) is at
+    * or before `timestampMs`. Fails when the time predates every
+    * readable version (matching version-based reads of expired
+    * history). Commit times are audit metadata with filesystem
+    * resolution: concurrent commits within one tick resolve to the
+    * larger version, which is the snapshot a reader at that instant
+    * would have seen anyway. */
+  def versionAt(root: String, timestampMs: Long): Int = {
+    val at = history(root).filter(_.timestampMs <= timestampMs)
+    require(at.nonEmpty,
+      s"no readable version of $root at or before $timestampMs — " +
+        "history starts later (or was vacuumed past that point)")
+    at.map(_.version).max
+  }
+
   /** Publish the full-snapshot checkpoint at `v` (idempotent: derived
     * content + create-if-absent, so racers and re-runs are no-ops).
     * Carries the schema in force so schema replay never needs an

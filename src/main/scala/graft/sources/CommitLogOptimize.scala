@@ -40,11 +40,6 @@ object CommitLogOptimize {
   final case class OptimizeResult(
       version: Int, packed: Option[String], sources: Seq[String])
 
-  /** Total visible parquet bytes of one committed batch. */
-  private def batchBytes(fs: FileSystem, root: String, batch: String): Long =
-    CommitLogSource.listParquet(root, batch)
-      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
-
   /** Compact every live batch smaller than `smallBytes` into one packed
     * batch (no-op below two candidates — there is nothing to pack).
     * `targetPartitions` bounds the pack's file count (coalesce width).
@@ -60,7 +55,7 @@ object CommitLogOptimize {
 
     val rootP = new Path(root)
     val fs = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
-    val smalls = live.filter(b => batchBytes(fs, root, b) < smallBytes)
+    val smalls = live.filter(b => CommitLogSource.batchBytes(root, b) < smallBytes)
     if (smalls.size < 2) return OptimizeResult(readVersion, None, Nil)
 
     val packed = s"opt${EnvelopeBatchWrite.nextWriteId()}"

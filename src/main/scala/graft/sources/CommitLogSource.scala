@@ -58,9 +58,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator pushdown (the t13 note), so filters/pruning run above the
   * scan either way.
   *
-  * Options: `path` (required), `versionAsOf` (batch), `startingVersion`
-  * (stream, default 0 = from table start), `maxVersionsPerTrigger`,
-  * `ignoreDeletes`.
+  * Options: `path` (required); batch: `versionAsOf` / `timestampAsOf`
+  * (commit-time travel); stream: `startingVersion` (default 0 = table
+  * start) / `startingTimestamp`, `maxVersionsPerTrigger`,
+  * `maxBytesPerTrigger` (soft byte budget per micro-batch),
+  * `ignoreDeletes`. Write options: `bloomColumns`, `bloomBits`
+  * (see [[CommitLogWriteBuilder]]).
   */
 class CommitLogSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "commitlog"
@@ -119,6 +122,13 @@ object CommitLogSource {
         !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
       })
       .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Total visible parquet bytes of one committed batch. */
+  def batchBytes(root: String, batch: String): Long = {
+    val fs = FileSystem.get(new Path(root).toUri, hadoopConf())
+    listParquet(root, batch)
+      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
   }
 
   private def hadoopConf(): Configuration = {
@@ -293,13 +303,37 @@ class CommitLogScanBuilder(
     // the output schema is all pruning needs (no footer projection)
     required = requiredSchema
 
-  override def build(): Scan =
+  /** `timestampAsOf` / `startingTimestamp` accept epoch millis or any
+    * `yyyy-MM-dd[ HH:mm:ss]` timestamp, resolved against commit times
+    * by [[CommitLog.versionAt]]. */
+  private def parseTime(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else {
+      val norm = if (s.contains(" ") || s.contains("T"))
+        s.replace("T", " ") else s + " 00:00:00"
+      java.sql.Timestamp.valueOf(norm).getTime
+    }
+
+  override def build(): Scan = {
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(t => CommitLog.versionAt(root, parseTime(t))))
+    val startingVersion = Option(options.get("startingVersion")).map(_.toInt)
+      .orElse(Option(options.get("startingTimestamp")).map { t =>
+        // start AFTER the last version at or before the time: the
+        // stream emits commits the reader at that instant had not seen
+        val ms = parseTime(t)
+        if (CommitLog.history(root).forall(_.timestampMs > ms)) 0
+        else CommitLog.versionAt(root, ms)
+      }).getOrElse(0)
     CommitLogScan(
       root, required, boxes, probes,
-      versionAsOf = Option(options.get("versionAsOf")).map(_.toInt),
-      startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      versionAsOf = versionAsOf,
+      startingVersion = startingVersion,
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
+  }
 }
 
 case class CommitLogScan(
@@ -307,7 +341,9 @@ case class CommitLogScan(
     boxes: Map[String, (Double, Double)],
     probes: Seq[(String, Seq[String])],
     versionAsOf: Option[Int], startingVersion: Int,
-    maxVersionsPerTrigger: Option[Int], ignoreDeletes: Boolean)
+    maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
+    ignoreDeletes: Boolean)
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -380,7 +416,8 @@ case class CommitLogScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new CommitLogMicroBatchStream(
-      root, schema, startingVersion, maxVersionsPerTrigger, ignoreDeletes)
+      root, schema, startingVersion, maxVersionsPerTrigger,
+      maxBytesPerTrigger, ignoreDeletes)
 }
 
 /** Version-cursor offsets in Spark's checkpoint: each micro-batch is
@@ -390,7 +427,9 @@ case class CommitLogScan(
   * entry (commits landing mid-drain wait for the next run). */
 class CommitLogMicroBatchStream(
     root: String, schema: StructType, startingVersion: Int,
-    maxVersionsPerTrigger: Option[Int], ignoreDeletes: Boolean)
+    maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
+    ignoreDeletes: Boolean)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -412,9 +451,26 @@ class CommitLogMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val lo = start.asInstanceOf[CommitLogStreamOffset].version
     val target = availableNowCap.getOrElse(CommitLog.latestVersion(root))
-    val admitted = limit match {
+    val byVersions = limit match {
       case mf: ReadMaxFiles => math.min(target, lo + mf.maxFiles())
       case _ => target
+    }
+    // maxBytesPerTrigger: admit versions until their ADDED bytes
+    // exceed the budget — a soft cap (the version that crosses it is
+    // still admitted whole: versions are the atomic unit), so a
+    // restart-against-backlog drains in bounded-memory micro-batches
+    // regardless of how lumpy the commits were
+    val admitted = maxBytesPerTrigger match {
+      case None => byVersions
+      case Some(budget) =>
+        var v = lo
+        var bytes = 0L
+        while (v < byVersions && bytes < budget) {
+          v += 1
+          bytes += CommitLog.changes(root, v - 1, v).head.added
+            .map(CommitLogSource.batchBytes(root, _)).sum
+        }
+        v
     }
     CommitLogStreamOffset(math.max(lo, admitted))
   }

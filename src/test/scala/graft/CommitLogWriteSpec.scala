@@ -345,6 +345,58 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(q.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("timestampAsOf resolves time travel against commit times") {
+    val root = freshRoot("tsasof")
+    Seq(1L).toDF("id").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    Seq(2L).toDF("id").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val v1 = spark.read.format("commitlog").option("path", root)
+      .option("timestampAsOf", between.toString).load()
+    assert(v1.select("id").as[Long].collect().toSeq == Seq(1L))
+    // a time before every commit fails loudly, like an expired version
+    val err = intercept[Exception] {
+      spark.read.format("commitlog").option("path", root)
+        .option("timestampAsOf", "2000-01-01").load().collect()
+    }
+    assert(err.getMessage.contains("no readable version"))
+    // startingTimestamp: a stream from `between` emits only v2
+    val ckpt = freshRoot("tsasof_ckpt")
+    val out = freshRoot("tsasof_out")
+    val q = spark.readStream.format("commitlog").option("path", root)
+      .option("startingTimestamp", between.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("maxBytesPerTrigger bounds each micro-batch's admitted bytes") {
+    val root = freshRoot("maxbytes")
+    (1 to 4).foreach { i =>
+      Seq(i.toLong).toDF("id").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    val ckpt = freshRoot("maxbytes_ckpt")
+    val out = freshRoot("maxbytes_out")
+    // 1 byte budget → the soft cap admits exactly one version per batch
+    val q = spark.readStream.format("commitlog").option("path", root)
+      .option("maxBytesPerTrigger", 1).load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 3L, 4L))
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4,
+      "each version must drain in its own bounded micro-batch")
+  }
+
   test("writer rejects non-primitive columns loudly") {
     val root = freshRoot("reject")
     val err = intercept[Exception] {

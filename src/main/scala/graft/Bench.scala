@@ -13,108 +13,112 @@ package graft
   */
 object Bench {
 
-  /** Per-query pinned reference times at sf0.1: per-query MINIMA of
-    * two consecutive full round-9 runs on an IDLE machine (singles
-    * 289.7 s and 212.7 s over 186 queries, both 0 err, run-2 sentinel
-    * fully calm) — min-of-runs is the same noise discipline
-    * timeWithRetry applies; the committed snapshot carries the
-    * provenance note. The r9 repin reflects THIS round's machine (a
-    * uniformly ~1.4× slower VM than r8's — median ratio across all 186
-    * with zero plan changes), not any plan movement. Regenerate with
-    * scripts/repin.py from an idle-run bench_detail.json when a
-    * query's plan intentionally changes; BenchBudgetSpec fails the
-    * build when any pin drifts >2× from the committed idle snapshot
-    * (scripts/bench_pins.json). Queries absent from the map (newly
-    * added this round) get no budget until pinned. */
+  /** Per-query pinned reference times at sf0.1: the round-11 repin —
+    * one SENTINEL-CLEAN idle run over all 207 queries (234.0 s,
+    * 0 err, n_suspect 0, probes 0.132–0.167 s; a first attempt with
+    * one elevated probe window was discarded — BenchBudgetSpec's
+    * snapshot-consistency gate rejected it). All 196 carried-over pins
+    * read fresh (0 stale >2×); the 11 round-11 decls are newly pinned.
+    * Regenerate with scripts/repin.py from an idle-run
+    * bench_detail.json when a query's plan intentionally changes;
+    * BenchBudgetSpec fails the build when any pin drifts >2× from the
+    * committed idle snapshot (scripts/bench_pins.json). Queries absent
+    * from the map (newly added) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.602, "a1_hashagg" -> 1.455, "a2_distinct" -> 0.814,
-    "a3_approx_distinct" -> 2.384, "a3_hll_merge" -> 0.722,
-    "a4_cube" -> 0.826, "a4_grouping_sets" -> 0.908, "a4_rollup" -> 0.791,
-    "a5_filtered_agg" -> 0.625, "a6_approx_percentile" -> 3.068,
-    "a6_stats" -> 2.688, "a6_tdigest" -> 2.725, "a7_collect" -> 1.242,
-    "a8_pivot" -> 0.845, "a9_salted_agg" -> 1.029,
-    "c1_upsert_latest" -> 0.949, "c2_scd2_intervals" -> 1.230,
-    "c3_incremental_agg" -> 1.110, "c4_cdc_apply" -> 0.902,
-    "c5_retractable_agg" -> 2.677, "flagship_pipeline" -> 0.672,
-    "j10_bloom_semi" -> 1.500, "j11_salted_skew_join" -> 0.934,
-    "j12_interval_overlap" -> 1.428, "j13_spatial_grid" -> 1.217,
-    "j14_cobucketed_join" -> 0.571, "j1_semi_broadcast" -> 0.883,
-    "j2_inner" -> 0.680, "j3_multiway" -> 2.017, "j4_full_outer" -> 0.541,
-    "j4_left_outer" -> 0.475, "j5_anti" -> 0.381, "j6_sortmerge" -> 0.960,
-    "j7_range" -> 0.860, "j8_cross" -> 0.357, "j9_asof" -> 0.785,
-    "j9_asof_join" -> 0.686, "l10_drift" -> 1.053, "l10_ks_drift" -> 0.911,
-    "l10_profile" -> 0.417, "l10_zipf" -> 0.716, "l11_decontam" -> 1.575,
-    "l11_semantic_decontam" -> 0.651, "l12_global_ids" -> 0.899,
-    "l13_bfs" -> 1.472, "l13_hits" -> 5.063, "l13_kcore" -> 1.894,
-    "l13_pagerank" -> 3.499, "l13_triangles" -> 1.312,
-    "l14_fuzzy_join" -> 2.438, "l1_exact_dedup" -> 0.416,
-    "l2_cc_star" -> 4.728, "l2_chunk_dedup" -> 1.424,
-    "l2_cosine_neardup" -> 0.644, "l2_cosine_neardup_bucketed" -> 0.600,
-    "l2_dedup_clusters" -> 2.643, "l2_incremental_dedup" -> 1.148,
-    "l2_lsh_pairs" -> 1.519, "l2_minhash_estimate" -> 1.433,
-    "l2_minhash_sigs" -> 1.608, "l2_ngram_jaccard" -> 6.894,
-    "l2_simhash" -> 1.020, "l2_simhash_blocked" -> 3.747,
-    "l2_simhash_hamming" -> 2.400, "l2_substring_dedup" -> 2.294,
-    "l2_survivor_selection" -> 3.223, "l3_ann_ivf" -> 0.935,
-    "l3_ann_ivfpq" -> 1.900, "l3_ann_lsh" -> 1.961, "l3_ann_pq" -> 1.662,
-    "l3_ann_recall" -> 2.120, "l3_ann_trained" -> 3.091,
-    "l3_cosine_topk" -> 0.499, "l3_jl_projection" -> 0.705,
-    "l3_kmeans" -> 1.552, "l3_pca_power" -> 0.551,
-    "l3_semantic_dedup" -> 1.713, "l4_bm25" -> 1.904,
-    "l4_bpe_encode" -> 1.552, "l4_bpe_pair_stats" -> 0.814,
-    "l4_bpe_train" -> 0.972, "l4_count_min" -> 0.711,
-    "l4_fingerprint" -> 1.079, "l4_heavy_hitters" -> 0.633,
-    "l4_lang_id" -> 0.587, "l4_lm_score" -> 1.699, "l4_pii_redact" -> 0.886,
-    "l4_pmi_phrases" -> 1.013, "l4_quality_score" -> 0.800,
-    "l4_repetition" -> 2.002, "l4_repetition_quality" -> 1.283,
-    "l4_term_freq" -> 0.637, "l4_tfidf" -> 1.039, "l4_token_stats" -> 0.600,
-    "l5_histogram" -> 0.321, "l6_audio_fp_dedup" -> 0.757,
-    "l6_decode_audio" -> 1.208, "l6_decode_features" -> 0.355,
-    "l6_decode_real" -> 1.378, "l6_multimodal_meta" -> 0.184,
-    "l6_phash_dedup" -> 0.748, "l6_quantize_int8" -> 0.359,
-    "l6_resize_framesample" -> 0.195, "l7_curation_pipeline" -> 0.777,
-    "l8_bottomk_sample" -> 0.243, "l8_deterministic_sample" -> 0.168,
-    "l8_deterministic_split" -> 0.261, "l8_mixture_weights" -> 0.307,
-    "l8_stratified_sample" -> 0.156, "l8_weighted_sample" -> 0.263,
-    "l9_mixture_interleave" -> 0.255, "l9_sequence_packing" -> 0.338,
-    "l9_shard_export" -> 1.401, "o1_topk" -> 0.146, "o2_limit" -> 0.135,
-    "o3_union" -> 0.361, "o3_union_distinct" -> 0.427, "o4_except" -> 0.329,
-    "o4_except_all" -> 0.590, "o4_intersect" -> 0.364,
-    "o4_intersect_all" -> 0.449, "p10_map_hof" -> 1.558, "p10_maps" -> 0.877,
-    "p11_envelope" -> 0.420, "p12_unpivot" -> 0.287,
-    "p13_subqueries" -> 0.542, "p14_variant" -> 1.547,
-    "p15_lateral" -> 0.440, "p16_try_functions" -> 3.178,
-    "p1_prune" -> 0.639, "p2_filter" -> 0.402, "p3_inlist" -> 0.177,
-    "p4_strings" -> 0.228, "p5_datetime" -> 0.482, "p6_math" -> 0.779,
-    "p7_conditional" -> 0.204, "p8_json" -> 0.701, "p8_json_nested" -> 3.025,
-    "p9_array_fns" -> 0.211, "p9_arrays" -> 0.277, "p9_explode" -> 0.215,
-    "p9_posexplode" -> 0.222, "s10_vector_index" -> 1.436,
-    "s10b_index_append" -> 1.688, "s11_schema_evolution" -> 0.809,
-    "s12_compaction" -> 1.197, "s13_dpp_join" -> 1.463,
-    "s14_zorder_layout" -> 1.078, "s15_stats_pruned_scan" -> 1.105,
-    "s16_binaryfile_ingest" -> 1.031, "s17_xml_roundtrip" -> 1.311,
-    "s18_corrupt_drop" -> 0.432, "s19_envelope_sink" -> 1.019,
-    "s20_bson_dump" -> 1.423, "s21_mongo_extjson" -> 1.617,
-    "s22_time_travel" -> 1.297, "s22b_log_vacuum" -> 0.870,
-    "s22c_change_feed" -> 1.512, "s22d_log_tail" -> 1.453,
-    "s22e_schema_enforced" -> 0.538, "s23_merge_on_read" -> 1.323,
-    "s3_jdbc_roundtrip" -> 0.399, "s4_json_roundtrip" -> 0.758,
-    "s5_kafka_envelope" -> 0.238, "s6_csv_roundtrip" -> 0.492,
-    "s7_orc_roundtrip" -> 1.059, "s8_envelope_source" -> 0.762,
-    "s9_partitioned_prune" -> 0.782, "t12_stream_envelope_sink" -> 1.268,
-    "t13_stream_envelope_source" -> 1.730, "t1_tumbling" -> 0.574,
-    "t2_sliding" -> 0.546, "t3_session" -> 0.923,
-    "t4_watermark_closed" -> 0.651, "t5_dedup" -> 0.384,
-    "t6_stateful_running" -> 0.714, "t7_stream_static" -> 0.622,
-    "t8_foreachbatch_jdbc" -> 0.955, "t8c_exactly_once_jdbc" -> 1.940,
-    "t9_stream_stream" -> 0.444, "t9_stream_stream_full" -> 0.504,
-    "t9_stream_stream_outer" -> 0.439, "t9_stream_stream_semi" -> 0.401,
-    "w10_seasonal_decomp" -> 0.549, "w11_ewma" -> 0.519,
-    "w1_ranking" -> 0.854, "w2_analytic" -> 0.959, "w3_frames" -> 0.900,
-    "w3_time_range" -> 0.725, "w4_topk_per_group" -> 0.414,
-    "w4_topk_window_idiom" -> 0.498, "w5_distribution" -> 1.139,
-    "w6_gap_fill" -> 0.930, "w7_funnel" -> 0.561, "w8_retention" -> 0.478,
-    "w9_anomaly" -> 0.736)
+    "a10_kmv_sketch" -> 1.916, "a1_hashagg" -> 1.140, "a2_distinct" -> 0.653,
+    "a3_approx_distinct" -> 2.057, "a3_hll_merge" -> 0.667,
+    "a4_cube" -> 0.724, "a4_grouping_sets" -> 0.780, "a4_rollup" -> 0.662,
+    "a5_filtered_agg" -> 0.455, "a6_approx_percentile" -> 2.186,
+    "a6_stats" -> 2.247, "a6_tdigest" -> 2.243, "a7_collect" -> 0.836,
+    "a8_pivot" -> 0.647, "a9_salted_agg" -> 0.775,
+    "c1_upsert_latest" -> 0.585, "c2_scd2_intervals" -> 0.847,
+    "c3_incremental_agg" -> 0.814, "c4_cdc_apply" -> 0.668,
+    "c5_retractable_agg" -> 2.007, "flagship_pipeline" -> 0.456,
+    "j10_bloom_semi" -> 1.086, "j11_salted_skew_join" -> 0.743,
+    "j12_interval_overlap" -> 1.071, "j13_spatial_grid" -> 0.956,
+    "j14_cobucketed_join" -> 0.557, "j1_semi_broadcast" -> 0.769,
+    "j2_inner" -> 0.598, "j3_multiway" -> 2.253, "j4_full_outer" -> 0.541,
+    "j4_left_outer" -> 0.487, "j5_anti" -> 0.409, "j6_sortmerge" -> 0.899,
+    "j7_range" -> 0.840, "j8_cross" -> 0.300, "j9_asof" -> 0.810,
+    "j9_asof_join" -> 0.747, "l10_drift" -> 1.087, "l10_ks_drift" -> 1.034,
+    "l10_profile" -> 0.426, "l10_zipf" -> 0.621, "l11_decontam" -> 1.359,
+    "l11_semantic_decontam" -> 0.552, "l12_global_ids" -> 0.769,
+    "l13_bfs" -> 1.562, "l13_hits" -> 5.245, "l13_kcore" -> 1.697,
+    "l13_pagerank" -> 2.848, "l13_triangles" -> 1.392,
+    "l14_fuzzy_join" -> 2.336, "l1_exact_dedup" -> 0.412,
+    "l2_cc_star" -> 4.800, "l2_chunk_dedup" -> 1.376,
+    "l2_cosine_neardup" -> 0.596, "l2_cosine_neardup_adaptive" -> 0.775,
+    "l2_cosine_neardup_bucketed" -> 0.462, "l2_dedup_clusters" -> 2.642,
+    "l2_incremental_dedup" -> 1.266, "l2_lsh_pairs" -> 1.302,
+    "l2_minhash_estimate" -> 1.223, "l2_minhash_sigs" -> 1.566,
+    "l2_ngram_jaccard" -> 6.814, "l2_simhash" -> 0.814,
+    "l2_simhash_blocked" -> 3.611, "l2_simhash_hamming" -> 2.299,
+    "l2_substring_dedup" -> 2.163, "l2_survivor_selection" -> 3.078,
+    "l3_ann_ivf" -> 0.918, "l3_ann_ivfpq" -> 1.982, "l3_ann_lsh" -> 2.012,
+    "l3_ann_pq" -> 1.669, "l3_ann_recall" -> 2.052,
+    "l3_ann_trained" -> 3.016, "l3_cosine_topk" -> 0.490,
+    "l3_jl_projection" -> 0.527, "l3_kmeans" -> 1.289,
+    "l3_pca_power" -> 0.570, "l3_semantic_dedup" -> 1.591,
+    "l4_bm25" -> 1.819, "l4_bpe_encode" -> 1.593,
+    "l4_bpe_pair_stats" -> 0.803, "l4_bpe_train" -> 0.946,
+    "l4_count_min" -> 0.816, "l4_fingerprint" -> 1.033,
+    "l4_heavy_hitters" -> 0.640, "l4_lang_id" -> 0.642,
+    "l4_lm_score" -> 1.887, "l4_pii_redact" -> 0.802,
+    "l4_pmi_phrases" -> 1.093, "l4_quality_score" -> 0.700,
+    "l4_repetition" -> 1.962, "l4_repetition_quality" -> 1.275,
+    "l4_term_freq" -> 0.638, "l4_tfidf" -> 1.058, "l4_token_stats" -> 0.636,
+    "l5_histogram" -> 0.423, "l6_audio_fp_dedup" -> 0.820,
+    "l6_decode_audio" -> 1.347, "l6_decode_features" -> 0.425,
+    "l6_decode_real" -> 1.447, "l6_multimodal_meta" -> 0.190,
+    "l6_phash_dedup" -> 0.750, "l6_quantize_int8" -> 0.349,
+    "l6_resize_framesample" -> 0.193, "l7_curation_pipeline" -> 0.840,
+    "l8_bottomk_sample" -> 0.266, "l8_deterministic_sample" -> 0.162,
+    "l8_deterministic_split" -> 0.339, "l8_mixture_weights" -> 0.289,
+    "l8_stratified_sample" -> 0.192, "l8_weighted_sample" -> 0.296,
+    "l9_mixture_interleave" -> 0.307, "l9_sequence_packing" -> 0.379,
+    "l9_shard_export" -> 1.554, "o1_topk" -> 0.164, "o2_limit" -> 0.148,
+    "o3_union" -> 0.373, "o3_union_distinct" -> 0.445, "o4_except" -> 0.367,
+    "o4_except_all" -> 0.666, "o4_intersect" -> 0.386,
+    "o4_intersect_all" -> 0.478, "p10_map_hof" -> 1.637, "p10_maps" -> 0.995,
+    "p11_envelope" -> 0.419, "p12_unpivot" -> 0.271,
+    "p13_subqueries" -> 0.534, "p14_variant" -> 1.694,
+    "p15_lateral" -> 0.407, "p16_try_functions" -> 3.218,
+    "p1_prune" -> 0.638, "p2_filter" -> 0.422, "p3_inlist" -> 0.184,
+    "p4_strings" -> 0.229, "p5_datetime" -> 0.466, "p6_math" -> 0.786,
+    "p7_conditional" -> 0.212, "p8_json" -> 0.731, "p8_json_nested" -> 2.970,
+    "p9_array_fns" -> 0.177, "p9_arrays" -> 0.342, "p9_explode" -> 0.206,
+    "p9_posexplode" -> 0.188, "s10_vector_index" -> 1.458,
+    "s10b_index_append" -> 1.858, "s11_schema_evolution" -> 0.813,
+    "s12_compaction" -> 1.330, "s13_dpp_join" -> 1.681,
+    "s14_zorder_layout" -> 1.255, "s15_stats_pruned_scan" -> 1.302,
+    "s16_binaryfile_ingest" -> 1.298, "s17_xml_roundtrip" -> 1.537,
+    "s18_corrupt_drop" -> 0.489, "s19_envelope_sink" -> 1.246,
+    "s20_bson_dump" -> 1.863, "s21_mongo_extjson" -> 1.792,
+    "s22_time_travel" -> 1.459, "s22b_log_vacuum" -> 0.962,
+    "s22c_change_feed" -> 1.823, "s22d_log_tail" -> 1.703,
+    "s22e_schema_enforced" -> 0.580, "s22f_cdf_rows" -> 2.208,
+    "s22g_manifest_stats" -> 1.457, "s22h_connector_pruned_scan" -> 0.987,
+    "s23_merge_on_read" -> 1.550, "s24_merge_upsert" -> 4.520,
+    "s26_log_optimize" -> 2.589, "s27_log_history" -> 1.539,
+    "s28_zorder_optimize" -> 2.768, "s29_bloom_point_lookup" -> 1.207,
+    "s3_jdbc_roundtrip" -> 0.411, "s4_json_roundtrip" -> 0.845,
+    "s5_kafka_envelope" -> 0.270, "s6_csv_roundtrip" -> 0.575,
+    "s7_orc_roundtrip" -> 1.158, "s8_envelope_source" -> 0.834,
+    "s9_partitioned_prune" -> 0.807, "t12_stream_envelope_sink" -> 0.921,
+    "t13_stream_envelope_source" -> 1.814, "t14_stream_commitlog" -> 3.848,
+    "t15_stream_commitlog_sink" -> 1.201, "t1_tumbling" -> 0.570,
+    "t2_sliding" -> 0.642, "t3_session" -> 1.085,
+    "t4_watermark_closed" -> 0.670, "t5_dedup" -> 0.425,
+    "t6_stateful_running" -> 0.822, "t7_stream_static" -> 0.740,
+    "t8_foreachbatch_jdbc" -> 1.121, "t8c_exactly_once_jdbc" -> 2.206,
+    "t9_stream_stream" -> 0.503, "t9_stream_stream_full" -> 0.578,
+    "t9_stream_stream_outer" -> 0.445, "t9_stream_stream_semi" -> 0.450,
+    "w10_seasonal_decomp" -> 0.619, "w11_ewma" -> 0.597,
+    "w1_ranking" -> 0.963, "w2_analytic" -> 1.163, "w3_frames" -> 0.998,
+    "w3_time_range" -> 0.758, "w4_topk_per_group" -> 0.548,
+    "w4_topk_window_idiom" -> 0.535, "w5_distribution" -> 1.363,
+    "w6_gap_fill" -> 1.039, "w7_funnel" -> 0.611, "w8_retention" -> 0.514,
+    "w9_anomaly" -> 0.764)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"
@@ -192,7 +196,7 @@ object Bench {
     * idle run's early-suite readings (0.135 steady-state, 0.235 max on
     * probe #0 while JIT settles; pinning the min would false-flag the
     * first window on a quiet machine). */
-  private[graft] val probePinSeconds: Double = 0.16
+  private[graft] val probePinSeconds: Double = 0.13
 
   /** One sentinel probe: 32 threads × fixed LCG spin, joined. */
   private[graft] def spinProbe(): Double = {

@@ -141,4 +141,138 @@ object CommitLogProps extends Properties("graft.commitlog") {
         Prop(expiredOk) :| "every expired version fails cleanly" &&
         Prop(liveOk) :| "no live batch swept"
     }
+
+  // ---- Round-11 manifest state: stats boxes, blooms, txn watermarks,
+  // dataChange — the same lockstep-model law over the NEW per-commit
+  // metadata. Replay of each retained version must reproduce: the
+  // boxes/blooms of exactly its live batches, the monotone per-app txn
+  // watermark over its whole prefix (surviving vacuum via the cutoff
+  // checkpoint), and the dataChange flag of every readable manifest;
+  // and a replayed txn epoch must throw WITHOUT publishing.
+
+  private sealed trait Op2
+  private case class Append2(
+      n: Int, withStats: Boolean, withBloom: Boolean,
+      txnEpoch: Option[Long]) extends Op2
+  private case class Rewrite2(k: Int, layoutOnly: Boolean) extends Op2
+  private case class Vacuum2(keep: Int) extends Op2
+
+  private val op2Gen: Gen[Op2] = Gen.frequency(
+    6 -> (for {
+      n <- Gen.choose(1, 3)
+      st <- Gen.oneOf(true, false)
+      bl <- Gen.oneOf(true, false)
+      tx <- Gen.frequency(
+        2 -> Gen.const(None),
+        // epochs from a SMALL range so replays (epoch <= watermark)
+        // actually occur and must be rejected
+        2 -> Gen.choose(0L, 5L).map(Some(_)))
+    } yield Append2(n, st, bl, tx)),
+    2 -> Gen.zip(Gen.choose(1, 2), Gen.oneOf(true, false))
+      .map { case (k, lo) => Rewrite2(k, lo) },
+    2 -> Gen.choose(1, 4).map(Vacuum2(_)))
+
+  property("round-11 metadata: stats/blooms/txn/dataChange replay the model under vacuum") =
+    Prop.forAll(Gen.listOfN(25, op2Gen)) { ops =>
+      import graft.sources.CommitLogBloom
+      val root = freshRoot()
+      var files = Vector.empty[Vector[String]] // per version
+      var dataChange = Vector.empty[Boolean]
+      var txnAt = Vector.empty[Map[String, Long]]
+      var boxes = Map.empty[String, Map[String, (Double, Double)]]
+      var blooms = Map.empty[String, Map[String, String]]
+      var expiredBelow = 1
+      var fresh = 0
+      def latest = files.size
+      def cur = files.lastOption.getOrElse(Vector.empty)
+      def curTxn = txnAt.lastOption.getOrElse(Map.empty)
+      def nextName(): String = { fresh += 1; s"g$fresh" }
+
+      ops.foreach {
+        case Append2(n, withStats, withBloom, txnEpoch) =>
+          val names = Vector.fill(n)(nextName())
+          names.foreach(stage(root, _))
+          val st: CommitLog.Stats =
+            if (!withStats) Map.empty
+            else names.map(b => b -> Map("x" -> (fresh.toDouble, fresh + 1.0))).toMap
+          val bl: CommitLog.Blooms =
+            if (!withBloom) Map.empty
+            else names.map { b =>
+              val bits = CommitLogBloom.emptyBits(64)
+              CommitLogBloom.add(bits, b)
+              b -> Map("k" -> CommitLogBloom.toHex(bits))
+            }.toMap
+          val replay = txnEpoch.exists(e => curTxn.get("app1").exists(_ >= e))
+          if (replay) {
+            val before = latest
+            try {
+              CommitLog.commit(root, before, added = names, stats = st,
+                blooms = bl, txn = txnEpoch.map(("app1", _)))
+              throw new AssertionError("replayed txn epoch accepted")
+            } catch { case _: CommitLog.TxnAlreadyCommittedException => () }
+            assert(CommitLog.latestVersion(root) == before,
+              "rejected replay must publish nothing")
+          } else {
+            CommitLog.commit(root, latest, added = names, stats = st,
+              blooms = bl, txn = txnEpoch.map(("app1", _)))
+            files = files :+ (cur ++ names)
+            dataChange = dataChange :+ true
+            txnAt = txnAt :+ txnEpoch.fold(curTxn)(e => curTxn + ("app1" -> e))
+            boxes ++= st
+            blooms ++= bl
+          }
+        case Rewrite2(k0, layoutOnly) =>
+          if (cur.nonEmpty) {
+            val k = math.min(k0, cur.size)
+            val removed = cur.takeRight(k)
+            val added = Vector(nextName())
+            added.foreach(stage(root, _))
+            CommitLog.commit(root, latest, added = added, removed = removed,
+              dataChange = !layoutOnly)
+            files = files :+ (cur.filterNot(removed.toSet) ++ added)
+            dataChange = dataChange :+ !layoutOnly
+            txnAt = txnAt :+ curTxn
+            // boxes/blooms stay in the append-only assignment map: an
+            // EARLIER retained version where the batch is still live
+            // must keep replaying them — the live-set filter below is
+            // what models removal, per version
+          }
+        case Vacuum2(keep) =>
+          if (latest >= 1) {
+            CommitLog.vacuum(root, keepLast = keep, minAgeMs = 0L)
+            expiredBelow = math.max(expiredBelow, math.max(1, latest - keep + 1))
+          }
+      }
+
+      val retained = (expiredBelow to latest)
+      val statsOk = retained.forall { v =>
+        val live = files(v - 1).toSet
+        CommitLog.statsOf(root, v) ==
+          boxes.filter { case (b, _) => live(b) }
+      }
+      val bloomsOk = retained.forall { v =>
+        val live = files(v - 1).toSet
+        CommitLog.bloomsOf(root, v) ==
+          blooms.filter { case (b, _) => live(b) }
+      }
+      val txnOk = retained.forall { v =>
+        CommitLog.txnsOf(root, v) == txnAt(v - 1)
+      }
+      val dcOk = retained.forall { v =>
+        // dataChange rides the manifest; a version whose manifest was
+        // vacuumed but survives via checkpoint has no manifest to ask
+        !java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "_log", s"v$v.json")) ||
+          CommitLog.isDataChange(root, v) == dataChange(v - 1)
+      }
+      val changesOk = retained.drop(1).forall { v =>
+        CommitLog.changes(root, v - 1, v).head.dataChange == dataChange(v - 1)
+      }
+
+      Prop(statsOk) :| "statsOf replays live-batch boxes at every retained version" &&
+        Prop(bloomsOk) :| "bloomsOf replays live-batch blooms at every retained version" &&
+        Prop(txnOk) :| "txnsOf replays the monotone watermark at every retained version" &&
+        Prop(dcOk) :| "isDataChange reads the manifest flag" &&
+        Prop(changesOk) :| "changes() carries the dataChange flag"
+    }
 }

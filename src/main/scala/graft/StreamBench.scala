@@ -242,9 +242,68 @@ object StreamBench {
       (math.max(tailFeedEnd, tailT0) - tailT0) / 1e9, tailBatches,
       extra = Seq("exactly_once" -> "true"))
 
+    // --- lakeloop leg: live commitlog SOURCE → commitlog SINK ---
+    // The full DSv2 loop under drip load: a feeder commits `waves`
+    // batches into a source table at the cadence; one streaming query
+    // tails it (`readStream.format("commitlog")`, version offsets in
+    // Spark's checkpoint) and lands every micro-batch into a SECOND
+    // commit-log table through the exactly-once sink (per-epoch txn
+    // watermark). Throughput = rows / wall-clock from first commit to
+    // the sink table holding them all; exactness = count AND distinct
+    // event_id at the sink (a lost epoch, replayed epoch, or
+    // double-published batch breaks either).
+    val llSrc = queries.Qh.ioDir("sb_ll_src")
+    val llDst = queries.Qh.ioDir("sb_ll_dst")
+    val llCkpt = queries.Qh.ioDir("sb_ll_ckpt")
+    Seq(llSrc, llDst, llCkpt).foreach(p =>
+      queries.Qh.deleteRecursively(new java.io.File(p)))
+    (0 until waves).foreach { w =>
+      ev.filter(pmod(col("event_id"), lit(waves)) === w)
+        .write.parquet(s"$llSrc/b$w")
+    }
+    // declare the schema up front so the stream can plan before the
+    // first data commit lands
+    sources.CommitLog.commit(llSrc, 0, added = Nil,
+      schema = Some(ev.schema.toDDL))
+    val llT0 = System.nanoTime()
+    @volatile var llFeedEnd = 0L
+    val llFeeder = new Thread(() => {
+      (0 until waves).foreach { w =>
+        sources.CommitLog.commit(llSrc,
+          sources.CommitLog.latestVersion(llSrc), added = Seq(s"b$w"))
+        Thread.sleep(cadenceMs)
+      }
+      llFeedEnd = System.nanoTime()
+    }, "sb-ll-feeder")
+    llFeeder.setDaemon(true)
+    llFeeder.start()
+    val llQ = spark.readStream.format("commitlog").option("path", llSrc).load()
+      .writeStream.format("commitlog")
+      .option("path", llDst)
+      .option("checkpointLocation", llCkpt)
+      .trigger(trg)
+      .outputMode("append")
+      .start()
+    def llLanded: Long =
+      if (sources.CommitLog.latestVersion(llDst) == 0) 0L
+      else spark.read.format("commitlog").option("path", llDst).load().count()
+    val llDeadline = llT0 + 600L * 1000 * 1000 * 1000
+    while (llLanded < total && System.nanoTime() < llDeadline) Thread.sleep(100)
+    val llT1 = System.nanoTime()
+    llQ.stop()
+    val llFinal = spark.read.format("commitlog").option("path", llDst).load()
+    val llRows = llFinal.count()
+    val llDistinct = llFinal.select("event_id").distinct().count()
+    require(llRows == total && llDistinct == total,
+      s"lakeloop not exactly-once: $llRows rows / $llDistinct distinct of $total")
+    val lakeloop = Leg(llRows, (llT1 - llT0) / 1e9,
+      (math.max(llFeedEnd, llT0) - llT0) / 1e9,
+      sources.CommitLog.latestVersion(llDst).toLong,
+      extra = Seq("exactly_once" -> "true"))
+
     val legs = Seq(
       "decode" -> decode, "pipeline" -> pipeline, "stateful" -> stateful,
-      "tail" -> tail)
+      "tail" -> tail, "lakeloop" -> lakeloop)
     val legsJson = legs.map { case (k, l) => s""""$k":${l.json}""" }
       .mkString("{", ",", "}")
     println(

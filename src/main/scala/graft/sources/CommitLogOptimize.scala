@@ -78,10 +78,27 @@ object CommitLogOptimize {
     val packStats: CommitLog.Stats =
       if (packBox.isEmpty) Map.empty else Map(packed -> packBox)
 
+    // blooms union the same way (bitwise OR): the pack stays point-
+    // lookup-prunable iff EVERY source carried the column's bloom at
+    // the SAME width — otherwise the pack may hold values no surviving
+    // filter admits, and the column must go unfiltered (unknown = keep)
+    val allBlooms = CommitLog.bloomsOf(root, readVersion)
+    val srcBlooms = smalls.map(b => allBlooms.getOrElse(b, Map.empty))
+    val bloomCols = srcBlooms.map(_.keySet).reduce(_ intersect _)
+    val packBloom = bloomCols.flatMap { c =>
+      val hexes = srcBlooms.map(_(c))
+      if (hexes.map(_.length).distinct.size != 1) None
+      else Some(c -> CommitLogBloom.toHex(
+        hexes.map(CommitLogBloom.fromHex).reduce(CommitLogBloom.merge)))
+    }.toMap
+    val packBlooms: CommitLog.Blooms =
+      if (packBloom.isEmpty) Map.empty else Map(packed -> packBloom)
+
     try {
       val c = CommitLog.commit(root, readVersion,
         added = Seq(packed), removed = smalls,
-        stats = packStats, dataChange = false, op = Some("OPTIMIZE"))
+        stats = packStats, blooms = packBlooms,
+        dataChange = false, op = Some("OPTIMIZE"))
       OptimizeResult(c.version, Some(packed), smalls)
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -165,7 +182,12 @@ object CommitLogOptimize {
     val dataCols = df.columns.toSeq
     val keyed = df.crossJoin(broadcast(bounds))
       .withColumn("__zb",
-        least(lit(buckets - 1), floor(zkey * buckets / zSpan).cast("int")))
+        // null zorder values (or an all-null column's null bounds)
+        // land in bucket 0 — a null can't be range-pruned anyway, and
+        // a null bucket id would break the directory promote
+        coalesce(
+          least(lit(buckets - 1), floor(zkey * buckets / zSpan).cast("int")),
+          lit(0)))
       .select((dataCols :+ "__zb").map(col): _*)
 
     // per-bucket tight boxes for EVERY numeric/time column: one

@@ -150,6 +150,13 @@ object CommitLogWrite {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
         .foreach(st => f.delete(st.getPath, false))
 
+    // an ALL-EMPTY epoch (every partition wrote zero rows) never
+    // created the stage dir — the batch still commits, as an empty
+    // dir: the version sequence stays dense and, for streaming, the
+    // txn watermark must still advance or a restart would replay the
+    // epoch forever
+    if (!f.exists(stage)) f.mkdirs(stage)
+
     // level 2: batch publish — a final-named dir with no manifest entry
     // is a crashed earlier attempt of THIS unit of work; replace it so
     // the published batch is exactly this attempt's file set

@@ -177,6 +177,144 @@ class CommitLogOptimizeSpec extends SparkSpec {
     assert(emitted == Seq(1, 2), s"the rewrite version must be skipped: $emitted")
   }
 
+  test("optimize unions the sources' blooms: point lookups stay prunable after packing") {
+    val root = freshRoot("bloomunion")
+    def append(kind: String): Unit =
+      Seq((1L, kind)).toDF("id", "kind").repartition(1)
+        .write.format("commitlog").option("path", root)
+        .option("bloomColumns", "kind").mode("append").save()
+    append("alpha"); append("beta")
+    // a third batch WITHOUT bloom alongside — must veto the pack bloom
+    val r1 = CommitLogOptimize.optimize(spark, root, smallBytes = 1L << 20)
+    val v1 = CommitLog.latestVersion(root)
+    val packBloom = CommitLog.bloomsOf(root, v1)(r1.packed.get)
+    assert(packBloom.contains("kind"), "pack must carry the unioned bloom")
+    assert(graft.sources.CommitLogBloom.mightContain(packBloom("kind"), "alpha"))
+    assert(graft.sources.CommitLogBloom.mightContain(packBloom("kind"), "beta"))
+    // and the union still prunes through the connector: a value in no
+    // source is definitely absent from the pack
+    val none = spark.read.format("commitlog").option("path", root).load()
+      .filter($"kind" === "gamma")
+    assert(none.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.sum == 0)
+    // bloomless source poisons the union: pack carries no bloom
+    Seq((9L, "nofilter")).toDF("id", "kind").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val r2 = CommitLogOptimize.optimize(spark, root, smallBytes = 1L << 20)
+    val v2 = CommitLog.latestVersion(root)
+    assert(!CommitLog.bloomsOf(root, v2).contains(r2.packed.get),
+      "a bloomless source must leave the pack bloomless (unknown = keep)")
+  }
+
+  test("an all-empty streaming epoch still commits: dense versions, advancing watermark") {
+    val root = freshRoot("emptyepoch")
+    val schema = Seq(1L).toDF("id").schema
+    val w = new graft.sources.CommitLogStreamingWrite(root, schema, "appempty")
+    // epoch 0 carries data; epoch 1 is all-empty (every task filtered
+    // everything out — commit messages name temps that never existed)
+    val stage0 = s"$root/stage-txn-appempty-e${graft.sources.CommitLogWrite.pad(0L)}"
+    val dw = new graft.sources.CommitLogDataWriter(
+      stage0, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    w.commit(0L, Array(dw.commit()))
+    val dwEmpty = new graft.sources.CommitLogDataWriter(
+      s"$root/stage-txn-appempty-e${graft.sources.CommitLogWrite.pad(1L)}",
+      schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    w.commit(1L, Array(dwEmpty.commit())) // zero rows written
+    assert(CommitLog.latestVersion(root) == 2)
+    assert(CommitLog.txnsOf(root, 2) == Map("appempty" -> 1L),
+      "the watermark must advance past the empty epoch or restart replays it forever")
+    val df = spark.read.format("commitlog").option("path", root).load()
+    assert(df.count() == 1L, "the empty batch contributes no rows")
+  }
+
+  test("optimizeClustered routes null zorder values to bucket 0") {
+    val root = freshRoot("zbnull")
+    Seq((1L, Some(5.0)), (2L, None), (3L, Some(9.0)))
+      .toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    Seq((4L, Some(1.0))).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val r = graft.sources.CommitLogOptimize.optimizeClustered(
+      spark, root, zorderBy = Seq("x"), buckets = 2)
+    assert(r.packed.nonEmpty)
+    val all = spark.read.format("commitlog").option("path", root).load()
+    assert(all.count() == 4L, "the null row must survive the re-layout")
+    assert(all.filter($"x".isNull).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("chaos: sink epochs, a racing optimizer and a live tail interleave on one log") {
+    // one table, three actors: a streaming-sink writer landing 12
+    // epochs (5 rows each, disjoint id ranges), a maintenance loop
+    // running optimize() concurrently (losing races are EXPECTED and
+    // caught — the optimistic protocol's job), and a live tail
+    // draining throughout. Invariants at the end: the tail emitted
+    // every written row EXACTLY once (optimize versions skipped, no
+    // loss, no double), the final snapshot holds exactly the written
+    // ids, and a closing vacuum leaves the latest version readable.
+    val root = freshRoot("chaos")
+    val ckpt = freshRoot("chaos_ckpt")
+    val schema = Seq(1L).toDF("id").schema
+    val w = new graft.sources.CommitLogStreamingWrite(root, schema, "appchaos")
+    val epochs = 12
+    @volatile var optimizeRuns = 0
+    @volatile var optimizeLost = 0
+    @volatile var writerDone = false
+
+    val writer = new Thread(() => {
+      (0 until epochs).foreach { e =>
+        val stage = s"$root/stage-txn-appchaos-e${graft.sources.CommitLogWrite.pad(e.toLong)}"
+        val dw = new graft.sources.CommitLogDataWriter(
+          stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+        (0 until 5).foreach(i =>
+          dw.write(org.apache.spark.sql.catalyst.InternalRow(e * 100L + i)))
+        w.commit(e.toLong, Array(dw.commit()))
+        Thread.sleep(15)
+      }
+      writerDone = true
+    }, "chaos-writer")
+    val optimizer = new Thread(() => {
+      while (!writerDone) {
+        try {
+          graft.sources.CommitLogOptimize.optimize(
+            spark, root, smallBytes = 1L << 30)
+          optimizeRuns += 1
+        } catch {
+          case _: java.util.ConcurrentModificationException => optimizeLost += 1
+          case _: IllegalStateException => optimizeLost += 1 // commit livelock guard
+        }
+        Thread.sleep(40)
+      }
+    }, "chaos-optimizer")
+    writer.start(); optimizer.start()
+
+    // live tail: drain until the writer is done AND the cursor caught up
+    val drained = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while ((!writerDone ||
+        CommitLogTail.lastProcessed(ckpt) < CommitLog.latestVersion(root)) &&
+        System.nanoTime() < deadline) {
+      CommitLogTail.drain(spark, root, ckpt) { (df, _) =>
+        drained ++= df.select("id").as[Long].collect()
+      }
+      Thread.sleep(10)
+    }
+    writer.join(10000); optimizer.join(10000)
+
+    val expected = (0 until epochs).flatMap(e => (0 until 5).map(i => e * 100L + i))
+    assert(drained.sorted == expected.sorted,
+      s"tail must emit every row exactly once: got ${drained.size} of ${expected.size} " +
+        s"(optimize runs=$optimizeRuns lost=$optimizeLost)")
+    assert(readIds(root) == expected.sorted,
+      "the final snapshot must hold exactly the written rows")
+    assert(optimizeRuns + optimizeLost > 0, "the optimizer must have raced at all")
+    // closing vacuum: latest stays readable, expired history fails cleanly
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    assert(readIds(root) == expected.sorted)
+  }
+
   test("dataChange=false is rejected on appends, deletes and schema changes") {
     val root = freshRoot("guard")
     append(root, Seq(1L))

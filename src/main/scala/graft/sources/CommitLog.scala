@@ -87,17 +87,29 @@ object CommitLog {
     }
   }
 
-  /** The batch names visible at version `v` (v0 = empty table):
-    * nearest checkpoint at or below `v`, plus forward delta replay.
-    * Reads of expired versions fail cleanly — their delta chain back
-    * to a surviving checkpoint is broken, and the replay surfaces the
-    * missing manifest as NoSuchFileException. */
-  def files(root: String, v: Int): Seq[String] = {
-    if (v == 0) return Nil
-    val (start, base) = latestCheckpointAtOrBelow(root, v).getOrElse((0, Seq.empty[String]))
-    var state = base
+  /** Everything one checkpoint+delta replay derives at version `v`:
+    * the live batch list plus the accumulated stats boxes and blooms
+    * of those batches. Callers needing more than one facet (the
+    * connector's pruned scan needs all three) pay ONE replay — each
+    * manifest's bytes are read once and all fields parsed from that
+    * one string. */
+  final case class Snapshot(files: Seq[String], stats: Stats, blooms: Blooms)
+
+  def snapshotAt(root: String, v: Int): Snapshot = {
+    if (v == 0) return Snapshot(Nil, Map.empty, Map.empty)
+    val (start, baseFiles) =
+      latestCheckpointAtOrBelow(root, v).getOrElse((0, Seq.empty[String]))
+    var state = baseFiles
+    var stats: Stats =
+      if (start == 0) Map.empty
+      else parseStats(listField(textOf(ckptPath(root, start)), "stats"))
+    var blooms: Blooms =
+      if (start == 0) Map.empty
+      else parseBlooms(listField(textOf(ckptPath(root, start)), "bloom"))
     ((start + 1) to v).foreach { i =>
-      val (add, remove) = readDelta(root, i)
+      val txt = textOf(manifest(root, i))
+      val add = parseList(extractField(txt, "add"))
+      val remove = parseList(extractField(txt, "remove"))
       val rm = remove.toSet
       val kept = state.filterNot(rm)
       // dedupe on replay: a manifest re-adding a name already in the
@@ -106,9 +118,32 @@ object CommitLog {
       // double-counts every row in it on read
       val keptSet = kept.toSet
       state = kept ++ add.filterNot(keptSet)
+      stats = (stats -- remove) ++
+        parseStats(listField(txt, "stats")).filter { case (b, _) => add.contains(b) }
+      blooms = (blooms -- remove) ++
+        parseBlooms(listField(txt, "bloom")).filter { case (b, _) => add.contains(b) }
     }
-    state
+    val live = state.toSet
+    Snapshot(state,
+      stats.filter { case (b, _) => live(b) },
+      blooms.filter { case (b, _) => live(b) })
   }
+
+  private def textOf(p: Path): String =
+    new String(Files.readAllBytes(p), "UTF-8")
+
+  /** The `[...]` list of `name` out of already-read manifest text, or
+    * Nil when absent (optional fields). */
+  private def listField(txt: String, name: String): Seq[String] =
+    if (txt.contains("\"" + name + "\":")) parseList(extractField(txt, name))
+    else Nil
+
+  /** The batch names visible at version `v` (v0 = empty table):
+    * nearest checkpoint at or below `v`, plus forward delta replay.
+    * Reads of expired versions fail cleanly — their delta chain back
+    * to a surviving checkpoint is broken, and the replay surfaces the
+    * missing manifest as NoSuchFileException. */
+  def files(root: String, v: Int): Seq[String] = snapshotAt(root, v).files
 
   private object CkptName {
     private val Re = "ckpt-v(\\d+)\\.json".r
@@ -133,20 +168,13 @@ object CommitLog {
     }
   }
 
-  private def readDelta(root: String, v: Int): (Seq[String], Seq[String]) = {
-    val txt = new String(Files.readAllBytes(manifest(root, v)), "UTF-8")
-    (parseList(extractField(txt, "add")), parseList(extractField(txt, "remove")))
-  }
-
   /** Whether the commit at `v` changed table CONTENT (the Delta
     * `dataChange` flag): true for appends/deletes/merges, false for a
     * layout-only rewrite (compaction, clustering) whose add/remove
     * sets restate exactly the same rows. Incremental consumers skip
     * dataChange=false commits — that is the whole point of the flag. */
-  def isDataChange(root: String, v: Int): Boolean = {
-    val txt = new String(Files.readAllBytes(manifest(root, v)), "UTF-8")
-    !txt.contains("\"dataChange\":false")
-  }
+  def isDataChange(root: String, v: Int): Boolean =
+    !textOf(manifest(root, v)).contains("\"dataChange\":false")
 
   /** The table schema in force at version `v` (None = never declared).
     * Schema is versioned state exactly like the file set: a manifest
@@ -242,13 +270,19 @@ object CommitLog {
     * set — and vacuum would then sweep the real on-disk directory as
     * an orphan (silent data loss). Rejecting at publish time keeps
     * the failure loud and local to the bad writer. */
-  private def requireValidNames(names: Seq[String]): Unit =
+  private def requireValidNames(names: Seq[String]): Unit = {
     names.foreach { n =>
       require(n.nonEmpty && !n.exists(",\"[]\\".contains(_)) &&
           !n.startsWith("_") && !n.startsWith(".") && !n.contains('/'),
         s"invalid batch name '$n': must be non-empty, contain none of " +
           ", \" [ ] \\ /, and not start with _ or .")
     }
+    // a duplicate within ONE manifest's own list would double-list on
+    // replay (files()'s dedupe only filters adds already in the prior
+    // snapshot) — reject at publish, for direct tryCommit callers too
+    require(names.distinct == names,
+      s"duplicate batch names within one manifest list: $names")
+  }
 
   def tryCommit(
       root: String, v: Int,
@@ -342,33 +376,10 @@ object CommitLog {
       b -> rows.map(r => r._2 -> (r._3, r._4)).toMap
     }
 
-  private def readStatsField(p: Path): Seq[String] = {
-    val txt = new String(Files.readAllBytes(p), "UTF-8")
-    if (txt.contains("\"stats\":")) parseList(extractField(txt, "stats"))
-    else Nil
-  }
-
-  /** The accumulated stats boxes of the batches visible at `v` — the
-    * same checkpoint-plus-delta replay as [[files]], so planning cost
-    * is manifest-sized metadata, never a data read. */
-  def statsOf(root: String, v: Int): Stats = {
-    if (v == 0) return Map.empty
-    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
-      case Some((cv, _)) => (cv, parseStats(readStatsField(ckptPath(root, cv))))
-      case None => (0, Map.empty: Stats)
-    }
-    var state = base
-    ((start + 1) to v).foreach { i =>
-      val (add, remove) = readDelta(root, i)
-      state = state -- remove
-      val delta = parseStats(readStatsField(manifest(root, i)))
-      // stats only attach to batches this commit adds (enforced at
-      // publish); a re-listed name cannot smuggle a new box
-      state = state ++ delta.filter { case (b, _) => add.contains(b) }
-    }
-    val live = files(root, v).toSet
-    state.filter { case (b, _) => live(b) }
-  }
+  /** The accumulated stats boxes of the batches visible at `v` — one
+    * facet of [[snapshotAt]]'s single replay, so planning cost is
+    * manifest-sized metadata, never a data read. */
+  def statsOf(root: String, v: Int): Stats = snapshotAt(root, v).stats
 
   /** MANIFEST-STATS PRUNING: the batches of snapshot `v` whose box for
     * `column` intersects [lo, hi] — plus every batch with no box for it
@@ -378,9 +389,9 @@ object CommitLog {
   def prunedFiles(
       root: String, v: Int, column: String,
       lo: Double, hi: Double): Seq[String] = {
-    val stats = statsOf(root, v)
-    files(root, v).filter { b =>
-      stats.get(b).flatMap(_.get(column)) match {
+    val snap = snapshotAt(root, v)
+    snap.files.filter { b =>
+      snap.stats.get(b).flatMap(_.get(column)) match {
         case Some((bMin, bMax)) => bMax >= lo && bMin <= hi
         case None => true
       }
@@ -425,30 +436,9 @@ object CommitLog {
       b -> rows.map(r => r._2 -> r._3).toMap
     }
 
-  private def readBloomsField(p: Path): Seq[String] = {
-    val txt = new String(Files.readAllBytes(p), "UTF-8")
-    if (txt.contains("\"bloom\":")) parseList(extractField(txt, "bloom"))
-    else Nil
-  }
-
-  /** The accumulated blooms of the batches visible at `v` — same
-    * checkpoint-plus-delta replay as [[statsOf]]. */
-  def bloomsOf(root: String, v: Int): Blooms = {
-    if (v == 0) return Map.empty
-    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
-      case Some((cv, _)) => (cv, parseBlooms(readBloomsField(ckptPath(root, cv))))
-      case None => (0, Map.empty: Blooms)
-    }
-    var state = base
-    ((start + 1) to v).foreach { i =>
-      val (add, remove) = readDelta(root, i)
-      state = state -- remove
-      val delta = parseBlooms(readBloomsField(manifest(root, i)))
-      state = state ++ delta.filter { case (b, _) => add.contains(b) }
-    }
-    val live = files(root, v).toSet
-    state.filter { case (b, _) => live(b) }
-  }
+  /** The accumulated blooms of the batches visible at `v` — one facet
+    * of [[snapshotAt]]'s single replay. */
+  def bloomsOf(root: String, v: Int): Blooms = snapshotAt(root, v).blooms
 
   // ---- TXN-IN-MANIFEST: idempotent-writer watermarks ----
   //
@@ -532,8 +522,10 @@ object CommitLog {
     * read (NoSuchFileException) when the range has been vacuumed. */
   def changes(root: String, fromVersion: Int, toVersion: Int): Seq[Change] =
     ((fromVersion + 1) to toVersion).map { v =>
-      val (add, remove) = readDelta(root, v)
-      Change(v, add, remove, isDataChange(root, v))
+      val txt = textOf(manifest(root, v))
+      Change(v, parseList(extractField(txt, "add")),
+        parseList(extractField(txt, "remove")),
+        !txt.contains("\"dataChange\":false"))
     }
 
   /** One audit row of [[history]]. `operation` is the label the
@@ -546,8 +538,10 @@ object CommitLog {
       txnApp: Option[String], txnEpoch: Option[Long],
       timestampMs: Long)
 
-  private def readStringField(p: Path, name: String): Option[String] = {
-    val txt = new String(Files.readAllBytes(p), "UTF-8")
+  private def readStringField(p: Path, name: String): Option[String] =
+    stringField(textOf(p), name)
+
+  private def stringField(txt: String, name: String): Option[String] = {
     val key = "\"" + name + "\":\""
     val i = txt.indexOf(key)
     if (i < 0) None
@@ -568,16 +562,19 @@ object CommitLog {
       val m = manifest(root, v)
       if (!Files.exists(m)) None // `from` may be a checkpoint-only cutoff
       else {
-        val (add, remove) = readDelta(root, v)
-        val txn = readTxnsField(m) match {
+        // one byte-read per manifest; every field parses from that text
+        val txt = textOf(m)
+        val add = parseList(extractField(txt, "add"))
+        val remove = parseList(extractField(txt, "remove"))
+        val txn = listField(txt, "txn") match {
           case Seq(one) => one.split('|') match {
             case Array(app, epoch) => Some((app, epoch.toLong))
             case _ => None
           }
           case _ => None
         }
-        Some(HistoryEntry(v, readStringField(m, "operation"),
-          add.size, remove.size, isDataChange(root, v),
+        Some(HistoryEntry(v, stringField(txt, "operation"),
+          add.size, remove.size, !txt.contains("\"dataChange\":false"),
           txn.map(_._1), txn.map(_._2),
           Files.getLastModifiedTime(m).toMillis))
       }
@@ -751,6 +748,19 @@ object CommitLog {
     var attempts = 0
     while (attempts < maxAttempts) {
       attempts += 1
+      // Idempotence check FIRST, against the base this attempt commits
+      // on (re-checked per rebase: the epoch may have been committed by
+      // a rival replay of the same writer after a crash-restart race).
+      // Order matters: a rival replay publishes the SAME deterministic
+      // batch name, so the duplicate-name check below would also trip —
+      // but the caller's contract for a replayed unit of work is
+      // TxnAlreadyCommittedException ("already done, drop staged
+      // files"), not the loud duplicate-name error.
+      txn.foreach { case (app, epoch) =>
+        txnsOf(root, base).get(app).filter(_ >= epoch).foreach { w =>
+          throw new TxnAlreadyCommittedException(app, epoch, w)
+        }
+      }
       // Conflict + duplicate check against the snapshot at the base this
       // attempt commits on (re-checked per rebase). The snapshot read is
       // bounded metadata — one checkpoint + at most [[checkpointInterval]]
@@ -770,14 +780,6 @@ object CommitLog {
           s"batch name(s) $dup already listed in snapshot v$base: batch " +
             "names are immutable identities — a re-add would double-list " +
             "the file (retried commit? pick a fresh name per attempt)")
-      }
-      // Idempotence check against the base this attempt commits on
-      // (re-checked per rebase: the epoch may have been committed by a
-      // rival replay of the same writer after a crash-restart race).
-      txn.foreach { case (app, epoch) =>
-        txnsOf(root, base).get(app).filter(_ >= epoch).foreach { w =>
-          throw new TxnAlreadyCommittedException(app, epoch, w)
-        }
       }
       // Schema arbitration against the base ACTUALLY COMMITTED under
       // (re-checked per rebase: a rival may have evolved it first).

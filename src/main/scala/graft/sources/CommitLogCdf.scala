@@ -53,8 +53,12 @@ object CommitLogCdf {
       .filter(_.dataChange).flatMap { ch =>
       CommitLogSource.requireNoDv(ch.added ++ ch.removed,
         s"row-level CDF v${ch.version} of $root")
+      // read under the schema IN FORCE at this version: pre-evolution
+      // files null-fill by name, and an all-empty epoch's zero-file
+      // batch reads as an empty frame instead of failing inference
       def read(batches: Seq[String]): DataFrame =
-        spark.read.parquet(batches.map(b => s"$root/$b"): _*)
+        CommitLogSource.readBatches(spark, root, batches,
+          CommitLog.schemaOf(root, ch.version))
       val frame = (ch.added.nonEmpty, ch.removed.nonEmpty) match {
         case (true, false) =>
           Some(read(ch.added).withColumn(ChangeTypeCol, lit("insert")))
@@ -66,9 +70,16 @@ object CommitLogCdf {
       }
       frame.map(_.withColumn(CommitVersionCol, lit(ch.version)))
     }
-    require(frames.nonEmpty,
-      s"no data commits in ($fromVersion, $toVersion] of $root")
-    frames.reduce(_ unionByName _)
+    if (frames.isEmpty) {
+      // a poll window holding only OPTIMIZE / schema-only commits is a
+      // NORMAL incremental read whose answer is the empty feed — a
+      // consumer must not crash because maintenance ran
+      val schema = CommitLogSource.tableSchema(root)
+        .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
+        .add(CommitVersionCol, org.apache.spark.sql.types.IntegerType)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    } else frames.reduce(_ unionByName _)
   }
 
   /** Row diff of one copy-on-write commit: full-outer join of the

@@ -77,7 +77,10 @@ object CommitLogMerge {
     val v = if (version < 0) CommitLog.latestVersion(root) else version
     val (dvs, datas) = CommitLog.files(root, v).partition(_.startsWith(DvPrefix))
     require(datas.nonEmpty, s"empty table $root at v$v")
-    val base = spark.read.parquet(datas.map(b => s"$root/$b"): _*)
+    // read under the log's DDL: footer-sampled inference would drop
+    // additively-evolved columns (and choke on empty-epoch batches)
+    val base = CommitLogSource.readBatches(
+        spark, root, datas, CommitLog.schemaOf(root, v))
       .withColumn("_file", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
     val visible =
@@ -98,7 +101,8 @@ object CommitLogMerge {
     val (dvs, datas) = CommitLog.files(root, readV).partition(_.startsWith(DvPrefix))
     require(datas.nonEmpty, s"cannot merge into empty table $root")
 
-    val dataCols = spark.read.parquet(s"$root/${datas.head}").columns.toSeq
+    val dataCols = CommitLogSource.readBatches(
+      spark, root, datas, CommitLog.schemaOf(root, readV)).columns.toSeq
     require(source.columns.toSet == (dataCols :+ opCol).toSet,
       s"source must carry ${dataCols :+ opCol}, got ${source.columns.toSeq}")
 
@@ -111,7 +115,8 @@ object CommitLogMerge {
           "(max_by on a sequence column, the C4 discipline)")
 
       // ---- match phase: narrow base projection ⋈ change set ----
-      val narrowBase = spark.read.parquet(datas.map(b => s"$root/$b"): _*)
+      val narrowBase = CommitLogSource.readBatches(
+          spark, root, datas, CommitLog.schemaOf(root, readV))
         .select(keyCols.map(col) :+
           col("_metadata.file_path").as("_file") :+
           col("_metadata.row_index").as("_pos"): _*)
@@ -138,7 +143,8 @@ object CommitLogMerge {
           .collect().map(_.getString(0)).toSeq.sorted
         val touchedRows =
           if (touched.isEmpty) 0L
-          else spark.read.parquet(touched.map(b => s"$root/$b"): _*).count()
+          else CommitLogSource.readBatches(spark, root, touched,
+            CommitLog.schemaOf(root, readV)).count()
         val changedFraction =
           if (touchedRows == 0) 1.0
           else (matchedU + matchedD).toDouble / touchedRows
@@ -176,7 +182,9 @@ object CommitLogMerge {
           } else {
             // ---- COW leg: rewrite touched batches + compact covered DVs ----
             val rw = s"m$next-$tag"
-            val touchedFull = snapshotOf(spark, root, datas.filter(touched.contains), dvs)
+            val touchedFull = snapshotOf(spark, root,
+              datas.filter(touched.contains), dvs,
+              CommitLog.schemaOf(root, readV))
             val newVals = srcKeyed.filter(col(opCol) === "U")
               .select(keyCols.map(col) :+
                 struct(dataCols.map(col): _*).as("_new"): _*)
@@ -216,11 +224,13 @@ object CommitLogMerge {
     } finally srcKeyed.unpersist()
   }
 
-  /** Reconciled rows of a batch subset (COW rewrite input). */
+  /** Reconciled rows of a batch subset (COW rewrite input) — read
+    * under the log's DDL so evolved columns survive the rewrite. */
   private def snapshotOf(
       spark: SparkSession, root: String,
-      datas: Seq[String], dvs: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(datas.map(b => s"$root/$b"): _*)
+      datas: Seq[String], dvs: Seq[String],
+      schemaDdl: Option[String]): DataFrame = {
+    val base = CommitLogSource.readBatches(spark, root, datas, schemaDdl)
       .withColumn("_file", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
     val visible =

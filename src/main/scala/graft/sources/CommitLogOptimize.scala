@@ -60,8 +60,12 @@ object CommitLogOptimize {
 
     val packed = s"opt${EnvelopeBatchWrite.nextWriteId()}"
     // S12 discipline: coalesce concatenates partitions without a
-    // shuffle — compaction moves each byte exactly once
-    spark.read.parquet(smalls.map(b => s"$root/$b"): _*)
+    // shuffle — compaction moves each byte exactly once. Read UNDER
+    // THE LOG'S DDL: a footer-sampled read would drop additively-
+    // evolved columns from the rewrite — permanent loss once the
+    // originals vacuum away.
+    CommitLogSource.readBatches(spark, root, smalls,
+        CommitLog.schemaOf(root, readVersion))
       .coalesce(targetPartitions)
       .write.parquet(s"$root/$packed")
 
@@ -148,7 +152,10 @@ object CommitLogOptimize {
     CommitLogSource.requireNoDv(live, s"optimizeClustered of $root")
     if (live.isEmpty) return ClusterResult(readVersion, Nil, Nil)
 
-    val df = spark.read.parquet(live.map(b => s"$root/$b"): _*)
+    // read under the log's DDL (see optimize() — evolved columns must
+    // survive the rewrite)
+    val df = CommitLogSource.readBatches(spark, root, live,
+      CommitLog.schemaOf(root, readVersion))
     // the double each column's manifest box is expressed in — the SAME
     // units the sink writes and the scan's pushdown probes (micros for
     // timestamps, epoch days for dates), or pruning silently misfires

@@ -124,6 +124,36 @@ object CommitLogSource {
       .map(_.getPath.toString).sorted.toSeq
   }
 
+  /** Read a set of committed batches AS THE LOG'S TABLE, not as loose
+    * parquet: when a DDL is declared, the scan plans with it and
+    * pre-evolution files null-fill missing columns by name — a plain
+    * `spark.read.parquet` would infer from one sampled footer and
+    * silently DROP additively-evolved columns, which under a rewrite
+    * (OPTIMIZE, MERGE COW) that removes the originals is permanent
+    * data loss. Zero-file batch sets (all-empty epochs commit an empty
+    * dir) read as an empty frame of the right schema instead of
+    * throwing schema-inference errors. Undeclared-schema tables fall
+    * back to mergeSchema (every footer consulted — correct, at the
+    * cost S22e's declared-DDL contract exists to avoid). */
+  def readBatches(
+      spark: SparkSession, root: String, batches: Seq[String],
+      schemaDdl: Option[String]): org.apache.spark.sql.DataFrame = {
+    val files = batches.flatMap(listParquet(root, _))
+    (schemaDdl, files) match {
+      case (Some(d), Nil) =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType.fromDDL(d))
+      case (Some(d), fs) =>
+        spark.read.schema(StructType.fromDDL(d)).parquet(fs: _*)
+      case (None, Nil) =>
+        throw new IllegalStateException(
+          s"cannot read empty batch set of $root with no declared schema")
+      case (None, fs) =>
+        spark.read.option("mergeSchema", true).parquet(fs: _*)
+    }
+  }
+
   /** Total visible parquet bytes of one committed batch. */
   def batchBytes(root: String, batch: String): Long = {
     val fs = FileSystem.get(new Path(root).toUri, hadoopConf())
@@ -374,17 +404,18 @@ case class CommitLogScan(
     if (schema.isEmpty && CommitLog.latestVersion(root) == 0)
       return Array.empty
     val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
-    val files = CommitLog.files(root, v)
-    CommitLogSource.requireNoDv(files, s"batch read of $root at v$v")
+    // ONE checkpoint+delta replay yields files, stats and blooms
+    // together — plan-time metadata cost does not multiply with the
+    // number of pruning modalities in play
+    val snap = CommitLog.snapshotAt(root, v)
+    CommitLogSource.requireNoDv(snap.files, s"batch read of $root at v$v")
     // manifest-stats pruning: intersect each pushed range box against
     // the batches' committed (min, max) boxes — a batch with no box
     // for the column is always read (unknown = keep), and Spark still
     // evaluates the exact predicate above the scan
-    val stats = if (boxes.isEmpty) Map.empty: CommitLog.Stats
-                else CommitLog.statsOf(root, v)
-    val boxPruned = boxes.foldLeft(files) { case (fs, (col, (lo, hi))) =>
+    val boxPruned = boxes.foldLeft(snap.files) { case (fs, (col, (lo, hi))) =>
       fs.filter { b =>
-        stats.get(b).flatMap(_.get(col)) match {
+        snap.stats.get(b).flatMap(_.get(col)) match {
           case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
           case None => true
         }
@@ -394,11 +425,9 @@ case class CommitLogScan(
     // equality/IN filter, its bloom admits at least one probed value
     // (no bloom for the column → keep; false positive → the residual
     // filter excludes the rows, never the other way around)
-    val blooms = if (probes.isEmpty) Map.empty: CommitLog.Blooms
-                 else CommitLog.bloomsOf(root, v)
     val pruned = probes.foldLeft(boxPruned) { case (fs, (col, values)) =>
       fs.filter { b =>
-        blooms.get(b).flatMap(_.get(col)) match {
+        snap.blooms.get(b).flatMap(_.get(col)) match {
           case Some(hex) => values.exists(CommitLogBloom.mightContain(hex, _))
           case None => true
         }
@@ -459,7 +488,11 @@ class CommitLogMicroBatchStream(
     // exceed the budget — a soft cap (the version that crosses it is
     // still admitted whole: versions are the atomic unit), so a
     // restart-against-backlog drains in bounded-memory micro-batches
-    // regardless of how lumpy the commits were
+    // regardless of how lumpy the commits were. dataChange=false
+    // versions (OPTIMIZE) cost ZERO budget — planInputPartitions emits
+    // nothing for them, so charging a whole-table repack's bytes would
+    // stall the drain with an empty cycle. Manifests and committed
+    // batches are immutable, so per-version byte counts memoize.
     val admitted = maxBytesPerTrigger match {
       case None => byVersions
       case Some(budget) =>
@@ -467,13 +500,21 @@ class CommitLogMicroBatchStream(
         var bytes = 0L
         while (v < byVersions && bytes < budget) {
           v += 1
-          bytes += CommitLog.changes(root, v - 1, v).head.added
-            .map(CommitLogSource.batchBytes(root, _)).sum
+          bytes += versionBytes.computeIfAbsent(v, { vv =>
+            val ch = CommitLog.changes(root, vv - 1, vv).head
+            Long.box(
+              if (!ch.dataChange) 0L
+              else ch.added.map(CommitLogSource.batchBytes(root, _)).sum)
+          })
         }
         v
     }
     CommitLogStreamOffset(math.max(lo, admitted))
   }
+
+  // immutable once committed → safe to memoize across latestOffset polls
+  private val versionBytes =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
 
   // non-admission-control fallback (not taken once
   // SupportsAdmissionControl is implemented)

@@ -159,11 +159,18 @@ object CommitLogWrite {
 
     // level 2: batch publish — a final-named dir with no manifest entry
     // is a crashed earlier attempt of THIS unit of work; replace it so
-    // the published batch is exactly this attempt's file set
-    val latest = CommitLog.latestVersion(root)
+    // the published batch is exactly this attempt's file set. The
+    // listed-check reads a FRESH snapshot immediately before the
+    // delete: a rival replay that published between our fast-path
+    // check and here must not have its live batch dir deleted. (The
+    // residual window — a rival publishing between THIS read and the
+    // delete — requires two drivers replaying the same epoch in the
+    // same instant; both attempts stage the same micro-batch rows, so
+    // the replacement is content-equivalent, and the txn re-check in
+    // commit() still prevents any double-publish.)
     if (f.exists(dest)) {
-      if (CommitLog.files(root, latest).contains(batchName)) {
-        // published by a rival replay between the fast path and here
+      val latestNow = CommitLog.latestVersion(root)
+      if (CommitLog.files(root, latestNow).contains(batchName)) {
         dropStage()
         return false
       }
@@ -171,6 +178,7 @@ object CommitLogWrite {
     }
     require(f.rename(stage, dest),
       s"failed to promote $stage to $dest")
+    val latest = CommitLog.latestVersion(root)
 
     val stats: CommitLog.Stats = {
       val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
@@ -282,13 +290,22 @@ class CommitLogStreamingWrite(
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
     extends StreamingWrite {
 
-  private def stageName(epochId: Long) =
-    s"stage-txn-$app-e${CommitLogWrite.pad(epochId)}"
+  /** ATTEMPT-unique staging: one random token per query RUN. A crashed
+    * run's replay of the same epoch stages into a DIFFERENT dir, so a
+    * dead attempt's already-renamed visible parts can never ride this
+    * attempt's promote — the published batch is exactly one attempt's
+    * file set even when the replay runs with different partitioning.
+    * The dead attempt's stage dir is orphan data a later vacuum
+    * sweeps (it is never promoted, never listed). */
+  private val attempt = java.util.UUID.randomUUID().toString.take(8)
+
+  private[graft] def stageName(epochId: Long) =
+    s"stage-txn-$app-$attempt-e${CommitLogWrite.pad(epochId)}"
   private def batchName(epochId: Long) =
     s"txn-$app-e${CommitLogWrite.pad(epochId)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    CommitLogStreamingWriterFactory(root, schema, app, bloomCols, bloomBits)
+    CommitLogStreamingWriterFactory(root, schema, app, attempt, bloomCols, bloomBits)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     CommitLogWrite.publish(root, stageName(epochId), batchName(epochId),
@@ -316,15 +333,17 @@ case class CommitLogBatchWriterFactory(
 }
 
 /** Streaming twin: the visible name EXCLUDES the task id so a replayed
-  * epoch's attempts map onto the same names and first-publish wins. */
+  * TASK's output within one attempt maps onto the same name and
+  * first-publish wins; cross-attempt isolation comes from the
+  * attempt-unique stage dir. */
 case class CommitLogStreamingWriterFactory(
-    root: String, schema: StructType, app: String,
+    root: String, schema: StructType, app: String, attempt: String,
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new CommitLogDataWriter(
-      s"$root/stage-txn-$app-e${CommitLogWrite.pad(epochId)}", schema,
+      s"$root/stage-txn-$app-$attempt-e${CommitLogWrite.pad(epochId)}", schema,
       f"_p$partitionId%05d-t$taskId.parquet.tmp",
       f"part-p$partitionId%05d.parquet", bloomCols, bloomBits)
 }

@@ -214,13 +214,13 @@ class CommitLogOptimizeSpec extends SparkSpec {
     val w = new graft.sources.CommitLogStreamingWrite(root, schema, "appempty")
     // epoch 0 carries data; epoch 1 is all-empty (every task filtered
     // everything out — commit messages name temps that never existed)
-    val stage0 = s"$root/stage-txn-appempty-e${graft.sources.CommitLogWrite.pad(0L)}"
+    val stage0 = s"$root/${w.stageName(0L)}"
     val dw = new graft.sources.CommitLogDataWriter(
       stage0, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
     dw.write(org.apache.spark.sql.catalyst.InternalRow(1L))
     w.commit(0L, Array(dw.commit()))
     val dwEmpty = new graft.sources.CommitLogDataWriter(
-      s"$root/stage-txn-appempty-e${graft.sources.CommitLogWrite.pad(1L)}",
+      s"$root/${w.stageName(1L)}",
       schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
     w.commit(1L, Array(dwEmpty.commit())) // zero rows written
     assert(CommitLog.latestVersion(root) == 2)
@@ -265,7 +265,7 @@ class CommitLogOptimizeSpec extends SparkSpec {
 
     val writer = new Thread(() => {
       (0 until epochs).foreach { e =>
-        val stage = s"$root/stage-txn-appchaos-e${graft.sources.CommitLogWrite.pad(e.toLong)}"
+        val stage = s"$root/${w.stageName(e.toLong)}"
         val dw = new graft.sources.CommitLogDataWriter(
           stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
         (0 until 5).foreach(i =>
@@ -313,6 +313,51 @@ class CommitLogOptimizeSpec extends SparkSpec {
     // closing vacuum: latest stays readable, expired history fails cleanly
     CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
     assert(readIds(root) == expected.sorted)
+  }
+
+  test("optimize preserves additively-evolved columns (reads plan with the log's DDL)") {
+    val root = freshRoot("evolve")
+    // v1 declares (id); v2 evolves additively to (id, extra)
+    Seq(1L).toDF("id").write.parquet(s"$root/b1")
+    CommitLog.commit(root, 0, added = Seq("b1"), schema = Some("id BIGINT"))
+    Seq((2L, "kept")).toDF("id", "extra").write.parquet(s"$root/b2")
+    CommitLog.commit(root, 1, added = Seq("b2"),
+      schema = Some("id BIGINT, extra STRING"))
+    // the pack must carry `extra` — a footer-sampled read could infer
+    // from b1's footer and silently drop it from the rewrite
+    CommitLogOptimize.optimize(spark, root, smallBytes = 1L << 30)
+    val df = spark.read.format("commitlog").option("path", root).load()
+    assert(df.columns.toSeq == Seq("id", "extra"))
+    assert(df.filter($"extra" === "kept").count() == 1L,
+      "evolved column values must survive the rewrite")
+    assert(df.filter($"id" === 1L).select("extra").head().isNullAt(0),
+      "pre-evolution rows null-fill")
+  }
+
+  test("a CDF window holding only an optimize commit returns the empty feed, not an error") {
+    val root = freshRoot("cdfempty")
+    append(root, Seq(1L))
+    append(root, Seq(2L))
+    CommitLogOptimize.optimize(spark, root, smallBytes = 1L << 30)
+    // poll window (2, 3] contains ONLY the optimize version
+    val feed = CommitLogCdf.changeFeed(spark, root, 2, 3, keyCols = Seq("id"))
+    assert(feed.count() == 0L)
+    assert(feed.columns.contains(CommitLogCdf.ChangeTypeCol))
+  }
+
+  test("the CDF reads through an all-empty epoch's zero-file batch") {
+    val root = freshRoot("cdfemptyepoch")
+    append(root, Seq(1L))
+    val schema = Seq((1L, 1.0)).toDF("id", "x").schema
+    val w = new graft.sources.CommitLogStreamingWrite(root, schema, "appcdfe")
+    val dwEmpty = new graft.sources.CommitLogDataWriter(
+      s"$root/${w.stageName(0L)}", schema,
+      "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    w.commit(0L, Array(dwEmpty.commit())) // zero rows → empty batch dir
+    val feed = CommitLogCdf.changeFeed(spark, root, 0, 2, keyCols = Seq("id"))
+    // v1's insert rides; v2 (empty epoch) contributes nothing — and
+    // does not crash schema inference
+    assert(feed.count() == 1L)
   }
 
   test("dataChange=false is rejected on appends, deletes and schema changes") {

@@ -59,7 +59,7 @@ class CommitLogWriteSpec extends SparkSpec {
     // way a writer task would, then commit the epoch twice (Structured
     // Streaming redelivers the last epoch after a crash-restart)
     def stageAndCommit(epoch: Long): Unit = {
-      val stage = s"$root/stage-txn-apprep-e${CommitLogWrite.pad(epoch)}"
+      val stage = s"$root/${w.stageName(epoch)}"
       val tmp = "_p00000-t0.parquet.tmp"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
       // content written through the real task writer
@@ -92,7 +92,7 @@ class CommitLogWriteSpec extends SparkSpec {
     java.nio.file.Files.createDirectories(orphan)
     java.nio.file.Files.write(orphan.resolve("part-stale.parquet"), Array[Byte](1))
     // the replayed epoch stages fresh data and publishes
-    val stage = s"$root/stage-txn-apporph-e${CommitLogWrite.pad(0L)}"
+    val stage = s"$root/${w.stageName(0L)}"
     val dw = new graft.sources.CommitLogDataWriter(
       stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
     dw.write(org.apache.spark.sql.catalyst.InternalRow(7L))
@@ -108,7 +108,7 @@ class CommitLogWriteSpec extends SparkSpec {
     val schema = Seq(1L).toDF("id").schema
     val w = new CommitLogStreamingWrite(root, schema, app = "appvac")
     (0L until 10L).foreach { e =>
-      val stage = s"$root/stage-txn-appvac-e${CommitLogWrite.pad(e)}"
+      val stage = s"$root/${w.stageName(e)}"
       val dw = new graft.sources.CommitLogDataWriter(
         stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
       dw.write(org.apache.spark.sql.catalyst.InternalRow(e))
@@ -120,7 +120,7 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(CommitLog.txnsOf(root, v)("appvac") == 9L,
       "the cutoff checkpoint must carry the watermark through retention")
     // a pre-watermark replay after vacuum is still a no-op
-    val stage = s"$root/stage-txn-appvac-e${CommitLogWrite.pad(3L)}"
+    val stage = s"$root/${w.stageName(3L)}"
     val dw = new graft.sources.CommitLogDataWriter(
       stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
     dw.write(org.apache.spark.sql.catalyst.InternalRow(999L))
@@ -172,7 +172,7 @@ class CommitLogWriteSpec extends SparkSpec {
     Seq(100L).toDF("id").write.parquet(s"$root/rival1")
     CommitLog.commit(root, 0, added = Seq("rival1"), schema = Some(schema.toDDL))
     val w = new CommitLogStreamingWrite(root, schema, app = "appriv")
-    val stage = s"$root/stage-txn-appriv-e${CommitLogWrite.pad(0L)}"
+    val stage = s"$root/${w.stageName(0L)}"
     val dw = new graft.sources.CommitLogDataWriter(
       stage, schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
     dw.write(org.apache.spark.sql.catalyst.InternalRow(1L))
@@ -276,7 +276,7 @@ class CommitLogWriteSpec extends SparkSpec {
     Seq(1L).toDF("id").repartition(1)
       .write.format("commitlog").option("path", root).mode("append").save()
     val w = new CommitLogStreamingWrite(root, Seq(1L).toDF("id").schema, "apphist")
-    val stage = s"$root/stage-txn-apphist-e${CommitLogWrite.pad(0L)}"
+    val stage = s"$root/${w.stageName(0L)}"
     val dw = new graft.sources.CommitLogDataWriter(
       stage, Seq(1L).toDF("id").schema, "_p00000-t0.parquet.tmp", "part-p00000.parquet")
     dw.write(org.apache.spark.sql.catalyst.InternalRow(2L))
@@ -395,6 +395,32 @@ class CommitLogWriteSpec extends SparkSpec {
       == Seq(1L, 2L, 3L, 4L))
     assert(q.recentProgress.count(_.numInputRows > 0) == 4,
       "each version must drain in its own bounded micro-batch")
+  }
+
+  test("a replayed epoch racing a rival's identical batch name surfaces as txn-committed, not duplicate-name") {
+    val root = freshRoot("txnorder")
+    val schema = Seq(1L).toDF("id").schema
+    // rival replay already published the deterministic batch name with
+    // its txn watermark
+    val batch = s"txn-apptxo-e${CommitLogWrite.pad(0L)}"
+    Seq(1L).toDF("id").write.parquet(s"$root/$batch")
+    CommitLog.commit(root, 0, added = Seq(batch),
+      schema = Some(schema.toDDL), txn = Some(("apptxo", 0L)))
+    // our replay commits the SAME name + epoch from a stale base: the
+    // idempotence check must win over the duplicate-name require —
+    // TxnAlreadyCommittedException is the "already done" signal the
+    // sink's publish() treats as a clean no-op
+    intercept[CommitLog.TxnAlreadyCommittedException] {
+      CommitLog.commit(root, 0, added = Seq(batch), txn = Some(("apptxo", 0L)))
+    }
+    // and the sink-level replay (fresh attempt, same epoch) is a no-op
+    val w = new CommitLogStreamingWrite(root, schema, app = "apptxo")
+    val dw = new graft.sources.CommitLogDataWriter(
+      s"$root/${w.stageName(0L)}", schema,
+      "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    w.commit(0L, Array(dw.commit()))
+    assert(CommitLog.latestVersion(root) == 1, "replay must not publish")
   }
 
   test("writer rejects non-primitive columns loudly") {

@@ -1331,6 +1331,86 @@ object Sources {
         .select(lit(planned == 1).as("pruned_to_one"), $"n", $"total_value")
     },
 
+    // S30: STREAMING CHANGE FEED through the connector — the Delta CDF
+    // read (`option("readChangeFeed", true)`) as a LIVE STREAM that
+    // follows a table being UPDATED, not just appended: appends emit
+    // `insert` rows, a whole-batch delete emits `delete` rows (exact at
+    // file granularity — every row of a removed batch is a deleted
+    // row), and a MERGE run with changeFeed=true emits all four Delta
+    // CDC row kinds from the change rows it MATERIALIZED at commit time
+    // (`_changes/v<N>/` — a scan cannot run the preimage diff join, so
+    // merges write their changes once and every consumer reads them).
+    // The decl streams the feed of appends + delete + merge (updates,
+    // deletes AND inserts through the DV leg) and aggregates per change
+    // kind; the oracle restates each kind's count and decimal total
+    // relationally, so a missing preimage, doubled insert, wrong
+    // constant stamp, or mis-signed kind breaks the hash.
+    // CommitLogChangeFeedSpec pins the signed-fold reconstruction,
+    // resume-across-delete, un-materialized-merge guidance, and vacuum
+    // expiry of change rows.
+    Decl(
+      "s30_change_feed_stream",
+      s"""WITH a AS (SELECT o_orderkey k, CAST(o_totalprice AS DECIMAL(18,2)) p
+         |  FROM orders WHERE o_orderkey % 3 = 0),
+         |b AS (SELECT o_orderkey k, CAST(o_totalprice AS DECIMAL(18,2)) p
+         |  FROM orders WHERE o_orderkey % 3 = 1),
+         |c AS (SELECT o_orderkey k, CAST(o_totalprice AS DECIMAL(18,2)) p
+         |  FROM orders WHERE o_orderkey % 3 = 2),
+         |u AS (SELECT k, p FROM b WHERE k % 97 = 0),
+         |d AS (SELECT k, p FROM b WHERE k % 89 = 0 AND k % 97 <> 0)
+         |SELECT * FROM (
+         |  SELECT 'delete' AS change_type,
+         |    (SELECT count(*) FROM a) + (SELECT count(*) FROM d) AS n,
+         |    CAST((SELECT sum(p) FROM a) + coalesce((SELECT sum(p) FROM d), 0)
+         |      AS DOUBLE) AS total
+         |  UNION ALL SELECT 'insert',
+         |    (SELECT count(*) FROM a) + (SELECT count(*) FROM b)
+         |      + (SELECT count(*) FROM c),
+         |    CAST((SELECT sum(p) FROM a) + (SELECT sum(p) FROM b)
+         |      + (SELECT sum(p) FROM c) AS DOUBLE)
+         |  UNION ALL SELECT 'update_preimage',
+         |    (SELECT count(*) FROM u), CAST((SELECT sum(p) FROM u) AS DOUBLE)
+         |  UNION ALL SELECT 'update_postimage',
+         |    (SELECT count(*) FROM u),
+         |    CAST((SELECT sum(p) FROM u) + (SELECT count(*) FROM u) AS DOUBLE))
+         |ORDER BY change_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogMerge}
+      val root = ioDir("s30_tbl")
+      val ckpt = ioDir("s30_ckpt")
+      Seq(root, ckpt).foreach(p => Qh.deleteRecursively(new java.io.File(p)))
+      val ord = Qh.t(s, dir, "orders")
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
+      (0 to 1).foreach { m =>
+        ord.filter($"k" % 3 === m).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      // v3: whole-batch delete of the first append
+      CommitLog.commit(root, 2, added = Nil,
+        removed = Seq(CommitLog.files(root, 1).head))
+      // v4: merge with materialized change rows — updates (+1), deletes,
+      // and unmatched inserts, through whichever leg the dial picks
+      val src = ord.filter($"k" % 3 === 1 && $"k" % 97 === 0)
+        .select($"k", ($"p" + 1).as("p"), lit("U").as("_op"))
+        .unionByName(ord.filter($"k" % 3 === 2)
+          .select($"k", $"p", lit("U").as("_op")))
+        .unionByName(ord.filter($"k" % 3 === 1 && $"k" % 89 === 0 && $"k" % 97 =!= 0)
+          .select($"k", $"p", lit("D").as("_op")))
+      CommitLogMerge.merge(s, root, src, keyCols = Seq("k"), changeFeed = true)
+      val sink = s"s30_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("commitlog")
+        .option("path", root).option("readChangeFeed", true).load()
+        .groupBy(col(graft.sources.CommitLogCdf.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("complete")
+        .start()
+      q.awaitTermination()
+      s.table(sink).orderBy("change_type")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

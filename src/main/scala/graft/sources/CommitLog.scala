@@ -680,6 +680,23 @@ object CommitLog {
       if (Files.deleteIfExists(manifest(root, v))) expired += 1
       Files.deleteIfExists(ckptPath(root, v))
     }
+    // change-data files are versioned like manifests: expired versions'
+    // CDC rows go with their manifests, and orphaned `_tmp-` stages
+    // (lost merge races, crashes) age out under the same in-flight guard
+    val changesDir = Paths.get(root, "_changes")
+    if (Files.isDirectory(changesDir)) {
+      val VRe = "v(\\d+)".r
+      listDir(changesDir).foreach { p =>
+        p.getFileName.toString match {
+          case VRe(d) if d.toInt < cutoff => deleteTree(p)
+          case n if n.startsWith("_tmp-") &&
+              System.currentTimeMillis() -
+                Files.getLastModifiedTime(p).toMillis >= minAgeMs =>
+            deleteTree(p)
+          case _ => ()
+        }
+      }
+    }
     val live = (cutoff to latest).flatMap(files(root, _)).toSet
     val now = System.currentTimeMillis()
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]

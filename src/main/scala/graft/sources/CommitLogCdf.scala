@@ -51,6 +51,15 @@ object CommitLogCdf {
     // are skipped without even the COW diff join
     val frames = CommitLog.changes(root, fromVersion, toVersion)
       .filter(_.dataChange).flatMap { ch =>
+      // a merge that ran with changeFeed=true materialized this
+      // version's change rows — authoritative and cheaper than the
+      // diff (and the ONLY source of row changes through a DV merge)
+      val materialized =
+        CommitLogSource.listParquet(root, CommitLogMerge.changeDirName(ch.version))
+      if (materialized.nonEmpty) {
+        Some(spark.read.parquet(materialized: _*)
+          .withColumn(CommitVersionCol, lit(ch.version)))
+      } else {
       CommitLogSource.requireNoDv(ch.added ++ ch.removed,
         s"row-level CDF v${ch.version} of $root")
       // read under the schema IN FORCE at this version: pre-evolution
@@ -69,6 +78,7 @@ object CommitLogCdf {
         case (false, false) => None // schema-only commit: no rows changed
       }
       frame.map(_.withColumn(CommitVersionCol, lit(ch.version)))
+      }
     }
     if (frames.isEmpty) {
       // a poll window holding only OPTIMIZE / schema-only commits is a

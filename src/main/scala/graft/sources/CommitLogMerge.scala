@@ -70,6 +70,11 @@ object CommitLogMerge {
 
   private[graft] val DvPrefix = "dv-"
 
+  /** Where a version's materialized change-data rows live (when the
+    * committing merge ran with `changeFeed = true`); underscore-hidden
+    * from every data read. */
+  private[graft] def changeDirName(v: Int): String = s"_changes/v$v"
+
   /** The reconciled snapshot at `version` (default latest): data
     * batches minus outstanding deletion-vector positions. The DV side
     * is deletes-sized and broadcasts — the S23 read shape. */
@@ -91,11 +96,24 @@ object CommitLogMerge {
     visible.drop("_file", "_pos")
   }
 
+  /** `changeFeed = true` additionally materializes this merge's ROW
+    * CHANGES (insert / update_preimage / update_postimage / delete,
+    * the Delta CDC files) to `_changes/v<N>/` — the underscore keeps
+    * them invisible to every data read; [[CommitLogCdf.changeFeed]]
+    * and the connector's `readChangeFeed` scans consume them directly,
+    * which is what makes a STREAMING change feed plannable through DV
+    * and COW merges (a scan cannot run the diff join). Cost: one extra
+    * read of the touched batches to capture preimages (the COW leg
+    * reads them anyway); written pre-commit to a hidden temp and
+    * renamed in only AFTER the version wins — a lost race or crash
+    * leaves no change file, and consumers fall back to computing the
+    * diff. */
   def merge(
       spark: SparkSession, root: String, source: DataFrame,
       keyCols: Seq[String], opCol: String = "_op",
       dvFraction: Double = 0.3,
-      readVersion: Int = -1): MergeStats = {
+      readVersion: Int = -1,
+      changeFeed: Boolean = false): MergeStats = {
     require(keyCols.nonEmpty, "merge needs the table key")
     val readV = if (readVersion < 0) CommitLog.latestVersion(root) else readVersion
     val (dvs, datas) = CommitLog.files(root, readV).partition(_.startsWith(DvPrefix))
@@ -209,13 +227,53 @@ object CommitLogMerge {
             (Seq(rw), touched ++ coveredDvs, "cow")
           }
 
+        // change-data capture, staged hidden: preimages from the
+        // reconciled touched rows, postimages from the source, inserts
+        // as-is — all four Delta CDC row kinds in one frame
+        val changeTmp = s"_changes/_tmp-$tag"
+        if (changeFeed) {
+          val opKeyed = matched
+            .select(keyCols.map(col) :+ col("_op"): _*)
+          val pre =
+            if (touched.isEmpty) None
+            else Some(snapshotOf(spark, root, datas.filter(touched.contains),
+                dvs, CommitLog.schemaOf(root, readV))
+              .join(opKeyed, keyCols)
+              .select(dataCols.map(col) :+
+                when(col("_op") === "D", lit("delete"))
+                  .otherwise(lit("update_preimage")).as("_change_type"): _*))
+          val post = srcKeyed.filter(col(opCol) === "U")
+            .join(opKeyed.filter(col("_op") === "U"), keyCols, "left_semi")
+            .select(dataCols.map(col) :+ lit("update_postimage").as("_change_type"): _*)
+          val ins = inserts
+            .select(dataCols.map(col) :+ lit("insert").as("_change_type"): _*)
+          pre.map(_.unionByName(post)).getOrElse(post).unionByName(ins)
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$changeTmp")
+        }
+
         if (!CommitLog.tryCommit(root, next, added, removed,
             op = Some("MERGE"))) {
           // stage is dead bytes a later vacuum sweeps; state unchanged
+          if (changeFeed) {
+            val p = new org.apache.hadoop.fs.Path(s"$root/$changeTmp")
+            val fs = org.apache.hadoop.fs.FileSystem.get(
+              p.toUri, spark.sessionState.newHadoopConf())
+            if (fs.exists(p)) fs.delete(p, true)
+          }
           throw new java.util.ConcurrentModificationException(
             s"merge lost the race at v$next of $root: a rival committed " +
               "first — re-read and re-run the merge (merges never rebase: " +
               "the rival may have changed rows this match phase read)")
+        }
+        if (changeFeed) {
+          // rename in only after the version is OURS — a crash here
+          // loses only the optimization (consumers recompute the diff)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            new org.apache.hadoop.fs.Path(root).toUri,
+            spark.sessionState.newHadoopConf())
+          fs.rename(
+            new org.apache.hadoop.fs.Path(s"$root/$changeTmp"),
+            new org.apache.hadoop.fs.Path(s"$root/_changes/v$next"))
         }
         if (next % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, next)

@@ -71,7 +71,13 @@ class CommitLogSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = options.get("path")
     require(root != null, "commitlog source requires option(\"path\", <table root>)")
-    CommitLogSource.tableSchema(root)
+    val base = CommitLogSource.tableSchema(root)
+    // CHANGE FEED reads carry the Delta CDF columns on top of the data
+    // schema — rows describe changes, not current state
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      base.add(CommitLogCdf.ChangeTypeCol, StringType)
+        .add(CommitLogCdf.CommitVersionCol, IntegerType)
+    else base
   }
 
   override def getTable(
@@ -362,7 +368,44 @@ class CommitLogScanBuilder(
       startingVersion = startingVersion,
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean))
+      ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean),
+      readChangeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean),
+      endingVersion = Option(options.get("endingVersion")).map(_.toInt))
+  }
+}
+
+/** Plans one committed version as CHANGE-FEED partitions — the shared
+  * leg of the connector's batch `table_changes` read and the streaming
+  * change feed. Rules, in order: dataChange=false versions (OPTIMIZE)
+  * emit nothing; a version with MATERIALIZED change rows
+  * (`_changes/v<N>`, written by a `changeFeed = true` merge) plans
+  * those files — the file carries `_change_type`, the reader stamps
+  * `_commit_version`; otherwise appends plan their added files as
+  * constant `insert`, whole-batch deletes plan the removed files as
+  * constant `delete` (file-granularity deletes are exact: every row in
+  * a removed batch is a deleted row), and a rewrite or DV merge
+  * WITHOUT materialized change rows fails with guidance — a scan
+  * cannot run the preimage/postimage diff join. */
+object CommitLogChangePlan {
+  def partitions(root: String, ch: CommitLog.Change): Seq[CommitLogInputPartition] = {
+    if (!ch.dataChange) return Nil
+    val materialized =
+      CommitLogSource.listParquet(root, CommitLogMerge.changeDirName(ch.version))
+    if (materialized.nonEmpty)
+      return materialized.map(f => CommitLogInputPartition(f, None, ch.version))
+    val dvTouched = (ch.added ++ ch.removed)
+      .exists(_.startsWith(CommitLogMerge.DvPrefix))
+    if (dvTouched || (ch.added.nonEmpty && ch.removed.nonEmpty))
+      throw new IllegalStateException(
+        s"v${ch.version} of $root is a rewrite/DV merge with no " +
+          "materialized change rows — run MERGE with changeFeed=true " +
+          "(or consume via CommitLogCdf.changeFeed, which computes the diff)")
+    if (ch.added.nonEmpty)
+      ch.added.flatMap(CommitLogSource.listParquet(root, _))
+        .map(f => CommitLogInputPartition(f, Some("insert"), ch.version))
+    else
+      ch.removed.flatMap(CommitLogSource.listParquet(root, _))
+        .map(f => CommitLogInputPartition(f, Some("delete"), ch.version))
   }
 }
 
@@ -373,7 +416,9 @@ case class CommitLogScan(
     versionAsOf: Option[Int], startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
-    ignoreDeletes: Boolean)
+    ignoreDeletes: Boolean,
+    readChangeFeed: Boolean = false,
+    endingVersion: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -403,6 +448,14 @@ case class CommitLogScan(
     // analysis loudly before reaching here.
     if (schema.isEmpty && CommitLog.latestVersion(root) == 0)
       return Array.empty
+    // batch CHANGE FEED: the row changes of (startingVersion,
+    // endingVersion] — Delta's table_changes — instead of a snapshot
+    if (readChangeFeed) {
+      val hi = endingVersion.getOrElse(CommitLog.latestVersion(root))
+      return CommitLog.changes(root, startingVersion, hi)
+        .flatMap(CommitLogChangePlan.partitions(root, _))
+        .map(p => p: InputPartition).toArray
+    }
     val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
     // ONE checkpoint+delta replay yields files, stats and blooms
     // together — plan-time metadata cost does not multiply with the
@@ -446,7 +499,7 @@ case class CommitLogScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new CommitLogMicroBatchStream(
       root, schema, startingVersion, maxVersionsPerTrigger,
-      maxBytesPerTrigger, ignoreDeletes)
+      maxBytesPerTrigger, ignoreDeletes, readChangeFeed)
 }
 
 /** Version-cursor offsets in Spark's checkpoint: each micro-batch is
@@ -458,7 +511,8 @@ class CommitLogMicroBatchStream(
     root: String, schema: StructType, startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
-    ignoreDeletes: Boolean)
+    ignoreDeletes: Boolean,
+    readChangeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -527,6 +581,14 @@ class CommitLogMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[CommitLogStreamOffset].version
     val hi = end.asInstanceOf[CommitLogStreamOffset].version
+    // STREAMING CHANGE FEED: emit every version's row changes —
+    // deletes and (materialized) merges become feed rows instead of
+    // faulting the tail, which is what makes the stream able to follow
+    // a table that UPDATES, not just one that appends
+    if (readChangeFeed)
+      return CommitLog.changes(root, lo, hi)
+        .flatMap(CommitLogChangePlan.partitions(root, _))
+        .map(p => p: InputPartition).toArray
     // dataChange=false versions (OPTIMIZE) restate rows this stream
     // already emitted in new files: skipped wholesale — this is what
     // lets compaction run UNDER a live tail without faulting it
@@ -564,21 +626,34 @@ case class CommitLogStreamOffset(version: Int)
   }
 }
 
-case class CommitLogInputPartition(file: String) extends InputPartition
+/** `constChangeType` + `version` drive change-feed reads: the reader
+  * stamps them onto every row (a file without a physical
+  * `_change_type` column — an added/removed data file — gets the
+  * constant; materialized change files carry their own). `version` is
+  * ignored by snapshot scans (their schema lacks the CDF columns). */
+case class CommitLogInputPartition(
+    file: String, constChangeType: Option[String] = None, version: Int = -1)
+    extends InputPartition
 
 case class CommitLogReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CommitLogPartitionReader(
-      partition.asInstanceOf[CommitLogInputPartition].file, schema)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CommitLogInputPartition]
+    new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version)
+  }
 }
 
 /** Per-file reader: parquet-hadoop Group records converted to
   * InternalRows against the LOG's schema. Fields resolve by NAME per
   * file, so pre-evolution files (S22e additive evolution) null-fill
   * missing columns here in the reader — no mergeSchema footer pass. */
-class CommitLogPartitionReader(file: String, schema: StructType)
+class CommitLogPartitionReader(
+    file: String, schema: StructType,
+    constChangeType: Option[String] = None, version: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private val constChangeUtf8 =
+    constChangeType.map(UTF8String.fromString).orNull
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
@@ -607,7 +682,14 @@ class CommitLogPartitionReader(file: String, schema: StructType)
     while (i < schema.length) {
       val fi = fieldIdx(i)
       out(i) =
-        if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
+        // change-feed constants: a data file planned as one side of a
+        // change (insert/delete) lacks the CDF columns — stamp them
+        if (fi < 0 && schema(i).name == CommitLogCdf.CommitVersionCol && version >= 0)
+          Int.box(version)
+        else if (fi < 0 && schema(i).name == CommitLogCdf.ChangeTypeCol &&
+            constChangeUtf8 != null)
+          constChangeUtf8
+        else if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
         else schema(i).dataType match {
           case LongType => Long.box(current.getLong(fi, 0))
           case IntegerType => Int.box(current.getInteger(fi, 0))

@@ -1411,6 +1411,52 @@ object Sources {
       s.table(sink).orderBy("change_type")
     },
 
+    // S31: RESTORE — Delta's RESTORE TABLE … TO VERSION as a commit-log
+    // verb: after an append, a second append, and a whole-batch delete,
+    // `CommitLog.restore(root, 2)` publishes a NEW commit whose
+    // add/remove sets transform the current snapshot back into v2 —
+    // history stays append-only (the deleted state at v3 remains
+    // readable for forensics), data files are REUSED (a restore is
+    // metadata-sized, no bytes copied), and the verb is audited. The
+    // decl reads the restored latest (must equal the v2 relational
+    // restatement — a missed add, stale remove, or double-listed batch
+    // breaks the hash), pins the version count and the audit label,
+    // and reads v3 to prove the rolled-back state survived.
+    // CommitLogRestoreSpec pins schema rollback, vacuumed-history
+    // failure, and the change feed's view of a restore.
+    Decl(
+      "s31_restore",
+      s"""WITH t AS (SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 3 <= 1)
+         |SELECT CAST(4 AS INT) AS n_versions, 'RESTORE' AS last_op,
+         |  CAST((SELECT count(*) FROM t) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o_totalprice")} AS total,
+         |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 = 1)
+         |    AS BIGINT) AS n_at_v3
+         |FROM t""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s31_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      (0 to 1).foreach { m =>
+        ord.filter($"o_orderkey" % 3 === m).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      CommitLog.commit(root, 2, added = Nil,
+        removed = Seq(CommitLog.files(root, 1).head)) // v3: drop the m=0 batch
+      val c = CommitLog.restore(root, toVersion = 2) // v4: bring it back
+      val restored = s.read.format("commitlog").option("path", root).load()
+      val atV3 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 3).load().count()
+      restored
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(c.version).as("n_versions"),
+          lit(CommitLog.history(root).last.operation.orNull).as("last_op"),
+          $"n", $"total", lit(atV3).as("n_at_v3"))
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

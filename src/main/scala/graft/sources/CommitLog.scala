@@ -581,6 +581,39 @@ object CommitLog {
     }
   }
 
+  /** RESTORE (Delta's RESTORE TABLE … TO VERSION): roll the table back
+    * to snapshot `toVersion` by publishing a NEW commit whose add/
+    * remove sets transform the current snapshot into the old one —
+    * history stays append-only (the bad versions remain readable for
+    * forensics until vacuum), data files are reused, not copied (a
+    * restore is metadata-sized). Restoring past expired history fails
+    * on the broken replay chain like any time travel; restoring
+    * batches a vacuum already SWEPT is impossible for the same reason
+    * (only still-readable versions can restore). The commit is
+    * dataChange=true — a restore re-states rows incremental consumers
+    * saw and retracts ones they kept, so tails fault on it exactly
+    * like any rewrite (the change feed computes its diff instead).
+    * Returns the new version (current == target is a no-op). */
+  def restore(root: String, toVersion: Int): Commit = {
+    val cur = latestVersion(root)
+    require(toVersion >= 1 && toVersion <= cur,
+      s"cannot restore $root to v$toVersion (latest is v$cur)")
+    val target = files(root, toVersion) // throws if expired
+    val current = files(root, cur)
+    val added = target.filterNot(current.toSet)
+    val removed = current.filterNot(target.toSet)
+    if (added.isEmpty && removed.isEmpty) return Commit(cur, 0)
+    // restore the schema in force at the target too: reads of the new
+    // version must plan exactly like reads of the old one. This may
+    // roll the DDL BACKWARD (dropping since-evolved columns), which the
+    // additive-evolution gate exists to reject from ordinary commits —
+    // a restore is the one verb where that reversal is the point, and
+    // it only ever re-records a DDL the table itself once declared.
+    commit(root, cur, added = added, removed = removed,
+      schema = schemaOf(root, toVersion), op = Some("RESTORE"),
+      schemaRollback = true)
+  }
+
   /** TIMESTAMP-based time travel: the highest still-readable version
     * whose commit time (manifest mtime — see [[HistoryEntry]]) is at
     * or before `timestampMs`. Fails when the time predates every
@@ -753,7 +786,8 @@ object CommitLog {
       txn: Option[(String, Long)] = None,
       dataChange: Boolean = true,
       op: Option[String] = None,
-      blooms: Blooms = Map.empty): Commit = {
+      blooms: Blooms = Map.empty,
+      schemaRollback: Boolean = false): Commit = {
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
     val removedSet = removed.toSet
@@ -805,7 +839,11 @@ object CommitLog {
         schemaOf(root, base) match {
           case None => Some(next)
           case Some(cur) if cur == next => None
-          case Some(cur) => checkEvolution(cur, next); Some(next)
+          case Some(cur) =>
+            // [[restore]] may legally roll the DDL backward; every
+            // other commit must evolve additively
+            if (!schemaRollback) checkEvolution(cur, next)
+            Some(next)
         }
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,

@@ -1457,6 +1457,54 @@ object Sources {
           $"n", $"total", lit(atV3).as("n_at_v3"))
     },
 
+    // S32: CHECK CONSTRAINTS — Delta's table invariants as log state:
+    // `addConstraint` validates EXISTING data with one filtered scan,
+    // then publishes a metadata-only commit; from that version on,
+    // every sink publish re-validates its staged epoch (epoch-sized
+    // scan, SQL CHECK semantics: NULL passes, only FALSE violates) and
+    // a violation drops the stage and fails BEFORE anything publishes —
+    // no version consumed, no watermark advanced, the pipeline stops
+    // instead of poisoning the table. The decl declares
+    // `o_totalprice > 0`, lands a clean append, attempts an append of
+    // NEGATED prices (must be rejected with the table unchanged), and
+    // pins versions + the audit label + the final relational state.
+    // Constraints ride checkpoints through vacuum (spec-pinned).
+    Decl(
+      "s32_check_constraint",
+      s"""SELECT CAST(3 AS INT) AS n_versions, true AS rejected,
+         |  'ADD CONSTRAINT' AS op_v2,
+         |  CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |FROM orders WHERE o_orderkey % 3 <= 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogWrite}
+      val root = ioDir("s32_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      def append(df: org.apache.spark.sql.DataFrame): Unit =
+        df.repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      append(ord.filter($"o_orderkey" % 3 === 0))
+      CommitLogWrite.addConstraint(s, root, "price_pos", "o_totalprice > 0")
+      append(ord.filter($"o_orderkey" % 3 === 1))
+      val rejected =
+        try {
+          append(ord.filter($"o_orderkey" % 3 === 2)
+            .select($"o_orderkey", (-$"o_totalprice").as("o_totalprice")))
+          false
+        } catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(_.isInstanceOf[CommitLog.ConstraintViolationException])
+        }
+      s.read.format("commitlog").option("path", root).load()
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(CommitLog.latestVersion(root)).as("n_versions"),
+          lit(rejected).as("rejected"),
+          lit(CommitLog.history(root)(1).operation.orNull).as("op_v2"),
+          $"n", $"total")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -292,10 +292,12 @@ object CommitLog {
       txn: Option[(String, Long)] = None,
       dataChange: Boolean = true,
       op: Option[String] = None,
-      blooms: Blooms = Map.empty): Boolean = {
+      blooms: Blooms = Map.empty,
+      constraints: Constraints = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
+    requireValidConstraints(constraints)
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
     op.foreach(o => require(o.nonEmpty && !o.exists("\",[]\\".contains(_)),
@@ -314,8 +316,11 @@ object CommitLog {
     val bloomField =
       if (blooms.isEmpty) ""
       else s""","bloom":${renderList(renderBlooms(blooms))}"""
+    val consField =
+      if (constraints.isEmpty) ""
+      else s""","constraint":${renderList(renderConstraints(constraints))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -439,6 +444,64 @@ object CommitLog {
   /** The accumulated blooms of the batches visible at `v` — one facet
     * of [[snapshotAt]]'s single replay. */
   def bloomsOf(root: String, v: Int): Blooms = snapshotAt(root, v).blooms
+
+  // ---- CONSTRAINTS-IN-MANIFEST: log-governed CHECK invariants ----
+  //
+  // Delta's ADD CONSTRAINT: a named boolean SQL expression every row of
+  // every FUTURE write must satisfy — enforced by the sink at publish
+  // (one filter over the staged epoch, see CommitLogWrite) and
+  // validated against EXISTING data when declared (addConstraint's
+  // caller scans once). Constraint state is versioned like schema:
+  // manifests record only the commit's own declarations, checkpoints
+  // snapshot the set in force, vacuum preserves it. Expressions are
+  // base64-wrapped in the flat grammar (SQL text is bracket/comma/
+  // quote-hostile).
+
+  /** name -> boolean SQL expression (over the table's columns). */
+  type Constraints = Map[String, String]
+
+  /** Thrown pre-publish when rows violate a CHECK constraint in force —
+    * nothing staged becomes visible, no version is consumed. */
+  final class ConstraintViolationException(
+      val name: String, val expr: String, val violations: Long)
+    extends IllegalStateException(
+      s"CHECK constraint '$name' ($expr) violated by $violations row(s) " +
+        "— nothing was committed")
+
+  private def b64e(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def b64d(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  private def requireValidConstraints(cs: Constraints): Unit =
+    cs.foreach { case (n, expr) =>
+      require(n.nonEmpty && !n.exists(",\"[]\\|".contains(_)),
+        s"constraint name '$n' must be non-empty and grammar-safe")
+      require(expr.nonEmpty, s"constraint '$n' needs an expression")
+    }
+
+  private def renderConstraints(cs: Constraints): Seq[String] =
+    cs.toSeq.sortBy(_._1).map { case (n, e) => s"$n|${b64e(e)}" }
+
+  private def parseConstraints(entries: Seq[String]): Constraints =
+    entries.map(_.split('|')).collect {
+      case Array(n, e) => n -> b64d(e)
+    }.toMap
+
+  /** The CHECK constraints in force at `v` — accumulated add-only over
+    * the prefix (like txn watermarks: never dropped by data removals),
+    * checkpoint-snapshotted so they survive vacuum. */
+  def constraintsOf(root: String, v: Int): Constraints = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) =>
+        (cv, parseConstraints(listField(textOf(ckptPath(root, cv)), "constraint")))
+      case None => (0, Map.empty: Constraints)
+    }
+    ((start + 1) to v).foldLeft(base) { (state, i) =>
+      state ++ parseConstraints(listField(textOf(manifest(root, i)), "constraint"))
+    }
+  }
 
   // ---- TXN-IN-MANIFEST: idempotent-writer watermarks ----
   //
@@ -651,8 +714,12 @@ object CommitLog {
       val bloomField =
         if (blooms.isEmpty) ""
         else s""","bloom":${renderList(renderBlooms(blooms))}"""
+      val cons = constraintsOf(root, v)
+      val consField =
+        if (cons.isEmpty) ""
+        else s""","constraint":${renderList(renderConstraints(cons))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField}""")
     }
   }
 
@@ -787,8 +854,10 @@ object CommitLog {
       dataChange: Boolean = true,
       op: Option[String] = None,
       blooms: Blooms = Map.empty,
-      schemaRollback: Boolean = false): Commit = {
+      schemaRollback: Boolean = false,
+      constraints: Constraints = Map.empty): Commit = {
     requireValidTxn(txn)
+    requireValidConstraints(constraints)
     requireValidDataChange(dataChange, added, removed, schema)
     val removedSet = removed.toSet
     require(added.distinct == added,
@@ -847,7 +916,7 @@ object CommitLog {
         }
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
-          dataChange, op, blooms)) {
+          dataChange, op, blooms, constraints)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -98,6 +98,39 @@ object CommitLogWrite {
     * stays within the manifest name grammar with margin. */
   def appOf(queryId: String): String = queryId.replace("-", "")
 
+  /** ADD CONSTRAINT (Delta's CHECK invariant): validates EXISTING data
+    * first (one filtered scan of the current snapshot — a constraint
+    * the table already violates must not be declarable), then publishes
+    * a metadata-only commit recording it. From that version on, every
+    * sink publish re-validates its staged epoch (see [[publish]]).
+    * SQL-standard semantics: a row passes when the expression is TRUE
+    * or NULL; only FALSE violates. */
+  def addConstraint(
+      spark: SparkSession, root: String, name: String, expr: String): Unit = {
+    val v = CommitLog.latestVersion(root)
+    val live = CommitLog.files(root, v)
+    if (live.nonEmpty) {
+      val bad = CommitLogSource.readBatches(spark, root, live,
+          CommitLog.schemaOf(root, v))
+        .filter(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(expr),
+            org.apache.spark.sql.functions.lit(true))))
+        .count()
+      if (bad > 0)
+        throw new CommitLog.ConstraintViolationException(name, expr, bad)
+    }
+    CommitLog.commit(root, v, added = Nil, removed = Nil,
+      op = Some("ADD CONSTRAINT"), constraints = Map(name -> expr))
+  }
+
+  /** Filter to rows VIOLATING `checkExpr` (FALSE only — NULL passes). */
+  private def violations(
+      df: org.apache.spark.sql.DataFrame, checkExpr: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    df.filter(not(coalesce(expr(checkExpr), lit(true)))).count()
+  }
+
   private def fs(path: Path): FileSystem = {
     val conf = SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -149,6 +182,31 @@ object CommitLogWrite {
       f.listStatus(stage)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
         .foreach(st => f.delete(st.getPath, false))
+
+    // CHECK constraints in force gate the epoch BEFORE anything
+    // publishes: one filtered scan of the staged parts per constraint
+    // (epoch-sized, not table-sized); a violation drops the stage and
+    // fails loudly — no version consumed, no watermark advanced, so
+    // the pipeline stops instead of poisoning the table
+    val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
+    if (inForce.nonEmpty && f.exists(stage)) {
+      // the committed attempts' parts are visible inside the stage by
+      // now (level-1 renames above); losing attempts' temps were swept
+      val parts = f.listStatus(stage).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      if (parts.nonEmpty) {
+        val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
+        inForce.foreach { case (name, expr) =>
+          val bad = violations(staged, expr)
+          if (bad > 0) {
+            dropStage()
+            throw new CommitLog.ConstraintViolationException(name, expr, bad)
+          }
+        }
+      }
+    }
 
     // an ALL-EMPTY epoch (every partition wrote zero rows) never
     // created the stage dir — the batch still commits, as an empty

@@ -423,6 +423,76 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(CommitLog.latestVersion(root) == 1, "replay must not publish")
   }
 
+  test("CHECK constraints: declared against clean data, enforced on every sink publish") {
+    val root = freshRoot("check")
+    Seq((1L, 5.0)).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    CommitLogWrite.addConstraint(spark, root, "x_pos", "x > 0")
+    assert(CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
+      == Map("x_pos" -> "x > 0"))
+    assert(CommitLog.history(root).last.operation.contains("ADD CONSTRAINT"))
+    // a clean append passes
+    Seq((2L, 7.0)).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    // a violating append fails loudly and publishes NOTHING
+    val before = CommitLog.latestVersion(root)
+    val err = intercept[Exception] {
+      Seq((3L, -1.0)).toDF("id", "x").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(err).contains("x_pos"), chain(err))
+    assert(CommitLog.latestVersion(root) == before, "violation must not commit")
+    assert(readIds(root) == Seq(1L, 2L))
+    // NULL passes (SQL CHECK semantics); a second constraint stacks
+    Seq((4L, Option.empty[Double])).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    assert(readIds(root) == Seq(1L, 2L, 4L))
+    CommitLogWrite.addConstraint(spark, root, "id_small", "id < 1000")
+    intercept[Exception] {
+      Seq((5000L, 1.0)).toDF("id", "x").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    // declaring a constraint EXISTING data violates is rejected
+    intercept[CommitLog.ConstraintViolationException] {
+      CommitLogWrite.addConstraint(spark, root, "impossible", "id > 100")
+    }
+    // constraints survive vacuum via the cutoff checkpoint
+    (0 until 8).foreach { i =>
+      Seq((10L + i, 1.0)).toDF("id", "x").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    assert(CommitLog.constraintsOf(root, CommitLog.latestVersion(root)).keySet
+      == Set("x_pos", "id_small"))
+    intercept[Exception] {
+      Seq((6L, -9.0)).toDF("id", "x").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+  }
+
+  test("a streaming epoch violating a CHECK constraint fails without consuming a version") {
+    val root = freshRoot("checkstream")
+    val schema = Seq((1L, 1.0)).toDF("id", "x").schema
+    Seq((1L, 1.0)).toDF("id", "x").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    CommitLogWrite.addConstraint(spark, root, "x_pos", "x > 0")
+    val w = new CommitLogStreamingWrite(root, schema, "appchk")
+    val dw = new graft.sources.CommitLogDataWriter(
+      s"$root/${w.stageName(0L)}", schema,
+      "_p00000-t0.parquet.tmp", "part-p00000.parquet")
+    dw.write(org.apache.spark.sql.catalyst.InternalRow(2L, -5.0))
+    val before = CommitLog.latestVersion(root)
+    intercept[CommitLog.ConstraintViolationException] {
+      w.commit(0L, Array(dw.commit()))
+    }
+    assert(CommitLog.latestVersion(root) == before)
+    assert(CommitLog.txnsOf(root, before).isEmpty,
+      "no watermark may advance for a rejected epoch")
+  }
+
   test("writer rejects non-primitive columns loudly") {
     val root = freshRoot("reject")
     val err = intercept[Exception] {

@@ -1505,6 +1505,132 @@ object Sources {
           $"n", $"total")
     },
 
+    // S33: DELETE WHERE / UPDATE SET … WHERE — the row-level verbs a
+    // lakehouse user runs between merges (Delta's `DELETE FROM` /
+    // `UPDATE`), as commit-log commits (graft.sources.CommitLogDml).
+    // The caller brings only a PREDICATE: the find phase is a
+    // column-pruned scan (predicate + assignment columns + row
+    // position, reconciled against outstanding DVs), and the physical
+    // leg follows MERGE's write-amplification dial. The decl runs
+    // both: UPDATE touches ~1% of rows → DV APPEND (positions +
+    // postimage rows, nothing rewrites), then DELETE drops the
+    // 'O'-status half → COW REWRITE whose rewrite covers the update's
+    // DV batch, so the verb doubles as compaction and the final table
+    // is DV-free (read through the plain connector — which REFUSES
+    // DV tables, so that read passing IS the compaction proof). v3 is
+    // read through the reconciling snapshot. Leg + audit-verb columns
+    // pin the dial decision and history labels; a row lost, kept, or
+    // double-applied at either granularity breaks the hash.
+    // CommitLogDmlSpec pins the no-op path, constraint-violating
+    // UPDATE rejection, racing-verb arbitration, and the CDC rows a
+    // changeFeed DML materializes.
+    Decl(
+      "s33_delete_update",
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    o_totalprice
+         |      + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS p,
+         |    o_orderstatus AS st
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |v3 AS (SELECT count(*) AS n, ${Qh.oSum2("p")} AS total FROM base),
+         |v4 AS (SELECT count(*) AS n, ${Qh.oSum2("p")} AS total
+         |       FROM base WHERE st <> 'O')
+         |SELECT CAST(3 AS BIGINT) AS version, 'dv' AS leg, 'UPDATE' AS op,
+         |  v3.n, v3.total FROM v3
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'cow', 'DELETE', v4.n, v4.total FROM v4
+         |ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogDml, CommitLogMerge}
+      val root = ioDir("s33_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      Seq(0, 2).foreach { m =>
+        ord.filter($"o_orderkey" % 4 === m).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      val u = CommitLogDml.update(s, root, "o_orderkey % 97 = 0",
+        Seq("o_totalprice" -> "o_totalprice + 1"))
+      val d = CommitLogDml.delete(s, root, "o_orderstatus = 'O'")
+      def opOf(v: Int): String =
+        CommitLog.history(root).find(_.version == v).flatMap(_.operation).orNull
+      val atV3 = CommitLogMerge.snapshot(s, root, u.version)
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(lit(u.version.toLong).as("version"), lit(u.leg).as("leg"),
+          lit(opOf(u.version)).as("op"), $"n", $"total")
+      val atV4 = s.read.format("commitlog").option("path", root).load()
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(lit(d.version.toLong).as("version"), lit(d.leg).as("leg"),
+          lit(opOf(d.version)).as("op"), $"n", $"total")
+      atV3.unionAll(atV4).orderBy("version")
+    },
+
+    // S34: SHALLOW CLONE — Delta's `CREATE TABLE … SHALLOW CLONE src`
+    // as a commit-log verb (CommitLog.cloneTable): the clone's v1
+    // manifest REFERENCES the source's batches as external `@/abs/dir`
+    // names (resolved by CommitLog.batchPath, the one seam every
+    // reader already goes through), so creation is a metadata-sized
+    // commit — the decl PINS zero parquet files under the clone root
+    // at clone time. Schema/stats/blooms/constraints carry, history
+    // does not (fresh lineage, op=CLONE). The two tables then diverge:
+    // the source gains an append the clone must not see, and a dense
+    // DELETE on the clone COW-rewrites the referenced data into LOCAL
+    // batches (incremental localization — pinned: no external refs
+    // remain) without touching one source byte. Clone-side vacuum can
+    // never sweep source data because the sweep lists only LOCAL
+    // directories (CommitLogCloneSpec pins that, plus DV-source
+    // refusal, version-pinned clones, and clone-of-clone ref
+    // flattening). At 100 TB this is the zero-copy dev/test-table
+    // verb: cloning a million-file table costs one manifest write.
+    Decl(
+      "s34_shallow_clone",
+      s"""WITH src AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+         |  WHERE o_orderkey % 4 IN (0, 1, 2)),
+         |cl AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+         |  WHERE o_orderkey % 4 IN (0, 2) AND o_orderkey % 8 NOT IN (0, 2))
+         |SELECT CAST(0 AS BIGINT) AS copied_at_clone, 'CLONE' AS clone_op,
+         |  false AS ext_refs_left,
+         |  (SELECT count(*) FROM src) AS src_n,
+         |  (SELECT ${Qh.oSum2("p")} FROM src) AS src_total,
+         |  (SELECT count(*) FROM cl) AS clone_n,
+         |  (SELECT ${Qh.oSum2("p")} FROM cl) AS clone_total""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogDml}
+      val src = ioDir("s34_src")
+      val tgt = ioDir("s34_clone")
+      Seq(src, tgt).foreach(p => Qh.deleteRecursively(new java.io.File(p)))
+      val ord = Qh.t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
+      def append(root: String, m: Int): Unit =
+        ord.filter($"o_orderkey" % 4 === m).repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      append(src, 0); append(src, 2)
+      CommitLog.cloneTable(src, tgt)
+      def parquetCount(root: String): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+          .asScala.count(_.toString.endsWith(".parquet"))
+      }
+      val copied = parquetCount(tgt)
+      append(src, 1) // diverge: the clone must not see this
+      // dense delete hitting BOTH referenced batches → COW localizes all
+      CommitLogDml.delete(s, tgt, "o_orderkey % 8 IN (0, 2)")
+      val extLeft = CommitLog.files(tgt, CommitLog.latestVersion(tgt))
+        .exists(_.startsWith("@"))
+      val srcAgg = s.read.format("commitlog").option("path", src).load()
+        .agg(count(lit(1)).as("src_n"), Qh.sumd2($"o_totalprice").as("src_total"))
+      val clAgg = s.read.format("commitlog").option("path", tgt).load()
+        .agg(count(lit(1)).as("clone_n"), Qh.sumd2($"o_totalprice").as("clone_total"))
+      srcAgg.crossJoin(clAgg).select(
+        lit(copied).as("copied_at_clone"),
+        lit(CommitLog.history(tgt).head.operation.orNull).as("clone_op"),
+        lit(extLeft).as("ext_refs_left"),
+        $"src_n", $"src_total", $"clone_n", $"clone_total")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

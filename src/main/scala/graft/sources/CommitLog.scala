@@ -145,6 +145,58 @@ object CommitLog {
     * missing manifest as NoSuchFileException. */
   def files(root: String, v: Int): Seq[String] = snapshotAt(root, v).files
 
+  /** Resolve a manifest batch name to its data directory: local names
+    * live under the table root; `@/abs/dir` external references
+    * (shallow clone) resolve to the referenced directory verbatim.
+    * Every reader resolves through here; writers only ever create
+    * LOCAL batches, so a clone localizes incrementally as COW verbs
+    * rewrite its referenced data. */
+  def batchPath(root: String, name: String): String =
+    if (name.startsWith("@")) name.drop(1) else s"$root/$name"
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE src`): make
+    * `targetRoot` a new table whose v1 manifest REFERENCES the source's
+    * data files at `version` (default latest) — a metadata-sized
+    * commit, zero bytes copied. Schema, per-batch stats boxes, blooms,
+    * and CHECK constraints in force all carry over, so manifest
+    * pruning and constraint enforcement work on the clone from birth;
+    * history and txn watermarks do NOT (the clone is a new table with
+    * its own lineage, audited as op=CLONE).
+    *
+    * After the clone, the two tables are INDEPENDENT: writes to either
+    * never touch the other. Clone-side rewrites (MERGE/DELETE/UPDATE/
+    * OPTIMIZE) replace external references with local batches —
+    * incremental localization — and clone-side vacuum only ever sweeps
+    * LOCAL directories, so it can never delete source data. The one
+    * cross-table hazard is Delta's own: vacuuming the SOURCE deletes
+    * files a clone still references — retain source history for as
+    * long as clones of it live.
+    *
+    * The source must be DV-free at `version` (compact first): a `dv-`
+    * batch's semantics ride its name prefix, which an external
+    * reference does not preserve. */
+  def cloneTable(sourceRoot: String, targetRoot: String,
+      version: Int = -1): Commit = {
+    val src = Paths.get(sourceRoot).toAbsolutePath.normalize.toString
+    val v = if (version < 0) latestVersion(src) else version
+    require(v >= 1, s"cannot clone empty table $src")
+    val snap = snapshotAt(src, v)
+    require(!snap.files.exists(_.startsWith("dv-")),
+      s"cannot shallow-clone $src at v$v: outstanding deletion vectors " +
+        "— run a COW merge or compaction first")
+    require(latestVersion(targetRoot) == 0,
+      s"clone target $targetRoot is not an empty table")
+    def ext(n: String): String =
+      if (n.startsWith("@")) n else s"@$src/$n" // clone-of-clone: keep refs
+    val added = snap.files.map(ext)
+    commit(targetRoot, 0, added = added,
+      schema = schemaOf(src, v),
+      stats = snap.stats.map { case (n, box) => ext(n) -> box },
+      blooms = snap.blooms.map { case (n, bs) => ext(n) -> bs },
+      constraints = constraintsOf(src, v),
+      op = Some("CLONE"))
+  }
+
   private object CkptName {
     private val Re = "ckpt-v(\\d+)\\.json".r
     def unapply(name: String): Option[Int] = name match {
@@ -272,10 +324,18 @@ object CommitLog {
     * the failure loud and local to the bad writer. */
   private def requireValidNames(names: Seq[String]): Unit = {
     names.foreach { n =>
-      require(n.nonEmpty && !n.exists(",\"[]\\".contains(_)) &&
-          !n.startsWith("_") && !n.startsWith(".") && !n.contains('/'),
+      val local = n.nonEmpty && !n.exists(",\"[]\\".contains(_)) &&
+        !n.startsWith("_") && !n.startsWith(".") && !n.contains('/')
+      // external batch REFERENCE (shallow clone): '@' + absolute dir.
+      // No '..' segments — a reference must name its directory plainly,
+      // never traverse; resolution is [[batchPath]].
+      val external = n.startsWith("@/") && n.length > 2 &&
+        !n.exists(",\"[]\\".contains(_)) &&
+        !n.substring(1).split("/").contains("..")
+      require(local || external,
         s"invalid batch name '$n': must be non-empty, contain none of " +
-          ", \" [ ] \\ /, and not start with _ or .")
+          ", \" [ ] \\ /, and not start with _ or . — or be an external " +
+          "reference '@/absolute/dir' with no '..' segments")
     }
     // a duplicate within ONE manifest's own list would double-list on
     // replay (files()'s dedupe only filters adds already in the prior

@@ -1,0 +1,244 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DELETE WHERE / UPDATE SET … WHERE over the [[CommitLog]] — the two
+  * row-level verbs a lakehouse user runs between merges (Delta's
+  * `DELETE FROM t WHERE …` / `UPDATE t SET … WHERE …`), sharing
+  * [[CommitLogMerge]]'s write-amplification dial and concurrency
+  * contract.
+  *
+  * Unlike MERGE, the caller brings no change set: the verb FINDS the
+  * affected rows by predicate. The find phase is a column-pruned scan —
+  * only the columns the predicate (and, for UPDATE, the assignments)
+  * reference are read, plus the row position — reconciled against any
+  * outstanding deletion vectors. Everything downstream is matched- or
+  * touched-batch-sized.
+  *
+  * Physical leg per commit, chosen exactly like MERGE:
+  *  - matched fraction of the touched batches < `dvFraction` →
+  *    '''DV append''': the matched (file, row_index) positions land as
+  *    a `dv-` batch (UPDATE also appends the postimage rows); nothing
+  *    rewrites. Deleting fifty rows from a million-row file costs
+  *    fifty positions.
+  *  - at or above → '''COW rewrite''': touched batches rewrite without
+  *    the deleted rows / with assignments applied; DV batches the
+  *    rewrite fully covers drop from the manifest (the verb doubles as
+  *    compaction).
+  *
+  * UPDATE postimages are validated against the CHECK constraints in
+  * force BEFORE anything is staged — an `UPDATE … SET price = -1`
+  * fails with [[CommitLog.ConstraintViolationException]], no version
+  * consumed (DELETE cannot violate a row invariant; it only removes
+  * rows).
+  *
+  * Both verbs publish SERIALIZABLE-conservative like MERGE: exactly
+  * `readVersion + 1` via [[CommitLog.tryCommit]], throwing
+  * `ConcurrentModificationException` if any rival committed first —
+  * never a rebase, because the rival may have changed rows the find
+  * phase already read. A predicate matching nothing is a no-op: no
+  * version is published.
+  *
+  * `changeFeed = true` materializes the verb's CDC rows (`delete` /
+  * `update_preimage` + `update_postimage`) to `_changes/v<N>/` with
+  * MERGE's stage-then-rename-after-win protocol, so
+  * [[CommitLogCdf.changeFeed]] and the connector's `readChangeFeed`
+  * stream through a DML commit exactly as through a merge.
+  */
+object CommitLogDml {
+
+  final case class DmlStats(
+      version: Int, leg: String, affected: Long,
+      touchedBatches: Seq[String], removedBatches: Seq[String])
+
+  /** DELETE FROM the table: remove every visible row where `condition`
+    * evaluates TRUE (NULL keeps the row — SQL DELETE semantics). */
+  def delete(
+      spark: SparkSession, root: String, condition: String,
+      dvFraction: Double = 0.3, readVersion: Int = -1,
+      changeFeed: Boolean = false): DmlStats =
+    run(spark, root, condition, assignments = Nil, dvFraction,
+      readVersion, changeFeed)
+
+  /** UPDATE the table: apply `assignments` (column → SQL expression
+    * over the old row) to every visible row where `condition`
+    * evaluates TRUE. Assigned columns must exist — this verb never
+    * changes the schema. */
+  def update(
+      spark: SparkSession, root: String, condition: String,
+      assignments: Seq[(String, String)],
+      dvFraction: Double = 0.3, readVersion: Int = -1,
+      changeFeed: Boolean = false): DmlStats = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    run(spark, root, condition, assignments, dvFraction,
+      readVersion, changeFeed)
+  }
+
+  private def run(
+      spark: SparkSession, root: String, condition: String,
+      assignments: Seq[(String, String)],
+      dvFraction: Double, readVersion: Int,
+      changeFeed: Boolean): DmlStats = {
+    val isUpdate = assignments.nonEmpty
+    val verb = if (isUpdate) "UPDATE" else "DELETE"
+    val readV = if (readVersion < 0) CommitLog.latestVersion(root) else readVersion
+    val (dvs, datas) =
+      CommitLog.files(root, readV).partition(_.startsWith(CommitLogMerge.DvPrefix))
+    require(datas.nonEmpty, s"cannot $verb in empty table $root")
+    val schemaDdl = CommitLog.schemaOf(root, readV)
+    val dataCols = CommitLogSource.readBatches(
+      spark, root, datas, schemaDdl).columns.toSeq
+    assignments.foreach { case (c, _) =>
+      require(dataCols.contains(c),
+        s"$verb assigns unknown column '$c' (table has $dataCols)")
+    }
+    // TRUE-only match (SQL DML semantics: NULL predicate leaves the row)
+    val hit = coalesce(expr(condition), lit(false))
+
+    // ---- find phase: predicate/assignment columns + position only ----
+    def refsOf(sqlExpr: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.distinct
+    val needed =
+      (refsOf(condition) ++ assignments.flatMap(a => refsOf(a._2))).distinct
+    needed.foreach(c => require(dataCols.contains(c),
+      s"$verb references unknown column '$c' (table has $dataCols)"))
+    val narrow = CommitLogSource.readBatches(spark, root, datas, schemaDdl)
+      .select(needed.map(col) :+
+        col("_metadata.file_path").as("_file") :+
+        col("_metadata.row_index").as("_pos"): _*)
+    val reconciled =
+      if (dvs.isEmpty) narrow
+      else narrow.join(
+        broadcast(spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
+        Seq("_file", "_pos"), "left_anti")
+    val matched = reconciled.filter(hit)
+      .withColumn("_batch", regexp_extract(col("_file"), "^(.*)/[^/]+$", 1))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val affected = matched.count()
+      if (affected == 0) return DmlStats(readV, "noop", 0, Nil, Nil)
+      val byDir = CommitLogMerge.dirToName(root, datas)
+      val touched = matched.select(col("_batch")).distinct()
+        .collect()
+        .map(r => byDir(CommitLogMerge.normDir(r.getString(0)))).toSeq.sorted
+      val touchedRows = CommitLogSource.readBatches(spark, root, touched,
+        schemaDdl).count()
+      val changedFraction =
+        if (touchedRows == 0) 1.0 else affected.toDouble / touchedRows
+
+      // full-width reconciled rows of the touched batches — the only
+      // full-width read, and it is touched-sized, not table-sized
+      def touchedFull: DataFrame = {
+        val base = CommitLogSource.readBatches(
+            spark, root, datas.filter(touched.contains), schemaDdl)
+          .withColumn("_file", col("_metadata.file_path"))
+          .withColumn("_pos", col("_metadata.row_index"))
+        val vis =
+          if (dvs.isEmpty) base
+          else base.join(
+            broadcast(spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
+            Seq("_file", "_pos"), "left_anti")
+        vis.drop("_file", "_pos")
+      }
+      def applied(c: String): Column =
+        assignments.toMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
+
+      // postimages violating a CHECK in force fail BEFORE staging
+      if (isUpdate) {
+        val inForce = CommitLog.constraintsOf(root, readV)
+        if (inForce.nonEmpty) {
+          val post = touchedFull.filter(hit).select(dataCols.map(applied): _*)
+          inForce.foreach { case (name, ce) =>
+            val bad = post.filter(not(coalesce(expr(ce), lit(true)))).count()
+            if (bad > 0)
+              throw new CommitLog.ConstraintViolationException(name, ce, bad)
+          }
+        }
+      }
+
+      val next = readV + 1
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val (added, removed, leg) =
+        if (changedFraction < dvFraction) {
+          // ---- DV leg: positions (+ postimages for UPDATE) ----
+          val dvBatch = s"${CommitLogMerge.DvPrefix}$next-$tag"
+          matched.select(col("_file"), col("_pos"))
+            .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvBatch")
+          if (isUpdate) {
+            val dataBatch = s"u$next-$tag"
+            touchedFull.filter(hit).select(dataCols.map(applied): _*)
+              .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataBatch")
+            (Seq(dataBatch, dvBatch), Nil, "dv")
+          } else (Seq(dvBatch), Nil, "dv")
+        } else {
+          // ---- COW leg: rewrite touched, compact covered DVs ----
+          val survivors =
+            if (isUpdate)
+              touchedFull.select(dataCols.map(c =>
+                when(hit, applied(c)).otherwise(col(c)).as(c)): _*)
+            else touchedFull.filter(!hit)
+          val coveredDvs = dvs.filter { dv =>
+            spark.read.parquet(CommitLog.batchPath(root, dv))
+              .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
+              .distinct().collect()
+              .map(r => byDir.get(CommitLogMerge.normDir(r.getString(0))))
+              .forall(_.exists(touched.contains))
+          }
+          val nSurvivors = survivors.count()
+          if (nSurvivors == 0 && !isUpdate)
+            // every row of every touched batch deleted: pure removal
+            (Nil, touched ++ coveredDvs, "cow")
+          else {
+            val rw = s"${if (isUpdate) "u" else "d"}$next-$tag"
+            survivors.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rw")
+            (Seq(rw), touched ++ coveredDvs, "cow")
+          }
+        }
+
+      // CDC rows, staged hidden, renamed in only after the version wins
+      val changeTmp = s"_changes/_tmp-$tag"
+      if (changeFeed) {
+        val pre = touchedFull.filter(hit)
+        val rows =
+          if (isUpdate)
+            pre.select(dataCols.map(col) :+
+                lit("update_preimage").as("_change_type"): _*)
+              .unionByName(pre.select(dataCols.map(applied) :+
+                lit("update_postimage").as("_change_type"): _*))
+          else
+            pre.select(dataCols.map(col) :+ lit("delete").as("_change_type"): _*)
+        rows.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$changeTmp")
+      }
+
+      if (!CommitLog.tryCommit(root, next, added, removed, op = Some(verb))) {
+        if (changeFeed) {
+          val p = new org.apache.hadoop.fs.Path(s"$root/$changeTmp")
+          val f = org.apache.hadoop.fs.FileSystem.get(
+            p.toUri, spark.sessionState.newHadoopConf())
+          if (f.exists(p)) f.delete(p, true)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"$verb lost the race at v$next of $root: a rival committed " +
+            "first — re-read and re-run (row-level verbs never rebase: " +
+            "the rival may have changed rows this find phase read)")
+      }
+      if (changeFeed) {
+        val f = org.apache.hadoop.fs.FileSystem.get(
+          new org.apache.hadoop.fs.Path(root).toUri,
+          spark.sessionState.newHadoopConf())
+        f.rename(
+          new org.apache.hadoop.fs.Path(s"$root/$changeTmp"),
+          new org.apache.hadoop.fs.Path(s"$root/${CommitLogMerge.changeDirName(next)}"))
+      }
+      if (next % CommitLog.checkpointInterval == 0)
+        CommitLog.writeCheckpoint(root, next)
+      DmlStats(next, leg, affected, touched, removed)
+    } finally matched.unpersist()
+  }
+}

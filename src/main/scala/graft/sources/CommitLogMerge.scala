@@ -70,6 +70,19 @@ object CommitLogMerge {
 
   private[graft] val DvPrefix = "dv-"
 
+  /** Map a batch's resolved data DIRECTORY back to its manifest name —
+    * the inverse of [[CommitLog.batchPath]], needed because
+    * `_metadata.file_path` yields physical paths while manifests hold
+    * names (which, for a shallow clone's external references, differ
+    * from the directory's own basename). */
+  private[sources] def dirToName(
+      root: String, names: Seq[String]): Map[String, String] =
+    names.map(n => normDir(CommitLog.batchPath(root, n)) -> n).toMap
+
+  /** Scheme-stripped directory path ('file:///a/b' and '/a/b' agree). */
+  private[sources] def normDir(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
   /** Where a version's materialized change-data rows live (when the
     * committing merge ran with `changeFeed = true`); underscore-hidden
     * from every data read. */
@@ -91,7 +104,8 @@ object CommitLogMerge {
     val visible =
       if (dvs.isEmpty) base
       else base.join(
-        broadcast(spark.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+        broadcast(spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
         Seq("_file", "_pos"), "left_anti")
     visible.drop("_file", "_pos")
   }
@@ -141,12 +155,13 @@ object CommitLogMerge {
       val reconciled =
         if (dvs.isEmpty) narrowBase
         else narrowBase.join(
-          broadcast(spark.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+          broadcast(spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
           Seq("_file", "_pos"), "left_anti")
       val matched = reconciled
         .join(srcKeyed.select(keyCols.map(col) :+ col(opCol).as("_op"): _*),
           keyCols)
-        .withColumn("_batch", element_at(split(col("_file"), "/"), -2))
+        .withColumn("_batch", regexp_extract(col("_file"), "^(.*)/[^/]+$", 1))
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try {
         val Array(matchedU, matchedD) = {
@@ -157,8 +172,9 @@ object CommitLogMerge {
         }
         val srcU = srcKeyed.filter(col(opCol) === "U").count()
         val inserted = srcU - matchedU
+        val byDir = dirToName(root, datas)
         val touched = matched.select(col("_batch")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+          .collect().map(r => byDir(normDir(r.getString(0)))).toSeq.sorted
         val touchedRows =
           if (touched.isEmpty) 0L
           else CommitLogSource.readBatches(spark, root, touched,
@@ -219,10 +235,11 @@ object CommitLogMerge {
             // a DV batch whose every referenced file lives in a removed
             // batch is dead after the rewrite — drop it (compaction)
             val coveredDvs = dvs.filter { dv =>
-              spark.read.parquet(s"$root/$dv")
-                .select(element_at(split(col("_file"), "/"), -2).as("b"))
-                .distinct().collect().map(_.getString(0))
-                .forall(touched.contains)
+              spark.read.parquet(CommitLog.batchPath(root, dv))
+                .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
+                .distinct().collect()
+                .map(r => byDir.get(normDir(r.getString(0))))
+                .forall(_.exists(touched.contains))
             }
             (Seq(rw), touched ++ coveredDvs, "cow")
           }
@@ -294,7 +311,8 @@ object CommitLogMerge {
     val visible =
       if (dvs.isEmpty) base
       else base.join(
-        broadcast(spark.read.parquet(dvs.map(b => s"$root/$b"): _*)),
+        broadcast(spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
         Seq("_file", "_pos"), "left_anti")
     visible.drop("_file", "_pos")
   }

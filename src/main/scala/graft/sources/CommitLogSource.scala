@@ -119,7 +119,7 @@ object CommitLogSource {
     * name. Batches are immutable once committed, so this listing is
     * replay-stable. */
   def listParquet(root: String, batch: String): Seq[String] = {
-    val dir = new Path(s"$root/$batch")
+    val dir = new Path(CommitLog.batchPath(root, batch))
     val fs = FileSystem.get(dir.toUri, hadoopConf())
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir)
@@ -161,11 +161,11 @@ object CommitLogSource {
   }
 
   /** Total visible parquet bytes of one committed batch. */
-  def batchBytes(root: String, batch: String): Long = {
-    val fs = FileSystem.get(new Path(root).toUri, hadoopConf())
-    listParquet(root, batch)
-      .map(f => fs.getFileStatus(new Path(f)).getLen).sum
-  }
+  def batchBytes(root: String, batch: String): Long =
+    listParquet(root, batch).map { f =>
+      val p = new Path(f)
+      p.getFileSystem(hadoopConf()).getFileStatus(p).getLen
+    }.sum
 
   private def hadoopConf(): Configuration = {
     val active = SparkSession.getActiveSession

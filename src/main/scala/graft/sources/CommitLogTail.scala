@@ -117,7 +117,8 @@ object CommitLogTail {
                 "emits appends only and cannot retract — set ignoreDeletes " +
                 "to skip delete commits")
           if (ch.added.nonEmpty) {
-            sink(spark.read.parquet(ch.added.map(b => s"$root/$b"): _*),
+            sink(spark.read.parquet(
+                ch.added.map(b => CommitLog.batchPath(root, b)): _*),
               ch.version)
             emitted += 1
           }

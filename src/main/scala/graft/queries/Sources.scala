@@ -1631,6 +1631,79 @@ object Sources {
         $"src_n", $"src_total", $"clone_n", $"clone_total")
     },
 
+    // S35: RENAME COLUMN without rewrite — Delta's column mapping as
+    // log state (CommitLog.renameColumn): a metadata-only commit
+    // records the renamed DDL plus a name chain (new → every name the
+    // column ever had), and every reader resolves per FILE ERA — the
+    // connector's record reader walks the chain newest-first per file,
+    // engine verbs coalesce through it inside codegen, writers always
+    // write current names so rewrites localize the rename. The decl
+    // appends under the old name, renames o_totalprice → price
+    // (pinning ZERO parquet files touched), appends under the new
+    // name, then UPDATEs through the new name across BOTH eras (DV
+    // leg: postimages land new-named while preimage positions point
+    // into old-named files); the latest read must see one logical
+    // column over mixed-era files, and a versionAsOf=1 read must see
+    // the ERA's schema (old name) — Delta's time-travel contract.
+    // CommitLogRenameSpec pins chained renames, collision/constraint
+    // guards, checkpoint replay under vacuum, optimize box-unioning
+    // across eras, and manifest pruning through the name chain (a
+    // pre-rename batch prunes from its old-name stats box when the
+    // filter arrives under the new name). At 100 TB: renaming a
+    // column on a million-file table is one manifest write, and the
+    // per-file chain probe costs one footer-name lookup at open time.
+    Decl(
+      "s35_rename_column",
+      s"""WITH latest AS (
+         |  SELECT o_totalprice
+         |    + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS price
+         |  FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+         |v1 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 0)
+         |SELECT 'RENAME COLUMN' AS op, true AS metadata_only,
+         |  'price' AS latest_col, 'o_totalprice' AS v1_col,
+         |  (SELECT count(*) FROM latest) AS n,
+         |  (SELECT ${Qh.oSum2("price")} FROM latest) AS total,
+         |  (SELECT count(*) FROM v1) AS n_v1,
+         |  (SELECT ${Qh.oSum2("o_totalprice")} FROM v1) AS total_v1""".stripMargin) {
+      (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogDml}
+      val root = ioDir("s35_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey", $"o_totalprice").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+      def parquetCount(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+          .asScala.count(_.toString.endsWith(".parquet"))
+      }
+      val before = parquetCount()
+      CommitLog.renameColumn(root, "o_totalprice", "price") // v2
+      val metadataOnly = parquetCount() == before
+      ord.filter($"o_orderkey" % 4 === 2)
+        .select($"o_orderkey", $"o_totalprice".as("price")).repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+      CommitLogDml.update(s, root, "o_orderkey % 97 = 0",
+        Seq("price" -> "price + 1")) // v4, through the new name, both eras
+      // the DV-leg update leaves the table merge-on-read: read latest
+      // through the reconciling snapshot (the S23 read shape)
+      val latest = graft.sources.CommitLogMerge.snapshot(s, root)
+      val v1 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 1).load()
+      val latestAgg = latest
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"price").as("total"))
+      val v1Agg = v1
+        .agg(count(lit(1)).as("n_v1"), Qh.sumd2($"o_totalprice").as("total_v1"))
+      latestAgg.crossJoin(v1Agg).select(
+        lit(CommitLog.history(root)(1).operation.orNull).as("op"),
+        lit(metadataOnly).as("metadata_only"),
+        lit(latest.columns.last).as("latest_col"),
+        lit(v1.columns.last).as("v1_col"),
+        $"n", $"total", $"n_v1", $"total_v1")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -353,11 +353,13 @@ object CommitLog {
       dataChange: Boolean = true,
       op: Option[String] = None,
       blooms: Blooms = Map.empty,
-      constraints: Constraints = Map.empty): Boolean = {
+      constraints: Constraints = Map.empty,
+      colMap: ColMap = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
     requireValidConstraints(constraints)
+    requireValidColMap(colMap)
     requireValidTxn(txn)
     requireValidDataChange(dataChange, added, removed, schema)
     op.foreach(o => require(o.nonEmpty && !o.exists("\",[]\\".contains(_)),
@@ -379,8 +381,11 @@ object CommitLog {
     val consField =
       if (constraints.isEmpty) ""
       else s""","constraint":${renderList(renderConstraints(constraints))}"""
+    val colMapField =
+      if (colMap.isEmpty) ""
+      else s""","colmap":${renderList(renderColMap(colMap))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -551,6 +556,122 @@ object CommitLog {
   /** The CHECK constraints in force at `v` — accumulated add-only over
     * the prefix (like txn watermarks: never dropped by data removals),
     * checkpoint-snapshotted so they survive vacuum. */
+  // ---- COLUMN MAPPING: rename without rewrite ----
+
+  /** Logical column name → its FORMER names, newest first (Delta's
+    * column mapping, name-based): data files keep whatever name was
+    * logical when they were written; readers resolve each logical
+    * column through its former-name chain. Manifest field `colmap`
+    * restates the FULL map (column-count-sized); replay takes the
+    * newest restatement. */
+  type ColMap = Map[String, Seq[String]]
+
+  private def renderColMap(m: ColMap): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (l, fs) => (l +: fs).mkString("|") }
+
+  private def parseColMap(entries: Seq[String]): ColMap =
+    entries.map { e =>
+      val parts = e.split("\\|").toSeq
+      parts.head -> parts.tail
+    }.toMap
+
+  private def requireValidColMap(m: ColMap): Unit = {
+    val all = m.toSeq.flatMap { case (l, fs) => l +: fs }
+    all.foreach(n => require(n.nonEmpty && !n.exists(",\"[]\\|".contains(_)),
+      s"column-map name '$n' must be non-empty and grammar-safe"))
+    require(all.distinct == all,
+      s"column map repeats a name — every logical and former name must " +
+        s"be unique: $m")
+  }
+
+  /** The column map in force at `v` (empty: no renames ever). */
+  def formerNamesOf(root: String, v: Int): ColMap = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) =>
+        (cv, parseColMap(listField(textOf(ckptPath(root, cv)), "colmap")))
+      case None => (0, Map.empty: ColMap)
+    }
+    ((start + 1) to v).foldLeft(base) { (state, i) =>
+      val restated = parseColMap(listField(textOf(manifest(root, i)), "colmap"))
+      if (restated.isEmpty) state else restated
+    }
+  }
+
+  /** RENAME COLUMN as a metadata-only commit (Delta's
+    * `ALTER TABLE … RENAME COLUMN`): no data file is rewritten — the
+    * commit records the renamed DDL plus a column-map entry chaining
+    * the new logical name to every name the column ever had, and
+    * readers coalesce through the chain per file era. Writers always
+    * write CURRENT logical names, so any later COW rewrite of an old
+    * batch localizes the rename for that batch, exactly like a shallow
+    * clone localizes external references. Requires a log-declared
+    * schema (the map is meaningless against inferred-schema reads);
+    * the new name must be fresh — not a live column and not any
+    * still-mapped former name (reuse would make the coalesce chain
+    * ambiguous). */
+  def renameColumn(root: String, oldName: String, newName: String): Commit = {
+    import org.apache.spark.sql.types.StructType
+    require(oldName != newName, "rename must change the name")
+    val v = latestVersion(root)
+    val ddl = schemaOf(root, v).getOrElse(throw new IllegalArgumentException(
+      s"RENAME COLUMN needs a log-declared schema on $root — declare one " +
+        "(schema-enforced write) before renaming"))
+    val st = StructType.fromDDL(ddl)
+    require(st.fieldNames.contains(oldName),
+      s"no column '$oldName' in $root (schema: ${st.fieldNames.mkString(",")})")
+    require(!st.fieldNames.contains(newName),
+      s"column '$newName' already exists in $root")
+    val cur = formerNamesOf(root, v)
+    require(!cur.values.flatten.toSet.contains(newName),
+      s"'$newName' is a still-mapped former name — reusing it would make " +
+        "old files' columns ambiguous")
+    // a CHECK referencing the old name would fail analysis at the next
+    // publish — drop or re-declare the constraint first (Delta blocks
+    // this rename the same way)
+    constraintsOf(root, v).foreach { case (cn, ce) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(ce).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.contains(oldName),
+        s"cannot rename '$oldName': CHECK constraint '$cn' ($ce) references " +
+          "it — drop and re-declare the constraint around the rename")
+    }
+    val newDdl = StructType(st.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f)).toDDL
+    val chain = oldName +: cur.getOrElse(oldName, Seq.empty)
+    val next = (cur - oldName) + (newName -> chain)
+    commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
+      op = Some("RENAME COLUMN"), colMap = next)
+  }
+
+  /** A commit restating the column map may change the DDL exactly by
+    * renames the map explains: each dropped name must reappear as the
+    * newest former of exactly one added name, same type. */
+  private def checkRename(cur: String, next: String, colMap: ColMap): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val curF = StructType.fromDDL(cur).fields.map(f => f.name -> f.dataType).toMap
+    val nextF = StructType.fromDDL(next).fields.map(f => f.name -> f.dataType).toMap
+    val dropped = curF.keySet -- nextF.keySet
+    val added = nextF.keySet -- curF.keySet
+    dropped.foreach { d =>
+      val to = added.filter(a => colMap.get(a).exists(_.headOption.contains(d)))
+      if (to.size != 1 || nextF(to.head) != curF(d))
+        throw new SchemaChangeException(
+          s"schema change drops column '$d' without a matching same-type " +
+            s"rename in the column map ($colMap)")
+    }
+    val retyped = curF.collect {
+      case (n, t) if nextF.get(n).exists(_ != t) => s"$n: $t -> ${nextF(n)}"
+    }
+    if (retyped.nonEmpty)
+      throw new SchemaChangeException(
+        s"schema change retypes ${retyped.mkString("; ")} — a rename " +
+          "commit may only rename (and add nullable columns)")
+  }
+
   def constraintsOf(root: String, v: Int): Constraints = {
     if (v == 0) return Map.empty
     val (start, base) = latestCheckpointAtOrBelow(root, v) match {
@@ -778,8 +899,12 @@ object CommitLog {
       val consField =
         if (cons.isEmpty) ""
         else s""","constraint":${renderList(renderConstraints(cons))}"""
+      val cm = formerNamesOf(root, v)
+      val colMapField =
+        if (cm.isEmpty) ""
+        else s""","colmap":${renderList(renderColMap(cm))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField}""")
     }
   }
 
@@ -915,9 +1040,11 @@ object CommitLog {
       op: Option[String] = None,
       blooms: Blooms = Map.empty,
       schemaRollback: Boolean = false,
-      constraints: Constraints = Map.empty): Commit = {
+      constraints: Constraints = Map.empty,
+      colMap: ColMap = Map.empty): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
+    requireValidColMap(colMap)
     requireValidDataChange(dataChange, added, removed, schema)
     val removedSet = removed.toSet
     require(added.distinct == added,
@@ -969,14 +1096,18 @@ object CommitLog {
           case None => Some(next)
           case Some(cur) if cur == next => None
           case Some(cur) =>
-            // [[restore]] may legally roll the DDL backward; every
-            // other commit must evolve additively
-            if (!schemaRollback) checkEvolution(cur, next)
+            // [[restore]] may legally roll the DDL backward and a
+            // column-map restatement may rename; every other commit
+            // must evolve additively
+            if (!schemaRollback) {
+              if (colMap.nonEmpty) checkRename(cur, next, colMap)
+              else checkEvolution(cur, next)
+            }
             Some(next)
         }
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
-          dataChange, op, blooms, constraints)) {
+          dataChange, op, blooms, constraints, colMap)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -67,7 +67,8 @@ object CommitLogCdf {
       // batch reads as an empty frame instead of failing inference
       def read(batches: Seq[String]): DataFrame =
         CommitLogSource.readBatches(spark, root, batches,
-          CommitLog.schemaOf(root, ch.version))
+          CommitLog.schemaOf(root, ch.version),
+          CommitLog.formerNamesOf(root, ch.version), keepMeta = false)
       val frame = (ch.added.nonEmpty, ch.removed.nonEmpty) match {
         case (true, false) =>
           Some(read(ch.added).withColumn(ChangeTypeCol, lit("insert")))

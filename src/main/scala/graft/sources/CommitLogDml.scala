@@ -87,6 +87,7 @@ object CommitLogDml {
       CommitLog.files(root, readV).partition(_.startsWith(CommitLogMerge.DvPrefix))
     require(datas.nonEmpty, s"cannot $verb in empty table $root")
     val schemaDdl = CommitLog.schemaOf(root, readV)
+    val formers = CommitLog.formerNamesOf(root, readV)
     val dataCols = CommitLogSource.readBatches(
       spark, root, datas, schemaDdl).columns.toSeq
     assignments.foreach { case (c, _) =>
@@ -106,7 +107,8 @@ object CommitLogDml {
       (refsOf(condition) ++ assignments.flatMap(a => refsOf(a._2))).distinct
     needed.foreach(c => require(dataCols.contains(c),
       s"$verb references unknown column '$c' (table has $dataCols)"))
-    val narrow = CommitLogSource.readBatches(spark, root, datas, schemaDdl)
+    val narrow = CommitLogSource.readBatches(spark, root, datas, schemaDdl,
+        formers, keepMeta = true)
       .select(needed.map(col) :+
         col("_metadata.file_path").as("_file") :+
         col("_metadata.row_index").as("_pos"): _*)
@@ -135,7 +137,8 @@ object CommitLogDml {
       // full-width read, and it is touched-sized, not table-sized
       def touchedFull: DataFrame = {
         val base = CommitLogSource.readBatches(
-            spark, root, datas.filter(touched.contains), schemaDdl)
+            spark, root, datas.filter(touched.contains), schemaDdl,
+            formers, keepMeta = true)
           .withColumn("_file", col("_metadata.file_path"))
           .withColumn("_pos", col("_metadata.row_index"))
         val vis =
@@ -144,7 +147,7 @@ object CommitLogDml {
             broadcast(spark.read.parquet(
           dvs.map(b => CommitLog.batchPath(root, b)): _*)),
             Seq("_file", "_pos"), "left_anti")
-        vis.drop("_file", "_pos")
+        vis.drop("_file", "_pos", "_metadata")
       }
       def applied(c: String): Column =
         assignments.toMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))

@@ -96,18 +96,10 @@ object CommitLogMerge {
     val (dvs, datas) = CommitLog.files(root, v).partition(_.startsWith(DvPrefix))
     require(datas.nonEmpty, s"empty table $root at v$v")
     // read under the log's DDL: footer-sampled inference would drop
-    // additively-evolved columns (and choke on empty-epoch batches)
-    val base = CommitLogSource.readBatches(
-        spark, root, datas, CommitLog.schemaOf(root, v))
-      .withColumn("_file", col("_metadata.file_path"))
-      .withColumn("_pos", col("_metadata.row_index"))
-    val visible =
-      if (dvs.isEmpty) base
-      else base.join(
-        broadcast(spark.read.parquet(
-          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
-        Seq("_file", "_pos"), "left_anti")
-    visible.drop("_file", "_pos")
+    // additively-evolved columns (and choke on empty-epoch batches);
+    // renamed columns resolve through the column map in force at v
+    snapshotOf(spark, root, datas, dvs, CommitLog.schemaOf(root, v),
+      CommitLog.formerNamesOf(root, v))
   }
 
   /** `changeFeed = true` additionally materializes this merge's ROW
@@ -133,6 +125,7 @@ object CommitLogMerge {
     val (dvs, datas) = CommitLog.files(root, readV).partition(_.startsWith(DvPrefix))
     require(datas.nonEmpty, s"cannot merge into empty table $root")
 
+    val formers = CommitLog.formerNamesOf(root, readV)
     val dataCols = CommitLogSource.readBatches(
       spark, root, datas, CommitLog.schemaOf(root, readV)).columns.toSeq
     require(source.columns.toSet == (dataCols :+ opCol).toSet,
@@ -148,7 +141,8 @@ object CommitLogMerge {
 
       // ---- match phase: narrow base projection ⋈ change set ----
       val narrowBase = CommitLogSource.readBatches(
-          spark, root, datas, CommitLog.schemaOf(root, readV))
+          spark, root, datas, CommitLog.schemaOf(root, readV),
+          formers, keepMeta = true)
         .select(keyCols.map(col) :+
           col("_metadata.file_path").as("_file") :+
           col("_metadata.row_index").as("_pos"): _*)
@@ -218,7 +212,7 @@ object CommitLogMerge {
             val rw = s"m$next-$tag"
             val touchedFull = snapshotOf(spark, root,
               datas.filter(touched.contains), dvs,
-              CommitLog.schemaOf(root, readV))
+              CommitLog.schemaOf(root, readV), formers)
             val newVals = srcKeyed.filter(col(opCol) === "U")
               .select(keyCols.map(col) :+
                 struct(dataCols.map(col): _*).as("_new"): _*)
@@ -254,7 +248,7 @@ object CommitLogMerge {
           val pre =
             if (touched.isEmpty) None
             else Some(snapshotOf(spark, root, datas.filter(touched.contains),
-                dvs, CommitLog.schemaOf(root, readV))
+                dvs, CommitLog.schemaOf(root, readV), formers)
               .join(opKeyed, keyCols)
               .select(dataCols.map(col) :+
                 when(col("_op") === "D", lit("delete"))
@@ -304,8 +298,10 @@ object CommitLogMerge {
   private def snapshotOf(
       spark: SparkSession, root: String,
       datas: Seq[String], dvs: Seq[String],
-      schemaDdl: Option[String]): DataFrame = {
-    val base = CommitLogSource.readBatches(spark, root, datas, schemaDdl)
+      schemaDdl: Option[String],
+      formers: CommitLog.ColMap = Map.empty): DataFrame = {
+    val base = CommitLogSource.readBatches(spark, root, datas, schemaDdl,
+        formers, keepMeta = true)
       .withColumn("_file", col("_metadata.file_path"))
       .withColumn("_pos", col("_metadata.row_index"))
     val visible =
@@ -314,6 +310,6 @@ object CommitLogMerge {
         broadcast(spark.read.parquet(
           dvs.map(b => CommitLog.batchPath(root, b)): _*)),
         Seq("_file", "_pos"), "left_anti")
-    visible.drop("_file", "_pos")
+    visible.drop("_file", "_pos", "_metadata")
   }
 }

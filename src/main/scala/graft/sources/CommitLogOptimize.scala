@@ -64,8 +64,11 @@ object CommitLogOptimize {
     // THE LOG'S DDL: a footer-sampled read would drop additively-
     // evolved columns from the rewrite — permanent loss once the
     // originals vacuum away.
+    // renamed columns coalesce through the column map and the rewrite
+    // lands under CURRENT logical names — compaction localizes renames
+    val formers = CommitLog.formerNamesOf(root, readVersion)
     CommitLogSource.readBatches(spark, root, smalls,
-        CommitLog.schemaOf(root, readVersion))
+        CommitLog.schemaOf(root, readVersion), formers, keepMeta = false)
       .coalesce(targetPartitions)
       .write.parquet(s"$root/$packed")
 
@@ -73,7 +76,12 @@ object CommitLogOptimize {
     // of maxes — but only for columns EVERY source has a box for (a
     // boxless source batch may hold rows outside any union)
     val stats = CommitLog.statsOf(root, readVersion)
-    val sourceBoxes = smalls.map(b => stats.getOrElse(b, Map.empty))
+    // boxes recorded before a rename carry the then-logical name —
+    // normalize every key to its CURRENT logical name so eras union
+    val toLogical: Map[String, String] =
+      formers.toSeq.flatMap { case (l, fs) => fs.map(_ -> l) }.toMap
+    val sourceBoxes = smalls.map(b => stats.getOrElse(b, Map.empty)
+      .map { case (c, box) => toLogical.getOrElse(c, c) -> box })
     val shared = sourceBoxes.map(_.keySet).reduce(_ intersect _)
     val packBox = shared.map { c =>
       val boxes = sourceBoxes.map(_(c))
@@ -87,7 +95,8 @@ object CommitLogOptimize {
     // the SAME width — otherwise the pack may hold values no surviving
     // filter admits, and the column must go unfiltered (unknown = keep)
     val allBlooms = CommitLog.bloomsOf(root, readVersion)
-    val srcBlooms = smalls.map(b => allBlooms.getOrElse(b, Map.empty))
+    val srcBlooms = smalls.map(b => allBlooms.getOrElse(b, Map.empty)
+      .map { case (c, v) => toLogical.getOrElse(c, c) -> v })
     val bloomCols = srcBlooms.map(_.keySet).reduce(_ intersect _)
     val packBloom = bloomCols.flatMap { c =>
       val hexes = srcBlooms.map(_(c))
@@ -155,7 +164,8 @@ object CommitLogOptimize {
     // read under the log's DDL (see optimize() — evolved columns must
     // survive the rewrite)
     val df = CommitLogSource.readBatches(spark, root, live,
-      CommitLog.schemaOf(root, readVersion))
+      CommitLog.schemaOf(root, readVersion),
+      CommitLog.formerNamesOf(root, readVersion), keepMeta = false)
     // the double each column's manifest box is expressed in — the SAME
     // units the sink writes and the scan's pushdown probes (micros for
     // timestamps, epoch days for dates), or pruning silently misfires

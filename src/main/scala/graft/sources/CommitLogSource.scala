@@ -71,7 +71,14 @@ class CommitLogSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = options.get("path")
     require(root != null, "commitlog source requires option(\"path\", <table root>)")
-    val base = CommitLogSource.tableSchema(root)
+    // time travel reads under the schema IN FORCE at that version
+    // (Delta semantics): a later RENAME or evolution must not leak
+    // backward into an era that never declared it
+    val v = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(t => CommitLog.versionAt(root, CommitLogSource.parseTime(t))))
+      .getOrElse(CommitLog.latestVersion(root))
+    val base = CommitLogSource.tableSchema(root, v)
     // CHANGE FEED reads carry the Delta CDF columns on top of the data
     // schema — rows describe changes, not current state
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
@@ -92,6 +99,17 @@ class CommitLogSource extends TableProvider with DataSourceRegister {
 }
 
 object CommitLogSource {
+  /** `timestampAsOf` / `startingTimestamp` accept epoch millis or any
+    * `yyyy-MM-dd[ HH:mm:ss]` timestamp, resolved against commit times
+    * by [[CommitLog.versionAt]]. */
+  private[sources] def parseTime(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else {
+      val norm = if (s.contains(" ") || s.contains("T"))
+        s.replace("T", " ") else s + " 00:00:00"
+      java.sql.Timestamp.valueOf(norm).getTime
+    }
+
   /** The table schema: declared DDL in force at the latest version,
     * else ONE footer read of the newest snapshot batch. An EMPTY table
     * (no committed version) reports an empty schema — the shape a SINK
@@ -99,8 +117,11 @@ object CommitLogSource {
     * with the query's own schema from LogicalWriteInfo; the first
     * commit then declares the DDL). Batch READS of an empty root fail
     * loudly at scan build instead (see [[CommitLogScan]]). */
-  def tableSchema(root: String): StructType = {
-    val v = CommitLog.latestVersion(root)
+  def tableSchema(root: String): StructType =
+    tableSchema(root, CommitLog.latestVersion(root))
+
+  /** The schema in force at `v` — what a time-travel read plans with. */
+  def tableSchema(root: String, v: Int): StructType = {
     CommitLog.schemaOf(root, v) match {
       case Some(ddl) => StructType.fromDDL(ddl)
       case None if v == 0 => new StructType()
@@ -143,7 +164,47 @@ object CommitLogSource {
     * cost S22e's declared-DDL contract exists to avoid). */
   def readBatches(
       spark: SparkSession, root: String, batches: Seq[String],
-      schemaDdl: Option[String]): org.apache.spark.sql.DataFrame = {
+      schemaDdl: Option[String]): org.apache.spark.sql.DataFrame =
+    readBatches(spark, root, batches, schemaDdl, Map.empty, keepMeta = false)
+
+  /** As above, resolving RENAMED columns through the table's column
+    * map: the scan schema is the logical schema plus every still-mapped
+    * former name (typed as its logical column), and each logical column
+    * is the codegen'd `coalesce` of its name chain — old files answer
+    * through the name they were written with, new files through the
+    * logical name, at zero per-row interpretive cost. `keepMeta` passes
+    * the hidden `_metadata` struct through the projection for callers
+    * that need file/position columns (the projection would otherwise
+    * make it unresolvable). */
+  def readBatches(
+      spark: SparkSession, root: String, batches: Seq[String],
+      schemaDdl: Option[String],
+      formerNames: Map[String, Seq[String]],
+      keepMeta: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    if (formerNames.nonEmpty) {
+      val ddl = schemaDdl.getOrElse(throw new IllegalStateException(
+        s"cannot read renamed table $root without its log-declared schema"))
+      val logical = StructType.fromDDL(ddl)
+      val extra = formerNames.toSeq.flatMap { case (l, formers) =>
+        logical.fields.find(_.name == l).toSeq.flatMap(f =>
+          formers.filterNot(logical.fieldNames.contains)
+            .map(n => org.apache.spark.sql.types.StructField(
+              n, f.dataType, nullable = true)))
+      }
+      val files = batches.flatMap(listParquet(root, _))
+      if (files.isEmpty)
+        return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), logical)
+      val raw = spark.read.schema(StructType(logical.fields ++ extra))
+        .parquet(files: _*)
+      val cols = logical.fields.toSeq.map { f =>
+        val chain = f.name +: formerNames.getOrElse(f.name, Seq.empty)
+          .filterNot(logical.fieldNames.contains)
+        coalesce(chain.map(col): _*).as(f.name)
+      } ++ (if (keepMeta) Seq(col("_metadata")) else Nil)
+      return raw.select(cols: _*)
+    }
     val files = batches.flatMap(listParquet(root, _))
     (schemaDdl, files) match {
       case (Some(d), Nil) =>
@@ -342,13 +403,7 @@ class CommitLogScanBuilder(
   /** `timestampAsOf` / `startingTimestamp` accept epoch millis or any
     * `yyyy-MM-dd[ HH:mm:ss]` timestamp, resolved against commit times
     * by [[CommitLog.versionAt]]. */
-  private def parseTime(s: String): Long =
-    if (s.forall(_.isDigit)) s.toLong
-    else {
-      val norm = if (s.contains(" ") || s.contains("T"))
-        s.replace("T", " ") else s + " 00:00:00"
-      java.sql.Timestamp.valueOf(norm).getTime
-    }
+  private def parseTime(s: String): Long = CommitLogSource.parseTime(s)
 
   override def build(): Scan = {
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toInt)
@@ -466,9 +521,18 @@ case class CommitLogScan(
     // the batches' committed (min, max) boxes — a batch with no box
     // for the column is always read (unknown = keep), and Spark still
     // evaluates the exact predicate above the scan
+    // pre-rename batches carry their boxes/blooms under the THEN-logical
+    // name — probe the column's whole name chain so old batches stay
+    // prunable after a rename (same type and units by the rename gate)
+    val fm = CommitLog.formerNamesOf(root, v)
+    def chainLookup[T](m: Option[Map[String, T]], c: String): Option[T] =
+      m.flatMap { bm =>
+        (c +: fm.getOrElse(c, Seq.empty)).iterator.map(bm.get)
+          .collectFirst { case Some(t) => t }
+      }
     val boxPruned = boxes.foldLeft(snap.files) { case (fs, (col, (lo, hi))) =>
       fs.filter { b =>
-        snap.stats.get(b).flatMap(_.get(col)) match {
+        chainLookup(snap.stats.get(b), col) match {
           case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
           case None => true
         }
@@ -480,7 +544,7 @@ case class CommitLogScan(
     // filter excludes the rows, never the other way around)
     val pruned = probes.foldLeft(boxPruned) { case (fs, (col, values)) =>
       fs.filter { b =>
-        snap.blooms.get(b).flatMap(_.get(col)) match {
+        chainLookup(snap.blooms.get(b), col) match {
           case Some(hex) => values.exists(CommitLogBloom.mightContain(hex, _))
           case None => true
         }
@@ -493,7 +557,8 @@ case class CommitLogScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CommitLogReaderFactory(schema)
+    CommitLogReaderFactory(schema, CommitLog.formerNamesOf(
+      root, versionAsOf.getOrElse(CommitLog.latestVersion(root))))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -611,7 +676,10 @@ class CommitLogMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CommitLogReaderFactory(schema)
+    // the chain only grows and names are never reused, so the LATEST
+    // map correctly resolves every earlier era's files
+    CommitLogReaderFactory(schema,
+      CommitLog.formerNamesOf(root, CommitLog.latestVersion(root)))
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -635,11 +703,14 @@ case class CommitLogInputPartition(
     file: String, constChangeType: Option[String] = None, version: Int = -1)
     extends InputPartition
 
-case class CommitLogReaderFactory(schema: StructType)
+case class CommitLogReaderFactory(
+    schema: StructType,
+    formers: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CommitLogInputPartition]
-    new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version)
+    new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version,
+      formers)
   }
 }
 
@@ -649,7 +720,8 @@ case class CommitLogReaderFactory(schema: StructType)
   * missing columns here in the reader — no mergeSchema footer pass. */
 class CommitLogPartitionReader(
     file: String, schema: StructType,
-    constChangeType: Option[String] = None, version: Int = -1)
+    constChangeType: Option[String] = None, version: Int = -1,
+    formers: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val constChangeUtf8 =
@@ -673,8 +745,13 @@ class CommitLogPartitionReader(
   override def get(): InternalRow = {
     if (fieldIdx == null) {
       fileType = current.getType
+      // resolve through the RENAME chain, newest name first: an old
+      // file answers a renamed logical column under the name it was
+      // written with (column mapping, resolved once per file)
       fieldIdx = schema.fields.map { f =>
-        if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name) else -1
+        (f.name +: formers.getOrElse(f.name, Seq.empty))
+          .find(fileType.containsField)
+          .map(fileType.getFieldIndex).getOrElse(-1)
       }
     }
     val out = new GenericInternalRow(schema.length)

@@ -111,7 +111,8 @@ object CommitLogWrite {
     val live = CommitLog.files(root, v)
     if (live.nonEmpty) {
       val bad = CommitLogSource.readBatches(spark, root, live,
-          CommitLog.schemaOf(root, v))
+          CommitLog.schemaOf(root, v),
+          CommitLog.formerNamesOf(root, v), keepMeta = false)
         .filter(org.apache.spark.sql.functions.not(
           org.apache.spark.sql.functions.coalesce(
             org.apache.spark.sql.functions.expr(expr),

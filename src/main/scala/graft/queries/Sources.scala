@@ -1704,6 +1704,133 @@ object Sources {
         $"n", $"total", $"n_v1", $"total_v1")
     },
 
+    // S36: DROP COLUMN under column mapping — the metadata-only narrow
+    // (CommitLog.dropColumn): the commit records the narrowed DDL and
+    // RESERVES the column's whole name chain forever (old files still
+    // carry data under those names — re-declaring any of them would
+    // resurrect zombie values, so the evolution gate rejects them for
+    // the table's lifetime; the decl pins that rejection). Readers
+    // stop projecting the column at zero rewrite cost (pinned: no
+    // parquet file touched); TIME TRAVEL still reads the era's schema
+    // and the dropped column's data (pinned via a v1 predicate on the
+    // dropped column); physical purge happens as a side effect of any
+    // COW rewrite or OPTIMIZE (CommitLogDropColumnSpec pins the purged
+    // footer, the reserve surviving checkpoint+vacuum replay, the
+    // rename-chain reserve, CHECK/last-column guards, and a clone
+    // carrying both registries). At 100 TB: dropping a column from a
+    // million-file table is one manifest write, and the storage
+    // reclaims incrementally through maintenance already scheduled.
+    Decl(
+      "s36_drop_column",
+      s"""WITH latest AS (
+         |  SELECT o_totalprice FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+         |v1 AS (
+         |  SELECT count(*) AS n_o FROM orders
+         |  WHERE o_orderkey % 4 = 0 AND o_orderstatus = 'O')
+         |SELECT 'DROP COLUMN' AS op, true AS metadata_only,
+         |  true AS readd_rejected, CAST(2 AS INT) AS n_cols,
+         |  (SELECT count(*) FROM latest) AS n,
+         |  (SELECT ${Qh.oSum2("o_totalprice")} FROM latest) AS total,
+         |  (SELECT n_o FROM v1) AS n_o_v1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s36_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ord = Qh.t(s, dir, "orders")
+      ord.filter($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        .repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+      def parquetCount(): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+          .asScala.count(_.toString.endsWith(".parquet"))
+      }
+      val before = parquetCount()
+      CommitLog.dropColumn(root, "o_orderstatus") // v2
+      val metadataOnly = parquetCount() == before
+      ord.filter($"o_orderkey" % 4 === 2)
+        .select($"o_orderkey", $"o_totalprice").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+      val readdRejected =
+        try {
+          ord.filter($"o_orderkey" % 4 === 1).limit(1)
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .repartition(1)
+            .write.format("commitlog").option("path", root).mode("append").save()
+          false
+        } catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+              .exists(_.isInstanceOf[CommitLog.SchemaChangeException])
+        }
+      val latest = s.read.format("commitlog").option("path", root).load()
+      val nOv1 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 1).load()
+        .filter($"o_orderstatus" === "O").count()
+      latest
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+        .select(
+          lit(CommitLog.history(root)(1).operation.orNull).as("op"),
+          lit(metadataOnly).as("metadata_only"),
+          lit(readdRejected).as("readd_rejected"),
+          lit(latest.columns.length).as("n_cols"),
+          $"n", $"total", lit(nOv1).as("n_o_v1"))
+    },
+
+    // S37: SQL CATALOG — the lakehouse behind `spark.sql`: a DSv2
+    // TableCatalog (graft.sources.GraftCatalog) resolves a warehouse
+    // directory of commitlog tables, so CREATE TABLE / INSERT INTO /
+    // SELECT / VERSION AS OF / ALTER TABLE RENAME COLUMN run as plain
+    // SQL against the same log every path-addressed verb uses — the
+    // decl's whole pipeline is SQL statements. The catalog holds NO
+    // state (a table IS its directory; resolution is one
+    // latestVersion listing), so concurrent sessions arbitrate through
+    // the optimistic commit protocol unchanged. The decl creates a
+    // table, loads it from the parquet fixture via SQL in two inserts,
+    // renames a column mid-history, inserts under the new name, and
+    // reads: latest (one logical column over three file eras), a
+    // VERSION AS OF count, and the audited verb trail. GraftCatalogSpec
+    // pins SHOW TABLES, TIMESTAMP AS OF, ADD/DROP COLUMN, RENAME TO,
+    // DROP TABLE, manifest-stat pruning through catalog scans, and
+    // identifier hygiene.
+    Decl(
+      "s37_sql_catalog",
+      s"""WITH latest AS (
+         |  SELECT o_totalprice AS price FROM orders
+         |  WHERE o_orderkey % 4 IN (0, 1, 2)),
+         |v2 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 0)
+         |SELECT 'CREATE TABLE' AS op_v1, 'RENAME COLUMN' AS op_v4,
+         |  (SELECT count(*) FROM latest) AS n,
+         |  (SELECT ${Qh.oSum2("price")} FROM latest) AS total,
+         |  (SELECT n FROM v2) AS n_v2""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s37_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt37", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt37.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt37.sqldb")
+      s.sql("CREATE TABLE gt37.sqldb.ord (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      def ins(m: Int, col: String): Unit =
+        s.sql(s"INSERT INTO gt37.sqldb.ord SELECT o_orderkey, " +
+          s"o_totalprice AS $col FROM $src WHERE o_orderkey % 4 = $m")
+      ins(0, "o_totalprice") // v2
+      ins(2, "o_totalprice") // v3
+      s.sql("ALTER TABLE gt37.sqldb.ord RENAME COLUMN o_totalprice TO price") // v4
+      ins(1, "price") // v5
+      val root = s"$wh/sqldb/ord"
+      val nV2 = s.sql("SELECT count(*) AS n FROM gt37.sqldb.ord VERSION AS OF 2")
+        .head().getLong(0)
+      s.sql("SELECT price FROM gt37.sqldb.ord")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"price").as("total"))
+        .select(
+          lit(CommitLog.history(root).head.operation.orNull).as("op_v1"),
+          lit(CommitLog.history(root)(3).operation.orNull).as("op_v4"),
+          $"n", $"total", lit(nV2).as("n_v2"))
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -194,6 +194,11 @@ object CommitLog {
       stats = snap.stats.map { case (n, box) => ext(n) -> box },
       blooms = snap.blooms.map { case (n, bs) => ext(n) -> bs },
       constraints = constraintsOf(src, v),
+      // renamed/dropped-name state must ride along: the referenced
+      // files answer through the source's name chains, and reserved
+      // names stay reserved on the clone
+      colMap = formerNamesOf(src, v),
+      droppedCols = droppedOf(src, v),
       op = Some("CLONE"))
   }
 
@@ -354,7 +359,8 @@ object CommitLog {
       op: Option[String] = None,
       blooms: Blooms = Map.empty,
       constraints: Constraints = Map.empty,
-      colMap: ColMap = Map.empty): Boolean = {
+      colMap: ColMap = Map.empty,
+      droppedCols: Seq[String] = Nil): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
@@ -384,8 +390,14 @@ object CommitLog {
     val colMapField =
       if (colMap.isEmpty) ""
       else s""","colmap":${renderList(renderColMap(colMap))}"""
+    droppedCols.foreach(n => require(
+      n.nonEmpty && !n.exists(",\"[]\\".contains(_)),
+      s"dropped-column name '$n' must be non-empty and grammar-safe"))
+    val droppedField =
+      if (droppedCols.isEmpty) ""
+      else s""","dropped":${renderList(droppedCols)}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -626,6 +638,9 @@ object CommitLog {
     require(!cur.values.flatten.toSet.contains(newName),
       s"'$newName' is a still-mapped former name — reusing it would make " +
         "old files' columns ambiguous")
+    require(!droppedOf(root, v).contains(newName),
+      s"'$newName' was DROPPED and is reserved forever — old files still " +
+        "carry data under it")
     // a CHECK referencing the old name would fail analysis at the next
     // publish — drop or re-declare the constraint first (Delta blocks
     // this rename the same way)
@@ -645,6 +660,64 @@ object CommitLog {
     val next = (cur - oldName) + (newName -> chain)
     commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
       op = Some("RENAME COLUMN"), colMap = next)
+  }
+
+  /** Names RESERVED forever by DROP COLUMN at `v`: the dropped logical
+    * name plus every former name of its chain. Old files still carry
+    * data under these names, so re-declaring any of them would
+    * resurrect zombie values — the evolution gate rejects them for the
+    * table's lifetime. Manifest field `dropped` restates the full
+    * (only-growing) list; replay takes the newest restatement. */
+  def droppedOf(root: String, v: Int): Seq[String] = {
+    if (v == 0) return Nil
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) => (cv, listField(textOf(ckptPath(root, cv)), "dropped"))
+      case None => (0, Nil: Seq[String])
+    }
+    ((start + 1) to v).foldLeft(base) { (state, i) =>
+      val restated = listField(textOf(manifest(root, i)), "dropped")
+      if (restated.isEmpty) state else restated
+    }
+  }
+
+  /** DROP COLUMN as a metadata-only commit (Delta's
+    * `ALTER TABLE … DROP COLUMN` under column mapping): no data file
+    * is rewritten — the commit records the narrowed DDL and reserves
+    * the column's whole name chain forever. Readers simply stop
+    * projecting the column; time travel still sees it (the era's
+    * schema governs); the dead bytes persist in old files until any
+    * COW rewrite or OPTIMIZE re-lands those batches under the current
+    * logical columns — physical purge is a side effect of the
+    * maintenance the table already runs. Dropping a column a CHECK
+    * references, or the last column, is rejected. */
+  def dropColumn(root: String, name: String): Commit = {
+    import org.apache.spark.sql.types.StructType
+    val v = latestVersion(root)
+    val ddl = schemaOf(root, v).getOrElse(throw new IllegalArgumentException(
+      s"DROP COLUMN needs a log-declared schema on $root"))
+    val st = StructType.fromDDL(ddl)
+    require(st.fieldNames.contains(name),
+      s"no column '$name' in $root (schema: ${st.fieldNames.mkString(",")})")
+    require(st.fields.length > 1,
+      s"cannot drop the last column of $root")
+    constraintsOf(root, v).foreach { case (cn, ce) =>
+      val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(ce).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(!refs.contains(name),
+        s"cannot drop '$name': CHECK constraint '$cn' ($ce) references it " +
+          "— drop the constraint first")
+    }
+    val newDdl = StructType(st.fields.filterNot(_.name == name)).toDDL
+    // reserve the dropped name AND its whole rename chain; the colmap
+    // entry (if any) stays in place harmlessly — the logical name is no
+    // longer in the schema, so nothing ever projects through it again
+    val reserve = (droppedOf(root, v) ++ (name +:
+      formerNamesOf(root, v).getOrElse(name, Seq.empty))).distinct
+    commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
+      op = Some("DROP COLUMN"), schemaDrop = true, droppedCols = reserve)
   }
 
   /** A commit restating the column map may change the DDL exactly by
@@ -670,6 +743,21 @@ object CommitLog {
       throw new SchemaChangeException(
         s"schema change retypes ${retyped.mkString("; ")} — a rename " +
           "commit may only rename (and add nullable columns)")
+  }
+
+  /** A DROP COLUMN commit may change the DDL only by removing columns
+    * (each of which it must reserve), never adding or retyping. */
+  private def checkDrop(cur: String, next: String, reserve: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val curF = StructType.fromDDL(cur).fields.map(f => f.name -> f.dataType).toMap
+    val nextF = StructType.fromDDL(next).fields.map(f => f.name -> f.dataType).toMap
+    val dropped = curF.keySet -- nextF.keySet
+    val bad = dropped.filterNot(reserve.contains)
+    if (bad.nonEmpty || (nextF.keySet -- curF.keySet).nonEmpty ||
+        curF.exists { case (n, t) => nextF.get(n).exists(_ != t) })
+      throw new SchemaChangeException(
+        s"a DROP COLUMN commit may only remove reserved columns " +
+          s"(dropped=$dropped, unreserved=$bad)")
   }
 
   def constraintsOf(root: String, v: Int): Constraints = {
@@ -903,8 +991,12 @@ object CommitLog {
       val colMapField =
         if (cm.isEmpty) ""
         else s""","colmap":${renderList(renderColMap(cm))}"""
+      val dr = droppedOf(root, v)
+      val droppedField =
+        if (dr.isEmpty) ""
+        else s""","dropped":${renderList(dr)}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField}""")
     }
   }
 
@@ -1041,7 +1133,9 @@ object CommitLog {
       blooms: Blooms = Map.empty,
       schemaRollback: Boolean = false,
       constraints: Constraints = Map.empty,
-      colMap: ColMap = Map.empty): Commit = {
+      colMap: ColMap = Map.empty,
+      schemaDrop: Boolean = false,
+      droppedCols: Seq[String] = Nil): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1096,18 +1190,33 @@ object CommitLog {
           case None => Some(next)
           case Some(cur) if cur == next => None
           case Some(cur) =>
-            // [[restore]] may legally roll the DDL backward and a
-            // column-map restatement may rename; every other commit
-            // must evolve additively
+            // [[restore]] may legally roll the DDL backward, a
+            // column-map restatement may rename, a DROP commit may
+            // narrow; every other commit must evolve additively —
+            // and never by re-declaring a DROPPED (reserved) name,
+            // whose data still lives in old files
             if (!schemaRollback) {
               if (colMap.nonEmpty) checkRename(cur, next, colMap)
+              else if (schemaDrop) checkDrop(cur, next, droppedCols)
               else checkEvolution(cur, next)
+            }
+            if (!schemaDrop) {
+              import org.apache.spark.sql.types.StructType
+              val reserved = droppedOf(root, base)
+              val zombie = StructType.fromDDL(next).fieldNames
+                .filter(reserved.contains)
+              if (zombie.nonEmpty)
+                throw new SchemaChangeException(
+                  s"column name(s) ${zombie.mkString(",")} were DROPPED and " +
+                    "are reserved forever: old files still carry data under " +
+                    "them, and re-declaring would resurrect it — pick a " +
+                    "fresh name")
             }
             Some(next)
         }
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
-          dataChange, op, blooms, constraints, colMap)) {
+          dataChange, op, blooms, constraints, colMap, droppedCols)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -294,7 +294,9 @@ object CommitLogSource {
   }
 }
 
-class CommitLogTable(root: String, tableSchema: StructType)
+class CommitLogTable(
+    root: String, tableSchema: StructType,
+    extraOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val schema0 = tableSchema
@@ -315,8 +317,13 @@ class CommitLogTable(root: String, tableSchema: StructType)
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new CommitLogWriteBuilder(root, info)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitLogScanBuilder(root, schema0, options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // catalog-loaded tables carry their own context (e.g. versionAsOf
+    // from a SQL time-travel clause) — merge it under the caller's
+    val merged = new java.util.HashMap[String, String](options)
+    extraOptions.foreach { case (k, v) => merged.put(k, v) }
+    new CommitLogScanBuilder(root, schema0, new CaseInsensitiveStringMap(merged))
+  }
 }
 
 /** Plan-time MANIFEST-STATS pruning + column pruning for the batch

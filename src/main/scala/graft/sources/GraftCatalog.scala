@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSourceV2 [[TableCatalog]] over a warehouse directory of
+  * [[CommitLog]] tables — the surface that makes the lakehouse
+  * SQL-addressable. Register it once:
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *             spark.sql.catalog.graft.warehouse = /data/warehouse
+  * }}}
+  *
+  * and every verb the log implements becomes a SQL statement:
+  *
+  *  - `CREATE TABLE graft.db.t (k BIGINT, v BIGINT)` — v1 declares the
+  *    DDL (schema-only commit, op=CREATE TABLE)
+  *  - `INSERT INTO graft.db.t SELECT …` — the commitlog sink's batch
+  *    append (fresh-named batch + born-prunable stats)
+  *  - `SELECT … FROM graft.db.t` — the pruning batch scan
+  *  - `SELECT … FROM graft.db.t VERSION AS OF 3` /
+  *    `TIMESTAMP AS OF '…'` — time travel through Spark's own SQL
+  *    time-travel clauses (loadTable version/timestamp overloads),
+  *    planned with the schema in force at that version
+  *  - `ALTER TABLE graft.db.t RENAME COLUMN a TO b` / `DROP COLUMN a` /
+  *    `ADD COLUMN c TYPE` — the column-mapping verbs and additive
+  *    evolution as TableChange translations
+  *  - `DROP TABLE graft.db.t`, `SHOW TABLES IN graft.db`
+  *
+  * A table IS its directory (`<warehouse>/<ns…>/<name>`), a namespace
+  * IS a directory of tables — the catalog holds no state of its own,
+  * so any number of concurrent sessions resolve the same warehouse and
+  * the commit log's optimistic protocol arbitrates their writes
+  * exactly as it does for path-addressed use. At 100 TB the catalog
+  * costs what the log costs: table resolution is one `latestVersion`
+  * listing, nothing table-sized. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(
+      name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def checkPart(p: String): String = {
+    require(p.nonEmpty && !p.contains('/') && p != ".." && p != "." &&
+        !p.startsWith("_"),
+      s"invalid catalog identifier part '$p'")
+    p
+  }
+
+  private def dirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq.map(checkPart) :+
+      checkPart(ident.name)).mkString("/")
+
+  private def dirOf(namespace: Array[String]): String =
+    (warehouse +: namespace.toSeq.map(checkPart)).mkString("/")
+
+  private def isTable(dir: java.nio.file.Path): Boolean =
+    java.nio.file.Files.isDirectory(dir.resolve("_log"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = java.nio.file.Paths.get(dirOf(namespace))
+    if (!java.nio.file.Files.isDirectory(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(ns).iterator().asScala
+      .filter(isTable)
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray.sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val root = dirOf(ident)
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "_log")) &&
+      CommitLog.latestVersion(root) > 0
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    val root = dirOf(ident)
+    new CommitLogTable(root, CommitLogSource.tableSchema(root))
+  }
+
+  /** `VERSION AS OF <v>` — plan with the schema AND column map in
+    * force at that version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    val root = dirOf(ident)
+    val v = version.toInt
+    new CommitLogTable(root, CommitLogSource.tableSchema(root, v),
+      Map("versionAsOf" -> version))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    val root = dirOf(ident)
+    val v = CommitLog.versionAt(root, timestamp / 1000L)
+    new CommitLogTable(root, CommitLogSource.tableSchema(root, v),
+      Map("versionAsOf" -> v.toString))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "commitlog tables lay out by manifest stats/z-order, not hive " +
+        "partitions — create unpartitioned and OPTIMIZE ZORDER instead")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    val root = dirOf(ident)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
+      schema = Some(schema.toDDL), op = Some("CREATE TABLE"))
+    new CommitLogTable(root, schema)
+  }
+
+  /** ALTER TABLE: RENAME COLUMN / DROP COLUMN map onto the
+    * column-mapping verbs; ADD COLUMN onto additive evolution. Each
+    * change is one commit — SQL's one-change-per-ALTER shape. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = dirOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        require(c.fieldNames.length == 1,
+          "commitlog columns are top-level — nested renames unsupported")
+        CommitLog.renameColumn(root, c.fieldNames.head, c.newName)
+      case c: TableChange.DeleteColumn =>
+        require(c.fieldNames.length == 1,
+          "commitlog columns are top-level — nested drops unsupported")
+        CommitLog.dropColumn(root, c.fieldNames.head)
+      case c: TableChange.AddColumn =>
+        require(c.fieldNames.length == 1,
+          "commitlog columns are top-level — nested adds unsupported")
+        require(c.isNullable,
+          "evolved columns null-fill old files — ADD COLUMN must be nullable")
+        val v = CommitLog.latestVersion(root)
+        val cur = CommitLog.schemaOf(root, v).getOrElse(
+          throw new IllegalStateException(s"$root has no declared schema"))
+        val next = StructType.fromDDL(cur)
+          .add(c.fieldNames.head, c.dataType, nullable = true)
+        CommitLog.commit(root, v, added = Nil, schema = Some(next.toDDL),
+          op = Some("ADD COLUMN"))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change $other is not supported on commitlog tables")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = java.nio.file.Paths.get(dirOf(ident))
+    if (!java.nio.file.Files.isDirectory(root)) return false
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (oldIdent.namespace :+ oldIdent.name).toSeq)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (newIdent.namespace :+ newIdent.name).toSeq)
+    val to = java.nio.file.Paths.get(dirOf(newIdent))
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dirOf(oldIdent)), to)
+  }
+
+  // ---- namespaces (directories of tables) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    import scala.jdk.CollectionConverters._
+    val w = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(w)) return Array.empty
+    java.nio.file.Files.list(w).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) && !isTable(p) &&
+        !p.getFileName.toString.startsWith("_"))
+      .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+          namespace.toSeq)
+      Array.empty // one level of namespaces is plenty for a warehouse dir
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dirOf(namespace)))
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
+    new java.util.HashMap[String, String]()
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dirOf(namespace)))
+
+  override def alterNamespace(
+      namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "commitlog namespaces carry no metadata to alter")
+
+  override def dropNamespace(
+      namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = java.nio.file.Paths.get(dirOf(namespace))
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    import scala.jdk.CollectionConverters._
+    val hasChildren = java.nio.file.Files.list(dir).iterator().asScala.nonEmpty
+    if (hasChildren && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty — use CASCADE")
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    true
+  }
+}

@@ -557,13 +557,33 @@ object CommitLog {
       require(expr.nonEmpty, s"constraint '$n' needs an expression")
     }
 
+  /** The expr value encoding a DROP CONSTRAINT tombstone: '-' is not
+    * in the base64 alphabet, so the rendered `name|-` entry can never
+    * collide with a real expression. */
+  private[graft] val ConstraintTombstone = "-"
+
   private def renderConstraints(cs: Constraints): Seq[String] =
-    cs.toSeq.sortBy(_._1).map { case (n, e) => s"$n|${b64e(e)}" }
+    cs.toSeq.sortBy(_._1).map {
+      case (n, ConstraintTombstone) => s"$n|$ConstraintTombstone"
+      case (n, e) => s"$n|${b64e(e)}"
+    }
 
   private def parseConstraints(entries: Seq[String]): Constraints =
     entries.map(_.split('|')).collect {
-      case Array(n, e) => n -> b64d(e)
+      case Array(n, e) if e != ConstraintTombstone => n -> b64d(e)
     }.toMap
+
+  /** Fold one manifest's constraint entries into the running state:
+    * adds declare, tombstones retract. */
+  private def foldConstraints(
+      state: Constraints, entries: Seq[String]): Constraints =
+    entries.foldLeft(state) { (s, entry) =>
+      entry.split('|') match {
+        case Array(n, ConstraintTombstone) => s - n
+        case Array(n, e) => s + (n -> b64d(e))
+        case _ => s
+      }
+    }
 
   /** The CHECK constraints in force at `v` — accumulated add-only over
     * the prefix (like txn watermarks: never dropped by data removals),
@@ -768,8 +788,25 @@ object CommitLog {
       case None => (0, Map.empty: Constraints)
     }
     ((start + 1) to v).foldLeft(base) { (state, i) =>
-      state ++ parseConstraints(listField(textOf(manifest(root, i)), "constraint"))
+      foldConstraints(state, listField(textOf(manifest(root, i)), "constraint"))
     }
+  }
+
+  /** DROP CONSTRAINT: retract a CHECK from force as a metadata-only
+    * commit (a tombstone entry in the constraint field; checkpoints
+    * snapshot the resolved set, so the tombstone itself expires with
+    * its manifest). Writes that race the drop may still validate
+    * against the old set — validating too strictly is safe. This is
+    * what makes `renameColumn`/`dropColumn`'s "drop the constraint
+    * first" guidance actionable, and the escape hatch if a declared
+    * constraint must be retired. */
+  def dropConstraint(root: String, name: String): Commit = {
+    val v = latestVersion(root)
+    require(constraintsOf(root, v).contains(name),
+      s"no CHECK constraint '$name' in force on $root")
+    commit(root, v, added = Nil, removed = Nil,
+      op = Some("DROP CONSTRAINT"),
+      constraints = Map(name -> ConstraintTombstone))
   }
 
   // ---- TXN-IN-MANIFEST: idempotent-writer watermarks ----
@@ -930,11 +967,17 @@ object CommitLog {
     val cur = latestVersion(root)
     require(toVersion >= 1 && toVersion <= cur,
       s"cannot restore $root to v$toVersion (latest is v$cur)")
-    val target = files(root, toVersion) // throws if expired
+    val snapT = snapshotAt(root, toVersion) // throws if expired
+    val target = snapT.files
     val current = files(root, cur)
     val added = target.filterNot(current.toSet)
     val removed = current.filterNot(target.toSet)
     if (added.isEmpty && removed.isEmpty) return Commit(cur, 0)
+    // re-added batches bring their pruning metadata back with them —
+    // "plan exactly like the old version" includes stats and blooms
+    val addedSet = added.toSet
+    val reStats = snapT.stats.filter { case (b, _) => addedSet.contains(b) }
+    val reBlooms = snapT.blooms.filter { case (b, _) => addedSet.contains(b) }
     // restore the schema in force at the target too: reads of the new
     // version must plan exactly like reads of the old one. This may
     // roll the DDL BACKWARD (dropping since-evolved columns), which the
@@ -943,7 +986,7 @@ object CommitLog {
     // it only ever re-records a DDL the table itself once declared.
     commit(root, cur, added = added, removed = removed,
       schema = schemaOf(root, toVersion), op = Some("RESTORE"),
-      schemaRollback = true)
+      schemaRollback = true, stats = reStats, blooms = reBlooms)
   }
 
   /** TIMESTAMP-based time travel: the highest still-readable version

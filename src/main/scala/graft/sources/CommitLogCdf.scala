@@ -90,7 +90,12 @@ object CommitLogCdf {
         .add(CommitVersionCol, org.apache.spark.sql.types.IntegerType)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    } else frames.reduce(_ unionByName _)
+    } else
+      // a window spanning an additive schema evolution yields frames
+      // with different column sets — pre-evolution rows null-fill the
+      // later columns (Delta CDF's end-schema read), instead of the
+      // union crashing a legitimate incremental read
+      frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Row diff of one copy-on-write commit: full-outer join of the

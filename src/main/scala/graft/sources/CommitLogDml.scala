@@ -88,8 +88,9 @@ object CommitLogDml {
     require(datas.nonEmpty, s"cannot $verb in empty table $root")
     val schemaDdl = CommitLog.schemaOf(root, readV)
     val formers = CommitLog.formerNamesOf(root, readV)
-    val dataCols = CommitLogSource.readBatches(
-      spark, root, datas, schemaDdl).columns.toSeq
+    val tableSchema = CommitLogSource.readBatches(
+      spark, root, datas, schemaDdl).schema
+    val dataCols = tableSchema.fieldNames.toSeq
     assignments.foreach { case (c, _) =>
       require(dataCols.contains(c),
         s"$verb assigns unknown column '$c' (table has $dataCols)")
@@ -151,6 +152,21 @@ object CommitLogDml {
       }
       def applied(c: String): Column =
         assignments.toMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
+
+      // assignment results must keep the declared column type — a
+      // type-drifted postimage would land parquet the table's schema
+      // can no longer read back (analysis-only, nothing executes)
+      if (isUpdate) {
+        val postSchema = CommitLogSource.readBatches(
+            spark, root, datas, schemaDdl, formers, keepMeta = false)
+          .select(dataCols.map(applied): _*).schema
+        dataCols.foreach { c =>
+          val (got, want) = (postSchema(c).dataType, tableSchema(c).dataType)
+          require(got == want,
+            s"UPDATE assigns $got to column '$c' which is $want — " +
+              "cast explicitly in the assignment")
+        }
+      }
 
       // postimages violating a CHECK in force fail BEFORE staging
       if (isUpdate) {
@@ -231,14 +247,8 @@ object CommitLogDml {
             "first — re-read and re-run (row-level verbs never rebase: " +
             "the rival may have changed rows this find phase read)")
       }
-      if (changeFeed) {
-        val f = org.apache.hadoop.fs.FileSystem.get(
-          new org.apache.hadoop.fs.Path(root).toUri,
-          spark.sessionState.newHadoopConf())
-        f.rename(
-          new org.apache.hadoop.fs.Path(s"$root/$changeTmp"),
-          new org.apache.hadoop.fs.Path(s"$root/${CommitLogMerge.changeDirName(next)}"))
-      }
+      if (changeFeed)
+        CommitLogMerge.promoteChanges(spark, root, changeTmp, next)
       if (next % CommitLog.checkpointInterval == 0)
         CommitLog.writeCheckpoint(root, next)
       DmlStats(next, leg, affected, touched, removed)

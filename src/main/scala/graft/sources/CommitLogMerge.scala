@@ -88,6 +88,31 @@ object CommitLogMerge {
     * from every data read. */
   private[graft] def changeDirName(v: Int): String = s"_changes/v$v"
 
+  /** Promote staged change rows after the version is won. A failed
+    * rename must NOT pass silently: for a DV or COW version the
+    * materialized rows are the ONLY plannable change source, and a
+    * missing dir permanently faults every change-feed consumer at
+    * that version. We own the version, so a pre-existing dest can
+    * only be our own crashed prior attempt — clear it and retry once,
+    * then fail loudly (the data commit itself already landed). */
+  private[sources] def promoteChanges(
+      spark: SparkSession, root: String, changeTmp: String, next: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sessionState.newHadoopConf())
+    val src = new org.apache.hadoop.fs.Path(s"$root/$changeTmp")
+    val dest = new org.apache.hadoop.fs.Path(s"$root/${changeDirName(next)}")
+    if (!fs.rename(src, dest)) {
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.rename(src, dest))
+        throw new IllegalStateException(
+          s"v$next of $root committed, but its change rows failed to " +
+            s"promote from $changeTmp to ${changeDirName(next)} — " +
+            "change-feed consumers will fault at this version until the " +
+            "stage is promoted manually")
+    }
+  }
+
   /** The reconciled snapshot at `version` (default latest): data
     * batches minus outstanding deletion-vector positions. The DV side
     * is deletes-sized and broadcasts — the S23 read shape. */
@@ -126,10 +151,19 @@ object CommitLogMerge {
     require(datas.nonEmpty, s"cannot merge into empty table $root")
 
     val formers = CommitLog.formerNamesOf(root, readV)
-    val dataCols = CommitLogSource.readBatches(
-      spark, root, datas, CommitLog.schemaOf(root, readV)).columns.toSeq
+    val tableSchema = CommitLogSource.readBatches(
+      spark, root, datas, CommitLog.schemaOf(root, readV)).schema
+    val dataCols = tableSchema.fieldNames.toSeq
     require(source.columns.toSet == (dataCols :+ opCol).toSet,
       s"source must carry ${dataCols :+ opCol}, got ${source.columns.toSeq}")
+    // name-AND-type: a type-drifted source would land parquet files the
+    // table's declared schema can no longer read back
+    dataCols.foreach { c =>
+      val (got, want) = (source.schema(c).dataType, tableSchema(c).dataType)
+      require(got == want,
+        s"source column '$c' is $got but the table declares $want — " +
+          "cast explicitly before merging")
+    }
 
     // one row per key — two MATCHED actions for one key is ambiguous
     val srcKeyed = source.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -138,6 +172,20 @@ object CommitLogMerge {
       require(srcKeyed.select(keyCols.map(col): _*).distinct().count() == srcN,
         "merge source must hold at most one row per key — pre-reduce it " +
           "(max_by on a sequence column, the C4 discipline)")
+
+      // every row this merge can WRITE (inserts, postimages, COW
+      // replacement values) comes verbatim from the source's U rows:
+      // one pre-stage pass enforces the CHECKs in force on all legs
+      val inForce = CommitLog.constraintsOf(root, readV)
+      if (inForce.nonEmpty) {
+        val newRows = srcKeyed.filter(col(opCol) === "U")
+          .select(dataCols.map(col): _*)
+        inForce.foreach { case (cn, ce) =>
+          val bad = newRows.filter(not(coalesce(expr(ce), lit(true)))).count()
+          if (bad > 0)
+            throw new CommitLog.ConstraintViolationException(cn, ce, bad)
+        }
+      }
 
       // ---- match phase: narrow base projection ⋈ change set ----
       val narrowBase = CommitLogSource.readBatches(
@@ -276,16 +324,9 @@ object CommitLogMerge {
               "first — re-read and re-run the merge (merges never rebase: " +
               "the rival may have changed rows this match phase read)")
         }
-        if (changeFeed) {
-          // rename in only after the version is OURS — a crash here
-          // loses only the optimization (consumers recompute the diff)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            new org.apache.hadoop.fs.Path(root).toUri,
-            spark.sessionState.newHadoopConf())
-          fs.rename(
-            new org.apache.hadoop.fs.Path(s"$root/$changeTmp"),
-            new org.apache.hadoop.fs.Path(s"$root/_changes/v$next"))
-        }
+        if (changeFeed)
+          // rename in only after the version is OURS; a failure is loud
+          promoteChanges(spark, root, changeTmp, next)
         if (next % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, next)
         MergeStats(next, leg, inserted, matchedU, matchedD, touched, removed)

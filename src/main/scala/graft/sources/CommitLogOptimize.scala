@@ -108,10 +108,9 @@ object CommitLogOptimize {
       if (packBloom.isEmpty) Map.empty else Map(packed -> packBloom)
 
     try {
-      val c = CommitLog.commit(root, readVersion,
+      val c = commitRewrite(root, readVersion,
         added = Seq(packed), removed = smalls,
-        stats = packStats, blooms = packBlooms,
-        dataChange = false, op = Some("OPTIMIZE"))
+        stats = packStats, blooms = packBlooms, op = "OPTIMIZE")
       OptimizeResult(c.version, Some(packed), smalls)
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -121,6 +120,52 @@ object CommitLogOptimize {
         if (fs.exists(p)) fs.delete(p, true)
         throw e
     }
+  }
+
+  /** Publish a layout-only rewrite with REWRITE-SAFE rebasing: a plain
+    * `CommitLog.commit` rebases past any disjoint rival, but a rival
+    * DELETION-VECTOR commit (DV-leg DELETE/UPDATE/MERGE) is never
+    * disjoint from a rewrite — its positions point into files the
+    * rewrite re-staged from the PRE-delete snapshot, so rebasing past
+    * it would resurrect the deleted rows and leave the DV dangling
+    * over removed directories. Any dv- batch added since our read
+    * aborts the rewrite (conservative: the optimizer just re-runs);
+    * a rival that rewrote one of our sources aborts via the standard
+    * removed-still-live check. */
+  private[graft] def commitRewrite(
+      root: String, readVersion: Int,
+      added: Seq[String], removed: Seq[String],
+      stats: CommitLog.Stats, blooms: CommitLog.Blooms,
+      op: String): CommitLog.Commit = {
+    var base = readVersion
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      if (base > readVersion) {
+        if (CommitLog.changes(root, readVersion, base).exists(
+            _.added.exists(_.startsWith(CommitLogMerge.DvPrefix))))
+          throw new java.util.ConcurrentModificationException(
+            s"$op of $root read v$readVersion but a deletion-vector " +
+              "commit landed since: the staged rewrite re-states rows " +
+              "deleted after they were read — re-run against the new " +
+              "snapshot")
+        val live = CommitLog.files(root, base).toSet
+        val gone = removed.filterNot(live.contains)
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$op of $root lost its sources $gone to a rival rewrite")
+      }
+      if (CommitLog.tryCommit(root, base + 1, added, removed,
+          stats = stats, blooms = blooms, dataChange = false,
+          op = Some(op))) {
+        if ((base + 1) % CommitLog.checkpointInterval == 0)
+          CommitLog.writeCheckpoint(root, base + 1)
+        return CommitLog.Commit(base + 1, attempts)
+      }
+      base = CommitLog.latestVersion(root)
+    }
+    throw new IllegalStateException(
+      s"$op on $root gave up after 50 attempts (livelock?)")
   }
 
   final case class ClusterResult(
@@ -243,9 +288,9 @@ object CommitLogOptimize {
     }.toMap
     val added = present.map(batchName)
     try {
-      val c = CommitLog.commit(root, readVersion,
+      val c = commitRewrite(root, readVersion,
         added = added, removed = live,
-        stats = stats, dataChange = false, op = Some("OPTIMIZE ZORDER"))
+        stats = stats, blooms = Map.empty, op = "OPTIMIZE ZORDER")
       ClusterResult(c.version, added, live)
     } catch {
       case e: java.util.ConcurrentModificationException =>

@@ -108,6 +108,28 @@ object CommitLogWrite {
   def addConstraint(
       spark: SparkSession, root: String, name: String, expr: String): Unit = {
     val v = CommitLog.latestVersion(root)
+    // the expression must at least parse, and reference only declared
+    // columns — an unanalyzable constraint would otherwise enter force
+    // unvalidated (empty table skips the data scan) and fail EVERY
+    // later publish with no way to retire it but dropConstraint
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(expr)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"CHECK constraint '$name' does not parse: $expr", e)
+      }
+    CommitLog.schemaOf(root, v).foreach { ddl =>
+      val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fieldNames.toSet
+      val unknown = parsed.collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }.filterNot(fields.contains)
+      require(unknown.isEmpty,
+        s"CHECK constraint '$name' references unknown column(s) " +
+          s"${unknown.mkString(",")} (table has ${fields.mkString(",")})")
+    }
     val live = CommitLog.files(root, v)
     if (live.nonEmpty) {
       val bad = CommitLogSource.readBatches(spark, root, live,
@@ -121,8 +143,16 @@ object CommitLogWrite {
       if (bad > 0)
         throw new CommitLog.ConstraintViolationException(name, expr, bad)
     }
-    CommitLog.commit(root, v, added = Nil, removed = Nil,
-      op = Some("ADD CONSTRAINT"), constraints = Map(name -> expr))
+    // SERIALIZABLE publish at exactly v+1: a rebase past a rival
+    // append would put rows in force this scan never validated — the
+    // loser re-reads and re-validates instead (merge/DML discipline)
+    if (!CommitLog.tryCommit(root, v + 1, added = Nil, removed = Nil,
+        op = Some("ADD CONSTRAINT"), constraints = Map(name -> expr)))
+      throw new java.util.ConcurrentModificationException(
+        s"ADD CONSTRAINT '$name' on $root lost the race at v${v + 1}: a " +
+          "rival committed rows this validation never scanned — re-run")
+    if ((v + 1) % CommitLog.checkpointInterval == 0)
+      CommitLog.writeCheckpoint(root, v + 1)
   }
 
   /** Filter to rows VIOLATING `checkExpr` (FALSE only — NULL passes). */

@@ -71,6 +71,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def isTable(dir: java.nio.file.Path): Boolean =
     java.nio.file.Files.isDirectory(dir.resolve("_log"))
 
+  /** Materialized directory listing — the stream is CLOSED before
+    * returning (Files.list/walk leak an fd per call otherwise). */
+  private def listChildren(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Delete a tree depth-first, with the walk stream closed. */
+  private def deleteTree(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(dir)
+    val all = try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.toList finally s.close()
+    all.foreach(java.nio.file.Files.delete)
+  }
+
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -78,9 +95,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!java.nio.file.Files.isDirectory(ns))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         namespace.toSeq)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(ns).iterator().asScala
-      .filter(isTable)
+    listChildren(ns).filter(isTable)
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray.sortBy(_.name)
   }
@@ -178,9 +193,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropTable(ident: Identifier): Boolean = {
     val root = java.nio.file.Paths.get(dirOf(ident))
     if (!java.nio.file.Files.isDirectory(root)) return false
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    deleteTree(root)
     true
   }
 
@@ -199,10 +212,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ---- namespaces (directories of tables) ----
 
   override def listNamespaces(): Array[Array[String]] = {
-    import scala.jdk.CollectionConverters._
     val w = java.nio.file.Paths.get(warehouse)
     if (!java.nio.file.Files.isDirectory(w)) return Array.empty
-    java.nio.file.Files.list(w).iterator().asScala
+    listChildren(w)
       .filter(p => java.nio.file.Files.isDirectory(p) && !isTable(p) &&
         !p.getFileName.toString.startsWith("_"))
       .map(p => Array(p.getFileName.toString)).toArray.sortBy(_.head)
@@ -244,13 +256,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = java.nio.file.Paths.get(dirOf(namespace))
     if (!java.nio.file.Files.isDirectory(dir)) return false
-    import scala.jdk.CollectionConverters._
-    val hasChildren = java.nio.file.Files.list(dir).iterator().asScala.nonEmpty
-    if (hasChildren && !cascade)
+    if (listChildren(dir).nonEmpty && !cascade)
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty — use CASCADE")
-    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(java.nio.file.Files.delete)
+    deleteTree(dir)
     true
   }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import graft.sources.{CommitLog, CommitLogCdf, CommitLogDml, CommitLogMerge, CommitLogOptimize, CommitLogWrite}
+import org.apache.spark.sql.functions._
+
+/** Review-pass hardening: type-drift rejection on MERGE/UPDATE, CHECK
+  * enforcement on MERGE, DROP CONSTRAINT lifecycle, unanalyzable
+  * constraints rejected at declaration, CDF across schema evolution,
+  * the rewrite-commit DV guard, and restore carrying pruning
+  * metadata. */
+class CommitLogHardeningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("harden").toString
+
+  private def baseTable(root: String): Unit =
+    (1 to 50).map(i => (i.toLong, i * 10L)).toDF("k", "v")
+      .repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+
+  test("type-drifted MERGE source and UPDATE assignment are rejected") {
+    val root = freshRoot()
+    baseTable(root)
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLogMerge.merge(spark, root,
+        Seq((1L, "oops", "U")).toDF("k", "v", "_op"), keyCols = Seq("k"))
+    }
+    assert(e1.getMessage.contains("cast explicitly"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLogDml.update(spark, root, "k = 1",
+        Seq("v" -> "concat('x', v)"))
+    }
+    assert(e2.getMessage.contains("cast explicitly"), e2.getMessage)
+    // nothing committed by either rejection
+    assert(CommitLog.latestVersion(root) == 1)
+  }
+
+  test("MERGE enforces the CHECKs in force on every written row") {
+    val root = freshRoot()
+    baseTable(root)
+    CommitLogWrite.addConstraint(spark, root, "v_pos", "v > 0")
+    val v0 = CommitLog.latestVersion(root)
+    // an insert (unmatched U) violating the CHECK
+    val e = intercept[CommitLog.ConstraintViolationException] {
+      CommitLogMerge.merge(spark, root,
+        Seq((999L, -5L, "U")).toDF("k", "v", "_op"), keyCols = Seq("k"))
+    }
+    assert(e.name == "v_pos" && e.violations == 1)
+    assert(CommitLog.latestVersion(root) == v0, "nothing may commit")
+    // a postimage (matched U) violating it
+    intercept[CommitLog.ConstraintViolationException] {
+      CommitLogMerge.merge(spark, root,
+        Seq((1L, 0L, "U")).toDF("k", "v", "_op"), keyCols = Seq("k"))
+    }
+    // deletes never violate
+    val ok = CommitLogMerge.merge(spark, root,
+      Seq((1L, 10L, "D")).toDF("k", "v", "_op"), keyCols = Seq("k"))
+    assert(ok.deleted == 1)
+  }
+
+  test("DROP CONSTRAINT retracts; the registry survives checkpoints") {
+    val root = freshRoot()
+    baseTable(root)
+    CommitLogWrite.addConstraint(spark, root, "v_pos", "v > 0")
+    intercept[CommitLog.ConstraintViolationException] {
+      Seq((60L, -1L)).toDF("k", "v").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    val c = CommitLog.dropConstraint(root, "v_pos")
+    assert(CommitLog.constraintsOf(root, c.version).isEmpty)
+    assert(CommitLog.history(root).last.operation.contains("DROP CONSTRAINT"))
+    // the previously-violating write now lands
+    Seq((60L, -1L)).toDF("k", "v").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    // the drop makes rename guidance actionable
+    CommitLogWrite.addConstraint(spark, root, "k_pos", "k > 0")
+    intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(root, "k", "key")
+    }
+    CommitLog.dropConstraint(root, "k_pos")
+    CommitLog.renameColumn(root, "k", "key")
+    // roll past the checkpoint interval and vacuum: resolved set stays
+    (1 to 8).foreach { i =>
+      Seq((1000L + i, i.toLong)).toDF("key", "v").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    assert(CommitLog.constraintsOf(
+      root, CommitLog.latestVersion(root)).isEmpty)
+    intercept[IllegalArgumentException] {
+      CommitLog.dropConstraint(root, "nope")
+    }
+  }
+
+  test("unparsable or unknown-column constraints are rejected upfront") {
+    val root = freshRoot()
+    baseTable(root)
+    intercept[IllegalArgumentException] {
+      CommitLogWrite.addConstraint(spark, root, "bad", "v >")
+    }
+    intercept[IllegalArgumentException] {
+      CommitLogWrite.addConstraint(spark, root, "ghost", "no_such_col > 0")
+    }
+    // the sink still works — nothing unanalyzable entered force
+    Seq((60L, 600L)).toDF("k", "v").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+  }
+
+  test("CDF across an additive schema evolution null-fills, not crashes") {
+    val root = freshRoot()
+    (1 to 5).map(i => (i.toLong, i * 10L)).toDF("k", "v").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    (6 to 8).map(i => (i.toLong, i * 10L, s"n$i")).toDF("k", "v", "note")
+      .repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val feed = CommitLogCdf.changeFeed(spark, root, 0, 2, keyCols = Seq("k"))
+    assert(feed.count() == 8)
+    assert(feed.filter(col("note").isNull).count() == 5,
+      "pre-evolution rows must null-fill the evolved column")
+  }
+
+  test("a rewrite commit aborts instead of rebasing past a DV commit") {
+    val root = freshRoot()
+    baseTable(root) // v1
+    // stage a pack of the current (pre-DV) rows, as optimize would
+    val smalls = CommitLog.files(root, 1)
+    spark.read.format("commitlog").option("path", root).load()
+      .coalesce(1).write.parquet(s"$root/packX")
+    // a DV-leg delete lands FIRST
+    val d = CommitLogDml.delete(spark, root, "k = 7")
+    assert(d.leg == "dv")
+    // the rewrite's commit loop must refuse to rebase past it
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLogOptimize.commitRewrite(root, readVersion = 1,
+        added = Seq("packX"), removed = smalls,
+        stats = Map.empty, blooms = Map.empty, op = "OPTIMIZE")
+    }
+    // and the deleted row stayed deleted
+    assert(!CommitLogMerge.snapshot(spark, root).as[(Long, Long)]
+      .collect().toMap.contains(7L))
+  }
+
+  test("restore re-adds batches WITH their stats and blooms") {
+    val root = freshRoot()
+    (1 to 50).map(i => (i.toLong, i * 10L, s"t$i")).toDF("k", "v", "tag")
+      .repartition(1)
+      .write.format("commitlog").option("path", root)
+      .option("bloomColumns", "tag").mode("append").save() // v1, stats+bloom
+    val b1 = CommitLog.files(root, 1).head
+    val statsAtV1 = CommitLog.statsOf(root, 1)(b1)
+    assert(statsAtV1.nonEmpty && CommitLog.bloomsOf(root, 1).contains(b1))
+    CommitLog.commit(root, 1, added = Nil, removed = Seq(b1)) // v2: drop it
+    val c = CommitLog.restore(root, 1) // v3: bring it back
+    assert(CommitLog.statsOf(root, c.version).get(b1).contains(statsAtV1),
+      "restored batches must keep planning like they did")
+    assert(CommitLog.bloomsOf(root, c.version).contains(b1))
+  }
+}

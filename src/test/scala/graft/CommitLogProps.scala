@@ -275,4 +275,164 @@ object CommitLogProps extends Properties("graft.commitlog") {
         Prop(dcOk) :| "isDataChange reads the manifest flag" &&
         Prop(changesOk) :| "changes() carries the dataChange flag"
     }
+
+  // ---- Schema-verb state machine: RENAME COLUMN / DROP COLUMN /
+  // constraint add+tombstone under vacuum. The lockstep model tracks
+  // (columns, column map, dropped registry, constraints) per version;
+  // every retained version must replay all four, illegal verbs
+  // (renaming onto a live/former/reserved name, dropping the last
+  // column or a CHECK-referenced one, re-declaring a dropped name)
+  // must throw without publishing, and the registries must survive
+  // checkpoint-severed replay after vacuum.
+
+  private final case class SchemaState(
+      cols: Vector[String],
+      colMap: Map[String, Seq[String]],
+      dropped: Seq[String],
+      cons: Map[String, String])
+
+  private sealed trait Op3
+  private case object Append3 extends Op3
+  private case class Rename3(colIdx: Int, illegalKind: Int) extends Op3
+  private case class Drop3(colIdx: Int) extends Op3
+  private case object AddCol3 extends Op3
+  private case class ReAddDropped3() extends Op3
+  private case class AddCons3(colIdx: Int) extends Op3
+  private case object DropCons3 extends Op3
+  private case class Vacuum3(keep: Int) extends Op3
+
+  private val op3Gen: Gen[Op3] = Gen.frequency(
+    4 -> Gen.const(Append3),
+    3 -> Gen.zip(Gen.choose(0, 9), Gen.choose(0, 3))
+      .map { case (i, k) => Rename3(i, k) },
+    2 -> Gen.choose(0, 9).map(Drop3(_)),
+    2 -> Gen.const(AddCol3),
+    1 -> Gen.const(ReAddDropped3()),
+    2 -> Gen.choose(0, 9).map(AddCons3(_)),
+    1 -> Gen.const(DropCons3),
+    2 -> Gen.choose(1, 4).map(Vacuum3(_)))
+
+  property("schema verbs: rename/drop/constraints replay the model; illegal verbs publish nothing") =
+    Prop.forAll(Gen.listOfN(25, op3Gen)) { ops =>
+      import org.apache.spark.sql.types.StructType
+      val root = freshRoot()
+      var fresh = 0
+      def nextName(): String = { fresh += 1; s"n$fresh" }
+      def nextBatch(): String = { fresh += 1; s"b$fresh" }
+
+      // v1: declare the table
+      val b0 = nextBatch(); stage(root, b0)
+      CommitLog.commit(root, 0, added = Seq(b0),
+        schema = Some("c1 BIGINT, c2 BIGINT, c3 BIGINT"))
+      val s0 = SchemaState(Vector("c1", "c2", "c3"), Map.empty, Nil, Map.empty)
+      var hist = Vector(s0)
+      var expiredBelow = 1
+      def cur = hist.last
+      def latest = hist.size
+
+      def mustNotPublish(body: => Unit): Unit = {
+        val before = latest
+        try { body; throw new AssertionError("illegal verb accepted") }
+        catch {
+          case _: IllegalArgumentException => ()
+          case _: CommitLog.SchemaChangeException => ()
+        }
+        assert(CommitLog.latestVersion(root) == before,
+          "rejected verb must publish nothing")
+      }
+
+      ops.foreach {
+        case Append3 =>
+          val b = nextBatch(); stage(root, b)
+          CommitLog.commit(root, latest, added = Seq(b))
+          hist = hist :+ cur
+        case Rename3(i, kind) =>
+          val c = cur.cols(i % cur.cols.size)
+          val refd = cur.cons.values.exists(_.contains(c))
+          val reservedPool = cur.dropped ++ cur.colMap.values.flatten
+          kind match {
+            case 0 => // legal rename to a fresh name (unless CHECK'd)
+              val to = nextName()
+              if (refd) mustNotPublish(CommitLog.renameColumn(root, c, to))
+              else {
+                CommitLog.renameColumn(root, c, to)
+                val chain = c +: cur.colMap.getOrElse(c, Seq.empty)
+                hist = hist :+ cur.copy(
+                  cols = cur.cols.map(x => if (x == c) to else x),
+                  colMap = (cur.colMap - c) + (to -> chain))
+              }
+            case 1 => // onto a live column: illegal
+              val other = cur.cols((i + 1) % cur.cols.size)
+              if (other != c)
+                mustNotPublish(CommitLog.renameColumn(root, c, other))
+            case 2 => // onto a reserved former/dropped name: illegal
+              if (reservedPool.nonEmpty)
+                mustNotPublish(CommitLog.renameColumn(root, c,
+                  reservedPool(i % reservedPool.size)))
+            case _ => // unknown source column: illegal
+              mustNotPublish(CommitLog.renameColumn(root, "ghost", nextName()))
+          }
+        case Drop3(i) =>
+          val c = cur.cols(i % cur.cols.size)
+          val refd = cur.cons.values.exists(_.contains(c))
+          if (cur.cols.size == 1 || refd)
+            mustNotPublish(CommitLog.dropColumn(root, c))
+          else {
+            CommitLog.dropColumn(root, c)
+            hist = hist :+ cur.copy(
+              cols = cur.cols.filterNot(_ == c),
+              dropped = (cur.dropped ++
+                (c +: cur.colMap.getOrElse(c, Seq.empty))).distinct)
+          }
+        case AddCol3 =>
+          val c = nextName()
+          val ddl = cur.cols.map(x => s"$x BIGINT").mkString(", ") +
+            s", $c BIGINT"
+          CommitLog.commit(root, latest, added = Nil, schema = Some(ddl))
+          hist = hist :+ cur.copy(cols = cur.cols :+ c)
+        case ReAddDropped3() =>
+          if (cur.dropped.nonEmpty) {
+            val ddl = (cur.cols :+ cur.dropped.head)
+              .map(x => s"$x BIGINT").mkString(", ")
+            mustNotPublish(
+              CommitLog.commit(root, latest, added = Nil, schema = Some(ddl)))
+          }
+        case AddCons3(i) =>
+          val c = cur.cols(i % cur.cols.size)
+          val name = s"cons_$fresh"; fresh += 1
+          CommitLog.commit(root, latest, added = Nil, removed = Nil,
+            constraints = Map(name -> s"$c > 0"))
+          hist = hist :+ cur.copy(cons = cur.cons + (name -> s"$c > 0"))
+        case DropCons3 =>
+          if (cur.cons.nonEmpty) {
+            val name = cur.cons.keys.min
+            CommitLog.dropConstraint(root, name)
+            hist = hist :+ cur.copy(cons = cur.cons - name)
+          }
+        case Vacuum3(keep) =>
+          CommitLog.vacuum(root, keepLast = keep, minAgeMs = 0L)
+          expiredBelow = math.max(expiredBelow,
+            math.max(1, latest - keep + 1))
+      }
+
+      val retained = (expiredBelow to latest)
+      val schemaOk = retained.forall { v =>
+        CommitLog.schemaOf(root, v).exists(d =>
+          StructType.fromDDL(d).fieldNames.toSeq == hist(v - 1).cols)
+      }
+      val mapOk = retained.forall { v =>
+        CommitLog.formerNamesOf(root, v) == hist(v - 1).colMap
+      }
+      val droppedOk = retained.forall { v =>
+        CommitLog.droppedOf(root, v).toSet == hist(v - 1).dropped.toSet
+      }
+      val consOk = retained.forall { v =>
+        CommitLog.constraintsOf(root, v) == hist(v - 1).cons
+      }
+
+      Prop(schemaOk) :| "schemaOf replays the column list at every retained version" &&
+        Prop(mapOk) :| "formerNamesOf replays the column map" &&
+        Prop(droppedOk) :| "droppedOf replays the reserve registry" &&
+        Prop(consOk) :| "constraintsOf replays adds and tombstones"
+    }
 }

@@ -25,100 +25,104 @@ object Bench {
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 1.916, "a1_hashagg" -> 1.140, "a2_distinct" -> 0.653,
-    "a3_approx_distinct" -> 2.057, "a3_hll_merge" -> 0.667,
-    "a4_cube" -> 0.724, "a4_grouping_sets" -> 0.780, "a4_rollup" -> 0.662,
-    "a5_filtered_agg" -> 0.455, "a6_approx_percentile" -> 2.186,
-    "a6_stats" -> 2.247, "a6_tdigest" -> 2.243, "a7_collect" -> 0.836,
-    "a8_pivot" -> 0.647, "a9_salted_agg" -> 0.775,
-    "c1_upsert_latest" -> 0.585, "c2_scd2_intervals" -> 0.847,
-    "c3_incremental_agg" -> 0.814, "c4_cdc_apply" -> 0.668,
-    "c5_retractable_agg" -> 2.007, "flagship_pipeline" -> 0.456,
-    "j10_bloom_semi" -> 1.086, "j11_salted_skew_join" -> 0.743,
-    "j12_interval_overlap" -> 1.071, "j13_spatial_grid" -> 0.956,
-    "j14_cobucketed_join" -> 0.557, "j1_semi_broadcast" -> 0.769,
-    "j2_inner" -> 0.598, "j3_multiway" -> 2.253, "j4_full_outer" -> 0.541,
-    "j4_left_outer" -> 0.487, "j5_anti" -> 0.409, "j6_sortmerge" -> 0.899,
-    "j7_range" -> 0.840, "j8_cross" -> 0.300, "j9_asof" -> 0.810,
-    "j9_asof_join" -> 0.747, "l10_drift" -> 1.087, "l10_ks_drift" -> 1.034,
-    "l10_profile" -> 0.426, "l10_zipf" -> 0.621, "l11_decontam" -> 1.359,
-    "l11_semantic_decontam" -> 0.552, "l12_global_ids" -> 0.769,
-    "l13_bfs" -> 1.562, "l13_hits" -> 5.245, "l13_kcore" -> 1.697,
-    "l13_pagerank" -> 2.848, "l13_triangles" -> 1.392,
-    "l14_fuzzy_join" -> 2.336, "l1_exact_dedup" -> 0.412,
-    "l2_cc_star" -> 4.800, "l2_chunk_dedup" -> 1.376,
-    "l2_cosine_neardup" -> 0.596, "l2_cosine_neardup_adaptive" -> 0.775,
-    "l2_cosine_neardup_bucketed" -> 0.462, "l2_dedup_clusters" -> 2.642,
-    "l2_incremental_dedup" -> 1.266, "l2_lsh_pairs" -> 1.302,
-    "l2_minhash_estimate" -> 1.223, "l2_minhash_sigs" -> 1.566,
-    "l2_ngram_jaccard" -> 6.814, "l2_simhash" -> 0.814,
-    "l2_simhash_blocked" -> 3.611, "l2_simhash_hamming" -> 2.299,
-    "l2_substring_dedup" -> 2.163, "l2_survivor_selection" -> 3.078,
-    "l3_ann_ivf" -> 0.918, "l3_ann_ivfpq" -> 1.982, "l3_ann_lsh" -> 2.012,
-    "l3_ann_pq" -> 1.669, "l3_ann_recall" -> 2.052,
-    "l3_ann_trained" -> 3.016, "l3_cosine_topk" -> 0.490,
-    "l3_jl_projection" -> 0.527, "l3_kmeans" -> 1.289,
-    "l3_pca_power" -> 0.570, "l3_semantic_dedup" -> 1.591,
-    "l4_bm25" -> 1.819, "l4_bpe_encode" -> 1.593,
-    "l4_bpe_pair_stats" -> 0.803, "l4_bpe_train" -> 0.946,
-    "l4_count_min" -> 0.816, "l4_fingerprint" -> 1.033,
-    "l4_heavy_hitters" -> 0.640, "l4_lang_id" -> 0.642,
-    "l4_lm_score" -> 1.887, "l4_pii_redact" -> 0.802,
-    "l4_pmi_phrases" -> 1.093, "l4_quality_score" -> 0.700,
-    "l4_repetition" -> 1.962, "l4_repetition_quality" -> 1.275,
-    "l4_term_freq" -> 0.638, "l4_tfidf" -> 1.058, "l4_token_stats" -> 0.636,
-    "l5_histogram" -> 0.423, "l6_audio_fp_dedup" -> 0.820,
-    "l6_decode_audio" -> 1.347, "l6_decode_features" -> 0.425,
-    "l6_decode_real" -> 1.447, "l6_multimodal_meta" -> 0.190,
-    "l6_phash_dedup" -> 0.750, "l6_quantize_int8" -> 0.349,
-    "l6_resize_framesample" -> 0.193, "l7_curation_pipeline" -> 0.840,
-    "l8_bottomk_sample" -> 0.266, "l8_deterministic_sample" -> 0.162,
-    "l8_deterministic_split" -> 0.339, "l8_mixture_weights" -> 0.289,
-    "l8_stratified_sample" -> 0.192, "l8_weighted_sample" -> 0.296,
-    "l9_mixture_interleave" -> 0.307, "l9_sequence_packing" -> 0.379,
-    "l9_shard_export" -> 1.554, "o1_topk" -> 0.164, "o2_limit" -> 0.148,
-    "o3_union" -> 0.373, "o3_union_distinct" -> 0.445, "o4_except" -> 0.367,
-    "o4_except_all" -> 0.666, "o4_intersect" -> 0.386,
-    "o4_intersect_all" -> 0.478, "p10_map_hof" -> 1.637, "p10_maps" -> 0.995,
-    "p11_envelope" -> 0.419, "p12_unpivot" -> 0.271,
-    "p13_subqueries" -> 0.534, "p14_variant" -> 1.694,
-    "p15_lateral" -> 0.407, "p16_try_functions" -> 3.218,
-    "p1_prune" -> 0.638, "p2_filter" -> 0.422, "p3_inlist" -> 0.184,
-    "p4_strings" -> 0.229, "p5_datetime" -> 0.466, "p6_math" -> 0.786,
-    "p7_conditional" -> 0.212, "p8_json" -> 0.731, "p8_json_nested" -> 2.970,
-    "p9_array_fns" -> 0.177, "p9_arrays" -> 0.342, "p9_explode" -> 0.206,
-    "p9_posexplode" -> 0.188, "s10_vector_index" -> 1.458,
-    "s10b_index_append" -> 1.858, "s11_schema_evolution" -> 0.813,
-    "s12_compaction" -> 1.330, "s13_dpp_join" -> 1.681,
-    "s14_zorder_layout" -> 1.255, "s15_stats_pruned_scan" -> 1.302,
-    "s16_binaryfile_ingest" -> 1.298, "s17_xml_roundtrip" -> 1.537,
-    "s18_corrupt_drop" -> 0.489, "s19_envelope_sink" -> 1.246,
-    "s20_bson_dump" -> 1.863, "s21_mongo_extjson" -> 1.792,
-    "s22_time_travel" -> 1.459, "s22b_log_vacuum" -> 0.962,
-    "s22c_change_feed" -> 1.823, "s22d_log_tail" -> 1.703,
-    "s22e_schema_enforced" -> 0.580, "s22f_cdf_rows" -> 2.208,
-    "s22g_manifest_stats" -> 1.457, "s22h_connector_pruned_scan" -> 0.987,
-    "s23_merge_on_read" -> 1.550, "s24_merge_upsert" -> 4.520,
-    "s26_log_optimize" -> 2.589, "s27_log_history" -> 1.539,
-    "s28_zorder_optimize" -> 2.768, "s29_bloom_point_lookup" -> 1.207,
-    "s3_jdbc_roundtrip" -> 0.411, "s4_json_roundtrip" -> 0.845,
-    "s5_kafka_envelope" -> 0.270, "s6_csv_roundtrip" -> 0.575,
-    "s7_orc_roundtrip" -> 1.158, "s8_envelope_source" -> 0.834,
-    "s9_partitioned_prune" -> 0.807, "t12_stream_envelope_sink" -> 0.921,
-    "t13_stream_envelope_source" -> 1.814, "t14_stream_commitlog" -> 3.848,
-    "t15_stream_commitlog_sink" -> 1.201, "t1_tumbling" -> 0.570,
-    "t2_sliding" -> 0.642, "t3_session" -> 1.085,
-    "t4_watermark_closed" -> 0.670, "t5_dedup" -> 0.425,
-    "t6_stateful_running" -> 0.822, "t7_stream_static" -> 0.740,
-    "t8_foreachbatch_jdbc" -> 1.121, "t8c_exactly_once_jdbc" -> 2.206,
-    "t9_stream_stream" -> 0.503, "t9_stream_stream_full" -> 0.578,
-    "t9_stream_stream_outer" -> 0.445, "t9_stream_stream_semi" -> 0.450,
-    "w10_seasonal_decomp" -> 0.619, "w11_ewma" -> 0.597,
-    "w1_ranking" -> 0.963, "w2_analytic" -> 1.163, "w3_frames" -> 0.998,
-    "w3_time_range" -> 0.758, "w4_topk_per_group" -> 0.548,
-    "w4_topk_window_idiom" -> 0.535, "w5_distribution" -> 1.363,
-    "w6_gap_fill" -> 1.039, "w7_funnel" -> 0.611, "w8_retention" -> 0.514,
-    "w9_anomaly" -> 0.764)
+    "a10_kmv_sketch" -> 2.176, "a1_hashagg" -> 1.218, "a2_distinct" -> 0.624,
+    "a3_approx_distinct" -> 1.869, "a3_hll_merge" -> 0.578,
+    "a4_cube" -> 0.685, "a4_grouping_sets" -> 0.727, "a4_rollup" -> 0.614,
+    "a5_filtered_agg" -> 0.435, "a6_approx_percentile" -> 2.366,
+    "a6_stats" -> 2.576, "a6_tdigest" -> 2.078, "a7_collect" -> 0.915,
+    "a8_pivot" -> 0.555, "a9_salted_agg" -> 0.734,
+    "c1_upsert_latest" -> 0.622, "c2_scd2_intervals" -> 0.871,
+    "c3_incremental_agg" -> 1.529, "c4_cdc_apply" -> 0.733,
+    "c5_retractable_agg" -> 2.064, "flagship_pipeline" -> 0.540,
+    "j10_bloom_semi" -> 1.136, "j11_salted_skew_join" -> 0.810,
+    "j12_interval_overlap" -> 1.152, "j13_spatial_grid" -> 0.968,
+    "j14_cobucketed_join" -> 0.693, "j1_semi_broadcast" -> 0.777,
+    "j2_inner" -> 0.542, "j3_multiway" -> 1.648, "j4_full_outer" -> 0.406,
+    "j4_left_outer" -> 0.386, "j5_anti" -> 0.398, "j6_sortmerge" -> 1.048,
+    "j7_range" -> 0.785, "j8_cross" -> 0.314, "j9_asof" -> 0.789,
+    "j9_asof_join" -> 0.731, "l10_drift" -> 0.868, "l10_ks_drift" -> 0.783,
+    "l10_profile" -> 0.353, "l10_zipf" -> 0.655, "l11_decontam" -> 1.322,
+    "l11_semantic_decontam" -> 0.498, "l12_global_ids" -> 0.802,
+    "l13_bfs" -> 1.120, "l13_hits" -> 4.740, "l13_kcore" -> 1.444,
+    "l13_pagerank" -> 3.447, "l13_triangles" -> 1.082,
+    "l14_fuzzy_join" -> 2.168, "l1_exact_dedup" -> 0.358,
+    "l2_cc_star" -> 4.312, "l2_chunk_dedup" -> 1.307,
+    "l2_cosine_neardup" -> 0.575, "l2_cosine_neardup_adaptive" -> 0.689,
+    "l2_cosine_neardup_bucketed" -> 0.450, "l2_dedup_clusters" -> 2.249,
+    "l2_incremental_dedup" -> 0.963, "l2_lsh_pairs" -> 1.238,
+    "l2_minhash_estimate" -> 1.149, "l2_minhash_sigs" -> 1.503,
+    "l2_ngram_jaccard" -> 6.169, "l2_simhash" -> 0.711,
+    "l2_simhash_blocked" -> 3.287, "l2_simhash_hamming" -> 2.031,
+    "l2_substring_dedup" -> 2.020, "l2_survivor_selection" -> 2.812,
+    "l3_ann_ivf" -> 0.772, "l3_ann_ivfpq" -> 1.599, "l3_ann_lsh" -> 1.812,
+    "l3_ann_pq" -> 1.718, "l3_ann_recall" -> 2.065,
+    "l3_ann_trained" -> 2.640, "l3_cosine_topk" -> 0.277,
+    "l3_jl_projection" -> 0.470, "l3_kmeans" -> 1.117,
+    "l3_pca_power" -> 0.363, "l3_semantic_dedup" -> 1.304,
+    "l4_bm25" -> 1.607, "l4_bpe_encode" -> 1.262,
+    "l4_bpe_pair_stats" -> 0.711, "l4_bpe_train" -> 0.750,
+    "l4_count_min" -> 0.554, "l4_fingerprint" -> 0.939,
+    "l4_heavy_hitters" -> 0.496, "l4_lang_id" -> 0.474,
+    "l4_lm_score" -> 1.327, "l4_pii_redact" -> 0.746,
+    "l4_pmi_phrases" -> 0.844, "l4_quality_score" -> 0.609,
+    "l4_repetition" -> 1.697, "l4_repetition_quality" -> 1.065,
+    "l4_term_freq" -> 0.531, "l4_tfidf" -> 0.814, "l4_token_stats" -> 0.544,
+    "l5_histogram" -> 0.252, "l6_audio_fp_dedup" -> 0.608,
+    "l6_decode_audio" -> 1.081, "l6_decode_features" -> 0.346,
+    "l6_decode_real" -> 1.291, "l6_multimodal_meta" -> 0.160,
+    "l6_phash_dedup" -> 0.627, "l6_quantize_int8" -> 0.299,
+    "l6_resize_framesample" -> 0.163, "l7_curation_pipeline" -> 0.688,
+    "l8_bottomk_sample" -> 0.210, "l8_deterministic_sample" -> 0.168,
+    "l8_deterministic_split" -> 0.211, "l8_mixture_weights" -> 0.230,
+    "l8_stratified_sample" -> 0.160, "l8_weighted_sample" -> 0.229,
+    "l9_mixture_interleave" -> 0.235, "l9_sequence_packing" -> 0.289,
+    "l9_shard_export" -> 1.254, "o1_topk" -> 0.140, "o2_limit" -> 0.122,
+    "o3_union" -> 0.380, "o3_union_distinct" -> 0.445, "o4_except" -> 0.295,
+    "o4_except_all" -> 0.526, "o4_intersect" -> 0.349,
+    "o4_intersect_all" -> 0.436, "p10_map_hof" -> 1.545, "p10_maps" -> 0.888,
+    "p11_envelope" -> 0.406, "p12_unpivot" -> 0.250,
+    "p13_subqueries" -> 0.475, "p14_variant" -> 1.613,
+    "p15_lateral" -> 0.363, "p16_try_functions" -> 3.098,
+    "p1_prune" -> 0.601, "p2_filter" -> 0.390, "p3_inlist" -> 0.152,
+    "p4_strings" -> 0.224, "p5_datetime" -> 0.442, "p6_math" -> 0.792,
+    "p7_conditional" -> 0.209, "p8_json" -> 0.756, "p8_json_nested" -> 2.854,
+    "p9_array_fns" -> 0.176, "p9_arrays" -> 0.264, "p9_explode" -> 0.182,
+    "p9_posexplode" -> 0.196, "s10_vector_index" -> 1.388,
+    "s10b_index_append" -> 1.639, "s11_schema_evolution" -> 0.727,
+    "s12_compaction" -> 1.037, "s13_dpp_join" -> 1.427,
+    "s14_zorder_layout" -> 1.060, "s15_stats_pruned_scan" -> 1.087,
+    "s16_binaryfile_ingest" -> 1.093, "s17_xml_roundtrip" -> 1.363,
+    "s18_corrupt_drop" -> 0.385, "s19_envelope_sink" -> 0.964,
+    "s20_bson_dump" -> 1.439, "s21_mongo_extjson" -> 1.616,
+    "s22_time_travel" -> 1.268, "s22b_log_vacuum" -> 0.879,
+    "s22c_change_feed" -> 1.622, "s22d_log_tail" -> 1.560,
+    "s22e_schema_enforced" -> 0.570, "s22f_cdf_rows" -> 2.016,
+    "s22g_manifest_stats" -> 1.295, "s22h_connector_pruned_scan" -> 0.884,
+    "s23_merge_on_read" -> 1.239, "s24_merge_upsert" -> 3.950,
+    "s26_log_optimize" -> 1.928, "s27_log_history" -> 1.113,
+    "s28_zorder_optimize" -> 2.038, "s29_bloom_point_lookup" -> 0.941,
+    "s30_change_feed_stream" -> 2.926, "s31_restore" -> 0.612,
+    "s32_check_constraint" -> 0.781, "s33_delete_update" -> 2.191,
+    "s34_shallow_clone" -> 1.133, "s35_rename_column" -> 1.008,
+    "s36_drop_column" -> 0.599, "s37_sql_catalog" -> 0.729,
+    "s3_jdbc_roundtrip" -> 0.345, "s4_json_roundtrip" -> 0.641,
+    "s5_kafka_envelope" -> 0.202, "s6_csv_roundtrip" -> 0.464,
+    "s7_orc_roundtrip" -> 0.869, "s8_envelope_source" -> 0.672,
+    "s9_partitioned_prune" -> 0.633, "t12_stream_envelope_sink" -> 0.740,
+    "t13_stream_envelope_source" -> 1.390, "t14_stream_commitlog" -> 3.027,
+    "t15_stream_commitlog_sink" -> 0.997, "t1_tumbling" -> 0.435,
+    "t2_sliding" -> 0.487, "t3_session" -> 0.824,
+    "t4_watermark_closed" -> 0.518, "t5_dedup" -> 0.339,
+    "t6_stateful_running" -> 0.548, "t7_stream_static" -> 0.566,
+    "t8_foreachbatch_jdbc" -> 0.857, "t8c_exactly_once_jdbc" -> 1.771,
+    "t9_stream_stream" -> 0.396, "t9_stream_stream_full" -> 0.445,
+    "t9_stream_stream_outer" -> 0.379, "t9_stream_stream_semi" -> 0.351,
+    "w10_seasonal_decomp" -> 0.491, "w11_ewma" -> 0.452,
+    "w1_ranking" -> 0.779, "w2_analytic" -> 0.959, "w3_frames" -> 0.778,
+    "w3_time_range" -> 0.638, "w4_topk_per_group" -> 0.354,
+    "w4_topk_window_idiom" -> 0.455, "w5_distribution" -> 1.075,
+    "w6_gap_fill" -> 0.771, "w7_funnel" -> 0.511, "w8_retention" -> 0.445,
+    "w9_anomaly" -> 0.757)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"

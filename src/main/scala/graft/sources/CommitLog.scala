@@ -129,6 +129,27 @@ object CommitLog {
       blooms.filter { case (b, _) => live(b) })
   }
 
+  /** Files-only replay for metadata hot paths (the commit retry loop's
+    * conflict check, vacuum's live-set scan): same add/remove fold as
+    * [[snapshotAt]] without parsing the stats boxes and bloom hex
+    * blobs those callers immediately discard — on a bloom-heavy table
+    * that parse is the dominant cost of every retry. */
+  private def filesAt(root: String, v: Int): Seq[String] = {
+    if (v == 0) return Nil
+    val (start, baseFiles) =
+      latestCheckpointAtOrBelow(root, v).getOrElse((0, Seq.empty[String]))
+    var state = baseFiles
+    ((start + 1) to v).foreach { i =>
+      val txt = textOf(manifest(root, i))
+      val add = parseList(extractField(txt, "add"))
+      val rm = parseList(extractField(txt, "remove")).toSet
+      val kept = state.filterNot(rm)
+      val keptSet = kept.toSet
+      state = kept ++ add.filterNot(keptSet)
+    }
+    state
+  }
+
   private def textOf(p: Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
 
@@ -143,7 +164,7 @@ object CommitLog {
     * Reads of expired versions fail cleanly — their delta chain back
     * to a surviving checkpoint is broken, and the replay surfaces the
     * missing manifest as NoSuchFileException. */
-  def files(root: String, v: Int): Seq[String] = snapshotAt(root, v).files
+  def files(root: String, v: Int): Seq[String] = filesAt(root, v)
 
   /** Resolve a manifest batch name to its data directory: local names
     * live under the table root; `@/abs/dir` external references

@@ -141,6 +141,103 @@ class CommitLogHardeningSpec extends SparkSpec {
       .collect().toMap.contains(7L))
   }
 
+  test("chaos: appends, DML verbs and an optimizer converge to the serial-order state") {
+    // one table, three actors: an appender landing 12 disjoint batches
+    // (rebasing appends always win), a DML loop firing DELETE/UPDATE
+    // at the latest version (serializable — losing a race throws and
+    // the loop retries against the new snapshot), and an optimizer
+    // whose layout rewrites must abort rather than rebase past DV
+    // commits. Every SUCCESSFUL op records its committed version and
+    // its semantic effect; because appends are state-independent and
+    // DML only ever commits at readVersion+1, replaying the effects in
+    // version order is an EXACT oracle for the final table.
+    val root = freshRoot()
+    (0 until 10).map(i => (i.toLong, 0L)).toDF("k", "v").repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val ops = new java.util.concurrent.ConcurrentHashMap[
+      Int, Map[Long, Long] => Map[Long, Long]]()
+    ops.put(1, _ ++ (0L until 10L).map(_ -> 0L).toMap)
+    @volatile var writerDone = false
+    @volatile var dmlWins = 0
+    @volatile var dmlLost = 0
+    @volatile var optimizeLost = 0
+
+    val writer = new Thread(() => {
+      (1 until 12).foreach { b =>
+        val rows = (b * 10 until b * 10 + 10).map(i => (i.toLong, 0L))
+        val batch = f"app$b%03d"
+        rows.toDF("k", "v").repartition(1).write.parquet(s"$root/$batch")
+        val c = CommitLog.commit(root, CommitLog.latestVersion(root),
+          added = Seq(batch))
+        ops.put(c.version, _ ++ rows.toMap)
+        Thread.sleep(8)
+      }
+      writerDone = true
+    }, "chaos-appender")
+
+    val dml = new Thread(() => {
+      var i = 0
+      // keep firing until a few verbs LAND (each verb takes seconds on
+      // a cold table — the writer may finish first), bounded by a
+      // deadline so a livelock can't hang the suite
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while ((!writerDone || dmlWins < 3) && System.nanoTime() < deadline) {
+        i += 1
+        try {
+          if (i % 2 == 0) {
+            val r = i % 7
+            val st = CommitLogDml.delete(spark, root, s"k % 7 = $r")
+            if (st.leg != "noop") {
+              ops.put(st.version, _.filter { case (k, _) => k % 7 != r })
+              dmlWins += 1
+            }
+          } else {
+            val j = i % 5
+            val st = CommitLogDml.update(spark, root, s"k % 5 = $j",
+              Seq("v" -> "v + 10"))
+            if (st.leg != "noop") {
+              ops.put(st.version, _.map { case (k, v) =>
+                if (k % 5 == j) (k, v + 10L) else (k, v) })
+              dmlWins += 1
+            }
+          }
+        } catch {
+          case _: java.util.ConcurrentModificationException => dmlLost += 1
+        }
+        Thread.sleep(5)
+      }
+    }, "chaos-dml")
+
+    val optimizer = new Thread(() => {
+      while (!writerDone) {
+        try CommitLogOptimize.optimize(spark, root, smallBytes = 1L << 30)
+        catch {
+          case _: java.util.ConcurrentModificationException => optimizeLost += 1
+          case _: IllegalStateException => optimizeLost += 1
+        }
+        Thread.sleep(25)
+      }
+    }, "chaos-optimizer")
+
+    writer.start(); dml.start(); optimizer.start()
+    writer.join(60000); dml.join(60000); optimizer.join(60000)
+
+    import scala.jdk.CollectionConverters._
+    val expected = ops.asScala.toSeq.sortBy(_._1)
+      .foldLeft(Map.empty[Long, Long]) { case (m, (_, f)) => f(m) }
+    val got = CommitLogMerge.snapshot(spark, root).as[(Long, Long)]
+      .collect().toMap
+    assert(got == expected,
+      s"serial-order replay mismatch: got ${got.size} rows, expected " +
+        s"${expected.size} (dml wins=$dmlWins lost=$dmlLost " +
+        s"optimize lost=$optimizeLost)")
+    assert(dmlWins > 0, "the DML loop must have landed at least one verb")
+    // retention over the raced history: latest stays exact
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    assert(CommitLogMerge.snapshot(spark, root).as[(Long, Long)]
+      .collect().toMap == expected)
+  }
+
   test("restore re-adds batches WITH their stats and blooms") {
     val root = freshRoot()
     (1 to 50).map(i => (i.toLong, i * 10L, s"t$i")).toDF("k", "v", "tag")

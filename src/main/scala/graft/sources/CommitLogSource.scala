@@ -126,7 +126,10 @@ object CommitLogSource {
       case Some(ddl) => StructType.fromDDL(ddl)
       case None if v == 0 => new StructType()
       case None =>
+        // sample a DATA batch: a dv- deletion-vector batch carries
+        // (_file, _pos) positions, not the table's columns
         val files = CommitLog.files(root, v)
+          .filterNot(_.startsWith(CommitLogMerge.DvPrefix))
         require(files.nonEmpty,
           s"cannot infer the schema of empty commit-log table $root — " +
             "declare a schema on commit (S22e) or pass .schema(...)")
@@ -294,12 +297,92 @@ object CommitLogSource {
   }
 }
 
+/** Translate Spark v1 source filters to the SQL-expression dialect
+  * [[CommitLogDml]] consumes — SQL `DELETE FROM` arrives this way.
+  * `None` = not translatable (Spark then refuses the delete cleanly;
+  * arbitrary-expression deletes go through CommitLogDml directly). */
+object CommitLogFilters {
+  import org.apache.spark.sql.sources._
+
+  private def q(a: String): String = s"`${a.replace("`", "``")}`"
+
+  private def lit(v: Any): Option[String] = v match {
+    case null => None
+    case s: String =>
+      Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
+    case d: Double => Some(d.toString)
+    case f: Float => Some(s"CAST($f AS FLOAT)")
+    case d: java.math.BigDecimal => Some(d.toPlainString)
+    case d: BigDecimal => Some(d.bigDecimal.toPlainString)
+    case _ => None // timestamps/dates/binary: refuse rather than guess
+  }
+
+  def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => lit(v).map(l => s"${q(a)} = $l")
+    case EqualNullSafe(a, v) => lit(v).map(l => s"${q(a)} <=> $l")
+    case GreaterThan(a, v) => lit(v).map(l => s"${q(a)} > $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} >= $l")
+    case LessThan(a, v) => lit(v).map(l => s"${q(a)} < $l")
+    case LessThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} <= $l")
+    case In(a, vs) if vs.nonEmpty =>
+      val ls = vs.toSeq.map(lit)
+      if (ls.forall(_.isDefined))
+        Some(s"${q(a)} IN (${ls.flatten.mkString(", ")})")
+      else None
+    case IsNull(a) => Some(s"${q(a)} IS NULL")
+    case IsNotNull(a) => Some(s"${q(a)} IS NOT NULL")
+    case And(l, r) =>
+      for { a <- toSql(l); b <- toSql(r) } yield s"($a AND $b)"
+    case Or(l, r) =>
+      for { a <- toSql(l); b <- toSql(r) } yield s"($a OR $b)"
+    case Not(c) => toSql(c).map(s => s"(NOT $s)")
+    case _: AlwaysTrue => Some("true")
+    case _: AlwaysFalse => Some("false")
+    case _ => None
+  }
+}
+
 class CommitLogTable(
     root: String, tableSchema: StructType,
     extraOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val schema0 = tableSchema
+
+  /** SQL `DELETE FROM t WHERE …` (catalog tables): the predicate
+    * arrives as v1 filters, translates to [[CommitLogDml.delete]]'s
+    * expression dialect, and runs the same find-phase + leg-dial
+    * delete as the API — serializable, audited, CDC-capable. The scan
+    * reconciles any resulting deletion vectors, so a post-DELETE
+    * SELECT just works. A predicate with untranslatable pieces is
+    * refused by `canDeleteWhere` and Spark reports it cleanly. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => CommitLogFilters.toSql(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(CommitLogFilters.toSql).mkString(" AND ")
+    CommitLogDml.delete(
+      org.apache.spark.sql.SparkSession.active, root, cond)
+  }
+
+  /** SQL `TRUNCATE TABLE` / unconditional DELETE: drop every live
+    * batch as one metadata commit (files stay for time travel until
+    * vacuum). */
+  override def truncateTable(): Boolean = {
+    val v = CommitLog.latestVersion(root)
+    val live = CommitLog.files(root, v)
+    if (live.nonEmpty)
+      CommitLog.commit(root, v, added = Nil, removed = live,
+        op = Some("TRUNCATE"))
+    true
+  }
   override def name(): String = s"commitlog($root)"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -523,7 +606,24 @@ case class CommitLogScan(
     // together — plan-time metadata cost does not multiply with the
     // number of pruning modalities in play
     val snap = CommitLog.snapshotAt(root, v)
-    CommitLogSource.requireNoDv(snap.files, s"batch read of $root at v$v")
+    // MERGE-ON-READ reconciliation: a `dv-` deletion-vector batch is
+    // not data — its (file, row_index) positions are loaded at plan
+    // time (deletes-sized by the MOR contract; compaction is what
+    // bounds them) and attached to each file's partition, where the
+    // sequential record reader skips them at zero join cost. The
+    // connector therefore serves DV tables directly — the S23 read
+    // shape without requiring CommitLogMerge.snapshot.
+    val (dvBatches, dataBatches) =
+      snap.files.partition(_.startsWith(CommitLogMerge.DvPrefix))
+    val deletedByFile: Map[String, Array[Long]] =
+      if (dvBatches.isEmpty) Map.empty
+      else org.apache.spark.sql.SparkSession.active.read
+        .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
+        .collect()
+        .groupBy(r => CommitLogMerge.normDir(r.getAs[String]("_file")))
+        .map { case (f, rows) =>
+          f -> rows.map(_.getAs[Long]("_pos")).sorted
+        }
     // manifest-stats pruning: intersect each pushed range box against
     // the batches' committed (min, max) boxes — a batch with no box
     // for the column is always read (unknown = keep), and Spark still
@@ -537,7 +637,7 @@ case class CommitLogScan(
         (c +: fm.getOrElse(c, Seq.empty)).iterator.map(bm.get)
           .collectFirst { case Some(t) => t }
       }
-    val boxPruned = boxes.foldLeft(snap.files) { case (fs, (col, (lo, hi))) =>
+    val boxPruned = boxes.foldLeft(dataBatches) { case (fs, (col, (lo, hi))) =>
       fs.filter { b =>
         chainLookup(snap.stats.get(b), col) match {
           case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
@@ -559,7 +659,9 @@ case class CommitLogScan(
     }
     pruned
       .flatMap(CommitLogSource.listParquet(root, _))
-      .map(f => CommitLogInputPartition(f): InputPartition)
+      .map(f => CommitLogInputPartition(f,
+        deletedPositions = deletedByFile.getOrElse(
+          CommitLogMerge.normDir(f), Array.empty)): InputPartition)
       .toArray
   }
 
@@ -707,7 +809,8 @@ case class CommitLogStreamOffset(version: Int)
   * constant; materialized change files carry their own). `version` is
   * ignored by snapshot scans (their schema lacks the CDF columns). */
 case class CommitLogInputPartition(
-    file: String, constChangeType: Option[String] = None, version: Int = -1)
+    file: String, constChangeType: Option[String] = None, version: Int = -1,
+    deletedPositions: Array[Long] = Array.empty)
     extends InputPartition
 
 case class CommitLogReaderFactory(
@@ -717,7 +820,7 @@ case class CommitLogReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CommitLogInputPartition]
     new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version,
-      formers)
+      formers, p.deletedPositions)
   }
 }
 
@@ -728,7 +831,8 @@ case class CommitLogReaderFactory(
 class CommitLogPartitionReader(
     file: String, schema: StructType,
     constChangeType: Option[String] = None, version: Int = -1,
-    formers: Map[String, Seq[String]] = Map.empty)
+    formers: Map[String, Seq[String]] = Map.empty,
+    deletedPositions: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val constChangeUtf8 =
@@ -744,8 +848,24 @@ class CommitLogPartitionReader(
   private var fileType: GroupType = _
   private var current: Group = _
 
+  // merge-on-read skip: this file's deletion-vector positions, sorted;
+  // the sequential scan counts record indexes and hops over them
+  private var rowIdx = -1L
+  private var delPtr = 0
+
+  private def isDeleted(i: Long): Boolean = {
+    while (delPtr < deletedPositions.length && deletedPositions(delPtr) < i)
+      delPtr += 1
+    delPtr < deletedPositions.length && deletedPositions(delPtr) == i
+  }
+
   override def next(): Boolean = {
     current = reader.read()
+    rowIdx += 1
+    while (current != null && isDeleted(rowIdx)) {
+      current = reader.read()
+      rowIdx += 1
+    }
     current != null
   }
 

@@ -33,11 +33,12 @@ class CommitLogDmlSpec extends SparkSpec {
     val snap1 = CommitLogMerge.snapshot(spark, root).as[(Long, Long)]
       .collect().toMap
     assert(snap1.size == 96 && !snap1.contains(25L) && !snap1.contains(100L))
-    // non-reconciling connector refuses the MOR state loudly
-    val e = intercept[IllegalStateException] {
-      spark.read.format("commitlog").option("path", root).load().collect()
-    }
-    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    // the connector reconciles the MOR state: DV positions attach to
+    // each file's partition and the record reader skips them
+    val viaConnector = spark.read.format("commitlog").option("path", root)
+      .load().as[(Long, Long)].collect().toMap
+    assert(viaConnector == snap1, "connector batch read must match the " +
+      "reconciling snapshot on a DV table")
 
     val d2 = CommitLogDml.delete(spark, root, "k <= 60") // dense
     assert(d2.leg == "cow", d2)

@@ -36,11 +36,11 @@ class CommitLogMergeSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(snap.size == 100, "100 - 1 delete + 1 insert")
     assert(snap(1L) == 11L && snap(200L) == 2000L && !snap.contains(2L))
-    // non-reconciling readers refuse the MOR table loudly
-    val e = intercept[IllegalStateException] {
-      spark.read.format("commitlog").option("path", root).load().collect()
-    }
-    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
+    // the connector batch read reconciles the MOR table in the reader
+    val viaConnector = spark.read.format("commitlog").option("path", root)
+      .load().as[(Long, Long)].collect().toMap
+    assert(viaConnector == snap,
+      "connector batch read must match the reconciling snapshot")
   }
 
   test("dense change set takes the COW leg and compacts covered DVs") {

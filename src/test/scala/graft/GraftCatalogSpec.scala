@@ -104,6 +104,47 @@ class GraftCatalogSpec extends SparkSpec {
     assert(planned.count() == 100)
   }
 
+  test("SQL DELETE runs the leg-dialed verb; SELECT reconciles the DVs") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db6")
+    spark.sql("CREATE TABLE gt.db6.d (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gt.db6.d SELECT id, id * 10 FROM range(0, 100)")
+    val root = s"$wh/db6/d"
+    // a sparse SQL delete lands the DV leg...
+    spark.sql("DELETE FROM gt.db6.d WHERE k IN (3, 97)")
+    assert(CommitLog.files(root, CommitLog.latestVersion(root))
+      .exists(_.startsWith("dv-")), "sparse delete should take the DV leg")
+    assert(CommitLog.history(root).last.operation.contains("DELETE"))
+    // ...and plain SQL reads reconcile it in the record reader
+    val left = spark.sql("SELECT k FROM gt.db6.d").as[Long].collect().toSet
+    assert(left.size == 98 && !left.contains(3L) && !left.contains(97L))
+    assert(spark.sql("SELECT sum(v) FROM gt.db6.d").head().getLong(0) ==
+      (0 until 100).filterNot(Set(3, 97)).map(_ * 10L).sum)
+    // a dense delete COW-rewrites and compacts the DV away: remaining
+    // rows are 90..99 minus the already-deleted 97 — nine rows
+    spark.sql("DELETE FROM gt.db6.d WHERE k < 90")
+    assert(!CommitLog.files(root, CommitLog.latestVersion(root))
+      .exists(_.startsWith("dv-")))
+    assert(spark.sql("SELECT count(*) FROM gt.db6.d").head().getLong(0) == 9)
+    // an untranslatable predicate is refused, not silently mis-deleted
+    intercept[Exception] {
+      spark.sql("DELETE FROM gt.db6.d WHERE k % 7 = 0")
+    }
+    assert(spark.sql("SELECT count(*) FROM gt.db6.d").head().getLong(0) == 9)
+  }
+
+  test("TRUNCATE TABLE drops all rows as one metadata commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db7")
+    spark.sql("CREATE TABLE gt.db7.t (k BIGINT)")
+    spark.sql("INSERT INTO gt.db7.t SELECT id FROM range(0, 50)")
+    spark.sql("TRUNCATE TABLE gt.db7.t")
+    assert(spark.sql("SELECT count(*) FROM gt.db7.t").head().getLong(0) == 0)
+    val root = s"$wh/db7/t"
+    assert(CommitLog.history(root).last.operation.contains("TRUNCATE"))
+    // the truncated-away version still time travels until vacuum
+    assert(spark.sql(
+      s"SELECT count(*) FROM gt.db7.t VERSION AS OF 2").head().getLong(0) == 50)
+  }
+
   test("identifier hygiene: traversal-shaped names are rejected") {
     intercept[Exception] {
       spark.sql("CREATE TABLE gt.db1.`..` (k BIGINT)")

@@ -1831,6 +1831,74 @@ object Sources {
           $"n", $"total", lit(nV2).as("n_v2"))
     },
 
+    // S38: ROW-LEVEL SQL — UPDATE, MERGE INTO and arbitrary-expression
+    // DELETE as plain spark.sql against a catalog table, through
+    // Spark's SupportsRowLevelOperations contract
+    // (graft.sources.CommitLogRowLevelOperation): the rewrite rules
+    // read the table through the operation's scan (which requires the
+    // `_batch` metadata column — that is what routes the write through
+    // the metadata-projecting task, stripping Spark's internal
+    // __row_operation marker), compute the post-command rows, and the
+    // replace-write commits removed=the read snapshot, added=one fresh
+    // batch, SERIALIZABLY at readVersion+1 (rivals abort, never
+    // rebase). The honest group-based COW baseline: no filter pushdown
+    // on the replace scan (a pruned file would silently lose rows).
+    // The decl's whole pipeline is SQL: CREATE/INSERT, then UPDATE
+    // (+1 on %97 keys), MERGE INTO against a source view (delete 'F'
+    // rows, upsert %4=1∧%13=0 rows at price+2), then expression DELETE
+    // (o_orderkey % 89 = 0 — the predicate the metadata path refuses).
+    // CommitLogRowLevelSpec pins DV compaction by rewrite, CHECK
+    // gating, and empty-result replaces.
+    Decl(
+      "s38_sql_row_level",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |    o_totalprice
+         |      + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS p,
+         |    o_orderstatus AS st
+         |  FROM orders WHERE o_orderkey % 4 = 0),
+         |merged AS (
+         |  SELECT k, p FROM base WHERE st <> 'F'
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice + 2 FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 13 = 0),
+         |final AS (SELECT k, p FROM merged WHERE k % 89 <> 0)
+         |SELECT 'UPDATE' AS op_u, 'MERGE' AS op_m, 'DELETE' AS op_d,
+         |  CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("p")} AS total
+         |FROM final""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s38_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt38", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt38.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt38.db")
+      s.sql("CREATE TABLE gt38.db.ord (k BIGINT, p DOUBLE, st STRING)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(s"INSERT INTO gt38.db.ord SELECT o_orderkey, o_totalprice, " +
+        s"o_orderstatus FROM $src WHERE o_orderkey % 4 = 0")
+      s.sql("UPDATE gt38.db.ord SET p = p + 1 WHERE k % 97 = 0")
+      // the MATCHED clause (never fires: source keys are %4=1, table
+      // holds %4=0) keeps Spark on the row-level plan — an insert-only
+      // MERGE would optimize into a plain append
+      s.sql(s"""MERGE INTO gt38.db.ord AS t USING (
+        SELECT o_orderkey AS k, o_totalprice AS np FROM $src
+        WHERE o_orderkey % 4 = 1 AND o_orderkey % 13 = 0) AS m ON t.k = m.k
+        WHEN MATCHED THEN UPDATE SET p = m.np + 2
+        WHEN NOT MATCHED THEN INSERT (k, p, st) VALUES (m.k, m.np + 2, 'X')""")
+      s.sql("DELETE FROM gt38.db.ord WHERE st = 'F'")
+      s.sql("DELETE FROM gt38.db.ord WHERE k % 89 = 0") // expression path
+      val root = s"$wh/db/ord"
+      val ops = CommitLog.history(root).flatMap(_.operation)
+      s.sql("SELECT k, p FROM gt38.db.ord")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+        .select(
+          lit(ops.find(_ == "UPDATE").orNull).as("op_u"),
+          lit(ops.find(_ == "MERGE").orNull).as("op_m"),
+          lit(ops.find(_ == "DELETE").orNull).as("op_d"),
+          $"n", $"total")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -1,0 +1,181 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** GROUP-BASED row-level SQL over the commit log — Spark's
+  * `SupportsRowLevelOperations` contract, which is how `UPDATE`,
+  * arbitrary-predicate `DELETE`, and `MERGE INTO` reach a DSv2 table
+  * as plain SQL:
+  *
+  *  1. Spark's rewrite rules (RewriteUpdateTable / RewriteDeleteFromTable
+  *     / RewriteMergeIntoTable) read the table through THIS operation's
+  *     scan and compute the post-command rows (survivors for DELETE,
+  *     CASE-WHEN-applied rows for UPDATE, the merged output for MERGE).
+  *  2. The result lands through this operation's write, whose commit
+  *     REPLACES the scanned groups with the written files.
+  *
+  * This implementation is the honest copy-on-write baseline: the scan
+  * deliberately does NO filter pushdown or manifest pruning — a file
+  * pruned from a ReplaceData read would have its rows silently dropped
+  * from the rewrite, because "replace" means "the written rows are the
+  * whole new content of the scanned groups". With every live batch
+  * scanned, the commit is a full-table rewrite: `removed` = the
+  * snapshot at the operation's read version (deletion vectors
+  * included — the rewrite doubles as compaction, since the scan
+  * reconciles them), `added` = one fresh batch of the rewritten rows.
+  * Narrowing groups at runtime (SupportsRuntimeV2Filtering, the
+  * Iceberg refinement) is an optimization on top of this contract,
+  * not a correctness requirement.
+  *
+  * Concurrency is the DML discipline: the read version is captured
+  * when the operation is created, the commit publishes at exactly
+  * `readVersion + 1`, and ANY rival landing first aborts the
+  * statement with `ConcurrentModificationException` — a rewrite never
+  * rebases (the rival may have changed rows this statement read).
+  * CHECK constraints in force validate the staged result pre-publish,
+  * exactly like the sink. Sparse DELETEs with translatable predicates
+  * never get here — `SupportsDelete`'s metadata path claims them
+  * first; this is the heavy verb for the expressions that path
+  * refuses. */
+class CommitLogRowLevelOperation(
+    root: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  /** One read version per statement: scan and replace-commit agree. */
+  private val readVersion = CommitLog.latestVersion(root)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** Requiring `_batch` is what routes the rewrite through Spark's
+    * metadata-projecting write path: the task projects the rewritten
+    * row to data columns (stripping the internal `__row_operation`
+    * marker) before it reaches the writer. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      CommitLogSource.BatchCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // Spark prunes to data columns + the required `_batch` — COLUMN
+      // pruning only; deliberately no filter pushdown (a file pruned
+      // from a replace-groups read would have its rows dropped)
+      private var required: org.apache.spark.sql.types.StructType =
+        CommitLogSource.tableSchema(root, readVersion)
+      override def pruneColumns(
+          s: org.apache.spark.sql.types.StructType): Unit = required = s
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        CommitLogScan(root, required,
+          boxes = Map.empty, probes = Seq.empty,
+          versionAsOf = Some(readVersion), startingVersion = 0,
+          maxVersionsPerTrigger = None, maxBytesPerTrigger = None,
+          ignoreDeletes = false)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new CommitLogReplaceWrite(root, readVersion, info.schema(),
+          cmd.toString)
+    }
+}
+
+/** The replace-groups write: stages like the one-shot append, commits
+  * `removed = snapshot at readVersion` + `added = the rewrite`. */
+class CommitLogReplaceWrite(
+    root: String, readVersion: Int, schema: StructType, verb: String)
+    extends Write with BatchWrite {
+  private val writeId = EnvelopeBatchWrite.nextWriteId()
+  private val stageName = s"stage-$writeId"
+  private val batchName = s"rl$writeId"
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    CommitLogBatchWriterFactory(s"$root/$stageName", schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rootP = new Path(root)
+    val f = FileSystem.get(rootP.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    val stage = new Path(rootP, stageName)
+    val dest = new Path(rootP, batchName)
+    def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
+
+    // task publish: committed attempts become visible parts (the
+    // sink's level-1 discipline), losing attempts' temps are swept
+    val msgs = messages.collect { case m: CommitLogCommitMessage => m }
+    msgs.foreach { m =>
+      val tmp = new Path(stage, m.tmpName)
+      val visible = new Path(stage, m.visibleName)
+      if (f.exists(tmp)) {
+        if (f.exists(visible)) f.delete(tmp, false)
+        else f.rename(tmp, visible)
+      }
+    }
+    if (f.exists(stage))
+      f.listStatus(stage)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+        .foreach(st => f.delete(st.getPath, false))
+
+    // the rewritten rows ARE the table's new content: the CHECKs in
+    // force must hold over them before anything publishes
+    val inForce = CommitLog.constraintsOf(root, readVersion)
+    if (inForce.nonEmpty && f.exists(stage)) {
+      val parts = f.listStatus(stage).filter(st => st.isFile &&
+          !st.getPath.getName.startsWith("_") &&
+          st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      if (parts.nonEmpty) {
+        val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
+        inForce.foreach { case (name, expr) =>
+          import org.apache.spark.sql.functions.{coalesce, expr => e, lit, not}
+          val bad = staged.filter(not(coalesce(e(expr), lit(true)))).count()
+          if (bad > 0) {
+            dropStage()
+            throw new CommitLog.ConstraintViolationException(name, expr, bad)
+          }
+        }
+      }
+    }
+
+    // an all-deleting statement may write zero rows — the empty batch
+    // still publishes (dense versions, exact replace semantics)
+    if (!f.exists(stage)) f.mkdirs(stage)
+    require(f.rename(stage, dest), s"failed to promote $stage to $dest")
+
+    val stats: CommitLog.Stats = {
+      val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
+        case (col, boxes) => col -> (boxes.map(_._2).min, boxes.map(_._3).max)
+      }
+      if (merged.isEmpty) Map.empty else Map(batchName -> merged)
+    }
+    val removed = CommitLog.files(root, readVersion)
+    if (!CommitLog.tryCommit(root, readVersion + 1,
+        added = Seq(batchName), removed = removed,
+        schema = Some(schema.toDDL), stats = stats, op = Some(verb))) {
+      if (f.exists(dest)) f.delete(dest, true)
+      throw new java.util.ConcurrentModificationException(
+        s"$verb lost the race at v${readVersion + 1} of $root: a rival " +
+          "committed first — re-run the statement (row-level rewrites " +
+          "never rebase: the rival may have changed rows this statement " +
+          "read)")
+    }
+    if ((readVersion + 1) % CommitLog.checkpointInterval == 0)
+      CommitLog.writeCheckpoint(root, readVersion + 1)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(s"$root/$stageName")
+    val f = FileSystem.get(p.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, true)
+  }
+}

@@ -99,6 +99,9 @@ class CommitLogSource extends TableProvider with DataSourceRegister {
 }
 
 object CommitLogSource {
+  /** The `_batch` metadata column's name (see CommitLogTable). */
+  val BatchCol = "_batch"
+
   /** `timestampAsOf` / `startingTimestamp` accept epoch millis or any
     * `yyyy-MM-dd[ HH:mm:ss]` timestamp, resolved against commit times
     * by [[CommitLog.versionAt]]. */
@@ -349,8 +352,34 @@ class CommitLogTable(
     extraOptions: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private val schema0 = tableSchema
+
+  /** `_batch`: the commit-log batch directory a row came from — the
+    * table's group identity. Selectable like any Spark metadata column
+    * (`SELECT _batch, * FROM t`), and the attribute the row-level
+    * operation requires so Spark routes rewrites through the
+    * metadata-projecting write path. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = CommitLogSource.BatchCol
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "commit-log batch directory holding the row"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` / expression `DELETE` — the
+    * group-based copy-on-write rewrite (see
+    * [[CommitLogRowLevelOperation]]). Simple-filter DELETEs never get
+    * here: `canDeleteWhere` claims them for the metadata path. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new CommitLogRowLevelOperation(root, info.command)
 
   /** SQL `DELETE FROM t WHERE …` (catalog tables): the predicate
     * arrives as v1 filters, translates to [[CommitLogDml.delete]]'s
@@ -838,6 +867,12 @@ class CommitLogPartitionReader(
   private val constChangeUtf8 =
     constChangeType.map(UTF8String.fromString).orNull
 
+  // the `_batch` metadata column: this file's batch directory,
+  // constant per partition
+  private val batchUtf8 =
+    UTF8String.fromString(CommitLogMerge.normDir(
+      file.substring(0, file.lastIndexOf('/'))))
+
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(new Configuration())
@@ -893,6 +928,8 @@ class CommitLogPartitionReader(
         else if (fi < 0 && schema(i).name == CommitLogCdf.ChangeTypeCol &&
             constChangeUtf8 != null)
           constChangeUtf8
+        else if (fi < 0 && schema(i).name == CommitLogSource.BatchCol)
+          batchUtf8
         else if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
         else schema(i).dataType match {
           case LongType => Long.box(current.getLong(fi, 0))

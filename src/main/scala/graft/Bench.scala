@@ -105,6 +105,7 @@ object Bench {
     "s32_check_constraint" -> 0.781, "s33_delete_update" -> 2.191,
     "s34_shallow_clone" -> 1.133, "s35_rename_column" -> 1.008,
     "s36_drop_column" -> 0.599, "s37_sql_catalog" -> 0.729,
+    "s38_sql_row_level" -> 1.699,
     "s3_jdbc_roundtrip" -> 0.345, "s4_json_roundtrip" -> 0.641,
     "s5_kafka_envelope" -> 0.202, "s6_csv_roundtrip" -> 0.464,
     "s7_orc_roundtrip" -> 0.869, "s8_envelope_source" -> 0.672,

@@ -47,14 +47,25 @@ class CommitLogRowLevelOperation(
     extends RowLevelOperation {
 
   /** One read version per statement: scan and replace-commit agree. */
-  private val readVersion = CommitLog.latestVersion(root)
+  private[sources] val readVersion = CommitLog.latestVersion(root)
+
+  /** The data batches this statement's rewrite REPLACES. Defaults to
+    * every live data batch (the whole-table COW baseline); Spark's
+    * runtime group filter narrows it to the batches that actually
+    * hold matched rows (see [[CommitLogRowLevelScan.filter]]) —
+    * untouched batches are then neither read, rewritten, nor removed. */
+  @volatile private[sources] var scannedBatches: Seq[String] =
+    CommitLog.files(root, readVersion)
+      .filterNot(_.startsWith(CommitLogMerge.DvPrefix))
 
   override def command(): RowLevelOperation.Command = cmd
 
-  /** Requiring `_batch` is what routes the rewrite through Spark's
-    * metadata-projecting write path: the task projects the rewritten
-    * row to data columns (stripping the internal `__row_operation`
-    * marker) before it reaches the writer. */
+  /** Requiring `_batch` does double duty: it routes the rewrite
+    * through Spark's metadata-projecting write path (the task projects
+    * the rewritten row to data columns, stripping the internal
+    * `__row_operation` marker before it reaches the writer), and it is
+    * the attribute the runtime group filter collects from matched
+    * rows. */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column(
@@ -71,24 +82,97 @@ class CommitLogRowLevelOperation(
       override def pruneColumns(
           s: org.apache.spark.sql.types.StructType): Unit = required = s
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        CommitLogScan(root, required,
-          boxes = Map.empty, probes = Seq.empty,
-          versionAsOf = Some(readVersion), startingVersion = 0,
-          maxVersionsPerTrigger = None, maxBytesPerTrigger = None,
-          ignoreDeletes = false)
+        new CommitLogRowLevelScan(
+          CommitLogRowLevelOperation.this, root, readVersion, required)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new CommitLogReplaceWrite(root, readVersion, info.schema(),
-          cmd.toString)
+        new CommitLogReplaceWrite(CommitLogRowLevelOperation.this,
+          root, readVersion, info.schema(), cmd.toString)
     }
 }
 
+/** The row-level read: the operation's live data batches (narrowed by
+  * the runtime group filter), deletion vectors reconciled per file,
+  * renamed columns resolved through the name chain — the batch-scan
+  * semantics, minus pushdown, plus group narrowing. */
+class CommitLogRowLevelScan(
+    op: CommitLogRowLevelOperation, root: String, readVersion: Int,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.read.InputPartition
+
+  override def readSchema(): StructType = schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"CommitLogRowLevelScan root=$root v=$readVersion " +
+      s"groups=${op.scannedBatches.size}"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      CommitLogSource.BatchCol))
+
+  /** Spark's GROUP FILTER: the command's condition runs as a subquery
+    * collecting the distinct `_batch` values of MATCHED rows, and this
+    * scan (the main read) narrows to exactly those batches. Batches
+    * outside the IN-list hold no matched rows: they are neither read,
+    * rewritten, nor removed — the statement's cost becomes
+    * touched-batch-sized, the Iceberg COW shape. A filter we cannot
+    * interpret is ignored (keep everything — filtering is an
+    * optimization, never a correctness lever). */
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        (p.children().head match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference
+              if r.fieldNames().sameElements(Array(CommitLogSource.BatchCol)) =>
+            Some(p.children().tail.collect {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                String.valueOf(l.value)
+            }.toSet)
+          case _ => None
+        }).foreach { matched =>
+          op.scannedBatches = op.scannedBatches.filter(b =>
+            matched.contains(
+              CommitLogMerge.normDir(CommitLog.batchPath(root, b))))
+        }
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dvBatches = CommitLog.files(root, readVersion)
+      .filter(_.startsWith(CommitLogMerge.DvPrefix))
+    val deletedByFile: Map[String, Array[Long]] =
+      if (dvBatches.isEmpty) Map.empty
+      else SparkSession.active.read
+        .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
+        .collect()
+        .groupBy(r => CommitLogMerge.normDir(r.getAs[String]("_file")))
+        .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }
+    op.scannedBatches
+      .flatMap(CommitLogSource.listParquet(root, _))
+      .map(f => CommitLogInputPartition(f,
+        deletedPositions = deletedByFile.getOrElse(
+          CommitLogMerge.normDir(f), Array.empty)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    CommitLogReaderFactory(schema, CommitLog.formerNamesOf(root, readVersion))
+}
+
 /** The replace-groups write: stages like the one-shot append, commits
-  * `removed = snapshot at readVersion` + `added = the rewrite`. */
+  * `removed = the scanned groups` + `added = the rewrite`. */
 class CommitLogReplaceWrite(
+    op: CommitLogRowLevelOperation,
     root: String, readVersion: Int, schema: StructType, verb: String)
     extends Write with BatchWrite {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
@@ -146,6 +230,14 @@ class CommitLogReplaceWrite(
       }
     }
 
+    // the group filter may prove NOTHING matched: zero groups scanned
+    // and zero rows written is a clean no-op — no version published
+    val wroteRows = msgs.map(_.rows).sum
+    if (op.scannedBatches.isEmpty && wroteRows == 0) {
+      dropStage()
+      return
+    }
+
     // an all-deleting statement may write zero rows — the empty batch
     // still publishes (dense versions, exact replace semantics)
     if (!f.exists(stage)) f.mkdirs(stage)
@@ -157,7 +249,25 @@ class CommitLogReplaceWrite(
       }
       if (merged.isEmpty) Map.empty else Map(batchName -> merged)
     }
-    val removed = CommitLog.files(root, readVersion)
+    // replace exactly the SCANNED groups (the group filter narrowed
+    // them to touched batches); a DV batch whose every reference lies
+    // in a removed batch is dead after the rewrite — drop it too, and
+    // keep DVs that still guard surviving batches (their entries into
+    // removed files can never match a planned partition again)
+    val scanned = op.scannedBatches
+    val scannedDirs = scanned
+      .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
+    val dvs = CommitLog.files(root, readVersion)
+      .filter(_.startsWith(CommitLogMerge.DvPrefix))
+    val coveredDvs = dvs.filter { dv =>
+      SparkSession.active.read.parquet(CommitLog.batchPath(root, dv))
+        .select(org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("_file"), "^(.*)/[^/]+$", 1)
+          .as("b"))
+        .distinct().collect()
+        .forall(r => scannedDirs.contains(CommitLogMerge.normDir(r.getString(0))))
+    }
+    val removed = scanned ++ coveredDvs
     if (!CommitLog.tryCommit(root, readVersion + 1,
         added = Seq(batchName), removed = removed,
         schema = Some(schema.toDDL), stats = stats, op = Some(verb))) {

@@ -87,6 +87,35 @@ class CommitLogRowLevelSpec extends SparkSpec {
       (0 until 10).map(_ * 10L).sum)
   }
 
+  test("the runtime group filter narrows the rewrite to touched batches") {
+    n += 1
+    val t = s"rl.db.t$n"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    // three separate batches with disjoint key ranges
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO $t SELECT id, id * 10 FROM " +
+        s"range(${b * 100}, ${b * 100 + 100})")
+    }
+    val root = rootOf(t)
+    val before = CommitLog.files(root, CommitLog.latestVersion(root))
+    assert(before.size == 3)
+    // the statement matches rows of the MIDDLE batch only
+    spark.sql(s"UPDATE $t SET v = 0 WHERE k >= 150 AND k < 160")
+    val after = CommitLog.files(root, CommitLog.latestVersion(root))
+    val kept = before.filter(after.contains)
+    assert(kept.size == 2,
+      s"untouched batches must survive the rewrite: before=$before after=$after")
+    val got = spark.sql(s"SELECT k, v FROM $t").as[(Long, Long)]
+      .collect().toMap
+    assert(got.size == 300 && got(155L) == 0L && got(149L) == 1490L &&
+      got(42L) == 420L && got(250L) == 2500L)
+    // a statement matching NOTHING publishes no version
+    val v0 = CommitLog.latestVersion(root)
+    spark.sql(s"UPDATE $t SET v = 1 WHERE k >= 5000")
+    assert(CommitLog.latestVersion(root) == v0,
+      "a zero-group statement must be a no-op")
+  }
+
   test("an all-deleting expression DELETE leaves an empty, dense table") {
     val t = freshTable(10)
     spark.sql(s"DELETE FROM $t WHERE k % 1 = 0") // untranslatable, matches all

@@ -83,6 +83,20 @@ object CommitLogMerge {
   private[sources] def normDir(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  /** Outstanding deletion-vector positions grouped by the
+    * scheme-stripped path of the data FILE they reference —
+    * deletes-sized by the MOR contract, collected once at plan time
+    * and attached to the file's partition for sequential skipping. */
+  private[sources] def dvPositionsByFile(
+      spark: SparkSession, root: String,
+      dvBatches: Seq[String]): Map[String, Array[Long]] =
+    if (dvBatches.isEmpty) Map.empty
+    else spark.read
+      .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
+      .collect()
+      .groupBy(r => normDir(r.getAs[String]("_file")))
+      .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }
+
   /** Where a version's materialized change-data rows live (when the
     * committing merge ran with `changeFeed = true`); underscore-hidden
     * from every data read. */

@@ -149,13 +149,8 @@ class CommitLogRowLevelScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val dvBatches = CommitLog.files(root, readVersion)
       .filter(_.startsWith(CommitLogMerge.DvPrefix))
-    val deletedByFile: Map[String, Array[Long]] =
-      if (dvBatches.isEmpty) Map.empty
-      else SparkSession.active.read
-        .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
-        .collect()
-        .groupBy(r => CommitLogMerge.normDir(r.getAs[String]("_file")))
-        .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }
+    val deletedByFile = CommitLogMerge.dvPositionsByFile(
+      SparkSession.active, root, dvBatches)
     op.scannedBatches
       .flatMap(CommitLogSource.listParquet(root, _))
       .map(f => CommitLogInputPartition(f,
@@ -193,35 +188,19 @@ class CommitLogReplaceWrite(
     val dest = new Path(rootP, batchName)
     def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
 
-    // task publish: committed attempts become visible parts (the
-    // sink's level-1 discipline), losing attempts' temps are swept
+    // task publish: the sink's level-1 discipline, shared
     val msgs = messages.collect { case m: CommitLogCommitMessage => m }
-    msgs.foreach { m =>
-      val tmp = new Path(stage, m.tmpName)
-      val visible = new Path(stage, m.visibleName)
-      if (f.exists(tmp)) {
-        if (f.exists(visible)) f.delete(tmp, false)
-        else f.rename(tmp, visible)
-      }
-    }
-    if (f.exists(stage))
-      f.listStatus(stage)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
-        .foreach(st => f.delete(st.getPath, false))
+    CommitLogWrite.promoteTasks(f, stage, msgs)
 
     // the rewritten rows ARE the table's new content: the CHECKs in
     // force must hold over them before anything publishes
     val inForce = CommitLog.constraintsOf(root, readVersion)
-    if (inForce.nonEmpty && f.exists(stage)) {
-      val parts = f.listStatus(stage).filter(st => st.isFile &&
-          !st.getPath.getName.startsWith("_") &&
-          st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString).toSeq
+    if (inForce.nonEmpty) {
+      val parts = CommitLogWrite.stagedParts(f, stage)
       if (parts.nonEmpty) {
         val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
         inForce.foreach { case (name, expr) =>
-          import org.apache.spark.sql.functions.{coalesce, expr => e, lit, not}
-          val bad = staged.filter(not(coalesce(e(expr), lit(true)))).count()
+          val bad = CommitLogWrite.violations(staged, expr)
           if (bad > 0) {
             dropStage()
             throw new CommitLog.ConstraintViolationException(name, expr, bad)
@@ -253,20 +232,35 @@ class CommitLogReplaceWrite(
     // them to touched batches); a DV batch whose every reference lies
     // in a removed batch is dead after the rewrite — drop it too, and
     // keep DVs that still guard surviving batches (their entries into
-    // removed files can never match a planned partition again)
+    // removed files can never match a planned partition again). One
+    // read over ALL outstanding DVs decides coverage — not one Spark
+    // job per prior sparse delete.
     val scanned = op.scannedBatches
     val scannedDirs = scanned
       .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
     val dvs = CommitLog.files(root, readVersion)
       .filter(_.startsWith(CommitLogMerge.DvPrefix))
-    val coveredDvs = dvs.filter { dv =>
-      SparkSession.active.read.parquet(CommitLog.batchPath(root, dv))
-        .select(org.apache.spark.sql.functions.regexp_extract(
-          org.apache.spark.sql.functions.col("_file"), "^(.*)/[^/]+$", 1)
-          .as("b"))
-        .distinct().collect()
-        .forall(r => scannedDirs.contains(CommitLogMerge.normDir(r.getString(0))))
-    }
+    val coveredDvs =
+      if (dvs.isEmpty) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, regexp_extract}
+        val refDirsByDv = SparkSession.active.read
+          .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*)
+          .select(
+            regexp_extract(col("_metadata.file_path"), "^(.*)/[^/]+$", 1)
+              .as("dvdir"),
+            regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("ref"))
+          .distinct().collect()
+          .groupBy(r => CommitLogMerge.normDir(r.getString(0)))
+          .map { case (d, rows) =>
+            d -> rows.map(r => CommitLogMerge.normDir(r.getString(1))).toSet
+          }
+        val dvByDir = dvs.map(b =>
+          CommitLogMerge.normDir(CommitLog.batchPath(root, b)) -> b).toMap
+        refDirsByDv.collect {
+          case (dvDir, refs) if refs.subsetOf(scannedDirs) => dvByDir(dvDir)
+        }.toSeq
+      }
     val removed = scanned ++ coveredDvs
     if (!CommitLog.tryCommit(root, readVersion + 1,
         added = Seq(batchName), removed = removed,

@@ -315,11 +315,15 @@ object CommitLogFilters {
       Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
     case b: Boolean => Some(b.toString)
     case n @ (_: Byte | _: Short | _: Int | _: Long) => Some(n.toString)
-    case d: Double => Some(d.toString)
-    case f: Float => Some(s"CAST($f AS FLOAT)")
+    // NaN/Infinity have no SQL literal spelling — refuse, so the
+    // statement falls through to the row-level path instead of
+    // claiming a predicate deleteWhere cannot execute
+    case d: Double if !d.isNaN && !d.isInfinite => Some(d.toString)
+    case f: Float if !f.isNaN && !f.isInfinite =>
+      Some(s"CAST($f AS FLOAT)")
     case d: java.math.BigDecimal => Some(d.toPlainString)
     case d: BigDecimal => Some(d.bigDecimal.toPlainString)
-    case _ => None // timestamps/dates/binary: refuse rather than guess
+    case _ => None // timestamps/dates/binary/NaN: refuse, never guess
   }
 
   def toSql(f: Filter): Option[String] = f match {
@@ -397,20 +401,36 @@ class CommitLogTable(
     val cond =
       if (filters.isEmpty) "true"
       else filters.flatMap(CommitLogFilters.toSql).mkString(" AND ")
+    // changeFeed on: the SQL surface offers no per-statement opt-in,
+    // and a DV delete WITHOUT materialized change rows permanently
+    // faults any streaming change-feed consumer at that version —
+    // paying one extra touched-batch read is the safe default
     CommitLogDml.delete(
-      org.apache.spark.sql.SparkSession.active, root, cond)
+      org.apache.spark.sql.SparkSession.active, root, cond,
+      changeFeed = true)
   }
 
   /** SQL `TRUNCATE TABLE` / unconditional DELETE: drop every live
     * batch as one metadata commit (files stay for time travel until
-    * vacuum). */
+    * vacuum). The removal list is RE-RESOLVED per attempt — a plain
+    * rebasing commit would keep a stale list and let a rival's append
+    * survive a "successful" truncate. */
   override def truncateTable(): Boolean = {
-    val v = CommitLog.latestVersion(root)
-    val live = CommitLog.files(root, v)
-    if (live.nonEmpty)
-      CommitLog.commit(root, v, added = Nil, removed = live,
-        op = Some("TRUNCATE"))
-    true
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val v = CommitLog.latestVersion(root)
+      val live = CommitLog.files(root, v)
+      if (live.isEmpty) return true
+      if (CommitLog.tryCommit(root, v + 1, added = Nil, removed = live,
+          op = Some("TRUNCATE"))) {
+        if ((v + 1) % CommitLog.checkpointInterval == 0)
+          CommitLog.writeCheckpoint(root, v + 1)
+        return true
+      }
+    }
+    throw new IllegalStateException(
+      s"TRUNCATE on $root gave up after 50 attempts (livelock?)")
   }
   override def name(): String = s"commitlog($root)"
   override def schema(): StructType = schema0
@@ -610,10 +630,9 @@ case class CommitLogScan(
   /** Batch leg: the snapshot at `versionAsOf` (default latest) — the
     * S22 time-travel read as a connector. One partition per part file.
     * A merge-on-read table (outstanding `dv-` deletion-vector batches
-    * from CommitLogMerge) fails loudly: this reader carries no row
-    * positions to reconcile against, and silently including deleted
-    * rows would be wrong — read via CommitLogMerge.snapshot, or run a
-    * COW merge/compaction first. */
+    * from CommitLogMerge/CommitLogDml) is served DIRECTLY: the DV
+    * positions load at plan time and ride each file's partition,
+    * where the record reader skips them. */
   override def planInputPartitions(): Array[InputPartition] = {
     // an empty table (no committed version) plans zero partitions: the
     // streaming-write path physically plans a scan of the SINK relation
@@ -644,15 +663,8 @@ case class CommitLogScan(
     // shape without requiring CommitLogMerge.snapshot.
     val (dvBatches, dataBatches) =
       snap.files.partition(_.startsWith(CommitLogMerge.DvPrefix))
-    val deletedByFile: Map[String, Array[Long]] =
-      if (dvBatches.isEmpty) Map.empty
-      else org.apache.spark.sql.SparkSession.active.read
-        .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
-        .collect()
-        .groupBy(r => CommitLogMerge.normDir(r.getAs[String]("_file")))
-        .map { case (f, rows) =>
-          f -> rows.map(_.getAs[Long]("_pos")).sorted
-        }
+    val deletedByFile = CommitLogMerge.dvPositionsByFile(
+      org.apache.spark.sql.SparkSession.active, root, dvBatches)
     // manifest-stats pruning: intersect each pushed range box against
     // the batches' committed (min, max) boxes — a batch with no box
     // for the column is always read (unknown = keep), and Spark still

@@ -156,11 +156,40 @@ object CommitLogWrite {
   }
 
   /** Filter to rows VIOLATING `checkExpr` (FALSE only — NULL passes). */
-  private def violations(
+  private[sources] def violations(
       df: org.apache.spark.sql.DataFrame, checkExpr: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     df.filter(not(coalesce(expr(checkExpr), lit(true)))).count()
   }
+
+  /** Level-1 task publish: exactly the committed attempts' temp files
+    * become visible parts inside the stage; every other `.tmp` is a
+    * losing or zombie attempt's leftover and is swept. Shared by the
+    * sink's publish and the row-level replace-write. */
+  private[sources] def promoteTasks(
+      f: FileSystem, stage: Path,
+      msgs: Seq[CommitLogCommitMessage]): Unit = {
+    msgs.foreach { m =>
+      val tmp = new Path(stage, m.tmpName)
+      val visible = new Path(stage, m.visibleName)
+      if (f.exists(tmp)) {
+        if (f.exists(visible)) f.delete(tmp, false)
+        else f.rename(tmp, visible)
+      }
+    }
+    if (f.exists(stage))
+      f.listStatus(stage)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+        .foreach(st => f.delete(st.getPath, false))
+  }
+
+  /** The visible `.parquet` parts inside a stage dir (post-promote). */
+  private[sources] def stagedParts(f: FileSystem, stage: Path): Seq[String] =
+    if (!f.exists(stage)) Nil
+    else f.listStatus(stage).filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") &&
+        st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSeq
 
   private def fs(path: Path): FileSystem = {
     val conf = SparkSession.getActiveSession
@@ -197,22 +226,9 @@ object CommitLogWrite {
       }
     }
 
-    // level 1: task publish — exactly the committed attempts become
-    // visible parts; everything else in the stage dir is a losing or
-    // zombie attempt's leftover and is swept with the dir's .tmp files
+    // level 1: task publish (see [[promoteTasks]])
     val msgs = messages.collect { case m: CommitLogCommitMessage => m }
-    msgs.foreach { m =>
-      val tmp = new Path(stage, m.tmpName)
-      val visible = new Path(stage, m.visibleName)
-      if (f.exists(tmp)) {
-        if (f.exists(visible)) f.delete(tmp, false)
-        else f.rename(tmp, visible)
-      }
-    }
-    if (f.exists(stage))
-      f.listStatus(stage)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
-        .foreach(st => f.delete(st.getPath, false))
+    promoteTasks(f, stage, msgs)
 
     // CHECK constraints in force gate the epoch BEFORE anything
     // publishes: one filtered scan of the staged parts per constraint
@@ -223,10 +239,7 @@ object CommitLogWrite {
     if (inForce.nonEmpty && f.exists(stage)) {
       // the committed attempts' parts are visible inside the stage by
       // now (level-1 renames above); losing attempts' temps were swept
-      val parts = f.listStatus(stage).filter(st => st.isFile &&
-          !st.getPath.getName.startsWith("_") &&
-          st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString).toSeq
+      val parts = stagedParts(f, stage)
       if (parts.nonEmpty) {
         val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
         inForce.foreach { case (name, expr) =>

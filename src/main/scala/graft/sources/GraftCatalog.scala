@@ -204,9 +204,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (newIdent.namespace :+ newIdent.name).toSeq)
+    val oldRoot = dirOf(oldIdent)
+    // deletion vectors record ABSOLUTE file paths: moving the
+    // directory would orphan every DV reference and silently
+    // resurrect the deleted rows — same path-dependence that makes
+    // shallow clone refuse DV sources. Compact first.
+    val v = CommitLog.latestVersion(oldRoot)
+    require(!CommitLog.files(oldRoot, v).exists(_.startsWith("dv-")),
+      s"cannot rename table at $oldRoot: outstanding deletion vectors " +
+        "reference its absolute path — run a COW rewrite or compaction " +
+        "first")
     val to = java.nio.file.Paths.get(dirOf(newIdent))
     java.nio.file.Files.createDirectories(to.getParent)
-    java.nio.file.Files.move(java.nio.file.Paths.get(dirOf(oldIdent)), to)
+    java.nio.file.Files.move(java.nio.file.Paths.get(oldRoot), to)
   }
 
   // ---- namespaces (directories of tables) ----

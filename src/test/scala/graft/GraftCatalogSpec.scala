@@ -145,6 +145,37 @@ class GraftCatalogSpec extends SparkSpec {
       s"SELECT count(*) FROM gt.db7.t VERSION AS OF 2").head().getLong(0) == 50)
   }
 
+  test("RENAME TO refuses a table with outstanding deletion vectors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db8")
+    spark.sql("CREATE TABLE gt.db8.r (k BIGINT)")
+    spark.sql("INSERT INTO gt.db8.r SELECT id FROM range(0, 100)")
+    spark.sql("DELETE FROM gt.db8.r WHERE k IN (7)") // DV leg
+    val root = s"$wh/db8/r"
+    assert(CommitLog.files(root, CommitLog.latestVersion(root))
+      .exists(_.startsWith("dv-")))
+    // the DV records the table's ABSOLUTE path — moving the directory
+    // would orphan it and resurrect row 7
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gt.db8.r RENAME TO db8.moved")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(_.getMessage != null) &&
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("deletion vectors"))), e)
+    // the SQL DV delete materialized its change rows: a streaming
+    // change-feed consumer survives the version
+    val dvVersion = CommitLog.history(root)
+      .find(_.operation.contains("DELETE")).get.version
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+      root, "_changes", s"v$dvVersion")),
+      "SQL DELETE must materialize CDC rows")
+    // a COW rewrite clears the DVs and the rename then lands
+    spark.sql("UPDATE gt.db8.r SET k = k WHERE k < 1000")
+    spark.sql("ALTER TABLE gt.db8.r RENAME TO db8.moved")
+    assert(spark.sql("SELECT count(*) FROM gt.db8.moved")
+      .head().getLong(0) == 99)
+  }
+
   test("identifier hygiene: traversal-shaped names are rejected") {
     intercept[Exception] {
       spark.sql("CREATE TABLE gt.db1.`..` (k BIGINT)")

@@ -804,6 +804,26 @@ class CommitLogMicroBatchStream(
       return CommitLog.changes(root, lo, hi)
         .flatMap(CommitLogChangePlan.partitions(root, _))
         .map(p => p: InputPartition).toArray
+    // a RENAME or DROP COLUMN landed mid-stream: this stream's schema
+    // still names the OLD column, which later appends no longer carry —
+    // the per-file name resolution would silently null-fill the new
+    // era's values (the rename commit itself plans zero files, so
+    // nothing else would notice). Fail loudly; a restart plans with
+    // the current schema and resolves the old era through the column
+    // map. Additive evolution stays a live null-fill as before.
+    CommitLog.schemaOf(root, hi).foreach { ddl =>
+      val now = StructType.fromDDL(ddl).fieldNames.toSet
+      val gone = schema.fieldNames.filterNot(now.contains)
+        .filterNot(n => n == CommitLogCdf.ChangeTypeCol ||
+          n == CommitLogCdf.CommitVersionCol ||
+          n == CommitLogSource.BatchCol)
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"column(s) ${gone.mkString(",")} were renamed or dropped under " +
+            s"this stream (table $root is now [${now.mkString(",")}]): " +
+            "restart the query to pick up the current schema — continuing " +
+            "would silently null-fill the new files' values")
+    }
     // dataChange=false versions (OPTIMIZE) restate rows this stream
     // already emitted in new files: skipped wholesale — this is what
     // lets compaction run UNDER a live tail without faulting it

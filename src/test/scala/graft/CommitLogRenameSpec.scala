@@ -159,6 +159,55 @@ class CommitLogRenameSpec extends SparkSpec {
     assert(box.contains((10.0, 600.0)), box)
   }
 
+  test("a rename under a live stream fails loudly; a restart resolves it") {
+    val root = freshRoot()
+    baseTable(root) // v1, schema (k, v)
+    val ckpt = java.nio.file.Files.createTempDirectory("ren_ck").toString
+    // foreachBatch: the one sink shape that recovers from a checkpoint
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def sinkTo(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val last = df.columns.last
+      df.select(col("k"), col(last)).as[(Long, Long)].collect()
+        .foreach(seen.add)
+    }
+    // a LIVE stream analyzed against the pre-rename schema...
+    val live = spark.readStream.format("commitlog").option("path", root).load()
+      .writeStream.foreachBatch(sinkTo _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (seen.size < 50 && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(seen.size == 50)
+    // ...must FAIL when a rename + new-era append land under it, not
+    // silently null-fill the new files' values
+    CommitLog.renameColumn(root, "v", "amount")
+    (51 to 60).map(i => (i.toLong, i * 10L)).toDF("k", "amount")
+      .repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    while (live.exception.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val e = live.exception.getOrElse(fail("stream must fail on the rename"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("renamed or dropped"))), e)
+    // a RESTART plans with the current schema: the old era resolves
+    // through the column map, the new era natively, and the offsets
+    // resume past the already-emitted versions
+    val q2 = spark.readStream.format("commitlog").option("path", root).load()
+      .writeStream.foreachBatch(sinkTo _)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val resumed = seen.asScala.toSeq
+    assert(resumed.size == 60 && resumed.toMap ==
+      (1 to 60).map(i => i.toLong -> i * 10L).toMap,
+      s"the restart must emit exactly the post-checkpoint versions " +
+        s"(got ${resumed.size})")
+  }
+
   test("manifest pruning probes the whole name chain") {
     val root = freshRoot()
     baseTable(root) // box for 'v' recorded at write time

@@ -388,6 +388,13 @@ object CommitLog {
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
     requireValidTxn(txn)
+    // a version beyond latest+1 would publish a manifest with a HOLE
+    // below it — every later replay of the skipped version dies on the
+    // missing file. (Racers legitimately aim at latest+1 and lose;
+    // nothing legitimately aims higher.)
+    require(v <= latestVersion(root) + 1,
+      s"cannot publish v$v of $root: latest is v${latestVersion(root)} — " +
+        "a gap in the version sequence would break every replay across it")
     requireValidDataChange(dataChange, added, removed, schema)
     op.foreach(o => require(o.nonEmpty && !o.exists("\",[]\\".contains(_)),
       s"operation label '$o' must be non-empty and quote/bracket-free"))
@@ -1100,6 +1107,32 @@ object CommitLog {
     }
   }
 
+  /** `VACUUM … DRY RUN`: what [[vacuum]] with the same arguments WOULD
+    * expire and sweep, deleting nothing — the pre-flight a retention
+    * job runs before an irreversible sweep (Delta's DRY RUN). Computed
+    * from the same cutoff and liveness rules; the age guard is applied
+    * against now, so a dry run slightly UNDER-reports batches that
+    * will age into eligibility by the real run. */
+  def vacuumDryRun(root: String, keepLast: Int, minAgeMs: Long): VacuumStats = {
+    require(keepLast >= 1, "must retain at least the latest version")
+    require(minAgeMs >= 0L, "minAgeMs must be non-negative")
+    val latest = latestVersion(root)
+    if (latest == 0) return VacuumStats(0, Nil, 0)
+    val cutoff = math.max(
+      math.max(1, latest - keepLast + 1), lowestReadable(root))
+    val expired = (1 until cutoff).count(v => Files.exists(manifest(root, v)))
+    val live = (cutoff to latest).flatMap(files(root, _)).toSet
+    val now = System.currentTimeMillis()
+    val swept = listDir(Paths.get(root)).flatMap { p =>
+      val name = p.getFileName.toString
+      val isData = !name.startsWith("_") && !name.startsWith(".")
+      if (isData && !live.contains(name) &&
+          now - Files.getLastModifiedTime(p).toMillis >= minAgeMs) Some(name)
+      else None
+    }
+    VacuumStats(expired, swept.sorted, cutoff)
+  }
+
   def vacuum(root: String, keepLast: Int, minAgeMs: Long): VacuumStats = {
     require(keepLast >= 1, "must retain at least the latest version")
     require(minAgeMs >= 0L, "minAgeMs must be non-negative")
@@ -1209,6 +1242,10 @@ object CommitLog {
       s"duplicate batch names within one commit: $added")
     require(added.toSet.intersect(removedSet).isEmpty,
       s"a commit cannot both add and remove ${added.toSet.intersect(removedSet)}")
+    require(readVersion <= latestVersion(root),
+      s"cannot commit on $root from readVersion $readVersion: latest is " +
+        s"v${latestVersion(root)} — the caller read a version that does " +
+        "not exist")
     var base = readVersion
     var attempts = 0
     while (attempts < maxAttempts) {

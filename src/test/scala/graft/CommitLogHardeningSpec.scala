@@ -238,6 +238,34 @@ class CommitLogHardeningSpec extends SparkSpec {
       .collect().toMap == expected)
   }
 
+  test("vacuum dry run predicts the real sweep and deletes nothing") {
+    val root = freshRoot()
+    baseTable(root) // v1: one sink batch
+    val b1 = CommitLog.files(root, 1).head
+    CommitLog.commit(root, 1, added = Nil, removed = Seq(b1)) // v2: b1 dead
+    val dry = CommitLog.vacuumDryRun(root, keepLast = 1, minAgeMs = 0L)
+    assert(dry.sweptBatches == Seq(b1) && dry.retainedFrom == 2, dry)
+    // nothing was touched
+    assert(CommitLog.files(root, 1) == Seq(b1),
+      "dry run must not expire manifests")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, b1)))
+    // the real run does exactly what the dry run predicted
+    val real = CommitLog.vacuum(root, keepLast = 1, minAgeMs = 0L)
+    assert(real.sweptBatches == dry.sweptBatches &&
+      real.retainedFrom == dry.retainedFrom, (dry, real))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, b1)))
+  }
+
+  test("a commit aimed past latest+1 is rejected: no version holes") {
+    val root = freshRoot()
+    baseTable(root) // v1
+    intercept[IllegalArgumentException] {
+      CommitLog.commit(root, readVersion = 5, added = Nil,
+        removed = Seq(CommitLog.files(root, 1).head))
+    }
+    assert(CommitLog.latestVersion(root) == 1, "nothing may publish")
+  }
+
   test("restore re-adds batches WITH their stats and blooms") {
     val root = freshRoot()
     (1 to 50).map(i => (i.toLong, i * 10L, s"t$i")).toDF("k", "v", "tag")

@@ -1899,6 +1899,80 @@ object Sources {
           $"n", $"total")
     },
 
+    // S39: INSERT OVERWRITE + replaceWhere — the connector's overwrite
+    // verbs (graft.sources.CommitLogOverwriteWrite), each ONE atomic
+    // manifest so a reader sees the old region or the new region,
+    // never neither (the idempotent-backfill contract: re-running a
+    // failed reload converges instead of double-appending). SQL
+    // `INSERT OVERWRITE` / `mode("overwrite")` removes every live
+    // batch (deletion vectors included) and adds the staged data, with
+    // the removal list RE-RESOLVED per commit attempt so a mid-race
+    // rival append falls inside the overwrite; `writeTo(...)
+    // .overwrite(cond)` / `option("replaceWhere", …)` rewrites only
+    // the touched batches without the matching rows (COW), publishing
+    // SERIALIZABLE at readVersion+1, with incoming rows validated to
+    // lie INSIDE the replaced region (Delta's replaceWhere contract).
+    // The decl loads two region batches via SQL, reloads region m=0
+    // with +5 prices through replaceWhere (v4), then full-overwrites
+    // with the other half of orders at doubled prices (v5), and reads
+    // all three versions through SQL time travel plus the audited verb
+    // labels. CommitLogOverwriteSpec pins untouched-batch survival,
+    // containment refusal, CHECK gating, DV cleanup, and the
+    // one-version atomicity.
+    Decl(
+      "s39_insert_overwrite",
+      s"""WITH v3 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |  FROM orders WHERE o_orderkey % 4 IN (0, 1)),
+         |v4 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("p")} AS total FROM (
+         |    SELECT o_totalprice + 5 AS p FROM orders WHERE o_orderkey % 4 = 0
+         |    UNION ALL
+         |    SELECT o_totalprice FROM orders WHERE o_orderkey % 4 = 1)),
+         |v5 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("p")} AS total FROM (
+         |    SELECT o_totalprice * 2 AS p FROM orders
+         |    WHERE o_orderkey % 4 IN (2, 3)))
+         |SELECT CAST(3 AS BIGINT) AS version, 'WRITE' AS op, n, total FROM v3
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'OVERWRITE WHERE', n, total FROM v4
+         |UNION ALL
+         |SELECT CAST(5 AS BIGINT), 'OVERWRITE', n, total FROM v5
+         |ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s39_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt39", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt39.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt39.db")
+      s.sql("CREATE TABLE gt39.db.ow (k BIGINT, p DOUBLE, m BIGINT)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(s"INSERT INTO gt39.db.ow SELECT o_orderkey, o_totalprice, 0 " +
+        s"FROM $src WHERE o_orderkey % 4 = 0") // v2: region m=0
+      s.sql(s"INSERT INTO gt39.db.ow SELECT o_orderkey, o_totalprice, 1 " +
+        s"FROM $src WHERE o_orderkey % 4 = 1") // v3: region m=1
+      // v4: idempotent reload of region m=0 (one atomic commit; the
+      // m=1 batch is neither read nor rewritten)
+      Qh.t(s, dir, "orders").filter($"o_orderkey" % 4 === 0)
+        .select($"o_orderkey".as("k"), ($"o_totalprice" + 5).as("p"),
+          lit(0L).as("m"))
+        .writeTo("gt39.db.ow").overwrite($"m" === 0L)
+      // v5: full overwrite — truncate + add in one manifest
+      s.sql(s"INSERT OVERWRITE gt39.db.ow SELECT o_orderkey, " +
+        s"o_totalprice * 2, o_orderkey % 4 FROM $src " +
+        "WHERE o_orderkey % 4 IN (2, 3)")
+      val root = s"$wh/db/ow"
+      val opOf = CommitLog.history(root)
+        .map(h => h.version -> h.operation.orNull).toMap
+      def asOf(v: Int) =
+        s.sql(s"SELECT p FROM gt39.db.ow VERSION AS OF $v")
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+          .select(lit(v.toLong).as("version"), lit(opOf(v)).as("op"),
+            $"n", $"total")
+      asOf(3).unionAll(asOf(4)).unionAll(asOf(5)).orderBy("version")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

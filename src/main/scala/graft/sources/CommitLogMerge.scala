@@ -97,6 +97,37 @@ object CommitLogMerge {
       .groupBy(r => normDir(r.getAs[String]("_file")))
       .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }
 
+  /** DV batches whose EVERY referenced data directory lies inside
+    * `coveredDirs` — dead after a rewrite that removes those batches,
+    * so the committing verb drops them too (compaction as a side
+    * effect). One read over ALL outstanding DVs decides coverage, not
+    * one Spark job per prior sparse delete; DVs that still guard a
+    * surviving batch are kept (their entries into removed files can
+    * never match a planned partition again). */
+  private[sources] def coveredDvBatches(
+      spark: SparkSession, root: String, dvs: Seq[String],
+      coveredDirs: Set[String]): Seq[String] =
+    if (dvs.isEmpty) Nil
+    else {
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val refDirsByDv = spark.read
+        .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*)
+        .select(
+          regexp_extract(col("_metadata.file_path"), "^(.*)/[^/]+$", 1)
+            .as("dvdir"),
+          regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("ref"))
+        .distinct().collect()
+        .groupBy(r => normDir(r.getString(0)))
+        .map { case (d, rows) =>
+          d -> rows.map(r => normDir(r.getString(1))).toSet
+        }
+      val dvByDir = dvs.map(b =>
+        normDir(CommitLog.batchPath(root, b)) -> b).toMap
+      refDirsByDv.collect {
+        case (dvDir, refs) if refs.subsetOf(coveredDirs) => dvByDir(dvDir)
+      }.toSeq
+    }
+
   /** Where a version's materialized change-data rows live (when the
     * committing merge ran with `changeFeed = true`); underscore-hidden
     * from every data read. */

@@ -240,27 +240,8 @@ class CommitLogReplaceWrite(
       .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
     val dvs = CommitLog.files(root, readVersion)
       .filter(_.startsWith(CommitLogMerge.DvPrefix))
-    val coveredDvs =
-      if (dvs.isEmpty) Nil
-      else {
-        import org.apache.spark.sql.functions.{col, regexp_extract}
-        val refDirsByDv = SparkSession.active.read
-          .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*)
-          .select(
-            regexp_extract(col("_metadata.file_path"), "^(.*)/[^/]+$", 1)
-              .as("dvdir"),
-            regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("ref"))
-          .distinct().collect()
-          .groupBy(r => CommitLogMerge.normDir(r.getString(0)))
-          .map { case (d, rows) =>
-            d -> rows.map(r => CommitLogMerge.normDir(r.getString(1))).toSet
-          }
-        val dvByDir = dvs.map(b =>
-          CommitLogMerge.normDir(CommitLog.batchPath(root, b)) -> b).toMap
-        refDirsByDv.collect {
-          case (dvDir, refs) if refs.subsetOf(scannedDirs) => dvByDir(dvDir)
-        }.toSeq
-      }
+    val coveredDvs = CommitLogMerge.coveredDvBatches(
+      SparkSession.active, root, dvs, scannedDirs)
     val removed = scanned ++ coveredDvs
     if (!CommitLog.tryCommit(root, readVersion + 1,
         added = Seq(batchName), removed = removed,

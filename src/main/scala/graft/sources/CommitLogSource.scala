@@ -437,7 +437,8 @@ class CommitLogTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   /** Append-only writes (see [[CommitLogWrite]]): batch appends commit
     * one fresh-named batch; streaming appends commit one batch per

@@ -191,6 +191,52 @@ object CommitLogWrite {
         st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq
 
+  /** Per-task (min, max) boxes merged into one manifest stats entry. */
+  private[sources] def mergedStats(
+      msgs: Seq[CommitLogCommitMessage], batchName: String): CommitLog.Stats = {
+    val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
+      case (col, boxes) =>
+        col -> (boxes.map(_._2).min, boxes.map(_._3).max)
+    }
+    if (merged.isEmpty) Map.empty else Map(batchName -> merged)
+  }
+
+  /** Bloom union across tasks is bitwise OR — a value written by ANY
+    * task is visible in the batch's merged filter. */
+  private[sources] def mergedBlooms(
+      msgs: Seq[CommitLogCommitMessage], batchName: String): CommitLog.Blooms = {
+    val merged = msgs.flatMap(_.blooms).groupBy(_._1).map {
+      case (col, sets) =>
+        col -> CommitLogBloom.toHex(sets.map(_._2).reduce(CommitLogBloom.merge))
+    }
+    if (merged.isEmpty) Map.empty else Map(batchName -> merged)
+  }
+
+  /** OVERWRITE's schema gate: the sink's append path gets additive
+    * evolution checked inside [[CommitLog.commit]]; the overwrite legs
+    * publish via [[CommitLog.tryCommit]] directly (full overwrite
+    * re-resolves its removal list per attempt, conditional overwrite is
+    * serializable at one version) and must enforce the same contract
+    * themselves — every declared column keeps its name and type, new
+    * columns may append, DROPPED names stay reserved forever. */
+  private[sources] def requireAppendableSchema(
+      root: String, v: Int, schema: StructType): Unit =
+    CommitLog.schemaOf(root, v).foreach { cur =>
+      if (cur != schema.toDDL) {
+        StructType.fromDDL(cur).fields.foreach { f =>
+          val kept = schema.fields.find(_.name == f.name)
+          require(kept.exists(_.dataType == f.dataType),
+            s"overwrite must keep the declared schema ($cur) or evolve it " +
+              s"additively — column '${f.name}' is missing or retyped " +
+              "(renames and drops go through ALTER TABLE)")
+        }
+        val zombie = schema.fieldNames.filter(CommitLog.droppedOf(root, v).contains)
+        require(zombie.isEmpty,
+          s"column name(s) ${zombie.mkString(",")} were DROPPED and are " +
+            "reserved forever: old files still carry data under them")
+      }
+    }
+
   private def fs(path: Path): FileSystem = {
     val conf = SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -282,22 +328,8 @@ object CommitLogWrite {
       s"failed to promote $stage to $dest")
     val latest = CommitLog.latestVersion(root)
 
-    val stats: CommitLog.Stats = {
-      val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
-        case (col, boxes) =>
-          col -> (boxes.map(_._2).min, boxes.map(_._3).max)
-      }
-      if (merged.isEmpty) Map.empty else Map(batchName -> merged)
-    }
-    val blooms: CommitLog.Blooms = {
-      // bloom union across tasks is bitwise OR — a value written by
-      // ANY task is visible in the batch's merged filter
-      val merged = msgs.flatMap(_.blooms).groupBy(_._1).map {
-        case (col, sets) =>
-          col -> CommitLogBloom.toHex(sets.map(_._2).reduce(CommitLogBloom.merge))
-      }
-      if (merged.isEmpty) Map.empty else Map(batchName -> merged)
-    }
+    val stats = mergedStats(msgs, batchName)
+    val blooms = mergedBlooms(msgs, batchName)
     try {
       CommitLog.commit(root, latest, added = Seq(batchName),
         schema = Some(schema.toDDL), stats = stats, txn = txn,
@@ -325,7 +357,8 @@ case class CommitLogCommitMessage(
     blooms: Seq[(String, Array[Long])] = Nil) extends WriterCommitMessage
 
 class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   /** `option("bloomColumns", "c1,c2")` + `option("bloomBits", n)`:
     * build a per-batch membership filter for the named STRING columns
     * as rows stream through ([[CommitLogBloom]]) — point lookups then
@@ -337,6 +370,42 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     Option(info.options.get("bloomBits")).map(_.toInt)
       .getOrElse(CommitLogBloom.DefaultBits)
 
+  /** None = append; Some(None) = full overwrite (TRUNCATE + add in one
+    * commit); Some(Some(sql)) = replaceWhere (delete-by-predicate + add
+    * in one commit). */
+  private var overwriteMode: Option[Option[String]] = None
+
+  /** `INSERT OVERWRITE` / `mode("overwrite")`: replace the WHOLE table
+    * — one atomic manifest removes every live batch and adds the new
+    * data; a reader sees old rows or new rows, never neither. The
+    * path-based API has no way to carry a predicate, so
+    * `option("replaceWhere", "<sql>")` narrows a full overwrite to the
+    * region it names (Delta's spelling of the same verb). */
+  override def truncate(): WriteBuilder = {
+    overwriteMode = Some(
+      Option(info.options.get("replaceWhere")).map(_.trim).filter(_.nonEmpty))
+    this
+  }
+
+  override def canOverwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => CommitLogFilters.toSql(f).isDefined)
+
+  /** `df.writeTo(t).overwrite(cond)` — Delta's replaceWhere: the rows
+    * matching `filters` are deleted and the new data inserted in ONE
+    * commit (the idempotent-backfill verb). Untranslatable predicates
+    * are refused by [[canOverwrite]] and Spark reports them cleanly. */
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    val sqls = filters.toSeq.map(f => CommitLogFilters.toSql(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"overwrite predicate $f is not translatable")))
+    overwriteMode =
+      if (sqls.isEmpty || sqls.forall(_ == "true")) Some(None)
+      else Some(Some(sqls.mkString(" AND ")))
+    this
+  }
+
   override def build(): Write = {
     val schema = info.schema()
     bloomCols.foreach { c =>
@@ -344,13 +413,25 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
           schema(c).dataType == StringType,
         s"bloomColumns entry '$c' must name a STRING column of the write")
     }
-    new Write {
-      override def toBatch: BatchWrite =
-        new CommitLogBatchWrite(root, schema, bloomCols, bloomBits)
-      override def toStreaming: StreamingWrite =
-        new CommitLogStreamingWrite(
-          root, schema, CommitLogWrite.appOf(info.queryId()),
-          bloomCols, bloomBits)
+    overwriteMode match {
+      case Some(cond) =>
+        new Write {
+          override def toBatch: BatchWrite =
+            new CommitLogOverwriteWrite(root, schema, cond, bloomCols, bloomBits)
+          override def toStreaming: StreamingWrite =
+            throw new UnsupportedOperationException(
+              "commitlog streaming writes are append-only (one batch per " +
+                "epoch) — overwrite is a batch verb")
+        }
+      case None =>
+        new Write {
+          override def toBatch: BatchWrite =
+            new CommitLogBatchWrite(root, schema, bloomCols, bloomBits)
+          override def toStreaming: StreamingWrite =
+            new CommitLogStreamingWrite(
+              root, schema, CommitLogWrite.appOf(info.queryId()),
+              bloomCols, bloomBits)
+        }
     }
   }
 }
@@ -372,6 +453,203 @@ class CommitLogBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(s"$root/$stageName")
+    val f = FileSystem.get(p.toUri,
+      SparkSession.active.sessionState.newHadoopConf())
+    if (f.exists(p)) f.delete(p, true)
+  }
+}
+
+/** OVERWRITE as ONE atomic commit — the verb behind SQL
+  * `INSERT OVERWRITE`, `df.write.mode("overwrite")` and
+  * `df.writeTo(t).overwrite(cond)` (Delta's replaceWhere):
+  *
+  *  - '''Full overwrite''' (`cond = None`): the manifest removes every
+  *    live batch (deletion vectors included — the table restarts clean)
+  *    and adds the staged data. The removal list is RE-RESOLVED per
+  *    commit attempt, exactly like `TRUNCATE`: a rival's append landing
+  *    mid-race must fall inside the overwrite, not survive beside it.
+  *  - '''replaceWhere''' (`cond = Some(sql)`): rows matching the
+  *    predicate are deleted (touched batches copy-on-write-rewritten
+  *    without them, DVs the rewrite fully covers dropped) and the new
+  *    data inserted, all in one manifest. Content-dependent, so it
+  *    publishes SERIALIZABLE at exactly readVersion+1 and aborts on any
+  *    rival ([[CommitLogDml]]'s discipline). The COW leg is always
+  *    taken: replaceWhere exists for region reloads, where matched
+  *    fractions are high and a DV leg would only defer the rewrite.
+  *
+  * Incoming rows must LIE INSIDE the replaced region (every staged row
+  * satisfies `cond`) — the Delta replaceWhere contract; without it a
+  * backfill of `date = X` could smuggle other dates into the table.
+  * CHECK constraints in force validate the staged data pre-publish.
+  * Readers see the old region or the new region, never neither — that
+  * atomicity is what makes the verb an idempotent backfill at 100 TB:
+  * re-running a failed partition reload converges instead of
+  * double-appending. */
+class CommitLogOverwriteWrite(
+    root: String, schema: StructType, cond: Option[String],
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    extends BatchWrite {
+  import org.apache.spark.sql.functions._
+
+  private val writeId = EnvelopeBatchWrite.nextWriteId()
+  private val stageName = s"stage-$writeId"
+  private val batchName = s"o$writeId"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    CommitLogBatchWriterFactory(s"$root/$stageName", schema, bloomCols, bloomBits)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val rootP = new Path(root)
+    val f = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
+    val stage = new Path(rootP, stageName)
+    val dest = new Path(rootP, batchName)
+    def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
+
+    val msgs = messages.collect { case m: CommitLogCommitMessage => m }
+    CommitLogWrite.promoteTasks(f, stage, msgs)
+
+    // gate the staged rows BEFORE anything publishes: CHECKs in force,
+    // and the replaceWhere containment contract
+    val parts = CommitLogWrite.stagedParts(f, stage)
+    if (parts.nonEmpty) {
+      val staged = spark.read.schema(schema).parquet(parts: _*)
+      CommitLog.constraintsOf(root, CommitLog.latestVersion(root)).foreach {
+        case (name, e) =>
+          val bad = CommitLogWrite.violations(staged, e)
+          if (bad > 0) {
+            dropStage()
+            throw new CommitLog.ConstraintViolationException(name, e, bad)
+          }
+      }
+      cond.foreach { c =>
+        val escapees =
+          staged.filter(not(coalesce(expr(c), lit(false)))).count()
+        if (escapees > 0) {
+          dropStage()
+          throw new IllegalArgumentException(
+            s"overwrite WHERE ($c): $escapees written row(s) fall outside " +
+              "the replaced region — new data must satisfy the predicate " +
+              "(the replaceWhere contract; widen the predicate or fix the " +
+              "data)")
+        }
+      }
+    }
+
+    // an empty overwrite still replaces (truncate-to-empty-region):
+    // publish the batch as an empty dir
+    if (!f.exists(stage)) f.mkdirs(stage)
+    require(f.rename(stage, dest), s"failed to promote $stage to $dest")
+    val stats = CommitLogWrite.mergedStats(msgs, batchName)
+    val blooms = CommitLogWrite.mergedBlooms(msgs, batchName)
+
+    cond match {
+      case None => commitFull(f, dest, stats, blooms)
+      case Some(c) => commitReplaceWhere(spark, f, dest, c, stats, blooms)
+    }
+  }
+
+  /** Full overwrite: truncate + add in one manifest, removal list
+    * re-resolved per attempt so a mid-race rival append is overwritten,
+    * never merged. */
+  private def commitFull(
+      f: FileSystem, dest: Path,
+      stats: CommitLog.Stats, blooms: CommitLog.Blooms): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val v = CommitLog.latestVersion(root)
+      CommitLogWrite.requireAppendableSchema(root, v, schema)
+      val live = CommitLog.files(root, v)
+      if (CommitLog.tryCommit(root, v + 1, added = Seq(batchName),
+          removed = live, schema = Some(schema.toDDL), stats = stats,
+          blooms = blooms, op = Some("OVERWRITE"))) {
+        if ((v + 1) % CommitLog.checkpointInterval == 0)
+          CommitLog.writeCheckpoint(root, v + 1)
+        return
+      }
+    }
+    f.delete(dest, true)
+    throw new IllegalStateException(
+      s"OVERWRITE on $root gave up after 50 attempts (livelock?)")
+  }
+
+  /** replaceWhere: delete-by-predicate + insert, one serializable
+    * manifest at readVersion+1 (rivals abort the statement — the
+    * touched set was computed against rows a rival may have changed). */
+  private def commitReplaceWhere(
+      spark: SparkSession, f: FileSystem, dest: Path, c: String,
+      stats: CommitLog.Stats, blooms: CommitLog.Blooms): Unit = {
+    val readV = CommitLog.latestVersion(root)
+    CommitLogWrite.requireAppendableSchema(root, readV, schema)
+    val (dvs, datas) = CommitLog.files(root, readV)
+      .partition(_.startsWith(CommitLogMerge.DvPrefix))
+    val hit = coalesce(expr(c), lit(false))
+    var added = Seq(batchName)
+    var removed = Seq.empty[String]
+    var rewrite: Option[String] = None
+    // all-empty epoch batches hold no rows to replace and no files to
+    // resolve `_metadata` against — leave them out of the scan
+    val scannable =
+      datas.filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
+    if (scannable.nonEmpty) {
+      val schemaDdl = CommitLog.schemaOf(root, readV)
+      val formers = CommitLog.formerNamesOf(root, readV)
+      def visible(batches: Seq[String]) = {
+        val base = CommitLogSource.readBatches(spark, root, batches,
+            schemaDdl, formers, keepMeta = true)
+          .withColumn("_file", col("_metadata.file_path"))
+          .withColumn("_pos", col("_metadata.row_index"))
+        if (dvs.isEmpty) base
+        else base.join(
+          broadcast(spark.read.parquet(
+            dvs.map(b => CommitLog.batchPath(root, b)): _*)),
+          Seq("_file", "_pos"), "left_anti")
+      }
+      val byDir = CommitLogMerge.dirToName(root, scannable)
+      val touched = visible(scannable).filter(hit)
+        .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
+        .distinct().collect()
+        .map(r => byDir(CommitLogMerge.normDir(r.getString(0)))).toSeq.sorted
+      if (touched.nonEmpty) {
+        val survivors = visible(scannable.filter(touched.contains))
+          .filter(!hit).drop("_file", "_pos", "_metadata")
+        val touchedDirs = touched
+          .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
+        val coveredDvs = CommitLogMerge.coveredDvBatches(
+          spark, root, dvs, touchedDirs)
+        if (!survivors.isEmpty) {
+          val tag = java.util.UUID.randomUUID().toString.take(8)
+          val rw = s"ow${readV + 1}-$tag"
+          survivors.write
+            .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+            .parquet(s"$root/$rw")
+          rewrite = Some(rw)
+          added = added :+ rw
+        }
+        removed = touched ++ coveredDvs
+      }
+    }
+    if (!CommitLog.tryCommit(root, readV + 1, added, removed,
+        schema = Some(schema.toDDL), stats = stats, blooms = blooms,
+        op = Some("OVERWRITE WHERE"))) {
+      f.delete(dest, true)
+      rewrite.foreach { rw =>
+        val p = new Path(s"$root/$rw")
+        if (f.exists(p)) f.delete(p, true)
+      }
+      throw new java.util.ConcurrentModificationException(
+        s"OVERWRITE WHERE ($c) lost the race at v${readV + 1} of $root: " +
+          "a rival committed first — re-run (replaceWhere never rebases: " +
+          "the rival may have changed rows the touched-set scan read)")
+    }
+    if ((readV + 1) % CommitLog.checkpointInterval == 0)
+      CommitLog.writeCheckpoint(root, readV + 1)
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/$stageName")

@@ -1973,6 +1973,163 @@ object Sources {
       asOf(3).unionAll(asOf(4)).unionAll(asOf(5)).orderBy("version")
     },
 
+    // S40: PARTITIONED TABLE — `CREATE TABLE … PARTITIONED BY (region)`
+    // over the commit log: every write lands ONE BATCH PER PARTITION
+    // TUPLE with the tuple recorded in the manifest
+    // (CommitLog.Parts), so (a) planning prunes EXACTLY — a string
+    // equality keeps one batch of three, decided from metadata the
+    // snapshot replay already paid for (boxes are numeric ranges,
+    // blooms probabilistic membership; a tuple evaluates ANY
+    // deterministic predicate definitively, CommitLogPartitions); and
+    // (b) partition-level verbs are METADATA-ONLY — dynamic partition
+    // overwrite (`writeTo.overwritePartitions()`) and partition-aligned
+    // replaceWhere drop whole batches from the manifest with zero data
+    // reads, the Hive INSERT OVERWRITE shapes at lakehouse atomicity.
+    // The decl loads three region partitions from orders via SQL,
+    // reloads 'eu' through dynamic overwrite (doubled prices),
+    // reloads 'ap' through partition-aligned replaceWhere (+10 on a
+    // %7 subset), then reads per-region aggregates plus the planned-
+    // partition count for a region equality (pinned 1-of-3) and the
+    // audited verb labels. CommitLogPartitionSpec pins batch-per-tuple
+    // layout, NOT/IN/IS NULL pruning, metadata-only overwrite legs,
+    // per-partition OPTIMIZE, clone carry, and the immutability edges.
+    Decl(
+      "s40_partitioned_table",
+      s"""WITH final AS (
+         |  SELECT 'us' AS region, o_totalprice AS p FROM orders
+         |  WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT 'eu', o_totalprice * 2 FROM orders WHERE o_orderkey % 3 = 1
+         |  UNION ALL
+         |  SELECT 'ap', o_totalprice + 10 FROM orders
+         |  WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+         |SELECT region, count(*) AS n, ${Qh.oSum2("p")} AS total,
+         |  CAST(1 AS INT) AS planned_us, CAST(3 AS INT) AS planned_all,
+         |  'OVERWRITE PARTITIONS' AS op_dyn, 'OVERWRITE WHERE' AS op_rw
+         |FROM final GROUP BY region ORDER BY region""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s40_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt40", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt40.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt40.db")
+      s.sql("CREATE TABLE gt40.db.pt (k BIGINT, p DOUBLE, region STRING) " +
+        "PARTITIONED BY (region)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(s"INSERT INTO gt40.db.pt SELECT o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'us' " +
+        "WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END " +
+        s"FROM $src") // v2: three tuple batches in one commit
+      // v3: reload 'eu' via DYNAMIC overwrite — removal decided from
+      // manifest tuples, zero data reads
+      Qh.t(s, dir, "orders").filter($"o_orderkey" % 3 === 1)
+        .select($"o_orderkey".as("k"), ($"o_totalprice" * 2).as("p"),
+          lit("eu").as("region"))
+        .writeTo("gt40.db.pt").overwritePartitions()
+      // v4: reload 'ap' via partition-aligned replaceWhere — the
+      // predicate classifies every batch from its tuple, so the old
+      // 'ap' batch drops as pure metadata (no scan, no rewrite)
+      Qh.t(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 2 && $"o_orderkey" % 7 === 0)
+        .select($"o_orderkey".as("k"), ($"o_totalprice" + 10).as("p"),
+          lit("ap").as("region"))
+        .writeTo("gt40.db.pt").overwrite($"region" === "ap")
+      val root = s"$wh/db/pt"
+      val ops = CommitLog.history(root).flatMap(_.operation)
+      def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val pUs = plannedOf(s.sql("SELECT * FROM gt40.db.pt WHERE region = 'us'"))
+      val pAll = plannedOf(s.sql("SELECT * FROM gt40.db.pt"))
+      s.sql("SELECT region, p FROM gt40.db.pt")
+        .groupBy($"region")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+        .select($"region", $"n", $"total",
+          lit(pUs).as("planned_us"), lit(pAll).as("planned_all"),
+          lit(ops.find(_ == "OVERWRITE PARTITIONS").orNull).as("op_dyn"),
+          lit(ops.find(_ == "OVERWRITE WHERE").orNull).as("op_rw"))
+        .orderBy("region")
+    },
+
+    // S41: DELTA-BASED (merge-on-read) row-level SQL — the
+    // SupportsDelta twin of s38's group-based COW
+    // (graft.sources.CommitLogDeltaOperation, selected by
+    // spark.graft.rowLevel.mode=delta): UPDATE / MERGE INTO /
+    // expression DELETE write ONLY the changed rows — deleted
+    // positions land as a `dv-` batch keyed by the scan's
+    // (_row_file, _row_pos) metadata identity, postimages/inserts as
+    // a data batch — and the touched batches SURVIVE unrewritten.
+    // Updating 50 rows of a million-row table costs 50 positions + 50
+    // postimages (S23's write amplification behind plain SQL), at the
+    // standing MOR price: reads reconcile the (deletes-sized) DVs at
+    // plan time until a COW verb absorbs them. Unlike the COW
+    // operation's scan, the delta scan safely prunes (an unread row
+    // is simply unmatched — nothing unread is rewritten away), so the
+    // matched-row search uses manifest boxes/blooms/tuples like any
+    // query. The decl runs s38's relational pipeline in delta mode
+    // and PINS the physical contract: the base batch survives every
+    // statement (base_survives) and deletion vectors are outstanding
+    // at the end (has_dv). CommitLogDeltaSpec pins the per-verb batch
+    // shapes, CHECK gating, no-op statements, and cow/delta content
+    // agreement.
+    Decl(
+      "s41_sql_delta_dml",
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |    o_totalprice
+         |      + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END AS p,
+         |    o_orderstatus AS st
+         |  FROM orders WHERE o_orderkey % 4 = 0),
+         |merged AS (
+         |  SELECT k, p FROM base WHERE st <> 'F'
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice + 2 FROM orders
+         |  WHERE o_orderkey % 4 = 1 AND o_orderkey % 13 = 0),
+         |final AS (SELECT k, p FROM merged WHERE k % 89 <> 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("p")} AS total,
+         |  CAST(1 AS INT) AS base_survives, CAST(1 AS INT) AS has_dv
+         |FROM final""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogMerge}
+      val wh = ioDir("s41_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt41", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt41.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt41.db")
+      s.sql("CREATE TABLE gt41.db.ord (k BIGINT, p DOUBLE, st STRING)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(s"INSERT INTO gt41.db.ord SELECT o_orderkey, o_totalprice, " +
+        s"o_orderstatus FROM $src WHERE o_orderkey % 4 = 0")
+      val root = s"$wh/db/ord"
+      val baseBatches = CommitLog.files(root, CommitLog.latestVersion(root))
+      s.conf.set("spark.graft.rowLevel.mode", "delta")
+      try {
+        s.sql("UPDATE gt41.db.ord SET p = p + 1 WHERE k % 97 = 0")
+        // the source carries BOTH the table's 'F' keys (matched →
+        // DELETE) and fresh %4=1 keys (unmatched → INSERT)
+        s.sql(s"""MERGE INTO gt41.db.ord AS t USING (
+          SELECT o_orderkey AS k, o_totalprice AS np FROM $src
+          WHERE (o_orderkey % 4 = 0 AND o_orderstatus = 'F')
+             OR (o_orderkey % 4 = 1 AND o_orderkey % 13 = 0)) AS m
+          ON t.k = m.k
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED THEN INSERT (k, p, st) VALUES (m.k, m.np + 2, 'X')""")
+        s.sql("DELETE FROM gt41.db.ord WHERE k % 89 = 0") // expression path
+      } finally s.conf.set("spark.graft.rowLevel.mode", "cow")
+      val v = CommitLog.latestVersion(root)
+      val live = CommitLog.files(root, v)
+      val baseSurvives = if (baseBatches.forall(live.contains)) 1 else 0
+      val hasDv =
+        if (live.exists(_.startsWith(CommitLogMerge.DvPrefix))) 1 else 0
+      s.sql("SELECT k, p FROM gt41.db.ord")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+        .select($"n", $"total",
+          lit(baseSurvives).as("base_survives"), lit(hasDv).as("has_dv"))
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

@@ -88,12 +88,14 @@ object CommitLog {
   }
 
   /** Everything one checkpoint+delta replay derives at version `v`:
-    * the live batch list plus the accumulated stats boxes and blooms
-    * of those batches. Callers needing more than one facet (the
-    * connector's pruned scan needs all three) pay ONE replay — each
-    * manifest's bytes are read once and all fields parsed from that
-    * one string. */
-  final case class Snapshot(files: Seq[String], stats: Stats, blooms: Blooms)
+    * the live batch list plus the accumulated stats boxes, blooms and
+    * partition tuples of those batches. Callers needing more than one
+    * facet (the connector's pruned scan needs all of them) pay ONE
+    * replay — each manifest's bytes are read once and all fields
+    * parsed from that one string. */
+  final case class Snapshot(
+      files: Seq[String], stats: Stats, blooms: Blooms,
+      parts: Parts = Map.empty)
 
   def snapshotAt(root: String, v: Int): Snapshot = {
     if (v == 0) return Snapshot(Nil, Map.empty, Map.empty)
@@ -106,6 +108,9 @@ object CommitLog {
     var blooms: Blooms =
       if (start == 0) Map.empty
       else parseBlooms(listField(textOf(ckptPath(root, start)), "bloom"))
+    var parts: Parts =
+      if (start == 0) Map.empty
+      else parseParts(listField(textOf(ckptPath(root, start)), "parts"))
     ((start + 1) to v).foreach { i =>
       val txt = textOf(manifest(root, i))
       val add = parseList(extractField(txt, "add"))
@@ -122,11 +127,14 @@ object CommitLog {
         parseStats(listField(txt, "stats")).filter { case (b, _) => add.contains(b) }
       blooms = (blooms -- remove) ++
         parseBlooms(listField(txt, "bloom")).filter { case (b, _) => add.contains(b) }
+      parts = (parts -- remove) ++
+        parseParts(listField(txt, "parts")).filter { case (b, _) => add.contains(b) }
     }
     val live = state.toSet
     Snapshot(state,
       stats.filter { case (b, _) => live(b) },
-      blooms.filter { case (b, _) => live(b) })
+      blooms.filter { case (b, _) => live(b) },
+      parts.filter { case (b, _) => live(b) })
   }
 
   /** Files-only replay for metadata hot paths (the commit retry loop's
@@ -220,6 +228,10 @@ object CommitLog {
       // names stay reserved on the clone
       colMap = formerNamesOf(src, v),
       droppedCols = droppedOf(src, v),
+      // partition layout rides along: the clone prunes and
+      // partition-overwrites from birth like its source
+      parts = snap.parts.map { case (n, tuple) => ext(n) -> tuple },
+      partCols = partColsOf(src, v),
       op = Some("CLONE"))
   }
 
@@ -381,10 +393,16 @@ object CommitLog {
       blooms: Blooms = Map.empty,
       constraints: Constraints = Map.empty,
       colMap: ColMap = Map.empty,
-      droppedCols: Seq[String] = Nil): Boolean = {
+      droppedCols: Seq[String] = Nil,
+      parts: Parts = Map.empty,
+      partCols: Seq[String] = Nil): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
+    requireValidParts(parts, added)
+    partCols.foreach(c => require(
+      c.nonEmpty && !c.exists(",\"[]\\|".contains(_)),
+      s"partition column name '$c' must be non-empty and grammar-safe"))
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
     requireValidTxn(txn)
@@ -424,8 +442,14 @@ object CommitLog {
     val droppedField =
       if (droppedCols.isEmpty) ""
       else s""","dropped":${renderList(droppedCols)}"""
+    val partsField =
+      if (parts.isEmpty) ""
+      else s""","parts":${renderList(renderParts(parts))}"""
+    val partColsField =
+      if (partCols.isEmpty) ""
+      else s""","partcols":${renderList(partCols)}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -549,6 +573,91 @@ object CommitLog {
   /** The accumulated blooms of the batches visible at `v` — one facet
     * of [[snapshotAt]]'s single replay. */
   def bloomsOf(root: String, v: Int): Blooms = snapshotAt(root, v).blooms
+
+  // ---- PARTITIONS-IN-MANIFEST: per-batch partition tuples ----
+  //
+  // The Delta/Iceberg partition design at batch granularity: a
+  // partitioned table declares identity partition COLUMNS once
+  // (`partcols`, versioned like schema), and every partitioned write
+  // lands ONE BATCH PER PARTITION TUPLE, recording the tuple in the
+  // commit manifest. Planning then prunes EXACTLY — any deterministic
+  // predicate over partition columns evaluates to a definite
+  // true/false against a single tuple value, which is what min/max
+  // boxes (ranges only, numerics only) and blooms (membership only,
+  // false positives) cannot give. Partition tuples are also what make
+  // partition-level verbs METADATA-ONLY: dynamic partition overwrite
+  // and partition-aligned replaceWhere drop whole batches from the
+  // manifest without reading a byte. Values are base64-wrapped in the
+  // flat grammar ('n' = the null partition); a batch without a
+  // recorded tuple (an engine rewrite) is simply never partition-pruned
+  // — unknown = keep, the residual-filter contract.
+
+  /** batch -> partition column -> value ('n' = null, else 'v'+base64
+    * of the value's string form — Long/Int/Double/Boolean/String as
+    * written, timestamps as micros, dates as epoch days). */
+  type Parts = Map[String, Map[String, String]]
+
+  /** Encode one partition value for the manifest grammar. URL-safe
+    * base64 (no '/', '+'): the same token doubles as a file-name and
+    * batch-name segment in the partitioned sink. */
+  def partToken(v: Option[String]): String =
+    v.map(s => "v" + java.util.Base64.getUrlEncoder
+      .encodeToString(s.getBytes("UTF-8")).replace("=", "")).getOrElse("n")
+
+  /** Decode a manifest partition token back to its value. */
+  def partValue(token: String): Option[String] =
+    if (token == "n") None
+    else Some(new String(
+      java.util.Base64.getUrlDecoder.decode(token.drop(1)), "UTF-8"))
+
+  private def requireValidParts(parts: Parts, added: Seq[String]): Unit = {
+    val addedSet = added.toSet
+    parts.foreach { case (b, cols) =>
+      require(addedSet(b),
+        s"partition tuple declared for '$b', which this commit does not add")
+      require(cols.nonEmpty, s"empty partition tuple for '$b'")
+      cols.foreach { case (c, tok) =>
+        require(!b.contains('|') && !c.exists(",\"[]\\|".contains(_)),
+          s"partition names must not contain | , \" [ ] \\ : '$b'.'$c'")
+        require(tok == "n" || (tok.startsWith("v") &&
+            !tok.exists(",\"[]\\|".contains(_))),
+          s"invalid partition token for '$b'.'$c': $tok")
+      }
+    }
+  }
+
+  private def renderParts(parts: Parts): Seq[String] =
+    parts.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, tok) => s"$b|$c|$tok" }
+    }
+
+  private def parseParts(entries: Seq[String]): Parts =
+    entries.map(_.split('|')).collect {
+      case Array(b, c, tok) => (b, c, tok)
+    }.groupBy(_._1).map { case (b, rows) =>
+      b -> rows.map(r => r._2 -> r._3).toMap
+    }
+
+  /** The partition tuples of the batches visible at `v` — one facet of
+    * [[snapshotAt]]'s single replay. */
+  def partsOf(root: String, v: Int): Parts = snapshotAt(root, v).parts
+
+  /** The identity partition COLUMNS in force at `v` (empty = table is
+    * unpartitioned). Versioned exactly like schema — nearest checkpoint
+    * plus forward replay — but IMMUTABLE once declared on a non-empty
+    * table: re-partitioning existing batches would strand their
+    * recorded tuples. Declare at CREATE. */
+  def partColsOf(root: String, v: Int): Seq[String] = {
+    if (v == 0) return Nil
+    val (start, base) =
+      latestCheckpointAtOrBelow(root, v).map { case (cv, _) =>
+        (cv, listField(textOf(ckptPath(root, cv)), "partcols"))
+      }.getOrElse((0, Nil))
+    ((start + 1) to v).foldLeft(base) { (cur, i) =>
+      val declared = listField(textOf(manifest(root, i)), "partcols")
+      if (declared.nonEmpty) declared else cur
+    }
+  }
 
   // ---- CONSTRAINTS-IN-MANIFEST: log-governed CHECK invariants ----
   //
@@ -1066,8 +1175,16 @@ object CommitLog {
       val droppedField =
         if (dr.isEmpty) ""
         else s""","dropped":${renderList(dr)}"""
+      val pt = partsOf(root, v)
+      val partsField =
+        if (pt.isEmpty) ""
+        else s""","parts":${renderList(renderParts(pt))}"""
+      val pc = partColsOf(root, v)
+      val partColsField =
+        if (pc.isEmpty) ""
+        else s""","partcols":${renderList(pc)}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField}""")
     }
   }
 
@@ -1232,7 +1349,9 @@ object CommitLog {
       constraints: Constraints = Map.empty,
       colMap: ColMap = Map.empty,
       schemaDrop: Boolean = false,
-      droppedCols: Seq[String] = Nil): Commit = {
+      droppedCols: Seq[String] = Nil,
+      parts: Parts = Map.empty,
+      partCols: Seq[String] = Nil): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1316,8 +1435,19 @@ object CommitLog {
             Some(next)
         }
       }
+      // partitioning is IMMUTABLE once declared: a re-partition would
+      // strand every live batch's recorded tuple (re-checked per
+      // rebase — a rival CREATE may have declared first)
+      if (partCols.nonEmpty) {
+        val inForce = partColsOf(root, base)
+        require(inForce.isEmpty || inForce == partCols,
+          s"table is partitioned by (${inForce.mkString(",")}) — cannot " +
+            s"re-partition by (${partCols.mkString(",")}); create a new " +
+            "table and reload")
+      }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
-          dataChange, op, blooms, constraints, colMap, droppedCols)) {
+          dataChange, op, blooms, constraints, colMap, droppedCols,
+          parts, partCols)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

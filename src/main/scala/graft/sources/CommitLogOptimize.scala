@@ -43,6 +43,12 @@ object CommitLogOptimize {
   /** Compact every live batch smaller than `smallBytes` into one packed
     * batch (no-op below two candidates — there is nothing to pack).
     * `targetPartitions` bounds the pack's file count (coalesce width).
+    * On a PARTITIONED table, compaction runs WITHIN partitions — one
+    * pack per partition tuple, carrying the tuple forward — so the
+    * table stays exactly prunable and partition-overwritable after
+    * maintenance (a cross-partition pack would strand every source
+    * tuple). Batches without a recorded tuple (pre-partitioning or
+    * engine rewrites) compact together as their own group.
     * Throws `ConcurrentModificationException` when a rival rewrote any
     * candidate first; the staged pack is cleaned up before rethrow. */
   def optimize(
@@ -53,60 +59,47 @@ object CommitLogOptimize {
     val live = CommitLog.files(root, readVersion)
     CommitLogSource.requireNoDv(live, s"optimize of $root")
 
+    val allSmalls = live.filter(b =>
+      CommitLogSource.batchBytes(root, b) < smallBytes)
+    if (CommitLog.partColsOf(root, readVersion).nonEmpty) {
+      val parts = CommitLog.partsOf(root, readVersion)
+      val groups = allSmalls.groupBy(b => parts.get(b))
+        .values.filter(_.size >= 2).toSeq.sortBy(_.head)
+      if (groups.isEmpty) return OptimizeResult(readVersion, None, Nil)
+      // one pack per tuple group, all published in ONE layout-only
+      // commit (partial maintenance must not half-publish)
+      val packs = groups.map(g =>
+        packOne(spark, root, readVersion, g,
+          parts.get(g.head), targetPartitions))
+      try {
+        val c = commitRewrite(root, readVersion,
+          added = packs.map(_._1), removed = groups.flatten,
+          stats = packs.flatMap(_._2).toMap,
+          blooms = packs.flatMap(_._3).toMap,
+          op = "OPTIMIZE",
+          parts = packs.flatMap(p => p._4.map(p._1 -> _)).toMap)
+        return OptimizeResult(c.version, packs.headOption.map(_._1),
+          groups.flatten)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val rootP0 = new Path(root)
+          val fs0 = FileSystem.get(rootP0.toUri,
+            spark.sessionState.newHadoopConf())
+          packs.foreach { p =>
+            val pp = new Path(rootP0, p._1)
+            if (fs0.exists(pp)) fs0.delete(pp, true)
+          }
+          throw e
+      }
+    }
+
     val rootP = new Path(root)
     val fs = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
-    val smalls = live.filter(b => CommitLogSource.batchBytes(root, b) < smallBytes)
+    val smalls = allSmalls
     if (smalls.size < 2) return OptimizeResult(readVersion, None, Nil)
 
-    val packed = s"opt${EnvelopeBatchWrite.nextWriteId()}"
-    // S12 discipline: coalesce concatenates partitions without a
-    // shuffle — compaction moves each byte exactly once. Read UNDER
-    // THE LOG'S DDL: a footer-sampled read would drop additively-
-    // evolved columns from the rewrite — permanent loss once the
-    // originals vacuum away.
-    // renamed columns coalesce through the column map and the rewrite
-    // lands under CURRENT logical names — compaction localizes renames
-    val formers = CommitLog.formerNamesOf(root, readVersion)
-    CommitLogSource.readBatches(spark, root, smalls,
-        CommitLog.schemaOf(root, readVersion), formers, keepMeta = false)
-      .coalesce(targetPartitions)
-      .write.parquet(s"$root/$packed")
-
-    // union the sources' manifest boxes: per column, min of mins / max
-    // of maxes — but only for columns EVERY source has a box for (a
-    // boxless source batch may hold rows outside any union)
-    val stats = CommitLog.statsOf(root, readVersion)
-    // boxes recorded before a rename carry the then-logical name —
-    // normalize every key to its CURRENT logical name so eras union
-    val toLogical: Map[String, String] =
-      formers.toSeq.flatMap { case (l, fs) => fs.map(_ -> l) }.toMap
-    val sourceBoxes = smalls.map(b => stats.getOrElse(b, Map.empty)
-      .map { case (c, box) => toLogical.getOrElse(c, c) -> box })
-    val shared = sourceBoxes.map(_.keySet).reduce(_ intersect _)
-    val packBox = shared.map { c =>
-      val boxes = sourceBoxes.map(_(c))
-      c -> (boxes.map(_._1).min, boxes.map(_._2).max)
-    }.toMap
-    val packStats: CommitLog.Stats =
-      if (packBox.isEmpty) Map.empty else Map(packed -> packBox)
-
-    // blooms union the same way (bitwise OR): the pack stays point-
-    // lookup-prunable iff EVERY source carried the column's bloom at
-    // the SAME width — otherwise the pack may hold values no surviving
-    // filter admits, and the column must go unfiltered (unknown = keep)
-    val allBlooms = CommitLog.bloomsOf(root, readVersion)
-    val srcBlooms = smalls.map(b => allBlooms.getOrElse(b, Map.empty)
-      .map { case (c, v) => toLogical.getOrElse(c, c) -> v })
-    val bloomCols = srcBlooms.map(_.keySet).reduce(_ intersect _)
-    val packBloom = bloomCols.flatMap { c =>
-      val hexes = srcBlooms.map(_(c))
-      if (hexes.map(_.length).distinct.size != 1) None
-      else Some(c -> CommitLogBloom.toHex(
-        hexes.map(CommitLogBloom.fromHex).reduce(CommitLogBloom.merge)))
-    }.toMap
-    val packBlooms: CommitLog.Blooms =
-      if (packBloom.isEmpty) Map.empty else Map(packed -> packBloom)
-
+    val (packed, packStats, packBlooms, _) =
+      packOne(spark, root, readVersion, smalls, None, targetPartitions)
     try {
       val c = commitRewrite(root, readVersion,
         added = Seq(packed), removed = smalls,
@@ -120,6 +113,56 @@ object CommitLogOptimize {
         if (fs.exists(p)) fs.delete(p, true)
         throw e
     }
+  }
+
+  /** Stage ONE pack from `sources`: the S12 coalesce rewrite (no
+    * shuffle — each byte moves exactly once), read UNDER THE LOG'S DDL
+    * so additively-evolved columns survive and renamed columns land
+    * under current logical names. Boxes union per column across
+    * sources (only columns EVERY source boxes — a boxless source may
+    * hold rows outside any union); blooms OR together iff every source
+    * carried the column at the same width. Returns the staged batch
+    * name + its manifest facets; nothing is committed here. */
+  private def packOne(
+      spark: SparkSession, root: String, readVersion: Int,
+      sources: Seq[String], tuple: Option[Map[String, String]],
+      targetPartitions: Int)
+      : (String, CommitLog.Stats, CommitLog.Blooms, Option[Map[String, String]]) = {
+    val packed = s"opt${EnvelopeBatchWrite.nextWriteId()}"
+    val formers = CommitLog.formerNamesOf(root, readVersion)
+    CommitLogSource.readBatches(spark, root, sources,
+        CommitLog.schemaOf(root, readVersion), formers, keepMeta = false)
+      .coalesce(targetPartitions)
+      .write.parquet(s"$root/$packed")
+
+    val stats = CommitLog.statsOf(root, readVersion)
+    // boxes recorded before a rename carry the then-logical name —
+    // normalize every key to its CURRENT logical name so eras union
+    val toLogical: Map[String, String] =
+      formers.toSeq.flatMap { case (l, fs) => fs.map(_ -> l) }.toMap
+    val sourceBoxes = sources.map(b => stats.getOrElse(b, Map.empty)
+      .map { case (c, box) => toLogical.getOrElse(c, c) -> box })
+    val shared = sourceBoxes.map(_.keySet).reduce(_ intersect _)
+    val packBox = shared.map { c =>
+      val boxes = sourceBoxes.map(_(c))
+      c -> (boxes.map(_._1).min, boxes.map(_._2).max)
+    }.toMap
+    val packStats: CommitLog.Stats =
+      if (packBox.isEmpty) Map.empty else Map(packed -> packBox)
+
+    val allBlooms = CommitLog.bloomsOf(root, readVersion)
+    val srcBlooms = sources.map(b => allBlooms.getOrElse(b, Map.empty)
+      .map { case (c, v) => toLogical.getOrElse(c, c) -> v })
+    val bloomCols = srcBlooms.map(_.keySet).reduce(_ intersect _)
+    val packBloom = bloomCols.flatMap { c =>
+      val hexes = srcBlooms.map(_(c))
+      if (hexes.map(_.length).distinct.size != 1) None
+      else Some(c -> CommitLogBloom.toHex(
+        hexes.map(CommitLogBloom.fromHex).reduce(CommitLogBloom.merge)))
+    }.toMap
+    val packBlooms: CommitLog.Blooms =
+      if (packBloom.isEmpty) Map.empty else Map(packed -> packBloom)
+    (packed, packStats, packBlooms, tuple)
   }
 
   /** Publish a layout-only rewrite with REWRITE-SAFE rebasing: a plain
@@ -136,7 +179,7 @@ object CommitLogOptimize {
       root: String, readVersion: Int,
       added: Seq[String], removed: Seq[String],
       stats: CommitLog.Stats, blooms: CommitLog.Blooms,
-      op: String): CommitLog.Commit = {
+      op: String, parts: CommitLog.Parts = Map.empty): CommitLog.Commit = {
     var base = readVersion
     var attempts = 0
     while (attempts < 50) {
@@ -157,7 +200,7 @@ object CommitLogOptimize {
       }
       if (CommitLog.tryCommit(root, base + 1, added, removed,
           stats = stats, blooms = blooms, dataChange = false,
-          op = Some(op))) {
+          op = Some(op), parts = parts)) {
         if ((base + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, base + 1)
         return CommitLog.Commit(base + 1, attempts)
@@ -204,6 +247,13 @@ object CommitLogOptimize {
     val readVersion = CommitLog.latestVersion(root)
     val live = CommitLog.files(root, readVersion)
     CommitLogSource.requireNoDv(live, s"optimizeClustered of $root")
+    // a whole-table z-order rewrite mixes partitions into range
+    // buckets, stranding every recorded tuple — partitioned tables
+    // keep their layout; compact within partitions via optimize()
+    require(CommitLog.partColsOf(root, readVersion).isEmpty,
+      s"optimizeClustered of $root: the table is partitioned — z-order " +
+        "re-layout would strand the partition tuples; use optimize() " +
+        "(per-partition compaction) instead")
     if (live.isEmpty) return ClusterResult(readVersion, Nil, Nil)
 
     // read under the log's DDL (see optimize() — evolved columns must

@@ -102,6 +102,13 @@ object CommitLogSource {
   /** The `_batch` metadata column's name (see CommitLogTable). */
   val BatchCol = "_batch"
 
+  /** Row-identity metadata columns: the data file holding a row and
+    * its physical position in it — the (file, pos) identity deletion
+    * vectors key by, and the `rowId` of the DELTA-based row-level
+    * operation ([[CommitLogDeltaOperation]]). */
+  val RowFileCol = "_row_file"
+  val RowPosCol = "_row_pos"
+
   /** `timestampAsOf` / `startingTimestamp` accept epoch millis or any
     * `yyyy-MM-dd[ HH:mm:ss]` timestamp, resolved against commit times
     * by [[CommitLog.versionAt]]. */
@@ -368,22 +375,48 @@ class CommitLogTable(
     * metadata-projecting write path. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = CommitLogSource.BatchCol
-      override def dataType(): org.apache.spark.sql.types.DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "commit-log batch directory holding the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = CommitLogSource.BatchCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "commit-log batch directory holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = CommitLogSource.RowFileCol
+        override def dataType(): org.apache.spark.sql.types.DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = CommitLogSource.RowPosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position in the data file (the DV identity)"
+      })
 
-  /** SQL `UPDATE` / `MERGE INTO` / expression `DELETE` — the
-    * group-based copy-on-write rewrite (see
-    * [[CommitLogRowLevelOperation]]). Simple-filter DELETEs never get
-    * here: `canDeleteWhere` claims them for the metadata path. */
+  /** SQL `UPDATE` / `MERGE INTO` / expression `DELETE`: the
+    * group-based copy-on-write rewrite by default
+    * ([[CommitLogRowLevelOperation]]), or the merge-on-read DELTA
+    * plan ([[CommitLogDeltaOperation]] — only changed rows land, as
+    * positions + postimages) when the session sets
+    * `spark.graft.rowLevel.mode = delta`. The dial mirrors
+    * [[CommitLogMerge]]'s write-amplification choice for statements
+    * whose matched fraction the user knows to be sparse.
+    * Simple-filter DELETEs never get here: `canDeleteWhere` claims
+    * them for the metadata path. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new CommitLogRowLevelOperation(root, info.command)
+    () => {
+      val mode = org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.graft.rowLevel.mode", "cow")
+      if (mode == "delta") new CommitLogDeltaOperation(root, info.command)
+      else new CommitLogRowLevelOperation(root, info.command)
+    }
 
   /** SQL `DELETE FROM t WHERE …` (catalog tables): the predicate
     * arrives as v1 filters, translates to [[CommitLogDml.delete]]'s
@@ -434,11 +467,23 @@ class CommitLogTable(
   }
   override def name(): String = s"commitlog($root)"
   override def schema(): StructType = schema0
+
+  /** The identity partitioning in force (empty = unpartitioned) — what
+    * makes SQL `PARTITIONED BY` round-trip through DESCRIBE and routes
+    * `INSERT OVERWRITE` under partitionOverwriteMode=dynamic onto the
+    * dynamic-overwrite plan. */
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    CommitLog.partColsOf(root, CommitLog.latestVersion(root))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   /** Append-only writes (see [[CommitLogWrite]]): batch appends commit
     * one fresh-named batch; streaming appends commit one batch per
@@ -481,6 +526,7 @@ class CommitLogScanBuilder(
   private var pushed: Array[Filter] = Array.empty
   private var boxes: Map[String, (Double, Double)] = Map.empty
   private var probes: Seq[(String, Seq[String])] = Nil
+  private var allFilters: Seq[Filter] = Nil
 
   /** Filter values the manifest boxes can compare: numerics directly;
     * timestamps as micros-since-epoch and dates as epoch days — the
@@ -531,6 +577,9 @@ class CommitLogScanBuilder(
       c -> (rs.map(_._2).max, rs.map(_._3).min)
     }
     probes = filters.flatMap(probeOf).toSeq
+    // every filter also goes to the scan whole for EXACT evaluation
+    // against manifest partition tuples (see CommitLogPartitions)
+    allFilters = filters.toSeq
     filters // everything stays residual: pruning is a fast path only
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -559,6 +608,7 @@ class CommitLogScanBuilder(
       }).getOrElse(0)
     CommitLogScan(
       root, required, boxes, probes,
+      partFilters = allFilters,
       versionAsOf = versionAsOf,
       startingVersion = startingVersion,
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
@@ -608,6 +658,7 @@ case class CommitLogScan(
     root: String, schema: StructType,
     boxes: Map[String, (Double, Double)],
     probes: Seq[(String, Seq[String])],
+    partFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
     versionAsOf: Option[Int], startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
@@ -691,7 +742,7 @@ case class CommitLogScan(
     // equality/IN filter, its bloom admits at least one probed value
     // (no bloom for the column → keep; false positive → the residual
     // filter excludes the rows, never the other way around)
-    val pruned = probes.foldLeft(boxPruned) { case (fs, (col, values)) =>
+    val bloomPruned = probes.foldLeft(boxPruned) { case (fs, (col, values)) =>
       fs.filter { b =>
         chainLookup(snap.blooms.get(b), col) match {
           case Some(hex) => values.exists(CommitLogBloom.mightContain(hex, _))
@@ -699,6 +750,34 @@ case class CommitLogScan(
         }
       }
     }
+    // PARTITION pruning: exact three-valued evaluation of every pushed
+    // filter against the batch's recorded partition tuple — prunes
+    // equality/range/IN/IS NULL/string predicates for all types, which
+    // boxes (numeric ranges) and blooms (membership) cannot. A batch
+    // without a tuple (engine rewrite) is kept; filter types resolve
+    // against the DECLARED schema (the pruned read schema may drop
+    // filter-only columns). Renamed columns: a pre-rename tuple keyed
+    // by a former name answers for its logical column.
+    val pruned =
+      if (partFilters.isEmpty || snap.parts.isEmpty) bloomPruned
+      else {
+        val typeSchema = CommitLog.schemaOf(root, v)
+          .map(StructType.fromDDL).getOrElse(schema)
+        bloomPruned.filter { b =>
+          snap.parts.get(b) match {
+            case Some(tokens) =>
+              val raw = CommitLogPartitions.decodeTuple(tokens)
+              val tuple = fm.foldLeft(raw) { case (acc, (logical, formers)) =>
+                if (acc.contains(logical)) acc
+                else formers.collectFirst {
+                  case fn if acc.contains(fn) => acc(fn)
+                }.map(v0 => acc + (logical -> v0)).getOrElse(acc)
+              }
+              CommitLogPartitions.mayMatch(partFilters, tuple, typeSchema)
+            case None => true
+          }
+        }
+      }
     pruned
       .flatMap(CommitLogSource.listParquet(root, _))
       .map(f => CommitLogInputPartition(f,
@@ -817,7 +896,9 @@ class CommitLogMicroBatchStream(
       val gone = schema.fieldNames.filterNot(now.contains)
         .filterNot(n => n == CommitLogCdf.ChangeTypeCol ||
           n == CommitLogCdf.CommitVersionCol ||
-          n == CommitLogSource.BatchCol)
+          n == CommitLogSource.BatchCol ||
+          n == CommitLogSource.RowFileCol ||
+          n == CommitLogSource.RowPosCol)
       if (gone.nonEmpty)
         throw new IllegalStateException(
           s"column(s) ${gone.mkString(",")} were renamed or dropped under " +
@@ -906,6 +987,12 @@ class CommitLogPartitionReader(
     UTF8String.fromString(CommitLogMerge.normDir(
       file.substring(0, file.lastIndexOf('/'))))
 
+  // `_row_file`: the row's data file, scheme-stripped — the same form
+  // deletion vectors record, so a DV written from these values
+  // reconciles against every read path
+  private val fileUtf8 =
+    UTF8String.fromString(CommitLogMerge.normDir(file))
+
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(new Configuration())
@@ -963,6 +1050,10 @@ class CommitLogPartitionReader(
           constChangeUtf8
         else if (fi < 0 && schema(i).name == CommitLogSource.BatchCol)
           batchUtf8
+        else if (fi < 0 && schema(i).name == CommitLogSource.RowFileCol)
+          fileUtf8
+        else if (fi < 0 && schema(i).name == CommitLogSource.RowPosCol)
+          Long.box(rowIdx)
         else if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
         else schema(i).dataType match {
           case LongType => Long.box(current.getLong(fi, 0))

@@ -168,10 +168,16 @@ object CommitLogWrite {
     * sink's publish and the row-level replace-write. */
   private[sources] def promoteTasks(
       f: FileSystem, stage: Path,
-      msgs: Seq[CommitLogCommitMessage]): Unit = {
-    msgs.foreach { m =>
-      val tmp = new Path(stage, m.tmpName)
-      val visible = new Path(stage, m.visibleName)
+      msgs: Seq[CommitLogCommitMessage]): Unit =
+    promoteTaskFiles(f, stage, msgs.map(m => (m.tmpName, m.visibleName)))
+
+  /** As [[promoteTasks]], over raw (tmp, visible) name pairs — the
+    * partitioned sink's messages carry several files per task. */
+  private[sources] def promoteTaskFiles(
+      f: FileSystem, stage: Path, names: Seq[(String, String)]): Unit = {
+    names.foreach { case (tmpName, visibleName) =>
+      val tmp = new Path(stage, tmpName)
+      val visible = new Path(stage, visibleName)
       if (f.exists(tmp)) {
         if (f.exists(visible)) f.delete(tmp, false)
         else f.rename(tmp, visible)
@@ -236,6 +242,143 @@ object CommitLogWrite {
             "reserved forever: old files still carry data under them")
       }
     }
+
+  /** Column (min, max) boxes merged across task messages. */
+  private[sources] def boxesOf(
+      stats: Seq[(String, Double, Double)]): Map[String, (Double, Double)] =
+    stats.groupBy(_._1).map { case (c, bs) =>
+      c -> (bs.map(_._2).min, bs.map(_._3).max)
+    }
+
+  /** Bloom bitsets OR-merged across task messages, hex-encoded. */
+  private[sources] def bloomHexOf(
+      blooms: Seq[(String, Array[Long])]): Map[String, String] =
+    blooms.groupBy(_._1).map { case (c, sets) =>
+      c -> CommitLogBloom.toHex(sets.map(_._2).reduce(CommitLogBloom.merge))
+    }
+
+  /** One staged partition of a partitioned write: its deterministic
+    * batch name, manifest tuple tokens, and the task files holding its
+    * rows. */
+  private[sources] final case class TupleGroup(
+      batch: String, tokens: Map[String, String], files: Seq[CommitLogFileMsg])
+
+  /** Group a partitioned write's file messages into one batch per
+    * partition tuple, named `<batchBase>-p<k>` in sorted-token order —
+    * deterministic, so a replayed epoch converges on the same names. */
+  private[sources] def groupByTuple(
+      files: Seq[CommitLogFileMsg], batchBase: String): Seq[TupleGroup] =
+    files.groupBy(_.tuple).toSeq
+      .map { case (tuple, fs) =>
+        val tokens = tuple.map { case (c, v) => c -> CommitLog.partToken(v) }
+        (tuple.map { case (_, v) => CommitLog.partToken(v) }.mkString("~"),
+          tokens.toMap, fs)
+      }
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, tokens, fs), k) =>
+        TupleGroup(s"$batchBase-p$k", tokens, fs)
+      }
+
+  /** Driver-side publish for a PARTITIONED write: staged files group
+    * into ONE BATCH PER PARTITION TUPLE (`<batchBase>-p<k>`), all
+    * committed in one manifest that carries each batch's stats boxes,
+    * blooms AND partition tuple — so every partition a write lands is
+    * born exactly prunable and partition-overwritable from metadata.
+    * The protocol is [[publish]]'s: txn idempotence, CHECK gating,
+    * first-wins task promote, crash-orphan replacement; level 2 just
+    * moves each tuple's visible files into its own batch directory
+    * (all invisible until the single manifest lists them). Returns
+    * false when the unit of work was already committed. */
+  def publishPartitioned(
+      root: String, stageName: String, batchBase: String,
+      messages: Array[WriterCommitMessage], schema: StructType,
+      txn: Option[(String, Long)], partCols: Seq[String]): Boolean = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    val stage = new Path(rootP, stageName)
+    def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
+
+    txn.foreach { case (app, epoch) =>
+      val v = CommitLog.latestVersion(root)
+      if (CommitLog.txnsOf(root, v).get(app).exists(_ >= epoch)) {
+        dropStage()
+        return false
+      }
+    }
+    val fileMsgs = messages.collect {
+      case m: CommitLogPartitionedCommitMessage => m.files
+    }.flatten.toSeq
+    promoteTaskFiles(f, stage, fileMsgs.map(m => (m.tmpName, m.visibleName)))
+
+    val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
+    if (inForce.nonEmpty && f.exists(stage)) {
+      val parts = stagedParts(f, stage)
+      if (parts.nonEmpty) {
+        val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
+        inForce.foreach { case (name, expr) =>
+          val bad = violations(staged, expr)
+          if (bad > 0) {
+            dropStage()
+            throw new CommitLog.ConstraintViolationException(name, expr, bad)
+          }
+        }
+      }
+    }
+
+    val grouped = groupByTuple(fileMsgs, batchBase)
+    val listed = CommitLog.files(root, CommitLog.latestVersion(root)).toSet
+    var i = 0
+    while (i < grouped.length) {
+      val g = grouped(i)
+      val dest = new Path(rootP, g.batch)
+      if (f.exists(dest)) {
+        if (listed.contains(g.batch)) {
+          // a rival replay of this unit of work already published
+          dropStage()
+          return false
+        }
+        f.delete(dest, true) // crashed earlier attempt of THIS unit
+      }
+      f.mkdirs(dest)
+      g.files.foreach { m =>
+        val from = new Path(stage, m.visibleName)
+        if (f.exists(from)) f.rename(from, new Path(dest, m.visibleName))
+      }
+      i += 1
+    }
+    dropStage()
+
+    val stats: CommitLog.Stats = grouped
+      .map(g => g.batch -> boxesOf(g.files.flatMap(_.stats)))
+      .filter(_._2.nonEmpty).toMap
+    val blooms: CommitLog.Blooms = grouped
+      .map(g => g.batch -> bloomHexOf(g.files.flatMap(_.blooms)))
+      .filter(_._2.nonEmpty).toMap
+    val parts: CommitLog.Parts =
+      grouped.map(g => g.batch -> g.tokens).toMap
+    val latest = CommitLog.latestVersion(root)
+    try {
+      // an all-empty epoch commits ZERO batches but still consumes a
+      // version and advances the txn watermark (dense versions; a
+      // restart must not replay the epoch forever)
+      CommitLog.commit(root, latest, added = grouped.map(_.batch),
+        schema = Some(schema.toDDL), stats = stats, txn = txn,
+        op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
+        blooms = blooms, parts = parts, partCols = partCols)
+      true
+    } catch {
+      case _: CommitLog.TxnAlreadyCommittedException =>
+        val now = CommitLog.latestVersion(root)
+        val nowListed = CommitLog.files(root, now).toSet
+        grouped.foreach { g =>
+          val dest = new Path(rootP, g.batch)
+          if (!nowListed.contains(g.batch) && f.exists(dest))
+            f.delete(dest, true)
+        }
+        false
+    }
+  }
 
   private def fs(path: Path): FileSystem = {
     val conf = SparkSession.getActiveSession
@@ -356,9 +499,131 @@ case class CommitLogCommitMessage(
     stats: Seq[(String, Double, Double)],
     blooms: Seq[(String, Array[Long])] = Nil) extends WriterCommitMessage
 
+/** One file of a PARTITIONED task's output: the per-file facts of
+  * [[CommitLogCommitMessage]] plus the partition tuple its rows hold
+  * (col -> value in partition-column order; None = null). */
+case class CommitLogFileMsg(
+    tmpName: String, visibleName: String, rows: Long,
+    stats: Seq[(String, Double, Double)],
+    blooms: Seq[(String, Array[Long])],
+    tuple: Seq[(String, Option[String])])
+
+/** A partitioned task commits one message carrying ALL its files —
+  * one per distinct partition tuple the task saw. */
+case class CommitLogPartitionedCommitMessage(
+    files: Seq[CommitLogFileMsg]) extends WriterCommitMessage
+
+/** Task-side writer for a PARTITIONED table: routes each row to a
+  * per-tuple [[CommitLogDataWriter]] (file names embed the tuple's
+  * URL-safe token). The write requests clustering + ordering on the
+  * partition columns ([[RequiresDistributionAndOrdering]] on the
+  * Write), so a task normally sees whole partitions and holds ONE open
+  * file at a time; the keyed map is correctness insurance when Spark
+  * relaxes the distribution, at the cost of one open writer per
+  * distinct tuple in the task. Partition values are captured in the
+  * file's own unit system (timestamps micros, dates epoch days,
+  * decimals unscaled) — the same units [[CommitLogPartitions]]
+  * compares in at plan time. */
+class CommitLogPartitionedDataWriter(
+    stageDir: String, schema: StructType, partCols: Seq[String],
+    tmpNameOf: String => String, visibleNameOf: String => String,
+    bloomCols: Seq[String] = Nil,
+    bloomBits: Int = CommitLogBloom.DefaultBits)
+    extends DataWriter[InternalRow] {
+
+  private val partIdx: Array[Int] = partCols.toArray.map(schema.fieldIndex)
+  private val writers = scala.collection.mutable.LinkedHashMap
+    .empty[String, (CommitLogDataWriter, Seq[(String, Option[String])])]
+
+  private def valueOf(row: InternalRow, i: Int): Option[String] =
+    if (row.isNullAt(i)) None
+    else Some(schema(i).dataType match {
+      case LongType | TimestampType => row.getLong(i).toString
+      case IntegerType | DateType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case FloatType => row.getFloat(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toUnscaledLong.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val tuple = partCols.indices
+      .map(j => partCols(j) -> valueOf(row, partIdx(j)))
+    val token = tuple.map { case (_, v) => CommitLog.partToken(v) }
+      .mkString("~")
+    val (w, _) = writers.getOrElseUpdate(token,
+      (new CommitLogDataWriter(stageDir, schema,
+        tmpNameOf(token), visibleNameOf(token), bloomCols, bloomBits),
+        tuple))
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    CommitLogPartitionedCommitMessage(writers.values.toSeq.map {
+      case (w, tuple) =>
+        val m = w.commit().asInstanceOf[CommitLogCommitMessage]
+        CommitLogFileMsg(m.tmpName, m.visibleName, m.rows, m.stats,
+          m.blooms, tuple)
+    })
+
+  override def abort(): Unit = writers.values.foreach(_._1.abort())
+  override def close(): Unit = ()
+}
+
+/** Partitioned twin of [[CommitLogBatchWriterFactory]]. */
+case class CommitLogPartitionedBatchWriterFactory(
+    stageDir: String, schema: StructType, partCols: Seq[String],
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CommitLogPartitionedDataWriter(stageDir, schema, partCols,
+      tok => f"_$tok-p$partitionId%05d-t$taskId.parquet.tmp",
+      tok => f"part-$tok-p$partitionId%05d-t$taskId.parquet",
+      bloomCols, bloomBits)
+}
+
+/** Partitioned twin of [[CommitLogStreamingWriterFactory]] — visible
+  * names exclude the task id (within-attempt task replays map onto
+  * the same name, first-publish wins). */
+case class CommitLogPartitionedStreamingWriterFactory(
+    root: String, schema: StructType, partCols: Seq[String], app: String,
+    attempt: String,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new CommitLogPartitionedDataWriter(
+      s"$root/stage-txn-$app-$attempt-e${CommitLogWrite.pad(epochId)}",
+      schema, partCols,
+      tok => f"_$tok-p$partitionId%05d-t$taskId.parquet.tmp",
+      tok => f"part-$tok-p$partitionId%05d.parquet",
+      bloomCols, bloomBits)
+}
+
+/** How an overwriting write resolves its removal set. */
+private[sources] sealed trait OverwriteSpec
+/** Remove every live batch (TRUNCATE + add in one commit). */
+private[sources] case object FullOverwrite extends OverwriteSpec
+/** Delta's replaceWhere: remove the rows matching the predicate.
+  * Carries BOTH forms — the SQL for scanning/containment and the v1
+  * filters for exact metadata classification against partition
+  * tuples. */
+private[sources] final case class ReplaceWhere(
+    sql: String, filters: Seq[org.apache.spark.sql.sources.Filter])
+    extends OverwriteSpec
+/** Replace exactly the partitions present in the incoming data —
+  * metadata-only removals on a partitioned table. */
+private[sources] case object DynamicOverwrite extends OverwriteSpec
+
 class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   /** `option("bloomColumns", "c1,c2")` + `option("bloomBits", n)`:
     * build a per-batch membership filter for the named STRING columns
     * as rows stream through ([[CommitLogBloom]]) — point lookups then
@@ -370,10 +635,7 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     Option(info.options.get("bloomBits")).map(_.toInt)
       .getOrElse(CommitLogBloom.DefaultBits)
 
-  /** None = append; Some(None) = full overwrite (TRUNCATE + add in one
-    * commit); Some(Some(sql)) = replaceWhere (delete-by-predicate + add
-    * in one commit). */
-  private var overwriteMode: Option[Option[String]] = None
+  private var overwriteMode: Option[OverwriteSpec] = None
 
   /** `INSERT OVERWRITE` / `mode("overwrite")`: replace the WHOLE table
     * — one atomic manifest removes every live batch and adds the new
@@ -383,7 +645,8 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     * region it names (Delta's spelling of the same verb). */
   override def truncate(): WriteBuilder = {
     overwriteMode = Some(
-      Option(info.options.get("replaceWhere")).map(_.trim).filter(_.nonEmpty))
+      Option(info.options.get("replaceWhere")).map(_.trim).filter(_.nonEmpty)
+        .map(sql => ReplaceWhere(sql, Nil)).getOrElse(FullOverwrite))
     this
   }
 
@@ -401,8 +664,18 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       throw new UnsupportedOperationException(
         s"overwrite predicate $f is not translatable")))
     overwriteMode =
-      if (sqls.isEmpty || sqls.forall(_ == "true")) Some(None)
-      else Some(Some(sqls.mkString(" AND ")))
+      if (sqls.isEmpty || sqls.forall(_ == "true")) Some(FullOverwrite)
+      else Some(ReplaceWhere(sqls.mkString(" AND "), filters.toSeq))
+    this
+  }
+
+  /** `df.writeTo(t).overwritePartitions()` / `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`: replace
+    * exactly the partitions the incoming data holds — the classic
+    * idempotent backfill, with the removal set decided entirely from
+    * manifest partition tuples (zero data reads). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    overwriteMode = Some(DynamicOverwrite)
     this
   }
 
@@ -413,25 +686,58 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
           schema(c).dataType == StringType,
         s"bloomColumns entry '$c' must name a STRING column of the write")
     }
-    overwriteMode match {
-      case Some(cond) =>
-        new Write {
-          override def toBatch: BatchWrite =
-            new CommitLogOverwriteWrite(root, schema, cond, bloomCols, bloomBits)
-          override def toStreaming: StreamingWrite =
-            throw new UnsupportedOperationException(
-              "commitlog streaming writes are append-only (one batch per " +
-                "epoch) — overwrite is a batch verb")
-        }
-      case None =>
-        new Write {
-          override def toBatch: BatchWrite =
-            new CommitLogBatchWrite(root, schema, bloomCols, bloomBits)
-          override def toStreaming: StreamingWrite =
-            new CommitLogStreamingWrite(
-              root, schema, CommitLogWrite.appOf(info.queryId()),
-              bloomCols, bloomBits)
-        }
+    // partition columns in force: every write to a partitioned table
+    // routes rows into one batch per tuple, so batches stay
+    // partition-pure and the manifest tuple stays exact
+    val partCols = CommitLog.partColsOf(root, CommitLog.latestVersion(root))
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"table at $root is partitioned by '$c' — the write schema " +
+          s"must include it (got ${schema.fieldNames.mkString(",")})")
+    }
+    overwriteMode.foreach {
+      case DynamicOverwrite => require(partCols.nonEmpty,
+        s"dynamic partition overwrite needs a partitioned table — " +
+          s"$root is unpartitioned (use plain overwrite)")
+      case _ => ()
+    }
+    val mode = overwriteMode
+    new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
+
+      /** Cluster + sort incoming rows by the partition columns so each
+        * task sees whole partitions and writes one file per tuple —
+        * without it every task would hold one open file per distinct
+        * tuple it happens to see. Unpartitioned writes request
+        * nothing (no shuffle imposed). */
+      override def requiredDistribution(): Distribution =
+        if (partCols.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(
+          partCols.map(c => Expressions.identity(c): Expression).toArray)
+      override def requiredOrdering(): Array[SortOrder] =
+        if (partCols.isEmpty) Array.empty
+        else partCols.map(c =>
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+
+      override def toBatch: BatchWrite = mode match {
+        case Some(spec) =>
+          new CommitLogOverwriteWrite(
+            root, schema, spec, bloomCols, bloomBits, partCols)
+        case None =>
+          new CommitLogBatchWrite(root, schema, bloomCols, bloomBits, partCols)
+      }
+      override def toStreaming: StreamingWrite = mode match {
+        case Some(_) =>
+          throw new UnsupportedOperationException(
+            "commitlog streaming writes are append-only (one batch per " +
+              "epoch) — overwrite is a batch verb")
+        case None =>
+          new CommitLogStreamingWrite(
+            root, schema, CommitLogWrite.appOf(info.queryId()),
+            bloomCols, bloomBits, partCols)
+      }
     }
   }
 }
@@ -442,17 +748,26 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
   * linearizes them. */
 class CommitLogBatchWrite(
     root: String, schema: StructType,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
+    partCols: Seq[String] = Nil)
     extends BatchWrite {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
   private val batchName = s"w$writeId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    CommitLogBatchWriterFactory(s"$root/$stageName", schema, bloomCols, bloomBits)
+    if (partCols.isEmpty)
+      CommitLogBatchWriterFactory(s"$root/$stageName", schema, bloomCols, bloomBits)
+    else
+      CommitLogPartitionedBatchWriterFactory(
+        s"$root/$stageName", schema, partCols, bloomCols, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
+    if (partCols.isEmpty)
+      CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
+    else
+      CommitLogWrite.publishPartitioned(
+        root, stageName, batchName, messages, schema, txn = None, partCols)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/$stageName")
@@ -462,62 +777,103 @@ class CommitLogBatchWrite(
   }
 }
 
-/** OVERWRITE as ONE atomic commit — the verb behind SQL
-  * `INSERT OVERWRITE`, `df.write.mode("overwrite")` and
-  * `df.writeTo(t).overwrite(cond)` (Delta's replaceWhere):
+/** OVERWRITE as ONE atomic commit — the verbs behind SQL
+  * `INSERT OVERWRITE`, `df.write.mode("overwrite")`,
+  * `df.writeTo(t).overwrite(cond)` (Delta's replaceWhere) and
+  * `df.writeTo(t).overwritePartitions()` (dynamic partition
+  * overwrite):
   *
-  *  - '''Full overwrite''' (`cond = None`): the manifest removes every
-  *    live batch (deletion vectors included — the table restarts clean)
-  *    and adds the staged data. The removal list is RE-RESOLVED per
-  *    commit attempt, exactly like `TRUNCATE`: a rival's append landing
-  *    mid-race must fall inside the overwrite, not survive beside it.
-  *  - '''replaceWhere''' (`cond = Some(sql)`): rows matching the
-  *    predicate are deleted (touched batches copy-on-write-rewritten
-  *    without them, DVs the rewrite fully covers dropped) and the new
-  *    data inserted, all in one manifest. Content-dependent, so it
-  *    publishes SERIALIZABLE at exactly readVersion+1 and aborts on any
-  *    rival ([[CommitLogDml]]'s discipline). The COW leg is always
-  *    taken: replaceWhere exists for region reloads, where matched
-  *    fractions are high and a DV leg would only defer the rewrite.
+  *  - '''Full overwrite''' ([[FullOverwrite]]): the manifest removes
+  *    every live batch (deletion vectors included — the table restarts
+  *    clean) and adds the staged data. The removal list is RE-RESOLVED
+  *    per commit attempt, exactly like `TRUNCATE`: a rival's append
+  *    landing mid-race must fall inside the overwrite, not survive
+  *    beside it.
+  *  - '''Dynamic partition overwrite''' ([[DynamicOverwrite]]):
+  *    replace exactly the partitions present in the incoming data.
+  *    The removal set is decided ENTIRELY from manifest partition
+  *    tuples — zero data reads — and re-resolved per attempt like the
+  *    full overwrite. Refused when a live batch carries no tuple (an
+  *    engine rewrite's output): its rows cannot be proven in or out
+  *    of the replaced partitions.
+  *  - '''replaceWhere''' ([[ReplaceWhere]]): rows matching the
+  *    predicate are deleted and the new data inserted, all in one
+  *    manifest. Batches are first classified against their manifest
+  *    partition tuples — provably-all-matching batches drop as pure
+  *    metadata, provably-disjoint batches are untouched — and only
+  *    the undecidable remainder is scanned and copy-on-write-rewritten
+  *    (for a predicate over partition columns of a partitioned table,
+  *    that remainder is EMPTY: the verb is metadata-only, the Hive
+  *    static-partition INSERT OVERWRITE shape). Content-dependent, so
+  *    it publishes SERIALIZABLE at exactly readVersion+1 and aborts on
+  *    any rival ([[CommitLogDml]]'s discipline).
   *
   * Incoming rows must LIE INSIDE the replaced region (every staged row
-  * satisfies `cond`) — the Delta replaceWhere contract; without it a
-  * backfill of `date = X` could smuggle other dates into the table.
-  * CHECK constraints in force validate the staged data pre-publish.
+  * satisfies the predicate) — the Delta replaceWhere contract; without
+  * it a backfill of `date = X` could smuggle other dates into the
+  * table. CHECK constraints in force validate the staged data
+  * pre-publish. On a partitioned table the staged data lands as one
+  * batch per tuple with its tuple in the manifest, so an overwritten
+  * table prunes and partition-overwrites exactly like an appended one.
   * Readers see the old region or the new region, never neither — that
-  * atomicity is what makes the verb an idempotent backfill at 100 TB:
+  * atomicity is what makes these verbs idempotent backfills at 100 TB:
   * re-running a failed partition reload converges instead of
   * double-appending. */
 class CommitLogOverwriteWrite(
-    root: String, schema: StructType, cond: Option[String],
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    root: String, schema: StructType, spec: OverwriteSpec,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
+    partCols: Seq[String] = Nil)
     extends BatchWrite {
   import org.apache.spark.sql.functions._
 
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
-  private val batchName = s"o$writeId"
+  private val batchBase = s"o$writeId"
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    CommitLogBatchWriterFactory(s"$root/$stageName", schema, bloomCols, bloomBits)
+    if (partCols.isEmpty)
+      CommitLogBatchWriterFactory(s"$root/$stageName", schema, bloomCols, bloomBits)
+    else
+      CommitLogPartitionedBatchWriterFactory(
+        s"$root/$stageName", schema, partCols, bloomCols, bloomBits)
+
+  /** The staged new data after level-2 promotion: batch dirs on disk
+    * (invisible until a manifest lists them) + their manifest facets. */
+  private case class StagedAdd(
+      batches: Seq[String], stats: CommitLog.Stats,
+      blooms: CommitLog.Blooms, parts: CommitLog.Parts)
+
+  private def dropBatches(f: FileSystem, batches: Seq[String]): Unit =
+    batches.foreach { b =>
+      val p = new Path(s"$root/$b")
+      if (f.exists(p)) f.delete(p, true)
+    }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val rootP = new Path(root)
     val f = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
     val stage = new Path(rootP, stageName)
-    val dest = new Path(rootP, batchName)
     def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
 
-    val msgs = messages.collect { case m: CommitLogCommitMessage => m }
-    CommitLogWrite.promoteTasks(f, stage, msgs)
+    val plainMsgs = messages.collect { case m: CommitLogCommitMessage => m }
+    val fileMsgs = messages.collect {
+      case m: CommitLogPartitionedCommitMessage => m.files
+    }.flatten.toSeq
+    if (partCols.isEmpty) CommitLogWrite.promoteTasks(f, stage, plainMsgs)
+    else CommitLogWrite.promoteTaskFiles(
+      f, stage, fileMsgs.map(m => (m.tmpName, m.visibleName)))
 
     // gate the staged rows BEFORE anything publishes: CHECKs in force,
     // and the replaceWhere containment contract
-    val parts = CommitLogWrite.stagedParts(f, stage)
-    if (parts.nonEmpty) {
-      val staged = spark.read.schema(schema).parquet(parts: _*)
+    val replaceSql = spec match {
+      case ReplaceWhere(sql, _) => Some(sql)
+      case _ => None
+    }
+    val stagedFiles = CommitLogWrite.stagedParts(f, stage)
+    if (stagedFiles.nonEmpty) {
+      val staged = spark.read.schema(schema).parquet(stagedFiles: _*)
       CommitLog.constraintsOf(root, CommitLog.latestVersion(root)).foreach {
         case (name, e) =>
           val bad = CommitLogWrite.violations(staged, e)
@@ -526,7 +882,7 @@ class CommitLogOverwriteWrite(
             throw new CommitLog.ConstraintViolationException(name, e, bad)
           }
       }
-      cond.foreach { c =>
+      replaceSql.foreach { c =>
         val escapees =
           staged.filter(not(coalesce(expr(c), lit(false)))).count()
         if (escapees > 0) {
@@ -540,62 +896,157 @@ class CommitLogOverwriteWrite(
       }
     }
 
-    // an empty overwrite still replaces (truncate-to-empty-region):
-    // publish the batch as an empty dir
-    if (!f.exists(stage)) f.mkdirs(stage)
-    require(f.rename(stage, dest), s"failed to promote $stage to $dest")
-    val stats = CommitLogWrite.mergedStats(msgs, batchName)
-    val blooms = CommitLogWrite.mergedBlooms(msgs, batchName)
+    // level 2: promote the stage into final-named batch dir(s) —
+    // invisible to every reader until the single manifest below
+    val add: StagedAdd =
+      if (partCols.isEmpty) {
+        // an empty overwrite still replaces (truncate-to-empty):
+        // publish the batch as an empty dir
+        if (!f.exists(stage)) f.mkdirs(stage)
+        require(f.rename(stage, new Path(rootP, batchBase)),
+          s"failed to promote $stage to $batchBase")
+        StagedAdd(Seq(batchBase),
+          CommitLogWrite.mergedStats(plainMsgs, batchBase),
+          CommitLogWrite.mergedBlooms(plainMsgs, batchBase), Map.empty)
+      } else {
+        val grouped = CommitLogWrite.groupByTuple(fileMsgs, batchBase)
+        grouped.foreach { g =>
+          val dest = new Path(rootP, g.batch)
+          if (f.exists(dest)) f.delete(dest, true) // crashed prior attempt
+          f.mkdirs(dest)
+          g.files.foreach { m =>
+            val from = new Path(stage, m.visibleName)
+            if (f.exists(from)) f.rename(from, new Path(dest, m.visibleName))
+          }
+        }
+        dropStage()
+        StagedAdd(grouped.map(_.batch),
+          grouped.map(g => g.batch -> CommitLogWrite.boxesOf(
+            g.files.flatMap(_.stats))).filter(_._2.nonEmpty).toMap,
+          grouped.map(g => g.batch -> CommitLogWrite.bloomHexOf(
+            g.files.flatMap(_.blooms))).filter(_._2.nonEmpty).toMap,
+          grouped.map(g => g.batch -> g.tokens).toMap)
+      }
 
-    cond match {
-      case None => commitFull(f, dest, stats, blooms)
-      case Some(c) => commitReplaceWhere(spark, f, dest, c, stats, blooms)
+    spec match {
+      case FullOverwrite => commitFull(f, add)
+      case DynamicOverwrite => commitDynamic(spark, f, add)
+      case ReplaceWhere(sql, filters) =>
+        commitReplaceWhere(spark, f, add, sql, filters)
     }
   }
 
   /** Full overwrite: truncate + add in one manifest, removal list
     * re-resolved per attempt so a mid-race rival append is overwritten,
     * never merged. */
-  private def commitFull(
-      f: FileSystem, dest: Path,
-      stats: CommitLog.Stats, blooms: CommitLog.Blooms): Unit = {
+  private def commitFull(f: FileSystem, add: StagedAdd): Unit = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val v = CommitLog.latestVersion(root)
       CommitLogWrite.requireAppendableSchema(root, v, schema)
       val live = CommitLog.files(root, v)
-      if (CommitLog.tryCommit(root, v + 1, added = Seq(batchName),
-          removed = live, schema = Some(schema.toDDL), stats = stats,
-          blooms = blooms, op = Some("OVERWRITE"))) {
+      if (CommitLog.tryCommit(root, v + 1, added = add.batches,
+          removed = live, schema = Some(schema.toDDL), stats = add.stats,
+          blooms = add.blooms, parts = add.parts, partCols = partCols,
+          op = Some("OVERWRITE"))) {
         if ((v + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, v + 1)
         return
       }
     }
-    f.delete(dest, true)
+    dropBatches(f, add.batches)
     throw new IllegalStateException(
       s"OVERWRITE on $root gave up after 50 attempts (livelock?)")
   }
 
+  /** Dynamic partition overwrite: drop exactly the live batches whose
+    * manifest tuple matches a staged tuple — pure metadata, re-resolved
+    * per attempt. */
+  private def commitDynamic(
+      spark: SparkSession, f: FileSystem, add: StagedAdd): Unit = {
+    val stagedTuples: Set[Map[String, String]] = add.parts.values.toSet
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val v = CommitLog.latestVersion(root)
+      CommitLogWrite.requireAppendableSchema(root, v, schema)
+      val (dvs, datas) = CommitLog.files(root, v)
+        .partition(_.startsWith(CommitLogMerge.DvPrefix))
+      val liveParts = CommitLog.partsOf(root, v)
+      val untupled = datas.filterNot(b =>
+        liveParts.get(b).exists(m => partCols.forall(m.contains)))
+      if (untupled.nonEmpty) {
+        dropBatches(f, add.batches)
+        throw new IllegalStateException(
+          s"dynamic partition overwrite on $root needs every live batch " +
+            s"to carry a partition tuple; missing for ${untupled.mkString(",")}" +
+            " (engine rewrites drop tuples) — use plain overwrite or " +
+            "reload the table")
+      }
+      val replaced = datas.filter(b => stagedTuples.contains(liveParts(b)))
+      val replacedDirs = replaced
+        .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
+      val coveredDvs =
+        CommitLogMerge.coveredDvBatches(spark, root, dvs, replacedDirs)
+      if (CommitLog.tryCommit(root, v + 1, added = add.batches,
+          removed = replaced ++ coveredDvs, schema = Some(schema.toDDL),
+          stats = add.stats, blooms = add.blooms, parts = add.parts,
+          partCols = partCols, op = Some("OVERWRITE PARTITIONS"))) {
+        if ((v + 1) % CommitLog.checkpointInterval == 0)
+          CommitLog.writeCheckpoint(root, v + 1)
+        return
+      }
+    }
+    dropBatches(f, add.batches)
+    throw new IllegalStateException(
+      s"OVERWRITE PARTITIONS on $root gave up after 50 attempts (livelock?)")
+  }
+
   /** replaceWhere: delete-by-predicate + insert, one serializable
-    * manifest at readVersion+1 (rivals abort the statement — the
-    * touched set was computed against rows a rival may have changed). */
+    * manifest at readVersion+1 (rivals abort — the touched set was
+    * computed against rows a rival may have changed). Batches are
+    * classified from their manifest partition tuples first; only the
+    * undecidable remainder is scanned. */
   private def commitReplaceWhere(
-      spark: SparkSession, f: FileSystem, dest: Path, c: String,
-      stats: CommitLog.Stats, blooms: CommitLog.Blooms): Unit = {
+      spark: SparkSession, f: FileSystem, add: StagedAdd, c: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Unit = {
     val readV = CommitLog.latestVersion(root)
     CommitLogWrite.requireAppendableSchema(root, readV, schema)
     val (dvs, datas) = CommitLog.files(root, readV)
       .partition(_.startsWith(CommitLogMerge.DvPrefix))
     val hit = coalesce(expr(c), lit(false))
-    var added = Seq(batchName)
-    var removed = Seq.empty[String]
+
+    // exact metadata classification against recorded partition tuples:
+    // eval answers are uniform across a batch's rows (one tuple), so
+    // all-true = every row matches (drop whole batch, zero reads) and
+    // any-false = no row matches (untouched, zero reads)
+    val liveParts = CommitLog.partsOf(root, readV)
+    val (provablyIn, rest) =
+      if (filters.isEmpty) (Nil, datas)
+      else {
+        val classified = datas.map { b =>
+          b -> liveParts.get(b).map { tokens =>
+            val tuple = CommitLogPartitions.decodeTuple(tokens)
+            filters.map(fl => CommitLogPartitions.eval(fl, tuple, schema))
+          }
+        }
+        val in = classified.collect {
+          case (b, Some(evals)) if evals.forall(_.contains(true)) => b
+        }
+        val out = classified.collect {
+          case (b, Some(evals)) if evals.exists(_.contains(false)) => b
+        }.toSet
+        (in, datas.filterNot(in.contains).filterNot(out))
+      }
+
+    var added = add.batches
+    var removedData = provablyIn
     var rewrite: Option[String] = None
     // all-empty epoch batches hold no rows to replace and no files to
     // resolve `_metadata` against — leave them out of the scan
     val scannable =
-      datas.filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
+      rest.filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
     if (scannable.nonEmpty) {
       val schemaDdl = CommitLog.schemaOf(root, readV)
       val formers = CommitLog.formerNamesOf(root, readV)
@@ -618,10 +1069,6 @@ class CommitLogOverwriteWrite(
       if (touched.nonEmpty) {
         val survivors = visible(scannable.filter(touched.contains))
           .filter(!hit).drop("_file", "_pos", "_metadata")
-        val touchedDirs = touched
-          .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
-        val coveredDvs = CommitLogMerge.coveredDvBatches(
-          spark, root, dvs, touchedDirs)
         if (!survivors.isEmpty) {
           val tag = java.util.UUID.randomUUID().toString.take(8)
           val rw = s"ow${readV + 1}-$tag"
@@ -631,17 +1078,19 @@ class CommitLogOverwriteWrite(
           rewrite = Some(rw)
           added = added :+ rw
         }
-        removed = touched ++ coveredDvs
+        removedData = removedData ++ touched
       }
     }
-    if (!CommitLog.tryCommit(root, readV + 1, added, removed,
-        schema = Some(schema.toDDL), stats = stats, blooms = blooms,
+    val removedDirs = removedData
+      .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
+    val coveredDvs =
+      CommitLogMerge.coveredDvBatches(spark, root, dvs, removedDirs)
+    if (!CommitLog.tryCommit(root, readV + 1, added,
+        removedData ++ coveredDvs,
+        schema = Some(schema.toDDL), stats = add.stats, blooms = add.blooms,
+        parts = add.parts, partCols = partCols,
         op = Some("OVERWRITE WHERE"))) {
-      f.delete(dest, true)
-      rewrite.foreach { rw =>
-        val p = new Path(s"$root/$rw")
-        if (f.exists(p)) f.delete(p, true)
-      }
+      dropBatches(f, add.batches ++ rewrite.toSeq)
       throw new java.util.ConcurrentModificationException(
         s"OVERWRITE WHERE ($c) lost the race at v${readV + 1} of $root: " +
           "a rival committed first — re-run (replaceWhere never rebases: " +
@@ -667,7 +1116,8 @@ class CommitLogOverwriteWrite(
   * inventing a second one. */
 class CommitLogStreamingWrite(
     root: String, schema: StructType, app: String,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
+    partCols: Seq[String] = Nil)
     extends StreamingWrite {
 
   /** ATTEMPT-unique staging: one random token per query RUN. A crashed
@@ -685,11 +1135,20 @@ class CommitLogStreamingWrite(
     s"txn-$app-e${CommitLogWrite.pad(epochId)}"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    CommitLogStreamingWriterFactory(root, schema, app, attempt, bloomCols, bloomBits)
+    if (partCols.isEmpty)
+      CommitLogStreamingWriterFactory(root, schema, app, attempt, bloomCols, bloomBits)
+    else
+      CommitLogPartitionedStreamingWriterFactory(
+        root, schema, partCols, app, attempt, bloomCols, bloomBits)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    CommitLogWrite.publish(root, stageName(epochId), batchName(epochId),
-      messages, schema, txn = Some((app, epochId)))
+    if (partCols.isEmpty)
+      CommitLogWrite.publish(root, stageName(epochId), batchName(epochId),
+        messages, schema, txn = Some((app, epochId)))
+    else
+      CommitLogWrite.publishPartitioned(root, stageName(epochId),
+        batchName(epochId), messages, schema, txn = Some((app, epochId)),
+        partCols)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/${stageName(epochId)}")

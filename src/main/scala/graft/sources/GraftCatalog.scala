@@ -137,20 +137,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Map("versionAsOf" -> v.toString))
   }
 
+  /** `CREATE TABLE … PARTITIONED BY (c1, c2)` — identity transforms
+    * only: the partition columns are recorded in the log (immutable
+    * once declared), every later write lands one batch per partition
+    * tuple, and plan-time pruning / dynamic partition overwrite run
+    * from manifest metadata. Expression transforms (bucket, days, …)
+    * are refused — cluster with OPTIMIZE ZORDER instead. */
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "commitlog tables lay out by manifest stats/z-order, not hive " +
-        "partitions — create unpartitioned and OPTIMIZE ZORDER instead")
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1,
+        s"commitlog tables support only identity partitioning — got $t " +
+          "(cluster by expression via OPTIMIZE ZORDER instead)")
+      t.references.head.fieldNames.head
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
-      schema = Some(schema.toDDL), op = Some("CREATE TABLE"))
+      schema = Some(schema.toDDL), partCols = partCols,
+      op = Some("CREATE TABLE"))
     new CommitLogTable(root, schema)
   }
 
@@ -162,14 +175,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace :+ ident.name).toSeq)
+    val partCols = CommitLog.partColsOf(root, CommitLog.latestVersion(root))
     changes.foreach {
       case c: TableChange.RenameColumn =>
         require(c.fieldNames.length == 1,
           "commitlog columns are top-level — nested renames unsupported")
+        // the partition registry and every recorded tuple key by this
+        // name — a rename would orphan them all
+        require(!partCols.contains(c.fieldNames.head),
+          s"'${c.fieldNames.head}' is a partition column — partitioning " +
+            "is immutable; create a new table and reload")
         CommitLog.renameColumn(root, c.fieldNames.head, c.newName)
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1,
           "commitlog columns are top-level — nested drops unsupported")
+        require(!partCols.contains(c.fieldNames.head),
+          s"'${c.fieldNames.head}' is a partition column — partitioning " +
+            "is immutable; create a new table and reload")
         CommitLog.dropColumn(root, c.fieldNames.head)
       case c: TableChange.AddColumn =>
         require(c.fieldNames.length == 1,

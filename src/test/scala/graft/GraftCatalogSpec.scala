@@ -181,4 +181,28 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE gt.db1.`..` (k BIGINT)")
     }
   }
+
+  test("CTAS: CREATE TABLE AS SELECT declares schema and loads in one statement") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db9")
+    spark.sql(
+      "CREATE TABLE gt.db9.c AS SELECT id AS k, id * 3 AS v FROM range(0, 40)")
+    val r = spark.sql("SELECT count(*) AS n, sum(v) AS s FROM gt.db9.c").head()
+    assert(r.getLong(0) == 40 && r.getLong(1) == (0 until 40).map(_ * 3L).sum)
+    val root = s"$wh/db9/c"
+    // CREATE(1) + the insert(2): the statement is create + one append
+    assert(CommitLog.latestVersion(root) == 2)
+    val declared = org.apache.spark.sql.types.StructType.fromDDL(
+      CommitLog.schemaOf(root, 2).get)
+    assert(declared.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("REPLACE TABLE AS SELECT swaps content and schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gt.db9")
+    spark.sql("CREATE TABLE gt.db9.r2 AS SELECT id AS k FROM range(0, 10)")
+    spark.sql(
+      "REPLACE TABLE gt.db9.r2 AS SELECT id AS a, id + 1 AS b FROM range(0, 7)")
+    val df = spark.sql("SELECT * FROM gt.db9.r2")
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 7)
+  }
 }

@@ -211,6 +211,101 @@ object CommitLogOptimize {
       s"$op on $root gave up after 50 attempts (livelock?)")
   }
 
+  final case class RepartitionResult(
+      version: Int, added: Seq[String], sources: Seq[String])
+
+  /** Re-establish PARTITION-PURE layout on a partitioned table:
+    * rewrite every live batch that LACKS a partition tuple (engine
+    * verbs that stage with plain DataFrame writes — API MERGE/DML COW
+    * legs — drop tuples) into one batch per tuple, tuples recorded.
+    * This is the remedy [[CommitLogOverwriteWrite]]'s dynamic-overwrite
+    * refusal points at, and what restores exact pruning after
+    * API-level maintenance. Layout-only (`dataChange=false`): same
+    * rows, partition-pure directories — tails and the CDF skip it.
+    *
+    * Cost shape: ONE clustered shuffle of only the untupled bytes
+    * (tupled batches are untouched), written through the same
+    * partitioned task writer the sink uses, so file-unit value forms
+    * (micros/days/unscaled) match every other tuple in the log. */
+  def optimizeRepartition(
+      spark: SparkSession, root: String): RepartitionResult = {
+    import org.apache.spark.sql.functions.col
+    val readVersion = CommitLog.latestVersion(root)
+    val partCols = CommitLog.partColsOf(root, readVersion)
+    require(partCols.nonEmpty,
+      s"optimizeRepartition of $root: the table is not partitioned")
+    val live = CommitLog.files(root, readVersion)
+    CommitLogSource.requireNoDv(live, s"optimizeRepartition of $root")
+    val parts = CommitLog.partsOf(root, readVersion)
+    val untupled = live.filterNot(b =>
+        parts.get(b).exists(m => partCols.forall(m.contains)))
+      // zero-file batches (all-empty epochs) hold no rows to relocate
+      .filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
+    if (untupled.isEmpty) return RepartitionResult(readVersion, Nil, Nil)
+
+    val schemaDdl = CommitLog.schemaOf(root, readVersion).getOrElse(
+      throw new IllegalStateException(
+        s"partitioned table $root has no declared schema"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val writeId = EnvelopeBatchWrite.nextWriteId()
+    val stageName = s"stage-rp-$writeId"
+    val stageDir = s"$root/$stageName"
+    // read under the log's DDL, cluster on the partition columns, and
+    // run the SINK'S OWN partitioned task writer per partition — the
+    // imperative write loop is the task, exactly like the DSv2 path
+    val df = CommitLogSource.readBatches(spark, root, untupled,
+        Some(schemaDdl), CommitLog.formerNamesOf(root, readVersion),
+        keepMeta = false)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+      .repartition(partCols.map(col): _*)
+    val pc = partCols
+    val fileMsgs: Seq[CommitLogFileMsg] = df.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, rows) =>
+        val w = new CommitLogPartitionedDataWriter(stageDir, schema, pc,
+          tok => f"_$tok-p$pid%05d.parquet.tmp",
+          tok => f"part-$tok-p$pid%05d.parquet")
+        rows.foreach(w.write)
+        w.commit() match {
+          case m: CommitLogPartitionedCommitMessage => m.files.iterator
+          case _ => Iterator.empty
+        }
+      }.collect().toSeq
+
+    val rootP = new Path(root)
+    val fs = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
+    val stage = new Path(stageDir)
+    CommitLogWrite.promoteTaskFiles(fs, stage,
+      fileMsgs.map(m => (m.tmpName, m.visibleName)))
+    val grouped = CommitLogWrite.groupByTuple(fileMsgs, s"rp$writeId")
+    grouped.foreach { g =>
+      val dest = new Path(rootP, g.batch)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.mkdirs(dest)
+      g.files.foreach { m =>
+        val from = new Path(stage, m.visibleName)
+        if (fs.exists(from)) fs.rename(from, new Path(dest, m.visibleName))
+      }
+    }
+    if (fs.exists(stage)) fs.delete(stage, true)
+    val added = grouped.map(_.batch)
+    try {
+      val c = commitRewrite(root, readVersion,
+        added = added, removed = untupled,
+        stats = grouped.map(g => g.batch -> CommitLogWrite.boxesOf(
+          g.files.flatMap(_.stats))).filter(_._2.nonEmpty).toMap,
+        blooms = Map.empty, op = "OPTIMIZE REPARTITION",
+        parts = grouped.map(g => g.batch -> g.tokens).toMap)
+      RepartitionResult(c.version, added, untupled)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        added.foreach { b =>
+          val p = new Path(rootP, b)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        throw e
+    }
+  }
+
   final case class ClusterResult(
       version: Int, packed: Seq[String], sources: Seq[String])
 

@@ -165,32 +165,70 @@ class CommitLogRowLevelScan(
 }
 
 /** The replace-groups write: stages like the one-shot append, commits
-  * `removed = the scanned groups` + `added = the rewrite`. */
+  * `removed = the scanned groups` + `added = the rewrite`. On a
+  * PARTITIONED table the rewrite lands one batch per partition tuple
+  * with the tuple in the manifest — an UPDATE/MERGE/DELETE leaves the
+  * table as exactly prunable and partition-overwritable as it found
+  * it (a single mixed rewrite batch would strand the touched
+  * partitions' tuples). */
 class CommitLogReplaceWrite(
     op: CommitLogRowLevelOperation,
     root: String, readVersion: Int, schema: StructType, verb: String)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
   private val batchName = s"rl$writeId"
+  private val partCols = CommitLog.partColsOf(root, readVersion)
 
   override def toBatch: BatchWrite = this
 
+  /** Partitioned rewrites cluster on the partition columns (non-strict
+    * — AQE may split a skewed partition, the tuple grouping merges the
+    * files back into one batch); unpartitioned rewrites impose
+    * nothing. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (partCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        partCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def distributionStrictlyRequired(): Boolean = false
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (partCols.isEmpty) Array.empty
+    else partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      .toArray
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    CommitLogBatchWriterFactory(s"$root/$stageName", schema)
+    if (partCols.isEmpty)
+      CommitLogBatchWriterFactory(s"$root/$stageName", schema)
+    else
+      CommitLogPartitionedBatchWriterFactory(
+        s"$root/$stageName", schema, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rootP = new Path(root)
     val f = FileSystem.get(rootP.toUri,
       SparkSession.active.sessionState.newHadoopConf())
     val stage = new Path(rootP, stageName)
-    val dest = new Path(rootP, batchName)
     def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
 
     // task publish: the sink's level-1 discipline, shared
     val msgs = messages.collect { case m: CommitLogCommitMessage => m }
-    CommitLogWrite.promoteTasks(f, stage, msgs)
+    val fileMsgs = messages.collect {
+      case m: CommitLogPartitionedCommitMessage => m.files
+    }.flatten.toSeq
+    CommitLogWrite.promoteTaskFiles(f, stage,
+      (msgs.map(m => (m.tmpName, m.visibleName)) ++
+        fileMsgs.map(m => (m.tmpName, m.visibleName))))
 
     // the rewritten rows ARE the table's new content: the CHECKs in
     // force must hold over them before anything publishes
@@ -211,23 +249,40 @@ class CommitLogReplaceWrite(
 
     // the group filter may prove NOTHING matched: zero groups scanned
     // and zero rows written is a clean no-op — no version published
-    val wroteRows = msgs.map(_.rows).sum
+    val wroteRows = msgs.map(_.rows).sum + fileMsgs.map(_.rows).sum
     if (op.scannedBatches.isEmpty && wroteRows == 0) {
       dropStage()
       return
     }
 
-    // an all-deleting statement may write zero rows — the empty batch
-    // still publishes (dense versions, exact replace semantics)
-    if (!f.exists(stage)) f.mkdirs(stage)
-    require(f.rename(stage, dest), s"failed to promote $stage to $dest")
-
-    val stats: CommitLog.Stats = {
-      val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
-        case (col, boxes) => col -> (boxes.map(_._2).min, boxes.map(_._3).max)
+    val (added, stats, tupleParts) =
+      if (partCols.isEmpty) {
+        // an all-deleting statement may write zero rows — the empty
+        // batch still publishes (dense versions, exact replace
+        // semantics)
+        if (!f.exists(stage)) f.mkdirs(stage)
+        val dest = new Path(rootP, batchName)
+        require(f.rename(stage, dest), s"failed to promote $stage to $dest")
+        (Seq(batchName), CommitLogWrite.mergedStats(msgs, batchName),
+          Map.empty: CommitLog.Parts)
+      } else {
+        val grouped = CommitLogWrite.groupByTuple(fileMsgs, batchName)
+        grouped.foreach { g =>
+          val dest = new Path(rootP, g.batch)
+          if (f.exists(dest)) f.delete(dest, true)
+          f.mkdirs(dest)
+          g.files.foreach { m =>
+            val from = new Path(stage, m.visibleName)
+            if (f.exists(from)) f.rename(from, new Path(dest, m.visibleName))
+          }
+        }
+        dropStage()
+        (grouped.map(_.batch),
+          grouped.map(g => g.batch -> CommitLogWrite.boxesOf(
+            g.files.flatMap(_.stats))).filter(_._2.nonEmpty).toMap,
+          grouped.map(g => g.batch -> g.tokens)
+            .toMap: CommitLog.Parts)
       }
-      if (merged.isEmpty) Map.empty else Map(batchName -> merged)
-    }
     // replace exactly the SCANNED groups (the group filter narrowed
     // them to touched batches); a DV batch whose every reference lies
     // in a removed batch is dead after the rewrite — drop it too, and
@@ -244,9 +299,13 @@ class CommitLogReplaceWrite(
       SparkSession.active, root, dvs, scannedDirs)
     val removed = scanned ++ coveredDvs
     if (!CommitLog.tryCommit(root, readVersion + 1,
-        added = Seq(batchName), removed = removed,
-        schema = Some(schema.toDDL), stats = stats, op = Some(verb))) {
-      if (f.exists(dest)) f.delete(dest, true)
+        added = added, removed = removed,
+        schema = Some(schema.toDDL), stats = stats, op = Some(verb),
+        parts = tupleParts, partCols = partCols)) {
+      added.foreach { b =>
+        val p = new Path(rootP, b)
+        if (f.exists(p)) f.delete(p, true)
+      }
       throw new java.util.ConcurrentModificationException(
         s"$verb lost the race at v${readVersion + 1} of $root: a rival " +
           "committed first — re-run the statement (row-level rewrites " +

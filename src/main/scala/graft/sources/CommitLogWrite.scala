@@ -710,12 +710,17 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       /** Cluster + sort incoming rows by the partition columns so each
         * task sees whole partitions and writes one file per tuple —
         * without it every task would hold one open file per distinct
-        * tuple it happens to see. Unpartitioned writes request
-        * nothing (no shuffle imposed). */
+        * tuple it happens to see. NOT strictly required: Spark then
+        * plans a REBALANCE, and AQE splits a skewed partition across
+        * several tasks (several files, one batch — the tuple grouping
+        * merges them), so one huge partition cannot serialize a 100 TB
+        * backfill onto one task. Unpartitioned writes request nothing
+        * (no shuffle imposed). */
       override def requiredDistribution(): Distribution =
         if (partCols.isEmpty) Distributions.unspecified()
         else Distributions.clustered(
           partCols.map(c => Expressions.identity(c): Expression).toArray)
+      override def distributionStrictlyRequired(): Boolean = false
       override def requiredOrdering(): Array[SortOrder] =
         if (partCols.isEmpty) Array.empty
         else partCols.map(c =>
@@ -975,7 +980,10 @@ class CommitLogOverwriteWrite(
         .partition(_.startsWith(CommitLogMerge.DvPrefix))
       val liveParts = CommitLog.partsOf(root, v)
       val untupled = datas.filterNot(b =>
-        liveParts.get(b).exists(m => partCols.forall(m.contains)))
+          liveParts.get(b).exists(m => partCols.forall(m.contains)))
+        // a zero-file batch holds no rows — provably outside every
+        // partition, so it cannot block the metadata-only removal
+        .filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
       if (untupled.nonEmpty) {
         dropBatches(f, add.batches)
         throw new IllegalStateException(

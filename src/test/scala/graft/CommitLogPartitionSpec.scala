@@ -257,6 +257,65 @@ class CommitLogPartitionSpec extends SparkSpec {
     assert(eu.as[Long].collect().sorted.toSeq == Seq(1L, 11L))
   }
 
+  test("SQL UPDATE (COW) on a partitioned table re-lands tuple-pure batches") {
+    val root = mkTable("t12")
+    spark.sql("INSERT INTO pt.db.t12 SELECT id, CAST(id AS DOUBLE), " +
+      "CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END FROM range(0, 20)")
+    spark.sql("UPDATE pt.db.t12 SET v = v + 100 WHERE id % 5 = 0")
+    val v = CommitLog.latestVersion(root)
+    val live = CommitLog.files(root, v)
+    val parts = CommitLog.partsOf(root, v)
+    assert(parts.keySet == live.toSet,
+      s"the COW rewrite must carry tuples: live=$live tupled=${parts.keySet}")
+    // still exactly prunable, and dynamic overwrite still possible
+    val one = spark.sql("SELECT * FROM pt.db.t12 WHERE region = 'eu'")
+    assert(planned(one) == parts.count { case (_, m) =>
+      CommitLog.partValue(m("region")).contains("eu") })
+    spark.range(1000, 1001)
+      .select($"id", lit(0.0).as("v"), lit("eu").as("region"))
+      .writeTo("pt.db.t12").overwritePartitions()
+    assert(spark.sql("SELECT count(*) FROM pt.db.t12 WHERE region = 'eu'")
+      .head().getLong(0) == 1)
+    val total = spark.sql("SELECT sum(v) FROM pt.db.t12").head().getDouble(0)
+    val expect = (0 until 20).filter(_ % 2 == 0)
+      .map(i => if (i % 5 == 0) i + 100.0 else i.toDouble).sum + 0.0
+    assert(math.abs(total - expect) < 1e-9)
+  }
+
+  test("optimizeRepartition restores tuples after an API-level rewrite") {
+    val root = mkTable("t13")
+    spark.sql("INSERT INTO pt.db.t13 SELECT id, CAST(id AS DOUBLE), " +
+      "CASE WHEN id % 2 = 0 THEN 'us' ELSE 'eu' END FROM range(0, 20)")
+    // API-level COW drops tuples (DataFrame-staged rewrite)
+    graft.sources.CommitLogDml.update(spark, root, "id % 2 = 0",
+      Seq("v" -> "v + 1"), dvFraction = 0.0)
+    val vMid = CommitLog.latestVersion(root)
+    val untupled = CommitLog.files(root, vMid)
+      .filterNot(CommitLog.partsOf(root, vMid).contains)
+    assert(untupled.nonEmpty, "the API rewrite should have dropped tuples")
+    // dynamic overwrite now refuses...
+    intercept[Exception] {
+      spark.range(0, 1).select($"id", lit(0.0).as("v"), lit("us").as("region"))
+        .writeTo("pt.db.t13").overwritePartitions()
+    }
+    // ...until the maintenance verb restores partition-pure layout
+    val res = CommitLogOptimize.optimizeRepartition(spark, root)
+    assert(res.added.nonEmpty)
+    val v = CommitLog.latestVersion(root)
+    assert(!CommitLog.isDataChange(root, v), "layout-only commit")
+    val parts = CommitLog.partsOf(root, v)
+    assert(parts.keySet == CommitLog.files(root, v).toSet)
+    // rows intact, and the dynamic overwrite now lands
+    val sumBefore = (0 until 20)
+      .map(i => if (i % 2 == 0) i + 1.0 else i.toDouble).sum
+    assert(spark.sql("SELECT sum(v) FROM pt.db.t13").head().getDouble(0)
+      == sumBefore)
+    spark.range(0, 1).select($"id", lit(0.0).as("v"), lit("us").as("region"))
+      .writeTo("pt.db.t13").overwritePartitions()
+    assert(spark.sql("SELECT count(*) FROM pt.db.t13 WHERE region = 'us'")
+      .head().getLong(0) == 1)
+  }
+
   test("shallow clone carries partitioning and tuples") {
     val root = mkTable("t10")
     spark.sql("INSERT INTO pt.db.t10 SELECT id, 1.0, " +

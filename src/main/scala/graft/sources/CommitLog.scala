@@ -95,7 +95,7 @@ object CommitLog {
     * parsed from that one string. */
   final case class Snapshot(
       files: Seq[String], stats: Stats, blooms: Blooms,
-      parts: Parts = Map.empty)
+      parts: Parts = Map.empty, rows: Rows = Map.empty)
 
   def snapshotAt(root: String, v: Int): Snapshot = {
     if (v == 0) return Snapshot(Nil, Map.empty, Map.empty)
@@ -111,6 +111,9 @@ object CommitLog {
     var parts: Parts =
       if (start == 0) Map.empty
       else parseParts(listField(textOf(ckptPath(root, start)), "parts"))
+    var rows: Rows =
+      if (start == 0) Map.empty
+      else parseRows(listField(textOf(ckptPath(root, start)), "rows"))
     ((start + 1) to v).foreach { i =>
       val txt = textOf(manifest(root, i))
       val add = parseList(extractField(txt, "add"))
@@ -129,12 +132,15 @@ object CommitLog {
         parseBlooms(listField(txt, "bloom")).filter { case (b, _) => add.contains(b) }
       parts = (parts -- remove) ++
         parseParts(listField(txt, "parts")).filter { case (b, _) => add.contains(b) }
+      rows = (rows -- remove) ++
+        parseRows(listField(txt, "rows")).filter { case (b, _) => add.contains(b) }
     }
     val live = state.toSet
     Snapshot(state,
       stats.filter { case (b, _) => live(b) },
       blooms.filter { case (b, _) => live(b) },
-      parts.filter { case (b, _) => live(b) })
+      parts.filter { case (b, _) => live(b) },
+      rows.filter { case (b, _) => live(b) })
   }
 
   /** Files-only replay for metadata hot paths (the commit retry loop's
@@ -232,6 +238,7 @@ object CommitLog {
       // partition-overwrites from birth like its source
       parts = snap.parts.map { case (n, tuple) => ext(n) -> tuple },
       partCols = partColsOf(src, v),
+      rows = snap.rows.map { case (n, c) => ext(n) -> c },
       op = Some("CLONE"))
   }
 
@@ -395,11 +402,13 @@ object CommitLog {
       colMap: ColMap = Map.empty,
       droppedCols: Seq[String] = Nil,
       parts: Parts = Map.empty,
-      partCols: Seq[String] = Nil): Boolean = {
+      partCols: Seq[String] = Nil,
+      rows: Rows = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
     requireValidParts(parts, added)
+    requireValidRows(rows, added)
     partCols.foreach(c => require(
       c.nonEmpty && !c.exists(",\"[]\\|".contains(_)),
       s"partition column name '$c' must be non-empty and grammar-safe"))
@@ -448,8 +457,11 @@ object CommitLog {
     val partColsField =
       if (partCols.isEmpty) ""
       else s""","partcols":${renderList(partCols)}"""
+    val rowsField =
+      if (rows.isEmpty) ""
+      else s""","rows":${renderList(renderRows(rows))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -531,6 +543,54 @@ object CommitLog {
       }
     }
   }
+
+  // ---- ROW COUNTS-IN-MANIFEST: per-batch exact cardinality ----
+  //
+  // The third pruning-metadata modality (Delta's numRecords / Iceberg's
+  // record_count): each commit may record the EXACT row count of every
+  // batch it adds, delta-sized and checkpoint-snapshotted exactly like
+  // the stats boxes. Two table-level payoffs, both metadata-only:
+  //
+  //  - '''planner statistics''' ([[CommitLogScan]] reports rowCount +
+  //    sizeInBytes): Spark's join planning auto-broadcasts a small
+  //    commitlog table with no hint — at 100 TB the difference between
+  //    a broadcast hash join and an accidental 100 TB shuffle;
+  //  - '''aggregate pushdown''': an unfiltered COUNT(*) answers from
+  //    the manifest in ZERO data reads (the snapshot replay the plan
+  //    already paid), MIN/MAX from the stats boxes where provably
+  //    exact.
+  //
+  // Counts are committed only where the writer KNOWS them (the sink
+  // counts rows as they stream through; OPTIMIZE unions its sources'
+  // counts — a layout rewrite restates exactly the same rows); a batch
+  // without a count never lies, it just reports "unknown", and any
+  // metadata answer requires EVERY live batch to carry one.
+
+  /** batch -> exact row count. */
+  type Rows = Map[String, Long]
+
+  private def requireValidRows(rows: Rows, added: Seq[String]): Unit = {
+    val addedSet = added.toSet
+    rows.foreach { case (b, n) =>
+      require(addedSet(b),
+        s"row count declared for '$b', which this commit does not add")
+      require(!b.contains('|'), s"row-count batch name must not contain |: '$b'")
+      require(n >= 0, s"negative row count for '$b': $n")
+    }
+  }
+
+  private def renderRows(rows: Rows): Seq[String] =
+    rows.toSeq.sortBy(_._1).map { case (b, n) => s"$b|$n" }
+
+  private def parseRows(entries: Seq[String]): Rows =
+    entries.map(_.split('|')).collect {
+      case Array(b, n) => b -> n.toLong
+    }.toMap
+
+  /** The exact row counts of the batches visible at `v` — one facet of
+    * [[snapshotAt]]'s single replay. Batches without a recorded count
+    * are absent from the map (unknown, never zero). */
+  def rowsOf(root: String, v: Int): Rows = snapshotAt(root, v).rows
 
   // ---- BLOOMS-IN-MANIFEST: per-batch membership filters ----
   //
@@ -1115,15 +1175,18 @@ object CommitLog {
     val addedSet = added.toSet
     val reStats = snapT.stats.filter { case (b, _) => addedSet.contains(b) }
     val reBlooms = snapT.blooms.filter { case (b, _) => addedSet.contains(b) }
+    val reRows = snapT.rows.filter { case (b, _) => addedSet.contains(b) }
     // restore the schema in force at the target too: reads of the new
     // version must plan exactly like reads of the old one. This may
     // roll the DDL BACKWARD (dropping since-evolved columns), which the
     // additive-evolution gate exists to reject from ordinary commits —
     // a restore is the one verb where that reversal is the point, and
     // it only ever re-records a DDL the table itself once declared.
+    val reParts = snapT.parts.filter { case (b, _) => addedSet.contains(b) }
     commit(root, cur, added = added, removed = removed,
       schema = schemaOf(root, toVersion), op = Some("RESTORE"),
-      schemaRollback = true, stats = reStats, blooms = reBlooms)
+      schemaRollback = true, stats = reStats, blooms = reBlooms,
+      parts = reParts, rows = reRows)
   }
 
   /** TIMESTAMP-based time travel: the highest still-readable version
@@ -1183,8 +1246,12 @@ object CommitLog {
       val partColsField =
         if (pc.isEmpty) ""
         else s""","partcols":${renderList(pc)}"""
+      val rc = rowsOf(root, v)
+      val rowsField =
+        if (rc.isEmpty) ""
+        else s""","rows":${renderList(renderRows(rc))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField}""")
+        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField}""")
     }
   }
 
@@ -1351,7 +1418,8 @@ object CommitLog {
       schemaDrop: Boolean = false,
       droppedCols: Seq[String] = Nil,
       parts: Parts = Map.empty,
-      partCols: Seq[String] = Nil): Commit = {
+      partCols: Seq[String] = Nil,
+      rows: Rows = Map.empty): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1447,7 +1515,7 @@ object CommitLog {
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
           dataChange, op, blooms, constraints, colMap, droppedCols,
-          parts, partCols)) {
+          parts, partCols, rows)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

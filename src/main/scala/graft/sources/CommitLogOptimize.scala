@@ -71,13 +71,23 @@ object CommitLogOptimize {
       val packs = groups.map(g =>
         packOne(spark, root, readVersion, g,
           parts.get(g.head), targetPartitions))
+      // a layout rewrite restates exactly its sources' rows, so the
+      // pack's count is their sum — known iff every source carried one
+      val srcRows = CommitLog.rowsOf(root, readVersion)
+      def packRows(pack: String, sources: Seq[String]): CommitLog.Rows =
+        if (sources.forall(srcRows.contains))
+          Map(pack -> sources.map(srcRows).sum)
+        else Map.empty
       try {
         val c = commitRewrite(root, readVersion,
           added = packs.map(_._1), removed = groups.flatten,
           stats = packs.flatMap(_._2).toMap,
           blooms = packs.flatMap(_._3).toMap,
           op = "OPTIMIZE",
-          parts = packs.flatMap(p => p._4.map(p._1 -> _)).toMap)
+          parts = packs.flatMap(p => p._4.map(p._1 -> _)).toMap,
+          rows = packs.zip(groups).flatMap { case (p, g) =>
+            packRows(p._1, g)
+          }.toMap)
         return OptimizeResult(c.version, packs.headOption.map(_._1),
           groups.flatten)
       } catch {
@@ -100,10 +110,15 @@ object CommitLogOptimize {
 
     val (packed, packStats, packBlooms, _) =
       packOne(spark, root, readVersion, smalls, None, targetPartitions)
+    val srcRows = CommitLog.rowsOf(root, readVersion)
     try {
       val c = commitRewrite(root, readVersion,
         added = Seq(packed), removed = smalls,
-        stats = packStats, blooms = packBlooms, op = "OPTIMIZE")
+        stats = packStats, blooms = packBlooms, op = "OPTIMIZE",
+        rows =
+          if (smalls.forall(srcRows.contains))
+            Map(packed -> smalls.map(srcRows).sum)
+          else Map.empty)
       OptimizeResult(c.version, Some(packed), smalls)
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -179,7 +194,8 @@ object CommitLogOptimize {
       root: String, readVersion: Int,
       added: Seq[String], removed: Seq[String],
       stats: CommitLog.Stats, blooms: CommitLog.Blooms,
-      op: String, parts: CommitLog.Parts = Map.empty): CommitLog.Commit = {
+      op: String, parts: CommitLog.Parts = Map.empty,
+      rows: CommitLog.Rows = Map.empty): CommitLog.Commit = {
     var base = readVersion
     var attempts = 0
     while (attempts < 50) {
@@ -200,7 +216,7 @@ object CommitLogOptimize {
       }
       if (CommitLog.tryCommit(root, base + 1, added, removed,
           stats = stats, blooms = blooms, dataChange = false,
-          op = Some(op), parts = parts)) {
+          op = Some(op), parts = parts, rows = rows)) {
         if ((base + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, base + 1)
         return CommitLog.Commit(base + 1, attempts)
@@ -294,7 +310,8 @@ object CommitLogOptimize {
         stats = grouped.map(g => g.batch -> CommitLogWrite.boxesOf(
           g.files.flatMap(_.stats))).filter(_._2.nonEmpty).toMap,
         blooms = Map.empty, op = "OPTIMIZE REPARTITION",
-        parts = grouped.map(g => g.batch -> g.tokens).toMap)
+        parts = grouped.map(g => g.batch -> g.tokens).toMap,
+        rows = grouped.map(g => g.batch -> g.files.map(_.rows).sum).toMap)
       RepartitionResult(c.version, added, untupled)
     } catch {
       case e: java.util.ConcurrentModificationException =>
@@ -400,7 +417,8 @@ object CommitLogOptimize {
     // per-bucket tight boxes for EVERY numeric/time column: one
     // grouped agg, metadata-sized result
     val statAggs = boxCols.flatMap(c => Seq(
-      min(boxExpr(c)).as(s"lo_$c"), max(boxExpr(c)).as(s"hi_$c")))
+      min(boxExpr(c)).as(s"lo_$c"), max(boxExpr(c)).as(s"hi_$c"))) :+
+      count(lit(1)).as("__n") // exact per-bucket cardinality, same agg
     val statRows = keyed.groupBy(col("__zb"))
       .agg(statAggs.head, statAggs.tail: _*).collect()
 
@@ -432,10 +450,14 @@ object CommitLogOptimize {
       }.toMap
     }.toMap
     val added = present.map(batchName)
+    val bucketRows: CommitLog.Rows = statRows.map { r =>
+      batchName(r.getAs[Int]("__zb")) -> r.getAs[Long]("__n")
+    }.toMap
     try {
       val c = commitRewrite(root, readVersion,
         added = added, removed = live,
-        stats = stats, blooms = Map.empty, op = "OPTIMIZE ZORDER")
+        stats = stats, blooms = Map.empty, op = "OPTIMIZE ZORDER",
+        rows = bucketRows)
       ClusterResult(c.version, added, live)
     } catch {
       case e: java.util.ConcurrentModificationException =>

@@ -356,6 +356,55 @@ object CommitLogFilters {
     case _: AlwaysFalse => Some("false")
     case _ => None
   }
+
+  /** Filter values the manifest boxes can compare: numerics directly;
+    * timestamps as micros-since-epoch and dates as epoch days — the
+    * same units the sink boxes them in. */
+  private def num(v: Any): Option[Double] = v match {
+    case n: Number => Some(n.doubleValue)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case _ => None
+  }
+
+  /** The [lo, hi] a filter bounds one column to, widened to be SAFE
+    * for pruning (strict bounds kept inclusive: opening an extra
+    * batch is free of risk, skipping one is not). */
+  def rangeOf(f: Filter): Option[(String, Double, Double)] = f match {
+    case EqualTo(c, v) => num(v).map(d => (c, d, d))
+    case GreaterThan(c, v) => num(v).map(d => (c, d, Double.PositiveInfinity))
+    case GreaterThanOrEqual(c, v) => num(v).map(d => (c, d, Double.PositiveInfinity))
+    case LessThan(c, v) => num(v).map(d => (c, Double.NegativeInfinity, d))
+    case LessThanOrEqual(c, v) => num(v).map(d => (c, Double.NegativeInfinity, d))
+    case In(c, vs) if vs.nonEmpty =>
+      val ds = vs.map(num)
+      if (ds.forall(_.isDefined)) {
+        val flat = ds.flatten
+        Some((c, flat.min, flat.max))
+      } else None
+    case _ => None
+  }
+
+  /** String membership constraint a filter imposes — the bloom-probe
+    * twin of [[rangeOf]]: a batch must possibly contain at least ONE
+    * of the listed values, per filter. */
+  def probeOf(f: Filter): Option[(String, Seq[String])] = f match {
+    case EqualTo(c, v: String) => Some((c, Seq(v)))
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      Some((c, vs.toSeq.map(_.asInstanceOf[String])))
+    case _ => None
+  }
+
+  /** Per-column [lo, hi] boxes a filter set implies (several filters
+    * on one column AND together: intersect). */
+  def boxesOf(filters: Seq[Filter]): Map[String, (Double, Double)] =
+    filters.flatMap(rangeOf).groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.map(_._2).max, rs.map(_._3).min)
+    }
 }
 
 class CommitLogTable(
@@ -519,7 +568,8 @@ class CommitLogScanBuilder(
     root: String, schema0: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
 
   private var required: StructType = schema0
@@ -528,55 +578,13 @@ class CommitLogScanBuilder(
   private var probes: Seq[(String, Seq[String])] = Nil
   private var allFilters: Seq[Filter] = Nil
 
-  /** Filter values the manifest boxes can compare: numerics directly;
-    * timestamps as micros-since-epoch and dates as epoch days — the
-    * same units the sink boxes them in. */
-  private def num(v: Any): Option[Double] = v match {
-    case n: Number => Some(n.doubleValue)
-    case t: java.sql.Timestamp =>
-      Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
-    case i: java.time.Instant =>
-      Some(i.getEpochSecond * 1e6 + i.getNano / 1000.0)
-    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
-    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
-    case _ => None
-  }
-
-  /** The [lo, hi] a filter bounds one column to, widened to be SAFE
-    * for pruning (strict bounds kept inclusive: opening an extra
-    * batch is free of risk, skipping one is not). */
-  private def rangeOf(f: Filter): Option[(String, Double, Double)] = f match {
-    case EqualTo(c, v) => num(v).map(d => (c, d, d))
-    case GreaterThan(c, v) => num(v).map(d => (c, d, Double.PositiveInfinity))
-    case GreaterThanOrEqual(c, v) => num(v).map(d => (c, d, Double.PositiveInfinity))
-    case LessThan(c, v) => num(v).map(d => (c, Double.NegativeInfinity, d))
-    case LessThanOrEqual(c, v) => num(v).map(d => (c, Double.NegativeInfinity, d))
-    case In(c, vs) if vs.nonEmpty =>
-      val ds = vs.map(num)
-      if (ds.forall(_.isDefined)) {
-        val flat = ds.flatten
-        Some((c, flat.min, flat.max))
-      } else None
-    case _ => None
-  }
-
-  /** String membership constraint a filter imposes — the bloom-probe
-    * twin of [[rangeOf]]: a batch must possibly contain at least ONE
-    * of the listed values, per filter. */
-  private def probeOf(f: Filter): Option[(String, Seq[String])] = f match {
-    case EqualTo(c, v: String) => Some((c, Seq(v)))
-    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      Some((c, vs.toSeq.map(_.asInstanceOf[String])))
-    case _ => None
-  }
-
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => rangeOf(f).isDefined || probeOf(f).isDefined)
-    boxes = filters.flatMap(rangeOf).groupBy(_._1).map { case (c, rs) =>
-      // several filters on one column AND together: intersect the boxes
-      c -> (rs.map(_._2).max, rs.map(_._3).min)
-    }
-    probes = filters.flatMap(probeOf).toSeq
+    pushed = filters.filter(f =>
+      CommitLogFilters.rangeOf(f).isDefined ||
+        CommitLogFilters.probeOf(f).isDefined)
+    // several filters on one column AND together: intersect the boxes
+    boxes = CommitLogFilters.boxesOf(filters.toSeq)
+    probes = filters.flatMap(CommitLogFilters.probeOf).toSeq
     // every filter also goes to the scan whole for EXACT evaluation
     // against manifest partition tuples (see CommitLogPartitions)
     allFilters = filters.toSeq
@@ -594,7 +602,202 @@ class CommitLogScanBuilder(
     * by [[CommitLog.versionAt]]. */
   private def parseTime(s: String): Long = CommitLogSource.parseTime(s)
 
+  // ---- metadata-only AGGREGATE pushdown ----
+  //
+  // An unfiltered COUNT(*) / MIN / MAX (optionally GROUP BY partition
+  // columns) is answered entirely from commit metadata: counts from the
+  // manifests' exact per-batch row counts ([[CommitLog.Rows]]), MIN/MAX
+  // from the stats boxes where the boxed double is PROVABLY the exact
+  // value, groups from the recorded partition tuples. Zero data files
+  // open — at 100 TB, `SELECT count(*) FROM t` costs one checkpoint+
+  // delta replay instead of a million-file scan. Spark only offers the
+  // aggregate when no residual filter sits above the scan (this source
+  // keeps every filter residual, so exactly the unfiltered shapes
+  // qualify), and any condition this check cannot prove — outstanding
+  // deletion vectors, an uncounted batch, a boxless batch, a lossy box
+  // type — declines the pushdown and the scan runs normally.
+
+  private var pushedAgg: Option[CommitLogAggScan] = None
+  private var checkedAgg: Option[(AnyRef, Option[CommitLogAggScan])] = None
+
+  private def metadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[CommitLogAggScan] = {
+    // supportCompletePushDown and pushAggregation both ask — one replay
+    checkedAgg match {
+      case Some((ref, res)) if ref eq agg => return res
+      case _ =>
+    }
+    val res = computeMetadataAggregate(agg)
+    checkedAgg = Some((agg, res))
+    res
+  }
+
+  private def computeMetadataAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[CommitLogAggScan] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (allFilters.nonEmpty) return None // defensive: Spark gates this
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return None
+    val v = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(t => CommitLog.versionAt(root, parseTime(t))))
+      .getOrElse(CommitLog.latestVersion(root))
+    val snap = CommitLog.snapshotAt(root, v)
+    // a DV position deletes rows the counts/boxes still describe
+    if (snap.files.exists(_.startsWith(CommitLogMerge.DvPrefix))) return None
+    // counts gate everything: exact cardinality AND knowing which
+    // batches are empty (an empty batch legally has no boxes; an empty
+    // GROUP must emit no row)
+    if (!snap.files.forall(snap.rows.contains)) return None
+    val fm = CommitLog.formerNamesOf(root, v)
+    val typeSchema = CommitLog.schemaOf(root, v)
+      .map(StructType.fromDDL).getOrElse(schema0)
+    val partColsV = CommitLog.partColsOf(root, v)
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val gbColsOpt = agg.groupByExpressions().toSeq.map(colOf)
+    if (gbColsOpt.exists(_.isEmpty)) return None
+    val gbCols = gbColsOpt.flatten
+    // grouping is answerable only over partition columns: one value
+    // per batch, recorded in the manifest
+    if (!gbCols.forall(partColsV.contains)) return None
+
+    def tupleOf(b: String): Option[Map[String, String]] =
+      snap.parts.get(b).map { tokens =>
+        fm.foldLeft(tokens) { case (acc, (logical, formers)) =>
+          if (acc.contains(logical)) acc
+          else formers.collectFirst {
+            case fn if acc.contains(fn) => acc(fn)
+          }.map(v0 => acc + (logical -> v0)).getOrElse(acc)
+        }
+      }
+    // zero-row batches contribute no rows, no groups, and need no boxes
+    val live = snap.files.filter(b => snap.rows(b) > 0L)
+    if (gbCols.nonEmpty &&
+        !live.forall(b => tupleOf(b).exists(t => gbCols.forall(t.contains))))
+      return None
+
+    def chainBox(b: String, c: String): Option[(Double, Double)] =
+      snap.stats.get(b).flatMap { bm =>
+        (c +: fm.getOrElse(c, Seq.empty)).iterator.map(bm.get)
+          .collectFirst { case Some(t) => t }
+      }
+    def dtOf(c: String): Option[DataType] =
+      typeSchema.fields.find(_.name == c).map(_.dataType)
+    // a boxed double is the exact value for int/date (< 2^31), float/
+    // double (identity), and long/timestamp within ±2^53; decimals are
+    // boxed SCALED (lossy) and everything else is unboxed — decline
+    def exactValue(c: String, d: Double): Option[Any] = dtOf(c).flatMap {
+      case IntegerType | DateType => Some(Int.box(d.toInt))
+      case FloatType => Some(Float.box(d.toFloat))
+      case DoubleType => Some(Double.box(d))
+      case LongType | TimestampType =>
+        if (math.abs(d) < 9007199254740992.0) Some(Long.box(d.toLong))
+        else None
+      case _ => None
+    }
+
+    sealed trait Fn
+    case object CountAll extends Fn
+    case class MinOf(c: String) extends Fn
+    case class MaxOf(c: String) extends Fn
+    val fnsOpt: Seq[Option[Fn]] = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(CountAll)
+      case m: Min => colOf(m.column).map(MinOf)
+      case m: Max => colOf(m.column).map(MaxOf)
+      case _ => None
+    }
+    if (fnsOpt.exists(_.isEmpty)) return None
+    val fns = fnsOpt.flatten
+
+    // one group per distinct tuple projection (global agg = one group,
+    // present even over an empty table: COUNT(*) of nothing is 0)
+    val groups: Seq[(Seq[String], Seq[String])] =
+      if (gbCols.isEmpty) Seq((Nil, live))
+      else live.groupBy(b => gbCols.map(c => tupleOf(b).get(c)))
+        .toSeq.map { case (k, bs) => (k, bs) }.sortBy(_._1.mkString(" "))
+
+    def fnValue(batches: Seq[String], fn: Fn): Option[Any] = fn match {
+      case CountAll => Some(Long.box(batches.map(snap.rows).sum))
+      case MinOf(c) =>
+        if (batches.isEmpty) Some(null) // MIN over no rows is NULL
+        else {
+          val bs = batches.map(b => chainBox(b, c))
+          // a live batch without a box may be all-null in c (box
+          // correct) or simply unboxed (engine rewrite) — cannot prove
+          if (bs.exists(_.isEmpty)) None
+          else exactValue(c, bs.flatten.map(_._1).min)
+        }
+      case MaxOf(c) =>
+        if (batches.isEmpty) Some(null)
+        else {
+          val bs = batches.map(b => chainBox(b, c))
+          if (bs.exists(_.isEmpty)) None
+          else exactValue(c, bs.flatten.map(_._2).max)
+        }
+    }
+    def keyValue(c: String, tok: String): Option[Any] =
+      CommitLog.partValue(tok) match {
+        case None => Some(null)
+        case Some(s) => dtOf(c).flatMap {
+          case LongType | TimestampType => Some(Long.box(s.toLong))
+          case IntegerType | DateType => Some(Int.box(s.toInt))
+          case DoubleType => Some(Double.box(s.toDouble))
+          case FloatType => Some(Float.box(s.toFloat))
+          case BooleanType => Some(Boolean.box(s.toBoolean))
+          case StringType => Some(UTF8String.fromString(s))
+          case d: DecimalType if d.precision <= 18 =>
+            Some(org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale))
+          case _ => None
+        }
+      }
+
+    val rows: Seq[Seq[Any]] = groups.map { case (keyToks, batches) =>
+      val keyVals = gbCols.zip(keyToks).map { case (c, tok) =>
+        keyValue(c, tok).getOrElse(return None)
+      }
+      val fnVals = fns.map(fn => fnValue(batches, fn).getOrElse(return None))
+      keyVals ++ fnVals
+    }
+
+    // output schema POSITIONALLY matches Spark's expectation: group
+    // columns first, then the aggregate expressions in declared order
+    val gbFields = gbCols.map(c =>
+      StructField(c, dtOf(c).getOrElse(return None), nullable = true))
+    val fnFields = fns.map {
+      case CountAll => StructField("count(*)", LongType, nullable = false)
+      case MinOf(c) =>
+        StructField(s"min($c)", dtOf(c).getOrElse(return None), nullable = true)
+      case MaxOf(c) =>
+        StructField(s"max($c)", dtOf(c).getOrElse(return None), nullable = true)
+    }
+    Some(CommitLogAggScan(StructType(gbFields ++ fnFields), rows))
+  }
+
+  /** Complete pushdown: the scan's rows ARE the final aggregate — no
+    * re-aggregation above. True exactly when the metadata proof
+    * succeeds; the same answer also serves Spark's partial-pushdown
+    * path (a single pre-aggregated partition re-aggregates to itself). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = metadataAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedAgg = metadataAggregate(agg)
+    pushedAgg.isDefined
+  }
+
   override def build(): Scan = {
+    if (pushedAgg.isDefined) return pushedAgg.get
     val versionAsOf = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("timestampAsOf"))
         .map(t => CommitLog.versionAt(root, parseTime(t))))
@@ -665,7 +868,10 @@ case class CommitLogScan(
     ignoreDeletes: Boolean,
     readChangeFeed: Boolean = false,
     endingVersion: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsReportStatistics
+    with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -677,6 +883,107 @@ case class CommitLogScan(
     s"CommitLogScan root=$root versionAsOf=${versionAsOf.getOrElse(-1)}" +
       (if (b.isEmpty) "" else s" PrunedByManifestStats: [$b]") +
       (if (p.isEmpty) "" else s" PrunedByManifestBlooms: [$p]")
+  }
+
+  // ---- one consistent metadata snapshot per scan ----
+  // A scan is one read: version, snapshot facets, column map and
+  // partition layout resolve ONCE (first use) and every planning
+  // surface below — pruning, statistics, partitioning, runtime
+  // replans — answers from the same replay-sized metadata.
+  @transient private lazy val emptyTable =
+    schema.isEmpty && CommitLog.latestVersion(root) == 0
+  @transient private lazy val resolvedVersion: Int =
+    versionAsOf.getOrElse(CommitLog.latestVersion(root))
+  @transient private lazy val snap = CommitLog.snapshotAt(root, resolvedVersion)
+  @transient private lazy val fm = CommitLog.formerNamesOf(root, resolvedVersion)
+  @transient private lazy val partCols =
+    CommitLog.partColsOf(root, resolvedVersion)
+  @transient private lazy val typeSchema =
+    CommitLog.schemaOf(root, resolvedVersion)
+      .map(StructType.fromDDL).getOrElse(schema)
+
+  // RUNTIME (join-driven) filters land here after static planning and
+  // the scan replans; see [[filter]]
+  @transient private var runtimeFilters
+      : Seq[org.apache.spark.sql.sources.Filter] = Nil
+
+  /** Boxes and blooms recorded before a RENAME carry the then-logical
+    * name — probe the column's whole name chain so old batches stay
+    * prunable after a rename (same type and units by the rename gate). */
+  private def chainLookup[T](m: Option[Map[String, T]], c: String): Option[T] =
+    m.flatMap { bm =>
+      (c +: fm.getOrElse(c, Seq.empty)).iterator.map(bm.get)
+        .collectFirst { case Some(t) => t }
+    }
+
+  /** The batch's partition tuple under CURRENT logical names (a
+    * pre-rename tuple keyed by a former name answers for its logical
+    * column); None when the batch has no recorded tuple. */
+  private def tupleTokensOf(b: String): Option[Map[String, String]] =
+    snap.parts.get(b).map { tokens =>
+      fm.foldLeft(tokens) { case (acc, (logical, formers)) =>
+        if (acc.contains(logical)) acc
+        else formers.collectFirst {
+          case fn if acc.contains(fn) => acc(fn)
+        }.map(v0 => acc + (logical -> v0)).getOrElse(acc)
+      }
+    }
+
+  /** The data batches surviving every pruning modality — manifest
+    * (min,max) boxes, blooms, exact partition-tuple evaluation — under
+    * the statically pushed PLUS any runtime filters. The one list that
+    * statistics, output partitioning and partition planning all derive
+    * from, decided entirely from metadata already in hand. */
+  private def prunedBatches(): Seq[String] = {
+    val dataBatches =
+      snap.files.filterNot(_.startsWith(CommitLogMerge.DvPrefix))
+    val allBoxes: Map[String, (Double, Double)] =
+      (boxes.toSeq ++ CommitLogFilters.boxesOf(runtimeFilters).toSeq)
+        .groupBy(_._1).map { case (c, bs) =>
+          c -> (bs.map(_._2._1).max, bs.map(_._2._2).min)
+        }
+    val allProbes = probes ++ runtimeFilters.flatMap(CommitLogFilters.probeOf)
+    val allPartFilters = partFilters ++ runtimeFilters
+    // manifest-stats pruning: intersect each pushed range box against
+    // the batches' committed (min, max) boxes — a batch with no box
+    // for the column is always read (unknown = keep), and Spark still
+    // evaluates the exact predicate above the scan
+    val boxPruned = allBoxes.foldLeft(dataBatches) { case (fs, (col, (lo, hi))) =>
+      fs.filter { b =>
+        chainLookup(snap.stats.get(b), col) match {
+          case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
+          case None => true
+        }
+      }
+    }
+    // bloom probes: a batch survives only if, for EVERY pushed
+    // equality/IN filter, its bloom admits at least one probed value
+    // (no bloom for the column → keep; false positive → the residual
+    // filter excludes the rows, never the other way around)
+    val bloomPruned = allProbes.foldLeft(boxPruned) { case (fs, (col, values)) =>
+      fs.filter { b =>
+        chainLookup(snap.blooms.get(b), col) match {
+          case Some(hex) => values.exists(CommitLogBloom.mightContain(hex, _))
+          case None => true
+        }
+      }
+    }
+    // PARTITION pruning: exact three-valued evaluation of every pushed
+    // filter against the batch's recorded partition tuple — prunes
+    // equality/range/IN/IS NULL/string predicates for all types, which
+    // boxes (numeric ranges) and blooms (membership) cannot. A batch
+    // without a tuple (engine rewrite) is kept; filter types resolve
+    // against the DECLARED schema (the pruned read schema may drop
+    // filter-only columns).
+    if (allPartFilters.isEmpty || snap.parts.isEmpty) bloomPruned
+    else bloomPruned.filter { b =>
+      tupleTokensOf(b) match {
+        case Some(tokens) =>
+          CommitLogPartitions.mayMatch(allPartFilters,
+            CommitLogPartitions.decodeTuple(tokens), typeSchema)
+        case None => true
+      }
+    }
   }
 
   /** Batch leg: the snapshot at `versionAsOf` (default latest) — the
@@ -691,8 +998,7 @@ case class CommitLogScan(
     // pre-first-commit, so this cannot be an error. A typo'd read path
     // surfaces as a zero-column schema — any column reference fails
     // analysis loudly before reaching here.
-    if (schema.isEmpty && CommitLog.latestVersion(root) == 0)
-      return Array.empty
+    if (emptyTable) return Array.empty
     // batch CHANGE FEED: the row changes of (startingVersion,
     // endingVersion] — Delta's table_changes — instead of a snapshot
     if (readChangeFeed) {
@@ -701,11 +1007,6 @@ case class CommitLogScan(
         .flatMap(CommitLogChangePlan.partitions(root, _))
         .map(p => p: InputPartition).toArray
     }
-    val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
-    // ONE checkpoint+delta replay yields files, stats and blooms
-    // together — plan-time metadata cost does not multiply with the
-    // number of pruning modalities in play
-    val snap = CommitLog.snapshotAt(root, v)
     // MERGE-ON-READ reconciliation: a `dv-` deletion-vector batch is
     // not data — its (file, row_index) positions are loaded at plan
     // time (deletes-sized by the MOR contract; compaction is what
@@ -713,77 +1014,145 @@ case class CommitLogScan(
     // sequential record reader skips them at zero join cost. The
     // connector therefore serves DV tables directly — the S23 read
     // shape without requiring CommitLogMerge.snapshot.
-    val (dvBatches, dataBatches) =
-      snap.files.partition(_.startsWith(CommitLogMerge.DvPrefix))
+    val dvBatches = snap.files.filter(_.startsWith(CommitLogMerge.DvPrefix))
     val deletedByFile = CommitLogMerge.dvPositionsByFile(
       org.apache.spark.sql.SparkSession.active, root, dvBatches)
-    // manifest-stats pruning: intersect each pushed range box against
-    // the batches' committed (min, max) boxes — a batch with no box
-    // for the column is always read (unknown = keep), and Spark still
-    // evaluates the exact predicate above the scan
-    // pre-rename batches carry their boxes/blooms under the THEN-logical
-    // name — probe the column's whole name chain so old batches stay
-    // prunable after a rename (same type and units by the rename gate)
-    val fm = CommitLog.formerNamesOf(root, v)
-    def chainLookup[T](m: Option[Map[String, T]], c: String): Option[T] =
-      m.flatMap { bm =>
-        (c +: fm.getOrElse(c, Seq.empty)).iterator.map(bm.get)
-          .collectFirst { case Some(t) => t }
-      }
-    val boxPruned = boxes.foldLeft(dataBatches) { case (fs, (col, (lo, hi))) =>
-      fs.filter { b =>
-        chainLookup(snap.stats.get(b), col) match {
-          case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
-          case None => true
+    prunedBatches()
+      .flatMap { b =>
+        // storage-partitioned scans attach the batch's tuple as the
+        // partition key (constant across the batch's files); plain
+        // scans plan the same files unkeyed
+        val key =
+          if (keyedByPartition) tupleTokensOf(b).map(keyRowOf) else None
+        CommitLogSource.listParquet(root, b).map { f =>
+          val base = CommitLogInputPartition(f,
+            deletedPositions = deletedByFile.getOrElse(
+              CommitLogMerge.normDir(f), Array.empty))
+          key.map(CommitLogKeyedInputPartition(base, _))
+            .getOrElse(base): InputPartition
         }
       }
-    }
-    // bloom probes: a batch survives only if, for EVERY pushed
-    // equality/IN filter, its bloom admits at least one probed value
-    // (no bloom for the column → keep; false positive → the residual
-    // filter excludes the rows, never the other way around)
-    val bloomPruned = probes.foldLeft(boxPruned) { case (fs, (col, values)) =>
-      fs.filter { b =>
-        chainLookup(snap.blooms.get(b), col) match {
-          case Some(hex) => values.exists(CommitLogBloom.mightContain(hex, _))
-          case None => true
-        }
-      }
-    }
-    // PARTITION pruning: exact three-valued evaluation of every pushed
-    // filter against the batch's recorded partition tuple — prunes
-    // equality/range/IN/IS NULL/string predicates for all types, which
-    // boxes (numeric ranges) and blooms (membership) cannot. A batch
-    // without a tuple (engine rewrite) is kept; filter types resolve
-    // against the DECLARED schema (the pruned read schema may drop
-    // filter-only columns). Renamed columns: a pre-rename tuple keyed
-    // by a former name answers for its logical column.
-    val pruned =
-      if (partFilters.isEmpty || snap.parts.isEmpty) bloomPruned
-      else {
-        val typeSchema = CommitLog.schemaOf(root, v)
-          .map(StructType.fromDDL).getOrElse(schema)
-        bloomPruned.filter { b =>
-          snap.parts.get(b) match {
-            case Some(tokens) =>
-              val raw = CommitLogPartitions.decodeTuple(tokens)
-              val tuple = fm.foldLeft(raw) { case (acc, (logical, formers)) =>
-                if (acc.contains(logical)) acc
-                else formers.collectFirst {
-                  case fn if acc.contains(fn) => acc(fn)
-                }.map(v0 => acc + (logical -> v0)).getOrElse(acc)
-              }
-              CommitLogPartitions.mayMatch(partFilters, tuple, typeSchema)
-            case None => true
-          }
-        }
-      }
-    pruned
-      .flatMap(CommitLogSource.listParquet(root, _))
-      .map(f => CommitLogInputPartition(f,
-        deletedPositions = deletedByFile.getOrElse(
-          CommitLogMerge.normDir(f), Array.empty)): InputPartition)
       .toArray
+  }
+
+  // ---- planner statistics from commit metadata (zero data reads) ----
+
+  /** Post-pushdown statistics from the manifest: sizeInBytes over the
+    * SURVIVING batches' files, rowCount EXACT when every surviving
+    * batch carries a committed count ([[CommitLog.Rows]]) and no
+    * deletion vectors are outstanding. This is what lets Spark
+    * auto-broadcast a small (or well-pruned) commitlog table with no
+    * hint — at 100 TB the difference between a broadcast hash join and
+    * an accidental full shuffle of the big side. */
+  override def estimateStatistics(): Statistics = {
+    if (emptyTable)
+      return CommitLogStatistics(Some(0L), Some(0L))
+    if (readChangeFeed)
+      return CommitLogStatistics(None, None)
+    val batches = prunedBatches()
+    val bytes = batches.map(CommitLogSource.batchBytes(root, _)).sum
+    val hasDv = snap.files.exists(_.startsWith(CommitLogMerge.DvPrefix))
+    val counted = !hasDv && batches.forall(snap.rows.contains)
+    CommitLogStatistics(Some(bytes),
+      if (counted) Some(batches.map(snap.rows).sum) else None)
+  }
+
+  // ---- runtime (join-driven) filtering — DPP through the connector ----
+
+  /** Columns a runtime filter can prune on: the partition columns
+    * (exact tuple evaluation) plus every column some live batch carries
+    * a stats box or bloom for (range/membership pruning). Spark's
+    * dynamic partition pruning materializes the OTHER join side's keys
+    * and hands them to [[filter]] — dynamic FILE pruning of the fact
+    * side decided from metadata, zero data reads. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (emptyTable || readChangeFeed) return Array.empty
+    val toLogical = fm.toSeq.flatMap { case (l, fs) => fs.map(_ -> l) }.toMap
+    val metaCols = (snap.stats.values.flatMap(_.keys) ++
+      snap.blooms.values.flatMap(_.keys)).map(c => toLogical.getOrElse(c, c))
+    (partCols ++ metaCols).distinct
+      .filter(schema.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  /** Merge runtime filters in and let the next [[planInputPartitions]]
+    * replan. Pruning only ever DROPS whole batches, so a key group of a
+    * storage-partitioned scan shrinks or vanishes but never splits —
+    * the invariant Spark's re-grouping after runtime filtering needs. */
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters = runtimeFilters ++ filters
+
+  // ---- storage-partitioned joins (SPJ) ----
+
+  /** Whether this scan plans with partition keys: a partitioned table
+    * whose surviving batches ALL carry full tuples (engine rewrites
+    * may drop them — optimizeRepartition restores), with the partition
+    * columns still in the read schema. Memoized: the decision must be
+    * identical between [[outputPartitioning]] and every
+    * [[planInputPartitions]] call, including runtime-filter replans
+    * (so eligibility is decided over the STATIC prune set). */
+  @transient private lazy val keyedByPartition: Boolean =
+    !emptyTable && !readChangeFeed && partCols.nonEmpty &&
+      partCols.forall(schema.fieldNames.contains) &&
+      partCols.forall(c => typeSchema.fields.exists(_.name == c)) &&
+      staticBatches.forall(b => tupleTokensOf(b)
+        .exists(t => partCols.forall(t.contains)) ||
+        CommitLogSource.listParquet(root, b).isEmpty)
+
+  @transient private lazy val staticBatches: Seq[String] = {
+    val saved = runtimeFilters
+    runtimeFilters = Nil
+    try prunedBatches() finally runtimeFilters = saved
+  }
+
+  /** The identity KeyGroupedPartitioning over the partition columns —
+    * what makes two commitlog tables partitioned on the same key join
+    * with ZERO shuffle (Spark SPJ, `spark.sql.sources.v2.bucketing
+    * .enabled`): each batch is one key group, Spark aligns groups by
+    * key across both sides. The v2 form of the co-bucketed J14 — at
+    * 100 TB this deletes the exchange of BOTH fact tables. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    if (!keyedByPartition)
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    val keys = staticBatches
+      .filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
+      .flatMap(tupleTokensOf)
+      .map(t => partCols.map(t(_))).distinct
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      partCols.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      keys.size)
+  }
+
+  /** Decode a batch tuple to the typed partition-key row, in partition-
+    * column order — the writer's value forms (micros, epoch days,
+    * unscaled decimals) are exactly InternalRow's representations. */
+  private def keyRowOf(tokens: Map[String, String]): InternalRow = {
+    val vals: Array[Any] = partCols.map { c =>
+      CommitLog.partValue(tokens(c)) match {
+        case None => null
+        case Some(s) =>
+          typeSchema.fields.find(_.name == c).map(_.dataType).get match {
+            case LongType | TimestampType => Long.box(s.toLong)
+            case IntegerType | DateType => Int.box(s.toInt)
+            case DoubleType => Double.box(s.toDouble)
+            case FloatType => Float.box(s.toFloat)
+            case BooleanType => Boolean.box(s.toBoolean)
+            case StringType => UTF8String.fromString(s)
+            case d: DecimalType if d.precision <= 18 =>
+              org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale)
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition key type $other for column $c")
+          }
+      }
+    }.toArray
+    new GenericInternalRow(vals)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -956,12 +1325,71 @@ case class CommitLogInputPartition(
     deletedPositions: Array[Long] = Array.empty)
     extends InputPartition
 
+/** A file partition of a STORAGE-PARTITIONED scan: the wrapped
+  * partition plus its batch's partition tuple as the key Spark groups
+  * and aligns on (`HasPartitionKey`). Constant per batch — the
+  * partitioned sink lands one batch per tuple. */
+case class CommitLogKeyedInputPartition(
+    base: CommitLogInputPartition, key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** A fully pushed-down aggregate answered from COMMIT METADATA alone —
+  * COUNT(*) from the manifests' exact per-batch row counts, MIN/MAX
+  * from the stats boxes (only where provably exact), GROUP BY
+  * partition columns from the recorded tuples: ONE input partition
+  * emitting the pre-computed rows, ZERO data files opened. Values are
+  * already in catalyst form (UTF8String/Decimal serialize fine for the
+  * one metadata-sized partition). */
+case class CommitLogAggScan(aggSchema: StructType, rows: Seq[Seq[Any]])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"CommitLogAggScan metadata-only rows=${rows.size} " +
+      s"PushedAggregation=${aggSchema.fieldNames.mkString("[", ", ", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CommitLogAggPartition(rows.map(_.toArray).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    CommitLogAggReaderFactory()
+}
+
+case class CommitLogAggPartition(rows: Array[Array[Any]])
+    extends InputPartition
+
+case class CommitLogAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[CommitLogAggPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = new GenericInternalRow(rows(i))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Manifest-derived scan statistics (see
+  * [[CommitLogScan.estimateStatistics]]). */
+case class CommitLogStatistics(bytes: Option[Long], rowCount: Option[Long])
+    extends Statistics {
+  override def sizeInBytes(): java.util.OptionalLong =
+    bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  override def numRows(): java.util.OptionalLong =
+    rowCount.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+}
+
 case class CommitLogReaderFactory(
     schema: StructType,
     formers: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CommitLogInputPartition]
+    val p = partition match {
+      case k: CommitLogKeyedInputPartition => k.base
+      case b: CommitLogInputPartition => b
+    }
     new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version,
       formers, p.deletedPositions)
   }

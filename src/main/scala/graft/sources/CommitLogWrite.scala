@@ -357,6 +357,8 @@ object CommitLogWrite {
       .filter(_._2.nonEmpty).toMap
     val parts: CommitLog.Parts =
       grouped.map(g => g.batch -> g.tokens).toMap
+    val rowCounts: CommitLog.Rows =
+      grouped.map(g => g.batch -> g.files.map(_.rows).sum).toMap
     val latest = CommitLog.latestVersion(root)
     try {
       // an all-empty epoch commits ZERO batches but still consumes a
@@ -365,7 +367,8 @@ object CommitLogWrite {
       CommitLog.commit(root, latest, added = grouped.map(_.batch),
         schema = Some(schema.toDDL), stats = stats, txn = txn,
         op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
-        blooms = blooms, parts = parts, partCols = partCols)
+        blooms = blooms, parts = parts, partCols = partCols,
+        rows = rowCounts)
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -477,7 +480,8 @@ object CommitLogWrite {
       CommitLog.commit(root, latest, added = Seq(batchName),
         schema = Some(schema.toDDL), stats = stats, txn = txn,
         op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
-        blooms = blooms)
+        blooms = blooms,
+        rows = Map(batchName -> msgs.map(_.rows).sum))
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -847,7 +851,8 @@ class CommitLogOverwriteWrite(
     * (invisible until a manifest lists them) + their manifest facets. */
   private case class StagedAdd(
       batches: Seq[String], stats: CommitLog.Stats,
-      blooms: CommitLog.Blooms, parts: CommitLog.Parts)
+      blooms: CommitLog.Blooms, parts: CommitLog.Parts,
+      rows: CommitLog.Rows)
 
   private def dropBatches(f: FileSystem, batches: Seq[String]): Unit =
     batches.foreach { b =>
@@ -912,7 +917,8 @@ class CommitLogOverwriteWrite(
           s"failed to promote $stage to $batchBase")
         StagedAdd(Seq(batchBase),
           CommitLogWrite.mergedStats(plainMsgs, batchBase),
-          CommitLogWrite.mergedBlooms(plainMsgs, batchBase), Map.empty)
+          CommitLogWrite.mergedBlooms(plainMsgs, batchBase), Map.empty,
+          Map(batchBase -> plainMsgs.map(_.rows).sum))
       } else {
         val grouped = CommitLogWrite.groupByTuple(fileMsgs, batchBase)
         grouped.foreach { g =>
@@ -930,7 +936,8 @@ class CommitLogOverwriteWrite(
             g.files.flatMap(_.stats))).filter(_._2.nonEmpty).toMap,
           grouped.map(g => g.batch -> CommitLogWrite.bloomHexOf(
             g.files.flatMap(_.blooms))).filter(_._2.nonEmpty).toMap,
-          grouped.map(g => g.batch -> g.tokens).toMap)
+          grouped.map(g => g.batch -> g.tokens).toMap,
+          grouped.map(g => g.batch -> g.files.map(_.rows).sum).toMap)
       }
 
     spec match {
@@ -954,7 +961,7 @@ class CommitLogOverwriteWrite(
       if (CommitLog.tryCommit(root, v + 1, added = add.batches,
           removed = live, schema = Some(schema.toDDL), stats = add.stats,
           blooms = add.blooms, parts = add.parts, partCols = partCols,
-          op = Some("OVERWRITE"))) {
+          rows = add.rows, op = Some("OVERWRITE"))) {
         if ((v + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, v + 1)
         return
@@ -1000,7 +1007,8 @@ class CommitLogOverwriteWrite(
       if (CommitLog.tryCommit(root, v + 1, added = add.batches,
           removed = replaced ++ coveredDvs, schema = Some(schema.toDDL),
           stats = add.stats, blooms = add.blooms, parts = add.parts,
-          partCols = partCols, op = Some("OVERWRITE PARTITIONS"))) {
+          partCols = partCols, rows = add.rows,
+          op = Some("OVERWRITE PARTITIONS"))) {
         if ((v + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, v + 1)
         return
@@ -1097,6 +1105,11 @@ class CommitLogOverwriteWrite(
         removedData ++ coveredDvs,
         schema = Some(schema.toDDL), stats = add.stats, blooms = add.blooms,
         parts = add.parts, partCols = partCols,
+        // the survivor-rewrite batch (if any) carries no count: its
+        // cardinality was never driver-known and counting it would be
+        // an extra data pass — unknown degrades metadata answers, never
+        // correctness
+        rows = add.rows,
         op = Some("OVERWRITE WHERE"))) {
       dropBatches(f, add.batches ++ rewrite.toSeq)
       throw new java.util.ConcurrentModificationException(

@@ -75,6 +75,21 @@ object Qh {
   def oR4(x: String): String = oR(x, 10000L)
   def oR6(x: String): String = oR(x, 1000000L)
 
+  /** Flatten an executed plan through AQE wrappers and query stages —
+    * plain `collect` treats both as leaves, so plan-shape pins on
+    * queries with exchanges/subqueries would silently see nothing. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
+
   // ---- order-independent exact sums over money-grid doubles ----
   def sumd2(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
   def sumd6(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast(DoubleType)

@@ -2096,38 +2096,224 @@ object Sources {
       import graft.sources.{CommitLog, CommitLogMerge}
       val wh = ioDir("s41_wh")
       Qh.deleteRecursively(new java.io.File(wh))
-      s.conf.set("spark.sql.catalog.gt41", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.gt41.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS gt41.db")
-      s.sql("CREATE TABLE gt41.db.ord (k BIGINT, p DOUBLE, st STRING)")
+      // rowLevel.mode=delta rides an ISOLATED child session: Verify
+      // runs decls concurrently, and flipping the shared session's
+      // mode would re-leg a rival decl's UPDATE/MERGE mid-flight
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gt41", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gt41.warehouse", wh)
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS gt41.db")
+      s2.sql("CREATE TABLE gt41.db.ord (k BIGINT, p DOUBLE, st STRING)")
       val src = s"parquet.`$dir/orders.parquet`"
-      s.sql(s"INSERT INTO gt41.db.ord SELECT o_orderkey, o_totalprice, " +
+      s2.sql(s"INSERT INTO gt41.db.ord SELECT o_orderkey, o_totalprice, " +
         s"o_orderstatus FROM $src WHERE o_orderkey % 4 = 0")
       val root = s"$wh/db/ord"
       val baseBatches = CommitLog.files(root, CommitLog.latestVersion(root))
-      s.conf.set("spark.graft.rowLevel.mode", "delta")
-      try {
-        s.sql("UPDATE gt41.db.ord SET p = p + 1 WHERE k % 97 = 0")
-        // the source carries BOTH the table's 'F' keys (matched →
-        // DELETE) and fresh %4=1 keys (unmatched → INSERT)
-        s.sql(s"""MERGE INTO gt41.db.ord AS t USING (
-          SELECT o_orderkey AS k, o_totalprice AS np FROM $src
-          WHERE (o_orderkey % 4 = 0 AND o_orderstatus = 'F')
-             OR (o_orderkey % 4 = 1 AND o_orderkey % 13 = 0)) AS m
-          ON t.k = m.k
-          WHEN MATCHED THEN DELETE
-          WHEN NOT MATCHED THEN INSERT (k, p, st) VALUES (m.k, m.np + 2, 'X')""")
-        s.sql("DELETE FROM gt41.db.ord WHERE k % 89 = 0") // expression path
-      } finally s.conf.set("spark.graft.rowLevel.mode", "cow")
+      s2.conf.set("spark.graft.rowLevel.mode", "delta")
+      s2.sql("UPDATE gt41.db.ord SET p = p + 1 WHERE k % 97 = 0")
+      // the source carries BOTH the table's 'F' keys (matched →
+      // DELETE) and fresh %4=1 keys (unmatched → INSERT)
+      s2.sql(s"""MERGE INTO gt41.db.ord AS t USING (
+        SELECT o_orderkey AS k, o_totalprice AS np FROM $src
+        WHERE (o_orderkey % 4 = 0 AND o_orderstatus = 'F')
+           OR (o_orderkey % 4 = 1 AND o_orderkey % 13 = 0)) AS m
+        ON t.k = m.k
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, p, st) VALUES (m.k, m.np + 2, 'X')""")
+      s2.sql("DELETE FROM gt41.db.ord WHERE k % 89 = 0") // expression path
       val v = CommitLog.latestVersion(root)
       val live = CommitLog.files(root, v)
       val baseSurvives = if (baseBatches.forall(live.contains)) 1 else 0
       val hasDv =
         if (live.exists(_.startsWith(CommitLogMerge.DvPrefix))) 1 else 0
-      s.sql("SELECT k, p FROM gt41.db.ord")
+      s2.sql("SELECT k, p FROM gt41.db.ord")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
         .select($"n", $"total",
           lit(baseSurvives).as("base_survives"), lit(hasDv).as("has_dv"))
+    },
+
+    // S42: METADATA-ONLY AGGREGATES — the connector's complete
+    // aggregate pushdown (CommitLogScanBuilder.pushAggregation):
+    // an unfiltered COUNT(*) / MIN / MAX, optionally GROUP BY the
+    // partition columns, is answered entirely from commit metadata —
+    // counts from the manifests' exact per-batch row counts
+    // (CommitLog.Rows, committed by the sink as rows stream through),
+    // MIN/MAX from the stats boxes where the boxed double is provably
+    // the exact value, groups from the recorded partition tuples. The
+    // scan plans ONE metadata partition and opens ZERO data files — at
+    // 100 TB, `SELECT count(*)` costs a checkpoint+delta replay
+    // instead of a million-file scan (Delta/Iceberg answer the same
+    // shapes from their logs). Anything unprovable — a WHERE clause
+    // (all connector filters stay residual), outstanding deletion
+    // vectors, an uncounted or unboxed batch, a lossy box type —
+    // declines, and the scan runs normally. The decl pins the plan
+    // shape itself: meta_only=1 requires every BatchScan of both the
+    // grouped and the global aggregate to be the metadata scan.
+    // CommitLogMetadataSpec pins count survival through checkpoint/
+    // vacuum/OPTIMIZE/ZORDER, the DV and WHERE declines, and the
+    // rejection edges.
+    Decl(
+      "s42_metadata_agg",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS p,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'us'
+         |         WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END AS region
+         |  FROM orders)
+         |SELECT region, CAST(count(*) AS BIGINT) AS n, max(k) AS max_k,
+         |  CAST(1 AS INT) AS meta_only, CAST(1 AS INT) AS one_partition
+         |FROM t GROUP BY region
+         |UNION ALL
+         |SELECT '*', CAST(count(*) AS BIGINT), max(k), 1, 1 FROM t
+         |ORDER BY region""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s42_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt42", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt42.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt42.db")
+      s.sql("CREATE TABLE gt42.db.ma (k BIGINT, p DOUBLE, region STRING) " +
+        "PARTITIONED BY (region)")
+      s.sql(s"INSERT INTO gt42.db.ma SELECT o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'us' " +
+        "WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      val grouped = s.sql(
+        "SELECT region, count(*) AS n, max(k) AS max_k FROM gt42.db.ma " +
+          "GROUP BY region")
+      val global = s.sql("SELECT count(*) AS n, max(k) AS max_k FROM gt42.db.ma")
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      val all = scans(grouped) ++ scans(global)
+      val metaOnly =
+        if (all.nonEmpty && all.forall(
+            _.scan.isInstanceOf[graft.sources.CommitLogAggScan])) 1 else 0
+      val onePartition =
+        if (all.forall(_.inputPartitions.length == 1)) 1 else 0
+      grouped
+        .unionAll(global.select(lit("*").as("region"), $"n", $"max_k"))
+        .select($"region", $"n", $"max_k",
+          lit(metaOnly).as("meta_only"), lit(onePartition).as("one_partition"))
+        .orderBy("region")
+    },
+
+    // S43: STORAGE-PARTITIONED JOIN — the v2 form of the co-bucketed
+    // J14, through the connector: both tables are PARTITIONED BY the
+    // join key, every batch is one partition tuple, and the scan
+    // reports identity KeyGroupedPartitioning with each file partition
+    // exposing its tuple as the partition key (HasPartitionKey) — so
+    // under `spark.sql.sources.v2.bucketing.enabled` Spark aligns the
+    // key groups of BOTH sides and plans the join with ZERO shuffle
+    // (Iceberg's SPJ). The downstream GROUP BY the same key also rides
+    // the reported partitioning exchange-free. At 100 TB this deletes
+    // the two largest exchanges a warehouse runs — both fact tables
+    // move no bytes. The decl pins the shape: shuffles=0 counts every
+    // ShuffleExchange in the executed plan (AQE-flattened), smj=1
+    // requires the sort-merge join to be present (broadcast disabled),
+    // and the per-key aggregate is oracle-checked against the plain
+    // relational join. CommitLogMetadataSpec pins the same plan shape
+    // through SQL.
+    Decl(
+      "s43_spj_join",
+      s"""WITH c AS (
+         |  SELECT c_custkey AS ck, c_custkey % 8 AS m FROM customer),
+         |o AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderkey % 8 AS m
+         |  FROM orders WHERE o_orderkey % 100 = 0)
+         |SELECT c.m, CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("o.p")} AS total,
+         |  CAST(0 AS INT) AS shuffles, CAST(1 AS INT) AS smj
+         |FROM c JOIN o ON c.m = o.m
+         |GROUP BY c.m ORDER BY c.m""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s43_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      // Verify runs decls CONCURRENTLY on one session; behavior confs
+      // (broadcast threshold, bucketing) go in an ISOLATED child
+      // session so no rival decl plans under them
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gt43", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gt43.warehouse", wh)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.sql("CREATE NAMESPACE IF NOT EXISTS gt43.db")
+      s2.sql("CREATE TABLE gt43.db.cust (ck BIGINT, m BIGINT) PARTITIONED BY (m)")
+      s2.sql("CREATE TABLE gt43.db.ord (k BIGINT, p DOUBLE, m BIGINT) " +
+        "PARTITIONED BY (m)")
+      s2.sql(s"INSERT INTO gt43.db.cust SELECT c_custkey, c_custkey % 8 " +
+        s"FROM parquet.`$dir/customer.parquet`")
+      s2.sql(s"INSERT INTO gt43.db.ord SELECT o_orderkey, o_totalprice, " +
+        s"o_orderkey % 8 FROM parquet.`$dir/orders.parquet` " +
+        "WHERE o_orderkey % 100 = 0")
+      val j = s2.sql(
+        "SELECT c.m AS m, count(*) AS n, " +
+          "CAST(sum(CAST(o.p AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+          "FROM gt43.db.cust c JOIN gt43.db.ord o ON c.m = o.m " +
+          "GROUP BY c.m")
+      j.head() // finalize any adaptive stages before reading the shape
+      val all = Qh.flattenPlan(j.queryExecution.executedPlan)
+      val shuffles = all.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      val smj = if (all.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]))
+        1 else 0
+      // re-state the aggregate (same SPJ plan) with the pinned shape
+      j.select($"m", $"n", $"total",
+        lit(shuffles).as("shuffles"), lit(smj).as("smj"))
+        .orderBy("m")
+    },
+
+    // S44: STATISTICS-DRIVEN AUTO-BROADCAST — the connector reports
+    // post-pruning statistics from commit metadata
+    // (CommitLogScan.estimateStatistics: sizeInBytes from the
+    // surviving batches' files, rowCount EXACT when every batch
+    // carries a committed count and no DVs are outstanding), so
+    // Spark's join planner broadcasts a small commitlog dimension
+    // WITHOUT a hint. A DSv2 source that reports no statistics
+    // defaults to spark.sql.defaultSizeInBytes (≈ Long.Max) and can
+    // NEVER be auto-broadcast — at 100 TB that one missing interface
+    // turns every dim join into a full shuffle of the fact side. The
+    // decl joins the orders fixture against a 1%-of-customers
+    // commitlog dim with no hint and pins bhj=1 (a BroadcastHashJoin
+    // planned) and build_meta=1 (the broadcast side IS the commitlog
+    // scan); the aggregate is oracle-checked relationally.
+    Decl(
+      "s44_stats_broadcast",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("o.o_totalprice")} AS total,
+         |  CAST(1 AS INT) AS bhj, CAST(1 AS INT) AS build_meta
+         |FROM orders o
+         |JOIN (SELECT c_custkey AS ck FROM customer WHERE c_custkey % 100 = 0) c
+         |  ON o.o_custkey = c.ck""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s44_dim")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "customer").filter($"c_custkey" % 100 === 0)
+        .select($"c_custkey".as("ck"), $"c_name".as("name"))
+        .write.format("commitlog").option("path", root).mode("append").save()
+      val dim = s.read.format("commitlog").option("path", root).load()
+      val j = Qh.t(s, dir, "orders").join(dim, $"o_custkey" === $"ck")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+      j.head() // finalize adaptive stages
+      val all = Qh.flattenPlan(j.queryExecution.executedPlan)
+      val bhjs = all.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      val bhj = if (bhjs.nonEmpty) 1 else 0
+      val buildMeta = if (bhjs.exists { b =>
+        val buildSide = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          case _ => b.left
+        }
+        Qh.flattenPlan(buildSide).exists {
+          case sc: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            sc.scan.isInstanceOf[graft.sources.CommitLogScan]
+          case _ => false
+        }
+      }) 1 else 0
+      j.select($"n", $"total",
+        lit(bhj).as("bhj"), lit(buildMeta).as("build_meta"))
     },
 
     // S24: MERGE INTO over the commit log — C4's relational MERGE

@@ -2316,6 +2316,130 @@ object Sources {
         lit(bhj).as("bhj"), lit(buildMeta).as("build_meta"))
     },
 
+    // S45: PARTITION MANAGEMENT — SupportsPartitionManagement on the
+    // commitlog table: SHOW PARTITIONS answers from the manifest
+    // tuples (pure metadata, zero data reads — the same facet the
+    // exact pruning uses), and ALTER TABLE … DROP PARTITION is the
+    // METADATA-ONLY removal the dynamic overwrite runs — whole batches
+    // drop from the manifest in ONE commit, files stay on disk and the
+    // pre-drop version stays readable behind time travel until vacuum
+    // (the lakehouse DROP PARTITION, not a file delete). The decl
+    // loads three region partitions, SQL-drops 'eu', and pins: the
+    // surviving per-region aggregates, the post-drop SHOW PARTITIONS
+    // list, and metadata_only=1 — exactly one version consumed, the
+    // dropped batch's directory still present, the old version still
+    // serving all rows. CommitLogCatalogOpsSpec pins the PARTITION
+    // clause filter, re-drop refusal, and ADD PARTITION's refusal.
+    Decl(
+      "s45_partition_mgmt",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_totalprice AS p,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'us'
+         |         WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END AS region
+         |  FROM orders)
+         |SELECT region, CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("p")} AS total,
+         |  'region=ap,region=us' AS live_partitions,
+         |  CAST(1 AS INT) AS metadata_only
+         |FROM t WHERE region <> 'eu'
+         |GROUP BY region ORDER BY region""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s45_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt45", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt45.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt45.db")
+      s.sql("CREATE TABLE gt45.db.pm (k BIGINT, p DOUBLE, region STRING) " +
+        "PARTITIONED BY (region)")
+      s.sql(s"INSERT INTO gt45.db.pm SELECT o_orderkey, o_totalprice, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'us' " +
+        "WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      val root = s"$wh/db/pm"
+      val vBefore = CommitLog.latestVersion(root)
+      val before = CommitLog.files(root, vBefore)
+      val allRows = s.sql("SELECT count(*) FROM gt45.db.pm").head().getLong(0)
+      s.sql("ALTER TABLE gt45.db.pm DROP PARTITION (region = 'eu')")
+      val v = CommitLog.latestVersion(root)
+      val dropped = before.toSet -- CommitLog.files(root, v).toSet
+      val oldStillServes =
+        s.sql(s"SELECT count(*) FROM gt45.db.pm VERSION AS OF $vBefore")
+          .head().getLong(0) == allRows
+      val metadataOnly =
+        if (v == vBefore + 1 && dropped.size == 1 && oldStillServes &&
+          new java.io.File(CommitLog.batchPath(root, dropped.head)).exists())
+          1 else 0
+      val livePartitions = s.sql("SHOW PARTITIONS gt45.db.pm")
+        .collect().map(_.getString(0)).sorted.mkString(",")
+      s.sql("SELECT region, p FROM gt45.db.pm")
+        .groupBy($"region")
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+        .select($"region", $"n", $"total",
+          lit(livePartitions).as("live_partitions"),
+          lit(metadataOnly).as("metadata_only"))
+        .orderBy("region")
+    },
+
+    // S46: ATOMIC CTAS / RTAS — the StagingTableCatalog protocol:
+    // CREATE TABLE AS SELECT stages the whole table (write and all)
+    // in a HIDDEN directory and publishes with ONE rename, so a failed
+    // CTAS leaves nothing (CommitLogCatalogOpsSpec pins the failure
+    // path); REPLACE TABLE AS SELECT adopts the staged batches into
+    // the target's OWN log as ONE serializable manifest — removed =
+    // every live batch, schema restated (the one verb besides RESTORE
+    // allowed to roll the DDL backward), the old definition's CHECK
+    // constraints tombstoned — so readers see the old table or the new
+    // one, never neither, and the old version stays time-travelable
+    // exactly like an OVERWRITE. The decl CTAS-loads the %2=0 half of
+    // orders, RTAS-replaces with the %2=1 half at doubled prices, and
+    // reads BOTH definitions back through SQL time travel with
+    // one_commit pinning the atomicity (exactly one version between
+    // the two reads) and the audited verb labels.
+    Decl(
+      "s46_atomic_rtas",
+      s"""WITH v2 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("o_totalprice")} AS total
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |v3 AS (
+         |  SELECT count(*) AS n, ${Qh.oSum2("o_totalprice * 2")} AS total
+         |  FROM orders WHERE o_orderkey % 2 = 1)
+         |SELECT CAST(2 AS BIGINT) AS version, 'CREATE' AS def, n, total,
+         |  CAST(1 AS INT) AS one_commit, 'REPLACE TABLE' AS op
+         |FROM v2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'REPLACE', n, total, 1, 'REPLACE TABLE'
+         |FROM v3
+         |ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s46_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt46", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt46.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt46.db")
+      val src = s"parquet.`$dir/orders.parquet`"
+      // v1 CREATE TABLE (staged, committed by one rename), v2 the data
+      s.sql(s"CREATE TABLE gt46.db.at AS SELECT o_orderkey AS k, " +
+        s"o_totalprice AS p FROM $src WHERE o_orderkey % 2 = 0")
+      val root = s"$wh/db/at"
+      val vOld = CommitLog.latestVersion(root)
+      // RTAS: one serializable commit swaps the definition
+      s.sql(s"REPLACE TABLE gt46.db.at AS SELECT o_orderkey AS k, " +
+        s"o_totalprice * 2 AS p FROM $src WHERE o_orderkey % 2 = 1")
+      val v = CommitLog.latestVersion(root)
+      val oneCommit = if (v == vOld + 1) 1 else 0
+      val op = CommitLog.history(root)
+        .find(_.version == v).flatMap(_.operation).orNull
+      def defAgg(atV: Int, label: String) =
+        s.sql(s"SELECT p FROM gt46.db.at VERSION AS OF $atV")
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+          .select(lit(atV.toLong).as("version"), lit(label).as("def"),
+            $"n", $"total", lit(oneCommit).as("one_commit"),
+            lit(op).as("op"))
+      defAgg(vOld, "CREATE").unionAll(defAgg(v, "REPLACE")).orderBy("version")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

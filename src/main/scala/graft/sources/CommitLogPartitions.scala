@@ -111,6 +111,23 @@ object CommitLogPartitions {
       filters: Seq[Filter], tuple: Tuple, schema: StructType): Boolean =
     !filters.exists(f => eval(f, tuple, schema).contains(false))
 
+  /** Decode one STORED partition value (the writer's unit system:
+    * timestamps micros, dates epoch days, decimals ≤ 18 unscaled) to
+    * its catalyst representation — the form partition keys, partition
+    * identifiers and metadata-aggregate group columns all carry. */
+  def catalystValue(s: String, dt: DataType): Any = dt match {
+    case LongType | TimestampType => Long.box(s.toLong)
+    case IntegerType | DateType => Int.box(s.toInt)
+    case DoubleType => Double.box(s.toDouble)
+    case FloatType => Float.box(s.toFloat)
+    case BooleanType => Boolean.box(s.toBoolean)
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case d: DecimalType if d.precision <= 18 =>
+      org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale)
+    case other => throw new IllegalArgumentException(
+      s"unsupported partition value type $other")
+  }
+
   /** Exact comparison of a stored partition value against a pushed
     * filter literal; None = not comparable (unknown literal type). */
   private def cmp(stored: String, lit: Any, dt: DataType): Option[Int] =

@@ -414,8 +414,136 @@ class CommitLogTable(
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   private val schema0 = tableSchema
+
+  // ---- PARTITION MANAGEMENT (SHOW PARTITIONS / ALTER TABLE …
+  //      DROP PARTITION / TRUNCATE TABLE … PARTITION) ----
+  //
+  // The read side is pure metadata: the distinct tuples of the live
+  // batches, straight from the manifests the snapshot replay already
+  // holds. The destructive side is the same METADATA-ONLY removal the
+  // dynamic partition overwrite runs — whole batches drop from the
+  // manifest, files stay readable behind time travel until vacuum.
+  // Partitions are BORN WITH DATA in this layout (a batch IS a
+  // partition's rows), so `ADD PARTITION` has nothing to create.
+
+  private def partColsNow: Seq[String] =
+    CommitLog.partColsOf(root, CommitLog.latestVersion(root))
+
+  override def partitionSchema(): StructType = {
+    val cols = partColsNow
+    StructType(cols.map(c => schema0.fields.find(_.name == c).getOrElse(
+      throw new IllegalStateException(
+        s"partition column '$c' missing from the schema of $root"))))
+  }
+
+  /** The distinct live partition tuples, optionally constrained on a
+    * subset of partition columns (`names` + the matching `ident`
+    * values — SHOW PARTITIONS' PARTITION(...) clause). */
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val cols = partColsNow
+    if (cols.isEmpty) return Array.empty
+    val ps = partitionSchema()
+    val v = CommitLog.latestVersion(root)
+    val parts = CommitLog.partsOf(root, v)
+    val live = CommitLog.files(root, v)
+      .filter(b => parts.get(b).exists(t => cols.forall(t.contains)))
+    val tuples = live.map { b =>
+      cols.map { c =>
+        CommitLog.partValue(parts(b)(c))
+          .map(CommitLogPartitions.catalystValue(_,
+            ps(ps.fieldIndex(c)).dataType)).orNull
+      }
+    }.distinct
+    val nameIdx = names.toSeq.map { n =>
+      val i = cols.indexOf(n)
+      require(i >= 0, s"'$n' is not a partition column of $root ($cols)")
+      i
+    }
+    tuples.filter { t =>
+      nameIdx.zipWithIndex.forall { case (ci, ii) =>
+        val want =
+          if (ident.isNullAt(ii)) null
+          else ident.get(ii, ps(ps.fieldIndex(names(ii))).dataType)
+        val have = t(ci)
+        (want == null && have == null) || (want != null && want == have)
+      }
+    }.map(t => new GenericInternalRow(t.toArray[Any]): InternalRow).toArray
+  }
+
+  /** Metadata-only partition drop: remove every live batch holding the
+    * tuple in ONE commit (plus any deletion-vector batches left fully
+    * covered). Old versions keep serving the partition — this is the
+    * lakehouse DROP PARTITION, not a file delete. */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val cols = partColsNow
+    require(cols.nonEmpty, s"$root is not partitioned")
+    val ps = partitionSchema()
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val v = CommitLog.latestVersion(root)
+      val parts = CommitLog.partsOf(root, v)
+      val (dvs, datas) = CommitLog.files(root, v)
+        .partition(_.startsWith(CommitLogMerge.DvPrefix))
+      val matching = datas.filter { b =>
+        parts.get(b).exists { t =>
+          cols.forall(t.contains) && cols.zipWithIndex.forall { case (c, i) =>
+            val have = CommitLog.partValue(t(c))
+              .map(CommitLogPartitions.catalystValue(_,
+                ps(ps.fieldIndex(c)).dataType)).orNull
+            val want =
+              if (ident.isNullAt(i)) null
+              else ident.get(i, ps(ps.fieldIndex(c)).dataType)
+            (want == null && have == null) || (want != null && want == have)
+          }
+        }
+      }
+      if (matching.isEmpty) return false
+      val spark = org.apache.spark.sql.SparkSession.active
+      val dirs = matching
+        .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
+      val coveredDvs = CommitLogMerge.coveredDvBatches(spark, root, dvs, dirs)
+      if (CommitLog.tryCommit(root, v + 1, added = Nil,
+          removed = matching ++ coveredDvs, op = Some("DROP PARTITION"))) {
+        if ((v + 1) % CommitLog.checkpointInterval == 0)
+          CommitLog.writeCheckpoint(root, v + 1)
+        return true
+      }
+    }
+    throw new IllegalStateException(
+      s"DROP PARTITION on $root gave up after 50 attempts (livelock?)")
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    if (!dropPartition(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    true
+  }
+
+  /** Partitions exist exactly when data does — there is no empty
+    * partition to register in a manifest-per-commit layout. */
+  override def createPartition(
+      ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "commitlog partitions are born with data: INSERT rows carrying " +
+        "the partition value instead of ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "commitlog partitions carry no metadata to replace")
+
+  override def loadPartitionMetadata(
+      ident: InternalRow): java.util.Map[String, String] =
+    new java.util.HashMap[String, String]()
 
   /** `_batch`: the commit-log batch directory a row came from — the
     * table's group identity. Selectable like any Spark metadata column
@@ -746,17 +874,9 @@ class CommitLogScanBuilder(
     def keyValue(c: String, tok: String): Option[Any] =
       CommitLog.partValue(tok) match {
         case None => Some(null)
-        case Some(s) => dtOf(c).flatMap {
-          case LongType | TimestampType => Some(Long.box(s.toLong))
-          case IntegerType | DateType => Some(Int.box(s.toInt))
-          case DoubleType => Some(Double.box(s.toDouble))
-          case FloatType => Some(Float.box(s.toFloat))
-          case BooleanType => Some(Boolean.box(s.toBoolean))
-          case StringType => Some(UTF8String.fromString(s))
-          case d: DecimalType if d.precision <= 18 =>
-            Some(org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale))
-          case _ => None
-        }
+        case Some(s) => dtOf(c).flatMap(dt =>
+          try Some(CommitLogPartitions.catalystValue(s, dt))
+          catch { case _: IllegalArgumentException => None })
       }
 
     val rows: Seq[Seq[Any]] = groups.map { case (keyToks, batches) =>
@@ -1085,6 +1205,10 @@ case class CommitLogScan(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtimeFilters = runtimeFilters ++ filters
 
+  /** Test-only view of the runtime filters in effect. */
+  private[graft] def runtimeFiltersNow: Seq[org.apache.spark.sql.sources.Filter] =
+    runtimeFilters
+
   // ---- storage-partitioned joins (SPJ) ----
 
   /** Whether this scan plans with partition keys: a partitioned table
@@ -1137,19 +1261,8 @@ case class CommitLogScan(
     val vals: Array[Any] = partCols.map { c =>
       CommitLog.partValue(tokens(c)) match {
         case None => null
-        case Some(s) =>
-          typeSchema.fields.find(_.name == c).map(_.dataType).get match {
-            case LongType | TimestampType => Long.box(s.toLong)
-            case IntegerType | DateType => Int.box(s.toInt)
-            case DoubleType => Double.box(s.toDouble)
-            case FloatType => Float.box(s.toFloat)
-            case BooleanType => Boolean.box(s.toBoolean)
-            case StringType => UTF8String.fromString(s)
-            case d: DecimalType if d.precision <= 18 =>
-              org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale)
-            case other => throw new IllegalArgumentException(
-              s"unsupported partition key type $other for column $c")
-          }
+        case Some(s) => CommitLogPartitions.catalystValue(s,
+          typeSchema.fields.find(_.name == c).map(_.dataType).get)
       }
     }.toArray
     new GenericInternalRow(vals)

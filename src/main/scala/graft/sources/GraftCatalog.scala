@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exactly as it does for path-addressed use. At 100 TB the catalog
   * costs what the log costs: table resolution is one `latestVersion`
   * listing, nothing table-sized. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -55,8 +56,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
 
   private def checkPart(p: String): String = {
-    require(p.nonEmpty && !p.contains('/') && p != ".." && p != "." &&
-        !p.startsWith("_"),
+    require(p.nonEmpty && !p.contains('/') && p != ".." &&
+        !p.startsWith("_") && !p.startsWith("."),
       s"invalid catalog identifier part '$p'")
     p
   }
@@ -95,7 +96,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!java.nio.file.Files.isDirectory(ns))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         namespace.toSeq)
-    listChildren(ns).filter(isTable)
+    listChildren(ns)
+      .filter(p => isTable(p) && !p.getFileName.toString.startsWith("."))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray.sortBy(_.name)
   }
@@ -143,10 +145,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * tuple, and plan-time pruning / dynamic partition overwrite run
     * from manifest metadata. Expression transforms (bucket, days, …)
     * are refused — cluster with OPTIMIZE ZORDER instead. */
-  override def createTable(
-      ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
+  private def identityPartCols(
+      schema: StructType, partitions: Array[Transform]): Seq[String] = {
     val partCols = partitions.toSeq.map { t =>
       require(t.name == "identity" && t.references.length == 1 &&
           t.references.head.fieldNames.length == 1,
@@ -156,6 +156,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' is not in the table schema"))
+    partCols
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val partCols = identityPartCols(schema, partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
@@ -166,6 +174,87 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       op = Some("CREATE TABLE"))
     new CommitLogTable(root, schema)
   }
+
+  // ---- ATOMIC CTAS / RTAS / REPLACE TABLE (StagingTableCatalog) ----
+  //
+  // Spark routes CREATE TABLE AS SELECT / REPLACE TABLE [AS SELECT]
+  // through the Atomic*Exec plans when the catalog stages: the write
+  // lands in a HIDDEN stage table first and nothing becomes visible
+  // until commitStagedChanges — a failed CTAS leaves no half-written
+  // table (the non-staged fallback drops a partially-created table on
+  // failure, a visibility window a concurrent reader can fall into).
+  //
+  //  - CTAS commit = ONE directory rename of the staged table into its
+  //    final name (create-if-absent: a racing CTAS of the same name
+  //    loses loudly).
+  //  - RTAS/REPLACE commit = adopt the staged batches into the TARGET
+  //    table's own log as ONE serializable manifest (removed = every
+  //    live batch, added = the staged data, schema restated, CHECK
+  //    constraints of the old definition tombstoned) — readers see the
+  //    old table or the new one, never neither, and the old versions
+  //    stay time-travelable exactly like an OVERWRITE. Repartitioning
+  //    and reuse of renamed/dropped column names are refused — both
+  //    would strand metadata the replay still carries.
+
+  private def stageDirOf(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq.map(checkPart)).mkString("/") +
+      s"/.stage-${checkPart(ident.name)}-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  private def stage(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], replace: Boolean): StagedTable = {
+    val partCols = identityPartCols(schema, partitions)
+    val target = dirOf(ident)
+    if (replace) {
+      val v = CommitLog.latestVersion(target)
+      val inForce = CommitLog.partColsOf(target, v)
+      require(inForce.isEmpty || inForce == partCols,
+        s"REPLACE TABLE cannot change partitioning of $target " +
+          s"(${inForce.mkString(",")} -> ${partCols.mkString(",")}): live " +
+          "versions' tuples key by the declared columns — create a new " +
+          "table instead")
+      val reserved = CommitLog.formerNamesOf(target, v).values.flatten.toSet ++
+        CommitLog.droppedOf(target, v)
+      val zombie = schema.fieldNames.filter(reserved.contains)
+      require(zombie.isEmpty,
+        s"REPLACE TABLE schema reuses renamed/dropped name(s) " +
+          s"${zombie.mkString(",")} of $target — old versions still " +
+          "resolve them through the column map; pick fresh names")
+    }
+    val stageRoot = stageDirOf(ident)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageRoot))
+    CommitLog.commit(stageRoot, 0, added = Nil,
+      schema = Some(schema.toDDL), partCols = partCols,
+      op = Some("CREATE TABLE"))
+    new StagedCommitLogTable(stageRoot, target, schema, replace,
+      onAbort = () => deleteTree(java.nio.file.Paths.get(stageRoot)))
+  }
+
+  override def stageCreate(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    stage(ident, schema, partitions, replace = false)
+  }
+
+  override def stageReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    stage(ident, schema, partitions, replace = true)
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, replace = tableExists(ident))
 
   /** ALTER TABLE: RENAME COLUMN / DROP COLUMN map onto the
     * column-mapping verbs; ADD COLUMN onto additive evolution. Each
@@ -294,4 +383,108 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     deleteTree(dir)
     true
   }
+}
+
+/** A staged commitlog table (see [[GraftCatalog]]'s staging section):
+  * a fully functional table over a HIDDEN stage directory — the CTAS/
+  * RTAS write lands here through the ordinary sink, stats/blooms/
+  * tuples/row counts and all — plus the two-sided publish contract.
+  *
+  *  - CREATE commit: one atomic directory rename into the final name
+  *    (create-if-absent — a racing CTAS of the same name fails loudly,
+  *    and its abort sweeps only its own stage).
+  *  - REPLACE commit: the staged batches are adopted into the TARGET
+  *    table's log as ONE serializable manifest — removed = every live
+  *    batch (deletion vectors included), added = the staged data with
+  *    its manifest facets carried verbatim, schema restated (the one
+  *    verb besides RESTORE allowed to roll the DDL backward), old
+  *    CHECK constraints tombstoned (REPLACE re-defines the table).
+  *    Old versions stay readable behind time travel until vacuum,
+  *    exactly like an OVERWRITE.
+  */
+class StagedCommitLogTable(
+    stageRoot: String, targetRoot: String, tableSchema: StructType,
+    replace: Boolean, onAbort: () => Unit)
+    extends CommitLogTable(stageRoot, tableSchema)
+    with StagedTable {
+  import java.nio.file.{Files, Paths}
+
+  override def commitStagedChanges(): Unit = {
+    if (!replace) {
+      val to = Paths.get(targetRoot)
+      Files.createDirectories(to.getParent)
+      try Files.move(Paths.get(stageRoot), to)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          onAbort()
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(
+              s"`$targetRoot` (CTAS target was created by a rival first)")
+      }
+      return
+    }
+    val sv = CommitLog.latestVersion(stageRoot)
+    val snap = CommitLog.snapshotAt(stageRoot, sv)
+    // adopt the staged batch directories under the target root —
+    // invisible there until the single manifest below lists them
+    // (fresh write-id names make collisions a hard error, not a race)
+    snap.files.foreach { b =>
+      require(!b.startsWith("@"), s"staged batches are local, got $b")
+      val from = Paths.get(CommitLog.batchPath(stageRoot, b))
+      val to = Paths.get(CommitLog.batchPath(targetRoot, b))
+      require(!Files.exists(to),
+        s"REPLACE TABLE batch name collision at $to")
+      if (Files.exists(from)) Files.move(from, to)
+    }
+    try {
+      var attempts = 0
+      while (attempts < 50) {
+        attempts += 1
+        // TRUNCATE's discipline: the removal list re-resolves per
+        // attempt, so a mid-race rival append falls INSIDE the replace
+        val v = CommitLog.latestVersion(targetRoot)
+        val live = CommitLog.files(targetRoot, v)
+        // the old definition's constraints die with it — a REPLACE
+        // that kept them would reject writes the new DDL permits
+        val tombstones = CommitLog.constraintsOf(targetRoot, v)
+          .map { case (n, _) => n -> CommitLog.ConstraintTombstone }
+        if (CommitLog.tryCommit(targetRoot, v + 1,
+            added = snap.files, removed = live,
+            schema = CommitLog.schemaOf(stageRoot, sv),
+            stats = snap.stats, blooms = snap.blooms, parts = snap.parts,
+            rows = snap.rows,
+            partCols = CommitLog.partColsOf(stageRoot, sv),
+            constraints = tombstones,
+            op = Some("REPLACE TABLE"))) {
+          if ((v + 1) % CommitLog.checkpointInterval == 0)
+            CommitLog.writeCheckpoint(targetRoot, v + 1)
+          // the stage dir now holds only the log of the adopted
+          // batches — drop it
+          onAbort()
+          return
+        }
+      }
+      throw new IllegalStateException(
+        s"REPLACE TABLE on $targetRoot gave up after 50 attempts (livelock?)")
+    } catch {
+      case e: Throwable =>
+        // un-adopt: staged data must not linger unlisted in the target
+        snap.files.foreach { b =>
+          val p = Paths.get(CommitLog.batchPath(targetRoot, b))
+          if (Files.exists(p)) {
+            val s = Files.walk(p)
+            val all = try {
+              import scala.jdk.CollectionConverters._
+              s.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.toList
+            } finally s.close()
+            all.foreach(Files.delete)
+          }
+        }
+        onAbort()
+        throw e
+    }
+  }
+
+  override def abortStagedChanges(): Unit = onAbort()
 }

@@ -220,6 +220,35 @@ class CommitLogMetadataSpec extends SparkSpec {
       "box-pruned runtime replan")
   }
 
+  test("join-driven DPP prunes the commitlog scan end-to-end") {
+    spark.sql("CREATE TABLE meta.db.dppf (id BIGINT, v DOUBLE, region STRING) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO meta.db.dppf SELECT id, CAST(id AS DOUBLE), " +
+      "CASE WHEN id % 3 = 0 THEN 'us' WHEN id % 3 = 1 THEN 'eu' ELSE 'ap' END " +
+      "FROM range(0, 9000)")
+    // the dim must be a real source scan with a selective predicate —
+    // Spark's PartitionPruning rule skips LocalRelations
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dppdim").toString
+    Seq(("eu", 1), ("xx", 2)).toDF("r", "grp")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("meta_dppdim")
+    val j = spark.sql(
+      "SELECT count(*) AS n FROM meta.db.dppf f JOIN meta_dppdim d " +
+        "ON f.region = d.r WHERE d.grp = 1")
+    // collect() drives THIS dataset's own QueryExecution — head() would
+    // execute a limited clone and leave these exec nodes untouched
+    assert(j.collect()(0).getLong(0) == 3000L)
+    val scans = flatten(j.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .filter(_.scan.isInstanceOf[CommitLogScan])
+    assert(scans.nonEmpty && scans.head.runtimeFilters.nonEmpty,
+      s"DPP filter must be planned:\n${j.queryExecution.executedPlan}")
+    val c = scans.head.scan.asInstanceOf[CommitLogScan]
+    assert(c.runtimeFiltersNow.nonEmpty, "runtime filter must reach the scan")
+    assert(c.planInputPartitions().length == 1,
+      "the eu batch alone survives the runtime replan")
+  }
+
   test("storage-partitioned join: co-partitioned tables join with zero shuffle") {
     spark.sql("CREATE TABLE meta.db.orders (oid BIGINT, amount DOUBLE, region STRING) " +
       "PARTITIONED BY (region)")

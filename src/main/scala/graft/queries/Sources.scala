@@ -2220,10 +2220,10 @@ object Sources {
          |  SELECT c_custkey AS ck, c_custkey % 8 AS m FROM customer),
          |o AS (
          |  SELECT o_orderkey AS k, o_totalprice AS p, o_orderkey % 8 AS m
-         |  FROM orders WHERE o_orderkey % 100 = 0)
+         |  FROM orders)
          |SELECT c.m, CAST(count(*) AS BIGINT) AS n, ${Qh.oSum2("o.p")} AS total,
          |  CAST(0 AS INT) AS shuffles, CAST(1 AS INT) AS smj
-         |FROM c JOIN o ON c.m = o.m
+         |FROM c JOIN o ON c.m = o.m AND c.ck = o.k
          |GROUP BY c.m ORDER BY c.m""".stripMargin) { (s, dir) =>
       import s.implicits._
       val wh = ioDir("s43_wh")
@@ -2237,6 +2237,12 @@ object Sources {
       s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s2.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // join keys are a SUPERSET of the partition keys (the selective
+      // real-world shape: equi-join on the row key, co-partitioned on
+      // its hash class) — KeyGroupedPartitioning(m) satisfies
+      // clustering on (m, k) only when Spark is not forced to demand
+      // all cluster keys for co-partitioning
+      s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
       s2.sql("CREATE NAMESPACE IF NOT EXISTS gt43.db")
       s2.sql("CREATE TABLE gt43.db.cust (ck BIGINT, m BIGINT) PARTITIONED BY (m)")
       s2.sql("CREATE TABLE gt43.db.ord (k BIGINT, p DOUBLE, m BIGINT) " +
@@ -2244,14 +2250,17 @@ object Sources {
       s2.sql(s"INSERT INTO gt43.db.cust SELECT c_custkey, c_custkey % 8 " +
         s"FROM parquet.`$dir/customer.parquet`")
       s2.sql(s"INSERT INTO gt43.db.ord SELECT o_orderkey, o_totalprice, " +
-        s"o_orderkey % 8 FROM parquet.`$dir/orders.parquet` " +
-        "WHERE o_orderkey % 100 = 0")
+        s"o_orderkey % 8 FROM parquet.`$dir/orders.parquet`")
       val j = s2.sql(
         "SELECT c.m AS m, count(*) AS n, " +
           "CAST(sum(CAST(o.p AS DECIMAL(18,2))) AS DOUBLE) AS total " +
-          "FROM gt43.db.cust c JOIN gt43.db.ord o ON c.m = o.m " +
+          "FROM gt43.db.cust c JOIN gt43.db.ord o " +
+          "ON c.m = o.m AND c.ck = o.k " +
           "GROUP BY c.m")
-      j.head() // finalize any adaptive stages before reading the shape
+      // collect() drives THIS dataset's own QueryExecution (head()
+      // would execute a limited clone and leave these exec nodes
+      // unexecuted), so the shape read below is the FINAL adaptive plan
+      j.collect()
       val all = Qh.flattenPlan(j.queryExecution.executedPlan)
       val shuffles = all.count(
         _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
@@ -2295,7 +2304,7 @@ object Sources {
       val dim = s.read.format("commitlog").option("path", root).load()
       val j = Qh.t(s, dir, "orders").join(dim, $"o_custkey" === $"ck")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
-      j.head() // finalize adaptive stages
+      j.collect() // drive THIS QueryExecution — the final adaptive plan
       val all = Qh.flattenPlan(j.queryExecution.executedPlan)
       val bhjs = all.collect {
         case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b

@@ -102,18 +102,16 @@ object CommitLog {
     val (start, baseFiles) =
       latestCheckpointAtOrBelow(root, v).getOrElse((0, Seq.empty[String]))
     var state = baseFiles
+    // one read of the checkpoint's bytes serves all four facet parses
+    val ckptTxt = if (start == 0) "" else textOf(ckptPath(root, start))
     var stats: Stats =
-      if (start == 0) Map.empty
-      else parseStats(listField(textOf(ckptPath(root, start)), "stats"))
+      if (start == 0) Map.empty else parseStats(listField(ckptTxt, "stats"))
     var blooms: Blooms =
-      if (start == 0) Map.empty
-      else parseBlooms(listField(textOf(ckptPath(root, start)), "bloom"))
+      if (start == 0) Map.empty else parseBlooms(listField(ckptTxt, "bloom"))
     var parts: Parts =
-      if (start == 0) Map.empty
-      else parseParts(listField(textOf(ckptPath(root, start)), "parts"))
+      if (start == 0) Map.empty else parseParts(listField(ckptTxt, "parts"))
     var rows: Rows =
-      if (start == 0) Map.empty
-      else parseRows(listField(textOf(ckptPath(root, start)), "rows"))
+      if (start == 0) Map.empty else parseRows(listField(ckptTxt, "rows"))
     ((start + 1) to v).foreach { i =>
       val txt = textOf(manifest(root, i))
       val add = parseList(extractField(txt, "add"))
@@ -1214,7 +1212,10 @@ object CommitLog {
     if (!Files.exists(ckptPath(root, v))) {
       val schemaField =
         schemaOf(root, v).map(s => s""","schema":"$s"""").getOrElse("")
-      val stats = statsOf(root, v)
+      // ONE replay yields files + all per-batch facets (a per-facet
+      // accessor here would multiply manifest I/O by facet count)
+      val snap = snapshotAt(root, v)
+      val stats = snap.stats
       val statsField =
         if (stats.isEmpty) ""
         else s""","stats":${renderList(renderStats(stats))}"""
@@ -1222,7 +1223,7 @@ object CommitLog {
       val txnField =
         if (txns.isEmpty) ""
         else s""","txn":${renderList(renderTxns(txns))}"""
-      val blooms = bloomsOf(root, v)
+      val blooms = snap.blooms
       val bloomField =
         if (blooms.isEmpty) ""
         else s""","bloom":${renderList(renderBlooms(blooms))}"""
@@ -1238,7 +1239,7 @@ object CommitLog {
       val droppedField =
         if (dr.isEmpty) ""
         else s""","dropped":${renderList(dr)}"""
-      val pt = partsOf(root, v)
+      val pt = snap.parts
       val partsField =
         if (pt.isEmpty) ""
         else s""","parts":${renderList(renderParts(pt))}"""
@@ -1246,12 +1247,12 @@ object CommitLog {
       val partColsField =
         if (pc.isEmpty) ""
         else s""","partcols":${renderList(pc)}"""
-      val rc = rowsOf(root, v)
+      val rc = snap.rows
       val rowsField =
         if (rc.isEmpty) ""
         else s""","rows":${renderList(renderRows(rc))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(files(root, v))}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField}""")
+        s"""{"files":${renderList(snap.files)}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField}""")
     }
   }
 

@@ -478,7 +478,12 @@ class CommitLogTable(
   /** Metadata-only partition drop: remove every live batch holding the
     * tuple in ONE commit (plus any deletion-vector batches left fully
     * covered). Old versions keep serving the partition — this is the
-    * lakehouse DROP PARTITION, not a file delete. */
+    * lakehouse DROP PARTITION, not a file delete. Refused while any
+    * live data batch lacks a tuple (engine rewrites drop them): such a
+    * batch may hold rows of the dropped partition, and a "successful"
+    * drop that leaves them live silently serves a partition SHOW
+    * PARTITIONS no longer lists. `optimizeRepartition` restores
+    * partition purity. */
   override def dropPartition(ident: InternalRow): Boolean = {
     val cols = partColsNow
     require(cols.nonEmpty, s"$root is not partitioned")
@@ -490,6 +495,16 @@ class CommitLogTable(
       val parts = CommitLog.partsOf(root, v)
       val (dvs, datas) = CommitLog.files(root, v)
         .partition(_.startsWith(CommitLogMerge.DvPrefix))
+      val untupled = datas
+        .filterNot(b => parts.get(b).exists(t => cols.forall(t.contains)))
+        .filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
+      if (untupled.nonEmpty)
+        throw new IllegalStateException(
+          s"DROP PARTITION on $root needs every live batch to carry a " +
+            s"partition tuple; missing for ${untupled.mkString(",")} " +
+            "(engine rewrites drop tuples — their rows may belong to the " +
+            "dropped partition) — run CommitLogOptimize.optimizeRepartition " +
+            "first")
       val matching = datas.filter { b =>
         parts.get(b).exists { t =>
           cols.forall(t.contains) && cols.zipWithIndex.forall { case (c, i) =>
@@ -1269,8 +1284,11 @@ case class CommitLogScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    CommitLogReaderFactory(schema, CommitLog.formerNamesOf(
-      root, versionAsOf.getOrElse(CommitLog.latestVersion(root))))
+    // the memoized column map: readers must resolve against the SAME
+    // snapshot the partitions were planned from (a rename committing
+    // between planning and execution must not skew resolution), and
+    // the replay is already paid
+    CommitLogReaderFactory(schema, fm)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

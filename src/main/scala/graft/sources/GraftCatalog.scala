@@ -208,11 +208,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (replace) {
       val v = CommitLog.latestVersion(target)
       val inForce = CommitLog.partColsOf(target, v)
-      require(inForce.isEmpty || inForce == partCols,
+      // EXACT match required, both ways: partCols replay keeps the last
+      // non-empty declaration, so an unpartitioned→partitioned REPLACE
+      // could never be RESTOREd back (the schema would roll back but
+      // the partitioning would not — the table wedges)
+      require(inForce == partCols,
         s"REPLACE TABLE cannot change partitioning of $target " +
-          s"(${inForce.mkString(",")} -> ${partCols.mkString(",")}): live " +
-          "versions' tuples key by the declared columns — create a new " +
-          "table instead")
+          s"((${inForce.mkString(",")}) -> (${partCols.mkString(",")})): " +
+          "partitioning is immutable for the table's lifetime — create a " +
+          "new table instead")
       val reserved = CommitLog.formerNamesOf(target, v).values.flatten.toSet ++
         CommitLog.droppedOf(target, v)
       val zombie = schema.fieldNames.filter(reserved.contains)
@@ -425,18 +429,21 @@ class StagedCommitLogTable(
     }
     val sv = CommitLog.latestVersion(stageRoot)
     val snap = CommitLog.snapshotAt(stageRoot, sv)
-    // adopt the staged batch directories under the target root —
-    // invisible there until the single manifest below lists them
-    // (fresh write-id names make collisions a hard error, not a race)
-    snap.files.foreach { b =>
-      require(!b.startsWith("@"), s"staged batches are local, got $b")
-      val from = Paths.get(CommitLog.batchPath(stageRoot, b))
-      val to = Paths.get(CommitLog.batchPath(targetRoot, b))
-      require(!Files.exists(to),
-        s"REPLACE TABLE batch name collision at $to")
-      if (Files.exists(from)) Files.move(from, to)
-    }
     try {
+      // adopt the staged batch directories under the target root —
+      // invisible there until the single manifest below lists them
+      // (fresh write-id names make collisions a hard error, not a
+      // race). Inside the try: a mid-loop failure must run the
+      // un-adopt below, or already-moved dirs linger as unlisted
+      // debris under the target
+      snap.files.foreach { b =>
+        require(!b.startsWith("@"), s"staged batches are local, got $b")
+        val from = Paths.get(CommitLog.batchPath(stageRoot, b))
+        val to = Paths.get(CommitLog.batchPath(targetRoot, b))
+        require(!Files.exists(to),
+          s"REPLACE TABLE batch name collision at $to")
+        if (Files.exists(from)) Files.move(from, to)
+      }
       var attempts = 0
       while (attempts < 50) {
         attempts += 1

@@ -134,6 +134,34 @@ class CommitLogCatalogOpsSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM cat.db.cor").head().getLong(0) == 9L)
   }
 
+  test("DROP PARTITION refuses while untupled batches may hold the partition's rows") {
+    val root = mkPartitioned("dpu")
+    // delta-mode DML writes postimage batches with NO partition tuple —
+    // their rows can belong to any partition
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.cat2", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.cat2.warehouse", wh)
+    s2.conf.set("spark.graft.rowLevel.mode", "delta")
+    s2.sql("UPDATE cat2.db.dpu SET id = id + 1000 WHERE region = 'eu' AND id < 10")
+    val e = intercept[IllegalStateException] {
+      spark.sql("ALTER TABLE cat.db.dpu DROP PARTITION (region = 'eu')")
+    }
+    assert(e.getMessage.contains("tuple") ||
+      Option(e.getCause).exists(_.getMessage.contains("tuple")), e.getMessage)
+    // the partition's rows are all still served
+    assert(spark.sql("SELECT count(*) FROM cat.db.dpu WHERE region = 'eu'")
+      .head().getLong(0) == 30L)
+  }
+
+  test("REPLACE cannot ADD partitioning either — restore could never undo it") {
+    spark.sql("CREATE TABLE cat.db.np AS SELECT id FROM range(0, 10)")
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE cat.db.np PARTITIONED BY (region) AS " +
+        "SELECT id, 'us' AS region FROM range(0, 10)")
+    }
+    assert(e.getMessage.contains("partitioning"), e.getMessage)
+  }
+
   test("REPLACE refuses repartitioning and renamed/dropped name reuse") {
     spark.sql("CREATE TABLE cat.db.guard (id BIGINT, region STRING) " +
       "PARTITIONED BY (region)")

@@ -31,19 +31,9 @@ class CommitLogMetadataSpec extends SparkSpec {
   private def scanOf(df: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] =
     df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
 
-  /** Flatten an (executed) plan through AQE wrappers and query stages —
-    * plain `collect` treats both as leaves. */
   private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    val kids = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.queries.Qh.flattenPlan(p)
 
   test("the sink commits exact per-batch row counts, through checkpoints and vacuum") {
     val root = tmp()

@@ -2449,6 +2449,61 @@ object Sources {
       defAgg(vOld, "CREATE").unionAll(defAgg(v, "REPLACE")).orderBy("version")
     },
 
+    // S47: COLUMN DEFAULT VALUES — `CREATE TABLE … (c T DEFAULT
+    // <expr>)` through the catalog (TableCatalogCapability
+    // .SUPPORT_COLUMN_DEFAULT_VALUE): Spark's analyzer fills omitted
+    // INSERT columns and the DEFAULT keyword from the table's
+    // CURRENT_DEFAULT metadata; the engine persists the expressions as
+    // their OWN manifest facet (CommitLog.defaultsOf — the stored DDL
+    // stays bare, because StructType.toDDL renders `DEFAULT` clauses
+    // fromDDL cannot parse, and one leaked clause would brick every
+    // later read of the table) and re-attaches them on loadTable.
+    // Defaults migrate with RENAME COLUMN, die with DROP COLUMN and
+    // REPLACE TABLE, and are REFUSED on ADD COLUMN (evolved columns
+    // null-fill old files; accepting a default would silently change
+    // what existing rows read as — Delta's exists-default semantics
+    // are a different contract). The decl creates a two-default
+    // table, runs the three INSERT shapes (omitted columns, partial
+    // list, explicit DEFAULT keyword), and oracle-checks the filled
+    // values relationally. CommitLogDefaultSpec pins checkpoint/
+    // vacuum survival, rename migration, drop retirement, the ADD
+    // COLUMN refusal and the REPLACE swap.
+    Decl(
+      "s47_column_defaults",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, 'new' AS status, CAST(3 AS BIGINT) AS prio
+         |  FROM orders WHERE o_orderkey % 4 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderstatus, 3 FROM orders
+         |  WHERE o_orderkey % 4 = 1
+         |  UNION ALL
+         |  SELECT o_orderkey, 'new', 7 FROM orders WHERE o_orderkey % 4 = 2)
+         |SELECT status, prio, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(k) AS BIGINT) AS sum_k
+         |FROM t GROUP BY status, prio
+         |ORDER BY status, prio""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s47_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt47", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt47.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt47.db")
+      s.sql("CREATE TABLE gt47.db.d (k BIGINT, status STRING DEFAULT 'new', " +
+        "prio BIGINT DEFAULT 3)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      // omitted columns → both defaults fill
+      s.sql(s"INSERT INTO gt47.db.d (k) SELECT o_orderkey FROM $src " +
+        "WHERE o_orderkey % 4 = 0")
+      // partial column list → the other default fills
+      s.sql(s"INSERT INTO gt47.db.d (k, status) SELECT o_orderkey, " +
+        s"o_orderstatus FROM $src WHERE o_orderkey % 4 = 1")
+      // explicit DEFAULT keyword beside a real value
+      s.sql(s"INSERT INTO gt47.db.d SELECT o_orderkey, DEFAULT, 7 " +
+        s"FROM $src WHERE o_orderkey % 4 = 2")
+      s.sql("SELECT status, prio, count(*) AS n, sum(k) AS sum_k " +
+        "FROM gt47.db.d GROUP BY status, prio ORDER BY status, prio")
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

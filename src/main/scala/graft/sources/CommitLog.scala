@@ -401,12 +401,14 @@ object CommitLog {
       droppedCols: Seq[String] = Nil,
       parts: Parts = Map.empty,
       partCols: Seq[String] = Nil,
-      rows: Rows = Map.empty): Boolean = {
+      rows: Rows = Map.empty,
+      defaults: Map[String, Option[(String, String)]] = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
     requireValidParts(parts, added)
     requireValidRows(rows, added)
+    requireValidDefaults(defaults)
     partCols.foreach(c => require(
       c.nonEmpty && !c.exists(",\"[]\\|".contains(_)),
       s"partition column name '$c' must be non-empty and grammar-safe"))
@@ -458,8 +460,11 @@ object CommitLog {
     val rowsField =
       if (rows.isEmpty) ""
       else s""","rows":${renderList(renderRows(rows))}"""
+    val defaultsField =
+      if (defaults.isEmpty) ""
+      else s""","default":${renderList(renderDefaults(defaults))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -783,6 +788,79 @@ object CommitLog {
   /** The CHECK constraints in force at `v` — accumulated add-only over
     * the prefix (like txn watermarks: never dropped by data removals),
     * checkpoint-snapshotted so they survive vacuum. */
+  // ---- COLUMN DEFAULTS-IN-MANIFEST ----
+  //
+  // SQL `CREATE TABLE … (c INT DEFAULT <expr>)`: Spark's analyzer
+  // fills omitted INSERT columns from the CURRENT_DEFAULT metadata of
+  // the table's schema, so the ENGINE's only job is to persist the
+  // default expressions and hand them back on loadTable. They CANNOT
+  // ride the DDL string (StructType.toDDL emits `DEFAULT <expr>`
+  // clauses that fromDDL cannot parse — a stored DDL with one would
+  // brick every later read), so they are their own manifest facet,
+  // versioned exactly like CHECK constraints: entries accumulate,
+  // tombstones retract (DROP COLUMN, REPLACE TABLE), checkpoints
+  // snapshot the set in force. Values are (current, exists) SQL-text
+  // pairs, base64 in the flat grammar — CURRENT_DEFAULT is what new
+  // INSERTs evaluate, EXISTS_DEFAULT the frozen fold Spark computed at
+  // declaration.
+
+  /** col -> (CURRENT_DEFAULT sql, EXISTS_DEFAULT sql), in force. */
+  type Defaults = Map[String, (String, String)]
+
+  private[graft] val DefaultTombstone = "-"
+
+  private def requireValidDefaults(
+      ds: Map[String, Option[(String, String)]]): Unit =
+    ds.foreach { case (c, v) =>
+      require(c.nonEmpty && !c.exists(",\"[]\\|".contains(_)),
+        s"default column name '$c' must be non-empty and grammar-safe")
+      v.foreach { case (cur, ex) =>
+        require(cur.nonEmpty && ex.nonEmpty,
+          s"default for '$c' needs non-empty expressions")
+      }
+    }
+
+  private def renderDefaults(
+      ds: Map[String, Option[(String, String)]]): Seq[String] =
+    ds.toSeq.sortBy(_._1).map {
+      case (c, None) => s"$c|$DefaultTombstone"
+      case (c, Some((cur, ex))) => s"$c|${b64e(cur)}|${b64e(ex)}"
+    }
+
+  private def foldDefaults(state: Defaults, entries: Seq[String]): Defaults =
+    entries.foldLeft(state) { (s, entry) =>
+      entry.split('|') match {
+        case Array(c, DefaultTombstone) => s - c
+        case Array(c, cur, ex) => s + (c -> (b64d(cur), b64d(ex)))
+        case _ => s
+      }
+    }
+
+  /** The column defaults in force at `v`. */
+  def defaultsOf(root: String, v: Int): Defaults = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) =>
+        (cv, foldDefaults(Map.empty,
+          listField(textOf(ckptPath(root, cv)), "default")))
+      case None => (0, Map.empty: Defaults)
+    }
+    ((start + 1) to v).foldLeft(base) { (state, i) =>
+      foldDefaults(state, listField(textOf(manifest(root, i)), "default"))
+    }
+  }
+
+  /** Schema scrubbed to what the log's flat DDL grammar stores —
+    * names, types, nullability. Field METADATA must never reach toDDL:
+    * a CURRENT_DEFAULT marker renders as a `DEFAULT <expr>` clause
+    * that fromDDL cannot parse, bricking every later read. Every
+    * commit site that receives a LIVE schema (catalog DDL, write
+    * builders) goes through here. */
+  def bareDdl(schema: org.apache.spark.sql.types.StructType): String =
+    org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
+      .toDDL
+
   // ---- COLUMN MAPPING: rename without rewrite ----
 
   /** Logical column name → its FORMER names, newest first (Delta's
@@ -873,8 +951,15 @@ object CommitLog {
       if (f.name == oldName) f.copy(name = newName) else f)).toDDL
     val chain = oldName +: cur.getOrElse(oldName, Seq.empty)
     val next = (cur - oldName) + (newName -> chain)
+    // a column DEFAULT migrates with its column (default expressions
+    // are constant — they reference no names)
+    val movedDefault: Map[String, Option[(String, String)]] =
+      defaultsOf(root, v).get(oldName) match {
+        case Some(p) => Map(oldName -> None, newName -> Some(p))
+        case None => Map.empty
+      }
     commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
-      op = Some("RENAME COLUMN"), colMap = next)
+      op = Some("RENAME COLUMN"), colMap = next, defaults = movedDefault)
   }
 
   /** Names RESERVED forever by DROP COLUMN at `v`: the dropped logical
@@ -931,8 +1016,12 @@ object CommitLog {
     // longer in the schema, so nothing ever projects through it again
     val reserve = (droppedOf(root, v) ++ (name +:
       formerNamesOf(root, v).getOrElse(name, Seq.empty))).distinct
+    // the dropped column's DEFAULT dies with it
+    val dropDefault: Map[String, Option[(String, String)]] =
+      if (defaultsOf(root, v).contains(name)) Map(name -> None) else Map.empty
     commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
-      op = Some("DROP COLUMN"), schemaDrop = true, droppedCols = reserve)
+      op = Some("DROP COLUMN"), schemaDrop = true, droppedCols = reserve,
+      defaults = dropDefault)
   }
 
   /** A commit restating the column map may change the DDL exactly by
@@ -1251,8 +1340,13 @@ object CommitLog {
       val rowsField =
         if (rc.isEmpty) ""
         else s""","rows":${renderList(renderRows(rc))}"""
+      val dfs = defaultsOf(root, v)
+      val defaultsField =
+        if (dfs.isEmpty) ""
+        else s""","default":${renderList(renderDefaults(
+          dfs.map { case (c, p) => c -> Some(p) }))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(snap.files)}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField}""")
+        s"""{"files":${renderList(snap.files)}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField}""")
     }
   }
 
@@ -1420,7 +1514,8 @@ object CommitLog {
       droppedCols: Seq[String] = Nil,
       parts: Parts = Map.empty,
       partCols: Seq[String] = Nil,
-      rows: Rows = Map.empty): Commit = {
+      rows: Rows = Map.empty,
+      defaults: Map[String, Option[(String, String)]] = Map.empty): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1516,7 +1611,7 @@ object CommitLog {
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
           dataChange, op, blooms, constraints, colMap, droppedCols,
-          parts, partCols, rows)) {
+          parts, partCols, rows, defaults)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -300,7 +300,7 @@ class CommitLogReplaceWrite(
     val removed = scanned ++ coveredDvs
     if (!CommitLog.tryCommit(root, readVersion + 1,
         added = added, removed = removed,
-        schema = Some(schema.toDDL), stats = stats, op = Some(verb),
+        schema = Some(CommitLog.bareDdl(schema)), stats = stats, op = Some(verb),
         parts = tupleParts, partCols = partCols)) {
       added.foreach { b =>
         val p = new Path(rootP, b)

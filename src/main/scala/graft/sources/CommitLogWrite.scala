@@ -228,7 +228,7 @@ object CommitLogWrite {
   private[sources] def requireAppendableSchema(
       root: String, v: Int, schema: StructType): Unit =
     CommitLog.schemaOf(root, v).foreach { cur =>
-      if (cur != schema.toDDL) {
+      if (cur != CommitLog.bareDdl(schema)) {
         StructType.fromDDL(cur).fields.foreach { f =>
           val kept = schema.fields.find(_.name == f.name)
           require(kept.exists(_.dataType == f.dataType),
@@ -365,7 +365,7 @@ object CommitLogWrite {
       // version and advances the txn watermark (dense versions; a
       // restart must not replay the epoch forever)
       CommitLog.commit(root, latest, added = grouped.map(_.batch),
-        schema = Some(schema.toDDL), stats = stats, txn = txn,
+        schema = Some(CommitLog.bareDdl(schema)), stats = stats, txn = txn,
         op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
         blooms = blooms, parts = parts, partCols = partCols,
         rows = rowCounts)
@@ -478,7 +478,7 @@ object CommitLogWrite {
     val blooms = mergedBlooms(msgs, batchName)
     try {
       CommitLog.commit(root, latest, added = Seq(batchName),
-        schema = Some(schema.toDDL), stats = stats, txn = txn,
+        schema = Some(CommitLog.bareDdl(schema)), stats = stats, txn = txn,
         op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
         blooms = blooms,
         rows = Map(batchName -> msgs.map(_.rows).sum))
@@ -959,7 +959,7 @@ class CommitLogOverwriteWrite(
       CommitLogWrite.requireAppendableSchema(root, v, schema)
       val live = CommitLog.files(root, v)
       if (CommitLog.tryCommit(root, v + 1, added = add.batches,
-          removed = live, schema = Some(schema.toDDL), stats = add.stats,
+          removed = live, schema = Some(CommitLog.bareDdl(schema)), stats = add.stats,
           blooms = add.blooms, parts = add.parts, partCols = partCols,
           rows = add.rows, op = Some("OVERWRITE"))) {
         if ((v + 1) % CommitLog.checkpointInterval == 0)
@@ -1005,7 +1005,7 @@ class CommitLogOverwriteWrite(
       val coveredDvs =
         CommitLogMerge.coveredDvBatches(spark, root, dvs, replacedDirs)
       if (CommitLog.tryCommit(root, v + 1, added = add.batches,
-          removed = replaced ++ coveredDvs, schema = Some(schema.toDDL),
+          removed = replaced ++ coveredDvs, schema = Some(CommitLog.bareDdl(schema)),
           stats = add.stats, blooms = add.blooms, parts = add.parts,
           partCols = partCols, rows = add.rows,
           op = Some("OVERWRITE PARTITIONS"))) {
@@ -1103,7 +1103,7 @@ class CommitLogOverwriteWrite(
       CommitLogMerge.coveredDvBatches(spark, root, dvs, removedDirs)
     if (!CommitLog.tryCommit(root, readV + 1, added,
         removedData ++ coveredDvs,
-        schema = Some(schema.toDDL), stats = add.stats, blooms = add.blooms,
+        schema = Some(CommitLog.bareDdl(schema)), stats = add.stats, blooms = add.blooms,
         parts = add.parts, partCols = partCols,
         // the survivor-rewrite batch (if any) carries no count: its
         // cardinality was never driver-known and counting it would be

@@ -55,6 +55,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** SQL column DEFAULTs are supported: `CREATE TABLE … (c INT
+    * DEFAULT <expr>)` — the analyzer fills omitted INSERT columns, the
+    * log persists the expressions as their own facet (see
+    * [[CommitLog.defaultsOf]]; they cannot ride the DDL string). */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Split a CREATE schema into its bare shape and the default-value
+    * expressions Spark encoded as field metadata. */
+  private def extractDefaults(schema: StructType)
+      : Map[String, Option[(String, String)]] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.name -> Some((
+          f.metadata.getString("CURRENT_DEFAULT"),
+          if (f.metadata.contains("EXISTS_DEFAULT"))
+            f.metadata.getString("EXISTS_DEFAULT")
+          else f.metadata.getString("CURRENT_DEFAULT"))))
+      else None
+    }.toMap
+
+  /** Re-attach the in-force default expressions to a loaded table's
+    * schema — the metadata the analyzer reads to fill omitted INSERT
+    * columns. */
+  private def withDefaults(root: String, v: Int, schema: StructType)
+      : StructType = {
+    val dfs = CommitLog.defaultsOf(root, v)
+    if (dfs.isEmpty) return schema
+    StructType(schema.fields.map { f =>
+      dfs.get(f.name) match {
+        case Some((cur, ex)) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", cur)
+            .putString("EXISTS_DEFAULT", ex).build())
+        case None => f
+      }
+    })
+  }
+
   private def checkPart(p: String): String = {
     require(p.nonEmpty && !p.contains('/') && p != ".." &&
         !p.startsWith("_") && !p.startsWith("."),
@@ -113,7 +153,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
-    new CommitLogTable(root, CommitLogSource.tableSchema(root))
+    val v = CommitLog.latestVersion(root)
+    new CommitLogTable(root,
+      withDefaults(root, v, CommitLogSource.tableSchema(root, v)))
   }
 
   /** `VERSION AS OF <v>` — plan with the schema AND column map in
@@ -124,7 +166,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
     val v = version.toInt
-    new CommitLogTable(root, CommitLogSource.tableSchema(root, v),
+    new CommitLogTable(root,
+      withDefaults(root, v, CommitLogSource.tableSchema(root, v)),
       Map("versionAsOf" -> version))
   }
 
@@ -135,7 +178,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
     val v = CommitLog.versionAt(root, timestamp / 1000L)
-    new CommitLogTable(root, CommitLogSource.tableSchema(root, v),
+    new CommitLogTable(root,
+      withDefaults(root, v, CommitLogSource.tableSchema(root, v)),
       Map("versionAsOf" -> v.toString))
   }
 
@@ -170,7 +214,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = dirOf(ident)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
     CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
-      schema = Some(schema.toDDL), partCols = partCols,
+      schema = Some(CommitLog.bareDdl(schema)), partCols = partCols,
+      defaults = extractDefaults(schema),
       op = Some("CREATE TABLE"))
     new CommitLogTable(root, schema)
   }
@@ -228,7 +273,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val stageRoot = stageDirOf(ident)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stageRoot))
     CommitLog.commit(stageRoot, 0, added = Nil,
-      schema = Some(schema.toDDL), partCols = partCols,
+      schema = Some(CommitLog.bareDdl(schema)), partCols = partCols,
+      defaults = extractDefaults(schema),
       op = Some("CREATE TABLE"))
     new StagedCommitLogTable(stageRoot, target, schema, replace,
       onAbort = () => deleteTree(java.nio.file.Paths.get(stageRoot)))
@@ -291,6 +337,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "commitlog columns are top-level — nested adds unsupported")
         require(c.isNullable,
           "evolved columns null-fill old files — ADD COLUMN must be nullable")
+        // an ADD COLUMN default would need EXISTS_DEFAULT read
+        // semantics (old files' rows answering the default instead of
+        // NULL) — the reader null-fills, so accepting it would
+        // silently change what existing rows read as
+        require(c.defaultValue() == null,
+          "ADD COLUMN … DEFAULT is unsupported on commitlog tables: " +
+            "evolved columns null-fill pre-evolution files — add the " +
+            "column, then backfill with UPDATE")
         val v = CommitLog.latestVersion(root)
         val cur = CommitLog.schemaOf(root, v).getOrElse(
           throw new IllegalStateException(s"$root has no declared schema"))
@@ -451,10 +505,17 @@ class StagedCommitLogTable(
         // attempt, so a mid-race rival append falls INSIDE the replace
         val v = CommitLog.latestVersion(targetRoot)
         val live = CommitLog.files(targetRoot, v)
-        // the old definition's constraints die with it — a REPLACE
-        // that kept them would reject writes the new DDL permits
+        // the old definition's constraints and column defaults die
+        // with it — a REPLACE that kept them would reject writes the
+        // new DDL permits / fill columns the new DDL never declared
         val tombstones = CommitLog.constraintsOf(targetRoot, v)
           .map { case (n, _) => n -> CommitLog.ConstraintTombstone }
+        val newDefaults = CommitLog.defaultsOf(stageRoot, sv)
+        val defaultSwap: Map[String, Option[(String, String)]] =
+          CommitLog.defaultsOf(targetRoot, v).keys
+            .filterNot(newDefaults.contains)
+            .map(_ -> (None: Option[(String, String)])).toMap ++
+            newDefaults.map { case (c, p) => c -> Some(p) }
         if (CommitLog.tryCommit(targetRoot, v + 1,
             added = snap.files, removed = live,
             schema = CommitLog.schemaOf(stageRoot, sv),
@@ -462,6 +523,7 @@ class StagedCommitLogTable(
             rows = snap.rows,
             partCols = CommitLog.partColsOf(stageRoot, sv),
             constraints = tombstones,
+            defaults = defaultSwap,
             op = Some("REPLACE TABLE"))) {
           if ((v + 1) % CommitLog.checkpointInterval == 0)
             CommitLog.writeCheckpoint(targetRoot, v + 1)

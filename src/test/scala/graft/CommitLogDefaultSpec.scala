@@ -1,0 +1,80 @@
+package graft
+
+import graft.sources.CommitLog
+
+/** SQL column DEFAULT values on commitlog tables: declared at CREATE,
+  * persisted as their own manifest facet (the stored DDL stays bare —
+  * toDDL's DEFAULT clause would brick fromDDL), re-attached on
+  * loadTable so Spark's analyzer fills omitted INSERT columns. */
+class CommitLogDefaultSpec extends SparkSpec {
+
+  private val wh = java.nio.file.Files.createTempDirectory("graft_def").toString
+  spark.conf.set("spark.sql.catalog.dft", "graft.sources.GraftCatalog")
+  spark.conf.set("spark.sql.catalog.dft.warehouse", wh)
+  spark.sql("CREATE NAMESPACE IF NOT EXISTS dft.db")
+
+  test("INSERT fills omitted and DEFAULT-keyword columns from the declared default") {
+    spark.sql("CREATE TABLE dft.db.t (k BIGINT, status STRING DEFAULT 'new', " +
+      "prio INT DEFAULT 3)")
+    spark.sql("INSERT INTO dft.db.t (k) VALUES (1)")
+    spark.sql("INSERT INTO dft.db.t (k, status) VALUES (2, 'done')")
+    spark.sql("INSERT INTO dft.db.t VALUES (3, DEFAULT, DEFAULT)")
+    val rows = spark.sql("SELECT k, status, prio FROM dft.db.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq((1L, "new", 3), (2L, "done", 3), (3L, "new", 3)),
+      rows.mkString(","))
+    // the stored DDL stays parseable: the facet carries the defaults
+    val root = s"$wh/db/t"
+    val v = CommitLog.latestVersion(root)
+    assert(!CommitLog.schemaOf(root, v).get.contains("DEFAULT"),
+      "defaults must not leak into the stored DDL")
+    assert(CommitLog.defaultsOf(root, v).keySet == Set("status", "prio"))
+  }
+
+  test("defaults survive checkpoints and vacuum") {
+    spark.sql("CREATE TABLE dft.db.ck (k BIGINT, tag STRING DEFAULT 'x')")
+    (1 to 9).foreach(i =>
+      spark.sql(s"INSERT INTO dft.db.ck (k) VALUES ($i)"))
+    val root = s"$wh/db/ck"
+    CommitLog.vacuum(root, keepLast = 2, minAgeMs = 0L)
+    spark.sql("INSERT INTO dft.db.ck (k) VALUES (100)")
+    assert(spark.sql("SELECT count(*) FROM dft.db.ck WHERE tag = 'x'")
+      .head().getLong(0) == 10L)
+  }
+
+  test("RENAME migrates the default; DROP COLUMN retires it") {
+    spark.sql("CREATE TABLE dft.db.mv (k BIGINT, a STRING DEFAULT 'va', " +
+      "b STRING DEFAULT 'vb')")
+    spark.sql("ALTER TABLE dft.db.mv RENAME COLUMN a TO a2")
+    spark.sql("INSERT INTO dft.db.mv (k) VALUES (1)")
+    val r = spark.sql("SELECT a2, b FROM dft.db.mv").head()
+    assert(r.getString(0) == "va" && r.getString(1) == "vb")
+    spark.sql("ALTER TABLE dft.db.mv DROP COLUMN b")
+    val root = s"$wh/db/mv"
+    val dfs = CommitLog.defaultsOf(root, CommitLog.latestVersion(root))
+    assert(dfs.keySet == Set("a2"), dfs.toString)
+  }
+
+  test("ADD COLUMN with a DEFAULT is refused (null-fill semantics)") {
+    spark.sql("CREATE TABLE dft.db.ac (k BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE dft.db.ac ADD COLUMN extra STRING DEFAULT 'zz'")
+    }
+    assert(e.getMessage.contains("DEFAULT"), e.getMessage)
+    spark.sql("ALTER TABLE dft.db.ac ADD COLUMN plain STRING")
+    assert(spark.sql("SELECT * FROM dft.db.ac").columns.toSeq == Seq("k", "plain"))
+  }
+
+  test("REPLACE TABLE swaps the default set with the new definition's") {
+    spark.sql("CREATE TABLE dft.db.rp (k BIGINT, s STRING DEFAULT 'old')")
+    spark.sql("INSERT INTO dft.db.rp (k) VALUES (1)")
+    spark.sql("REPLACE TABLE dft.db.rp (k BIGINT, t STRING DEFAULT 'new') ")
+    spark.sql("INSERT INTO dft.db.rp (k) VALUES (2)")
+    val r = spark.sql("SELECT k, t FROM dft.db.rp").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((2L, "new")), r.mkString(","))
+    val root = s"$wh/db/rp"
+    assert(CommitLog.defaultsOf(root, CommitLog.latestVersion(root))
+      .keySet == Set("t"))
+  }
+}

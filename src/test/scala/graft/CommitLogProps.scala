@@ -153,7 +153,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
   private sealed trait Op2
   private case class Append2(
       n: Int, withStats: Boolean, withBloom: Boolean,
-      txnEpoch: Option[Long]) extends Op2
+      withRows: Boolean, txnEpoch: Option[Long]) extends Op2
   private case class Rewrite2(k: Int, layoutOnly: Boolean) extends Op2
   private case class Vacuum2(keep: Int) extends Op2
 
@@ -162,12 +162,13 @@ object CommitLogProps extends Properties("graft.commitlog") {
       n <- Gen.choose(1, 3)
       st <- Gen.oneOf(true, false)
       bl <- Gen.oneOf(true, false)
+      rw <- Gen.oneOf(true, false)
       tx <- Gen.frequency(
         2 -> Gen.const(None),
         // epochs from a SMALL range so replays (epoch <= watermark)
         // actually occur and must be rejected
         2 -> Gen.choose(0L, 5L).map(Some(_)))
-    } yield Append2(n, st, bl, tx)),
+    } yield Append2(n, st, bl, rw, tx)),
     2 -> Gen.zip(Gen.choose(1, 2), Gen.oneOf(true, false))
       .map { case (k, lo) => Rewrite2(k, lo) },
     2 -> Gen.choose(1, 4).map(Vacuum2(_)))
@@ -181,6 +182,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
       var txnAt = Vector.empty[Map[String, Long]]
       var boxes = Map.empty[String, Map[String, (Double, Double)]]
       var blooms = Map.empty[String, Map[String, String]]
+      var rowCounts = Map.empty[String, Long]
       var expiredBelow = 1
       var fresh = 0
       def latest = files.size
@@ -189,7 +191,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
       def nextName(): String = { fresh += 1; s"g$fresh" }
 
       ops.foreach {
-        case Append2(n, withStats, withBloom, txnEpoch) =>
+        case Append2(n, withStats, withBloom, withRows, txnEpoch) =>
           val names = Vector.fill(n)(nextName())
           names.foreach(stage(root, _))
           val st: CommitLog.Stats =
@@ -202,24 +204,28 @@ object CommitLogProps extends Properties("graft.commitlog") {
               CommitLogBloom.add(bits, b)
               b -> Map("k" -> CommitLogBloom.toHex(bits))
             }.toMap
+          val rw: CommitLog.Rows =
+            if (!withRows) Map.empty
+            else names.map(b => b -> (fresh.toLong % 7)).toMap
           val replay = txnEpoch.exists(e => curTxn.get("app1").exists(_ >= e))
           if (replay) {
             val before = latest
             try {
               CommitLog.commit(root, before, added = names, stats = st,
-                blooms = bl, txn = txnEpoch.map(("app1", _)))
+                blooms = bl, rows = rw, txn = txnEpoch.map(("app1", _)))
               throw new AssertionError("replayed txn epoch accepted")
             } catch { case _: CommitLog.TxnAlreadyCommittedException => () }
             assert(CommitLog.latestVersion(root) == before,
               "rejected replay must publish nothing")
           } else {
             CommitLog.commit(root, latest, added = names, stats = st,
-              blooms = bl, txn = txnEpoch.map(("app1", _)))
+              blooms = bl, rows = rw, txn = txnEpoch.map(("app1", _)))
             files = files :+ (cur ++ names)
             dataChange = dataChange :+ true
             txnAt = txnAt :+ txnEpoch.fold(curTxn)(e => curTxn + ("app1" -> e))
             boxes ++= st
             blooms ++= bl
+            rowCounts ++= rw
           }
         case Rewrite2(k0, layoutOnly) =>
           if (cur.nonEmpty) {
@@ -227,8 +233,16 @@ object CommitLogProps extends Properties("graft.commitlog") {
             val removed = cur.takeRight(k)
             val added = Vector(nextName())
             added.foreach(stage(root, _))
+            // a layout rewrite restates its sources' rows: the pack
+            // carries their summed count exactly when all are counted
+            // (the OPTIMIZE contract); a data rewrite carries none
+            val packRows: CommitLog.Rows =
+              if (layoutOnly && removed.forall(rowCounts.contains))
+                Map(added.head -> removed.map(rowCounts).sum)
+              else Map.empty
             CommitLog.commit(root, latest, added = added, removed = removed,
-              dataChange = !layoutOnly)
+              dataChange = !layoutOnly, rows = packRows)
+            rowCounts ++= packRows
             files = files :+ (cur.filterNot(removed.toSet) ++ added)
             dataChange = dataChange :+ !layoutOnly
             txnAt = txnAt :+ curTxn
@@ -255,6 +269,11 @@ object CommitLogProps extends Properties("graft.commitlog") {
         CommitLog.bloomsOf(root, v) ==
           blooms.filter { case (b, _) => live(b) }
       }
+      val rowsOk = retained.forall { v =>
+        val live = files(v - 1).toSet
+        CommitLog.rowsOf(root, v) ==
+          rowCounts.filter { case (b, _) => live(b) }
+      }
       val txnOk = retained.forall { v =>
         CommitLog.txnsOf(root, v) == txnAt(v - 1)
       }
@@ -271,6 +290,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
 
       Prop(statsOk) :| "statsOf replays live-batch boxes at every retained version" &&
         Prop(bloomsOk) :| "bloomsOf replays live-batch blooms at every retained version" &&
+        Prop(rowsOk) :| "rowsOf replays live-batch counts at every retained version" &&
         Prop(txnOk) :| "txnsOf replays the monotone watermark at every retained version" &&
         Prop(dcOk) :| "isDataChange reads the manifest flag" &&
         Prop(changesOk) :| "changes() carries the dataChange flag"

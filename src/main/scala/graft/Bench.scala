@@ -13,117 +13,120 @@ package graft
   */
 object Bench {
 
-  /** Per-query pinned reference times at sf0.1: the round-11 repin —
-    * one SENTINEL-CLEAN idle run over all 207 queries (234.0 s,
-    * 0 err, n_suspect 0, probes 0.132–0.167 s; a first attempt with
-    * one elevated probe window was discarded — BenchBudgetSpec's
-    * snapshot-consistency gate rejected it). All 196 carried-over pins
-    * read fresh (0 stale >2×); the 11 round-11 decls are newly pinned.
+  /** Per-query pinned reference times at sf0.1: the round-11
+    * session-4 repin — one idle run over all 225 queries (243.7 s,
+    * 0 err, 0 budget breaches). All 216 carried-over pins read fresh
+    * (0 stale >2×); the 9 session-3/4 decls (s39–s47) are newly
+    * pinned; the probe pin re-derived 0.13 → 0.15 from the idle floor.
     * Regenerate with scripts/repin.py from an idle-run
     * bench_detail.json when a query's plan intentionally changes;
     * BenchBudgetSpec fails the build when any pin drifts >2× from the
     * committed idle snapshot (scripts/bench_pins.json). Queries absent
     * from the map (newly added) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 2.176, "a1_hashagg" -> 1.218, "a2_distinct" -> 0.624,
-    "a3_approx_distinct" -> 1.869, "a3_hll_merge" -> 0.578,
-    "a4_cube" -> 0.685, "a4_grouping_sets" -> 0.727, "a4_rollup" -> 0.614,
-    "a5_filtered_agg" -> 0.435, "a6_approx_percentile" -> 2.366,
-    "a6_stats" -> 2.576, "a6_tdigest" -> 2.078, "a7_collect" -> 0.915,
-    "a8_pivot" -> 0.555, "a9_salted_agg" -> 0.734,
-    "c1_upsert_latest" -> 0.622, "c2_scd2_intervals" -> 0.871,
-    "c3_incremental_agg" -> 1.529, "c4_cdc_apply" -> 0.733,
-    "c5_retractable_agg" -> 2.064, "flagship_pipeline" -> 0.540,
-    "j10_bloom_semi" -> 1.136, "j11_salted_skew_join" -> 0.810,
-    "j12_interval_overlap" -> 1.152, "j13_spatial_grid" -> 0.968,
-    "j14_cobucketed_join" -> 0.693, "j1_semi_broadcast" -> 0.777,
-    "j2_inner" -> 0.542, "j3_multiway" -> 1.648, "j4_full_outer" -> 0.406,
-    "j4_left_outer" -> 0.386, "j5_anti" -> 0.398, "j6_sortmerge" -> 1.048,
-    "j7_range" -> 0.785, "j8_cross" -> 0.314, "j9_asof" -> 0.789,
-    "j9_asof_join" -> 0.731, "l10_drift" -> 0.868, "l10_ks_drift" -> 0.783,
-    "l10_profile" -> 0.353, "l10_zipf" -> 0.655, "l11_decontam" -> 1.322,
-    "l11_semantic_decontam" -> 0.498, "l12_global_ids" -> 0.802,
-    "l13_bfs" -> 1.120, "l13_hits" -> 4.740, "l13_kcore" -> 1.444,
-    "l13_pagerank" -> 3.447, "l13_triangles" -> 1.082,
-    "l14_fuzzy_join" -> 2.168, "l1_exact_dedup" -> 0.358,
-    "l2_cc_star" -> 4.312, "l2_chunk_dedup" -> 1.307,
-    "l2_cosine_neardup" -> 0.575, "l2_cosine_neardup_adaptive" -> 0.689,
-    "l2_cosine_neardup_bucketed" -> 0.450, "l2_dedup_clusters" -> 2.249,
-    "l2_incremental_dedup" -> 0.963, "l2_lsh_pairs" -> 1.238,
-    "l2_minhash_estimate" -> 1.149, "l2_minhash_sigs" -> 1.503,
-    "l2_ngram_jaccard" -> 6.169, "l2_simhash" -> 0.711,
-    "l2_simhash_blocked" -> 3.287, "l2_simhash_hamming" -> 2.031,
-    "l2_substring_dedup" -> 2.020, "l2_survivor_selection" -> 2.812,
-    "l3_ann_ivf" -> 0.772, "l3_ann_ivfpq" -> 1.599, "l3_ann_lsh" -> 1.812,
-    "l3_ann_pq" -> 1.718, "l3_ann_recall" -> 2.065,
-    "l3_ann_trained" -> 2.640, "l3_cosine_topk" -> 0.277,
-    "l3_jl_projection" -> 0.470, "l3_kmeans" -> 1.117,
-    "l3_pca_power" -> 0.363, "l3_semantic_dedup" -> 1.304,
-    "l4_bm25" -> 1.607, "l4_bpe_encode" -> 1.262,
-    "l4_bpe_pair_stats" -> 0.711, "l4_bpe_train" -> 0.750,
-    "l4_count_min" -> 0.554, "l4_fingerprint" -> 0.939,
-    "l4_heavy_hitters" -> 0.496, "l4_lang_id" -> 0.474,
-    "l4_lm_score" -> 1.327, "l4_pii_redact" -> 0.746,
-    "l4_pmi_phrases" -> 0.844, "l4_quality_score" -> 0.609,
-    "l4_repetition" -> 1.697, "l4_repetition_quality" -> 1.065,
-    "l4_term_freq" -> 0.531, "l4_tfidf" -> 0.814, "l4_token_stats" -> 0.544,
-    "l5_histogram" -> 0.252, "l6_audio_fp_dedup" -> 0.608,
-    "l6_decode_audio" -> 1.081, "l6_decode_features" -> 0.346,
-    "l6_decode_real" -> 1.291, "l6_multimodal_meta" -> 0.160,
-    "l6_phash_dedup" -> 0.627, "l6_quantize_int8" -> 0.299,
-    "l6_resize_framesample" -> 0.163, "l7_curation_pipeline" -> 0.688,
-    "l8_bottomk_sample" -> 0.210, "l8_deterministic_sample" -> 0.168,
-    "l8_deterministic_split" -> 0.211, "l8_mixture_weights" -> 0.230,
-    "l8_stratified_sample" -> 0.160, "l8_weighted_sample" -> 0.229,
-    "l9_mixture_interleave" -> 0.235, "l9_sequence_packing" -> 0.289,
-    "l9_shard_export" -> 1.254, "o1_topk" -> 0.140, "o2_limit" -> 0.122,
-    "o3_union" -> 0.380, "o3_union_distinct" -> 0.445, "o4_except" -> 0.295,
-    "o4_except_all" -> 0.526, "o4_intersect" -> 0.349,
-    "o4_intersect_all" -> 0.436, "p10_map_hof" -> 1.545, "p10_maps" -> 0.888,
-    "p11_envelope" -> 0.406, "p12_unpivot" -> 0.250,
-    "p13_subqueries" -> 0.475, "p14_variant" -> 1.613,
-    "p15_lateral" -> 0.363, "p16_try_functions" -> 3.098,
-    "p1_prune" -> 0.601, "p2_filter" -> 0.390, "p3_inlist" -> 0.152,
-    "p4_strings" -> 0.224, "p5_datetime" -> 0.442, "p6_math" -> 0.792,
-    "p7_conditional" -> 0.209, "p8_json" -> 0.756, "p8_json_nested" -> 2.854,
-    "p9_array_fns" -> 0.176, "p9_arrays" -> 0.264, "p9_explode" -> 0.182,
-    "p9_posexplode" -> 0.196, "s10_vector_index" -> 1.388,
-    "s10b_index_append" -> 1.639, "s11_schema_evolution" -> 0.727,
-    "s12_compaction" -> 1.037, "s13_dpp_join" -> 1.427,
-    "s14_zorder_layout" -> 1.060, "s15_stats_pruned_scan" -> 1.087,
-    "s16_binaryfile_ingest" -> 1.093, "s17_xml_roundtrip" -> 1.363,
-    "s18_corrupt_drop" -> 0.385, "s19_envelope_sink" -> 0.964,
-    "s20_bson_dump" -> 1.439, "s21_mongo_extjson" -> 1.616,
-    "s22_time_travel" -> 1.268, "s22b_log_vacuum" -> 0.879,
-    "s22c_change_feed" -> 1.622, "s22d_log_tail" -> 1.560,
-    "s22e_schema_enforced" -> 0.570, "s22f_cdf_rows" -> 2.016,
-    "s22g_manifest_stats" -> 1.295, "s22h_connector_pruned_scan" -> 0.884,
-    "s23_merge_on_read" -> 1.239, "s24_merge_upsert" -> 3.950,
-    "s26_log_optimize" -> 1.928, "s27_log_history" -> 1.113,
-    "s28_zorder_optimize" -> 2.038, "s29_bloom_point_lookup" -> 0.941,
-    "s30_change_feed_stream" -> 2.926, "s31_restore" -> 0.612,
-    "s32_check_constraint" -> 0.781, "s33_delete_update" -> 2.191,
-    "s34_shallow_clone" -> 1.133, "s35_rename_column" -> 1.008,
-    "s36_drop_column" -> 0.599, "s37_sql_catalog" -> 0.729,
-    "s38_sql_row_level" -> 1.699,
-    "s3_jdbc_roundtrip" -> 0.345, "s4_json_roundtrip" -> 0.641,
-    "s5_kafka_envelope" -> 0.202, "s6_csv_roundtrip" -> 0.464,
-    "s7_orc_roundtrip" -> 0.869, "s8_envelope_source" -> 0.672,
-    "s9_partitioned_prune" -> 0.633, "t12_stream_envelope_sink" -> 0.740,
-    "t13_stream_envelope_source" -> 1.390, "t14_stream_commitlog" -> 3.027,
-    "t15_stream_commitlog_sink" -> 0.997, "t1_tumbling" -> 0.435,
-    "t2_sliding" -> 0.487, "t3_session" -> 0.824,
-    "t4_watermark_closed" -> 0.518, "t5_dedup" -> 0.339,
-    "t6_stateful_running" -> 0.548, "t7_stream_static" -> 0.566,
-    "t8_foreachbatch_jdbc" -> 0.857, "t8c_exactly_once_jdbc" -> 1.771,
-    "t9_stream_stream" -> 0.396, "t9_stream_stream_full" -> 0.445,
-    "t9_stream_stream_outer" -> 0.379, "t9_stream_stream_semi" -> 0.351,
-    "w10_seasonal_decomp" -> 0.491, "w11_ewma" -> 0.452,
-    "w1_ranking" -> 0.779, "w2_analytic" -> 0.959, "w3_frames" -> 0.778,
-    "w3_time_range" -> 0.638, "w4_topk_per_group" -> 0.354,
-    "w4_topk_window_idiom" -> 0.455, "w5_distribution" -> 1.075,
-    "w6_gap_fill" -> 0.771, "w7_funnel" -> 0.511, "w8_retention" -> 0.445,
-    "w9_anomaly" -> 0.757)
+    "a10_kmv_sketch" -> 2.125, "a1_hashagg" -> 1.187, "a2_distinct" -> 0.683,
+    "a3_approx_distinct" -> 2.272, "a3_hll_merge" -> 0.566,
+    "a4_cube" -> 0.776, "a4_grouping_sets" -> 0.858, "a4_rollup" -> 0.720,
+    "a5_filtered_agg" -> 0.537, "a6_approx_percentile" -> 2.380,
+    "a6_stats" -> 2.310, "a6_tdigest" -> 1.936, "a7_collect" -> 0.900,
+    "a8_pivot" -> 0.570, "a9_salted_agg" -> 0.764,
+    "c1_upsert_latest" -> 0.615, "c2_scd2_intervals" -> 0.818,
+    "c3_incremental_agg" -> 2.236, "c4_cdc_apply" -> 0.807,
+    "c5_retractable_agg" -> 2.210, "flagship_pipeline" -> 0.609,
+    "j10_bloom_semi" -> 1.385, "j11_salted_skew_join" -> 0.829,
+    "j12_interval_overlap" -> 1.128, "j13_spatial_grid" -> 0.943,
+    "j14_cobucketed_join" -> 0.574, "j1_semi_broadcast" -> 0.814,
+    "j2_inner" -> 0.680, "j3_multiway" -> 1.978, "j4_full_outer" -> 0.532,
+    "j4_left_outer" -> 0.469, "j5_anti" -> 0.439, "j6_sortmerge" -> 1.080,
+    "j7_range" -> 0.729, "j8_cross" -> 0.276, "j9_asof" -> 0.796,
+    "j9_asof_join" -> 0.874, "l10_drift" -> 0.924, "l10_ks_drift" -> 0.839,
+    "l10_profile" -> 0.378, "l10_zipf" -> 0.625, "l11_decontam" -> 1.366,
+    "l11_semantic_decontam" -> 0.515, "l12_global_ids" -> 0.761,
+    "l13_bfs" -> 1.238, "l13_hits" -> 5.520, "l13_kcore" -> 1.527,
+    "l13_pagerank" -> 2.789, "l13_triangles" -> 1.173,
+    "l14_fuzzy_join" -> 2.332, "l1_exact_dedup" -> 0.351,
+    "l2_cc_star" -> 3.757, "l2_chunk_dedup" -> 1.239,
+    "l2_cosine_neardup" -> 0.549, "l2_cosine_neardup_adaptive" -> 0.602,
+    "l2_cosine_neardup_bucketed" -> 0.430, "l2_dedup_clusters" -> 2.252,
+    "l2_incremental_dedup" -> 1.122, "l2_lsh_pairs" -> 1.315,
+    "l2_minhash_estimate" -> 1.275, "l2_minhash_sigs" -> 2.104,
+    "l2_ngram_jaccard" -> 6.346, "l2_simhash" -> 0.914,
+    "l2_simhash_blocked" -> 3.753, "l2_simhash_hamming" -> 2.141,
+    "l2_substring_dedup" -> 2.121, "l2_survivor_selection" -> 3.013,
+    "l3_ann_ivf" -> 0.931, "l3_ann_ivfpq" -> 2.039, "l3_ann_lsh" -> 2.123,
+    "l3_ann_pq" -> 1.490, "l3_ann_recall" -> 2.199,
+    "l3_ann_trained" -> 2.730, "l3_cosine_topk" -> 0.365,
+    "l3_jl_projection" -> 0.566, "l3_kmeans" -> 1.252,
+    "l3_pca_power" -> 0.564, "l3_semantic_dedup" -> 1.323,
+    "l4_bm25" -> 1.586, "l4_bpe_encode" -> 1.309,
+    "l4_bpe_pair_stats" -> 0.778, "l4_bpe_train" -> 0.802,
+    "l4_count_min" -> 0.632, "l4_fingerprint" -> 0.962,
+    "l4_heavy_hitters" -> 0.535, "l4_lang_id" -> 0.572,
+    "l4_lm_score" -> 1.496, "l4_pii_redact" -> 0.968,
+    "l4_pmi_phrases" -> 1.129, "l4_quality_score" -> 0.711,
+    "l4_repetition" -> 2.044, "l4_repetition_quality" -> 1.408,
+    "l4_term_freq" -> 0.652, "l4_tfidf" -> 1.023, "l4_token_stats" -> 0.607,
+    "l5_histogram" -> 0.286, "l6_audio_fp_dedup" -> 0.717,
+    "l6_decode_audio" -> 1.227, "l6_decode_features" -> 0.425,
+    "l6_decode_real" -> 1.392, "l6_multimodal_meta" -> 0.174,
+    "l6_phash_dedup" -> 0.686, "l6_quantize_int8" -> 0.382,
+    "l6_resize_framesample" -> 0.204, "l7_curation_pipeline" -> 0.739,
+    "l8_bottomk_sample" -> 0.215, "l8_deterministic_sample" -> 0.168,
+    "l8_deterministic_split" -> 0.227, "l8_mixture_weights" -> 0.263,
+    "l8_stratified_sample" -> 0.150, "l8_weighted_sample" -> 0.233,
+    "l9_mixture_interleave" -> 0.242, "l9_sequence_packing" -> 0.339,
+    "l9_shard_export" -> 1.283, "o1_topk" -> 0.134, "o2_limit" -> 0.125,
+    "o3_union" -> 0.353, "o3_union_distinct" -> 0.350, "o4_except" -> 0.310,
+    "o4_except_all" -> 0.550, "o4_intersect" -> 0.331,
+    "o4_intersect_all" -> 0.463, "p10_map_hof" -> 1.481, "p10_maps" -> 0.948,
+    "p11_envelope" -> 0.407, "p12_unpivot" -> 0.256,
+    "p13_subqueries" -> 0.450, "p14_variant" -> 1.565,
+    "p15_lateral" -> 0.335, "p16_try_functions" -> 2.976,
+    "p1_prune" -> 0.528, "p2_filter" -> 0.375, "p3_inlist" -> 0.162,
+    "p4_strings" -> 0.269, "p5_datetime" -> 0.435, "p6_math" -> 0.741,
+    "p7_conditional" -> 0.193, "p8_json" -> 0.754, "p8_json_nested" -> 2.879,
+    "p9_array_fns" -> 0.174, "p9_arrays" -> 0.294, "p9_explode" -> 0.176,
+    "p9_posexplode" -> 0.169, "s10_vector_index" -> 1.345,
+    "s10b_index_append" -> 1.568, "s11_schema_evolution" -> 0.816,
+    "s12_compaction" -> 1.278, "s13_dpp_join" -> 1.648,
+    "s14_zorder_layout" -> 1.361, "s15_stats_pruned_scan" -> 1.235,
+    "s16_binaryfile_ingest" -> 1.295, "s17_xml_roundtrip" -> 1.920,
+    "s18_corrupt_drop" -> 0.482, "s19_envelope_sink" -> 1.167,
+    "s20_bson_dump" -> 1.740, "s21_mongo_extjson" -> 1.767,
+    "s22_time_travel" -> 1.329, "s22b_log_vacuum" -> 0.930,
+    "s22c_change_feed" -> 1.710, "s22d_log_tail" -> 1.688,
+    "s22e_schema_enforced" -> 0.585, "s22f_cdf_rows" -> 1.953,
+    "s22g_manifest_stats" -> 1.553, "s22h_connector_pruned_scan" -> 1.007,
+    "s23_merge_on_read" -> 1.325, "s24_merge_upsert" -> 4.575,
+    "s26_log_optimize" -> 2.272, "s27_log_history" -> 1.326,
+    "s28_zorder_optimize" -> 2.450, "s29_bloom_point_lookup" -> 1.203,
+    "s30_change_feed_stream" -> 3.259, "s31_restore" -> 0.525,
+    "s32_check_constraint" -> 0.766, "s33_delete_update" -> 2.148,
+    "s34_shallow_clone" -> 1.095, "s35_rename_column" -> 1.138,
+    "s36_drop_column" -> 0.667, "s37_sql_catalog" -> 0.713,
+    "s38_sql_row_level" -> 1.934, "s39_insert_overwrite" -> 1.276,
+    "s3_jdbc_roundtrip" -> 0.344, "s40_partitioned_table" -> 1.618,
+    "s41_sql_delta_dml" -> 1.734, "s42_metadata_agg" -> 0.527,
+    "s43_spj_join" -> 1.568, "s44_stats_broadcast" -> 0.550,
+    "s45_partition_mgmt" -> 1.010, "s46_atomic_rtas" -> 0.624,
+    "s47_column_defaults" -> 0.798, "s4_json_roundtrip" -> 0.606,
+    "s5_kafka_envelope" -> 0.206, "s6_csv_roundtrip" -> 0.522,
+    "s7_orc_roundtrip" -> 0.975, "s8_envelope_source" -> 0.675,
+    "s9_partitioned_prune" -> 0.614, "t12_stream_envelope_sink" -> 0.712,
+    "t13_stream_envelope_source" -> 1.392, "t14_stream_commitlog" -> 3.112,
+    "t15_stream_commitlog_sink" -> 1.011, "t1_tumbling" -> 0.420,
+    "t2_sliding" -> 0.604, "t3_session" -> 0.966,
+    "t4_watermark_closed" -> 0.461, "t5_dedup" -> 0.322,
+    "t6_stateful_running" -> 0.496, "t7_stream_static" -> 0.528,
+    "t8_foreachbatch_jdbc" -> 0.899, "t8c_exactly_once_jdbc" -> 1.833,
+    "t9_stream_stream" -> 0.519, "t9_stream_stream_full" -> 0.567,
+    "t9_stream_stream_outer" -> 0.408, "t9_stream_stream_semi" -> 0.437,
+    "w10_seasonal_decomp" -> 0.484, "w11_ewma" -> 0.564,
+    "w1_ranking" -> 0.832, "w2_analytic" -> 0.908, "w3_frames" -> 0.835,
+    "w3_time_range" -> 0.580, "w4_topk_per_group" -> 0.393,
+    "w4_topk_window_idiom" -> 0.442, "w5_distribution" -> 1.072,
+    "w6_gap_fill" -> 0.819, "w7_funnel" -> 0.521, "w8_retention" -> 0.397,
+    "w9_anomaly" -> 0.712)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"
@@ -201,7 +204,7 @@ object Bench {
     * idle run's early-suite readings (0.135 steady-state, 0.235 max on
     * probe #0 while JIT settles; pinning the min would false-flag the
     * first window on a quiet machine). */
-  private[graft] val probePinSeconds: Double = 0.13
+  private[graft] val probePinSeconds: Double = 0.15
 
   /** One sentinel probe: 32 threads × fixed LCG spin, joined. */
   private[graft] def spinProbe(): Double = {

@@ -2504,6 +2504,46 @@ object Sources {
         "FROM gt47.db.d GROUP BY status, prio ORDER BY status, prio")
     },
 
+    // S48: LIMIT PUSHDOWN (partial) — SupportsPushDownLimit: a LIMIT
+    // directly over the scan plans only as many FILES as the
+    // manifests' row counts prove necessary (`SELECT * FROM t LIMIT
+    // 100` at 100 TB plans one batch instead of a million files);
+    // Spark keeps the exact limit above the scan (isPartiallyPushed),
+    // so uncounted batches or a filter merely disable the early-out —
+    // never correctness — and outstanding deletion vectors (counts
+    // become over-estimates) disable it too. The decl loads four
+    // counted batches from orders, limits to 100, and pins BOTH plan
+    // shapes: planned_limited=1 (the first 3750-row batch covers the
+    // limit) vs planned_all=4. CommitLogMetadataSpec pins the
+    // two-batch reach and the DV disable.
+    Decl(
+      "s48_limit_pushdown",
+      s"""SELECT CAST(100 AS BIGINT) AS n,
+         |  CAST(1 AS INT) AS planned_limited,
+         |  CAST(4 AS INT) AS planned_all""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s48_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      (0 to 3).foreach { q =>
+        Qh.t(s, dir, "orders").filter($"o_orderkey" % 4 === q)
+          .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
+          .repartition(1)
+          .write.format("commitlog").option("path", root).mode("append").save()
+      }
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val limited = s.read.format("commitlog").option("path", root).load()
+        .limit(100)
+      val pAll = planned(s.read.format("commitlog").option("path", root).load())
+      limited.agg(count(lit(1)).as("n"))
+        .select($"n",
+          lit(planned(limited)).as("planned_limited"),
+          lit(pAll).as("planned_all"))
+    },
+
     // S24: MERGE INTO over the commit log — C4's relational MERGE
     // semantics (graft.sources.CommitLogMerge) composed with the
     // optimistic commit protocol, with the physical leg chosen by a

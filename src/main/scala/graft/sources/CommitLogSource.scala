@@ -712,8 +712,29 @@ class CommitLogScanBuilder(
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources._
+
+  // ---- LIMIT pushdown (partial): plan only as many FILES as the
+  // manifest row counts prove necessary. `SELECT * FROM t LIMIT 10` at
+  // 100 TB plans one batch instead of a million files — Spark still
+  // applies the exact limit above the scan (isPartiallyPushed), so
+  // batches without counts merely stop the early-out, never
+  // correctness. Declined under filters (a filtered row doesn't count
+  // toward the limit) — Spark only offers the pushdown for limits
+  // directly over the scan anyway.
+  private var limitHint: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = {
+    if (allFilters.nonEmpty) return false
+    limitHint = Some(n)
+    true
+  }
+
+  /** Spark keeps its own LIMIT above the scan: file-level early-out is
+    * a planning optimization, not an exact row bound. */
+  override def isPartiallyPushed(): Boolean = true
 
   private var required: StructType = schema0
   private var pushed: Array[Filter] = Array.empty
@@ -953,7 +974,8 @@ class CommitLogScanBuilder(
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean),
       readChangeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean),
-      endingVersion = Option(options.get("endingVersion")).map(_.toInt))
+      endingVersion = Option(options.get("endingVersion")).map(_.toInt),
+      limitHint = limitHint)
   }
 }
 
@@ -1002,7 +1024,8 @@ case class CommitLogScan(
     maxBytesPerTrigger: Option[Long],
     ignoreDeletes: Boolean,
     readChangeFeed: Boolean = false,
-    endingVersion: Option[Int] = None)
+    endingVersion: Option[Int] = None,
+    limitHint: Option[Int] = None)
     extends Scan with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering
@@ -1152,7 +1175,27 @@ case class CommitLogScan(
     val dvBatches = snap.files.filter(_.startsWith(CommitLogMerge.DvPrefix))
     val deletedByFile = CommitLogMerge.dvPositionsByFile(
       org.apache.spark.sql.SparkSession.active, root, dvBatches)
-    prunedBatches()
+    val pruned = prunedBatches()
+    // LIMIT early-out: plan batches only until the KNOWN counts cover
+    // the limit. Unknown counts contribute nothing (the early-out just
+    // arrives later); deletion vectors make counts over-estimates, so
+    // any outstanding DV disables the cut — Spark's own LIMIT above
+    // the scan keeps the result exact either way.
+    val limited = limitHint match {
+      case Some(n) if dvBatches.isEmpty =>
+        var acc = 0L
+        var done = false
+        pruned.takeWhile { b =>
+          val take = !done
+          snap.rows.get(b).foreach { c =>
+            acc += c
+            if (acc >= n) done = true
+          }
+          take
+        }
+      case _ => pruned
+    }
+    limited
       .flatMap { b =>
         // storage-partitioned scans attach the batch's tuple as the
         // partition key (constant across the batch's files); plain
@@ -1234,6 +1277,10 @@ case class CommitLogScan(
     * [[planInputPartitions]] call, including runtime-filter replans
     * (so eligibility is decided over the STATIC prune set). */
   @transient private lazy val keyedByPartition: Boolean =
+    // a LIMIT-cut scan may drop whole key groups — don't claim a
+    // partitioning the planned partitions might not honor (a LIMIT
+    // directly over the scan has no join to co-partition anyway)
+    limitHint.isEmpty &&
     !emptyTable && !readChangeFeed && partCols.nonEmpty &&
       partCols.forall(schema.fieldNames.contains) &&
       partCols.forall(c => typeSchema.fields.exists(_.name == c)) &&

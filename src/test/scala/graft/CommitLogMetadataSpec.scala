@@ -278,6 +278,34 @@ class CommitLogMetadataSpec extends SparkSpec {
     }
   }
 
+  test("LIMIT plans only the files the counts prove necessary") {
+    val root = tmp()
+    (1 to 3).foreach { k =>
+      ((k * 100 + 1) to (k * 100 + 20)).map(i => (i.toLong, s"u$i"))
+        .toDF("id", "user").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    val limited = spark.read.format("commitlog").option("path", root).load()
+      .limit(5)
+    assert(limited.count() == 5L)
+    val scans = scanOf(limited)
+    assert(scans.nonEmpty && scans.head.inputPartitions.length == 1,
+      s"one 20-row batch covers LIMIT 5:\n${limited.queryExecution.executedPlan}")
+    // a bigger limit reaches into the second batch
+    val wider = spark.read.format("commitlog").option("path", root).load()
+      .limit(25)
+    assert(wider.count() == 25L)
+    assert(scanOf(wider).head.inputPartitions.length == 2)
+    // outstanding DVs make counts over-estimates: the cut disables,
+    // results stay exact
+    CommitLogDml.delete(spark, root, "id = 105")
+    val dv = spark.read.format("commitlog").option("path", root).load()
+      .limit(59)
+    assert(dv.count() == 59L)
+    assert(scanOf(dv).head.inputPartitions.length == 3,
+      "DV table must plan everything")
+  }
+
   test("negative or unlisted row counts are rejected at publish") {
     val root = tmp()
     intercept[IllegalArgumentException] {

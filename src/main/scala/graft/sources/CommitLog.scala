@@ -850,16 +850,40 @@ object CommitLog {
     }
   }
 
-  /** Schema scrubbed to what the log's flat DDL grammar stores —
-    * names, types, nullability. Field METADATA must never reach toDDL:
-    * a CURRENT_DEFAULT marker renders as a `DEFAULT <expr>` clause
-    * that fromDDL cannot parse, bricking every later read. Every
-    * commit site that receives a LIVE schema (catalog DDL, write
-    * builders) goes through here. */
+  /** Schema scrubbed to what the log's flat DDL grammar stores: the
+    * two DEFAULT-VALUE metadata keys must never reach toDDL — they
+    * render as `DEFAULT <expr>` clauses fromDDL cannot parse, bricking
+    * every later read. Everything else (column COMMENTs) round-trips
+    * and is kept. Every commit site that receives a LIVE schema
+    * (catalog DDL, write builders) goes through here. */
   def bareDdl(schema: org.apache.spark.sql.types.StructType): String =
-    org.apache.spark.sql.types.StructType(schema.fields.map(f =>
-      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
-      .toDDL
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      val m = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build()
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable, m)
+    }).toDDL
+
+  /** Schema DDL and column defaults in ONE checkpoint+delta replay —
+    * the catalog's loadTable hot path (a per-facet accessor pair would
+    * read every manifest twice per table resolution). */
+  def schemaAndDefaultsOf(root: String, v: Int): (Option[String], Defaults) = {
+    if (v == 0) return (None, Map.empty)
+    val (start, ckptTxt) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) => (cv, Some(textOf(ckptPath(root, cv))))
+      case None => (0, None)
+    }
+    var schema: Option[String] = ckptTxt.flatMap(stringField(_, "schema"))
+    var dfs: Defaults = ckptTxt
+      .map(t => foldDefaults(Map.empty, listField(t, "default")))
+      .getOrElse(Map.empty)
+    ((start + 1) to v).foreach { i =>
+      val txt = textOf(manifest(root, i))
+      stringField(txt, "schema").foreach(s0 => schema = Some(s0))
+      dfs = foldDefaults(dfs, listField(txt, "default"))
+    }
+    (schema, dfs)
+  }
 
   // ---- COLUMN MAPPING: rename without rewrite ----
 

@@ -76,14 +76,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       else None
     }.toMap
 
-  /** Re-attach the in-force default expressions to a loaded table's
-    * schema — the metadata the analyzer reads to fill omitted INSERT
-    * columns. */
-  private def withDefaults(root: String, v: Int, schema: StructType)
-      : StructType = {
-    val dfs = CommitLog.defaultsOf(root, v)
-    if (dfs.isEmpty) return schema
-    StructType(schema.fields.map { f =>
+  /** Resolve a table's schema WITH its default-value metadata (what
+    * the analyzer reads to fill omitted INSERT columns) in ONE
+    * checkpoint+delta replay — the loadTable hot path. */
+  private def schemaWithDefaults(root: String, v: Int): StructType = {
+    val (ddlOpt, dfs) = CommitLog.schemaAndDefaultsOf(root, v)
+    val base = ddlOpt.map(StructType.fromDDL)
+      .getOrElse(CommitLogSource.tableSchema(root, v)) // undeclared: footer
+    if (dfs.isEmpty) return base
+    StructType(base.fields.map { f =>
       dfs.get(f.name) match {
         case Some((cur, ex)) =>
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
@@ -154,8 +155,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
     val v = CommitLog.latestVersion(root)
-    new CommitLogTable(root,
-      withDefaults(root, v, CommitLogSource.tableSchema(root, v)))
+    new CommitLogTable(root, schemaWithDefaults(root, v))
   }
 
   /** `VERSION AS OF <v>` — plan with the schema AND column map in
@@ -166,8 +166,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
     val v = version.toInt
-    new CommitLogTable(root,
-      withDefaults(root, v, CommitLogSource.tableSchema(root, v)),
+    new CommitLogTable(root, schemaWithDefaults(root, v),
       Map("versionAsOf" -> version))
   }
 
@@ -178,8 +177,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (ident.namespace :+ ident.name).toSeq)
     val root = dirOf(ident)
     val v = CommitLog.versionAt(root, timestamp / 1000L)
-    new CommitLogTable(root,
-      withDefaults(root, v, CommitLogSource.tableSchema(root, v)),
+    new CommitLogTable(root, schemaWithDefaults(root, v),
       Map("versionAsOf" -> v.toString))
   }
 

@@ -65,6 +65,18 @@ class CommitLogDefaultSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM dft.db.ac").columns.toSeq == Seq("k", "plain"))
   }
 
+  test("column COMMENTs keep round-tripping through the stored DDL") {
+    spark.sql("CREATE TABLE dft.db.cm (k BIGINT COMMENT 'the key', " +
+      "v STRING DEFAULT 'd' COMMENT 'the value')")
+    spark.sql("INSERT INTO dft.db.cm (k) VALUES (1)") // restates schema
+    val described = spark.sql("DESCRIBE TABLE dft.db.cm")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(described.get("k").contains("the key") &&
+      described.get("v").contains("the value"),
+      s"comments must survive bareDdl scrubbing: $described")
+    assert(spark.sql("SELECT v FROM dft.db.cm").head().getString(0) == "d")
+  }
+
   test("REPLACE TABLE swaps the default set with the new definition's") {
     spark.sql("CREATE TABLE dft.db.rp (k BIGINT, s STRING DEFAULT 'old')")
     spark.sql("INSERT INTO dft.db.rp (k) VALUES (1)")

@@ -660,6 +660,29 @@ class CommitLogTable(
   override def name(): String = s"commitlog($root)"
   override def schema(): StructType = schema0
 
+  /** Surfaced by `DESCRIBE TABLE EXTENDED`: the table's log-level
+    * state at resolution time — current version, live batch count,
+    * and the exact row count when every live batch carries one
+    * (blank otherwise: unknown must not read as zero). Metadata-sized:
+    * one snapshot replay. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "commitlog")
+    m.put("location", root)
+    val v = CommitLog.latestVersion(root)
+    m.put("version", v.toString)
+    if (v > 0) {
+      val snap = CommitLog.snapshotAt(root, v)
+      m.put("numBatches", snap.files.size.toString)
+      val dataBatches =
+        snap.files.filterNot(_.startsWith(CommitLogMerge.DvPrefix))
+      if (!snap.files.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
+          dataBatches.forall(snap.rows.contains))
+        m.put("numRows", dataBatches.map(snap.rows).sum.toString)
+    }
+    m
+  }
+
   /** The identity partitioning in force (empty = unpartitioned) — what
     * makes SQL `PARTITIONED BY` round-trip through DESCRIBE and routes
     * `INSERT OVERWRITE` under partitionOverwriteMode=dynamic onto the

@@ -162,6 +162,15 @@ class CommitLogCatalogOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioning"), e.getMessage)
   }
 
+  test("DESCRIBE EXTENDED surfaces version, batch and exact row counts") {
+    spark.sql("CREATE TABLE cat.db.props AS SELECT id FROM range(0, 42)")
+    val props = spark.sql("DESCRIBE TABLE EXTENDED cat.db.props")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val tp = props.getOrElse("Table Properties", "")
+    assert(tp.contains("numRows=42"), s"exact count surfaced: $tp")
+    assert(tp.contains("version="), tp)
+  }
+
   test("REPLACE refuses repartitioning and renamed/dropped name reuse") {
     spark.sql("CREATE TABLE cat.db.guard (id BIGINT, region STRING) " +
       "PARTITIONED BY (region)")

@@ -75,9 +75,12 @@ object Qh {
   def oR4(x: String): String = oR(x, 10000L)
   def oR6(x: String): String = oR(x, 1000000L)
 
-  /** Flatten an executed plan through AQE wrappers and query stages —
-    * plain `collect` treats both as leaves, so plan-shape pins on
-    * queries with exchanges/subqueries would silently see nothing. */
+  /** Flatten an executed plan through AQE wrappers, query stages AND
+    * subquery expressions — plain `collect` treats the first two as
+    * leaves, and none of the three descends into plans hanging off
+    * EXPRESSIONS (scalar subqueries, DPP's SubqueryBroadcastExec), so
+    * plan-shape pins that count nodes would otherwise miss exchanges
+    * or scans executing inside them. */
   def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val kids = p match {
@@ -87,7 +90,7 @@ object Qh {
         Seq(q.plan)
       case other => other.children
     }
-    p +: kids.flatMap(flattenPlan)
+    p +: (kids ++ p.subqueries).flatMap(flattenPlan)
   }
 
   // ---- order-independent exact sums over money-grid doubles ----

@@ -17,7 +17,9 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** The [[CommitLog]] table as a FIRST-CLASS DataSourceV2 source — the
   * API a Spark user actually reaches for instead of the driver-side
@@ -62,7 +64,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (commit-time travel); stream: `startingVersion` (default 0 = table
   * start) / `startingTimestamp`, `maxVersionsPerTrigger`,
   * `maxBytesPerTrigger` (soft byte budget per micro-batch),
-  * `ignoreDeletes`. Write options: `bloomColumns`, `bloomBits`
+  * `ignoreDeletes`, `skipChangeCommits` (Delta's escape hatch: skip
+  * versions that delete/modify rows entirely, stream only pure
+  * appends). Write options: `bloomColumns`, `bloomBits`
   * (see [[CommitLogWriteBuilder]]).
   */
 class CommitLogSource extends TableProvider with DataSourceRegister {
@@ -244,6 +248,25 @@ object CommitLogSource {
   private def hadoopConf(): Configuration = {
     val active = SparkSession.getActiveSession
     active.map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
+  }
+
+  /** Columns the reader SYNTHESIZES per row (metadata + change-feed
+    * stamps) — their presence in a read schema forces the row-at-a-time
+    * leg. */
+  private[sources] val SpecialCols: Set[String] = Set(
+    BatchCol, RowFileCol, RowPosCol,
+    CommitLogCdf.ChangeTypeCol, CommitLogCdf.CommitVersionCol)
+
+  /** Types Spark's vectorized parquet reader decodes — anything else
+    * (UDT, interval, variant) falls back to the row leg. */
+  private[sources] def vectorizable(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | BinaryType | DateType |
+        TimestampType | TimestampNTZType | _: DecimalType => true
+    case ArrayType(e, _) => vectorizable(e)
+    case StructType(fields) => fields.forall(f => vectorizable(f.dataType))
+    case MapType(k, v, _) => vectorizable(k) && vectorizable(v)
+    case _ => false
   }
 
   /** Deletion-vector batches hold (file, row_index) POSITIONS, not
@@ -996,6 +1019,8 @@ class CommitLogScanBuilder(
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       ignoreDeletes = Option(options.get("ignoreDeletes")).exists(_.toBoolean),
+      skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       readChangeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean),
       endingVersion = Option(options.get("endingVersion")).map(_.toInt),
       limitHint = limitHint)
@@ -1046,6 +1071,7 @@ case class CommitLogScan(
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     ignoreDeletes: Boolean,
+    skipChangeCommits: Boolean = false,
     readChangeFeed: Boolean = false,
     endingVersion: Option[Int] = None,
     limitHint: Option[Int] = None)
@@ -1115,16 +1141,23 @@ case class CommitLogScan(
     * the statically pushed PLUS any runtime filters. The one list that
     * statistics, output partitioning and partition planning all derive
     * from, decided entirely from metadata already in hand. */
-  private def prunedBatches(): Seq[String] = {
+  private def prunedBatches(): Seq[String] = prunedBatches(runtimeFilters)
+
+  /** As above with the runtime-filter set passed EXPLICITLY — the
+    * static prune ([[staticBatches]]) passes Nil instead of briefly
+    * nulling the shared mutable var, which a concurrent
+    * [[prunedBatches]] caller could otherwise observe. */
+  private def prunedBatches(
+      rtFilters: Seq[org.apache.spark.sql.sources.Filter]): Seq[String] = {
     val dataBatches =
       snap.files.filterNot(_.startsWith(CommitLogMerge.DvPrefix))
     val allBoxes: Map[String, (Double, Double)] =
-      (boxes.toSeq ++ CommitLogFilters.boxesOf(runtimeFilters).toSeq)
+      (boxes.toSeq ++ CommitLogFilters.boxesOf(rtFilters).toSeq)
         .groupBy(_._1).map { case (c, bs) =>
           c -> (bs.map(_._2._1).max, bs.map(_._2._2).min)
         }
-    val allProbes = probes ++ runtimeFilters.flatMap(CommitLogFilters.probeOf)
-    val allPartFilters = partFilters ++ runtimeFilters
+    val allProbes = probes ++ rtFilters.flatMap(CommitLogFilters.probeOf)
+    val allPartFilters = partFilters ++ rtFilters
     // manifest-stats pruning: intersect each pushed range box against
     // the batches' committed (min, max) boxes — a batch with no box
     // for the column is always read (unknown = keep), and Spark still
@@ -1311,11 +1344,8 @@ case class CommitLogScan(
         .exists(t => partCols.forall(t.contains)) ||
         CommitLogSource.listParquet(root, b).isEmpty)
 
-  @transient private lazy val staticBatches: Seq[String] = {
-    val saved = runtimeFilters
-    runtimeFilters = Nil
-    try prunedBatches() finally runtimeFilters = saved
-  }
+  @transient private lazy val staticBatches: Seq[String] =
+    prunedBatches(Nil)
 
   /** The identity KeyGroupedPartitioning over the partition columns —
     * what makes two commitlog tables partitioned on the same key join
@@ -1353,18 +1383,32 @@ case class CommitLogScan(
     new GenericInternalRow(vals)
   }
 
+  /** Columnar exactly when NO planned partition needs per-row work:
+    * snapshot scans with no outstanding deletion vectors, no
+    * change-feed stamps, no synthesized metadata columns, all types
+    * vectorized-decodable. One flag for the whole scan — Spark
+    * requires every partition of a scan to agree. */
+  @transient private lazy val columnarEligible: Boolean =
+    !emptyTable && !readChangeFeed &&
+      !snap.files.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
+      !schema.fieldNames.exists(CommitLogSource.SpecialCols.contains) &&
+      schema.fields.forall(f => CommitLogSource.vectorizable(f.dataType))
+
   override def createReaderFactory(): PartitionReaderFactory =
     // the memoized column map: readers must resolve against the SAME
     // snapshot the partitions were planned from (a rename committing
     // between planning and execution must not skew resolution), and
     // the replay is already paid
-    CommitLogReaderFactory(schema, fm)
+    CommitLogReaderFactory(schema, fm, columnarEligible,
+      if (columnarEligible)
+        Some(CommitLogColumnar.readerConf(SparkSession.active))
+      else None)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new CommitLogMicroBatchStream(
       root, schema, startingVersion, maxVersionsPerTrigger,
-      maxBytesPerTrigger, ignoreDeletes, readChangeFeed)
+      maxBytesPerTrigger, ignoreDeletes, skipChangeCommits, readChangeFeed)
 }
 
 /** Version-cursor offsets in Spark's checkpoint: each micro-batch is
@@ -1377,6 +1421,7 @@ class CommitLogMicroBatchStream(
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     ignoreDeletes: Boolean,
+    skipChangeCommits: Boolean = false,
     readChangeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1480,28 +1525,52 @@ class CommitLogMicroBatchStream(
     // already emitted in new files: skipped wholesale — this is what
     // lets compaction run UNDER a live tail without faulting it
     CommitLog.changes(root, lo, hi).filter(_.dataChange).flatMap { ch =>
-      CommitLogSource.requireNoDv(ch.added ++ ch.removed,
-        s"streaming v${ch.version} of $root")
-      if (ch.removed.nonEmpty && ch.added.nonEmpty)
-        throw new IllegalStateException(
-          s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +
-            s"${ch.removed.size}): its added files re-state rows this " +
-            "stream already emitted — a tail cannot process a " +
-            "copy-on-write commit without double-counting")
-      if (ch.removed.nonEmpty && !ignoreDeletes)
-        throw new IllegalStateException(
-          s"v${ch.version} removes ${ch.removed.mkString(",")}: a tail " +
-            "emits appends only and cannot retract — set ignoreDeletes " +
-            "to skip delete commits")
-      ch.added.flatMap(CommitLogSource.listParquet(root, _))
+      // skipChangeCommits (the Delta escape hatch): versions that
+      // DELETE or MODIFY existing rows — COW rewrites, whole-batch
+      // removes, DV merges — are skipped ENTIRELY (their adds restate
+      // or alter rows, so emitting them would double-count); only
+      // pure-append versions flow. Opt-in: the default stays the loud
+      // contract below, because silently dropping updates is only
+      // correct when the consumer knows the table's changes are
+      // re-derivable downstream.
+      val dvTouched = (ch.added ++ ch.removed)
+        .exists(_.startsWith(CommitLogMerge.DvPrefix))
+      if (skipChangeCommits && (ch.removed.nonEmpty || dvTouched)) Nil
+      else {
+        CommitLogSource.requireNoDv(ch.added ++ ch.removed,
+          s"streaming v${ch.version} of $root")
+        if (ch.removed.nonEmpty && ch.added.nonEmpty)
+          throw new IllegalStateException(
+            s"v${ch.version} rewrites data (adds ${ch.added.size}, removes " +
+              s"${ch.removed.size}): its added files re-state rows this " +
+              "stream already emitted — a tail cannot process a " +
+              "copy-on-write commit without double-counting (set " +
+              "skipChangeCommits to stream across it)")
+        if (ch.removed.nonEmpty && !ignoreDeletes)
+          throw new IllegalStateException(
+            s"v${ch.version} removes ${ch.removed.mkString(",")}: a tail " +
+              "emits appends only and cannot retract — set ignoreDeletes " +
+              "to skip delete commits")
+        ch.added.flatMap(CommitLogSource.listParquet(root, _))
+      }
     }.map(f => CommitLogInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // a plain tail plans only appended data files (DV/COW commits fail
+    // the stream above), so vectorized batches apply whenever no
+    // change-feed stamps or synthesized columns are requested
+    val columnar = !readChangeFeed &&
+      !schema.fieldNames.exists(CommitLogSource.SpecialCols.contains) &&
+      schema.fields.forall(f => CommitLogSource.vectorizable(f.dataType))
     // the chain only grows and names are never reused, so the LATEST
     // map correctly resolves every earlier era's files
     CommitLogReaderFactory(schema,
-      CommitLog.formerNamesOf(root, CommitLog.latestVersion(root)))
+      CommitLog.formerNamesOf(root, CommitLog.latestVersion(root)),
+      columnar,
+      if (columnar) Some(CommitLogColumnar.readerConf(SparkSession.active))
+      else None)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1582,15 +1651,32 @@ case class CommitLogStatistics(bytes: Option[Long], rowCount: Option[Long])
     rowCount.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
 }
 
+/** `columnar` is decided ONCE per scan (Spark requires every partition
+  * of a scan to agree) — true exactly when no partition needs per-row
+  * bookkeeping: no deletion vectors outstanding, no change-feed
+  * constants, no metadata columns in the read schema. The columnar leg
+  * decodes through Spark's vectorized parquet reader
+  * ([[CommitLogColumnarReader]]); the row leg keeps the Group-record
+  * reader for the delta-sized shapes that skip/stamp per row. */
 case class CommitLogReaderFactory(
     schema: StructType,
-    formers: Map[String, Seq[String]] = Map.empty)
+    formers: Map[String, Seq[String]] = Map.empty,
+    columnar: Boolean = false,
+    columnarConf: Option[SerializableConfiguration] = None)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition match {
+  private def unwrap(partition: InputPartition): CommitLogInputPartition =
+    partition match {
       case k: CommitLogKeyedInputPartition => k.base
       case b: CommitLogInputPartition => b
     }
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] =
+    new CommitLogColumnarReader(
+      unwrap(partition).file, schema, formers, columnarConf.get.value)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = unwrap(partition)
     new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version,
       formers, p.deletedPositions)
   }
@@ -1684,42 +1770,86 @@ class CommitLogPartitionReader(
         else if (fi < 0 && schema(i).name == CommitLogSource.RowPosCol)
           Long.box(rowIdx)
         else if (fi < 0 || current.getFieldRepetitionCount(fi) == 0) null
-        else schema(i).dataType match {
-          case LongType => Long.box(current.getLong(fi, 0))
-          case IntegerType => Int.box(current.getInteger(fi, 0))
-          case DoubleType => Double.box(current.getDouble(fi, 0))
-          case FloatType => Float.box(current.getFloat(fi, 0))
-          case BooleanType => Boolean.box(current.getBoolean(fi, 0))
-          case StringType => UTF8String.fromString(current.getString(fi, 0))
-          // the sink's encodings (and Spark's own): INT64 micros,
-          // INT32 epoch days, INT64 unscaled decimal — all of which
-          // are exactly InternalRow's internal representations.
-          // Timestamps additionally accept Spark's two other parquet
-          // encodings: INT64 millis and legacy INT96 (julian day +
-          // nanos — Spark's outputTimestampType default), so batches
-          // written by Spark's own writer (COW rewrites, optimize)
-          // read back identically to sink-written ones
-          case TimestampType => Long.box(readTimestampMicros(fi))
-          case DateType => Int.box(current.getInteger(fi, 0))
-          case d: DecimalType if d.precision <= 18 =>
-            org.apache.spark.sql.types.Decimal(
-              current.getLong(fi, 0), d.precision, d.scale)
-          case other =>
-            throw new IllegalArgumentException(
-              s"commitlog reader does not support $other (column " +
-                s"${schema(i).name}) — project it out or extend the reader")
-        }
+        else readValue(current, fi, 0, schema(i).dataType)
       i += 1
     }
     out
   }
 
-  private def readTimestampMicros(fi: Int): Long = {
-    val pt = fileType.getType(fi).asPrimitiveType()
+  /** One value out of one group field, recursing through the standard
+    * 3-level list layout and nested struct groups — the row leg's
+    * mirror of the writer's `writeField`. The sink's encodings (and
+    * Spark's own): INT64 micros, INT32 epoch days, INT32/INT64
+    * unscaled decimal — all exactly InternalRow's representations.
+    * Timestamps additionally accept Spark's two other parquet
+    * encodings: INT64 millis and legacy INT96 (julian day + nanos),
+    * so batches written by Spark's own writer (COW rewrites, optimize)
+    * read back identically to sink-written ones. Struct subfields
+    * resolve by NAME per file, so additive struct evolution null-fills
+    * like top-level columns do. */
+  private def readValue(
+      g: Group, fi: Int, idx: Int, dt: DataType): Any = dt match {
+    case LongType => Long.box(g.getLong(fi, idx))
+    case IntegerType => Int.box(g.getInteger(fi, idx))
+    case DoubleType => Double.box(g.getDouble(fi, idx))
+    case FloatType => Float.box(g.getFloat(fi, idx))
+    case BooleanType => Boolean.box(g.getBoolean(fi, idx))
+    case StringType => UTF8String.fromString(g.getString(fi, idx))
+    case BinaryType => g.getBinary(fi, idx).getBytes
+    case TimestampType => Long.box(readTimestampMicros(g, fi, idx))
+    case DateType => Int.box(g.getInteger(fi, idx))
+    case d: DecimalType if d.precision <= 18 =>
+      // Spark's writer picks INT32 storage below precision 10; the
+      // sink always writes INT64 — accept both
+      val unscaled = g.getType.getType(fi).asPrimitiveType()
+        .getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(fi, idx).toLong
+        case _ => g.getLong(fi, idx)
+      }
+      org.apache.spark.sql.types.Decimal(unscaled, d.precision, d.scale)
+    case ArrayType(et, _) =>
+      // standard 3-level list: field 0 of the LIST group is the
+      // repeated `list` group, whose field 0 is the element
+      val lg = g.getGroup(fi, idx)
+      val n = lg.getFieldRepetitionCount(0)
+      val out = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val eg = lg.getGroup(0, j)
+        out(j) =
+          if (eg.getFieldRepetitionCount(0) == 0) null
+          else readValue(eg, 0, 0, et)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case st: StructType =>
+      val sg = g.getGroup(fi, idx)
+      val gt = sg.getType
+      val out = new GenericInternalRow(st.length)
+      var j = 0
+      while (j < st.length) {
+        out(j) =
+          if (!gt.containsField(st(j).name)) null
+          else {
+            val sfi = gt.getFieldIndex(st(j).name)
+            if (sg.getFieldRepetitionCount(sfi) == 0) null
+            else readValue(sg, sfi, 0, st(j).dataType)
+          }
+        j += 1
+      }
+      out
+    case other =>
+      throw new IllegalArgumentException(
+        s"commitlog reader does not support $other — project it out " +
+          "or extend the reader")
+  }
+
+  private def readTimestampMicros(g: Group, fi: Int, idx: Int): Long = {
+    val pt = g.getType.getType(fi).asPrimitiveType()
     pt.getPrimitiveTypeName match {
       case PrimitiveType.PrimitiveTypeName.INT96 =>
         // 12 bytes little-endian: nanos-of-day (8) + julian day (4)
-        val bytes = current.getInt96(fi, 0).getBytes
+        val bytes = g.getInt96(fi, idx).getBytes
         val buf = java.nio.ByteBuffer.wrap(bytes)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         val nanosOfDay = buf.getLong
@@ -1730,7 +1860,7 @@ class CommitLogPartitionReader(
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => t.getUnit
           case _ => LogicalTypeAnnotation.TimeUnit.MICROS
         }
-        val v = current.getLong(fi, 0)
+        val v = g.getLong(fi, idx)
         unit match {
           case LogicalTypeAnnotation.TimeUnit.MILLIS => v * 1000L
           case LogicalTypeAnnotation.TimeUnit.NANOS => v / 1000L

@@ -58,38 +58,52 @@ import org.apache.spark.sql.types._
   */
 object CommitLogWrite {
 
-  /** Spark→parquet schema for the flat primitive shapes the commitlog
-    * reader supports — the write-side mirror of
-    * [[CommitLogSource.footerSchema]]'s mapping. Timestamps land as
-    * INT64 micros (UTC-adjusted), dates as INT32 days, decimals of
-    * precision ≤ 18 as INT64 unscaled — the same physical encodings
-    * Spark's own parquet writer picks for these types. */
-  def parquetType(schema: StructType): MessageType = {
+  /** Spark→parquet schema for the shapes the commitlog reader supports
+    * — the write-side mirror of the readers' mappings. Timestamps land
+    * as INT64 micros (UTC-adjusted), dates as INT32 days, decimals of
+    * precision ≤ 18 as INT64 unscaled; BINARY passes through; arrays
+    * write the STANDARD 3-level list layout
+    * (`group (LIST) { repeated group list { element } }` — exactly what
+    * Spark's own writer emits with writeLegacyFormat=false, so
+    * sink-written and COW-rewritten files read back identically) and
+    * structs nest as groups, both to any depth. The north-star columns
+    * this unlocks in a commitlog table: `embeddings.embedding`
+    * (array<float>), multimodal payloads (binary), the envelope struct. */
+  def parquetType(schema: StructType): MessageType =
+    new MessageType("spark_schema",
+      schema.fields.toSeq.map(f => typeFor(f.name, f.dataType)): _*)
+
+  private def typeFor(name: String, dt: DataType): Type = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val fields: Seq[Type] = schema.fields.toSeq.map { f =>
-      val b = f.dataType match {
-        case LongType => Types.optional(INT64)
-        case IntegerType => Types.optional(INT32)
-        case DoubleType => Types.optional(DOUBLE)
-        case FloatType => Types.optional(FLOAT)
-        case BooleanType => Types.optional(BOOLEAN)
-        case StringType => Types.optional(BINARY).as(stringType())
-        case TimestampType => Types.optional(INT64).as(
-          LogicalTypeAnnotation.timestampType(
-            true, LogicalTypeAnnotation.TimeUnit.MICROS))
-        case DateType => Types.optional(INT32).as(
-          LogicalTypeAnnotation.dateType())
-        case d: DecimalType if d.precision <= 18 =>
-          Types.optional(INT64).as(
-            LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case other =>
-          throw new IllegalArgumentException(
-            s"commitlog writer does not support $other (column ${f.name}) " +
-              "— flat primitive columns only; pre-serialize nested data")
-      }
-      b.named(f.name)
+    dt match {
+      case LongType => Types.optional(INT64).named(name)
+      case IntegerType => Types.optional(INT32).named(name)
+      case DoubleType => Types.optional(DOUBLE).named(name)
+      case FloatType => Types.optional(FLOAT).named(name)
+      case BooleanType => Types.optional(BOOLEAN).named(name)
+      case StringType => Types.optional(BINARY).as(stringType()).named(name)
+      case BinaryType => Types.optional(BINARY).named(name)
+      case TimestampType => Types.optional(INT64).as(
+        LogicalTypeAnnotation.timestampType(
+          true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case DateType => Types.optional(INT32).as(
+        LogicalTypeAnnotation.dateType()).named(name)
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(INT64).as(
+          LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case ArrayType(et, _) =>
+        Types.optionalList()
+          .setElementType(typeFor("element", et)).named(name)
+      case st: StructType =>
+        Types.optionalGroup()
+          .addFields(st.fields.toSeq.map(f => typeFor(f.name, f.dataType)): _*)
+          .named(name)
+      case other =>
+        throw new IllegalArgumentException(
+          s"commitlog writer does not support $other (column $name) " +
+            "— supported: flat primitives, binary, array, struct " +
+            "(pre-serialize maps/UDTs)")
     }
-    new MessageType("spark_schema", fields: _*)
   }
 
   def pad(epochId: Long): String = f"$epochId%020d"
@@ -1269,7 +1283,9 @@ class CommitLogDataWriter(
           case d: DecimalType =>
             val v = row.getDecimal(i, d.precision, d.scale)
             g.add(name, v.toUnscaledLong); box(i, v.toDouble)
-          case other => throw new IllegalStateException(s"unreachable: $other")
+          // binary/array/struct: no stats box (boxes are numeric
+          // ranges), values recurse through the group structure
+          case other => writeField(g, name, other, row, i)
         }
       }
       i += 1
@@ -1283,6 +1299,48 @@ class CommitLogDataWriter(
     }
     writer.write(g)
     rows += 1
+  }
+
+  /** One value into one group field, recursing through arrays (standard
+    * 3-level list groups: one repeated `list` group per element) and
+    * structs (nested groups, subfields written by name). `get` is the
+    * enclosing row/array/struct accessor and `i` the ordinal in it —
+    * InternalRow, ArrayData and nested InternalRows share the
+    * SpecializedGetters surface, so one recursion covers all depths. */
+  private def writeField(
+      g: org.apache.parquet.example.data.Group, name: String, dt: DataType,
+      get: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): Unit = dt match {
+    case LongType => g.add(name, get.getLong(i))
+    case IntegerType => g.add(name, get.getInt(i))
+    case DoubleType => g.add(name, get.getDouble(i))
+    case FloatType => g.add(name, get.getFloat(i))
+    case BooleanType => g.add(name, get.getBoolean(i))
+    case StringType => g.add(name, Binary.fromString(get.getUTF8String(i).toString))
+    case BinaryType => g.add(name, Binary.fromConstantByteArray(get.getBinary(i)))
+    case TimestampType => g.add(name, get.getLong(i))
+    case DateType => g.add(name, get.getInt(i))
+    case d: DecimalType =>
+      g.add(name, get.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+    case ArrayType(et, _) =>
+      val arr = get.getArray(i)
+      val lg = g.addGroup(name)
+      var j = 0
+      while (j < arr.numElements()) {
+        val eg = lg.addGroup("list")
+        if (!arr.isNullAt(j)) writeField(eg, "element", et, arr, j)
+        j += 1
+      }
+    case st: StructType =>
+      val sg = g.addGroup(name)
+      val sr = get.getStruct(i, st.length)
+      var j = 0
+      while (j < st.length) {
+        if (!sr.isNullAt(j))
+          writeField(sg, st(j).name, st(j).dataType, sr, j)
+        j += 1
+      }
+    case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
   private def box(i: Int, v: Double): Unit = {

@@ -150,6 +150,32 @@ class CommitLogStreamSpec extends SparkSpec {
     assert(chainMessage(e).contains("copy-on-write"), chainMessage(e))
   }
 
+  test("skipChangeCommits streams across COW and DV commits, emitting only pure appends") {
+    val root = freshRoot("skipcc")
+    appendAll(root, "b1" -> Seq(1L, 2L))
+    // v2: a COW rewrite (restates row 1, drops row 2)
+    writeBatch(root, "b1a", Seq(1L))
+    CommitLog.commit(root, 1, added = Seq("b1a"), removed = Seq("b1"))
+    // v3: a DV merge shape (adds a dv- batch, removes nothing)
+    Seq(("b1a/x.parquet", 0L)).toDF("_file", "_pos")
+      .write.parquet(s"$root/dv-m1")
+    CommitLog.commit(root, 2, added = Seq("dv-m1"))
+    // v4: a pure append — the only version the stream may emit rows for
+    writeBatch(root, "b2", Seq(9L))
+    CommitLog.commit(root, 3, added = Seq("b2"))
+    val q = spark.readStream.format("commitlog")
+      .option("path", root).option("skipChangeCommits", true)
+      .load()
+      .writeStream.format("memory").queryName("clsrc_skipcc_sink")
+      .option("checkpointLocation", freshRoot("skipcc_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table("clsrc_skipcc_sink").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 9L),
+      "expected v1's append + v4's append; v2 COW and v3 DV skipped")
+  }
+
   test("AvailableNow drains to the entry snapshot; later commits wait for the next run") {
     // the cap is taken in prepareForTriggerAvailableNow: pre-create the
     // stream, commit mid-definition is not observable deterministically

@@ -493,15 +493,17 @@ class CommitLogWriteSpec extends SparkSpec {
       "no watermark may advance for a rejected epoch")
   }
 
-  test("writer rejects non-primitive columns loudly") {
+  test("writer rejects unsupported column types loudly") {
+    // arrays/structs/binary are SUPPORTED since the nested-format work
+    // (CommitLogNestedSpec) — maps remain the documented refusal
     val root = freshRoot("reject")
     val err = intercept[Exception] {
-      Seq((1L, Seq(1, 2))).toDF("id", "arr")
+      Seq((1L, Map("k" -> 1))).toDF("id", "m")
         .write.format("commitlog").option("path", root).mode("append").save()
     }
     def chain(e: Throwable): String =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
-    assert(chain(err).contains("flat primitive columns only"))
+    assert(chain(err).contains("pre-serialize"))
   }
 }

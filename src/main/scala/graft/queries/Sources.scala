@@ -2701,6 +2701,154 @@ object Sources {
       snapshot(2).write.mode(SaveMode.Overwrite).parquet(s"$root/b2")
       commit(3, Seq("b2"), Nil)
       versionAggs(snapshot)
+    },
+
+    // S50: NESTED + BINARY columns in the commitlog table format — the
+    // engine's own north-star columns (embeddings' array<float>, a
+    // binary payload, a struct) living IN a commitlog table and
+    // composing with the lakehouse verbs: the DSv2 sink writes them
+    // (standard 3-level lists / groups — byte-compatible with Spark's
+    // own writer, so COW rewrites read back identically), DML deletes
+    // run through the leg dial, time travel serves the pre-delete
+    // snapshot, and the change feed materializes the deleted rows WITH
+    // their nested payloads. Values are content-checked three ways:
+    // the array through an exact integer-grid fold of element 1 (same
+    // IEEE ops in both engines), the binary by decoding it back to the
+    // key it encodes, the struct by recomputing its field. Reference
+    // bar: Delta/Iceberg both store these types; without this, L2/L3/L6
+    // operators needed a JSON/base64 detour around the lakehouse.
+    // CommitLogNestedSpec pins null/empty shapes, the DV row leg and
+    // the COW (Spark-written) read-back.
+    Decl(
+      "s50_commitlog_nested",
+      s"""WITH m AS (
+         |  SELECT vec_id,
+         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS e1
+         |  FROM embeddings)
+         |SELECT CAST(1 AS BIGINT) AS version, 'base' AS leg,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(e1) AS BIGINT) AS es,
+         |  CAST(count(*) AS BIGINT) AS pay_ok,
+         |  CAST(count(*) AS BIGINT) AS src_ok
+         |FROM m
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'after_delete',
+         |  CAST(count(*) AS BIGINT), CAST(sum(e1) AS BIGINT),
+         |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+         |FROM m WHERE vec_id % 7 <> 0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'cdf_delete',
+         |  CAST(count(*) AS BIGINT), CAST(sum(e1) AS BIGINT),
+         |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+         |FROM m WHERE vec_id % 7 = 0
+         |ORDER BY version, leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s50_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "embeddings")
+        .withColumn("payload", encode($"vec_id".cast("string"), "UTF-8"))
+        .withColumn("meta", struct(
+          concat(lit("s"), ($"vec_id" % 5).cast("string")).as("src"),
+          size($"embedding").as("dim")))
+        .write.format("commitlog").option("path", root).mode("append").save()
+      graft.sources.CommitLogDml.delete(s, root, "vec_id % 7 = 0",
+        changeFeed = true)
+      def legAgg(df: org.apache.spark.sql.DataFrame, v: Long, leg: String) =
+        df.agg(
+          count(lit(1)).as("n"),
+          sum(floor(element_at($"embedding", 1).cast("double") * 1000000.0
+            + 0.5).cast("long")).as("es"),
+          count(when(decode($"payload", "UTF-8") === $"vec_id".cast("string"),
+            1)).as("pay_ok"),
+          count(when($"meta.src" ===
+            concat(lit("s"), ($"vec_id" % 5).cast("string")) &&
+            $"meta.dim" === size($"embedding"), 1)).as("src_ok"))
+          .select(lit(v).as("version"), lit(leg).as("leg"),
+            $"n", $"es", $"pay_ok", $"src_ok")
+      val v1 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 1).load()
+      val v2 = s.read.format("commitlog").option("path", root).load()
+      val cdf = s.read.format("commitlog").option("path", root)
+        .option("readChangeFeed", true).option("startingVersion", 1).load()
+        .filter(col("_change_type") === "delete")
+      legAgg(v1, 1, "base")
+        .unionAll(legAgg(v2, 2, "after_delete"))
+        .unionAll(legAgg(cdf, 2, "cdf_delete"))
+        .orderBy("version", "leg")
+    },
+
+    // S51: the MAINTENANCE VERBS as SQL — Spark 4's DSv2 stored
+    // procedures (CALL catalog.system.<verb>, the Iceberg surface),
+    // implemented by GraftCatalog+GraftProcedures: OPTIMIZE compacts
+    // the three insert batches into one pack (dataChange=false),
+    // RESTORE rolls the table back to v3 (metadata-sized: 2 re-adds +
+    // 1 remove), VACUUM dry-runs retention, and DESCRIBE HISTORY is
+    // the history() procedure — the full audit trail of operations,
+    // batch deltas and dataChange flags is the oracle-checked output,
+    // alongside the verbs' own result rows and the post-restore row
+    // count. A SQL-only user can now run the table's whole lifecycle;
+    // before this, compaction/rollback/audit needed the Scala API.
+    Decl(
+      "s51_sql_maintenance",
+      s"""WITH c AS (
+         |  SELECT CAST(count(*) FILTER (WHERE o_orderkey % 4 = 0) AS INT) AS n0,
+         |    CAST(count(*) FILTER (WHERE o_orderkey % 4 = 1) AS INT) AS n1
+         |  FROM orders)
+         |SELECT 'history' AS leg, 1 AS version, 'CREATE TABLE' AS operation,
+         |  0 AS n_added, 0 AS n_removed, true AS data_change,
+         |  CAST(NULL AS BIGINT) AS n FROM c
+         |UNION ALL SELECT 'history', 2, 'WRITE', 1, 0, true, NULL FROM c
+         |UNION ALL SELECT 'history', 3, 'WRITE', 1, 0, true, NULL FROM c
+         |UNION ALL SELECT 'history', 4, 'WRITE', 1, 0, true, NULL FROM c
+         |UNION ALL SELECT 'history', 5, 'OPTIMIZE', 1, 3, false, NULL FROM c
+         |UNION ALL SELECT 'history', 6, 'RESTORE', 2, 1, true, NULL FROM c
+         |UNION ALL SELECT 'optimize_result', 5, NULL, 3, NULL, NULL, NULL FROM c
+         |UNION ALL SELECT 'restore_result', 6, NULL, 3, NULL, NULL, NULL FROM c
+         |UNION ALL SELECT 'vacuum_dry', NULL, NULL, 0, 0, NULL, 1 FROM c
+         |UNION ALL SELECT 'rows_after_restore', NULL, NULL, NULL, NULL, NULL,
+         |  CAST(n0 + n1 AS BIGINT) FROM c
+         |ORDER BY leg, version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s51_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt51", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt51.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt51.db")
+      s.sql("CREATE TABLE gt51.db.t (k BIGINT, p DOUBLE)")
+      val src = s"parquet.`$dir/orders.parquet`"
+      (0 to 2).foreach { q =>
+        s.sql(s"INSERT INTO gt51.db.t SELECT o_orderkey, o_totalprice " +
+          s"FROM $src WHERE o_orderkey % 4 = $q")
+      }
+      // small_bytes = 1 GiB: all three insert batches qualify → one pack
+      val opt = s.sql("CALL gt51.system.optimize(tbl => 'db.t', " +
+        "small_bytes => 1073741824)").head()
+      val res = s.sql(
+        "CALL gt51.system.restore(tbl => 'db.t', version => 3)").head()
+      // min_age_ms excludes the just-written dirs; keep_last covers all
+      // versions → a deterministic (0, 0, 1) dry-run
+      val vac = s.sql("CALL gt51.system.vacuum(tbl => 'db.t', " +
+        "keep_last => 10, min_age_ms => 3600000, dry_run => true)").head()
+      val nAfter = s.table("gt51.db.t").count()
+      val hist = s.sql("CALL gt51.system.history(tbl => 'db.t')")
+        .select(lit("history").as("leg"), $"version", $"operation",
+          $"n_added", $"n_removed", $"data_change",
+          lit(null).cast("long").as("n"))
+      val verbRows = Seq[(String, Option[Int], Option[String], Option[Int],
+          Option[Int], Option[Boolean], Option[Long])](
+        ("optimize_result", Some(opt.getInt(0)), None,
+          Some(opt.getInt(1)), None, None, None),
+        ("restore_result", Some(res.getInt(1)), None,
+          Some(res.getInt(0)), None, None, None),
+        ("vacuum_dry", None, None, Some(vac.getInt(0)),
+          Some(vac.getInt(1)), None, Some(vac.getInt(2).toLong)),
+        ("rows_after_restore", None, None, None, None, None, Some(nAfter)))
+        .toDF("leg", "version", "operation", "n_added", "n_removed",
+          "data_change", "n")
+        .select($"leg", $"version".cast("int"), $"operation".cast("string"),
+          $"n_added".cast("int"), $"n_removed".cast("int"),
+          $"data_change".cast("boolean"), $"n".cast("long"))
+      hist.unionAll(verbRows).orderBy("leg", "version")
     }
   )
 

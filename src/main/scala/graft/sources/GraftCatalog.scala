@@ -40,7 +40,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * costs what the log costs: table resolution is one `latestVersion`
   * listing, nothing table-sized. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ProcedureCatalog {
+
+  // ---- maintenance verbs as SQL (see [[GraftProcedures]]) ----
+  //
+  // `CALL <catalog>.system.optimize|vacuum|restore|history|clone(...)`
+  // — Spark 4's DSv2 stored procedures, resolving `tbl` arguments
+  // (`ns.table`) against this catalog's warehouse.
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new UnsupportedOperationException(
+        s"no procedure ${ident.namespace.mkString(".")}.${ident.name} — " +
+          s"available: system.{${GraftProcedures.Names.mkString(",")}}")
+    GraftProcedures.load(ident.name, ref => {
+      val parts = ref.split('.').toSeq
+      require(parts.nonEmpty && parts.forall(_.nonEmpty),
+        s"procedure table argument '$ref' — expected [ns.]table")
+      dirOf(Identifier.of(parts.init.toArray, parts.last))
+    })
+  }
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -503,6 +528,25 @@ class StagedCommitLogTable(
         // attempt, so a mid-race rival append falls INSIDE the replace
         val v = CommitLog.latestVersion(targetRoot)
         val live = CommitLog.files(targetRoot, v)
+        // re-check the stage-time gates against THIS attempt's version:
+        // a rival RENAME/DROP COLUMN (or partitioning change) landing
+        // between staging and commit could otherwise slip a REPLACE
+        // whose schema reuses a just-reserved name — exactly the
+        // zombie the stage-time gate refuses
+        val stagedParts = CommitLog.partColsOf(stageRoot, sv)
+        val inForce = CommitLog.partColsOf(targetRoot, v)
+        require(inForce == stagedParts,
+          s"REPLACE TABLE cannot change partitioning of $targetRoot " +
+            s"((${inForce.mkString(",")}) -> (${stagedParts.mkString(",")}))" +
+            ": partitioning is immutable for the table's lifetime")
+        val reserved =
+          CommitLog.formerNamesOf(targetRoot, v).values.flatten.toSet ++
+            CommitLog.droppedOf(targetRoot, v)
+        val zombie = tableSchema.fieldNames.filter(reserved.contains)
+        require(zombie.isEmpty,
+          s"REPLACE TABLE schema reuses renamed/dropped name(s) " +
+            s"${zombie.mkString(",")} of $targetRoot — old versions still " +
+            "resolve them through the column map; pick fresh names")
         // the old definition's constraints and column defaults die
         // with it — a REPLACE that kept them would reject writes the
         // new DDL permits / fill columns the new DDL never declared

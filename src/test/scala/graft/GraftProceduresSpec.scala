@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.CommitLog
+import org.apache.spark.sql.functions._
+
+/** The maintenance verbs as SQL (`CALL <cat>.system.<verb>` — Spark 4
+  * DSv2 stored procedures via GraftCatalog+GraftProcedures): history,
+  * optimize (both legs), vacuum (real sweep), restore, clone, and the
+  * unknown-procedure refusal. The s51 decl oracle-checks the full
+  * lifecycle; this suite pins the verbs individually. */
+class GraftProceduresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val d = java.nio.file.Files.createTempDirectory("proc_wh").toString
+    spark.conf.set("spark.sql.catalog.gtp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtp.warehouse", d)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtp.db")
+    d
+  }
+
+  private def mkTable(name: String, inserts: Int = 3): String = {
+    val warehouse = wh // force catalog registration first
+    spark.sql(s"CREATE TABLE gtp.db.$name (k BIGINT, v DOUBLE)")
+    (1 to inserts).foreach { i =>
+      spark.sql(s"INSERT INTO gtp.db.$name " +
+        s"SELECT id, id * 1.5 FROM range(${i * 10}, ${i * 10 + 5})")
+    }
+    s"$warehouse/db/$name"
+  }
+
+  test("history returns the audit trail; optimize compacts and is dataChange=false") {
+    mkTable("t1")
+    val opt = spark.sql("CALL gtp.system.optimize(tbl => 'db.t1', " +
+      "small_bytes => 1073741824)").head()
+    assert(opt.getInt(1) == 3) // three insert batches packed
+    val h = spark.sql("CALL gtp.system.history(tbl => 'db.t1')")
+      .select("version", "operation", "n_added", "n_removed", "data_change")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4)))
+    assert(h.toSeq == Seq(
+      (1, "CREATE TABLE", 0, 0, true),
+      (2, "WRITE", 1, 0, true), (3, "WRITE", 1, 0, true),
+      (4, "WRITE", 1, 0, true), (5, "OPTIMIZE", 1, 3, false)))
+    assert(spark.table("gtp.db.t1").count() == 15)
+  }
+
+  test("optimize with zorder_by takes the clustered leg") {
+    mkTable("t2")
+    val r = spark.sql("CALL gtp.system.optimize(tbl => 'db.t2', " +
+      "zorder_by => 'k,v', buckets => 2)").head()
+    assert(r.getInt(1) == 3) // all three batches re-clustered
+    assert(spark.table("gtp.db.t2").count() == 15)
+    assert(spark.table("gtp.db.t2").agg(sum($"k")).head().getLong(0) ==
+      (10 to 14).sum + (20 to 24).sum + (30 to 34).sum)
+  }
+
+  test("restore rolls back; vacuum (real) then expires the undone history") {
+    val root = mkTable("t3")
+    spark.sql("CALL gtp.system.restore(tbl => 'db.t3', version => 3)")
+    assert(spark.table("gtp.db.t3").count() == 10) // first two inserts
+    // real sweep: keep the last 2 versions, min age 0 — the v4 insert
+    // batch is now referenced by no retained manifest and is swept
+    val vac = spark.sql("CALL gtp.system.vacuum(tbl => 'db.t3', " +
+      "keep_last => 2, min_age_ms => 0)").head()
+    assert(vac.getInt(0) > 0, "expected expired manifests")
+    assert(spark.table("gtp.db.t3").count() == 10)
+    // expired versions are gone from history (time travel parity)
+    val minV = spark.sql("CALL gtp.system.history(tbl => 'db.t3')")
+      .agg(min($"version")).head().getInt(0)
+    assert(minV == CommitLog.latestVersion(root) - 1)
+  }
+
+  test("clone creates a zero-copy table readable at the cloned version") {
+    mkTable("t4", inserts = 2)
+    val c = spark.sql("CALL gtp.system.clone(tbl => 'db.t4', " +
+      "target => 'db.t4c')").head()
+    assert(c.getInt(0) == 1)
+    assert(spark.table("gtp.db.t4c").count() == 10)
+    // clone is independent: appends to the source don't leak in
+    spark.sql("INSERT INTO gtp.db.t4 SELECT id, 0.0 FROM range(5)")
+    assert(spark.table("gtp.db.t4c").count() == 10)
+  }
+
+  test("unknown procedures are refused with the available list") {
+    mkTable("t5", inserts = 1)
+    val e = intercept[Exception] {
+      spark.sql("CALL gtp.system.zap(tbl => 'db.t5')").collect()
+    }
+    assert(e.getMessage.contains("optimize") ||
+      Option(e.getCause).exists(_.getMessage.contains("optimize")))
+  }
+}

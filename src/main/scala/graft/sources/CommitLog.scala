@@ -1280,7 +1280,13 @@ object CommitLog {
     val current = files(root, cur)
     val added = target.filterNot(current.toSet)
     val removed = current.filterNot(target.toSet)
-    if (added.isEmpty && removed.isEmpty) return Commit(cur, 0)
+    // no-op only when METADATA agrees too: a restore across a
+    // rename/REPLACE may move no files yet still need to roll the
+    // schema and defaults facets back
+    if (added.isEmpty && removed.isEmpty &&
+        schemaOf(root, toVersion) == schemaOf(root, cur) &&
+        defaultsOf(root, toVersion) == defaultsOf(root, cur))
+      return Commit(cur, 0)
     // re-added batches bring their pruning metadata back with them —
     // "plan exactly like the old version" includes stats and blooms
     val addedSet = added.toSet
@@ -1294,10 +1300,23 @@ object CommitLog {
     // a restore is the one verb where that reversal is the point, and
     // it only ever re-records a DDL the table itself once declared.
     val reParts = snapT.parts.filter { case (b, _) => addedSet.contains(b) }
+    // the DEFAULTS facet rolls back with the schema: tombstone defaults
+    // not in force at the target, re-declare the target's where they
+    // differ — otherwise an INSERT after restore fills columns with a
+    // LATER definition's default (or a rename-migrated one), silently
+    // writing values the restored definition never declared (the same
+    // swap REPLACE TABLE runs)
+    val targetDefaults = defaultsOf(root, toVersion)
+    val curDefaults = defaultsOf(root, cur)
+    val defaultSwap: Map[String, Option[(String, String)]] =
+      curDefaults.keys.filterNot(targetDefaults.contains)
+        .map(_ -> (None: Option[(String, String)])).toMap ++
+        targetDefaults.filter { case (c, p) => !curDefaults.get(c).contains(p) }
+          .map { case (c, p) => c -> Some(p) }
     commit(root, cur, added = added, removed = removed,
       schema = schemaOf(root, toVersion), op = Some("RESTORE"),
       schemaRollback = true, stats = reStats, blooms = reBlooms,
-      parts = reParts, rows = reRows)
+      parts = reParts, rows = reRows, defaults = defaultSwap)
   }
 
   /** TIMESTAMP-based time travel: the highest still-readable version

@@ -89,4 +89,34 @@ class CommitLogDefaultSpec extends SparkSpec {
     assert(CommitLog.defaultsOf(root, CommitLog.latestVersion(root))
       .keySet == Set("t"))
   }
+
+  test("RESTORE rolls the defaults facet back with the schema") {
+    spark.sql("CREATE TABLE dft.db.rs (k BIGINT, s STRING DEFAULT 'old')")
+    spark.sql("INSERT INTO dft.db.rs (k) VALUES (1)") // v2
+    spark.sql("REPLACE TABLE dft.db.rs (k BIGINT, s STRING DEFAULT 'new')")
+    spark.sql("INSERT INTO dft.db.rs (k) VALUES (2)") // fills 'new'
+    val root = s"$wh/db/rs"
+    CommitLog.restore(root, 2)
+    // an INSERT after restore must fill the RESTORED definition's
+    // default — before the fix it silently wrote 'new'
+    spark.sql("INSERT INTO dft.db.rs (k) VALUES (3)")
+    val r = spark.sql("SELECT k, s FROM dft.db.rs ORDER BY k").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq((1L, "old"), (3L, "old")), r.mkString(","))
+    assert(CommitLog.defaultsOf(root, CommitLog.latestVersion(root))
+      .get("s").exists(_._1.contains("old")))
+  }
+
+  test("RESTORE across a pure-metadata rename rolls schema and default back") {
+    spark.sql("CREATE TABLE dft.db.rn (k BIGINT, s STRING DEFAULT 'a')")
+    spark.sql("INSERT INTO dft.db.rn (k) VALUES (1)") // v2
+    spark.sql("ALTER TABLE dft.db.rn RENAME COLUMN s TO s2") // v3, no files
+    val root = s"$wh/db/rn"
+    CommitLog.restore(root, 2) // moves no files — metadata-only restore
+    val schema = spark.table("dft.db.rn").schema.fieldNames.toSeq
+    assert(schema == Seq("k", "s"), schema.mkString(","))
+    spark.sql("INSERT INTO dft.db.rn (k) VALUES (2)")
+    assert(spark.sql("SELECT s FROM dft.db.rn WHERE k = 2").head()
+      .getString(0) == "a")
+  }
 }

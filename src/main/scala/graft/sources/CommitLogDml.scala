@@ -184,7 +184,13 @@ object CommitLogDml {
       val next = readV + 1
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val (added, removed, leg) =
-        if (changedFraction < dvFraction) {
+        if (changedFraction < dvFraction &&
+            affected + CommitLogMerge.outstandingDvRows(spark, root, dvs) <=
+              CommitLogMerge.dvCap(spark)) {
+          // fraction AND absolute-position dial (see CommitLogMerge.
+          // DvCapConf): past the cap, the COW leg pays the rewrite
+          // instead of growing plan-time DV state past what the
+          // driver may hold
           // ---- DV leg: positions (+ postimages for UPDATE) ----
           val dvBatch = s"${CommitLogMerge.DvPrefix}$next-$tag"
           matched.select(col("_file"), col("_pos"))

@@ -83,19 +83,51 @@ object CommitLogMerge {
   private[sources] def normDir(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  /** Hard ceiling on the deletion-vector positions a single table may
+    * carry into driver-side plan state (`dvPositionsByFile` collects
+    * them; 16M longs ≈ 128 MB). "Deletes-sized" is unbounded in
+    * adversarial workloads — 10⁹ outstanding sparse deletes would be
+    * ~8 GB of driver arrays — so the WRITE legs route past-cap
+    * statements to copy-on-write and the READ path refuses with
+    * compaction guidance instead of silently OOMing the driver. */
+  private[graft] val DvCapConf = "spark.graft.dv.maxPlannedPositions"
+  private[sources] val DvCapDefault: Long = 16L << 20
+
+  private[sources] def dvCap(spark: SparkSession): Long =
+    spark.conf.get(DvCapConf, DvCapDefault.toString).toLong
+
+  /** Total outstanding DV positions — a footer-count job, no data read. */
+  private[sources] def outstandingDvRows(
+      spark: SparkSession, root: String, dvs: Seq[String]): Long =
+    if (dvs.isEmpty) 0L
+    else spark.read
+      .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*).count()
+
   /** Outstanding deletion-vector positions grouped by the
     * scheme-stripped path of the data FILE they reference —
-    * deletes-sized by the MOR contract, collected once at plan time
-    * and attached to the file's partition for sequential skipping. */
+    * deletes-sized by the MOR contract AND capped (see [[DvCapConf]]),
+    * collected once at plan time and attached to the file's partition
+    * for sequential skipping. */
   private[sources] def dvPositionsByFile(
       spark: SparkSession, root: String,
       dvBatches: Seq[String]): Map[String, Array[Long]] =
     if (dvBatches.isEmpty) Map.empty
-    else spark.read
-      .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
-      .collect()
-      .groupBy(r => normDir(r.getAs[String]("_file")))
-      .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }
+    else {
+      val df = spark.read
+        .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
+      val total = df.count() // footer-only, no data pages
+      val cap = dvCap(spark)
+      if (total > cap)
+        throw new IllegalStateException(
+          s"$root carries $total outstanding deletion-vector positions " +
+            s"(> $DvCapConf = $cap): planning would materialize them on " +
+            "the driver — compact first (a COW merge or " +
+            "CommitLogOptimize.optimizeRepartition applies the vectors " +
+            "and drops them), or raise the cap")
+      df.collect()
+        .groupBy(r => normDir(r.getAs[String]("_file")))
+        .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }
+    }
 
   /** DV batches whose EVERY referenced data directory lies inside
     * `coveredDirs` — dead after a rewrite that removes those batches,
@@ -287,7 +319,12 @@ object CommitLogMerge {
             val b = s"m$next-$tag"
             inserts.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$b")
             (Seq(b), Nil, "append")
-          } else if (changedFraction < dvFraction) {
+          } else if (changedFraction < dvFraction &&
+              matchedU + matchedD +
+                outstandingDvRows(spark, root, dvs) <= dvCap(spark)) {
+            // fraction AND absolute-position dial: a sparse merge on a
+            // huge table can still exceed what plan-time DV collection
+            // may hold — past the cap, pay the COW rewrite instead
             // ---- DV leg: append positions + new rows ----
             val dvBatch = s"$DvPrefix$next-$tag"
             matched.filter(col("_op").isin("U", "D"))

@@ -2849,6 +2849,58 @@ object Sources {
           $"n_added".cast("int"), $"n_removed".cast("int"),
           $"data_change".cast("boolean"), $"n".cast("long"))
       hist.unionAll(verbRows).orderBy("leg", "version")
+    },
+
+    // S52 (r12): user TBLPROPERTIES as a log-governed facet — CREATE
+    // ... TBLPROPERTIES declares, ALTER TABLE SET/UNSET amends (one
+    // tombstoning commit each), SHOW TBLPROPERTIES reads the folded
+    // state, REPLACE TABLE swaps the set with the new definition's and
+    // RESTORE rolls it back with the schema (TblPropertiesSpec pins
+    // clone-carry, checkpoint/vacuum durability and the reserved-key
+    // refusal). Values ride base64 in the manifest, so any string is
+    // storable. The decl runs the full SQL lifecycle and emits the
+    // property set at three checkpoints plus the restored state.
+    Decl(
+      "s52_tblproperties",
+      s"""SELECT * FROM (VALUES
+         |  ('created', 'pii', 'false'),
+         |  ('created', 'team', 'data-eng'),
+         |  ('altered', 'pii', 'true'),
+         |  ('altered', 'tier', 'gold'),
+         |  ('replaced', 'tier', 'silver'),
+         |  ('replaced', 'zone', 'eu'),
+         |  ('restored', 'pii', 'true'),
+         |  ('restored', 'tier', 'gold')
+         |) AS t(stage, key, value)
+         |ORDER BY stage, key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s52_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt52", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt52.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt52.db")
+      val userKeys = Seq("pii", "team", "tier", "zone")
+      def stage(name: String): org.apache.spark.sql.DataFrame =
+        s.sql("SHOW TBLPROPERTIES gt52.db.p")
+          .filter($"key".isin(userKeys: _*))
+          .select(lit(name).as("stage"), $"key", $"value")
+      s.sql("CREATE TABLE gt52.db.p (k BIGINT) " +
+        "TBLPROPERTIES('team'='data-eng', 'pii'='false')")
+      s.sql(s"INSERT INTO gt52.db.p SELECT o_orderkey " +
+        s"FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 4 = 0")
+      val created = stage("created")
+      s.sql("ALTER TABLE gt52.db.p SET TBLPROPERTIES('pii'='true', 'tier'='gold')")
+      s.sql("ALTER TABLE gt52.db.p UNSET TBLPROPERTIES('team')")
+      val altered = stage("altered")
+      val preReplace = graft.sources.CommitLog
+        .latestVersion(s"$wh/db/p")
+      s.sql("REPLACE TABLE gt52.db.p (k BIGINT) " +
+        "TBLPROPERTIES('tier'='silver', 'zone'='eu')")
+      val replaced = stage("replaced")
+      graft.sources.CommitLog.restore(s"$wh/db/p", preReplace)
+      val restored = stage("restored")
+      created.unionAll(altered).unionAll(replaced).unionAll(restored)
+        .orderBy("stage", "key")
     }
   )
 

@@ -227,6 +227,7 @@ object CommitLog {
       stats = snap.stats.map { case (n, box) => ext(n) -> box },
       blooms = snap.blooms.map { case (n, bs) => ext(n) -> bs },
       constraints = constraintsOf(src, v),
+      props = tblPropsOf(src, v).map { case (k, p) => k -> Some(p) },
       // renamed/dropped-name state must ride along: the referenced
       // files answer through the source's name chains, and reserved
       // names stay reserved on the clone
@@ -402,8 +403,10 @@ object CommitLog {
       parts: Parts = Map.empty,
       partCols: Seq[String] = Nil,
       rows: Rows = Map.empty,
-      defaults: Map[String, Option[(String, String)]] = Map.empty): Boolean = {
+      defaults: Map[String, Option[(String, String)]] = Map.empty,
+      props: Map[String, Option[String]] = Map.empty): Boolean = {
     requireValidNames(added); requireValidNames(removed)
+    requireValidProps(props)
     requireValidStats(stats, added)
     requireValidBlooms(blooms, added)
     requireValidParts(parts, added)
@@ -463,8 +466,11 @@ object CommitLog {
     val defaultsField =
       if (defaults.isEmpty) ""
       else s""","default":${renderList(renderDefaults(defaults))}"""
+    val propsField =
+      if (props.isEmpty) ""
+      else s""","tblprops":${renderList(renderProps(props))}"""
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField$propsField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -835,6 +841,70 @@ object CommitLog {
         case _ => s
       }
     }
+
+  // ---- TABLE PROPERTIES-IN-MANIFEST ----
+  //
+  // SQL `CREATE TABLE … TBLPROPERTIES('k'='v')` / `ALTER TABLE … SET
+  // TBLPROPERTIES` / `UNSET TBLPROPERTIES` / `SHOW TBLPROPERTIES`:
+  // user key-value metadata versioned exactly like CHECK constraints
+  // and defaults — entries accumulate, an UNSET is a tombstone,
+  // checkpoints snapshot the folded state, REPLACE TABLE and RESTORE
+  // swap the whole set with the definition they install. Values ride
+  // base64 so any string is storable; keys must be grammar-safe.
+
+  /** User table properties in force (reserved catalog keys —
+    * provider/location/owner — are NEVER stored here). */
+  type TblProps = Map[String, String]
+
+  private[graft] val PropTombstone = "-"
+
+  private def requireValidProps(ps: Map[String, Option[String]]): Unit =
+    ps.foreach { case (k, _) =>
+      require(k.nonEmpty && !k.exists(",\"[]\\|".contains(_)),
+        s"table property key '$k' must be non-empty and grammar-safe")
+    }
+
+  private def renderProps(ps: Map[String, Option[String]]): Seq[String] =
+    ps.toSeq.sortBy(_._1).map {
+      case (k, None) => s"$k|$PropTombstone"
+      case (k, Some(v)) => s"$k|${b64e(v)}"
+    }
+
+  private def foldProps(state: TblProps, entries: Seq[String]): TblProps =
+    entries.foldLeft(state) { (s, entry) =>
+      entry.split('|') match {
+        case Array(k, PropTombstone) => s - k
+        case Array(k, v) => s + (k -> b64d(v))
+        case _ => s
+      }
+    }
+
+  /** The user table properties in force at `v`. */
+  def tblPropsOf(root: String, v: Int): TblProps = {
+    if (v == 0) return Map.empty
+    val (start, base) = latestCheckpointAtOrBelow(root, v) match {
+      case Some((cv, _)) =>
+        (cv, foldProps(Map.empty,
+          listField(textOf(ckptPath(root, cv)), "tblprops")))
+      case None => (0, Map.empty: TblProps)
+    }
+    ((start + 1) to v).foldLeft(base) { (state, i) =>
+      foldProps(state, listField(textOf(manifest(root, i)), "tblprops"))
+    }
+  }
+
+  /** The tombstone-and-redeclare delta that moves the properties in
+    * force at `fromV` to exactly `target` — what REPLACE TABLE and
+    * RESTORE commit (shared so the two verbs can never drift). */
+  private[sources] def propSwap(
+      root: String, fromV: Int,
+      target: TblProps): Map[String, Option[String]] = {
+    val cur = tblPropsOf(root, fromV)
+    cur.keys.filterNot(target.contains)
+      .map(_ -> (None: Option[String])).toMap ++
+      target.filter { case (k, v) => !cur.get(k).contains(v) }
+        .map { case (k, v) => k -> Some(v) }
+  }
 
   /** The column defaults in force at `v`. */
   def defaultsOf(root: String, v: Int): Defaults = {
@@ -1285,7 +1355,8 @@ object CommitLog {
     // schema and defaults facets back
     if (added.isEmpty && removed.isEmpty &&
         schemaOf(root, toVersion) == schemaOf(root, cur) &&
-        defaultsOf(root, toVersion) == defaultsOf(root, cur))
+        defaultsOf(root, toVersion) == defaultsOf(root, cur) &&
+        tblPropsOf(root, toVersion) == tblPropsOf(root, cur))
       return Commit(cur, 0)
     // re-added batches bring their pruning metadata back with them —
     // "plan exactly like the old version" includes stats and blooms
@@ -1316,7 +1387,8 @@ object CommitLog {
     commit(root, cur, added = added, removed = removed,
       schema = schemaOf(root, toVersion), op = Some("RESTORE"),
       schemaRollback = true, stats = reStats, blooms = reBlooms,
-      parts = reParts, rows = reRows, defaults = defaultSwap)
+      parts = reParts, rows = reRows, defaults = defaultSwap,
+      props = propSwap(root, cur, tblPropsOf(root, toVersion)))
   }
 
   /** TIMESTAMP-based time travel: the highest still-readable version
@@ -1388,8 +1460,13 @@ object CommitLog {
         if (dfs.isEmpty) ""
         else s""","default":${renderList(renderDefaults(
           dfs.map { case (c, p) => c -> Some(p) }))}"""
+      val tps = tblPropsOf(root, v)
+      val propsField =
+        if (tps.isEmpty) ""
+        else s""","tblprops":${renderList(renderProps(
+          tps.map { case (k, p) => k -> Some(p) }))}"""
       atomicCreate(ckptPath(root, v),
-        s"""{"files":${renderList(snap.files)}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField}""")
+        s"""{"files":${renderList(snap.files)}$schemaField$statsField$txnField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField$propsField}""")
     }
   }
 
@@ -1558,7 +1635,8 @@ object CommitLog {
       parts: Parts = Map.empty,
       partCols: Seq[String] = Nil,
       rows: Rows = Map.empty,
-      defaults: Map[String, Option[(String, String)]] = Map.empty): Commit = {
+      defaults: Map[String, Option[(String, String)]] = Map.empty,
+      props: Map[String, Option[String]] = Map.empty): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1654,7 +1732,7 @@ object CommitLog {
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
           dataChange, op, blooms, constraints, colMap, droppedCols,
-          parts, partCols, rows, defaults)) {
+          parts, partCols, rows, defaults, props)) {
         if ((base + 1) % checkpointInterval == 0)
           writeCheckpoint(root, base + 1)
         return Commit(base + 1, attempts)

@@ -693,6 +693,9 @@ class CommitLogTable(
     m.put("provider", "commitlog")
     m.put("location", root)
     val v = CommitLog.latestVersion(root)
+    // stored user TBLPROPERTIES first: the connector's computed keys
+    // below always win a collision (they state live log facts)
+    CommitLog.tblPropsOf(root, v).foreach { case (k, pv) => m.put(k, pv) }
     m.put("version", v.toString)
     if (v > 0) {
       val snap = CommitLog.snapshotAt(root, v)

@@ -39,6 +39,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * exactly as it does for path-addressed use. At 100 TB the catalog
   * costs what the log costs: table resolution is one `latestVersion`
   * listing, nothing table-sized. */
+object GraftCatalog {
+  /** Catalog-reserved keys that must never enter the stored facet —
+    * the connector computes/owns them (see CommitLogTable.properties). */
+  private[sources] val ReservedProps: Set[String] =
+    Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+
+  /** The user TBLPROPERTIES of a CREATE/REPLACE, as the facet delta. */
+  private[sources] def userProps(
+      properties: java.util.Map[String, String])
+      : Map[String, Option[String]] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap
+      .filterNot { case (k, _) => ReservedProps.contains(k) }
+      .map { case (k, v) => k -> Some(v) }
+  }
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with StagingTableCatalog with ProcedureCatalog {
 
@@ -239,6 +258,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
       schema = Some(CommitLog.bareDdl(schema)), partCols = partCols,
       defaults = extractDefaults(schema),
+      props = GraftCatalog.userProps(properties),
       op = Some("CREATE TABLE"))
     new CommitLogTable(root, schema)
   }
@@ -270,7 +290,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def stage(
       ident: Identifier, schema: StructType,
-      partitions: Array[Transform], replace: Boolean): StagedTable = {
+      partitions: Array[Transform], replace: Boolean,
+      properties: java.util.Map[String, String]): StagedTable = {
     val partCols = identityPartCols(schema, partitions)
     val target = dirOf(ident)
     if (replace) {
@@ -298,6 +319,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     CommitLog.commit(stageRoot, 0, added = Nil,
       schema = Some(CommitLog.bareDdl(schema)), partCols = partCols,
       defaults = extractDefaults(schema),
+      props = GraftCatalog.userProps(properties),
       op = Some("CREATE TABLE"))
     new StagedCommitLogTable(stageRoot, target, schema, replace,
       onAbort = () => deleteTree(java.nio.file.Paths.get(stageRoot)))
@@ -310,7 +332,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
-    stage(ident, schema, partitions, replace = false)
+    stage(ident, schema, partitions, replace = false, properties)
   }
 
   override def stageReplace(
@@ -320,14 +342,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace :+ ident.name).toSeq)
-    stage(ident, schema, partitions, replace = true)
+    stage(ident, schema, partitions, replace = true, properties)
   }
 
   override def stageCreateOrReplace(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable =
-    stage(ident, schema, partitions, replace = tableExists(ident))
+    stage(ident, schema, partitions, replace = tableExists(ident),
+      properties)
 
   /** ALTER TABLE: RENAME COLUMN / DROP COLUMN map onto the
     * column-mapping verbs; ADD COLUMN onto additive evolution. Each
@@ -375,6 +398,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .add(c.fieldNames.head, c.dataType, nullable = true)
         CommitLog.commit(root, v, added = Nil, schema = Some(next.toDDL),
           op = Some("ADD COLUMN"))
+      case c: TableChange.SetProperty =>
+        require(!GraftCatalog.ReservedProps.contains(c.property),
+          s"'${c.property}' is a reserved catalog property")
+        CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
+          props = Map(c.property -> Some(c.value)),
+          op = Some("SET TBLPROPERTIES"))
+      case c: TableChange.RemoveProperty =>
+        require(!GraftCatalog.ReservedProps.contains(c.property),
+          s"'${c.property}' is a reserved catalog property")
+        if (CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
+            .contains(c.property))
+          CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
+            props = Map(c.property -> None),
+            op = Some("UNSET TBLPROPERTIES"))
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported on commitlog tables")
@@ -553,6 +590,9 @@ class StagedCommitLogTable(
         val tombstones = CommitLog.constraintsOf(targetRoot, v)
           .map { case (n, _) => n -> CommitLog.ConstraintTombstone }
         val newDefaults = CommitLog.defaultsOf(stageRoot, sv)
+        // the stored TBLPROPERTIES swap with the new definition too
+        val propSwap = CommitLog.propSwap(
+          targetRoot, v, CommitLog.tblPropsOf(stageRoot, sv))
         val defaultSwap: Map[String, Option[(String, String)]] =
           CommitLog.defaultsOf(targetRoot, v).keys
             .filterNot(newDefaults.contains)
@@ -566,6 +606,7 @@ class StagedCommitLogTable(
             partCols = CommitLog.partColsOf(stageRoot, sv),
             constraints = tombstones,
             defaults = defaultSwap,
+            props = propSwap,
             op = Some("REPLACE TABLE"))) {
           if ((v + 1) % CommitLog.checkpointInterval == 0)
             CommitLog.writeCheckpoint(targetRoot, v + 1)

@@ -14,6 +14,30 @@ object Scratch {
     }
 
     val names = if (args.nonEmpty) args.toSeq else Seq("l2_ngram_jaccard")
+    if (names == Seq("scan_ab")) {
+      // A/B the vectorized commitlog snapshot scan against
+      // spark.read.parquet on the SAME files, at the given fixture's
+      // lineitem scale — the 100 TB-shaped throughput number
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("scanab").toString
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      time("load commitlog table")(
+        li.write.format("commitlog").option("path", root)
+          .mode("append").save())
+      val files = graft.sources.CommitLog
+        .files(root, graft.sources.CommitLog.latestVersion(root))
+        .flatMap(graft.sources.CommitLogSource.listParquet(root, _))
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.agg(sum($"l_extendedprice"), sum(length($"l_returnflag")),
+          max($"l_shipdate"), count(lit(1))).collect()
+      (1 to 3).foreach { i =>
+        time(s"commitlog scan $i")(
+          agg(spark.read.format("commitlog").option("path", root).load()))
+        time(s"parquet scan $i")(agg(spark.read.parquet(files: _*)))
+      }
+      spark.stop(); return
+    }
     if (names == Seq("ngram_stages")) {
       import org.apache.spark.sql.functions._
       import spark.implicits._

@@ -1799,7 +1799,8 @@ class CommitLogPartitionReader(
     case BooleanType => Boolean.box(g.getBoolean(fi, idx))
     case StringType => UTF8String.fromString(g.getString(fi, idx))
     case BinaryType => g.getBinary(fi, idx).getBytes
-    case TimestampType => Long.box(readTimestampMicros(g, fi, idx))
+    case TimestampType | TimestampNTZType =>
+      Long.box(readTimestampMicros(g, fi, idx))
     case DateType => Int.box(g.getInteger(fi, idx))
     case d: DecimalType if d.precision <= 18 =>
       // Spark's writer picks INT32 storage below precision 10; the

@@ -86,6 +86,9 @@ object CommitLogWrite {
       case TimestampType => Types.optional(INT64).as(
         LogicalTypeAnnotation.timestampType(
           true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case TimestampNTZType => Types.optional(INT64).as(
+        LogicalTypeAnnotation.timestampType(
+          false, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
       case DateType => Types.optional(INT32).as(
         LogicalTypeAnnotation.dateType()).named(name)
       case d: DecimalType if d.precision <= 18 =>
@@ -1274,7 +1277,7 @@ class CommitLogDataWriter(
           case BooleanType => g.add(name, row.getBoolean(i))
           case StringType =>
             g.add(name, Binary.fromString(row.getUTF8String(i).toString))
-          case TimestampType =>
+          case TimestampType | TimestampNTZType =>
             // InternalRow carries micros-since-epoch, the file's
             // declared unit — box as micros so time filters prune
             val v = row.getLong(i); g.add(name, v); box(i, v.toDouble)
@@ -1318,7 +1321,7 @@ class CommitLogDataWriter(
     case BooleanType => g.add(name, get.getBoolean(i))
     case StringType => g.add(name, Binary.fromString(get.getUTF8String(i).toString))
     case BinaryType => g.add(name, Binary.fromConstantByteArray(get.getBinary(i)))
-    case TimestampType => g.add(name, get.getLong(i))
+    case TimestampType | TimestampNTZType => g.add(name, get.getLong(i))
     case DateType => g.add(name, get.getInt(i))
     case d: DecimalType =>
       g.add(name, get.getDecimal(i, d.precision, d.scale).toUnscaledLong)

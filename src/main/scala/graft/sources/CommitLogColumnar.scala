@@ -87,7 +87,8 @@ object CommitLogColumnar {
 class CommitLogColumnarReader(
     file: String, schema: StructType,
     formers: Map[String, Seq[String]],
-    baseConf: Configuration)
+    baseConf: Configuration,
+    fileLength: Long = -1L)
     extends PartitionReader[ColumnarBatch] {
 
   // per-file copy: the requested schema differs per file under renames,
@@ -118,7 +119,11 @@ class CommitLogColumnarReader(
 
   private val reader: VectorizedParquetRecordReader = {
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
-    val len = path.getFileSystem(conf).getFileStatus(path).getLen
+    // planning hands the length from its own directory listing (files
+    // are immutable once committed); only ad-hoc callers re-stat
+    val len =
+      if (fileLength >= 0) fileLength
+      else path.getFileSystem(conf).getFileStatus(path).getLen
     val split = new FileSplit(path, 0, len, Array.empty[String])
     val ctx = new TaskAttemptContextImpl(conf, new TaskAttemptID())
     val r = new VectorizedParquetRecordReader(

@@ -156,7 +156,14 @@ object CommitLogSource {
   /** The visible parquet part files of one committed batch, sorted by
     * name. Batches are immutable once committed, so this listing is
     * replay-stable. */
-  def listParquet(root: String, batch: String): Seq[String] = {
+  def listParquet(root: String, batch: String): Seq[String] =
+    listParquetStatus(root, batch).map(_._1)
+
+  /** As [[listParquet]], keeping each file's LENGTH from the same
+    * directory listing — planning hands it to the vectorized reader's
+    * split so executors never re-stat the file (at 100 TB, one saved
+    * namenode RPC per file-task). */
+  def listParquetStatus(root: String, batch: String): Seq[(String, Long)] = {
     val dir = new Path(CommitLog.batchPath(root, batch))
     val fs = FileSystem.get(dir.toUri, hadoopConf())
     if (!fs.exists(dir)) return Nil
@@ -165,7 +172,7 @@ object CommitLogSource {
         val n = st.getPath.getName
         !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
       })
-      .map(_.getPath.toString).sorted.toSeq
+      .map(st => st.getPath.toString -> st.getLen).sortBy(_._1).toSeq
   }
 
   /** Read a set of committed batches AS THE LOG'S TABLE, not as loose
@@ -1261,10 +1268,11 @@ case class CommitLogScan(
         // scans plan the same files unkeyed
         val key =
           if (keyedByPartition) tupleTokensOf(b).map(keyRowOf) else None
-        CommitLogSource.listParquet(root, b).map { f =>
+        CommitLogSource.listParquetStatus(root, b).map { case (f, len) =>
           val base = CommitLogInputPartition(f,
             deletedPositions = deletedByFile.getOrElse(
-              CommitLogMerge.normDir(f), Array.empty))
+              CommitLogMerge.normDir(f), Array.empty),
+            fileLength = len)
           key.map(CommitLogKeyedInputPartition(base, _))
             .getOrElse(base): InputPartition
         }
@@ -1554,9 +1562,11 @@ class CommitLogMicroBatchStream(
             s"v${ch.version} removes ${ch.removed.mkString(",")}: a tail " +
               "emits appends only and cannot retract — set ignoreDeletes " +
               "to skip delete commits")
-        ch.added.flatMap(CommitLogSource.listParquet(root, _))
+        ch.added.flatMap(CommitLogSource.listParquetStatus(root, _))
       }
-    }.map(f => CommitLogInputPartition(f): InputPartition).toArray
+    }.map { case (f, len) =>
+      CommitLogInputPartition(f, fileLength = len): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1595,7 +1605,8 @@ case class CommitLogStreamOffset(version: Int)
   * ignored by snapshot scans (their schema lacks the CDF columns). */
 case class CommitLogInputPartition(
     file: String, constChangeType: Option[String] = None, version: Int = -1,
-    deletedPositions: Array[Long] = Array.empty)
+    deletedPositions: Array[Long] = Array.empty,
+    fileLength: Long = -1L) // -1 = unknown; columnar reader re-stats
     extends InputPartition
 
 /** A file partition of a STORAGE-PARTITIONED scan: the wrapped
@@ -1675,9 +1686,11 @@ case class CommitLogReaderFactory(
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
   override def createColumnarReader(
-      partition: InputPartition): PartitionReader[ColumnarBatch] =
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = unwrap(partition)
     new CommitLogColumnarReader(
-      unwrap(partition).file, schema, formers, columnarConf.get.value)
+      p.file, schema, formers, columnarConf.get.value, p.fileLength)
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = unwrap(partition)
     new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version,

@@ -2901,6 +2901,88 @@ object Sources {
       val restored = stage("restored")
       created.unionAll(altered).unionAll(replaced).unionAll(restored)
         .orderBy("stage", "key")
+    },
+
+    // S53: MAP columns in the commitlog table format — the last
+    // composite type the format refused (the old contract said
+    // "pre-serialize maps"). The sink writes Spark's standard MAP
+    // layout (`group (MAP) { repeated group key_value { required key;
+    // optional value } }` — byte-compatible with Spark's own writer,
+    // so COW rewrites read back identically), the vectorized leg
+    // decodes it natively, and the row leg (DV skips / CDF stamps)
+    // mirrors it recursively. The decl types `events.props` (the
+    // fixture's JSON envelope) into map<string,int> — WITH a
+    // null-valued entry exercising optional values — plus a
+    // map<string,array<double>> for depth, runs a leg-dialed DML
+    // delete, and content-checks v1 / v2 / the CDF deletes through
+    // the map accessors against DuckDB recomputing from raw columns.
+    // Reference bar: Delta/Iceberg both store maps; events-style
+    // property bags previously needed the JSON-string detour.
+    // CommitLogNestedSpec pins empty/null maps, the DV row leg, the
+    // COW read-back; CommitLogNestedProps fuzzes both legs.
+    Decl(
+      "s53_commitlog_map",
+      s"""WITH m AS (
+         |  SELECT event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS INT) AS kv,
+         |    CAST(user_id % 100 AS INT) AS uv,
+         |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS z_set,
+         |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS wv
+         |  FROM events)
+         |SELECT CAST(1 AS BIGINT) AS version, 'base' AS leg,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(kv) AS BIGINT) AS ks,
+         |  CAST(sum(uv) AS BIGINT) AS us,
+         |  CAST(sum(z_set) AS BIGINT) AS zs,
+         |  CAST(sum(wv) AS BIGINT) AS ws
+         |FROM m
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'after_delete',
+         |  CAST(count(*) AS BIGINT), CAST(sum(kv) AS BIGINT),
+         |  CAST(sum(uv) AS BIGINT), CAST(sum(z_set) AS BIGINT),
+         |  CAST(sum(wv) AS BIGINT)
+         |FROM m WHERE event_id % 7 <> 0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'cdf_delete',
+         |  CAST(count(*) AS BIGINT), CAST(sum(kv) AS BIGINT),
+         |  CAST(sum(uv) AS BIGINT), CAST(sum(z_set) AS BIGINT),
+         |  CAST(sum(wv) AS BIGINT)
+         |FROM m WHERE event_id % 7 = 0
+         |ORDER BY version, leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s53_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events")
+        .select($"event_id",
+          map(
+            lit("k"), get_json_object($"props", "$.k").cast("int"),
+            lit("u"), ($"user_id" % 100).cast("int"),
+            lit("z"), when($"event_id" % 3 === 0, lit(1).cast("int")))
+            .as("m"),
+          map(lit("w"), array($"value", $"value" * 2)).as("mm"))
+        .write.format("commitlog").option("path", root).mode("append").save()
+      graft.sources.CommitLogDml.delete(s, root, "event_id % 7 = 0",
+        changeFeed = true)
+      def legAgg(df: org.apache.spark.sql.DataFrame, v: Long, leg: String) =
+        df.agg(
+          count(lit(1)).as("n"),
+          sum(element_at($"m", "k").cast("long")).as("ks"),
+          sum(element_at($"m", "u").cast("long")).as("us"),
+          count(element_at($"m", "z")).as("zs"),
+          sum(floor(element_at(element_at($"mm", "w"), 1) * 1000000.0 + 0.5)
+            .cast("long")).as("ws"))
+          .select(lit(v).as("version"), lit(leg).as("leg"),
+            $"n", $"ks", $"us", $"zs", $"ws")
+      val v1 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 1).load()
+      val v2 = s.read.format("commitlog").option("path", root).load()
+      val cdf = s.read.format("commitlog").option("path", root)
+        .option("readChangeFeed", true).option("startingVersion", 1).load()
+        .filter(col("_change_type") === "delete")
+      legAgg(v1, 1, "base")
+        .unionAll(legAgg(v2, 2, "after_delete"))
+        .unionAll(legAgg(cdf, 2, "cdf_delete"))
+        .orderBy("version", "leg")
     }
   )
 

@@ -1855,6 +1855,26 @@ class CommitLogPartitionReader(
         j += 1
       }
       out
+    case MapType(kt, vt, _) =>
+      // standard MAP layout: field 0 of the MAP group is the repeated
+      // `key_value` group — key at subfield 0 (required), value at
+      // subfield 1 (optional: absent means a null map value)
+      val mg = g.getGroup(fi, idx)
+      val n = mg.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val kv = mg.getGroup(0, j)
+        keys(j) = readValue(kv, 0, 0, kt)
+        vals(j) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else readValue(kv, 1, 0, vt)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
     case other =>
       throw new IllegalArgumentException(
         s"commitlog reader does not support $other — project it out " +

@@ -65,47 +65,62 @@ object CommitLogWrite {
     * write the STANDARD 3-level list layout
     * (`group (LIST) { repeated group list { element } }` — exactly what
     * Spark's own writer emits with writeLegacyFormat=false, so
-    * sink-written and COW-rewritten files read back identically) and
-    * structs nest as groups, both to any depth. The north-star columns
-    * this unlocks in a commitlog table: `embeddings.embedding`
-    * (array<float>), multimodal payloads (binary), the envelope struct. */
+    * sink-written and COW-rewritten files read back identically),
+    * structs nest as groups, and maps write the standard MAP layout
+    * (`group (MAP) { repeated group key_value { required key;
+    * optional value } }` — Spark's own non-legacy shape), all to any
+    * depth. The north-star columns this unlocks in a commitlog table:
+    * `embeddings.embedding` (array<float>), multimodal payloads
+    * (binary), the envelope struct, `events.props`-style maps. */
   def parquetType(schema: StructType): MessageType =
     new MessageType("spark_schema",
       schema.fields.toSeq.map(f => typeFor(f.name, f.dataType)): _*)
 
-  private def typeFor(name: String, dt: DataType): Type = {
+  private def typeFor(
+      name: String, dt: DataType,
+      rep: Type.Repetition = Type.Repetition.OPTIONAL): Type = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     dt match {
-      case LongType => Types.optional(INT64).named(name)
-      case IntegerType => Types.optional(INT32).named(name)
-      case DoubleType => Types.optional(DOUBLE).named(name)
-      case FloatType => Types.optional(FLOAT).named(name)
-      case BooleanType => Types.optional(BOOLEAN).named(name)
-      case StringType => Types.optional(BINARY).as(stringType()).named(name)
-      case BinaryType => Types.optional(BINARY).named(name)
-      case TimestampType => Types.optional(INT64).as(
+      case LongType => Types.primitive(INT64, rep).named(name)
+      case IntegerType => Types.primitive(INT32, rep).named(name)
+      case DoubleType => Types.primitive(DOUBLE, rep).named(name)
+      case FloatType => Types.primitive(FLOAT, rep).named(name)
+      case BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+      case StringType =>
+        Types.primitive(BINARY, rep).as(stringType()).named(name)
+      case BinaryType => Types.primitive(BINARY, rep).named(name)
+      case TimestampType => Types.primitive(INT64, rep).as(
         LogicalTypeAnnotation.timestampType(
           true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
-      case TimestampNTZType => Types.optional(INT64).as(
+      case TimestampNTZType => Types.primitive(INT64, rep).as(
         LogicalTypeAnnotation.timestampType(
           false, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
-      case DateType => Types.optional(INT32).as(
+      case DateType => Types.primitive(INT32, rep).as(
         LogicalTypeAnnotation.dateType()).named(name)
       case d: DecimalType if d.precision <= 18 =>
-        Types.optional(INT64).as(
+        Types.primitive(INT64, rep).as(
           LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
       case ArrayType(et, _) =>
-        Types.optionalList()
+        Types.list(rep)
           .setElementType(typeFor("element", et)).named(name)
       case st: StructType =>
-        Types.optionalGroup()
+        Types.buildGroup(rep)
           .addFields(st.fields.toSeq.map(f => typeFor(f.name, f.dataType)): _*)
+          .named(name)
+      case MapType(kt, vt, _) =>
+        // Spark's map-key invariant (keys never null) maps onto the
+        // layout's required key; valueContainsNull onto optional value
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addFields(typeFor("key", kt, Type.Repetition.REQUIRED),
+              typeFor("value", vt))
+            .named("key_value"))
           .named(name)
       case other =>
         throw new IllegalArgumentException(
           s"commitlog writer does not support $other (column $name) " +
-            "— supported: flat primitives, binary, array, struct " +
-            "(pre-serialize maps/UDTs)")
+            "— supported: flat primitives, binary, array, struct, map " +
+            "(pre-serialize UDTs)")
     }
   }
 
@@ -1341,6 +1356,21 @@ class CommitLogDataWriter(
       while (j < st.length) {
         if (!sr.isNullAt(j))
           writeField(sg, st(j).name, st(j).dataType, sr, j)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      // standard MAP layout: one repeated `key_value` group per entry;
+      // keys are required (Spark's invariant), null values omit the
+      // optional `value` field
+      val map = get.getMap(i)
+      val keys = map.keyArray()
+      val vals = map.valueArray()
+      val mg = g.addGroup(name)
+      var j = 0
+      while (j < map.numElements()) {
+        val kv = mg.addGroup("key_value")
+        writeField(kv, "key", kt, keys, j)
+        if (!vals.isNullAt(j)) writeField(kv, "value", vt, vals, j)
         j += 1
       }
     case other => throw new IllegalStateException(s"unreachable: $other")

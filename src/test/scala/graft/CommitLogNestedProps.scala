@@ -26,7 +26,11 @@ object CommitLogNestedProps extends Properties("graft.commitlognested") {
       StructField("dim", IntegerType),
       StructField("w", ArrayType(DoubleType, containsNull = true))))),
     StructField("amts", ArrayType(DecimalType(12, 2), containsNull = true)),
-    StructField("ts", TimestampType)))
+    StructField("ts", TimestampType),
+    StructField("props", MapType(StringType, IntegerType,
+      valueContainsNull = true)),
+    StructField("vecs", MapType(StringType,
+      ArrayType(DoubleType, containsNull = true)))))
 
   private val genFloat: Gen[Any] = Gen.frequency(
     8 -> Gen.chooseNum(-1e6f, 1e6f).map(f => f: Any),
@@ -72,7 +76,25 @@ object CommitLogNestedProps extends Properties("graft.commitlognested") {
       6 -> Gen.chooseNum(0L, 4102444800000L)
         .map(ms => new java.sql.Timestamp(ms): Any),
       1 -> Gen.const(null: Any))
-  } yield (id: Long) => Row(id, emb, pay, tags, meta, amts, ts)
+    // map keys are non-null by Spark's invariant; values may be null
+    props <- Gen.frequency(
+      5 -> Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, for {
+        k <- Gen.alphaNumStr.map(s => "k" + s.take(6))
+        v <- Gen.frequency(
+          5 -> Gen.chooseNum(-1000, 1000).map(i => i: Any),
+          1 -> Gen.const(null: Any))
+      } yield (k, v)).map(_.toMap: Any)),
+      1 -> Gen.const(Map.empty[String, Any]: Any),
+      1 -> Gen.const(null: Any))
+    vecs <- Gen.frequency(
+      5 -> Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, for {
+        k <- Gen.oneOf("w", "x", "y", "zz")
+        v <- arr(Gen.frequency(
+          6 -> Gen.chooseNum(-1e9, 1e9).map(d => d: Any),
+          1 -> Gen.const(null: Any)))
+      } yield (k, v)).map(_.toMap: Any)),
+      1 -> Gen.const(null: Any))
+  } yield (id: Long) => Row(id, emb, pay, tags, meta, amts, ts, props, vecs)
 
   /** Canonical form for cross-leg comparison (Seq kinds and byte-array
     * identity differ; values must not). */
@@ -80,6 +102,9 @@ object CommitLogNestedProps extends Properties("graft.commitlognested") {
     case null => null
     case b: Array[Byte] => b.toSeq
     case s: scala.collection.Seq[_] => s.map(canon).toList
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => (canon(k), canon(mv)) }
+        .toList.sortBy(_._1.toString)
     case r: Row => r.toSeq.map(canon).toList
     case f: Float if f.isNaN => "NaN:f"
     case d: Double if d.isNaN => "NaN:d"

@@ -1,9 +1,6 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
-import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{MessageType, PrimitiveType, Type, Types}
 import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -122,6 +119,36 @@ object CommitLogWrite {
             "— supported: flat primitives, binary, array, struct, map " +
             "(pre-serialize UDTs)")
     }
+  }
+
+  /** A parquet writer that consumes [[InternalRow]]s directly through
+    * Spark's own `ParquetWriteSupport` — the identical record-consumer
+    * path `df.write.parquet` uses, so the sink's files carry the exact
+    * standard layout (3-level lists, key_value maps, nested groups,
+    * micros timestamps) with zero per-row materialization. */
+  def internalRowWriter(path: Path, schema: StructType)
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val conf = new org.apache.hadoop.conf.Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // ParquetWriteSupport and SparkToParquetSchemaConverter read these
+    // keys RAW (an unset key would NPE), so every one is pinned: the
+    // non-legacy standard layout, and the readers' declared time unit
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "true")
+    new InternalRowWriterBuilder(path).withConf(conf).build()
+  }
+
+  private class InternalRowWriterBuilder(path: Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        InternalRow, InternalRowWriterBuilder](path) {
+    override def self(): InternalRowWriterBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
   }
 
   def pad(epochId: Long): String = f"$epochId%020d"
@@ -1240,9 +1267,21 @@ case class CommitLogStreamingWriterFactory(
       f"part-p$partitionId%05d.parquet", bloomCols, bloomBits)
 }
 
-/** Task-side parquet writer over the public parquet-hadoop record API
-  * (the write twin of [[CommitLogPartitionReader]]'s GroupReadSupport);
-  * tracks numeric (min, max) per column as rows stream through so the
+/** Task-side parquet writer: rows stream STRAIGHT from their
+  * InternalRow form into parquet through Spark's own
+  * [[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport]]
+  * — the exact record-consumer inner loop every built-in parquet write
+  * uses (zero per-row materialization; the old path built one
+  * parquet-example `SimpleGroup` per row with a name→index lookup per
+  * FIELD — at 100 TB that allocation-and-hash loop is the write-side
+  * twin of the read path's Group-record scale-killer). Delegating the
+  * layout to Spark also makes sink-written files byte-identical to
+  * COW-rewritten ones BY CONSTRUCTION (same converter, same consumer),
+  * not by careful mirroring. [[CommitLogWrite.parquetType]] stays as
+  * the commit-time SHAPE GATE — the declared refusals (decimal > 18,
+  * UDTs) still refuse before any byte lands.
+  *
+  * Tracks numeric (min, max) per column as rows stream through so the
   * batch commits born-prunable. Rows land in a hidden `.tmp` inside the
   * stage dir — invisible to every reader until two renames and a
   * manifest publish later. */
@@ -1257,20 +1296,19 @@ class CommitLogDataWriter(
     schema.fieldIndex(c) -> CommitLogBloom.emptyBits(bloomBits)
   }
 
-  private val msgType = CommitLogWrite.parquetType(schema)
-  private val factory = new SimpleGroupFactory(msgType)
+  // the shape gate: throws the documented refusal for types the read
+  // legs don't serve (the WRITTEN layout is Spark's own, below)
+  CommitLogWrite.parquetType(schema)
+
   private val tmpPath = new Path(stageDir, tmpName)
   // opened on first row only: an empty partition must leave NO file —
   // its commit message names a temp that never existed and publish()
   // skips it, so empty tasks cost zero bytes in the batch
   private var writerOpt: Option[org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group]] = None
+    InternalRow]] = None
   private def writer = {
     if (writerOpt.isEmpty)
-      writerOpt = Some(ExampleParquetWriter.builder(tmpPath)
-        .withType(msgType)
-        .withConf(new org.apache.hadoop.conf.Configuration())
-        .build())
+      writerOpt = Some(CommitLogWrite.internalRowWriter(tmpPath, schema))
     writerOpt.get
   }
 
@@ -1278,34 +1316,32 @@ class CommitLogDataWriter(
   private val lo = Array.fill(schema.length)(Double.PositiveInfinity)
   private val hi = Array.fill(schema.length)(Double.NegativeInfinity)
 
+  // stats plan per column, resolved once: which accessor feeds the
+  // (min, max) box. Composites (binary/array/struct/map) have no
+  // numeric box — the manifest declines them and pruning skips them.
+  private type Boxer = (InternalRow, Int) => Unit
+  private val boxers: Array[Boxer] = schema.fields.map { f =>
+    f.dataType match {
+      case LongType => (r: InternalRow, i: Int) => box(i, r.getLong(i).toDouble)
+      case IntegerType => (r: InternalRow, i: Int) => box(i, r.getInt(i).toDouble)
+      case DoubleType => (r: InternalRow, i: Int) => box(i, r.getDouble(i))
+      case FloatType => (r: InternalRow, i: Int) => box(i, r.getFloat(i).toDouble)
+      // InternalRow carries micros-since-epoch, the file's declared
+      // unit — box as micros so time filters prune
+      case TimestampType | TimestampNTZType =>
+        (r: InternalRow, i: Int) => box(i, r.getLong(i).toDouble)
+      case DateType => (r: InternalRow, i: Int) => box(i, r.getInt(i).toDouble)
+      case d: DecimalType =>
+        (r: InternalRow, i: Int) =>
+          box(i, r.getDecimal(i, d.precision, d.scale).toDouble)
+      case _ => null
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
     var i = 0
-    while (i < schema.length) {
-      if (!row.isNullAt(i)) {
-        val name = schema(i).name
-        schema(i).dataType match {
-          case LongType => val v = row.getLong(i); g.add(name, v); box(i, v.toDouble)
-          case IntegerType => val v = row.getInt(i); g.add(name, v); box(i, v.toDouble)
-          case DoubleType => val v = row.getDouble(i); g.add(name, v); box(i, v)
-          case FloatType => val v = row.getFloat(i); g.add(name, v); box(i, v.toDouble)
-          case BooleanType => g.add(name, row.getBoolean(i))
-          case StringType =>
-            g.add(name, Binary.fromString(row.getUTF8String(i).toString))
-          case TimestampType | TimestampNTZType =>
-            // InternalRow carries micros-since-epoch, the file's
-            // declared unit — box as micros so time filters prune
-            val v = row.getLong(i); g.add(name, v); box(i, v.toDouble)
-          case DateType =>
-            val v = row.getInt(i); g.add(name, v); box(i, v.toDouble)
-          case d: DecimalType =>
-            val v = row.getDecimal(i, d.precision, d.scale)
-            g.add(name, v.toUnscaledLong); box(i, v.toDouble)
-          // binary/array/struct: no stats box (boxes are numeric
-          // ranges), values recurse through the group structure
-          case other => writeField(g, name, other, row, i)
-        }
-      }
+    while (i < boxers.length) {
+      if (boxers(i) != null && !row.isNullAt(i)) boxers(i)(row, i)
       i += 1
     }
     var bi = 0
@@ -1315,65 +1351,8 @@ class CommitLogDataWriter(
         CommitLogBloom.add(bits, row.getUTF8String(ci).toString)
       bi += 1
     }
-    writer.write(g)
+    writer.write(row)
     rows += 1
-  }
-
-  /** One value into one group field, recursing through arrays (standard
-    * 3-level list groups: one repeated `list` group per element) and
-    * structs (nested groups, subfields written by name). `get` is the
-    * enclosing row/array/struct accessor and `i` the ordinal in it —
-    * InternalRow, ArrayData and nested InternalRows share the
-    * SpecializedGetters surface, so one recursion covers all depths. */
-  private def writeField(
-      g: org.apache.parquet.example.data.Group, name: String, dt: DataType,
-      get: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
-      i: Int): Unit = dt match {
-    case LongType => g.add(name, get.getLong(i))
-    case IntegerType => g.add(name, get.getInt(i))
-    case DoubleType => g.add(name, get.getDouble(i))
-    case FloatType => g.add(name, get.getFloat(i))
-    case BooleanType => g.add(name, get.getBoolean(i))
-    case StringType => g.add(name, Binary.fromString(get.getUTF8String(i).toString))
-    case BinaryType => g.add(name, Binary.fromConstantByteArray(get.getBinary(i)))
-    case TimestampType | TimestampNTZType => g.add(name, get.getLong(i))
-    case DateType => g.add(name, get.getInt(i))
-    case d: DecimalType =>
-      g.add(name, get.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-    case ArrayType(et, _) =>
-      val arr = get.getArray(i)
-      val lg = g.addGroup(name)
-      var j = 0
-      while (j < arr.numElements()) {
-        val eg = lg.addGroup("list")
-        if (!arr.isNullAt(j)) writeField(eg, "element", et, arr, j)
-        j += 1
-      }
-    case st: StructType =>
-      val sg = g.addGroup(name)
-      val sr = get.getStruct(i, st.length)
-      var j = 0
-      while (j < st.length) {
-        if (!sr.isNullAt(j))
-          writeField(sg, st(j).name, st(j).dataType, sr, j)
-        j += 1
-      }
-    case MapType(kt, vt, _) =>
-      // standard MAP layout: one repeated `key_value` group per entry;
-      // keys are required (Spark's invariant), null values omit the
-      // optional `value` field
-      val map = get.getMap(i)
-      val keys = map.keyArray()
-      val vals = map.valueArray()
-      val mg = g.addGroup(name)
-      var j = 0
-      while (j < map.numElements()) {
-        val kv = mg.addGroup("key_value")
-        writeField(kv, "key", kt, keys, j)
-        if (!vals.isNullAt(j)) writeField(kv, "value", vt, vals, j)
-        j += 1
-      }
-    case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
   private def box(i: Int, v: Double): Unit = {

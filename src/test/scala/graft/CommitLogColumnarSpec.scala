@@ -197,4 +197,40 @@ class CommitLogColumnarSpec extends SparkSpec {
       f"columnar commitlog scan is $ratio%.2fx of spark.read.parquet " +
         f"(${ours / 1e6}%.0f ms vs ${spark_ / 1e6}%.0f ms)")
   }
+
+  test("A/B: sink write within 1.5x of df.write.parquet on the same rows") {
+    // the write-side twin of the scan A/B: the sink streams
+    // InternalRows straight through Spark's ParquetWriteSupport (plus
+    // the stats-box pass and the rename/manifest protocol) — it must
+    // stay within noise of Spark's own parquet write, not a multiple
+    // of it (the old SimpleGroup row materialization was)
+    val df = spark.range(0, 3000000).toDF("id")
+      .withColumn("v", $"id" * 1.000001)
+      .withColumn("s", concat(lit("key-"), $"id" % 10007))
+      .repartition(8)
+    df.cache().count() // isolate the WRITE: input comes from cache
+
+    def time(f: => Unit): Long = {
+      val t0 = System.nanoTime(); f; System.nanoTime() - t0
+    }
+    def viaSink(): Unit = {
+      val root = freshRoot("abw_sink")
+      df.write.format("commitlog").option("path", root).mode("append").save()
+      assert(CommitLog.latestVersion(root) == 1)
+    }
+    def viaParquet(): Unit = {
+      val root = freshRoot("abw_native")
+      df.write.mode("overwrite").parquet(s"$root/out")
+    }
+    viaSink(); viaParquet() // warm both paths (codegen, committers)
+    val ours = (1 to 3).map(_ => time(viaSink())).min
+    val spark_ = (1 to 3).map(_ => time(viaParquet())).min
+    df.unpersist()
+    val ratio = ours.toDouble / spark_.toDouble
+    info(f"commitlog sink ${ours / 1e6}%.0f ms vs parquet write " +
+      f"${spark_ / 1e6}%.0f ms (ratio $ratio%.2f)")
+    assert(ratio < 1.5,
+      f"commitlog sink write is $ratio%.2fx of df.write.parquet " +
+        f"(${ours / 1e6}%.0f ms vs ${spark_ / 1e6}%.0f ms)")
+  }
 }

@@ -2983,6 +2983,64 @@ object Sources {
         .unionAll(legAgg(v2, 2, "after_delete"))
         .unionAll(legAgg(cdf, 2, "cdf_delete"))
         .orderBy("version", "leg")
+    },
+
+    // S54: DECLARED WRITE SORT ORDER — `option("sortOrder", c)` (or
+    // the `graft.write.sortOrder` table property) makes the sink
+    // request an ordered (range) distribution and publish ONE BATCH
+    // PER TASK FILE in a single atomic commit, so the log's per-batch
+    // stats boxes are born mutually disjoint on the sort key: a
+    // point/range filter plans only the files that can hold it —
+    // data lands pre-clustered (Iceberg's write order / Delta's
+    // OPTIMIZE ZORDER, paid at write time, zero read-path changes).
+    // The decl pins the LAYOUT through the gate (8 batches, 0 box
+    // overlaps — deterministic under sortBuckets=8) alongside full
+    // and range-pruned value checks; SortedWriteSpec pins the plan
+    // (a point filter plans 1 of 8 files), the property leg, OPTIMIZE
+    // packing and both DML legs over the split batches.
+    Decl(
+      "s54_sorted_write",
+      s"""WITH m AS (
+         |  SELECT l_orderkey,
+         |    CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT) AS q
+         |  FROM lineitem)
+         |SELECT 'full' AS leg, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(q) AS BIGINT) AS qs
+         |FROM m
+         |UNION ALL
+         |SELECT 'meta', CAST(8 AS BIGINT), CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'range', CAST(count(*) AS BIGINT), CAST(sum(q) AS BIGINT)
+         |FROM m WHERE l_orderkey BETWEEN 1000 AND 2000
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s54_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_quantity")
+        .write.format("commitlog").option("path", root)
+        .option("sortOrder", "l_orderkey").option("sortBuckets", "8")
+        .mode("append").save()
+      val t = s.read.format("commitlog").option("path", root).load()
+      def agg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(floor($"l_quantity" * 1000000.0 + 0.5).cast("long")).as("qs"))
+          .select(lit(leg).as("leg"), $"n", $"qs")
+      // layout facts, read from the manifest: batch count and the
+      // number of OVERLAPPING sort-key box pairs (0 = range-disjoint)
+      val boxes = graft.sources.CommitLog.statsOf(root, 1).values
+        .flatMap(_.get("l_orderkey")).toSeq.sortBy(_._1)
+      val overlaps = boxes.sliding(2).count {
+        case Seq((_, hi1), (lo2, _)) => hi1 > lo2
+        case _ => false
+      }
+      val meta = s.range(1).select(lit("meta").as("leg"),
+        lit(graft.sources.CommitLog.files(root, 1).length.toLong).as("n"),
+        lit(overlaps.toLong).as("qs"))
+      agg(t, "full")
+        .unionAll(meta)
+        .unionAll(agg(t.filter($"l_orderkey".between(1000, 2000)), "range"))
+        .orderBy("leg")
     }
   )
 

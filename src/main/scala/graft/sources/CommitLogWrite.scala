@@ -151,6 +151,14 @@ object CommitLogWrite {
       new org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport()
   }
 
+  /** Table property carrying the declared write sort order (see the
+    * sortCols resolution in the write builder). */
+  val SortOrderProp = "graft.write.sortOrder"
+
+  /** Optional companion property pinning the range write's file count
+    * (requiredNumPartitions); unset = Spark/AQE sizes the shuffle. */
+  val SortBucketsProp = "graft.write.sortBuckets"
+
   def pad(epochId: Long): String = f"$epochId%020d"
 
   /** queryId arrives as a UUID; strip the dashes so the batch name
@@ -440,6 +448,78 @@ object CommitLogWrite {
         }
         false
     }
+  }
+
+  /** SORTED-WRITE publish: one batch PER TASK FILE, all in ONE atomic
+    * manifest commit. Under the write's ordered (range) distribution
+    * each task holds a disjoint slice of the sort key, so per-batch
+    * stats boxes — the log's pruning granularity — become per-file and
+    * MUTUALLY DISJOINT: a point/range filter on the sort key plans
+    * only the files that can hold it, with zero read-path changes
+    * (batch-level box pruning already existed). The batch-count cost
+    * is O(tasks) manifest entries — the same shape partitioned writes
+    * already commit (one batch per tuple), bounded by checkpoints and
+    * packable by OPTIMIZE. */
+  def publishSorted(
+      root: String, stageName: String, batchBase: String,
+      messages: Array[WriterCommitMessage], schema: StructType): Boolean = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    val stage = new Path(rootP, stageName)
+    def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
+
+    val msgs = messages.collect { case m: CommitLogCommitMessage => m }
+    promoteTasks(f, stage, msgs)
+
+    val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
+    if (inForce.nonEmpty && f.exists(stage)) {
+      val parts = stagedParts(f, stage)
+      if (parts.nonEmpty) {
+        val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
+        inForce.foreach { case (name, expr) =>
+          val bad = violations(staged, expr)
+          if (bad > 0) {
+            dropStage()
+            throw new CommitLog.ConstraintViolationException(name, expr, bad)
+          }
+        }
+      }
+    }
+
+    // one batch per non-empty task file; empty tasks left no file
+    val live = msgs.filter(_.rows > 0).sortBy(_.visibleName)
+    val named = live.zipWithIndex.map { case (m, i) =>
+      (f"$batchBase-s$i%04d", m)
+    }
+    val listed = CommitLog.files(root, CommitLog.latestVersion(root)).toSet
+    named.foreach { case (batch, m) =>
+      val dest = new Path(rootP, batch)
+      if (f.exists(dest)) {
+        // a fresh writeId makes rival publishes of THIS name impossible
+        // — an existing dir is a crashed earlier attempt unless listed
+        require(!listed.contains(batch),
+          s"sorted write target $batch already live — writeId reuse?")
+        f.delete(dest, true)
+      }
+      f.mkdirs(dest)
+      val from = new Path(stage, m.visibleName)
+      if (f.exists(from)) f.rename(from, new Path(dest, m.visibleName))
+    }
+    dropStage()
+
+    val stats: CommitLog.Stats = named
+      .map { case (b, m) => b -> mergedStats(Seq(m), b).getOrElse(b, Map.empty) }
+      .filter(_._2.nonEmpty).toMap
+    val blooms: CommitLog.Blooms = named
+      .map { case (b, m) => b -> mergedBlooms(Seq(m), b).getOrElse(b, Map.empty) }
+      .filter(_._2.nonEmpty).toMap
+    val rows: CommitLog.Rows = named.map { case (b, m) => b -> m.rows }.toMap
+    val latest = CommitLog.latestVersion(root)
+    // an all-empty write still consumes a version (dense sequence)
+    CommitLog.commit(root, latest, added = named.map(_._1),
+      schema = Some(CommitLog.bareDdl(schema)), stats = stats,
+      op = Some("WRITE"), blooms = blooms, rows = rows)
+    true
   }
 
   private def fs(path: Path): FileSystem = {
@@ -764,11 +844,43 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
           s"$root is unpartitioned (use plain overwrite)")
       case _ => ()
     }
+    // declared WRITE SORT ORDER — `option("sortOrder", "c1,c2")`, or
+    // the table property `graft.write.sortOrder` so every writer of
+    // the table inherits it (the Iceberg write-order idea): rows land
+    // range-clustered on the sort key, so each file's (min, max)
+    // stats box covers a DISJOINT slice and a point/range filter
+    // prunes to the few files that can hold it — data is born
+    // z-ordered-by-one-key without a post-hoc OPTIMIZE pass
+    val tblProps = CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
+    val sortCols: Seq[String] =
+      Option(info.options.get("sortOrder"))
+        .orElse(tblProps.get(CommitLogWrite.SortOrderProp))
+        .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    sortCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"sortOrder column '$c' is not in the write schema " +
+          s"(got ${schema.fieldNames.mkString(",")})")
+    }
+    // optional file-count pin for the range write: without it Spark
+    // (AQE) sizes the shuffle, which is right at scale but coalesces
+    // small writes to one file; 0 = let Spark decide
+    val sortBuckets: Int =
+      Option(info.options.get("sortBuckets"))
+        .orElse(tblProps.get(CommitLogWrite.SortBucketsProp))
+        .map(_.trim.toInt).getOrElse(0)
+    require(sortBuckets >= 0, s"sortBuckets must be >= 0, got $sortBuckets")
+    require(sortBuckets == 0 || sortCols.nonEmpty,
+      "sortBuckets needs a sortOrder to bucket by")
     val mode = overwriteMode
     new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expression, Expressions, SortDirection, SortOrder}
+
+      private def asc(cols: Seq[String]): Array[SortOrder] =
+        cols.map(c =>
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+          .toArray
 
       /** Cluster + sort incoming rows by the partition columns so each
         * task sees whole partitions and writes one file per tuple —
@@ -777,24 +889,37 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
         * plans a REBALANCE, and AQE splits a skewed partition across
         * several tasks (several files, one batch — the tuple grouping
         * merges them), so one huge partition cannot serialize a 100 TB
-        * backfill onto one task. Unpartitioned writes request nothing
+        * backfill onto one task. An unpartitioned write with a
+        * declared sort order requests a RANGE distribution instead —
+        * files end up mutually disjoint on the sort key, not merely
+        * internally sorted. Plain unpartitioned writes request nothing
         * (no shuffle imposed). */
       override def requiredDistribution(): Distribution =
-        if (partCols.isEmpty) Distributions.unspecified()
-        else Distributions.clustered(
+        if (partCols.nonEmpty) Distributions.clustered(
           partCols.map(c => Expressions.identity(c): Expression).toArray)
-      override def distributionStrictlyRequired(): Boolean = false
+        else if (sortCols.nonEmpty) Distributions.ordered(asc(sortCols))
+        else Distributions.unspecified()
+      // non-strict by default (Spark plans a REBALANCE and AQE
+      // right-sizes it — correct at scale, where shuffle sizing should
+      // follow data volume); an explicit sortBuckets pin needs the
+      // strict form, since only RepartitionByExpression honors an
+      // exact partition count
+      override def distributionStrictlyRequired(): Boolean = sortBuckets > 0
+      override def requiredNumPartitions(): Int = sortBuckets
       override def requiredOrdering(): Array[SortOrder] =
-        if (partCols.isEmpty) Array.empty
-        else partCols.map(c =>
-          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+        asc(partCols ++ sortCols.filterNot(partCols.contains))
 
       override def toBatch: BatchWrite = mode match {
         case Some(spec) =>
           new CommitLogOverwriteWrite(
             root, schema, spec, bloomCols, bloomBits, partCols)
         case None =>
-          new CommitLogBatchWrite(root, schema, bloomCols, bloomBits, partCols)
+          new CommitLogBatchWrite(root, schema, bloomCols, bloomBits, partCols,
+            // a sorted unpartitioned append publishes one batch per
+            // task file (range-disjoint boxes); partitioned tables
+            // already get per-tuple batches, streaming keeps its
+            // deterministic single-batch replay contract
+            sortedSplit = sortCols.nonEmpty && partCols.isEmpty)
       }
       override def toStreaming: StreamingWrite = mode match {
         case Some(_) =>
@@ -817,7 +942,7 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
 class CommitLogBatchWrite(
     root: String, schema: StructType,
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, sortedSplit: Boolean = false)
     extends BatchWrite {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
@@ -831,7 +956,9 @@ class CommitLogBatchWrite(
         s"$root/$stageName", schema, partCols, bloomCols, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    if (partCols.isEmpty)
+    if (sortedSplit)
+      CommitLogWrite.publishSorted(root, stageName, batchName, messages, schema)
+    else if (partCols.isEmpty)
       CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
     else
       CommitLogWrite.publishPartitioned(

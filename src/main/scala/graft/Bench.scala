@@ -124,7 +124,11 @@ object Bench {
     "s47_column_defaults" -> 0.85, "s48_limit_pushdown" -> 0.787,
     "s4_json_roundtrip" -> 0.6, "s50_commitlog_nested" -> 1.483,
     "s51_sql_maintenance" -> 0.904,
-    "s52_tblproperties" -> 0.494, "s5_kafka_envelope" -> 0.212,
+    "s52_tblproperties" -> 0.494,
+    // s53/s54 pinned from the min of two idle runs on a session-2 VM
+    // the sentinel read ~11% slow; next clean run may tighten
+    "s53_commitlog_map" -> 3.268, "s54_sorted_write" -> 2.529,
+    "s5_kafka_envelope" -> 0.212,
     "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.941,
     "s8_envelope_source" -> 0.685, "s9_partitioned_prune" -> 0.724,
     "t12_stream_envelope_sink" -> 0.812,

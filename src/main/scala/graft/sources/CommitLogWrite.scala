@@ -139,7 +139,19 @@ object CommitLogWrite {
     conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
     conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
     conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "true")
-    new InternalRowWriterBuilder(path).withConf(conf).build()
+    // compress like Spark's own writer would (COW rewrites use the
+    // session codec): honor spark.sql.parquet.compression.codec, with
+    // Spark's default as the fallback for exotic spellings
+    val codec = try {
+      org.apache.parquet.hadoop.metadata.CompressionCodecName.valueOf(
+        SQLConf.get.getConf(SQLConf.PARQUET_COMPRESSION)
+          .toUpperCase(java.util.Locale.ROOT))
+    } catch {
+      case _: Exception =>
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY
+    }
+    new InternalRowWriterBuilder(path).withConf(conf)
+      .withCompressionCodec(codec).build()
   }
 
   private class InternalRowWriterBuilder(path: Path)
@@ -377,21 +389,7 @@ object CommitLogWrite {
       case m: CommitLogPartitionedCommitMessage => m.files
     }.flatten.toSeq
     promoteTaskFiles(f, stage, fileMsgs.map(m => (m.tmpName, m.visibleName)))
-
-    val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
-    if (inForce.nonEmpty && f.exists(stage)) {
-      val parts = stagedParts(f, stage)
-      if (parts.nonEmpty) {
-        val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
-        inForce.foreach { case (name, expr) =>
-          val bad = violations(staged, expr)
-          if (bad > 0) {
-            dropStage()
-            throw new CommitLog.ConstraintViolationException(name, expr, bad)
-          }
-        }
-      }
-    }
+    gateConstraints(f, stage, root, schema)
 
     val grouped = groupByTuple(fileMsgs, batchBase)
     val listed = CommitLog.files(root, CommitLog.latestVersion(root)).toSet
@@ -466,11 +464,29 @@ object CommitLogWrite {
     val rootP = new Path(root)
     val f = fs(rootP)
     val stage = new Path(rootP, stageName)
-    def dropStage(): Unit = if (f.exists(stage)) f.delete(stage, true)
 
     val msgs = messages.collect { case m: CommitLogCommitMessage => m }
     promoteTasks(f, stage, msgs)
+    gateConstraints(f, stage, root, schema)
 
+    val named = promoteSortedBatches(f, rootP, stage, batchBase, msgs)
+    if (f.exists(stage)) f.delete(stage, true)
+
+    val latest = CommitLog.latestVersion(root)
+    // an all-empty write still consumes a version (dense sequence)
+    CommitLog.commit(root, latest, added = named.map(_._1),
+      schema = Some(CommitLog.bareDdl(schema)),
+      stats = sortedStats(named), op = Some("WRITE"),
+      blooms = sortedBlooms(named), rows = sortedRows(named))
+    true
+  }
+
+  /** The CHECK-constraint publish gate, shared by every append publish
+    * leg: one filtered scan of the staged parts per constraint in
+    * force (epoch-sized); a violation drops the stage and throws — no
+    * version consumed, nothing published. */
+  private[sources] def gateConstraints(
+      f: FileSystem, stage: Path, root: String, schema: StructType): Unit = {
     val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
     if (inForce.nonEmpty && f.exists(stage)) {
       val parts = stagedParts(f, stage)
@@ -479,19 +495,30 @@ object CommitLogWrite {
         inForce.foreach { case (name, expr) =>
           val bad = violations(staged, expr)
           if (bad > 0) {
-            dropStage()
+            f.delete(stage, true)
             throw new CommitLog.ConstraintViolationException(name, expr, bad)
           }
         }
       }
     }
+  }
 
-    // one batch per non-empty task file; empty tasks left no file
+  /** Level-2 promotion for a SORTED publish: each non-empty task file
+    * becomes its own final-named batch dir (`<base>-s<k>`, in task
+    * order = range order under the ordered distribution). Returns the
+    * (batch, message) pairs; the caller commits them atomically.
+    * Shared by the append and overwrite sorted legs. */
+  private[sources] def promoteSortedBatches(
+      f: FileSystem, rootP: Path, stage: Path, batchBase: String,
+      msgs: Seq[CommitLogCommitMessage])
+      : Seq[(String, CommitLogCommitMessage)] = {
     val live = msgs.filter(_.rows > 0).sortBy(_.visibleName)
+    val listed =
+      CommitLog.files(rootP.toString, CommitLog.latestVersion(rootP.toString))
+        .toSet
     val named = live.zipWithIndex.map { case (m, i) =>
       (f"$batchBase-s$i%04d", m)
     }
-    val listed = CommitLog.files(root, CommitLog.latestVersion(root)).toSet
     named.foreach { case (batch, m) =>
       val dest = new Path(rootP, batch)
       if (f.exists(dest)) {
@@ -505,22 +532,22 @@ object CommitLogWrite {
       val from = new Path(stage, m.visibleName)
       if (f.exists(from)) f.rename(from, new Path(dest, m.visibleName))
     }
-    dropStage()
-
-    val stats: CommitLog.Stats = named
-      .map { case (b, m) => b -> mergedStats(Seq(m), b).getOrElse(b, Map.empty) }
-      .filter(_._2.nonEmpty).toMap
-    val blooms: CommitLog.Blooms = named
-      .map { case (b, m) => b -> mergedBlooms(Seq(m), b).getOrElse(b, Map.empty) }
-      .filter(_._2.nonEmpty).toMap
-    val rows: CommitLog.Rows = named.map { case (b, m) => b -> m.rows }.toMap
-    val latest = CommitLog.latestVersion(root)
-    // an all-empty write still consumes a version (dense sequence)
-    CommitLog.commit(root, latest, added = named.map(_._1),
-      schema = Some(CommitLog.bareDdl(schema)), stats = stats,
-      op = Some("WRITE"), blooms = blooms, rows = rows)
-    true
+    named
   }
+
+  private[sources] def sortedStats(
+      named: Seq[(String, CommitLogCommitMessage)]): CommitLog.Stats =
+    named.map { case (b, m) => b -> boxesOf(m.stats) }
+      .filter(_._2.nonEmpty).toMap
+
+  private[sources] def sortedBlooms(
+      named: Seq[(String, CommitLogCommitMessage)]): CommitLog.Blooms =
+    named.map { case (b, m) => b -> bloomHexOf(m.blooms) }
+      .filter(_._2.nonEmpty).toMap
+
+  private[sources] def sortedRows(
+      named: Seq[(String, CommitLogCommitMessage)]): CommitLog.Rows =
+    named.map { case (b, m) => b -> m.rows }.toMap
 
   private def fs(path: Path): FileSystem = {
     val conf = SparkSession.getActiveSession
@@ -562,26 +589,9 @@ object CommitLogWrite {
     promoteTasks(f, stage, msgs)
 
     // CHECK constraints in force gate the epoch BEFORE anything
-    // publishes: one filtered scan of the staged parts per constraint
-    // (epoch-sized, not table-sized); a violation drops the stage and
-    // fails loudly — no version consumed, no watermark advanced, so
-    // the pipeline stops instead of poisoning the table
-    val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
-    if (inForce.nonEmpty && f.exists(stage)) {
-      // the committed attempts' parts are visible inside the stage by
-      // now (level-1 renames above); losing attempts' temps were swept
-      val parts = stagedParts(f, stage)
-      if (parts.nonEmpty) {
-        val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
-        inForce.foreach { case (name, expr) =>
-          val bad = violations(staged, expr)
-          if (bad > 0) {
-            dropStage()
-            throw new CommitLog.ConstraintViolationException(name, expr, bad)
-          }
-        }
-      }
-    }
+    // publishes — no version consumed, no watermark advanced, so the
+    // pipeline stops instead of poisoning the table
+    gateConstraints(f, stage, root, schema)
 
     // an ALL-EMPTY epoch (every partition wrote zero rows) never
     // created the stage dir — the batch still commits, as an empty
@@ -852,9 +862,13 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     // prunes to the few files that can hold it — data is born
     // z-ordered-by-one-key without a post-hoc OPTIMIZE pass
     val tblProps = CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
+    // an empty option must fall through to the table property (the
+    // replaceWhere discipline), not mask it
+    def optOrProp(opt: String, prop: String): Option[String] =
+      Option(info.options.get(opt)).map(_.trim).filter(_.nonEmpty)
+        .orElse(tblProps.get(prop).map(_.trim).filter(_.nonEmpty))
     val sortCols: Seq[String] =
-      Option(info.options.get("sortOrder"))
-        .orElse(tblProps.get(CommitLogWrite.SortOrderProp))
+      optOrProp("sortOrder", CommitLogWrite.SortOrderProp)
         .toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     sortCols.foreach { c =>
       require(schema.fieldNames.contains(c),
@@ -865,12 +879,19 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     // (AQE) sizes the shuffle, which is right at scale but coalesces
     // small writes to one file; 0 = let Spark decide
     val sortBuckets: Int =
-      Option(info.options.get("sortBuckets"))
-        .orElse(tblProps.get(CommitLogWrite.SortBucketsProp))
-        .map(_.trim.toInt).getOrElse(0)
-    require(sortBuckets >= 0, s"sortBuckets must be >= 0, got $sortBuckets")
+      optOrProp("sortBuckets", CommitLogWrite.SortBucketsProp).map { s =>
+        require(s.forall(_.isDigit),
+          s"sortBuckets must be a non-negative integer, got '$s'")
+        s.toInt
+      }.getOrElse(0)
     require(sortBuckets == 0 || sortCols.nonEmpty,
       "sortBuckets needs a sortOrder to bucket by")
+    // the pin forces a STRICT distribution (exact partition count) —
+    // only meaningful where the sorted split applies; a partitioned
+    // table must keep its non-strict clustering (AQE splits skew)
+    require(sortBuckets == 0 || partCols.isEmpty,
+      "sortBuckets applies to unpartitioned sorted writes — a " +
+        "partitioned table's file layout follows its partition tuples")
     val mode = overwriteMode
     new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -909,17 +930,18 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       override def requiredOrdering(): Array[SortOrder] =
         asc(partCols ++ sortCols.filterNot(partCols.contains))
 
+      // a sorted unpartitioned write publishes one batch per task
+      // file (range-disjoint boxes) — append AND overwrite legs;
+      // partitioned tables already get per-tuple batches, streaming
+      // keeps its deterministic single-batch replay contract
+      private val sortedSplit = sortCols.nonEmpty && partCols.isEmpty
       override def toBatch: BatchWrite = mode match {
         case Some(spec) =>
           new CommitLogOverwriteWrite(
-            root, schema, spec, bloomCols, bloomBits, partCols)
+            root, schema, spec, bloomCols, bloomBits, partCols, sortedSplit)
         case None =>
           new CommitLogBatchWrite(root, schema, bloomCols, bloomBits, partCols,
-            // a sorted unpartitioned append publishes one batch per
-            // task file (range-disjoint boxes); partitioned tables
-            // already get per-tuple batches, streaming keeps its
-            // deterministic single-batch replay contract
-            sortedSplit = sortCols.nonEmpty && partCols.isEmpty)
+            sortedSplit)
       }
       override def toStreaming: StreamingWrite = mode match {
         case Some(_) =>
@@ -927,6 +949,13 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
             "commitlog streaming writes are append-only (one batch per " +
               "epoch) — overwrite is a batch verb")
         case None =>
+          // sortOrder is honored (each epoch's files land sorted);
+          // the file-count pin is a batch dial — the epoch batch is
+          // deterministic by the replay contract
+          require(sortBuckets == 0,
+            "sortBuckets is a batch write dial — the streaming sink " +
+              "publishes one batch per epoch (unset " +
+              s"${CommitLogWrite.SortBucketsProp} or the option)")
           new CommitLogStreamingWrite(
             root, schema, CommitLogWrite.appOf(info.queryId()),
             bloomCols, bloomBits, partCols)
@@ -1017,7 +1046,7 @@ class CommitLogBatchWrite(
 class CommitLogOverwriteWrite(
     root: String, schema: StructType, spec: OverwriteSpec,
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, sortedSplit: Boolean = false)
     extends BatchWrite {
   import org.apache.spark.sql.functions._
 
@@ -1095,7 +1124,19 @@ class CommitLogOverwriteWrite(
     // level 2: promote the stage into final-named batch dir(s) —
     // invisible to every reader until the single manifest below
     val add: StagedAdd =
-      if (partCols.isEmpty) {
+      if (partCols.isEmpty && sortedSplit && plainMsgs.exists(_.rows > 0)) {
+        // sorted overwrite: the rebuilt table keeps the declared
+        // range-disjoint layout — one batch per task file, exactly
+        // like the sorted append leg (an all-empty overwrite falls
+        // through to the single-empty-batch leg below)
+        val named = CommitLogWrite.promoteSortedBatches(
+          f, rootP, stage, batchBase, plainMsgs)
+        dropStage()
+        StagedAdd(named.map(_._1),
+          CommitLogWrite.sortedStats(named),
+          CommitLogWrite.sortedBlooms(named), Map.empty,
+          CommitLogWrite.sortedRows(named))
+      } else if (partCols.isEmpty) {
         // an empty overwrite still replaces (truncate-to-empty):
         // publish the batch as an empty dir
         if (!f.exists(stage)) f.mkdirs(stage)

@@ -84,9 +84,20 @@ object GraftProcedures {
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val spark = SparkSession.active
             val root = rootOf(input)
-            if (!input.isNullAt(2)) {
-              val cols = input.getUTF8String(2).toString
-                .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // no explicit zorder_by: a table with a DECLARED write
+            // sort order (graft.write.sortOrder) compacts CLUSTERED on
+            // it — OPTIMIZE must not collapse the layout sorted writes
+            // paid for (the Iceberg sort-order-aware rewrite); tables
+            // without one keep the plain small-file pack
+            val cols =
+              if (!input.isNullAt(2))
+                input.getUTF8String(2).toString
+                  .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+              else
+                CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
+                  .get(CommitLogWrite.SortOrderProp).toSeq
+                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            if (cols.nonEmpty) {
               val r = CommitLogOptimize.optimizeClustered(
                 spark, root, cols, input.getInt(3))
               oneRow(schema, Int.box(r.version), Int.box(r.sources.size))

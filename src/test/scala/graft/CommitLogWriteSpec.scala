@@ -493,6 +493,28 @@ class CommitLogWriteSpec extends SparkSpec {
       "no watermark may advance for a rejected epoch")
   }
 
+  test("sink files are compressed with the session parquet codec") {
+    val root = freshRoot("codec")
+    spark.range(0, 5000).toDF("id")
+      .withColumn("s", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v"), org.apache.spark.sql.functions.col("id")))
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val file = CommitLog.files(root, 1)
+      .flatMap(graft.sources.CommitLogSource.listParquet(root, _)).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val codec =
+      try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.toString
+      finally r.close()
+    // COW rewrites go through Spark's writer (session codec, default
+    // snappy) — sink files must not silently land UNCOMPRESSED
+    assert(codec == spark.conf
+      .get("spark.sql.parquet.compression.codec", "snappy").toUpperCase,
+      s"sink wrote $codec")
+  }
+
   test("writer rejects unsupported column types loudly") {
     // arrays/structs/binary/maps are SUPPORTED since the nested-format
     // work (CommitLogNestedSpec) — wide decimals (> 18 digits, which

@@ -90,4 +90,33 @@ class GraftProceduresSpec extends SparkSpec {
     assert(e.getMessage.contains("optimize") ||
       Option(e.getCause).exists(_.getMessage.contains("optimize")))
   }
+
+  test("optimize defaults its clustering to the declared write sort order") {
+    val warehouse = wh
+    spark.sql("CREATE TABLE gtp.db.t6 (k BIGINT, v DOUBLE) TBLPROPERTIES(" +
+      s"'${graft.sources.CommitLogWrite.SortOrderProp}'='k')")
+    // three overlapping UNSORTED inserts (plain INSERT order, full key
+    // range each) — each batch's k box spans everything
+    (0 until 3).foreach { i =>
+      spark.sql("INSERT INTO gtp.db.t6 " +
+        s"SELECT id * 7919 % 3000, id * 1.5 FROM range(${i * 1000}, ${i * 1000 + 1000})")
+    }
+    val root = s"$warehouse/db/t6"
+    // bare optimize (no zorder_by) must take the CLUSTERED leg on the
+    // declared sort column, not collapse to one all-spanning pack
+    spark.sql("CALL gtp.system.optimize(tbl => 'db.t6', buckets => 4)")
+      .collect()
+    val v = CommitLog.latestVersion(root)
+    val batches = CommitLog.files(root, v)
+    assert(batches.length > 1, s"expected a clustered rewrite, got $batches")
+    val boxes = CommitLog.statsOf(root, v).values
+      .flatMap(_.get("k")).toSeq.sortBy(_._1)
+    assert(boxes.length == batches.length)
+    boxes.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"optimize left overlapping k boxes: $boxes")
+      case _ => ()
+    }
+    assert(spark.table("gtp.db.t6").count() == 3000)
+  }
 }

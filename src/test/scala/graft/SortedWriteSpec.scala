@@ -140,4 +140,66 @@ class SortedWriteSpec extends SparkSpec {
       .mode("append").save()
     assert(CommitLog.files(root, 1).length == 1)
   }
+
+  test("INSERT OVERWRITE keeps the declared range-disjoint layout") {
+    val root = freshRoot("ovr")
+    shuffled(30000).write.format("commitlog").option("path", root)
+      .option("sortOrder", "k").option("sortBuckets", "4")
+      .mode("append").save()
+    assert(CommitLog.files(root, 1).length == 4)
+    // rebuild the table: the overwrite leg must split too, not
+    // collapse the layout back to one all-spanning box
+    shuffled(30000).withColumn("v", $"v" * 2)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "k").option("sortBuckets", "4")
+      .mode("overwrite").save()
+    val v = CommitLog.latestVersion(root)
+    val batches = CommitLog.files(root, v)
+    assert(batches.length == 4, s"overwrite collapsed the layout: $batches")
+    val boxes = CommitLog.statsOf(root, v).values
+      .flatMap(_.get("k")).toSeq.sortBy(_._1)
+    boxes.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+    val one = spark.read.format("commitlog").option("path", root).load()
+      .filter($"k" === 41L)
+    assert(planned(one) == 1)
+    assert(spark.read.format("commitlog").option("path", root).load()
+      .count() == 30000)
+  }
+
+  test("sortBuckets on a partitioned table is refused loudly") {
+    val wh = freshRoot("pb_wh")
+    spark.conf.set("spark.sql.catalog.swp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.swp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS swp.db")
+    spark.sql("CREATE TABLE swp.db.p (id BIGINT, k BIGINT, region STRING) " +
+      "PARTITIONED BY (region) " +
+      s"TBLPROPERTIES('${CommitLogWrite.SortOrderProp}'='k', " +
+      s"'${CommitLogWrite.SortBucketsProp}'='8')")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO swp.db.p VALUES (1, 1, 'eu')")
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("unpartitioned"))
+  }
+
+  test("an empty sortOrder option falls through to the table property") {
+    val wh = freshRoot("empty_wh")
+    spark.conf.set("spark.sql.catalog.swe", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.swe.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS swe.db")
+    spark.sql("CREATE TABLE swe.db.t (id BIGINT, k BIGINT, v DOUBLE) " +
+      s"TBLPROPERTIES('${CommitLogWrite.SortOrderProp}'='k', " +
+      s"'${CommitLogWrite.SortBucketsProp}'='3')")
+    // a framework passing an unset config as "" must not mask the
+    // table's declared layout
+    shuffled(9000).select($"id", $"k", $"v")
+      .writeTo("swe.db.t").option("sortOrder", "").append()
+    val root = s"$wh/db/t"
+    assert(CommitLog.files(root, CommitLog.latestVersion(root)).length == 3)
+  }
 }

@@ -187,6 +187,61 @@ class SortedWriteSpec extends SparkSpec {
     assert(chain(e).contains("unpartitioned"))
   }
 
+  test("a streaming sink into a sort-ordered table still works (sorted files, one epoch batch)") {
+    val root = freshRoot("stream")
+    // declare the layout first (empty table with the property) via a
+    // seed write — the property rides the log
+    spark.range(0, 1).toDF("id").withColumn("k", $"id").withColumn("v", $"id" * 1.0)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "k").mode("append").save()
+    // the table property leg for streams: set it through the log API
+    // is catalog-only, so pass the option on the stream instead
+    val src = freshRoot("stream_src")
+    shuffled(5000).write.mode("overwrite").parquet(src)
+    val ckpt = freshRoot("stream_ckpt")
+    val q = spark.readStream.schema(
+      spark.read.parquet(src).schema).parquet(src)
+      .writeStream.format("commitlog").option("path", root)
+      .option("sortOrder", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.format("commitlog").option("path", root).load()
+    assert(back.count() == 5001)
+    assert(back.agg(sum($"k")).head().getLong(0) == (0L until 5000L).sum)
+    // the epoch still publishes as ONE txn batch (replay contract)
+    val v = CommitLog.latestVersion(root)
+    assert(CommitLog.files(root, v).count(_.startsWith("txn-")) == 1)
+  }
+
+  test("rival sorted writes linearize through the optimistic commit loop") {
+    val root = freshRoot("race")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 3).map { i =>
+      Future {
+        spark.range(i * 10000, (i + 1) * 10000).toDF("id")
+          .withColumn("k", pmod($"id" * 2654435761L, lit(30000L)))
+          .withColumn("v", $"k" * 1.5)
+          .repartition(4)
+          .write.format("commitlog").option("path", root)
+          .option("sortOrder", "k").option("sortBuckets", "3")
+          .mode("append").save()
+      }
+    }
+    writes.foreach(Await.result(_, 120.seconds))
+    // three commits, dense versions, every row exactly once
+    assert(CommitLog.latestVersion(root) == 3)
+    val back = spark.read.format("commitlog").option("path", root).load()
+    assert(back.count() == 30000)
+    assert(back.select(countDistinct($"id")).head().getLong(0) == 30000)
+    // 9 batches total (3 per write), each with a k box
+    assert(CommitLog.files(root, 3).length == 9)
+    assert(CommitLog.statsOf(root, 3).values.count(_.contains("k")) == 9)
+  }
+
   test("an empty sortOrder option falls through to the table property") {
     val wh = freshRoot("empty_wh")
     spark.conf.set("spark.sql.catalog.swe", "graft.sources.GraftCatalog")

@@ -3041,6 +3041,45 @@ object Sources {
         .unionAll(meta)
         .unionAll(agg(t.filter($"l_orderkey".between(1000, 2000)), "range"))
         .orderBy("leg")
+    },
+
+    // S55: DESCRIBE DETAIL as a stored procedure — `CALL
+    // <cat>.system.detail(tbl)` returns the metadata-sized table
+    // summary (format, version, batch/row counts, partition columns,
+    // declared sort order, property/constraint counts), answered
+    // ENTIRELY from manifests: zero data reads, the operational
+    // visibility verb Delta ships as DESCRIBE DETAIL. The decl runs
+    // the lifecycle (CREATE with a sort order + property, two
+    // INSERTs, ADD CONSTRAINT) and oracle-checks the summary's
+    // deterministic columns (size_bytes and location are env-shaped
+    // and excluded).
+    Decl(
+      "s55_describe_detail",
+      s"""SELECT 'commitlog' AS format, CAST(4 AS INT) AS version,
+         |  CAST(2 AS INT) AS num_batches,
+         |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 2)
+         |    AS BIGINT) AS num_rows,
+         |  '' AS partition_columns, 'ok' AS sort_order,
+         |  CAST(2 AS INT) AS num_properties,
+         |  CAST(1 AS INT) AS num_constraints""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s55_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt55", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt55.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt55.db")
+      s.sql("CREATE TABLE gt55.db.d (ok BIGINT, total DOUBLE) " +
+        "TBLPROPERTIES('graft.write.sortOrder'='ok', 'team'='data')")
+      s.sql(s"INSERT INTO gt55.db.d SELECT o_orderkey, o_totalprice " +
+        s"FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 0")
+      s.sql(s"INSERT INTO gt55.db.d SELECT o_orderkey, o_totalprice " +
+        s"FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 1")
+      graft.sources.CommitLogWrite.addConstraint(
+        s, s"$wh/db/d", "pos", "ok >= 0")
+      s.sql("CALL gt55.system.detail(tbl => 'db.d')")
+        .select($"format", $"version", $"num_batches", $"num_rows",
+          $"partition_columns", $"sort_order",
+          $"num_properties", $"num_constraints")
     }
   )
 

@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "history", "clone")
+    Seq("optimize", "vacuum", "restore", "history", "clone", "detail")
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -162,6 +162,43 @@ object GraftProcedures {
                 Long.box(h.timestampMs * 1000L))): InternalRow
             }.toArray
             scanOf(schema, rows)
+          }
+        }
+      case "detail" =>
+        // Delta's DESCRIBE DETAIL: one metadata-sized summary row —
+        // everything answers from manifests (zero data reads; bytes
+        // come from the batch directory listings)
+        new Verb("detail", resolve, Seq(in("tbl", StringType))) {
+          private val schema = StructType(Seq(
+            StructField("format", StringType),
+            StructField("location", StringType),
+            StructField("version", IntegerType),
+            StructField("num_batches", IntegerType),
+            StructField("num_rows", LongType), // null if any batch uncounted
+            StructField("size_bytes", LongType),
+            StructField("partition_columns", StringType),
+            StructField("sort_order", StringType),
+            StructField("num_properties", IntegerType),
+            StructField("num_constraints", IntegerType)))
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val root = rootOf(input)
+            val v = CommitLog.latestVersion(root)
+            val batches = CommitLog.files(root, v)
+            val counts = CommitLog.rowsOf(root, v)
+            val rows: Any =
+              if (batches.forall(counts.contains))
+                Long.box(batches.map(counts).sum)
+              else null
+            val props = CommitLog.tblPropsOf(root, v)
+            oneRow(schema,
+              utf8("commitlog"), utf8(root), Int.box(v),
+              Int.box(batches.size), rows,
+              Long.box(batches.map(b =>
+                CommitLogSource.batchBytes(root, b)).sum),
+              utf8(CommitLog.partColsOf(root, v).mkString(",")),
+              props.get(CommitLogWrite.SortOrderProp).map(utf8).orNull,
+              Int.box(props.size),
+              Int.box(CommitLog.constraintsOf(root, v).size))
           }
         }
       case "clone" =>

@@ -91,6 +91,22 @@ class GraftProceduresSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("optimize")))
   }
 
+  test("detail returns the metadata-sized table summary") {
+    val root = mkTable("t7")
+    spark.sql("ALTER TABLE gtp.db.t7 SET TBLPROPERTIES(" +
+      s"'${graft.sources.CommitLogWrite.SortOrderProp}'='k', 'team'='x')")
+    val d = spark.sql("CALL gtp.system.detail(tbl => 'db.t7')").head()
+    assert(d.getAs[String]("format") == "commitlog")
+    assert(d.getAs[String]("location") == root)
+    assert(d.getAs[Int]("num_batches") == 3)
+    assert(d.getAs[Long]("num_rows") == 15L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[String]("partition_columns") == "")
+    assert(d.getAs[String]("sort_order") == "k")
+    assert(d.getAs[Int]("num_properties") == 2)
+    assert(d.getAs[Int]("num_constraints") == 0)
+  }
+
   test("optimize defaults its clustering to the declared write sort order") {
     val warehouse = wh
     spark.sql("CREATE TABLE gtp.db.t6 (k BIGINT, v DOUBLE) TBLPROPERTIES(" +

@@ -128,7 +128,7 @@ object Bench {
     // s53/s54 pinned from the min of two idle runs on a session-2 VM
     // the sentinel read ~11% slow; next clean run may tighten
     "s53_commitlog_map" -> 3.268, "s54_sorted_write" -> 2.529,
-    "s55_describe_detail" -> 0.957,
+    "s55_describe_detail" -> 0.957, "s56_generated_columns" -> 2.722,
     "s5_kafka_envelope" -> 0.212,
     "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.941,
     "s8_envelope_source" -> 0.685, "s9_partitioned_prune" -> 0.724,

@@ -3060,7 +3060,7 @@ object Sources {
          |  CAST((SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 2)
          |    AS BIGINT) AS num_rows,
          |  '' AS partition_columns, 'ok' AS sort_order,
-         |  CAST(2 AS INT) AS num_properties,
+         |  CAST(3 AS INT) AS num_properties,
          |  CAST(1 AS INT) AS num_constraints""".stripMargin) { (s, dir) =>
       import s.implicits._
       val wh = ioDir("s55_wh")
@@ -3068,8 +3068,11 @@ object Sources {
       s.conf.set("spark.sql.catalog.gt55", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.gt55.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS gt55.db")
+      // sortBuckets pins the per-insert file count so num_batches
+      // stays scale-invariant (AQE would split bigger inserts)
       s.sql("CREATE TABLE gt55.db.d (ok BIGINT, total DOUBLE) " +
-        "TBLPROPERTIES('graft.write.sortOrder'='ok', 'team'='data')")
+        "TBLPROPERTIES('graft.write.sortOrder'='ok', " +
+        "'graft.write.sortBuckets'='1', 'team'='data')")
       s.sql(s"INSERT INTO gt55.db.d SELECT o_orderkey, o_totalprice " +
         s"FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 3 = 0")
       s.sql(s"INSERT INTO gt55.db.d SELECT o_orderkey, o_totalprice " +
@@ -3080,6 +3083,70 @@ object Sources {
         .select($"format", $"version", $"num_batches", $"num_rows",
           $"partition_columns", $"sort_order",
           $"num_properties", $"num_constraints")
+    },
+
+    // S56: GENERATED ALWAYS AS columns (Delta parity) — Spark
+    // validates the expression at CREATE (the catalog declares
+    // SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS), the definition
+    // rides the props facet as `graft.generated.<col>`, and the SINK
+    // computes the column per row BEFORE stats boxes and partition
+    // routing — so a table PARTITIONED BY a generated date column
+    // routes tuples exactly and day filters prune at plan time, while
+    // writers never supply (or can corrupt) the derived value. The
+    // decl partitions events by the generated event DATE, then checks
+    // per-day routing (partition count = distinct days), a
+    // single-day read, and that the stored dates equal the
+    // recomputation — all against DuckDB deriving the same dates from
+    // raw timestamps. GeneratedColumnSpec pins the ALWAYS overwrite,
+    // plan-time pruning, the streaming sink and the sortOrder guard.
+    Decl(
+      "s56_generated_columns",
+      s"""WITH m AS (
+         |  SELECT CAST(ts AS DATE) AS d,
+         |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+         |  FROM events)
+         |SELECT 'all' AS leg, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS vs
+         |FROM m
+         |UNION ALL
+         |SELECT 'days', CAST(count(DISTINCT d) AS BIGINT),
+         |  CAST(count(DISTINCT d) AS BIGINT)
+         |FROM m
+         |UNION ALL
+         |SELECT 'one_day', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+         |FROM m WHERE d = (SELECT min(d) FROM m)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s56_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt56", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt56.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt56.db")
+      s.sql("CREATE TABLE gt56.db.e (ts TIMESTAMP, v DOUBLE, " +
+        "d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))) PARTITIONED BY (d)")
+      // ALWAYS: the writer's d is a placeholder; the sink computes it
+      Qh.t(s, dir, "events")
+        .select($"ts", $"value".as("v"), lit(null).cast("date").as("d"))
+        .writeTo("gt56.db.e").append()
+      val root = s"$wh/db/e"
+      val t = s.table("gt56.db.e")
+      def agg(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(floor($"v" * 1000000.0 + 0.5).cast("long")).as("vs"))
+          .select(lit(leg).as("leg"), $"n", $"vs")
+      // partition count = distinct generated days (tuple routing was
+      // exact); stored d equals its recomputation for every row
+      val days = graft.sources.CommitLog.partsOf(root,
+        graft.sources.CommitLog.latestVersion(root)).size
+      require(t.filter($"d" =!= $"ts".cast("date")).count() == 0,
+        "a stored generated value diverged from its definition")
+      val daysLeg = s.range(1).select(lit("days").as("leg"),
+        lit(days.toLong).as("n"), lit(days.toLong).as("vs"))
+      val minDay = t.agg(min($"d")).head().getDate(0)
+      agg(t, "all")
+        .unionAll(daysLeg)
+        .unionAll(agg(t.filter($"d" === lit(minDay)), "one_day"))
+        .orderBy("leg")
     }
   )
 

@@ -171,6 +171,53 @@ object CommitLogWrite {
     * (requiredNumPartitions); unset = Spark/AQE sizes the shuffle. */
   val SortBucketsProp = "graft.write.sortBuckets"
 
+  /** Table-property prefix carrying `GENERATED ALWAYS AS` expressions
+    * (`graft.generated.<col>` -> the expression SQL) — written by
+    * [[GraftCatalog]] at CREATE, read here by every sink write. */
+  val GeneratedPropPrefix = "graft.generated."
+
+  /** Resolve + bind the table's generation expressions against the
+    * write schema, once per write on the driver: each returns
+    * (ordinal, bound expression) ready for per-row `eval` in the
+    * tasks. Spark validated the expressions at CREATE (deterministic,
+    * no subqueries, only non-generated column references), so binding
+    * here can only fail if evolution broke a referenced column — in
+    * which case the write must refuse, not null-fill. */
+  def boundGenerators(
+      schema: StructType, props: Map[String, String])
+      : Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    val gens = props.collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }
+    if (gens.isEmpty) return Nil
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Cast}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val session = SparkSession.active
+    val parser = session.sessionState.sqlParser
+    gens.toSeq.sortBy(_._1).map { case (col, sql) =>
+      require(schema.fieldNames.contains(col),
+        s"generated column '$col' is missing from the write schema")
+      val i = schema.fieldIndex(col)
+      val analyzed = org.apache.spark.sql.catalyst.util.GeneratedColumnAnalyzer
+        .execute(Project(
+          Seq(Alias(parser.parseExpression(sql), col)()),
+          LocalRelation(attrs)))
+      val expr = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+      require(expr.resolved,
+        s"generation expression for '$col' does not resolve against " +
+          s"(${schema.fieldNames.mkString(",")}): $sql")
+      val fit =
+        if (expr.dataType == schema(i).dataType) expr
+        else Cast(expr, schema(i).dataType,
+          Some(session.sessionState.conf.sessionLocalTimeZone))
+      i -> BindReferences.bindReference(fit, attrs)
+    }
+  }
+
   def pad(epochId: Long): String = f"$epochId%020d"
 
   /** queryId arrives as a UUID; strip the dashes so the batch name
@@ -874,6 +921,12 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       require(schema.fieldNames.contains(c),
         s"sortOrder column '$c' is not in the write schema " +
           s"(got ${schema.fieldNames.mkString(",")})")
+      // the range shuffle runs BEFORE the sink computes generated
+      // columns, so it would cluster on the incoming placeholders
+      require(!tblProps.contains(s"${CommitLogWrite.GeneratedPropPrefix}$c"),
+        s"sortOrder column '$c' is GENERATED — sort on its source " +
+          "columns instead (generation is computed at the sink, after " +
+          "the write's range shuffle)")
     }
     // optional file-count pin for the range write: without it Spark
     // (AQE) sizes the shuffle, which is right at scale but coalesces
@@ -935,13 +988,21 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       // partitioned tables already get per-tuple batches, streaming
       // keeps its deterministic single-batch replay contract
       private val sortedSplit = sortCols.nonEmpty && partCols.isEmpty
-      override def toBatch: BatchWrite = mode match {
-        case Some(spec) =>
-          new CommitLogOverwriteWrite(
-            root, schema, spec, bloomCols, bloomBits, partCols, sortedSplit)
-        case None =>
-          new CommitLogBatchWrite(root, schema, bloomCols, bloomBits, partCols,
-            sortedSplit)
+      // GENERATED ALWAYS AS: computed sink-side per row (bound once
+      // here on the driver), so routing/boxes see the real values
+      private val generators =
+        CommitLogWrite.boundGenerators(schema, tblProps)
+      override def toBatch: BatchWrite = {
+        val base = mode match {
+          case Some(spec) =>
+            new CommitLogOverwriteWrite(
+              root, schema, spec, bloomCols, bloomBits, partCols, sortedSplit)
+          case None =>
+            new CommitLogBatchWrite(root, schema, bloomCols, bloomBits,
+              partCols, sortedSplit)
+        }
+        if (generators.isEmpty) base
+        else new GeneratingBatchWrite(base, schema, generators)
       }
       override def toStreaming: StreamingWrite = mode match {
         case Some(_) =>
@@ -956,12 +1017,100 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
             "sortBuckets is a batch write dial — the streaming sink " +
               "publishes one batch per epoch (unset " +
               s"${CommitLogWrite.SortBucketsProp} or the option)")
-          new CommitLogStreamingWrite(
+          val base = new CommitLogStreamingWrite(
             root, schema, CommitLogWrite.appOf(info.queryId()),
             bloomCols, bloomBits, partCols)
+          if (generators.isEmpty) base
+          else new GeneratingStreamingWrite(base, schema, generators)
       }
     }
   }
+}
+
+/** GENERATED ALWAYS AS, computed at the sink: wraps a write's task
+  * writers so each row's generated ordinals are overwritten with their
+  * expression's value BEFORE stats boxes, partition routing and the
+  * parquet encode see the row — so generated partition tuples route
+  * exactly and generated columns are born box-prunable. Incoming
+  * values for generated ordinals are IGNORED (the ALWAYS contract:
+  * the definition, not the writer, owns the column). Applied only
+  * when the table declares generators — zero cost otherwise. */
+class GeneratingDataWriter(
+    base: DataWriter[InternalRow], schema: StructType,
+    gens: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends DataWriter[InternalRow] {
+  private val types = schema.fields.map(_.dataType)
+  private val genArr = gens.toArray
+  override def write(row: InternalRow): Unit = {
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      types.length)
+    var i = 0
+    while (i < types.length) {
+      out(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
+      i += 1
+    }
+    var g = 0
+    while (g < genArr.length) {
+      val (gi, e) = genArr(g)
+      out(gi) = e.eval(row)
+      g += 1
+    }
+    base.write(out)
+  }
+  override def commit(): WriterCommitMessage = base.commit()
+  override def abort(): Unit = base.abort()
+  override def close(): Unit = base.close()
+}
+
+case class GeneratingWriterFactory(
+    base: DataWriterFactory, schema: StructType,
+    gens: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GeneratingDataWriter(
+      base.createWriter(partitionId, taskId), schema, gens)
+}
+
+case class GeneratingStreamingWriterFactory(
+    base: StreamingDataWriterFactory, schema: StructType,
+    gens: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GeneratingDataWriter(
+      base.createWriter(partitionId, taskId, epochId), schema, gens)
+}
+
+class GeneratingBatchWrite(
+    base: BatchWrite, schema: StructType,
+    gens: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    GeneratingWriterFactory(base.createBatchWriterFactory(info), schema, gens)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    base.commit(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    base.abort(messages)
+  override def useCommitCoordinator(): Boolean = base.useCommitCoordinator()
+}
+
+class GeneratingStreamingWrite(
+    base: StreamingWrite, schema: StructType,
+    gens: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GeneratingStreamingWriterFactory(
+      base.createStreamingWriterFactory(info), schema, gens)
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    base.commit(epochId, messages)
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    base.abort(epochId, messages)
+  override def useCommitCoordinator(): Boolean = base.useCommitCoordinator()
 }
 
 /** One-shot append: `df.write.format("commitlog").mode("append")`.

@@ -102,9 +102,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** SQL column DEFAULTs are supported: `CREATE TABLE … (c INT
     * DEFAULT <expr>)` — the analyzer fills omitted INSERT columns, the
     * log persists the expressions as their own facet (see
-    * [[CommitLog.defaultsOf]]; they cannot ride the DDL string). */
+    * [[CommitLog.defaultsOf]]; they cannot ride the DDL string).
+    * GENERATED ALWAYS AS columns are supported too: Spark validates
+    * the expression at CREATE (deterministic, no subqueries, type
+    * match), the catalog persists it as a `graft.generated.<col>`
+    * table property (riding the props facet's REPLACE/RESTORE/clone
+    * machinery), and the SINK computes the column on every write —
+    * see [[CommitLogWrite.boundGenerators]]. */
   override def capabilities(): java.util.Set[TableCatalogCapability] =
-    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   /** Split a CREATE schema into its bare shape and the default-value
     * expressions Spark encoded as field metadata. */
@@ -118,6 +126,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             f.metadata.getString("EXISTS_DEFAULT")
           else f.metadata.getString("CURRENT_DEFAULT"))))
       else None
+    }.toMap
+
+  /** GENERATED ALWAYS AS expressions from the CREATE schema's field
+    * metadata, as the table properties the sink reads. */
+  private def extractGenerated(schema: StructType)
+      : Map[String, Option[String]] =
+    schema.fields.flatMap { f =>
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .getGenerationExpression(f)
+        .map(e => s"${CommitLogWrite.GeneratedPropPrefix}${f.name}" -> Some(e))
     }.toMap
 
   /** Resolve a table's schema WITH its default-value metadata (what
@@ -245,10 +263,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     partCols
   }
 
+  /** Spark routes `GENERATED ALWAYS AS` through the Column[] overload
+    * ONLY — `CatalogV2Util.v2ColumnsToStructType` keeps defaults in
+    * field metadata but DROPS generation expressions, so this overload
+    * must capture them before the conversion. */
+  override def createTable(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    createTableImpl(ident, GraftShims.v2ColumnsToStructType(columns),
+      partitions, properties, generatedOf(columns))
+
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
+      properties: java.util.Map[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties,
+      extractGenerated(schema))
+
+  private def createTableImpl(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String],
+      generated: Map[String, Option[String]]): Table = {
     val partCols = identityPartCols(schema, partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -258,10 +295,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
       schema = Some(CommitLog.bareDdl(schema)), partCols = partCols,
       defaults = extractDefaults(schema),
-      props = GraftCatalog.userProps(properties),
+      props = GraftCatalog.userProps(properties) ++ generated,
       op = Some("CREATE TABLE"))
     new CommitLogTable(root, schema)
   }
+
+  /** Generation expressions straight off the v2 Columns (see
+    * [[createTable]]). */
+  private def generatedOf(columns: Array[Column])
+      : Map[String, Option[String]] =
+    columns.flatMap(c => Option(c.generationExpression()).map(e =>
+      s"${CommitLogWrite.GeneratedPropPrefix}${c.name}" -> Some(e))).toMap
 
   // ---- ATOMIC CTAS / RTAS / REPLACE TABLE (StagingTableCatalog) ----
   //
@@ -288,10 +332,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (warehouse +: ident.namespace.toSeq.map(checkPart)).mkString("/") +
       s"/.stage-${checkPart(ident.name)}-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  // the Column[] staging overloads exist for the same reason as
+  // createTable's: v2ColumnsToStructType drops generation expressions
+  override def stageCreate(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace :+ ident.name).toSeq)
+    stage(ident, GraftShims.v2ColumnsToStructType(columns), partitions,
+      replace = false, properties, generatedOf(columns))
+  }
+
+  override def stageReplace(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace :+ ident.name).toSeq)
+    stage(ident, GraftShims.v2ColumnsToStructType(columns), partitions,
+      replace = true, properties, generatedOf(columns))
+  }
+
+  override def stageCreateOrReplace(
+      ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    stage(ident, GraftShims.v2ColumnsToStructType(columns), partitions,
+      replace = tableExists(ident), properties, generatedOf(columns))
+
   private def stage(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], replace: Boolean,
-      properties: java.util.Map[String, String]): StagedTable = {
+      properties: java.util.Map[String, String],
+      generated: Map[String, Option[String]] = Map.empty): StagedTable = {
     val partCols = identityPartCols(schema, partitions)
     val target = dirOf(ident)
     if (replace) {
@@ -319,7 +395,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     CommitLog.commit(stageRoot, 0, added = Nil,
       schema = Some(CommitLog.bareDdl(schema)), partCols = partCols,
       defaults = extractDefaults(schema),
-      props = GraftCatalog.userProps(properties),
+      props = GraftCatalog.userProps(properties) ++
+        extractGenerated(schema) ++ generated,
       op = Some("CREATE TABLE"))
     new StagedCommitLogTable(stageRoot, target, schema, replace,
       onAbort = () => deleteTree(java.nio.file.Paths.get(stageRoot)))

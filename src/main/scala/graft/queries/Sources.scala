@@ -3147,6 +3147,61 @@ object Sources {
         .unionAll(daysLeg)
         .unionAll(agg(t.filter($"d" === lit(minDay)), "one_day"))
         .orderBy("leg")
+    },
+
+    // S57: WIDE DECIMALS (precision 19–38) in the commitlog table
+    // format — the last composite-type refusal after r12's
+    // array/struct/map/binary work (only UDTs remain). The sink
+    // writes Spark's minimal-width FIXED_LEN_BYTE_ARRAY layout, the
+    // vectorized leg decodes it natively, the row leg (the DV delete
+    // below) through the recursive group reader, and stats boxes keep
+    // their double form — safe at any precision because rounding is
+    // monotone and pruning compares inclusively. Values sit past 2^53
+    // so any double detour in the DATA path would corrupt the sums;
+    // aggregates compare as exact decimal STRINGS against DuckDB
+    // recomputing from raw parquet. Time travel serves the pre-delete
+    // snapshot from the same files.
+    Decl(
+      "s57_wide_decimal",
+      s"""WITH m AS (
+         |  SELECT l_orderkey,
+         |    CAST(CAST('10000000000000000000.0000000001' AS DECIMAL(30,10))
+         |      + CAST(l_orderkey AS DECIMAL(20,10)) AS DECIMAL(38,10)) AS amt
+         |  FROM lineitem)
+         |SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(amt) AS VARCHAR) AS ssum,
+         |  CAST(min(amt) AS VARCHAR) AS mn, CAST(max(amt) AS VARCHAR) AS mx
+         |FROM m
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(amt) AS VARCHAR), CAST(min(amt) AS VARCHAR),
+         |  CAST(max(amt) AS VARCHAR)
+         |FROM m WHERE l_orderkey % 7 <> 0
+         |ORDER BY version""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val root = ioDir("s57_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "lineitem")
+        .select($"l_orderkey",
+          // add at precision 31 (no precision-cap truncation in either
+          // engine), then widen to the stored 38
+          (lit("10000000000000000000.0000000001").cast(DecimalType(30, 10))
+            + $"l_orderkey".cast(DecimalType(20, 10)))
+            .cast(DecimalType(38, 10)).as("amt"))
+        .write.format("commitlog").option("path", root).mode("append").save()
+      graft.sources.CommitLogDml.delete(s, root, "l_orderkey % 7 = 0",
+        changeFeed = false)
+      def agg(df: org.apache.spark.sql.DataFrame, v: Long) =
+        df.agg(count(lit(1)).as("n"),
+          sum($"amt").cast("string").as("ssum"),
+          min($"amt").cast("string").as("mn"),
+          max($"amt").cast("string").as("mx"))
+          .select(lit(v).as("version"), $"n", $"ssum", $"mn", $"mx")
+      val v1 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 1).load()
+      val v2 = s.read.format("commitlog").option("path", root).load()
+      agg(v1, 1).unionAll(agg(v2, 2)).orderBy("version")
     }
   )
 

@@ -112,7 +112,7 @@ object CommitLogPartitions {
     !filters.exists(f => eval(f, tuple, schema).contains(false))
 
   /** Decode one STORED partition value (the writer's unit system:
-    * timestamps micros, dates epoch days, decimals ≤ 18 unscaled) to
+    * timestamps micros, dates epoch days, decimals unscaled) to
     * its catalyst representation — the form partition keys, partition
     * identifiers and metadata-aggregate group columns all carry. */
   def catalystValue(s: String, dt: DataType): Any = dt match {
@@ -124,6 +124,10 @@ object CommitLogPartitions {
     case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
     case d: DecimalType if d.precision <= 18 =>
       org.apache.spark.sql.types.Decimal(s.toLong, d.precision, d.scale)
+    case d: DecimalType =>
+      // wide decimals store the unscaled value as a decimal string
+      org.apache.spark.sql.types.Decimal(
+        BigDecimal(BigInt(s), d.scale), d.precision, d.scale)
     case other => throw new IllegalArgumentException(
       s"unsupported partition value type $other")
   }

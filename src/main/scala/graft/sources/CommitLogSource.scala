@@ -313,7 +313,7 @@ object CommitLogSource {
             logical.asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
               .getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
         TimestampType
-      case INT64
+      case INT64 | FIXED_LEN_BYTE_ARRAY
           if logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
         val d = logical.asInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
         DecimalType(d.getPrecision, d.getScale)
@@ -1795,8 +1795,9 @@ class CommitLogPartitionReader(
   /** One value out of one group field, recursing through the standard
     * 3-level list layout and nested struct groups — the row leg's
     * mirror of the writer's `writeField`. The sink's encodings (and
-    * Spark's own): INT64 micros, INT32 epoch days, INT32/INT64
-    * unscaled decimal — all exactly InternalRow's representations.
+    * Spark's own): INT64 micros, INT32 epoch days, unscaled decimal
+    * (INT32/INT64/fixed-width binary by precision) — all exactly
+    * InternalRow's representations.
     * Timestamps additionally accept Spark's two other parquet
     * encodings: INT64 millis and legacy INT96 (julian day + nanos),
     * so batches written by Spark's own writer (COW rewrites, optimize)
@@ -1815,15 +1816,24 @@ class CommitLogPartitionReader(
     case TimestampType | TimestampNTZType =>
       Long.box(readTimestampMicros(g, fi, idx))
     case DateType => Int.box(g.getInteger(fi, idx))
-    case d: DecimalType if d.precision <= 18 =>
-      // Spark's writer picks INT32 storage below precision 10; the
-      // sink always writes INT64 — accept both
-      val unscaled = g.getType.getType(fi).asPrimitiveType()
-        .getPrimitiveTypeName match {
-        case PrimitiveType.PrimitiveTypeName.INT32 => g.getInteger(fi, idx).toLong
-        case _ => g.getLong(fi, idx)
+    case d: DecimalType =>
+      // Spark's writer picks the narrowest storage: INT32 below
+      // precision 10, INT64 to 18, FIXED_LEN_BYTE_ARRAY (big-endian
+      // two's-complement) above; legacy writers may use plain BINARY
+      // — accept all four
+      g.getType.getType(fi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getInteger(fi, idx).toLong, d.precision, d.scale)
+        case PrimitiveType.PrimitiveTypeName.INT64 =>
+          org.apache.spark.sql.types.Decimal(
+            g.getLong(fi, idx), d.precision, d.scale)
+        case _ =>
+          val bytes = g.getBinary(fi, idx).getBytes
+          org.apache.spark.sql.types.Decimal(
+            BigDecimal(BigInt(new java.math.BigInteger(bytes)), d.scale),
+            d.precision, d.scale)
       }
-      org.apache.spark.sql.types.Decimal(unscaled, d.precision, d.scale)
     case ArrayType(et, _) =>
       // standard 3-level list: field 0 of the LIST group is the
       // repeated `list` group, whose field 0 is the element

@@ -58,7 +58,8 @@ object CommitLogWrite {
   /** Spark→parquet schema for the shapes the commitlog reader supports
     * — the write-side mirror of the readers' mappings. Timestamps land
     * as INT64 micros (UTC-adjusted), dates as INT32 days, decimals of
-    * precision ≤ 18 as INT64 unscaled; BINARY passes through; arrays
+    * precision ≤ 18 as INT64 unscaled and wider ones (to 38) as
+    * minimal-width FIXED_LEN_BYTE_ARRAY; BINARY passes through; arrays
     * write the STANDARD 3-level list layout
     * (`group (LIST) { repeated group list { element } }` — exactly what
     * Spark's own writer emits with writeLegacyFormat=false, so
@@ -97,6 +98,15 @@ object CommitLogWrite {
       case d: DecimalType if d.precision <= 18 =>
         Types.primitive(INT64, rep).as(
           LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+      case d: DecimalType if d.precision <= DecimalType.MAX_PRECISION =>
+        // wide decimals (19–38): FIXED_LEN_BYTE_ARRAY of the minimal
+        // big-endian two's-complement width — Spark's own non-legacy
+        // layout, so sink files and COW rewrites stay byte-compatible
+        Types.primitive(FIXED_LEN_BYTE_ARRAY, rep)
+          .length(org.apache.spark.sql.types.Decimal
+            .minBytesForPrecision(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
       case ArrayType(et, _) =>
         Types.list(rep)
           .setElementType(typeFor("element", et)).named(name)
@@ -744,8 +754,13 @@ class CommitLogPartitionedDataWriter(
       case FloatType => row.getFloat(i).toString
       case BooleanType => row.getBoolean(i).toString
       case StringType => row.getUTF8String(i).toString
-      case d: DecimalType =>
+      case d: DecimalType if d.precision <= 18 =>
         row.getDecimal(i, d.precision, d.scale).toUnscaledLong.toString
+      case d: DecimalType =>
+        // wide decimals: unscaled big-endian two's-complement value as
+        // a decimal string — same unit system, arbitrary precision
+        row.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue.toString
       case other => throw new IllegalArgumentException(
         s"unsupported partition column type $other")
     })
@@ -1595,8 +1610,8 @@ case class CommitLogStreamingWriterFactory(
   * layout to Spark also makes sink-written files byte-identical to
   * COW-rewritten ones BY CONSTRUCTION (same converter, same consumer),
   * not by careful mirroring. [[CommitLogWrite.parquetType]] stays as
-  * the commit-time SHAPE GATE — the declared refusals (decimal > 18,
-  * UDTs) still refuse before any byte lands.
+  * the commit-time SHAPE GATE — the declared refusal (UDTs) still
+  * refuses before any byte lands.
   *
   * Tracks numeric (min, max) per column as rows stream through so the
   * batch commits born-prunable. Rows land in a hidden `.tmp` inside the
@@ -1648,6 +1663,10 @@ class CommitLogDataWriter(
       case TimestampType | TimestampNTZType =>
         (r: InternalRow, i: Int) => box(i, r.getLong(i).toDouble)
       case DateType => (r: InternalRow, i: Int) => box(i, r.getInt(i).toDouble)
+      // double boxes are SAFE for any precision (38 included): both
+      // the box and the pushed literal round to-nearest (monotone),
+      // and pruning compares inclusively — a rounded box can only
+      // open an extra batch, never skip one holding a match
       case d: DecimalType =>
         (r: InternalRow, i: Int) =>
           box(i, r.getDecimal(i, d.precision, d.scale).toDouble)

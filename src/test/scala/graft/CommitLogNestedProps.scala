@@ -26,6 +26,7 @@ object CommitLogNestedProps extends Properties("graft.commitlognested") {
       StructField("dim", IntegerType),
       StructField("w", ArrayType(DoubleType, containsNull = true))))),
     StructField("amts", ArrayType(DecimalType(12, 2), containsNull = true)),
+    StructField("wide", DecimalType(38, 10)),
     StructField("ts", TimestampType),
     StructField("props", MapType(StringType, IntegerType,
       valueContainsNull = true)),
@@ -72,6 +73,19 @@ object CommitLogNestedProps extends Properties("graft.commitlognested") {
       6 -> Gen.chooseNum(-999999L, 999999L)
         .map(c => new java.math.BigDecimal(java.math.BigInteger.valueOf(c), 2): Any),
       1 -> Gen.const(null: Any)))
+    // wide decimal: a 28-digit unscaled value straddling 2^53, scale 10
+    wide <- Gen.frequency(
+      6 -> (for {
+        hi <- Gen.chooseNum(-999999999999999L, 999999999999999L)
+        lo <- Gen.chooseNum(0L, 9999999999999L)
+      } yield new java.math.BigDecimal(
+        java.math.BigInteger.valueOf(hi)
+          .multiply(java.math.BigInteger.valueOf(10000000000000L))
+          .add(java.math.BigInteger.valueOf(if (hi < 0) -lo else lo)),
+        10): Any),
+      1 -> Gen.const(new java.math.BigDecimal(
+        new java.math.BigInteger("9" * 38), 10): Any),
+      1 -> Gen.const(null: Any))
     ts <- Gen.frequency(
       6 -> Gen.chooseNum(0L, 4102444800000L)
         .map(ms => new java.sql.Timestamp(ms): Any),
@@ -94,7 +108,7 @@ object CommitLogNestedProps extends Properties("graft.commitlognested") {
           1 -> Gen.const(null: Any)))
       } yield (k, v)).map(_.toMap: Any)),
       1 -> Gen.const(null: Any))
-  } yield (id: Long) => Row(id, emb, pay, tags, meta, amts, ts, props, vecs)
+  } yield (id: Long) => Row(id, emb, pay, tags, meta, amts, wide, ts, props, vecs)
 
   /** Canonical form for cross-leg comparison (Seq kinds and byte-array
     * identity differ; values must not). */

@@ -3202,6 +3202,94 @@ object Sources {
         .option("versionAsOf", 1).load()
       val v2 = s.read.format("commitlog").option("path", root).load()
       agg(v1, 1).unionAll(agg(v2, 2)).orderBy("version")
+    },
+
+    // S58: IDENTITY COLUMNS — `GENERATED ALWAYS|BY DEFAULT AS
+    // IDENTITY (START WITH s INCREMENT BY k)` through the SQL catalog
+    // (Delta's identity columns). Allocation is coordination-free:
+    // the driver reads the per-column HIGH WATERMARK once at plan
+    // time, tasks fill NULL arrivals from strided k-blocks (gaps
+    // allowed, never duplicates), and the SAME manifest commit that
+    // publishes the rows advances the watermark with the planned
+    // value as a precondition — a racing identity write aborts
+    // instead of double-allocating. Identity values depend on task
+    // layout, so every oracle-checked aggregate here is
+    // LAYOUT-INVARIANT: cardinalities, uniqueness, step alignment,
+    // cross-insert ordering, payload sums. IdentityColumnSpec pins
+    // the deterministic single-writer shapes (rival abort, RESTORE
+    // rollback, INT overflow, refusal edges).
+    Decl(
+      "s58_identity",
+      s"""SELECT 'a_first' AS leg,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS uniq,
+         |  CAST(count(*) AS BIGINT) AS aligned,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS paysum
+         |FROM orders
+         |UNION ALL
+         |SELECT 'b_both', CAST(2 * count(*) AS BIGINT),
+         |  CAST(2 * count(*) AS BIGINT), CAST(2 * count(*) AS BIGINT),
+         |  CAST(2 * sum(o_orderkey) AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'c_beyond', CAST(count(*) AS BIGINT),
+         |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(count(*) AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'd_bydefault', CAST(count(*) AS BIGINT),
+         |  CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(2 * sum(o_orderkey) AS BIGINT)
+         |FROM orders
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s58_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt58", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt58.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt58.db")
+      s.sql("CREATE TABLE gt58.db.t (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 100 INCREMENT BY 10), pay BIGINT)")
+      val orders = Qh.t(s, dir, "orders").select($"o_orderkey".as("pay"))
+      orders.select(lit(null).cast("long").as("id"), $"pay")
+        .writeTo("gt58.db.t").append()
+      val root = s"$wh/db/t"
+      val v1 = graft.sources.CommitLog.latestVersion(root)
+      orders.select(lit(null).cast("long").as("id"), $"pay")
+        .writeTo("gt58.db.t").append()
+      def shape(df: org.apache.spark.sql.DataFrame, leg: String) =
+        df.agg(count(lit(1)).as("n"),
+          countDistinct($"id").as("uniq"),
+          count(when($"id" >= 100 && ($"id" - 100) % 10 === 0, 1))
+            .as("aligned"),
+          sum($"pay").as("paysum"))
+          .select(lit(leg).as("leg"), $"n", $"uniq", $"aligned", $"paysum")
+      val first = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", v1).load()
+      val both = s.table("gt58.db.t")
+      // every second-insert id lands strictly past the first insert's
+      // watermark — the cross-commit uniqueness contract
+      val max1 = first.agg(max($"id")).head().getLong(0)
+      val beyond = both.filter($"id" > max1)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("c_beyond").as("leg"), $"n", $"n".as("uniq"),
+          $"n".as("aligned"), $"n".as("paysum"))
+      // BY DEFAULT: explicit values are kept verbatim
+      s.sql("CREATE TABLE gt58.db.u (id BIGINT GENERATED BY DEFAULT AS " +
+        "IDENTITY, pay BIGINT)")
+      orders.select(($"pay" * 2).as("id"), $"pay")
+        .writeTo("gt58.db.u").append()
+      val byDef = s.table("gt58.db.u")
+        .agg(count(lit(1)).as("n"), countDistinct($"id").as("uniq"),
+          count(when($"id" === $"pay" * 2, 1)).as("aligned"),
+          sum($"id").as("paysum"))
+        .select(lit("d_bydefault").as("leg"), $"n", $"uniq", $"aligned",
+          $"paysum")
+      shape(first, "a_first")
+        .unionAll(shape(both, "b_both"))
+        .unionAll(beyond)
+        .unionAll(byDef)
+        .orderBy("leg")
     }
   )
 

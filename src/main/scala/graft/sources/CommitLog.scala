@@ -302,6 +302,26 @@ object CommitLog {
 
   /** Additive evolution check: every current field must survive in
     * `next` with the same type; new fields may only be appended. */
+  /** The declared DDL owns each existing column's NULLABILITY — a
+    * write's plan schema (all-NOT-NULL under a VALUES of literals)
+    * keeps the declaration's flag; genuinely NEW columns keep their
+    * own (additive evolution always lands nullable anyway). */
+  private[sources] def alignNullability(cur: String, next: String): String = {
+    import org.apache.spark.sql.types.StructType
+    val curNull = StructType.fromDDL(cur).fields
+      .map(f => f.name -> f.nullable).toMap
+    val nextF = StructType.fromDDL(next).fields
+    // already aligned: keep the caller's DDL string VERBATIM (callers
+    // and replay models compare recorded strings, not parsed shapes)
+    if (nextF.forall(f => curNull.get(f.name).forall(_ == f.nullable))) next
+    else StructType(nextF.map { f =>
+      curNull.get(f.name) match {
+        case Some(n) if n != f.nullable => f.copy(nullable = n)
+        case _ => f
+      }
+    }).toDDL
+  }
+
   private def checkEvolution(cur: String, next: String): Unit = {
     import org.apache.spark.sql.types.StructType
     val curF = StructType.fromDDL(cur).fields.map(f => f.name -> f.dataType).toMap
@@ -1636,7 +1656,8 @@ object CommitLog {
       partCols: Seq[String] = Nil,
       rows: Rows = Map.empty,
       defaults: Map[String, Option[(String, String)]] = Map.empty,
-      props: Map[String, Option[String]] = Map.empty): Commit = {
+      props: Map[String, Option[String]] = Map.empty,
+      propsExpected: Map[String, Option[String]] = Map.empty): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1665,6 +1686,20 @@ object CommitLog {
       txn.foreach { case (app, epoch) =>
         txnsOf(root, base).get(app).filter(_ >= epoch).foreach { w =>
           throw new TxnAlreadyCommittedException(app, epoch, w)
+        }
+      }
+      // Property PRECONDITIONS, re-checked per rebase: a caller that
+      // planned work against a property value (the identity watermark)
+      // must abort if a rival moved it — the files it staged were
+      // derived from the stale value and cannot be patched post hoc.
+      if (propsExpected.nonEmpty) {
+        val cur = tblPropsOf(root, base)
+        propsExpected.foreach { case (k, expected) =>
+          if (cur.get(k) != expected)
+            throw new java.util.ConcurrentModificationException(
+              s"conflict at v$base: property '$k' is ${cur.get(k)}, " +
+                s"this write planned against $expected (a rival advanced " +
+                "it first) — re-run the statement")
         }
       }
       // Conflict + duplicate check against the snapshot at the base this
@@ -1700,24 +1735,35 @@ object CommitLog {
             // narrow; every other commit must evolve additively —
             // and never by re-declaring a DROPPED (reserved) name,
             // whose data still lives in old files
-            if (!schemaRollback) {
-              if (colMap.nonEmpty) checkRename(cur, next, colMap)
-              else if (schemaDrop) checkDrop(cur, next, droppedCols)
-              else checkEvolution(cur, next)
+            // a plain WRITE's schema carries the incoming PLAN's
+            // nullability (a VALUES of literals is all-NOT-NULL) —
+            // declaration-owned nullability must not tighten under it,
+            // or a later INSERT that null-fills an omitted column is
+            // refused by the analyzer against the leaked NOT NULL
+            val recorded =
+              if (schemaRollback || colMap.nonEmpty || schemaDrop) next
+              else alignNullability(cur, next)
+            if (recorded == cur) None // nullability-only drift: inherit
+            else {
+              if (!schemaRollback) {
+                if (colMap.nonEmpty) checkRename(cur, next, colMap)
+                else if (schemaDrop) checkDrop(cur, next, droppedCols)
+                else checkEvolution(cur, recorded)
+              }
+              if (!schemaDrop) {
+                import org.apache.spark.sql.types.StructType
+                val reserved = droppedOf(root, base)
+                val zombie = StructType.fromDDL(recorded).fieldNames
+                  .filter(reserved.contains)
+                if (zombie.nonEmpty)
+                  throw new SchemaChangeException(
+                    s"column name(s) ${zombie.mkString(",")} were DROPPED and " +
+                      "are reserved forever: old files still carry data under " +
+                      "them, and re-declaring would resurrect it — pick a " +
+                      "fresh name")
+              }
+              Some(recorded)
             }
-            if (!schemaDrop) {
-              import org.apache.spark.sql.types.StructType
-              val reserved = droppedOf(root, base)
-              val zombie = StructType.fromDDL(next).fieldNames
-                .filter(reserved.contains)
-              if (zombie.nonEmpty)
-                throw new SchemaChangeException(
-                  s"column name(s) ${zombie.mkString(",")} were DROPPED and " +
-                    "are reserved forever: old files still carry data under " +
-                    "them, and re-declaring would resurrect it — pick a " +
-                    "fresh name")
-            }
-            Some(next)
         }
       }
       // partitioning is IMMUTABLE once declared: a re-partition would

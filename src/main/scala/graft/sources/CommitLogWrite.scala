@@ -186,6 +186,76 @@ object CommitLogWrite {
     * [[GraftCatalog]] at CREATE, read here by every sink write. */
   val GeneratedPropPrefix = "graft.generated."
 
+  /** IDENTITY columns (`GENERATED ALWAYS|BY DEFAULT AS IDENTITY`):
+    * the definition rides `graft.identity.<col>` -> "start,step,
+    * allowExplicitInsert" (written at CREATE, carried by REPLACE/
+    * RESTORE/clone like every props-facet entry), and the HIGH
+    * WATERMARK — the last value handed out — rides
+    * `graft.identityHwm.<col>`, advanced ATOMICALLY by the same
+    * manifest commit that publishes the rows (so RESTORE rolls it
+    * back with the rows it covers, and vacuum/checkpoint carry it).
+    *
+    * Allocation is coordination-free, the only shape that survives
+    * 10k concurrent tasks: the driver reads the watermark ONCE at
+    * write-plan time (k0 = the next unused step index), and task p
+    * takes k-blocks strided by the task count — block j of task p
+    * covers indexes k0 + (p + j·numPartitions)·B … +B-1, B =
+    * [[IdentityBlockProp]] rows. Values are start + step·k: unique
+    * within the write by construction, unique across writes because
+    * the commit re-verifies the watermark it planned against
+    * (propsExpected) and ABORTS if a rival advanced it — the Delta
+    * identity-conflict contract. Gaps are allowed and bounded by
+    * B·numPartitions per write (the SQL-standard identity contract
+    * never promises density). */
+  val IdentityPropPrefix = "graft.identity."
+  val IdentityHwmPrefix = "graft.identityHwm."
+
+  /** Rows per task allocation block (table property; the gap bound). */
+  val IdentityBlockProp = "graft.identityBlock"
+  val DefaultIdentityBlock: Long = 1L << 20
+
+  /** One identity column's definition + the watermark in force when
+    * the write was planned. */
+  case class IdentitySpec(
+      col: String, ordinal: Int, intWidth: Boolean,
+      start: Long, step: Long, allowExplicit: Boolean,
+      hwm: Option[Long]) {
+    /** First unused step index: 0 on a fresh table, else strictly past
+      * the watermark in step direction (floorDiv is exact for either
+      * sign; an explicit BY DEFAULT insert may leave the watermark
+      * unaligned, the +1 still lands strictly beyond it). */
+    def baseK: Long = hwm match {
+      case None => 0L
+      case Some(h) => Math.addExact(
+        Math.floorDiv(Math.subtractExact(h, start), step), 1L)
+    }
+    /** a beats b in step direction. */
+    def beyond(a: Long, b: Long): Boolean = if (step > 0) a > b else a < b
+  }
+
+  /** The identity columns a write must fill, resolved against the
+    * write schema and the table properties in force. */
+  def identitySpecs(
+      schema: StructType, props: Map[String, String]): Seq[IdentitySpec] =
+    props.collect {
+      case (k, v) if k.startsWith(IdentityPropPrefix) =>
+        val col = k.stripPrefix(IdentityPropPrefix)
+        require(schema.fieldNames.contains(col),
+          s"identity column '$col' is missing from the write schema " +
+            s"(got ${schema.fieldNames.mkString(",")})")
+        val i = schema.fieldIndex(col)
+        val intWidth = schema(i).dataType match {
+          case IntegerType => true
+          case LongType => false
+          case other => throw new IllegalArgumentException(
+            s"identity column '$col' must be BIGINT or INT, got $other")
+        }
+        val parts = v.split(",", 3)
+        IdentitySpec(col, i, intWidth,
+          parts(0).toLong, parts(1).toLong, parts(2).toBoolean,
+          props.get(IdentityHwmPrefix + col).map(_.toLong))
+    }.toSeq.sortBy(_.ordinal)
+
   /** Resolve + bind the table's generation expressions against the
     * write schema, once per write on the driver: each returns
     * (ordinal, bound expression) ready for per-row `eval` in the
@@ -379,6 +449,18 @@ object CommitLogWrite {
       }
     }
 
+  /** The DDL an overwrite records: the write schema with each EXISTING
+    * column's nullability aligned to the declaration in force — a plan
+    * schema (all-NOT-NULL under a VALUES of literals) must never
+    * tighten the declared contract (CommitLog.commit runs the same
+    * alignment for the append legs). */
+  private[sources] def recordedDdl(
+      root: String, v: Int, schema: StructType): String = {
+    val bare = CommitLog.bareDdl(schema)
+    CommitLog.schemaOf(root, v)
+      .map(cur => CommitLog.alignNullability(cur, bare)).getOrElse(bare)
+  }
+
   /** Column (min, max) boxes merged across task messages. */
   private[sources] def boxesOf(
       stats: Seq[(String, Double, Double)]): Map[String, (Double, Double)] =
@@ -429,7 +511,9 @@ object CommitLogWrite {
   def publishPartitioned(
       root: String, stageName: String, batchBase: String,
       messages: Array[WriterCommitMessage], schema: StructType,
-      txn: Option[(String, Long)], partCols: Seq[String]): Boolean = {
+      txn: Option[(String, Long)], partCols: Seq[String],
+      extraProps: Map[String, Option[String]] = Map.empty,
+      propsExpected: Map[String, Option[String]] = Map.empty): Boolean = {
     val rootP = new Path(root)
     val f = fs(rootP)
     val stage = new Path(rootP, stageName)
@@ -490,7 +574,8 @@ object CommitLogWrite {
         schema = Some(CommitLog.bareDdl(schema)), stats = stats, txn = txn,
         op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
         blooms = blooms, parts = parts, partCols = partCols,
-        rows = rowCounts)
+        rows = rowCounts,
+        props = extraProps, propsExpected = propsExpected)
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -517,7 +602,9 @@ object CommitLogWrite {
     * packable by OPTIMIZE. */
   def publishSorted(
       root: String, stageName: String, batchBase: String,
-      messages: Array[WriterCommitMessage], schema: StructType): Boolean = {
+      messages: Array[WriterCommitMessage], schema: StructType,
+      extraProps: Map[String, Option[String]] = Map.empty,
+      propsExpected: Map[String, Option[String]] = Map.empty): Boolean = {
     val rootP = new Path(root)
     val f = fs(rootP)
     val stage = new Path(rootP, stageName)
@@ -534,7 +621,8 @@ object CommitLogWrite {
     CommitLog.commit(root, latest, added = named.map(_._1),
       schema = Some(CommitLog.bareDdl(schema)),
       stats = sortedStats(named), op = Some("WRITE"),
-      blooms = sortedBlooms(named), rows = sortedRows(named))
+      blooms = sortedBlooms(named), rows = sortedRows(named),
+      props = extraProps, propsExpected = propsExpected)
     true
   }
 
@@ -622,7 +710,9 @@ object CommitLogWrite {
   def publish(
       root: String, stageName: String, batchName: String,
       messages: Array[WriterCommitMessage], schema: StructType,
-      txn: Option[(String, Long)]): Boolean = {
+      txn: Option[(String, Long)],
+      extraProps: Map[String, Option[String]] = Map.empty,
+      propsExpected: Map[String, Option[String]] = Map.empty): Boolean = {
     val rootP = new Path(root)
     val f = fs(rootP)
     val stage = new Path(rootP, stageName)
@@ -687,7 +777,8 @@ object CommitLogWrite {
         schema = Some(CommitLog.bareDdl(schema)), stats = stats, txn = txn,
         op = Some(if (txn.isDefined) "STREAMING UPDATE" else "WRITE"),
         blooms = blooms,
-        rows = Map(batchName -> msgs.map(_.rows).sum))
+        rows = Map(batchName -> msgs.map(_.rows).sum),
+        props = extraProps, propsExpected = propsExpected)
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -942,6 +1033,11 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
         s"sortOrder column '$c' is GENERATED — sort on its source " +
           "columns instead (generation is computed at the sink, after " +
           "the write's range shuffle)")
+      // same shape for identity: values are assigned at the sink,
+      // after the range shuffle clustered on the incoming placeholders
+      require(!tblProps.contains(s"${CommitLogWrite.IdentityPropPrefix}$c"),
+        s"sortOrder column '$c' is an IDENTITY column — its values " +
+          "are assigned at the sink, after the write's range shuffle")
     }
     // optional file-count pin for the range write: without it Spark
     // (AQE) sizes the shuffle, which is right at scale but coalesces
@@ -1007,8 +1103,16 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       // here on the driver), so routing/boxes see the real values
       private val generators =
         CommitLogWrite.boundGenerators(schema, tblProps)
+      // IDENTITY columns: null arrivals are assigned from the
+      // watermark in force; the data commit advances it atomically
+      // and aborts on a rival advance (see [[IdentityBatchWrite]])
+      private val identities =
+        CommitLogWrite.identitySpecs(schema, tblProps)
+      private val identityBlock =
+        tblProps.get(CommitLogWrite.IdentityBlockProp).map(_.toLong)
+          .getOrElse(CommitLogWrite.DefaultIdentityBlock)
       override def toBatch: BatchWrite = {
-        val base = mode match {
+        val core: BatchWrite with SupportsCommitProps = mode match {
           case Some(spec) =>
             new CommitLogOverwriteWrite(
               root, schema, spec, bloomCols, bloomBits, partCols, sortedSplit)
@@ -1016,8 +1120,14 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
             new CommitLogBatchWrite(root, schema, bloomCols, bloomBits,
               partCols, sortedSplit)
         }
-        if (generators.isEmpty) base
-        else new GeneratingBatchWrite(base, schema, generators)
+        // identity OUTERMOST: generation expressions may reference the
+        // identity column, so its ordinal must be filled first
+        val gen: BatchWrite =
+          if (generators.isEmpty) core
+          else new GeneratingBatchWrite(core, schema, generators)
+        if (identities.isEmpty) gen
+        else new IdentityBatchWrite(gen, core, schema, identities,
+          identityBlock)
       }
       override def toStreaming: StreamingWrite = mode match {
         case Some(_) =>
@@ -1032,6 +1142,15 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
             "sortBuckets is a batch write dial — the streaming sink " +
               "publishes one batch per epoch (unset " +
               s"${CommitLogWrite.SortBucketsProp} or the option)")
+          // the streaming factory is created once and reused across
+          // epochs, but identity allocation needs a fresh watermark
+          // per epoch — route through foreachBatch (a batch write per
+          // epoch) until the source grows per-epoch planning
+          require(identities.isEmpty,
+            s"streaming into a table with identity column(s) " +
+              s"${identities.map(_.col).mkString(",")} is not supported " +
+              "— use foreachBatch with a batch write (each epoch then " +
+              "allocates from the committed watermark)")
           val base = new CommitLogStreamingWrite(
             root, schema, CommitLogWrite.appOf(info.queryId()),
             bloomCols, bloomBits, partCols)
@@ -1128,6 +1247,159 @@ class GeneratingStreamingWrite(
   override def useCommitCoordinator(): Boolean = base.useCommitCoordinator()
 }
 
+/** A batch write whose manifest commit can carry extra table-property
+  * entries, atomically, with preconditions (see
+  * [[CommitLog.commit]]'s propsExpected) — the seam the identity
+  * wrapper publishes its watermark through. */
+trait SupportsCommitProps {
+  /** Written by the SAME manifest commit that publishes the rows. */
+  var commitProps: Map[String, Option[String]] = Map.empty
+  /** Values that must still be in force at commit time, else abort. */
+  var commitPropsExpected: Map[String, Option[String]] = Map.empty
+}
+
+/** IDENTITY columns, assigned at the sink: each task fills the NULL
+  * arrivals of every identity ordinal from its own coordination-free
+  * k-block ladder (see [[CommitLogWrite.IdentityPropPrefix]]), refuses
+  * non-null arrivals on ALWAYS columns (the writer does not own the
+  * column), keeps + tracks non-null arrivals on BY DEFAULT columns,
+  * and reports its extremes so the driver can advance the watermark
+  * in the data commit itself. */
+class IdentityDataWriter(
+    base: DataWriter[InternalRow], schema: StructType,
+    specs: Array[CommitLogWrite.IdentitySpec],
+    partitionId: Int, numPartitions: Int, block: Long)
+    extends DataWriter[InternalRow] {
+  private val types = schema.fields.map(_.dataType)
+  private var j = 0L // rows written by this task
+  private var maxK = -1L // highest local step index consumed
+  // extreme PROVIDED value per spec, in the spec's step direction
+  private val provided = Array.fill[Option[Long]](specs.length)(None)
+
+  override def write(row: InternalRow): Unit = {
+    // one step index per row, shared by every identity column: block
+    // b of task p covers indexes (p + b*numPartitions)*block ..+block
+    val k = Math.addExact(
+      Math.multiplyExact(
+        Math.addExact(partitionId.toLong,
+          Math.multiplyExact(j / block, numPartitions.toLong)),
+        block),
+      j % block)
+    j += 1
+    if (k > maxK) maxK = k
+    val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      types.length)
+    var i = 0
+    while (i < types.length) {
+      out(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
+      i += 1
+    }
+    var si = 0
+    while (si < specs.length) {
+      val s = specs(si)
+      if (row.isNullAt(s.ordinal)) {
+        val v = Math.addExact(s.start,
+          Math.multiplyExact(s.step, Math.addExact(s.baseK, k)))
+        out(s.ordinal) =
+          if (!s.intWidth) Long.box(v)
+          else {
+            if (v < Int.MinValue || v > Int.MaxValue)
+              throw new ArithmeticException(
+                s"identity column '${s.col}' (INT) overflowed at $v — " +
+                  "declare it BIGINT")
+            Int.box(v.toInt)
+          }
+      } else {
+        if (!s.allowExplicit)
+          throw new IllegalArgumentException(
+            s"column '${s.col}' is GENERATED ALWAYS AS IDENTITY — the " +
+              "writer cannot provide values (omit the column, insert " +
+              "NULL, or declare it GENERATED BY DEFAULT AS IDENTITY)")
+        val v = if (s.intWidth) row.getInt(s.ordinal).toLong
+          else row.getLong(s.ordinal)
+        if (provided(si).forall(p => s.beyond(v, p))) provided(si) = Some(v)
+      }
+      si += 1
+    }
+    base.write(out)
+  }
+
+  override def commit(): WriterCommitMessage =
+    IdentityCommitMessage(base.commit(), maxK, provided.toSeq)
+  override def abort(): Unit = base.abort()
+  override def close(): Unit = base.close()
+}
+
+/** The base writer's message + this task's identity extremes. */
+case class IdentityCommitMessage(
+    base: WriterCommitMessage, maxK: Long,
+    provided: Seq[Option[Long]]) extends WriterCommitMessage
+
+case class IdentityWriterFactory(
+    base: DataWriterFactory, schema: StructType,
+    specs: Array[CommitLogWrite.IdentitySpec],
+    numPartitions: Int, block: Long)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new IdentityDataWriter(base.createWriter(partitionId, taskId),
+      schema, specs, partitionId, numPartitions, block)
+}
+
+/** Wraps the append/overwrite batch write of a table with identity
+  * columns: tasks assign values (see [[IdentityDataWriter]]), and the
+  * driver advances each column's watermark IN the data commit, with
+  * the planned-against watermark as a precondition — a rival identity
+  * write racing this one aborts exactly one of the two (the staged
+  * values of the loser were derived from a stale watermark and may
+  * collide). */
+class IdentityBatchWrite(
+    base: BatchWrite, propsSink: SupportsCommitProps, schema: StructType,
+    specs: Seq[CommitLogWrite.IdentitySpec], block: Long)
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    IdentityWriterFactory(base.createBatchWriterFactory(info), schema,
+      specs.toArray, info.numPartitions(), block)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val idMsgs = messages.collect { case m: IdentityCommitMessage => m }
+    val baseMsgs: Array[WriterCommitMessage] = messages.map {
+      case m: IdentityCommitMessage => m.base
+      case m => m
+    }
+    val maxK = if (idMsgs.isEmpty) -1L else idMsgs.map(_.maxK).max
+    val props = Map.newBuilder[String, Option[String]]
+    val expected = Map.newBuilder[String, Option[String]]
+    specs.zipWithIndex.foreach { case (s, si) =>
+      val generated: Option[Long] =
+        if (maxK < 0) None
+        else Some(Math.addExact(s.start,
+          Math.multiplyExact(s.step, Math.addExact(s.baseK, maxK))))
+      val given: Option[Long] = idMsgs.flatMap(_.provided(si))
+        .reduceOption((a, b) => if (s.beyond(a, b)) a else b)
+      val next = (s.hwm.toSeq ++ generated ++ given)
+        .reduceOption((a, b) => if (s.beyond(a, b)) a else b)
+      if (next != s.hwm) {
+        props += (CommitLogWrite.IdentityHwmPrefix + s.col) ->
+          next.map(_.toString)
+        expected += (CommitLogWrite.IdentityHwmPrefix + s.col) ->
+          s.hwm.map(_.toString)
+      }
+    }
+    propsSink.commitProps = props.result()
+    propsSink.commitPropsExpected = expected.result()
+    base.commit(baseMsgs)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    base.abort(messages.map {
+      case m: IdentityCommitMessage => m.base
+      case m => m
+    })
+  override def useCommitCoordinator(): Boolean = base.useCommitCoordinator()
+}
+
 /** One-shot append: `df.write.format("commitlog").mode("append")`.
   * The batch name is a fresh time-ordered write id, so concurrent
   * one-shot appends never collide and the optimistic commit loop
@@ -1136,7 +1408,7 @@ class CommitLogBatchWrite(
     root: String, schema: StructType,
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
     partCols: Seq[String] = Nil, sortedSplit: Boolean = false)
-    extends BatchWrite {
+    extends BatchWrite with SupportsCommitProps {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
   private val batchName = s"w$writeId"
@@ -1150,12 +1422,18 @@ class CommitLogBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     if (sortedSplit)
-      CommitLogWrite.publishSorted(root, stageName, batchName, messages, schema)
+      CommitLogWrite.publishSorted(root, stageName, batchName, messages,
+        schema, extraProps = commitProps,
+        propsExpected = commitPropsExpected)
     else if (partCols.isEmpty)
-      CommitLogWrite.publish(root, stageName, batchName, messages, schema, txn = None)
+      CommitLogWrite.publish(root, stageName, batchName, messages, schema,
+        txn = None, extraProps = commitProps,
+        propsExpected = commitPropsExpected)
     else
       CommitLogWrite.publishPartitioned(
-        root, stageName, batchName, messages, schema, txn = None, partCols)
+        root, stageName, batchName, messages, schema, txn = None,
+        partCols = partCols, extraProps = commitProps,
+        propsExpected = commitPropsExpected)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/$stageName")
@@ -1211,8 +1489,23 @@ class CommitLogOverwriteWrite(
     root: String, schema: StructType, spec: OverwriteSpec,
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
     partCols: Seq[String] = Nil, sortedSplit: Boolean = false)
-    extends BatchWrite {
+    extends BatchWrite with SupportsCommitProps {
   import org.apache.spark.sql.functions._
+
+  /** Per-attempt check of [[SupportsCommitProps.commitPropsExpected]]
+    * for the tryCommit-loop legs below (CommitLog.commit runs the same
+    * check internally for the single-call legs). */
+  private def checkExpectedProps(v: Int): Unit =
+    if (commitPropsExpected.nonEmpty) {
+      val cur = CommitLog.tblPropsOf(root, v)
+      commitPropsExpected.foreach { case (k, expected) =>
+        if (cur.get(k) != expected)
+          throw new java.util.ConcurrentModificationException(
+            s"conflict at v$v: property '$k' is ${cur.get(k)}, this " +
+              s"write planned against $expected (a rival advanced it " +
+              "first) — re-run the statement")
+      }
+    }
 
   private val writeId = EnvelopeBatchWrite.nextWriteId()
   private val stageName = s"stage-$writeId"
@@ -1348,11 +1641,14 @@ class CommitLogOverwriteWrite(
       attempts += 1
       val v = CommitLog.latestVersion(root)
       CommitLogWrite.requireAppendableSchema(root, v, schema)
+      checkExpectedProps(v)
       val live = CommitLog.files(root, v)
       if (CommitLog.tryCommit(root, v + 1, added = add.batches,
-          removed = live, schema = Some(CommitLog.bareDdl(schema)), stats = add.stats,
+          removed = live,
+          schema = Some(CommitLogWrite.recordedDdl(root, v, schema)),
+          stats = add.stats,
           blooms = add.blooms, parts = add.parts, partCols = partCols,
-          rows = add.rows, op = Some("OVERWRITE"))) {
+          rows = add.rows, op = Some("OVERWRITE"), props = commitProps)) {
         if ((v + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, v + 1)
         return
@@ -1374,6 +1670,7 @@ class CommitLogOverwriteWrite(
       attempts += 1
       val v = CommitLog.latestVersion(root)
       CommitLogWrite.requireAppendableSchema(root, v, schema)
+      checkExpectedProps(v)
       val (dvs, datas) = CommitLog.files(root, v)
         .partition(_.startsWith(CommitLogMerge.DvPrefix))
       val liveParts = CommitLog.partsOf(root, v)
@@ -1396,10 +1693,11 @@ class CommitLogOverwriteWrite(
       val coveredDvs =
         CommitLogMerge.coveredDvBatches(spark, root, dvs, replacedDirs)
       if (CommitLog.tryCommit(root, v + 1, added = add.batches,
-          removed = replaced ++ coveredDvs, schema = Some(CommitLog.bareDdl(schema)),
+          removed = replaced ++ coveredDvs,
+          schema = Some(CommitLogWrite.recordedDdl(root, v, schema)),
           stats = add.stats, blooms = add.blooms, parts = add.parts,
           partCols = partCols, rows = add.rows,
-          op = Some("OVERWRITE PARTITIONS"))) {
+          op = Some("OVERWRITE PARTITIONS"), props = commitProps)) {
         if ((v + 1) % CommitLog.checkpointInterval == 0)
           CommitLog.writeCheckpoint(root, v + 1)
         return
@@ -1420,6 +1718,7 @@ class CommitLogOverwriteWrite(
       filters: Seq[org.apache.spark.sql.sources.Filter]): Unit = {
     val readV = CommitLog.latestVersion(root)
     CommitLogWrite.requireAppendableSchema(root, readV, schema)
+    checkExpectedProps(readV)
     val (dvs, datas) = CommitLog.files(root, readV)
       .partition(_.startsWith(CommitLogMerge.DvPrefix))
     val hit = coalesce(expr(c), lit(false))
@@ -1494,14 +1793,15 @@ class CommitLogOverwriteWrite(
       CommitLogMerge.coveredDvBatches(spark, root, dvs, removedDirs)
     if (!CommitLog.tryCommit(root, readV + 1, added,
         removedData ++ coveredDvs,
-        schema = Some(CommitLog.bareDdl(schema)), stats = add.stats, blooms = add.blooms,
+        schema = Some(CommitLogWrite.recordedDdl(root, readV, schema)),
+        stats = add.stats, blooms = add.blooms,
         parts = add.parts, partCols = partCols,
         // the survivor-rewrite batch (if any) carries no count: its
         // cardinality was never driver-known and counting it would be
         // an extra data pass — unknown degrades metadata answers, never
         // correctness
         rows = add.rows,
-        op = Some("OVERWRITE WHERE"))) {
+        op = Some("OVERWRITE WHERE"), props = commitProps)) {
       dropBatches(f, add.batches ++ rewrite.toSeq)
       throw new java.util.ConcurrentModificationException(
         s"OVERWRITE WHERE ($c) lost the race at v${readV + 1} of $root: " +

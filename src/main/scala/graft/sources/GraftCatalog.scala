@@ -112,7 +112,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def capabilities(): java.util.Set[TableCatalogCapability] =
     java.util.EnumSet.of(
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** Split a CREATE schema into its bare shape and the default-value
     * expressions Spark encoded as field metadata. */
@@ -145,6 +146,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (ddlOpt, dfs) = CommitLog.schemaAndDefaultsOf(root, v)
     val base = ddlOpt.map(StructType.fromDDL)
       .getOrElse(CommitLogSource.tableSchema(root, v)) // undeclared: footer
+    // identity definitions deliberately do NOT ride the loadTable
+    // schema as field metadata: Spark refuses to null-fill an
+    // identity column omitted from an INSERT (it expects connector
+    // analysis rules to fill it in the plan), which would break the
+    // omit-the-column path our SINK-side generation serves. The
+    // definition stays user-visible via SHOW TBLPROPERTIES
+    // (`graft.identity.<col>`).
     if (dfs.isEmpty) return base
     StructType(base.fields.map { f =>
       dfs.get(f.name) match {
@@ -272,7 +280,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     createTableImpl(ident, GraftShims.v2ColumnsToStructType(columns),
-      partitions, properties, generatedOf(columns))
+      partitions, properties, colFacetsOf(columns))
 
   override def createTable(
       ident: Identifier, schema: StructType,
@@ -287,6 +295,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String],
       generated: Map[String, Option[String]]): Table = {
     val partCols = identityPartCols(schema, partitions)
+    requireNoIdentityPartition(partCols, generated)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
@@ -306,6 +315,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Map[String, Option[String]] =
     columns.flatMap(c => Option(c.generationExpression()).map(e =>
       s"${CommitLogWrite.GeneratedPropPrefix}${c.name}" -> Some(e))).toMap
+
+  /** IDENTITY definitions off the v2 Columns — persisted as
+    * `graft.identity.<col>` -> "start,step,allowExplicitInsert"; the
+    * sink assigns values and advances the per-column watermark
+    * atomically in each data commit (see
+    * [[CommitLogWrite.IdentityPropPrefix]]). */
+  private def identityOf(columns: Array[Column])
+      : Map[String, Option[String]] =
+    columns.flatMap(c => Option(c.identityColumnSpec()).map { s =>
+      require(c.dataType == org.apache.spark.sql.types.LongType ||
+          c.dataType == org.apache.spark.sql.types.IntegerType,
+        s"identity column '${c.name}' must be BIGINT or INT, " +
+          s"got ${c.dataType.simpleString}")
+      require(s.getStep != 0,
+        s"identity column '${c.name}': INCREMENT BY must be non-zero")
+      s"${CommitLogWrite.IdentityPropPrefix}${c.name}" ->
+        Some(s"${s.getStart},${s.getStep},${s.isAllowExplicitInsert}")
+    }).toMap
+
+  /** Column-definition facets (generated + identity) of a CREATE's v2
+    * Columns, as props-facet entries. */
+  private def colFacetsOf(columns: Array[Column])
+      : Map[String, Option[String]] =
+    generatedOf(columns) ++ identityOf(columns)
+
+  /** Identity values are near-unique per row — partitioning by one
+    * would route one batch per row (generated DATE columns, by
+    * contrast, are the canonical partition key and stay allowed). */
+  private def requireNoIdentityPartition(
+      partCols: Seq[String], facets: Map[String, Option[String]]): Unit =
+    partCols.foreach(c => require(
+      !facets.contains(s"${CommitLogWrite.IdentityPropPrefix}$c"),
+      s"cannot partition by identity column '$c' — identity values " +
+        "are unique per row (one batch per row); partition by a " +
+        "derived GENERATED column instead"))
+
+  /** Column-DEFINITION facets (generated / identity / the identity
+    * watermark) are owned by DDL and the sink's data commits — a
+    * SET/UNSET TBLPROPERTIES rewrite would silently change what a
+    * column means (or resurrect spent identity values). */
+  private def requireNotColumnFacet(key: String): Unit =
+    require(!key.startsWith(CommitLogWrite.GeneratedPropPrefix) &&
+        !key.startsWith(CommitLogWrite.IdentityPropPrefix) &&
+        !key.startsWith(CommitLogWrite.IdentityHwmPrefix),
+      s"'$key' is a column-definition facet — declared at CREATE/" +
+        "REPLACE TABLE, not settable via TBLPROPERTIES")
 
   // ---- ATOMIC CTAS / RTAS / REPLACE TABLE (StagingTableCatalog) ----
   //
@@ -342,7 +397,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         (ident.namespace :+ ident.name).toSeq)
     stage(ident, GraftShims.v2ColumnsToStructType(columns), partitions,
-      replace = false, properties, generatedOf(columns))
+      replace = false, properties, colFacetsOf(columns))
   }
 
   override def stageReplace(
@@ -353,7 +408,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         (ident.namespace :+ ident.name).toSeq)
     stage(ident, GraftShims.v2ColumnsToStructType(columns), partitions,
-      replace = true, properties, generatedOf(columns))
+      replace = true, properties, colFacetsOf(columns))
   }
 
   override def stageCreateOrReplace(
@@ -361,7 +416,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable =
     stage(ident, GraftShims.v2ColumnsToStructType(columns), partitions,
-      replace = tableExists(ident), properties, generatedOf(columns))
+      replace = tableExists(ident), properties, colFacetsOf(columns))
 
   private def stage(
       ident: Identifier, schema: StructType,
@@ -369,6 +424,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       properties: java.util.Map[String, String],
       generated: Map[String, Option[String]] = Map.empty): StagedTable = {
     val partCols = identityPartCols(schema, partitions)
+    requireNoIdentityPartition(partCols, generated)
     val target = dirOf(ident)
     if (replace) {
       val v = CommitLog.latestVersion(target)
@@ -478,12 +534,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.SetProperty =>
         require(!GraftCatalog.ReservedProps.contains(c.property),
           s"'${c.property}' is a reserved catalog property")
+        requireNotColumnFacet(c.property)
         CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
           props = Map(c.property -> Some(c.value)),
           op = Some("SET TBLPROPERTIES"))
       case c: TableChange.RemoveProperty =>
         require(!GraftCatalog.ReservedProps.contains(c.property),
           s"'${c.property}' is a reserved catalog property")
+        requireNotColumnFacet(c.property)
         if (CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
             .contains(c.property))
           CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,

@@ -3290,6 +3290,59 @@ object Sources {
         .unionAll(beyond)
         .unionAll(byDef)
         .orderBy("leg")
+    },
+
+    // S59: the `.changes` METADATA TABLE — `SELECT * FROM
+    // <cat>.db.t.changes [VERSION AS OF v]`, the SQL-only spelling of
+    // the row-granularity change feed (Iceberg metadata-table shape,
+    // Delta table_changes semantics: VERSION AS OF = the start
+    // bound). The whole lifecycle below runs through spark.sql —
+    // CREATE / INSERT / DELETE / the feed read — nothing touches the
+    // DataFrame option API, and the feed plans as a distributed
+    // BatchScan (ChangesTableSpec pins the plan shape and the
+    // read-only contract). Oracle: DuckDB recomputes the per-version
+    // change counts and value sums from the raw events fixture.
+    Decl(
+      "s59_changes_table",
+      s"""WITH m AS (
+         |  SELECT event_id, CAST(user_id % 100 AS BIGINT) AS u
+         |  FROM events)
+         |SELECT 'v2_insert' AS leg, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(u) AS BIGINT) AS us
+         |FROM m
+         |UNION ALL
+         |SELECT 'v3_delete', CAST(count(*) AS BIGINT),
+         |  CAST(sum(u) AS BIGINT)
+         |FROM m WHERE event_id % 7 = 0
+         |UNION ALL
+         |SELECT 'since_v3', CAST(count(*) AS BIGINT),
+         |  CAST(sum(u) AS BIGINT)
+         |FROM m WHERE event_id % 7 = 0
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s59_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt59", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt59.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt59.db")
+      s.sql("CREATE TABLE gt59.db.e (event_id BIGINT, u BIGINT)")
+      Qh.t(s, dir, "events")
+        .select($"event_id", ($"user_id" % 100).cast("long").as("u"))
+        .createOrReplaceTempView("s59_src")
+      s.sql("INSERT INTO gt59.db.e SELECT event_id, u FROM s59_src") // v2
+      s.sql("DELETE FROM gt59.db.e WHERE event_id % 7 = 0")          // v3
+      def leg(name: String, sql: String) =
+        s.sql(sql).select(lit(name).as("leg"), $"n", $"us")
+      leg("v2_insert",
+        "SELECT count(*) AS n, sum(u) AS us FROM gt59.db.e.changes " +
+          "WHERE _change_type = 'insert' AND _commit_version = 2")
+        .unionAll(leg("v3_delete",
+          "SELECT count(*) AS n, sum(u) AS us FROM gt59.db.e.changes " +
+            "WHERE _change_type = 'delete' AND _commit_version = 3"))
+        .unionAll(leg("since_v3",
+          "SELECT count(*) AS n, sum(u) AS us FROM gt59.db.e.changes " +
+            "VERSION AS OF 3 WHERE _change_type = 'delete'"))
+        .orderBy("leg")
     }
   )
 

@@ -221,19 +221,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        (ident.namespace :+ ident.name).toSeq)
+      return changesTableOf(ident, from = None).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          (ident.namespace :+ ident.name).toSeq))
     val root = dirOf(ident)
     val v = CommitLog.latestVersion(root)
     new CommitLogTable(root, schemaWithDefaults(root, v))
   }
 
   /** `VERSION AS OF <v>` — plan with the schema AND column map in
-    * force at that version. */
+    * force at that version (on a `<table>.changes` metadata table the
+    * clause sets the STARTING version instead: changes since v). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        (ident.namespace :+ ident.name).toSeq)
+      return changesTableOf(ident, from = Some(version.toInt)).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          (ident.namespace :+ ident.name).toSeq))
     val root = dirOf(ident)
     val v = version.toInt
     new CommitLogTable(root, schemaWithDefaults(root, v),
@@ -242,13 +245,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    if (!tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        (ident.namespace :+ ident.name).toSeq)
+    if (!tableExists(ident)) {
+      val fromTs = changesTableOf(ident, from = None, ts = Some(timestamp))
+      return fromTs.getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          (ident.namespace :+ ident.name).toSeq))
+    }
     val root = dirOf(ident)
     val v = CommitLog.versionAt(root, timestamp / 1000L)
     new CommitLogTable(root, schemaWithDefaults(root, v),
       Map("versionAsOf" -> v.toString))
+  }
+
+  /** Iceberg-style METADATA TABLE for the change feed: `SELECT * FROM
+    * <cat>.<ns>.<table>.changes` serves the row-granularity CDF
+    * (`_change_type` / `_commit_version` on top of the data schema) as
+    * a fully DISTRIBUTED scan — the SQL spelling of the DataFrame
+    * `readChangeFeed` option, nothing collected to the driver.
+    * `VERSION AS OF v` on the changes table means "changes SINCE
+    * version v" (Delta's table_changes start bound); the bare table
+    * reads the full feed from v1. Resolved only when no real table of
+    * that name exists, so a genuine table named `changes` still
+    * wins. */
+  private def changesTableOf(
+      ident: Identifier, from: Option[Int],
+      ts: Option[Long] = None): Option[Table] = {
+    if (ident.name != "changes" || ident.namespace.isEmpty) return None
+    val parent = Identifier.of(
+      ident.namespace.init, ident.namespace.last)
+    if (!tableExists(parent)) return None
+    val root = dirOf(parent)
+    val start = from.orElse(
+      ts.map(t => CommitLog.versionAt(root, t / 1000L))).getOrElse(1)
+    val schema = schemaWithDefaults(root, CommitLog.latestVersion(root))
+      .add(CommitLogCdf.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+      .add(CommitLogCdf.CommitVersionCol, org.apache.spark.sql.types.IntegerType)
+    Some(new CommitLogTable(root, schema, Map(
+      "readChangeFeed" -> "true", "startingVersion" -> start.toString)) {
+      override def name(): String =
+        (ident.namespace :+ ident.name).mkString(".")
+      private def readOnly(verb: String): Nothing =
+        throw new UnsupportedOperationException(
+          s"$verb on a `.changes` metadata table — it is a read-only " +
+            "view of the change feed; write to the base table " +
+            s"${ident.namespace.mkString(".")}")
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+        readOnly("write")
+      override def canDeleteWhere(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+        readOnly("DELETE")
+      override def deleteWhere(
+          filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+        readOnly("DELETE")
+      override def newRowLevelOperationBuilder(
+          info: org.apache.spark.sql.connector.write.RowLevelOperationInfo) =
+        readOnly("row-level DML")
+    })
   }
 
   /** `CREATE TABLE … PARTITIONED BY (c1, c2)` — identity transforms

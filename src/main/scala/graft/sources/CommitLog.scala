@@ -304,8 +304,11 @@ object CommitLog {
     * `next` with the same type; new fields may only be appended. */
   /** The declared DDL owns each existing column's NULLABILITY — a
     * write's plan schema (all-NOT-NULL under a VALUES of literals)
-    * keeps the declaration's flag; genuinely NEW columns keep their
-    * own (additive evolution always lands nullable anyway). */
+    * keeps the declaration's flag. A genuinely NEW column is forced
+    * NULLABLE: additive evolution null-fills it in every
+    * pre-evolution file, so recording a plan's NOT NULL would both
+    * lie about the data and make later inserts that omit the column
+    * fail analysis. */
   private[sources] def alignNullability(cur: String, next: String): String = {
     import org.apache.spark.sql.types.StructType
     val curNull = StructType.fromDDL(cur).fields
@@ -313,10 +316,12 @@ object CommitLog {
     val nextF = StructType.fromDDL(next).fields
     // already aligned: keep the caller's DDL string VERBATIM (callers
     // and replay models compare recorded strings, not parsed shapes)
-    if (nextF.forall(f => curNull.get(f.name).forall(_ == f.nullable))) next
+    if (nextF.forall(f => curNull.get(f.name).getOrElse(true) == f.nullable))
+      next
     else StructType(nextF.map { f =>
       curNull.get(f.name) match {
         case Some(n) if n != f.nullable => f.copy(nullable = n)
+        case None if !f.nullable => f.copy(nullable = true)
         case _ => f
       }
     }).toDDL
@@ -1275,10 +1280,15 @@ object CommitLog {
 
   /** One committed version's change set. `dataChange` false marks a
     * layout-only rewrite (compaction/clustering): same rows, new
-    * files — incremental consumers skip it. */
+    * files — incremental consumers skip it. `op` is the committing
+    * verb's audit label (see [[HistoryEntry]]) — the change feed uses
+    * it to tell a REPLACE-semantics commit (OVERWRITE/TRUNCATE/
+    * RESTORE: no row identity between sides, file-granularity
+    * delete+insert is exact) from a row-level rewrite (which needs
+    * materialized change rows). */
   final case class Change(
       version: Int, added: Seq[String], removed: Seq[String],
-      dataChange: Boolean = true)
+      dataChange: Boolean = true, op: Option[String] = None)
 
   /** CHANGE FEED: the per-version add/remove sets for
     * `fromVersion < v <= toVersion` — what an incremental consumer
@@ -1292,7 +1302,8 @@ object CommitLog {
       val txt = textOf(manifest(root, v))
       Change(v, parseList(extractField(txt, "add")),
         parseList(extractField(txt, "remove")),
-        !txt.contains("\"dataChange\":false"))
+        !txt.contains("\"dataChange\":false"),
+        stringField(txt, "operation"))
     }
 
   /** One audit row of [[history]]. `operation` is the label the

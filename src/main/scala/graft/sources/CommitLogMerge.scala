@@ -418,7 +418,7 @@ object CommitLogMerge {
 
   /** Reconciled rows of a batch subset (COW rewrite input) — read
     * under the log's DDL so evolved columns survive the rewrite. */
-  private def snapshotOf(
+  private[sources] def snapshotOf(
       spark: SparkSession, root: String,
       datas: Seq[String], dvs: Seq[String],
       schemaDdl: Option[String],

@@ -298,10 +298,62 @@ class CommitLogReplaceWrite(
     val coveredDvs = CommitLogMerge.coveredDvBatches(
       SparkSession.active, root, dvs, scannedDirs)
     val removed = scanned ++ coveredDvs
+
+    // CDC MATERIALIZATION: the SQL surface has no per-statement opt-in
+    // (the deleteWhere precedent), and a COW rewrite WITHOUT
+    // materialized change rows permanently faults every change-feed
+    // consumer (`.changes`, readChangeFeed) at this version. Preimage =
+    // the scanned groups DV-reconciled (touched-batch sized — the
+    // group filter already narrowed them); postimage = the rewrite
+    // just promoted. EXCEPT ALL diffs them as MULTISETS, so no table
+    // key is needed: DELETE's postimage is a subset by construction
+    // (pre-only rows ARE the deletes); UPDATE's sides are the
+    // update_preimage/update_postimage rows; a group-based MERGE
+    // cannot attribute clause labels without a key, so its sides land
+    // as delete/insert — sign-exact under the retraction fold
+    // (CommitLogCdf.changeSign), which is the consumer contract.
+    // Opt out per table with TBLPROPERTIES('graft.changeFeed'='false');
+    // map/variant columns skip too (not comparable — EXCEPT ALL cannot
+    // diff them), and the feed refuses such versions with guidance.
+    val changeTmp = s"_changes/_tmp-$writeId"
+    def dropChanges(): Unit = {
+      val p = new Path(rootP, changeTmp)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    val spark = SparkSession.active
+    val feedOn = CommitLog.tblPropsOf(root, readVersion)
+      .get(CommitLogWrite.ChangeFeedProp).forall(_.toBoolean) &&
+      schema.fields.forall(fl => comparable(fl.dataType))
+    if (feedOn) {
+      import org.apache.spark.sql.functions.lit
+      val ddl = Some(CommitLog.bareDdl(schema))
+      val formers = CommitLog.formerNamesOf(root, readVersion)
+      val post = CommitLogSource.readBatches(
+        spark, root, added, ddl, formers, keepMeta = false)
+      val pre =
+        if (scanned.isEmpty) post.limit(0)
+        else CommitLogMerge.snapshotOf(spark, root, scanned, dvs, ddl, formers)
+      def side(df: org.apache.spark.sql.DataFrame, label: String) =
+        df.withColumn(CommitLogCdf.ChangeTypeCol, lit(label))
+      val changes = verb match {
+        case "DELETE" => side(pre.exceptAll(post), "delete")
+        case "UPDATE" =>
+          side(pre.exceptAll(post), "update_preimage")
+            .unionByName(side(post.exceptAll(pre), "update_postimage"))
+        case _ =>
+          side(pre.exceptAll(post), "delete")
+            .unionByName(side(post.exceptAll(pre), "insert"))
+      }
+      changes.write
+        .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        .parquet(s"$root/$changeTmp")
+    }
+
     if (!CommitLog.tryCommit(root, readVersion + 1,
         added = added, removed = removed,
         schema = Some(CommitLog.bareDdl(schema)), stats = stats, op = Some(verb),
         parts = tupleParts, partCols = partCols)) {
+      dropChanges()
       added.foreach { b =>
         val p = new Path(rootP, b)
         if (f.exists(p)) f.delete(p, true)
@@ -312,9 +364,23 @@ class CommitLogReplaceWrite(
           "never rebase: the rival may have changed rows this statement " +
           "read)")
     }
+    if (feedOn)
+      // rename in only after the version is OURS; a failure is loud
+      CommitLogMerge.promoteChanges(spark, root, changeTmp, readVersion + 1)
     if ((readVersion + 1) % CommitLog.checkpointInterval == 0)
       CommitLog.writeCheckpoint(root, readVersion + 1)
   }
+
+  /** EXCEPT ALL hashes whole rows — map and variant columns are not
+    * comparable, so tables carrying them skip CDC materialization. */
+  private def comparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.VariantType => false
+      case s: StructType => s.fields.forall(f => comparable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => comparable(a.elementType)
+      case _ => true
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/$stageName")

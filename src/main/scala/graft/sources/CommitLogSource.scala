@@ -634,6 +634,25 @@ class CommitLogTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => {
+      // IDENTITY guard (both row-level legs): UPDATE can overwrite a
+      // GENERATED ALWAYS value and MERGE's NOT-MATCHED INSERT would
+      // land NULL (or user-supplied) values with no generation and no
+      // watermark advance — silently breaking the uniqueness contract
+      // the append/overwrite writes enforce. Refuse loudly (mirroring
+      // the streaming-sink refusal); DELETE stays allowed — it only
+      // removes or copies rows verbatim, synthesizing nothing.
+      if (info.command !=
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE) {
+        val idCols = CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
+          .keys.filter(_.startsWith(CommitLogWrite.IdentityPropPrefix))
+          .map(_.stripPrefix(CommitLogWrite.IdentityPropPrefix)).toSeq.sorted
+        if (idCols.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"${info.command} on a table with identity column(s) " +
+              s"${idCols.mkString(",")} is not supported — row-level " +
+              "rewrites cannot allocate identity values (no watermark " +
+              "advance); DELETE + INSERT through the sink instead")
+      }
       val mode = org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.rowLevel.mode", "cow")
       if (mode == "delta") new CommitLogDeltaOperation(root, info.command)
@@ -1039,36 +1058,97 @@ class CommitLogScanBuilder(
 
 /** Plans one committed version as CHANGE-FEED partitions — the shared
   * leg of the connector's batch `table_changes` read and the streaming
-  * change feed. Rules, in order: dataChange=false versions (OPTIMIZE)
-  * emit nothing; a version with MATERIALIZED change rows
-  * (`_changes/v<N>`, written by a `changeFeed = true` merge) plans
-  * those files — the file carries `_change_type`, the reader stamps
-  * `_commit_version`; otherwise appends plan their added files as
-  * constant `insert`, whole-batch deletes plan the removed files as
-  * constant `delete` (file-granularity deletes are exact: every row in
-  * a removed batch is a deleted row), and a rewrite or DV merge
-  * WITHOUT materialized change rows fails with guidance — a scan
-  * cannot run the preimage/postimage diff join. */
+  * change feed. Rules, in order:
+  *
+  *  - dataChange=false versions (OPTIMIZE) emit nothing;
+  *  - a version with MATERIALIZED change rows (`_changes/v<N>`,
+  *    written by a `changeFeed = true` merge or any SQL row-level
+  *    verb) plans those files — the file carries `_change_type`, the
+  *    reader stamps `_commit_version`;
+  *  - a DV commit (sparse delete / delta UPDATE-MERGE) SYNTHESIZES its
+  *    delete rows from the deletion-vector positions: the base file is
+  *    read at exactly the removed positions (`onlyPositions`) as
+  *    constant `delete` — exact at row granularity, no diff join, no
+  *    touched-batch re-read on the write path. Positions restated from
+  *    a consolidated (removed) DV are subtracted — they were retracted
+  *    at their own versions. The commit's added data files
+  *    (postimages/inserts) plan as `insert`;
+  *  - appends plan their added files as constant `insert`; whole-batch
+  *    deletes plan the removed files as constant `delete`, SKIPPING
+  *    positions already dead under DVs in force at v-1
+  *    (file-granularity deletes are exact only for rows still live —
+  *    re-emitting a DV-deleted row would double-retract it);
+  *  - a data rewrite (adds AND removes data batches) WITHOUT
+  *    materialized change rows fails with guidance — a scan cannot run
+  *    the preimage/postimage diff join. SQL row-level verbs always
+  *    materialize, so this is reachable only from API merges run with
+  *    changeFeed=false. */
 object CommitLogChangePlan {
   def partitions(root: String, ch: CommitLog.Change): Seq[CommitLogInputPartition] = {
     if (!ch.dataChange) return Nil
-    val materialized =
-      CommitLogSource.listParquet(root, CommitLogMerge.changeDirName(ch.version))
-    if (materialized.nonEmpty)
-      return materialized.map(f => CommitLogInputPartition(f, None, ch.version))
-    val dvTouched = (ch.added ++ ch.removed)
-      .exists(_.startsWith(CommitLogMerge.DvPrefix))
-    if (dvTouched || (ch.added.nonEmpty && ch.removed.nonEmpty))
+    // the DIRECTORY is the marker: a materialized-but-empty change set
+    // (a rewrite that changed nothing) is "no feed rows", not "fall
+    // through to the synthesized legs"
+    val changeDir = new org.apache.hadoop.fs.Path(
+      s"$root/${CommitLogMerge.changeDirName(ch.version)}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(changeDir.toUri,
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    if (fs.exists(changeDir))
+      return CommitLogSource
+        .listParquet(root, CommitLogMerge.changeDirName(ch.version))
+        .map(f => CommitLogInputPartition(f, None, ch.version))
+    val (addedDvs, addedData) =
+      ch.added.partition(_.startsWith(CommitLogMerge.DvPrefix))
+    val (removedDvs, removedData) =
+      ch.removed.partition(_.startsWith(CommitLogMerge.DvPrefix))
+    // REPLACE-semantics verbs carry no row identity between their
+    // sides: every removed row is a delete and every added row an
+    // insert, so file granularity is exact without a diff. (RESTORE
+    // across a compaction may restate unchanged rows as delete+insert
+    // churn — sign-correct under the retraction fold, which is the
+    // consumer contract.) A row-level rewrite has no such license.
+    val replaceSemantics = ch.op.exists(o =>
+      o == "OVERWRITE" || o == "OVERWRITE WHERE" ||
+        o == "OVERWRITE PARTITIONS" || o == "TRUNCATE" ||
+        o == "RESTORE" || o == "REPLACE TABLE")
+    if (addedData.nonEmpty && removedData.nonEmpty && !replaceSemantics)
       throw new IllegalStateException(
-        s"v${ch.version} of $root is a rewrite/DV merge with no " +
+        s"v${ch.version} of $root is a copy-on-write rewrite with no " +
           "materialized change rows — run MERGE with changeFeed=true " +
           "(or consume via CommitLogCdf.changeFeed, which computes the diff)")
-    if (ch.added.nonEmpty)
-      ch.added.flatMap(CommitLogSource.listParquet(root, _))
-        .map(f => CommitLogInputPartition(f, Some("insert"), ch.version))
-    else
-      ch.removed.flatMap(CommitLogSource.listParquet(root, _))
-        .map(f => CommitLogInputPartition(f, Some("delete"), ch.version))
+    val spark = org.apache.spark.sql.SparkSession.active
+    // DV leg: this commit's deletes ARE the new vectors' positions
+    // (deletes-sized and capped — the dvPositionsByFile contract)
+    val dvDeletes =
+      if (addedDvs.isEmpty) Nil
+      else {
+        val fresh = CommitLogMerge.dvPositionsByFile(spark, root, addedDvs)
+        val restated = CommitLogMerge.dvPositionsByFile(spark, root, removedDvs)
+        fresh.toSeq.flatMap { case (file, pos) =>
+          val prior = restated.getOrElse(file, Array.empty[Long]).toSet
+          val mine = pos.filterNot(prior)
+          if (mine.isEmpty) None
+          else Some(CommitLogInputPartition(file, Some("delete"), ch.version,
+            onlyPositions = mine))
+        }
+      }
+    val inserts = addedData
+      .flatMap(CommitLogSource.listParquet(root, _))
+      .map(f => CommitLogInputPartition(f, Some("insert"), ch.version))
+    val deletes =
+      if (removedData.isEmpty) Nil
+      else {
+        // rows already dead under DVs in force BEFORE this version were
+        // retracted at their own versions — skip them here
+        val dvsBefore = CommitLog.files(root, ch.version - 1)
+          .filter(_.startsWith(CommitLogMerge.DvPrefix))
+        val dead = CommitLogMerge.dvPositionsByFile(spark, root, dvsBefore)
+        removedData.flatMap(CommitLogSource.listParquet(root, _))
+          .map(f => CommitLogInputPartition(f, Some("delete"), ch.version,
+            deletedPositions = dead.getOrElse(
+              CommitLogMerge.normDir(f), Array.empty)))
+      }
+    dvDeletes ++ inserts ++ deletes
   }
 }
 
@@ -1602,10 +1682,14 @@ case class CommitLogStreamOffset(version: Int)
   * stamps them onto every row (a file without a physical
   * `_change_type` column — an added/removed data file — gets the
   * constant; materialized change files carry their own). `version` is
-  * ignored by snapshot scans (their schema lacks the CDF columns). */
+  * ignored by snapshot scans (their schema lacks the CDF columns).
+  * `onlyPositions` (sorted) inverts `deletedPositions`: emit ONLY the
+  * rows at these indexes — how a DV commit's delete rows are
+  * synthesized from the base file without a diff join. */
 case class CommitLogInputPartition(
     file: String, constChangeType: Option[String] = None, version: Int = -1,
     deletedPositions: Array[Long] = Array.empty,
+    onlyPositions: Array[Long] = Array.empty,
     fileLength: Long = -1L) // -1 = unknown; columnar reader re-stats
     extends InputPartition
 
@@ -1694,7 +1778,7 @@ case class CommitLogReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = unwrap(partition)
     new CommitLogPartitionReader(p.file, schema, p.constChangeType, p.version,
-      formers, p.deletedPositions)
+      formers, p.deletedPositions, p.onlyPositions)
   }
 }
 
@@ -1706,7 +1790,8 @@ class CommitLogPartitionReader(
     file: String, schema: StructType,
     constChangeType: Option[String] = None, version: Int = -1,
     formers: Map[String, Seq[String]] = Map.empty,
-    deletedPositions: Array[Long] = Array.empty)
+    deletedPositions: Array[Long] = Array.empty,
+    onlyPositions: Array[Long] = Array.empty)
     extends PartitionReader[InternalRow] {
 
   private val constChangeUtf8 =
@@ -1738,6 +1823,7 @@ class CommitLogPartitionReader(
   // the sequential scan counts record indexes and hops over them
   private var rowIdx = -1L
   private var delPtr = 0
+  private var onlyPtr = 0
 
   private def isDeleted(i: Long): Boolean = {
     while (delPtr < deletedPositions.length && deletedPositions(delPtr) < i)
@@ -1745,10 +1831,24 @@ class CommitLogPartitionReader(
     delPtr < deletedPositions.length && deletedPositions(delPtr) == i
   }
 
+  // onlyPositions mode: emit EXACTLY these (sorted) row indexes —
+  // the DV-synthesized delete leg of the change feed
+  private def isIncluded(i: Long): Boolean = {
+    while (onlyPtr < onlyPositions.length && onlyPositions(onlyPtr) < i)
+      onlyPtr += 1
+    onlyPtr < onlyPositions.length && onlyPositions(onlyPtr) == i
+  }
+
   override def next(): Boolean = {
+    // all requested positions served: stop without draining the file
+    if (onlyPositions.nonEmpty && onlyPtr >= onlyPositions.length)
+      return false
     current = reader.read()
     rowIdx += 1
-    while (current != null && isDeleted(rowIdx)) {
+    while (current != null && (isDeleted(rowIdx) ||
+        (onlyPositions.nonEmpty && !isIncluded(rowIdx)))) {
+      if (onlyPositions.nonEmpty && onlyPtr >= onlyPositions.length)
+        return false
       current = reader.read()
       rowIdx += 1
     }

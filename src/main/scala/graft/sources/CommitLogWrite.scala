@@ -214,6 +214,15 @@ object CommitLogWrite {
   val IdentityBlockProp = "graft.identityBlock"
   val DefaultIdentityBlock: Long = 1L << 20
 
+  /** Per-table change-feed dial (`'graft.changeFeed' = 'false'` opts
+    * OUT): when on — the default — every SQL row-level verb
+    * materializes its row changes to `_changes/v<N>` so the `.changes`
+    * metadata table and `readChangeFeed` scans can serve the version
+    * (the SQL surface has no per-statement opt-in; same policy as
+    * `deleteWhere`). Off trades that read for a cheaper write: the
+    * feed then refuses rewrite versions with guidance. */
+  val ChangeFeedProp = "graft.changeFeed"
+
   /** One identity column's definition + the watermark in force when
     * the write was planned. */
   case class IdentitySpec(
@@ -1108,9 +1117,16 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       // and aborts on a rival advance (see [[IdentityBatchWrite]])
       private val identities =
         CommitLogWrite.identitySpecs(schema, tblProps)
-      private val identityBlock =
-        tblProps.get(CommitLogWrite.IdentityBlockProp).map(_.toLong)
+      private val identityBlock = {
+        val b = tblProps.get(CommitLogWrite.IdentityBlockProp).map(_.toLong)
           .getOrElse(CommitLogWrite.DefaultIdentityBlock)
+        // 0 would divide-by-zero per task mid-write; a negative block
+        // allocates BELOW the watermark and can duplicate identity
+        // values issued by earlier commits
+        require(b > 0,
+          s"${CommitLogWrite.IdentityBlockProp} must be positive, got $b")
+        b
+      }
       override def toBatch: BatchWrite = {
         val core: BatchWrite with SupportsCommitProps = mode match {
           case Some(spec) =>

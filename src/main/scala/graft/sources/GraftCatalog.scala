@@ -262,11 +262,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (`_change_type` / `_commit_version` on top of the data schema) as
     * a fully DISTRIBUTED scan — the SQL spelling of the DataFrame
     * `readChangeFeed` option, nothing collected to the driver.
-    * `VERSION AS OF v` on the changes table means "changes SINCE
-    * version v" (Delta's table_changes start bound); the bare table
-    * reads the full feed from v1. Resolved only when no real table of
-    * that name exists, so a genuine table named `changes` still
-    * wins. */
+    * `VERSION AS OF v` on the changes table means "changes from
+    * version v onward" — start-INCLUSIVE, Delta's table_changes
+    * semantics (a consumer asking for v expects v's own rows; silently
+    * excluding them is row loss in a change feed). The bare table
+    * reads the full feed from the first commit (v1 data from a CTAS
+    * included). Resolved only when no real table of that name exists,
+    * so a genuine table named `changes` still wins. */
   private def changesTableOf(
       ident: Identifier, from: Option[Int],
       ts: Option[Long] = None): Option[Table] = {
@@ -275,8 +277,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       ident.namespace.init, ident.namespace.last)
     if (!tableExists(parent)) return None
     val root = dirOf(parent)
-    val start = from.orElse(
-      ts.map(t => CommitLog.versionAt(root, t / 1000L))).getOrElse(1)
+    // the scan's startingVersion bound is EXCLUSIVE (changes of
+    // (start, end]), so the inclusive SQL clause passes v-1
+    val start = from.map(_ - 1).orElse(
+      ts.map(t => CommitLog.versionAt(root, t / 1000L))).getOrElse(0)
     val schema = schemaWithDefaults(root, CommitLog.latestVersion(root))
       .add(CommitLogCdf.ChangeTypeCol, org.apache.spark.sql.types.StringType)
       .add(CommitLogCdf.CommitVersionCol, org.apache.spark.sql.types.IntegerType)

@@ -120,6 +120,33 @@ class CommitLogHardeningSpec extends SparkSpec {
       "pre-evolution rows must null-fill the evolved column")
   }
 
+  test("an evolving append from a NOT-NULL plan records the new column nullable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_nul").toString
+    spark.conf.set("spark.sql.catalog.nul", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.nul.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nul.db")
+    spark.sql("CREATE TABLE nul.db.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO nul.db.t SELECT id, id * 10 FROM range(1, 6)")
+    // an evolving append whose PLAN types the new column NOT NULL (a
+    // projection of literals): the log must record it NULLABLE — every
+    // pre-evolution file null-fills it on read, and later inserts may
+    // omit it
+    val root = s"$wh/db/t"
+    (6 to 8).map(i => (i.toLong, i * 10L, s"n$i")).toDF("k", "v", "note")
+      .repartition(1)
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val recorded = org.apache.spark.sql.types.StructType.fromDDL(
+      CommitLog.schemaOf(root, CommitLog.latestVersion(root)).get)
+    assert(recorded("note").nullable,
+      s"evolved column must land nullable, got ${recorded.toDDL}")
+    // the analyzer null-fills an insert OMITTING the evolved column —
+    // a leaked NOT NULL would refuse it
+    spark.sql("INSERT INTO nul.db.t (k, v) VALUES (9, 90)")
+    val all = spark.sql("SELECT * FROM nul.db.t")
+    assert(all.count() == 9)
+    assert(all.filter(col("note").isNull).count() == 6)
+  }
+
   test("a rewrite commit aborts instead of rebasing past a DV commit") {
     val root = freshRoot()
     baseTable(root) // v1

@@ -1306,6 +1306,46 @@ object CommitLog {
         stringField(txt, "operation"))
     }
 
+  /** True when version `v` is a BLIND DATA APPEND: it adds at least
+    * one data batch, removes nothing, touches no deletion vectors and
+    * carries no schema / constraint / column-map / drop / default
+    * facet, and its only property writes are identity-watermark
+    * advances (the sink's bookkeeping). This is the one commit shape a
+    * row-level rewrite can serialize AFTER without re-reading: the
+    * appended rows did not exist at the rewrite's read version, so the
+    * statement's predicate never saw them (write-serializable, the
+    * Delta conflict-matrix cell for DML vs concurrent ingest), and
+    * nothing the rewrite staged — survivors, CHECK validation, CDC
+    * diff, recorded schema — is invalidated by rows in batches it
+    * neither reads nor removes. */
+  def blindDataAppend(root: String, v: Int): Boolean = {
+    val txt = textOf(manifest(root, v))
+    val add = parseList(extractField(txt, "add"))
+    val remove = parseList(extractField(txt, "remove"))
+    add.nonEmpty && remove.isEmpty &&
+      !add.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
+      !txt.contains("\"schema\":") &&
+      !txt.contains("\"constraint\":") &&
+      !txt.contains("\"colmap\":") &&
+      !txt.contains("\"dropped\":") &&
+      !txt.contains("\"default\":") &&
+      !txt.contains("\"dataChange\":false") &&
+      listField(txt, "tblprops").forall(e =>
+        e.takeWhile(_ != '|').startsWith(CommitLogWrite.IdentityHwmPrefix))
+  }
+
+  /** WriteSerializable rebase check: the latest version, when EVERY
+    * rival commit in `(from, latest]` is a [[blindDataAppend]]; None
+    * when any rival did anything else (the caller must abort — the
+    * rival may have changed rows the statement read). Bounded
+    * metadata: one manifest read per rival version. */
+  def appendOnlySince(root: String, from: Int): Option[Int] = {
+    val latest = latestVersion(root)
+    if (latest > from && ((from + 1) to latest).forall(blindDataAppend(root, _)))
+      Some(latest)
+    else None
+  }
+
   /** One audit row of [[history]]. `operation` is the label the
     * committing verb recorded (null for unlabeled direct commits);
     * `timestampMs` is the manifest file's mtime — audit metadata, not

@@ -40,8 +40,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pushdown and manifest pruning are SAFE here (an unread row is
   * simply not matched; nothing unread is rewritten away), so the
   * matched-row search prunes from boxes/blooms/partition tuples like
-  * any query. Commits publish SERIALIZABLE at readVersion+1 (rivals
-  * abort — the DML discipline); CHECK constraints in force validate
+  * any query. Commits are WRITE-SERIALIZABLE: rival blind data appends
+  * rebase past (their rows did not exist at the read version; the DV
+  * positions reference files they never touched), every other rival
+  * aborts — the DML discipline; CHECK constraints in force validate
   * inserted rows and postimages pre-publish. */
 class CommitLogDeltaOperation(
     root: String, cmd: RowLevelOperation.Command)
@@ -149,20 +151,39 @@ class CommitLogDeltaWrite(
     val added = (if (dataMsgs.nonEmpty) Seq(dataBatch) else Nil) ++
       (if (dvMsgs.nonEmpty) Seq(dvBatch) else Nil)
     val stats = CommitLogWrite.mergedStats(dataMsgs, dataBatch)
-    if (!CommitLog.tryCommit(root, readVersion + 1, added, removed = Nil,
-        stats = stats, op = Some(verb))) {
-      added.foreach { b =>
-        val p = new Path(rootP, b)
-        if (f.exists(p)) f.delete(p, true)
+    // WriteSerializable conflict matrix (the COW twin's discipline,
+    // CommitLogRowLevel.scala): a rival BLIND DATA APPEND does not
+    // abort — its rows did not exist at the read version and this
+    // delta's DV positions reference files the rival neither removed
+    // nor touched; rebase forward. Any other rival aborts.
+    var base = readVersion
+    var committed = false
+    var attempts = 0
+    while (!committed && attempts < 50) {
+      attempts += 1
+      if (CommitLog.tryCommit(root, base + 1, added, removed = Nil,
+          stats = stats, op = Some(verb)))
+        committed = true
+      else CommitLog.appendOnlySince(root, base) match {
+        case Some(latest) => base = latest
+        case None =>
+          added.foreach { b =>
+            val p = new Path(rootP, b)
+            if (f.exists(p)) f.delete(p, true)
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"$verb (delta) lost the race at v${base + 1} of $root: a " +
+              "rival other than a blind append committed first — re-run " +
+              "the statement (a row-level delta only rebases across pure " +
+              "appends; any other rival may have changed rows this " +
+              "statement read)")
       }
-      throw new java.util.ConcurrentModificationException(
-        s"$verb (delta) lost the race at v${readVersion + 1} of $root: a " +
-          "rival committed first — re-run the statement (row-level deltas " +
-          "never rebase: the rival may have changed rows this statement " +
-          "read)")
     }
-    if ((readVersion + 1) % CommitLog.checkpointInterval == 0)
-      CommitLog.writeCheckpoint(root, readVersion + 1)
+    if (!committed)
+      throw new IllegalStateException(
+        s"$verb (delta) on $root gave up after 50 rebase attempts (livelock?)")
+    if ((base + 1) % CommitLog.checkpointInterval == 0)
+      CommitLog.writeCheckpoint(root, base + 1)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

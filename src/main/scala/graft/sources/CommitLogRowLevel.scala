@@ -32,11 +32,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Iceberg refinement) is an optimization on top of this contract,
   * not a correctness requirement.
   *
-  * Concurrency is the DML discipline: the read version is captured
-  * when the operation is created, the commit publishes at exactly
-  * `readVersion + 1`, and ANY rival landing first aborts the
-  * statement with `ConcurrentModificationException` — a rewrite never
-  * rebases (the rival may have changed rows this statement read).
+  * Concurrency is the Delta conflict matrix under WriteSerializable:
+  * the read version is captured when the operation is created and the
+  * commit aims at `readVersion + 1`; a rival BLIND DATA APPEND does
+  * NOT abort — its rows did not exist at the read version, so the
+  * statement's predicate never saw them, and the commit rebases
+  * forward past it (continuous ingest and maintenance DML coexist).
+  * Any OTHER rival — a rewrite, a DV delete, OPTIMIZE, a schema or
+  * constraint change — aborts the statement with
+  * `ConcurrentModificationException`: it may have changed rows this
+  * statement read, and a rewrite can never rebase across that.
   * CHECK constraints in force validate the staged result pre-publish,
   * exactly like the sink. Sparse DELETEs with translatable predicates
   * never get here — `SupportsDelete`'s metadata path claims them
@@ -349,26 +354,52 @@ class CommitLogReplaceWrite(
         .parquet(s"$root/$changeTmp")
     }
 
-    if (!CommitLog.tryCommit(root, readVersion + 1,
-        added = added, removed = removed,
-        schema = Some(CommitLog.bareDdl(schema)), stats = stats, op = Some(verb),
-        parts = tupleParts, partCols = partCols)) {
-      dropChanges()
-      added.foreach { b =>
-        val p = new Path(rootP, b)
-        if (f.exists(p)) f.delete(p, true)
+    // COMMIT with the write-serializable conflict matrix: the rewrite
+    // publishes at base+1; a losing race REBASES forward if and only
+    // if every rival commit was a BLIND DATA APPEND (rows this
+    // statement's predicate never saw — they did not exist at its read
+    // version; nothing staged is invalidated because the rivals'
+    // batches are neither read nor removed). Any other rival —
+    // another rewrite, a DV delete, OPTIMIZE, a schema or constraint
+    // change — aborts the statement: it may have changed rows this
+    // statement read, and a rewrite can never rebase across that.
+    // This is what lets continuous ingest and maintenance DML coexist
+    // on one table: at 1000 executors an append stream must not abort
+    // every DELETE.
+    var base = readVersion
+    var committed = false
+    var attempts = 0
+    while (!committed && attempts < 50) {
+      attempts += 1
+      if (CommitLog.tryCommit(root, base + 1,
+          added = added, removed = removed,
+          schema = Some(CommitLog.bareDdl(schema)), stats = stats,
+          op = Some(verb), parts = tupleParts, partCols = partCols))
+        committed = true
+      else CommitLog.appendOnlySince(root, base) match {
+        case Some(latest) => base = latest
+        case None =>
+          dropChanges()
+          added.foreach { b =>
+            val p = new Path(rootP, b)
+            if (f.exists(p)) f.delete(p, true)
+          }
+          throw new java.util.ConcurrentModificationException(
+            s"$verb lost the race at v${base + 1} of $root: a rival " +
+              "other than a blind append committed first — re-run the " +
+              "statement (a row-level rewrite only rebases across pure " +
+              "appends; any other rival may have changed rows this " +
+              "statement read)")
       }
-      throw new java.util.ConcurrentModificationException(
-        s"$verb lost the race at v${readVersion + 1} of $root: a rival " +
-          "committed first — re-run the statement (row-level rewrites " +
-          "never rebase: the rival may have changed rows this statement " +
-          "read)")
     }
+    if (!committed)
+      throw new IllegalStateException(
+        s"$verb on $root gave up after 50 rebase attempts (livelock?)")
     if (feedOn)
       // rename in only after the version is OURS; a failure is loud
-      CommitLogMerge.promoteChanges(spark, root, changeTmp, readVersion + 1)
-    if ((readVersion + 1) % CommitLog.checkpointInterval == 0)
-      CommitLog.writeCheckpoint(root, readVersion + 1)
+      CommitLogMerge.promoteChanges(spark, root, changeTmp, base + 1)
+    if ((base + 1) % CommitLog.checkpointInterval == 0)
+      CommitLog.writeCheckpoint(root, base + 1)
   }
 
   /** EXCEPT ALL hashes whole rows — map and variant columns are not

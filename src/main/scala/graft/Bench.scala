@@ -17,7 +17,9 @@ object Bench {
     * each pin is the MIN of two back-to-back SENTINEL-CLEAN idle runs
     * (229.6 / 241.1 s; n_err 0, n_suspect 0 in both) and the prior
     * r12 pin, so pins can only TIGHTEN. The committed snapshot
-    * (scripts/bench_pins.json) is run 1. These runs ADJUDICATED the
+    * (scripts/bench_pins.json) is a third sentinel-clean idle run
+    * (240.9 s), taken after s60_generated_prune landed so the
+    * snapshot carries every pinned query. These runs ADJUDICATED the
     * r12 regression cluster as machine-load noise, as the r12 close
     * suspected: all eight flagged queries (l2_survivor_selection
     * 12.9 → 3.2 s, l3_ann_ivfpq 8.2 → 1.56, l3_ann_trained
@@ -127,7 +129,7 @@ object Bench {
     "s55_describe_detail" -> 0.492, "s56_generated_columns" -> 1.48,
     "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.263,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
-    "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.824,
+    "s60_generated_prune" -> 0.781, "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.824,
     "s8_envelope_source" -> 0.637, "s9_partitioned_prune" -> 0.633,
     "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.581, "t14_stream_commitlog" -> 3.599,

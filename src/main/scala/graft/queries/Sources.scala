@@ -3343,6 +3343,71 @@ object Sources {
           "SELECT count(*) AS n, sum(u) AS us FROM gt59.db.e.changes " +
             "VERSION AS OF 3 WHERE _change_type = 'delete'"))
         .orderBy("leg")
+    },
+
+    // S60 (SURVEY S65): GENERATED-COLUMN FILTER DERIVATION — a table
+    // partitioned by `day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))`
+    // prunes on a query that filters ONLY `ts` (Delta's
+    // generated-partition behavior; the user never names the partition
+    // column). The planned-partition counts ride the result as
+    // constant columns, s40-style, so the ORACLE gate pins the pruning
+    // itself: planned_all = 10 day partitions, planned_range = 4 (days
+    // 3..5 plus the conservative `ts < Y → day <= floor(Y)` boundary
+    // day), planned_point = 1. Timestamps are built at midnight from
+    // event_id so the day layout is timezone-independent; DuckDB
+    // recomputes the data legs from event_id arithmetic alone.
+    Decl(
+      "s60_generated_prune",
+      s"""WITH m AS (
+         |  SELECT event_id, CAST(user_id % 100 AS BIGINT) AS u,
+         |    event_id % 10 AS off
+         |  FROM events)
+         |SELECT 'point' AS leg, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(u) AS BIGINT) AS us, CAST(4 AS INT) AS planned_range,
+         |  CAST(10 AS INT) AS planned_all, CAST(1 AS INT) AS planned_point
+         |FROM m WHERE off = 4
+         |UNION ALL
+         |SELECT 'range', CAST(count(*) AS BIGINT), CAST(sum(u) AS BIGINT),
+         |  CAST(4 AS INT), CAST(10 AS INT), CAST(1 AS INT)
+         |FROM m WHERE off IN (3, 4, 5)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s60_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt60", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt60.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt60.db")
+      s.sql(
+        """CREATE TABLE gt60.db.g (
+          |  event_id BIGINT, u BIGINT, ts TIMESTAMP,
+          |  day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+          |PARTITIONED BY (day)""".stripMargin)
+      Qh.t(s, dir, "events")
+        .select($"event_id", ($"user_id" % 100).cast("long").as("u"),
+          date_add(lit(java.sql.Date.valueOf("2024-03-01")),
+            ($"event_id" % 10).cast("int")).cast("timestamp").as("ts"))
+        .createOrReplaceTempView("s60_src")
+      s.sql("INSERT INTO gt60.db.g (event_id, u, ts) " +
+        "SELECT event_id, u, ts FROM s60_src") // 10 day partitions
+      def plannedOf(sql: String): Int =
+        s.sql(sql).queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val rangePred = "ts >= timestamp'2024-03-04 00:00:00' AND " +
+        "ts < timestamp'2024-03-07 00:00:00'"
+      val pR = plannedOf(s"SELECT u FROM gt60.db.g WHERE $rangePred")
+      val pA = plannedOf("SELECT u FROM gt60.db.g")
+      val pP = plannedOf(
+        "SELECT u FROM gt60.db.g WHERE ts = timestamp'2024-03-05 00:00:00'")
+      def leg(name: String, pred: String) =
+        s.sql(s"SELECT count(*) AS n, sum(u) AS us FROM gt60.db.g WHERE $pred")
+          .select(lit(name).as("leg"), $"n", $"us",
+            lit(pR).as("planned_range"), lit(pA).as("planned_all"),
+            lit(pP).as("planned_point"))
+      leg("point", "ts = timestamp'2024-03-05 00:00:00'")
+        .unionAll(leg("range", rangePred))
+        .orderBy("leg")
     }
   )
 

@@ -1040,9 +1040,27 @@ class CommitLogScanBuilder(
         if (CommitLog.history(root).forall(_.timestampMs > ms)) 0
         else CommitLog.versionAt(root, ms)
       }).getOrElse(0)
+    // GENERATED-COLUMN FILTER DERIVATION: a filter on a generated
+    // column's SOURCE derives a conservative filter on the generated
+    // column itself, joining the partition-tuple pruning — the Delta
+    // generated-partition behavior (`WHERE ts >= X` prunes a table
+    // partitioned by `day = CAST(ts AS DATE)` without naming day).
+    // Tuple pruning only: box/bloom literal encodings are the
+    // writer's, so derived literals stay out of them.
+    val derivedPart =
+      if (allFilters.isEmpty) Nil
+      else {
+        val v = versionAsOf.getOrElse(CommitLog.latestVersion(root))
+        val gens = CommitLog.tblPropsOf(root, v).collect {
+          case (k, sql) if k.startsWith(CommitLogWrite.GeneratedPropPrefix) =>
+            k.stripPrefix(CommitLogWrite.GeneratedPropPrefix) -> sql
+        }
+        GeneratedPruning.derived(
+          org.apache.spark.sql.SparkSession.active, schema0, gens, allFilters)
+      }
     CommitLogScan(
       root, required, boxes, probes,
-      partFilters = allFilters,
+      partFilters = allFilters ++ derivedPart,
       versionAsOf = versionAsOf,
       startingVersion = startingVersion,
       maxVersionsPerTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt),

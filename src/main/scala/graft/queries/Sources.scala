@@ -3408,6 +3408,64 @@ object Sources {
       leg("point", "ts = timestamp'2024-03-05 00:00:00'")
         .unionAll(leg("range", rangePred))
         .orderBy("leg")
+    },
+
+    // S61 (SURVEY S66): VARIANT COLUMNS in the commitlog table format —
+    // semi-structured ingestion keeps its raw shape (`parse_json`
+    // straight off the wire) instead of a JSON-string detour, and the
+    // whole lakehouse surface composes: v1 serves SINK-written files
+    // (unshredded variant groups), the `% 2 = 0` delete forces the
+    // COPY-ON-WRITE leg (fraction 0.5 > the 0.3 DV dial) so v2's
+    // survivors land via Spark's own writer with SHREDDING enabled —
+    // the after_delete leg hash-checks the row leg's shredded-variant
+    // REASSEMBLY (SparkShreddingUtils.assembleVariant over the
+    // file-derived shredded struct) against DuckDB reading the
+    // original JSON. Scalar, array-index and nested-object paths all
+    // extract through variant_get.
+    Decl(
+      "s61_variant",
+      s"""WITH m AS (
+         |  SELECT event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS kv,
+         |    event_id % 5 AS a0,
+         |    CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS x0
+         |  FROM events)
+         |SELECT CAST(1 AS BIGINT) AS version, 'base' AS leg,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(kv) AS BIGINT) AS ks,
+         |  CAST(sum(a0) AS BIGINT) AS a0s, CAST(sum(x0) AS BIGINT) AS xs
+         |FROM m
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'after_delete',
+         |  CAST(count(*) AS BIGINT), CAST(sum(kv) AS BIGINT),
+         |  CAST(sum(a0) AS BIGINT), CAST(sum(x0) AS BIGINT)
+         |FROM m WHERE event_id % 2 <> 0
+         |ORDER BY version, leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s61_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events")
+        .select($"event_id",
+          parse_json($"props").as("v"),
+          parse_json(format_string("""[%d,{"s":"x%d"}]""",
+            $"event_id" % 5, $"event_id" % 3)).as("va"))
+        .write.format("commitlog").option("path", root).mode("append").save()
+      graft.sources.CommitLogDml.delete(s, root, "event_id % 2 = 0",
+        changeFeed = false)
+      def legAgg(df: org.apache.spark.sql.DataFrame, ver: Long, leg: String) =
+        df.agg(
+          count(lit(1)).as("n"),
+          sum(variant_get($"v", "$.k", "long")).as("ks"),
+          sum(variant_get($"va", "$[0]", "long")).as("a0s"),
+          sum(when(variant_get($"va", "$[1].s", "string") === "x0", 1L)
+            .otherwise(0L)).as("xs"))
+          .select(lit(ver).as("version"), lit(leg).as("leg"),
+            $"n", $"ks", $"a0s", $"xs")
+      val v1 = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", 1).load()
+      val v2 = s.read.format("commitlog").option("path", root).load()
+      legAgg(v1, 1, "base")
+        .unionAll(legAgg(v2, 2, "after_delete"))
+        .orderBy("version", "leg")
     }
   )
 

@@ -2003,11 +2003,55 @@ class CommitLogPartitionReader(
       new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
         new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vals))
+    case org.apache.spark.sql.types.VariantType =>
+      // Two file layouts, both Spark's own. UNSHREDDED (the sink's):
+      // a group of two required binaries — reassemble directly.
+      // SHREDDED (Spark's datasource writer under
+      // spark.sql.variant.writeShredding.enabled, i.e. COW rewrites /
+      // OPTIMIZE output): per-field typed_value/value trees — read the
+      // group as the file-derived shredded struct (plain structs/
+      // arrays/scalars, which this reader already decodes) and let
+      // Spark's own SparkShreddingUtils re-encode the variant binary.
+      // Field order resolves by NAME either way (the writer's order is
+      // an implementation detail of Spark's converter).
+      val vg = g.getGroup(fi, idx)
+      val gt = vg.getType
+      require(gt.containsField("metadata"),
+        s"variant group missing metadata field: $gt")
+      if (!gt.containsField("typed_value") &&
+          gt.getType(gt.getFieldIndex("value")).isPrimitive) {
+        new org.apache.spark.unsafe.types.VariantVal(
+          vg.getBinary(gt.getFieldIndex("value"), 0).getBytes,
+          vg.getBinary(gt.getFieldIndex("metadata"), 0).getBytes)
+      } else {
+        val (shreddedSt, variantSchema) = shredSchemaFor(gt)
+        val shreddedRow = readValue(g, fi, idx, shreddedSt)
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val v = org.apache.spark.sql.execution.datasources.parquet
+          .SparkShreddingUtils.assembleVariant(shreddedRow, variantSchema)
+        v
+      }
     case other =>
       throw new IllegalArgumentException(
         s"commitlog reader does not support $other — project it out " +
           "or extend the reader")
   }
+
+  /** File-derived shredded-variant schema, memoized per distinct
+    * parquet group shape (one per file in practice — the shredding
+    * schema was inferred from that file's data). */
+  private val shredCache =
+    scala.collection.mutable.HashMap.empty[
+      org.apache.parquet.schema.GroupType,
+      (StructType, org.apache.spark.types.variant.VariantSchema)]
+  private def shredSchemaFor(gt: org.apache.parquet.schema.GroupType)
+      : (StructType, org.apache.spark.types.variant.VariantSchema) =
+    shredCache.getOrElseUpdate(gt, {
+      import org.apache.spark.sql.execution.datasources.parquet.SparkShreddingUtils
+      val st = SparkShreddingUtils.parquetTypeToSparkType(gt)
+        .asInstanceOf[StructType]
+      (st, SparkShreddingUtils.buildVariantSchema(st))
+    })
 
   private def readTimestampMicros(g: Group, fi: Int, idx: Int): Long = {
     val pt = g.getType.getType(fi).asPrimitiveType()

@@ -123,11 +123,23 @@ object CommitLogWrite {
               typeFor("value", vt))
             .named("key_value"))
           .named(name)
+      case org.apache.spark.sql.types.VariantType =>
+        // Spark's UNSHREDDED variant layout: a group of two required
+        // binaries (`value`, `metadata` — the open variant encoding),
+        // annotated with the parquet VARIANT logical type, spec
+        // version 1 — exactly what Spark's own converter emits under
+        // the annotate conf the sink writer pins (internalRowWriter)
+        Types.buildGroup(rep)
+          .as(LogicalTypeAnnotation.variantType(1.toByte))
+          .addFields(
+            Types.primitive(BINARY, Type.Repetition.REQUIRED).named("value"),
+            Types.primitive(BINARY, Type.Repetition.REQUIRED).named("metadata"))
+          .named(name)
       case other =>
         throw new IllegalArgumentException(
           s"commitlog writer does not support $other (column $name) " +
-            "— supported: flat primitives, binary, array, struct, map " +
-            "(pre-serialize UDTs)")
+            "— supported: flat primitives, binary, array, struct, map, " +
+            "variant (pre-serialize UDTs)")
     }
   }
 

@@ -3466,6 +3466,102 @@ object Sources {
       legAgg(v1, 1, "base")
         .unionAll(legAgg(v2, 2, "after_delete"))
         .orderBy("version", "leg")
+    },
+
+    // S62 (SURVEY S67): ROW TRACKING — stable per-row identities. The
+    // hidden `_graft_row_id` column is allocated at the sink (identity
+    // k-block ladder, watermark advanced in the data commit), hidden
+    // from the schema, selectable as a metadata column, and PRESERVED
+    // through the whole DML lifecycle this decl drives: UPDATE routes
+    // the merge-on-read delta leg (postimage carries its id as a
+    // metadata attribute), the dense DELETE takes the COW rewrite
+    // (rewriteDdl threads the hidden column through the file swap,
+    // absorbing the update's DVs), and OPTIMIZE repacks DV-free files.
+    // Lifecycle: v2 INSERT mints ids; v3 SQL UPDATE takes the DELTA
+    // leg (DV + postimages carrying preserved ids); v4 is the DENSE
+    // path-API DELETE — the COW rewrite that both threads the hidden
+    // column through the file swap AND absorbs v3's deletion vectors;
+    // v5 appends fresh keys (fresh ids past the watermark); v6
+    // OPTIMIZE packs the two DV-free batches. Each leg emits `bad` =
+    // surviving v2 keys whose id drifted and `dup` = duplicate ids —
+    // the ORACLE pins both at 0, so identity stability itself is
+    // hash-gated, alongside the value aggregates DuckDB recomputes.
+    Decl(
+      "s62_row_tracking",
+      s"""WITH m AS (
+         |  SELECT event_id, MIN(user_id % 100) AS u
+         |  FROM events GROUP BY event_id),
+         |upd AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 10 = 3 THEN -1 ELSE u END AS u FROM m),
+         |del AS (SELECT * FROM upd WHERE event_id % 2 <> 0),
+         |ins AS (
+         |  SELECT * FROM del
+         |  UNION ALL
+         |  SELECT -event_id - 1, u FROM m WHERE event_id % 5 = 0)
+         |SELECT 1 AS step, 'base' AS leg, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(u) AS BIGINT) AS us, CAST(0 AS BIGINT) AS bad,
+         |  CAST(0 AS BIGINT) AS dup
+         |FROM m
+         |UNION ALL
+         |SELECT 2, 'upd', CAST(count(*) AS BIGINT),
+         |  CAST(sum(u) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM upd
+         |UNION ALL
+         |SELECT 3, 'del', CAST(count(*) AS BIGINT),
+         |  CAST(sum(u) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM del
+         |UNION ALL
+         |SELECT 4, 'opt', CAST(count(*) AS BIGINT),
+         |  CAST(sum(u) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         |FROM ins
+         |ORDER BY step""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s62_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt62", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt62.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt62.db")
+      s.sql("CREATE TABLE gt62.db.t (event_id BIGINT, u BIGINT) " +
+        "TBLPROPERTIES ('graft.rowTracking'='true')") // v1
+      val root = s"$wh/db/t"
+      Qh.t(s, dir, "events")
+        .groupBy($"event_id")
+        .agg(min($"user_id" % 100).cast("long").as("u"))
+        .createOrReplaceTempView("s62_src")
+      s.sql("INSERT INTO gt62.db.t SELECT event_id, u FROM s62_src") // v2
+      s.sql("UPDATE gt62.db.t SET u = -1 WHERE event_id % 10 = 3") // v3 delta
+      graft.sources.CommitLogDml.delete(s, root, "event_id % 2 = 0",
+        changeFeed = true) // v4: dense -> COW, absorbs v3's DVs
+      s.sql("INSERT INTO gt62.db.t " +
+        "SELECT -event_id - 1, u FROM s62_src WHERE event_id % 5 = 0") // v5
+      graft.sources.CommitLogOptimize.optimize(s, root,
+        smallBytes = 1L << 30) // v6: packs the two DV-free batches
+      // the ids minted at v2 are THE identities — every later leg must
+      // carry them unchanged on its surviving keys; post-v2 inserts
+      // only need uniqueness (dup = 0)
+      val origin = s.sql(
+        "SELECT event_id, _graft_row_id AS rid0 FROM gt62.db.t VERSION AS OF 2")
+      def leg(step: Int, name: String, ver: Option[Int]) = {
+        val t = ver.map(v => s"gt62.db.t VERSION AS OF $v")
+          .getOrElse("gt62.db.t")
+        val cur = s.sql(
+          s"SELECT event_id, u, _graft_row_id AS rid FROM $t")
+        cur.join(origin, Seq("event_id"), "left")
+          .agg(
+            count(lit(1)).as("n"),
+            sum($"u").as("us"),
+            sum(when($"rid0".isNotNull && $"rid" =!= $"rid0", 1L)
+              .otherwise(0L)).as("bad"),
+            (count(lit(1)) - countDistinct($"rid")).as("dup"))
+          .select(lit(step).as("step"), lit(name).as("leg"),
+            $"n", $"us", $"bad", $"dup")
+      }
+      leg(1, "base", Some(2))
+        .unionAll(leg(2, "upd", Some(3)))
+        .unionAll(leg(3, "del", Some(4)))
+        .unionAll(leg(4, "opt", None))
+        .orderBy("step")
     }
   )
 

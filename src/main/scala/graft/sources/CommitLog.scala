@@ -952,12 +952,28 @@ object CommitLog {
     * and is kept. Every commit site that receives a LIVE schema
     * (catalog DDL, write builders) goes through here. */
   def bareDdl(schema: org.apache.spark.sql.types.StructType): String =
-    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
-      val m = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build()
-      org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable, m)
-    }).toDDL
+    org.apache.spark.sql.types.StructType(schema.fields
+      // the hidden row-tracking column is a FILE-level artifact
+      // governed by graft.rowTracking — it never enters the schema of
+      // record, no matter which write path records DDL
+      .filterNot(_.name == CommitLogWrite.RowIdCol)
+      .map { f =>
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT").build()
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable, m)
+      }).toDDL
+
+  /** What an engine REWRITE (optimize/zorder/copy-on-write DML) must
+    * read and re-write: the declared DDL plus the hidden row-id column
+    * when the table is row-tracked — dropping it in a file swap would
+    * silently unmake every row's identity. */
+  def rewriteDdl(root: String, v: Int): Option[String] =
+    schemaOf(root, v).map { d =>
+      if (CommitLogWrite.rowTrackingOn(tblPropsOf(root, v)))
+        s"$d, ${CommitLogWrite.RowIdCol} BIGINT"
+      else d
+    }
 
   /** Schema DDL and column defaults in ONE checkpoint+delta replay —
     * the catalog's loadTable hot path (a per-facet accessor pair would

@@ -51,11 +51,23 @@ class CommitLogDeltaOperation(
 
   private[sources] val readVersion = CommitLog.latestVersion(root)
 
+  /** Row-tracked table: the hidden row id rides the statement as a
+    * METADATA attribute — update postimages then land with their
+    * PRESERVED id (the group-based COW twin cannot do this: Spark's
+    * replace-data projection strips metadata before the writer, which
+    * is why tracked tables always route through THIS operation). */
+  private[sources] val tracked = CommitLogWrite.rowTrackingOn(
+    CommitLog.tblPropsOf(root, readVersion))
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def rowId(): Array[NamedReference] = Array(
     Expressions.column(CommitLogSource.RowFileCol),
     Expressions.column(CommitLogSource.RowPosCol))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (tracked) Array(Expressions.column(CommitLogWrite.RowIdCol))
+    else Array.empty
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val pinned = new java.util.HashMap[String, String](options)
@@ -73,10 +85,13 @@ class CommitLogDeltaOperation(
 }
 
 /** One task's staged delta: its postimage/insert file and its DV
-  * position file (either may be absent). */
+  * position file (either may be absent). `maxK` = the highest row-id
+  * allocation step this task consumed (-1 = none), for the driver's
+  * watermark advance. */
 case class CommitLogDeltaCommitMessage(
     data: Option[CommitLogCommitMessage],
-    dv: Option[CommitLogCommitMessage]) extends WriterCommitMessage
+    dv: Option[CommitLogCommitMessage],
+    maxK: Long = -1L) extends WriterCommitMessage
 
 /** The delta write: at most one data batch + one `dv-` batch,
   * committed together at exactly `readVersion + 1`. */
@@ -90,11 +105,35 @@ class CommitLogDeltaWrite(
   private val dataBatch = s"dl$writeId"
   private val dvBatch = s"${CommitLogMerge.DvPrefix}${readVersion + 1}-$tag"
 
+  // ROW TRACKING: postimages/inserts land with the hidden row-id
+  // column — preserved ids arrive as the statement's metadata
+  // attribute, fresh ids (MERGE inserts) allocate from the watermark
+  // in force exactly like the sink's identity ladder, and the commit
+  // advances the watermark with a planned-against precondition.
+  private val tblProps = CommitLog.tblPropsOf(root, readVersion)
+  private val tracked = CommitLogWrite.rowTrackingOn(tblProps)
+  private val writeSchema =
+    if (tracked) CommitLogWrite.withRowId(dataSchema) else dataSchema
+  private val hwmKey =
+    CommitLogWrite.IdentityHwmPrefix + CommitLogWrite.RowIdCol
+  private val plannedHwm: Option[Long] = tblProps.get(hwmKey).map(_.toLong)
+  private val baseK: Long =
+    plannedHwm.map(h => Math.addExact(h, 1L)).getOrElse(0L)
+  private val idBlock: Long = {
+    val b = tblProps.get(CommitLogWrite.IdentityBlockProp).map(_.toLong)
+      .getOrElse(CommitLogWrite.DefaultIdentityBlock)
+    require(b > 0,
+      s"${CommitLogWrite.IdentityBlockProp} must be positive, got $b")
+    b
+  }
+
   override def toBatch: DeltaBatchWrite = this
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
-    CommitLogDeltaWriterFactory(s"$root/$stageName", dataSchema)
+    CommitLogDeltaWriterFactory(s"$root/$stageName", writeSchema,
+      if (tracked) writeSchema.fieldIndex(CommitLogWrite.RowIdCol) else -1,
+      baseK, info.numPartitions(), idBlock)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -151,6 +190,29 @@ class CommitLogDeltaWrite(
     val added = (if (dataMsgs.nonEmpty) Seq(dataBatch) else Nil) ++
       (if (dvMsgs.nonEmpty) Seq(dvBatch) else Nil)
     val stats = CommitLogWrite.mergedStats(dataMsgs, dataBatch)
+    // row-id watermark advance: fresh allocations must land the new
+    // watermark in the SAME commit, and the staged ids were derived
+    // from plannedHwm — a rival that advanced it first (e.g. a blind
+    // append allocating its own ids) may collide, so the precondition
+    // is re-checked per rebase attempt and aborts instead of rebasing
+    val maxK = msgs.map(_.maxK).foldLeft(-1L)(math.max)
+    val hwmProps: Map[String, Option[String]] =
+      if (maxK < 0) Map.empty
+      else Map(hwmKey -> Some(Math.addExact(baseK, maxK).toString))
+    def checkHwm(base: Int): Unit =
+      if (maxK >= 0 &&
+          CommitLog.tblPropsOf(root, base).get(hwmKey)
+            .map(_.toLong) != plannedHwm) {
+        added.foreach { b =>
+          val p = new Path(rootP, b)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"$verb (delta) on $root: a rival advanced the row-id " +
+            s"watermark past the value this statement planned against " +
+            s"($plannedHwm) — its staged ids may collide; re-run the " +
+            "statement")
+      }
     // WriteSerializable conflict matrix (the COW twin's discipline,
     // CommitLogRowLevel.scala): a rival BLIND DATA APPEND does not
     // abort — its rows did not exist at the read version and this
@@ -161,8 +223,9 @@ class CommitLogDeltaWrite(
     var attempts = 0
     while (!committed && attempts < 50) {
       attempts += 1
+      checkHwm(base)
       if (CommitLog.tryCommit(root, base + 1, added, removed = Nil,
-          stats = stats, op = Some(verb)))
+          stats = stats, op = Some(verb), props = hwmProps))
         committed = true
       else CommitLog.appendOnlySince(root, base) match {
         case Some(latest) => base = latest
@@ -195,34 +258,81 @@ class CommitLogDeltaWrite(
 }
 
 case class CommitLogDeltaWriterFactory(
-    stageDir: String, dataSchema: StructType) extends DeltaWriterFactory {
+    stageDir: String, writeSchema: StructType,
+    rowIdOrdinal: Int = -1, baseK: Long = 0L,
+    numPartitions: Int = 1,
+    idBlock: Long = CommitLogWrite.DefaultIdentityBlock)
+    extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new CommitLogDeltaWriter(stageDir, dataSchema,
-      f"p$partitionId%05d-t$taskId")
+    new CommitLogDeltaWriter(stageDir, writeSchema,
+      f"p$partitionId%05d-t$taskId",
+      rowIdOrdinal, baseK, partitionId, numPartitions, idBlock)
 }
 
 /** Task-side delta writer: inserts/postimages stream to a data file,
   * deleted row ids (file, pos) to a DV file — both through the
   * standard task writer, opened lazily so an all-noop task leaves no
   * bytes. The id row arrives in [[CommitLogDeltaOperation.rowId]]
-  * order, which IS the DV schema (_file, _pos). */
+  * order, which IS the DV schema (_file, _pos).
+  *
+  * On a ROW-TRACKED table (`rowIdOrdinal >= 0`) every written row
+  * carries the hidden row-id column: update postimages take their
+  * PRESERVED id from the statement's metadata attribute, inserts
+  * allocate fresh ids from the sink's coordination-free k-block ladder
+  * (task p, block j covers baseK + (p + j·numPartitions)·B …) and the
+  * driver advances the watermark in the data commit. */
 class CommitLogDeltaWriter(
-    stageDir: String, dataSchema: StructType, suffix: String)
+    stageDir: String, writeSchema: StructType, suffix: String,
+    rowIdOrdinal: Int = -1, baseK: Long = 0L,
+    partitionId: Int = 0, numPartitions: Int = 1,
+    idBlock: Long = CommitLogWrite.DefaultIdentityBlock)
     extends DeltaWriter[InternalRow] {
 
   private val dvSchema = StructType(Seq(
     StructField("_file", StringType), StructField("_pos", LongType)))
   private lazy val dataW = new CommitLogDataWriter(
-    stageDir, dataSchema, s"_d-$suffix.parquet.tmp", s"data-$suffix.parquet")
+    stageDir, writeSchema, s"_d-$suffix.parquet.tmp", s"data-$suffix.parquet")
   private lazy val dvW = new CommitLogDataWriter(
     stageDir, dvSchema, s"_v-$suffix.parquet.tmp", s"dvpart-$suffix.parquet")
   private var dataUsed = false
   private var dvUsed = false
 
+  private val types = writeSchema.fields.map(_.dataType)
+  private var j = 0L // fresh ids this task allocated
+  private var maxK = -1L
+
+  /** The row padded to the write schema, with the row-id slot filled:
+    * `id` >= 0 preserves, -1 allocates fresh from the ladder. */
+  private def withId(row: InternalRow, id: Long): InternalRow = {
+    val out = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(types.length)
+    val n = math.min(types.length, row.numFields)
+    var i = 0
+    while (i < n) {
+      out(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
+      i += 1
+    }
+    out(rowIdOrdinal) =
+      if (id >= 0) Long.box(id)
+      else {
+        val k = Math.addExact(
+          Math.multiplyExact(
+            Math.addExact(partitionId.toLong,
+              Math.multiplyExact(j / idBlock, numPartitions.toLong)),
+            idBlock),
+          j % idBlock)
+        j += 1
+        if (k > maxK) maxK = k
+        Long.box(Math.addExact(baseK, k))
+      }
+    out
+  }
+
   override def insert(row: InternalRow): Unit = {
     dataUsed = true
-    dataW.write(row)
+    if (rowIdOrdinal < 0) dataW.write(row)
+    else dataW.write(withId(row, -1L))
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
@@ -233,7 +343,14 @@ class CommitLogDeltaWriter(
   override def update(
       metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(metadata, id)
-    insert(row)
+    dataUsed = true
+    if (rowIdOrdinal < 0) dataW.write(row)
+    else dataW.write(withId(row,
+      // the metadata attribute is exactly [_graft_row_id]; a null
+      // (file predating tracking cannot exist — enablement is gated
+      // to empty tables) falls back to a fresh id defensively
+      if (metadata == null || metadata.isNullAt(0)) -1L
+      else metadata.getLong(0)))
   }
 
   override def commit(): WriterCommitMessage =
@@ -241,7 +358,8 @@ class CommitLogDeltaWriter(
       if (dataUsed) Some(dataW.commit().asInstanceOf[CommitLogCommitMessage])
       else None,
       if (dvUsed) Some(dvW.commit().asInstanceOf[CommitLogCommitMessage])
-      else None)
+      else None,
+      maxK)
 
   override def abort(): Unit = {
     if (dataUsed) dataW.abort()

@@ -86,7 +86,14 @@ object CommitLogDml {
     val (dvs, datas) =
       CommitLog.files(root, readV).partition(_.startsWith(CommitLogMerge.DvPrefix))
     require(datas.nonEmpty, s"cannot $verb in empty table $root")
-    val schemaDdl = CommitLog.schemaOf(root, readV)
+    // row-tracked tables: the hidden row-id column must ride the
+    // copy-on-write rewrite (survivors AND update postimages keep
+    // their ids — preservation is just `col(_graft_row_id)` passing
+    // through the projection)
+    val schemaDdl = CommitLog.rewriteDdl(root, readV)
+    require(!assignments.exists(_._1 == CommitLogWrite.RowIdCol),
+      s"${CommitLogWrite.RowIdCol} is the engine's row-tracking " +
+        "column — it cannot be assigned")
     val formers = CommitLog.formerNamesOf(root, readV)
     val tableSchema = CommitLogSource.readBatches(
       spark, root, datas, schemaDdl).schema
@@ -115,10 +122,9 @@ object CommitLogDml {
         col("_metadata.row_index").as("_pos"): _*)
     val reconciled =
       if (dvs.isEmpty) narrow
-      else narrow.join(
-        broadcast(spark.read.parquet(
-          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
-        Seq("_file", "_pos"), "left_anti")
+      else CommitLogMerge.dvAntiJoin(narrow,
+        spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*))
     val matched = reconciled.filter(hit)
       .withColumn("_batch", regexp_extract(col("_file"), "^(.*)/[^/]+$", 1))
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -144,10 +150,9 @@ object CommitLogDml {
           .withColumn("_pos", col("_metadata.row_index"))
         val vis =
           if (dvs.isEmpty) base
-          else base.join(
-            broadcast(spark.read.parquet(
-          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
-            Seq("_file", "_pos"), "left_anti")
+          else CommitLogMerge.dvAntiJoin(base,
+            spark.read.parquet(
+              dvs.map(b => CommitLog.batchPath(root, b)): _*))
         vis.drop("_file", "_pos", "_metadata")
       }
       def applied(c: String): Column =

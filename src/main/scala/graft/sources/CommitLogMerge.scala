@@ -83,6 +83,27 @@ object CommitLogMerge {
   private[sources] def normDir(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
+  /** [[normDir]] as a Column: scheme (+authority) stripped to the URI
+    * path. DV batches on disk carry BOTH spellings — the row leg's
+    * stamp writes scheme-stripped paths, `_metadata.file_path` carries
+    * the `file:` scheme — so every (file, pos) reconcile join must
+    * normalize BOTH sides or rows a differently-spelled DV killed
+    * would silently resurrect. */
+  private[sources] def normFileCol(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[A-Za-z][-A-Za-z0-9+.]*:(//[^/]*)?", "")
+
+  /** The DV reconcile: base rows (carrying `_file`, `_pos`) minus the
+    * DV positions — spelling-normalized on both sides. */
+  private[sources] def dvAntiJoin(
+      base: DataFrame, dv: DataFrame): DataFrame =
+    base.withColumn("_nf", normFileCol(col("_file")))
+      .join(
+        broadcast(dv.select(
+          normFileCol(col("_file")).as("_nf"), col("_pos"))),
+        Seq("_nf", "_pos"), "left_anti")
+      .drop("_nf")
+
   /** Hard ceiling on the deletion-vector positions a single table may
     * carry into driver-side plan state (`dvPositionsByFile` collects
     * them; 16M longs ≈ 128 MB). "Deletes-sized" is unbounded in
@@ -226,6 +247,12 @@ object CommitLogMerge {
     val readV = if (readVersion < 0) CommitLog.latestVersion(root) else readVersion
     val (dvs, datas) = CommitLog.files(root, readV).partition(_.startsWith(DvPrefix))
     require(datas.nonEmpty, s"cannot merge into empty table $root")
+    require(
+      !CommitLogWrite.rowTrackingOn(CommitLog.tblPropsOf(root, readV)),
+      s"path-API merge into ROW-TRACKED table $root is not supported " +
+        "yet (inserted rows would land without row ids) — use SQL " +
+        "MERGE INTO through the catalog, or CommitLogDml for " +
+        "update/delete")
 
     val formers = CommitLog.formerNamesOf(root, readV)
     val tableSchema = CommitLogSource.readBatches(
@@ -273,10 +300,9 @@ object CommitLogMerge {
           col("_metadata.row_index").as("_pos"): _*)
       val reconciled =
         if (dvs.isEmpty) narrowBase
-        else narrowBase.join(
-          broadcast(spark.read.parquet(
-          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
-          Seq("_file", "_pos"), "left_anti")
+        else dvAntiJoin(narrowBase,
+          spark.read.parquet(
+            dvs.map(b => CommitLog.batchPath(root, b)): _*))
       val matched = reconciled
         .join(srcKeyed.select(keyCols.map(col) :+ col(opCol).as("_op"): _*),
           keyCols)
@@ -429,10 +455,9 @@ object CommitLogMerge {
       .withColumn("_pos", col("_metadata.row_index"))
     val visible =
       if (dvs.isEmpty) base
-      else base.join(
-        broadcast(spark.read.parquet(
-          dvs.map(b => CommitLog.batchPath(root, b)): _*)),
-        Seq("_file", "_pos"), "left_anti")
+      else dvAntiJoin(base,
+        spark.read.parquet(
+          dvs.map(b => CommitLog.batchPath(root, b)): _*))
     visible.drop("_file", "_pos", "_metadata")
   }
 }

@@ -146,7 +146,9 @@ object CommitLogOptimize {
     val packed = s"opt${EnvelopeBatchWrite.nextWriteId()}"
     val formers = CommitLog.formerNamesOf(root, readVersion)
     CommitLogSource.readBatches(spark, root, sources,
-        CommitLog.schemaOf(root, readVersion), formers, keepMeta = false)
+        // rewriteDdl: a row-tracked table's hidden row-id column must
+        // survive the packing rewrite
+        CommitLog.rewriteDdl(root, readVersion), formers, keepMeta = false)
       .coalesce(targetPartitions)
       .write.parquet(s"$root/$packed")
 
@@ -259,7 +261,7 @@ object CommitLogOptimize {
       .filter(b => CommitLogSource.listParquet(root, b).nonEmpty)
     if (untupled.isEmpty) return RepartitionResult(readVersion, Nil, Nil)
 
-    val schemaDdl = CommitLog.schemaOf(root, readVersion).getOrElse(
+    val schemaDdl = CommitLog.rewriteDdl(root, readVersion).getOrElse(
       throw new IllegalStateException(
         s"partitioned table $root has no declared schema"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
@@ -371,7 +373,7 @@ object CommitLogOptimize {
     // read under the log's DDL (see optimize() — evolved columns must
     // survive the rewrite)
     val df = CommitLogSource.readBatches(spark, root, live,
-      CommitLog.schemaOf(root, readVersion),
+      CommitLog.rewriteDdl(root, readVersion),
       CommitLog.formerNamesOf(root, readVersion), keepMeta = false)
     // the double each column's manifest box is expressed in — the SAME
     // units the sink writes and the scan's pushdown probes (micros for

@@ -618,7 +618,27 @@ class CommitLogTable(
         override def isNullable: Boolean = false
         override def comment(): String =
           "physical row position in the data file (the DV identity)"
-      })
+      }) ++ (
+      // ROW TRACKING: the stable row id is a PHYSICAL column in every
+      // data file of a tracked table (the sink materializes it), so
+      // unlike the synthesized columns above it reads VECTORIZED and
+      // never forces the row leg — exposing it as a metadata column
+      // only hides it from `SELECT *`
+      if (CommitLogWrite.rowTrackingOn(
+          CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))) &&
+          !schema0.fieldNames.contains(CommitLogWrite.RowIdCol))
+        Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
+          new org.apache.spark.sql.connector.catalog.MetadataColumn {
+            override def name(): String = CommitLogWrite.RowIdCol
+            override def dataType(): org.apache.spark.sql.types.DataType =
+              org.apache.spark.sql.types.LongType
+            override def isNullable: Boolean = false
+            override def comment(): String =
+              "stable row id (row tracking) — survives OPTIMIZE and " +
+                "copy-on-write DML"
+          })
+      else
+        Array.empty[org.apache.spark.sql.connector.catalog.MetadataColumn])
 
   /** SQL `UPDATE` / `MERGE INTO` / expression `DELETE`: the
     * group-based copy-on-write rewrite by default
@@ -655,7 +675,17 @@ class CommitLogTable(
       }
       val mode = org.apache.spark.sql.SparkSession.active.conf
         .get("spark.graft.rowLevel.mode", "cow")
-      if (mode == "delta") new CommitLogDeltaOperation(root, info.command)
+      // ROW-TRACKED tables always take the DELTA (merge-on-read) leg:
+      // unchanged rows keep their files (ids trivially preserved),
+      // update postimages carry the id as a metadata attribute, and
+      // MERGE inserts allocate from the watermark. The group-based COW
+      // leg CANNOT honor row tracking — Spark's replace-data plan
+      // projects metadata attributes away before the writer, so the
+      // rewrite would silently unmake every surviving row's identity.
+      val tracked = CommitLogWrite.rowTrackingOn(
+        CommitLog.tblPropsOf(root, CommitLog.latestVersion(root)))
+      if (tracked || mode == "delta")
+        new CommitLogDeltaOperation(root, info.command)
       else new CommitLogRowLevelOperation(root, info.command)
     }
 

@@ -226,6 +226,48 @@ object CommitLogWrite {
   val IdentityBlockProp = "graft.identityBlock"
   val DefaultIdentityBlock: Long = 1L << 20
 
+  /** ROW TRACKING (`'graft.rowTracking' = 'true'`): every data file the
+    * sink writes materializes a hidden BIGINT `_graft_row_id` column —
+    * a STABLE PER-ROW IDENTITY that survives OPTIMIZE/ZORDER packing
+    * and copy-on-write DML (rewrites read the hidden column back and
+    * re-write it; see [[CommitLog.rewriteDdl]]), the Delta row-tracking
+    * idea. Allocation reuses the identity-column machinery wholesale:
+    * a synthesized BY-DEFAULT spec (start 0, step 1) fills NULL
+    * arrivals from the coordination-free k-block ladder, keeps
+    * non-null arrivals (that is what PRESERVATION is, mechanically),
+    * and the data commit advances `graft.identityHwm._graft_row_id`
+    * atomically with a rival-abort precondition. The column never
+    * appears in the recorded DDL ([[CommitLog.bareDdl]] scrubs it) —
+    * readers see it only as a metadata column, vectorized like any
+    * physical column. Enablement is gated to tables holding no data
+    * (no backfill story; Delta gates the same way), so every live file
+    * of a tracked table carries the column by construction. */
+  val RowTrackingProp = "graft.rowTracking"
+  val RowIdCol = "_graft_row_id"
+
+  def rowTrackingOn(props: Map[String, String]): Boolean =
+    props.get(RowTrackingProp).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The write schema with the hidden row-id column appended. */
+  def withRowId(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(RowIdCol),
+      s"'$RowIdCol' is the engine's reserved row-tracking column — a " +
+        "row-tracked table's writers must not provide it (rewrites " +
+        "carry it implicitly)")
+    StructType(schema.fields :+ StructField(RowIdCol, LongType,
+      nullable = true))
+  }
+
+  /** The synthesized identity spec that allocates row ids at the sink:
+    * BY DEFAULT (non-null arrivals are PRESERVED ids from a rewrite),
+    * watermarked under the identity prefix so restore/vacuum/clone
+    * carry it exactly like user identity columns. */
+  def rowIdSpec(
+      writeSchema: StructType, props: Map[String, String]): IdentitySpec =
+    IdentitySpec(RowIdCol, writeSchema.fieldIndex(RowIdCol),
+      intWidth = false, start = 0L, step = 1L, allowExplicit = true,
+      hwm = props.get(IdentityHwmPrefix + RowIdCol).map(_.toLong))
+
   /** Per-table change-feed dial (`'graft.changeFeed' = 'false'` opts
     * OUT): when on — the default — every SQL row-level verb
     * materializes its row changes to `_changes/v<N>` so the `.changes`
@@ -1077,6 +1119,24 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     require(sortBuckets == 0 || partCols.isEmpty,
       "sortBuckets applies to unpartitioned sorted writes — a " +
         "partitioned table's file layout follows its partition tuples")
+    // ROW TRACKING: on via table property, or via write option on the
+    // FIRST data (empty-table) write — the option then records the
+    // property in the same commit. A non-empty untracked table refuses
+    // (old files lack the column; there is no backfill).
+    val rowTracking: Boolean =
+      optOrProp("rowTracking", CommitLogWrite.RowTrackingProp)
+        .exists(_.toBoolean)
+    val recordRowTracking: Boolean =
+      rowTracking && !CommitLogWrite.rowTrackingOn(tblProps)
+    if (recordRowTracking)
+      require(
+        CommitLog.files(root, CommitLog.latestVersion(root)).isEmpty,
+        s"rowTracking can only be ENABLED while $root holds no data " +
+          "(existing files lack the hidden row-id column) — create the " +
+          "table with TBLPROPERTIES('graft.rowTracking'='true'), or " +
+          "truncate first")
+    val writeSchema =
+      if (rowTracking) CommitLogWrite.withRowId(schema) else schema
     val mode = overwriteMode
     new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -1123,12 +1183,17 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       // GENERATED ALWAYS AS: computed sink-side per row (bound once
       // here on the driver), so routing/boxes see the real values
       private val generators =
-        CommitLogWrite.boundGenerators(schema, tblProps)
+        CommitLogWrite.boundGenerators(writeSchema, tblProps)
       // IDENTITY columns: null arrivals are assigned from the
       // watermark in force; the data commit advances it atomically
-      // and aborts on a rival advance (see [[IdentityBatchWrite]])
+      // and aborts on a rival advance (see [[IdentityBatchWrite]]).
+      // Row tracking rides the same machinery as one synthesized
+      // BY-DEFAULT spec over the hidden trailing column.
       private val identities =
-        CommitLogWrite.identitySpecs(schema, tblProps)
+        CommitLogWrite.identitySpecs(writeSchema, tblProps) ++
+          (if (rowTracking)
+            Seq(CommitLogWrite.rowIdSpec(writeSchema, tblProps))
+          else Nil)
       private val identityBlock = {
         val b = tblProps.get(CommitLogWrite.IdentityBlockProp).map(_.toLong)
           .getOrElse(CommitLogWrite.DefaultIdentityBlock)
@@ -1142,19 +1207,25 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       override def toBatch: BatchWrite = {
         val core: BatchWrite with SupportsCommitProps = mode match {
           case Some(spec) =>
-            new CommitLogOverwriteWrite(
-              root, schema, spec, bloomCols, bloomBits, partCols, sortedSplit)
+            new CommitLogOverwriteWrite(root, writeSchema, spec,
+              bloomCols, bloomBits, partCols, sortedSplit)
           case None =>
-            new CommitLogBatchWrite(root, schema, bloomCols, bloomBits,
+            new CommitLogBatchWrite(root, writeSchema, bloomCols, bloomBits,
               partCols, sortedSplit)
         }
+        // an option-enabled first write records the property in the
+        // SAME commit that publishes the rows (IdentityBatchWrite
+        // merges its watermark entries in, never overwrites)
+        if (recordRowTracking)
+          core.commitProps =
+            Map(CommitLogWrite.RowTrackingProp -> Some("true"))
         // identity OUTERMOST: generation expressions may reference the
         // identity column, so its ordinal must be filled first
         val gen: BatchWrite =
           if (generators.isEmpty) core
-          else new GeneratingBatchWrite(core, schema, generators)
+          else new GeneratingBatchWrite(core, writeSchema, generators)
         if (identities.isEmpty) gen
-        else new IdentityBatchWrite(gen, core, schema, identities,
+        else new IdentityBatchWrite(gen, core, writeSchema, identities,
           identityBlock)
       }
       override def toStreaming: StreamingWrite = mode match {
@@ -1174,6 +1245,10 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
           // epochs, but identity allocation needs a fresh watermark
           // per epoch — route through foreachBatch (a batch write per
           // epoch) until the source grows per-epoch planning
+          require(!rowTracking,
+            "streaming into a ROW-TRACKED table is not supported — row " +
+              "ids allocate from the committed watermark per epoch; " +
+              "use foreachBatch with a batch write")
           require(identities.isEmpty,
             s"streaming into a table with identity column(s) " +
               s"${identities.map(_.col).mkString(",")} is not supported " +
@@ -1206,8 +1281,12 @@ class GeneratingDataWriter(
   override def write(row: InternalRow): Unit = {
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       types.length)
+    // narrower rows pad as null (hidden trailing columns; see
+    // IdentityDataWriter — identity wraps outermost so this leg only
+    // pads when a tracked table has generators but no identity fill)
+    val n = math.min(types.length, row.numFields)
     var i = 0
-    while (i < types.length) {
+    while (i < n) {
       out(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
       i += 1
     }
@@ -1317,15 +1396,19 @@ class IdentityDataWriter(
     if (k > maxK) maxK = k
     val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       types.length)
+    // incoming rows may be NARROWER than the write schema (the hidden
+    // row-tracking column is appended sink-side, never provided by the
+    // writer) — missing trailing fields pad as null and the spec fills
+    val n = math.min(types.length, row.numFields)
     var i = 0
-    while (i < types.length) {
+    while (i < n) {
       out(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
       i += 1
     }
     var si = 0
     while (si < specs.length) {
       val s = specs(si)
-      if (row.isNullAt(s.ordinal)) {
+      if (s.ordinal >= row.numFields || row.isNullAt(s.ordinal)) {
         val v = Math.addExact(s.start,
           Math.multiplyExact(s.step, Math.addExact(s.baseK, k)))
         out(s.ordinal) =
@@ -1415,8 +1498,11 @@ class IdentityBatchWrite(
           s.hwm.map(_.toString)
       }
     }
-    propsSink.commitProps = props.result()
-    propsSink.commitPropsExpected = expected.result()
+    // MERGE over anything the builder staged (e.g. the rowTracking
+    // enablement property on a first write) — never overwrite
+    propsSink.commitProps = propsSink.commitProps ++ props.result()
+    propsSink.commitPropsExpected =
+      propsSink.commitPropsExpected ++ expected.result()
     base.commit(baseMsgs)
   }
 
@@ -1790,10 +1876,9 @@ class CommitLogOverwriteWrite(
           .withColumn("_file", col("_metadata.file_path"))
           .withColumn("_pos", col("_metadata.row_index"))
         if (dvs.isEmpty) base
-        else base.join(
-          broadcast(spark.read.parquet(
-            dvs.map(b => CommitLog.batchPath(root, b)): _*)),
-          Seq("_file", "_pos"), "left_anti")
+        else CommitLogMerge.dvAntiJoin(base,
+          spark.read.parquet(
+            dvs.map(b => CommitLog.batchPath(root, b)): _*))
       }
       val byDir = CommitLogMerge.dirToName(root, scannable)
       val touched = visible(scannable).filter(hit)

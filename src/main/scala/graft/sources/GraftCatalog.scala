@@ -592,6 +592,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftCatalog.ReservedProps.contains(c.property),
           s"'${c.property}' is a reserved catalog property")
         requireNotColumnFacet(c.property)
+        // ROW TRACKING can only be switched ON while the table holds
+        // no data: existing files lack the hidden row-id column, and
+        // there is no backfill — a null id would silently break the
+        // stable-identity contract for every pre-enablement row
+        if (c.property == CommitLogWrite.RowTrackingProp &&
+            c.value != null && c.value.trim.equalsIgnoreCase("true")) {
+          val v = CommitLog.latestVersion(root)
+          require(
+            CommitLogWrite.rowTrackingOn(CommitLog.tblPropsOf(root, v)) ||
+              CommitLog.files(root, v).isEmpty,
+            s"rowTracking can only be ENABLED while the table holds no " +
+              "data — set it at CREATE TABLE, or TRUNCATE first")
+        }
         CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
           props = Map(c.property -> Some(c.value)),
           op = Some("SET TBLPROPERTIES"))

@@ -29,6 +29,28 @@ class CommitLogDeltaSpec extends SparkSpec {
     s"$wh/db/$name"
   }
 
+  test("delta-written DVs reconcile in path-API COW verbs (spelling-normalized)") {
+    // the delta writer records scheme-stripped file paths (the row
+    // leg's stamp); CommitLogDml joins `_metadata.file_path`, which
+    // carries the file: scheme — the reconcile must normalize BOTH
+    // sides or the COW rewrite resurrects every delta-deleted row
+    val root = mk("nrm", 100)
+    withDelta {
+      spark.sql("UPDATE dl.db.nrm SET v = -1 WHERE k % 10 = 3") // DV leg
+    }
+    assert(spark.sql("SELECT count(*) FROM dl.db.nrm").head().getLong(0) == 100)
+    // dense path-API delete -> COW rewrite of the touched batches
+    graft.sources.CommitLogDml.delete(spark, root, "k % 2 = 0",
+      changeFeed = false)
+    val rows = spark.sql("SELECT k, v FROM dl.db.nrm").collect()
+    assert(rows.length == 50, s"expected 50 odd survivors, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).distinct.length == 50,
+      "preimages of the delta update must not resurrect in the rewrite")
+    rows.foreach(r => assert(
+      if (r.getLong(0) % 10 == 3) r.getDouble(1) == -1.0
+      else r.getDouble(1) == r.getLong(0).toDouble))
+  }
+
   test("delta UPDATE: positions + postimages land; the touched batch survives unrewritten") {
     val root = mk("u1")
     val before = CommitLog.files(root, CommitLog.latestVersion(root))

@@ -247,22 +247,27 @@ object CommitLogMerge {
     val readV = if (readVersion < 0) CommitLog.latestVersion(root) else readVersion
     val (dvs, datas) = CommitLog.files(root, readV).partition(_.startsWith(DvPrefix))
     require(datas.nonEmpty, s"cannot merge into empty table $root")
-    require(
-      !CommitLogWrite.rowTrackingOn(CommitLog.tblPropsOf(root, readV)),
-      s"path-API merge into ROW-TRACKED table $root is not supported " +
-        "yet (inserted rows would land without row ids) — use SQL " +
-        "MERGE INTO through the catalog, or CommitLogDml for " +
-        "update/delete")
+    // ROW-TRACKED tables: the hidden row-id column rides every read
+    // and write below — update postimages and COW survivors keep their
+    // ids, inserts allocate fresh ones past the watermark (advanced in
+    // the same serializable commit; merge never rebases, so the
+    // planned-against watermark cannot be raced)
+    val tblProps = CommitLog.tblPropsOf(root, readV)
+    val tracked = CommitLogWrite.rowTrackingOn(tblProps)
+    val ridCol = CommitLogWrite.RowIdCol
 
     val formers = CommitLog.formerNamesOf(root, readV)
     val tableSchema = CommitLogSource.readBatches(
-      spark, root, datas, CommitLog.schemaOf(root, readV)).schema
+      spark, root, datas, CommitLog.rewriteDdl(root, readV)).schema
     val dataCols = tableSchema.fieldNames.toSeq
-    require(source.columns.toSet == (dataCols :+ opCol).toSet,
-      s"source must carry ${dataCols :+ opCol}, got ${source.columns.toSeq}")
+    // the USER columns — the source contract never mentions the hidden
+    // row-id column (the engine owns it)
+    val userCols = dataCols.filterNot(_ == ridCol)
+    require(source.columns.toSet == (userCols :+ opCol).toSet,
+      s"source must carry ${userCols :+ opCol}, got ${source.columns.toSeq}")
     // name-AND-type: a type-drifted source would land parquet files the
     // table's declared schema can no longer read back
-    dataCols.foreach { c =>
+    userCols.foreach { c =>
       val (got, want) = (source.schema(c).dataType, tableSchema(c).dataType)
       require(got == want,
         s"source column '$c' is $got but the table declares $want — " +
@@ -283,7 +288,7 @@ object CommitLogMerge {
       val inForce = CommitLog.constraintsOf(root, readV)
       if (inForce.nonEmpty) {
         val newRows = srcKeyed.filter(col(opCol) === "U")
-          .select(dataCols.map(col): _*)
+          .select(userCols.map(col): _*)
         inForce.foreach { case (cn, ce) =>
           val bad = newRows.filter(not(coalesce(expr(ce), lit(true)))).count()
           if (bad > 0)
@@ -293,9 +298,10 @@ object CommitLogMerge {
 
       // ---- match phase: narrow base projection ⋈ change set ----
       val narrowBase = CommitLogSource.readBatches(
-          spark, root, datas, CommitLog.schemaOf(root, readV),
+          spark, root, datas, CommitLog.rewriteDdl(root, readV),
           formers, keepMeta = true)
-        .select(keyCols.map(col) :+
+        .select(keyCols.map(col) ++
+          (if (tracked) Seq(col(ridCol)) else Nil) :+
           col("_metadata.file_path").as("_file") :+
           col("_metadata.row_index").as("_pos"): _*)
       val reconciled =
@@ -323,16 +329,29 @@ object CommitLogMerge {
         val touchedRows =
           if (touched.isEmpty) 0L
           else CommitLogSource.readBatches(spark, root, touched,
-            CommitLog.schemaOf(root, readV)).count()
+            CommitLog.rewriteDdl(root, readV)).count()
         val changedFraction =
           if (touchedRows == 0) 1.0
           else (matchedU + matchedD).toDouble / touchedRows
 
         val next = readV + 1
         val tag = java.util.UUID.randomUUID().toString.take(8)
-        val inserts = srcKeyed.filter(col(opCol) === "U")
+        // fresh row ids for inserted rows: watermark + 1 + the 33-bit
+        // strided task counter (monotonically_increasing_id) — unique
+        // by construction, gaps allowed (the identity contract). The
+        // frame is PERSISTED before any action: mid() is plan-stable
+        // only over a materialized input, and the written ids must be
+        // exactly the ids the watermark advance below accounts for.
+        val hwmKey = CommitLogWrite.IdentityHwmPrefix + ridCol
+        val idBase: Long = tblProps.get(hwmKey).map(_.toLong + 1L).getOrElse(0L)
+        val insertsBare = srcKeyed.filter(col(opCol) === "U")
           .join(matched.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .select(dataCols.map(col): _*)
+          .select(userCols.map(col): _*)
+        val inserts =
+          if (!tracked) insertsBare
+          else insertsBare
+            .withColumn(ridCol, lit(idBase) + monotonically_increasing_id())
+            .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
         // nothing matched, nothing to insert (e.g. all-unmatched
         // deletes): a no-op, no version published
@@ -357,9 +376,15 @@ object CommitLogMerge {
               .select(col("_file"), col("_pos"))
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvBatch")
             val dataBatch = s"m$next-$tag"
-            val postimages = srcKeyed.filter(col(opCol) === "U")
-              .join(matched.select(keyCols.map(col): _*), keyCols, "left_semi")
-              .select(dataCols.map(col): _*)
+            val postimages =
+              if (!tracked) srcKeyed.filter(col(opCol) === "U")
+                .join(matched.select(keyCols.map(col): _*), keyCols,
+                  "left_semi")
+                .select(userCols.map(col): _*)
+              else srcKeyed.filter(col(opCol) === "U")
+                .join(matched.filter(col("_op") === "U")
+                  .select(keyCols.map(col) :+ col(ridCol): _*), keyCols)
+                .select(userCols.map(col) :+ col(ridCol): _*)
             inserts.unionByName(postimages)
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataBatch")
             (Seq(dataBatch, dvBatch), Nil, "dv")
@@ -368,18 +393,20 @@ object CommitLogMerge {
             val rw = s"m$next-$tag"
             val touchedFull = snapshotOf(spark, root,
               datas.filter(touched.contains), dvs,
-              CommitLog.schemaOf(root, readV), formers)
+              CommitLog.rewriteDdl(root, readV), formers)
             val newVals = srcKeyed.filter(col(opCol) === "U")
               .select(keyCols.map(col) :+
-                struct(dataCols.map(col): _*).as("_new"): _*)
+                struct(userCols.map(col): _*).as("_new"): _*)
             val delKeys = srcKeyed.filter(col(opCol) === "D")
               .select(keyCols.map(col): _*)
             val survivors = touchedFull
               .join(delKeys, keyCols, "left_anti")
               .join(newVals, keyCols, "left")
-              .select(dataCols.map(c =>
+              .select(userCols.map(c =>
                 when(col("_new").isNotNull, col(s"_new.$c"))
-                  .otherwise(col(c)).as(c)): _*)
+                  .otherwise(col(c)).as(c)) ++
+                // a survivor keeps its id whether updated or untouched
+                (if (tracked) Seq(col(ridCol)) else Nil): _*)
             survivors.unionByName(inserts)
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rw")
             // a DV batch whose every referenced file lives in a removed
@@ -406,20 +433,34 @@ object CommitLogMerge {
             else Some(snapshotOf(spark, root, datas.filter(touched.contains),
                 dvs, CommitLog.schemaOf(root, readV), formers)
               .join(opKeyed, keyCols)
-              .select(dataCols.map(col) :+
+              .select(userCols.map(col) :+
                 when(col("_op") === "D", lit("delete"))
                   .otherwise(lit("update_preimage")).as("_change_type"): _*))
           val post = srcKeyed.filter(col(opCol) === "U")
             .join(opKeyed.filter(col("_op") === "U"), keyCols, "left_semi")
-            .select(dataCols.map(col) :+ lit("update_postimage").as("_change_type"): _*)
+            .select(userCols.map(col) :+ lit("update_postimage").as("_change_type"): _*)
           val ins = inserts
-            .select(dataCols.map(col) :+ lit("insert").as("_change_type"): _*)
+            .select(userCols.map(col) :+ lit("insert").as("_change_type"): _*)
           pre.map(_.unionByName(post)).getOrElse(post).unionByName(ins)
             .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$changeTmp")
         }
 
+        // tracked + fresh inserts: advance the row-id watermark in the
+        // SAME commit; the exact-version CAS (never a rebase) makes a
+        // rival allocator abort this merge rather than collide with it
+        val hwmProps: Map[String, Option[String]] =
+          if (!tracked || inserted == 0) Map.empty
+          else {
+            val maxId = inserts.agg(max(col(ridCol))).head().getLong(0)
+            Map(hwmKey -> Some(math.max(
+              maxId, tblProps.get(hwmKey).map(_.toLong).getOrElse(-1L))
+              .toString))
+          }
+        // every action over the inserts frame has run (batch write,
+        // change rows, watermark max) — release the materialization
+        if (tracked) inserts.unpersist()
         if (!CommitLog.tryCommit(root, next, added, removed,
-            op = Some("MERGE"))) {
+            op = Some("MERGE"), props = hwmProps)) {
           // stage is dead bytes a later vacuum sweeps; state unchanged
           if (changeFeed) {
             val p = new org.apache.hadoop.fs.Path(s"$root/$changeTmp")

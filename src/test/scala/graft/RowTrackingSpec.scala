@@ -169,12 +169,46 @@ class RowTrackingSpec extends SparkSpec {
         .option("rowTracking", "true").mode("append").save()
     }
     assert(e3.getMessage.contains("reserved"))
-    // path-API merge refuses (inserted rows would land without ids)
-    val e4 = intercept[Exception] {
-      graft.sources.CommitLogMerge.merge(spark, s"$wh/db/r",
-        spark.range(1).toDF("k").withColumn("_op", lit("U")), Seq("k"))
+  }
+
+  test("path-API merge: matched rows keep ids, inserts allocate fresh (both legs)") {
+    for ((frac, legTag) <- Seq(0.9 -> "dv", 0.0001 -> "cow")) {
+      val root = java.nio.file.Files.createTempDirectory(s"clrt_m$legTag")
+        .toString
+      spark.range(0, 300).toDF("k").withColumn("v", $"k")
+        .write.format("commitlog").option("path", root)
+        .option("rowTracking", "true").mode("append").save()
+      val before = spark.read.format("commitlog").option("path", root).load()
+        .select(col("_graft_row_id").as("rid"), $"k").collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+      // U on 150..299 (matched) + 300..349 (inserts), D on 0..9
+      val src = spark.range(150, 350).toDF("k").withColumn("v", $"k" * 100)
+        .withColumn("_op", lit("U"))
+        .unionByName(spark.range(0, 10).toDF("k").withColumn("v", lit(0L))
+          .withColumn("_op", lit("D")))
+      val st = graft.sources.CommitLogMerge.merge(
+        spark, root, src, Seq("k"), dvFraction = frac)
+      assert(st.leg == legTag, s"expected the $legTag leg, got ${st.leg}")
+      val after = spark.read.format("commitlog").option("path", root).load()
+        .select(col("_graft_row_id").as("rid"), $"k", $"v").collect()
+      assert(after.length == 290 + 50)
+      assert(after.map(_.getLong(0)).distinct.length == after.length,
+        s"[$legTag] ids must stay unique through the merge")
+      after.foreach { r =>
+        val k = r.getLong(1)
+        if (k < 300) assert(r.getLong(0) == before(k),
+          s"[$legTag] merge changed the id of k=$k")
+        if (k >= 150) assert(r.getLong(2) == k * 100)
+      }
     }
-    assert(e4.getMessage.contains("ROW-TRACKED"))
+  }
+
+  test("atomic CTAS with rowTracking mints ids in the staged write") {
+    spark.sql("CREATE TABLE rt.db.ct TBLPROPERTIES " +
+      "('graft.rowTracking'='true') AS SELECT id AS k FROM range(0, 80)")
+    assert(spark.table("rt.db.ct").schema.fieldNames.toSeq == Seq("k"))
+    val got = ids("rt.db.ct")
+    assert(got.size == 80, "CTAS rows must carry unique row ids")
   }
 
   test("the change feed serves tracked tables; ZORDER keeps ids") {

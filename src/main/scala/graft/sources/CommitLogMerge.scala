@@ -428,19 +428,31 @@ object CommitLogMerge {
         if (changeFeed) {
           val opKeyed = matched
             .select(keyCols.map(col) :+ col("_op"): _*)
+          // a tracked table's change rows CARRY the row id — the feed
+          // is then foldable by identity (update = delete+insert with
+          // the same id)
+          val ridCols = if (tracked) Seq(col(ridCol)) else Nil
           val pre =
             if (touched.isEmpty) None
             else Some(snapshotOf(spark, root, datas.filter(touched.contains),
-                dvs, CommitLog.schemaOf(root, readV), formers)
+                dvs, CommitLog.rewriteDdl(root, readV), formers)
               .join(opKeyed, keyCols)
-              .select(userCols.map(col) :+
+              .select(userCols.map(col) ++ ridCols :+
                 when(col("_op") === "D", lit("delete"))
                   .otherwise(lit("update_preimage")).as("_change_type"): _*))
-          val post = srcKeyed.filter(col(opCol) === "U")
-            .join(opKeyed.filter(col("_op") === "U"), keyCols, "left_semi")
-            .select(userCols.map(col) :+ lit("update_postimage").as("_change_type"): _*)
+          val post =
+            if (!tracked) srcKeyed.filter(col(opCol) === "U")
+              .join(opKeyed.filter(col("_op") === "U"), keyCols, "left_semi")
+              .select(userCols.map(col) :+
+                lit("update_postimage").as("_change_type"): _*)
+            else srcKeyed.filter(col(opCol) === "U")
+              .join(matched.filter(col("_op") === "U")
+                .select(keyCols.map(col) :+ col(ridCol): _*), keyCols)
+              .select(userCols.map(col) ++ ridCols :+
+                lit("update_postimage").as("_change_type"): _*)
           val ins = inserts
-            .select(userCols.map(col) :+ lit("insert").as("_change_type"): _*)
+            .select(userCols.map(col) ++ ridCols :+
+              lit("insert").as("_change_type"): _*)
           pre.map(_.unionByName(post)).getOrElse(post).unionByName(ins)
             .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$changeTmp")
         }

@@ -84,11 +84,18 @@ class CommitLogSource extends TableProvider with DataSourceRegister {
       .getOrElse(CommitLog.latestVersion(root))
     val base = CommitLogSource.tableSchema(root, v)
     // CHANGE FEED reads carry the Delta CDF columns on top of the data
-    // schema — rows describe changes, not current state
-    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
-      base.add(CommitLogCdf.ChangeTypeCol, StringType)
+    // schema — rows describe changes, not current state. A ROW-TRACKED
+    // table's feed additionally exposes the stable row id: an update
+    // then reads as delete(id) + insert(id) with the SAME id, so a
+    // consumer folds the feed BY IDENTITY instead of needing a key.
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      val withId =
+        if (CommitLogWrite.rowTrackingOn(CommitLog.tblPropsOf(root, v)))
+          base.add(CommitLogWrite.RowIdCol, LongType)
+        else base
+      withId.add(CommitLogCdf.ChangeTypeCol, StringType)
         .add(CommitLogCdf.CommitVersionCol, IntegerType)
-    else base
+    } else base
   }
 
   override def getTable(
@@ -265,7 +272,11 @@ object CommitLogSource {
     CommitLogCdf.ChangeTypeCol, CommitLogCdf.CommitVersionCol)
 
   /** Types Spark's vectorized parquet reader decodes — anything else
-    * (UDT, interval, variant) falls back to the row leg. */
+    * (UDT, interval) falls back to the row leg. Variant is vectorized:
+    * Spark's reader assembles both the unshredded and the shredded
+    * parquet layouts into VariantVal column vectors
+    * (SparkShreddingUtils.assembleVariantBatch); the row leg's own
+    * reassembly (readValue) serves only DV/CDF/metadata-forced reads. */
   private[sources] def vectorizable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | StringType | BinaryType | DateType |
@@ -273,6 +284,7 @@ object CommitLogSource {
     case ArrayType(e, _) => vectorizable(e)
     case StructType(fields) => fields.forall(f => vectorizable(f.dataType))
     case MapType(k, v, _) => vectorizable(k) && vectorizable(v)
+    case org.apache.spark.sql.types.VariantType => true
     case _ => false
   }
 

@@ -281,7 +281,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // (start, end]), so the inclusive SQL clause passes v-1
     val start = from.map(_ - 1).orElse(
       ts.map(t => CommitLog.versionAt(root, t / 1000L))).getOrElse(0)
-    val schema = schemaWithDefaults(root, CommitLog.latestVersion(root))
+    val base = schemaWithDefaults(root, CommitLog.latestVersion(root))
+    // a row-tracked table's feed exposes the stable row id (see the
+    // readChangeFeed schema leg in CommitLogSource)
+    val withId =
+      if (CommitLogWrite.rowTrackingOn(
+          CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))))
+        base.add(CommitLogWrite.RowIdCol, org.apache.spark.sql.types.LongType)
+      else base
+    val schema = withId
       .add(CommitLogCdf.ChangeTypeCol, org.apache.spark.sql.types.StringType)
       .add(CommitLogCdf.CommitVersionCol, org.apache.spark.sql.types.IntegerType)
     Some(new CommitLogTable(root, schema, Map(

@@ -56,6 +56,27 @@ class CommitLogVariantSpec extends SparkSpec {
       == (0 until 1000).filter(_ % 5 != 0).map(_ * 7L).sum)
   }
 
+  test("variant scans stay COLUMNAR (both file layouts decode vectorized)") {
+    val root = freshRoot("vec")
+    variantDf(300).write.format("commitlog").option("path", root)
+      .mode("append").save()
+    // shredded files too: the COW rewrite goes through Spark's writer
+    graft.sources.CommitLogDml.delete(spark, root, "id % 2 = 0",
+      changeFeed = false)
+    val df = spark.read.format("commitlog").option("path", root).load()
+      .select($"id", variant_get($"v", "$.k", "long").as("k"))
+    val scans = graft.queries.Qh.flattenPlan(
+      df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.supportsColumnar
+    }
+    assert(scans.nonEmpty && scans.forall(identity),
+      "variant read must plan the vectorized leg (it is a plain " +
+        "physical column group to Spark's reader)")
+    assert(df.agg(sum($"k")).head().getLong(0) ==
+      (0 until 300).filter(_ % 2 == 1).map(_ % 10).sum)
+  }
+
   test("DV delete on a variant table: the row leg reconstructs VariantVal") {
     val root = freshRoot("dv")
     variantDf(500).write.format("commitlog").option("path", root)
@@ -133,6 +154,54 @@ class CommitLogVariantSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("no materialized change rows")), e)
+  }
+
+  test("fuzz: random JSON shapes round-trip BOTH layouts byte-faithfully") {
+    // deterministic generator (no Random seed drift across runs):
+    // mixed scalars, unicode, deep nesting, arrays of objects, nulls
+    def jval(seed: Long, depth: Int): String = {
+      val k = math.floorMod(seed, if (depth >= 3) 7L else 9L).toInt
+      k match {
+        case 0 => (seed % 1000000).toString
+        case 1 => s"${seed % 97}.${math.floorMod(seed, 89)}"
+        case 2 => "true"
+        case 3 => "false"
+        case 4 => "null"
+        case 5 => s""""s${seed % 1000}\\u00e9\\u4e2d""""
+        case 6 => s"-${math.floorMod(seed, 1L << 40)}"
+        case 7 =>
+          (0 until (math.floorMod(seed, 3L).toInt + 1))
+            .map(i => jval(seed * 31 + i + 1, depth + 1))
+            .mkString("[", ",", "]")
+        case _ =>
+          (0 until (math.floorMod(seed, 3L).toInt + 1))
+            .map(i => s""""f$i":${jval(seed * 37 + i + 7, depth + 1)}""")
+            .mkString("{", ",", "}")
+      }
+    }
+    val docs = (0 until 120).map(i => (i.toLong, jval(i * 2654435761L + 17, 0)))
+    val root = freshRoot("fz")
+    val df = spark.createDataFrame(docs).toDF("id", "js")
+      .withColumn("v", parse_json($"js"))
+    df.write.format("commitlog").option("path", root).mode("append").save()
+    // canonical form BEFORE any storage: to_json of the parsed variant
+    val want = df.select($"id", to_json($"v").as("j")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def check(tag: String): Unit = {
+      val got = spark.read.format("commitlog").option("path", root).load()
+        .select($"id", to_json($"v").as("j")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      got.foreach { case (id, j) =>
+        assert(j == want(id), s"[$tag] doc $id drifted: $j != ${want(id)}")
+      }
+    }
+    check("unshredded sink files")
+    // dense delete -> COW rewrite through Spark's SHREDDING writer;
+    // survivors must reassemble to the identical canonical form
+    CommitLogDml.delete(spark, root, "id % 2 = 0", changeFeed = false)
+    val left = spark.read.format("commitlog").option("path", root).load()
+    assert(left.count() == 60)
+    check("shredded rewrite files")
   }
 
   test("schema DDL and to_json both speak variant") {

@@ -226,6 +226,19 @@ class RowTrackingSpec extends SparkSpec {
     val touched = (0 until 100).count(_ % 9 == 0)
     assert(ch.get("delete").contains(touched.toLong), ch)
     assert(ch.get("insert").contains(touched.toLong), ch)
+    // the feed CARRIES the row id: the update reads as delete+insert
+    // with the SAME id per row — foldable by identity, no key needed
+    val byId = spark.sql(
+      "SELECT _graft_row_id AS rid, _change_type AS ct " +
+        "FROM rt.db.f.changes VERSION AS OF 3").collect()
+      .groupBy(_.getLong(0)).map { case (rid, rs) =>
+        rid -> rs.map(_.getString(1)).sorted.toSeq }
+    assert(byId.size == touched,
+      s"expected $touched distinct updated ids, got ${byId.size}")
+    byId.foreach { case (rid, cts) =>
+      assert(cts == Seq("delete", "insert"),
+        s"id $rid must retract and re-insert, got $cts")
+    }
     // ZORDER re-layout carries every id (fresh DV-free table — the
     // clustered rewrite refuses outstanding deletion vectors)
     spark.sql("CREATE TABLE rt.db.fz (k BIGINT, v BIGINT) " +

@@ -130,11 +130,10 @@ object Bench {
     "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.263,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
     "s60_generated_prune" -> 0.781, "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.824,
-    // r13 decls, pinned from the min of two runs in a window the
-    // sentinel partially flagged (uniform small-query inflation vs the
-    // r12 idle snapshot) — loose is safe (5x ceiling), tighten-only
-    // will narrow them on the next clean idle pass
-    "s61_variant" -> 3.034, "s62_row_tracking" -> 5.04,
+    // r13 decls, pinned from the min of three runs (the first two
+    // fell in a load-inflated window — a third run cleared every
+    // existing pin, adjudicating the cluster as noise)
+    "s61_variant" -> 1.96, "s62_row_tracking" -> 3.92,
     "s8_envelope_source" -> 0.637, "s9_partitioned_prune" -> 0.633,
     "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.581, "t14_stream_commitlog" -> 3.599,

@@ -256,6 +256,37 @@ class RowTrackingSpec extends SparkSpec {
     assert(after == before, "ZORDER must carry ids through the re-layout")
   }
 
+  test("the STREAMING change feed carries row ids across an update") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE rt.db.sf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.rowTracking'='true')")
+    spark.sql("INSERT INTO rt.db.sf SELECT id, id FROM range(0, 60)")
+    spark.sql("UPDATE rt.db.sf SET v = -1 WHERE k % 6 = 0") // delta leg
+    val ckpt = java.nio.file.Files.createTempDirectory("clrt_sck").toString
+    val q = spark.readStream.format("commitlog")
+      .option("path", s"$wh/db/sf")
+      .option("readChangeFeed", true).option("startingVersion", 1)
+      .load()
+      .writeStream.format("memory").queryName("rt_sf_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("rt_sf_sink")
+      .select($"_graft_row_id".as("rid"), $"k", $"_change_type").collect()
+    assert(rows.forall(!_.isNullAt(0)), "every feed row must carry its id")
+    // an updated id shows three feed rows (v2 insert, v3 delete +
+    // re-insert), an untouched one exactly its v2 insert — folding the
+    // feed BY IDENTITY reconstructs the table
+    val byId = rows.groupBy(_.getLong(0))
+    assert(byId.size == 60, s"expected 60 distinct ids, got ${byId.size}")
+    val (tri, mono) = byId.partition(_._2.length == 3)
+    assert(tri.size == 10 && mono.forall(_._2.length == 1),
+      byId.view.mapValues(_.length).toMap.toString)
+    tri.values.foreach(rs => assert(
+      rs.map(_.getString(2)).sorted.toSeq == Seq("delete", "insert", "insert")))
+  }
+
   test("RESTORE rolls the watermark back with the rows it covers") {
     spark.sql("CREATE TABLE rt.db.e (k BIGINT) " +
       "TBLPROPERTIES ('graft.rowTracking'='true')")

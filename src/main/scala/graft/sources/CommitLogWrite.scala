@@ -1122,10 +1122,14 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     // ROW TRACKING: on via table property, or via write option on the
     // FIRST data (empty-table) write — the option then records the
     // property in the same commit. A non-empty untracked table refuses
-    // (old files lack the column; there is no backfill).
+    // (old files lack the column; there is no backfill). The PROPERTY
+    // DOMINATES the option: a tracked table's writes always carry the
+    // column — option("rowTracking","false") must not smuggle id-less
+    // files into a table whose readers serve the id from every file.
     val rowTracking: Boolean =
-      optOrProp("rowTracking", CommitLogWrite.RowTrackingProp)
-        .exists(_.toBoolean)
+      CommitLogWrite.rowTrackingOn(tblProps) ||
+        optOrProp("rowTracking", CommitLogWrite.RowTrackingProp)
+          .exists(_.toBoolean)
     val recordRowTracking: Boolean =
       rowTracking && !CommitLogWrite.rowTrackingOn(tblProps)
     if (recordRowTracking)

@@ -568,6 +568,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!partCols.contains(c.fieldNames.head),
           s"'${c.fieldNames.head}' is a partition column — partitioning " +
             "is immutable; create a new table and reload")
+        require(c.newName != CommitLogWrite.RowIdCol,
+          s"'${CommitLogWrite.RowIdCol}' is the engine's reserved " +
+            "row-tracking column name")
         CommitLog.renameColumn(root, c.fieldNames.head, c.newName)
       case c: TableChange.DeleteColumn =>
         require(c.fieldNames.length == 1,
@@ -589,6 +592,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "ADD COLUMN … DEFAULT is unsupported on commitlog tables: " +
             "evolved columns null-fill pre-evolution files — add the " +
             "column, then backfill with UPDATE")
+        require(c.fieldNames.head != CommitLogWrite.RowIdCol,
+          s"'${CommitLogWrite.RowIdCol}' is the engine's reserved " +
+            "row-tracking column name")
         val v = CommitLog.latestVersion(root)
         val cur = CommitLog.schemaOf(root, v).getOrElse(
           throw new IllegalStateException(s"$root has no declared schema"))

@@ -256,6 +256,28 @@ class RowTrackingSpec extends SparkSpec {
     assert(after == before, "ZORDER must carry ids through the re-layout")
   }
 
+  test("the property dominates the write option; DDL reserves the name") {
+    // option("rowTracking","false") must not smuggle id-less files
+    // into a tracked table
+    spark.sql("CREATE TABLE rt.db.dom (k BIGINT) " +
+      "TBLPROPERTIES ('graft.rowTracking'='true')")
+    val root = s"$wh/db/dom"
+    spark.range(0, 30).toDF("k")
+      .write.format("commitlog").option("path", root)
+      .option("rowTracking", "false").mode("append").save()
+    assert(ids("rt.db.dom").size == 30,
+      "a tracked table's writes always carry ids, option or not")
+    // RENAME/ADD COLUMN cannot squat the reserved name
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE rt.db.dom RENAME COLUMN k TO _graft_row_id")
+    }
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE rt.db.dom ADD COLUMN _graft_row_id BIGINT")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("the STREAMING change feed carries row ids across an update") {
     import org.apache.spark.sql.streaming.Trigger
     spark.sql("CREATE TABLE rt.db.sf (k BIGINT, v BIGINT) " +

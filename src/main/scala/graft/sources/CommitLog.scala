@@ -1338,7 +1338,16 @@ object CommitLog {
     val txt = textOf(manifest(root, v))
     val add = parseList(extractField(txt, "add"))
     val remove = parseList(extractField(txt, "remove"))
-    add.nonEmpty && remove.isEmpty &&
+    // the OPERATION gate closes the shape-only hole: an add-only
+    // RESTORE (re-adding batches a prior delete removed, nothing else
+    // changed) is manifest-indistinguishable from an append, but its
+    // rows EXISTED at the rebasing statement's read version — the
+    // statement's predicate should have seen them, so rebasing across
+    // it would violate write-serializability. Only verbs that mint
+    // genuinely NEW rows qualify.
+    val appendVerb = stringField(txt, "operation").forall(op =>
+      op == "WRITE" || op == "STREAMING UPDATE" || op == "MERGE")
+    appendVerb && add.nonEmpty && remove.isEmpty &&
       !add.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
       !txt.contains("\"schema\":") &&
       !txt.contains("\"constraint\":") &&

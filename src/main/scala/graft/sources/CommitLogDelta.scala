@@ -129,11 +129,17 @@ class CommitLogDeltaWrite(
 
   override def toBatch: DeltaBatchWrite = this
 
+  // GENERATED columns recompute on every postimage/insert (see the COW
+  // twin's rationale in CommitLogReplaceWrite) — bound once here,
+  // evaluated task-side after the row is padded to the write schema
+  private val generators = CommitLogWrite.boundGenerators(
+    writeSchema, tblProps)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
     CommitLogDeltaWriterFactory(s"$root/$stageName", writeSchema,
       if (tracked) writeSchema.fieldIndex(CommitLogWrite.RowIdCol) else -1,
-      baseK, info.numPartitions(), idBlock)
+      baseK, info.numPartitions(), idBlock, generators.toArray)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -242,9 +248,16 @@ class CommitLogDeltaWrite(
               "statement read)")
       }
     }
-    if (!committed)
+    if (!committed) {
+      // same cleanup as the race-abort exit — exhaustion must not
+      // orphan the promoted data/DV batches
+      added.foreach { b =>
+        val p = new Path(rootP, b)
+        if (f.exists(p)) f.delete(p, true)
+      }
       throw new IllegalStateException(
         s"$verb (delta) on $root gave up after 50 rebase attempts (livelock?)")
+    }
     if ((base + 1) % CommitLog.checkpointInterval == 0)
       CommitLog.writeCheckpoint(root, base + 1)
   }
@@ -261,13 +274,15 @@ case class CommitLogDeltaWriterFactory(
     stageDir: String, writeSchema: StructType,
     rowIdOrdinal: Int = -1, baseK: Long = 0L,
     numPartitions: Int = 1,
-    idBlock: Long = CommitLogWrite.DefaultIdentityBlock)
+    idBlock: Long = CommitLogWrite.DefaultIdentityBlock,
+    gens: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new CommitLogDeltaWriter(stageDir, writeSchema,
       f"p$partitionId%05d-t$taskId",
-      rowIdOrdinal, baseK, partitionId, numPartitions, idBlock)
+      rowIdOrdinal, baseK, partitionId, numPartitions, idBlock, gens)
 }
 
 /** Task-side delta writer: inserts/postimages stream to a data file,
@@ -286,8 +301,14 @@ class CommitLogDeltaWriter(
     stageDir: String, writeSchema: StructType, suffix: String,
     rowIdOrdinal: Int = -1, baseK: Long = 0L,
     partitionId: Int = 0, numPartitions: Int = 1,
-    idBlock: Long = CommitLogWrite.DefaultIdentityBlock)
+    idBlock: Long = CommitLogWrite.DefaultIdentityBlock,
+    gens: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends DeltaWriter[InternalRow] {
+
+  /** Row transforms this writer applies before the parquet encode:
+    * pad + row-id fill (tracked tables), generated-column recompute. */
+  private val rewrites = rowIdOrdinal >= 0 || gens.nonEmpty
 
   private val dvSchema = StructType(Seq(
     StructField("_file", StringType), StructField("_pos", LongType)))
@@ -302,7 +323,8 @@ class CommitLogDeltaWriter(
   private var j = 0L // fresh ids this task allocated
   private var maxK = -1L
 
-  /** The row padded to the write schema, with the row-id slot filled:
+  /** The row padded to the write schema, generated ordinals
+    * recomputed, and (tracked tables) the row-id slot filled:
     * `id` >= 0 preserves, -1 allocates fresh from the ladder. */
   private def withId(row: InternalRow, id: Long): InternalRow = {
     val out = new org.apache.spark.sql.catalyst.expressions
@@ -313,25 +335,32 @@ class CommitLogDeltaWriter(
       out(i) = if (row.isNullAt(i)) null else row.get(i, types(i))
       i += 1
     }
-    out(rowIdOrdinal) =
-      if (id >= 0) Long.box(id)
-      else {
-        val k = Math.addExact(
-          Math.multiplyExact(
-            Math.addExact(partitionId.toLong,
-              Math.multiplyExact(j / idBlock, numPartitions.toLong)),
-            idBlock),
-          j % idBlock)
-        j += 1
-        if (k > maxK) maxK = k
-        Long.box(Math.addExact(baseK, k))
-      }
+    var g = 0
+    while (g < gens.length) {
+      val (gi, e) = gens(g)
+      out(gi) = e.eval(out)
+      g += 1
+    }
+    if (rowIdOrdinal >= 0)
+      out(rowIdOrdinal) =
+        if (id >= 0) Long.box(id)
+        else {
+          val k = Math.addExact(
+            Math.multiplyExact(
+              Math.addExact(partitionId.toLong,
+                Math.multiplyExact(j / idBlock, numPartitions.toLong)),
+              idBlock),
+            j % idBlock)
+          j += 1
+          if (k > maxK) maxK = k
+          Long.box(Math.addExact(baseK, k))
+        }
     out
   }
 
   override def insert(row: InternalRow): Unit = {
     dataUsed = true
-    if (rowIdOrdinal < 0) dataW.write(row)
+    if (!rewrites) dataW.write(row)
     else dataW.write(withId(row, -1L))
   }
 
@@ -344,12 +373,13 @@ class CommitLogDeltaWriter(
       metadata: InternalRow, id: InternalRow, row: InternalRow): Unit = {
     delete(metadata, id)
     dataUsed = true
-    if (rowIdOrdinal < 0) dataW.write(row)
+    if (!rewrites) dataW.write(row)
     else dataW.write(withId(row,
-      // the metadata attribute is exactly [_graft_row_id]; a null
-      // (file predating tracking cannot exist — enablement is gated
-      // to empty tables) falls back to a fresh id defensively
-      if (metadata == null || metadata.isNullAt(0)) -1L
+      // the metadata attribute is exactly [_graft_row_id] on tracked
+      // tables (empty otherwise — generators alone also take this
+      // path); a null id falls back to a fresh one defensively
+      if (rowIdOrdinal < 0 || metadata == null ||
+          metadata.numFields == 0 || metadata.isNullAt(0)) -1L
       else metadata.getLong(0)))
   }
 

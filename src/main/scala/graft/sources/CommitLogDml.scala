@@ -102,6 +102,27 @@ object CommitLogDml {
       require(dataCols.contains(c),
         s"$verb assigns unknown column '$c' (table has $dataCols)")
     }
+    // GENERATED columns: the definition owns them — explicit
+    // assignment refuses (the ALWAYS contract), and every UPDATE
+    // postimage RECOMPUTES them after the assignments apply, so an
+    // assignment to a source column can never leave a stale generated
+    // value (whose stale partition tuple would then mis-prune derived
+    // filters). Recomputing unchanged rows is a semantic no-op: the
+    // invariant already held on them.
+    val genExprs: Map[String, String] =
+      CommitLog.tblPropsOf(root, readV).collect {
+        case (k, sql) if k.startsWith(CommitLogWrite.GeneratedPropPrefix) =>
+          k.stripPrefix(CommitLogWrite.GeneratedPropPrefix) -> sql
+      }
+    assignments.foreach { case (c, _) =>
+      require(!genExprs.contains(c),
+        s"column '$c' is GENERATED ALWAYS AS (${genExprs.getOrElse(c, "")}) " +
+          "— the definition owns it; assign its source columns instead")
+    }
+    def regen(df: DataFrame): DataFrame =
+      genExprs.foldLeft(df) { case (d, (c, sql)) =>
+        d.withColumn(c, expr(sql).cast(tableSchema(c).dataType))
+      }
     // TRUE-only match (SQL DML semantics: NULL predicate leaves the row)
     val hit = coalesce(expr(condition), lit(false))
 
@@ -202,7 +223,7 @@ object CommitLogDml {
             .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvBatch")
           if (isUpdate) {
             val dataBatch = s"u$next-$tag"
-            touchedFull.filter(hit).select(dataCols.map(applied): _*)
+            regen(touchedFull.filter(hit).select(dataCols.map(applied): _*))
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataBatch")
             (Seq(dataBatch, dvBatch), Nil, "dv")
           } else (Seq(dvBatch), Nil, "dv")
@@ -210,8 +231,8 @@ object CommitLogDml {
           // ---- COW leg: rewrite touched, compact covered DVs ----
           val survivors =
             if (isUpdate)
-              touchedFull.select(dataCols.map(c =>
-                when(hit, applied(c)).otherwise(col(c)).as(c)): _*)
+              regen(touchedFull.select(dataCols.map(c =>
+                when(hit, applied(c)).otherwise(col(c)).as(c)): _*))
             else touchedFull.filter(!hit)
           val coveredDvs = dvs.filter { dv =>
             spark.read.parquet(CommitLog.batchPath(root, dv))
@@ -239,8 +260,8 @@ object CommitLogDml {
           if (isUpdate)
             pre.select(dataCols.map(col) :+
                 lit("update_preimage").as("_change_type"): _*)
-              .unionByName(pre.select(dataCols.map(applied) :+
-                lit("update_postimage").as("_change_type"): _*))
+              .unionByName(regen(pre.select(dataCols.map(applied): _*))
+                .withColumn("_change_type", lit("update_postimage")))
           else
             pre.select(dataCols.map(col) :+ lit("delete").as("_change_type"): _*)
         rows.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$changeTmp")

@@ -97,12 +97,15 @@ object CommitLogMerge {
     * DV positions — spelling-normalized on both sides. */
   private[sources] def dvAntiJoin(
       base: DataFrame, dv: DataFrame): DataFrame =
-    base.withColumn("_nf", normFileCol(col("_file")))
+    // the join key uses an engine-reserved name: a plain `_nf` could
+    // shadow (and then drop) a user column of that name on the
+    // full-width frames COW rewrites pass through here
+    base.withColumn("__graft_nf", normFileCol(col("_file")))
       .join(
         broadcast(dv.select(
-          normFileCol(col("_file")).as("_nf"), col("_pos"))),
-        Seq("_nf", "_pos"), "left_anti")
-      .drop("_nf")
+          normFileCol(col("_file")).as("__graft_nf"), col("_pos"))),
+        Seq("__graft_nf", "_pos"), "left_anti")
+      .drop("__graft_nf")
 
   /** Hard ceiling on the deletion-vector positions a single table may
     * carry into driver-side plan state (`dvPositionsByFile` collects
@@ -259,6 +262,19 @@ object CommitLogMerge {
     val formers = CommitLog.formerNamesOf(root, readV)
     val tableSchema = CommitLogSource.readBatches(
       spark, root, datas, CommitLog.rewriteDdl(root, readV)).schema
+    // GENERATED columns: the definition owns them — every row this
+    // merge WRITES (inserts, postimages, COW replacement values)
+    // recomputes them after the source values apply, the sink's
+    // ignore-the-writer semantic (a source-supplied stale value would
+    // otherwise poison tuples/boxes and derived pruning)
+    val genExprs: Map[String, String] = tblProps.collect {
+      case (k, sql) if k.startsWith(CommitLogWrite.GeneratedPropPrefix) =>
+        k.stripPrefix(CommitLogWrite.GeneratedPropPrefix) -> sql
+    }
+    def regen(df: DataFrame): DataFrame =
+      genExprs.foldLeft(df) { case (d, (c, sql)) =>
+        d.withColumn(c, expr(sql).cast(tableSchema(c).dataType))
+      }
     val dataCols = tableSchema.fieldNames.toSeq
     // the USER columns — the source contract never mentions the hidden
     // row-id column (the engine owns it)
@@ -344,9 +360,9 @@ object CommitLogMerge {
         // exactly the ids the watermark advance below accounts for.
         val hwmKey = CommitLogWrite.IdentityHwmPrefix + ridCol
         val idBase: Long = tblProps.get(hwmKey).map(_.toLong + 1L).getOrElse(0L)
-        val insertsBare = srcKeyed.filter(col(opCol) === "U")
+        val insertsBare = regen(srcKeyed.filter(col(opCol) === "U")
           .join(matched.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .select(userCols.map(col): _*)
+          .select(userCols.map(col): _*))
         val inserts =
           if (!tracked) insertsBare
           else insertsBare
@@ -376,7 +392,7 @@ object CommitLogMerge {
               .select(col("_file"), col("_pos"))
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dvBatch")
             val dataBatch = s"m$next-$tag"
-            val postimages =
+            val postimages = regen(
               if (!tracked) srcKeyed.filter(col(opCol) === "U")
                 .join(matched.select(keyCols.map(col): _*), keyCols,
                   "left_semi")
@@ -384,7 +400,7 @@ object CommitLogMerge {
               else srcKeyed.filter(col(opCol) === "U")
                 .join(matched.filter(col("_op") === "U")
                   .select(keyCols.map(col) :+ col(ridCol): _*), keyCols)
-                .select(userCols.map(col) :+ col(ridCol): _*)
+                .select(userCols.map(col) :+ col(ridCol): _*))
             inserts.unionByName(postimages)
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$dataBatch")
             (Seq(dataBatch, dvBatch), Nil, "dv")
@@ -399,14 +415,14 @@ object CommitLogMerge {
                 struct(userCols.map(col): _*).as("_new"): _*)
             val delKeys = srcKeyed.filter(col(opCol) === "D")
               .select(keyCols.map(col): _*)
-            val survivors = touchedFull
+            val survivors = regen(touchedFull
               .join(delKeys, keyCols, "left_anti")
               .join(newVals, keyCols, "left")
               .select(userCols.map(c =>
                 when(col("_new").isNotNull, col(s"_new.$c"))
                   .otherwise(col(c)).as(c)) ++
                 // a survivor keeps its id whether updated or untouched
-                (if (tracked) Seq(col(ridCol)) else Nil): _*)
+                (if (tracked) Seq(col(ridCol)) else Nil): _*))
             survivors.unionByName(inserts)
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rw")
             // a DV batch whose every referenced file lives in a removed
@@ -440,16 +456,15 @@ object CommitLogMerge {
               .select(userCols.map(col) ++ ridCols :+
                 when(col("_op") === "D", lit("delete"))
                   .otherwise(lit("update_preimage")).as("_change_type"): _*))
-          val post =
+          val post = regen(
             if (!tracked) srcKeyed.filter(col(opCol) === "U")
               .join(opKeyed.filter(col("_op") === "U"), keyCols, "left_semi")
-              .select(userCols.map(col) :+
-                lit("update_postimage").as("_change_type"): _*)
+              .select(userCols.map(col): _*)
             else srcKeyed.filter(col(opCol) === "U")
               .join(matched.filter(col("_op") === "U")
                 .select(keyCols.map(col) :+ col(ridCol): _*), keyCols)
-              .select(userCols.map(col) ++ ridCols :+
-                lit("update_postimage").as("_change_type"): _*)
+              .select(userCols.map(col) ++ ridCols: _*))
+            .withColumn("_change_type", lit("update_postimage"))
           val ins = inserts
             .select(userCols.map(col) ++ ridCols :+
               lit("insert").as("_change_type"): _*)

@@ -211,13 +211,27 @@ class CommitLogReplaceWrite(
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       .toArray
 
+  /** GENERATED columns recompute on every rewritten row — Spark's
+    * UPDATE/MERGE rewrite carries whatever the plan produced (a SET on
+    * a source column leaves the old generated value in the postimage),
+    * and a stale value would poison the batch's partition tuple and
+    * every filter derived from the generation expression. Same
+    * task-side wrap the sink uses; unchanged rows recompute to the
+    * value they already hold. */
+  private val generators = CommitLogWrite.boundGenerators(
+    schema, CommitLog.tblPropsOf(root, readVersion))
+
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
-    if (partCols.isEmpty)
-      CommitLogBatchWriterFactory(s"$root/$stageName", schema)
-    else
-      CommitLogPartitionedBatchWriterFactory(
-        s"$root/$stageName", schema, partCols)
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val base =
+      if (partCols.isEmpty)
+        CommitLogBatchWriterFactory(s"$root/$stageName", schema)
+      else
+        CommitLogPartitionedBatchWriterFactory(
+          s"$root/$stageName", schema, partCols)
+    if (generators.isEmpty) base
+    else GeneratingWriterFactory(base, schema, generators)
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rootP = new Path(root)
@@ -392,9 +406,17 @@ class CommitLogReplaceWrite(
               "statement read)")
       }
     }
-    if (!committed)
+    if (!committed) {
+      // same cleanup as the race-abort exit — exhaustion must not
+      // orphan the promoted batches or the staged change rows
+      dropChanges()
+      added.foreach { b =>
+        val p = new Path(rootP, b)
+        if (f.exists(p)) f.delete(p, true)
+      }
       throw new IllegalStateException(
         s"$verb on $root gave up after 50 rebase attempts (livelock?)")
+    }
     if (feedOn)
       // rename in only after the version is OURS; a failure is loud
       CommitLogMerge.promoteChanges(spark, root, changeTmp, base + 1)

@@ -36,9 +36,12 @@ import org.apache.spark.sql.types._
 object GeneratedPruning {
 
   /** One derivable generated column: evaluate the generation function
-    * on a v1 filter literal; `rangesOk` gates range derivation. */
+    * on a v1 filter literal; `rangesOk` gates range derivation,
+    * `notNullOk` gates IsNotNull (sound only when the function never
+    * maps a non-null input to null). */
   private final case class Rule(
-      src: String, gen: String, rangesOk: Boolean, ev: Any => Option[Any])
+      src: String, gen: String, rangesOk: Boolean, notNullOk: Boolean,
+      ev: Any => Option[Any])
 
   /** Derived filters for `filters` over a table whose generated-column
     * expressions are `gens` (col -> expression SQL). Empty unless a
@@ -70,7 +73,7 @@ object GeneratedPruning {
         Some(In(r.gen, m.flatten.distinct.toArray))
       else None
     case IsNull(c) if c == r.src => Some(IsNull(r.gen))
-    case IsNotNull(c) if c == r.src => Some(IsNotNull(r.gen))
+    case IsNotNull(c) if c == r.src && r.notNullOk => Some(IsNotNull(r.gen))
     case GreaterThan(c, v) if c == r.src && r.rangesOk && v != null =>
       r.ev(v).map(GreaterThanOrEqual(r.gen, _))
     case GreaterThanOrEqual(c, v) if c == r.src && r.rangesOk && v != null =>
@@ -118,11 +121,23 @@ object GeneratedPruning {
           if pos == 1 => Some((a, false))
       case _ => None
     }
-    shape.map { case (srcAttr, rangesOk) =>
+    shape.map { case (srcAttr, monotoneShape) =>
       val idx = schema.fieldIndex(srcAttr.name)
       val srcDt = schema(idx).dataType
+      // the monotonic family is only SOUND over temporal sources:
+      // casting a STRING to date is neither monotone in the string's
+      // binary order ('2024-1-03' sorts above '2024-09-05' but casts
+      // below it — a derived range would prune its partition) nor
+      // non-null-preserving (a malformed non-null string casts to
+      // null, landing in the null partition a derived IsNotNull would
+      // prune). Equality/IN stay sound for any source type (a
+      // deterministic function of an equal input is equal).
+      val temporal = srcDt == DateType || srcDt == TimestampType ||
+        srcDt == TimestampNTZType
+      val rangesOk = monotoneShape && temporal
+      val notNullOk = if (monotoneShape) temporal else true
       val bound = BindReferences.bindReference(expr, attrs)
-      Rule(srcAttr.name, gcol, rangesOk, (v: Any) =>
+      Rule(srcAttr.name, gcol, rangesOk, notNullOk, (v: Any) =>
         toCatalyst(v, srcDt).flatMap { cv =>
           val row = new GenericInternalRow(schema.length)
           row.update(idx, cv)

@@ -278,8 +278,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(parent)) return None
     val root = dirOf(parent)
     // the scan's startingVersion bound is EXCLUSIVE (changes of
-    // (start, end]), so the inclusive SQL clause passes v-1
-    val start = from.map(_ - 1).orElse(
+    // (start, end]), so the inclusive SQL clause passes v-1 — clamped:
+    // VERSION AS OF 0 means "everything" (Delta's table_changes
+    // accepts it), not a read of the nonexistent v0 manifest
+    val start = from.map(f => math.max(0, f - 1)).orElse(
       ts.map(t => CommitLog.versionAt(root, t / 1000L))).getOrElse(0)
     val base = schemaWithDefaults(root, CommitLog.latestVersion(root))
     // a row-tracked table's feed exposes the stable row id (see the

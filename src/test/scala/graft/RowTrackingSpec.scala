@@ -309,6 +309,30 @@ class RowTrackingSpec extends SparkSpec {
       rs.map(_.getString(2)).sorted.toSeq == Seq("delete", "insert", "insert")))
   }
 
+  test("a TRACKED table with a VARIANT column serves the feed (delta routing)") {
+    // untracked variant tables refuse COW feed versions (variant is
+    // not comparable, the EXCEPT-ALL diff cannot run) — but a TRACKED
+    // table routes row-level DML through the delta leg, whose feed
+    // synthesizes from DV positions + insert files with NO diff join:
+    // variant + row tracking compose into a fully servable feed
+    spark.sql("CREATE TABLE rt.db.v (k BIGINT, v VARIANT) " +
+      "TBLPROPERTIES ('graft.rowTracking'='true')")
+    spark.sql("INSERT INTO rt.db.v SELECT id, " +
+      "parse_json(format_string('{\"n\":%d}', id)) FROM range(0, 40)")
+    spark.sql(
+      """UPDATE rt.db.v SET v = parse_json('{"n":-1}') WHERE k % 8 = 0""")
+    val ch = spark.sql(
+      "SELECT _graft_row_id AS rid, _change_type AS ct, " +
+        "variant_get(v, '$.n', 'long') AS n " +
+        "FROM rt.db.v.changes VERSION AS OF 3").collect()
+    assert(ch.length == 10) // 5 deletes + 5 re-inserts
+    assert(ch.forall(!_.isNullAt(0)))
+    ch.foreach { r =>
+      if (r.getString(1) == "insert") assert(r.getLong(2) == -1L)
+      else assert(r.getLong(2) % 8 == 0)
+    }
+  }
+
   test("RESTORE rolls the watermark back with the rows it covers") {
     spark.sql("CREATE TABLE rt.db.e (k BIGINT) " +
       "TBLPROPERTIES ('graft.rowTracking'='true')")

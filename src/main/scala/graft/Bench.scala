@@ -130,7 +130,8 @@ object Bench {
     "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.263,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
     "s60_generated_prune" -> 0.781, "s61_variant" -> 1.960,
-    "s62_row_tracking" -> 3.916, "s6_csv_roundtrip" -> 0.459,
+    "s62_row_tracking" -> 3.916,
+    "s63_feed_identity_fold" -> 4.485, "s6_csv_roundtrip" -> 0.459,
     "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.637,
     "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.581, "t14_stream_commitlog" -> 3.599,

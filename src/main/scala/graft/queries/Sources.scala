@@ -3562,6 +3562,63 @@ object Sources {
         .unionAll(leg(3, "del", Some(4)))
         .unionAll(leg(4, "opt", None))
         .orderBy("step")
+    },
+
+    // S63q (SURVEY S67 feed leg): FOLD THE CHANGE FEED BY IDENTITY —
+    // the point of exposing `_graft_row_id` in `.changes`. The decl
+    // replays a tracked table's whole feed (insert / the delta
+    // UPDATE's delete+re-insert pairs / the DELETE's retractions),
+    // nets +1/-1 PER ROW ID with no table key, takes each surviving
+    // id's latest insert, and emits the reconstruction next to the
+    // live snapshot — the ORACLE computes the final state once and
+    // pins both legs to it, so feed completeness, id stability and
+    // the retraction contract are all hash-gated together.
+    Decl(
+      "s63_feed_identity_fold",
+      s"""WITH m AS (
+         |  SELECT event_id, MIN(user_id % 100) AS u
+         |  FROM events GROUP BY event_id),
+         |fin AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 10 = 3 THEN -1 ELSE u END AS u
+         |  FROM m WHERE event_id % 2 <> 0)
+         |SELECT 'fold' AS leg, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(u) AS BIGINT) AS us
+         |FROM fin
+         |UNION ALL
+         |SELECT 'snap', CAST(count(*) AS BIGINT), CAST(sum(u) AS BIGINT)
+         |FROM fin
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s63_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt63", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt63.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt63.db")
+      s.sql("CREATE TABLE gt63.db.t (event_id BIGINT, u BIGINT) " +
+        "TBLPROPERTIES ('graft.rowTracking'='true')") // v1
+      Qh.t(s, dir, "events")
+        .groupBy($"event_id")
+        .agg(min($"user_id" % 100).cast("long").as("u"))
+        .createOrReplaceTempView("s63_src")
+      s.sql("INSERT INTO gt63.db.t SELECT event_id, u FROM s63_src") // v2
+      s.sql("UPDATE gt63.db.t SET u = -1 WHERE event_id % 10 = 3") // v3
+      s.sql("DELETE FROM gt63.db.t WHERE event_id % 2 = 0") // v4 (delta)
+      val feed = s.sql(
+        "SELECT _graft_row_id AS rid, u, _change_type AS ct, " +
+          "_commit_version AS cv FROM gt63.db.t.changes VERSION AS OF 1")
+      // net the feed per IDENTITY: +1 insert, -1 delete; survivors'
+      // values are their latest insert
+      val net = feed.groupBy($"rid")
+        .agg(sum(when($"ct" === "insert", 1L).otherwise(-1L)).as("net"))
+      val latest = feed.filter($"ct" === "insert")
+        .groupBy($"rid").agg(max_by($"u", $"cv").as("u"))
+      val folded = net.filter($"net" === 1L).join(latest, "rid")
+        .agg(count(lit(1)).as("n"), sum($"u").as("us"))
+        .select(lit("fold").as("leg"), $"n", $"us")
+      val snap = s.sql("SELECT count(*) AS n, sum(u) AS us FROM gt63.db.t")
+        .select(lit("snap").as("leg"), $"n", $"us")
+      folded.unionAll(snap).orderBy("leg")
     }
   )
 

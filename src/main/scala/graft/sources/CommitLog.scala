@@ -1345,7 +1345,11 @@ object CommitLog {
     // statement's predicate should have seen them, so rebasing across
     // it would violate write-serializability. Only verbs that mint
     // genuinely NEW rows qualify.
-    val appendVerb = stringField(txt, "operation").forall(op =>
+    // `exists`, not `forall`: an op-LESS add-only manifest (direct
+    // CommitLog.commit with op=None) must abort the rebase too — the
+    // shape alone cannot prove the rows are new, and forall would let
+    // it slide past exactly like the pre-gate RESTORE did.
+    val appendVerb = stringField(txt, "operation").exists(op =>
       op == "WRITE" || op == "STREAMING UPDATE" || op == "MERGE")
     appendVerb && add.nonEmpty && remove.isEmpty &&
       !add.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&

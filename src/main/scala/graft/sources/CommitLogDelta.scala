@@ -374,13 +374,22 @@ class CommitLogDeltaWriter(
     delete(metadata, id)
     dataUsed = true
     if (!rewrites) dataW.write(row)
-    else dataW.write(withId(row,
+    else dataW.write(withId(row, {
       // the metadata attribute is exactly [_graft_row_id] on tracked
       // tables (empty otherwise — generators alone also take this
-      // path); a null id falls back to a fresh one defensively
-      if (rowIdOrdinal < 0 || metadata == null ||
-          metadata.numFields == 0 || metadata.isNullAt(0)) -1L
-      else metadata.getLong(0)))
+      // path). On a TRACKED table a missing/null id is a broken
+      // preservation contract — minting a fresh one here would be
+      // silent identity drift (the feed's fold would see a
+      // delete+insert instead of an update), so refuse loudly.
+      if (rowIdOrdinal < 0) -1L
+      else if (metadata == null || metadata.numFields == 0 ||
+          metadata.isNullAt(0))
+        throw new IllegalStateException(
+          "row-tracked UPDATE arrived without its preserved row id " +
+            "(metadata attribute null/missing) — refusing to mint a " +
+            "fresh identity for an existing row")
+      else metadata.getLong(0)
+    }))
   }
 
   override def commit(): WriterCommitMessage =

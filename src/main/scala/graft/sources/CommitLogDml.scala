@@ -119,10 +119,11 @@ object CommitLogDml {
         s"column '$c' is GENERATED ALWAYS AS (${genExprs.getOrElse(c, "")}) " +
           "— the definition owns it; assign its source columns instead")
     }
+    // same binding as the sink (ANSI cast, refuse-don't-null):
+    // CommitLogWrite.regenFrame, not session-semantics expr().cast()
     def regen(df: DataFrame): DataFrame =
-      genExprs.foldLeft(df) { case (d, (c, sql)) =>
-        d.withColumn(c, expr(sql).cast(tableSchema(c).dataType))
-      }
+      CommitLogWrite.regenFrame(df, tableSchema,
+        CommitLog.tblPropsOf(root, readV))
     // TRUE-only match (SQL DML semantics: NULL predicate leaves the row)
     val hit = coalesce(expr(condition), lit(false))
 

@@ -267,14 +267,10 @@ object CommitLogMerge {
     // recomputes them after the source values apply, the sink's
     // ignore-the-writer semantic (a source-supplied stale value would
     // otherwise poison tuples/boxes and derived pruning)
-    val genExprs: Map[String, String] = tblProps.collect {
-      case (k, sql) if k.startsWith(CommitLogWrite.GeneratedPropPrefix) =>
-        k.stripPrefix(CommitLogWrite.GeneratedPropPrefix) -> sql
-    }
+    // same binding as the sink (ANSI cast, refuse-don't-null):
+    // CommitLogWrite.regenFrame, not session-semantics expr().cast()
     def regen(df: DataFrame): DataFrame =
-      genExprs.foldLeft(df) { case (d, (c, sql)) =>
-        d.withColumn(c, expr(sql).cast(tableSchema(c).dataType))
-      }
+      CommitLogWrite.regenFrame(df, tableSchema, tblProps)
     val dataCols = tableSchema.fieldNames.toSeq
     // the USER columns — the source contract never mentions the hidden
     // row-id column (the engine owns it)

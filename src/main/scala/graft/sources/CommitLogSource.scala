@@ -1003,7 +1003,7 @@ class CommitLogScanBuilder(
     val groups: Seq[(Seq[String], Seq[String])] =
       if (gbCols.isEmpty) Seq((Nil, live))
       else live.groupBy(b => gbCols.map(c => tupleOf(b).get(c)))
-        .toSeq.map { case (k, bs) => (k, bs) }.sortBy(_._1.mkString(" "))
+        .toSeq.map { case (k, bs) => (k, bs) }.sortBy(_._1.mkString("\u0000"))
 
     def fnValue(batches: Seq[String], fn: Fn): Option[Any] = fn match {
       case CountAll => Some(Long.box(batches.map(snap.rows).sum))

@@ -340,24 +340,77 @@ object CommitLogWrite {
       org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
     val session = SparkSession.active
     val parser = session.sessionState.sqlParser
-    gens.toSeq.sortBy(_._1).map { case (col, sql) =>
-      require(schema.fieldNames.contains(col),
-        s"generated column '$col' is missing from the write schema")
-      val i = schema.fieldIndex(col)
-      val analyzed = org.apache.spark.sql.catalyst.util.GeneratedColumnAnalyzer
-        .execute(Project(
-          Seq(Alias(parser.parseExpression(sql), col)()),
-          LocalRelation(attrs)))
-      val expr = analyzed.asInstanceOf[Project].projectList.head
-        .asInstanceOf[Alias].child
-      require(expr.resolved,
-        s"generation expression for '$col' does not resolve against " +
-          s"(${schema.fieldNames.mkString(",")}): $sql")
-      val fit =
-        if (expr.dataType == schema(i).dataType) expr
-        else Cast(expr, schema(i).dataType,
-          Some(session.sessionState.conf.sessionLocalTimeZone))
-      i -> BindReferences.bindReference(fit, attrs)
+    // parse + analyze under FORCED ANSI semantics: casts and arithmetic
+    // inside the generation expression capture their eval mode at parse
+    // time from the thread-local conf, and the declared type is a
+    // contract — a bad value must refuse loudly at the write, never
+    // null-fill, even when the session runs with lax cast semantics
+    // (Spark's own generated-column validation does the same).
+    withAnsiConf(session) {
+      gens.toSeq.sortBy(_._1).map { case (col, sql) =>
+        require(schema.fieldNames.contains(col),
+          s"generated column '$col' is missing from the write schema")
+        val i = schema.fieldIndex(col)
+        val analyzed = org.apache.spark.sql.catalyst.util.GeneratedColumnAnalyzer
+          .execute(Project(
+            Seq(Alias(parser.parseExpression(sql), col)()),
+            LocalRelation(attrs)))
+        val expr = analyzed.asInstanceOf[Project].projectList.head
+          .asInstanceOf[Alias].child
+        require(expr.resolved,
+          s"generation expression for '$col' does not resolve against " +
+            s"(${schema.fieldNames.mkString(",")}): $sql")
+        val fit =
+          if (expr.dataType == schema(i).dataType) expr
+          else Cast(expr, schema(i).dataType,
+            Some(session.sessionState.conf.sessionLocalTimeZone),
+            org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI)
+        i -> BindReferences.bindReference(fit, attrs)
+      }
+    }
+  }
+
+  /** Run `f` with the thread-local SQLConf forced to ANSI — parse-time
+    * eval-mode capture (Cast, arithmetic) sees ANSI regardless of the
+    * session's own setting. */
+  private def withAnsiConf[T](session: SparkSession)(f: => T): T = {
+    import org.apache.spark.sql.internal.SQLConf
+    val forced = session.sessionState.conf.clone()
+    forced.setConf(SQLConf.ANSI_ENABLED, true)
+    SQLConf.withExistingConf(forced)(f)
+  }
+
+  /** DataFrame-side twin of [[boundGenerators]] for the row-level
+    * rewrite paths (UPDATE/DELETE-COW/MERGE regen): recomputes every
+    * GENERATED column over `df` with the same ANSI contract the sink
+    * enforces — an explicitly-ANSI [[Cast]] to the declared type, so a
+    * value the sink would REFUSE loudly can never be silently nulled
+    * into the table by a rewrite running under lax session cast
+    * semantics. The generation expression itself was validated at
+    * CREATE (deterministic, no subqueries, non-generated refs only),
+    * so resolving it by name against `df` is the same resolution the
+    * sink's analyzer performs. */
+  def regenFrame(
+      df: org.apache.spark.sql.DataFrame, tableSchema: StructType,
+      props: Map[String, String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.GraftShims
+    val gens = props.collect {
+      case (k, v) if k.startsWith(GeneratedPropPrefix) =>
+        k.stripPrefix(GeneratedPropPrefix) -> v
+    }
+    if (gens.isEmpty) return df
+    val session = SparkSession.active
+    val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
+    // parse under forced ANSI (see boundGenerators): the expression's
+    // own casts/arithmetic capture eval mode at parse time
+    withAnsiConf(session) {
+      gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, sql)) =>
+        val fit = Cast(GraftShims.expressionOf(expr(sql)),
+          tableSchema(c).dataType, tz, EvalMode.ANSI)
+        d.withColumn(c, GraftShims.columnOf(fit))
+      }
     }
   }
 

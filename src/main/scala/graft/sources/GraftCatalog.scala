@@ -621,6 +621,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"rowTracking can only be ENABLED while the table holds no " +
               "data — set it at CREATE TABLE, or TRUNCATE first")
         }
+        // ...and only switched OFF the same way: on a tracked table
+        // with data, appends after the flip would write id-less files,
+        // the change feed would lose its id column mid-stream, and
+        // re-enabling is blocked by the non-empty gate above — a
+        // silent, irreversible identity loss. Mirror the enable gate.
+        if (c.property == CommitLogWrite.RowTrackingProp &&
+            (c.value == null || !c.value.trim.equalsIgnoreCase("true"))) {
+          val v = CommitLog.latestVersion(root)
+          require(
+            !CommitLogWrite.rowTrackingOn(CommitLog.tblPropsOf(root, v)) ||
+              CommitLog.files(root, v).isEmpty,
+            s"rowTracking can only be DISABLED while the table holds no " +
+              "data — TRUNCATE first (row identities cannot be dropped " +
+              "in place)")
+        }
         CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
           props = Map(c.property -> Some(c.value)),
           op = Some("SET TBLPROPERTIES"))
@@ -628,6 +643,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!GraftCatalog.ReservedProps.contains(c.property),
           s"'${c.property}' is a reserved catalog property")
         requireNotColumnFacet(c.property)
+        if (c.property == CommitLogWrite.RowTrackingProp) {
+          val v = CommitLog.latestVersion(root)
+          require(
+            !CommitLogWrite.rowTrackingOn(CommitLog.tblPropsOf(root, v)) ||
+              CommitLog.files(root, v).isEmpty,
+            s"rowTracking can only be DISABLED while the table holds no " +
+              "data — TRUNCATE first (row identities cannot be dropped " +
+              "in place)")
+        }
         if (CommitLog.tblPropsOf(root, CommitLog.latestVersion(root))
             .contains(c.property))
           CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,

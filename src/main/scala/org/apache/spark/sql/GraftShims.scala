@@ -12,4 +12,15 @@ import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 object GraftShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(castToImpl(spark), plan)
+
+  /** Wrap a catalyst Expression as a public Column (the 4.x ColumnNode
+    * indirection made `new Column(expr)` private). Used to inject an
+    * explicitly-ANSI Cast into DataFrame-side generated-column
+    * recomputation so DML regen refuses bad values exactly like the
+    * sink's bound generators, independent of session cast semantics. */
+  def columnOf(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expressionOf(c: Column): catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -830,8 +830,66 @@ class CommitLogScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
   import org.apache.spark.sql.sources._
+
+  // ---- VARIANT EXTRACTION pushdown (SupportsPushDownVariantExtractions)
+  //
+  // `variant_get(v, '$.k')` over a shredded layout should read ONLY the
+  // `k` shredded subcolumn — that is the point of shredding. Spark's
+  // planner offers the extractions; accepting them contracts this
+  // builder to REWRITE each pushed variant column in `readSchema()`
+  // into a struct of the extractions (fields named "0","1",… in array
+  // order, each carrying the VariantMetadata path in its metadata —
+  // the planner's GetStructField ordinals are exactly those indexes,
+  // and `buildScanWithPushedVariants` consumes the holder BEFORE the
+  // pruneColumns phase, so the scan must reflect the rewrite itself).
+  // The vectorized leg then hands the annotated struct to Spark's
+  // VectorizedParquetRecordReader, which serves each field from the
+  // file's shredded subcolumn when present and decodes from the binary
+  // when not; the row leg (DV/CDF/metadata-forced reads) reassembles
+  // the whole variant and evaluates the paths per row.
+  //
+  // Acceptance is ALL-OR-NOTHING: a partially-accepted array would
+  // leave the planner's field ordinals out of step with the struct the
+  // scan serves (rejected entries are dropped from the planner's
+  // mapping without renumbering the survivors' ordinals).
+  private var variantStructs: Map[String, StructType] = Map.empty
+
+  override def pushVariantExtractions(
+      extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
+      : Array[Boolean] = {
+    if (extractions == null || extractions.isEmpty) return Array.empty
+    // the change feed's row leg synthesizes per-row stamps and serves
+    // DV-position deletes — keep those reads on whole variants
+    val changeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+    def serveable(
+        e: org.apache.spark.sql.connector.read.VariantExtraction): Boolean =
+      e.columnName().length == 1 &&
+        schema0.fields.exists(f => f.name == e.columnName()(0) &&
+          f.dataType == org.apache.spark.sql.types.VariantType) &&
+        e.metadata() != null &&
+        e.metadata().contains(
+          org.apache.spark.sql.execution.datasources.VariantMetadata.METADATA_KEY)
+    if (changeFeed || !extractions.forall(serveable))
+      return extractions.map(_ => false)
+    variantStructs = extractions.toSeq.groupBy(_.columnName()(0))
+      .map { case (c, group) =>
+        c -> StructType(group.zipWithIndex.map { case (e, i) =>
+          StructField(i.toString, e.expectedDataType(), nullable = true,
+            e.metadata())
+        })
+      }
+    extractions.map(_ => true)
+  }
+
+  /** `required` with every pushed variant column rewritten to its
+    * extraction struct — what the scan reads and serves. */
+  private def requiredWithVariants: StructType =
+    if (variantStructs.isEmpty) required
+    else StructType(required.fields.map(f =>
+      variantStructs.get(f.name).map(st => f.copy(dataType = st)).getOrElse(f)))
 
   // ---- LIMIT pushdown (partial): plan only as many FILES as the
   // manifest row counts prove necessary. `SELECT * FROM t LIMIT 10` at
@@ -1101,7 +1159,7 @@ class CommitLogScanBuilder(
           org.apache.spark.sql.SparkSession.active, schema0, gens, allFilters)
       }
     CommitLogScan(
-      root, required, boxes, probes,
+      root, requiredWithVariants, boxes, probes,
       partFilters = allFilters ++ derivedPart,
       versionAsOf = versionAsOf,
       startingVersion = startingVersion,
@@ -2009,6 +2067,17 @@ class CommitLogPartitionReader(
         j += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    case st: StructType
+        if org.apache.spark.sql.execution.datasources.VariantMetadata
+          .isVariantStruct(st) =>
+      // PUSHED VARIANT EXTRACTIONS on the row leg (DV / CDF / metadata
+      // -forced reads): the file holds a variant group; reassemble the
+      // whole value once, then evaluate each requested path with the
+      // same VariantGet the plan would have run above the scan.
+      val v = readValue(g, fi, idx,
+        org.apache.spark.sql.types.VariantType)
+        .asInstanceOf[org.apache.spark.unsafe.types.VariantVal]
+      variantStructEval(st)(v)
     case st: StructType =>
       val sg = g.getGroup(fi, idx)
       val gt = sg.getType
@@ -2078,6 +2147,41 @@ class CommitLogPartitionReader(
         s"commitlog reader does not support $other — project it out " +
           "or extend the reader")
   }
+
+  /** Per-row evaluator for a pushed-variant-extraction struct: one
+    * bound [[org.apache.spark.sql.catalyst.expressions.variant
+    * .VariantGet]] per field (path/type/failOnError from the field's
+    * VariantMetadata), memoized per struct shape. */
+  private val variantEvalCache =
+    scala.collection.mutable.HashMap.empty[
+      StructType,
+      org.apache.spark.unsafe.types.VariantVal => GenericInternalRow]
+  private def variantStructEval(st: StructType)
+      : org.apache.spark.unsafe.types.VariantVal => GenericInternalRow =
+    variantEvalCache.getOrElseUpdate(st, {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+      import org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+      import org.apache.spark.sql.execution.datasources.VariantMetadata
+      val gets = st.fields.map { f =>
+        val m = VariantMetadata.fromMetadata(f.metadata)
+        VariantGet(
+          BoundReference(0, org.apache.spark.sql.types.VariantType,
+            nullable = true),
+          Literal(UTF8String.fromString(m.path)),
+          f.dataType, m.failOnError, Some(m.timeZoneId))
+      }
+      val holder = new GenericInternalRow(1)
+      v => {
+        holder(0) = v
+        val out = new GenericInternalRow(st.length)
+        var j = 0
+        while (j < gets.length) {
+          out(j) = if (v == null) null else gets(j).eval(holder)
+          j += 1
+        }
+        out
+      }
+    })
 
   /** File-derived shredded-variant schema, memoized per distinct
     * parquet group shape (one per file in practice — the shredding

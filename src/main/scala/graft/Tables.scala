@@ -68,6 +68,12 @@ object Engine {
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      // must be injected (not experimental.extraOptimizations): the
+      // decline tag has to land BEFORE the early-pushdown batch reads
+      // it — injected optimizer rules run in the operator batch,
+      // extraOptimizations run after pushdown
+      .withExtensions(ext => ext.injectOptimizerRule(_ =>
+        graft.sources.NoVariantPushdownOnMetadataScans))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

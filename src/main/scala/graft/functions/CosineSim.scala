@@ -294,6 +294,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
+    // variant-extraction pushdown is declined on metadata-bearing
+    // scans (see the rule's scaladoc for the pushdown-phase ordering
+    // that makes this necessary)
+    ext.injectOptimizerRule(_ =>
+      graft.sources.NoVariantPushdownOnMetadataScans)
   }
 }
 

@@ -3682,6 +3682,54 @@ object Sources {
           sum(variant_get($"v", "$.k", "long")).as("sid"))
         .select(lit("sums").as("leg"), $"n", $"sid")
       fk.unionAll(fs).unionAll(sums).orderBy("leg")
+    },
+
+    // S65 (SURVEY S67 extension, r14): ROW TRACKING for the STREAMING
+    // sink — a tracked table fed by `writeStream.format("commitlog")`.
+    // Ids allocate per EPOCH from the committed watermark (micro-batch
+    // execution creates a fresh writer factory per epoch — the driver
+    // hook IdentityStreamingWrite uses to re-read it), and the advance
+    // rides the epoch's own data manifest with the planned-against
+    // watermark as a precondition. Three file-stream epochs land here;
+    // the oracle pins n_ids == n per group — a replayed or stale-
+    // watermark epoch would mint duplicates and break the hash.
+    // Replay-drop itself is pinned in RowTrackingStreamSpec.
+    Decl(
+      "s65_stream_row_tracking",
+      s"""SELECT event_type, CAST(3 * count(*) AS BIGINT) AS n,
+         |  CAST(3 * count(*) AS BIGINT) AS n_ids
+         |FROM events
+         |WHERE event_id % 4 = 0
+         |GROUP BY event_type
+         |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val path = s"$dir/events.parquet"
+      val runId = java.util.UUID.randomUUID()
+      val root = ioDir(s"s65_tbl_$runId")
+      val ckpt = ioDir(s"s65_ckpt_$runId")
+      val srcDir = java.nio.file.Paths.get(ioDir(s"s65_src_$runId"))
+      java.nio.file.Files.createDirectories(srcDir)
+      (1 to 3).foreach { i =>
+        java.nio.file.Files.createSymbolicLink(
+          srcDir.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
+      }
+      val schema = s.read.parquet(path).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .filter($"event_id" % 4 === 0)
+        .select($"event_id", $"event_type", $"user_id")
+        .writeStream.format("commitlog")
+        .option("path", root).option("rowTracking", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append")
+        .start()
+      q.awaitTermination()
+      s.read.format("commitlog").option("path", root).load()
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("_graft_row_id")).as("n_ids"))
+        .orderBy("event_type")
     }
   )
 

@@ -271,6 +271,17 @@ object CommitLogSource {
     BatchCol, RowFileCol, RowPosCol,
     CommitLogCdf.ChangeTypeCol, CommitLogCdf.CommitVersionCol)
 
+  /** Scan option that declines VARIANT-extraction pushdown. Set by
+    * [[NoVariantPushdownOnMetadataScans]]: when a plan references any
+    * METADATA column of a commitlog relation, Spark's variant-pushdown
+    * phase would consume the scan-builder holder BEFORE the
+    * column-pruning phase that normally conveys metadata columns to
+    * the scan — the built scan then starves the plan of them
+    * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at bind). Whole-variant reads
+    * of those plans are the correct trade: they are the engine's own
+    * row-level/feed scans plus rare metadata-selecting user queries. */
+  private[graft] val NoVariantExtractionOpt = "graft.noVariantExtraction"
+
   /** Types Spark's vectorized parquet reader decodes — anything else
     * (UDT, interval) falls back to the row leg. Variant is vectorized:
     * Spark's reader assembles both the unshredded and the shredded
@@ -856,14 +867,20 @@ class CommitLogScanBuilder(
   // scan serves (rejected entries are dropped from the planner's
   // mapping without renumbering the survivors' ordinals).
   private var variantStructs: Map[String, StructType] = Map.empty
+  private var variantDeclined = false
 
   override def pushVariantExtractions(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = {
     if (extractions == null || extractions.isEmpty) return Array.empty
     // the change feed's row leg synthesizes per-row stamps and serves
-    // DV-position deletes — keep those reads on whole variants
-    val changeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+    // DV-position deletes — keep those reads on whole variants; and
+    // metadata-bearing plans were tagged to decline by
+    // [[NoVariantPushdownOnMetadataScans]] (accepting would starve
+    // them of their metadata columns — see that rule's scaladoc)
+    val changeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean) ||
+      Option(options.get(CommitLogSource.NoVariantExtractionOpt))
+        .exists(_.toBoolean)
     def serveable(
         e: org.apache.spark.sql.connector.read.VariantExtraction): Boolean =
       e.columnName().length == 1 &&
@@ -872,8 +889,28 @@ class CommitLogScanBuilder(
         e.metadata() != null &&
         e.metadata().contains(
           org.apache.spark.sql.execution.datasources.VariantMetadata.METADATA_KEY)
-    if (changeFeed || !extractions.forall(serveable))
+    // COVERAGE gate: the planner's post-build remap composes the old
+    // variant attributes through the rewritten holder output ZIPPED
+    // POSITIONALLY with the new scan output — with a variant column
+    // left un-extracted the composition drops the extracted columns'
+    // original attributes and the plan fails to bind (reproduced on
+    // Spark's own parquet v2, 4.1.2). Accept only when the array
+    // covers EVERY variant column of this table; decline otherwise
+    // (whole-variant read — correct, just not narrowed).
+    val allVariantCols = schema0.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.VariantType => f.name
+    }.toSet
+    val covered = extractions.map(_.columnName()(0)).toSet
+    // STICKY decline: after a declined offer the planner RE-OFFERS
+    // whole-'$' extractions per column, but its field mapping still
+    // holds the original path keys — accepting the retry crashes the
+    // plan rewrite upstream (NoSuchElementException in rewriteExpr,
+    // 4.1.2). One decline means this scan reads whole variants.
+    if (variantDeclined || changeFeed || !extractions.forall(serveable) ||
+        covered != allVariantCols) {
+      variantDeclined = true
       return extractions.map(_ => false)
+    }
     variantStructs = extractions.toSeq.groupBy(_.columnName()(0))
       .map { case (c, group) =>
         c -> StructType(group.zipWithIndex.map { case (e, i) =>

@@ -268,6 +268,37 @@ object CommitLogWrite {
       intWidth = false, start = 0L, step = 1L, allowExplicit = true,
       hwm = props.get(IdentityHwmPrefix + RowIdCol).map(_.toLong))
 
+  /** The watermark advance a finished identity write publishes: next
+    * watermark per spec (max of the current one, the highest generated
+    * value, and the highest provided BY-DEFAULT value, in step
+    * direction) plus the PRECONDITION that the planned-against
+    * watermark is still in force — a rival advance must abort exactly
+    * one of the two racing writes (the loser's staged values were
+    * derived from a stale watermark and may collide). Shared by the
+    * batch and streaming identity wrappers. */
+  def identityWatermarkProps(
+      specs: Seq[IdentitySpec], idMsgs: Seq[IdentityCommitMessage])
+      : (Map[String, Option[String]], Map[String, Option[String]]) = {
+    val maxK = if (idMsgs.isEmpty) -1L else idMsgs.map(_.maxK).max
+    val props = Map.newBuilder[String, Option[String]]
+    val expected = Map.newBuilder[String, Option[String]]
+    specs.zipWithIndex.foreach { case (s, si) =>
+      val generated: Option[Long] =
+        if (maxK < 0) None
+        else Some(Math.addExact(s.start,
+          Math.multiplyExact(s.step, Math.addExact(s.baseK, maxK))))
+      val given: Option[Long] = idMsgs.flatMap(_.provided(si))
+        .reduceOption((a, b) => if (s.beyond(a, b)) a else b)
+      val next = (s.hwm.toSeq ++ generated ++ given)
+        .reduceOption((a, b) => if (s.beyond(a, b)) a else b)
+      if (next != s.hwm) {
+        props += (IdentityHwmPrefix + s.col) -> next.map(_.toString)
+        expected += (IdentityHwmPrefix + s.col) -> s.hwm.map(_.toString)
+      }
+    }
+    (props.result(), expected.result())
+  }
+
   /** Per-table change-feed dial (`'graft.changeFeed' = 'false'` opts
     * OUT): when on — the default — every SQL row-level verb
     * materializes its row changes to `_changes/v<N>` so the `.changes`
@@ -1298,24 +1329,23 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
             "sortBuckets is a batch write dial — the streaming sink " +
               "publishes one batch per epoch (unset " +
               s"${CommitLogWrite.SortBucketsProp} or the option)")
-          // the streaming factory is created once and reused across
-          // epochs, but identity allocation needs a fresh watermark
-          // per epoch — route through foreachBatch (a batch write per
-          // epoch) until the source grows per-epoch planning
-          require(!rowTracking,
-            "streaming into a ROW-TRACKED table is not supported — row " +
-              "ids allocate from the committed watermark per epoch; " +
-              "use foreachBatch with a batch write")
-          require(identities.isEmpty,
-            s"streaming into a table with identity column(s) " +
-              s"${identities.map(_.col).mkString(",")} is not supported " +
-              "— use foreachBatch with a batch write (each epoch then " +
-              "allocates from the committed watermark)")
+          // IDENTITY / ROW TRACKING: micro-batch execution asks for a
+          // fresh writer factory per epoch, which is the per-epoch
+          // driver hook [[IdentityStreamingWrite]] uses to re-read the
+          // committed watermark — ids allocate per epoch and the
+          // advance rides the epoch's own manifest (see its scaladoc)
           val base = new CommitLogStreamingWrite(
-            root, schema, CommitLogWrite.appOf(info.queryId()),
+            root, writeSchema, CommitLogWrite.appOf(info.queryId()),
             bloomCols, bloomBits, partCols)
-          if (generators.isEmpty) base
-          else new GeneratingStreamingWrite(base, schema, generators)
+          if (recordRowTracking)
+            base.commitProps =
+              Map(CommitLogWrite.RowTrackingProp -> Some("true"))
+          val gen: StreamingWrite =
+            if (generators.isEmpty) base
+            else new GeneratingStreamingWrite(base, writeSchema, generators)
+          if (identities.isEmpty) gen
+          else new IdentityStreamingWrite(gen, base, root, writeSchema,
+            identities, identityBlock)
       }
     }
   }
@@ -1536,30 +1566,13 @@ class IdentityBatchWrite(
       case m: IdentityCommitMessage => m.base
       case m => m
     }
-    val maxK = if (idMsgs.isEmpty) -1L else idMsgs.map(_.maxK).max
-    val props = Map.newBuilder[String, Option[String]]
-    val expected = Map.newBuilder[String, Option[String]]
-    specs.zipWithIndex.foreach { case (s, si) =>
-      val generated: Option[Long] =
-        if (maxK < 0) None
-        else Some(Math.addExact(s.start,
-          Math.multiplyExact(s.step, Math.addExact(s.baseK, maxK))))
-      val given: Option[Long] = idMsgs.flatMap(_.provided(si))
-        .reduceOption((a, b) => if (s.beyond(a, b)) a else b)
-      val next = (s.hwm.toSeq ++ generated ++ given)
-        .reduceOption((a, b) => if (s.beyond(a, b)) a else b)
-      if (next != s.hwm) {
-        props += (CommitLogWrite.IdentityHwmPrefix + s.col) ->
-          next.map(_.toString)
-        expected += (CommitLogWrite.IdentityHwmPrefix + s.col) ->
-          s.hwm.map(_.toString)
-      }
-    }
+    val (props, expected) =
+      CommitLogWrite.identityWatermarkProps(specs, idMsgs)
     // MERGE over anything the builder staged (e.g. the rowTracking
     // enablement property on a first write) — never overwrite
-    propsSink.commitProps = propsSink.commitProps ++ props.result()
+    propsSink.commitProps = propsSink.commitProps ++ props
     propsSink.commitPropsExpected =
-      propsSink.commitPropsExpected ++ expected.result()
+      propsSink.commitPropsExpected ++ expected
     base.commit(baseMsgs)
   }
 
@@ -1569,6 +1582,100 @@ class IdentityBatchWrite(
       case m => m
     })
   override def useCommitCoordinator(): Boolean = base.useCommitCoordinator()
+}
+
+case class IdentityStreamingWriterFactory(
+    base: StreamingDataWriterFactory, schema: StructType,
+    specs: Array[CommitLogWrite.IdentitySpec],
+    numPartitions: Int, block: Long)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new IdentityDataWriter(base.createWriter(partitionId, taskId, epochId),
+      schema, specs, partitionId, numPartitions, block)
+}
+
+/** IDENTITY / ROW-TRACKING for the STREAMING sink. The per-epoch
+  * driver hook is `createStreamingWriterFactory`: micro-batch
+  * execution constructs a fresh `MicroBatchWrite` per epoch and asks
+  * for a factory each time, so the identity watermark read here is
+  * fresh for exactly the epoch about to run. Tasks then allocate from
+  * the same coordination-free k-block ladder the batch path uses, and
+  * `commit(epoch)` publishes the watermark advance IN the epoch's data
+  * manifest with the planned-against watermark as a PRECONDITION —
+  * the same serializable-commit discipline as [[IdentityBatchWrite]]:
+  *  - a rival advance (concurrent batch append, second query) aborts
+  *    this epoch; the restart replans against the new watermark;
+  *  - a REPLAYED epoch after a crash is dropped whole by the txn
+  *    watermark ([[CommitLog.TxnAlreadyCommittedException]] inside the
+  *    publish loop), so it can never mint a second id range — data and
+  *    id watermark ride one manifest, there is no torn state.
+  * Continuous mode would reuse one factory across epochs (no fresh
+  * watermark hook), so only micro-batch execution is supported — the
+  * engine's streaming surface is micro-batch throughout. */
+class IdentityStreamingWrite(
+    base: StreamingWrite, propsSink: SupportsCommitProps,
+    root: String, schema: StructType, buildSpecs: Seq[CommitLogWrite.IdentitySpec],
+    block: Long)
+    extends StreamingWrite {
+
+  // the specs the CURRENT epoch's tasks were planned against —
+  // commit(epoch) preconditions on exactly these (epochs run serially
+  // within a micro-batch query, so one slot is sufficient)
+  @volatile private var epochSpecs: Seq[CommitLogWrite.IdentitySpec] =
+    buildSpecs
+
+  /** Re-resolve every identity spec (user columns + the hidden row-id)
+    * against the CURRENT committed watermark — fresh per epoch. On a
+    * first-ever write the log holds no props yet: the build-time specs
+    * (empty watermarks) stand. */
+  private def freshSpecs(): Seq[CommitLogWrite.IdentitySpec] = {
+    val v = CommitLog.latestVersion(root)
+    if (v <= 0) return buildSpecs
+    val props = CommitLog.tblPropsOf(root, v)
+    buildSpecs.map { s =>
+      s.copy(hwm =
+        props.get(CommitLogWrite.IdentityHwmPrefix + s.col).map(_.toLong)
+          .orElse(s.hwm))
+    }
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val specs = freshSpecs()
+    epochSpecs = specs
+    IdentityStreamingWriterFactory(
+      base.createStreamingWriterFactory(info), schema, specs.toArray,
+      info.numPartitions(), block)
+  }
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val idMsgs = messages.collect { case m: IdentityCommitMessage => m }
+    val baseMsgs: Array[WriterCommitMessage] = messages.map {
+      case m: IdentityCommitMessage => m.base
+      case m => m
+    }
+    val (props, expected) =
+      CommitLogWrite.identityWatermarkProps(epochSpecs, idMsgs)
+    // the props sink lives for the whole QUERY — strip the previous
+    // epoch's identity entries before staging this epoch's (an empty
+    // epoch must not re-publish, let alone re-precondition, stale ones)
+    val idKeys = buildSpecs
+      .map(s => CommitLogWrite.IdentityHwmPrefix + s.col).toSet
+    propsSink.commitProps =
+      propsSink.commitProps.filterNot(kv => idKeys(kv._1)) ++ props
+    propsSink.commitPropsExpected =
+      propsSink.commitPropsExpected.filterNot(kv => idKeys(kv._1)) ++ expected
+    base.commit(epochId, baseMsgs)
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    base.abort(epochId, messages.map {
+      case m: IdentityCommitMessage => m.base
+      case m => m
+    })
 }
 
 /** One-shot append: `df.write.format("commitlog").mode("append")`.
@@ -2000,7 +2107,7 @@ class CommitLogStreamingWrite(
     root: String, schema: StructType, app: String,
     bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
     partCols: Seq[String] = Nil)
-    extends StreamingWrite {
+    extends StreamingWrite with SupportsCommitProps {
 
   /** ATTEMPT-unique staging: one random token per query RUN. A crashed
     * run's replay of the same epoch stages into a DIFFERENT dir, so a
@@ -2026,11 +2133,13 @@ class CommitLogStreamingWrite(
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     if (partCols.isEmpty)
       CommitLogWrite.publish(root, stageName(epochId), batchName(epochId),
-        messages, schema, txn = Some((app, epochId)))
+        messages, schema, txn = Some((app, epochId)),
+        extraProps = commitProps, propsExpected = commitPropsExpected)
     else
       CommitLogWrite.publishPartitioned(root, stageName(epochId),
         batchName(epochId), messages, schema, txn = Some((app, epochId)),
-        partCols)
+        partCols, extraProps = commitProps,
+        propsExpected = commitPropsExpected)
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/${stageName(epochId)}")

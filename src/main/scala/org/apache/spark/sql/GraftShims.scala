@@ -23,4 +23,13 @@ object GraftShims {
 
   def expressionOf(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Unwrap Spark's row-level-DML table wrapper (private[sql]) so a
+    * planner rule can recognize the base table behind an UPDATE/
+    * DELETE/MERGE scan relation. */
+  def rowLevelBaseTable(
+      t: connector.catalog.Table): Option[connector.catalog.Table] = t match {
+    case r: connector.write.RowLevelOperationTable => Some(r.table)
+    case _ => None
+  }
 }

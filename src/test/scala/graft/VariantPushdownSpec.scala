@@ -78,6 +78,69 @@ class VariantPushdownSpec extends SparkSpec {
     assert(a.head == ((0L, """{"arr":[0,0],"k":0}""")))
   }
 
+  test("metadata-bearing plans decline the pushdown (no attribute starvation)") {
+    // buildScanWithPushedVariants consumes the scan-builder holder
+    // BEFORE the column-pruning phase that conveys metadata columns to
+    // the scan — NoVariantPushdownOnMetadataScans tags those relations
+    // to decline, or the built scan starves the plan of _batch /
+    // _row_file / the row id (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+    val root = freshRoot("meta")
+    spark.range(0, 20).toDF("id")
+      .select($"id", parse_json(format_string("""{"k":%d}""", $"id")).as("v"))
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val r = spark.read.format("commitlog").option("path", root).load()
+      .select(col("_batch"), variant_get($"v", "$.k", "long").as("kv"))
+      .collect()
+    assert(r.length == 20 && r.map(_.getLong(1)).sorted.toSeq == (0L until 20L))
+
+    // the delta UPDATE on a tracked variant table scans with the rowId
+    // metadata attributes — the decline must cover the wrapped
+    // RowLevelOperationTable relation too
+    val wh = freshRoot("metawh")
+    spark.conf.set("spark.sql.catalog.vpm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.vpm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vpm.db")
+    spark.sql("CREATE TABLE vpm.db.t (k BIGINT, v VARIANT) " +
+      "TBLPROPERTIES ('graft.rowTracking'='true')")
+    spark.sql("INSERT INTO vpm.db.t SELECT id, " +
+      "parse_json(format_string('{\"n\":%d}', id)) FROM range(0, 40)")
+    spark.sql(
+      """UPDATE vpm.db.t SET v = parse_json('{"n":-1}') WHERE k % 8 = 0""")
+    assert(spark.sql("SELECT count(*) FROM vpm.db.t " +
+      "WHERE variant_get(v, '$.n', 'long') = -1").head().getLong(0) == 5)
+  }
+
+  test("partial variant coverage declines (positional-remap upstream bug)") {
+    // two variant columns, only one extracted: Spark's post-build
+    // remap composes holder output positionally and loses the
+    // extracted column's original attribute — reproduced as
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on parquet v2 itself (4.1.2).
+    // The connector declines unless the array covers every variant
+    // column, so this query must answer exactly, just unnarrowed.
+    val root = freshRoot("partial")
+    spark.range(0, 100).toDF("id")
+      .select($"id",
+        parse_json(format_string("""{"k":%d}""", $"id")).as("v"),
+        parse_json(format_string("""{"m":%d}""", $"id" * 2)).as("vn"))
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val one = spark.read.format("commitlog").option("path", root).load()
+      .agg(sum(variant_get($"v", "$.k", "long"))).head().getLong(0)
+    assert(one == (0L until 100L).sum)
+    // ...and the fully-covered shape on the same table stays exact
+    val both = spark.read.format("commitlog").option("path", root).load()
+      .agg(sum(variant_get($"v", "$.k", "long") +
+        variant_get($"vn", "$.m", "long"))).head().getLong(0)
+    assert(both == (0L until 100L).map(i => i + 2 * i).sum)
+    // after a decline the planner RE-OFFERS whole-'$' per column with
+    // its field mapping still keyed by the original paths — the
+    // decline must be STICKY or the accepted retry crashes the plan
+    // rewrite upstream (NoSuchElementException in rewriteExpr, 4.1.2)
+    val r = spark.read.format("commitlog").option("path", root).load()
+      .filter($"id" === 12L)
+      .select(variant_get($"v", "$.k", "long").as("kv")).head()
+    assert(r.getLong(0) == 12L)
+  }
+
   test("the change feed declines the pushdown and still serves variants") {
     val root = freshRoot("feed")
     spark.range(0, 50).toDF("id")

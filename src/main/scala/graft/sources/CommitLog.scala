@@ -1375,6 +1375,55 @@ object CommitLog {
     else None
   }
 
+  /** The WRITE-SERIALIZABLE REBASE COMMIT LOOP shared by every
+    * row-level rewrite (the COW replace write and the merge-on-read
+    * delta write — one seam, so the conflict matrix has exactly one
+    * implementation): attempt the commit at `base + 1`; on losing the
+    * race, rebase forward iff every rival in `(base, latest]` was a
+    * [[blindDataAppend]] (rows the statement's predicate never saw),
+    * else CLEAN UP the staged batches and abort with the typed
+    * conflict error; exhaustion (livelock) cleans up the same way.
+    * Returns the committed version.
+    *
+    * `beforeAttempt(base)` runs before each try (the delta leg
+    * re-validates its identity watermark against the rebased base);
+    * `tryOnce(base)` must attempt exactly `tryCommit(root, base + 1,
+    * …)`; `cleanup()` must be idempotent. */
+  def rewriteCommitLoop(
+      root: String, readVersion: Int, verb: String,
+      beforeAttempt: Int => Unit,
+      tryOnce: Int => Boolean,
+      cleanup: () => Unit): Int = {
+    var base = readVersion
+    var committed = false
+    var attempts = 0
+    while (!committed && attempts < 50) {
+      attempts += 1
+      beforeAttempt(base)
+      if (tryOnce(base)) committed = true
+      else appendOnlySince(root, base) match {
+        case Some(latest) => base = latest
+        case None =>
+          cleanup()
+          throw new java.util.ConcurrentModificationException(
+            s"$verb lost the race at v${base + 1} of $root: a rival " +
+              "other than a blind append committed first — re-run the " +
+              "statement (a row-level rewrite only rebases across pure " +
+              "appends; any other rival may have changed rows this " +
+              "statement read)")
+      }
+    }
+    if (!committed) {
+      // exhaustion must not orphan staged batches or change rows
+      cleanup()
+      throw new IllegalStateException(
+        s"$verb on $root gave up after 50 rebase attempts (livelock?)")
+    }
+    if ((base + 1) % checkpointInterval == 0)
+      writeCheckpoint(root, base + 1)
+    base + 1
+  }
+
   /** One audit row of [[history]]. `operation` is the label the
     * committing verb recorded (null for unlabeled direct commits);
     * `timestampMs` is the manifest file's mtime — audit metadata, not

@@ -38,6 +38,22 @@ object CommitLogCdf {
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
 
+  /** Whether EXCEPT ALL can diff rows of this type as multisets — map
+    * and variant columns have no defined equality, so tables carrying
+    * them cannot materialize row-diff CDC (their COW feed versions
+    * serve at FILE granularity instead: removed rows as deletes, added
+    * rows as inserts — sign-exact under the retraction fold). */
+  def multisetComparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.VariantType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => multisetComparable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        multisetComparable(a.elementType)
+      case _ => true
+    }
+
   /** The row-level feed for `fromVersion < v <= toVersion`, ordered by
     * nothing (consumers aggregate or window themselves). Data columns
     * ride unchanged, plus `_change_type` and `_commit_version`. */

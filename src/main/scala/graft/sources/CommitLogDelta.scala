@@ -224,42 +224,14 @@ class CommitLogDeltaWrite(
     // abort — its rows did not exist at the read version and this
     // delta's DV positions reference files the rival neither removed
     // nor touched; rebase forward. Any other rival aborts.
-    var base = readVersion
-    var committed = false
-    var attempts = 0
-    while (!committed && attempts < 50) {
-      attempts += 1
-      checkHwm(base)
-      if (CommitLog.tryCommit(root, base + 1, added, removed = Nil,
-          stats = stats, op = Some(verb), props = hwmProps))
-        committed = true
-      else CommitLog.appendOnlySince(root, base) match {
-        case Some(latest) => base = latest
-        case None =>
-          added.foreach { b =>
-            val p = new Path(rootP, b)
-            if (f.exists(p)) f.delete(p, true)
-          }
-          throw new java.util.ConcurrentModificationException(
-            s"$verb (delta) lost the race at v${base + 1} of $root: a " +
-              "rival other than a blind append committed first — re-run " +
-              "the statement (a row-level delta only rebases across pure " +
-              "appends; any other rival may have changed rows this " +
-              "statement read)")
-      }
-    }
-    if (!committed) {
-      // same cleanup as the race-abort exit — exhaustion must not
-      // orphan the promoted data/DV batches
-      added.foreach { b =>
+    CommitLog.rewriteCommitLoop(root, readVersion, s"$verb (delta)",
+      beforeAttempt = checkHwm,
+      tryOnce = base => CommitLog.tryCommit(root, base + 1, added,
+        removed = Nil, stats = stats, op = Some(verb), props = hwmProps),
+      cleanup = () => added.foreach { b =>
         val p = new Path(rootP, b)
         if (f.exists(p)) f.delete(p, true)
-      }
-      throw new IllegalStateException(
-        s"$verb (delta) on $root gave up after 50 rebase attempts (livelock?)")
-    }
-    if ((base + 1) % CommitLog.checkpointInterval == 0)
-      CommitLog.writeCheckpoint(root, base + 1)
+      })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

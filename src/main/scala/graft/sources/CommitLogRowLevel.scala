@@ -380,60 +380,30 @@ class CommitLogReplaceWrite(
     // This is what lets continuous ingest and maintenance DML coexist
     // on one table: at 1000 executors an append stream must not abort
     // every DELETE.
-    var base = readVersion
-    var committed = false
-    var attempts = 0
-    while (!committed && attempts < 50) {
-      attempts += 1
-      if (CommitLog.tryCommit(root, base + 1,
-          added = added, removed = removed,
-          schema = Some(CommitLog.bareDdl(schema)), stats = stats,
-          op = Some(verb), parts = tupleParts, partCols = partCols))
-        committed = true
-      else CommitLog.appendOnlySince(root, base) match {
-        case Some(latest) => base = latest
-        case None =>
-          dropChanges()
-          added.foreach { b =>
-            val p = new Path(rootP, b)
-            if (f.exists(p)) f.delete(p, true)
-          }
-          throw new java.util.ConcurrentModificationException(
-            s"$verb lost the race at v${base + 1} of $root: a rival " +
-              "other than a blind append committed first — re-run the " +
-              "statement (a row-level rewrite only rebases across pure " +
-              "appends; any other rival may have changed rows this " +
-              "statement read)")
-      }
-    }
-    if (!committed) {
-      // same cleanup as the race-abort exit — exhaustion must not
-      // orphan the promoted batches or the staged change rows
-      dropChanges()
-      added.foreach { b =>
-        val p = new Path(rootP, b)
-        if (f.exists(p)) f.delete(p, true)
-      }
-      throw new IllegalStateException(
-        s"$verb on $root gave up after 50 rebase attempts (livelock?)")
-    }
+    val committedV = CommitLog.rewriteCommitLoop(root, readVersion, verb,
+      beforeAttempt = _ => (),
+      tryOnce = base => CommitLog.tryCommit(root, base + 1,
+        added = added, removed = removed,
+        schema = Some(CommitLog.bareDdl(schema)), stats = stats,
+        op = Some(verb), parts = tupleParts, partCols = partCols),
+      cleanup = () => {
+        dropChanges()
+        added.foreach { b =>
+          val p = new Path(rootP, b)
+          if (f.exists(p)) f.delete(p, true)
+        }
+      })
     if (feedOn)
       // rename in only after the version is OURS; a failure is loud
-      CommitLogMerge.promoteChanges(spark, root, changeTmp, base + 1)
-    if ((base + 1) % CommitLog.checkpointInterval == 0)
-      CommitLog.writeCheckpoint(root, base + 1)
+      CommitLogMerge.promoteChanges(spark, root, changeTmp, committedV)
   }
 
   /** EXCEPT ALL hashes whole rows — map and variant columns are not
-    * comparable, so tables carrying them skip CDC materialization. */
+    * comparable, so tables carrying them skip CDC materialization (the
+    * feed serves those versions at FILE granularity instead — see
+    * [[CommitLogChangePlan.partitions]]). */
   private def comparable(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case _: org.apache.spark.sql.types.VariantType => false
-      case s: StructType => s.fields.forall(f => comparable(f.dataType))
-      case a: org.apache.spark.sql.types.ArrayType => comparable(a.elementType)
-      case _ => true
-    }
+    CommitLogCdf.multisetComparable(dt)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(s"$root/$stageName")

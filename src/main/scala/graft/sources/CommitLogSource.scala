@@ -1266,7 +1266,19 @@ object CommitLogChangePlan {
       o == "OVERWRITE" || o == "OVERWRITE WHERE" ||
         o == "OVERWRITE PARTITIONS" || o == "TRUNCATE" ||
         o == "RESTORE" || o == "REPLACE TABLE")
-    if (addedData.nonEmpty && removedData.nonEmpty && !replaceSemantics)
+    // NON-COMPARABLE tables (map/variant columns): EXCEPT ALL cannot
+    // row-diff them, so their COW rewrites NEVER materialize change
+    // rows — serve those versions at FILE granularity (every removed
+    // row a delete, every added row an insert) under the replace-
+    // semantics license: unchanged rows restate as delete+insert
+    // churn, sign-exact under the retraction fold (the consumer
+    // contract). A comparable table's unmaterialized rewrite stays a
+    // refusal — it could have diffed and chose not to.
+    lazy val nonComparable = CommitLog.schemaOf(root, ch.version)
+      .map(StructType.fromDDL)
+      .exists(_.fields.exists(f => !CommitLogCdf.multisetComparable(f.dataType)))
+    if (addedData.nonEmpty && removedData.nonEmpty && !replaceSemantics &&
+        !nonComparable)
       throw new IllegalStateException(
         s"v${ch.version} of $root is a copy-on-write rewrite with no " +
           "materialized change rows — run MERGE with changeFeed=true " +

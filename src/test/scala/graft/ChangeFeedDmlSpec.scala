@@ -141,4 +141,69 @@ class ChangeFeedDmlSpec extends SparkSpec {
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     assert(chain(e).contains("materialized change rows"), chain(e))
   }
+
+  test("variant tables serve COW versions at FILE granularity (r13 refusal)") {
+    // EXCEPT ALL cannot row-diff a variant column, so a COW rewrite on
+    // this table never materializes change rows — the feed now serves
+    // such versions at FILE granularity (every removed row a delete,
+    // every added row an insert). Unchanged rows restate as
+    // delete+insert churn, but the RETRACTION FOLD still reconstructs
+    // the snapshot exactly — the consumer contract, checked here over
+    // an append + COW delete + COW update lifecycle on an UNTRACKED
+    // variant table (tracked ones route delta and were already served).
+    spark.sql("CREATE TABLE cfd.db.vt (id BIGINT, v VARIANT)")
+    spark.sql("INSERT INTO cfd.db.vt SELECT id, " +
+      "parse_json(format_string('{\"n\":%d}', id)) FROM range(0, 60)")
+    spark.sql("DELETE FROM cfd.db.vt WHERE id % 3 = 0") // COW rewrite
+    spark.sql(
+      """UPDATE cfd.db.vt SET v = parse_json('{"n":-1}') WHERE id % 5 = 1""")
+    val feed = spark.sql(
+      "SELECT id, variant_get(v, '$.n', 'long') AS n, _change_type " +
+        "FROM cfd.db.vt.changes")
+    val folded = feed
+      .withColumn("_s",
+        CommitLogCdf.changeSign(col(CommitLogCdf.ChangeTypeCol)))
+      .groupBy("id", "n").agg(sum("_s").as("m")).filter(col("m") =!= 0)
+    assert(folded.filter(col("m") =!= 1).isEmpty)
+    val lhs = folded.select("id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rhs = spark.sql(
+      "SELECT id, variant_get(v, '$.n', 'long') FROM cfd.db.vt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lhs == rhs, s"fold diverged: ${(lhs -- rhs) ++ (rhs -- lhs)}")
+    // the streaming tail serves the same lifecycle
+    val ckpt = java.nio.file.Files.createTempDirectory("cfd_vt_ck").toString
+    val q = spark.readStream.format("commitlog")
+      .option("path", s"$wh/db/vt")
+      .option("readChangeFeed", "true").option("startingVersion", 0).load()
+      .writeStream.format("memory").queryName("cfd_vt_tail")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tailFold = spark.table("cfd_vt_tail")
+      .withColumn("_s",
+        CommitLogCdf.changeSign(col(CommitLogCdf.ChangeTypeCol)))
+      .withColumn("n", expr("variant_get(v, '$.n', 'long')"))
+      .groupBy("id", "n").agg(sum("_s").as("m")).filter(col("m") =!= 0)
+    val lhs2 = tailFold.select("id", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lhs2 == rhs, "streaming tail fold diverged")
+  }
+
+  test("map-bearing tables serve COW versions at FILE granularity too") {
+    spark.sql("CREATE TABLE cfd.db.mt (id BIGINT, m MAP<STRING, BIGINT>)")
+    spark.sql("INSERT INTO cfd.db.mt SELECT id, map('a', id) FROM range(0, 30)")
+    spark.sql("DELETE FROM cfd.db.mt WHERE id >= 20") // COW rewrite
+    val folded = spark.sql(
+      "SELECT id, m['a'] AS a, _change_type FROM cfd.db.mt.changes")
+      .withColumn("_s",
+        CommitLogCdf.changeSign(col(CommitLogCdf.ChangeTypeCol)))
+      .groupBy("id", "a").agg(sum("_s").as("k")).filter(col("k") =!= 0)
+    assert(folded.count() == 20)
+    assert(folded.filter(col("k") =!= 1).isEmpty)
+    // comparable tables keep the refusal when rows were never
+    // materialized (opt-out path above) — the relaxation is scoped to
+    // non-comparable schemas only
+  }
 }

@@ -58,10 +58,10 @@ object Bench {
     "l13_bfs" -> 1.090, "l13_hits" -> 4.646, "l13_kcore" -> 1.286,
     "l13_pagerank" -> 2.563, "l13_triangles" -> 0.995,
     "l14_fuzzy_join" -> 1.904, "l1_exact_dedup" -> 0.363,
-    "l2_cc_star" -> 3.885, "l2_chunk_dedup" -> 1.071,
+    "l2_cc_star" -> 3.759, "l2_chunk_dedup" -> 1.071,
     "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
     "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 2.085,
-    "l2_incremental_dedup" -> 0.963, "l2_lsh_pairs" -> 1.292,
+    "l2_incremental_dedup" -> 0.963, "l2_lsh_pairs" -> 1.259,
     "l2_minhash_estimate" -> 1.132, "l2_minhash_sigs" -> 1.203,
     "l2_ngram_jaccard" -> 5.082, "l2_simhash" -> 0.604,
     "l2_simhash_blocked" -> 2.988, "l2_simhash_hamming" -> 1.787,
@@ -127,13 +127,14 @@ object Bench {
     "s51_sql_maintenance" -> 0.903, "s52_tblproperties" -> 0.362,
     "s53_commitlog_map" -> 2.038, "s54_sorted_write" -> 0.990,
     "s55_describe_detail" -> 0.492, "s56_generated_columns" -> 1.480,
-    "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.263,
+    "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.193,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
     "s60_generated_prune" -> 0.781, "s61_variant" -> 1.960,
-    "s62_row_tracking" -> 3.916,
-    "s63_feed_identity_fold" -> 4.485, "s6_csv_roundtrip" -> 0.459,
-    "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.637,
-    "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.685,
+    "s62_row_tracking" -> 3.916, "s63_feed_identity_fold" -> 3.874,
+    "s64_variant_pushdown" -> 2.136, "s65_stream_row_tracking" -> 1.572,
+    "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.824,
+    "s8_envelope_source" -> 0.637, "s9_partitioned_prune" -> 0.609,
+    "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.581, "t14_stream_commitlog" -> 3.599,
     "t15_stream_commitlog_sink" -> 1.072, "t1_tumbling" -> 0.377,
     "t2_sliding" -> 0.395, "t3_session" -> 0.872,

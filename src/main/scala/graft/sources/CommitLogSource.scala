@@ -906,8 +906,12 @@ class CommitLogScanBuilder(
     // holds the original path keys — accepting the retry crashes the
     // plan rewrite upstream (NoSuchElementException in rewriteExpr,
     // 4.1.2). One decline means this scan reads whole variants.
-    if (variantDeclined || changeFeed || !extractions.forall(serveable) ||
-        covered != allVariantCols) {
+    // a metadata-only aggregate already claimed this scan: build()
+    // returns the agg scan verbatim and could not honor a variant
+    // rewrite (no current plan shape offers both, but the guard keeps
+    // that a decline instead of a readSchema mismatch)
+    if (variantDeclined || changeFeed || pushedAgg.isDefined ||
+        !extractions.forall(serveable) || covered != allVariantCols) {
       variantDeclined = true
       return extractions.map(_ => false)
     }

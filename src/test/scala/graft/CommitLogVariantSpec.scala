@@ -147,13 +147,24 @@ class CommitLogVariantSpec extends SparkSpec {
       .head().getLong(0) ==
       (0 until 100).filter(_ % 10 != 3).map(_ % 10).sum - 10)
     // variant is not comparable — the COW version has no materialized
-    // change rows, and the FEED refuses typed (never a silent miss)
-    val e = intercept[Exception] {
-      spark.sql("SELECT * FROM gtv.db.vt.changes VERSION AS OF 1").collect()
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("no materialized change rows")), e)
+    // change rows, and the feed serves it at FILE granularity since
+    // r14 (removed rows as deletes, added rows as inserts): the
+    // retraction fold over the whole feed reconstructs the snapshot
+    val folded = spark.sql(
+      "SELECT id, variant_get(v, '$.k', 'long') AS k, _change_type " +
+        "FROM gtv.db.vt.changes")
+      .withColumn("_s", graft.sources.CommitLogCdf.changeSign(
+        org.apache.spark.sql.functions.col("_change_type")))
+      .groupBy("id", "k")
+      .agg(org.apache.spark.sql.functions.sum("_s").as("m"))
+      .filter(org.apache.spark.sql.functions.col("m") =!= 0)
+    assert(folded.filter(org.apache.spark.sql.functions.col("m") =!= 1).isEmpty)
+    val lhs = folded.select("id", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rhs = spark.sql(
+      "SELECT id, variant_get(v, '$.k', 'long') FROM gtv.db.vt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lhs == rhs, s"file-granularity fold diverged")
   }
 
   test("fuzz: random JSON shapes round-trip BOTH layouts byte-faithfully") {

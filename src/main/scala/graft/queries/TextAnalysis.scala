@@ -1555,6 +1555,163 @@ object TextAnalysis {
               ($"c_b".cast(DoubleType) / $"m_toks")))).as("pmi"))
         .orderBy($"pmi".desc, $"w1", $"w2")
         .limit(50)
+    },
+
+    // L15: LEAKAGE-SAFE SPLIT — train/eval assignment BY CLUSTER, not by
+    // row: every member of a duplicate cluster lands in the same split,
+    // so no copy of an eval document can sit in train (the train/test
+    // contamination a row-level split causes whenever the corpus holds
+    // duplicates — which at 100 TB it always does). Corpus: each doc
+    // replicated 1–3× exactly (deterministic, both engines build the
+    // same multiset); cluster = content hash, representative = min id,
+    // split = portable hash OF THE REPRESENTATIVE. The 'naive_leak' leg
+    // quantifies what the row-level split would have leaked (clusters
+    // straddling the boundary) — positive by construction, zero under
+    // the cluster split. Scale: one shuffle keyed on the content hash
+    // (window min + the straddle agg share the exchange under AQE);
+    // the split itself is a map-side hash — no global state.
+    Decl(
+      "l15_cluster_split",
+      s"""WITH corpus AS (
+         |  SELECT doc_id * 10 + unnest(generate_series(0, doc_id % 3)) AS copy_id,
+         |    text
+         |  FROM documents),
+         |clustered AS (
+         |  SELECT copy_id, md5(text) AS h,
+         |    min(copy_id) OVER (PARTITION BY md5(text)) AS rep
+         |  FROM corpus),
+         |assigned AS (
+         |  SELECT copy_id, h,
+         |    CASE WHEN ${Qh.oPhash("CAST(rep AS VARCHAR)", 17)} % 10 <= 7
+         |      THEN 'train' ELSE 'eval' END AS split,
+         |    CASE WHEN ${Qh.oPhash("CAST(copy_id AS VARCHAR)", 17)} % 10 <= 7
+         |      THEN 'train' ELSE 'eval' END AS naive_split
+         |  FROM clustered)
+         |SELECT 'cluster' AS leg, split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_clusters
+         |FROM assigned GROUP BY split
+         |UNION ALL
+         |SELECT 'naive_leak', '-', CAST(count(*) AS BIGINT),
+         |  CAST(count(DISTINCT h) AS BIGINT)
+         |FROM assigned WHERE h IN (
+         |  SELECT h FROM assigned GROUP BY h
+         |  HAVING count(DISTINCT naive_split) > 1)
+         |ORDER BY leg, split""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // ONE shuffle keyed on the content hash: the corpus collapses to
+      // one row per cluster (rep, size, naive-split spread) in a single
+      // map-side-combined agg; every leg then derives from the
+      // cluster-level frame (corpus-of-clusters-sized, not corpus-sized)
+      val corpus = Qh.t(s, dir, "documents")
+        .select($"doc_id", $"text")
+        .withColumn("k", explode(sequence(lit(0L), $"doc_id" % 3)))
+        .select(($"doc_id" * 10 + $"k").as("copy_id"), $"text")
+      val clusters = corpus
+        .withColumn("h", md5($"text"))
+        .withColumn("naive_train",
+          (Qh.phash($"copy_id".cast(StringType), 17) % 10 <= 7)
+            .cast("long"))
+        .groupBy($"h")
+        .agg(count(lit(1)).as("n"), min($"copy_id").as("rep"),
+          sum($"naive_train").as("n_naive_train"))
+        .withColumn("split",
+          when(Qh.phash($"rep".cast(StringType), 17) % 10 <= 7, "train")
+            .otherwise("eval"))
+      // both legs in ONE pass over the cluster frame (a second consumer
+      // would recompute the corpus shuffle): each cluster contributes
+      // its ('cluster', split) row and — iff the naive row-split would
+      // straddle it — a ('naive_leak', '-') row, then one final agg
+      clusters
+        .select(explode(array(
+          struct(lit("cluster").as("leg"), $"split", $"n"),
+          struct(lit("naive_leak").as("leg"), lit("-").as("split"),
+            when($"n_naive_train" > 0 && $"n_naive_train" < $"n", $"n")
+              .as("n")))).as("r"))
+        .filter($"r.leg" === "cluster" || $"r.n".isNotNull)
+        .groupBy($"r.leg".as("leg"), $"r.split".as("split"))
+        .agg(sum($"r.n").cast("long").as("n_docs"),
+          count(lit(1)).as("n_clusters"))
+        .orderBy("leg", "split")
+    },
+
+    // L16: PII DETECTION + REDACTION — the scrub stage every
+    // training-data pipeline runs before anything else sees the text:
+    // pattern-classes (email, NANP-style phone, IPv4) detected with
+    // RE2-safe regexes (no backreferences — identical semantics in
+    // Spark's Java regex and the oracle's RE2), replaced with typed
+    // placeholders, and PROFILED per source (docs touched, hits per
+    // class, characters removed — the redaction-rate report that
+    // decides whether a source is quarantined). The PII is seeded
+    // deterministically from doc_id so the decl is self-contained and
+    // every count is oracle-checkable. Scale: pure narrow projection —
+    // codegen'd regexp_replace/extract_all, no shuffle before the
+    // per-source agg, pushdown-friendly.
+    Decl(
+      "l16_pii_redact",
+      s"""WITH seeded AS (
+         |  SELECT doc_id, source,
+         |    text ||
+         |      CASE WHEN doc_id % 7 = 0
+         |        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |        ELSE '' END ||
+         |      CASE WHEN doc_id % 11 = 0
+         |        THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+         |        ELSE '' END ||
+         |      CASE WHEN doc_id % 13 = 0
+         |        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+         |        ELSE '' END
+         |      AS text
+         |  FROM documents),
+         |redacted AS (
+         |  SELECT doc_id, source, text,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text,
+         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |        '\\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+         |      '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IP]', 'g') AS clean,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         |    len(regexp_extract_all(text, '\\+1-555-[0-9]{4}')) AS n_phone,
+         |    len(regexp_extract_all(text, '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ip
+         |  FROM seeded)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE clean <> text) AS BIGINT) AS n_redacted,
+         |  CAST(sum(n_email) AS BIGINT) AS emails,
+         |  CAST(sum(n_phone) AS BIGINT) AS phones,
+         |  CAST(sum(n_ip) AS BIGINT) AS ips,
+         |  CAST(sum(len(text) - len(clean)) AS BIGINT) AS chars_removed
+         |FROM redacted GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val seeded = Qh.t(s, dir, "documents").select($"doc_id", $"source",
+        concat($"text",
+          when($"doc_id" % 7 === 0, concat(lit(" contact user"),
+            $"doc_id".cast(StringType), lit("@example.com now")))
+            .otherwise(lit("")),
+          when($"doc_id" % 11 === 0, concat(lit(" call +1-555-"),
+            lpad(($"doc_id" % 10000).cast(StringType), 4, "0"),
+            lit(" today"))).otherwise(lit("")),
+          when($"doc_id" % 13 === 0, concat(lit(" from 10."),
+            ($"doc_id" % 256).cast(StringType), lit(".0."),
+            ($"doc_id" % 100).cast(StringType))).otherwise(lit("")))
+          .as("text"))
+      seeded
+        .withColumn("clean", regexp_replace(regexp_replace(regexp_replace(
+          $"text", email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]"))
+        .withColumn("n_email", size(regexp_extract_all($"text", lit(email), lit(0))))
+        .withColumn("n_phone", size(regexp_extract_all($"text", lit(phone), lit(0))))
+        .withColumn("n_ip", size(regexp_extract_all($"text", lit(ip), lit(0))))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when($"clean" =!= $"text", lit(1))).as("n_redacted"),
+          sum($"n_email").cast("long").as("emails"),
+          sum($"n_phone").cast("long").as("phones"),
+          sum($"n_ip").cast("long").as("ips"),
+          sum(length($"text") - length($"clean")).cast("long")
+            .as("chars_removed"))
+        .orderBy("source")
     }
   )
 }

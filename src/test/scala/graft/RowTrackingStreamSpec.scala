@@ -108,6 +108,43 @@ class RowTrackingStreamSpec extends SparkSpec {
       == hwmBefore, "replay must not advance the watermark")
   }
 
+  test("a rival watermark advance between factory and commit aborts the epoch") {
+    // the precondition leg: the epoch PLANNED against watermark W; a
+    // rival batch append advances it before the epoch commits — the
+    // staged ids were derived from a stale watermark and may collide,
+    // so the commit must abort (the streaming query then restarts and
+    // replans), never publish
+    val root = freshRoot("rival")
+    spark.range(0, 10).toDF("k")
+      .write.format("commitlog").option("path", root)
+      .option("rowTracking", "true").mode("append").save()
+    val userSchema = Seq(1L).toDF("k").schema
+    val writeSchema = CommitLogWrite.withRowId(userSchema)
+    val base = new CommitLogStreamingWrite(root, writeSchema, app = "apprv")
+    val w = new IdentityStreamingWrite(base, base, root, writeSchema,
+      Seq(CommitLogWrite.rowIdSpec(writeSchema, Map.empty)), block = 4)
+    val info = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    val f = w.createStreamingWriterFactory(info) // plans against W
+    val dw = f.createWriter(0, 0, 0L)
+    (100L until 110L).foreach(k => dw.write(InternalRow(k)))
+    val msg = dw.commit()
+    // rival advances the id watermark
+    spark.range(200, 230).toDF("k")
+      .write.format("commitlog").option("path", root).mode("append").save()
+    val vBefore = CommitLog.latestVersion(root)
+    intercept[Exception] { w.commit(0L, Array(msg)) }
+    assert(CommitLog.latestVersion(root) == vBefore,
+      "the stale epoch must not publish")
+    assert(ids(root).distinct.length == 40, "no duplicate ids leaked")
+    // the restart replays the epoch against the fresh watermark
+    val f2 = w.createStreamingWriterFactory(info)
+    val dw2 = f2.createWriter(0, 0, 0L)
+    (100L until 110L).foreach(k => dw2.write(InternalRow(k)))
+    w.commit(0L, Array(dw2.commit()))
+    val all = ids(root)
+    assert(all.length == 50 && all.distinct.length == 50)
+  }
+
   test("streaming into an IDENTITY-column table allocates per epoch") {
     val wh = freshRoot("idwh")
     spark.conf.set("spark.sql.catalog.rts", "graft.sources.GraftCatalog")

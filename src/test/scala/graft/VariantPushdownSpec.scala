@@ -153,6 +153,26 @@ class VariantPushdownSpec extends SparkSpec {
     assert(feed.agg(sum($"kv")).head().getLong(0) == (0 until 50).sum.toLong)
   }
 
+  test("the streaming sink round-trips variant epochs (unshredded layout)") {
+    val root = freshRoot("stream")
+    val ckpt = freshRoot("stream_ckpt")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    val q = in.toDF().toDF("id")
+      .select($"id",
+        parse_json(format_string("""{"k":%d}""", $"id")).as("v"))
+      .writeStream.format("commitlog").option("path", root)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData(0L until 40L: _*); q.processAllAvailable()
+      in.addData(40L until 100L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.format("commitlog").option("path", root).load()
+      .agg(sum(variant_get($"v", "$.k", "long"))).head().getLong(0)
+    assert(got == (0L until 100L).sum)
+  }
+
   test("A/B: pushed extraction beats whole-variant reassembly on a shredded table") {
     val root = freshRoot("ab")
     // a wide pad field makes the variant binary dominate the bytes; the

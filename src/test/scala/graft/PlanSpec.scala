@@ -817,6 +817,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"unexpected join in the fit:\n$p")
   }
 
+  test("l15_cluster_split: one corpus scan, one content-hash exchange, no join") {
+    // the split is a map-side hash and BOTH report legs must derive
+    // from the one cluster-level agg (a second consumer would recompute
+    // the corpus shuffle; a join-shaped leak check would re-read it)
+    val p = plan("l15_cluster_split")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"cluster split reads the corpus $scans times:\n$p")
+    assert(!p.contains("Join"), s"unexpected join in the split:\n$p")
+  }
+
+  test("l16_pii_redact: narrow regex projection, no shuffle before the source agg") {
+    val p = plan("l16_pii_redact")
+    val scans = p.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"redaction reads the corpus $scans times:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"redaction left the narrow-projection shape:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange\s*"""))
+    assert(exchanges <= 2, s"redaction shuffles more than agg+sort:\n$p")
+  }
+
   test("flagship fact side is shuffle-free (broadcast semi + narrow maps)") {
     val p = planOf(SparkEntry.entry(spark))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))

@@ -153,6 +153,39 @@ class VariantPushdownSpec extends SparkSpec {
     assert(feed.agg(sum($"kv")).head().getLong(0) == (0 until 50).sum.toLong)
   }
 
+  test("a GENERATED partition column extracted from the variant prunes files") {
+    // the lakehouse shape for semi-structured ingest: partition by a
+    // path EXTRACTED from the payload (generated column over
+    // variant_get) — the sink evaluates the generator per row (ANSI),
+    // routes partitions on the computed value, and a filter on the
+    // generated column prunes to the matching partition directories
+    // without touching the variant binary at plan time
+    val wh = freshRoot("genwh")
+    spark.conf.set("spark.sql.catalog.vpg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.vpg.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vpg.db")
+    spark.sql("""CREATE TABLE vpg.db.t (
+      v VARIANT,
+      cat BIGINT GENERATED ALWAYS AS (variant_get(v, '$.cat', 'long')))
+      PARTITIONED BY (cat)""")
+    spark.sql("INSERT INTO vpg.db.t (v) SELECT parse_json(format_string(" +
+      "'{\"cat\":%d,\"x\":%d}', id % 3, id)) FROM range(0, 30)")
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+    val all = spark.sql("SELECT * FROM vpg.db.t")
+    val one = spark.sql("SELECT * FROM vpg.db.t WHERE cat = 1")
+    assert(planned(all) == 3, s"three partitions expected: ${planned(all)}")
+    assert(planned(one) == 1,
+      s"generated-partition filter must prune: ${planned(one)}")
+    assert(one.count() == 10)
+    assert(spark.sql("SELECT sum(variant_get(v, '$.x', 'long')) " +
+      "FROM vpg.db.t WHERE cat = 1").head().getLong(0)
+      == (0 until 30).filter(_ % 3 == 1).sum.toLong)
+  }
+
   test("a renamed variant column still answers extractions (formers chain)") {
     val wh = freshRoot("renwh")
     spark.conf.set("spark.sql.catalog.vpr", "graft.sources.GraftCatalog")

@@ -39,25 +39,26 @@ object Bench {
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
     "a10_kmv_sketch" -> 1.829, "a1_hashagg" -> 1.013, "a2_distinct" -> 0.548,
     "a3_approx_distinct" -> 1.618, "a3_hll_merge" -> 0.511,
-    "a4_cube" -> 0.678, "a4_grouping_sets" -> 0.680, "a4_rollup" -> 0.549,
+    "a4_cube" -> 0.665, "a4_grouping_sets" -> 0.680, "a4_rollup" -> 0.549,
     "a5_filtered_agg" -> 0.444, "a6_approx_percentile" -> 2.059,
     "a6_stats" -> 1.832, "a6_tdigest" -> 1.624, "a7_collect" -> 0.631,
     "a8_pivot" -> 0.435, "a9_salted_agg" -> 0.590,
     "c1_upsert_latest" -> 0.489, "c2_scd2_intervals" -> 0.665,
-    "c3_incremental_agg" -> 0.940, "c4_cdc_apply" -> 0.511,
+    "c3_incremental_agg" -> 0.831, "c4_cdc_apply" -> 0.511,
     "c5_retractable_agg" -> 1.523, "flagship_pipeline" -> 0.373,
     "j10_bloom_semi" -> 0.819, "j11_salted_skew_join" -> 0.510,
     "j12_interval_overlap" -> 0.802, "j13_spatial_grid" -> 0.699,
     "j14_cobucketed_join" -> 0.528, "j1_semi_broadcast" -> 0.581,
     "j2_inner" -> 0.412, "j3_multiway" -> 1.180, "j4_full_outer" -> 0.355,
-    "j4_left_outer" -> 0.295, "j5_anti" -> 0.318, "j6_sortmerge" -> 0.867,
+    "j4_left_outer" -> 0.295, "j5_anti" -> 0.316, "j6_sortmerge" -> 0.867,
     "j7_range" -> 0.662, "j8_cross" -> 0.251, "j9_asof" -> 0.579,
     "j9_asof_join" -> 0.476, "l10_drift" -> 0.658, "l10_ks_drift" -> 0.591,
     "l10_profile" -> 0.252, "l10_zipf" -> 0.468, "l11_decontam" -> 1.142,
     "l11_semantic_decontam" -> 0.412, "l12_global_ids" -> 0.627,
-    "l13_bfs" -> 1.090, "l13_hits" -> 4.646, "l13_kcore" -> 1.286,
+    "l13_bfs" -> 1.375, "l13_hits" -> 4.646, "l13_kcore" -> 1.286,
     "l13_pagerank" -> 2.563, "l13_triangles" -> 0.995,
-    "l14_fuzzy_join" -> 1.904, "l1_exact_dedup" -> 0.363,
+    "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.774,
+    "l16_pii_redact" -> 0.836, "l1_exact_dedup" -> 0.363,
     "l2_cc_star" -> 3.759, "l2_chunk_dedup" -> 1.071,
     "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
     "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 2.085,
@@ -68,7 +69,7 @@ object Bench {
     "l2_substring_dedup" -> 1.628, "l2_survivor_selection" -> 2.484,
     "l3_ann_ivf" -> 0.669, "l3_ann_ivfpq" -> 1.559, "l3_ann_lsh" -> 1.333,
     "l3_ann_pq" -> 1.184, "l3_ann_recall" -> 1.364,
-    "l3_ann_trained" -> 2.114, "l3_cosine_topk" -> 0.259,
+    "l3_ann_trained" -> 2.114, "l3_cosine_topk" -> 0.270,
     "l3_jl_projection" -> 0.399, "l3_kmeans" -> 0.905,
     "l3_pca_power" -> 0.397, "l3_semantic_dedup" -> 1.149,
     "l4_bm25" -> 1.098, "l4_bpe_encode" -> 1.099,
@@ -130,12 +131,12 @@ object Bench {
     "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.193,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
     "s60_generated_prune" -> 0.781, "s61_variant" -> 1.960,
-    "s62_row_tracking" -> 3.916, "s63_feed_identity_fold" -> 3.874,
-    "s64_variant_pushdown" -> 2.136, "s65_stream_row_tracking" -> 1.572,
+    "s62_row_tracking" -> 3.916, "s63_feed_identity_fold" -> 3.841,
+    "s64_variant_pushdown" -> 2.136, "s65_stream_row_tracking" -> 1.492,
     "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.824,
     "s8_envelope_source" -> 0.637, "s9_partitioned_prune" -> 0.609,
     "t12_stream_envelope_sink" -> 0.685,
-    "t13_stream_envelope_source" -> 1.581, "t14_stream_commitlog" -> 3.599,
+    "t13_stream_envelope_source" -> 1.569, "t14_stream_commitlog" -> 3.599,
     "t15_stream_commitlog_sink" -> 1.072, "t1_tumbling" -> 0.377,
     "t2_sliding" -> 0.395, "t3_session" -> 0.872,
     "t4_watermark_closed" -> 0.473, "t5_dedup" -> 0.311,
@@ -146,7 +147,7 @@ object Bench {
     "w10_seasonal_decomp" -> 0.480, "w11_ewma" -> 0.493,
     "w1_ranking" -> 0.658, "w2_analytic" -> 0.855, "w3_frames" -> 0.723,
     "w3_time_range" -> 0.506, "w4_topk_per_group" -> 0.354,
-    "w4_topk_window_idiom" -> 0.394, "w5_distribution" -> 1.032,
+    "w4_topk_window_idiom" -> 0.394, "w5_distribution" -> 1.003,
     "w6_gap_fill" -> 0.686, "w7_funnel" -> 0.502, "w8_retention" -> 0.408,
     "w9_anomaly" -> 0.664)
 

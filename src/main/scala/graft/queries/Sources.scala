@@ -3730,6 +3730,50 @@ object Sources {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("_graft_row_id")).as("n_ids"))
         .orderBy("event_type")
+    },
+
+    // S66 (SURVEY S69): TOP-N PUSHDOWN — `ORDER BY c LIMIT k` plans
+    // only the files that can hold the global top-k, decided from
+    // manifest boxes: accumulate exact per-batch counts down the
+    // lo-sorted batches to bound the k-th value, keep batches whose
+    // box reaches it (sound for every numeric width — rounding to
+    // nearest is monotone; requires the `c IS NOT NULL` CHECK so
+    // counts equal non-null counts). The table is written with
+    // declared sort order, so boxes are range-disjoint and the plan
+    // opens 1 file of 8 (TopNPushdownSpec pins the file counts and
+    // the decline paths) — at 100 TB this is `ORDER BY ts DESC LIMIT
+    // 100` planning one file instead of a million. Both directions
+    // exercised; Spark re-sorts above the scan (partial pushdown), so
+    // the oracle hash is over exact rows.
+    Decl(
+      "s66_topn_prune",
+      s"""WITH top AS (
+         |  SELECT event_id, event_type FROM events
+         |  ORDER BY event_id DESC LIMIT 25),
+         |bottom AS (
+         |  SELECT event_id, event_type FROM events
+         |  ORDER BY event_id ASC LIMIT 25)
+         |SELECT 'desc' AS leg, event_id, event_type FROM top
+         |UNION ALL
+         |SELECT 'asc', event_id, event_type FROM bottom
+         |ORDER BY leg, event_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s66_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events")
+        .select($"event_id", $"event_type")
+        .repartition(8)
+        .write.format("commitlog").option("path", root)
+        .option("sortOrder", "event_id").option("sortBuckets", "8")
+        .mode("append").save()
+      graft.sources.CommitLogWrite.addConstraint(
+        s, root, "eid_nn", "event_id IS NOT NULL")
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      val top = tbl.orderBy($"event_id".desc).limit(25)
+        .select(lit("desc").as("leg"), $"event_id", $"event_type")
+      val bottom = tbl.orderBy($"event_id".asc).limit(25)
+        .select(lit("asc").as("leg"), $"event_id", $"event_type")
+      top.unionAll(bottom).orderBy("leg", "event_id")
     }
   )
 

@@ -842,8 +842,51 @@ class CommitLogScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
   import org.apache.spark.sql.sources._
+
+  // ---- TOP-N pushdown (partial): `ORDER BY c LIMIT k` plans only the
+  // FILES that can hold the global top-k, decided from manifest boxes —
+  // at 100 TB, `ORDER BY ts DESC LIMIT 100` over a time-sorted table
+  // plans one file instead of a million (write-time sort order makes
+  // the boxes range-disjoint; see SortOrdersProp). Soundness argument
+  // in [[CommitLogScan.topNPrunedBatches]]; requires a `c IS NOT NULL`
+  // CHECK in force (batch row counts must equal non-null counts for
+  // the accumulate-to-k bound). Spark re-sorts above the scan
+  // (isPartiallyPushed), so declining or under-pruning never changes
+  // results, only the file set opened. Spark offers the pushdown only
+  // when the sort sits directly over the scan; residual filters (all
+  // of this source's filters stay residual) block the offer, and the
+  // acceptance below re-checks defensively.
+  private var topNHint: Option[(String, Boolean, Int)] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (allFilters.nonEmpty || limitHint.isDefined || orders.length != 1)
+      return false
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return false
+    val o = orders(0)
+    val col = o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames()(0)
+      case _ => return false
+    }
+    // counts must be NON-NULL counts for the sort column: a declared
+    // CHECK `col IS NOT NULL` in force is the proof (null rows sort
+    // outside every box and would break the accumulate-to-k bound)
+    val v = Option(options.get("versionAsOf")).map(_.toInt)
+      .orElse(Option(options.get("timestampAsOf"))
+        .map(t => CommitLog.versionAt(root, parseTime(t))))
+      .getOrElse(CommitLog.latestVersion(root))
+    val notNull = CommitLog.constraintsOf(root, v).values.exists(
+      _.trim.equalsIgnoreCase(s"$col IS NOT NULL"))
+    if (!notNull) return false
+    topNHint = Some((col, o.direction() == SortDirection.DESCENDING, limit))
+    true
+  }
 
   // ---- VARIANT EXTRACTION pushdown (SupportsPushDownVariantExtractions)
   //
@@ -943,7 +986,7 @@ class CommitLogScanBuilder(
   private var limitHint: Option[Int] = None
 
   override def pushLimit(n: Int): Boolean = {
-    if (allFilters.nonEmpty) return false
+    if (allFilters.nonEmpty || topNHint.isDefined) return false
     limitHint = Some(n)
     true
   }
@@ -1211,7 +1254,8 @@ class CommitLogScanBuilder(
         Option(options.get("skipChangeCommits")).exists(_.toBoolean),
       readChangeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean),
       endingVersion = Option(options.get("endingVersion")).map(_.toInt),
-      limitHint = limitHint)
+      limitHint = limitHint,
+      topN = topNHint)
   }
 }
 
@@ -1335,7 +1379,8 @@ case class CommitLogScan(
     skipChangeCommits: Boolean = false,
     readChangeFeed: Boolean = false,
     endingVersion: Option[Int] = None,
-    limitHint: Option[Int] = None)
+    limitHint: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering
@@ -1510,7 +1555,16 @@ case class CommitLogScan(
           }
           take
         }
-      case _ => pruned
+      case _ =>
+        topN match {
+          // runtime filters shrink the competing row set — the
+          // unfiltered bound could then prune a file holding the
+          // FILTERED top-k, so any replan disables the cut
+          case Some((c, desc, k))
+              if dvBatches.isEmpty && runtimeFilters.isEmpty =>
+            topNPrunedBatches(pruned, c, desc, k)
+          case _ => pruned
+        }
     }
     limited
       .flatMap { b =>
@@ -1529,6 +1583,58 @@ case class CommitLogScan(
         }
       }
       .toArray
+  }
+
+  /** TOP-N file pruning from manifest metadata: keep exactly the
+    * batches that can hold a row of the global top-k.
+    *
+    * DESC soundness: sort batches by box-LO descending and accumulate
+    * EXACT row counts until ≥ k — every row of a taken batch has
+    * `c ≥` its own lo ≥ L (the minimum taken lo), so at least k rows
+    * have `c ≥ L` and the true k-th value is ≥ L; a batch with
+    * box-HI < L therefore holds no top-k row. Nulls cannot undercut
+    * the count bound because the pushdown required a `c IS NOT NULL`
+    * CHECK in force. Boxed doubles only weaken the bound: rounding to
+    * nearest is monotone, so `hi_d < L_d ⇒ true hi < true L` — pruning
+    * stays exact for every numeric width, including longs past 2^53.
+    * ASC mirrors with box-HI ascending and `lo ≤ U`.
+    *
+    * Conservative exits (NO pruning, never wrong results): any live
+    * batch missing its exact count or its box for `c` (rename chains
+    * probed), or an empty prune set. */
+  private def topNPrunedBatches(
+      batches: Seq[String], c: String, desc: Boolean, k: Int): Seq[String] = {
+    val live = batches.filter(b => snap.rows.get(b).exists(_ > 0L))
+    if (live.size <= 1) return batches
+    val facts: Seq[(String, Long, (Double, Double))] = live.map { b =>
+      val cnt = snap.rows.get(b)
+      val box = chainLookup(snap.stats.get(b), c)
+      if (cnt.isEmpty || box.isEmpty) return batches // unprovable: keep all
+      // NaN sorts above every double but poisons box comparisons —
+      // a NaN-carrying box makes the whole cut unprovable
+      if (box.exists(x => x._1.isNaN || x._2.isNaN)) return batches
+      (b, cnt.get, box.get)
+    }
+    val ordered =
+      if (desc) facts.sortBy { case (_, _, (lo, _)) => -lo }
+      else facts.sortBy { case (_, _, (_, hi)) => hi }
+    var acc = 0L
+    var bound: Option[Double] = None
+    ordered.foreach { case (_, n, (lo, hi)) =>
+      if (bound.isEmpty) {
+        acc += n
+        if (acc >= k) bound = Some(if (desc) lo else hi)
+      }
+    }
+    bound match {
+      case None => batches // fewer than k rows in total: keep all
+      case Some(t) =>
+        val keep = facts.collect {
+          case (b, _, (lo, hi)) if (if (desc) hi >= t else lo <= t) => b
+        }.toSet
+        // zero-row batches prune for free; order of `batches` preserved
+        batches.filter(b => keep(b))
+    }
   }
 
   // ---- planner statistics from commit metadata (zero data reads) ----
@@ -1598,7 +1704,7 @@ case class CommitLogScan(
     // a LIMIT-cut scan may drop whole key groups — don't claim a
     // partitioning the planned partitions might not honor (a LIMIT
     // directly over the scan has no join to co-partition anyway)
-    limitHint.isEmpty &&
+    limitHint.isEmpty && topN.isEmpty &&
     !emptyTable && !readChangeFeed && partCols.nonEmpty &&
       partCols.forall(schema.fieldNames.contains) &&
       partCols.forall(c => typeSchema.fields.exists(_.name == c)) &&

@@ -1,0 +1,114 @@
+package graft
+
+import graft.sources.{CommitLog, CommitLogDml, CommitLogWrite}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import graft.queries.Qh
+
+/** TOP-N PUSHDOWN (SURVEY S69) — `ORDER BY c LIMIT k` plans only the
+  * files that can hold the global top-k, decided from manifest boxes
+  * (accumulate exact counts down the lo-sorted batches to bound the
+  * k-th value, keep batches whose box reaches it). With write-time
+  * sort order the boxes are range-disjoint, so the plan opens one
+  * file of N at 100 TB. Partial pushdown: Spark re-sorts above the
+  * scan, so the cut can only change the files opened, never results.
+  * Requires a `c IS NOT NULL` CHECK in force (counts must equal
+  * non-null counts for the bound). */
+class TopNPushdownSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tn_$tag").toString
+
+  private def planned(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions.length
+    }.sum
+
+  private def mkSorted(tag: String): String = {
+    val root = freshRoot(tag)
+    spark.range(0, 100000).toDF("id").withColumn("v", $"id" * 3)
+      .repartition(8)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "id").option("sortBuckets", "8")
+      .mode("append").save()
+    CommitLogWrite.addConstraint(spark, root, "id_nn", "id IS NOT NULL")
+    root
+  }
+
+  test("ORDER BY LIMIT opens one range-disjoint file of eight, both directions") {
+    val root = mkSorted("basic")
+    def tbl = spark.read.format("commitlog").option("path", root).load()
+    assert(planned(tbl) == 8)
+    val topDesc = tbl.orderBy($"id".desc).limit(5)
+    assert(planned(topDesc) == 1,
+      s"DESC top-5 should open 1 of 8 files, opened ${planned(topDesc)}")
+    assert(topDesc.select($"id").as[Long].collect().toSeq ==
+      (99999L to 99995L by -1))
+    val topAsc = tbl.orderBy($"id".asc).limit(5)
+    assert(planned(topAsc) == 1,
+      s"ASC top-5 should open 1 of 8 files, opened ${planned(topAsc)}")
+    assert(topAsc.select($"id").as[Long].collect().toSeq == (0L until 5L))
+    // a k spanning file boundaries opens exactly the files it needs
+    val big = tbl.orderBy($"id".desc).limit(13000)
+    assert(planned(big) == 2, s"13k rows need 2 of 8 files: ${planned(big)}")
+    assert(big.agg(min($"id")).head().getLong(0) == 100000L - 13000L)
+  }
+
+  test("no NOT NULL proof, DVs, or overlapping boxes: no cut, same results") {
+    // missing constraint: pushTopN declines, full plan, exact results
+    val noCk = freshRoot("nock")
+    spark.range(0, 1000).toDF("id").repartition(4)
+      .write.format("commitlog").option("path", noCk)
+      .option("sortOrder", "id").option("sortBuckets", "4")
+      .mode("append").save()
+    val t1 = spark.read.format("commitlog").option("path", noCk).load()
+      .orderBy($"id".desc).limit(3)
+    assert(planned(t1) == 4, "without the NOT NULL proof the cut must not run")
+    assert(t1.select($"id").as[Long].collect().toSeq == Seq(999L, 998L, 997L))
+
+    // outstanding DVs: counts over-estimate, cut disabled
+    val dv = mkSorted("dv")
+    spark.conf.set("spark.graft.rowLevel.mode", "delta")
+    try CommitLogDml.delete(spark, dv, "id = 99999", changeFeed = false)
+    finally spark.conf.set("spark.graft.rowLevel.mode", "cow")
+    val t2 = spark.read.format("commitlog").option("path", dv).load()
+      .orderBy($"id".desc).limit(3)
+    assert(t2.select($"id").as[Long].collect().toSeq ==
+      Seq(99998L, 99997L, 99996L))
+
+    // unsorted (overlapping boxes): the bound keeps every candidate
+    // file — correctness unchanged
+    val unsorted = freshRoot("uns")
+    spark.range(0, 10000).toDF("id")
+      .withColumn("v", Qh.phash($"id".cast("string"), 5)) // interleaved values
+      .repartition(4)
+      .write.format("commitlog").option("path", unsorted)
+      .mode("append").save()
+    CommitLogWrite.addConstraint(spark, unsorted, "v_nn", "v IS NOT NULL")
+    val full = spark.read.format("commitlog").option("path", unsorted).load()
+      .orderBy($"v".desc, $"id").limit(7).select($"id").as[Long].collect().toSeq
+    val expect = spark.read.format("commitlog").option("path", unsorted).load()
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy { case (v, id) => (-v, id) }.take(7).map(_._2).toSeq
+    assert(full == expect)
+  }
+
+  test("time travel pins the constraint check to the read version") {
+    val root = freshRoot("tt")
+    spark.range(0, 1000).toDF("id").repartition(2)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "id").option("sortBuckets", "2")
+      .mode("append").save() // v1: no constraint yet
+    CommitLogWrite.addConstraint(spark, root, "id_nn", "id IS NOT NULL") // v2
+    val atV1 = spark.read.format("commitlog").option("path", root)
+      .option("versionAsOf", 1).load().orderBy($"id".desc).limit(2)
+    assert(planned(atV1) == 2, "v1 has no NOT NULL proof — no cut")
+    assert(atV1.select($"id").as[Long].collect().toSeq == Seq(999L, 998L))
+    val atV2 = spark.read.format("commitlog").option("path", root)
+      .option("versionAsOf", 2).load().orderBy($"id".desc).limit(2)
+    assert(planned(atV2) == 1, "v2 proves NOT NULL — cut applies")
+    assert(atV2.select($"id").as[Long].collect().toSeq == Seq(999L, 998L))
+  }
+}

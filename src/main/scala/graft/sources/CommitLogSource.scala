@@ -875,14 +875,19 @@ class CommitLogScanBuilder(
       case _ => return false
     }
     // counts must be NON-NULL counts for the sort column: a declared
-    // CHECK `col IS NOT NULL` in force is the proof (null rows sort
-    // outside every box and would break the accumulate-to-k bound)
+    // CHECK `col IS NOT NULL` in force OR a NOT NULL column in the
+    // recorded DDL is the proof (null rows sort outside every box and
+    // would break the accumulate-to-k bound; both forms are enforced
+    // at the write — the sink validates CHECKs, Spark's v2 writes
+    // assert declared non-nullability)
     val v = Option(options.get("versionAsOf")).map(_.toInt)
       .orElse(Option(options.get("timestampAsOf"))
         .map(t => CommitLog.versionAt(root, parseTime(t))))
       .getOrElse(CommitLog.latestVersion(root))
     val notNull = CommitLog.constraintsOf(root, v).values.exists(
-      _.trim.equalsIgnoreCase(s"$col IS NOT NULL"))
+      _.trim.equalsIgnoreCase(s"$col IS NOT NULL")) ||
+      CommitLog.schemaOf(root, v).map(StructType.fromDDL)
+        .exists(_.fields.exists(f => f.name == col && !f.nullable))
     if (!notNull) return false
     topNHint = Some((col, o.direction() == SortDirection.DESCENDING, limit))
     true

@@ -59,7 +59,10 @@ class TopNPushdownSpec extends SparkSpec {
   test("no NOT NULL proof, DVs, or overlapping boxes: no cut, same results") {
     // missing constraint: pushTopN declines, full plan, exact results
     val noCk = freshRoot("nock")
-    spark.range(0, 1000).toDF("id").repartition(4)
+    // `when` makes the column NULLABLE: without either proof form
+    // (CHECK or schema NOT NULL) the cut must not run
+    spark.range(0, 1000).toDF("id0")
+      .select(when($"id0" >= 0, $"id0").as("id")).repartition(4)
       .write.format("commitlog").option("path", noCk)
       .option("sortOrder", "id").option("sortBuckets", "4")
       .mode("append").save()
@@ -95,9 +98,26 @@ class TopNPushdownSpec extends SparkSpec {
     assert(full == expect)
   }
 
+  test("a declared NOT NULL column proves the bound without a CHECK") {
+    val wh = freshRoot("nnwh")
+    spark.conf.set("spark.sql.catalog.tnn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tnn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tnn.db")
+    spark.sql("CREATE TABLE tnn.db.t (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.sortOrder'='id', " +
+      "'graft.write.sortBuckets'='4')")
+    spark.sql("INSERT INTO tnn.db.t SELECT id, id * 2 FROM range(0, 20000)")
+    val top = spark.sql(
+      "SELECT id FROM tnn.db.t ORDER BY id DESC LIMIT 3")
+    assert(planned(top) == 1,
+      s"schema NOT NULL should prove the cut: ${planned(top)}")
+    assert(top.as[Long].collect().toSeq == Seq(19999L, 19998L, 19997L))
+  }
+
   test("time travel pins the constraint check to the read version") {
     val root = freshRoot("tt")
-    spark.range(0, 1000).toDF("id").repartition(2)
+    spark.range(0, 1000).toDF("id0")
+      .select(when($"id0" >= 0, $"id0").as("id")).repartition(2)
       .write.format("commitlog").option("path", root)
       .option("sortOrder", "id").option("sortBuckets", "2")
       .mode("append").save() // v1: no constraint yet

@@ -133,9 +133,9 @@ object Bench {
     "s60_generated_prune" -> 0.781, "s61_variant" -> 1.960,
     "s62_row_tracking" -> 3.916, "s63_feed_identity_fold" -> 3.841,
     "s64_variant_pushdown" -> 2.136, "s65_stream_row_tracking" -> 1.492,
-    "s6_csv_roundtrip" -> 0.459, "s7_orc_roundtrip" -> 0.824,
-    "s8_envelope_source" -> 0.637, "s9_partitioned_prune" -> 0.609,
-    "t12_stream_envelope_sink" -> 0.685,
+    "s66_topn_prune" -> 0.883, "s6_csv_roundtrip" -> 0.459,
+    "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.637,
+    "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.569, "t14_stream_commitlog" -> 3.599,
     "t15_stream_commitlog_sink" -> 1.072, "t1_tumbling" -> 0.377,
     "t2_sliding" -> 0.395, "t3_session" -> 0.872,

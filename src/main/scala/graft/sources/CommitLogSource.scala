@@ -1609,16 +1609,19 @@ case class CommitLogScan(
     * probed), or an empty prune set. */
   private def topNPrunedBatches(
       batches: Seq[String], c: String, desc: Boolean, k: Int): Seq[String] = {
-    val live = batches.filter(b => snap.rows.get(b).exists(_ > 0L))
+    // EVERY batch needs an exact count up front: a count-less batch is
+    // indistinguishable from an empty one further down, and dropping
+    // it there would lose rows — unprovable means keep all
+    if (batches.exists(b => snap.rows.get(b).isEmpty)) return batches
+    val live = batches.filter(b => snap.rows(b) > 0L)
     if (live.size <= 1) return batches
     val facts: Seq[(String, Long, (Double, Double))] = live.map { b =>
-      val cnt = snap.rows.get(b)
       val box = chainLookup(snap.stats.get(b), c)
-      if (cnt.isEmpty || box.isEmpty) return batches // unprovable: keep all
+      if (box.isEmpty) return batches // unprovable: keep all
       // NaN sorts above every double but poisons box comparisons —
       // a NaN-carrying box makes the whole cut unprovable
       if (box.exists(x => x._1.isNaN || x._2.isNaN)) return batches
-      (b, cnt.get, box.get)
+      (b, snap.rows(b), box.get)
     }
     val ordered =
       if (desc) facts.sortBy { case (_, _, (lo, _)) => -lo }

@@ -117,6 +117,31 @@ class TopNPushdownSpec extends SparkSpec {
     assert(top.as[Long].collect().toSeq == Seq(19999L, 19998L, 19997L))
   }
 
+  test("a count-less batch disables the cut instead of being dropped as empty") {
+    // a batch with no recorded row count is indistinguishable from an
+    // empty one inside the bound computation — the cut must go
+    // unprovable (keep all), never treat it as zero rows (review
+    // finding: the live-batch filter silently pruned it, losing rows)
+    val root = mkSorted("nocount")
+    // graft a batch holding the new GLOBAL MAX, committed without a
+    // row count (direct manifest append, the pre-counts-era shape)
+    val extra = new java.io.File(s"$root/xtra")
+    extra.mkdirs()
+    spark.range(200000, 200003).toDF("id").withColumn("v", $"id" * 3)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/_tmp_x")
+    val part = new java.io.File(s"$root/_tmp_x").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(extra, "part-x.parquet").toPath)
+    CommitLog.commit(root, CommitLog.latestVersion(root),
+      added = Seq("xtra"))
+    val top = spark.read.format("commitlog").option("path", root).load()
+      .orderBy($"id".desc).limit(2)
+    assert(planned(top) == 9, "count-less batch must disable the cut")
+    assert(top.select($"id").as[Long].collect().toSeq ==
+      Seq(200002L, 200001L))
+  }
+
   test("time travel pins the constraint check to the read version") {
     val root = freshRoot("tt")
     spark.range(0, 1000).toDF("id0")

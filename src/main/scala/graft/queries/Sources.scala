@@ -3774,6 +3774,64 @@ object Sources {
       val bottom = tbl.orderBy($"event_id".asc).limit(25)
         .select(lit("asc").as("leg"), $"event_id", $"event_type")
       top.unionAll(bottom).orderBy("leg", "event_id")
+    },
+
+    // S67 (SURVEY S70): NaN SOUNDNESS of the stats boxes. Spark and
+    // DuckDB agree NaN = NaN is TRUE and NaN sorts ABOVE every value
+    // (+Inf included) — so range pruning, top-N pruning and metadata
+    // MIN/MAX must never let a manifest box hide NaN rows. The writer
+    // marks a NaN-bearing batch with hi = +Inf; this decl runs every
+    // NaN-sensitive read over a commitlog table seeded with NaNs:
+    // an upward range probe beyond every finite value (only NaN
+    // satisfies it), NaN equality, MAX (true answer is NaN — the
+    // metadata aggregate must decline its ambiguous +Inf bound and
+    // read data), and a NaN-first top-5 under the pushed top-N cut
+    // (v carries a CHECK, so the cut engages and must keep the
+    // NaN-marked batches). NaNStatsSpec pins the per-batch file
+    // counts; here DuckDB pins the values.
+    Decl(
+      "s67_nan_box",
+      s"""WITH t AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 37 = 0 THEN 'NaN'::DOUBLE
+         |         ELSE COALESCE(value, 0.0) END AS v
+         |  FROM events),
+         |top5 AS (SELECT event_id FROM t ORDER BY v DESC, event_id LIMIT 5)
+         |SELECT 'eq_count' AS leg, CAST(count(*) AS BIGINT) AS n
+         |FROM t WHERE v = 'NaN'::DOUBLE
+         |UNION ALL
+         |SELECT 'gt_count', CAST(count(*) AS BIGINT)
+         |FROM t WHERE v > 1e300
+         |UNION ALL
+         |SELECT 'max_is_nan', CAST(isnan(max(v)) AS BIGINT) FROM t
+         |UNION ALL
+         |SELECT 'top5_ids',
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM top5)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s67_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events")
+        .select($"event_id",
+          when($"event_id" % 37 === 0, lit(Double.NaN))
+            .otherwise(coalesce($"value", lit(0.0))).as("v"))
+        .repartition(4)
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      graft.sources.CommitLogWrite.addConstraint(
+        s, root, "v_nn", "v IS NOT NULL")
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      val eq = tbl.filter($"v" === lit(Double.NaN))
+        .agg(count(lit(1)).as("n")).select(lit("eq_count").as("leg"), $"n")
+      val gt = tbl.filter($"v" > lit(1e300))
+        .agg(count(lit(1)).as("n")).select(lit("gt_count").as("leg"), $"n")
+      val mx = tbl.agg(max($"v").as("m"))
+        .select(lit("max_is_nan").as("leg"),
+          isnan($"m").cast("long").as("n"))
+      val top5 = tbl.orderBy($"v".desc, $"event_id".asc).limit(5)
+        .agg(sum($"event_id").as("n"))
+        .select(lit("top5_ids").as("leg"), $"n")
+      eq.unionAll(gt).unionAll(mx).unionAll(top5).orderBy("leg")
     }
   )
 

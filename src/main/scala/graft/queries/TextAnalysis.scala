@@ -1619,18 +1619,20 @@ object TextAnalysis {
             .otherwise("eval"))
       // both legs in ONE pass over the cluster frame (a second consumer
       // would recompute the corpus shuffle): each cluster contributes
-      // its ('cluster', split) row and — iff the naive row-split would
-      // straddle it — a ('naive_leak', '-') row, then one final agg
+      // its ('cluster', split) row and a ('naive_leak', '-') row whose
+      // n is NULL unless the naive row-split straddles it — the agg
+      // counts/sums only non-null n, so the naive_leak group is
+      // UNCONDITIONAL (a straddle-free corpus yields (0, 0), exactly
+      // the oracle's ungrouped-aggregate row, instead of a missing one)
       clusters
         .select(explode(array(
           struct(lit("cluster").as("leg"), $"split", $"n"),
           struct(lit("naive_leak").as("leg"), lit("-").as("split"),
             when($"n_naive_train" > 0 && $"n_naive_train" < $"n", $"n")
               .as("n")))).as("r"))
-        .filter($"r.leg" === "cluster" || $"r.n".isNotNull)
         .groupBy($"r.leg".as("leg"), $"r.split".as("split"))
-        .agg(sum($"r.n").cast("long").as("n_docs"),
-          count(lit(1)).as("n_clusters"))
+        .agg(coalesce(sum($"r.n"), lit(0L)).cast("long").as("n_docs"),
+          count($"r.n").as("n_clusters"))
         .orderBy("leg", "split")
     },
 

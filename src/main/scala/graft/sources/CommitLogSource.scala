@@ -113,6 +113,28 @@ object CommitLogSource {
   /** The `_batch` metadata column's name (see CommitLogTable). */
   val BatchCol = "_batch"
 
+  /** An accepted top-N pushdown: leading sort column, direction,
+    * limit, and the VERSION the NOT NULL proof was checked at —
+    * carried so the scan can re-verify the proof against its own
+    * resolved snapshot (see [[notNullProven]]). */
+  case class TopNHint(col: String, desc: Boolean, k: Int, provedAt: Int)
+
+  /** Whether version `v` of the log PROVES column `col` holds no
+    * null: a declared CHECK `col IS NOT NULL` in force, or a NOT NULL
+    * column in the recorded DDL (both enforced at the write — the
+    * sink gates CHECKs, Spark's v2 writes assert declared
+    * non-nullability). The top-N prune's count bound leans on this.
+    * Checked TWICE: at pushdown acceptance, and again by the scan
+    * against its own resolved version — pushdown and planning can
+    * straddle a concurrent DROP CONSTRAINT + null-bearing append, and
+    * the proof must hold for the exact snapshot being pruned. */
+  private[sources] def notNullProven(
+      root: String, v: Int, col: String): Boolean =
+    CommitLog.constraintsOf(root, v).values.exists(
+      _.trim.equalsIgnoreCase(s"$col IS NOT NULL")) ||
+      CommitLog.schemaOf(root, v).map(StructType.fromDDL)
+        .exists(_.fields.exists(f => f.name == col && !f.nullable))
+
   /** Row-identity metadata columns: the data file holding a row and
     * its physical position in it — the (file, pos) identity deletion
     * vectors key by, and the `rowId` of the DELTA-based row-level
@@ -414,7 +436,12 @@ object CommitLogFilters {
     * timestamps as micros-since-epoch and dates as epoch days — the
     * same units the sink boxes them in. */
   private def num(v: Any): Option[Double] = v match {
-    case n: Number => Some(n.doubleValue)
+    // a NaN literal (`c = double('NaN')`, `c IN (..., 'NaN')`) has no
+    // box: NaN poisons the min/max intersection (every Java compare
+    // is false, which would PRUNE every batch) while Spark's own
+    // semantics say NaN = NaN is TRUE — decline, keep all batches,
+    // and the residual filter answers exactly
+    case n: Number => Some(n.doubleValue).filter(!_.isNaN)
     case t: java.sql.Timestamp =>
       Some(t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0)
     case i: java.time.Instant =>
@@ -859,15 +886,23 @@ class CommitLogScanBuilder(
   // when the sort sits directly over the scan; residual filters (all
   // of this source's filters stay residual) block the offer, and the
   // acceptance below re-checks defensively.
-  private var topNHint: Option[(String, Boolean, Int)] = None
+  private var topNHint: Option[CommitLogSource.TopNHint] = None
 
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
-    if (allFilters.nonEmpty || limitHint.isDefined || orders.length != 1)
+    if (allFilters.nonEmpty || limitHint.isDefined || orders.isEmpty)
       return false
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return false
+    // the bound is sound on the LEADING key alone: lexicographic
+    // order is primarily by it, so the top-k rows carry exactly the
+    // k largest (DESC) leading values — trailing keys only arbitrate
+    // ties WITHIN equal leading values and can never pull a row from
+    // a batch whose leading box misses the bound. `ORDER BY ts DESC,
+    // id LIMIT 100` prunes exactly like the single-key spelling;
+    // Spark still applies the full multi-key sort above the scan
+    // (isPartiallyPushed).
     val o = orders(0)
     val col = o.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -884,12 +919,9 @@ class CommitLogScanBuilder(
       .orElse(Option(options.get("timestampAsOf"))
         .map(t => CommitLog.versionAt(root, parseTime(t))))
       .getOrElse(CommitLog.latestVersion(root))
-    val notNull = CommitLog.constraintsOf(root, v).values.exists(
-      _.trim.equalsIgnoreCase(s"$col IS NOT NULL")) ||
-      CommitLog.schemaOf(root, v).map(StructType.fromDDL)
-        .exists(_.fields.exists(f => f.name == col && !f.nullable))
-    if (!notNull) return false
-    topNHint = Some((col, o.direction() == SortDirection.DESCENDING, limit))
+    if (!CommitLogSource.notNullProven(root, v, col)) return false
+    topNHint = Some(CommitLogSource.TopNHint(
+      col, o.direction() == SortDirection.DESCENDING, limit, provedAt = v))
     true
   }
 
@@ -1124,8 +1156,15 @@ class CommitLogScanBuilder(
     // boxed SCALED (lossy) and everything else is unboxed — decline
     def exactValue(c: String, d: Double): Option[Any] = dtOf(c).flatMap {
       case IntegerType | DateType => Some(Int.box(d.toInt))
-      case FloatType => Some(Float.box(d.toFloat))
-      case DoubleType => Some(Double.box(d))
+      // an INFINITE float/double bound is ambiguous: a genuine ±Inf
+      // value boxes the same as the writer's NaN-presence marker
+      // (hi = +Inf; NaN sorts above +Inf, so the true MAX of a
+      // NaN-bearing batch is NaN, not the box) — decline and let the
+      // scan read data. Finite bounds prove the batch NaN-free.
+      case FloatType =>
+        if (d.isInfinite) None else Some(Float.box(d.toFloat))
+      case DoubleType =>
+        if (d.isInfinite) None else Some(Double.box(d))
       case LongType | TimestampType =>
         if (math.abs(d) < 9007199254740992.0) Some(Long.box(d.toLong))
         else None
@@ -1385,7 +1424,7 @@ case class CommitLogScan(
     readChangeFeed: Boolean = false,
     endingVersion: Option[Int] = None,
     limitHint: Option[Int] = None,
-    topN: Option[(String, Boolean, Int)] = None)
+    topN: Option[CommitLogSource.TopNHint] = None)
     extends Scan with Batch
     with SupportsReportStatistics
     with SupportsRuntimeFiltering
@@ -1564,9 +1603,16 @@ case class CommitLogScan(
         topN match {
           // runtime filters shrink the competing row set — the
           // unfiltered bound could then prune a file holding the
-          // FILTERED top-k, so any replan disables the cut
-          case Some((c, desc, k))
-              if dvBatches.isEmpty && runtimeFilters.isEmpty =>
+          // FILTERED top-k, so any replan disables the cut. The
+          // NOT NULL proof must hold at THIS scan's resolved version,
+          // not just the pushdown-time one: a concurrent DROP
+          // CONSTRAINT + null-bearing append between the two would
+          // otherwise let the cut run over a snapshot with nulls
+          // (re-checked only when the versions differ).
+          case Some(CommitLogSource.TopNHint(c, desc, k, provedAt))
+              if dvBatches.isEmpty && runtimeFilters.isEmpty &&
+                (provedAt == resolvedVersion ||
+                  CommitLogSource.notNullProven(root, resolvedVersion, c)) =>
             topNPrunedBatches(pruned, c, desc, k)
           case _ => pruned
         }
@@ -1603,6 +1649,15 @@ case class CommitLogScan(
     * nearest is monotone, so `hi_d < L_d ⇒ true hi < true L` — pruning
     * stays exact for every numeric width, including longs past 2^53.
     * ASC mirrors with box-HI ascending and `lo ≤ U`.
+    *
+    * NaN (floats/doubles): the writer marks a NaN-bearing batch with
+    * hi = +Inf ([[CommitLogWrite]] box()) because Spark sorts NaN
+    * above every value. DESC: such a batch always survives the keep
+    * test (+Inf ≥ L), and taking it is sound (NaN ≥ its lo). ASC: an
+    * infinite hi sorts LAST, so every batch COUNTED toward a finite
+    * bound U has a finite hi and is therefore NaN-free — its full
+    * count satisfies `c ≤ U`; a NaN batch pruned by `lo > U` holds
+    * only rows above U (finite rows ≥ lo, NaN above everything).
     *
     * Conservative exits (NO pruning, never wrong results): any live
     * batch missing its exact count or its box for `c` (rename chains

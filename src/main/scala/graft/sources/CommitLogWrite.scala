@@ -424,8 +424,9 @@ object CommitLogWrite {
   def regenFrame(
       df: org.apache.spark.sql.DataFrame, tableSchema: StructType,
       props: Map[String, String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EvalMode}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
     import org.apache.spark.sql.GraftShims
     val gens = props.collect {
       case (k, v) if k.startsWith(GeneratedPropPrefix) =>
@@ -434,13 +435,36 @@ object CommitLogWrite {
     if (gens.isEmpty) return df
     val session = SparkSession.active
     val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
-    // parse under forced ANSI (see boundGenerators): the expression's
-    // own casts/arithmetic capture eval mode at parse time
+    val parser = session.sessionState.sqlParser
+    val attrs =
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(df.schema)
+    // parse AND analyze under forced ANSI (see boundGenerators): not
+    // just parse-time eval-mode capture — the implicit type-coercion
+    // casts the ANALYZER inserts inside the expression capture their
+    // eval mode at construction too, so handing an unresolved tree to
+    // the session analyzer would build them under lax session
+    // semantics (a silently-nulling coercion the sink's own analyzer
+    // would refuse). The fully-resolved tree is re-leafed by NAME so
+    // it binds to df's actual attributes downstream; nothing is left
+    // for the session analyzer to coerce.
     withAnsiConf(session) {
       gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, sql)) =>
-        val fit = Cast(GraftShims.expressionOf(expr(sql)),
-          tableSchema(c).dataType, tz, EvalMode.ANSI)
-        d.withColumn(c, GraftShims.columnOf(fit))
+        val analyzed = org.apache.spark.sql.catalyst.util.GeneratedColumnAnalyzer
+          .execute(Project(
+            Seq(Alias(parser.parseExpression(sql), c)()),
+            LocalRelation(attrs)))
+        val e0 = analyzed.asInstanceOf[Project].projectList.head
+          .asInstanceOf[Alias].child
+        require(e0.resolved,
+          s"generation expression for '$c' does not resolve against " +
+            s"(${df.schema.fieldNames.mkString(",")}): $sql")
+        val fit =
+          if (e0.dataType == tableSchema(c).dataType) e0
+          else Cast(e0, tableSchema(c).dataType, tz, EvalMode.ANSI)
+        val byName = fit.transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        }
+        d.withColumn(c, GraftShims.columnOf(byName))
       }
     }
   }
@@ -2271,9 +2295,21 @@ class CommitLogDataWriter(
   }
 
   private def box(i: Int, v: Double): Unit = {
-    // NaN never enters a box: the manifest grammar rejects it, and a
-    // NaN bound would veto pruning for the whole batch
-    if (!v.isNaN) {
+    // NaN never enters a box as a BOUND (the manifest grammar rejects
+    // it) — but its PRESENCE must reach pruning: Spark's total order
+    // puts NaN ABOVE every value including +Infinity, so a batch that
+    // silently excluded NaN from a finite box could be pruned by
+    // `c > x` / `ORDER BY c DESC LIMIT k` even though its NaN rows
+    // satisfy both. A NaN therefore records hi = +Infinity, the
+    // closest representable supremum; every read-side consumer treats
+    // an infinite hi conservatively (range pruning keeps the batch
+    // for any upward probe, top-N never prunes it, metadata MAX
+    // declines). Contract: a FINITE hi proves the batch NaN-free in
+    // that column. An all-NaN batch boxes as (+Inf, +Inf) — lo stays
+    // at its init, which correctly prunes downward probes (`c < x` is
+    // false for NaN).
+    if (v.isNaN) hi(i) = Double.PositiveInfinity
+    else {
       if (v < lo(i)) lo(i) = v
       if (v > hi(i)) hi(i) = v
     }

@@ -118,4 +118,32 @@ class AdviceHardeningSpec extends SparkSpec {
     spark.sql("DELETE FROM ah.db.g WHERE s = '3'")
     assert(spark.sql("SELECT count(*) FROM ah.db.g").head().getLong(0) == 2)
   }
+
+  test("regen forces ANSI on ANALYSIS-inserted coercions, not just the outer cast") {
+    // `s + 1` carries NO explicit cast: the string→double coercion is
+    // inserted by the ANALYZER, and a coercion cast built under the
+    // session's lax conf silently nulls a bad value — the regen path
+    // must analyze the whole expression under forced ANSI (r15 advice:
+    // eager GeneratedColumnAnalyzer run, mirroring the sink's own
+    // bound generators), so the rewrite refuses exactly like the sink
+    spark.sql(
+      """CREATE TABLE ah.db.g2 (
+        |  s STRING, d DOUBLE GENERATED ALWAYS AS (s + 1))""".stripMargin)
+    spark.sql("INSERT INTO ah.db.g2 (s) VALUES ('1'), ('2')")
+    val ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE ah.db.g2 SET s = 'oops' WHERE s = '2'")
+      }
+      assert(e.getMessage != null)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi)
+    // nothing slipped through, and good values still regen exactly
+    assert(spark.sql(
+      "SELECT count(*) FROM ah.db.g2 WHERE d IS NULL OR d <> s + 1")
+      .head().getLong(0) == 0)
+    spark.sql("UPDATE ah.db.g2 SET s = '7' WHERE s = '2'")
+    assert(spark.sql("SELECT d FROM ah.db.g2 ORDER BY d").collect()
+      .map(_.getDouble(0)).toSeq == Seq(2.0, 8.0))
+  }
 }

@@ -142,6 +142,61 @@ class TopNPushdownSpec extends SparkSpec {
       Seq(200002L, 200001L))
   }
 
+  test("a trailing tie-break key keeps the leading-key cut") {
+    // `ORDER BY id DESC, v ASC LIMIT 5`: lexicographic order is
+    // primarily by id, so the top-5 carry exactly the 5 largest ids —
+    // the trailing key only breaks ties and cannot pull a row from a
+    // batch whose id box misses the bound. Same one-file plan as the
+    // single-key spelling; Spark applies the full multi-key sort above.
+    val root = mkSorted("multi")
+    val tbl = spark.read.format("commitlog").option("path", root).load()
+    val top = tbl.orderBy($"id".desc, $"v".asc).limit(5)
+    assert(planned(top) == 1,
+      s"leading-key bound should cut to 1 of 8 files: ${planned(top)}")
+    assert(top.select($"id").as[Long].collect().toSeq ==
+      (99999L to 99995L by -1))
+  }
+
+  test("the scan re-proves NOT NULL at its own version (constraint-drop race)") {
+    // pushdown accepts against version v; a concurrent DROP CONSTRAINT
+    // + null-bearing append lands before the scan resolves — the scan
+    // must re-verify the proof at ITS version and decline the cut,
+    // because the snapshot it prunes now contains nulls
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = freshRoot("race")
+    spark.range(0, 1000).toDF("id0")
+      .select(when($"id0" >= 0, $"id0").as("id"),
+        when($"id0" >= 0, $"id0" * 3).as("v"))
+      .repartition(4)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "id").option("sortBuckets", "4")
+      .mode("append").save() // v1 (nullable DDL — no schema proof)
+    CommitLogWrite.addConstraint(spark, root, "id_nn", "id IS NOT NULL") // v2
+    val schema = spark.read.format("commitlog").option("path", root)
+      .load().schema
+    def builderWithTopN() = {
+      val b = new graft.sources.CommitLogScanBuilder(
+        root, schema, new CaseInsensitiveStringMap(java.util.Map.of()))
+      assert(b.pushTopN(Array(Expressions.sort(
+        Expressions.column("id"), SortDirection.DESCENDING)), 3),
+        "proof holds at pushdown time — acceptance expected")
+      b
+    }
+    def plannedFiles(b: graft.sources.CommitLogScanBuilder): Int =
+      b.build().toBatch.planInputPartitions().length
+    // control: no intervening commit — the cut runs
+    assert(plannedFiles(builderWithTopN()) == 1)
+    // race: accept, then drop the constraint and append a null id
+    val raced = builderWithTopN()
+    CommitLog.dropConstraint(root, "id_nn") // v3
+    Seq((Option.empty[Long], Option.empty[Long])).toDF("id", "v")
+      .write.format("commitlog").option("path", root)
+      .mode("append").save() // v4: a null id is live
+    assert(plannedFiles(raced) == 5,
+      "the scan's own version lost the proof — the cut must not run")
+  }
+
   test("time travel pins the constraint check to the read version") {
     val root = freshRoot("tt")
     spark.range(0, 1000).toDF("id0")

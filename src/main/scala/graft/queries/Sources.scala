@@ -3832,6 +3832,50 @@ object Sources {
         .agg(sum($"event_id").as("n"))
         .select(lit("top5_ids").as("leg"), $"n")
       eq.unionAll(gt).unionAll(mx).unionAll(top5).orderBy("leg")
+    },
+
+    // S68 (SURVEY S71): NUMERIC BLOOMS — a sparse BIGINT point lookup
+    // (`WHERE event_id = <k>`) on an UNSORTED multi-batch table is the
+    // case range boxes cannot prune: every batch's id box overlaps
+    // every other's (the table is written INTERLEAVED by id % 6, so
+    // all six boxes span nearly the full id range). The sink hashes
+    // each integral value's decimal-string canonical form through the
+    // same 64-bit bloom grammar strings use, the probe side derives
+    // the identical key from the pushed equality literal, and the
+    // plan opens ~one batch of six (the decl pins planned <= 2 —
+    // deterministic murmur3, one false positive tolerated by margin).
+    // At 100 TB this is THE needle-in-haystack shape: a key lookup on
+    // an append-ordered fact table scans one file, not a million.
+    Decl(
+      "s68_bloom_bigint",
+      s"""SELECT true AS pruned, CAST(count(*) AS BIGINT) AS n,
+         |  ${Qh.oSum2("value")} AS total_value
+         |FROM events
+         |WHERE event_id =
+         |  (SELECT min(event_id) FROM events WHERE event_id % 6 = 3)""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s68_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+      (0L until 6L).foreach { r =>
+        ev.filter($"event_id" % 6 === r).repartition(1)
+          .write.format("commitlog").option("path", root)
+          .option("bloomColumns", "event_id")
+          .option("bloomBits", (1 << 18).toString)
+          .mode("append").save()
+      }
+      val probeId = ev.filter($"event_id" % 6 === 3)
+        .agg(min($"event_id")).head().getLong(0)
+      val probe = s.read.format("commitlog").option("path", root).load()
+        .filter($"event_id" === probeId)
+      val planned = probe.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      probe
+        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+        .select(lit(planned <= 2).as("pruned"), $"n", $"total_value")
     }
   )
 

@@ -30,6 +30,21 @@ object CommitLogBloom {
   val DefaultBits = 4096
   private val K = 4
 
+  /** Key grammar: a STRING column hashes its values verbatim; an
+    * INTEGRAL column hashes the DECIMAL STRING of each value — the
+    * one canonical text form writer and probe side derive
+    * independently (the pushed literal for a BIGINT column is a Long;
+    * `123L.toString == "123"` on both sides). Floats/decimals are
+    * excluded: their text forms are not canonical across widths
+    * (`1.0` vs `1.00`), and point lookups on them are rare anyway. */
+  def bloomable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+  }
+
   def emptyBits(bits: Int): Array[Long] = {
     require(bits >= 64 && bits % 64 == 0 && bits <= (1 << 20),
       s"bloomBits must be a multiple of 64 in [64, 1M]: $bits")

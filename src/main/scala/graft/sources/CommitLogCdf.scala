@@ -91,7 +91,38 @@ object CommitLogCdf {
         case (false, true) =>
           Some(read(ch.removed).withColumn(ChangeTypeCol, lit("delete")))
         case (true, true) =>
-          Some(cowDiff(read(ch.added), read(ch.removed), keyCols))
+          // a MAP/VARIANT column breaks the key-diff twice: the key
+          // join's struct equality cannot compare it. On a row-TRACKED
+          // table IDENTITY replaces comparability — diff on the
+          // preserved `_graft_row_id` (a table key by construction)
+          // and test row sameness on the JSON serialization instead
+          // of struct equality: unchanged restated rows cancel, a
+          // changed row emits its update pair. Untracked
+          // non-comparable tables keep the typed refusal (consume
+          // those via the connector feed's file-granularity serving).
+          val comparableAll = CommitLog.schemaOf(root, ch.version)
+            .map(org.apache.spark.sql.types.StructType.fromDDL)
+            .forall(_.fields.forall(f => multisetComparable(f.dataType)))
+          if (comparableAll)
+            Some(cowDiff(read(ch.added), read(ch.removed), keyCols))
+          else {
+            require(CommitLogWrite.rowTrackingOn(
+                CommitLog.tblPropsOf(root, ch.version)),
+              s"v${ch.version} of $root rewrites a map/variant table " +
+                "without row tracking — rows cannot be diffed (enable " +
+                "rowTracking, or read the connector change feed, which " +
+                "serves such versions at file granularity)")
+            // the declared DDL hides the row id — read the rewrite's
+            // schema (declared + _graft_row_id), which every tracked
+            // file physically carries
+            def readT(batches: Seq[String]): DataFrame =
+              CommitLogSource.readBatches(spark, root, batches,
+                CommitLog.rewriteDdl(root, ch.version),
+                CommitLog.formerNamesOf(root, ch.version), keepMeta = false)
+            Some(cowDiff(readT(ch.added), readT(ch.removed),
+              Seq(CommitLogWrite.RowIdCol), jsonEquality = true)
+              .drop(CommitLogWrite.RowIdCol))
+          }
         case (false, false) => None // schema-only commit: no rows changed
       }
       frame.map(_.withColumn(CommitVersionCol, lit(ch.version)))
@@ -116,9 +147,17 @@ object CommitLogCdf {
 
   /** Row diff of one copy-on-write commit: full-outer join of the
     * removed rows (pre) and added rows (post) on the key; unchanged
-    * rows vanish, changed ones emit a preimage/postimage pair. */
+    * rows vanish, changed ones emit a preimage/postimage pair.
+    *
+    * `jsonEquality` (tracked map/variant tables, keyed on the row id):
+    * struct `<=>` cannot compare those types, so row sameness is the
+    * JSON serialization instead — byte-identical restated rows always
+    * serialize identically (COW copies values verbatim), and a
+    * re-encoded-but-JSON-equal value counting as unchanged is
+    * invisible to the retraction fold (the consumer contract). */
   private def cowDiff(
-      added: DataFrame, removed: DataFrame, keyCols: Seq[String]): DataFrame = {
+      added: DataFrame, removed: DataFrame, keyCols: Seq[String],
+      jsonEquality: Boolean = false): DataFrame = {
     val cols = added.columns.toSeq
     require(removed.columns.toSeq == cols,
       s"rewrite changed the column set: ${removed.columns.toSeq} -> $cols " +
@@ -130,6 +169,9 @@ object CommitLogCdf {
     // null-safe struct equality: an unchanged row (including nulls in
     // value columns) emits nothing; <=> on the full struct compares all
     // value columns at once inside codegen
+    val same =
+      if (jsonEquality) to_json(col("_pre")) <=> to_json(col("_post"))
+      else col("_pre") <=> col("_post")
     val changes = pre.join(post, keyCols, "full_outer")
       .select(explode(
         when(col("_post").isNull,
@@ -138,7 +180,7 @@ object CommitLogCdf {
           array(struct(lit("insert").as("ct"), col("_post").as("row"))))
         // typed empty array (slice of a one-element array) — unchanged
         // rows emit nothing
-        .when(col("_pre") <=> col("_post"),
+        .when(same,
           slice(array(struct(lit("x").as("ct"), col("_pre").as("row"))), 1, 0))
         .otherwise(array(
           struct(lit("update_preimage").as("ct"), col("_pre").as("row")),

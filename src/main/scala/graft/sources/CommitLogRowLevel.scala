@@ -334,6 +334,11 @@ class CommitLogReplaceWrite(
     // Opt out per table with TBLPROPERTIES('graft.changeFeed'='false');
     // map/variant columns skip too (not comparable — EXCEPT ALL cannot
     // diff them), and the feed refuses such versions with guidance.
+    // (Row-TRACKED tables never reach this COW leg — they route
+    // through the delta operation, whose DV + postimage commits the
+    // feed serves at row granularity; a tracked table's UNMATERIALIZED
+    // COW rewrite, possible via the API verbs, is identity-diffed at
+    // read time by [[CommitLogCdf.changeFeed]] on `_graft_row_id`.)
     val changeTmp = s"_changes/_tmp-$writeId"
     def dropChanges(): Unit = {
       val p = new Path(rootP, changeTmp)

@@ -469,14 +469,28 @@ object CommitLogFilters {
     case _ => None
   }
 
-  /** String membership constraint a filter imposes — the bloom-probe
-    * twin of [[rangeOf]]: a batch must possibly contain at least ONE
-    * of the listed values, per filter. */
-  def probeOf(f: Filter): Option[(String, Seq[String])] = f match {
-    case EqualTo(c, v: String) => Some((c, Seq(v)))
-    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
-      Some((c, vs.toSeq.map(_.asInstanceOf[String])))
-    case _ => None
+  /** Membership constraint a filter imposes — the bloom-probe twin of
+    * [[rangeOf]]: a batch must possibly contain at least ONE of the
+    * listed values, per filter. Strings probe verbatim; INTEGRAL
+    * equality literals probe their decimal-string canonical form (the
+    * same key the writer hashed — [[CommitLogBloom]]'s grammar), so a
+    * sparse BIGINT point lookup (`WHERE order_id = 123`) prunes from
+    * blooms where overlapping range boxes cannot. Floats/decimals
+    * stay out (no canonical text form shared with the writer). */
+  def probeOf(f: Filter): Option[(String, Seq[String])] = {
+    def key(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case n @ (_: Long | _: Integer | _: java.lang.Short |
+          _: java.lang.Byte) => Some(n.toString)
+      case _ => None
+    }
+    f match {
+      case EqualTo(c, v) => key(v).map(k => (c, Seq(k)))
+      case In(c, vs) if vs.nonEmpty =>
+        val ks = vs.toSeq.map(key)
+        if (ks.forall(_.isDefined)) Some((c, ks.flatten)) else None
+      case _ => None
+    }
   }
 
   /** Per-column [lo, hi] boxes a filter set implies (several filters

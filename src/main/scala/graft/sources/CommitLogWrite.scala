@@ -1160,8 +1160,9 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     val schema = info.schema()
     bloomCols.foreach { c =>
       require(schema.fieldNames.contains(c) &&
-          schema(c).dataType == StringType,
-        s"bloomColumns entry '$c' must name a STRING column of the write")
+          CommitLogBloom.bloomable(schema(c).dataType),
+        s"bloomColumns entry '$c' must name a STRING or integral " +
+          "column of the write")
     }
     // partition columns in force: every write to a partitioned table
     // routes rows into one batch per tuple, so batches stay
@@ -2226,10 +2227,26 @@ class CommitLogDataWriter(
     bloomBits: Int = CommitLogBloom.DefaultBits)
     extends DataWriter[InternalRow] {
 
-  // (column index, bitset) per designated bloom column
-  private val bloomSets: Array[(Int, Array[Long])] = bloomCols.toArray.map { c =>
-    schema.fieldIndex(c) -> CommitLogBloom.emptyBits(bloomBits)
-  }
+  // (column index, bitset, key extractor) per designated bloom column:
+  // strings hash their UTF-8 bytes; integral columns hash the DECIMAL
+  // STRING of the value — the same canonical form the probe side
+  // derives from a pushed equality literal ([[CommitLogBloom]] key
+  // grammar), so `WHERE order_id = 123` prunes a sparse BIGINT point
+  // lookup that overlapping range boxes cannot
+  private val bloomSets: Array[(Int, Array[Long], (InternalRow, Int) => String)] =
+    bloomCols.toArray.map { c =>
+      val i = schema.fieldIndex(c)
+      val keyer: (InternalRow, Int) => String = schema(i).dataType match {
+        case StringType => (r, ci) => r.getUTF8String(ci).toString
+        case LongType => (r, ci) => r.getLong(ci).toString
+        case IntegerType => (r, ci) => r.getInt(ci).toString
+        case ShortType => (r, ci) => r.getShort(ci).toString
+        case ByteType => (r, ci) => r.getByte(ci).toString
+        case dt => throw new IllegalArgumentException(
+          s"bloom column '$c' has unsupported type $dt")
+      }
+      (i, CommitLogBloom.emptyBits(bloomBits), keyer)
+    }
 
   // the shape gate: throws the documented refusal for types the read
   // legs don't serve (the WRITTEN layout is Spark's own, below)
@@ -2285,9 +2302,9 @@ class CommitLogDataWriter(
     }
     var bi = 0
     while (bi < bloomSets.length) {
-      val (ci, bits) = bloomSets(bi)
+      val (ci, bits, key) = bloomSets(bi)
       if (!row.isNullAt(ci))
-        CommitLogBloom.add(bits, row.getUTF8String(ci).toString)
+        CommitLogBloom.add(bits, key(row, ci))
       bi += 1
     }
     writer.write(row)
@@ -2321,7 +2338,7 @@ class CommitLogDataWriter(
       case (f, i) if lo(i) <= hi(i) && !f.name.exists(",\"[]\\|".contains(_)) =>
         (f.name, lo(i), hi(i))
     }
-    val blooms = bloomSets.toSeq.map { case (ci, bits) =>
+    val blooms = bloomSets.toSeq.map { case (ci, bits, _) =>
       schema(ci).name -> bits
     }
     CommitLogCommitMessage(tmpName, visibleName, rows, stats, blooms)

@@ -331,6 +331,45 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(plannedParts(afterVac) == 1, "blooms must survive the cutoff checkpoint")
   }
 
+  test("bloomColumns: BIGINT point lookups prune where overlapping boxes cannot") {
+    val root = freshRoot("nbloom")
+    // interleaved ids: every batch's (min,max) box spans nearly the
+    // full id range, so range pruning keeps all four — the bloom is
+    // the only modality that can serve the point lookup (integral
+    // values hash their decimal-string canonical form; the probe side
+    // derives the same key from the pushed Long literal)
+    (0L until 4L).foreach { r =>
+      (0L until 400L).filter(i => i % 4 == r && i != 17L).map(i => (i, s"k$i"))
+        .toDF("id", "kind").repartition(1)
+        .write.format("commitlog").option("path", root)
+        .option("bloomColumns", "id").option("bloomBits", "65536")
+        .mode("append").save()
+    }
+    val all = spark.read.format("commitlog").option("path", root).load()
+    assert(plannedParts(all) == 4)
+    val one = all.filter($"id" === 13L)
+    assert(plannedParts(one) == 1,
+      s"BIGINT bloom must prune to one batch:\n${one.queryExecution.executedPlan}")
+    assert(one.select("kind").as[String].collect().toSeq == Seq("k13"))
+    // IN probe spanning two residue classes: union of admitted batches
+    val two = all.filter($"id".isin(13L, 14L))
+    assert(plannedParts(two) == 2)
+    assert(two.count() == 2L)
+    // an in-range but ABSENT value (17 was excluded from its batch):
+    // every box contains it, so only the blooms can prune — to zero
+    val none = all.filter($"id" === 17L)
+    assert(plannedParts(none) == 0,
+      s"absent id must prune everything:\n${none.queryExecution.executedPlan}")
+    assert(none.count() == 0L)
+    // a DOUBLE bloom column is refused loudly (no canonical text form)
+    val err = intercept[Exception] {
+      Seq((1L, 1.5)).toDF("id", "v").repartition(1)
+        .write.format("commitlog").option("path", freshRoot("dblbloom"))
+        .option("bloomColumns", "v").mode("append").save()
+    }
+    assert(err.getMessage.contains("STRING or integral"), err.getMessage)
+  }
+
   test("a batch written without blooms never prunes on string probes") {
     val root = freshRoot("nobloom")
     Seq((1L, "x")).toDF("id", "kind").repartition(1)

@@ -57,8 +57,8 @@ object Bench {
     "l11_semantic_decontam" -> 0.412, "l12_global_ids" -> 0.627,
     "l13_bfs" -> 1.375, "l13_hits" -> 4.646, "l13_kcore" -> 1.286,
     "l13_pagerank" -> 2.563, "l13_triangles" -> 0.995,
-    "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.774,
-    "l16_pii_redact" -> 0.836, "l1_exact_dedup" -> 0.363,
+    "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.604,
+    "l16_pii_redact" -> 0.778, "l1_exact_dedup" -> 0.363,
     "l2_cc_star" -> 3.759, "l2_chunk_dedup" -> 1.071,
     "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
     "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 2.085,
@@ -74,7 +74,7 @@ object Bench {
     "l3_pca_power" -> 0.397, "l3_semantic_dedup" -> 1.149,
     "l4_bm25" -> 1.098, "l4_bpe_encode" -> 1.099,
     "l4_bpe_pair_stats" -> 0.582, "l4_bpe_train" -> 0.729,
-    "l4_count_min" -> 0.557, "l4_fingerprint" -> 0.787,
+    "l4_count_min" -> 0.491, "l4_fingerprint" -> 0.787,
     "l4_heavy_hitters" -> 0.486, "l4_lang_id" -> 0.378,
     "l4_lm_score" -> 1.271, "l4_pii_redact" -> 0.637,
     "l4_pmi_phrases" -> 0.970, "l4_quality_score" -> 0.513,
@@ -86,14 +86,14 @@ object Bench {
     "l6_phash_dedup" -> 0.657, "l6_quantize_int8" -> 0.310,
     "l6_resize_framesample" -> 0.173, "l7_curation_pipeline" -> 0.654,
     "l8_bottomk_sample" -> 0.225, "l8_deterministic_sample" -> 0.140,
-    "l8_deterministic_split" -> 0.211, "l8_mixture_weights" -> 0.274,
+    "l8_deterministic_split" -> 0.211, "l8_mixture_weights" -> 0.259,
     "l8_stratified_sample" -> 0.151, "l8_weighted_sample" -> 0.249,
     "l9_mixture_interleave" -> 0.231, "l9_sequence_packing" -> 0.294,
-    "l9_shard_export" -> 1.241, "o1_topk" -> 0.143, "o2_limit" -> 0.125,
+    "l9_shard_export" -> 0.972, "o1_topk" -> 0.143, "o2_limit" -> 0.125,
     "o3_union" -> 0.340, "o3_union_distinct" -> 0.385, "o4_except" -> 0.317,
     "o4_except_all" -> 0.545, "o4_intersect" -> 0.335,
     "o4_intersect_all" -> 0.395, "p10_map_hof" -> 1.341, "p10_maps" -> 0.863,
-    "p11_envelope" -> 0.344, "p12_unpivot" -> 0.263,
+    "p11_envelope" -> 0.344, "p12_unpivot" -> 0.274,
     "p13_subqueries" -> 0.444, "p14_variant" -> 1.323,
     "p15_lateral" -> 0.335, "p16_try_functions" -> 2.271,
     "p1_prune" -> 0.459, "p2_filter" -> 0.312, "p3_inlist" -> 0.138,
@@ -115,7 +115,7 @@ object Bench {
     "s26_log_optimize" -> 1.694, "s27_log_history" -> 0.965,
     "s28_zorder_optimize" -> 1.985, "s29_bloom_point_lookup" -> 0.765,
     "s30_change_feed_stream" -> 2.889, "s31_restore" -> 0.502,
-    "s32_check_constraint" -> 0.730, "s33_delete_update" -> 2.112,
+    "s32_check_constraint" -> 0.730, "s33_delete_update" -> 2.044,
     "s34_shallow_clone" -> 1.082, "s35_rename_column" -> 1.003,
     "s36_drop_column" -> 0.550, "s37_sql_catalog" -> 0.518,
     "s38_sql_row_level" -> 1.963, "s39_insert_overwrite" -> 1.287,
@@ -130,11 +130,12 @@ object Bench {
     "s55_describe_detail" -> 0.492, "s56_generated_columns" -> 1.480,
     "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.193,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
-    "s60_generated_prune" -> 0.781, "s61_variant" -> 1.960,
-    "s62_row_tracking" -> 3.916, "s63_feed_identity_fold" -> 3.841,
-    "s64_variant_pushdown" -> 2.136, "s65_stream_row_tracking" -> 1.492,
-    "s66_topn_prune" -> 0.883, "s6_csv_roundtrip" -> 0.459,
-    "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.637,
+    "s60_generated_prune" -> 0.781, "s61_variant" -> 1.911,
+    "s62_row_tracking" -> 3.677, "s63_feed_identity_fold" -> 3.292,
+    "s64_variant_pushdown" -> 2.093, "s65_stream_row_tracking" -> 1.446,
+    "s66_topn_prune" -> 0.650, "s67_nan_box" -> 0.734,
+    "s68_bloom_bigint" -> 0.983, "s6_csv_roundtrip" -> 0.459,
+    "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.593,
     "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.569, "t14_stream_commitlog" -> 3.599,
     "t15_stream_commitlog_sink" -> 1.072, "t1_tumbling" -> 0.377,
@@ -227,7 +228,7 @@ object Bench {
     * idle run's early-suite readings (0.135 steady-state, 0.235 max on
     * probe #0 while JIT settles; pinning the min would false-flag the
     * first window on a quiet machine). */
-  private[graft] val probePinSeconds: Double = 0.16
+  private[graft] val probePinSeconds: Double = 0.180
 
   /** One sentinel probe: 32 threads × fixed LCG spin, joined. */
   private[graft] def spinProbe(): Double = {

@@ -88,7 +88,8 @@ class CommitLogColumnarReader(
     file: String, schema: StructType,
     formers: Map[String, Seq[String]],
     baseConf: Configuration,
-    fileLength: Long = -1L)
+    fileLength: Long = -1L,
+    stamp: Option[(String, Int)] = None)
     extends PartitionReader[ColumnarBatch] {
 
   // per-file copy: the requested schema differs per file under renames,
@@ -96,21 +97,46 @@ class CommitLogColumnarReader(
   private val conf = new Configuration(baseConf)
   private val path = new Path(file)
 
+  // CONSTANT-STAMPED change-feed read: `_change_type`/`_commit_version`
+  // are constant for a whole-file feed partition, so they ride every
+  // batch as constant TRAILING vectors (initBatch partition columns —
+  // the eligibility gate in CommitLogScan guarantees the stamps trail
+  // the pruned schema) while the file part excludes them
+  private val stampFields = schema.fields.filter(f =>
+    CommitLogSource.StampCols.contains(f.name))
+  private val fileSchema: StructType =
+    if (stamp.isEmpty) schema
+    else StructType(schema.fields.filterNot(f =>
+      CommitLogSource.StampCols.contains(f.name)))
+  private val (stampSchema, stampRow) = stamp match {
+    case Some((ct, v)) if stampFields.nonEmpty =>
+      val vals: Array[Any] = stampFields.map { f =>
+        if (f.name == CommitLogCdf.ChangeTypeCol)
+          org.apache.spark.unsafe.types.UTF8String.fromString(ct)
+        else Int.box(v)
+      }.toArray
+      (StructType(stampFields),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+    case _ =>
+      (new StructType(), org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+
   // the footer is read here ONLY when a rename is in force (name
   // resolution needs the file's physical fields); it is then handed to
   // the reader so the file's footer is still read exactly once
   private val footer: Option[org.apache.parquet.hadoop.metadata.ParquetMetadata] =
-    if (formers.isEmpty || !formers.keys.exists(schema.fieldNames.contains)) None
+    if (formers.isEmpty || !formers.keys.exists(fileSchema.fieldNames.contains))
+      None
     else {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
       try Some(r.getFooter) finally r.close()
     }
 
   private val requested: StructType = footer match {
-    case None => schema
+    case None => fileSchema
     case Some(f) =>
       val fileType = f.getFileMetaData.getSchema
-      StructType(schema.fields.map { sf =>
+      StructType(fileSchema.fields.map { sf =>
         val physical = (sf.name +: formers.getOrElse(sf.name, Seq.empty))
           .find(fileType.containsField).getOrElse(sf.name)
         sf.copy(name = physical)
@@ -132,8 +158,7 @@ class CommitLogColumnarReader(
     var ok = false
     try {
       r.initialize(split, ctx, None, None, footer)
-      r.initBatch(new StructType(),
-        org.apache.spark.sql.catalyst.InternalRow.empty)
+      r.initBatch(stampSchema, stampRow)
       r.enableReturningBatches()
       ok = true
     } finally if (!ok) r.close()

@@ -293,6 +293,14 @@ object CommitLogSource {
     BatchCol, RowFileCol, RowPosCol,
     CommitLogCdf.ChangeTypeCol, CommitLogCdf.CommitVersionCol)
 
+  /** The change-feed stamp columns. CONSTANT per feed partition on the
+    * whole-file legs (insert / whole-batch delete), which is what lets
+    * those partitions ride the VECTORIZED reader: the stamps trail the
+    * batch as constant partition vectors instead of forcing the
+    * row-at-a-time leg (see [[CommitLogScan]] columnarEligible). */
+  private[sources] val StampCols: Set[String] = Set(
+    CommitLogCdf.ChangeTypeCol, CommitLogCdf.CommitVersionCol)
+
   /** Scan option that declines VARIANT-extraction pushdown. Set by
     * [[NoVariantPushdownOnMetadataScans]]: when a plan references any
     * METADATA column of a commitlog relation, Spark's variant-pushdown
@@ -967,12 +975,37 @@ class CommitLogScanBuilder(
       extractions: Array[org.apache.spark.sql.connector.read.VariantExtraction])
       : Array[Boolean] = {
     if (extractions == null || extractions.isEmpty) return Array.empty
-    // the change feed's row leg synthesizes per-row stamps and serves
-    // DV-position deletes — keep those reads on whole variants; and
-    // metadata-bearing plans were tagged to decline by
+    // CHANGE FEED: an INSERT-ONLY window reads ordinary whole data
+    // files with constant stamps — the r15 constant-stamp columnar leg
+    // serves shredded subcolumn extractions exactly like a snapshot
+    // scan, so `variant_get` over a feed of appends (the dominant
+    // tailing shape) narrows to the requested paths. Any window with
+    // removes, DV commits or materialized change files keeps whole
+    // variants (their row-leg shapes — per-row stamp synthesis,
+    // DV-position deletes — were the r14 decline; should the window
+    // grow past plan time, the row leg still EVALUATES accepted paths
+    // per row via variantStructEval, so degradation is never wrong).
+    // Metadata-bearing plans were tagged to decline by
     // [[NoVariantPushdownOnMetadataScans]] (accepting would starve
-    // them of their metadata columns — see that rule's scaladoc)
-    val changeFeed = Option(options.get("readChangeFeed")).exists(_.toBoolean) ||
+    // them of their metadata columns — see that rule's scaladoc).
+    def insertOnlyWindow: Boolean = {
+      val lo = Option(options.get("startingVersion")).map(_.toInt)
+        .orElse(Option(options.get("startingTimestamp")).map { t =>
+          val ms = parseTime(t)
+          if (CommitLog.history(root).forall(_.timestampMs > ms)) 0
+          else CommitLog.versionAt(root, ms)
+        }).getOrElse(0)
+      val hi = Option(options.get("endingVersion")).map(_.toInt)
+        .getOrElse(CommitLog.latestVersion(root))
+      CommitLog.changes(root, lo, hi).filter(_.dataChange).forall { ch =>
+        ch.removed.isEmpty &&
+          !ch.added.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
+          CommitLogSource.listParquet(
+            root, CommitLogMerge.changeDirName(ch.version)).isEmpty
+      }
+    }
+    val changeFeed = (Option(options.get("readChangeFeed"))
+        .exists(_.toBoolean) && !insertOnlyWindow) ||
       Option(options.get(CommitLogSource.NoVariantExtractionOpt))
         .exists(_.toBoolean)
     def serveable(
@@ -1579,12 +1612,8 @@ case class CommitLogScan(
     if (emptyTable) return Array.empty
     // batch CHANGE FEED: the row changes of (startingVersion,
     // endingVersion] — Delta's table_changes — instead of a snapshot
-    if (readChangeFeed) {
-      val hi = endingVersion.getOrElse(CommitLog.latestVersion(root))
-      return CommitLog.changes(root, startingVersion, hi)
-        .flatMap(CommitLogChangePlan.partitions(root, _))
-        .map(p => p: InputPartition).toArray
-    }
+    if (readChangeFeed)
+      return changeFeedParts.map(p => p: InputPartition).toArray
     // MERGE-ON-READ reconciliation: a `dv-` deletion-vector batch is
     // not data — its (file, row_index) positions are loaded at plan
     // time (deletes-sized by the MOR contract; compaction is what
@@ -1828,16 +1857,46 @@ case class CommitLogScan(
     new GenericInternalRow(vals)
   }
 
-  /** Columnar exactly when NO planned partition needs per-row work:
-    * snapshot scans with no outstanding deletion vectors, no
-    * change-feed stamps, no synthesized metadata columns, all types
-    * vectorized-decodable. One flag for the whole scan — Spark
-    * requires every partition of a scan to agree. */
+  /** The batch change feed's planned partitions, memoized: planning
+    * and the columnar-eligibility decision must see the SAME set. */
+  @transient private lazy val changeFeedParts: Seq[CommitLogInputPartition] = {
+    val hi = endingVersion.getOrElse(CommitLog.latestVersion(root))
+    CommitLog.changes(root, startingVersion, hi)
+      .flatMap(CommitLogChangePlan.partitions(root, _))
+  }
+
+  /** Columnar exactly when NO planned partition needs per-row work.
+    * Snapshot scans: no outstanding deletion vectors, no synthesized
+    * metadata columns, all types vectorized-decodable. CHANGE-FEED
+    * scans (r15): columnar when every planned partition is an ordinary
+    * WHOLE-FILE read whose `_change_type`/`_commit_version` are
+    * constant — the stamps trail the batch as constant partition
+    * vectors (`initBatch` partition columns, the same mechanism
+    * hive-style partition values ride), so tailing the appends of an
+    * ingest table — the dominant 100 TB feed shape — runs the ~GB/s
+    * vectorized inner loop instead of row-at-a-time Groups. Any
+    * per-row bookkeeping (DV position skips or synthesized deletes,
+    * materialized change files carrying `_change_type` as DATA) keeps
+    * the row leg. One flag for the whole scan — Spark requires every
+    * partition of a scan to agree. */
   @transient private lazy val columnarEligible: Boolean =
-    !emptyTable && !readChangeFeed &&
+    if (emptyTable) false
+    else if (readChangeFeed) {
+      val stamps = schema.fields.filter(f =>
+        CommitLogSource.StampCols.contains(f.name))
+      val nonStamp = schema.fields.filterNot(f =>
+        CommitLogSource.StampCols.contains(f.name))
+      // stamps must TRAIL the pruned schema exactly (they are appended
+      // after the file columns by the vectorized reader)
+      schema.fields.sameElements(nonStamp ++ stamps) &&
+        !nonStamp.map(_.name).exists(CommitLogSource.SpecialCols.contains) &&
+        nonStamp.forall(f => CommitLogSource.vectorizable(f.dataType)) &&
+        changeFeedParts.forall(p => p.constChangeType.isDefined &&
+          p.deletedPositions.isEmpty && p.onlyPositions.isEmpty)
+    } else
       !snap.files.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
-      !schema.fieldNames.exists(CommitLogSource.SpecialCols.contains) &&
-      schema.fields.forall(f => CommitLogSource.vectorizable(f.dataType))
+        !schema.fieldNames.exists(CommitLogSource.SpecialCols.contains) &&
+        schema.fields.forall(f => CommitLogSource.vectorizable(f.dataType))
 
   override def createReaderFactory(): PartitionReaderFactory =
     // the memoized column map: readers must resolve against the SAME
@@ -2127,7 +2186,8 @@ case class CommitLogReaderFactory(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = unwrap(partition)
     new CommitLogColumnarReader(
-      p.file, schema, formers, columnarConf.get.value, p.fileLength)
+      p.file, schema, formers, columnarConf.get.value, p.fileLength,
+      stamp = p.constChangeType.map(ct => (ct, p.version)))
   }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = unwrap(partition)

@@ -38,10 +38,24 @@ object NoVariantPushdownOnMetadataScans extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case rel: DataSourceV2Relation
         if isCommitLog(rel.table) &&
-          rel.options.get(CommitLogSource.NoVariantExtractionOpt) == null &&
-          rel.output.exists(a =>
-            CommitLogSource.SpecialCols.contains(a.name) ||
-              a.name == CommitLogWrite.RowIdCol) =>
+          rel.options.get(CommitLogSource.NoVariantExtractionOpt) == null && {
+            // on a CHANGE-FEED relation the CDF stamps (and a tracked
+            // table's row id) are REGULAR schema columns — column
+            // pruning conveys them to the scan like any data column,
+            // so only the true metadata trio starves; everywhere else
+            // the full special set does (r15 — lets `variant_get`
+            // push into an insert-only feed window)
+            val feed = Option(rel.options.get("readChangeFeed"))
+              .exists(_.toBoolean)
+            val hazardous: String => Boolean =
+              if (feed)
+                Set(CommitLogSource.BatchCol, CommitLogSource.RowFileCol,
+                  CommitLogSource.RowPosCol)
+              else
+                n => CommitLogSource.SpecialCols.contains(n) ||
+                  n == CommitLogWrite.RowIdCol
+            rel.output.exists(a => hazardous(a.name))
+          } =>
       val m = new java.util.HashMap[String, String](rel.options)
       m.put(CommitLogSource.NoVariantExtractionOpt, "true")
       rel.copy(options = new CaseInsensitiveStringMap(m))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{CommitLog, CommitLogCommitMessage, CommitLogStreamingWrite, CommitLogWrite}
+import graft.sources.{CommitLog, CommitLogCommitMessage, CommitLogDml, CommitLogStreamingWrite, CommitLogWrite}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.functions._
 
@@ -382,6 +382,34 @@ class CommitLogWriteSpec extends SparkSpec {
     // batch 1 has no bloom (always read); batch 2's bloom excludes "x"
     assert(plannedParts(q) == 1)
     assert(q.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("constant-stamped feed windows run the vectorized leg (r15)") {
+    // a feed window of appends (and whole-batch deletes) has CONSTANT
+    // _change_type/_commit_version per partition — the scan is
+    // columnar, stamps riding as constant trailing partition vectors;
+    // a DV commit in the window forces per-row work and the row leg
+    val root = freshRoot("colfeed")
+    (0 until 3).foreach { i =>
+      spark.range(i * 50L, (i + 1) * 50L).toDF("id").repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    def feed = spark.read.format("commitlog").option("path", root)
+      .option("readChangeFeed", "true").option("startingVersion", 0).load()
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"append-only window must be columnar:\n$plan")
+    val rows = feed.collect()
+    assert(rows.length == 150)
+    assert(feed.groupBy($"_commit_version").count().count() == 3)
+    // DV delete enters the window: per-row position synthesis → row leg
+    spark.conf.set("spark.graft.rowLevel.mode", "delta")
+    try CommitLogDml.delete(spark, root, "id = 10", changeFeed = false)
+    finally spark.conf.set("spark.graft.rowLevel.mode", "cow")
+    val plan2 = feed.queryExecution.executedPlan.toString
+    assert(!plan2.contains("ColumnarToRow"),
+      s"a DV window needs the row leg:\n$plan2")
+    assert(feed.count() == 151) // 150 inserts + 1 synthesized delete
   }
 
   test("timestampAsOf resolves time travel against commit times") {

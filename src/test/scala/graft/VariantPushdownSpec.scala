@@ -78,6 +78,48 @@ class VariantPushdownSpec extends SparkSpec {
     assert(a.head == ((0L, """{"arr":[0,0],"k":0}""")))
   }
 
+  test("append-only feed windows push extractions and run columnar (r15)") {
+    // tailing the appends of an ingest table is the dominant feed
+    // shape: every partition is an ordinary whole data file whose
+    // stamps are constant, so the scan is COLUMNAR (stamps ride as
+    // constant trailing partition vectors) and variant extractions
+    // are accepted — `variant_get` over the feed reads the requested
+    // path, not the whole binary
+    val root = freshRoot("feed")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .select($"id", parse_json(format_string("""{"k":%d}""", $"id")).as("v"))
+        .repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+    }
+    def feed: DataFrame = spark.read.format("commitlog").option("path", root)
+      .option("readChangeFeed", "true").option("startingVersion", 0).load()
+      .select($"id", variant_get($"v", "$.k", "long").as("kv"),
+        $"_change_type".as("ct"), $"_commit_version".as("cv"))
+    val plan = feed.queryExecution.executedPlan.toString
+    assert(plan.contains(".0 AS kv"), s"feed extraction not pushed:\n$plan")
+    assert(!plan.contains("variant_get"), s"variant_get survived:\n$plan")
+    assert(plan.contains("ColumnarToRow"),
+      s"append-only window must run the vectorized leg:\n$plan")
+    val rows = feed.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(_.getString(2) == "insert"))
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)))
+    assert(rows.forall(r => r.getInt(3) == (r.getLong(0) / 100 + 1).toInt),
+      "constant version stamps must match each partition's commit")
+    // a rewrite enters the window: acceptance declines (whole-variant
+    // read, file-granularity rows) — results stay exact
+    CommitLogDml.delete(spark, root, "id = 7", changeFeed = false)
+    val plan2 = feed.queryExecution.executedPlan.toString
+    assert(!plan2.contains(".0 AS kv"),
+      s"a window with removes must decline the extraction:\n$plan2")
+    val folded = feed
+      .withColumn("_s", graft.sources.CommitLogCdf.changeSign($"ct"))
+      .groupBy("id", "kv").agg(sum($"_s").as("m")).filter($"m" =!= 0)
+    assert(folded.count() == 299)
+    assert(folded.filter($"id" === 7L).isEmpty)
+  }
+
   test("metadata-bearing plans decline the pushdown (no attribute starvation)") {
     // buildScanWithPushedVariants consumes the scan-builder holder
     // BEFORE the column-pruning phase that conveys metadata columns to

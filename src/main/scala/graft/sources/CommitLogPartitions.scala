@@ -169,7 +169,15 @@ object CommitLogPartitions {
     case d: java.time.LocalDate => Some(BigDecimal(d.toEpochDay))
     case d: java.math.BigDecimal => Some(BigDecimal(d))
     case d: BigDecimal => Some(d)
-    case n: java.lang.Number => Some(BigDecimal(n.toString))
+    // NaN/±Infinity have no BigDecimal form — not comparable here
+    // (None → three-valued UNKNOWN → the batch is kept and the
+    // residual filter answers under Spark's own NaN total order);
+    // without the guard a `c = double('NaN')` probe against a
+    // double-partitioned table crashed PLANNING with
+    // NumberFormatException
+    case n: java.lang.Number =>
+      try Some(BigDecimal(n.toString))
+      catch { case _: NumberFormatException => None }
     case _ => None
   }
 }

@@ -78,6 +78,29 @@ class NaNStatsSpec extends SparkSpec {
     assert(tbl.agg(min($"v")).head().getDouble(0) == 0.0)
   }
 
+  test("a NaN probe on a double-PARTITIONED table plans and answers exactly") {
+    // the partition-tuple evaluator compares stored tokens against
+    // pushed literals through BigDecimal — NaN/Infinity literals have
+    // no BigDecimal form and used to CRASH planning; now they read as
+    // three-valued UNKNOWN (keep the partition, residual decides)
+    val wh = java.nio.file.Files.createTempDirectory("graft_nanpart").toString
+    spark.conf.set("spark.sql.catalog.nanp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.nanp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS nanp.db")
+    spark.sql("CREATE TABLE nanp.db.t (id BIGINT, p DOUBLE) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO nanp.db.t SELECT id, " +
+      "CASE WHEN id < 5 THEN 1.5 ELSE double('NaN') END FROM range(0, 10)")
+    val nan = spark.sql("SELECT id FROM nanp.db.t WHERE p = double('NaN')")
+    assert(nan.collect().map(_.getLong(0)).sorted.toSeq == (5L until 10L),
+      "NaN = NaN is TRUE in Spark — the NaN partition's rows must answer")
+    assert(spark.sql(
+      "SELECT count(*) FROM nanp.db.t WHERE p > 100.0").head().getLong(0) == 5,
+      "NaN sorts above every double — it satisfies p > 100")
+    assert(spark.sql(
+      "SELECT count(*) FROM nanp.db.t WHERE p = 1.5").head().getLong(0) == 5)
+  }
+
   test("top-N DESC keeps exactly the NaN-marked batches; ASC prunes them") {
     CommitLogWrite.addConstraint(spark, root, "v_nn", "v IS NOT NULL")
     val top = tbl.orderBy($"v".desc).limit(3)

@@ -1071,8 +1071,8 @@ object Sources {
         // the writer just computed this data — its box is one agg away
         val r = part.agg(min($"o_orderkey"), max($"o_orderkey")).head()
         v = CommitLog.commit(root, v, added = Seq(b),
-          stats = Map(b -> Map(
-            "o_orderkey" -> (r.getLong(0).toDouble, r.getLong(1).toDouble)))).version
+          stats = Map(b -> Map("o_orderkey" -> graft.sources.CommitLog
+            .ColStat(r.getLong(0).toDouble, r.getLong(1).toDouble)))).version
       }
       val all = CommitLog.files(root, v)
       val pruned = CommitLog.prunedFiles(
@@ -3029,7 +3029,7 @@ object Sources {
       // layout facts, read from the manifest: batch count and the
       // number of OVERLAPPING sort-key box pairs (0 = range-disjoint)
       val boxes = graft.sources.CommitLog.statsOf(root, 1).values
-        .flatMap(_.get("l_orderkey")).toSeq.sortBy(_._1)
+        .flatMap(_.get("l_orderkey").flatMap(_.box)).toSeq.sortBy(_._1)
       val overlaps = boxes.sliding(2).count {
         case Seq((_, hi1), (lo2, _)) => hi1 > lo2
         case _ => false
@@ -3876,6 +3876,81 @@ object Sources {
       probe
         .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
         .select(lit(planned <= 2).as("pruned"), $"n", $"total_value")
+    },
+
+    // S69 (SURVEY S72): PER-COLUMN NULL COUNTS in manifest stats — the
+    // third planning facet next to boxes and blooms, recorded by the
+    // sink for EVERY column in the same pass the boxes ride. Three
+    // consumers, each pinned here with its file count:
+    // metadata COUNT(v) = Σ(rows − nulls) with zero data reads;
+    // IS NULL / IS NOT NULL pruning (one batch is ALL-null in v, the
+    // other null-free — each probe plans exactly one); and the top-N
+    // cut over a NULLABLE column with no NOT NULL proof, in both null
+    // orderings (NULLS FIRST keeps the null-bearing batch, NULLS LAST
+    // bounds over non-null counts). Spark and DuckDB default null
+    // orders differ (Spark ASC=NULLS FIRST; DuckDB NULLS LAST), so
+    // both sides spell the order explicitly. At 100 TB: count(col)
+    // dashboards and the ubiquitous implicit IS NOT NULL join-key
+    // filter stop reading data at all.
+    Decl(
+      "s69_null_stats",
+      s"""WITH t AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 7 = 0 THEN NULL
+         |         ELSE COALESCE(value, 0.0) END AS v
+         |  FROM events)
+         |SELECT 'cnt_v' AS leg, CAST(count(v) AS BIGINT) AS n FROM t
+         |UNION ALL
+         |SELECT 'null_rows', CAST(count(*) AS BIGINT) FROM t WHERE v IS NULL
+         |UNION ALL
+         |SELECT 'plans', CAST(4 AS BIGINT)
+         |UNION ALL
+         |SELECT 'top5_nf',
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM
+         |    (SELECT event_id FROM t
+         |     ORDER BY v ASC NULLS FIRST, event_id LIMIT 5))
+         |UNION ALL
+         |SELECT 'top5_nl',
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM
+         |    (SELECT event_id FROM t
+         |     ORDER BY v DESC NULLS LAST, event_id LIMIT 5))
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s69_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ev = Qh.t(s, dir, "events")
+        .select($"event_id",
+          when($"event_id" % 7 === 0, lit(null).cast("double"))
+            .otherwise(coalesce($"value", lit(0.0))).as("v"))
+      // two batches split BY nullness: one all-null in v, one null-free
+      ev.filter($"event_id" % 7 === 0).repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+      ev.filter($"event_id" % 7 =!= 0).repartition(1)
+        .write.format("commitlog").option("path", root).mode("append").save()
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val cnt = tbl.agg(count($"v").as("n"))
+        .select(lit("cnt_v").as("leg"), $"n")
+      val isNullQ = tbl.filter($"v".isNull)
+      val notNullQ = tbl.filter($"v".isNotNull)
+      val topNf = tbl.orderBy($"v".asc_nulls_first, $"event_id".asc).limit(5)
+      val topNl = tbl.orderBy($"v".desc_nulls_last, $"event_id".asc).limit(5)
+      // one row pinning all four file counts (each must plan 1 of 2)
+      val plans = s.range(1).select(lit("plans").as("leg"),
+        lit((plannedOf(isNullQ) + plannedOf(notNullQ) +
+          plannedOf(topNf) + plannedOf(topNl)).toLong).as("n"))
+      val nullRows = isNullQ.agg(count(lit(1)).as("n"))
+        .select(lit("null_rows").as("leg"), $"n")
+      val nf = topNf.agg(sum($"event_id").as("n"))
+        .select(lit("top5_nf").as("leg"), $"n")
+      val nl = topNl.agg(sum($"event_id").as("n"))
+        .select(lit("top5_nl").as("leg"), $"n")
+      cnt.unionAll(nullRows).unionAll(plans).unionAll(nf).unionAll(nl)
+        .orderBy("leg")
     }
   )
 

@@ -523,37 +523,65 @@ object CommitLog {
   // everything else in a manifest: each commit records boxes only for
   // the batches IT adds; checkpoints snapshot the accumulated boxes of
   // surviving batches so replay stays bounded. Encoding is flat
-  // ("batch|col|min|max" strings in the manifest's list grammar —
-  // numeric min/max only, which is what range pruning uses); a batch
-  // committed without stats simply never prunes (unknown = keep).
+  // ("batch|col|min|max" or, since r15, "batch|col|min|max|nulls"
+  // strings in the manifest's list grammar); a batch committed without
+  // stats simply never prunes (unknown = keep).
 
-  /** batch -> column -> (min, max), numeric box per column. */
-  type Stats = Map[String, Map[String, (Double, Double)]]
+  /** Per-(batch, column) manifest statistics: the numeric (lo, hi)
+    * pruning box, plus an optional EXACT NULL COUNT (r15) — the third
+    * planning facet: null-tolerant top-N bounds, metadata COUNT(col),
+    * and IS [NOT] NULL batch pruning all answer from it. An entry may
+    * be UNBOXED (`lo > hi` — a column with no boxable non-null value,
+    * e.g. an all-null or string column) when it carries a null count;
+    * [[ColStat.box]] is the range facet, None when unboxed. */
+  final case class ColStat(lo: Double, hi: Double, nulls: Option[Long] = None) {
+    def boxed: Boolean = lo <= hi
+    def box: Option[(Double, Double)] = if (boxed) Some((lo, hi)) else None
+  }
+  object ColStat {
+    def boxOnly(lo: Double, hi: Double): ColStat = ColStat(lo, hi, None)
+  }
+
+  /** batch -> column -> [[ColStat]]. */
+  type Stats = Map[String, Map[String, ColStat]]
 
   private def requireValidStats(stats: Stats, added: Seq[String]): Unit = {
     val addedSet = added.toSet
     stats.foreach { case (b, cols) =>
       require(addedSet(b),
         s"stats declared for '$b', which this commit does not add")
-      cols.foreach { case (c, (lo, hi)) =>
+      cols.foreach { case (c, st) =>
         require(!b.contains('|') && !c.exists(",\"[]\\|".contains(_)),
           s"stats names must not contain | , \" [ ] \\ : '$b'.'$c'")
-        require(!lo.isNaN && !hi.isNaN && lo <= hi,
-          s"invalid stats box for '$b'.'$c': [$lo, $hi]")
+        require(!st.lo.isNaN && !st.hi.isNaN,
+          s"invalid stats box for '$b'.'$c': [${st.lo}, ${st.hi}]")
+        // an unboxed entry exists only to carry a null count
+        require(st.boxed || st.nulls.isDefined,
+          s"unboxed stats entry without a null count: '$b'.'$c'")
+        require(st.nulls.forall(_ >= 0L),
+          s"negative null count for '$b'.'$c': ${st.nulls.get}")
       }
     }
   }
 
   private def renderStats(stats: Stats): Seq[String] =
     stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"$b|$c|$lo|$hi" }
+      cols.toSeq.sortBy(_._1).map { case (c, st) =>
+        st.nulls match {
+          case Some(n) => s"$b|$c|${st.lo}|${st.hi}|$n"
+          case None => s"$b|$c|${st.lo}|${st.hi}"
+        }
+      }
     }
 
   private def parseStats(entries: Seq[String]): Stats =
     entries.map(_.split('|')).collect {
-      case Array(b, c, lo, hi) => (b, c, lo.toDouble, hi.toDouble)
+      case Array(b, c, lo, hi) =>
+        (b, c, ColStat(lo.toDouble, hi.toDouble))
+      case Array(b, c, lo, hi, n) =>
+        (b, c, ColStat(lo.toDouble, hi.toDouble, Some(n.toLong)))
     }.groupBy(_._1).map { case (b, rows) =>
-      b -> rows.map(r => r._2 -> (r._3, r._4)).toMap
+      b -> rows.map(r => r._2 -> r._3).toMap
     }
 
   /** The accumulated stats boxes of the batches visible at `v` — one
@@ -571,7 +599,7 @@ object CommitLog {
       lo: Double, hi: Double): Seq[String] = {
     val snap = snapshotAt(root, v)
     snap.files.filter { b =>
-      snap.stats.get(b).flatMap(_.get(column)) match {
+      snap.stats.get(b).flatMap(_.get(column)).flatMap(_.box) match {
         case Some((bMin, bMax)) => bMax >= lo && bMin <= hi
         case None => true
       }

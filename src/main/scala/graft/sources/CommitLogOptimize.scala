@@ -160,9 +160,14 @@ object CommitLogOptimize {
     val sourceBoxes = sources.map(b => stats.getOrElse(b, Map.empty)
       .map { case (c, box) => toLogical.getOrElse(c, c) -> box })
     val shared = sourceBoxes.map(_.keySet).reduce(_ intersect _)
-    val packBox = shared.map { c =>
-      val boxes = sourceBoxes.map(_(c))
-      c -> (boxes.map(_._1).min, boxes.map(_._2).max)
+    val packBox: Map[String, CommitLog.ColStat] = shared.map { c =>
+      val sts = sourceBoxes.map(_(c))
+      // boxes union; null counts SUM only when every source counted
+      val nulls =
+        if (sts.forall(_.nulls.isDefined)) Some(sts.map(_.nulls.get).sum)
+        else None
+      c -> CommitLog.ColStat(
+        sts.map(_.lo).min, sts.map(_.hi).max, nulls)
     }.toMap
     val packStats: CommitLog.Stats =
       if (packBox.isEmpty) Map.empty else Map(packed -> packBox)
@@ -448,7 +453,8 @@ object CommitLogOptimize {
       batchName(b) -> boxCols.flatMap { c =>
         val lo = r.getAs[Any](s"lo_$c"); val hi = r.getAs[Any](s"hi_$c")
         if (lo == null || hi == null) None
-        else Some(c -> (lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
+        else Some(c -> CommitLog.ColStat(
+          lo.asInstanceOf[Double], hi.asInstanceOf[Double]))
       }.toMap
     }.toMap
     val added = present.map(batchName)

@@ -113,21 +113,20 @@ object CommitLogSource {
   /** The `_batch` metadata column's name (see CommitLogTable). */
   val BatchCol = "_batch"
 
-  /** An accepted top-N pushdown: leading sort column, direction,
-    * limit, and the VERSION the NOT NULL proof was checked at —
-    * carried so the scan can re-verify the proof against its own
-    * resolved snapshot (see [[notNullProven]]). */
-  case class TopNHint(col: String, desc: Boolean, k: Int, provedAt: Int)
+  /** An accepted top-N pushdown: leading sort column, direction, null
+    * ordering, limit. No proof rides the hint (r15): the cut
+    * self-gates at the SCAN's resolved version — a NOT NULL proof in
+    * force there, or per-batch null counts, bound the top-k; neither
+    * means no pruning. A concurrent DROP CONSTRAINT between pushdown
+    * and planning therefore has no window at all. */
+  case class TopNHint(col: String, desc: Boolean, nullsFirst: Boolean, k: Int)
 
   /** Whether version `v` of the log PROVES column `col` holds no
     * null: a declared CHECK `col IS NOT NULL` in force, or a NOT NULL
     * column in the recorded DDL (both enforced at the write — the
     * sink gates CHECKs, Spark's v2 writes assert declared
-    * non-nullability). The top-N prune's count bound leans on this.
-    * Checked TWICE: at pushdown acceptance, and again by the scan
-    * against its own resolved version — pushdown and planning can
-    * straddle a concurrent DROP CONSTRAINT + null-bearing append, and
-    * the proof must hold for the exact snapshot being pruned. */
+    * non-nullability). The top-N cut's fast path (nulls = 0
+    * everywhere, no per-batch counts consulted). */
   private[sources] def notNullProven(
       root: String, v: Int, col: String): Boolean =
     CommitLog.constraintsOf(root, v).values.exists(
@@ -913,7 +912,7 @@ class CommitLogScanBuilder(
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
-    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
     if (allFilters.nonEmpty || limitHint.isDefined || orders.isEmpty)
       return false
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) return false
@@ -924,26 +923,18 @@ class CommitLogScanBuilder(
     // a batch whose leading box misses the bound. `ORDER BY ts DESC,
     // id LIMIT 100` prunes exactly like the single-key spelling;
     // Spark still applies the full multi-key sort above the scan
-    // (isPartiallyPushed).
+    // (isPartiallyPushed). Null handling lives entirely in the cut
+    // (NOT NULL proof, or the per-batch null counts — r15), so
+    // acceptance is unconditional for any named leading key.
     val o = orders(0)
     val col = o.expression() match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         nr.fieldNames()(0)
       case _ => return false
     }
-    // counts must be NON-NULL counts for the sort column: a declared
-    // CHECK `col IS NOT NULL` in force OR a NOT NULL column in the
-    // recorded DDL is the proof (null rows sort outside every box and
-    // would break the accumulate-to-k bound; both forms are enforced
-    // at the write — the sink validates CHECKs, Spark's v2 writes
-    // assert declared non-nullability)
-    val v = Option(options.get("versionAsOf")).map(_.toInt)
-      .orElse(Option(options.get("timestampAsOf"))
-        .map(t => CommitLog.versionAt(root, parseTime(t))))
-      .getOrElse(CommitLog.latestVersion(root))
-    if (!CommitLogSource.notNullProven(root, v, col)) return false
     topNHint = Some(CommitLogSource.TopNHint(
-      col, o.direction() == SortDirection.DESCENDING, limit, provedAt = v))
+      col, o.direction() == SortDirection.DESCENDING,
+      o.nullOrdering() == NullOrdering.NULLS_FIRST, limit))
     true
   }
 
@@ -1191,11 +1182,13 @@ class CommitLogScanBuilder(
         !live.forall(b => tupleOf(b).exists(t => gbCols.forall(t.contains))))
       return None
 
-    def chainBox(b: String, c: String): Option[(Double, Double)] =
+    def chainStat(b: String, c: String): Option[CommitLog.ColStat] =
       snap.stats.get(b).flatMap { bm =>
         (c +: fm.getOrElse(c, Seq.empty)).iterator.map(bm.get)
           .collectFirst { case Some(t) => t }
       }
+    def chainBox(b: String, c: String): Option[(Double, Double)] =
+      chainStat(b, c).flatMap(_.box)
     def dtOf(c: String): Option[DataType] =
       typeSchema.fields.find(_.name == c).map(_.dataType)
     // a boxed double is the exact value for int/date (< 2^31), float/
@@ -1222,10 +1215,14 @@ class CommitLogScanBuilder(
     case object CountAll extends Fn
     case class MinOf(c: String) extends Fn
     case class MaxOf(c: String) extends Fn
+    case class CountOf(c: String) extends Fn
     val fnsOpt: Seq[Option[Fn]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountAll)
       case m: Min => colOf(m.column).map(MinOf)
       case m: Max => colOf(m.column).map(MaxOf)
+      // COUNT(col) = rows − nulls, answerable since r15 from the
+      // per-column null counts the sink records with every box
+      case c: Count if !c.isDistinct => colOf(c.column).map(CountOf)
       case _ => None
     }
     if (fnsOpt.exists(_.isEmpty)) return None
@@ -1256,6 +1253,15 @@ class CommitLogScanBuilder(
           if (bs.exists(_.isEmpty)) None
           else exactValue(c, bs.flatten.map(_._2).max)
         }
+      case CountOf(c) =>
+        // exact when every live batch carries BOTH its exact row count
+        // (gated above) and a null count for c — COUNT over no rows is
+        // 0, and a pre-evolution batch (no stats entry for c: its rows
+        // null-fill the column) correctly declines to a data read
+        val parts = batches.map(b => chainStat(b, c).flatMap(_.nulls)
+          .map(snap.rows(b) - _))
+        if (parts.exists(_.isEmpty)) None
+        else Some(Long.box(parts.flatten.sum))
     }
     def keyValue(c: String, tok: String): Option[Any] =
       CommitLog.partValue(tok) match {
@@ -1283,6 +1289,7 @@ class CommitLogScanBuilder(
         StructField(s"min($c)", dtOf(c).getOrElse(return None), nullable = true)
       case MaxOf(c) =>
         StructField(s"max($c)", dtOf(c).getOrElse(return None), nullable = true)
+      case CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
     }
     Some(CommitLogAggScan(StructType(gbFields ++ fnFields), rows))
   }
@@ -1561,7 +1568,7 @@ case class CommitLogScan(
     // evaluates the exact predicate above the scan
     val boxPruned = allBoxes.foldLeft(dataBatches) { case (fs, (col, (lo, hi))) =>
       fs.filter { b =>
-        chainLookup(snap.stats.get(b), col) match {
+        chainLookup(snap.stats.get(b), col).flatMap(_.box) match {
           case Some((bLo, bHi)) => bHi >= lo && bLo <= hi
           case None => true
         }
@@ -1579,6 +1586,27 @@ case class CommitLogScan(
         }
       }
     }
+    // NULL-COUNT pruning (r15): the per-column null counts the sink
+    // records with every box answer the two nullability probes boxes
+    // cannot — `IS NULL` drops batches with a PROVEN-ZERO null count,
+    // and `IS NOT NULL` (which Spark pushes implicitly for nearly
+    // every filter and join key) drops batches that are provably
+    // ALL-null in the column. Unknown counts keep the batch.
+    val nullProbes: Seq[(String, Boolean)] = allPartFilters.collect {
+      case org.apache.spark.sql.sources.IsNull(c) => (c, true)
+      case org.apache.spark.sql.sources.IsNotNull(c) => (c, false)
+    }
+    val nullPruned = nullProbes.foldLeft(bloomPruned) {
+      case (fs, (c, wantNull)) =>
+        fs.filter { b =>
+          chainLookup(snap.stats.get(b), c).flatMap(_.nulls) match {
+            case Some(k) =>
+              if (wantNull) k > 0L
+              else snap.rows.get(b).forall(n => k < n)
+            case None => true
+          }
+        }
+    }
     // PARTITION pruning: exact three-valued evaluation of every pushed
     // filter against the batch's recorded partition tuple — prunes
     // equality/range/IN/IS NULL/string predicates for all types, which
@@ -1586,8 +1614,8 @@ case class CommitLogScan(
     // without a tuple (engine rewrite) is kept; filter types resolve
     // against the DECLARED schema (the pruned read schema may drop
     // filter-only columns).
-    if (allPartFilters.isEmpty || snap.parts.isEmpty) bloomPruned
-    else bloomPruned.filter { b =>
+    if (allPartFilters.isEmpty || snap.parts.isEmpty) nullPruned
+    else nullPruned.filter { b =>
       tupleTokensOf(b) match {
         case Some(tokens) =>
           CommitLogPartitions.mayMatch(allPartFilters,
@@ -1646,17 +1674,10 @@ case class CommitLogScan(
         topN match {
           // runtime filters shrink the competing row set — the
           // unfiltered bound could then prune a file holding the
-          // FILTERED top-k, so any replan disables the cut. The
-          // NOT NULL proof must hold at THIS scan's resolved version,
-          // not just the pushdown-time one: a concurrent DROP
-          // CONSTRAINT + null-bearing append between the two would
-          // otherwise let the cut run over a snapshot with nulls
-          // (re-checked only when the versions differ).
-          case Some(CommitLogSource.TopNHint(c, desc, k, provedAt))
-              if dvBatches.isEmpty && runtimeFilters.isEmpty &&
-                (provedAt == resolvedVersion ||
-                  CommitLogSource.notNullProven(root, resolvedVersion, c)) =>
-            topNPrunedBatches(pruned, c, desc, k)
+          // FILTERED top-k, so any replan disables the cut
+          case Some(CommitLogSource.TopNHint(c, desc, nullsFirst, k))
+              if dvBatches.isEmpty && runtimeFilters.isEmpty =>
+            topNPrunedBatches(pruned, c, desc, nullsFirst, k)
           case _ => pruned
         }
     }
@@ -1682,64 +1703,123 @@ case class CommitLogScan(
   /** TOP-N file pruning from manifest metadata: keep exactly the
     * batches that can hold a row of the global top-k.
     *
-    * DESC soundness: sort batches by box-LO descending and accumulate
-    * EXACT row counts until ≥ k — every row of a taken batch has
-    * `c ≥` its own lo ≥ L (the minimum taken lo), so at least k rows
-    * have `c ≥ L` and the true k-th value is ≥ L; a batch with
-    * box-HI < L therefore holds no top-k row. Nulls cannot undercut
-    * the count bound because the pushdown required a `c IS NOT NULL`
-    * CHECK in force. Boxed doubles only weaken the bound: rounding to
-    * nearest is monotone, so `hi_d < L_d ⇒ true hi < true L` — pruning
-    * stays exact for every numeric width, including longs past 2^53.
-    * ASC mirrors with box-HI ascending and `lo ≤ U`.
+    * DESC NULLS LAST soundness (the default DESC spelling): sort
+    * batches by box-LO descending and accumulate EXACT NON-NULL
+    * counts until ≥ k — every counted row has `c ≥` its own lo ≥ L
+    * (the minimum taken lo), so at least k non-null rows have
+    * `c ≥ L`, the true k-th value is ≥ L, and null rows (sorting
+    * last) are out of the running; a batch with box-HI < L and no
+    * chance of beating L therefore holds no top-k row. Non-null
+    * counts come from a `c IS NOT NULL` proof in force at THIS scan's
+    * version (nulls = 0 everywhere) or the per-batch null counts the
+    * sink records (r15). ASC NULLS LAST mirrors with box-HI ascending
+    * and `lo ≤ U`. Boxed doubles only weaken the bound: rounding to
+    * nearest is monotone, so `hi_d < L_d ⇒ true hi < true L` — exact
+    * for every numeric width, including longs past 2^53.
+    *
+    * NULLS FIRST (the default ASC spelling): nulls beat every value,
+    * so FULL row counts accumulate (each counted row is null — a
+    * winner — or inside its box), all-null batches rank first, and a
+    * batch is prunable only when its box misses the bound AND its
+    * null count is provably zero.
     *
     * NaN (floats/doubles): the writer marks a NaN-bearing batch with
     * hi = +Inf ([[CommitLogWrite]] box()) because Spark sorts NaN
     * above every value. DESC: such a batch always survives the keep
     * test (+Inf ≥ L), and taking it is sound (NaN ≥ its lo). ASC: an
-    * infinite hi sorts LAST, so every batch COUNTED toward a finite
-    * bound U has a finite hi and is therefore NaN-free — its full
-    * count satisfies `c ≤ U`; a NaN batch pruned by `lo > U` holds
-    * only rows above U (finite rows ≥ lo, NaN above everything).
+    * infinite hi sorts LAST among boxed batches, so every batch
+    * COUNTED toward a finite bound U has a finite hi and is therefore
+    * NaN-free; a NaN batch pruned by `lo > U` holds only rows above U.
     *
     * Conservative exits (NO pruning, never wrong results): any live
-    * batch missing its exact count or its box for `c` (rename chains
-    * probed), or an empty prune set. */
+    * batch missing its exact count, an unreachable bound, or —
+    * per batch — missing facts (no box / unknown nulls) that leave it
+    * unprovable: such a batch is KEPT, never counted. */
   private def topNPrunedBatches(
-      batches: Seq[String], c: String, desc: Boolean, k: Int): Seq[String] = {
+      batches: Seq[String], c: String, desc: Boolean, nullsFirst: Boolean,
+      k: Int): Seq[String] = {
     // EVERY batch needs an exact count up front: a count-less batch is
     // indistinguishable from an empty one further down, and dropping
     // it there would lose rows — unprovable means keep all
     if (batches.exists(b => snap.rows.get(b).isEmpty)) return batches
     val live = batches.filter(b => snap.rows(b) > 0L)
     if (live.size <= 1) return batches
-    val facts: Seq[(String, Long, (Double, Double))] = live.map { b =>
-      val box = chainLookup(snap.stats.get(b), c)
-      if (box.isEmpty) return batches // unprovable: keep all
-      // NaN sorts above every double but poisons box comparisons —
-      // a NaN-carrying box makes the whole cut unprovable
-      if (box.exists(x => x._1.isNaN || x._2.isNaN)) return batches
-      (b, snap.rows(b), box.get)
+    val proven = CommitLogSource.notNullProven(root, resolvedVersion, c)
+    case class Fact(rows: Long, nulls: Option[Long],
+        box: Option[(Double, Double)]) {
+      def nonNull: Option[Long] = nulls.map(rows - _)
+      def allNull: Boolean = nonNull.contains(0L)
     }
-    val ordered =
-      if (desc) facts.sortBy { case (_, _, (lo, _)) => -lo }
-      else facts.sortBy { case (_, _, (_, hi)) => hi }
+    val facts: Seq[(String, Fact)] = live.map { b =>
+      val st = chainLookup(snap.stats.get(b), c)
+      val box = st.flatMap(_.box)
+      // boxes never carry NaN (writer contract) — defensive keep-all
+      if (box.exists(x => x._1.isNaN || x._2.isNaN)) return batches
+      b -> Fact(snap.rows(b),
+        if (proven) Some(0L) else st.flatMap(_.nulls), box)
+    }
+    // rank: most-winning batches first under (direction, nulls order)
+    def rank(f: Fact): Double =
+      f.box.map { case (lo, hi) => if (desc) -lo else hi }
+        .getOrElse(Double.NegativeInfinity) // all-null, nulls-first: wins
     var acc = 0L
     var bound: Option[Double] = None
-    ordered.foreach { case (_, n, (lo, hi)) =>
-      if (bound.isEmpty) {
-        acc += n
-        if (acc >= k) bound = Some(if (desc) lo else hi)
+    if (!nullsFirst) {
+      // NULLS LAST: accumulate NON-NULL counts of boxed batches
+      facts.filter { case (_, f) => f.box.isDefined && f.nonNull.isDefined }
+        .sortBy { case (_, f) => rank(f) }
+        .foreach { case (_, f) =>
+          if (bound.isEmpty) {
+            acc += f.nonNull.get
+            if (acc >= k)
+              bound = Some(if (desc) f.box.get._1 else f.box.get._2)
+          }
+        }
+      bound match {
+        case None => batches // unreachable bound: keep all
+        case Some(t) =>
+          val keep = facts.collect {
+            case (b, f) if f.box.exists { case (lo, hi) =>
+              if (desc) hi >= t else lo <= t } => b
+            // unboxed: prunable only when provably all-null (those
+            // rows sort after every value — never in the top-k the
+            // bound just proved exists)
+            case (b, f) if f.box.isEmpty && !f.allNull => b
+          }.toSet
+          batches.filter(keep)
       }
-    }
-    bound match {
-      case None => batches // fewer than k rows in total: keep all
-      case Some(t) =>
-        val keep = facts.collect {
-          case (b, _, (lo, hi)) if (if (desc) hi >= t else lo <= t) => b
-        }.toSet
-        // zero-row batches prune for free; order of `batches` preserved
-        batches.filter(b => keep(b))
+    } else {
+      // NULLS FIRST: nulls win — accumulate FULL counts; a batch
+      // participates when boxed (each row: null, or inside the box)
+      // or provably all-null (ranks first)
+      facts.filter { case (_, f) => f.box.isDefined || f.allNull }
+        .sortBy { case (_, f) => rank(f) }
+        .foreach { case (_, f) =>
+          if (bound.isEmpty) {
+            acc += f.rows
+            if (acc >= k)
+              bound = Some(f.box
+                .map(b => if (desc) b._1 else b._2)
+                .getOrElse( // all-null bound: only null-bearers survive
+                  if (desc) Double.PositiveInfinity
+                  else Double.NegativeInfinity))
+          }
+        }
+      bound match {
+        case None => batches
+        case Some(t) =>
+          val keep = facts.collect {
+            // a batch with any (or unknown) nulls always competes
+            case (b, f) if !f.nulls.contains(0L) => b
+            case (b, f) if f.box.exists { case (lo, hi) =>
+              if (desc) hi >= t else lo <= t } => b
+            // unboxed + zero nulls + rows > 0 cannot come from this
+            // writer (values would box) — treat a contradictory
+            // manifest as unprovable, never prune on it
+            case (b, f) if f.box.isEmpty => b
+          }.toSet
+          batches.filter(keep)
+      }
     }
   }
 
@@ -1777,7 +1857,12 @@ case class CommitLogScan(
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     if (emptyTable || readChangeFeed) return Array.empty
     val toLogical = fm.toSeq.flatMap { case (l, fs) => fs.map(_ -> l) }.toMap
-    val metaCols = (snap.stats.values.flatMap(_.keys) ++
+    // BOXED entries only: since r15 every column carries a stats entry
+    // (null counts ride unboxed ones), but runtime filters are
+    // range/membership probes — claiming a null-count-only column
+    // would make Spark materialize join keys that can never prune
+    val metaCols = (snap.stats.values
+      .flatMap(_.collect { case (c, st) if st.boxed => c }) ++
       snap.blooms.values.flatMap(_.keys)).map(c => toLogical.getOrElse(c, c))
     (partCols ++ metaCols).distinct
       .filter(schema.fieldNames.contains)

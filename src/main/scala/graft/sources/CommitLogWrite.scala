@@ -574,13 +574,10 @@ object CommitLogWrite {
         st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).toSeq
 
-  /** Per-task (min, max) boxes merged into one manifest stats entry. */
+  /** Per-task column stats merged into one manifest stats entry. */
   private[sources] def mergedStats(
       msgs: Seq[CommitLogCommitMessage], batchName: String): CommitLog.Stats = {
-    val merged = msgs.flatMap(_.stats).groupBy(_._1).map {
-      case (col, boxes) =>
-        col -> (boxes.map(_._2).min, boxes.map(_._3).max)
-    }
+    val merged = boxesOf(msgs.flatMap(_.stats))
     if (merged.isEmpty) Map.empty else Map(batchName -> merged)
   }
 
@@ -632,11 +629,19 @@ object CommitLogWrite {
       .map(cur => CommitLog.alignNullability(cur, bare)).getOrElse(bare)
   }
 
-  /** Column (min, max) boxes merged across task messages. */
+  /** Column stats merged across task messages: boxes union (min of
+    * los, max of his — an unboxed part's +Inf/-Inf init is the unit of
+    * that union), null counts SUM — exact only when every part counted
+    * (they all do since r15; None-propagation keeps a replayed old
+    * message conservative). */
   private[sources] def boxesOf(
-      stats: Seq[(String, Double, Double)]): Map[String, (Double, Double)] =
+      stats: Seq[(String, CommitLog.ColStat)]): Map[String, CommitLog.ColStat] =
     stats.groupBy(_._1).map { case (c, bs) =>
-      c -> (bs.map(_._2).min, bs.map(_._3).max)
+      val nulls =
+        if (bs.forall(_._2.nulls.isDefined)) Some(bs.map(_._2.nulls.get).sum)
+        else None
+      c -> CommitLog.ColStat(
+        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls)
     }
 
   /** Bloom bitsets OR-merged across task messages, hex-encoded. */
@@ -968,7 +973,7 @@ object CommitLogWrite {
   * column, + the two-level names of one task's output file. */
 case class CommitLogCommitMessage(
     tmpName: String, visibleName: String, rows: Long,
-    stats: Seq[(String, Double, Double)],
+    stats: Seq[(String, CommitLog.ColStat)],
     blooms: Seq[(String, Array[Long])] = Nil) extends WriterCommitMessage
 
 /** One file of a PARTITIONED task's output: the per-file facts of
@@ -976,7 +981,7 @@ case class CommitLogCommitMessage(
   * (col -> value in partition-column order; None = null). */
 case class CommitLogFileMsg(
     tmpName: String, visibleName: String, rows: Long,
-    stats: Seq[(String, Double, Double)],
+    stats: Seq[(String, CommitLog.ColStat)],
     blooms: Seq[(String, Array[Long])],
     tuple: Seq[(String, Option[String])])
 
@@ -2267,6 +2272,11 @@ class CommitLogDataWriter(
   private var rows = 0L
   private val lo = Array.fill(schema.length)(Double.PositiveInfinity)
   private val hi = Array.fill(schema.length)(Double.NegativeInfinity)
+  // exact per-column null counts (r15): every column, every type — the
+  // facet metadata COUNT(col), IS [NOT] NULL pruning and null-tolerant
+  // top-N bounds answer from. One branch per cell, counted in the same
+  // pass the boxes ride.
+  private val nullCount = Array.fill(schema.length)(0L)
 
   // stats plan per column, resolved once: which accessor feeds the
   // (min, max) box. Composites (binary/array/struct/map) have no
@@ -2297,7 +2307,8 @@ class CommitLogDataWriter(
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < boxers.length) {
-      if (boxers(i) != null && !row.isNullAt(i)) boxers(i)(row, i)
+      if (row.isNullAt(i)) nullCount(i) += 1L
+      else if (boxers(i) != null) boxers(i)(row, i)
       i += 1
     }
     var bi = 0
@@ -2334,9 +2345,13 @@ class CommitLogDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writerOpt.foreach(_.close())
+    // every valid-named column gets an entry: boxed numerics carry
+    // (lo, hi, nulls); unboxable columns (strings, composites,
+    // all-null numerics) carry the null count alone (lo > hi = the
+    // documented unboxed carrier form)
     val stats = schema.fields.toSeq.zipWithIndex.collect {
-      case (f, i) if lo(i) <= hi(i) && !f.name.exists(",\"[]\\|".contains(_)) =>
-        (f.name, lo(i), hi(i))
+      case (f, i) if !f.name.exists(",\"[]\\|".contains(_)) =>
+        (f.name, CommitLog.ColStat(lo(i), hi(i), Some(nullCount(i))))
     }
     val blooms = bloomSets.toSeq.map { case (ci, bits, _) =>
       schema(ci).name -> bits

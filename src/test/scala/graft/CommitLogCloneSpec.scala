@@ -71,12 +71,12 @@ class CommitLogCloneSpec extends SparkSpec {
     (1 to 50).map(i => (i.toLong, i * 10L)).toDF("k", "v")
       .repartition(1).write.parquet(s"$src/b1")
     CommitLog.commit(src, 0, added = Seq("b1"),
-      stats = Map("b1" -> Map("k" -> (1.0, 50.0))))
+      stats = Map("b1" -> Map("k" -> CommitLog.ColStat(1.0, 50.0))))
     CommitLogWrite.addConstraint(spark, src, "v_pos", "v > 0")
     CommitLog.cloneTable(src, tgt)
     val snap = CommitLog.snapshotAt(tgt, 1)
-    assert(snap.stats.values.toSeq == Seq(Map("k" -> (1.0, 50.0))),
-      snap.stats)
+    assert(snap.stats.values.toSeq ==
+      Seq(Map("k" -> CommitLog.ColStat(1.0, 50.0))), snap.stats)
     assert(CommitLog.constraintsOf(tgt, 1) == Map("v_pos" -> "v > 0"))
     // stats prune from the clone's own manifest
     val pruned = CommitLog.prunedFiles(tgt, 1, "k", 200.0, 300.0)

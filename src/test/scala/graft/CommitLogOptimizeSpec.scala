@@ -42,8 +42,9 @@ class CommitLogOptimizeSpec extends SparkSpec {
     assert(spark.read.format("commitlog").option("path", root)
       .option("versionAsOf", 2).load().count() == 3L)
     // stats boxes unioned from the sinks' born boxes: id in [1,5]
-    val box = CommitLog.statsOf(root, v)(r.packed.get)("id")
-    assert(box == (1.0, 5.0), s"unioned box: $box")
+    val st = CommitLog.statsOf(root, v)(r.packed.get)("id")
+    assert(st.box.contains((1.0, 5.0)), s"unioned box: $st")
+    assert(st.nulls.contains(0L), s"null counts must merge through the pack: $st")
     // pruning still effective through the connector
     val pruned = spark.read.format("commitlog").option("path", root).load()
       .filter($"id" >= 100.0)

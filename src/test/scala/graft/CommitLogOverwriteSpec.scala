@@ -39,7 +39,8 @@ class CommitLogOverwriteSpec extends SparkSpec {
     assert(CommitLog.history(root).last.operation.contains("OVERWRITE"))
     // the new batch is born prunable: stats rode the overwrite commit
     val stats = CommitLog.statsOf(root, CommitLog.latestVersion(root))
-    assert(stats.values.flatMap(_.get("id")).toSeq == Seq((100.0, 200.0)))
+    assert(stats.values.flatMap(_.get("id").flatMap(_.box)).toSeq ==
+      Seq((100.0, 200.0)))
   }
 
   test("SQL INSERT OVERWRITE replaces the table content atomically") {

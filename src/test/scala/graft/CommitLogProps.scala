@@ -180,7 +180,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
       var files = Vector.empty[Vector[String]] // per version
       var dataChange = Vector.empty[Boolean]
       var txnAt = Vector.empty[Map[String, Long]]
-      var boxes = Map.empty[String, Map[String, (Double, Double)]]
+      var boxes = Map.empty[String, Map[String, graft.sources.CommitLog.ColStat]]
       var blooms = Map.empty[String, Map[String, String]]
       var rowCounts = Map.empty[String, Long]
       var expiredBelow = 1
@@ -196,7 +196,7 @@ object CommitLogProps extends Properties("graft.commitlog") {
           names.foreach(stage(root, _))
           val st: CommitLog.Stats =
             if (!withStats) Map.empty
-            else names.map(b => b -> Map("x" -> (fresh.toDouble, fresh + 1.0))).toMap
+            else names.map(b => b -> Map("x" -> CommitLog.ColStat(fresh.toDouble, fresh + 1.0))).toMap
           val bl: CommitLog.Blooms =
             if (!withBloom) Map.empty
             else names.map { b =>

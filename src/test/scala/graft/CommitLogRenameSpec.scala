@@ -155,7 +155,7 @@ class CommitLogRenameSpec extends SparkSpec {
     assert(rows.size == 60 && rows(3L) == 30L && rows(59L) == 590L)
     // the pack's box landed under the CURRENT name, unioned over eras
     val box = CommitLog.statsOf(root, CommitLog.latestVersion(root))
-      .values.headOption.flatMap(_.get("amount"))
+      .values.headOption.flatMap(_.get("amount")).flatMap(_.box)
     assert(box.contains((10.0, 600.0)), box)
   }
 

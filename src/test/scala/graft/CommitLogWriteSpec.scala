@@ -44,7 +44,7 @@ class CommitLogWriteSpec extends SparkSpec {
     val v = CommitLog.latestVersion(root)
     val stats = CommitLog.statsOf(root, v)
     assert(stats.size == 2, s"both batches should carry boxes: $stats")
-    val boxes = stats.values.flatMap(_.get("x")).toSeq.sortBy(_._1)
+    val boxes = stats.values.flatMap(_.get("x").flatMap(_.box)).toSeq.sortBy(_._1)
     assert(boxes == Seq((5.0, 9.0), (100.0, 100.0)))
     // pruning on x in [0, 50] keeps only the first batch
     val pruned = CommitLog.prunedFiles(root, v, "x", 0.0, 50.0)

@@ -384,7 +384,7 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     // stats are pure manifest metadata: no data files needed to pin the
     // replay/pruning protocol
     val root = freshRoot("stats")
-    def box(b: String, lo: Double, hi: Double) = Map(b -> Map("k" -> (lo, hi)))
+    def box(b: String, lo: Double, hi: Double) = Map(b -> Map("k" -> CommitLog.ColStat(lo, hi)))
     CommitLog.commit(root, 0, added = Seq("b1"), stats = box("b1", 0, 99))
     CommitLog.commit(root, 1, added = Seq("b2"), stats = box("b2", 100, 199))
     CommitLog.commit(root, 2, added = Seq("b3"))  // no stats: never prunes
@@ -402,13 +402,13 @@ class ConcurrentCommitSpec extends AnyFunSuite {
     (5 to 8).foreach(i => CommitLog.commit(root, i - 1, added = Seq(s"x$i")))
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "_log", "ckpt-v8.json")))
-    assert(CommitLog.statsOf(root, 8)("b1a")("k") == ((0.0, 49.0)),
+    assert(CommitLog.statsOf(root, 8)("b1a")("k").box.contains((0.0, 49.0)),
       "boxes must ride the checkpoint")
     // time travel keeps the OLD boxes: v3 still sees b1's
-    assert(CommitLog.statsOf(root, 3)("b1")("k") == ((0.0, 99.0)))
+    assert(CommitLog.statsOf(root, 3)("b1")("k").box.contains((0.0, 99.0)))
     // vacuum to the floor: surviving boxes re-read from the cutoff ckpt
     CommitLog.vacuum(root, keepLast = 1, minAgeMs = 0L)
-    assert(CommitLog.statsOf(root, 8)("b2")("k") == ((100.0, 199.0)))
+    assert(CommitLog.statsOf(root, 8)("b2")("k").box.contains((100.0, 199.0)))
     // stats for a batch the commit does not add are refused
     intercept[IllegalArgumentException] {
       CommitLog.commit(root, 8, added = Seq("y"), stats = box("z", 0, 1))

@@ -96,7 +96,7 @@ class GraftCatalogSpec extends SparkSpec {
     // scan must plan exactly that batch's files
     val keep = graft.sources.CommitLogSource.listParquet(
       root, CommitLog.files(root, v).maxBy(b =>
-        CommitLog.statsOf(root, v)(b)("v")._1)).size
+        CommitLog.statsOf(root, v)(b)("v").lo)).size
     val planned = spark.sql("SELECT * FROM gt.db5.p WHERE v > 500")
     assert(planned.rdd.getNumPartitions == keep && keep < total,
       s"manifest-stat pruning must reach catalog scans: planned " +

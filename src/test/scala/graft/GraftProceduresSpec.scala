@@ -126,7 +126,7 @@ class GraftProceduresSpec extends SparkSpec {
     val batches = CommitLog.files(root, v)
     assert(batches.length > 1, s"expected a clustered rewrite, got $batches")
     val boxes = CommitLog.statsOf(root, v).values
-      .flatMap(_.get("k")).toSeq.sortBy(_._1)
+      .flatMap(_.get("k").flatMap(_.box)).toSeq.sortBy(_._1)
     assert(boxes.length == batches.length)
     boxes.sliding(2).foreach {
       case Seq((_, hi1), (lo2, _)) =>

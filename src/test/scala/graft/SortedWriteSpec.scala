@@ -45,7 +45,7 @@ class SortedWriteSpec extends SparkSpec {
     assert(batches.length == 8, s"expected 8 sorted batches, got $batches")
     // the k boxes are pairwise disjoint — the write was range-clustered
     val boxes = CommitLog.statsOf(root, 1).toSeq
-      .flatMap { case (b, cols) => cols.get("k").map(b -> _) }
+      .flatMap { case (b, cols) => cols.get("k").flatMap(_.box).map(b -> _) }
       .sortBy(_._2._1)
     assert(boxes.length == batches.length, "every batch carries a k box")
     boxes.sliding(2).foreach {
@@ -83,7 +83,7 @@ class SortedWriteSpec extends SparkSpec {
     assert(CommitLog.files(root, v).length == 6,
       "property-declared sort order must split the publish")
     val boxes = CommitLog.statsOf(root, v).values
-      .flatMap(_.get("k")).toSeq.sortBy(_._1)
+      .flatMap(_.get("k").flatMap(_.box)).toSeq.sortBy(_._1)
     boxes.sliding(2).foreach {
       case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
       case _ => ()
@@ -157,7 +157,7 @@ class SortedWriteSpec extends SparkSpec {
     val batches = CommitLog.files(root, v)
     assert(batches.length == 4, s"overwrite collapsed the layout: $batches")
     val boxes = CommitLog.statsOf(root, v).values
-      .flatMap(_.get("k")).toSeq.sortBy(_._1)
+      .flatMap(_.get("k").flatMap(_.box)).toSeq.sortBy(_._1)
     boxes.sliding(2).foreach {
       case Seq((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
       case _ => ()

@@ -59,11 +59,11 @@ class TopNPushdownSpec extends SparkSpec {
     assert(big.agg(min($"id")).head().getLong(0) == 100000L - 13000L)
   }
 
-  test("no NOT NULL proof, DVs, or overlapping boxes: no cut, same results") {
-    // missing constraint: pushTopN declines, full plan, exact results
+  test("null counts, DVs, and overlapping boxes: the cut's decline matrix") {
+    // NULLABLE column without a CHECK: since r15 the per-batch null
+    // counts the sink records replace the proof — the cut bounds over
+    // NON-NULL counts and still opens one file
     val noCk = freshRoot("nock")
-    // `when` makes the column NULLABLE: without either proof form
-    // (CHECK or schema NOT NULL) the cut must not run
     spark.range(0, 1000).toDF("id0")
       .select(when($"id0" >= 0, $"id0").as("id")).repartition(4)
       .write.format("commitlog").option("path", noCk)
@@ -71,8 +71,33 @@ class TopNPushdownSpec extends SparkSpec {
       .mode("append").save()
     val t1 = spark.read.format("commitlog").option("path", noCk).load()
       .orderBy($"id".desc).limit(3)
-    assert(planned(t1) == 4, "without the NOT NULL proof the cut must not run")
+    assert(planned(t1) == 1,
+      "null counts must carry the bound without a NOT NULL proof")
     assert(t1.select($"id").as[Long].collect().toSeq == Seq(999L, 998L, 997L))
+
+    // neither proof NOR null counts (a hand-committed box-only
+    // manifest, the pre-r15 shape): the cut must NOT run
+    val noNulls = freshRoot("nonulls")
+    spark.range(0, 100).toDF("id0")
+      .select(when($"id0" >= 0, $"id0").as("id")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$noNulls/_tmp_a")
+    (0 until 2).foreach { i =>
+      val dir = new java.io.File(s"$noNulls/g$i"); dir.mkdirs()
+      val part = new java.io.File(s"$noNulls/_tmp_a").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(dir, "part-0.parquet").toPath)
+      CommitLog.commit(noNulls, i, added = Seq(s"g$i"),
+        schema = Some("id BIGINT"),
+        stats = Map(s"g$i" -> Map(
+          "id" -> graft.sources.CommitLog.ColStat(0.0, 99.0))),
+        rows = Map(s"g$i" -> 100L))
+    }
+    val t1b = spark.read.format("commitlog").option("path", noNulls).load()
+      .orderBy($"id".desc).limit(3)
+    assert(planned(t1b) == 2,
+      "box-only stats (no null counts, no proof) must disable the cut")
+    assert(t1b.select($"id").as[Long].collect().toSeq == Seq(99L, 99L, 98L))
 
     // outstanding DVs: counts over-estimate, cut disabled
     val dv = mkSorted("dv")
@@ -157,11 +182,15 @@ class TopNPushdownSpec extends SparkSpec {
       (99999L to 99995L by -1))
   }
 
-  test("the scan re-proves NOT NULL at its own version (constraint-drop race)") {
+  test("a constraint drop + null append between pushdown and scan stays exact") {
     // pushdown accepts against version v; a concurrent DROP CONSTRAINT
-    // + null-bearing append lands before the scan resolves — the scan
-    // must re-verify the proof at ITS version and decline the cut,
-    // because the snapshot it prunes now contains nulls
+    // + null-bearing append lands before the scan resolves. The cut
+    // self-gates at the SCAN's version: the proof is gone there, so
+    // the bound falls back to the per-batch null counts — which see
+    // the new null (DESC NULLS LAST: the null batch is all-null in id
+    // and prunable; the bound holds on the four counted batches).
+    // Results stay exact either way; the old proof-version race has
+    // no window at all.
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
     val root = freshRoot("race")
@@ -179,8 +208,7 @@ class TopNPushdownSpec extends SparkSpec {
       val b = new graft.sources.CommitLogScanBuilder(
         root, schema, new CaseInsensitiveStringMap(java.util.Map.of()))
       assert(b.pushTopN(Array(Expressions.sort(
-        Expressions.column("id"), SortDirection.DESCENDING)), 3),
-        "proof holds at pushdown time — acceptance expected")
+        Expressions.column("id"), SortDirection.DESCENDING)), 3))
       b
     }
     def plannedFiles(b: graft.sources.CommitLogScanBuilder): Int =
@@ -193,8 +221,20 @@ class TopNPushdownSpec extends SparkSpec {
     Seq((Option.empty[Long], Option.empty[Long])).toDF("id", "v")
       .write.format("commitlog").option("path", root)
       .mode("append").save() // v4: a null id is live
-    assert(plannedFiles(raced) == 5,
-      "the scan's own version lost the proof — the cut must not run")
+    assert(plannedFiles(raced) == 1,
+      "null counts replace the dropped proof; the all-null batch prunes " +
+        "under DESC NULLS LAST")
+    // and the full read at v4 answers exactly (the null sorts last)
+    val top = spark.read.format("commitlog").option("path", root).load()
+      .orderBy($"id".desc).limit(3)
+    assert(top.select($"id").as[Long].collect().toSeq ==
+      Seq(999L, 998L, 997L))
+    // NULLS FIRST flips the competition: the null batch must be kept
+    // and the null row leads
+    val nf = spark.read.format("commitlog").option("path", root).load()
+      .orderBy($"id".desc_nulls_first).limit(1)
+    assert(nf.select($"id").collect().head.isNullAt(0),
+      "DESC NULLS FIRST: the null row is the top-1")
   }
 
   test("time travel pins the constraint check to the read version") {
@@ -207,7 +247,8 @@ class TopNPushdownSpec extends SparkSpec {
     CommitLogWrite.addConstraint(spark, root, "id_nn", "id IS NOT NULL") // v2
     val atV1 = spark.read.format("commitlog").option("path", root)
       .option("versionAsOf", 1).load().orderBy($"id".desc).limit(2)
-    assert(planned(atV1) == 2, "v1 has no NOT NULL proof — no cut")
+    assert(planned(atV1) == 1,
+      "v1 has no NOT NULL proof, but its null counts carry the bound")
     assert(atV1.select($"id").as[Long].collect().toSeq == Seq(999L, 998L))
     val atV2 = spark.read.format("commitlog").option("path", root)
       .option("versionAsOf", 2).load().orderBy($"id".desc).limit(2)

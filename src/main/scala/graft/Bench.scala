@@ -45,7 +45,7 @@ object Bench {
     "a8_pivot" -> 0.435, "a9_salted_agg" -> 0.590,
     "c1_upsert_latest" -> 0.489, "c2_scd2_intervals" -> 0.665,
     "c3_incremental_agg" -> 0.831, "c4_cdc_apply" -> 0.511,
-    "c5_retractable_agg" -> 1.523, "flagship_pipeline" -> 0.373,
+    "c5_retractable_agg" -> 1.455, "flagship_pipeline" -> 0.373,
     "j10_bloom_semi" -> 0.819, "j11_salted_skew_join" -> 0.510,
     "j12_interval_overlap" -> 0.802, "j13_spatial_grid" -> 0.699,
     "j14_cobucketed_join" -> 0.528, "j1_semi_broadcast" -> 0.581,
@@ -55,10 +55,10 @@ object Bench {
     "j9_asof_join" -> 0.476, "l10_drift" -> 0.658, "l10_ks_drift" -> 0.591,
     "l10_profile" -> 0.252, "l10_zipf" -> 0.468, "l11_decontam" -> 1.142,
     "l11_semantic_decontam" -> 0.412, "l12_global_ids" -> 0.627,
-    "l13_bfs" -> 1.375, "l13_hits" -> 4.646, "l13_kcore" -> 1.286,
+    "l13_bfs" -> 1.375, "l13_hits" -> 4.646, "l13_kcore" -> 1.156,
     "l13_pagerank" -> 2.563, "l13_triangles" -> 0.995,
     "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.604,
-    "l16_pii_redact" -> 0.778, "l1_exact_dedup" -> 0.363,
+    "l16_pii_redact" -> 0.774, "l1_exact_dedup" -> 0.363,
     "l2_cc_star" -> 3.759, "l2_chunk_dedup" -> 1.071,
     "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
     "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 2.085,
@@ -89,7 +89,7 @@ object Bench {
     "l8_deterministic_split" -> 0.211, "l8_mixture_weights" -> 0.259,
     "l8_stratified_sample" -> 0.151, "l8_weighted_sample" -> 0.249,
     "l9_mixture_interleave" -> 0.231, "l9_sequence_packing" -> 0.294,
-    "l9_shard_export" -> 0.972, "o1_topk" -> 0.143, "o2_limit" -> 0.125,
+    "l9_shard_export" -> 0.962, "o1_topk" -> 0.143, "o2_limit" -> 0.125,
     "o3_union" -> 0.340, "o3_union_distinct" -> 0.385, "o4_except" -> 0.317,
     "o4_except_all" -> 0.545, "o4_intersect" -> 0.335,
     "o4_intersect_all" -> 0.395, "p10_map_hof" -> 1.341, "p10_maps" -> 0.863,
@@ -131,9 +131,9 @@ object Bench {
     "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.193,
     "s59_changes_table" -> 1.175, "s5_kafka_envelope" -> 0.199,
     "s60_generated_prune" -> 0.781, "s61_variant" -> 1.911,
-    "s62_row_tracking" -> 3.677, "s63_feed_identity_fold" -> 3.292,
+    "s62_row_tracking" -> 3.677, "s63_feed_identity_fold" -> 3.213,
     "s64_variant_pushdown" -> 2.093, "s65_stream_row_tracking" -> 1.446,
-    "s66_topn_prune" -> 0.650, "s67_nan_box" -> 0.734,
+    "s66_topn_prune" -> 0.613, "s67_nan_box" -> 0.734,
     "s68_bloom_bigint" -> 0.983, "s6_csv_roundtrip" -> 0.459,
     "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.593,
     "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.685,

@@ -62,7 +62,10 @@ object PlanDump {
       "l2_survivor_selection" -> "Quality-aware survivor election (r9): the (quality, doc_id) election key PACKED into one BIGINT keeps the per-cluster vote a plain codegen'd max+count HashAggregate (struct keys demote max_by to SortAggregate; a window would sort) — one exchange on component, map-side partial combine.",
       "s22c_change_feed" -> "Commit-log change feed (r9): each version's OWN delta manifest drives the incremental fold — signed union of added(+1)/removed(-1) batch scans into one partial+final agg; no join, no table rescan, O(changes) regardless of table size.",
       "l6_phash_dedup" -> "Perceptual-hash image dedup (r9): real PNG decode in a narrow mapPartitions, 48-bit average-hash via codegen HOFs (integer cross-multiply bits), 4x12-bit band equi-join exact at Hamming<=2 by pigeonhole — the SimHash banding discipline on decoded pixels.",
-      "l4_pmi_phrases" -> "PMI collocation mining (r9): vocab unigram agg + (w1,w2) bigram agg with partial combine, unigram counts BROADCAST back twice, one-row totals broadcast, bounded TakeOrdered top-50 — the corpus-sized bigram table never sorts or shuffles to a dimension join.")
+      "l4_pmi_phrases" -> "PMI collocation mining (r9): vocab unigram agg + (w1,w2) bigram agg with partial combine, unigram counts BROADCAST back twice, one-row totals broadcast, bounded TakeOrdered top-50 — the corpus-sized bigram table never sorts or shuffles to a dimension join.",
+      "s66_topn_prune" -> "Top-N file pruning (r14/r15): ORDER BY LIMIT over the sorted commitlog table plans only the files whose boxes reach the accumulate-to-k bound (null-tolerant since r15 — the NOT NULL proof is just the fast path); Spark re-sorts above the scan (partial pushdown).",
+      "s68_bloom_bigint" -> "Numeric bloom point lookup (r15): a BIGINT equality probe on an interleaved (fully box-overlapping) table plans ~1 of 6 batches from the manifest blooms — integral values hash their decimal-string canonical key on both sides.",
+      "s69_null_stats" -> "Null-count facet (r15): metadata COUNT(col) folds rows−nulls with ZERO parquet scans (a local metadata relation), IS [NOT] NULL probes plan 1 of 2 batches, and both null orderings of the nullable top-N cut to the batches that can compete.")
 
     // per-query session overrides: dump the plan under the SAME config
     // its PlanSpec gate asserts (j14's no-exchange/no-sort claim only

@@ -3951,6 +3951,70 @@ object Sources {
         .select(lit("top5_nl").as("leg"), $"n")
       cnt.unionAll(nullRows).unionAll(plans).unionAll(nf).unionAll(nl)
         .orderBy("leg")
+    },
+
+    // S70 (SURVEY S73): STRING BOUNDS in manifest stats — truncated
+    // byte-lexicographic min/max of each string column's UTF-8 bytes,
+    // the RANGE modality blooms (membership-only) cannot provide.
+    // Spark's UTF8String order and DuckDB's binary collation are both
+    // unsigned byte-lex, so `BETWEEN`, comparisons, equality and
+    // `LIKE 'prefix%'` (pushed as StringStartsWith, bounded to
+    // [p, p-incremented)) prune batches straight from the manifest —
+    // NO bloom option declared here; bounds alone carry every probe.
+    // Metadata MIN/MAX on strings answers from exact (shorter-than-cap)
+    // bounds with zero data reads. The table is written in three
+    // alphabet-range batches; `plans` pins each probe at 1 of 3.
+    Decl(
+      "s70_string_bounds",
+      s"""SELECT 'between_n' AS leg, CAST(count(*) AS BIGINT) AS n
+         |FROM events WHERE event_type BETWEEN 'p' AND 'sz'
+         |UNION ALL
+         |SELECT 'eq_n', CAST(count(*) AS BIGINT)
+         |FROM events WHERE event_type = 'error'
+         |UNION ALL
+         |SELECT 'like_n', CAST(count(*) AS BIGINT)
+         |FROM events WHERE event_type LIKE 'v%'
+         |UNION ALL
+         |SELECT 'minmax_ok',
+         |  CAST((min(event_type) = 'click' AND max(event_type) = 'view')
+         |    AS BIGINT)
+         |FROM events
+         |UNION ALL
+         |SELECT 'plans', CAST(3 AS BIGINT)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s70_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val ev = Qh.t(s, dir, "events").select($"event_id", $"event_type")
+      Seq(Seq("click", "error"), Seq("purchase", "signup"), Seq("view"))
+        .foreach { group =>
+          ev.filter($"event_type".isin(group: _*)).repartition(1)
+            .write.format("commitlog").option("path", root)
+            .mode("append").save()
+        }
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val betweenQ = tbl.filter($"event_type" >= "p" && $"event_type" <= "sz")
+      val eqQ = tbl.filter($"event_type" === "error")
+      val likeQ = tbl.filter($"event_type".startsWith("v"))
+      val between = betweenQ.agg(count(lit(1)).as("n"))
+        .select(lit("between_n").as("leg"), $"n")
+      val eq = eqQ.agg(count(lit(1)).as("n"))
+        .select(lit("eq_n").as("leg"), $"n")
+      val like = likeQ.agg(count(lit(1)).as("n"))
+        .select(lit("like_n").as("leg"), $"n")
+      val minmax = tbl.agg(min($"event_type").as("mn"), max($"event_type").as("mx"))
+        .select(lit("minmax_ok").as("leg"),
+          ($"mn" === "click" && $"mx" === "view").cast("long").as("n"))
+      val plans = s.range(1).select(lit("plans").as("leg"),
+        lit((plannedOf(betweenQ) + plannedOf(eqQ) + plannedOf(likeQ)).toLong)
+          .as("n"))
+      between.unionAll(eq).unionAll(like).unionAll(minmax).unionAll(plans)
+        .orderBy("leg")
     }
   )
 

@@ -528,17 +528,44 @@ object CommitLog {
   // stats simply never prunes (unknown = keep).
 
   /** Per-(batch, column) manifest statistics: the numeric (lo, hi)
-    * pruning box, plus an optional EXACT NULL COUNT (r15) — the third
-    * planning facet: null-tolerant top-N bounds, metadata COUNT(col),
-    * and IS [NOT] NULL batch pruning all answer from it. An entry may
-    * be UNBOXED (`lo > hi` — a column with no boxable non-null value,
-    * e.g. an all-null or string column) when it carries a null count;
-    * [[ColStat.box]] is the range facet, None when unboxed. */
-  final case class ColStat(lo: Double, hi: Double, nulls: Option[Long] = None) {
+    * pruning box, an optional EXACT NULL COUNT (r15), and optional
+    * STRING BOUNDS (r15) — truncated byte-lexicographic min/max of a
+    * string column's UTF-8 bytes (hex in the grammar; Spark's
+    * UTF8String and DuckDB both compare binary UTF-8, so the bounds
+    * prune string ranges, equality and `LIKE 'prefix%'` exactly like
+    * numeric boxes do). Truncation keeps bounds SOUND: the stored
+    * lower is a byte-prefix of the true min (≤ it), the stored upper
+    * is byte-incremented past the true max when cut (see
+    * [[CommitLogWrite]]); a bound shorter than [[ColStat.StrCap]]
+    * bytes is EXACT (metadata MIN/MAX may serve it).
+    *
+    * An entry may be UNBOXED (`lo > hi` — no boxable non-null numeric
+    * value) when it carries a null count or string bounds;
+    * [[ColStat.box]] is the numeric facet, None when unboxed. */
+  final case class ColStat(lo: Double, hi: Double, nulls: Option[Long] = None,
+      strLo: Option[Array[Byte]] = None, strHi: Option[Array[Byte]] = None) {
     def boxed: Boolean = lo <= hi
     def box: Option[(Double, Double)] = if (boxed) Some((lo, hi)) else None
+    // case-class equality on Array fields is reference equality —
+    // compare by value so stats round-trip comparisons behave
+    override def equals(o: Any): Boolean = o match {
+      case s: ColStat =>
+        lo == s.lo && hi == s.hi && nulls == s.nulls &&
+          strLo.map(_.toSeq) == s.strLo.map(_.toSeq) &&
+          strHi.map(_.toSeq) == s.strHi.map(_.toSeq)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (lo, hi, nulls, strLo.map(_.toSeq), strHi.map(_.toSeq)).hashCode()
+    override def toString: String =
+      s"ColStat($lo,$hi,$nulls," +
+        s"${strLo.map(b => new String(b, "UTF-8"))}," +
+        s"${strHi.map(b => new String(b, "UTF-8"))})"
   }
   object ColStat {
+    /** Byte cap for stored string bounds (Iceberg truncates at 16;
+      * 32 keeps most real keys exact while bounding manifest size). */
+    val StrCap = 32
     def boxOnly(lo: Double, hi: Double): ColStat = ColStat(lo, hi, None)
   }
 
@@ -555,31 +582,53 @@ object CommitLog {
           s"stats names must not contain | , \" [ ] \\ : '$b'.'$c'")
         require(!st.lo.isNaN && !st.hi.isNaN,
           s"invalid stats box for '$b'.'$c': [${st.lo}, ${st.hi}]")
-        // an unboxed entry exists only to carry a null count
-        require(st.boxed || st.nulls.isDefined,
+        // an unboxed entry exists only to carry null counts or bounds
+        require(st.boxed || st.nulls.isDefined || st.strLo.isDefined,
           s"unboxed stats entry without a null count: '$b'.'$c'")
         require(st.nulls.forall(_ >= 0L),
           s"negative null count for '$b'.'$c': ${st.nulls.get}")
+        require(st.strLo.isDefined == st.strHi.isDefined,
+          s"string bounds must come in pairs: '$b'.'$c'")
+        require(st.strLo.forall(_.length <= ColStat.StrCap) &&
+          st.strHi.forall(_.length <= ColStat.StrCap),
+          s"string bound over ${ColStat.StrCap} bytes: '$b'.'$c'")
       }
     }
   }
 
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
   private def renderStats(stats: Stats): Seq[String] =
     stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, st) =>
-        st.nulls match {
-          case Some(n) => s"$b|$c|${st.lo}|${st.hi}|$n"
-          case None => s"$b|$c|${st.lo}|${st.hi}"
+        val base = s"$b|$c|${st.lo}|${st.hi}"
+        (st.nulls, st.strLo, st.strHi) match {
+          case (None, None, None) => base
+          case (n, None, None) => s"$base|${n.getOrElse("")}"
+          // string bounds require the nulls slot (empty if unknown)
+          case (n, Some(slo), Some(shi)) =>
+            s"$base|${n.map(_.toString).getOrElse("")}|${hex(slo)}|${hex(shi)}"
+          case other =>
+            throw new IllegalStateException(s"unrenderable stat: $other")
         }
       }
     }
 
   private def parseStats(entries: Seq[String]): Stats =
-    entries.map(_.split('|')).collect {
+    // limit -1 keeps TRAILING empty fields (an empty-string bound is
+    // legal: hex("") = "", and plain split would collapse the arity)
+    entries.map(_.split("\\|", -1)).collect {
       case Array(b, c, lo, hi) =>
         (b, c, ColStat(lo.toDouble, hi.toDouble))
       case Array(b, c, lo, hi, n) =>
         (b, c, ColStat(lo.toDouble, hi.toDouble, Some(n.toLong)))
+      case Array(b, c, lo, hi, n, slo, shi) =>
+        (b, c, ColStat(lo.toDouble, hi.toDouble,
+          if (n.isEmpty) None else Some(n.toLong),
+          Some(unhex(slo)), Some(unhex(shi))))
     }.groupBy(_._1).map { case (b, rows) =>
       b -> rows.map(r => r._2 -> r._3).toMap
     }

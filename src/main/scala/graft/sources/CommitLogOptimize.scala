@@ -166,8 +166,18 @@ object CommitLogOptimize {
       val nulls =
         if (sts.forall(_.nulls.isDefined)) Some(sts.map(_.nulls.get).sum)
         else None
+      // string bounds union only when EVERY source carries them: a
+      // bound-less source batch (pre-r15 era, or all-null) may still
+      // hold values the union would miss — cross-era merges poison
+      def lt(a: Array[Byte], b: Array[Byte]) =
+        java.util.Arrays.compareUnsigned(a, b) < 0
+      val (slo, shi) =
+        if (sts.forall(s => s.strLo.isDefined && s.strHi.isDefined))
+          (Some(sts.map(_.strLo.get).reduce((a, b) => if (lt(a, b)) a else b)),
+            Some(sts.map(_.strHi.get).reduce((a, b) => if (lt(a, b)) b else a)))
+        else (None, None)
       c -> CommitLog.ColStat(
-        sts.map(_.lo).min, sts.map(_.hi).max, nulls)
+        sts.map(_.lo).min, sts.map(_.hi).max, nulls, slo, shi)
     }.toMap
     val packStats: CommitLog.Stats =
       if (packBox.isEmpty) Map.empty else Map(packed -> packBox)

@@ -506,6 +506,63 @@ object CommitLogFilters {
     filters.flatMap(rangeOf).groupBy(_._1).map { case (c, rs) =>
       c -> (rs.map(_._2).max, rs.map(_._3).min)
     }
+
+  /** The CLOSED byte-lex range a filter bounds one STRING column to —
+    * the string twin of [[rangeOf]], compared against the manifest's
+    * truncated string bounds (both sides UTF-8 unsigned byte order,
+    * which is Spark's UTF8String comparison and DuckDB's binary
+    * collation). `LIKE 'p%'` bounds to [p, p-incremented): every match
+    * starts with p, so it is ≥ p and strictly below the prefix with
+    * its last non-0xFF byte incremented (no upper when p is all 0xFF).
+    * None bound = unbounded on that side. */
+  def strRangeOf(f: Filter)
+      : Option[(String, Option[Array[Byte]], Option[Array[Byte]])] = {
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    f match {
+      case EqualTo(c, s: String) => Some((c, Some(b(s)), Some(b(s))))
+      case GreaterThan(c, s: String) => Some((c, Some(b(s)), None))
+      case GreaterThanOrEqual(c, s: String) => Some((c, Some(b(s)), None))
+      case LessThan(c, s: String) => Some((c, None, Some(b(s))))
+      case LessThanOrEqual(c, s: String) => Some((c, None, Some(b(s))))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val bs = vs.map(v => b(v.asInstanceOf[String]))
+        val lo = bs.reduce((x, y) =>
+          if (java.util.Arrays.compareUnsigned(x, y) <= 0) x else y)
+        val hi = bs.reduce((x, y) =>
+          if (java.util.Arrays.compareUnsigned(x, y) <= 0) y else x)
+        Some((c, Some(lo), Some(hi)))
+      case StringStartsWith(c, p) =>
+        val pb = b(p)
+        val upper = {
+          val q = pb.clone()
+          var i = q.length - 1
+          while (i >= 0 && q(i) == -1) i -= 1
+          if (i < 0) None
+          else {
+            q(i) = (q(i) + 1).toByte
+            Some(java.util.Arrays.copyOf(q, i + 1))
+          }
+        }
+        Some((c, Some(pb), upper))
+      case _ => None
+    }
+  }
+
+  /** Per-column closed string ranges a filter set implies (AND =
+    * intersect: max of lowers, min of uppers, None = unbounded). */
+  def strBoxesOf(filters: Seq[Filter])
+      : Map[String, (Option[Array[Byte]], Option[Array[Byte]])] =
+    filters.flatMap(strRangeOf).groupBy(_._1).map { case (c, rs) =>
+      def pick(side: Seq[Option[Array[Byte]]], wantMax: Boolean) = {
+        val defined = side.flatten
+        if (defined.isEmpty) None
+        else Some(defined.reduce((x, y) =>
+          if ((java.util.Arrays.compareUnsigned(x, y) <= 0) ^ wantMax) x
+          else y))
+      }
+      c -> (pick(rs.map(_._2), wantMax = true),
+        pick(rs.map(_._3), wantMax = false))
+    }
 }
 
 class CommitLogTable(
@@ -1079,7 +1136,8 @@ class CommitLogScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
       CommitLogFilters.rangeOf(f).isDefined ||
-        CommitLogFilters.probeOf(f).isDefined)
+        CommitLogFilters.probeOf(f).isDefined ||
+        CommitLogFilters.strRangeOf(f).isDefined)
     // several filters on one column AND together: intersect the boxes
     boxes = CommitLogFilters.boxesOf(filters.toSeq)
     probes = filters.flatMap(CommitLogFilters.probeOf).toSeq
@@ -1235,10 +1293,33 @@ class CommitLogScanBuilder(
       else live.groupBy(b => gbCols.map(c => tupleOf(b).get(c)))
         .toSeq.map { case (k, bs) => (k, bs) }.sortBy(_._1.mkString("\u0000"))
 
+    // STRING MIN/MAX from the truncated bounds (r15): exact only when
+    // every CONTRIBUTING batch's bound is shorter than the cap (a
+    // cap-length bound may be a truncated lower or an incremented
+    // upper — not a real value); batches provably all-null in c
+    // (nulls == rows) contribute no values and may lack bounds
+    def strExtreme(batches: Seq[String], c: String, isMin: Boolean)
+        : Option[Any] = {
+      val contributing = batches.filterNot(b =>
+        chainStat(b, c).flatMap(_.nulls).contains(snap.rows(b)))
+      if (contributing.isEmpty) return Some(null) // no values: NULL
+      val bounds = contributing.map { b =>
+        chainStat(b, c).flatMap(st => if (isMin) st.strLo else st.strHi)
+          .filter(_.length < CommitLog.ColStat.StrCap)
+      }
+      if (bounds.exists(_.isEmpty)) None
+      else {
+        val sel = bounds.flatten.reduce((a, x) =>
+          if ((java.util.Arrays.compareUnsigned(a, x) <= 0) == isMin) a
+          else x)
+        Some(org.apache.spark.unsafe.types.UTF8String.fromBytes(sel))
+      }
+    }
     def fnValue(batches: Seq[String], fn: Fn): Option[Any] = fn match {
       case CountAll => Some(Long.box(batches.map(snap.rows).sum))
       case MinOf(c) =>
         if (batches.isEmpty) Some(null) // MIN over no rows is NULL
+        else if (dtOf(c).contains(StringType)) strExtreme(batches, c, true)
         else {
           val bs = batches.map(b => chainBox(b, c))
           // a live batch without a box may be all-null in c (box
@@ -1248,6 +1329,7 @@ class CommitLogScanBuilder(
         }
       case MaxOf(c) =>
         if (batches.isEmpty) Some(null)
+        else if (dtOf(c).contains(StringType)) strExtreme(batches, c, false)
         else {
           val bs = batches.map(b => chainBox(b, c))
           if (bs.exists(_.isEmpty)) None
@@ -1586,6 +1668,26 @@ case class CommitLogScan(
         }
       }
     }
+    // STRING-BOUND pruning (r15): intersect each pushed string range
+    // (equality, comparisons, IN, LIKE 'prefix%') against the batches'
+    // truncated byte-lex bounds — the stored lower is ≤ the true min
+    // and the stored upper ≥ the true max, so a missed intersection
+    // proves absence; a batch without bounds is kept
+    val strBoxes = CommitLogFilters.strBoxesOf(allPartFilters)
+    val strPruned = strBoxes.foldLeft(bloomPruned) {
+      case (fs, (col, (qLo, qHi))) =>
+        fs.filter { b =>
+          chainLookup(snap.stats.get(b), col) match {
+            case Some(st) if st.strLo.isDefined && st.strHi.isDefined =>
+              val loOk = qHi.forall(h =>
+                java.util.Arrays.compareUnsigned(st.strLo.get, h) <= 0)
+              val hiOk = qLo.forall(l =>
+                java.util.Arrays.compareUnsigned(st.strHi.get, l) >= 0)
+              loOk && hiOk
+            case _ => true
+          }
+        }
+    }
     // NULL-COUNT pruning (r15): the per-column null counts the sink
     // records with every box answer the two nullability probes boxes
     // cannot — `IS NULL` drops batches with a PROVEN-ZERO null count,
@@ -1596,7 +1698,7 @@ case class CommitLogScan(
       case org.apache.spark.sql.sources.IsNull(c) => (c, true)
       case org.apache.spark.sql.sources.IsNotNull(c) => (c, false)
     }
-    val nullPruned = nullProbes.foldLeft(bloomPruned) {
+    val nullPruned = nullProbes.foldLeft(strPruned) {
       case (fs, (c, wantNull)) =>
         fs.filter { b =>
           chainLookup(snap.stats.get(b), c).flatMap(_.nulls) match {
@@ -1857,12 +1959,15 @@ case class CommitLogScan(
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     if (emptyTable || readChangeFeed) return Array.empty
     val toLogical = fm.toSeq.flatMap { case (l, fs) => fs.map(_ -> l) }.toMap
-    // BOXED entries only: since r15 every column carries a stats entry
-    // (null counts ride unboxed ones), but runtime filters are
-    // range/membership probes — claiming a null-count-only column
-    // would make Spark materialize join keys that can never prune
+    // BOXED or STRING-BOUNDED entries only: since r15 every column
+    // carries a stats entry (null counts ride unboxed ones), but
+    // runtime filters are range/membership probes — claiming a
+    // null-count-only column would make Spark materialize join keys
+    // that can never prune
     val metaCols = (snap.stats.values
-      .flatMap(_.collect { case (c, st) if st.boxed => c }) ++
+      .flatMap(_.collect {
+        case (c, st) if st.boxed || st.strLo.isDefined => c
+      }) ++
       snap.blooms.values.flatMap(_.keys)).map(c => toLogical.getOrElse(c, c))
     (partCols ++ metaCols).distinct
       .filter(schema.fieldNames.contains)

@@ -629,19 +629,68 @@ object CommitLogWrite {
       .map(cur => CommitLog.alignNullability(cur, bare)).getOrElse(bare)
   }
 
+  /** Truncated byte-lexicographic string-bound helpers (the soundness
+    * rules [[CommitLog.ColStat]] documents): the LOWER bound is a
+    * byte-prefix of the true min (compares ≤ it under unsigned
+    * byte-lex, which is Spark's UTF8String order and DuckDB's binary
+    * collation); a cut UPPER bound is the prefix INCREMENTED at its
+    * last non-0xFF byte (strictly greater than every string carrying
+    * the original prefix) — None when every prefix byte is 0xFF
+    * (unbounded; the merge then poisons the column's bounds). */
+  private[sources] def truncLower(b: Array[Byte]): Array[Byte] =
+    if (b.length <= CommitLog.ColStat.StrCap) b
+    else java.util.Arrays.copyOf(b, CommitLog.ColStat.StrCap)
+
+  private[sources] def truncUpper(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= CommitLog.ColStat.StrCap) Some(b)
+    else {
+      val p = java.util.Arrays.copyOf(b, CommitLog.ColStat.StrCap)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == -1) i -= 1
+      if (i < 0) None
+      else {
+        // increment, then ZERO-FILL back to exactly StrCap bytes: a
+        // truncated upper is thereby always cap-length, so
+        // `length < StrCap` is the EXACTNESS test metadata MIN/MAX
+        // rely on (the zero-filled value still strictly exceeds every
+        // string carrying the original prefix — they differ first at
+        // byte i, where the stored bound is one larger)
+        p(i) = (p(i) + 1).toByte
+        java.util.Arrays.fill(p, i + 1, p.length, 0.toByte)
+        Some(p)
+      }
+    }
+
+  private def byteLt(a: Array[Byte], b: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(a, b) < 0
+
   /** Column stats merged across task messages: boxes union (min of
     * los, max of his — an unboxed part's +Inf/-Inf init is the unit of
     * that union), null counts SUM — exact only when every part counted
     * (they all do since r15; None-propagation keeps a replayed old
-    * message conservative). */
+    * message conservative). String bounds union over the parts that
+    * DEFINE them (a task with zero non-null strings contributes no
+    * values, so skipping it is exact); a HALF-DEFINED pair is the
+    * writer's unbounded-upper poison marker and drops the column's
+    * bounds for the whole batch. */
   private[sources] def boxesOf(
       stats: Seq[(String, CommitLog.ColStat)]): Map[String, CommitLog.ColStat] =
     stats.groupBy(_._1).map { case (c, bs) =>
       val nulls =
         if (bs.forall(_._2.nulls.isDefined)) Some(bs.map(_._2.nulls.get).sum)
         else None
+      val poisoned =
+        bs.exists(p => p._2.strLo.isDefined != p._2.strHi.isDefined)
+      val withBounds = bs.map(_._2)
+        .filter(p => p.strLo.isDefined && p.strHi.isDefined)
+      val (slo, shi) =
+        if (poisoned || withBounds.isEmpty) (None, None)
+        else (Some(withBounds.map(_.strLo.get).reduce((a, b) =>
+            if (byteLt(a, b)) a else b)),
+          Some(withBounds.map(_.strHi.get).reduce((a, b) =>
+            if (byteLt(a, b)) b else a)))
       c -> CommitLog.ColStat(
-        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls)
+        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls, slo, shi)
     }
 
   /** Bloom bitsets OR-merged across task messages, hex-encoded. */
@@ -2277,6 +2326,14 @@ class CommitLogDataWriter(
   // top-N bounds answer from. One branch per cell, counted in the same
   // pass the boxes ride.
   private val nullCount = Array.fill(schema.length)(0L)
+  // string min/max per StringType column (r15): tracked as UTF8String
+  // views (compareTo is unsigned byte-lex — the column's sort order),
+  // cloned only on a new extreme; truncated to ColStat.StrCap at commit
+  private val strIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType => i
+  }
+  private val strMin = new Array[org.apache.spark.unsafe.types.UTF8String](schema.length)
+  private val strMax = new Array[org.apache.spark.unsafe.types.UTF8String](schema.length)
 
   // stats plan per column, resolved once: which accessor feeds the
   // (min, max) box. Composites (binary/array/struct/map) have no
@@ -2310,6 +2367,18 @@ class CommitLogDataWriter(
       if (row.isNullAt(i)) nullCount(i) += 1L
       else if (boxers(i) != null) boxers(i)(row, i)
       i += 1
+    }
+    var si = 0
+    while (si < strIdx.length) {
+      val ci = strIdx(si)
+      if (!row.isNullAt(ci)) {
+        val v = row.getUTF8String(ci)
+        if (strMin(ci) == null || v.compareTo(strMin(ci)) < 0)
+          strMin(ci) = v.clone()
+        if (strMax(ci) == null || v.compareTo(strMax(ci)) > 0)
+          strMax(ci) = v.clone()
+      }
+      si += 1
     }
     var bi = 0
     while (bi < bloomSets.length) {
@@ -2346,12 +2415,18 @@ class CommitLogDataWriter(
   override def commit(): WriterCommitMessage = {
     writerOpt.foreach(_.close())
     // every valid-named column gets an entry: boxed numerics carry
-    // (lo, hi, nulls); unboxable columns (strings, composites,
-    // all-null numerics) carry the null count alone (lo > hi = the
-    // documented unboxed carrier form)
+    // (lo, hi, nulls); strings add truncated byte-lex bounds; other
+    // unboxable columns (composites, all-null numerics) carry the
+    // null count alone (lo > hi = the documented unboxed carrier
+    // form). A string max whose truncated upper cannot increment
+    // ships the half-defined POISON pair the merge drops.
     val stats = schema.fields.toSeq.zipWithIndex.collect {
       case (f, i) if !f.name.exists(",\"[]\\|".contains(_)) =>
-        (f.name, CommitLog.ColStat(lo(i), hi(i), Some(nullCount(i))))
+        val (slo, shi) =
+          if (strMin(i) == null) (None, None)
+          else (Some(CommitLogWrite.truncLower(strMin(i).getBytes)),
+            CommitLogWrite.truncUpper(strMax(i).getBytes))
+        (f.name, CommitLog.ColStat(lo(i), hi(i), Some(nullCount(i)), slo, shi))
     }
     val blooms = bloomSets.toSeq.map { case (ci, bits, _) =>
       schema(ci).name -> bits

@@ -39,7 +39,7 @@ object Bench {
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
     "a10_kmv_sketch" -> 1.829, "a1_hashagg" -> 1.013, "a2_distinct" -> 0.548,
     "a3_approx_distinct" -> 1.618, "a3_hll_merge" -> 0.511,
-    "a4_cube" -> 0.665, "a4_grouping_sets" -> 0.680, "a4_rollup" -> 0.549,
+    "a4_cube" -> 0.651, "a4_grouping_sets" -> 0.680, "a4_rollup" -> 0.549,
     "a5_filtered_agg" -> 0.444, "a6_approx_percentile" -> 2.059,
     "a6_stats" -> 1.832, "a6_tdigest" -> 1.624, "a7_collect" -> 0.631,
     "a8_pivot" -> 0.435, "a9_salted_agg" -> 0.590,
@@ -55,21 +55,21 @@ object Bench {
     "j9_asof_join" -> 0.476, "l10_drift" -> 0.658, "l10_ks_drift" -> 0.591,
     "l10_profile" -> 0.252, "l10_zipf" -> 0.468, "l11_decontam" -> 1.142,
     "l11_semantic_decontam" -> 0.412, "l12_global_ids" -> 0.627,
-    "l13_bfs" -> 1.375, "l13_hits" -> 4.646, "l13_kcore" -> 1.156,
+    "l13_bfs" -> 1.297, "l13_hits" -> 4.646, "l13_kcore" -> 1.156,
     "l13_pagerank" -> 2.563, "l13_triangles" -> 0.995,
-    "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.604,
-    "l16_pii_redact" -> 0.774, "l1_exact_dedup" -> 0.363,
+    "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.562,
+    "l16_pii_redact" -> 0.689, "l1_exact_dedup" -> 0.363,
     "l2_cc_star" -> 3.759, "l2_chunk_dedup" -> 1.071,
     "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
     "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 2.085,
-    "l2_incremental_dedup" -> 0.963, "l2_lsh_pairs" -> 1.259,
+    "l2_incremental_dedup" -> 0.963, "l2_lsh_pairs" -> 1.254,
     "l2_minhash_estimate" -> 1.132, "l2_minhash_sigs" -> 1.203,
     "l2_ngram_jaccard" -> 5.082, "l2_simhash" -> 0.604,
     "l2_simhash_blocked" -> 2.988, "l2_simhash_hamming" -> 1.787,
     "l2_substring_dedup" -> 1.628, "l2_survivor_selection" -> 2.484,
     "l3_ann_ivf" -> 0.669, "l3_ann_ivfpq" -> 1.559, "l3_ann_lsh" -> 1.333,
     "l3_ann_pq" -> 1.184, "l3_ann_recall" -> 1.364,
-    "l3_ann_trained" -> 2.114, "l3_cosine_topk" -> 0.270,
+    "l3_ann_trained" -> 1.873, "l3_cosine_topk" -> 0.270,
     "l3_jl_projection" -> 0.399, "l3_kmeans" -> 0.905,
     "l3_pca_power" -> 0.397, "l3_semantic_dedup" -> 1.149,
     "l4_bm25" -> 1.098, "l4_bpe_encode" -> 1.099,
@@ -134,7 +134,8 @@ object Bench {
     "s62_row_tracking" -> 3.677, "s63_feed_identity_fold" -> 3.213,
     "s64_variant_pushdown" -> 2.093, "s65_stream_row_tracking" -> 1.446,
     "s66_topn_prune" -> 0.613, "s67_nan_box" -> 0.734,
-    "s68_bloom_bigint" -> 0.983, "s6_csv_roundtrip" -> 0.459,
+    "s68_bloom_bigint" -> 0.983, "s69_null_stats" -> 1.173,
+    "s6_csv_roundtrip" -> 0.459, "s70_string_bounds" -> 0.992,
     "s7_orc_roundtrip" -> 0.824, "s8_envelope_source" -> 0.593,
     "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.685,
     "t13_stream_envelope_source" -> 1.569, "t14_stream_commitlog" -> 3.599,

@@ -929,14 +929,18 @@ class CommitLogTable(
   }
 }
 
-/** Plan-time MANIFEST-STATS pruning + column pruning for the batch
-  * leg: numeric range filters Spark pushes down are intersected into
-  * one [lo, hi] box per column, and [[CommitLogScan.planInputPartitions]]
-  * drops every batch whose manifest box misses — file skipping decided
-  * entirely from metadata already in hand from snapshot replay (zero
-  * data reads, the s22g path behind the connector API). ALL filters
+/** Plan-time MANIFEST pruning + column pruning for the batch leg —
+  * eleven pushdown modalities, every one decided from metadata already
+  * in hand from snapshot replay (zero data reads, the s22g path behind
+  * the connector API): numeric range boxes, STRING byte-lex bounds
+  * (ranges + `LIKE 'prefix%'`), bloom membership (string AND integral
+  * keys), per-column NULL COUNTS (`IS [NOT] NULL`), exact
+  * partition-tuple evaluation, LIMIT early-out, TOP-N accumulate-to-k
+  * cuts (null-tolerant), metadata-only aggregates (COUNT(*)/COUNT(col)/
+  * MIN/MAX incl. exact string extremes), variant-extraction schema
+  * narrowing, runtime (DPP) filters, and column pruning. ALL filters
   * are returned as residual — Spark re-evaluates them above the scan,
-  * so a batch without a box (always kept) or a boundary approximation
+  * so a batch without stats (always kept) or a boundary approximation
   * can never change results, only the set of files opened. Streaming
   * micro-batch scans get no pushdown from Spark (the t13 note) and
   * plan unpruned. */

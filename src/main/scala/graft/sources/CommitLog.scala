@@ -429,7 +429,8 @@ object CommitLog {
       partCols: Seq[String] = Nil,
       rows: Rows = Map.empty,
       defaults: Map[String, Option[(String, String)]] = Map.empty,
-      props: Map[String, Option[String]] = Map.empty): Boolean = {
+      props: Map[String, Option[String]] = Map.empty,
+      changeFiles: Option[Boolean] = None): Boolean = {
     requireValidNames(added); requireValidNames(removed)
     requireValidProps(props)
     requireValidStats(stats, added)
@@ -494,8 +495,13 @@ object CommitLog {
     val propsField =
       if (props.isEmpty) ""
       else s""","tblprops":${renderList(renderProps(props))}"""
+    // tri-state on purpose: Some records whether this version PROMOTED
+    // materialized change rows (_changes/v<N>); None (legacy writers,
+    // non-row-level verbs) leaves readers to their listing fallback
+    val chgField =
+      changeFiles.map(p => s""","changeFiles":$p""").getOrElse("")
     atomicCreate(manifest(root, v),
-      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField$propsField}""")
+      s"""{"add":${renderList(added)},"remove":${renderList(removed)}$schemaField$statsField$txnField$dcField$opField$bloomField$consField$colMapField$droppedField$partsField$partColsField$rowsField$defaultsField$propsField$chgField}""")
   }
 
   /** A dataChange=false commit promises its add/remove sets restate
@@ -624,7 +630,10 @@ object CommitLog {
       case Array(b, c, lo, hi) =>
         (b, c, ColStat(lo.toDouble, hi.toDouble))
       case Array(b, c, lo, hi, n) =>
-        (b, c, ColStat(lo.toDouble, hi.toDouble, Some(n.toLong)))
+        // empty nulls slot is legal here too (renderStats' 5-field arm
+        // emits n.getOrElse("")) — degrade to unknown, same as 7-field
+        (b, c, ColStat(lo.toDouble, hi.toDouble,
+          if (n.isEmpty) None else Some(n.toLong)))
       case Array(b, c, lo, hi, n, slo, shi) =>
         (b, c, ColStat(lo.toDouble, hi.toDouble,
           if (n.isEmpty) None else Some(n.toLong),
@@ -1379,9 +1388,17 @@ object CommitLog {
     * RESTORE: no row identity between sides, file-granularity
     * delete+insert is exact) from a row-level rewrite (which needs
     * materialized change rows). */
+  /** `changeFiles`: whether the version promoted materialized change
+    * rows to `_changes/v<N>` — `Some` when the committing writer
+    * recorded it (round-16 grammar; every materializing path does),
+    * `None` for legacy manifests, where a consumer that needs the
+    * answer must fall back to listing the change dir. Keeps planning
+    * (e.g. the variant-pushdown insert-only-window check) metadata-
+    * only instead of O(versions) remote listings. */
   final case class Change(
       version: Int, added: Seq[String], removed: Seq[String],
-      dataChange: Boolean = true, op: Option[String] = None)
+      dataChange: Boolean = true, op: Option[String] = None,
+      changeFiles: Option[Boolean] = None)
 
   /** CHANGE FEED: the per-version add/remove sets for
     * `fromVersion < v <= toVersion` — what an incremental consumer
@@ -1396,7 +1413,10 @@ object CommitLog {
       Change(v, parseList(extractField(txt, "add")),
         parseList(extractField(txt, "remove")),
         !txt.contains("\"dataChange\":false"),
-        stringField(txt, "operation"))
+        stringField(txt, "operation"),
+        if (txt.contains("\"changeFiles\":true")) Some(true)
+        else if (txt.contains("\"changeFiles\":false")) Some(false)
+        else None)
     }
 
   /** True when version `v` is a BLIND DATA APPEND: it adds at least

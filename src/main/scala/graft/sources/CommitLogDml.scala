@@ -268,7 +268,8 @@ object CommitLogDml {
         rows.write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$changeTmp")
       }
 
-      if (!CommitLog.tryCommit(root, next, added, removed, op = Some(verb))) {
+      if (!CommitLog.tryCommit(root, next, added, removed, op = Some(verb),
+          changeFiles = Some(changeFeed))) {
         if (changeFeed) {
           val p = new org.apache.hadoop.fs.Path(s"$root/$changeTmp")
           val f = org.apache.hadoop.fs.FileSystem.get(

@@ -483,7 +483,8 @@ object CommitLogMerge {
         // change rows, watermark max) — release the materialization
         if (tracked) inserts.unpersist()
         if (!CommitLog.tryCommit(root, next, added, removed,
-            op = Some("MERGE"), props = hwmProps)) {
+            op = Some("MERGE"), props = hwmProps,
+            changeFiles = Some(changeFeed))) {
           // stage is dead bytes a later vacuum sweeps; state unchanged
           if (changeFeed) {
             val p = new org.apache.hadoop.fs.Path(s"$root/$changeTmp")

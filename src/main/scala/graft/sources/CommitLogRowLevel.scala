@@ -390,7 +390,8 @@ class CommitLogReplaceWrite(
       tryOnce = base => CommitLog.tryCommit(root, base + 1,
         added = added, removed = removed,
         schema = Some(CommitLog.bareDdl(schema)), stats = stats,
-        op = Some(verb), parts = tupleParts, partCols = partCols),
+        op = Some(verb), parts = tupleParts, partCols = partCols,
+        changeFiles = Some(feedOn)),
       cleanup = () => {
         dropChanges()
         added.foreach { b =>

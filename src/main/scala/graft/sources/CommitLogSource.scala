@@ -1052,8 +1052,20 @@ class CommitLogScanBuilder(
       CommitLog.changes(root, lo, hi).filter(_.dataChange).forall { ch =>
         ch.removed.isEmpty &&
           !ch.added.exists(_.startsWith(CommitLogMerge.DvPrefix)) &&
-          CommitLogSource.listParquet(
-            root, CommitLogMerge.changeDirName(ch.version)).isEmpty
+          (ch.changeFiles match {
+            // round-16 grammar: the committing writer recorded whether
+            // it promoted materialized change rows — planning stays
+            // metadata-only, no per-version remote listing
+            case Some(present) => !present
+            // legacy manifest: only the row-level verbs ever promote a
+            // change dir, so an append/overwrite-shaped version is
+            // clean by its op alone; merge-family (or op-less direct)
+            // commits keep the listing fallback
+            case None if !ch.op.forall(
+              Set("MERGE", "UPDATE", "DELETE")) => true
+            case None => CommitLogSource.listParquet(
+              root, CommitLogMerge.changeDirName(ch.version)).isEmpty
+          })
       }
     }
     val changeFeed = (Option(options.get("readChangeFeed"))
@@ -1919,9 +1931,12 @@ case class CommitLogScan(
             case (b, f) if !f.nulls.contains(0L) => b
             case (b, f) if f.box.exists { case (lo, hi) =>
               if (desc) hi >= t else lo <= t } => b
-            // unboxed + zero nulls + rows > 0 cannot come from this
-            // writer (values would box) — treat a contradictory
-            // manifest as unprovable, never prune on it
+            // unboxed entries are legitimate for sort columns whose
+            // type never boxes (strings get exact null counts but no
+            // numeric box) — and also cover a contradictory manifest.
+            // Either way: unprovable, never prune. This keep is
+            // load-bearing for string-typed NULLS FIRST sorts, not
+            // just defensive.
             case (b, f) if f.box.isEmpty => b
           }.toSet
           batches.filter(keep)

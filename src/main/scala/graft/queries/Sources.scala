@@ -4015,6 +4015,56 @@ object Sources {
           .as("n"))
       between.unionAll(eq).unionAll(like).unionAll(minmax).unionAll(plans)
         .orderBy("leg")
+    },
+
+    // S71 (SURVEY S74): STRING TOP-N — `ORDER BY name LIMIT k` over a
+    // string-sorted table runs the S69 accumulate-to-k file cut in
+    // S73's truncated byte-lex bound domain (strLo under-estimates
+    // the min, strHi over-estimates the max — both only WEAKEN the
+    // bound, so the numeric soundness argument transfers verbatim).
+    // Zero-padded keys make byte order = numeric order; the 4-bucket
+    // range-partitioned write yields byte-disjoint bounds and each
+    // direction plans 1 file of 4 (`plans` pins the sum at 2). At
+    // 100 TB: `ORDER BY url LIMIT 100` over a url-clustered corpus
+    // opens one file, same as the timestamp spelling always has.
+    Decl(
+      "s71_string_topn",
+      s"""WITH t AS (
+         |  SELECT printf('k%08d', event_id) AS name, event_id FROM events)
+         |SELECT 'plans' AS leg, CAST(2 AS BIGINT) AS n
+         |UNION ALL
+         |SELECT 'top5_asc',
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM
+         |    (SELECT event_id FROM t ORDER BY name ASC LIMIT 5))
+         |UNION ALL
+         |SELECT 'top5_desc',
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM
+         |    (SELECT event_id FROM t ORDER BY name DESC LIMIT 5))
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s71_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events")
+        .select(format_string("k%08d", $"event_id").as("name"), $"event_id")
+        .repartition(4)
+        .write.format("commitlog").option("path", root)
+        .option("sortOrder", "name").option("sortBuckets", "4")
+        .mode("append").save()
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val ascQ = tbl.orderBy($"name".asc).limit(5)
+      val descQ = tbl.orderBy($"name".desc).limit(5)
+      val plans = s.range(1).select(lit("plans").as("leg"),
+        lit((plannedOf(ascQ) + plannedOf(descQ)).toLong).as("n"))
+      val asc5 = ascQ.agg(sum($"event_id").as("n"))
+        .select(lit("top5_asc").as("leg"), $"n")
+      val desc5 = descQ.agg(sum($"event_id").as("n"))
+        .select(lit("top5_desc").as("leg"), $"n")
+      plans.unionAll(asc5).unionAll(desc5).orderBy("leg")
     }
   )
 

@@ -1849,6 +1849,18 @@ case class CommitLogScan(
     * COUNTED toward a finite bound U has a finite hi and is therefore
     * NaN-free; a NaN batch pruned by `lo > U` holds only rows above U.
     *
+    * STRING sort columns (r16) run the same cut in the truncated
+    * byte-lexicographic bound domain (S73's strLo/strHi, the order
+    * Spark's UTF8String compares in): strLo is a byte-PREFIX of the
+    * true min (≤ it — truncation only WEAKENS the accumulated bound),
+    * and strHi when cut is incremented past every string carrying the
+    * prefix (≥ the true max — an over-estimate likewise only weakens),
+    * so the accumulate/keep algebra is unchanged with ≤/≥ read under
+    * unsigned byte comparison. No exactness is needed — only bound
+    * direction — so even cap-length (possibly truncated) bounds
+    * participate. `ORDER BY name LIMIT k` over a name-sorted table
+    * plans one file like the ts spelling does.
+    *
     * Conservative exits (NO pruning, never wrong results): any live
     * batch missing its exact count, an unreachable bound, or —
     * per batch — missing facts (no box / unknown nulls) that leave it
@@ -1856,6 +1868,30 @@ case class CommitLogScan(
   private def topNPrunedBatches(
       batches: Seq[String], c: String, desc: Boolean, nullsFirst: Boolean,
       k: Int): Seq[String] = {
+    val isString = typeSchema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    if (isString) {
+      implicit val byteOrd: Ordering[Array[Byte]] =
+        (a: Array[Byte], b: Array[Byte]) =>
+          java.util.Arrays.compareUnsigned(a, b)
+      topNCut[Array[Byte]](batches, c, desc, nullsFirst, k,
+        st => for (l <- st.strLo; h <- st.strHi) yield (l, h),
+        validBox = _ => true)
+    } else
+      topNCut[Double](batches, c, desc, nullsFirst, k, _.box,
+        // boxes never carry NaN (writer contract) — defensive keep-all
+        validBox = x => !x._1.isNaN && !x._2.isNaN)
+  }
+
+  /** The cut itself, generic over the bound domain `B` (`Double`
+    * manifest boxes; unsigned byte arrays for string bounds): the
+    * soundness arguments above only use that `boxOf` yields a
+    * conservative (lower-of-min, upper-of-max) pair under `ord`. */
+  private def topNCut[B](
+      batches: Seq[String], c: String, desc: Boolean, nullsFirst: Boolean,
+      k: Int, boxOf: CommitLog.ColStat => Option[(B, B)],
+      validBox: ((B, B)) => Boolean)(
+      implicit ord: Ordering[B]): Seq[String] = {
     // EVERY batch needs an exact count up front: a count-less batch is
     // indistinguishable from an empty one further down, and dropping
     // it there would lose rows — unprovable means keep all
@@ -1864,41 +1900,52 @@ case class CommitLogScan(
     if (live.size <= 1) return batches
     val proven = CommitLogSource.notNullProven(root, resolvedVersion, c)
     case class Fact(rows: Long, nulls: Option[Long],
-        box: Option[(Double, Double)]) {
+        box: Option[(B, B)]) {
       def nonNull: Option[Long] = nulls.map(rows - _)
       def allNull: Boolean = nonNull.contains(0L)
     }
     val facts: Seq[(String, Fact)] = live.map { b =>
       val st = chainLookup(snap.stats.get(b), c)
-      val box = st.flatMap(_.box)
-      // boxes never carry NaN (writer contract) — defensive keep-all
-      if (box.exists(x => x._1.isNaN || x._2.isNaN)) return batches
+      val box = st.flatMap(boxOf)
+      if (box.exists(!validBox(_))) return batches
       b -> Fact(snap.rows(b),
         if (proven) Some(0L) else st.flatMap(_.nulls), box)
     }
-    // rank: most-winning batches first under (direction, nulls order)
-    def rank(f: Fact): Double =
-      f.box.map { case (lo, hi) => if (desc) -lo else hi }
-        .getOrElse(Double.NegativeInfinity) // all-null, nulls-first: wins
+    // rank: most-winning batches first under (direction, nulls order);
+    // None = an all-null batch under NULLS FIRST, ranking before any box
+    val rankOrd: Ordering[Option[B]] = new Ordering[Option[B]] {
+      private val onB = if (desc) ord.reverse else ord
+      def compare(x: Option[B], y: Option[B]): Int = (x, y) match {
+        case (None, None) => 0
+        case (None, _) => -1
+        case (_, None) => 1
+        case (Some(a), Some(b)) => onB.compare(a, b)
+      }
+    }
+    def rank(f: Fact): Option[B] =
+      f.box.map { case (lo, hi) => if (desc) lo else hi }
     var acc = 0L
-    var bound: Option[Double] = None
+    // Some(Some(t)) = finite cut; Some(None) = the crossing batch was
+    // all-null under NULLS FIRST (only null-bearers can compete — no
+    // boxed value beats a null); None = unreachable, keep all
+    var bound: Option[Option[B]] = None
     if (!nullsFirst) {
       // NULLS LAST: accumulate NON-NULL counts of boxed batches
       facts.filter { case (_, f) => f.box.isDefined && f.nonNull.isDefined }
-        .sortBy { case (_, f) => rank(f) }
+        .sortBy { case (_, f) => rank(f) }(rankOrd)
         .foreach { case (_, f) =>
           if (bound.isEmpty) {
             acc += f.nonNull.get
             if (acc >= k)
-              bound = Some(if (desc) f.box.get._1 else f.box.get._2)
+              bound = Some(Some(if (desc) f.box.get._1 else f.box.get._2))
           }
         }
-      bound match {
+      bound.flatten match {
         case None => batches // unreachable bound: keep all
         case Some(t) =>
           val keep = facts.collect {
             case (b, f) if f.box.exists { case (lo, hi) =>
-              if (desc) hi >= t else lo <= t } => b
+              if (desc) ord.gteq(hi, t) else ord.lteq(lo, t) } => b
             // unboxed: prunable only when provably all-null (those
             // rows sort after every value — never in the top-k the
             // bound just proved exists)
@@ -1911,31 +1958,31 @@ case class CommitLogScan(
       // participates when boxed (each row: null, or inside the box)
       // or provably all-null (ranks first)
       facts.filter { case (_, f) => f.box.isDefined || f.allNull }
-        .sortBy { case (_, f) => rank(f) }
+        .sortBy { case (_, f) => rank(f) }(rankOrd)
         .foreach { case (_, f) =>
           if (bound.isEmpty) {
             acc += f.rows
             if (acc >= k)
-              bound = Some(f.box
-                .map(b => if (desc) b._1 else b._2)
-                .getOrElse( // all-null bound: only null-bearers survive
-                  if (desc) Double.PositiveInfinity
-                  else Double.NegativeInfinity))
+              // boxed crossing: its lo/hi cuts; all-null crossing:
+              // only null-bearers survive (strictly tighter than the
+              // old ±Inf spelling, which let a NaN-boxed batch — rows
+              // that can never beat a null — slip through the keep)
+              bound = Some(f.box.map(b => if (desc) b._1 else b._2))
           }
         }
       bound match {
         case None => batches
-        case Some(t) =>
+        case Some(tOpt) =>
           val keep = facts.collect {
             // a batch with any (or unknown) nulls always competes
             case (b, f) if !f.nulls.contains(0L) => b
-            case (b, f) if f.box.exists { case (lo, hi) =>
-              if (desc) hi >= t else lo <= t } => b
+            case (b, f) if tOpt.exists(t => f.box.exists { case (lo, hi) =>
+              if (desc) ord.gteq(hi, t) else ord.lteq(lo, t) }) => b
             // unboxed entries are legitimate for sort columns whose
-            // type never boxes (strings get exact null counts but no
-            // numeric box) — and also cover a contradictory manifest.
-            // Either way: unprovable, never prune. This keep is
-            // load-bearing for string-typed NULLS FIRST sorts, not
+            // type carries no bounds in THIS domain (a numeric sort
+            // column's stats entry has no byte bounds and vice versa)
+            // — and also cover a contradictory manifest. Either way:
+            // unprovable, never prune. This keep is load-bearing, not
             // just defensive.
             case (b, f) if f.box.isEmpty => b
           }.toSet

@@ -255,4 +255,70 @@ class TopNPushdownSpec extends SparkSpec {
     assert(planned(atV2) == 1, "v2 proves NOT NULL — cut applies")
     assert(atV2.select($"id").as[Long].collect().toSeq == Seq(999L, 998L))
   }
+
+  test("a STRING sort column cuts through S73's byte-lex bounds (r16)") {
+    // zero-padded keys: byte-lex order == numeric order, so the
+    // range-partitioned write yields byte-disjoint string bounds
+    val root = freshRoot("str")
+    spark.range(0, 100000).select(
+        format_string("k%08d", $"id").as("name"), $"id".as("v"))
+      .repartition(8)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "name").option("sortBuckets", "8")
+      .mode("append").save()
+    def tbl = spark.read.format("commitlog").option("path", root).load()
+    assert(planned(tbl) == 8)
+    // no NOT NULL constraint: the per-batch null counts carry the
+    // bound, exactly like the numeric spelling
+    val topDesc = tbl.orderBy($"name".desc).limit(5)
+    assert(planned(topDesc) == 1,
+      s"string DESC top-5 should open 1 of 8 files: ${planned(topDesc)}")
+    assert(topDesc.select($"name").as[String].collect().toSeq ==
+      (99999L to 99995L by -1).map(i => f"k$i%08d"))
+    val topAsc = tbl.orderBy($"name".asc).limit(5)
+    assert(planned(topAsc) == 1,
+      s"string ASC top-5 should open 1 of 8 files: ${planned(topAsc)}")
+    assert(topAsc.select($"name").as[String].collect().toSeq ==
+      (0L until 5L).map(i => f"k$i%08d"))
+    // a trailing tie-break key keeps the leading string cut
+    val multi = tbl.orderBy($"name".desc, $"v".asc).limit(3)
+    assert(planned(multi) == 1,
+      s"multi-key with string leading key: ${planned(multi)}")
+  }
+
+  test("string bounds truncated past StrCap stay sound: decline, never wrong") {
+    // every key shares a 40-byte prefix, so the stored 32-byte bounds
+    // coincide across files (lower = shared prefix, upper = its
+    // increment): the cut finds no separating bound and keeps all —
+    // correctness over pruning
+    val root = freshRoot("strcap")
+    val prefix = "p" * 40
+    spark.range(0, 4000).select(
+        concat(lit(prefix), format_string("k%06d", $"id")).as("name"))
+      .repartition(4)
+      .write.format("commitlog").option("path", root)
+      .option("sortOrder", "name").option("sortBuckets", "4")
+      .mode("append").save()
+    val top = spark.read.format("commitlog").option("path", root).load()
+      .orderBy($"name".desc).limit(3)
+    assert(planned(top) == 4,
+      s"identical truncated bounds must keep all 4 files: ${planned(top)}")
+    assert(top.select($"name").as[String].collect().toSeq ==
+      (3999L to 3997L by -1).map(i => f"${prefix}k$i%06d"))
+    // keys that DIVERGE inside the cap prune normally even at length
+    // > cap (the differing byte sits inside the stored 32)
+    val root2 = freshRoot("strdiv")
+    spark.range(0, 4000).select(
+        concat(format_string("k%06d", $"id"), lit(prefix)).as("name"))
+      .repartition(4)
+      .write.format("commitlog").option("path", root2)
+      .option("sortOrder", "name").option("sortBuckets", "4")
+      .mode("append").save()
+    val top2 = spark.read.format("commitlog").option("path", root2).load()
+      .orderBy($"name".asc).limit(3)
+    assert(planned(top2) == 1,
+      s"in-cap divergence prunes long strings too: ${planned(top2)}")
+    assert(top2.select($"name").as[String].collect().toSeq ==
+      (0L until 3L).map(i => f"k$i%06d$prefix"))
+  }
 }

@@ -16,19 +16,83 @@ package graft.sources
   * hashing (Kirsch–Mitzenmacher): h_i = h1 + i·h2 over murmur3 of the
   * UTF-8 bytes.
   *
-  * Sizing is the caller's dial (`bloomBits`, default 4096 = 512 bytes
-  * of manifest per (batch, column)): false-positive rate ≈
-  * (1 − e^(−k·n/m))^k — at the default, ~1% for n ≈ 400 distinct
-  * values per batch. A saturated bloom never breaks correctness (a
-  * false positive only reads a batch the residual filter then
-  * excludes); an absent bloom never prunes. At 100 TB, blooms are the
-  * difference between a needle-in-haystack key lookup scanning every
-  * batch and scanning ~the one batch that holds it.
+  * Sizing (r16): AUTO by default — the false-positive rate
+  * (1 − e^(−k·n/m))^k is a function of n/m, and a fixed m silently
+  * saturates when batches grow (at sf1 a 2^18-bit filter over ~167k
+  * ids reads FP ≈ 0.7: pruning dies with no error anywhere). The sink
+  * cannot know n when the first row streams through, but publish
+  * knows it EXACTLY (the same row counts S42 commits), so tasks build
+  * at [[BuildBits]] — a width only the engine produces — and publish
+  * FOLDS the merged filter down to [[sizeFor]](n): the smallest
+  * power-of-two m with FP ≤ ~2% (k=4 ⇒ m ≈ 8.5·n), clamped to
+  * [[[DefaultBits]], 2^20]. Folding in half ORs the upper half onto
+  * the lower; positions are `h mod 2^a`, and `(h mod 2^a) mod 2^(a−1)
+  * = h mod 2^(a−1)`, so the folded filter is BIT-IDENTICAL to one
+  * built at the smaller width — fold-then-probe equals build-small.
+  * An explicit `bloomBits` (≤ 2^20) keeps the fixed behavior as the
+  * override dial. A saturated bloom never breaks correctness (a false
+  * positive only reads a batch the residual filter then excludes); an
+  * absent bloom never prunes. At 100 TB, blooms are the difference
+  * between a needle-in-haystack key lookup scanning every batch and
+  * scanning ~the one batch that holds it.
   */
 object CommitLogBloom {
 
+  /** Floor of the auto size; also the pre-r16 fixed default (4096
+    * bits = 512 bytes of manifest per (batch, column), ~1% FP at
+    * n ≈ 400). */
   val DefaultBits = 4096
+
+  /** `bloomBits` sentinel: size from the batch's published row count. */
+  val AutoBits = 0
+
+  /** Task-side build width in auto mode — deliberately ABOVE the
+    * explicit dial's 2^20 cap, so a merged filter of this width can
+    * only mean "auto: fold me at publish". */
+  val BuildBits = 1 << 21
+
   private val K = 4
+
+  /** Width a task allocates for the given dial value. */
+  def buildWidth(bloomBits: Int): Int =
+    if (bloomBits == AutoBits) BuildBits else bloomBits
+
+  /** Smallest power-of-two m holding n values at ≤ ~2% FP with k=4
+    * (m ≈ 8.5·n), clamped to [DefaultBits, 2^20]. The cap keeps the
+    * manifest bounded: past it FP degrades gracefully (2^20 over 167k
+    * ids ≈ 5% — a point probe still plans ~1 batch of many). */
+  def sizeFor(n: Long): Int = {
+    val need = math.max(DefaultBits.toLong, math.ceil(n * 8.5).toLong)
+    val cap = 1 << 20
+    if (need >= cap) cap
+    else java.lang.Long.highestOneBit(need - 1).toInt << 1
+  }
+
+  /** Fold a power-of-two filter down to `targetBits` by repeated
+    * halving (see object doc for why this is exact). */
+  def fold(bitset: Array[Long], targetBits: Int): Array[Long] = {
+    val bits = bitset.length * 64
+    require(Integer.bitCount(bits) == 1 && Integer.bitCount(targetBits) == 1 &&
+      targetBits >= 64 && targetBits <= bits,
+      s"can only fold a power-of-two bloom down: $bits -> $targetBits")
+    var cur = bitset
+    while (cur.length * 64 > targetBits) {
+      val half = cur.length / 2
+      val next = new Array[Long](half)
+      var i = 0
+      while (i < half) { next(i) = cur(i) | cur(i + half); i += 1 }
+      cur = next
+    }
+    cur
+  }
+
+  /** Publish-side finalization: an auto-built (BuildBits-wide) merged
+    * filter folds to the batch's exact-count size; a fixed-width one
+    * passes through untouched. */
+  def finalizeHex(merged: Array[Long], batchRows: Long): String =
+    if (merged.length * 64 == BuildBits)
+      toHex(fold(merged, sizeFor(batchRows)))
+    else toHex(merged)
 
   /** Key grammar: a STRING column hashes its values verbatim; an
     * INTEGRAL column hashes the DECIMAL STRING of each value — the
@@ -46,7 +110,10 @@ object CommitLogBloom {
   }
 
   def emptyBits(bits: Int): Array[Long] = {
-    require(bits >= 64 && bits % 64 == 0 && bits <= (1 << 20),
+    // explicit dial caps at 2^20; BuildBits (2^21) is the engine's own
+    // auto-mode width and the only value allowed above the dial cap
+    require(bits >= 64 && bits % 64 == 0 &&
+      (bits <= (1 << 20) || bits == BuildBits),
       s"bloomBits must be a multiple of 64 in [64, 1M]: $bits")
     new Array[Long](bits / 64)
   }

@@ -188,9 +188,20 @@ object CommitLogOptimize {
     val bloomCols = srcBlooms.map(_.keySet).reduce(_ intersect _)
     val packBloom = bloomCols.flatMap { c =>
       val hexes = srcBlooms.map(_(c))
-      if (hexes.map(_.length).distinct.size != 1) None
-      else Some(c -> CommitLogBloom.toHex(
-        hexes.map(CommitLogBloom.fromHex).reduce(CommitLogBloom.merge)))
+      val widths = hexes.map(_.length * 4).distinct // hex chars = 4 bits
+      if (widths.size == 1)
+        Some(c -> CommitLogBloom.toHex(
+          hexes.map(CommitLogBloom.fromHex).reduce(CommitLogBloom.merge)))
+      else if (widths.forall(w => Integer.bitCount(w) == 1)) {
+        // auto-sized eras differ by batch size: power-of-two filters
+        // FOLD to the smallest width exactly (fold-then-merge equals
+        // build-small), so the pack keeps a bloom instead of dropping
+        // the column; worst case it saturates — harmless, never wrong
+        val common = widths.min
+        Some(c -> CommitLogBloom.toHex(hexes
+          .map(h => CommitLogBloom.fold(CommitLogBloom.fromHex(h), common))
+          .reduce(CommitLogBloom.merge)))
+      } else None // mixed non-power-of-two dials: no common domain
     }.toMap
     val packBlooms: CommitLog.Blooms =
       if (packBloom.isEmpty) Map.empty else Map(packed -> packBloom)

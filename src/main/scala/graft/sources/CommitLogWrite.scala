@@ -582,12 +582,16 @@ object CommitLogWrite {
   }
 
   /** Bloom union across tasks is bitwise OR — a value written by ANY
-    * task is visible in the batch's merged filter. */
+    * task is visible in the batch's merged filter. Auto-built filters
+    * fold to the batch's exact-row-count size here (publish is the
+    * first point that knows n — [[CommitLogBloom.finalizeHex]]). */
   private[sources] def mergedBlooms(
       msgs: Seq[CommitLogCommitMessage], batchName: String): CommitLog.Blooms = {
+    val rows = msgs.map(_.rows).sum
     val merged = msgs.flatMap(_.blooms).groupBy(_._1).map {
       case (col, sets) =>
-        col -> CommitLogBloom.toHex(sets.map(_._2).reduce(CommitLogBloom.merge))
+        col -> CommitLogBloom.finalizeHex(
+          sets.map(_._2).reduce(CommitLogBloom.merge), rows)
     }
     if (merged.isEmpty) Map.empty else Map(batchName -> merged)
   }
@@ -693,11 +697,13 @@ object CommitLogWrite {
         bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls, slo, shi)
     }
 
-  /** Bloom bitsets OR-merged across task messages, hex-encoded. */
+  /** Bloom bitsets OR-merged across task messages, hex-encoded;
+    * `batchRows` folds an auto-built filter to its exact-count size. */
   private[sources] def bloomHexOf(
-      blooms: Seq[(String, Array[Long])]): Map[String, String] =
+      blooms: Seq[(String, Array[Long])], batchRows: Long): Map[String, String] =
     blooms.groupBy(_._1).map { case (c, sets) =>
-      c -> CommitLogBloom.toHex(sets.map(_._2).reduce(CommitLogBloom.merge))
+      c -> CommitLogBloom.finalizeHex(
+        sets.map(_._2).reduce(CommitLogBloom.merge), batchRows)
     }
 
   /** One staged partition of a partitioned write: its deterministic
@@ -784,7 +790,8 @@ object CommitLogWrite {
       .map(g => g.batch -> boxesOf(g.files.flatMap(_.stats)))
       .filter(_._2.nonEmpty).toMap
     val blooms: CommitLog.Blooms = grouped
-      .map(g => g.batch -> bloomHexOf(g.files.flatMap(_.blooms)))
+      .map(g => g.batch -> bloomHexOf(
+        g.files.flatMap(_.blooms), g.files.map(_.rows).sum))
       .filter(_._2.nonEmpty).toMap
     val parts: CommitLog.Parts =
       grouped.map(g => g.batch -> g.tokens).toMap
@@ -912,7 +919,7 @@ object CommitLogWrite {
 
   private[sources] def sortedBlooms(
       named: Seq[(String, CommitLogCommitMessage)]): CommitLog.Blooms =
-    named.map { case (b, m) => b -> bloomHexOf(m.blooms) }
+    named.map { case (b, m) => b -> bloomHexOf(m.blooms, m.rows) }
       .filter(_._2.nonEmpty).toMap
 
   private[sources] def sortedRows(
@@ -1054,7 +1061,7 @@ class CommitLogPartitionedDataWriter(
     stageDir: String, schema: StructType, partCols: Seq[String],
     tmpNameOf: String => String, visibleNameOf: String => String,
     bloomCols: Seq[String] = Nil,
-    bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomBits: Int = CommitLogBloom.AutoBits)
     extends DataWriter[InternalRow] {
 
   private val partIdx: Array[Int] = partCols.toArray.map(schema.fieldIndex)
@@ -1108,7 +1115,7 @@ class CommitLogPartitionedDataWriter(
 /** Partitioned twin of [[CommitLogBatchWriterFactory]]. */
 case class CommitLogPartitionedBatchWriterFactory(
     stageDir: String, schema: StructType, partCols: Seq[String],
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits)
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1124,7 +1131,7 @@ case class CommitLogPartitionedBatchWriterFactory(
 case class CommitLogPartitionedStreamingWriterFactory(
     root: String, schema: StructType, partCols: Seq[String], app: String,
     attempt: String,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
@@ -1164,7 +1171,7 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
   private def bloomBits: Int =
     Option(info.options.get("bloomBits")).map(_.toInt)
-      .getOrElse(CommitLogBloom.DefaultBits)
+      .getOrElse(CommitLogBloom.AutoBits) // auto: size from row count
 
   private var overwriteMode: Option[OverwriteSpec] = None
 
@@ -1763,7 +1770,7 @@ class IdentityStreamingWrite(
   * linearizes them. */
 class CommitLogBatchWrite(
     root: String, schema: StructType,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits,
     partCols: Seq[String] = Nil, sortedSplit: Boolean = false)
     extends BatchWrite with SupportsCommitProps {
   private val writeId = EnvelopeBatchWrite.nextWriteId()
@@ -1844,7 +1851,7 @@ class CommitLogBatchWrite(
   * double-appending. */
 class CommitLogOverwriteWrite(
     root: String, schema: StructType, spec: OverwriteSpec,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits,
     partCols: Seq[String] = Nil, sortedSplit: Boolean = false)
     extends BatchWrite with SupportsCommitProps {
   import org.apache.spark.sql.functions._
@@ -1976,7 +1983,8 @@ class CommitLogOverwriteWrite(
           grouped.map(g => g.batch -> CommitLogWrite.boxesOf(
             g.files.flatMap(_.stats))).filter(_._2.nonEmpty).toMap,
           grouped.map(g => g.batch -> CommitLogWrite.bloomHexOf(
-            g.files.flatMap(_.blooms))).filter(_._2.nonEmpty).toMap,
+            g.files.flatMap(_.blooms), g.files.map(_.rows).sum))
+            .filter(_._2.nonEmpty).toMap,
           grouped.map(g => g.batch -> g.tokens).toMap,
           grouped.map(g => g.batch -> g.files.map(_.rows).sum).toMap)
       }
@@ -2184,7 +2192,7 @@ class CommitLogOverwriteWrite(
   * inventing a second one. */
 class CommitLogStreamingWrite(
     root: String, schema: StructType, app: String,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits,
     partCols: Seq[String] = Nil)
     extends StreamingWrite with SupportsCommitProps {
 
@@ -2233,7 +2241,7 @@ class CommitLogStreamingWrite(
   * exactly the committed attempts, one per partition). */
 case class CommitLogBatchWriterFactory(
     stageDir: String, schema: StructType,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new CommitLogDataWriter(stageDir, schema,
@@ -2247,7 +2255,7 @@ case class CommitLogBatchWriterFactory(
   * attempt-unique stage dir. */
 case class CommitLogStreamingWriterFactory(
     root: String, schema: StructType, app: String, attempt: String,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = CommitLogBloom.AutoBits)
     extends StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
@@ -2278,7 +2286,7 @@ case class CommitLogStreamingWriterFactory(
 class CommitLogDataWriter(
     stageDir: String, schema: StructType, tmpName: String, visibleName: String,
     bloomCols: Seq[String] = Nil,
-    bloomBits: Int = CommitLogBloom.DefaultBits)
+    bloomBits: Int = CommitLogBloom.AutoBits)
     extends DataWriter[InternalRow] {
 
   // (column index, bitset, key extractor) per designated bloom column:
@@ -2299,7 +2307,7 @@ class CommitLogDataWriter(
         case dt => throw new IllegalArgumentException(
           s"bloom column '$c' has unsupported type $dt")
       }
-      (i, CommitLogBloom.emptyBits(bloomBits), keyer)
+      (i, CommitLogBloom.emptyBits(CommitLogBloom.buildWidth(bloomBits)), keyer)
     }
 
   // the shape gate: throws the documented refusal for types the read

@@ -209,6 +209,39 @@ class CommitLogOptimizeSpec extends SparkSpec {
       "a bloomless source must leave the pack bloomless (unknown = keep)")
   }
 
+  test("optimize folds mixed auto-sized bloom widths to the smallest (r16)") {
+    import spark.implicits._
+    val root = freshRoot("bloomfold")
+    // auto sizing makes widths a function of batch size: a 1-row and
+    // a 3000-row source differ (4096 vs 2^15 bits) — the pack must
+    // fold to the common power-of-two width instead of dropping
+    Seq((0L, "needle")).toDF("id", "kind").repartition(1)
+      .write.format("commitlog").option("path", root)
+      .option("bloomColumns", "kind").mode("append").save()
+    spark.range(1, 3001).select($"id", concat(lit("k"), $"id").as("kind"))
+      .repartition(1)
+      .write.format("commitlog").option("path", root)
+      .option("bloomColumns", "kind").mode("append").save()
+    val widths = CommitLog.bloomsOf(root, CommitLog.latestVersion(root))
+      .values.flatMap(_.values).map(_.length * 4).toSeq
+    assert(widths.distinct.size == 2, s"fixture needs mixed widths: $widths")
+    val r = CommitLogOptimize.optimize(spark, root, smallBytes = 1L << 20)
+    val v = CommitLog.latestVersion(root)
+    val packBloom = CommitLog.bloomsOf(root, v)(r.packed.get)
+    assert(packBloom.contains("kind"), "mixed widths must fold, not drop")
+    assert(packBloom("kind").length * 4 == widths.min)
+    assert(graft.sources.CommitLogBloom.mightContain(packBloom("kind"), "needle"))
+    assert(graft.sources.CommitLogBloom.mightContain(packBloom("kind"), "k1500"))
+    // the folded union still prunes an absent value through the connector
+    val none = spark.read.format("commitlog").option("path", root).load()
+      .filter($"kind" === "absent-value")
+    assert(none.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.sum == 0)
+    assert(none.count() == 0L)
+  }
+
   test("an all-empty streaming epoch still commits: dense versions, advancing watermark") {
     val root = freshRoot("emptyepoch")
     val schema = Seq(1L).toDF("id").schema

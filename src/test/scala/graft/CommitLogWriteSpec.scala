@@ -370,6 +370,72 @@ class CommitLogWriteSpec extends SparkSpec {
     assert(err.getMessage.contains("STRING or integral"), err.getMessage)
   }
 
+  test("bloom auto-sizing: fold-then-merge equals build-small, bit for bit") {
+    import graft.sources.CommitLogBloom
+    // the fold soundness claim is exactness, not approximation:
+    // positions are h mod 2^a, so folding a big filter in half keeps
+    // h mod 2^(a-1) — identical to having built small from the start
+    val vals = (0 until 1000).map(i => s"v$i")
+    val big = CommitLogBloom.emptyBits(CommitLogBloom.BuildBits)
+    vals.foreach(CommitLogBloom.add(big, _))
+    val target = CommitLogBloom.sizeFor(1000)
+    val small = CommitLogBloom.emptyBits(target)
+    vals.foreach(CommitLogBloom.add(small, _))
+    assert(CommitLogBloom.toHex(CommitLogBloom.fold(big, target)) ==
+      CommitLogBloom.toHex(small))
+    // sizing curve: floor at the old default, ~8.5 bits/value, 2^20 cap
+    assert(CommitLogBloom.sizeFor(0) == 4096)
+    assert(CommitLogBloom.sizeFor(400) == 4096)
+    assert(CommitLogBloom.sizeFor(1000) == 16384)
+    assert(CommitLogBloom.sizeFor(167000) == (1 << 20))
+    assert(CommitLogBloom.sizeFor(10_000_000L) == (1 << 20))
+  }
+
+  test("bloom auto-sizing: a 167k-id batch at default settings still prunes") {
+    // the r15 failure shape (ROUND15.md §7): fixed-width filters
+    // saturate silently as batches grow — at sf1 cardinalities
+    // (~167k ids/batch) FP ≈ 0.7 and plans widen toward all batches.
+    // Auto mode sizes from the batch's published row count: capped at
+    // 2^20 bits here (FP ≈ 5%), a point probe plans ~1 batch of 3.
+    val root = freshRoot("autobloom")
+    (0L until 3L).foreach { r =>
+      spark.range(0, 500001).filter($"id" % 3 === r)
+        .select($"id", ($"id" * 2).as("v")).repartition(1)
+        .write.format("commitlog").option("path", root)
+        .option("bloomColumns", "id").mode("append").save()
+    }
+    val all = spark.read.format("commitlog").option("path", root).load()
+    assert(plannedParts(all) == 3)
+    val probe = all.filter($"id" === 300000L)
+    assert(plannedParts(probe) <= 2,
+      s"auto-sized bloom must keep the point probe narrow at 167k ids: " +
+        s"planned ${plannedParts(probe)} of 3")
+    assert(probe.count() == 1L)
+    // manifest filters sit at the cap (167k ids want 2^21, clamped)
+    val blooms = CommitLog.bloomsOf(root, CommitLog.latestVersion(root))
+    assert(blooms.values.flatMap(_.values)
+      .forall(_.length == (1 << 20) / 4),
+      "auto width must clamp at 2^20 bits")
+    // a SMALL batch folds to the floor — no manifest bloat for the
+    // common case the old default served well
+    val tiny = freshRoot("tinybloom")
+    Seq((1L, 2L)).toDF("id", "v").repartition(1)
+      .write.format("commitlog").option("path", tiny)
+      .option("bloomColumns", "id").mode("append").save()
+    val tinyHex = CommitLog.bloomsOf(tiny, CommitLog.latestVersion(tiny))
+      .values.flatMap(_.values).head
+    assert(tinyHex.length == 4096 / 4, s"floor width: ${tinyHex.length * 4}")
+    // the explicit dial still pins an exact width (the override path)
+    val fixed = freshRoot("fixedbloom")
+    Seq((1L, 2L)).toDF("id", "v").repartition(1)
+      .write.format("commitlog").option("path", fixed)
+      .option("bloomColumns", "id").option("bloomBits", "65536")
+      .mode("append").save()
+    val fixedHex = CommitLog.bloomsOf(fixed, CommitLog.latestVersion(fixed))
+      .values.flatMap(_.values).head
+    assert(fixedHex.length == 65536 / 4, s"dial width: ${fixedHex.length * 4}")
+  }
+
   test("a batch written without blooms never prunes on string probes") {
     val root = freshRoot("nobloom")
     Seq((1L, "x")).toDF("id", "kind").repartition(1)

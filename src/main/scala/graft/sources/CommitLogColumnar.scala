@@ -48,6 +48,11 @@ object CommitLogColumnar {
   /** Column vector capacity per batch — Spark's own default. */
   val Capacity = 4096
 
+  /** Test observability: readers opened since JVM start (local-mode
+    * executors share the driver JVM, so specs pin leg selection by
+    * counter delta — streaming plans aren't inspectable post-hoc). */
+  private[graft] val readersOpened = new java.util.concurrent.atomic.AtomicLong
+
   /** The hadoop conf a columnar read ships to executors: the session's
     * full hadoop conf (filesystem credentials etc.) plus the SQL
     * entries Spark's parquet ReadSupport and schema converter read
@@ -91,6 +96,8 @@ class CommitLogColumnarReader(
     fileLength: Long = -1L,
     stamp: Option[(String, Int)] = None)
     extends PartitionReader[ColumnarBatch] {
+
+  CommitLogColumnar.readersOpened.incrementAndGet()
 
   // per-file copy: the requested schema differs per file under renames,
   // and Configuration is mutable — never write into the shared one

@@ -2255,10 +2255,22 @@ class CommitLogMicroBatchStream(
     // deletes and (materialized) merges become feed rows instead of
     // faulting the tail, which is what makes the stream able to follow
     // a table that UPDATES, not just one that appends
-    if (readChangeFeed)
-      return CommitLog.changes(root, lo, hi)
+    if (readChangeFeed) {
+      val parts = CommitLog.changes(root, lo, hi)
         .flatMap(CommitLogChangePlan.partitions(root, _))
-        .map(p => p: InputPartition).toArray
+      // r16: an epoch made ONLY of constant-stamp shapes (appends,
+      // whole-batch deletes with no prior DVs) serves columnar exactly
+      // like a batch feed window — stamps ride as constant trailing
+      // partition vectors. One row-leg shape anywhere in the epoch
+      // (materialized change files carrying _change_type as data, DV
+      // position synthesis, position skips) row-forces EVERY partition,
+      // so Spark's all-or-none per-scan columnar check always sees
+      // uniform children — the r15 mixed-epoch crash has no window.
+      val uniform = parts.forall(p => p.constChangeType.isDefined &&
+        p.deletedPositions.isEmpty && p.onlyPositions.isEmpty)
+      val served = if (uniform) parts else parts.map(_.copy(forceRow = true))
+      return served.map(p => p: InputPartition).toArray
+    }
     // a RENAME or DROP COLUMN landed mid-stream: this stream's schema
     // still names the OLD column, which later appends no longer carry —
     // the per-file name resolution would silently null-fill the new
@@ -2321,10 +2333,23 @@ class CommitLogMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory = {
     // a plain tail plans only appended data files (DV/COW commits fail
     // the stream above), so vectorized batches apply whenever no
-    // change-feed stamps or synthesized columns are requested
-    val columnar = !readChangeFeed &&
-      !schema.fieldNames.exists(CommitLogSource.SpecialCols.contains) &&
-      schema.fields.forall(f => CommitLogSource.vectorizable(f.dataType))
+    // change-feed stamps or synthesized columns are requested. A
+    // change-feed tail (r16) is columnar at the SCHEMA level when the
+    // stamps trail the pruned columns (the batch-window shape); the
+    // per-EPOCH decision rides each partition's forceRow flag, set in
+    // [[planInputPartitions]] — a mixed epoch row-forces uniformly.
+    val columnar =
+      if (readChangeFeed) {
+        val stamps = schema.fields.filter(f =>
+          CommitLogSource.StampCols.contains(f.name))
+        val nonStamp = schema.fields.filterNot(f =>
+          CommitLogSource.StampCols.contains(f.name))
+        schema.fields.sameElements(nonStamp ++ stamps) &&
+          !nonStamp.map(_.name).exists(CommitLogSource.SpecialCols.contains) &&
+          nonStamp.forall(f => CommitLogSource.vectorizable(f.dataType))
+      } else
+        !schema.fieldNames.exists(CommitLogSource.SpecialCols.contains) &&
+          schema.fields.forall(f => CommitLogSource.vectorizable(f.dataType))
     // the chain only grows and names are never reused, so the LATEST
     // map correctly resolves every earlier era's files
     CommitLogReaderFactory(schema,
@@ -2359,7 +2384,14 @@ case class CommitLogInputPartition(
     file: String, constChangeType: Option[String] = None, version: Int = -1,
     deletedPositions: Array[Long] = Array.empty,
     onlyPositions: Array[Long] = Array.empty,
-    fileLength: Long = -1L) // -1 = unknown; columnar reader re-stats
+    fileLength: Long = -1L, // -1 = unknown; columnar reader re-stats
+    // r16 streaming-feed coercion: a mixed epoch (constant-stamp AND
+    // row-leg shapes) marks EVERY partition row-forced so Spark's
+    // all-or-none per-scan columnar check sees uniform children; a
+    // homogeneous constant-stamp epoch leaves it false and the epoch
+    // serves columnar. Batch scans never set it (their scan-wide flag
+    // already agrees across partitions).
+    forceRow: Boolean = false)
     extends InputPartition
 
 /** A file partition of a STORAGE-PARTITIONED scan: the wrapped
@@ -2437,7 +2469,7 @@ case class CommitLogReaderFactory(
       case b: CommitLogInputPartition => b
     }
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar
+    columnar && !unwrap(partition).forceRow
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = unwrap(partition)

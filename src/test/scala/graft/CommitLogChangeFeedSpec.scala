@@ -88,6 +88,62 @@ class CommitLogChangeFeedSpec extends SparkSpec {
       .select(col(CommitLogCdf.CommitVersionCol)).as[Int].head() == 3)
   }
 
+  test("streaming feed epochs serve columnar when homogeneous, row when mixed (r16)") {
+    // the r15 decline was per-epoch heterogeneity: one epoch may mix
+    // constant-stamp partitions (appends) with row-leg shapes
+    // (materialized change files, DV synthesis), and Spark's per-scan
+    // columnar check is all-or-none. r16 coerces per epoch: a
+    // homogeneous constant-stamp epoch serves the vectorized leg (the
+    // dominant tailing shape — appends), a mixed epoch row-forces
+    // every partition. Either way the check sees uniform children.
+    // leg selection is pinned by the columnar reader-open counter
+    // (local-mode executors share the JVM): streaming plans are not
+    // inspectable post-hoc, but a reader opened IS the leg taken
+    val root = freshRoot("colepoch")
+    val ckpt = freshRoot("colepoch_ckpt")
+    val out = freshRoot("colepoch_out")
+    append(root, Seq((1L, 10.0)))
+    append(root, Seq((2L, 20.0)))
+    def drain(): Unit = {
+      val q = spark.readStream.format("commitlog")
+        .option("path", root).option("readChangeFeed", true).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def columnarDelta(body: => Unit): Long = {
+      val before = graft.sources.CommitLogColumnar.readersOpened.get()
+      body
+      graft.sources.CommitLogColumnar.readersOpened.get() - before
+    }
+    // one epoch of two append versions: homogeneous constant stamps
+    val d1 = columnarDelta(drain())
+    assert(d1 == 2L,
+      s"append-only epoch must open one columnar reader per file: $d1")
+    assert(spark.read.parquet(out).count() == 2L)
+    // a materialized merge (change rows carry _change_type as DATA)
+    // plus another append: the epoch mixes shapes → uniform row leg
+    CommitLogMerge.merge(spark, root,
+      mergeSrc(Seq((2L, 99.0, "U"))), keyCols = Seq("id"), changeFeed = true)
+    append(root, Seq((3L, 30.0)))
+    val d2 = columnarDelta(drain())
+    assert(d2 == 0L, s"mixed epoch must row-force uniformly: $d2")
+    // update_pre + update_post + insert on top of the two inserts
+    assert(spark.read.parquet(out).count() == 5L)
+    // and a later pure-append epoch recovers the columnar leg
+    append(root, Seq((4L, 40.0)))
+    val d3 = columnarDelta(drain())
+    assert(d3 == 1L,
+      s"the tail must recover columnar service after the mixed epoch: $d3")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 6L)
+    val kinds = got.groupBy(col(CommitLogCdf.ChangeTypeCol)).count()
+      .as[(String, Long)].collect().toMap
+    assert(kinds == Map("insert" -> 4L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L), s"kinds: $kinds")
+  }
+
   test("an un-materialized merge fails the change feed with guidance; OPTIMIZE is skipped") {
     val root = freshRoot("guide")
     append(root, Seq((1L, 10.0)))

@@ -210,11 +210,13 @@ object Bench {
   // a fixed calibration probe is re-timed at suite start, after every
   // [[probeEvery]] queries, and at suite end; a probe reading above
   // 1.5x its own idle pin marks the intervening window load-suspect.
-  // Every budget breach is re-run ONCE at end of suite (min recorded);
-  // a breach that survives the re-run stands — tagged "[load-suspect]"
-  // when every one of its readings fell in a suspect window, so the
-  // artifact adjudicates itself: clean-sentinel breach = regression,
-  // suspect-tagged breach = re-measure idle before believing it.
+  // Every budget breach is adjudicated at end of suite under a CALM
+  // sentinel ONLY (r16): wait (bounded) for a calm probe, re-run
+  // bracketed by probes, error only when a clean-bracketed re-run
+  // still breaches. A breach the suite can never bracket calm
+  // downgrades to an ANNOTATION (n_annot, never n_err) — r15 shipped
+  // n_err=1 for l13_bfs purely from host contention its own sentinel
+  // had measured; that false-error class is closed here.
 
   /** Idle seconds for the calibration probe, pinned from the same idle
     * run as [[pinnedSeconds]] — scripts/repin.py re-derives it from
@@ -262,7 +264,18 @@ object Bench {
       timings: scala.collection.mutable.LinkedHashMap[String, Double],
       errors: scala.collection.mutable.LinkedHashMap[String, String],
       probes: Vector[(Int, Double)],
-      reruns: scala.collection.mutable.LinkedHashMap[String, Double])
+      reruns: scala.collection.mutable.LinkedHashMap[String, Double],
+      // breaches the suite could NOT adjudicate (sentinel never calm):
+      // annotated, NOT errors — r15's l13_bfs proved a loaded-host
+      // breach poisons the official record as a false n_err
+      annotations: scala.collection.mutable.LinkedHashMap[String, String] =
+        scala.collection.mutable.LinkedHashMap[String, String]())
+
+  /** Calm-wait dial for breach adjudication: up to [[calmAttempts]]
+    * probes, sleeping [[calmWaitMs]] between hot readings — ≤ ~15 s
+    * per breach, bounded. */
+  private[graft] val calmAttempts = 5
+  private[graft] val calmWaitMs = 3000L
 
   /** Drive the whole suite: per-query timing (with in-flight retry),
     * the sentinel probe cadence, and the end-of-suite breach re-run.
@@ -272,7 +285,8 @@ object Bench {
   private[graft] def runSuite(
       names: Seq[String], sfDir: String,
       runQuery: String => Double,
-      runProbe: () => Double): SuiteResult = {
+      runProbe: () => Double,
+      sleep: Long => Unit = _ => ()): SuiteResult = {
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val reruns = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -282,16 +296,7 @@ object Bench {
       probes :+= (done -> p)
       probeSuspect(p)
     }
-    // windowSuspect(q): every reading of q so far fell in a window at
-    // least one of whose bounding probes read suspect
-    val windowSuspect = scala.collection.mutable.Map[String, Boolean]()
-    var prevProbeSuspect = takeProbe(0)
-    val pending = scala.collection.mutable.ArrayBuffer[String]()
-    def closeWindow(nextSuspect: Boolean): Unit = {
-      pending.foreach(q => windowSuspect(q) = prevProbeSuspect || nextSuspect)
-      pending.clear()
-      prevProbeSuspect = nextSuspect
-    }
+    takeProbe(0)
     names.zipWithIndex.foreach { case (name, i) =>
       try {
         val sec = timeWithRetry(name, sfDir)(() => runQuery(name))
@@ -302,49 +307,78 @@ object Bench {
           errors(name) =
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      pending += name
-      if ((i + 1) % probeEvery == 0) closeWindow(takeProbe(i + 1))
+      if ((i + 1) % probeEvery == 0) takeProbe(i + 1)
     }
-    if (pending.nonEmpty) closeWindow(takeProbe(names.size))
+    if (names.size % probeEvery != 0) takeProbe(names.size)
 
-    // end-of-suite: re-run every budget breach once, record the min.
-    // A real regression is slow again and stands; a load phantom from a
-    // since-calmed machine clears here without human adjudication.
+    // end-of-suite: adjudicate every budget breach under a CALM
+    // sentinel ONLY (r16 — the r15 record shipped n_err=1 for l13_bfs
+    // purely from host contention the run's own sentinel had measured:
+    // probes 2–3× pin, six suspect windows). Wait (bounded) for a calm
+    // probe, re-run bracketed by probes, and ERROR only when a
+    // calm-bracketed re-run still breaches; a breach the suite cannot
+    // adjudicate (sentinel never calm around any re-run) downgrades to
+    // an ANNOTATION — "re-measure idle", but never a false n_err. An
+    // injected real regression on a calm host still errors: its calm
+    // leading probe arrives first try, its re-run stays slow, and its
+    // trailing probe confirms the window was clean.
     val breaches = errors.collect {
       case (n, msg) if msg.startsWith("time budget exceeded") => n
     }.toSeq
-    breaches.foreach { name =>
-      // a re-run that CRASHES is a harder failure than the breach it
-      // was adjudicating — surface the crash, never mask it behind the
-      // stale timing message (the artifact must adjudicate itself)
-      val rerunSec =
-        try Right(runQuery(name))
-        catch {
-          case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      rerunSec match {
-        case Left(crash) =>
-          errors(name) = s"${errors(name)}; breach re-run crashed: $crash"
-        case Right(sec) =>
-          reruns(name) = sec
-          val best = math.min(timings(name), sec)
-          timings(name) = best
-          checkBudget(name, best, sfDir) match {
-            case None => errors.remove(name)
-            case Some(msg) =>
-              // bracket the re-run with one more probe so sustained load
-              // across the ENTIRE suite (including this re-run) still tags
-              val rerunLoaded = takeProbe(names.size + reruns.size)
-              val tag =
-                if (windowSuspect.getOrElse(name, false) && rerunLoaded)
-                  " [load-suspect: all readings under a hot sentinel]"
-                else ""
-              errors(name) = msg + tag
-          }
-      }
+    val annotations = scala.collection.mutable.LinkedHashMap[String, String]()
+    var adjProbes = 0
+    def calmProbe(): Boolean = {
+      adjProbes += 1
+      !takeProbe(names.size + adjProbes)
     }
-    SuiteResult(timings, errors, probes, reruns)
+    breaches.foreach { name =>
+      var attempts = 0
+      var settled = false
+      while (!settled && attempts < calmAttempts) {
+        attempts += 1
+        if (!calmProbe()) {
+          if (attempts < calmAttempts) sleep(calmWaitMs)
+        } else {
+          // calm LEADING probe: one adjudicating re-run. A re-run that
+          // CRASHES is a harder failure than the breach it was
+          // adjudicating — surface the crash, never mask it behind the
+          // stale timing message (the artifact must adjudicate itself).
+          val rerunSec =
+            try Right(runQuery(name))
+            catch {
+              case e: Throwable =>
+                Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+            }
+          rerunSec match {
+            case Left(crash) =>
+              errors(name) = s"${errors(name)}; breach re-run crashed: $crash"
+              settled = true
+            case Right(sec) =>
+              reruns(name) =
+                math.min(sec, reruns.getOrElse(name, Double.MaxValue))
+              val best = math.min(timings(name), sec)
+              timings(name) = best
+              checkBudget(name, best, sfDir) match {
+                case None =>
+                  errors.remove(name) // load phantom: cleared, no error
+                  settled = true
+                case Some(msg) =>
+                  errors(name) = msg
+                  // the TRAILING probe must be calm too — a load spike
+                  // can land mid-re-run after a calm lead; only a
+                  // clean-bracketed slow re-run confirms the regression
+                  if (calmProbe()) settled = true
+                  else if (attempts < calmAttempts) sleep(calmWaitMs)
+              }
+          }
+        }
+      }
+      if (!settled)
+        annotations(name) = errors.remove(name).get +
+          " [unadjudicated: sentinel never calm around a re-run — " +
+          "re-measure idle before believing this reading]"
+    }
+    SuiteResult(timings, errors, probes, reruns, annotations)
   }
 
   /** Untimed warmup: JVM + codegen + parquet-footer caches, so the
@@ -415,7 +449,8 @@ object Bench {
       s
     }
     spinProbe() // JIT-warm the probe loop so probe #0 reads steady-state
-    val suite = runSuite(names, sfDir, runQuery, () => spinProbe())
+    val suite = runSuite(names, sfDir, runQuery, () => spinProbe(),
+      sleep = ms => Thread.sleep(ms))
     val timings = suite.timings
     val errors = suite.errors
     val qs = timings.map { case (k, v) => s""""${esc(k)}":${f3(v)}""" }
@@ -437,10 +472,13 @@ object Bench {
       .map { case (k, v) => s""""${esc(k)}":${f3(v)}""" }
       .mkString("{", ",", "}")
     val nSuspect = suite.probes.count { case (_, sec) => probeSuspect(sec) }
+    val annotJson = suite.annotations
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
     val sentinelJson =
-      s"""{"probe_pin":${f3(probePinSeconds)},"probes":$probesJson,"n_suspect":$nSuspect,"breach_reruns":$rerunsJson}"""
+      s"""{"probe_pin":${f3(probePinSeconds)},"probes":$probesJson,"n_suspect":$nSuspect,"breach_reruns":$rerunsJson,"annotations":$annotJson}"""
     val full =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"errors":$errJson,"sentinel":$sentinelJson,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"rows_per_sec":$rps,"errors":$errJson,"sentinel":$sentinelJson,"n_ok":${timings.size},"n_err":${errors.size},"n_annot":${suite.annotations.size},"sf":"$sfDir"}"""
     // Full per-query detail: to a file + an EARLY stdout line. The driver
     // keeps only the last ~2000 chars of stdout, so a ~5 KB line there can
     // never be parsed (r02/r03 both recorded parsed=null). Humans and
@@ -471,7 +509,7 @@ object Bench {
     val errNames = errors.keys.take(3).map(k => s""""${esc(k)}"""")
       .mkString("[", ",", "]")
     var compact =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$headJson,"n_ok":${timings.size},"n_err":${errors.size},"err_names":$errNames,"sentinel_suspect_probes":$nSuspect,"detail":"bench_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$headJson,"n_ok":${timings.size},"n_err":${errors.size},"n_annot":${suite.annotations.size},"err_names":$errNames,"sentinel_suspect_probes":$nSuspect,"detail":"bench_detail.json","sf":"$sfDir"}"""
     if (compact.length > 1600) // belt-and-braces: never outgrow the tail
       compact =
         s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{"flagship_pipeline":${f3(timings.getOrElse("flagship_pipeline", 0.0))}},"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""

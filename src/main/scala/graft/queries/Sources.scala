@@ -4065,6 +4065,63 @@ object Sources {
       val desc5 = descQ.agg(sum($"event_id").as("n"))
         .select(lit("top5_desc").as("leg"), $"n")
       plans.unionAll(asc5).unionAll(desc5).orderBy("leg")
+    },
+
+    // S72 (SURVEY S75): REORG … APPLY PURGE — deletion-vector
+    // compaction, the verb completing the merge-on-read lifecycle.
+    // A 10% DV delete leaves outstanding vectors that tax every read
+    // (per-row position skipping) and disqualify the snapshot from
+    // BOTH the vectorized columnar leg and OPTIMIZE; purge rewrites
+    // just the vector-referenced batches with the deletions APPLIED
+    // and drops the vectors in one dataChange=false commit. Pinned
+    // legs: vectors gone, live rows IDENTICAL to the oracle's
+    // post-delete aggregate, columnar service restored, and the
+    // pre-purge version still reconciling the SAME rows through its
+    // vectors (time travel unbroken). At 100 TB purge is the bounded
+    // maintenance pass (touched batches only — untouched data moves
+    // zero bytes) that keeps a heavily-DML'd table on the fast leg.
+    Decl(
+      "s72_reorg_purge",
+      s"""WITH live AS (SELECT * FROM events WHERE event_id % 10 != 3)
+         |SELECT 'columnar' AS leg, CAST(1 AS BIGINT) AS n
+         |UNION ALL
+         |SELECT 'dv_after', CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'live_n', CAST(count(*) AS BIGINT) FROM live
+         |UNION ALL
+         |SELECT 'live_sum', CAST(sum(event_id) AS BIGINT) FROM live
+         |UNION ALL
+         |SELECT 'pre_purge_n', CAST(count(*) AS BIGINT) FROM live
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogDml, CommitLogMerge, CommitLogOptimize}
+      val root = ioDir("s72_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events").select($"event_id", $"event_type")
+        .repartition(2)
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      CommitLogDml.delete(s, root, "event_id % 10 = 3") // 10% → DV leg
+      val r = CommitLogOptimize.purge(s, root)
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      val dvAfter = CommitLog.files(root, CommitLog.latestVersion(root))
+        .count(_.startsWith(CommitLogMerge.DvPrefix))
+      val columnar =
+        if (tbl.queryExecution.executedPlan.toString.contains("ColumnarToRow")) 1L
+        else 0L
+      val pins = s.range(1).select(lit("columnar").as("leg"),
+          lit(columnar).as("n"))
+        .unionAll(s.range(1).select(lit("dv_after").as("leg"),
+          lit(dvAfter.toLong).as("n")))
+      val live = tbl.agg(count(lit(1)).as("c"), sum($"event_id").as("sm"))
+      val liveN = live.select(lit("live_n").as("leg"), $"c".as("n"))
+      val liveSum = live.select(lit("live_sum").as("leg"), $"sm".as("n"))
+      val prePurge = s.read.format("commitlog").option("path", root)
+        .option("versionAsOf", r.version - 1).load()
+        .agg(count(lit(1)).as("n"))
+        .select(lit("pre_purge_n").as("leg"), $"n")
+      pins.unionAll(liveN).unionAll(liveSum).unionAll(prePurge)
+        .orderBy("leg")
     }
   )
 

@@ -145,9 +145,9 @@ object CommitLogMerge {
         throw new IllegalStateException(
           s"$root carries $total outstanding deletion-vector positions " +
             s"(> $DvCapConf = $cap): planning would materialize them on " +
-            "the driver — compact first (a COW merge or " +
-            "CommitLogOptimize.optimizeRepartition applies the vectors " +
-            "and drops them), or raise the cap")
+            "the driver — run CommitLogOptimize.purge (REORG APPLY " +
+            "PURGE: applies the vectors executor-side and drops them, " +
+            "never driver-sized) or a COW merge, or raise the cap")
       df.collect()
         .groupBy(r => normDir(r.getAs[String]("_file")))
         .map { case (f, rows) => f -> rows.map(_.getAs[Long]("_pos")).sorted }

@@ -255,6 +255,127 @@ object CommitLogOptimize {
       s"$op on $root gave up after 50 attempts (livelock?)")
   }
 
+  final case class PurgeResult(
+      version: Int, purged: Seq[String], dropped: Seq[String])
+
+  /** REORG … APPLY PURGE (SURVEY S75) — deletion-vector compaction,
+    * the verb that completes the merge-on-read lifecycle (Delta's
+    * `REORG TABLE … APPLY (PURGE)`): rewrite every data batch that
+    * outstanding `dv-` vectors reference with its deleted positions
+    * APPLIED, and publish one `dataChange=false` commit that swaps the
+    * touched batches for their reconciled rewrites and drops every
+    * vector. Untouched batches move zero bytes.
+    *
+    * Why it matters at 100 TB: outstanding DVs tax every read twice —
+    * each scan pays per-row position skipping, and ONE dv- batch
+    * disqualifies the whole snapshot from the vectorized columnar leg
+    * ([[CommitLogScan]]'s eligibility gate) AND from [[optimize]]
+    * (position-referencing rewrites resurrect deleted rows). Purge
+    * restores both in one bounded maintenance pass: cost is exactly
+    * the touched batches' surviving bytes, once.
+    *
+    * Layout-only by construction: the LIVE row set is unchanged (the
+    * removed rows were retracted at their own DV versions), so tails
+    * and the change feed SKIP the commit, time travel keeps serving
+    * pre-purge versions through the vectors until vacuum, and the
+    * rival matrix is [[optimize]]'s — appends rebase past it, a rival
+    * DV/COW rewrite aborts exactly one loser ([[commitRewrite]]).
+    *
+    * Never driver-sized: reconciliation is [[CommitLogMerge.snapshotOf]]'s
+    * broadcast anti-join on the executors, so purge works on tables
+    * PAST the [[CommitLogMerge.DvCapConf]] planning cap — it is the
+    * escape hatch that error message points to. Driver state here is
+    * one distinct-directory collect (batch-count-sized).
+    *
+    * Stats: the purged batch carries its source's manifest entry with
+    * every facet that stays sound on a row SUBSET — boxes and string
+    * bounds (may widen, never lie), blooms (may admit a purged value:
+    * one extra read, residual-filtered) — while exact null counts drop
+    * to unknown (the deleted rows' null split is unrecorded); row
+    * counts are re-stated EXACTLY from the rewrite's parquet footers.
+    * Row-tracked tables keep their ids: the rewrite reads under
+    * [[CommitLog.rewriteDdl]], which carries the hidden id column. */
+  def purge(
+      spark: SparkSession, root: String,
+      targetPartitions: Int = 1): PurgeResult = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    require(targetPartitions >= 1)
+    val readVersion = CommitLog.latestVersion(root)
+    val live = CommitLog.files(root, readVersion)
+    val (dvs, datas) = live.partition(_.startsWith(CommitLogMerge.DvPrefix))
+    if (dvs.isEmpty) return PurgeResult(readVersion, Nil, Nil)
+    // the batches the vectors actually reference — distinct parent
+    // directories of the recorded file paths, batch-count-sized
+    val touchedDirs = spark.read
+      .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*)
+      .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("d"))
+      .distinct().collect()
+      .map(r => CommitLogMerge.normDir(r.getString(0))).toSet
+    val touched = datas.filter(b =>
+      touchedDirs.contains(CommitLogMerge.normDir(CommitLog.batchPath(root, b))))
+    // vectors into already-removed directories can never match a read
+    // again; with every referenced live batch rewritten, ALL vectors drop
+    val ddl = CommitLog.rewriteDdl(root, readVersion)
+    val formers = CommitLog.formerNamesOf(root, readVersion)
+    val stats = CommitLog.statsOf(root, readVersion)
+    val blooms = CommitLog.bloomsOf(root, readVersion)
+    val tuples = CommitLog.partsOf(root, readVersion)
+    val rootP = new Path(root)
+    val fs = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
+    var added = Seq.empty[String]
+    var addStats: CommitLog.Stats = Map.empty
+    var addBlooms: CommitLog.Blooms = Map.empty
+    var addParts: CommitLog.Parts = Map.empty
+    var addRows: CommitLog.Rows = Map.empty
+    try {
+      touched.foreach { b =>
+        val purged = s"prg${EnvelopeBatchWrite.nextWriteId()}"
+        CommitLogMerge.snapshotOf(spark, root, Seq(b), dvs, ddl, formers)
+          .coalesce(targetPartitions)
+          .write.parquet(s"$root/$purged")
+        // exact survivor count from the rewrite's own footers (a
+        // metadata read — positions may double-count across vectors,
+        // the written rows cannot)
+        val rows = CommitLogSource.listParquet(root, purged) match {
+          case Nil => 0L
+          case fsq => spark.read.parquet(fsq: _*).count()
+        }
+        if (rows == 0L && added.nonEmpty) {
+          // fully-deleted batch: nothing to restate — drop the empty
+          // rewrite unless it is the commit's only add (dataChange=
+          // false needs a non-empty add set)
+          val pp = new Path(rootP, purged)
+          if (fs.exists(pp)) fs.delete(pp, true)
+        } else {
+          added :+= purged
+          addRows += purged -> rows
+          // subset-sound facets carry; exact null counts drop; an
+          // entry left fact-less (unboxed, no bounds) drops entirely
+          val carried = stats.getOrElse(b, Map.empty).collect {
+            case (c, st) if st.boxed || st.strLo.isDefined =>
+              c -> CommitLog.ColStat(st.lo, st.hi, None, st.strLo, st.strHi)
+          }
+          if (carried.nonEmpty) addStats += purged -> carried
+          blooms.get(b).filter(_.nonEmpty)
+            .foreach(m => addBlooms += purged -> m)
+          tuples.get(b).foreach(t => addParts += purged -> t)
+        }
+      }
+      val c = commitRewrite(root, readVersion,
+        added = added, removed = touched ++ dvs,
+        stats = addStats, blooms = addBlooms,
+        op = "REORG", parts = addParts, rows = addRows)
+      PurgeResult(c.version, added, dvs)
+    } catch {
+      case e: Throwable =>
+        added.foreach { p =>
+          val pp = new Path(rootP, p)
+          if (fs.exists(pp)) fs.delete(pp, true)
+        }
+        throw e
+    }
+  }
+
   final case class RepartitionResult(
       version: Int, added: Seq[String], sources: Seq[String])
 

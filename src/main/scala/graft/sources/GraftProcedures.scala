@@ -22,6 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.restore(tbl => 'db.t', version => 3)
   * CALL graft.system.history(tbl => 'db.t')         -- DESCRIBE HISTORY
   * CALL graft.system.clone(tbl => 'db.t', target => 'db.t2')
+  * CALL graft.system.reorg(tbl => 'db.t')   -- REORG … APPLY (PURGE)
   * }}}
   *
   * Each procedure resolves `tbl` through the owning [[GraftCatalog]]'s
@@ -33,7 +34,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "history", "clone", "detail")
+    Seq("optimize", "vacuum", "restore", "history", "clone", "detail", "reorg")
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -199,6 +200,26 @@ object GraftProcedures {
               props.get(CommitLogWrite.SortOrderProp).map(utf8).orNull,
               Int.box(props.size),
               Int.box(CommitLog.constraintsOf(root, v).size))
+          }
+        }
+      case "reorg" =>
+        // Delta's `REORG TABLE … APPLY (PURGE)` as a procedure:
+        // deletion-vector compaction ([[CommitLogOptimize.purge]]) —
+        // rewrite vector-referenced batches with deletions applied,
+        // drop every vector in one dataChange=false commit. The SQL
+        // escape hatch the DV planning-cap error points to.
+        new Verb("reorg", resolve, Seq(
+          in("tbl", StringType),
+          inDefault("target_partitions", IntegerType, "1"))) {
+          private val schema = StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("purged_batches", IntegerType),
+            StructField("dropped_vectors", IntegerType)))
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val r = CommitLogOptimize.purge(
+              SparkSession.active, rootOf(input), input.getInt(1))
+            oneRow(schema, Int.box(r.version),
+              Int.box(r.purged.size), Int.box(r.dropped.size))
           }
         }
       case "clone" =>

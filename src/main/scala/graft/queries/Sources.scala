@@ -4122,6 +4122,75 @@ object Sources {
         .select(lit("pre_purge_n").as("leg"), $"n")
       pins.unionAll(liveN).unionAll(liveSum).unionAll(prePurge)
         .orderBy("leg")
+    },
+
+    // S73 (SURVEY S76): CBO COLUMN STATISTICS — the scan reports
+    // per-column min/max/nullCount/distinctCount to Spark through DSv2
+    // `Statistics.columnStats()`, built from the manifest's boxes,
+    // null counts and NDV sketches over the SURVIVING batches (zero
+    // data reads, filter-aware). Spark folds them into the relation's
+    // attributeStats, so FilterEstimation range-estimates filters and
+    // join reorder sees real null fractions on commitlog tables with
+    // no ANALYZE pass — at 100 TB the CBO plans against live manifest
+    // truth instead of defaults. The decl reads the REPORTED stats off
+    // the scan and pins them against the oracle computing the same
+    // facts from the raw data (the ±13% NDV estimate is spec-pinned,
+    // not oracle-pinned — approximation is its contract).
+    Decl(
+      "s73_cbo_stats",
+      s"""WITH t AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         |  FROM events)
+         |SELECT 'id_max' AS leg, CAST(max(event_id) AS DOUBLE) AS x FROM t
+         |UNION ALL
+         |SELECT 'id_min', CAST(min(event_id) AS DOUBLE) FROM t
+         |UNION ALL
+         |SELECT 'id_nulls', CAST(0 AS DOUBLE)
+         |UNION ALL
+         |SELECT 'rows', CAST(count(*) AS DOUBLE) FROM t
+         |UNION ALL
+         |SELECT 'v_max', max(v) FROM t
+         |UNION ALL
+         |SELECT 'v_min', min(v) FROM t
+         |UNION ALL
+         |SELECT 'v_nulls', CAST(count(*) - count(v) AS DOUBLE) FROM t
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = ioDir("s73_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events")
+        .select($"event_id",
+          when($"event_id" % 7 === 0, lit(null)).otherwise($"value").as("v"))
+        .repartition(3)
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      val df = s.read.format("commitlog").option("path", root).load()
+      val stats = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[
+            org.apache.spark.sql.connector.read.SupportsReportStatistics]
+            .estimateStatistics()
+      }.get
+      import scala.jdk.CollectionConverters._
+      val cs = stats.columnStats().asScala.map { case (ref, st) =>
+        ref.fieldNames().mkString(".") -> st
+      }
+      def mm(c: String, f: org.apache.spark.sql.connector.read.colstats.ColumnStatistics => java.util.Optional[Object]): Double =
+        f(cs(c)).get() match {
+          case l: java.lang.Long => l.toDouble
+          case d: java.lang.Double => d
+          case other => other.toString.toDouble
+        }
+      val rows = Seq(
+        ("id_max", mm("event_id", _.max())),
+        ("id_min", mm("event_id", _.min())),
+        ("id_nulls", cs("event_id").nullCount().getAsLong.toDouble),
+        ("rows", stats.numRows().getAsLong.toDouble),
+        ("v_max", mm("v", _.max())),
+        ("v_min", mm("v", _.min())),
+        ("v_nulls", cs("v").nullCount().getAsLong.toDouble))
+      rows.toDF("leg", "x").orderBy("leg")
     }
   )
 

@@ -549,7 +549,8 @@ object CommitLog {
     * value) when it carries a null count or string bounds;
     * [[ColStat.box]] is the numeric facet, None when unboxed. */
   final case class ColStat(lo: Double, hi: Double, nulls: Option[Long] = None,
-      strLo: Option[Array[Byte]] = None, strHi: Option[Array[Byte]] = None) {
+      strLo: Option[Array[Byte]] = None, strHi: Option[Array[Byte]] = None,
+      ndv: Option[Array[Byte]] = None) {
     def boxed: Boolean = lo <= hi
     def box: Option[(Double, Double)] = if (boxed) Some((lo, hi)) else None
     // case-class equality on Array fields is reference equality —
@@ -558,15 +559,18 @@ object CommitLog {
       case s: ColStat =>
         lo == s.lo && hi == s.hi && nulls == s.nulls &&
           strLo.map(_.toSeq) == s.strLo.map(_.toSeq) &&
-          strHi.map(_.toSeq) == s.strHi.map(_.toSeq)
+          strHi.map(_.toSeq) == s.strHi.map(_.toSeq) &&
+          ndv.map(_.toSeq) == s.ndv.map(_.toSeq)
       case _ => false
     }
     override def hashCode(): Int =
-      (lo, hi, nulls, strLo.map(_.toSeq), strHi.map(_.toSeq)).hashCode()
+      (lo, hi, nulls, strLo.map(_.toSeq), strHi.map(_.toSeq),
+        ndv.map(_.toSeq)).hashCode()
     override def toString: String =
       s"ColStat($lo,$hi,$nulls," +
         s"${strLo.map(b => new String(b, "UTF-8"))}," +
-        s"${strHi.map(b => new String(b, "UTF-8"))})"
+        s"${strHi.map(b => new String(b, "UTF-8"))}," +
+        s"ndv=${ndv.isDefined})"
   }
   object ColStat {
     /** Byte cap for stored string bounds (Iceberg truncates at 16;
@@ -598,6 +602,8 @@ object CommitLog {
         require(st.strLo.forall(_.length <= ColStat.StrCap) &&
           st.strHi.forall(_.length <= ColStat.StrCap),
           s"string bound over ${ColStat.StrCap} bytes: '$b'.'$c'")
+        require(st.ndv.forall(_.length == CommitLogNdv.M),
+          s"ndv sketch must be ${CommitLogNdv.M} registers: '$b'.'$c'")
       }
     }
   }
@@ -611,12 +617,19 @@ object CommitLog {
     stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, st) =>
         val base = s"$b|$c|${st.lo}|${st.hi}"
-        (st.nulls, st.strLo, st.strHi) match {
-          case (None, None, None) => base
-          case (n, None, None) => s"$base|${n.getOrElse("")}"
+        (st.nulls, st.strLo, st.strHi, st.ndv) match {
+          case (None, None, None, None) => base
+          case (n, None, None, None) => s"$base|${n.getOrElse("")}"
           // string bounds require the nulls slot (empty if unknown)
-          case (n, Some(slo), Some(shi)) =>
+          case (n, Some(slo), Some(shi), None) =>
             s"$base|${n.map(_.toString).getOrElse("")}|${hex(slo)}|${hex(shi)}"
+          // the ndv sketch requires all slots; ABSENT string bounds
+          // render as `-` — an empty hex string is a legal (empty)
+          // bound, so emptiness cannot mean absence in fields 6/7
+          case (n, slo, shi, Some(nd)) if slo.isDefined == shi.isDefined =>
+            s"$base|${n.map(_.toString).getOrElse("")}" +
+              s"|${slo.map(hex).getOrElse("-")}" +
+              s"|${shi.map(hex).getOrElse("-")}|${hex(nd)}"
           case other =>
             throw new IllegalStateException(s"unrenderable stat: $other")
         }
@@ -638,6 +651,14 @@ object CommitLog {
         (b, c, ColStat(lo.toDouble, hi.toDouble,
           if (n.isEmpty) None else Some(n.toLong),
           Some(unhex(slo)), Some(unhex(shi))))
+      case Array(b, c, lo, hi, n, slo, shi, nd) =>
+        // 8-field arity: `-` marks ABSENT string bounds ("" stays a
+        // legal empty bound); an empty ndv slot degrades to unknown
+        (b, c, ColStat(lo.toDouble, hi.toDouble,
+          if (n.isEmpty) None else Some(n.toLong),
+          if (slo == "-") None else Some(unhex(slo)),
+          if (shi == "-") None else Some(unhex(shi)),
+          if (nd.isEmpty) None else Some(unhex(nd))))
     }.groupBy(_._1).map { case (b, rows) =>
       b -> rows.map(r => r._2 -> r._3).toMap
     }
@@ -1182,6 +1203,7 @@ object CommitLog {
     commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
       op = Some("RENAME COLUMN"), colMap = next, defaults = movedDefault)
   }
+
 
   /** Names RESERVED forever by DROP COLUMN at `v`: the dropped logical
     * name plus every former name of its chain. Old files still carry

@@ -176,8 +176,14 @@ object CommitLogOptimize {
           (Some(sts.map(_.strLo.get).reduce((a, b) => if (lt(a, b)) a else b)),
             Some(sts.map(_.strHi.get).reduce((a, b) => if (lt(a, b)) b else a)))
         else (None, None)
+      // ndv sketches union exactly (register max); a sketch-less
+      // source (pre-r16 era) poisons — a partial union under-reports
+      val ndv =
+        if (sts.forall(_.ndv.isDefined))
+          Some(sts.map(_.ndv.get).reduce(CommitLogNdv.merge))
+        else None
       c -> CommitLog.ColStat(
-        sts.map(_.lo).min, sts.map(_.hi).max, nulls, slo, shi)
+        sts.map(_.lo).min, sts.map(_.hi).max, nulls, slo, shi, ndv)
     }.toMap
     val packStats: CommitLog.Stats =
       if (packBox.isEmpty) Map.empty else Map(packed -> packBox)
@@ -349,11 +355,14 @@ object CommitLogOptimize {
         } else {
           added :+= purged
           addRows += purged -> rows
-          // subset-sound facets carry; exact null counts drop; an
+          // subset-sound facets carry; exact null counts drop; the
+          // ndv sketch carries (a subset's true NDV ≤ the sketch's —
+          // over-reporting is the safe estimation direction); an
           // entry left fact-less (unboxed, no bounds) drops entirely
           val carried = stats.getOrElse(b, Map.empty).collect {
             case (c, st) if st.boxed || st.strLo.isDefined =>
-              c -> CommitLog.ColStat(st.lo, st.hi, None, st.strLo, st.strHi)
+              c -> CommitLog.ColStat(st.lo, st.hi, None, st.strLo, st.strHi,
+                st.ndv)
           }
           if (carried.nonEmpty) addStats += purged -> carried
           blooms.get(b).filter(_.nonEmpty)

@@ -2010,7 +2010,96 @@ case class CommitLogScan(
     val hasDv = snap.files.exists(_.startsWith(CommitLogMerge.DvPrefix))
     val counted = !hasDv && batches.forall(snap.rows.contains)
     CommitLogStatistics(Some(bytes),
-      if (counted) Some(batches.map(snap.rows).sum) else None)
+      if (counted) Some(batches.map(snap.rows).sum) else None,
+      if (hasDv) Map.empty else columnStatsOf(batches))
+  }
+
+  /** Per-column CBO statistics over the SURVIVING batches (SURVEY S76) —
+    * Spark's `transformV2Stats` folds these into the relation's
+    * `attributeStats`, so `FilterEstimation` range-estimates filters and
+    * the CBO join machinery sees real nullCounts, all zero-read and
+    * filter-aware (pruning tightens them). Per facet, all-or-nothing
+    * across batches: a single batch missing the fact drops that facet,
+    * never degrades it. min/max converts the merged double box back to
+    * the column's catalyst value form — estimation-only, so the box's
+    * round-to-nearest is fine (a >2^53 integral bound lands within one
+    * ULP of the truth; CBO selectivity cannot misuse that). Declined:
+    * outstanding DVs (counts/bounds would include deleted rows — purge
+    * restores the stats with the columnar leg), NaN-marked boxes
+    * (hi=+Inf is a presence marker, not a bound), truncated string
+    * bounds (not actual values), variant-rewritten struct reads. */
+  private def columnStatsOf(
+      batches: Seq[String]): Map[String, CommitLogColumnStat] = {
+    if (batches.isEmpty) return Map.empty
+    val typeOf = typeSchema.fields.map(f => f.name -> f.dataType).toMap
+    schema.fields.iterator.flatMap { f =>
+      // only columns the table DECLARES with this exact simple type —
+      // a variant-extraction rewrite changes the field's shape and
+      // must not inherit the raw column's box
+      if (!typeOf.get(f.name).contains(f.dataType)) None
+      else {
+        val entries = batches.map(b => chainLookup(snap.stats.get(b), f.name))
+        val nulls =
+          if (entries.forall(e => e.exists(_.nulls.isDefined)))
+            Some(entries.map(_.get.nulls.get).sum)
+          else None
+        // boxed batches carry the bound; an unboxed batch is ignorable
+        // only when PROVABLY all-null (contributes no values)
+        val boxes = entries.zip(batches).map {
+          case (Some(st), _) if st.boxed => Some(Some((st.lo, st.hi)))
+          case (Some(st), b) if st.nulls.isDefined &&
+              snap.rows.get(b).contains(st.nulls.get) => Some(None)
+          case _ => None
+        }
+        val range: Option[(Double, Double)] =
+          if (boxes.exists(_.isEmpty)) None
+          else {
+            val bs = boxes.flatMap(_.get)
+            if (bs.isEmpty) None
+            else Some((bs.map(_._1).min, bs.map(_._2).max))
+          }
+        val (mn, mx) = range match {
+          case Some((lo, hi))
+              if !lo.isInfinite && !hi.isInfinite && lo <= hi =>
+            (cboValue(f.dataType, lo), cboValue(f.dataType, hi))
+          case _ => (None, None)
+        }
+        // distinctCount from the merged NDV sketches (register max) —
+        // again all-or-nothing; clamped by the exact non-null count
+        // when known (the sketch is ±13%, the count is truth)
+        val ndv: Option[Long] =
+          if (entries.forall(_.exists(_.ndv.isDefined))) {
+            val est = CommitLogNdv.estimate(
+              entries.map(_.get.ndv.get).reduce(CommitLogNdv.merge))
+            val cap = for {
+              ns <- nulls
+              if batches.forall(snap.rows.contains)
+            } yield batches.map(snap.rows).sum - ns
+            // an untouched sketch estimates 0 (all-null column) — and
+            // any observed value drives linear counting ≥ 1, so the
+            // floor needs no special-casing
+            Some(math.max(0L, cap.fold(est.toLong)(c => math.min(est.toLong, c))))
+          } else None
+        if (mn.isEmpty && mx.isEmpty && nulls.isEmpty && ndv.isEmpty) None
+        else Some(f.name -> CommitLogColumnStat(mn, mx, nulls, ndv))
+      }
+    }.toMap
+  }
+
+  /** The merged box bound in the column's catalyst value form, or None
+    * for types whose box the writer never records (strings, booleans,
+    * composites) — the CBO types `EstimationUtils` can range over. */
+  private def cboValue(dt: DataType, v: Double): Option[Any] = dt match {
+    case LongType => Some(v.toLong)
+    case IntegerType => Some(v.toInt)
+    case DoubleType => Some(v)
+    case FloatType => Some(v.toFloat)
+    case TimestampType | TimestampNTZType => Some(v.toLong) // micros
+    case DateType => Some(v.toInt) // days
+    case d: DecimalType =>
+      Some(org.apache.spark.sql.types.Decimal(
+        BigDecimal(v).setScale(d.scale, BigDecimal.RoundingMode.HALF_UP)))
+    case _ => None
   }
 
   // ---- runtime (join-driven) filtering — DPP through the connector ----
@@ -2442,12 +2531,49 @@ case class CommitLogAggReaderFactory() extends PartitionReaderFactory {
 
 /** Manifest-derived scan statistics (see
   * [[CommitLogScan.estimateStatistics]]). */
-case class CommitLogStatistics(bytes: Option[Long], rowCount: Option[Long])
+case class CommitLogStatistics(
+    bytes: Option[Long], rowCount: Option[Long],
+    colStats: Map[String, CommitLogColumnStat] = Map.empty)
     extends Statistics {
   override def sizeInBytes(): java.util.OptionalLong =
     bytes.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
   override def numRows(): java.util.OptionalLong =
     rowCount.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+  override def columnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    colStats.foreach { case (c, st) =>
+      m.put(org.apache.spark.sql.connector.expressions.Expressions.column(c), st)
+    }
+    m
+  }
+}
+
+/** Per-column planner statistics served from the manifest (SURVEY S76):
+  * min/max from the merged stats boxes (converted back to the column's
+  * catalyst value form), nullCount from the merged per-column null
+  * counts. Estimation-only consumers (Spark's CBO `FilterEstimation` /
+  * join reorder) — never a correctness surface, so the box's
+  * round-to-nearest double is fine at any width. */
+case class CommitLogColumnStat(
+    minVal: Option[Any], maxVal: Option[Any], nulls: Option[Long],
+    ndv: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  override def min(): java.util.Optional[Object] =
+    minVal.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+      .getOrElse(java.util.Optional.empty())
+  override def max(): java.util.Optional[Object] =
+    maxVal.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+      .getOrElse(java.util.Optional.empty())
+  override def nullCount(): java.util.OptionalLong =
+    nulls.map(java.util.OptionalLong.of)
+      .getOrElse(java.util.OptionalLong.empty())
+  override def distinctCount(): java.util.OptionalLong =
+    ndv.map(java.util.OptionalLong.of)
+      .getOrElse(java.util.OptionalLong.empty())
 }
 
 /** `columnar` is decided ONCE per scan (Spark requires every partition

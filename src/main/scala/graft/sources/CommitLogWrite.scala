@@ -693,8 +693,14 @@ object CommitLogWrite {
             if (byteLt(a, b)) a else b)),
           Some(withBounds.map(_.strHi.get).reduce((a, b) =>
             if (byteLt(a, b)) b else a)))
+      // ndv union = register max; a part without a sketch poisons the
+      // merge (None) — a partial-coverage estimate would under-report
+      val ndv =
+        if (bs.forall(_._2.ndv.isDefined))
+          Some(bs.map(_._2.ndv.get).reduce(CommitLogNdv.merge))
+        else None
       c -> CommitLog.ColStat(
-        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls, slo, shi)
+        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls, slo, shi, ndv)
     }
 
   /** Bloom bitsets OR-merged across task messages, hex-encoded;
@@ -2343,6 +2349,45 @@ class CommitLogDataWriter(
   private val strMin = new Array[org.apache.spark.unsafe.types.UTF8String](schema.length)
   private val strMax = new Array[org.apache.spark.unsafe.types.UTF8String](schema.length)
 
+  // NDV sketch per column (SURVEY S76): one 64-register HLL, one
+  // fmix64 per non-null cell — the distinctCount facet the CBO needs
+  // (FilterEstimation refuses min/max-only columns). Types without a
+  // canonical 64-bit form (composites, variant, binary blobs) get no
+  // sketch; consumers degrade to no-distinctCount.
+  private type NdvHasher = (InternalRow, Int) => Long
+  private val ndvHashers: Array[NdvHasher] = schema.fields.map { f =>
+    f.dataType match {
+      case LongType | TimestampType | TimestampNTZType =>
+        (r: InternalRow, i: Int) => CommitLogNdv.hashLong(r.getLong(i))
+      case IntegerType | DateType =>
+        (r: InternalRow, i: Int) => CommitLogNdv.hashLong(r.getInt(i).toLong)
+      case ShortType =>
+        (r: InternalRow, i: Int) => CommitLogNdv.hashLong(r.getShort(i).toLong)
+      case ByteType =>
+        (r: InternalRow, i: Int) => CommitLogNdv.hashLong(r.getByte(i).toLong)
+      case BooleanType =>
+        (r: InternalRow, i: Int) =>
+          CommitLogNdv.hashLong(if (r.getBoolean(i)) 1L else 0L)
+      case DoubleType =>
+        (r: InternalRow, i: Int) => CommitLogNdv.hashDouble(r.getDouble(i))
+      case FloatType =>
+        (r: InternalRow, i: Int) =>
+          CommitLogNdv.hashDouble(r.getFloat(i).toDouble)
+      case StringType =>
+        (r: InternalRow, i: Int) =>
+          CommitLogNdv.hashUTF8(r.getUTF8String(i))
+      case d: DecimalType =>
+        // same canonical form the box uses: equal decimals share a
+        // double, unequal ones colliding is estimator noise
+        (r: InternalRow, i: Int) =>
+          CommitLogNdv.hashDouble(r.getDecimal(i, d.precision, d.scale).toDouble)
+      case _ => null
+    }
+  }
+  private val ndvRegs: Array[Array[Byte]] = schema.fields.indices.map { i =>
+    if (ndvHashers(i) == null) null else CommitLogNdv.empty()
+  }.toArray
+
   // stats plan per column, resolved once: which accessor feeds the
   // (min, max) box. Composites (binary/array/struct/map) have no
   // numeric box — the manifest declines them and pruning skips them.
@@ -2373,7 +2418,11 @@ class CommitLogDataWriter(
     var i = 0
     while (i < boxers.length) {
       if (row.isNullAt(i)) nullCount(i) += 1L
-      else if (boxers(i) != null) boxers(i)(row, i)
+      else {
+        if (boxers(i) != null) boxers(i)(row, i)
+        if (ndvRegs(i) != null)
+          CommitLogNdv.add(ndvRegs(i), ndvHashers(i)(row, i))
+      }
       i += 1
     }
     var si = 0
@@ -2434,7 +2483,8 @@ class CommitLogDataWriter(
           if (strMin(i) == null) (None, None)
           else (Some(CommitLogWrite.truncLower(strMin(i).getBytes)),
             CommitLogWrite.truncUpper(strMax(i).getBytes))
-        (f.name, CommitLog.ColStat(lo(i), hi(i), Some(nullCount(i)), slo, shi))
+        (f.name, CommitLog.ColStat(lo(i), hi(i), Some(nullCount(i)), slo, shi,
+          Option(ndvRegs(i))))
     }
     val blooms = bloomSets.toSeq.map { case (ci, bits, _) =>
       schema(ci).name -> bits

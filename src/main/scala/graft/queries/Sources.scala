@@ -4191,6 +4191,63 @@ object Sources {
         ("v_min", mm("v", _.min())),
         ("v_nulls", cs("v").nullCount().getAsLong.toDouble))
       rows.toDF("leg", "x").orderBy("leg")
+    },
+
+    // S74 (SURVEY S77): TYPE WIDENING — `ALTER COLUMN k TYPE BIGINT`
+    // as a metadata-only commit. The decl writes an INT era, widens,
+    // appends a BIGINT era with values PAST the int range, and pins:
+    // both eras aggregate as one BIGINT column (the row values prove
+    // narrow files serve under the wide type), and a range probe above
+    // the int boundary plans exactly the wide-era batch (`plans` leg —
+    // boxes are width-blind, so pruning crosses the widening). At
+    // 100 TB this is the schema change that would otherwise rewrite
+    // every file of a petabyte table costing nothing but one manifest.
+    Decl(
+      "s74_widen",
+      s"""WITH t AS (
+         |  SELECT CAST(event_id AS BIGINT) AS k FROM events
+         |  UNION ALL
+         |  SELECT CAST(event_id + 5000000000 AS BIGINT) FROM events)
+         |SELECT 'max' AS leg, CAST(max(k) AS BIGINT) AS n FROM t
+         |UNION ALL
+         |SELECT 'min', CAST(min(k) AS BIGINT) FROM t
+         |UNION ALL
+         |SELECT 'n', CAST(count(*) AS BIGINT) FROM t
+         |UNION ALL
+         |SELECT 'plans', CAST(1 AS BIGINT)
+         |UNION ALL
+         |SELECT 'sum', CAST(sum(k) AS BIGINT) FROM t
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val root = ioDir("s74_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      Qh.t(s, dir, "events").select($"event_id".cast("int").as("k"))
+        .repartition(1)
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      CommitLog.widenColumn(
+        root, "k", org.apache.spark.sql.types.LongType)
+      Qh.t(s, dir, "events").select(($"event_id" + 5000000000L).as("k"))
+        .repartition(1)
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      def plannedOf(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val agg = tbl.agg(max($"k").as("mx"), min($"k").as("mn"),
+        count(lit(1)).as("c"), sum($"k").as("sm"))
+      val mx = agg.select(lit("max").as("leg"), $"mx".as("n"))
+      val mn = agg.select(lit("min").as("leg"), $"mn".as("n"))
+      val n = agg.select(lit("n").as("leg"), $"c".as("n"))
+      val plans = s.range(1).select(lit("plans").as("leg"),
+        lit(plannedOf(tbl.filter($"k" >= 5000000000L)).toLong).as("n"))
+      val sm = agg.select(lit("sum").as("leg"), $"sm".as("n"))
+      mx.unionAll(mn).unionAll(n).unionAll(plans).unionAll(sm)
+        .orderBy("leg")
     }
   )
 

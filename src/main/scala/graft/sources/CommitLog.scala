@@ -345,6 +345,24 @@ object CommitLog {
           "only additive nullable columns may evolve")
   }
 
+  /** A WIDEN commit may retype along [[Widenings]] and change nothing
+    * else — the deliberate-verb discipline DROP and RENAME follow:
+    * a plain write can never retype implicitly. */
+  private def checkWiden(cur: String, next: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val curF = StructType.fromDDL(cur).fields
+    val nextF = StructType.fromDDL(next).fields
+    if (curF.map(_.name).toSeq != nextF.map(_.name).toSeq)
+      throw new SchemaChangeException(
+        "a WIDEN commit must keep every column name and position")
+    curF.zip(nextF).foreach { case (c, n) =>
+      if (c.dataType != n.dataType && !Widenings.contains((c.dataType, n.dataType)))
+        throw new SchemaChangeException(
+          s"WIDEN retypes ${c.name}: ${c.dataType.simpleString} -> " +
+            s"${n.dataType.simpleString}, which is off the widening ladder")
+    }
+  }
+
   /** Pull the `[...]` value of `"name":` out of a flat one-level JSON
     * object (the only shape this log writes). */
   private def extractField(txt: String, name: String): String = {
@@ -1204,6 +1222,66 @@ object CommitLog {
       op = Some("RENAME COLUMN"), colMap = next, defaults = movedDefault)
   }
 
+  /** The widening ladder TYPE WIDENING accepts: every pair is a pure
+    * value-preserving injection whose parquet read the engine serves
+    * from the NARROW physical layout (INT32 under a LONG request,
+    * FLOAT under DOUBLE), so old files never rewrite. */
+  val Widenings: Set[(org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)] = Set(
+    (org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType),
+    (org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.DoubleType))
+
+  /** TYPE WIDENING as a metadata-only commit (Delta's type-widening
+    * `ALTER TABLE … ALTER COLUMN … TYPE`): no data file is rewritten —
+    * the commit records the widened DDL and readers serve old files'
+    * narrow physical values under the wide logical type (the row leg
+    * dispatches on the FILE's primitive type exactly as wide decimals
+    * already do; the vectorized leg rides Spark's own parquet type
+    * widening). Every manifest facet survives by construction: boxes
+    * are double-typed (width-blind), null counts are type-free,
+    * integral blooms key on the DECIMAL-STRING canonical form both
+    * widths derive identically, the NDV hash of an int IS the hash of
+    * its long, and declared sort orders keep their order under an
+    * injection — so pruning, top-N, metadata aggregates and DPP work
+    * unchanged across the widening boundary. Time travel still serves
+    * pre-widening versions under the era's narrow schema. Refused:
+    * non-ladder pairs (narrowing loses values; int→double loses
+    * exactness past 2^53), partition columns (the tuple registry keys
+    * on parse type), and GENERATED columns (the stored expression's
+    * output type is the narrow one — re-declare the table instead). */
+  def widenColumn(
+      root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Commit = {
+    import org.apache.spark.sql.types.StructType
+    val v = latestVersion(root)
+    val ddl = schemaOf(root, v).getOrElse(throw new IllegalArgumentException(
+      s"TYPE WIDENING needs a log-declared schema on $root — declare one " +
+        "(schema-enforced write) before widening"))
+    val st = StructType.fromDDL(ddl)
+    val field = st.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$name' in $root (schema: ${st.fieldNames.mkString(",")})"))
+    if (field.dataType == to) return Commit(v, 0) // already that width
+    require(Widenings.contains((field.dataType, to)),
+      s"cannot widen '$name': ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not on the widening ladder " +
+        s"(${Widenings.map { case (f, t) =>
+          s"${f.simpleString}->${t.simpleString}" }.mkString(", ")})")
+    require(!partColsOf(root, v).contains(name),
+      s"'$name' is a partition column — partition tuples key on its " +
+        "parse type; partitioning is immutable")
+    require(!tblPropsOf(root, v).contains(
+        s"${CommitLogWrite.GeneratedPropPrefix}$name"),
+      s"'$name' is GENERATED — its stored expression produces the " +
+        s"narrow type; re-declare the generation instead")
+    val newDdl = StructType(st.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f)).toDDL
+    commit(root, v, added = Nil, removed = Nil, schema = Some(newDdl),
+      op = Some("WIDEN COLUMN"), schemaWiden = true)
+  }
+
 
   /** Names RESERVED forever by DROP COLUMN at `v`: the dropped logical
     * name plus every former name of its chain. Old files still carry
@@ -1905,7 +1983,8 @@ object CommitLog {
       rows: Rows = Map.empty,
       defaults: Map[String, Option[(String, String)]] = Map.empty,
       props: Map[String, Option[String]] = Map.empty,
-      propsExpected: Map[String, Option[String]] = Map.empty): Commit = {
+      propsExpected: Map[String, Option[String]] = Map.empty,
+      schemaWiden: Boolean = false): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -1989,13 +2068,15 @@ object CommitLog {
             // or a later INSERT that null-fills an omitted column is
             // refused by the analyzer against the leaked NOT NULL
             val recorded =
-              if (schemaRollback || colMap.nonEmpty || schemaDrop) next
+              if (schemaRollback || colMap.nonEmpty || schemaDrop ||
+                schemaWiden) next
               else alignNullability(cur, next)
             if (recorded == cur) None // nullability-only drift: inherit
             else {
               if (!schemaRollback) {
                 if (colMap.nonEmpty) checkRename(cur, next, colMap)
                 else if (schemaDrop) checkDrop(cur, next, droppedCols)
+                else if (schemaWiden) checkWiden(cur, recorded)
                 else checkEvolution(cur, recorded)
               }
               if (!schemaDrop) {

@@ -2734,9 +2734,23 @@ class CommitLogPartitionReader(
     * like top-level columns do. */
   private def readValue(
       g: Group, fi: Int, idx: Int, dt: DataType): Any = dt match {
-    case LongType => Long.box(g.getLong(fi, idx))
+    // LONG/DOUBLE requests dispatch on the FILE's primitive type so a
+    // TYPE-WIDENED column (S77) serves pre-widening files' narrow
+    // physical values under the wide logical type — same pattern wide
+    // decimals already use below
+    case LongType =>
+      g.getType.getType(fi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.INT32 =>
+          Long.box(g.getInteger(fi, idx).toLong)
+        case _ => Long.box(g.getLong(fi, idx))
+      }
     case IntegerType => Int.box(g.getInteger(fi, idx))
-    case DoubleType => Double.box(g.getDouble(fi, idx))
+    case DoubleType =>
+      g.getType.getType(fi).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveType.PrimitiveTypeName.FLOAT =>
+          Double.box(g.getFloat(fi, idx).toDouble)
+        case _ => Double.box(g.getDouble(fi, idx))
+      }
     case FloatType => Float.box(g.getFloat(fi, idx))
     case BooleanType => Boolean.box(g.getBoolean(fi, idx))
     case StringType => UTF8String.fromString(g.getString(fi, idx))

@@ -657,6 +657,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
             props = Map(c.property -> None),
             op = Some("UNSET TBLPROPERTIES"))
+      case c: TableChange.UpdateColumnType =>
+        require(c.fieldNames.length == 1,
+          "commitlog columns are top-level — nested type changes unsupported")
+        // the ladder/partition/generated gates live in the verb; the
+        // catalog only routes (Delta's type widening surface)
+        CommitLog.widenColumn(root, c.fieldNames.head, c.newDataType)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported on commitlog tables")

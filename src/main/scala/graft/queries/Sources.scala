@@ -4248,6 +4248,110 @@ object Sources {
       val sm = agg.select(lit("sum").as("leg"), $"sm".as("n"))
       mx.unionAll(mn).unionAll(n).unionAll(plans).unionAll(sm)
         .orderBy("leg")
+    },
+
+    // S75 (SURVEY S78): NOT NULL lifecycle — `ALTER COLUMN k SET NOT
+    // NULL` proves existing data from the manifest's exact null counts
+    // (zero-read), then every publish gate enforces the declaration:
+    // the decl pins the full arc — SET flips the recorded DDL
+    // (`nn_set`), a null append REFUSES at the gate leaving the count
+    // intact (`gate`), DROP NOT NULL lifts it and the same null row
+    // lands (`nulls`, `n`). At 100 TB the SET costs one manifest line
+    // where a validating scan would read the whole table.
+    Decl(
+      "s75_notnull",
+      s"""SELECT 'gate' AS leg, CAST(count(*) AS BIGINT) AS n FROM events
+         |UNION ALL
+         |SELECT 'n', CAST(count(*) + 1 AS BIGINT) FROM events
+         |UNION ALL
+         |SELECT 'nn_set', CAST(1 AS BIGINT)
+         |UNION ALL
+         |SELECT 'nulls', CAST(1 AS BIGINT)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogWrite}
+      val root = ioDir("s75_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      // launder event_id's non-nullability with a non-foldable guard
+      // (when(lit(true),…) folds back): the table must START nullable
+      // so SET NOT NULL is the thing under test
+      Qh.t(s, dir, "events")
+        .select(when($"event_id" >= 0, $"event_id".cast("long")).as("k"))
+        .repartition(1)
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      CommitLogWrite.setNotNull(s, root, "k")
+      def tbl = s.read.format("commitlog").option("path", root).load()
+      val nnSet = if (!tbl.schema("k").nullable) 1L else 0L
+      val refused =
+        try {
+          Seq(Option.empty[Long]).toDF("k")
+            .write.format("commitlog").option("path", root)
+            .mode("append").save()
+          false
+        } catch { case _: Exception => true }
+      val gateCount = if (refused) tbl.count() else -1L
+      CommitLogWrite.dropNotNull(root, "k")
+      Seq(Option.empty[Long]).toDF("k")
+        .write.format("commitlog").option("path", root)
+        .mode("append").save()
+      Seq(
+        ("gate", gateCount),
+        ("n", tbl.count()),
+        ("nn_set", nnSet),
+        ("nulls", tbl.filter($"k".isNull).count())
+      ).toDF("leg", "n").orderBy("leg")
+    },
+
+    // S76 (SURVEY S79): EXACT SUM facet — unfiltered SUM/AVG over
+    // integral columns, global and grouped by partition columns,
+    // answered from the manifest's per-batch exact sums with ZERO data
+    // reads (`meta_only` pins the CommitLogAggScan plan; DuckDB
+    // recomputes from the raw rows). At 100 TB `SELECT sum(bytes)
+    // GROUP BY shard` is a manifest replay, not a table scan.
+    Decl(
+      "s76_sum_pushdown",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'us'
+         |         WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END AS region
+         |  FROM orders)
+         |SELECT region, CAST(sum(k) AS BIGINT) AS sk, avg(k) AS ak,
+         |  CAST(count(k) AS BIGINT) AS nk, CAST(1 AS INT) AS meta_only
+         |FROM t GROUP BY region
+         |UNION ALL
+         |SELECT '*', CAST(sum(k) AS BIGINT), avg(k), CAST(count(k) AS BIGINT), 1
+         |FROM t
+         |ORDER BY region""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s76_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt76", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt76.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt76.db")
+      s.sql("CREATE TABLE gt76.db.sm (k BIGINT, region STRING) " +
+        "PARTITIONED BY (region)")
+      s.sql("INSERT INTO gt76.db.sm SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'us' " +
+        "WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      val grouped = s.sql(
+        "SELECT region, sum(k) AS sk, avg(k) AS ak, count(k) AS nk " +
+          "FROM gt76.db.sm GROUP BY region")
+      val global = s.sql(
+        "SELECT sum(k) AS sk, avg(k) AS ak, count(k) AS nk FROM gt76.db.sm")
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      val all = scans(grouped) ++ scans(global)
+      val metaOnly =
+        if (all.nonEmpty && all.forall(
+            _.scan.isInstanceOf[graft.sources.CommitLogAggScan])) 1 else 0
+      grouped
+        .unionAll(global.select(lit("*").as("region"), $"sk", $"ak", $"nk"))
+        .select($"region", $"sk", $"ak", $"nk", lit(metaOnly).as("meta_only"))
+        .orderBy("region")
     }
   )
 

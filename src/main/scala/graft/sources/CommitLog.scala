@@ -363,6 +363,26 @@ object CommitLog {
     }
   }
 
+  /** A NULLABILITY commit may flip column NOT NULL flags and change
+    * nothing else — the deliberate-verb discipline WIDEN/DROP/RENAME
+    * follow. [[alignNullability]] launders plain writes' plan-schema
+    * nullability back to the declaration precisely so that ONLY this
+    * verb (and catalog CREATE TABLE) can put a NOT NULL on record. */
+  private def checkNullabilityOnly(cur: String, next: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val curF = StructType.fromDDL(cur).fields
+    val nextF = StructType.fromDDL(next).fields
+    if (curF.map(_.name).toSeq != nextF.map(_.name).toSeq)
+      throw new SchemaChangeException(
+        "a NULLABILITY commit must keep every column name and position")
+    curF.zip(nextF).foreach { case (c, n) =>
+      if (c.dataType != n.dataType)
+        throw new SchemaChangeException(
+          s"a NULLABILITY commit retypes ${c.name}: " +
+            s"${c.dataType.simpleString} -> ${n.dataType.simpleString}")
+    }
+  }
+
   /** Pull the `[...]` value of `"name":` out of a flat one-level JSON
     * object (the only shape this log writes). */
   private def extractField(txt: String, name: String): String = {
@@ -568,7 +588,7 @@ object CommitLog {
     * [[ColStat.box]] is the numeric facet, None when unboxed. */
   final case class ColStat(lo: Double, hi: Double, nulls: Option[Long] = None,
       strLo: Option[Array[Byte]] = None, strHi: Option[Array[Byte]] = None,
-      ndv: Option[Array[Byte]] = None) {
+      ndv: Option[Array[Byte]] = None, sum: Option[Long] = None) {
     def boxed: Boolean = lo <= hi
     def box: Option[(Double, Double)] = if (boxed) Some((lo, hi)) else None
     // case-class equality on Array fields is reference equality —
@@ -578,17 +598,18 @@ object CommitLog {
         lo == s.lo && hi == s.hi && nulls == s.nulls &&
           strLo.map(_.toSeq) == s.strLo.map(_.toSeq) &&
           strHi.map(_.toSeq) == s.strHi.map(_.toSeq) &&
-          ndv.map(_.toSeq) == s.ndv.map(_.toSeq)
+          ndv.map(_.toSeq) == s.ndv.map(_.toSeq) &&
+          sum == s.sum
       case _ => false
     }
     override def hashCode(): Int =
       (lo, hi, nulls, strLo.map(_.toSeq), strHi.map(_.toSeq),
-        ndv.map(_.toSeq)).hashCode()
+        ndv.map(_.toSeq), sum).hashCode()
     override def toString: String =
       s"ColStat($lo,$hi,$nulls," +
         s"${strLo.map(b => new String(b, "UTF-8"))}," +
         s"${strHi.map(b => new String(b, "UTF-8"))}," +
-        s"ndv=${ndv.isDefined})"
+        s"ndv=${ndv.isDefined},sum=$sum)"
   }
   object ColStat {
     /** Byte cap for stored string bounds (Iceberg truncates at 16;
@@ -635,19 +656,26 @@ object CommitLog {
     stats.toSeq.sortBy(_._1).flatMap { case (b, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, st) =>
         val base = s"$b|$c|${st.lo}|${st.hi}"
-        (st.nulls, st.strLo, st.strHi, st.ndv) match {
-          case (None, None, None, None) => base
-          case (n, None, None, None) => s"$base|${n.getOrElse("")}"
+        (st.nulls, st.strLo, st.strHi, st.ndv, st.sum) match {
+          case (None, None, None, None, None) => base
+          case (n, None, None, None, None) => s"$base|${n.getOrElse("")}"
           // string bounds require the nulls slot (empty if unknown)
-          case (n, Some(slo), Some(shi), None) =>
+          case (n, Some(slo), Some(shi), None, None) =>
             s"$base|${n.map(_.toString).getOrElse("")}|${hex(slo)}|${hex(shi)}"
           // the ndv sketch requires all slots; ABSENT string bounds
           // render as `-` — an empty hex string is a legal (empty)
           // bound, so emptiness cannot mean absence in fields 6/7
-          case (n, slo, shi, Some(nd)) if slo.isDefined == shi.isDefined =>
+          case (n, slo, shi, Some(nd), None) if slo.isDefined == shi.isDefined =>
             s"$base|${n.map(_.toString).getOrElse("")}" +
               s"|${slo.map(hex).getOrElse("-")}" +
               s"|${shi.map(hex).getOrElse("-")}|${hex(nd)}"
+          // the exact sum (field 9) requires all slots; an absent ndv
+          // renders as the empty string (its own absence form)
+          case (n, slo, shi, nd, Some(sm)) if slo.isDefined == shi.isDefined =>
+            s"$base|${n.map(_.toString).getOrElse("")}" +
+              s"|${slo.map(hex).getOrElse("-")}" +
+              s"|${shi.map(hex).getOrElse("-")}" +
+              s"|${nd.map(hex).getOrElse("")}|$sm"
           case other =>
             throw new IllegalStateException(s"unrenderable stat: $other")
         }
@@ -677,6 +705,15 @@ object CommitLog {
           if (slo == "-") None else Some(unhex(slo)),
           if (shi == "-") None else Some(unhex(shi)),
           if (nd.isEmpty) None else Some(unhex(nd))))
+      case Array(b, c, lo, hi, n, slo, shi, nd, sm) =>
+        // 9-field arity adds the exact non-null sum (integral columns
+        // only); an empty sum slot degrades to unknown like the rest
+        (b, c, ColStat(lo.toDouble, hi.toDouble,
+          if (n.isEmpty) None else Some(n.toLong),
+          if (slo == "-") None else Some(unhex(slo)),
+          if (shi == "-") None else Some(unhex(shi)),
+          if (nd.isEmpty) None else Some(unhex(nd)),
+          if (sm.isEmpty) None else Some(sm.toLong)))
     }.groupBy(_._1).map { case (b, rows) =>
       b -> rows.map(r => r._2 -> r._3).toMap
     }
@@ -1984,7 +2021,8 @@ object CommitLog {
       defaults: Map[String, Option[(String, String)]] = Map.empty,
       props: Map[String, Option[String]] = Map.empty,
       propsExpected: Map[String, Option[String]] = Map.empty,
-      schemaWiden: Boolean = false): Commit = {
+      schemaWiden: Boolean = false,
+      schemaNullability: Boolean = false): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -2069,7 +2107,7 @@ object CommitLog {
             // refused by the analyzer against the leaked NOT NULL
             val recorded =
               if (schemaRollback || colMap.nonEmpty || schemaDrop ||
-                schemaWiden) next
+                schemaWiden || schemaNullability) next
               else alignNullability(cur, next)
             if (recorded == cur) None // nullability-only drift: inherit
             else {
@@ -2077,6 +2115,7 @@ object CommitLog {
                 if (colMap.nonEmpty) checkRename(cur, next, colMap)
                 else if (schemaDrop) checkDrop(cur, next, droppedCols)
                 else if (schemaWiden) checkWiden(cur, recorded)
+                else if (schemaNullability) checkNullabilityOnly(cur, recorded)
                 else checkEvolution(cur, recorded)
               }
               if (!schemaDrop) {

@@ -162,8 +162,9 @@ class CommitLogDeltaWrite(
     }
 
     // inserted rows and update postimages are NEW table content — the
-    // CHECKs in force must hold over them before anything publishes
-    val inForce = CommitLog.constraintsOf(root, readVersion)
+    // CHECKs in force (declared CHECKs + the DDL's NOT NULL columns)
+    // must hold over them before anything publishes
+    val inForce = CommitLogWrite.checksInForce(root, readVersion, dataSchema)
     if (inForce.nonEmpty && dataMsgs.nonEmpty) {
       val parts = dataMsgs.map(m => s"$root/$stageName/${m.visibleName}")
         .filter(p => f.exists(new Path(p)))

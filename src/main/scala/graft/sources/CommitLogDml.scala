@@ -195,11 +195,12 @@ object CommitLogDml {
         }
       }
 
-      // postimages violating a CHECK in force fail BEFORE staging
+      // postimages violating a CHECK in force (declared CHECKs + the
+      // DDL's NOT NULL columns) fail BEFORE staging
       if (isUpdate) {
-        val inForce = CommitLog.constraintsOf(root, readV)
+        val post = touchedFull.filter(hit).select(dataCols.map(applied): _*)
+        val inForce = CommitLogWrite.checksInForce(root, readV, post.schema)
         if (inForce.nonEmpty) {
-          val post = touchedFull.filter(hit).select(dataCols.map(applied): _*)
           inForce.foreach { case (name, ce) =>
             val bad = post.filter(not(coalesce(expr(ce), lit(true)))).count()
             if (bad > 0)

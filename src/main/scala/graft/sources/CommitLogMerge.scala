@@ -296,11 +296,12 @@ object CommitLogMerge {
 
       // every row this merge can WRITE (inserts, postimages, COW
       // replacement values) comes verbatim from the source's U rows:
-      // one pre-stage pass enforces the CHECKs in force on all legs
-      val inForce = CommitLog.constraintsOf(root, readV)
+      // one pre-stage pass enforces the CHECKs in force (declared
+      // CHECKs + the DDL's NOT NULL columns) on all legs
+      val newRows = srcKeyed.filter(col(opCol) === "U")
+        .select(userCols.map(col): _*)
+      val inForce = CommitLogWrite.checksInForce(root, readV, newRows.schema)
       if (inForce.nonEmpty) {
-        val newRows = srcKeyed.filter(col(opCol) === "U")
-          .select(userCols.map(col): _*)
         inForce.foreach { case (cn, ce) =>
           val bad = newRows.filter(not(coalesce(expr(ce), lit(true)))).count()
           if (bad > 0)

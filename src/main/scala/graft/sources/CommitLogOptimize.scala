@@ -182,8 +182,15 @@ object CommitLogOptimize {
         if (sts.forall(_.ndv.isDefined))
           Some(sts.map(_.ndv.get).reduce(CommitLogNdv.merge))
         else None
+      // exact sums ADD across the pack's sources (a sum-less source
+      // poisons; an overflowing total drops rather than wraps)
+      val sum =
+        if (sts.forall(_.sum.isDefined))
+          try Some(sts.map(_.sum.get).reduce(Math.addExact(_, _)))
+          catch { case _: ArithmeticException => None }
+        else None
       c -> CommitLog.ColStat(
-        sts.map(_.lo).min, sts.map(_.hi).max, nulls, slo, shi, ndv)
+        sts.map(_.lo).min, sts.map(_.hi).max, nulls, slo, shi, ndv, sum)
     }.toMap
     val packStats: CommitLog.Stats =
       if (packBox.isEmpty) Map.empty else Map(packed -> packBox)
@@ -355,8 +362,9 @@ object CommitLogOptimize {
         } else {
           added :+= purged
           addRows += purged -> rows
-          // subset-sound facets carry; exact null counts drop; the
-          // ndv sketch carries (a subset's true NDV ≤ the sketch's —
+          // subset-sound facets carry; exact null counts AND sums drop
+          // (deleted rows' values are baked into both); the ndv sketch
+          // carries (a subset's true NDV ≤ the sketch's —
           // over-reporting is the safe estimation direction); an
           // entry left fact-less (unboxed, no bounds) drops entirely
           val carried = stats.getOrElse(b, Map.empty).collect {

@@ -250,8 +250,9 @@ class CommitLogReplaceWrite(
         fileMsgs.map(m => (m.tmpName, m.visibleName))))
 
     // the rewritten rows ARE the table's new content: the CHECKs in
-    // force must hold over them before anything publishes
-    val inForce = CommitLog.constraintsOf(root, readVersion)
+    // force (declared CHECKs + the DDL's NOT NULL columns) must hold
+    // over them before anything publishes
+    val inForce = CommitLogWrite.checksInForce(root, readVersion, schema)
     if (inForce.nonEmpty) {
       val parts = CommitLogWrite.stagedParts(f, stage)
       if (parts.nonEmpty) {

@@ -1290,6 +1290,15 @@ class CommitLogScanBuilder(
     case class MinOf(c: String) extends Fn
     case class MaxOf(c: String) extends Fn
     case class CountOf(c: String) extends Fn
+    case class SumOf(c: String) extends Fn
+    case class AvgOf(c: String) extends Fn
+    // SUM/AVG are integral-only: that is where the writer records the
+    // exact sum facet (S79) — float/double sums are order-dependent
+    // and would not reproduce Spark's own fold anyway
+    def integral(c: String): Boolean = dtOf(c).exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val fnsOpt: Seq[Option[Fn]] = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(CountAll)
       case m: Min => colOf(m.column).map(MinOf)
@@ -1297,6 +1306,10 @@ class CommitLogScanBuilder(
       // COUNT(col) = rows − nulls, answerable since r15 from the
       // per-column null counts the sink records with every box
       case c: Count if !c.isDistinct => colOf(c.column).map(CountOf)
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(integral).map(SumOf)
+      case a: Avg if !a.isDistinct =>
+        colOf(a.column).filter(integral).map(AvgOf)
       case _ => None
     }
     if (fnsOpt.exists(_.isEmpty)) return None
@@ -1360,6 +1373,34 @@ class CommitLogScanBuilder(
           .map(snap.rows(b) - _))
         if (parts.exists(_.isEmpty)) None
         else Some(Long.box(parts.flatten.sum))
+      case SumOf(c) => sumAndCount(batches, c).map {
+        case (_, 0L) => null // SUM over no values is NULL
+        case (s, _) => Long.box(s)
+      }
+      case AvgOf(c) => sumAndCount(batches, c).map {
+        case (_, 0L) => null
+        // the exact-sum-then-divide double: what DuckDB and ANSI SQL
+        // produce (Spark's own double fold can lose low bits past
+        // 2^53, so the metadata answer is the MORE exact one)
+        case (s, n) => Double.box(s.toDouble / n.toDouble)
+      }
+    }
+    // (exact sum, non-null count) over the group's batches — both
+    // facets required everywhere (sum alone cannot settle NULL-ness,
+    // and a facet-less batch may predate S79 or have overflowed); the
+    // merged total declines on overflow rather than wrapping
+    def sumAndCount(batches: Seq[String], c: String): Option[(Long, Long)] = {
+      val parts = batches.map { b =>
+        for {
+          st <- chainStat(b, c)
+          s <- st.sum
+          n <- st.nulls
+        } yield (s, snap.rows(b) - n)
+      }
+      if (parts.exists(_.isEmpty)) None
+      else try Some(parts.flatten.foldLeft((0L, 0L)) { case ((s, n), (ps, pn)) =>
+        (Math.addExact(s, ps), n + pn)
+      }) catch { case _: ArithmeticException => None }
     }
     def keyValue(c: String, tok: String): Option[Any] =
       CommitLog.partValue(tok) match {
@@ -1388,6 +1429,10 @@ class CommitLogScanBuilder(
       case MaxOf(c) =>
         StructField(s"max($c)", dtOf(c).getOrElse(return None), nullable = true)
       case CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
+      // Spark's SUM over any integral input widens to bigint; AVG to
+      // double — the scan's schema must agree positionally
+      case SumOf(c) => StructField(s"sum($c)", LongType, nullable = true)
+      case AvgOf(c) => StructField(s"avg($c)", DoubleType, nullable = true)
     }
     Some(CommitLogAggScan(StructType(gbFields ++ fnFields), rows))
   }

@@ -539,6 +539,107 @@ object CommitLogWrite {
     df.filter(not(coalesce(expr(checkExpr), lit(true)))).count()
   }
 
+  /** SET NOT NULL (SURVEY S78): `ALTER TABLE … ALTER COLUMN c SET NOT
+    * NULL` as a (usually) ZERO-READ commit. The proof discipline is
+    * [[addConstraint]]'s — existing data must already satisfy the
+    * declaration — but the manifest's exact per-column null counts
+    * (S72) usually carry it without touching a byte: every live batch
+    * recording nulls=0 for `c` proves the snapshot null-free (the
+    * counts cover DV-deleted rows too, so the zero-read proof stays
+    * conservative under outstanding vectors). Only when some batch
+    * lacks the fact (legacy writer, ZORDER aggregate stats, a column
+    * evolution null-fills in pre-evolution files) does ONE filtered
+    * scan of the current snapshot run — DV-exact through the normal
+    * reader, and an evolved column's null-fill correctly refuses
+    * there. From the committed version on the declared NOT NULL is a
+    * write-time contract like a CHECK: every publish gate holds it
+    * ([[checksInForce]]) and planning builds the same proofs
+    * (CommitLogSource.notNullProven → top-N fast path, IS NULL
+    * pruning, metadata COUNT). SERIALIZABLE at exactly proven-v+1:
+    * rebasing past a rival append would put rows in force this proof
+    * never saw (the ADD CONSTRAINT discipline). */
+  def setNotNull(spark: SparkSession, root: String, col: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val v = CommitLog.latestVersion(root)
+    val ddl = CommitLog.schemaOf(root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"SET NOT NULL needs a log-declared schema on $root — declare " +
+          "one (schema-enforced write) before altering nullability"))
+    val st = StructType.fromDDL(ddl)
+    val field = st.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$col' in $root (schema: ${st.fieldNames.mkString(",")})"))
+    if (!field.nullable) return // already declared
+    val live = CommitLog.files(root, v)
+    val stats = CommitLog.statsOf(root, v)
+    val zeroProven = live.forall(b =>
+      stats.get(b).flatMap(_.get(col)).flatMap(_.nulls).contains(0L))
+    if (!zeroProven && live.nonEmpty) {
+      val bad = spark.read.format("commitlog").option("path", root)
+        .option("versionAsOf", v).load()
+        .filter(org.apache.spark.sql.functions.col(col).isNull).count()
+      if (bad > 0)
+        throw new CommitLog.ConstraintViolationException(
+          s"NOT NULL ($col)", s"$col IS NOT NULL", bad)
+    }
+    val newDdl = StructType(st.fields.map(f =>
+      if (f.name == col) f.copy(nullable = false) else f)).toDDL
+    if (!CommitLog.tryCommit(root, v + 1, added = Nil, removed = Nil,
+        schema = Some(newDdl), op = Some("SET NOT NULL")))
+      throw new java.util.ConcurrentModificationException(
+        s"SET NOT NULL ($col) on $root lost the race at v${v + 1}: a " +
+          "rival committed rows this proof never covered — re-run")
+    if ((v + 1) % CommitLog.checkpointInterval == 0)
+      CommitLog.writeCheckpoint(root, v + 1)
+  }
+
+  /** DROP NOT NULL: the always-legal loosening — metadata-only and
+    * rebase-safe (no rival's rows can invalidate MORE nullability).
+    * From the committed version on [[CommitLogSource.notNullProven]]
+    * stops holding, so top-N falls back to per-batch null counts and
+    * the publish gates stop checking the column. */
+  def dropNotNull(root: String, col: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val v = CommitLog.latestVersion(root)
+    val ddl = CommitLog.schemaOf(root, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP NOT NULL needs a log-declared schema on $root"))
+    val st = StructType.fromDDL(ddl)
+    val field = st.fields.find(_.name == col).getOrElse(
+      throw new IllegalArgumentException(
+        s"no column '$col' in $root (schema: ${st.fieldNames.mkString(",")})"))
+    if (field.nullable) return // already nullable
+    val newDdl = StructType(st.fields.map(f =>
+      if (f.name == col) f.copy(nullable = true) else f)).toDDL
+    CommitLog.commit(root, v, added = Nil, removed = Nil,
+      schema = Some(newDdl), op = Some("DROP NOT NULL"),
+      schemaNullability = true)
+  }
+
+  /** Synthetic per-column checks the recorded DDL's NOT NULL flags
+    * impose on new rows, spelled in [[violations]]' CHECK grammar. The
+    * declaration is a write-time contract exactly like a CHECK — the
+    * planner builds proofs on it (notNullProven) — so EVERY publish
+    * gate must hold both. Columns absent from the staged write's
+    * schema are skipped: such a write is refused by schema evolution
+    * at commit time before it could publish anything. */
+  private[sources] def notNullChecks(
+      root: String, v: Int, staged: StructType): Map[String, String] = {
+    val stagedCols = staged.fieldNames.toSet
+    CommitLog.schemaOf(root, v)
+      .map(d => org.apache.spark.sql.types.StructType.fromDDL(d))
+      .toSeq.flatMap(_.fields)
+      .filter(f => !f.nullable && stagedCols.contains(f.name))
+      .map(f => s"NOT NULL (${f.name})" -> s"`${f.name}` IS NOT NULL")
+      .toMap
+  }
+
+  /** Every row-content check in force at `v` over a staged write:
+    * declared CHECK constraints plus the DDL's NOT NULL columns. */
+  private[sources] def checksInForce(
+      root: String, v: Int, staged: StructType): Map[String, String] =
+    CommitLog.constraintsOf(root, v) ++ notNullChecks(root, v, staged)
+
   /** Level-1 task publish: exactly the committed attempts' temp files
     * become visible parts inside the stage; every other `.tmp` is a
     * losing or zombie attempt's leftover and is swept. Shared by the
@@ -699,8 +800,15 @@ object CommitLogWrite {
         if (bs.forall(_._2.ndv.isDefined))
           Some(bs.map(_._2.ndv.get).reduce(CommitLogNdv.merge))
         else None
+      // sums ADD — exact only when every part carries one, and the
+      // merged total itself can overflow (drop, never wrap)
+      val sum =
+        if (bs.forall(_._2.sum.isDefined))
+          try Some(bs.map(_._2.sum.get).reduce(Math.addExact(_, _)))
+          catch { case _: ArithmeticException => None }
+        else None
       c -> CommitLog.ColStat(
-        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls, slo, shi, ndv)
+        bs.map(_._2.lo).min, bs.map(_._2.hi).max, nulls, slo, shi, ndv, sum)
     }
 
   /** Bloom bitsets OR-merged across task messages, hex-encoded;
@@ -767,7 +875,9 @@ object CommitLogWrite {
       case m: CommitLogPartitionedCommitMessage => m.files
     }.flatten.toSeq
     promoteTaskFiles(f, stage, fileMsgs.map(m => (m.tmpName, m.visibleName)))
-    gateConstraints(f, stage, root, schema)
+    gateConstraints(f, stage, root, schema,
+      stagedStats = fileMsgs.filter(_.rows > 0).map(_.stats),
+      stagedTuples = fileMsgs.filter(_.rows > 0).map(_.tuple))
 
     val grouped = groupByTuple(fileMsgs, batchBase)
     val listed = CommitLog.files(root, CommitLog.latestVersion(root)).toSet
@@ -849,7 +959,8 @@ object CommitLogWrite {
 
     val msgs = messages.collect { case m: CommitLogCommitMessage => m }
     promoteTasks(f, stage, msgs)
-    gateConstraints(f, stage, root, schema)
+    gateConstraints(f, stage, root, schema,
+      stagedStats = msgs.filter(_.rows > 0).map(_.stats))
 
     val named = promoteSortedBatches(f, rootP, stage, batchBase, msgs)
     if (f.exists(stage)) f.delete(stage, true)
@@ -864,18 +975,40 @@ object CommitLogWrite {
     true
   }
 
-  /** The CHECK-constraint publish gate, shared by every append publish
-    * leg: one filtered scan of the staged parts per constraint in
-    * force (epoch-sized); a violation drops the stage and throws — no
-    * version consumed, nothing published. */
+  /** The publish gate for row-content contracts, shared by every
+    * append publish leg: declared CHECK constraints plus the DDL's
+    * NOT NULL columns ([[checksInForce]]). CHECKs cost one filtered
+    * scan of the staged parts each (epoch-sized); a NOT NULL check is
+    * usually discharged for FREE from facts the tasks already
+    * computed — the per-file null counts (`stagedStats`, every live
+    * file recording nulls=0) or, for a partition column, the staged
+    * partition tuples (`stagedTuples`, no null token) — and scans
+    * only when neither carries the column. A violation drops the
+    * stage and throws — no version consumed, nothing published. */
   private[sources] def gateConstraints(
-      f: FileSystem, stage: Path, root: String, schema: StructType): Unit = {
-    val inForce = CommitLog.constraintsOf(root, CommitLog.latestVersion(root))
-    if (inForce.nonEmpty && f.exists(stage)) {
+      f: FileSystem, stage: Path, root: String, schema: StructType,
+      stagedStats: Seq[Seq[(String, CommitLog.ColStat)]] = Nil,
+      stagedTuples: Seq[Seq[(String, Option[String])]] = Nil): Unit = {
+    val v = CommitLog.latestVersion(root)
+    val declared = CommitLog.constraintsOf(root, v)
+    val notNull = notNullChecks(root, v, schema)
+    def statsProve(col: String): Boolean =
+      stagedStats.nonEmpty && stagedStats.forall(
+        _.collectFirst { case (c, st) if c == col => st.nulls }
+          .flatten.contains(0L))
+    def tuplesProve(col: String): Boolean =
+      stagedTuples.nonEmpty && stagedTuples.forall(
+        _.collectFirst { case (c, tok) if c == col => tok.isDefined }
+          .contains(true))
+    val pending = declared ++ notNull.filterNot { case (name, _) =>
+      val col = name.stripPrefix("NOT NULL (").stripSuffix(")")
+      statsProve(col) || tuplesProve(col)
+    }
+    if (pending.nonEmpty && f.exists(stage)) {
       val parts = stagedParts(f, stage)
       if (parts.nonEmpty) {
         val staged = SparkSession.active.read.schema(schema).parquet(parts: _*)
-        inForce.foreach { case (name, expr) =>
+        pending.foreach { case (name, expr) =>
           val bad = violations(staged, expr)
           if (bad > 0) {
             f.delete(stage, true)
@@ -976,7 +1109,8 @@ object CommitLogWrite {
     // CHECK constraints in force gate the epoch BEFORE anything
     // publishes — no version consumed, no watermark advanced, so the
     // pipeline stops instead of poisoning the table
-    gateConstraints(f, stage, root, schema)
+    gateConstraints(f, stage, root, schema,
+      stagedStats = msgs.filter(_.rows > 0).map(_.stats))
 
     // an ALL-EMPTY epoch (every partition wrote zero rows) never
     // created the stage dir — the batch still commits, as an empty
@@ -1926,7 +2060,8 @@ class CommitLogOverwriteWrite(
     val stagedFiles = CommitLogWrite.stagedParts(f, stage)
     if (stagedFiles.nonEmpty) {
       val staged = spark.read.schema(schema).parquet(stagedFiles: _*)
-      CommitLog.constraintsOf(root, CommitLog.latestVersion(root)).foreach {
+      CommitLogWrite.checksInForce(
+          root, CommitLog.latestVersion(root), schema).foreach {
         case (name, e) =>
           val bad = CommitLogWrite.violations(staged, e)
           if (bad > 0) {
@@ -2388,6 +2523,25 @@ class CommitLogDataWriter(
     if (ndvHashers(i) == null) null else CommitLogNdv.empty()
   }.toArray
 
+  // exact non-null sum per INTEGRAL column (SURVEY S79): the facet
+  // metadata SUM/AVG answer from. Integral only — a long add is exact
+  // or detectably overflows (facet drops, never lies); float/double
+  // sums are order-dependent and decimal overflows silently at scale.
+  // Date/timestamp are integral under the hood but SUM is not SQL over
+  // them, so no facet.
+  private type Summer = (InternalRow, Int) => Long
+  private val summers: Array[Summer] = schema.fields.map { f =>
+    f.dataType match {
+      case LongType => (r: InternalRow, i: Int) => r.getLong(i)
+      case IntegerType => (r: InternalRow, i: Int) => r.getInt(i).toLong
+      case ShortType => (r: InternalRow, i: Int) => r.getShort(i).toLong
+      case ByteType => (r: InternalRow, i: Int) => r.getByte(i).toLong
+      case _ => null
+    }
+  }
+  private val sums = new Array[Long](schema.length)
+  private val sumOk = Array.fill(schema.length)(true)
+
   // stats plan per column, resolved once: which accessor feeds the
   // (min, max) box. Composites (binary/array/struct/map) have no
   // numeric box — the manifest declines them and pruning skips them.
@@ -2422,6 +2576,10 @@ class CommitLogDataWriter(
         if (boxers(i) != null) boxers(i)(row, i)
         if (ndvRegs(i) != null)
           CommitLogNdv.add(ndvRegs(i), ndvHashers(i)(row, i))
+        if (summers(i) != null && sumOk(i)) {
+          try sums(i) = Math.addExact(sums(i), summers(i)(row, i))
+          catch { case _: ArithmeticException => sumOk(i) = false }
+        }
       }
       i += 1
     }
@@ -2484,7 +2642,10 @@ class CommitLogDataWriter(
           else (Some(CommitLogWrite.truncLower(strMin(i).getBytes)),
             CommitLogWrite.truncUpper(strMax(i).getBytes))
         (f.name, CommitLog.ColStat(lo(i), hi(i), Some(nullCount(i)), slo, shi,
-          Option(ndvRegs(i))))
+          Option(ndvRegs(i)),
+          // sum of zero non-null values is 0 (contributes nothing to a
+          // merge); SQL NULL-ness is the READER's call from null counts
+          if (summers(i) != null && sumOk(i)) Some(sums(i)) else None))
     }
     val blooms = bloomSets.toSeq.map { case (ci, bits, _) =>
       schema(ci).name -> bits

@@ -663,6 +663,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the ladder/partition/generated gates live in the verb; the
         // catalog only routes (Delta's type widening surface)
         CommitLog.widenColumn(root, c.fieldNames.head, c.newDataType)
+      case c: TableChange.UpdateColumnNullability =>
+        require(c.fieldNames.length == 1,
+          "commitlog columns are top-level — nested nullability unsupported")
+        // SET NOT NULL proves existing data first (zero-read when the
+        // manifest's exact null counts carry it); DROP NOT NULL is the
+        // always-legal loosening — both verbs own their gates
+        if (c.nullable)
+          CommitLogWrite.dropNotNull(root, c.fieldNames.head)
+        else
+          CommitLogWrite.setNotNull(
+            org.apache.spark.sql.SparkSession.active, root, c.fieldNames.head)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE change $other is not supported on commitlog tables")

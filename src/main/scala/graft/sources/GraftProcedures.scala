@@ -34,7 +34,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
   val Names: Seq[String] =
-    Seq("optimize", "vacuum", "restore", "history", "clone", "detail", "reorg")
+    Seq("optimize", "vacuum", "restore", "history", "clone", "detail",
+      "reorg", "set_not_null")
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -220,6 +221,28 @@ object GraftProcedures {
               SparkSession.active, rootOf(input), input.getInt(1))
             oneRow(schema, Int.box(r.version),
               Int.box(r.purged.size), Int.box(r.dropped.size))
+          }
+        }
+      case "set_not_null" =>
+        // `ALTER COLUMN … SET NOT NULL` is refused by Spark's own
+        // CheckAnalysis on v2 tables ("Cannot change nullable column
+        // to non-nullable" — the analyzer cannot validate data), so
+        // the SQL surface for TIGHTENING is this procedure; the verb
+        // proves existing data itself (zero-read from exact null
+        // counts, one filtered scan otherwise). DROP NOT NULL — the
+        // loosening the analyzer does allow — stays on ALTER TABLE.
+        new Verb("set_not_null", resolve, Seq(
+          in("tbl", StringType),
+          in("col", StringType))) {
+          private val schema = StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("column", StringType)))
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val root = rootOf(input)
+            val col = input.getUTF8String(1).toString
+            CommitLogWrite.setNotNull(SparkSession.active, root, col)
+            oneRow(schema,
+              Int.box(CommitLog.latestVersion(root)), utf8(col))
           }
         }
       case "clone" =>

@@ -558,7 +558,13 @@ class CommitLogWriteSpec extends SparkSpec {
 
   test("CHECK constraints: declared against clean data, enforced on every sink publish") {
     val root = freshRoot("check")
-    Seq((1L, 5.0)).toDF("id", "x").repartition(1)
+    // launder the tuple encoder's NOT NULL on x: the first write's
+    // plan schema is what the DDL records, and a declared NOT NULL is
+    // a write-time contract of its own (NotNullSpec) — this test is
+    // about CHECK semantics, where NULL must PASS
+    Seq((1L, 5.0)).toDF("id", "x0")
+      .select($"id", when($"x0" > Double.NegativeInfinity, $"x0").as("x"))
+      .repartition(1)
       .write.format("commitlog").option("path", root).mode("append").save()
     CommitLogWrite.addConstraint(spark, root, "x_pos", "x > 0")
     assert(CommitLog.constraintsOf(root, CommitLog.latestVersion(root))

@@ -4352,6 +4352,80 @@ object Sources {
         .unionAll(global.select(lit("*").as("region"), $"sk", $"ak", $"nk"))
         .select($"region", $"sk", $"ak", $"nk", lit(metaOnly).as("meta_only"))
         .orderBy("region")
+    },
+
+    // S77 (SURVEY S80): PARTITION SPEC EVOLUTION — one metadata commit
+    // re-partitions the table for FUTURE writes while every committed
+    // batch keeps its era's tuple. The decl pins the whole arc: era A
+    // partitioned by region, evolve to day, era B lands keyed on day,
+    // both eras' counts stay exact, and BOTH eras still prune — the
+    // region probe plans fewer files than the full scan (old tuples
+    // serve) and so does the day probe (new tuples serve), pinned as
+    // 1-flags. At 100 TB this replaces a petabyte re-layout with a
+    // manifest line; DuckDB recomputes the counts from raw rows.
+    Decl(
+      "s77_partition_evolution",
+      s"""WITH a AS (
+         |  SELECT o_orderkey AS k,
+         |    CASE WHEN o_orderkey % 3 = 0 THEN 'us'
+         |         WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END AS region,
+         |    CAST(1 AS INT) AS day
+         |  FROM orders),
+         |b AS (
+         |  SELECT o_orderkey + 1000000 AS k, 'new' AS region,
+         |    CAST(o_orderkey % 2 + 2 AS INT) AS day
+         |  FROM orders),
+         |t AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+         |SELECT 'n_day2' AS leg,
+         |  CAST((SELECT count(*) FROM t WHERE day = 2) AS BIGINT) AS n
+         |UNION ALL SELECT 'n_total', CAST(count(*) AS BIGINT) FROM t
+         |UNION ALL SELECT 'n_us',
+         |  CAST((SELECT count(*) FROM t WHERE region = 'us') AS BIGINT)
+         |UNION ALL SELECT 'new_keyed_on_day', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'prunes_both_eras', CAST(1 AS BIGINT)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CommitLog
+      val wh = ioDir("s77_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt77", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt77.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt77.db")
+      s.sql("CREATE TABLE gt77.db.pe (k BIGINT, region STRING, day INT) " +
+        "PARTITIONED BY (region)")
+      s.sql("INSERT INTO gt77.db.pe SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 3 = 0 THEN 'us' " +
+        "WHEN o_orderkey % 3 = 1 THEN 'eu' ELSE 'ap' END, 1 " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      val root = s"$wh/db/pe"
+      val eraA = CommitLog.files(root, CommitLog.latestVersion(root)).toSet
+      s.sql("CALL gt77.system.set_partitioning(tbl => 'db.pe', cols => 'day')")
+      s.sql("INSERT INTO gt77.db.pe SELECT o_orderkey + 1000000, 'new', " +
+        s"CAST(o_orderkey % 2 + 2 AS INT) FROM parquet.`$dir/orders.parquet`")
+      val v = CommitLog.latestVersion(root)
+      val parts = CommitLog.partsOf(root, v)
+      val newKeyed =
+        if (CommitLog.files(root, v).filterNot(eraA.contains)
+            .forall(b => parts.get(b).exists(_.keySet == Set("day")))) 1L
+        else 0L
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val t = s.table("gt77.db.pe")
+      val all = planned(t)
+      val prunes =
+        if (planned(t.filter($"region" === "us")) < all &&
+            planned(t.filter($"day" === 2)) < all) 1L
+        else 0L
+      Seq(
+        ("n_day2", t.filter($"day" === 2).count()),
+        ("n_total", t.count()),
+        ("n_us", t.filter($"region" === "us").count()),
+        ("new_keyed_on_day", newKeyed),
+        ("prunes_both_eras", prunes)
+      ).toDF("leg", "n").orderBy("leg")
     }
   )
 

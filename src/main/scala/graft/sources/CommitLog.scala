@@ -911,7 +911,12 @@ object CommitLog {
       }.getOrElse((0, Nil))
     ((start + 1) to v).foldLeft(base) { (cur, i) =>
       val declared = listField(textOf(manifest(root, i)), "partcols")
-      if (declared.nonEmpty) declared else cur
+      // the sentinel is EXPLICIT un-partitioning; an absent/empty
+      // declaration inherits the spec in force (partition evolution
+      // re-declares; ordinary commits declare nothing)
+      if (declared == Seq(NoPartSentinel)) Nil
+      else if (declared.nonEmpty) declared
+      else cur
     }
   }
 
@@ -1288,6 +1293,60 @@ object CommitLog {
     * exactness past 2^53), partition columns (the tuple registry keys
     * on parse type), and GENERATED columns (the stored expression's
     * output type is the narrow one — re-declare the table instead). */
+  /** The `partcols` manifest value that means "explicitly NONE": a
+    * bare empty list cannot express un-partitioning because replay
+    * treats an absent/empty declaration as "inherit the spec in
+    * force" ([[partColsOf]]). */
+  val NoPartSentinel = "-"
+
+  /** PARTITION EVOLUTION (SURVEY S80): re-declare the table's
+    * partition spec as a METADATA-ONLY commit (Iceberg's partition
+    * spec evolution). No data file moves: every already-committed
+    * batch keeps its own era's recorded tuple, and the read side is
+    * per-batch by construction — tuple pruning evaluates each pushed
+    * filter against whatever tokens a batch carries (old-era batches
+    * keep pruning on old columns, new-era on new), SPJ claims a
+    * partitioning only when ALL live batches carry full current-spec
+    * tuples (mixed eras decline to UnknownPartitioning, and
+    * `optimizeRepartition` re-lands everything under the current spec
+    * to restore it), and metadata GROUP BY answers from token
+    * presence, not the current spec. Only FUTURE writes bucket by the
+    * new columns. `cols = Nil` un-partitions (recorded via
+    * [[NoPartSentinel]] — an empty declaration would read as
+    * "inherit"). At 100 TB this turns a petabyte re-layout decision
+    * into one manifest line, with the physical migration an optional
+    * OPTIMIZE side effect. */
+  def setPartitioning(root: String, cols: Seq[String]): Commit = {
+    import org.apache.spark.sql.types._
+    val v = latestVersion(root)
+    val ddl = schemaOf(root, v).getOrElse(throw new IllegalArgumentException(
+      s"SET PARTITIONING needs a log-declared schema on $root — declare " +
+        "one (schema-enforced write) before evolving the spec"))
+    val st = StructType.fromDDL(ddl)
+    require(cols.distinct == cols,
+      s"duplicate partition column in (${cols.mkString(",")})")
+    cols.foreach { c =>
+      val field = st.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column '$c' in $root (schema: ${st.fieldNames.mkString(",")})"))
+      // exactly the partitioned writer's supported value forms —
+      // anything else could never produce a tuple token
+      field.dataType match {
+        case LongType | IntegerType | TimestampType | DateType |
+            DoubleType | FloatType | BooleanType | StringType |
+            _: DecimalType => ()
+        case other => throw new IllegalArgumentException(
+          s"'$c' has type ${other.simpleString}, which cannot key a " +
+            "partition tuple")
+      }
+    }
+    if (partColsOf(root, v) == cols) return Commit(v, 0) // already the spec
+    commit(root, v, added = Nil, removed = Nil,
+      op = Some("SET PARTITIONING"),
+      partCols = if (cols.isEmpty) Seq(NoPartSentinel) else cols,
+      repartition = true)
+  }
+
   def widenColumn(
       root: String, name: String,
       to: org.apache.spark.sql.types.DataType): Commit = {
@@ -1308,7 +1367,8 @@ object CommitLog {
           s"${f.simpleString}->${t.simpleString}" }.mkString(", ")})")
     require(!partColsOf(root, v).contains(name),
       s"'$name' is a partition column — partition tuples key on its " +
-        "parse type; partitioning is immutable")
+        "parse type; evolve it out of the spec (setPartitioning) before " +
+        "widening")
     require(!tblPropsOf(root, v).contains(
         s"${CommitLogWrite.GeneratedPropPrefix}$name"),
       s"'$name' is GENERATED — its stored expression produces the " +
@@ -2022,7 +2082,8 @@ object CommitLog {
       props: Map[String, Option[String]] = Map.empty,
       propsExpected: Map[String, Option[String]] = Map.empty,
       schemaWiden: Boolean = false,
-      schemaNullability: Boolean = false): Commit = {
+      schemaNullability: Boolean = false,
+      repartition: Boolean = false): Commit = {
     requireValidTxn(txn)
     requireValidConstraints(constraints)
     requireValidColMap(colMap)
@@ -2134,15 +2195,17 @@ object CommitLog {
             }
         }
       }
-      // partitioning is IMMUTABLE once declared: a re-partition would
-      // strand every live batch's recorded tuple (re-checked per
-      // rebase — a rival CREATE may have declared first)
-      if (partCols.nonEmpty) {
+      // a plain write cannot change the partition spec implicitly —
+      // only the deliberate SET PARTITIONING verb (`repartition`)
+      // re-declares it (re-checked per rebase — a rival CREATE may
+      // have declared first)
+      if (partCols.nonEmpty && !repartition) {
         val inForce = partColsOf(root, base)
         require(inForce.isEmpty || inForce == partCols,
-          s"table is partitioned by (${inForce.mkString(",")}) — cannot " +
-            s"re-partition by (${partCols.mkString(",")}); create a new " +
-            "table and reload")
+          s"table is partitioned by (${inForce.mkString(",")}) — a write " +
+            s"cannot re-partition by (${partCols.mkString(",")}); use " +
+            "CommitLog.setPartitioning (partition evolution) to change " +
+            "the spec deliberately")
       }
       if (tryCommit(root, base + 1, added, removed, toRecord, stats, txn,
           dataChange, op, blooms, constraints, colMap, droppedCols,

@@ -1226,7 +1226,6 @@ class CommitLogScanBuilder(
     val fm = CommitLog.formerNamesOf(root, v)
     val typeSchema = CommitLog.schemaOf(root, v)
       .map(StructType.fromDDL).getOrElse(schema0)
-    val partColsV = CommitLog.partColsOf(root, v)
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1237,9 +1236,12 @@ class CommitLogScanBuilder(
     val gbColsOpt = agg.groupByExpressions().toSeq.map(colOf)
     if (gbColsOpt.exists(_.isEmpty)) return None
     val gbCols = gbColsOpt.flatten
-    // grouping is answerable only over partition columns: one value
-    // per batch, recorded in the manifest
-    if (!gbCols.forall(partColsV.contains)) return None
+    // grouping is answerable over any column with a recorded tuple
+    // token in EVERY live batch — a token is the batch's single value
+    // for it. Token presence (checked below), not current-spec
+    // membership, is the test: after partition evolution an
+    // ex-partition column keeps answering while the live set is still
+    // its era's, and declines once a new-era batch lacks the token.
 
     def tupleOf(b: String): Option[Map[String, String]] =
       snap.parts.get(b).map { tokens =>

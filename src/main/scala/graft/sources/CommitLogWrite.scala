@@ -2189,11 +2189,19 @@ class CommitLogOverwriteWrite(
         dropBatches(f, add.batches)
         throw new IllegalStateException(
           s"dynamic partition overwrite on $root needs every live batch " +
-            s"to carry a partition tuple; missing for ${untupled.mkString(",")}" +
-            " (engine rewrites drop tuples) — use plain overwrite or " +
-            "reload the table")
+            s"to carry a full current-spec partition tuple; missing for " +
+            s"${untupled.mkString(",")} (engine rewrites drop tuples; " +
+            "pre-evolution batches may predate a widened spec) — use " +
+            "plain overwrite, or optimizeRepartition to re-land the " +
+            "table under the current spec")
       }
-      val replaced = datas.filter(b => stagedTuples.contains(liveParts(b)))
+      // match on the tuple PROJECTED onto the current partition
+      // columns: a pre-evolution batch may carry extra tokens from a
+      // wider old spec (narrowing evolution), and its projection IS
+      // its current-spec partition — tokens are per-batch constants
+      val replaced = datas.filter(b => liveParts.get(b).exists(m =>
+        partCols.forall(m.contains) &&
+          stagedTuples.contains(partCols.map(c => c -> m(c)).toMap)))
       val replacedDirs = replaced
         .map(b => CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet
       val coveredDvs =

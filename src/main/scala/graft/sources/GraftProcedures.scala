@@ -35,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftProcedures {
   val Names: Seq[String] =
     Seq("optimize", "vacuum", "restore", "history", "clone", "detail",
-      "reorg", "set_not_null")
+      "reorg", "set_not_null", "set_partitioning")
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -243,6 +243,27 @@ object GraftProcedures {
             CommitLogWrite.setNotNull(SparkSession.active, root, col)
             oneRow(schema,
               Int.box(CommitLog.latestVersion(root)), utf8(col))
+          }
+        }
+      case "set_partitioning" =>
+        // partition spec evolution (Iceberg's surface is also a
+        // procedure-ish extension; Spark SQL has no ALTER for it):
+        // `cols` is the new comma-separated spec, '' un-partitions.
+        // Metadata-only — existing batches keep their era's tuples.
+        new Verb("set_partitioning", resolve, Seq(
+          in("tbl", StringType),
+          in("cols", StringType))) {
+          private val schema = StructType(Seq(
+            StructField("version", IntegerType),
+            StructField("partitioning", StringType)))
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val root = rootOf(input)
+            val cols = input.getUTF8String(1).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            CommitLog.setPartitioning(root, cols)
+            oneRow(schema,
+              Int.box(CommitLog.latestVersion(root)),
+              utf8(if (cols.isEmpty) "(none)" else cols.mkString(",")))
           }
         }
       case "clone" =>

@@ -60,7 +60,8 @@ class CommitLogDvCapSpec extends SparkSpec {
     def chain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    assert(chain(e).contains("compact"), chain(e))
+    // the guidance names the escape hatch: REORG APPLY PURGE
+    assert(chain(e).contains("purge"), chain(e))
     // and the same table reads fine at the default cap
     assert(spark.read.format("commitlog").option("path", root).load()
       .count() == 9900)

@@ -4426,6 +4426,62 @@ object Sources {
         ("new_keyed_on_day", newKeyed),
         ("prunes_both_eras", prunes)
       ).toDF("leg", "n").orderBy("leg")
+    },
+
+    // S78 (SURVEY S81): HASH-BUCKET PARTITIONING — `PARTITIONED BY
+    // (bucket(8, k))` over a HIGH-CARDINALITY key: point probes and
+    // IN-lists prune to ~1/8 of the files from the manifest's bucket
+    // tokens (`probe_prunes`/`in_prunes` pin planned-file inequalities;
+    // null keys route to the null token, `null_prunes` pins IS NULL
+    // planning exactly one batch), where identity partitioning would
+    // need one tuple per distinct key. DuckDB recomputes every count
+    // from the raw rows.
+    Decl(
+      "s78_bucket_partition",
+      s"""WITH t AS (
+         |  SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL
+         |              ELSE o_orderkey END AS k,
+         |    o_totalprice AS p
+         |  FROM orders)
+         |SELECT 'in3' AS leg,
+         |  CAST((SELECT count(*) FROM t WHERE k IN (6, 10, 14)) AS BIGINT) AS n
+         |UNION ALL SELECT 'in_prunes', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'n_nulls',
+         |  CAST((SELECT count(*) FROM t WHERE k IS NULL) AS BIGINT)
+         |UNION ALL SELECT 'n_total', CAST(count(*) AS BIGINT) FROM t
+         |UNION ALL SELECT 'null_prunes', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'point',
+         |  CAST((SELECT count(*) FROM t WHERE k = 42) AS BIGINT)
+         |UNION ALL SELECT 'probe_prunes', CAST(1 AS BIGINT)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s78_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt78", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt78.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt78.db")
+      s.sql("CREATE TABLE gt78.db.bp (k BIGINT, p DOUBLE) " +
+        "PARTITIONED BY (bucket(8, k))")
+      s.sql("INSERT INTO gt78.db.bp SELECT CASE WHEN o_orderkey % 50 = 0 " +
+        "THEN NULL ELSE o_orderkey END, o_totalprice " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      val t = s.table("gt78.db.bp")
+      val all = planned(t)
+      def flag(ok: Boolean): Long = if (ok) 1L else 0L
+      Seq(
+        ("in3", t.filter($"k".isin(6L, 10L, 14L)).count()),
+        ("in_prunes", flag(planned(t.filter($"k".isin(6L, 10L, 14L))) < all)),
+        ("n_nulls", t.filter($"k".isNull).count()),
+        ("n_total", t.count()),
+        ("null_prunes", flag(planned(t.filter($"k".isNull)) < all)),
+        ("point", t.filter($"k" === 42L).count()),
+        ("probe_prunes", flag(planned(t.filter($"k" === 42L)) < all))
+      ).toDF("leg", "n").orderBy("leg")
     }
   )
 

@@ -1326,12 +1326,17 @@ object CommitLog {
     require(cols.distinct == cols,
       s"duplicate partition column in (${cols.mkString(",")})")
     cols.foreach { c =>
-      val field = st.fields.find(_.name == c).getOrElse(
+      val src = CommitLogBucket.sourceOf(c)
+      val field = st.fields.find(_.name == src).getOrElse(
         throw new IllegalArgumentException(
-          s"no column '$c' in $root (schema: ${st.fieldNames.mkString(",")})"))
-      // exactly the partitioned writer's supported value forms —
-      // anything else could never produce a tuple token
-      field.dataType match {
+          s"no column '$src' in $root (schema: ${st.fieldNames.mkString(",")})"))
+      if (CommitLogBucket.isBucket(c))
+        require(CommitLogBucket.supported(field.dataType),
+          s"'$src' has type ${field.dataType.simpleString}, which cannot " +
+            "key a hash bucket (integral, date/timestamp or string only)")
+      else field.dataType match {
+        // exactly the partitioned writer's supported value forms —
+        // anything else could never produce a tuple token
         case LongType | IntegerType | TimestampType | DateType |
             DoubleType | FloatType | BooleanType | StringType |
             _: DecimalType => ()

@@ -439,7 +439,9 @@ object CommitLogOptimize {
         Some(schemaDdl), CommitLog.formerNamesOf(root, readVersion),
         keepMeta = false)
       .select(schema.fieldNames.map(col).toSeq: _*)
-      .repartition(partCols.map(col): _*)
+      // a bucket spec clusters on its SOURCE column (the per-task
+      // writer derives the bucket ids)
+      .repartition(partCols.map(c => col(CommitLogBucket.sourceOf(c))): _*)
     val pc = partCols
     val fileMsgs: Seq[CommitLogFileMsg] = df.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, rows) =>

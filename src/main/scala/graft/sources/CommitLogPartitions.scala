@@ -27,6 +27,97 @@ import org.apache.spark.sql.types._
   * ([[CommitLogPartitionedDataWriter]]): long/int/double/bool/string
   * verbatim, timestamps as micros, dates as epoch days, decimals
   * unscaled. */
+/** HASH-BUCKET partition transform (SURVEY S81): a partition-spec
+  * entry `bucketN(col)` routes rows into N hash buckets of `col` —
+  * Iceberg's `bucket(N, col)` — so a HIGH-CARDINALITY key can drive
+  * partition pruning (point probes open ~1/N of the table) and
+  * storage-partitioned joins (N key groups, not one per key) without
+  * the million-tuple explosion identity partitioning would cost.
+  *
+  * The id is ENGINE-CANONICAL, not Spark's `hash()`: integral values
+  * hash their LONG form (so int->bigint type widening keeps every
+  * row's bucket — the same canonicalization the blooms and NDV facets
+  * use), strings their UTF-8 bytes; Murmur3 x86-32 seed 42, floorMod
+  * N. Consistency is all pruning and SPJ need — the probe side derives
+  * ids from pushed literals with this same function, and Spark's SPJ
+  * resolves the transform through [[GraftCatalog]]'s function catalog
+  * rather than assuming any particular hash. */
+object CommitLogBucket {
+  import org.apache.spark.unsafe.hash.Murmur3_x86_32
+  import org.apache.spark.unsafe.Platform
+
+  private val Seed = 42
+  private val P = """bucket(\d+)\((.+)\)""".r
+
+  def render(n: Int, col: String): String = s"bucket$n($col)"
+
+  /** `bucketN(col)` -> (N, col); None for an identity entry. */
+  def parse(spec: String): Option[(Int, String)] = spec match {
+    case P(n, c) =>
+      try { val b = n.toInt; if (b > 0) Some((b, c)) else None }
+      catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  def isBucket(spec: String): Boolean = parse(spec).isDefined
+
+  /** The column a spec entry reads: itself for identity, the hashed
+    * source for a bucket entry. */
+  def sourceOf(spec: String): String = parse(spec).map(_._2).getOrElse(spec)
+
+  /** Types that can key a bucket: integrals (long-canonical, so type
+    * widening preserves ids), date/timestamp (epoch-integral under the
+    * hood) and strings. Floats (NaN/-0.0 equality pitfalls) and
+    * decimals (scale-dependent form) are refused. */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         DateType | TimestampType | StringType => true
+    case _ => false
+  }
+
+  def idOfLong(v: Long, n: Int): Int =
+    Math.floorMod(Murmur3_x86_32.hashLong(v, Seed), n)
+
+  def idOfBytes(b: Array[Byte], n: Int): Int =
+    Math.floorMod(
+      Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed), n)
+
+  /** Bucket id of a pushed FILTER literal under the source column's
+    * type; None = not derivable (mismatched literal form → the
+    * three-valued eval keeps the batch). */
+  def idOfLiteral(v: Any, dt: DataType, n: Int): Option[Int] = dt match {
+    case StringType => v match {
+      case s: String => Some(idOfBytes(s.getBytes("UTF-8"), n))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(idOfBytes(u.getBytes, n))
+      case _ => None
+    }
+    case DateType => v match {
+      case d: java.sql.Date => Some(idOfLong(d.toLocalDate.toEpochDay, n))
+      case d: java.time.LocalDate => Some(idOfLong(d.toEpochDay, n))
+      case _ => None
+    }
+    case TimestampType => v match {
+      case t: java.sql.Timestamp =>
+        Some(idOfLong(t.getTime * 1000L + (t.getNanos % 1000000) / 1000, n))
+      case i: java.time.Instant =>
+        Some(idOfLong(i.getEpochSecond * 1000000L + i.getNano / 1000, n))
+      case _ => None
+    }
+    case ByteType | ShortType | IntegerType | LongType => v match {
+      case x: java.lang.Number =>
+        // exact integral literals only — 1.5 = k matches no bucket the
+        // long form would find, but that is the residual's business
+        val bd = try BigDecimal(x.toString) catch {
+          case _: NumberFormatException => return None
+        }
+        if (bd.isValidLong) Some(idOfLong(bd.toLongExact, n)) else None
+      case _ => None
+    }
+    case _ => None
+  }
+}
+
 object CommitLogPartitions {
 
   /** Tuple of one batch, decoded: col -> value (None = null). */
@@ -59,17 +150,59 @@ object CommitLogPartitions {
           case _ => None
         }
       }
+    // BUCKET fallback: when `c` is not an identity tuple key, look for
+    // a `bucketN(c)` entry. A bucket token is definite on MISMATCH
+    // (the literal's bucket differs → no row can equal it) and on
+    // nullness (the writer routes null keys to the null token, so a
+    // token answers IS [NOT] NULL exactly like identity), but a
+    // matching bucket proves nothing (collisions) → unknown.
+    def bucketStored(c: String): Option[(Int, Option[String])] =
+      tuple.collectFirst {
+        case (k, v) if CommitLogBucket.parse(k).exists(_._2 == c) =>
+          (CommitLogBucket.parse(k).get._1, v)
+      }
+    def bucketEq(c: String, v: Any): Option[Boolean] = bucketStored(c) match {
+      case None => None
+      case Some((_, None)) => Some(false) // all-null batch; v is non-null
+      case Some((n, Some(tok))) =>
+        dtOf(c).flatMap(CommitLogBucket.idOfLiteral(v, _, n)) match {
+          case Some(id) if id.toString != tok => Some(false)
+          case _ => None
+        }
+    }
     f match {
-      case EqualTo(c, v) => test(c, v)(_ == 0)
+      case EqualTo(c, v) =>
+        if (v == null) None // Spark never pushes = NULL; stay unknown
+        else test(c, v)(_ == 0).orElse(bucketEq(c, v))
       case EqualNullSafe(c, v) => stored(c) match {
-        case None => None
+        case None => bucketStored(c) match {
+          case None => None
+          case Some((_, tokOpt)) =>
+            if (v == null) Some(tokOpt.isEmpty)
+            else if (tokOpt.isEmpty) Some(false)
+            else bucketEq(c, v)
+        }
         case Some(None) => Some(v == null)
         case Some(Some(s)) =>
           if (v == null) Some(false)
           else for { dt <- dtOf(c); r <- cmp(s, v, dt) } yield r == 0
       }
       case In(c, vs) => stored(c) match {
-        case None => None
+        case None => bucketStored(c) match {
+          case None => None
+          case Some((_, None)) => Some(false) // nulls match no IN element
+          case Some((n, Some(tok))) => dtOf(c) match {
+            case None => None
+            case Some(dt) =>
+              // prune only when EVERY element's bucket provably misses
+              // (null elements match no row, so skipping them is safe)
+              val ids = vs.toSeq.filter(_ != null)
+                .map(CommitLogBucket.idOfLiteral(_, dt, n))
+              if (ids.forall(_.isDefined) &&
+                  !ids.flatten.exists(_.toString == tok)) Some(false)
+              else None
+          }
+        }
         case Some(None) => Some(false)
         case Some(Some(s)) => dtOf(c) match {
           case None => None
@@ -84,8 +217,10 @@ object CommitLogPartitions {
       case GreaterThanOrEqual(c, v) => test(c, v)(_ >= 0)
       case LessThan(c, v) => test(c, v)(_ < 0)
       case LessThanOrEqual(c, v) => test(c, v)(_ <= 0)
-      case IsNull(c) => stored(c).map(_.isEmpty)
-      case IsNotNull(c) => stored(c).map(_.nonEmpty)
+      case IsNull(c) =>
+        stored(c).map(_.isEmpty).orElse(bucketStored(c).map(_._2.isEmpty))
+      case IsNotNull(c) =>
+        stored(c).map(_.nonEmpty).orElse(bucketStored(c).map(_._2.nonEmpty))
       case StringStartsWith(c, p) => strTest(c)(_.startsWith(p))
       case StringEndsWith(c, p) => strTest(c)(_.endsWith(p))
       case StringContains(c, p) => strTest(c)(_.contains(p))

@@ -898,10 +898,15 @@ class CommitLogTable(
     * `INSERT OVERWRITE` under partitionOverwriteMode=dynamic onto the
     * dynamic-overwrite plan. */
   override def partitioning()
-      : Array[org.apache.spark.sql.connector.expressions.Transform] =
-    CommitLog.partColsOf(root, CommitLog.latestVersion(root))
-      .map(org.apache.spark.sql.connector.expressions.Expressions.identity)
-      .toArray
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    CommitLog.partColsOf(root, CommitLog.latestVersion(root)).map { spec =>
+      CommitLogBucket.parse(spec) match {
+        case Some((n, src)) => Expressions.bucket(n, src)
+        case None => Expressions.identity(spec)
+      }
+    }.toArray
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
@@ -2204,8 +2209,10 @@ case class CommitLogScan(
     // directly over the scan has no join to co-partition anyway)
     limitHint.isEmpty && topN.isEmpty &&
     !emptyTable && !readChangeFeed && partCols.nonEmpty &&
-      partCols.forall(schema.fieldNames.contains) &&
-      partCols.forall(c => typeSchema.fields.exists(_.name == c)) &&
+      partCols.forall(c =>
+        schema.fieldNames.contains(CommitLogBucket.sourceOf(c))) &&
+      partCols.forall(c =>
+        typeSchema.fields.exists(_.name == CommitLogBucket.sourceOf(c))) &&
       staticBatches.forall(b => tupleTokensOf(b)
         .exists(t => partCols.forall(t.contains)) ||
         CommitLogSource.listParquet(root, b).isEmpty)
@@ -2229,9 +2236,16 @@ case class CommitLogScan(
       .flatMap(tupleTokensOf)
       .map(t => partCols.map(t(_))).distinct
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-      partCols.map(c =>
-        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      partCols.map { c =>
+        CommitLogBucket.parse(c) match {
+          case Some((n, src)) =>
+            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, src)
+              : org.apache.spark.sql.connector.expressions.Expression
+          case None =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression
+        }
+      }.toArray,
       keys.size)
   }
 
@@ -2242,6 +2256,9 @@ case class CommitLogScan(
     val vals: Array[Any] = partCols.map { c =>
       CommitLog.partValue(tokens(c)) match {
         case None => null
+        // a bucket entry's key value IS the id (int) — the type the
+        // reported bucket transform evaluates to
+        case Some(s) if CommitLogBucket.isBucket(c) => Int.box(s.toInt)
         case Some(s) => CommitLogPartitions.catalystValue(s,
           typeSchema.fields.find(_.name == c).map(_.dataType).get)
       }

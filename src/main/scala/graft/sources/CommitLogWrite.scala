@@ -1204,7 +1204,34 @@ class CommitLogPartitionedDataWriter(
     bloomBits: Int = CommitLogBloom.AutoBits)
     extends DataWriter[InternalRow] {
 
-  private val partIdx: Array[Int] = partCols.toArray.map(schema.fieldIndex)
+  // per spec entry: identity reads the column's value form verbatim;
+  // `bucketN(col)` hashes the source value to its bucket id (null
+  // keys route to the null token, exactly like identity)
+  private val partEval: Array[InternalRow => Option[String]] =
+    partCols.toArray.map { spec =>
+      CommitLogBucket.parse(spec) match {
+        case Some((n, src)) =>
+          val i = schema.fieldIndex(src)
+          val id: InternalRow => Int = schema(i).dataType match {
+            case LongType | TimestampType =>
+              r => CommitLogBucket.idOfLong(r.getLong(i), n)
+            case IntegerType | DateType =>
+              r => CommitLogBucket.idOfLong(r.getInt(i).toLong, n)
+            case ShortType =>
+              r => CommitLogBucket.idOfLong(r.getShort(i).toLong, n)
+            case ByteType =>
+              r => CommitLogBucket.idOfLong(r.getByte(i).toLong, n)
+            case StringType =>
+              r => CommitLogBucket.idOfBytes(r.getUTF8String(i).getBytes, n)
+            case other => throw new IllegalArgumentException(
+              s"unsupported bucket source type $other for '$spec'")
+          }
+          r => if (r.isNullAt(i)) None else Some(id(r).toString)
+        case None =>
+          val i = schema.fieldIndex(spec)
+          r => valueOf(r, i)
+      }
+    }
   private val writers = scala.collection.mutable.LinkedHashMap
     .empty[String, (CommitLogDataWriter, Seq[(String, Option[String])])]
 
@@ -1230,7 +1257,7 @@ class CommitLogPartitionedDataWriter(
 
   override def write(row: InternalRow): Unit = {
     val tuple = partCols.indices
-      .map(j => partCols(j) -> valueOf(row, partIdx(j)))
+      .map(j => partCols(j) -> partEval(j)(row))
     val token = tuple.map { case (_, v) => CommitLog.partToken(v) }
       .mkString("~")
     val (w, _) = writers.getOrElseUpdate(token,
@@ -1370,9 +1397,10 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
     // partition-pure and the manifest tuple stays exact
     val partCols = CommitLog.partColsOf(root, CommitLog.latestVersion(root))
     partCols.foreach { c =>
-      require(schema.fieldNames.contains(c),
+      require(schema.fieldNames.contains(CommitLogBucket.sourceOf(c)),
         s"table at $root is partitioned by '$c' — the write schema " +
-          s"must include it (got ${schema.fieldNames.mkString(",")})")
+          s"must include '${CommitLogBucket.sourceOf(c)}' " +
+          s"(got ${schema.fieldNames.mkString(",")})")
     }
     overwriteMode.foreach {
       case DynamicOverwrite => require(partCols.nonEmpty,
@@ -1475,8 +1503,12 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
         * internally sorted. Plain unpartitioned writes request nothing
         * (no shuffle imposed). */
       override def requiredDistribution(): Distribution =
+        // a bucket entry clusters on its SOURCE column — same-key rows
+        // co-locate, which also co-locates their bucket; the per-task
+        // writer fans out to at most N open bucket files
         if (partCols.nonEmpty) Distributions.clustered(
-          partCols.map(c => Expressions.identity(c): Expression).toArray)
+          partCols.map(c => Expressions.identity(
+            CommitLogBucket.sourceOf(c)): Expression).toArray)
         else if (sortCols.nonEmpty) Distributions.ordered(asc(sortCols))
         else Distributions.unspecified()
       // non-strict by default (Spark plans a REBALANCE and AQE
@@ -1486,8 +1518,10 @@ class CommitLogWriteBuilder(root: String, info: LogicalWriteInfo)
       // exact partition count
       override def distributionStrictlyRequired(): Boolean = sortBuckets > 0
       override def requiredNumPartitions(): Int = sortBuckets
-      override def requiredOrdering(): Array[SortOrder] =
-        asc(partCols ++ sortCols.filterNot(partCols.contains))
+      override def requiredOrdering(): Array[SortOrder] = {
+        val partSrcs = partCols.map(CommitLogBucket.sourceOf)
+        asc(partSrcs ++ sortCols.filterNot(partSrcs.contains))
+      }
 
       // a sorted unpartitioned write publishes one batch per task
       // file (range-disjoint boxes) — append AND overwrite legs;

@@ -59,7 +59,26 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ProcedureCatalog {
+    with StagingTableCatalog with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- the `bucket` partition-transform function (SURVEY S81) ----
+  //
+  // Spark's storage-partitioned joins resolve a scan's reported
+  // bucket(N, col) transform through THIS interface
+  // (V2ExpressionUtils: `loadFunction(Identifier.of(Array.empty,
+  // "bucket"))`), so the function catalog is what turns two bucketed
+  // commitlog tables into a zero-shuffle join.
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   // ---- maintenance verbs as SQL (see [[GraftProcedures]]) ----
   //
@@ -318,23 +337,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     })
   }
 
-  /** `CREATE TABLE … PARTITIONED BY (c1, c2)` — identity transforms
-    * only: the partition columns are recorded in the log (immutable
-    * once declared), every later write lands one batch per partition
-    * tuple, and plan-time pruning / dynamic partition overwrite run
-    * from manifest metadata. Expression transforms (bucket, days, …)
-    * are refused — cluster with OPTIMIZE ZORDER instead. */
+  /** `CREATE TABLE … PARTITIONED BY (c1, bucket(8, c2))` — identity
+    * and hash-bucket transforms: identity columns record verbatim,
+    * `bucket(N, col)` records the spec entry `bucketN(col)`
+    * ([[CommitLogBucket]]) so a high-cardinality key drives partition
+    * pruning and SPJ through N hash buckets. Other expression
+    * transforms (days, truncate, …) are refused — derive a GENERATED
+    * column and identity-partition on it, or cluster with OPTIMIZE
+    * ZORDER. */
   private def identityPartCols(
       schema: StructType, partitions: Array[Transform]): Seq[String] = {
     val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
+      require(t.references.length == 1 &&
           t.references.head.fieldNames.length == 1,
-        s"commitlog tables support only identity partitioning — got $t " +
-          "(cluster by expression via OPTIMIZE ZORDER instead)")
-      t.references.head.fieldNames.head
+        s"commitlog partitioning transforms take ONE top-level column — got $t")
+      val src = t.references.head.fieldNames.head
+      t.name match {
+        case "identity" => src
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a literal bucket count — got $t"))
+          require(n > 0, s"bucket count must be positive — got $n in $t")
+          val dt = schema.fields.find(_.name == src).map(_.dataType)
+          require(dt.exists(CommitLogBucket.supported),
+            s"bucket source '$src' must be an integral, date/timestamp " +
+              s"or string column — got ${dt.map(_.simpleString).getOrElse("?")}")
+          CommitLogBucket.render(n, src)
+        case other => throw new IllegalArgumentException(
+          s"commitlog tables support identity and bucket partitioning — " +
+            s"got $other($src) (derive a GENERATED column, or cluster " +
+            "via OPTIMIZE ZORDER)")
+      }
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the table schema"))
+    partCols.foreach(c => require(
+      schema.fieldNames.contains(CommitLogBucket.sourceOf(c)),
+      s"partition column '${CommitLogBucket.sourceOf(c)}' is not in the " +
+        "table schema"))
     partCols
   }
 

@@ -4482,6 +4482,65 @@ object Sources {
         ("point", t.filter($"k" === 42L).count()),
         ("probe_prunes", flag(planned(t.filter($"k" === 42L)) < all))
       ).toDF("leg", "n").orderBy("leg")
+    },
+
+    // S79 (SURVEY S82): MONOTONE HIDDEN PARTITIONING — `months(date)`
+    // and `truncate(W, string)` transforms. The queries filter the
+    // SOURCE columns only (never a partition column — the "hidden"
+    // in hidden partitioning) and RANGES prune through the transforms
+    // because both are order-preserving; `range_prunes`/
+    // `prefix_prunes` pin planned-file inequalities, DuckDB recomputes
+    // every count from the raw rows.
+    Decl(
+      "s79_hidden_partition",
+      s"""SELECT 'n_prefix' AS leg,
+         |  CAST((SELECT count(*) FROM customer
+         |        WHERE c_name LIKE 'Customer#0000001%') AS BIGINT) AS n
+         |UNION ALL SELECT 'n_range',
+         |  CAST((SELECT count(*) FROM orders
+         |        WHERE o_orderdate >= DATE '1997-06-15') AS BIGINT)
+         |UNION ALL SELECT 'n_total', CAST(count(*) AS BIGINT) FROM orders
+         |UNION ALL SELECT 'n_window',
+         |  CAST((SELECT count(*) FROM orders
+         |        WHERE o_orderdate BETWEEN DATE '1995-01-01'
+         |          AND DATE '1995-03-31') AS BIGINT)
+         |UNION ALL SELECT 'prefix_prunes', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'range_prunes', CAST(1 AS BIGINT)
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s79_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt79", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt79.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt79.db")
+      s.sql("CREATE TABLE gt79.db.om (od DATE, k BIGINT) " +
+        "PARTITIONED BY (months(od))")
+      s.sql("INSERT INTO gt79.db.om SELECT o_orderdate, o_orderkey " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      s.sql("CREATE TABLE gt79.db.cn (name STRING, k BIGINT) " +
+        "PARTITIONED BY (truncate(16, name))")
+      s.sql("INSERT INTO gt79.db.cn SELECT c_name, c_custkey " +
+        s"FROM parquet.`$dir/customer.parquet`")
+      def planned(df: org.apache.spark.sql.DataFrame): Int =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputPartitions.length
+        }.sum
+      def flag(ok: Boolean): Long = if (ok) 1L else 0L
+      val om = s.table("gt79.db.om")
+      val cn = s.table("gt79.db.cn")
+      val range = om.filter($"od" >= "1997-06-15")
+      val window = om.filter($"od".between("1995-01-01", "1995-03-31"))
+      val prefix = cn.filter($"name".startsWith("Customer#0000001"))
+      Seq(
+        ("n_prefix", prefix.count()),
+        ("n_range", range.count()),
+        ("n_total", om.count()),
+        ("n_window", window.count()),
+        ("prefix_prunes", flag(planned(prefix) < planned(cn))),
+        ("range_prunes", flag(planned(range) < planned(om) &&
+          planned(window) < planned(om)))
+      ).toDF("leg", "n").orderBy("leg")
     }
   )
 

@@ -1334,6 +1334,12 @@ object CommitLog {
         require(CommitLogBucket.supported(field.dataType),
           s"'$src' has type ${field.dataType.simpleString}, which cannot " +
             "key a hash bucket (integral, date/timestamp or string only)")
+      else if (CommitLogMonotone.isMonotone(c))
+        require(CommitLogMonotone.parse(c)
+            .exists(CommitLogMonotone.supported(_, field.dataType)),
+          s"'$src' has type ${field.dataType.simpleString}, which cannot " +
+            s"source '$c' (time transforms need timestamp/date, truncate " +
+            "needs integral or string)")
       else field.dataType match {
         // exactly the partitioned writer's supported value forms —
         // anything else could never produce a tuple token

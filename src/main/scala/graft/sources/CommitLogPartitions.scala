@@ -61,9 +61,13 @@ object CommitLogBucket {
 
   def isBucket(spec: String): Boolean = parse(spec).isDefined
 
-  /** The column a spec entry reads: itself for identity, the hashed
-    * source for a bucket entry. */
-  def sourceOf(spec: String): String = parse(spec).map(_._2).getOrElse(spec)
+  /** The column a spec entry reads: itself for identity, the
+    * transformed source for a bucket OR monotone entry (this is the
+    * one facade every partcols consumer resolves through). */
+  def sourceOf(spec: String): String =
+    parse(spec).map(_._2)
+      .orElse(CommitLogMonotone.parse(spec).map(_.source))
+      .getOrElse(spec)
 
   /** Types that can key a bucket: integrals (long-canonical, so type
     * widening preserves ids), date/timestamp (epoch-integral under the
@@ -118,6 +122,156 @@ object CommitLogBucket {
   }
 }
 
+/** MONOTONE partition transforms (SURVEY S82): Iceberg's hidden
+  * partitioning for time and prefixes — spec entries `days(ts)`,
+  * `hours(ts)`, `months(ts)`, `years(ts)` over timestamp/date columns
+  * and `truncateW(col)` over integrals (floor to a multiple of W) and
+  * strings (W-byte prefix). Unlike [[CommitLogBucket]]'s hash, every
+  * one of these is ORDER-PRESERVING, so RANGE predicates on the
+  * SOURCE column prune through the transform: `ts >= X` skips every
+  * batch whose day token is below day(X) — the query never mentions
+  * the partition column, which is the whole point of hidden
+  * partitioning.
+  *
+  * Value forms: time transforms integer-count since the epoch (days /
+  * hours verbatim from the stored micros|epoch-days; months/years via
+  * proleptic LocalDate), integral truncate the floored LONG multiple,
+  * string truncate the UTF-8-safe byte prefix (a cut that would split
+  * a codepoint backs up — prefix-of semantics survive). */
+object CommitLogMonotone {
+  import java.time.LocalDate
+
+  private val TimeP = """(days|hours|months|years)\((.+)\)""".r
+  private val TruncP = """truncate(\d+)\((.+)\)""".r
+
+  sealed trait Spec { def source: String; def render: String }
+  final case class Time(unit: String, source: String) extends Spec {
+    def render = s"$unit($source)"
+  }
+  final case class Trunc(w: Int, source: String) extends Spec {
+    def render = s"truncate$w($source)"
+  }
+
+  def parse(spec: String): Option[Spec] = spec match {
+    case TimeP(u, c) => Some(Time(u, c))
+    case TruncP(w, c) =>
+      try { val v = w.toInt; if (v > 0) Some(Trunc(v, c)) else None }
+      catch { case _: NumberFormatException => None }
+    case _ => None
+  }
+
+  def isMonotone(spec: String): Boolean = parse(spec).isDefined
+
+  /** Whether `dt` can source the transform. */
+  def supported(s: Spec, dt: DataType): Boolean = s match {
+    case Time(_, _) => dt == TimestampType || dt == DateType
+    case Trunc(_, _) => dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+  }
+
+  private def fromMicros(unit: String, micros: Long): Long = unit match {
+    case "hours" => Math.floorDiv(micros, 3600L * 1000000L)
+    case "days" => Math.floorDiv(micros, 86400L * 1000000L)
+    case u => fromEpochDay(u, Math.floorDiv(micros, 86400L * 1000000L))
+  }
+  private def fromEpochDay(unit: String, day: Long): Long = unit match {
+    case "days" => day
+    case "hours" => day * 24L
+    case "months" =>
+      val d = LocalDate.ofEpochDay(day)
+      (d.getYear - 1970L) * 12L + (d.getMonthValue - 1)
+    case "years" => LocalDate.ofEpochDay(day).getYear - 1970L
+  }
+
+  /** Transform a SOURCE value in its stored/InternalRow form (micros
+    * for timestamps, epoch days for dates, raw integrals, UTF8 bytes
+    * for strings) to the token value. */
+  def timeValue(s: Time, dt: DataType, v: Long): Long = dt match {
+    case TimestampType => fromMicros(s.unit, v)
+    case DateType => fromEpochDay(s.unit, v)
+    case other => throw new IllegalArgumentException(
+      s"${s.render} over $other")
+  }
+
+  def truncLong(w: Int, v: Long): Long = Math.floorDiv(v, w.toLong) * w
+
+  /** First W CODEPOINTS of a UTF-8 string (Iceberg's string truncate).
+    * Codepoint (not byte) truncation matters for soundness: a fixed
+    * codepoint count is MONOTONE in the byte-lex source order (first-
+    * difference argument), so range predicates prune through it; a
+    * byte cut that backs up past continuation bytes truncates
+    * different values at different lengths and is NOT monotone. */
+  def truncChars(w: Int, b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    var seen = 0
+    while (i < b.length) {
+      if ((b(i) & 0xc0) != 0x80) { // codepoint start
+        if (seen == w) return java.util.Arrays.copyOfRange(b, 0, i)
+        seen += 1
+      }
+      i += 1
+    }
+    b // at most w codepoints already
+  }
+
+  /** The token of a pushed FILTER literal; None = underivable form. */
+  def literalToken(s: Spec, dt: DataType, v: Any): Option[String] = s match {
+    case t: Time => (dt, v) match {
+      case (TimestampType, x: java.sql.Timestamp) =>
+        Some(timeValue(t, dt,
+          x.getTime * 1000L + (x.getNanos % 1000000) / 1000).toString)
+      case (TimestampType, x: java.time.Instant) =>
+        Some(timeValue(t, dt,
+          x.getEpochSecond * 1000000L + x.getNano / 1000).toString)
+      case (DateType, x: java.sql.Date) =>
+        Some(timeValue(t, dt, x.toLocalDate.toEpochDay).toString)
+      case (DateType, x: java.time.LocalDate) =>
+        Some(timeValue(t, dt, x.toEpochDay).toString)
+      case _ => None
+    }
+    case Trunc(w, _) => dt match {
+      case StringType => v match {
+        case x: String =>
+          Some(new String(truncChars(w, x.getBytes("UTF-8")), "UTF-8"))
+        case x: org.apache.spark.unsafe.types.UTF8String =>
+          Some(new String(truncChars(w, x.getBytes), "UTF-8"))
+        case _ => None
+      }
+      case ByteType | ShortType | IntegerType | LongType => v match {
+        case x: java.lang.Number =>
+          val bd = try BigDecimal(x.toString) catch {
+            case _: NumberFormatException => return None
+          }
+          if (bd.isValidLong) Some(truncLong(w, bd.toLongExact).toString)
+          else None
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** Compare two token strings in the transform's value domain: time
+    * and integral-truncate tokens numerically, string-truncate tokens
+    * in unsigned UTF-8 BYTE order (the source column's own order —
+    * String.compareTo would use UTF-16 units, which disagrees above
+    * the BMP). */
+  def tokenCompare(
+      s: Spec, dt: DataType, a: String, b: String): Option[Int] = s match {
+    case Trunc(_, _) if dt == StringType =>
+      Some(java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")))
+    case _ => (tryLong(a), tryLong(b)) match {
+      case (Some(x), Some(y)) => Some(java.lang.Long.compare(x, y))
+      case _ => None
+    }
+  }
+
+  private def tryLong(s: String): Option[Long] =
+    try Some(s.toLong) catch { case _: NumberFormatException => None }
+}
+
 object CommitLogPartitions {
 
   /** Tuple of one batch, decoded: col -> value (None = null). */
@@ -170,13 +324,50 @@ object CommitLogPartitions {
           case _ => None
         }
     }
+    // MONOTONE-transform fallback (days/hours/months/years/truncate):
+    // order-preserving, so RANGES on the source prune too — the
+    // comparison of the batch token against the literal's token bounds
+    // what any row of the batch can satisfy. Many-to-one still: only
+    // provable MISMATCH answers are definite.
+    def monoStored(c: String)
+        : Option[(CommitLogMonotone.Spec, Option[String])] =
+      tuple.collectFirst {
+        case (k, v) if CommitLogMonotone.parse(k).exists(_.source == c) =>
+          (CommitLogMonotone.parse(k).get, v)
+      }
+    // compare(batch token, T(literal)); Left = all-null batch,
+    // None = no monotone entry / underivable literal
+    def monoCmp(c: String, v: Any): Option[Either[Unit, Int]] =
+      monoStored(c) match {
+        case None => None
+        case Some((_, None)) => Some(Left(()))
+        case Some((s, Some(tok))) =>
+          for {
+            dt <- dtOf(c)
+            lt <- CommitLogMonotone.literalToken(s, dt, v)
+            r <- CommitLogMonotone.tokenCompare(s, dt, tok, lt)
+          } yield Right(r)
+      }
+    def monoTest(c: String, v: Any)(prune: Int => Boolean): Option[Boolean] =
+      monoCmp(c, v) match {
+        case Some(Left(())) => Some(false) // nulls satisfy no comparison
+        case Some(Right(r)) => if (prune(r)) Some(false) else None
+        case None => None
+      }
     f match {
       case EqualTo(c, v) =>
         if (v == null) None // Spark never pushes = NULL; stay unknown
         else test(c, v)(_ == 0).orElse(bucketEq(c, v))
+          .orElse(monoTest(c, v)(_ != 0))
       case EqualNullSafe(c, v) => stored(c) match {
         case None => bucketStored(c) match {
-          case None => None
+          case None => monoStored(c) match {
+            case None => None
+            case Some((_, tokOpt)) =>
+              if (v == null) Some(tokOpt.isEmpty)
+              else if (tokOpt.isEmpty) Some(false)
+              else monoTest(c, v)(_ != 0)
+          }
           case Some((_, tokOpt)) =>
             if (v == null) Some(tokOpt.isEmpty)
             else if (tokOpt.isEmpty) Some(false)
@@ -189,7 +380,21 @@ object CommitLogPartitions {
       }
       case In(c, vs) => stored(c) match {
         case None => bucketStored(c) match {
-          case None => None
+          case None => monoStored(c) match {
+            case None => None
+            case Some((_, None)) => Some(false) // nulls match no element
+            case Some((s, Some(tok))) => dtOf(c) match {
+              case None => None
+              case Some(dt) =>
+                val toks = vs.toSeq.filter(_ != null)
+                  .map(CommitLogMonotone.literalToken(s, dt, _))
+                if (toks.forall(_.isDefined) &&
+                    !toks.flatten.exists(lt =>
+                      CommitLogMonotone.tokenCompare(s, dt, tok, lt)
+                        .contains(0))) Some(false)
+                else None
+            }
+          }
           case Some((_, None)) => Some(false) // nulls match no IN element
           case Some((n, Some(tok))) => dtOf(c) match {
             case None => None
@@ -213,15 +418,47 @@ object CommitLogPartitions {
             else None
         }
       }
-      case GreaterThan(c, v) => test(c, v)(_ > 0)
-      case GreaterThanOrEqual(c, v) => test(c, v)(_ >= 0)
-      case LessThan(c, v) => test(c, v)(_ < 0)
-      case LessThanOrEqual(c, v) => test(c, v)(_ <= 0)
+      // a monotone token below the literal's token cannot hold c > v
+      // (T non-decreasing: c > v ⇒ T(c) ≥ T(v)); mirrored for <
+      case GreaterThan(c, v) =>
+        test(c, v)(_ > 0).orElse(monoTest(c, v)(_ < 0))
+      case GreaterThanOrEqual(c, v) =>
+        test(c, v)(_ >= 0).orElse(monoTest(c, v)(_ < 0))
+      case LessThan(c, v) =>
+        test(c, v)(_ < 0).orElse(monoTest(c, v)(_ > 0))
+      case LessThanOrEqual(c, v) =>
+        test(c, v)(_ <= 0).orElse(monoTest(c, v)(_ > 0))
       case IsNull(c) =>
         stored(c).map(_.isEmpty).orElse(bucketStored(c).map(_._2.isEmpty))
+          .orElse(monoStored(c).map(_._2.isEmpty))
       case IsNotNull(c) =>
         stored(c).map(_.nonEmpty).orElse(bucketStored(c).map(_._2.nonEmpty))
+          .orElse(monoStored(c).map(_._2.nonEmpty))
       case StringStartsWith(c, p) => strTest(c)(_.startsWith(p))
+        .orElse(monoStored(c) match {
+          // truncate(W, string): rows starting with `p` carry a token
+          // that is byte-prefix-compatible with p — equal to
+          // truncChars(W, p) when p has ≥ W codepoints, else starting
+          // with p itself; a token failing both is a provable miss
+          case Some((s @ CommitLogMonotone.Trunc(w, _), Some(tok)))
+              if dtOf(c).contains(StringType) =>
+            val pb = p.getBytes("UTF-8")
+            val tb = tok.getBytes("UTF-8")
+            val cut = CommitLogMonotone.truncChars(w, pb)
+            val compatible =
+              if (cut.length < pb.length) // p longer than the token cap
+                java.util.Arrays.equals(tb, cut)
+              else // token must extend p (or p extends the short token)
+                (tb.length >= pb.length &&
+                  java.util.Arrays.equals(
+                    java.util.Arrays.copyOfRange(tb, 0, pb.length), pb)) ||
+                (tb.length < pb.length &&
+                  java.util.Arrays.equals(
+                    java.util.Arrays.copyOfRange(pb, 0, tb.length), tb))
+            if (compatible) None else Some(false)
+          case Some((_, None)) => Some(false) // null rows match no prefix
+          case _ => None
+        })
       case StringEndsWith(c, p) => strTest(c)(_.endsWith(p))
       case StringContains(c, p) => strTest(c)(_.contains(p))
       case And(l, r) => (eval(l, tuple, schema), eval(r, tuple, schema)) match {

@@ -903,7 +903,18 @@ class CommitLogTable(
     CommitLog.partColsOf(root, CommitLog.latestVersion(root)).map { spec =>
       CommitLogBucket.parse(spec) match {
         case Some((n, src)) => Expressions.bucket(n, src)
-        case None => Expressions.identity(spec)
+        case None => CommitLogMonotone.parse(spec) match {
+          case Some(CommitLogMonotone.Time(u, src)) => u match {
+            case "days" => Expressions.days(src)
+            case "hours" => Expressions.hours(src)
+            case "months" => Expressions.months(src)
+            case "years" => Expressions.years(src)
+          }
+          case Some(CommitLogMonotone.Trunc(w, src)) =>
+            Expressions.apply("truncate",
+              Expressions.literal(w), Expressions.column(src))
+          case None => Expressions.identity(spec)
+        }
       }
     }.toArray
   }
@@ -2237,13 +2248,21 @@ case class CommitLogScan(
       .map(t => partCols.map(t(_))).distinct
     new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
       partCols.map { c =>
+        import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
         CommitLogBucket.parse(c) match {
-          case Some((n, src)) =>
-            org.apache.spark.sql.connector.expressions.Expressions.bucket(n, src)
-              : org.apache.spark.sql.connector.expressions.Expression
-          case None =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression
+          case Some((n, src)) => Expressions.bucket(n, src): Expression
+          case None => CommitLogMonotone.parse(c) match {
+            case Some(CommitLogMonotone.Time(u, src)) => (u match {
+              case "days" => Expressions.days(src)
+              case "hours" => Expressions.hours(src)
+              case "months" => Expressions.months(src)
+              case "years" => Expressions.years(src)
+            }): Expression
+            case Some(CommitLogMonotone.Trunc(w, src)) =>
+              Expressions.apply("truncate",
+                Expressions.literal(w), Expressions.column(src)): Expression
+            case None => Expressions.identity(c): Expression
+          }
         }
       }.toArray,
       keys.size)
@@ -2259,8 +2278,20 @@ case class CommitLogScan(
         // a bucket entry's key value IS the id (int) — the type the
         // reported bucket transform evaluates to
         case Some(s) if CommitLogBucket.isBucket(c) => Int.box(s.toInt)
-        case Some(s) => CommitLogPartitions.catalystValue(s,
-          typeSchema.fields.find(_.name == c).map(_.dataType).get)
+        case Some(s) => CommitLogMonotone.parse(c) match {
+          // time tokens are int epochs-counts; truncate keeps the
+          // source domain (long for integrals, utf8 for strings) —
+          // matching the bound functions' result types
+          case Some(_: CommitLogMonotone.Time) => Int.box(s.toInt)
+          case Some(CommitLogMonotone.Trunc(_, src)) =>
+            typeSchema.fields.find(_.name == src).map(_.dataType) match {
+              case Some(StringType) =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case _ => Long.box(s.toLong)
+            }
+          case None => CommitLogPartitions.catalystValue(s,
+            typeSchema.fields.find(_.name == c).map(_.dataType).get)
+        }
       }
     }.toArray
     new GenericInternalRow(vals)

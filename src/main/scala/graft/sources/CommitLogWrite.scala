@@ -1209,6 +1209,41 @@ class CommitLogPartitionedDataWriter(
   // keys route to the null token, exactly like identity)
   private val partEval: Array[InternalRow => Option[String]] =
     partCols.toArray.map { spec =>
+      CommitLogMonotone.parse(spec) match {
+        case Some(s) =>
+          val i = schema.fieldIndex(s.source)
+          val dt = schema(i).dataType
+          val tok: InternalRow => String = s match {
+            case t: CommitLogMonotone.Time => dt match {
+              case TimestampType =>
+                r => CommitLogMonotone.timeValue(t, dt, r.getLong(i)).toString
+              case DateType =>
+                r => CommitLogMonotone.timeValue(t, dt, r.getInt(i).toLong).toString
+              case other => throw new IllegalArgumentException(
+                s"unsupported ${t.unit} source type $other for '$spec'")
+            }
+            case CommitLogMonotone.Trunc(w, _) => dt match {
+              case LongType =>
+                r => CommitLogMonotone.truncLong(w, r.getLong(i)).toString
+              case IntegerType =>
+                r => CommitLogMonotone.truncLong(w, r.getInt(i).toLong).toString
+              case ShortType =>
+                r => CommitLogMonotone.truncLong(w, r.getShort(i).toLong).toString
+              case ByteType =>
+                r => CommitLogMonotone.truncLong(w, r.getByte(i).toLong).toString
+              case StringType =>
+                r => new String(CommitLogMonotone.truncChars(
+                  w, r.getUTF8String(i).getBytes), "UTF-8")
+              case other => throw new IllegalArgumentException(
+                s"unsupported truncate source type $other for '$spec'")
+            }
+          }
+          (r: InternalRow) => if (r.isNullAt(i)) None else Some(tok(r))
+        case None => partEvalBucket(spec)
+      }
+    }
+
+  private def partEvalBucket(spec: String): InternalRow => Option[String] =
       CommitLogBucket.parse(spec) match {
         case Some((n, src)) =>
           val i = schema.fieldIndex(src)
@@ -1231,7 +1266,7 @@ class CommitLogPartitionedDataWriter(
           val i = schema.fieldIndex(spec)
           r => valueOf(r, i)
       }
-    }
+
   private val writers = scala.collection.mutable.LinkedHashMap
     .empty[String, (CommitLogDataWriter, Seq[(String, Option[String])])]
 

@@ -68,3 +68,93 @@ object GraftBucketFunction extends UnboundFunction {
     }
   }
 }
+
+/** The monotone time transforms as catalog functions — `days(ts)`,
+  * `hours(ts)`, `months(ts)`, `years(ts)` (SURVEY S82) — so SPJ
+  * resolves a scan's reported time transform exactly like bucket.
+  * Result is the int epoch-count [[CommitLogMonotone.timeValue]]
+  * records as the tuple token; null in, null out. */
+final class GraftTimeFunction(unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(ts): int count of $unit since the epoch (partition transform)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 1,
+      s"$unit takes one timestamp/date argument — got ${inputType.simpleString}")
+    val keyType = inputType.fields(0).dataType
+    require(keyType == TimestampType || keyType == DateType,
+      s"$unit needs a timestamp or date — got ${keyType.simpleString}")
+    val spec = CommitLogMonotone.Time(unit, "k")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(keyType)
+      override def resultType(): DataType = IntegerType
+      override def isResultNullable: Boolean = true
+      override def name(): String = unit
+      override def canonicalName(): String = s"graft.$unit"
+      override def produceResult(input: InternalRow): Integer = {
+        if (input.isNullAt(0)) return null
+        val v = keyType match {
+          case TimestampType => input.getLong(0)
+          case _ => input.getInt(0).toLong
+        }
+        Int.box(CommitLogMonotone.timeValue(spec, keyType, v).toInt)
+      }
+    }
+  }
+}
+
+/** `truncate(w, col)` as a catalog function: floored multiple for
+  * integrals (long result), W-codepoint prefix for strings. */
+object GraftTruncateFunction extends UnboundFunction {
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col): floor to a multiple of w (integrals) or the " +
+      "first w codepoints (strings) — partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"truncate takes (width, col) — got ${inputType.simpleString}")
+    val wType = inputType.fields(0).dataType
+    require(wType == IntegerType || wType == LongType,
+      s"truncate width must be integral — got ${wType.simpleString}")
+    val keyType = inputType.fields(1).dataType
+    keyType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        new ScalarFunction[java.lang.Long] {
+          override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+          override def resultType(): DataType = LongType
+          override def isResultNullable: Boolean = true
+          override def name(): String = "truncate"
+          override def canonicalName(): String = "graft.truncate"
+          override def produceResult(input: InternalRow): java.lang.Long = {
+            if (input.isNullAt(1)) return null
+            val v = keyType match {
+              case LongType => input.getLong(1)
+              case IntegerType => input.getInt(1).toLong
+              case ShortType => input.getShort(1).toLong
+              case ByteType => input.getByte(1).toLong
+            }
+            Long.box(CommitLogMonotone.truncLong(input.getInt(0), v))
+          }
+        }
+      case StringType =>
+        new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] {
+          override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+          override def resultType(): DataType = StringType
+          override def isResultNullable: Boolean = true
+          override def name(): String = "truncate"
+          override def canonicalName(): String = "graft.truncate(string)"
+          override def produceResult(input: InternalRow)
+              : org.apache.spark.unsafe.types.UTF8String = {
+            if (input.isNullAt(1)) return null
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(
+              CommitLogMonotone.truncChars(
+                input.getInt(0), input.getUTF8String(1).getBytes))
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"truncate needs an integral or string column — got ${other.simpleString}")
+    }
+  }
+}

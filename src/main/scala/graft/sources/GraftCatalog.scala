@@ -4,7 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DataSourceV2 [[TableCatalog]] over a warehouse directory of
@@ -70,15 +70,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // "bucket"))`), so the function catalog is what turns two bucketed
   // commitlog tables into a zero-shuffle join.
 
+  private val TimeUnits = Set("days", "hours", "months", "years")
+
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    if (namespace.isEmpty)
+      ("bucket" +: "truncate" +: TimeUnits.toSeq.sorted)
+        .map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name == "bucket") GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    ident.name match {
+      case "bucket" => GraftBucketFunction
+      case "truncate" => GraftTruncateFunction
+      case u if TimeUnits.contains(u) => new GraftTimeFunction(u)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   // ---- maintenance verbs as SQL (see [[GraftProcedures]]) ----
   //
@@ -352,25 +360,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           t.references.head.fieldNames.length == 1,
         s"commitlog partitioning transforms take ONE top-level column — got $t")
       val src = t.references.head.fieldNames.head
+      def dtOf: Option[DataType] =
+        schema.fields.find(_.name == src).map(_.dataType)
+      def litInt(what: String): Int = {
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Number] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"$what transform needs a literal argument — got $t"))
+        require(n > 0, s"$what argument must be positive — got $n in $t")
+        n
+      }
       t.name match {
         case "identity" => src
         case "bucket" =>
-          val n = t.arguments.collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.value.isInstanceOf[Number] =>
-              l.value.asInstanceOf[Number].intValue
-          }.getOrElse(throw new IllegalArgumentException(
-            s"bucket transform needs a literal bucket count — got $t"))
-          require(n > 0, s"bucket count must be positive — got $n in $t")
-          val dt = schema.fields.find(_.name == src).map(_.dataType)
-          require(dt.exists(CommitLogBucket.supported),
+          val n = litInt("bucket")
+          require(dtOf.exists(CommitLogBucket.supported),
             s"bucket source '$src' must be an integral, date/timestamp " +
-              s"or string column — got ${dt.map(_.simpleString).getOrElse("?")}")
+              s"or string column — got ${dtOf.map(_.simpleString).getOrElse("?")}")
           CommitLogBucket.render(n, src)
+        case u @ ("days" | "hours" | "months" | "years") =>
+          val spec = CommitLogMonotone.Time(u, src)
+          require(dtOf.exists(CommitLogMonotone.supported(spec, _)),
+            s"$u source '$src' must be a timestamp or date column — got " +
+              dtOf.map(_.simpleString).getOrElse("?"))
+          spec.render
+        case "truncate" =>
+          val spec = CommitLogMonotone.Trunc(litInt("truncate"), src)
+          require(dtOf.exists(CommitLogMonotone.supported(spec, _)),
+            s"truncate source '$src' must be an integral or string " +
+              s"column — got ${dtOf.map(_.simpleString).getOrElse("?")}")
+          spec.render
         case other => throw new IllegalArgumentException(
-          s"commitlog tables support identity and bucket partitioning — " +
-            s"got $other($src) (derive a GENERATED column, or cluster " +
-            "via OPTIMIZE ZORDER)")
+          s"commitlog tables support identity, bucket, days/hours/months/" +
+            s"years and truncate partitioning — got $other($src) (derive " +
+            "a GENERATED column, or cluster via OPTIMIZE ZORDER)")
       }
     }
     partCols.foreach(c => require(

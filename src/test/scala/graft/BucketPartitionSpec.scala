@@ -190,7 +190,11 @@ class BucketPartitionSpec extends SparkSpec {
     }
     intercept[Exception] {
       spark.sql("CREATE TABLE bkt.db.bad2 (ts TIMESTAMP, v STRING) " +
-        "PARTITIONED BY (days(ts))") // non-bucket transform refused
+        "PARTITIONED BY (foo(ts))") // unknown transform refused
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE bkt.db.bad3 (ts TIMESTAMP, v STRING) " +
+        "PARTITIONED BY (days(v))") // time transform over a string
     }
   }
 }

@@ -4541,6 +4541,106 @@ object Sources {
         ("range_prunes", flag(planned(range) < planned(om) &&
           planned(window) < planned(om)))
       ).toDF("leg", "n").orderBy("leg")
+    },
+
+    // S80 (SURVEY S83): COUNT(DISTINCT partition-col) from tuple
+    // tokens — a token IS the single value of every row in its batch,
+    // so the distinct non-null tokens of the live set are EXACTLY the
+    // column's distinct values: zero data reads, global and grouped
+    // (`meta_only` pins the CommitLogAggScan plan), NULL partitions
+    // correctly not counted. DuckDB recomputes from the raw rows.
+    Decl(
+      "s80_count_distinct",
+      s"""WITH t AS (
+         |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |         ELSE CAST(o_orderkey % 5 AS INT) END AS shard
+         |  FROM orders)
+         |SELECT pri AS grp,
+         |  CAST(count(DISTINCT shard) AS BIGINT) AS nd,
+         |  CAST(1 AS INT) AS meta_only
+         |FROM t GROUP BY pri
+         |UNION ALL
+         |SELECT '*', CAST(count(DISTINCT shard) AS BIGINT), 1 FROM t
+         |ORDER BY grp""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val wh = ioDir("s80_wh")
+      Qh.deleteRecursively(new java.io.File(wh))
+      s.conf.set("spark.sql.catalog.gt80", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gt80.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gt80.db")
+      s.sql("CREATE TABLE gt80.db.cd (k BIGINT, pri STRING, shard INT) " +
+        "PARTITIONED BY (pri, shard)")
+      s.sql("INSERT INTO gt80.db.cd SELECT o_orderkey, o_orderpriority, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL " +
+        "ELSE CAST(o_orderkey % 5 AS INT) END " +
+        s"FROM parquet.`$dir/orders.parquet`")
+      val grouped = s.sql("SELECT pri AS grp, count(DISTINCT shard) AS nd " +
+        "FROM gt80.db.cd GROUP BY pri")
+      val global = s.sql(
+        "SELECT count(DISTINCT shard) AS nd FROM gt80.db.cd")
+      def scans(df: org.apache.spark.sql.DataFrame) =
+        Qh.flattenPlan(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+        }
+      val all = scans(grouped) ++ scans(global)
+      val metaOnly =
+        if (all.nonEmpty && all.forall(
+            _.scan.isInstanceOf[graft.sources.CommitLogAggScan])) 1 else 0
+      grouped
+        .unionAll(global.select(lit("*").as("grp"), $"nd"))
+        .select($"grp", $"nd", lit(metaOnly).as("meta_only"))
+        .orderBy("grp")
+    },
+
+    // S81 (SURVEY S84): AUTO-COMPACTION — a table opting in via
+    // `graft.autoCompact.minFiles` packs its small batches inline
+    // after an append once the threshold is reached (dataChange=false
+    // OPTIMIZE commits). The decl pins the ops outcome: 12 micro-
+    // appends land, the live file count stays BOUNDED (`bounded`),
+    // the history shows OPTIMIZE maintenance (`maintained`), and the
+    // content is byte-identical to the oracle's plain union.
+    Decl(
+      "s81_auto_compact",
+      s"""WITH t AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+         |           WHERE o_orderkey > 0 AND o_orderkey <= 1200)
+         |SELECT 'bounded' AS leg, CAST(1 AS BIGINT) AS n
+         |UNION ALL SELECT 'maintained', CAST(1 AS BIGINT)
+         |UNION ALL SELECT 'n_rows', CAST(count(*) AS BIGINT) FROM t
+         |UNION ALL SELECT 'sum_k', CAST(sum(k) AS BIGINT) FROM t
+         |ORDER BY leg""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CommitLog, CommitLogWrite}
+      val root = ioDir("s81_tbl")
+      Qh.deleteRecursively(new java.io.File(root))
+      val src = Qh.t(s, dir, "orders")
+        .filter($"o_orderkey" > 0 && $"o_orderkey" <= 1200)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("p"))
+      // 12 micro-appends of ~100 keys each
+      (0 until 12).foreach { i =>
+        src.filter($"k" > i * 100 && $"k" <= (i + 1) * 100)
+          .repartition(1)
+          .write.format("commitlog").option("path", root)
+          .mode("append").save()
+        if (i == 0)
+          CommitLog.commit(root, CommitLog.latestVersion(root), added = Nil,
+            removed = Nil,
+            props = Map(CommitLogWrite.AutoCompactMinFilesProp -> Some("4")),
+            op = Some("SET TBLPROPERTIES"))
+      }
+      val live = CommitLog.files(root, CommitLog.latestVersion(root))
+      val bounded = if (live.size < 12) 1L else 0L
+      val maintained =
+        if (CommitLog.history(root).exists(_.operation.contains("OPTIMIZE")))
+          1L
+        else 0L
+      val t = s.read.format("commitlog").option("path", root).load()
+      Seq(
+        ("bounded", bounded),
+        ("maintained", maintained),
+        ("n_rows", t.count()),
+        ("sum_k", t.agg(sum($"k")).head().getLong(0))
+      ).toDF("leg", "n").orderBy("leg")
     }
   )
 

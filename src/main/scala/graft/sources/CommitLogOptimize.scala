@@ -53,8 +53,10 @@ object CommitLogOptimize {
     * candidate first; the staged pack is cleaned up before rethrow. */
   def optimize(
       spark: SparkSession, root: String,
-      smallBytes: Long, targetPartitions: Int = 1): OptimizeResult = {
-    require(smallBytes > 0L && targetPartitions >= 1)
+      smallBytes: Long, targetPartitions: Int = 1,
+      minGroup: Int = 2,
+      tupleScope: Option[Set[Map[String, String]]] = None): OptimizeResult = {
+    require(smallBytes > 0L && targetPartitions >= 1 && minGroup >= 2)
     val readVersion = CommitLog.latestVersion(root)
     val live = CommitLog.files(root, readVersion)
     CommitLogSource.requireNoDv(live, s"optimize of $root")
@@ -63,8 +65,13 @@ object CommitLogOptimize {
       CommitLogSource.batchBytes(root, b) < smallBytes)
     if (CommitLog.partColsOf(root, readVersion).nonEmpty) {
       val parts = CommitLog.partsOf(root, readVersion)
+      // tupleScope bounds maintenance to the named tuples (the
+      // auto-compact hook passes the write's OWN tuples, so one hot
+      // partition's backlog never schedules table-wide work)
       val groups = allSmalls.groupBy(b => parts.get(b))
-        .values.filter(_.size >= 2).toSeq.sortBy(_.head)
+        .filter { case (t, _) =>
+          tupleScope.forall(sc => t.exists(sc.contains)) }
+        .values.filter(_.size >= minGroup).toSeq.sortBy(_.head)
       if (groups.isEmpty) return OptimizeResult(readVersion, None, Nil)
       // one pack per tuple group, all published in ONE layout-only
       // commit (partial maintenance must not half-publish)
@@ -106,7 +113,7 @@ object CommitLogOptimize {
     val rootP = new Path(root)
     val fs = FileSystem.get(rootP.toUri, spark.sessionState.newHadoopConf())
     val smalls = allSmalls
-    if (smalls.size < 2) return OptimizeResult(readVersion, None, Nil)
+    if (smalls.size < minGroup) return OptimizeResult(readVersion, None, Nil)
 
     val (packed, packStats, packBlooms, _) =
       packOne(spark, root, readVersion, smalls, None, targetPartitions)

@@ -1310,6 +1310,14 @@ class CommitLogScanBuilder(
     case class CountOf(c: String) extends Fn
     case class SumOf(c: String) extends Fn
     case class AvgOf(c: String) extends Fn
+    case class CountDistinctOf(c: String) extends Fn
+    // COUNT(DISTINCT c) is exact from IDENTITY tuple tokens: a token
+    // is THE value of every row in its batch, so the distinct non-null
+    // tokens of the group's batches are exactly the distinct values
+    // (bucket/monotone tokens are transform images — never eligible,
+    // and tupleOf keys them under their spec names, not `c`)
+    def tokenCovered(c: String): Boolean =
+      live.forall(b => tupleOf(b).exists(_.contains(c)))
     // SUM/AVG are integral-only: that is where the writer records the
     // exact sum facet (S79) — float/double sums are order-dependent
     // and would not reproduce Spark's own fold anyway
@@ -1324,6 +1332,8 @@ class CommitLogScanBuilder(
       // COUNT(col) = rows − nulls, answerable since r15 from the
       // per-column null counts the sink records with every box
       case c: Count if !c.isDistinct => colOf(c.column).map(CountOf)
+      case c: Count if c.isDistinct =>
+        colOf(c.column).filter(tokenCovered).map(CountDistinctOf)
       case s: Sum if !s.isDistinct =>
         colOf(s.column).filter(integral).map(SumOf)
       case a: Avg if !a.isDistinct =>
@@ -1391,6 +1401,12 @@ class CommitLogScanBuilder(
           .map(snap.rows(b) - _))
         if (parts.exists(_.isEmpty)) None
         else Some(Long.box(parts.flatten.sum))
+      case CountDistinctOf(c) =>
+        // tokenCovered gated eligibility over the WHOLE live set, so
+        // every batch here has a token; null tokens are all-null
+        // batches and contribute no value
+        Some(Long.box(batches.flatMap(b => tupleOf(b).flatMap(_.get(c)))
+          .flatMap(CommitLog.partValue).distinct.size.toLong))
       case SumOf(c) => sumAndCount(batches, c).map {
         case (_, 0L) => null // SUM over no values is NULL
         case (s, _) => Long.box(s)
@@ -1447,6 +1463,8 @@ class CommitLogScanBuilder(
       case MaxOf(c) =>
         StructField(s"max($c)", dtOf(c).getOrElse(return None), nullable = true)
       case CountOf(c) => StructField(s"count($c)", LongType, nullable = false)
+      case CountDistinctOf(c) =>
+        StructField(s"count(DISTINCT $c)", LongType, nullable = false)
       // Spark's SUM over any integral input widens to bigint; AVG to
       // double — the scan's schema must agree positionally
       case SumOf(c) => StructField(s"sum($c)", LongType, nullable = true)

@@ -853,6 +853,44 @@ object CommitLogWrite {
     * moves each tuple's visible files into its own batch directory
     * (all invisible until the single manifest lists them). Returns
     * false when the unit of work was already committed. */
+  /** AUTO-COMPACTION (SURVEY S84): after a successful append publish,
+    * if the table opts in (`graft.autoCompact.minFiles` = N ≥ 2) and
+    * the live set holds ≥ N small batches (< `graft.autoCompact
+    * .smallBytes`, default 32 MiB) — scoped to the WRITE'S OWN tuples
+    * on a partitioned table — run one bounded OPTIMIZE pack inline as
+    * a `dataChange=false` commit. Why at the sink: streaming epochs
+    * and micro-appends mint one batch per commit, and at 100 TB an
+    * unmaintained ingest table decays into millions of manifest
+    * entries and tiny files that tax every scan; the threshold
+    * amortizes the pack (one rewrite per N appends, each byte moving
+    * ≤ 1/N-th as often as it lands). BEST-EFFORT by design: a rival's
+    * concurrent rewrite, an outstanding DV, or any failure abandons
+    * the attempt silently — the append itself already committed, and
+    * maintenance must never turn a durable write into an error.
+    * Sorted writes are exempt (their one-batch-per-file layout IS the
+    * point — packing would merge the disjoint boxes). */
+  private[sources] def maybeAutoCompact(
+      root: String, touched: Option[Set[Map[String, String]]]): Unit = {
+    val v = CommitLog.latestVersion(root)
+    val props = CommitLog.tblPropsOf(root, v)
+    val minFiles = props.get(AutoCompactMinFilesProp).flatMap(s =>
+      try Some(s.toInt) catch { case _: NumberFormatException => None })
+      .filter(_ >= 2)
+    if (minFiles.isEmpty) return
+    val smallBytes = props.get(AutoCompactSmallBytesProp).flatMap(s =>
+      try Some(s.toLong) catch { case _: NumberFormatException => None })
+      .filter(_ > 0L).getOrElse(32L << 20)
+    try {
+      CommitLogOptimize.optimize(SparkSession.active, root, smallBytes,
+        minGroup = minFiles.get,
+        tupleScope = touched.filter(_ => CommitLog.partColsOf(root, v).nonEmpty))
+      ()
+    } catch { case _: Exception => () } // maintenance never fails a write
+  }
+
+  val AutoCompactMinFilesProp = "graft.autoCompact.minFiles"
+  val AutoCompactSmallBytesProp = "graft.autoCompact.smallBytes"
+
   def publishPartitioned(
       root: String, stageName: String, batchBase: String,
       messages: Array[WriterCommitMessage], schema: StructType,
@@ -924,6 +962,7 @@ object CommitLogWrite {
         blooms = blooms, parts = parts, partCols = partCols,
         rows = rowCounts,
         props = extraProps, propsExpected = propsExpected)
+      maybeAutoCompact(root, Some(grouped.map(_.tokens).toSet))
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>
@@ -1151,6 +1190,7 @@ object CommitLogWrite {
         blooms = blooms,
         rows = Map(batchName -> msgs.map(_.rows).sum),
         props = extraProps, propsExpected = propsExpected)
+      maybeAutoCompact(root, None)
       true
     } catch {
       case _: CommitLog.TxnAlreadyCommittedException =>

@@ -159,6 +159,33 @@ class CommitLogMetadataSpec extends SparkSpec {
     assert(distinct.collect().map(_.getString(0)).sorted.toSeq == Seq("eu", "us"))
   }
 
+  test("COUNT(DISTINCT partcol) answers exactly from tuple tokens") {
+    spark.sql("CREATE TABLE meta.db.cd (id BIGINT, region STRING, day INT) " +
+      "PARTITIONED BY (region, day)")
+    spark.sql("INSERT INTO meta.db.cd SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'us' WHEN id % 3 = 1 THEN 'eu' ELSE NULL END, " +
+      "CAST(id % 4 AS INT) FROM range(0, 48)")
+    val q = spark.sql("SELECT count(DISTINCT region) AS r, " +
+      "count(DISTINCT day) AS d FROM meta.db.cd")
+    val row = q.head()
+    assert(row.getLong(0) == 2L, "NULL region is not a distinct value")
+    assert(row.getLong(1) == 4L)
+    assert(scanOf(q).forall(_.scan.isInstanceOf[CommitLogAggScan]),
+      s"token-covered COUNT DISTINCT must be metadata-only:\n" +
+        q.queryExecution.executedPlan)
+    // grouped: distinct days per region — tokens within each group
+    val g = spark.sql("SELECT region, count(DISTINCT day) AS d " +
+      "FROM meta.db.cd GROUP BY region")
+    assert(scanOf(g).forall(_.scan.isInstanceOf[CommitLogAggScan]))
+    val rows = g.collect().map(r =>
+      (Option(r.getString(0)).getOrElse("-"), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("-", 4L), ("eu", 4L), ("us", 4L)), rows.mkString(","))
+    // a non-token column declines (correct answer, ordinary scan)
+    val miss = spark.sql("SELECT count(DISTINCT id) AS n FROM meta.db.cd")
+    assert(miss.head().getLong(0) == 48L)
+    assert(scanOf(miss).forall(_.scan.isInstanceOf[CommitLogScan]))
+  }
+
   test("outstanding deletion vectors or uncounted batches decline the metadata path") {
     val root = tmp()
     (1 to 30).map(i => (i.toLong, s"u$i")).toDF("id", "user")

@@ -557,6 +557,58 @@ object Dedup {
         .orderBy("new_doc", "corpus_doc")
     },
 
+    // L2b4 / S85: STREAMING near-dup ADMISSION — the ingestion-time
+    // form of LSH dedup as ONE stateful operator
+    // (Streams.lshAdmit: flatMapGroupsWithState keyed by band bucket,
+    // state = the bucket's signature index; per-doc work ∝ bucket
+    // occupancy, never corpus size). flatMapGroupsWithState executes
+    // in BOTH modes, so this decl runs the SAME function as a batch
+    // (each bucket in one invocation, doc_id order = arrival order)
+    // while StreamingDedupSpec drives it incrementally over
+    // MemoryStream epochs with state carrying the index across
+    // micro-batches. Semantics are order-independent at the doc-set
+    // level — dup(d) ⇔ some smaller doc shares a band with signature
+    // agreement ≥ 6/8 — which is exactly the closed form the oracle
+    // states.
+    Decl(
+      "l2_stream_dedup",
+      s"""WITH $oSigs,
+         |bands AS (
+         |  SELECT doc_id, band_id,
+         |    CASE band_id WHEN 0 THEN concat(sig0, '_', sig1)
+         |                 WHEN 1 THEN concat(sig2, '_', sig3)
+         |                 WHEN 2 THEN concat(sig4, '_', sig5)
+         |                 ELSE concat(sig6, '_', sig7) END AS band_key
+         |  FROM sigs, (SELECT unnest(range(4)) AS band_id)),
+         |hits AS (
+         |  SELECT b.doc_id AS doc_id, MIN(a.doc_id) AS dup_of
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |      AND a.doc_id < b.doc_id
+         |  JOIN sigs sa ON sa.doc_id = a.doc_id
+         |  JOIN sigs sb ON sb.doc_id = b.doc_id
+         |  WHERE ${(0 until 8).map(i =>
+             s"(CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END)")
+             .mkString(" + ")} >= 6
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, h.dup_of IS NOT NULL AS is_dup, h.dup_of
+         |FROM (SELECT doc_id FROM sigs) d
+         |LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.Streams
+      val sigs = materializedSigs(s, dir)
+      val rows = bandsOf(sigs)
+        .join(sigs.select($"doc_id" +:
+          (0 until 8).map(i => col(s"sig$i")): _*), "doc_id")
+        .select($"doc_id", $"band".as("key"),
+          array((0 until 8).map(i => col(s"sig$i")): _*).as("sigs"))
+        .as[Streams.BandRow]
+      val hits = Streams.lshAdmit(rows, minAgree = 0.75).toDF()
+      Streams.admissionVerdicts(sigs, hits)
+        .orderBy("doc_id")
+    },
+
     // L2b2: connected-components dedup CLUSTERING — the step after pair
     // mining in every production dedup pipeline: near-dup pairs form a
     // graph; each doc keeps the MIN doc_id of its component as the

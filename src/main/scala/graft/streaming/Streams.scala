@@ -470,6 +470,89 @@ object Streams {
     } finally mc.close()
   }
 
+  // ---- T16 / L2-streaming: LSH near-dup admission filter ----
+
+  /** One (doc, band) row entering the streaming index: `key` is the
+    * banded signature bucket, `sigs` the doc's FULL minhash signature
+    * (carried so candidate agreement is checked in-state, without a
+    * side lookup). */
+  final case class BandRow(doc_id: Long, key: String, sigs: Seq[Long])
+  /** A flagged near-duplicate: `doc_id` collided with earlier
+    * `dup_of` in some band and their signatures agree ≥ the floor. */
+  final case class BandHit(doc_id: Long, key: String, dup_of: Long,
+      agree: Double)
+  final case class BandIndexState(docs: Seq[(Long, Seq[Long])])
+
+  /** STREAMING NEAR-DUP ADMISSION (SURVEY S85): the L2 MinHash/LSH
+    * dedup family's ingestion leg as ONE incremental operator. Each
+    * arriving document is banded (outside, the same banding the batch
+    * decls use); this operator keys the stream by band bucket and
+    * keeps the bucket's signature index in Spark state. A new doc is
+    * checked against the earlier signatures of ITS OWN buckets — work
+    * per doc ∝ bucket occupancy, never corpus size — and emits a
+    * [[BandHit]] per matched band; every signature is admitted to the
+    * index (flagging is informational: production records all and
+    * canonicalizes downstream, which also keeps the semantics
+    * ORDER-INDEPENDENT at the doc-set level — dup(d) ⇔ some smaller
+    * doc collides with agreement ≥ `minAgree`, exactly the closed-form
+    * the DuckDB oracle states).
+    *
+    * Batch/stream unification: flatMapGroupsWithState executes in
+    * BOTH modes — the `l2_stream_dedup` decl runs it as one batch
+    * (each bucket's rows in one invocation, sorted by doc_id so
+    * "earlier" is well-defined); StreamingDedupSpec drives the SAME
+    * function incrementally over MemoryStream epochs, where state
+    * carries the corpus index across micro-batches. At 100 TB the
+    * state store is the RocksDB-backed inverted LSH index, sized by
+    * distinct buckets × occupancy — the same asymptotics as the
+    * persisted band table the batch path joins against. */
+  def lshAdmit(rows: Dataset[BandRow], minAgree: Double = 0.75)
+      : Dataset[BandHit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[BandIndexState, BandHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[BandRow], st: GroupState[BandIndexState]) =>
+          var seen = st.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[BandHit]
+          // deterministic "earlier": by doc_id within the invocation
+          // (one epoch, or the whole input in batch execution)
+          it.toSeq.sortBy(_.doc_id).foreach { r =>
+            val matches = seen.iterator
+              .filter(_._1 != r.doc_id)
+              .map { case (d, s) =>
+                val n = math.min(s.length, r.sigs.length)
+                val eq = (0 until n).count(i => s(i) == r.sigs(i))
+                (d, if (n == 0) 0.0 else eq.toDouble / n)
+              }
+              .filter(_._2 >= minAgree)
+              .toSeq
+            if (matches.nonEmpty) {
+              val best = matches.minBy(_._1)
+              out += BandHit(r.doc_id, key, best._1, best._2)
+            }
+            if (!seen.exists(_._1 == r.doc_id))
+              seen = seen :+ ((r.doc_id, r.sigs))
+          }
+          st.update(BandIndexState(seen))
+          out.result().iterator
+      }
+  }
+
+  /** Doc-level admission verdicts from [[lshAdmit]]'s band hits: a doc
+    * is a duplicate iff ANY band flagged it; `dup_of` is the smallest
+    * matched earlier doc. Plain (non-stateful) relational algebra —
+    * runs over the hits sink in batch, or inside the same streaming
+    * query when the consumer wants per-epoch verdicts. */
+  def admissionVerdicts(allDocs: DataFrame, hits: DataFrame): DataFrame = {
+    val agg = hits.groupBy(col("doc_id"))
+      .agg(min(col("dup_of")).as("dup_of"))
+    allDocs.select(col("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+  }
+
   /** Idempotent DDL for the sink's two guards: the (batch_id, event_id)
     * unique index that makes straggler duplicate commits fail, and the
     * commit-marker table that gives readers whole-batch visibility.

@@ -385,6 +385,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       graft.queries.Graph.edgeTableByDst(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // The LSH band table is the same class of one-time declared
+      // storage layout (bucketed + sorted on the band key, maintained
+      // by a warehouse at ingest): without this, whichever l2_* decl
+      // the alphabet put first (l2_cc_star) absorbed the whole build
+      // in its first reading — the exact measurement artifact the r16
+      // graph pre-build closed for l13_bfs (r16 optimization round).
+      graft.queries.Dedup.bandTableDf(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
   /** Locale.ROOT: a comma-decimal default locale would emit 1,234 and

@@ -319,6 +319,8 @@ object GraftFunctions {
     "l2_sq" -> ((args: Seq[Expression]) => L2Sq(args(0), args(1))),
     "l2_sq_at" -> ((args: Seq[Expression]) => L2SqAt(args(0), args(1), args(2))),
     "bin_word32" -> ((args: Seq[Expression]) => BinWord32(args(0), args(1))),
+    "intersect_count" -> ((args: Seq[Expression]) =>
+      IntersectCount(args(0), args(1))),
     "md5_prefix32" -> ((args: Seq[Expression]) =>
       Md5Prefix32(args(0), litSeed(args(1), "md5_prefix32"))),
     "md5_words32" -> ((args: Seq[Expression]) =>

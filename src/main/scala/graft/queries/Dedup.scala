@@ -194,15 +194,24 @@ object Dedup {
   def ccUntil(edges0: org.apache.spark.sql.DataFrame, maxRounds: Int = 30)
       : (org.apache.spark.sql.DataFrame, Int) = {
     var edges = Qh.materialize(edges0)
+    // the fixpoint test is EXACT but staged cheap-first (r16): both
+    // frames are distinct edge SETS, so |ss| == |edges| plus ss ⊆ edges
+    // is set equality — a round that changed the edge count (the common
+    // case while contracting) pays two O(1)-ish counts on materialized
+    // frames and SKIPS the anti-join entirely; only a count-stable
+    // round runs ONE except (the old form ran two both ways each round)
+    var nEdges = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val ls = Qh.materialize(largeStar(edges))
       val ss = Qh.materialize(smallStar(ls))
       Qh.release(ls)
-      converged = ss.except(edges).isEmpty && edges.except(ss).isEmpty
+      val nSs = ss.count()
+      converged = nSs == nEdges && ss.except(edges).isEmpty
       Qh.release(edges) // fixpoint check was its last reader
       edges = ss
+      nEdges = nSs
       rounds += 1
     }
     (edges, rounds)
@@ -240,8 +249,11 @@ object Dedup {
       s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // tSpread: the shingle + 2×md5-per-shingle pipeline is the L2
+    // family's dominant map-side cost and ran entirely on the
+    // single-row-group scan task (r16 profile: 0.6 s serial per query)
     Qh.materialize(
-      withShingles(Qh.t(s, dir, "documents"))
+      withShingles(Qh.tSpread(s, dir, "documents"))
         .select($"doc_id" +: $"shingles" +:
           (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
   }
@@ -294,7 +306,7 @@ object Dedup {
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Qh.bucketedTable(s, "lsh_bands", dir, 32, Seq("band"))(
-      bandsOf(withShingles(Qh.t(s, dir, "documents"))
+      bandsOf(withShingles(Qh.tSpread(s, dir, "documents"))
         .select($"doc_id" +:
           (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*)))
   }
@@ -308,7 +320,7 @@ object Dedup {
     val cand = bandCandidates(s, dir)
     val sa = sigs.select($"doc_id".as("doc_a"), $"shingles".as("sh_a"))
     val sb = sigs.select($"doc_id".as("doc_b"), $"shingles".as("sh_b"))
-    val ni = size(array_intersect($"sh_a", $"sh_b"))
+    val ni = call_function("intersect_count", $"sh_a", $"sh_b")
     val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select($"doc_a", $"doc_b", jac.as("jaccard"))
@@ -323,7 +335,9 @@ object Dedup {
   private def simhash32(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val tok = Qh.t(s, dir, "documents")
+    // tSpread: tokenize + per-token md5 otherwise serialize on the
+    // single-row-group scan task (r16)
+    val tok = Qh.tSpread(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(expr(Qh_toks))).as("t"))
       .select($"doc_id", Qh.phash($"t", 0).as("h"))
     val bitSums = (0 until 32).map(b =>
@@ -345,7 +359,8 @@ object Dedup {
   private def simhash64(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val tok = Qh.t(s, dir, "documents")
+    // tSpread: tokenize + 2 md5 per token — see simhash32 (r16)
+    val tok = Qh.tSpread(s, dir, "documents")
       .select($"doc_id", explode(array_distinct(expr(Qh_toks))).as("t"))
       .select($"doc_id", Qh.phash($"t", 0).as("h0"), Qh.phash($"t", 1).as("h1"))
     val bitSums = (0 until 64).map { b =>
@@ -485,7 +500,7 @@ object Dedup {
       val estCol = (0 until 8)
         .map(i => when(col(s"a_sig$i") === col(s"b_sig$i"), 1).otherwise(0))
         .reduce(_ + _).cast(DoubleType) / 8.0
-      val ni = size(array_intersect($"sh_a", $"sh_b"))
+      val ni = call_function("intersect_count", $"sh_a", $"sh_b")
       val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
       cand.join(sa, "doc_a").join(sb, "doc_b")
         .select($"doc_a", $"doc_b", estCol.as("est_jaccard"), jac.as("jaccard"))
@@ -549,7 +564,7 @@ object Dedup {
       // for the doc-store lookup; only matched candidates are read)
       val sb = withShingles(Qh.t(s, dir, "documents").filter($"doc_id" % 10 =!= 0))
         .select($"doc_id".as("corpus_doc"), $"shingles".as("sh_b"))
-      val ni = size(array_intersect($"sh_a", $"sh_b"))
+      val ni = call_function("intersect_count", $"sh_a", $"sh_b")
       val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
       cand.join(sa, "new_doc").join(sb, "corpus_doc")
         .select($"new_doc", $"corpus_doc", jac.as("jaccard"))
@@ -632,6 +647,15 @@ object Dedup {
           .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
       var labels = Qh.materialize(
         Qh.t(s, dir, "documents").select($"doc_id".as("v"), $"doc_id".as("l")))
+      // fixpoint scalar (r16): per-node labels are MONOTONE
+      // NON-INCREASING under min-propagation and the node set is fixed
+      // (every doc seeds its own label; prop targets are existing
+      // nodes), so Σl unchanged ⟺ no label changed — the same
+      // two-scalar discipline as Graph.bfsUntil, replacing the
+      // per-round diff join + isEmpty action with one tiny agg
+      def sig(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum($"l")).head.getLong(0)
+      var labelSum = sig(labels)
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
@@ -639,10 +663,11 @@ object Dedup {
           .select($"dst".as("v"), $"l")
         val next = Qh.materialize(
           labels.union(prop).groupBy($"v").agg(min($"l").as("l")))
-        converged = next.as("n").join(labels.as("o"), $"n.v" === $"o.v")
-          .filter($"n.l" < $"o.l").isEmpty
+        val nextSum = sig(next)
+        converged = nextSum == labelSum
         Qh.release(labels) // convergence check was its last reader
         labels = next
+        labelSum = nextSum
         rounds += 1
       }
       labels.select($"v".as("doc_id"), $"l".as("component"),
@@ -934,7 +959,9 @@ object Dedup {
       // it is an O(1) byte slice, so the code is read via
       // hex(substring(binary)). Identical values on ASCII text, which is
       // the packing the oracle states with ascii(text[i]) arithmetic.
-      val gramRows = Qh.t(s, dir, "documents")
+      // tSpread: the per-position gram-code explode is the map-heavy
+      // first stage and ran on the single-row-group scan task (r16)
+      val gramRows = Qh.tSpread(s, dir, "documents")
         .filter(length($"text") >= 4)
         .select($"doc_id", $"lang", $"source",
           $"text".cast(BinaryType).as("bin"),
@@ -970,7 +997,7 @@ object Dedup {
         .distinct()
       val ga = docG.select($"doc_id".as("doc_a"), $"grams".as("g_a"), $"n".as("na"))
       val gb = docG.select($"doc_id".as("doc_b"), $"grams".as("g_b"), $"n".as("nb"))
-      val ni = size(array_intersect($"g_a", $"g_b"))
+      val ni = call_function("intersect_count", $"g_a", $"g_b")
       val jac = ni.cast(DoubleType) / ($"na" + $"nb" - ni)
       cand.join(ga, "doc_a").join(gb, "doc_b")
         .select($"doc_a", $"doc_b", jac.as("jaccard4"))

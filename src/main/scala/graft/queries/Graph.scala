@@ -176,15 +176,26 @@ object Graph {
     Decl("l13_pagerank", oSql) { (s, dir) =>
       import s.implicits._
       val e = edgeTable(s, dir)
-      // nodes derive from the bucketed scan — the distinct's partial
-      // agg runs per-bucket with no preceding shuffle
-      val nodes = e.select($"src".as("node")).distinct()
+      // nodes derive from the bucketed scan (the distinct's partial agg
+      // runs per-bucket with no preceding shuffle) — and BECAUSE there
+      // is no exchange under it, Spark has nothing to reuse across its
+      // three consumers (r0 + one join per unrolled round): without
+      // materialization each reference re-ran the scan+distinct (r16
+      // profile). One nodes-sized materialization serves all three —
+      // the pageRankUntil discipline applied to the decl.
+      val nodes = Qh.materialize(e.select($"src".as("node")).distinct())
       // n and the teleport base are model-sized scalars; Scala Long
       // division on positives == DuckDB's floor `//`
       val n = nodes.count()
       val base = (S * 15) / (100 * n)
       var r = nodes.select($"node", lit(S / n).as("r"))
-      for (_ <- 1 to 2) r = iterate(e, nodes, r, base)
+      // materialize the INTERMEDIATE frontier only (round 1): round 2's
+      // two references to r1 otherwise re-execute the whole round-1
+      // dataflow (no exchange under the bucketed join → no reuse). The
+      // final round stays lazy so the decl's plan keeps the pinned
+      // bucketed-join shape end to end.
+      r = Qh.materialize(iterate(e, nodes, r, base))
+      r = iterate(e, nodes, r, base)
       r.orderBy("node")
     },
 
@@ -225,11 +236,16 @@ object Graph {
         .agg(count(lit(1)).as("deg"))
       var e = e0
       var alive = degrees(e).filter($"deg" >= 6).select($"node")
-      for (_ <- 1 to 2) {
+      for (round <- 1 to 2) {
         val al = Qh.materialize(alive)
         e = e
           .join(al.select($"node".as("u")), Seq("u"), "left_semi")
           .join(al.select($"node".as("v")), Seq("v"), "left_semi")
+        // degrees(e) references e twice (u ∪ v legs) and the next round
+        // references it again — materialize the INTERMEDIATE round's
+        // edge set so the final plan re-executes none of round 1
+        // (final round lazy, same discipline as the other l13 decls)
+        if (round == 1) e = Qh.materialize(e)
         alive = degrees(e).filter($"deg" >= 6).select($"node")
       }
       degrees(e)
@@ -260,12 +276,15 @@ object Graph {
       val eDst = edgeTableByDst(s, dir)
       val nodes = eSrc.select($"src".as("node")).distinct()
       var h = nodes.select($"node", lit(HitsS).as("h"))
-      var a = h // placeholder; assigned in round 1
-      for (_ <- 1 to 2) {
-        val (h2, a2) = hitsRound(eSrc, eDst, h)
-        h = h2; a = a2
-      }
-      h.join(a, Seq("node"))
+      // round 1 materialized: round 2 references h1 through BOTH of its
+      // half-steps, and with no exchange under the bucketed edge joins
+      // Spark re-executed the entire round-1 dataflow per reference
+      // (r16 profile: ~50 s of task time for ~1 MB of edges). The final
+      // round stays lazy so the decl's plan keeps both pinned adjacency
+      // orientations visible (PlanSpec l13_hits).
+      h = Qh.materialize(hitsRound(eSrc, eDst, h)._1)
+      val (h2, a2) = hitsRound(eSrc, eDst, h)
+      h2.join(a2, Seq("node"))
         .select($"node", $"h".as("hub"), $"a".as("auth"))
         .orderBy("node")
     },
@@ -289,7 +308,12 @@ object Graph {
       val nodes = e.select($"src".as("node")).distinct()
       var d = nodes.filter($"node" % 10 === 0)
         .select($"node", lit(0L).as("dist"))
-      for (_ <- 1 to 2) d = bfsRound(e, d)
+      // round 1 materialized: bfsRound references d twice (relax join +
+      // union), so without a boundary round 2 re-executed round 1's
+      // whole dataflow per reference. Final round lazy — the plan keeps
+      // the pinned bucketed-adjacency relaxation join.
+      d = Qh.materialize(bfsRound(e, d))
+      d = bfsRound(e, d)
       d.orderBy("node")
     }
   )

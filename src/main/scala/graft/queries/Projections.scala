@@ -241,7 +241,9 @@ object Projections {
         .add("parts", ArrayType(new StructType()
           .add("tag", StringType)
           .add("amt", DecimalType(18, 2))))
-      Qh.t(s, dir, "orders")
+      // tSpread: the to_json→from_json round trip is the whole cost and
+      // would otherwise run on the single-row-group scan task (r16)
+      Qh.tSpread(s, dir, "orders")
         .select(to_json(struct(
           $"o_orderkey".as("id"),
           struct($"o_orderstatus".as("st"), $"o_orderpriority".as("pr")).as("meta"),
@@ -518,7 +520,10 @@ object Projections {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       import s.implicits._
-      Qh.t(s, dir, "orders")
+      // tSpread: the try_* projection is evaluated by BOTH the range
+      // sampler and the sort shuffle; on the single-row-group scan task
+      // that serialized the whole query twice over (r16)
+      Qh.tSpread(s, dir, "orders")
         .select(
           $"o_orderkey",
           expr("try_divide(o_totalprice, o_orderkey % 7)").as("safe_div"),

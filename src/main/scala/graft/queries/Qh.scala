@@ -30,6 +30,34 @@ object Qh {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables(spark, dir, name)
 
+  /** A fixture table with its scan parallelism FLOORED at the session's
+    * core count (r16 optimization, guide §2.5 "one huge unsplittable
+    * file" remedy): the bench fixtures are single-row-group parquet
+    * files, so Spark's scan emits every row from ONE task and any
+    * CPU-dense pipeline sitting on the scan (shingle+md5 signatures,
+    * per-position gram codes, JSON/try_* projections) serializes on one
+    * core regardless of cluster size. When — and only when — the
+    * table's bytes could not fill half the cores with default-sized
+    * splits, a round-robin repartition to the default parallelism is
+    * inserted after the scan: the serial part shrinks to scan +
+    * shuffle-write of the raw bytes and the expensive compute lands on
+    * every core. On a production-sized input (bytes ≫ cores ×
+    * maxPartitionBytes) the guard makes this a NO-OP — the scan already
+    * parallelizes and no extra exchange is paid; the decision derives
+    * from input size and session parallelism, never a local constant. */
+  def tSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = t(spark, dir, name)
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      else f.length()
+    val bytes = sizeOf(new java.io.File(s"$dir/$name.parquet"))
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes < maxSplit * (target.toLong max 2L) / 2) df.repartition(target)
+    else df
+  }
+
   /** Scratch directory for decls that exercise a write→read loop
     * (s4/s6/s7/s8/s9/s10/s11, l3_ann_trained). One shared convention so
     * every IO decl gets the same uniqueness/cleanup behavior: the path

@@ -1170,14 +1170,16 @@ object Sources {
       CommitLogOptimize.optimize(s, root, smallBytes = 1L << 30)
       val nAfter = CommitLog.files(root, CommitLog.latestVersion(root)).size
       val sink = s"s26_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = s.readStream.format("commitlog").option("path", root).load()
-        .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("complete")
-        .start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStatePartitions(s) {
+        val q = s.readStream.format("commitlog").option("path", root).load()
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"o_totalprice").as("total"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete")
+          .start()
+        q.awaitTermination()
+      }
       s.table(sink)
         .select(lit(nBefore.toLong).as("n_before"),
           lit(nAfter.toLong).as("n_after"), $"n", $"total")
@@ -1398,16 +1400,18 @@ object Sources {
           .select($"k", $"p", lit("D").as("_op")))
       CommitLogMerge.merge(s, root, src, keyCols = Seq("k"), changeFeed = true)
       val sink = s"s30_out_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = s.readStream.format("commitlog")
-        .option("path", root).option("readChangeFeed", true).load()
-        .groupBy(col(graft.sources.CommitLogCdf.ChangeTypeCol).as("change_type"))
-        .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("complete")
-        .start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStatePartitions(s) {
+        val q = s.readStream.format("commitlog")
+          .option("path", root).option("readChangeFeed", true).load()
+          .groupBy(col(graft.sources.CommitLogCdf.ChangeTypeCol).as("change_type"))
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"p").as("total"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("complete")
+          .start()
+        q.awaitTermination()
+      }
       s.table(sink).orderBy("change_type")
     },
 
@@ -3714,17 +3718,19 @@ object Sources {
           srcDir.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
       }
       val schema = s.read.parquet(path).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-        .filter($"event_id" % 4 === 0)
-        .select($"event_id", $"event_type", $"user_id")
-        .writeStream.format("commitlog")
-        .option("path", root).option("rowTracking", "true")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
+      graft.streaming.Streams.withStatePartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .filter($"event_id" % 4 === 0)
+          .select($"event_id", $"event_type", $"user_id")
+          .writeStream.format("commitlog")
+          .option("path", root).option("rowTracking", "true")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append")
+          .start()
+        q.awaitTermination()
+      }
       s.read.format("commitlog").option("path", root).load()
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),

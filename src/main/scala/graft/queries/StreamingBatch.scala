@@ -275,17 +275,19 @@ object StreamingBatch {
         .select($"value")
         .write.mode(SaveMode.Overwrite).text(land)
       val sink = s"t13_out_$run"
-      val q = s.readStream.format("graft.sources.EnvelopeSource")
-        .option("path", land).load()
-        .filter($"event_type" =!= "signup")
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("complete")
-        .start()
-      q.awaitTermination()
+      Streams.withStatePartitions(s) {
+        val q = s.readStream.format("graft.sources.EnvelopeSource")
+          .option("path", land).load()
+          .filter($"event_type" =!= "signup")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .start()
+        q.awaitTermination()
+      }
       s.table(sink).orderBy("event_type")
     },
 
@@ -332,19 +334,22 @@ object StreamingBatch {
       stage("b4", 2)
       CommitLog.commit(root, c3.version, added = Seq("b4"))
       val sink = s"t14_out_$run"
-      val q = s.readStream.format("commitlog")
-        .option("path", root)
-        .option("ignoreDeletes", true)
-        .option("maxVersionsPerTrigger", 1)
-        .load()
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("complete")
-        .start()
-      q.awaitTermination()
+      val q = Streams.withStatePartitions(s) {
+        val q0 = s.readStream.format("commitlog")
+          .option("path", root)
+          .option("ignoreDeletes", true)
+          .option("maxVersionsPerTrigger", 1)
+          .load()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("complete")
+          .start()
+        q0.awaitTermination()
+        q0
+      }
       val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
       s.table(sink)
         .select(lit(nonEmpty.toLong).as("n_batches"),
@@ -390,17 +395,19 @@ object StreamingBatch {
           srcDir.resolve(s"events_$i.parquet"), java.nio.file.Paths.get(path))
       }
       val schema = s.read.parquet(path).schema
-      val q = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
-        .filter($"event_id" % 4 === 0)
-        .select($"event_id", $"event_type", $"user_id", $"value")
-        .writeStream.format("commitlog")
-        .option("path", root)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
+      Streams.withStatePartitions(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+          .filter($"event_id" % 4 === 0)
+          .select($"event_id", $"event_type", $"user_id", $"value")
+          .writeStream.format("commitlog")
+          .option("path", root)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .start()
+        q.awaitTermination()
+      }
       s.read.format("commitlog").option("path", root).load()
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
@@ -435,17 +442,19 @@ object StreamingBatch {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
       val schema = s.read.parquet(path).schema
-      val q = s.readStream.schema(schema).parquet(srcDir.toString)
-        .filter($"event_id" % 5 === 0)
-        .select($"event_id", $"event_type", $"user_id", $"value",
-          lit("database").as("source"))
-        .writeStream.format("graft.sources.EnvelopeSource")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
+      Streams.withStatePartitions(s) {
+        val q = s.readStream.schema(schema).parquet(srcDir.toString)
+          .filter($"event_id" % 5 === 0)
+          .select($"event_id", $"event_type", $"user_id", $"value",
+            lit("database").as("source"))
+          .writeStream.format("graft.sources.EnvelopeSource")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .start()
+        q.awaitTermination()
+      }
       s.read.format("graft.sources.EnvelopeSource").option("path", out).load()
         .groupBy($"event_type")
         .agg(
@@ -484,18 +493,20 @@ object StreamingBatch {
       // batch reader (ts arrives as ns-Long under nanosAsLong and is
       // dropped before the sink — the loop under test is id/type/value)
       val schema = s.read.parquet(path).schema
-      val q = s.readStream.schema(schema).parquet(srcDir.toString)
-        .filter($"event_id" % 7 === 0)
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
-          Streams.jdbcForeachBatchWriter(url, "t8_sink", props)(df, id)
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .outputMode("append")
-        .start()
-      q.awaitTermination()
+      Streams.withStatePartitions(s) {
+        val q = s.readStream.schema(schema).parquet(srcDir.toString)
+          .filter($"event_id" % 7 === 0)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            Streams.jdbcForeachBatchWriter(url, "t8_sink", props)(df, id)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .outputMode("append")
+          .start()
+        q.awaitTermination()
+      }
       s.read.jdbc(url, "t8_sink", props)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), Qh.sumd2($"value").as("total_value"))
@@ -539,7 +550,7 @@ object StreamingBatch {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"), java.nio.file.Paths.get(path))
       val schema = s.read.parquet(path).schema
-      def deliver(ckpt: String): Unit = {
+      def deliver(ckpt: String): Unit = Streams.withStatePartitions(s) {
         val q = s.readStream.schema(schema).parquet(srcDir.toString)
           .filter($"event_id" % 5 === 0)
           .select($"event_id", $"user_id", $"value")

@@ -285,6 +285,13 @@ object CommitLogSource {
     active.map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())
   }
 
+  /** Shared read-only Configuration for the row-leg parquet readers
+    * (r16 optimization): the old per-file `new Configuration()` parsed
+    * the Hadoop default XML resources once per opened FILE — pure CPU
+    * overhead on many-small-batch tables. GroupReadSupport only reads
+    * from it, so one instance serves every reader in the JVM. */
+  private[sources] lazy val readerConf: Configuration = new Configuration()
+
   /** Columns the reader SYNTHESIZES per row (metadata + change-feed
     * stamps) — their presence in a read schema forces the row-at-a-time
     * leg. */
@@ -2752,7 +2759,7 @@ class CommitLogPartitionReader(
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(file))
-      .withConf(new Configuration())
+      .withConf(CommitLogSource.readerConf)
       .build()
 
   // per-file name→index map, built from the first record's group type

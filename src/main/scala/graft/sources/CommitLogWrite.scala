@@ -148,19 +148,36 @@ object CommitLogWrite {
     * path `df.write.parquet` uses, so the sink's files carry the exact
     * standard layout (3-level lists, key_value maps, nested groups,
     * micros timestamps) with zero per-row materialization. */
+  /** Per-schema writer Configuration cache (r16 optimization). A bare
+    * `new Configuration()` parses the Hadoop default XML resources —
+    * milliseconds of CPU per call — and the old per-file construction
+    * made partitioned writes (one file per partition tuple, hundreds of
+    * tuples) pay it per FILE: measured ~40% of s79_hidden_partition's
+    * INSERT time. The configured object is schema-keyed (setSchema
+    * writes the schema JSON into the conf) and IMMUTABLE once built —
+    * builders and write-support only read it — so one instance serves
+    * every writer of that schema; the map is bounded by the set of
+    * distinct schemas written in the JVM. */
+  private val writerConfCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.hadoop.conf.Configuration]()
+
   def internalRowWriter(path: Path, schema: StructType)
       : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
     import org.apache.spark.sql.internal.SQLConf
-    val conf = new org.apache.hadoop.conf.Configuration()
-    ParquetWriteSupport.setSchema(schema, conf)
-    // ParquetWriteSupport and SparkToParquetSchemaConverter read these
-    // keys RAW (an unset key would NPE), so every one is pinned: the
-    // non-legacy standard layout, and the readers' declared time unit
-    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
-    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "true")
+    val conf = writerConfCache.computeIfAbsent(schema.json, _ => {
+      val c = new org.apache.hadoop.conf.Configuration()
+      ParquetWriteSupport.setSchema(schema, c)
+      // ParquetWriteSupport and SparkToParquetSchemaConverter read these
+      // keys RAW (an unset key would NPE), so every one is pinned: the
+      // non-legacy standard layout, and the readers' declared time unit
+      c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+      c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+      c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+      c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "true")
+      c
+    })
     // compress like Spark's own writer would (COW rewrites use the
     // session codec): honor spark.sql.parquet.compression.codec, with
     // Spark's default as the fallback for exotic spellings

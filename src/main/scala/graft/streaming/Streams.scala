@@ -23,6 +23,44 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
+  /** Shuffle-partition count for STATEFUL STREAM runs, and the scope
+    * helper that applies it around a streaming query (r16 optimization).
+    *
+    * A stateful micro-batch pays a fixed per-partition cost every epoch
+    * — state store provider init, delta-file write + rename + fsync into
+    * the checkpoint, commit bookkeeping — independent of row volume.
+    * Measured at sf0.1 (Profile, t14): 32 state partitions cost ~2 s of
+    * task time per micro-batch for a 4-group aggregate; 4 partitions cut
+    * the query's wall time in half. Unlike batch shuffles (AQE coalesces
+    * small exchanges at runtime), the state partition count is LOCKED
+    * into the checkpoint at first run and AQE never applies to stateful
+    * operators, so inheriting the batch `spark.sql.shuffle.partitions`
+    * is simply the wrong default for a stream: production guidance is to
+    * size it explicitly for the query's keyspace and throughput.
+    *
+    * Default: min(cores, 8) — enough parallelism for the declared
+    * streams' keyspaces (≤ ~dozens of groups) at any fixture scale while
+    * bounding the fixed per-epoch overhead; a 100 TB deployment sets
+    * `spark.graft.stream.statePartitions` (e.g. to 2-3× cores) in the
+    * session conf, exactly like shuffle.partitions itself. Results are
+    * partition-count-invariant; only the checkpoint layout changes, and
+    * every declared stream builds a fresh checkpoint per run. */
+  def statePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(spark.sparkContext.defaultParallelism, 8))
+
+  /** Run `f` (a streaming query: build → start → awaitTermination) with
+    * `spark.sql.shuffle.partitions` set to [[statePartitions]], restoring
+    * the previous value after. The conf is read at query START, so the
+    * scope needs to cover only the stream's lifetime. */
+  def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, statePartitions(spark).toString)
+    try f finally spark.conf.set(key, saved)
+  }
+
   /** T1: tumbling 10-minute counts per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

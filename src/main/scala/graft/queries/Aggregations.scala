@@ -98,7 +98,7 @@ object Aggregations {
       // BIT-IDENTICAL to the sketch over raw rows — same estimate, no
       // Expand, and at 100 TB the map-side partial dedup means the
       // sketch updates once per distinct pair instead of once per row.
-      Qh.t(s, dir, "events")
+      Qh.tSpread(s, dir, "events")
         .groupBy($"event_type", $"user_id").agg(Map.empty[String, String])
         .groupBy($"event_type")
         .agg(
@@ -275,7 +275,7 @@ object Aggregations {
       val s2 = sum(xd * xd).cast(DoubleType)
       val s1 = sum(xd).cast(DoubleType)
       val n = count(lit(1)).cast(DoubleType)
-      Qh.t(s, dir, "lineitem")
+      Qh.tSpread(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           min($"l_extendedprice").as("min_price"),
@@ -309,7 +309,7 @@ object Aggregations {
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       import s.implicits._
-      Qh.t(s, dir, "lineitem")
+      Qh.tSpread(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           // array form: ONE value buffer / ONE sketch serves both
@@ -382,7 +382,7 @@ object Aggregations {
          |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       import s.implicits._
       val td50 = udaf(graft.functions.TDigestAgg.TDigestQuantile(0.5))
-      Qh.t(s, dir, "lineitem")
+      Qh.tSpread(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           expr("percentile(l_extendedprice, 0.5)").as("_e50"),
@@ -501,7 +501,7 @@ object Aggregations {
           .otherwise(lit(63.0) / (kth.cast(DoubleType) / lit(4294967296.0))))
       // the one corpus-sized shuffle: distinct (lang, 3-shingle hash)
       val dh = Qh.materialize(
-        Qh.t(s, dir, "documents")
+        Qh.tSpread(s, dir, "documents")
           .select($"lang", expr(Qh.toksExpr).as("toks"))
           .filter(size($"toks") >= 3)
           .select($"lang", explode(expr(

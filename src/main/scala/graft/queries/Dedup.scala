@@ -450,7 +450,7 @@ object Dedup {
          |FROM sigs
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      withShingles(Qh.t(s, dir, "documents"))
+      withShingles(Qh.tSpread(s, dir, "documents"))
         .select($"doc_id" +: (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*)
         .orderBy("doc_id")
     },
@@ -550,7 +550,7 @@ object Dedup {
       import s.implicits._
       // the arriving batch: fresh narrow signatures (the ingest path)
       val newSigs = Qh.materialize(
-        withShingles(Qh.t(s, dir, "documents").filter($"doc_id" % 10 === 0))
+        withShingles(Qh.tSpread(s, dir, "documents").filter($"doc_id" % 10 === 0))
           .select($"doc_id" +: $"shingles" +:
             (0 until 8).map(i => expr(sigCol(i)).as(s"sig$i")): _*))
       // the corpus: the PERSISTED band table, filtered — zero recompute
@@ -561,9 +561,16 @@ object Dedup {
         .distinct()
       val sa = newSigs.select($"doc_id".as("new_doc"), $"shingles".as("sh_a"))
       // candidate verification fetches corpus shingles by id (stand-in
-      // for the doc-store lookup; only matched candidates are read)
-      val sb = withShingles(Qh.t(s, dir, "documents").filter($"doc_id" % 10 =!= 0))
-        .select($"doc_id".as("corpus_doc"), $"shingles".as("sh_b"))
+      // for the doc-store lookup; only matched candidates are read).
+      // MATERIALIZED (r16): the jaccard join condition infers an
+      // isnotnull(sh_b) constraint, and on a lazy subtree that filter
+      // is pushed below the projection where it re-derives the whole
+      // shingle pipeline per row (measured 8.8 s serial); the
+      // checkpoint makes it a plain column test.
+      val sb = Qh.materialize(
+        withShingles(Qh.tSpread(s, dir, "documents")
+            .filter($"doc_id" % 10 =!= 0))
+          .select($"doc_id".as("corpus_doc"), $"shingles".as("sh_b")))
       val ni = call_function("intersect_count", $"sh_a", $"sh_b")
       val jac = ni.cast(DoubleType) / (size($"sh_a") + size($"sh_b") - ni)
       cand.join(sa, "new_doc").join(sb, "corpus_doc")
@@ -1324,7 +1331,7 @@ object Dedup {
       |ORDER BY part_a, part_b""".stripMargin) { (s, dir) =>
     import s.implicits._
     val p = Qh
-      .t(s, dir, "part")
+      .tSpread(s, dir, "part")
       .select(
         $"p_partkey", $"p_name", $"p_size",
         substring_index($"p_name", " ", 1).as("tok"))

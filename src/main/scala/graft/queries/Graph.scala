@@ -308,12 +308,12 @@ object Graph {
       val nodes = e.select($"src".as("node")).distinct()
       var d = nodes.filter($"node" % 10 === 0)
         .select($"node", lit(0L).as("dist"))
-      // round 1 materialized: bfsRound references d twice (relax join +
-      // union), so without a boundary round 2 re-executed round 1's
-      // whole dataflow per reference. Final round lazy — the plan keeps
-      // the pinned bucketed-adjacency relaxation join.
-      d = Qh.materialize(bfsRound(e, d))
-      d = bfsRound(e, d)
+      // NOT materialized between rounds (r16: measured — the frontier
+      // is seeds-sized and two unrolled rounds recompute less than one
+      // checkpoint barrier costs, 1.25 s lazy vs 1.8 s materialized;
+      // the convergence-mode loop, bfsUntil, does materialize because
+      // its round count is unbounded)
+      for (_ <- 1 to 2) d = bfsRound(e, d)
       d.orderBy("node")
     }
   )

@@ -3186,7 +3186,7 @@ object Sources {
       import org.apache.spark.sql.types.DecimalType
       val root = ioDir("s57_tbl")
       Qh.deleteRecursively(new java.io.File(root))
-      Qh.t(s, dir, "lineitem")
+      Qh.tSpread(s, dir, "lineitem")
         .select($"l_orderkey",
           // add at precision 31 (no precision-cap truncation in either
           // engine), then widen to the stored 38

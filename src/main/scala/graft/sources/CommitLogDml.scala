@@ -145,7 +145,7 @@ object CommitLogDml {
     val reconciled =
       if (dvs.isEmpty) narrow
       else CommitLogMerge.dvAntiJoin(narrow,
-        spark.read.parquet(
+        spark.read.schema(CommitLogMerge.dvSchema).parquet(
           dvs.map(b => CommitLog.batchPath(root, b)): _*))
     val matched = reconciled.filter(hit)
       .withColumn("_batch", regexp_extract(col("_file"), "^(.*)/[^/]+$", 1))
@@ -173,7 +173,7 @@ object CommitLogDml {
         val vis =
           if (dvs.isEmpty) base
           else CommitLogMerge.dvAntiJoin(base,
-            spark.read.parquet(
+            spark.read.schema(CommitLogMerge.dvSchema).parquet(
               dvs.map(b => CommitLog.batchPath(root, b)): _*))
         vis.drop("_file", "_pos", "_metadata")
       }
@@ -237,7 +237,8 @@ object CommitLogDml {
                 when(hit, applied(c)).otherwise(col(c)).as(c)): _*))
             else touchedFull.filter(!hit)
           val coveredDvs = dvs.filter { dv =>
-            spark.read.parquet(CommitLog.batchPath(root, dv))
+            spark.read.schema(CommitLogMerge.dvSchema)
+              .parquet(CommitLog.batchPath(root, dv))
               .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
               .distinct().collect()
               .map(r => byDir.get(CommitLogMerge.normDir(r.getString(0))))

@@ -93,6 +93,18 @@ object CommitLogMerge {
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "^[A-Za-z][-A-Za-z0-9+.]*:(//[^/]*)?", "")
 
+  /** Deletion-vector file schema — fixed by every DV write site
+    * ((_file, _pos) selects before the parquet write). Passing it to
+    * the internal read-backs skips the per-read footer schema-inference
+    * job (r16: mergeSchemasInParallel showed up in the driver profile
+    * of every DML decl). */
+  private[sources] val dvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_pos",
+        org.apache.spark.sql.types.LongType)))
+
   /** The DV reconcile: base rows (carrying `_file`, `_pos`) minus the
     * DV positions — spelling-normalized on both sides. */
   private[sources] def dvAntiJoin(
@@ -124,7 +136,7 @@ object CommitLogMerge {
   private[sources] def outstandingDvRows(
       spark: SparkSession, root: String, dvs: Seq[String]): Long =
     if (dvs.isEmpty) 0L
-    else spark.read
+    else spark.read.schema(dvSchema)
       .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*).count()
 
   /** Outstanding deletion-vector positions grouped by the
@@ -137,7 +149,7 @@ object CommitLogMerge {
       dvBatches: Seq[String]): Map[String, Array[Long]] =
     if (dvBatches.isEmpty) Map.empty
     else {
-      val df = spark.read
+      val df = spark.read.schema(dvSchema)
         .parquet(dvBatches.map(b => CommitLog.batchPath(root, b)): _*)
       val total = df.count() // footer-only, no data pages
       val cap = dvCap(spark)
@@ -166,7 +178,7 @@ object CommitLogMerge {
     if (dvs.isEmpty) Nil
     else {
       import org.apache.spark.sql.functions.{col, regexp_extract}
-      val refDirsByDv = spark.read
+      val refDirsByDv = spark.read.schema(dvSchema)
         .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*)
         .select(
           regexp_extract(col("_metadata.file_path"), "^(.*)/[^/]+$", 1)
@@ -320,7 +332,7 @@ object CommitLogMerge {
       val reconciled =
         if (dvs.isEmpty) narrowBase
         else dvAntiJoin(narrowBase,
-          spark.read.parquet(
+          spark.read.schema(dvSchema).parquet(
             dvs.map(b => CommitLog.batchPath(root, b)): _*))
       val matched = reconciled
         .join(srcKeyed.select(keyCols.map(col) :+ col(opCol).as("_op"): _*),
@@ -425,7 +437,7 @@ object CommitLogMerge {
             // a DV batch whose every referenced file lives in a removed
             // batch is dead after the rewrite — drop it (compaction)
             val coveredDvs = dvs.filter { dv =>
-              spark.read.parquet(CommitLog.batchPath(root, dv))
+              spark.read.schema(dvSchema).parquet(CommitLog.batchPath(root, dv))
                 .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
                 .distinct().collect()
                 .map(r => byDir.get(normDir(r.getString(0))))
@@ -522,7 +534,7 @@ object CommitLogMerge {
     val visible =
       if (dvs.isEmpty) base
       else dvAntiJoin(base,
-        spark.read.parquet(
+        spark.read.schema(dvSchema).parquet(
           dvs.map(b => CommitLog.batchPath(root, b)): _*))
     visible.drop("_file", "_pos", "_metadata")
   }

@@ -326,7 +326,7 @@ object CommitLogOptimize {
     if (dvs.isEmpty) return PurgeResult(readVersion, Nil, Nil)
     // the batches the vectors actually reference — distinct parent
     // directories of the recorded file paths, batch-count-sized
-    val touchedDirs = spark.read
+    val touchedDirs = spark.read.schema(CommitLogMerge.dvSchema)
       .parquet(dvs.map(b => CommitLog.batchPath(root, b)): _*)
       .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("d"))
       .distinct().collect()
@@ -358,7 +358,12 @@ object CommitLogOptimize {
         // the written rows cannot)
         val rows = CommitLogSource.listParquet(root, purged) match {
           case Nil => 0L
-          case fsq => spark.read.parquet(fsq: _*).count()
+          case fsq =>
+            // known schema: skip the footer schema-inference job
+            val rd = ddl.map(d => spark.read.schema(
+              org.apache.spark.sql.types.StructType.fromDDL(d)))
+              .getOrElse(spark.read)
+            rd.parquet(fsq: _*).count()
         }
         if (rows == 0L && added.nonEmpty) {
           // fully-deleted batch: nothing to restate — drop the empty

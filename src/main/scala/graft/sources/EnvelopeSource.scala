@@ -250,7 +250,7 @@ class EnvelopeDataWriter(path: String, tmpName: String, visibleName: String)
     extends DataWriter[InternalRow] {
   private val tmpPath = new Path(new Path(path), tmpName)
   private val fs = FileSystem.get(
-    tmpPath.toUri, new org.apache.hadoop.conf.Configuration())
+    tmpPath.toUri, CommitLogSource.readerConf)
   private lazy val out = {
     fs.mkdirs(new Path(path))
     new java.io.BufferedWriter(
@@ -497,7 +497,7 @@ case class EnvelopeCountReaderFactory() extends PartitionReaderFactory {
       override def next(): Boolean = {
         if (emitted) return false
         val p = new Path(file)
-        val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+        val fs = FileSystem.get(p.toUri, CommitLogSource.readerConf)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(fs.open(p), "UTF-8"))
         try {
@@ -561,7 +561,7 @@ class EnvelopePartitionReader(
     // cluster-default HDFS; custom fs conf would ride the factory as a
     // Map[String,String] (SparkHadoopUtil/SerializableConfiguration are
     // private[spark])
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val fs = FileSystem.get(p.toUri, CommitLogSource.readerConf)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), "UTF-8"))
   }

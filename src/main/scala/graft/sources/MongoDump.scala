@@ -435,7 +435,7 @@ class BsonDumpPartitionReader(
 
   private val in = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val fs = FileSystem.get(p.toUri, CommitLogSource.readerConf)
     new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
   }
   private var exhausted = false
@@ -469,7 +469,7 @@ class MongoExtJsonPartitionReader(
   private val mapper = new ObjectMapper()
   private val reader = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new org.apache.hadoop.conf.Configuration())
+    val fs = FileSystem.get(p.toUri, CommitLogSource.readerConf)
     new java.io.BufferedReader(
       new java.io.InputStreamReader(fs.open(p), "UTF-8"))
   }

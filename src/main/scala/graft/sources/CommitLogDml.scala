@@ -236,14 +236,12 @@ object CommitLogDml {
               regen(touchedFull.select(dataCols.map(c =>
                 when(hit, applied(c)).otherwise(col(c)).as(c)): _*))
             else touchedFull.filter(!hit)
-          val coveredDvs = dvs.filter { dv =>
-            spark.read.schema(CommitLogMerge.dvSchema)
-              .parquet(CommitLog.batchPath(root, dv))
-              .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
-              .distinct().collect()
-              .map(r => byDir.get(CommitLogMerge.normDir(r.getString(0))))
-              .forall(_.exists(touched.contains))
-          }
+          // ONE read over all outstanding DVs (r16: the per-dv filter
+          // ran one Spark job per vector); dvs order preserved
+          val coveredSet = CommitLogMerge.coveredDvBatches(spark, root, dvs,
+            touched.map(b =>
+              CommitLogMerge.normDir(CommitLog.batchPath(root, b))).toSet).toSet
+          val coveredDvs = dvs.filter(coveredSet)
           val nSurvivors = survivors.count()
           if (nSurvivors == 0 && !isUpdate)
             // every row of every touched batch deleted: pure removal

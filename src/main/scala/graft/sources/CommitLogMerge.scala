@@ -435,14 +435,12 @@ object CommitLogMerge {
             survivors.unionByName(inserts)
               .write.mode(SaveMode.ErrorIfExists).parquet(s"$root/$rw")
             // a DV batch whose every referenced file lives in a removed
-            // batch is dead after the rewrite — drop it (compaction)
-            val coveredDvs = dvs.filter { dv =>
-              spark.read.schema(dvSchema).parquet(CommitLog.batchPath(root, dv))
-                .select(regexp_extract(col("_file"), "^(.*)/[^/]+$", 1).as("b"))
-                .distinct().collect()
-                .map(r => byDir.get(normDir(r.getString(0))))
-                .forall(_.exists(touched.contains))
-            }
+            // batch is dead after the rewrite — drop it (compaction).
+            // ONE read over all outstanding DVs (r16: the per-dv filter
+            // ran one Spark job per vector); dvs order preserved.
+            val coveredSet = coveredDvBatches(spark, root, dvs,
+              touched.map(b => normDir(CommitLog.batchPath(root, b))).toSet).toSet
+            val coveredDvs = dvs.filter(coveredSet)
             (Seq(rw), touched ++ coveredDvs, "cow")
           }
 

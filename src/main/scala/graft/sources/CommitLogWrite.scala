@@ -176,6 +176,17 @@ object CommitLogWrite {
       c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
       c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
       c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "true")
+      // local-scheme writes go through RawLocalFileSystem (r16): the
+      // default ChecksummedFileSystem writes a .crc SIDECAR per file —
+      // for a partitioned write (one file per tuple) that doubles the
+      // small-file creates and re-hashes every byte. Warehouse targets
+      // carry transport-level integrity (HDFS datanode checksums, S3
+      // etags) where no sidecar exists; parquet itself additionally
+      // CRCs each page. Scoped to THIS conf + cache-disabled, so the
+      // JVM's shared file:// FileSystem keeps its default behavior.
+      c.set("fs.file.impl",
+        classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+      c.set("fs.file.impl.disable.cache", "true")
       c
     })
     // compress like Spark's own writer would (COW rewrites use the

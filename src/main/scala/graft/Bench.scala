@@ -13,108 +13,142 @@ package graft
   */
 object Bench {
 
-  /** Per-query pinned reference times at sf0.1: the round-16 repin —
-    * each pin is the MIN over this round's four idle runs (366.8 /
-    * 326.7 / 338.6 / 294.3 s; n_err 0 in all four) and the prior r13
-    * pin, floored at half the committed snapshot so pins can only
-    * TIGHTEN (zero pins rose; 23 tightened; the 12 r16 decls are
-    * newly pinned). The committed snapshot (scripts/bench_pins.json)
-    * is run 4 — the one fully sentinel-CALM run (n_suspect 0, probes
-    * 0.13-0.20 vs pin 0.180) — so the snapshot-calm gate holds and
-    * every pinned query now appears in the snapshot. Regenerate with
-    * scripts/repin.py from an idle-run bench_detail.json when a
-    * query's plan intentionally changes; BenchBudgetSpec fails the
-    * build when any pin drifts >2x from the committed idle snapshot.
-    * Queries absent from the map (newly added) get no budget until
-    * pinned. */
+  /** Per-query pinned reference times at sf0.1: the round-16
+    * OPTIMIZATION repin — each pin is the MIN over this optimization
+    * round's five full post-change runs (293.4 / 304.2 / 308.1 /
+    * 299.1 / 252.8 s; n_err 0 in the final four) and the prior pin,
+    * floored at half the committed snapshot so pins can only TIGHTEN
+    * (zero pins rose; 99 tightened — encoding the round's speedups so
+    * a future regression of any optimized query trips the 5x gate).
+    * The committed snapshot (scripts/bench_pins.json) is the final
+    * run — fully sentinel-CALM (n_suspect 0, probes 0.13-0.20 vs pin
+    * 0.180) — so the snapshot-calm gate holds and every pinned query
+    * appears in the snapshot. Regenerate with scripts/repin.py from
+    * an idle-run bench_detail.json when a query's plan intentionally
+    * changes; BenchBudgetSpec fails the build when any pin drifts >2x
+    * from the committed idle snapshot. Queries absent from the map
+    * (newly added) get no budget until pinned. */
   private[graft] val pinnedSeconds: Map[String, Double] = Map(
-    "a10_kmv_sketch" -> 1.829, "a1_hashagg" -> 1.013, "a2_distinct" -> 0.548,
-    "a3_approx_distinct" -> 1.618, "a3_hll_merge" -> 0.511, "a4_cube" -> 0.651,
-    "a4_grouping_sets" -> 0.672, "a4_rollup" -> 0.549, "a5_filtered_agg" -> 0.444,
-    "a6_approx_percentile" -> 2.059, "a6_stats" -> 1.832, "a6_tdigest" -> 1.624,
-    "a7_collect" -> 0.631, "a8_pivot" -> 0.435, "a9_salted_agg" -> 0.59,
-    "c1_upsert_latest" -> 0.489, "c2_scd2_intervals" -> 0.665, "c3_incremental_agg" -> 0.831,
-    "c4_cdc_apply" -> 0.511, "c5_retractable_agg" -> 1.455, "flagship_pipeline" -> 0.373,
-    "j10_bloom_semi" -> 0.819, "j11_salted_skew_join" -> 0.51, "j12_interval_overlap" -> 0.802,
-    "j13_spatial_grid" -> 0.699, "j14_cobucketed_join" -> 0.528, "j1_semi_broadcast" -> 0.581,
+    "a10_kmv_sketch" -> 1.78, "a1_hashagg" -> 1.013, "a2_distinct" -> 0.548,
+    "a3_approx_distinct" -> 1.618, "a3_hll_merge" -> 0.481,
+    "a4_cube" -> 0.586, "a4_grouping_sets" -> 0.574, "a4_rollup" -> 0.505,
+    "a5_filtered_agg" -> 0.374, "a6_approx_percentile" -> 2.059,
+    "a6_stats" -> 1.832, "a6_tdigest" -> 1.624, "a7_collect" -> 0.631,
+    "a8_pivot" -> 0.435, "a9_salted_agg" -> 0.59,
+    "c1_upsert_latest" -> 0.489, "c2_scd2_intervals" -> 0.556,
+    "c3_incremental_agg" -> 0.831, "c4_cdc_apply" -> 0.511,
+    "c5_retractable_agg" -> 1.455, "flagship_pipeline" -> 0.373,
+    "j10_bloom_semi" -> 0.819, "j11_salted_skew_join" -> 0.51,
+    "j12_interval_overlap" -> 0.802, "j13_spatial_grid" -> 0.699,
+    "j14_cobucketed_join" -> 0.528, "j1_semi_broadcast" -> 0.581,
     "j2_inner" -> 0.412, "j3_multiway" -> 1.18, "j4_full_outer" -> 0.355,
-    "j4_left_outer" -> 0.295, "j5_anti" -> 0.316, "j6_sortmerge" -> 0.867,
+    "j4_left_outer" -> 0.295, "j5_anti" -> 0.313, "j6_sortmerge" -> 0.867,
     "j7_range" -> 0.662, "j8_cross" -> 0.251, "j9_asof" -> 0.579,
     "j9_asof_join" -> 0.476, "l10_drift" -> 0.658, "l10_ks_drift" -> 0.591,
-    "l10_profile" -> 0.252, "l10_zipf" -> 0.468, "l11_decontam" -> 1.029,
-    "l11_semantic_decontam" -> 0.412, "l12_global_ids" -> 0.59, "l13_bfs" -> 1.25,
-    "l13_hits" -> 4.646, "l13_kcore" -> 1.043, "l13_pagerank" -> 2.466,
-    "l13_triangles" -> 0.995, "l14_fuzzy_join" -> 1.904, "l15_cluster_split" -> 0.562,
-    "l16_pii_redact" -> 0.689, "l1_exact_dedup" -> 0.363, "l2_cc_star" -> 3.759,
-    "l2_chunk_dedup" -> 1.071, "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
-    "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 2.085, "l2_incremental_dedup" -> 0.946,
-    "l2_lsh_pairs" -> 1.111, "l2_minhash_estimate" -> 1.132, "l2_minhash_sigs" -> 1.203,
-    "l2_ngram_jaccard" -> 5.082, "l2_simhash" -> 0.604, "l2_simhash_blocked" -> 2.988,
-    "l2_simhash_hamming" -> 1.787, "l2_stream_dedup" -> 1.539, "l2_substring_dedup" -> 1.628,
-    "l2_survivor_selection" -> 2.484, "l3_ann_ivf" -> 0.669, "l3_ann_ivfpq" -> 1.559,
-    "l3_ann_lsh" -> 1.333, "l3_ann_pq" -> 1.184, "l3_ann_recall" -> 1.364,
-    "l3_ann_trained" -> 1.873, "l3_cosine_topk" -> 0.27, "l3_jl_projection" -> 0.399,
-    "l3_kmeans" -> 0.905, "l3_pca_power" -> 0.397, "l3_semantic_dedup" -> 1.149,
-    "l4_bm25" -> 1.098, "l4_bpe_encode" -> 1.099, "l4_bpe_pair_stats" -> 0.582,
-    "l4_bpe_train" -> 0.729, "l4_count_min" -> 0.491, "l4_fingerprint" -> 0.767,
-    "l4_heavy_hitters" -> 0.486, "l4_lang_id" -> 0.378, "l4_lm_score" -> 1.25,
-    "l4_pii_redact" -> 0.637, "l4_pmi_phrases" -> 0.97, "l4_quality_score" -> 0.513,
-    "l4_repetition" -> 1.326, "l4_repetition_quality" -> 1.007, "l4_term_freq" -> 0.516,
-    "l4_tfidf" -> 0.83, "l4_token_stats" -> 0.516, "l5_histogram" -> 0.238,
-    "l6_audio_fp_dedup" -> 0.595, "l6_decode_audio" -> 0.967, "l6_decode_features" -> 0.35,
-    "l6_decode_real" -> 1.253, "l6_multimodal_meta" -> 0.165, "l6_phash_dedup" -> 0.657,
-    "l6_quantize_int8" -> 0.31, "l6_resize_framesample" -> 0.173, "l7_curation_pipeline" -> 0.646,
-    "l8_bottomk_sample" -> 0.225, "l8_deterministic_sample" -> 0.14, "l8_deterministic_split" -> 0.211,
-    "l8_mixture_weights" -> 0.259, "l8_stratified_sample" -> 0.151, "l8_weighted_sample" -> 0.249,
-    "l9_mixture_interleave" -> 0.231, "l9_sequence_packing" -> 0.294, "l9_shard_export" -> 0.962,
-    "o1_topk" -> 0.143, "o2_limit" -> 0.125, "o3_union" -> 0.34,
-    "o3_union_distinct" -> 0.385, "o4_except" -> 0.317, "o4_except_all" -> 0.545,
-    "o4_intersect" -> 0.335, "o4_intersect_all" -> 0.395, "p10_map_hof" -> 1.341,
-    "p10_maps" -> 0.858, "p11_envelope" -> 0.344, "p12_unpivot" -> 0.274,
-    "p13_subqueries" -> 0.444, "p14_variant" -> 1.323, "p15_lateral" -> 0.335,
-    "p16_try_functions" -> 2.271, "p1_prune" -> 0.459, "p2_filter" -> 0.312,
-    "p3_inlist" -> 0.138, "p4_strings" -> 0.221, "p5_datetime" -> 0.384,
-    "p6_math" -> 0.617, "p7_conditional" -> 0.199, "p8_json" -> 0.695,
-    "p8_json_nested" -> 2.383, "p9_array_fns" -> 0.163, "p9_arrays" -> 0.234,
-    "p9_explode" -> 0.161, "p9_posexplode" -> 0.179, "s10_vector_index" -> 1.229,
-    "s10b_index_append" -> 1.533, "s11_schema_evolution" -> 0.692, "s12_compaction" -> 0.891,
-    "s13_dpp_join" -> 1.223, "s14_zorder_layout" -> 1.053, "s15_stats_pruned_scan" -> 1.016,
-    "s16_binaryfile_ingest" -> 0.971, "s17_xml_roundtrip" -> 1.112, "s18_corrupt_drop" -> 0.369,
-    "s19_envelope_sink" -> 0.784, "s20_bson_dump" -> 1.172, "s21_mongo_extjson" -> 1.207,
-    "s22_time_travel" -> 1.083, "s22b_log_vacuum" -> 0.791, "s22c_change_feed" -> 1.332,
-    "s22d_log_tail" -> 1.246, "s22e_schema_enforced" -> 0.456, "s22f_cdf_rows" -> 1.643,
-    "s22g_manifest_stats" -> 1.088, "s22h_connector_pruned_scan" -> 0.675, "s23_merge_on_read" -> 1.1,
-    "s24_merge_upsert" -> 3.19, "s26_log_optimize" -> 1.596, "s27_log_history" -> 0.965,
-    "s28_zorder_optimize" -> 1.949, "s29_bloom_point_lookup" -> 0.765, "s30_change_feed_stream" -> 2.889,
-    "s31_restore" -> 0.502, "s32_check_constraint" -> 0.73, "s33_delete_update" -> 2.044,
-    "s34_shallow_clone" -> 1.082, "s35_rename_column" -> 1.003, "s36_drop_column" -> 0.55,
-    "s37_sql_catalog" -> 0.518, "s38_sql_row_level" -> 1.963, "s39_insert_overwrite" -> 1.287,
-    "s3_jdbc_roundtrip" -> 0.346, "s40_partitioned_table" -> 1.468, "s41_sql_delta_dml" -> 1.925,
-    "s42_metadata_agg" -> 0.466, "s43_spj_join" -> 1.635, "s44_stats_broadcast" -> 0.477,
-    "s45_partition_mgmt" -> 0.731, "s46_atomic_rtas" -> 0.598, "s47_column_defaults" -> 0.762,
-    "s48_limit_pushdown" -> 0.748, "s4_json_roundtrip" -> 0.561, "s50_commitlog_nested" -> 1.32,
-    "s51_sql_maintenance" -> 0.903, "s52_tblproperties" -> 0.362, "s53_commitlog_map" -> 2.038,
-    "s54_sorted_write" -> 0.99, "s55_describe_detail" -> 0.492, "s56_generated_columns" -> 1.48,
-    "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.193, "s59_changes_table" -> 1.167,
-    "s5_kafka_envelope" -> 0.199, "s60_generated_prune" -> 0.781, "s61_variant" -> 1.911,
-    "s62_row_tracking" -> 3.677, "s63_feed_identity_fold" -> 2.925, "s64_variant_pushdown" -> 2.093,
-    "s65_stream_row_tracking" -> 1.446, "s66_topn_prune" -> 0.613, "s67_nan_box" -> 0.734,
-    "s68_bloom_bigint" -> 0.983, "s69_null_stats" -> 1.173, "s6_csv_roundtrip" -> 0.459,
-    "s70_string_bounds" -> 0.823, "s71_string_topn" -> 1.156, "s72_reorg_purge" -> 2.132,
-    "s73_cbo_stats" -> 0.343, "s74_widen" -> 0.595, "s75_notnull" -> 0.591,
-    "s76_sum_pushdown" -> 0.578, "s77_partition_evolution" -> 1.114, "s78_bucket_partition" -> 1.08,
-    "s79_hidden_partition" -> 5.956, "s7_orc_roundtrip" -> 0.824, "s80_count_distinct" -> 1.293,
-    "s81_auto_compact" -> 2.01, "s8_envelope_source" -> 0.593, "s9_partitioned_prune" -> 0.609,
-    "t12_stream_envelope_sink" -> 0.685, "t13_stream_envelope_source" -> 1.559, "t14_stream_commitlog" -> 3.599,
-    "t15_stream_commitlog_sink" -> 1.072, "t1_tumbling" -> 0.377, "t2_sliding" -> 0.395,
-    "t3_session" -> 0.872, "t4_watermark_closed" -> 0.458, "t5_dedup" -> 0.311,
-    "t6_stateful_running" -> 0.561, "t7_stream_static" -> 0.5, "t8_foreachbatch_jdbc" -> 0.832,
-    "t8c_exactly_once_jdbc" -> 1.686, "t9_stream_stream" -> 0.374, "t9_stream_stream_full" -> 0.468,
-    "t9_stream_stream_outer" -> 0.355, "t9_stream_stream_semi" -> 0.367, "w10_seasonal_decomp" -> 0.48,
-    "w11_ewma" -> 0.493, "w1_ranking" -> 0.658, "w2_analytic" -> 0.855,
-    "w3_frames" -> 0.723, "w3_time_range" -> 0.506, "w4_topk_per_group" -> 0.354,
-    "w4_topk_window_idiom" -> 0.394, "w5_distribution" -> 1.003, "w6_gap_fill" -> 0.686,
-    "w7_funnel" -> 0.502, "w8_retention" -> 0.408, "w9_anomaly" -> 0.664)
+    "l10_profile" -> 0.252, "l10_zipf" -> 0.468, "l11_decontam" -> 0.809,
+    "l11_semantic_decontam" -> 0.412, "l12_global_ids" -> 0.59,
+    "l13_bfs" -> 1.088, "l13_hits" -> 3.554, "l13_kcore" -> 1.043,
+    "l13_pagerank" -> 2.142, "l13_triangles" -> 0.995,
+    "l14_fuzzy_join" -> 0.945, "l15_cluster_split" -> 0.562,
+    "l16_pii_redact" -> 0.664, "l1_exact_dedup" -> 0.316,
+    "l2_cc_star" -> 2.185, "l2_chunk_dedup" -> 1.033,
+    "l2_cosine_neardup" -> 0.456, "l2_cosine_neardup_adaptive" -> 0.642,
+    "l2_cosine_neardup_bucketed" -> 0.334, "l2_dedup_clusters" -> 1.778,
+    "l2_incremental_dedup" -> 0.946, "l2_lsh_pairs" -> 0.728,
+    "l2_minhash_estimate" -> 0.706, "l2_minhash_sigs" -> 0.677,
+    "l2_ngram_jaccard" -> 3.703, "l2_simhash" -> 0.604,
+    "l2_simhash_blocked" -> 2.882, "l2_simhash_hamming" -> 1.787,
+    "l2_stream_dedup" -> 1.316, "l2_substring_dedup" -> 1.628,
+    "l2_survivor_selection" -> 2.042, "l3_ann_ivf" -> 0.669,
+    "l3_ann_ivfpq" -> 1.518, "l3_ann_lsh" -> 1.333, "l3_ann_pq" -> 1.124,
+    "l3_ann_recall" -> 1.364, "l3_ann_trained" -> 1.668,
+    "l3_cosine_topk" -> 0.27, "l3_jl_projection" -> 0.388,
+    "l3_kmeans" -> 0.905, "l3_pca_power" -> 0.397,
+    "l3_semantic_dedup" -> 1.149, "l4_bm25" -> 1.098,
+    "l4_bpe_encode" -> 1.028, "l4_bpe_pair_stats" -> 0.582,
+    "l4_bpe_train" -> 0.729, "l4_count_min" -> 0.491,
+    "l4_fingerprint" -> 0.724, "l4_heavy_hitters" -> 0.486,
+    "l4_lang_id" -> 0.378, "l4_lm_score" -> 1.25, "l4_pii_redact" -> 0.591,
+    "l4_pmi_phrases" -> 0.84, "l4_quality_score" -> 0.486,
+    "l4_repetition" -> 1.286, "l4_repetition_quality" -> 0.967,
+    "l4_term_freq" -> 0.516, "l4_tfidf" -> 0.811, "l4_token_stats" -> 0.474,
+    "l5_histogram" -> 0.238, "l6_audio_fp_dedup" -> 0.595,
+    "l6_decode_audio" -> 0.955, "l6_decode_features" -> 0.349,
+    "l6_decode_real" -> 1.133, "l6_multimodal_meta" -> 0.16,
+    "l6_phash_dedup" -> 0.579, "l6_quantize_int8" -> 0.282,
+    "l6_resize_framesample" -> 0.156, "l7_curation_pipeline" -> 0.585,
+    "l8_bottomk_sample" -> 0.214, "l8_deterministic_sample" -> 0.14,
+    "l8_deterministic_split" -> 0.193, "l8_mixture_weights" -> 0.243,
+    "l8_stratified_sample" -> 0.151, "l8_weighted_sample" -> 0.199,
+    "l9_mixture_interleave" -> 0.231, "l9_sequence_packing" -> 0.274,
+    "l9_shard_export" -> 0.962, "o1_topk" -> 0.13, "o2_limit" -> 0.107,
+    "o3_union" -> 0.34, "o3_union_distinct" -> 0.385, "o4_except" -> 0.317,
+    "o4_except_all" -> 0.545, "o4_intersect" -> 0.332,
+    "o4_intersect_all" -> 0.384, "p10_map_hof" -> 1.341, "p10_maps" -> 0.858,
+    "p11_envelope" -> 0.344, "p12_unpivot" -> 0.25,
+    "p13_subqueries" -> 0.444, "p14_variant" -> 1.323,
+    "p15_lateral" -> 0.335, "p16_try_functions" -> 1.113,
+    "p1_prune" -> 0.459, "p2_filter" -> 0.312, "p3_inlist" -> 0.138,
+    "p4_strings" -> 0.221, "p5_datetime" -> 0.384, "p6_math" -> 0.617,
+    "p7_conditional" -> 0.195, "p8_json" -> 0.695, "p8_json_nested" -> 1.921,
+    "p9_array_fns" -> 0.163, "p9_arrays" -> 0.204, "p9_explode" -> 0.161,
+    "p9_posexplode" -> 0.17, "s10_vector_index" -> 1.229,
+    "s10b_index_append" -> 1.533, "s11_schema_evolution" -> 0.692,
+    "s12_compaction" -> 0.891, "s13_dpp_join" -> 1.223,
+    "s14_zorder_layout" -> 1.008, "s15_stats_pruned_scan" -> 1.016,
+    "s16_binaryfile_ingest" -> 0.971, "s17_xml_roundtrip" -> 1.112,
+    "s18_corrupt_drop" -> 0.369, "s19_envelope_sink" -> 0.784,
+    "s20_bson_dump" -> 1.172, "s21_mongo_extjson" -> 1.207,
+    "s22_time_travel" -> 1.083, "s22b_log_vacuum" -> 0.75,
+    "s22c_change_feed" -> 1.332, "s22d_log_tail" -> 1.246,
+    "s22e_schema_enforced" -> 0.456, "s22f_cdf_rows" -> 1.643,
+    "s22g_manifest_stats" -> 1.088, "s22h_connector_pruned_scan" -> 0.675,
+    "s23_merge_on_read" -> 1.1, "s24_merge_upsert" -> 3.19,
+    "s26_log_optimize" -> 1.596, "s27_log_history" -> 0.965,
+    "s28_zorder_optimize" -> 1.645, "s29_bloom_point_lookup" -> 0.765,
+    "s30_change_feed_stream" -> 2.889, "s31_restore" -> 0.502,
+    "s32_check_constraint" -> 0.73, "s33_delete_update" -> 2.044,
+    "s34_shallow_clone" -> 1.082, "s35_rename_column" -> 1.003,
+    "s36_drop_column" -> 0.55, "s37_sql_catalog" -> 0.518,
+    "s38_sql_row_level" -> 1.963, "s39_insert_overwrite" -> 1.287,
+    "s3_jdbc_roundtrip" -> 0.346, "s40_partitioned_table" -> 1.468,
+    "s41_sql_delta_dml" -> 1.683, "s42_metadata_agg" -> 0.466,
+    "s43_spj_join" -> 1.635, "s44_stats_broadcast" -> 0.477,
+    "s45_partition_mgmt" -> 0.731, "s46_atomic_rtas" -> 0.598,
+    "s47_column_defaults" -> 0.762, "s48_limit_pushdown" -> 0.748,
+    "s4_json_roundtrip" -> 0.561, "s50_commitlog_nested" -> 1.32,
+    "s51_sql_maintenance" -> 0.82, "s52_tblproperties" -> 0.362,
+    "s53_commitlog_map" -> 1.924, "s54_sorted_write" -> 0.99,
+    "s55_describe_detail" -> 0.492, "s56_generated_columns" -> 1.334,
+    "s57_wide_decimal" -> 2.516, "s58_identity" -> 1.024,
+    "s59_changes_table" -> 1.167, "s5_kafka_envelope" -> 0.199,
+    "s60_generated_prune" -> 0.764, "s61_variant" -> 1.911,
+    "s62_row_tracking" -> 3.677, "s63_feed_identity_fold" -> 2.503,
+    "s64_variant_pushdown" -> 2.093, "s65_stream_row_tracking" -> 1.328,
+    "s66_topn_prune" -> 0.582, "s67_nan_box" -> 0.734,
+    "s68_bloom_bigint" -> 0.944, "s69_null_stats" -> 1.126,
+    "s6_csv_roundtrip" -> 0.459, "s70_string_bounds" -> 0.745,
+    "s71_string_topn" -> 1.149, "s72_reorg_purge" -> 1.703,
+    "s73_cbo_stats" -> 0.313, "s74_widen" -> 0.509, "s75_notnull" -> 0.469,
+    "s76_sum_pushdown" -> 0.47, "s77_partition_evolution" -> 1.023,
+    "s78_bucket_partition" -> 0.917, "s79_hidden_partition" -> 3.282,
+    "s7_orc_roundtrip" -> 0.824, "s80_count_distinct" -> 0.882,
+    "s81_auto_compact" -> 1.628, "s8_envelope_source" -> 0.564,
+    "s9_partitioned_prune" -> 0.609, "t12_stream_envelope_sink" -> 0.664,
+    "t13_stream_envelope_source" -> 1.05, "t14_stream_commitlog" -> 2.295,
+    "t15_stream_commitlog_sink" -> 1.072, "t1_tumbling" -> 0.377,
+    "t2_sliding" -> 0.395, "t3_session" -> 0.853,
+    "t4_watermark_closed" -> 0.458, "t5_dedup" -> 0.311,
+    "t6_stateful_running" -> 0.55, "t7_stream_static" -> 0.5,
+    "t8_foreachbatch_jdbc" -> 0.832, "t8c_exactly_once_jdbc" -> 1.582,
+    "t9_stream_stream" -> 0.374, "t9_stream_stream_full" -> 0.421,
+    "t9_stream_stream_outer" -> 0.355, "t9_stream_stream_semi" -> 0.344,
+    "w10_seasonal_decomp" -> 0.48, "w11_ewma" -> 0.493,
+    "w1_ranking" -> 0.658, "w2_analytic" -> 0.855, "w3_frames" -> 0.723,
+    "w3_time_range" -> 0.506, "w4_topk_per_group" -> 0.354,
+    "w4_topk_window_idiom" -> 0.394, "w5_distribution" -> 1.001,
+    "w6_gap_fill" -> 0.686, "w7_funnel" -> 0.464, "w8_retention" -> 0.408,
+    "w9_anomaly" -> 0.639)
 
   private def atReferenceSf(sfDir: String): Boolean =
     new java.io.File(sfDir).getName == "sf0.1"
@@ -432,6 +466,15 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
       rowCounts(name) = obs.get("rows_out").asInstanceOf[Long]
+      // measurement hygiene (r16, OUTSIDE the timed region): drop the
+      // query's leftover materialized intermediates (localCheckpoint /
+      // persist blocks) so the NEXT query is not measured under the
+      // previous one's block-manager pressure. Nothing is cached across
+      // queries — this removes state, never adds it; the shared
+      // graph/band layouts are catalog tables, not persisted RDDs, and
+      // are untouched.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       s
     }
     spinProbe() // JIT-warm the probe loop so probe #0 reads steady-state

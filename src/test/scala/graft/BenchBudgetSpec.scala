@@ -95,11 +95,13 @@ class BenchBudgetSpec extends AnyFunSuite {
 
   test("a normal first reading is not re-run — bench time stays single-pass") {
     var runs = 0
+    // reading inside the suspect band for the current pin (r16 repin:
+    // 0.677 s → sub-second rule, suspect only above max(2×pin, 1 s))
     val recorded = Bench.timeWithRetry("l2_minhash_sigs", "/root/testdata/sf0.1") { () =>
-      runs += 1; 1.6
+      runs += 1; 0.9
     }
     assert(runs == 1)
-    assert(recorded == 1.6)
+    assert(recorded == 0.9)
   }
 
   test("pins stay within 2x of the committed idle-run snapshot") {

@@ -18,6 +18,7 @@ class CosineSimSpec extends SparkSpec {
     val names = graft.functions.GraftFunctions.all.map(_._1).toSet
     assert(names == Set(
       "cosine_sim", "dot_product", "l2_sq", "l2_sq_at", "bin_word32",
+      "intersect_count", // r16: the L2 pair-verify set-intersection count
       "md5_prefix32", "md5_words32", "bloom_filter_agg", "bloom_might_contain"))
     // builders resolve (spot-check arity wiring)
     val lit = org.apache.spark.sql.catalyst.expressions.Literal(1)
